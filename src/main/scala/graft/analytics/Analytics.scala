@@ -1,0 +1,166 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The four analyses the reference system declares as its reason to exist
+  * (SURVEY.md §2.5; reference `app/for_rabbit/from_parser_to_rabbitmq.py:228-240`),
+  * re-expressed Spark-first over the driver testdata tables so the DuckDB
+  * oracle can verify them:
+  *
+  *  - A1 volatility over time        (`from_parser_to_rabbitmq.py:228-229`)
+  *  - A2 large-trade price impact    (`from_parser_to_rabbitmq.py:231-232`)
+  *  - A3 close-price predictability  (`from_parser_to_rabbitmq.py:234-237`)
+  *  - A4 bid/ask order imbalance     (`from_parser_to_rabbitmq.py:239-240`)
+  *
+  * Scale notes (100 TB posture): every analysis partitions by the natural
+  * entity key (`user_id` / `l_partkey` / priority) and a coarse time bucket,
+  * so the single shuffle per query is on the same key a production table
+  * would be bucketed by. Window functions sort within partitions only; no
+  * driver-side collect anywhere. Scalar thresholds (A2) are computed as
+  * 1-row DataFrames and broadcast, never collected.
+  *
+  * Determinism notes: window orderings always carry a unique tie-break key;
+  * statistical aggregates are rounded to 6 decimals; money sums go through
+  * lossless DECIMAL casts so Spark and DuckDB agree bit-for-bit.
+  */
+object Analytics extends QueryPack {
+
+  /** A1 — per-entity daily return volatility (lag + stddev over tumbling day). */
+  def volatility(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ret", col("value") - lag("value", 1).over(w))
+      .where(col("ret").isNotNull)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        round(stddev_samp(col("ret")), 6).as("volatility"),
+        count(col("ret")).as("n_returns"))
+      .where(col("n_returns") >= 2)
+  }
+
+  private val volatilitySql =
+    """WITH r AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_id, value,
+      |         value - lag(value) OVER (PARTITION BY user_id
+      |                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ret
+      |  FROM events)
+      |SELECT user_id, strftime(tsv, '%Y-%m-%d') AS day,
+      |       round(stddev_samp(ret), 6) AS volatility,
+      |       count(ret) AS n_returns
+      |FROM r WHERE ret IS NOT NULL
+      |GROUP BY user_id, strftime(tsv, '%Y-%m-%d')
+      |HAVING count(ret) >= 2""".stripMargin
+
+  /** A2 — price move following large trades (p90-quantile flag + lead).
+    * The quantile threshold stays distributed: a 1-row aggregate broadcast
+    * into the fact scan, never `.collect()`ed (the reference's own collect
+    * at `from_parser_to_rabbitmq.py:140` is the anti-pattern we avoid).
+    */
+  def tradeImpact(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.load(s, dir, "lineitem")
+    val thr = li.agg(expr("percentile(l_quantity, 0.9D)").as("thr"))
+    val w   = Window.partitionBy("l_partkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    li.withColumn("next_price", lead("l_extendedprice", 1).over(w))
+      .where(col("next_price").isNotNull)
+      .crossJoin(broadcast(thr))
+      .withColumn("is_large", col("l_quantity") > col("thr"))
+      .groupBy("is_large")
+      .agg(
+        round(avg(col("next_price") - col("l_extendedprice")), 6).as("avg_impact"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  private val tradeImpactSql =
+    """WITH thr AS (SELECT quantile_cont(l_quantity, 0.9) AS thr FROM lineitem),
+      |x AS (
+      |  SELECT l_quantity, l_extendedprice,
+      |         lead(l_extendedprice) OVER (PARTITION BY l_partkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_price
+      |  FROM lineitem)
+      |SELECT l_quantity > thr AS is_large,
+      |       round(avg(next_price - l_extendedprice), 6) AS avg_impact,
+      |       count(*) AS n_trades
+      |FROM x, thr WHERE next_price IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
+  /** A3 — close-price predictability: lag-1 autocorrelation of the daily
+    * mean price series per order priority class.
+    */
+  def predictability(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val daily = o
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
+        count(lit(1))).as("close"))
+    val w = Window.partitionBy("priority").orderBy("day")
+    daily
+      .withColumn("prev_close", lag("close", 1).over(w))
+      .where(col("prev_close").isNotNull)
+      .groupBy("priority")
+      .agg(
+        round(corr(col("close"), col("prev_close")), 6).as("autocorr"),
+        count(lit(1)).as("n_days"))
+  }
+
+  private val predictabilitySql =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS close
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (
+      |  SELECT priority, close,
+      |         lag(close) OVER (PARTITION BY priority ORDER BY day) AS prev_close
+      |  FROM d)
+      |SELECT priority, round(corr(close, prev_close), 6) AS autocorr,
+      |       count(*) AS n_days
+      |FROM l WHERE prev_close IS NOT NULL
+      |GROUP BY priority""".stripMargin
+
+  /** A4 — buy/sell pressure imbalance per entity per day:
+    * (buys - sells) / (buys + sells), the order-book imbalance formula over
+    * the event stream ('click' as bid-side, 'view' as ask-side interest).
+    */
+  def imbalance(s: SparkSession, dir: String): DataFrame = {
+    val ev    = Tables.load(s, dir, "events")
+    val buys  = sum(when(col("event_type") === "click", 1).otherwise(0))
+    val sells = sum(when(col("event_type") === "view", 1).otherwise(0))
+    ev.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        buys.as("n_buys"),
+        sells.as("n_sells"),
+        count(lit(1)).as("n_events"))
+      .where(col("n_buys") + col("n_sells") > 0)
+      .select(
+        col("user_id"), col("day"), col("n_buys"), col("n_sells"),
+        col("n_events"),
+        round((col("n_buys") - col("n_sells")) /
+          (col("n_buys") + col("n_sells")).cast("double"), 6).as("imbalance"))
+  }
+
+  private val imbalanceSql =
+    """SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells,
+      |       count(*) AS n_events,
+      |       round((sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |            - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+      |           / CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |                + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE),
+      |             6) AS imbalance
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) > 0""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("a1_volatility", volatility, Some(volatilitySql)),
+    Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
+    Q("a3_predictability", predictability, Some(predictabilitySql)),
+    Q("a4_imbalance", imbalance, Some(imbalanceSql)))
+}

@@ -1,0 +1,230 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General warehouse surface: scan→filter→aggregate, multi-way joins with
+  * broadcast dimensions, grouping sets, window frames, top-k, set ops,
+  * exact + approximate distinct. The reference delegates all of this to
+  * ClickHouse (SURVEY.md §2.6 — it implements none of it itself), so this
+  * pack is the Spark-native replacement surface.
+  *
+  * Money math goes through lossless DECIMAL casts (all testdata money
+  * columns are 2-decimal; SURVEY.md §1.3 pins DoubleType fidelity): sums are
+  * then exact and engine-independent, and the final CAST AS DOUBLE is a
+  * single correctly-rounded conversion both Spark and DuckDB agree on.
+  */
+object Relational extends QueryPack {
+
+  /** money column → lossless fixed-point */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  /** rate column (discount/tax, 2dp, < 10) → lossless fixed-point */
+  private def rate(c: Column): Column = c.cast("decimal(3,2)")
+  private val oneRate = lit(1).cast("decimal(3,2)")
+  /** price * (1 - discount), exact: (12,2)*(4,2) → scale 4 */
+  private def discPrice(price: Column, disc: Column): Column =
+    (dec2(price) * (oneRate - rate(disc))).cast("decimal(18,4)")
+
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(18,4))"
+
+  /** Q1-style pricing summary: the canonical scan→filter→agg with exact
+    * decimal sums. Filter reaches the parquet scan as a pushed predicate.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li     = Tables.load(s, dir, "lineitem")
+    val dPrice = discPrice(col("l_extendedprice"), col("l_discount"))
+    val charge = (dPrice * (oneRate + rate(col("l_tax")))).cast("decimal(24,6)")
+    li.where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST($discPriceSql * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-style top-k revenue: 3-way join (dimension side broadcast) + exact
+    * decimal revenue so the top-10 selection is deterministic across engines.
+    */
+  def topkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "revenue", "orderdate")
+  }
+
+  private val topkRevenueSql =
+    s"""WITH rev AS (
+      |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |         CAST(sum($discPriceSql) AS DOUBLE) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  GROUP BY o_orderkey, o_orderdate)
+      |SELECT o_orderkey, revenue, orderdate
+      |FROM rev ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Q5-style regional revenue: 6-table star join; all dimensions broadcast,
+    * single shuffle on the fact key.
+    */
+  def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord  = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat  = Tables.load(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val reg  = Tables.load(s, dir, "region").where(col("r_name") === "ASIA").select("r_regionkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val regionalRevenueSql =
+    s"""SELECT n_name AS nation,
+      |       CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** ROLLUP grouping sets with subtotal rows (nulls folded to 'ALL' so the
+    * output is total-orderable for the hash compare).
+    */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+  }
+
+  private val rollupPricingSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Running-total window frame per customer (ROWS UNBOUNDED PRECEDING),
+    * exact decimal accumulation.
+    */
+  def runningSpend(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+      sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+  }
+
+  private val runningSpendSql =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
+  /** Exact distinct counts per group (the HLL variant is `hll_approx_distinct`). */
+  def distinctCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  private val distinctCustomersSql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** INTERSECT: customers holding both open and filled orders. */
+  def repeatBuyers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  private val repeatBuyersSql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** EXCEPT: customers with filled orders but no open orders. */
+  def lapsedBuyers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.where(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  private val lapsedBuyersSql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** HLL sketch distinct (approx_count_distinct, rsd=0.01). No SQL oracle —
+    * sketch estimates are engine-specific; the ScalaTest pins it within 5%
+    * of the exact count instead (rows-only check here).
+    */
+  def hllApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
+
+  override val all: Seq[Q] = Seq(
+    Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),
+    Q("q5_regional_revenue", regionalRevenue, Some(regionalRevenueSql)),
+    Q("rollup_pricing", rollupPricing, Some(rollupPricingSql)),
+    Q("window_running_spend", runningSpend, Some(runningSpendSql)),
+    Q("distinct_customers", distinctCustomers, Some(distinctCustomersSql)),
+    Q("setop_repeat_buyers", repeatBuyers, Some(repeatBuyersSql)),
+    Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),
+    Q("hll_approx_distinct", hllApproxDistinct, None))
+}
