@@ -14,7 +14,10 @@ object SparkEntry {
     */
   def packs: Seq[QueryPack] = Seq(
     analytics.Analytics,
-    analytics.Relational)
+    analytics.Relational,
+    llm.TextStats,
+    llm.Dedup,
+    llm.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 volatility end-to-end: read → window lag → returns → tumbling-day

@@ -1,0 +1,199 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the north-star
+  * training-data-pipeline surface (SURVEY.md §2.6). Four strategies:
+  *
+  *  - exact:        normalize → md5 → group        (hash-groupBy, one shuffle)
+  *  - n-gram Jaccard: inverted shingle index join   (exact, no all-pairs scan)
+  *  - MinHash+LSH:  signature → bands → bucket join (approximate, sub-quadratic)
+  *  - SimHash:      64-bit sketch → chunk buckets   (approximate, sub-quadratic)
+  *
+  * Scale notes (100 TB posture): none of these compares all document pairs.
+  * The Jaccard join is keyed by shingle (candidate pairs only materialize for
+  * docs sharing a shingle); MinHash compares only within LSH band buckets
+  * (b=8 bands × r=4 rows: P[candidate] = 1-(1-J^4)^8, ≈1 for J≥0.8); SimHash
+  * compares only docs agreeing on one of four 16-bit chunks (covers all
+  * Hamming-distance≤3 pairs by pigeonhole). Shingle/band/chunk keys are what a
+  * production table would be bucketed by, so each op is a single shuffle.
+  */
+object Dedup extends QueryPack {
+
+  /** canonical text normalization for exact dedup */
+  private val normText: Column =
+    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** distinct word-trigram shingles per document (empty when < 3 tokens) */
+  private val shinglesCol: Column = expr(
+    """array_distinct(
+      |  CASE WHEN size(filter(split(trim(text), '\\s+'), x -> x <> '')) >= 3
+      |  THEN transform(
+      |    sequence(0, size(filter(split(trim(text), '\\s+'), x -> x <> '')) - 3),
+      |    i -> concat_ws(' ', slice(filter(split(trim(text), '\\s+'), x -> x <> ''), i + 1, 3)))
+      |  ELSE array() END)""".stripMargin)
+
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(t) >= 3
+      |  THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |  ELSE [] END)""".stripMargin
+
+  private val toksSql = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** Exact duplicate accounting per source: docs vs distinct normalized
+    * content hashes. The 100 TB form is the same plan — md5 in codegen, one
+    * hash aggregate keyed by (source, hash).
+    */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("source"), md5(normText.cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
+  }
+
+  private val exactSql =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique,
+      |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dupes
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (J ≥ 0.5) via an inverted shingle
+    * index: explode shingles → self-join on shingle → shared counts →
+    * |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a shingle never materialize.
+    */
+  def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), shinglesCol.as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh")).where(col("n_sh") > 0)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("a")
+      .join(inv.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
+          .as("j"))
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+      |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= $threshold""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // MinHash + LSH banding
+  // ---------------------------------------------------------------------------
+
+  val NumPerms = 32
+  val Bands    = 8
+  val Rows     = 4 // NumPerms / Bands
+
+  /** doc_id → minhash signature (NumPerms mins of seeded xxhash64 over the
+    * shingle set), computed in ONE aggregation over the exploded shingles.
+    */
+  private[llm] def signatures(docs: DataFrame): DataFrame = {
+    val inv = docs.select(col("doc_id"), explode(shinglesCol).as("shingle"))
+    val mins = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash near-dup pairs: LSH band buckets → candidates → exact-Jaccard
+    * verification at J ≥ 0.8. With r=4/b=8 the miss probability at J=0.8 is
+    * (1-0.8⁴)⁸ ≈ 0.9%, and ≈1e-6 at J≥0.95 — so on near-identical dup pairs
+    * this matches the exact-Jaccard oracle; verification removes any false
+    * positives, keeping output exact-above-threshold.
+    */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = signatures(docs)
+    // band key = hash of the band's Rows signature slots
+    val banded = sigs.select(
+      col("doc_id") +:
+        (0 until Bands).map(b =>
+          xxhash64((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*).as(s"band$b")): _*)
+    val candidates = (0 until Bands).map { b =>
+        banded.as("x").join(banded.as("y"),
+            col(s"x.band$b") === col(s"y.band$b") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      }.reduce(_ union _).distinct()
+    // exact verification of candidates only (inverted-index shared counts)
+    val inv   = docs.select(col("doc_id"), explode(shinglesCol).as("shingle"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = inv.as("a")
+      .join(inv.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    candidates.join(shared, Seq("doc_a", "doc_b"))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double")).as("j"))
+      .where(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------------
+
+  /** doc_id → 64-bit simhash over the token stream (per-bit majority vote of
+    * token hashes, weighted by occurrence), plus the 4 × 16-bit chunk keys
+    * used for Hamming-≤3 candidate bucketing.
+    */
+  private[llm] def simhashSketch(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')")).as("token"))
+    val h = xxhash64(col("token"))
+    val bitVotes = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val voted = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    voted.select(
+      col("doc_id") +: (sig.as("simhash") +:
+        (0 until 4).map(c => shiftright(sig, c * 16).bitwiseAND(0xffffL).as(s"chunk$c"))): _*)
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one 16-bit chunk
+    * (pigeonhole ⇒ complete for Hamming ≤ 3), verified by exact popcount.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sk = simhashSketch(docs)
+    val candidates = (0 until 4).map { c =>
+        sk.as("x").join(sk.as("y"),
+            col(s"x.chunk$c") === col(s"y.chunk$c") && col("x.doc_id") < col("y.doc_id"))
+          .select(
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      }.reduce(_ union _).distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  override val all: Seq[Q] = Seq(
+    Q("dedup_exact", exact, Some(exactSql)),
+    Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
+    Q("dedup_minhash", minhash, Some(jaccardOracle(0.8))),
+    Q("dedup_simhash", simhash, None))
+}

@@ -1,0 +1,158 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table: token stats, heuristic language ID, quality scoring and
+  * document fingerprinting (rolling hash). The reference pipeline stores text
+  * only as opaque JSON payloads (SURVEY.md §1.3); these are the north-star
+  * extension ops (SURVEY.md §2.6).
+  *
+  * Scale notes (100 TB posture): every operator is a narrow per-row projection
+  * (tokenize/score/hash inside whole-stage codegen) followed by at most one
+  * aggregation keyed by a low-cardinality column (`lang`/`source`) — one
+  * shuffle, map-side partial aggregation, no UDFs, no driver-side state.
+  *
+  * Determinism notes: ratios are computed in double and rounded to 6 decimals;
+  * token order inside a document is preserved by `split`, so rolling hashes
+  * are bit-stable across engines.
+  */
+object TextStats extends QueryPack {
+
+  /** whitespace tokens with empties dropped — canonical tokenizer shared by
+    * every operator in this pack (and mirrored verbatim in the oracle SQL).
+    */
+  val tokensCol: Column = expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')")
+
+  private val tokensSql = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  /** tiny English-stopword list used by quality scoring + language ID */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+  private val stopwordsSqlList = stopwords.mkString("['", "', '", "']")
+
+  /** Corpus token statistics per language: doc count, token count, distinct
+    * vocabulary, mean tokens/doc.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("lang"), col("doc_id"), explode(tokensCol).as("token"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_vocab"),
+        round(count(lit(1)) / countDistinct(col("doc_id")).cast("double"), 6)
+          .as("avg_tokens_per_doc"))
+  }
+
+  private val tokenStatsSql =
+    s"""WITH t AS (
+      |  SELECT lang, doc_id, unnest($tokensSql) AS token FROM documents)
+      |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+      |       count(DISTINCT token) AS n_vocab,
+      |       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 6) AS avg_tokens_per_doc
+      |FROM t GROUP BY lang""".stripMargin
+
+  /** Per-document quality score: piecewise-linear blend of length, stopword
+    * ratio and mean token length (all exactly representable in double, so the
+    * score is engine-independent).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"), tokensCol.as("tokens"))
+      .select(
+        col("doc_id"), col("source"), col("n_chars"),
+        size(col("tokens")).as("n_tokens"),
+        expr("aggregate(tokens, 0L, (acc, x) -> acc + length(x))").as("token_chars"),
+        expr(s"size(filter(tokens, t -> array_contains(array${stopwords.mkString("('", "', '", "')")}, t)))")
+          .as("n_stop"))
+      .select(
+        col("doc_id"), col("source"),
+        col("n_tokens"),
+        round(col("token_chars") / col("n_tokens").cast("double"), 6).as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens").cast("double"), 6).as("stopword_ratio"),
+        round(
+          least(col("n_tokens") / lit(200.0), lit(1.0)) * lit(0.5) +
+            least(col("n_stop") / col("n_tokens").cast("double") * lit(10.0), lit(1.0)) * lit(0.3) +
+            when((col("token_chars") / col("n_tokens").cast("double")).between(3.0, 8.0), lit(0.2))
+              .otherwise(lit(0.0)),
+          6).as("quality"))
+  }
+
+  private val qualityScoreSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, n_chars, $tokensSql AS tokens FROM documents),
+      |m AS (
+      |  SELECT doc_id, source, len(tokens) AS n_tokens,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(tokens, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS token_chars,
+      |         len(list_filter(tokens, t -> list_contains($stopwordsSqlList, t))) AS n_stop
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |       round(token_chars / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+      |       round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+      |       round(least(n_tokens / 200.0, 1.0) * 0.5
+      |           + least(n_stop / CAST(n_tokens AS DOUBLE) * 10.0, 1.0) * 0.3
+      |           + CASE WHEN token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 8.0
+      |                  THEN 0.2 ELSE 0.0 END, 6) AS quality
+      |FROM m""".stripMargin
+
+  /** Heuristic n-gram language ID (stopword-hit ratio) scored against the
+    * labelled `lang` column → confusion counts.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs
+      .select(col("lang"), col("doc_id"), tokensCol.as("tokens"))
+      .select(
+        col("lang"),
+        (expr(s"size(filter(tokens, t -> array_contains(array${stopwords.mkString("('", "', '", "')")}, t)))") /
+          greatest(size(col("tokens")), lit(1)).cast("double")).as("en_ratio"))
+      .select(col("lang"), when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("other")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val langIdSql =
+    s"""WITH t AS (
+      |  SELECT lang, $tokensSql AS tokens FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |         len(list_filter(tokens, t -> list_contains($stopwordsSqlList, t)))
+      |           / CAST(greatest(len(tokens), 1) AS DOUBLE) AS en_ratio
+      |  FROM t)
+      |SELECT lang, CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted,
+      |       count(*) AS n_docs
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  /** Per-document fingerprint: polynomial rolling hash over the character
+    * stream (mod 1e9+7 — intermediate values stay < 2^63, so the fold is
+    * overflow-free in both engines) plus the md5 content hash. Dup detection
+    * across engines reduces to comparing these two columns.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      expr("aggregate(split(text, ''), 0L, (h, c) -> (h * 131 + ascii(c)) % 1000000007)")
+        .as("rolling_hash"),
+      md5(col("text").cast("binary")).as("md5_hash"))
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |         (h, c) -> (h * 131 + c) % 1000000007) AS rolling_hash,
+      |       md5(text) AS md5_hash
+      |FROM documents""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("text_quality", qualityScore, Some(qualityScoreSql)),
+    Q("text_lang_id", langId, Some(langIdSql)),
+    Q("doc_fingerprint", fingerprint, Some(fingerprintSql)))
+}
