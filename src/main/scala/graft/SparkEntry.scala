@@ -17,7 +17,8 @@ object SparkEntry {
     analytics.Relational,
     llm.TextStats,
     llm.Dedup,
-    llm.Similarity)
+    llm.Similarity,
+    ingest.IngestPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 volatility end-to-end: read → window lag → returns → tumbling-day

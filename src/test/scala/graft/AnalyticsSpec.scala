@@ -1,0 +1,50 @@
+package graft
+
+import graft.analytics.Analytics
+import java.sql.Timestamp
+
+/** Hand-computed micro-fixtures for the four reference analyses (SURVEY §2.5). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("A1 volatility = stddev of consecutive diffs within a day") {
+    // one user, one day, values 1, 3, 2 → diffs (2, -1) → stddev_samp ≈ 2.12132
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "click", 3.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet("/tmp/graft_test_a1/events.parquet")
+    val out = Analytics.volatility(spark, "/tmp/graft_test_a1").collect()
+    assert(out.length == 1)
+    val expected = BigDecimal(math.sqrt((math.pow(2 - 0.5, 2) + math.pow(-1 - 0.5, 2)) / 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(2) == expected) // 2.121320
+    assert(out.head.getLong(3) == 2L)
+  }
+
+  test("A4 imbalance = (clicks - views) / (clicks + views), bounded in [-1,1]") {
+    val out = Analytics.imbalance(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getDouble(5)) <= 1.0))
+    // spot-check the formula on one row
+    val r = out.head
+    val expect = BigDecimal((r.getLong(2) - r.getLong(3)).toDouble / (r.getLong(2) + r.getLong(3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expect)
+  }
+
+  test("A3 autocorrelation is in [-1,1] with enough days") {
+    val out = Analytics.predictability(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.isNullAt(1) || math.abs(r.getDouble(1)) <= 1.0))
+  }
+
+  test("A2 trade impact splits on the p90 quantity threshold") {
+    val out = Analytics.tradeImpact(spark, sfDir).collect()
+    val flags = out.map(_.getBoolean(0)).toSet
+    assert(flags == Set(true, false))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.llm.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-pipeline operators: planted-duplicate recall for the
+  * sketch-based dedup ops, exact-vs-LSH recall for ANN, tokenizer edges.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_exact counts normalized duplicates (case/whitespace folded)") {
+    // overlay semantics on a tiny frame matching the documents schema
+    val docs = Seq(
+      (1L, "Hello  World", "en", "s1", 11L),
+      (2L, "hello world", "en", "s1", 11L), // normalized dup of 1
+      (3L, "different doc", "en", "s1", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test/documents.parquet")
+    val out = Dedup.exact(spark, "/tmp/graft_test").collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 2L && out.getLong(3) == 1L)
+  }
+
+  test("dedup_minhash finds the planted near-dup pairs exact jaccard finds") {
+    val exactPairs = Dedup.jaccard(spark, sfDir)
+      .where(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.minhash(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "testdata should contain planted near-dups")
+    assert(lshPairs == exactPairs) // b=8,r=4 ⇒ full recall at J≥0.9 dups
+  }
+
+  test("dedup_simhash: identical docs collide at hamming 0; near-dups ≤ 3") {
+    val pairs = Dedup.simhash(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
+  test("ann brute-force top-k is exact and self-excluding") {
+    val out = Similarity.bruteForceTopK(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.TopK)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // scores are valid cosines
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("ann LSH top-k recall ≥ 0.9 on planted clusters") {
+    // 3 clusters of 20 near-identical vectors + 40 noise vectors
+    val dim = 64
+    def base(seed: Int) = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    def jitter(v: Array[Float], k: Int) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * math.sin(k * 7 + d).toFloat }
+    val clustered = for {c <- 0 until 3; k <- 0 until 20}
+      yield ((c * 20 + k).toLong, jitter(base(c + 1), k), c)
+    val noise = for (k <- 0 until 40)
+      yield ((60 + k).toLong, base(100 + k), 9)
+    (clustered ++ noise).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ann/embeddings.parquet")
+
+    val exact = Similarity.bruteForceTopK(spark, "/tmp/graft_test_ann")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, "/tmp/graft_test_ann")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall on clustered data")
+  }
+
+  test("tokenizer drops empties; token stats consistent with manual counts") {
+    val toks = Seq((1L, "  a  b\tc ", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(TextStats.tokensCol.as("t")).as[Seq[String]].head()
+    assert(toks == Seq("a", "b", "c"))
+  }
+
+  test("rolling-hash fingerprint matches the polynomial definition") {
+    Seq((1L, "abc", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_fp/documents.parquet")
+    val fp = TextStats.fingerprint(spark, "/tmp/graft_test_fp").collect().head
+    // ((0*131+97)*131+98)*131+99 mod 1e9+7
+    assert(fp.getLong(1) == ((97L * 131 + 98) * 131 + 99) % 1000000007)
+    assert(fp.getString(2) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("quality score stays in [0,1] over the real corpus") {
+    val q = TextStats.qualityScore(spark, sfDir).select("quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("hll approx distinct within 5% of exact") {
+    import graft.analytics.Relational
+    val approx = Relational.hllApproxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05, s"$k: ${approx(k)} vs $n")
+    }
+  }
+}
