@@ -158,9 +158,54 @@ object Analytics extends QueryPack {
       |GROUP BY 1, 2
       |HAVING sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) > 0""".stripMargin
 
+  /** Sessionization: split each user's event stream on >30-minute gaps
+    * (lag + conditional cumsum inside one per-user window — the batch twin of
+    * the stateful streaming variant in [[graft.streaming.StreamIngest]]).
+    */
+  def sessionization(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_sec"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+  }
+
+  private val sessionizationSql =
+    """WITH x AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_id,
+      |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, tsv, event_id,
+      |         CASE WHEN prev_ts IS NULL
+      |                   OR date_diff('second', prev_ts, tsv) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM x),
+      |sq AS (
+      |  SELECT user_id, tsv,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsv, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |       date_diff('second', min(tsv), max(tsv)) AS duration_sec,
+      |       strftime(min(tsv), '%Y-%m-%d %H:%M:%S') AS session_start
+      |FROM sq GROUP BY user_id, session_seq""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
     Q("a3_predictability", predictability, Some(predictabilitySql)),
-    Q("a4_imbalance", imbalance, Some(imbalanceSql)))
+    Q("a4_imbalance", imbalance, Some(imbalanceSql)),
+    Q("sessionization", sessionization, Some(sessionizationSql)))
 }

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.ingest.{Ingest, Schemas}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming variant of the consumer pipeline (SURVEY.md §3 E2): the durable
+  * queues + manual-ack consumer (`from_rabbitmq_to_clickhouse.py:179-204`)
+  * become a checkpointed file stream + idempotent fan-out — upgrading the
+  * reference's at-least-once (ack-after-insert, duplicate on redelivery,
+  * `:172-173`) to exactly-once:
+  *
+  *  - S7 queue consume  → `readStream.text` + `checkpointLocation` (the WAL
+  *    replaces acks; a crashed batch replays)
+  *  - K2 multiplexed insert → `foreachBatch` 4-way fan-out; each table is
+  *    partitioned by `ingest_batch = batchId` and written with DYNAMIC
+  *    partition overwrite, so a replayed batch overwrites its own partition
+  *    instead of appending duplicates (idempotent sink = exactly-once)
+  *  - K3 queue declaration → idempotent table-path creation is implicit in
+  *    the parquet writer
+  *
+  * At 100 TB the same plan holds: the batch partition column doubles as the
+  * compaction unit, and each micro-batch is one append-only parquet commit
+  * per table — no small-file row-at-a-time inserts (the reference's
+  * batch-size-1 anti-pattern, SURVEY.md §6).
+  */
+object StreamIngest {
+
+  /** Start the ingest stream: JSON frames under `srcDir` → four validated
+    * parquet tables under `tablesDir/<table>`. Blocking-drain via
+    * Trigger.AvailableNow (tests, replay); omit for continuous micro-batches.
+    */
+  def start(
+      spark: SparkSession,
+      srcDir: String,
+      tablesDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val raw = spark.readStream.text(srcDir)
+    val writer = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tables = Ingest.demux(batch)
+        tables.foreach { case (table, df) =>
+          df.withColumn("ingest_batch", lit(batchId))
+            .write
+            .partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(s"$tablesDir/$table")
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Watermarked tumbling-window aggregate over a streaming candle table —
+    * the streaming form of A4/A1 (1-minute buy/sell pressure). Late rows
+    * beyond the 10-minute watermark are dropped (an upgrade: the reference
+    * has no late-data story at all, SURVEY.md §1.2).
+    */
+  def windowedPressure(trades: DataFrame): DataFrame =
+    trades
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(col("company_id"), window(col("timestamp"), "1 minute"))
+      .agg(
+        sum(when(col("side") === "buy", col("volume")).otherwise(0L)).as("buy_volume"),
+        sum(when(col("side") === "sell", col("volume")).otherwise(0L)).as("sell_volume"))
+      .select(
+        col("company_id"),
+        col("window.start").as("window_start"),
+        col("buy_volume"), col("sell_volume"))
+
+  // ---------------------------------------------------------------------------
+  // Stateful sessionization (flatMapGroupsWithState)
+  // ---------------------------------------------------------------------------
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp, n_events: Int)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom per-key state: emit a session when the event-time gap exceeds 30
+    * minutes (emits closed sessions as new events arrive; the final open
+    * session flushes on state timeout).
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event]): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

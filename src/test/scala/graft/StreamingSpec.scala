@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+/** S7/K2: checkpointed file-stream ingest with exactly-once fan-out, the
+  * watermarked windowed aggregate, and stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Files.createTempDirectory("graft_stream").toString
+  private val src = s"$base/src"
+  private val tables = s"$base/tables"
+  private val ckpt = s"$base/ckpt"
+
+  private val candle =
+    """{"company_id":"FIGI%d","timestamp":"2024-03-01 10:0%d:00","open":1.0,"high":2.0,"low":0.5,"close":1.5,"volume":7}"""
+  private val trade =
+    """{"company_id":"FIGI1","timestamp":"2024-03-01 10:00:05","price":9.5,"volume":2,"side":"sell"}"""
+
+  test("file-stream ingest fans out to 4 tables exactly-once across restarts") {
+    Files.createDirectories(Paths.get(src))
+    Files.writeString(Paths.get(s"$src/batch0.json"),
+      Seq(candle.format(1, 1), candle.format(2, 2), trade, """{"junk":true}""").mkString("\n"))
+
+    StreamIngest.start(spark, src, tables, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$tables/candles").count() == 2)
+    assert(spark.read.parquet(s"$tables/trades").count() == 1)
+
+    // restart with NO new data → replayed plan must not duplicate rows
+    StreamIngest.start(spark, src, tables, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$tables/candles").count() == 2)
+
+    // restart with one new frame → exactly one appended row
+    Files.writeString(Paths.get(s"$src/batch1.json"), candle.format(3, 3))
+    StreamIngest.start(spark, src, tables, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$tables/candles").count() == 3)
+    assert(spark.read.parquet(s"$tables/trades").count() == 1)
+    // typed schema survived the wire
+    assert(spark.read.parquet(s"$tables/candles").schema("timestamp").dataType.typeName == "timestamp")
+  }
+
+  test("windowed pressure aggregate emits finalized 1-minute windows under watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("company_id", "timestamp", "volume", "side")
+    val q = StreamIngest.windowedPressure(df)
+      .writeStream.format("memory").queryName("pressure").outputMode("append").start()
+    mem.addData(
+      ("F1", Timestamp.valueOf("2024-03-01 10:00:10"), 5L, "buy"),
+      ("F1", Timestamp.valueOf("2024-03-01 10:00:40"), 3L, "sell"))
+    q.processAllAvailable()
+    // advance event time past watermark (10 min) to finalize the first window
+    mem.addData(("F1", Timestamp.valueOf("2024-03-01 10:20:00"), 1L, "buy"))
+    q.processAllAvailable()
+    val rows = spark.table("pressure").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "F1" && r.getLong(2) == 5L && r.getLong(3) == 3L)
+  }
+
+  test("stateful sessionization closes sessions on >30min event-time gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Event]
+    val q = StreamIngest.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    mem.addData(
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 10:00:00"), "click"),
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 10:10:00"), "view"),
+      // 40-minute gap → closes session 1 (2 events, 600s)
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 10:50:00"), "click"))
+    q.processAllAvailable()
+    mem.addData(StreamIngest.Event(9L, Timestamp.valueOf("2024-03-01 14:00:00"), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[StreamIngest.Session].collect()
+    q.stop()
+    assert(rows.exists(s => s.user_id == 7L && s.n_events == 2 &&
+      (s.end_ts.getTime - s.start_ts.getTime) == 600000L))
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "view", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 01:00:00"), 7L, "click", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:00"), 8L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet("/tmp/graft_test_sess/events.parquet")
+    val out = analytics.Analytics.sessionization(spark, "/tmp/graft_test_sess")
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 600L) // user 7 session 1
+    assert(out(1).getLong(2) == 1L)                              // user 7 session 2
+    assert(out(2).getLong(2) == 1L)                              // user 8
+  }
+}
