@@ -18,7 +18,8 @@ object SparkEntry {
     llm.TextStats,
     llm.Dedup,
     llm.Similarity,
-    ingest.IngestPack)
+    ingest.IngestPack,
+    multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 volatility end-to-end: read → window lag → returns → tumbling-day

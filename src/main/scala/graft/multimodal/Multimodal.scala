@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct, and per-record decode /
+  * feature-extraction runs as partition-local batch functions
+  * (`mapPartitions` over a typed Dataset — the Scala twin of `mapInPandas`:
+  * same batch shape, same schema contract, same partitioning discipline).
+  *
+  * The actual codec step is a STUB — no image/audio libraries exist in this
+  * environment — implemented as a deterministic fake ([[StubCodec]]) so the
+  * Spark-side contract (schema, batching, partition parallelism, feature
+  * shapes) is real and testable end-to-end. Swapping in a real decoder means
+  * replacing ONLY [[StubCodec.decode]].
+  *
+  * Scale notes (100 TB posture): blobs never pass through a shuffle — decode
+  * is a narrow per-partition map directly over the scan; only the small
+  * (id, features) projection continues into joins/aggregations. Partition
+  * sizing is governed by `spark.sql.files.maxPartitionBytes`, which is the
+  * right knob when rows are MB-scale blobs.
+  */
+object Multimodal extends QueryPack {
+
+  case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      mean_byte: Double, frames_sampled: Int, embedding: Array[Float])
+
+  /** Deterministic stand-in for the binary codecs (STUB — see scaladoc). */
+  object StubCodec {
+    val EmbeddingDim = 8
+    val FrameStride  = 64 // "sample one frame per 64 bytes" for video blobs
+
+    /** ??? in spirit: a real implementation would decode the payload; this
+      * derives deterministic pseudo-features so the pipeline is testable.
+      */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.content
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+      val frames = if (r.kind == "video") math.max(1, bytes.length / FrameStride) else 0
+      val emb = Array.tabulate(EmbeddingDim) { d =>
+        if (bytes.isEmpty) 0f
+        else (bytes(d % bytes.length) & 0xff) / 255.0f
+      }
+      MediaFeatures(r.media_id, r.kind, bytes.length, mean, frames, emb)
+    }
+  }
+
+  /** Attach the binary payload + typed metadata to the documents table (the
+    * text bytes stand in for a real media blob; kind assigned round-robin).
+    */
+  def attachBinary(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      struct(
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        ascii(col("text")).as("header_byte")).as("meta"))
+
+  /** Oracle-verifiable slice of the binary plumbing (metadata only). */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    attachBinary(s, dir).select(
+      col("media_id"), col("kind"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.content_md5").as("content_md5"),
+      col("meta.header_byte").as("header_byte"))
+
+  private val binaryMetaSql =
+    """SELECT doc_id AS media_id,
+      |       ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       ascii(substr(text, 1, 1)) AS header_byte
+      |FROM documents""".stripMargin
+
+  /** Partition-local batch decode (mapInPandas-shaped): Dataset[MediaRecord]
+    * → Dataset[MediaFeatures], one codec invocation per record, batched per
+    * partition, no shuffle.
+    */
+  def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Feature-extraction query: binary attach → partition-local decode →
+    * per-kind aggregate. Decode output is engine-specific (stub codec) → no
+    * SQL oracle; the ScalaTest pins the codec contract instead.
+    */
+  def decodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = attachBinary(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
+    decodeFeatures(recs)
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("frames_sampled").cast("long")).as("total_frames"),
+        round(avg(round(col("mean_byte"), 6)), 6).as("avg_mean_byte"))
+  }
+
+  override val all: Seq[Q] = Seq(
+    Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
+    Q("mm_decode_stats", decodeStats, None))
+}
