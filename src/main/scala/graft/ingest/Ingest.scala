@@ -47,10 +47,24 @@ object Ingest {
   private def allRequired(table: String): Column =
     Schemas.required(table).map(col(_).isNotNull).reduce(_ && _)
 
+  /** Catalyst's per-field JSON pruning (enableJsonExpressionOptimization)
+    * rewrites every `m.field` reference into its OWN pruned from_json parse;
+    * inside the required-fields AND-chain those are conditionally evaluated,
+    * so subexpression elimination can't merge them → ~7 full JSON parses per
+    * frame (measured 3.8s → 25s at sf0.1). With the rule off, all references
+    * share one full-schema parse via codegen CSE. Set lazily on the session
+    * that owns the frames (same pattern as Tables.load's nanosAsLong).
+    */
+  private def disableJsonPruning(df: DataFrame): DataFrame = {
+    df.sparkSession.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+    df
+  }
+
   /** P8+F2+F3 for one table: parse frames against the table's wire schema,
     * drop rows missing required fields, convert + validate the timestamp.
     */
-  def parseTable(raw: DataFrame, table: String): DataFrame = {
+  def parseTable(raw0: DataFrame, table: String): DataFrame = {
+    val raw = disableJsonPruning(raw0)
     val parsed = raw
       .select(from_json(col("value"), Schemas.msgSchema(table)).as("m"))
       .select(col("m.*"))
@@ -81,7 +95,8 @@ object Ingest {
     * formulation — re-running [[demux]] per table and unioning — rescans the
     * stream 5×; at 100 TB that is 5 queue replays.)
     */
-  def dropStats(raw: DataFrame): DataFrame = {
+  def dropStats(raw0: DataFrame): DataFrame = {
+    val raw = disableJsonPruning(raw0)
     val keep = Schemas.msgSchema.foldLeft(when(lit(false), lit(false))) {
       case (acc, (t, schema)) =>
         val parsed = from_json(col("value"), schema)

@@ -26,14 +26,36 @@ object Dedup extends QueryPack {
   private val normText: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-  /** distinct word-trigram shingles per document (empty when < 3 tokens) */
-  private val shinglesCol: Column = expr(
-    """array_distinct(
-      |  CASE WHEN size(filter(split(trim(text), '\\s+'), x -> x <> '')) >= 3
-      |  THEN transform(
-      |    sequence(0, size(filter(split(trim(text), '\\s+'), x -> x <> '')) - 3),
-      |    i -> concat_ws(' ', slice(filter(split(trim(text), '\\s+'), x -> x <> ''), i + 1, 3)))
-      |  ELSE array() END)""".stripMargin)
+  /** Single-pass trigram shingling as a Scala UDF (first-occurrence order,
+    * distinct), matching the DuckDB oracle's list-comprehension formulation.
+    *
+    * A UDF, not `transform`/`filter` lambdas, on purpose: higher-order array
+    * functions are CodegenFallback (interpreted), and InferFiltersFromGenerate
+    * pushes a `size(sh) > 0` guard below the projection, re-inlining the whole
+    * expression with the token array substituted into every index access —
+    * O(tokens²) per doc, evaluated on BOTH sides of the inverted-index
+    * self-join (measured: 20 s for the sf0.1 explode alone vs <1 s as a UDF).
+    * The UDF body is one pass over the split tokens.
+    */
+  private val shingleUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Array.empty[String]
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i <= toks.length - 3) {
+          seen += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          i += 1
+        }
+        seen.toArray
+      }
+    }
+  }
+
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
 
   private val shinglesSql =
     """list_distinct(CASE WHEN len(t) >= 3
@@ -67,11 +89,14 @@ object Dedup extends QueryPack {
     * |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a shingle never materialize.
     */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), shinglesCol.as("sh"))
+    val docs = withShingles(Tables.load(s, dir, "documents"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh")).where(col("n_sh") > 0)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    // shuffle-hash (not broadcast) → both sides hash-partition on shingle
+    // with identical subplans → ReusedExchange computes the index ONCE
+    val pairs = inv.as("a").hint("shuffle_hash")
+      .join(inv.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
@@ -110,7 +135,7 @@ object Dedup extends QueryPack {
     * shingle set), computed in ONE aggregation over the exploded shingles.
     */
   private[llm] def signatures(docs: DataFrame): DataFrame = {
-    val inv = docs.select(col("doc_id"), explode(shinglesCol).as("shingle"))
+    val inv = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
     val mins = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -124,21 +149,24 @@ object Dedup extends QueryPack {
   def minhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val sigs = signatures(docs)
-    // band key = hash of the band's Rows signature slots
-    val banded = sigs.select(
-      col("doc_id") +:
-        (0 until Bands).map(b =>
-          xxhash64((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*).as(s"band$b")): _*)
-    val candidates = (0 until Bands).map { b =>
-        banded.as("x").join(banded.as("y"),
-            col(s"x.band$b") === col(s"y.band$b") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      }.reduce(_ union _).distinct()
+    // bands as ONE exploded (band_idx, band_hash) relation → a single
+    // self-join; per-band joins would recompute the signature aggregation
+    // once per band per side
+    val bandArr = array((0 until Bands).map(b =>
+      xxhash64((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*)): _*)
+    val banded = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val candidates = banded.as("x").hint("shuffle_hash")
+      .join(banded.as("y").hint("shuffle_hash"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     // exact verification of candidates only (inverted-index shared counts)
-    val inv   = docs.select(col("doc_id"), explode(shinglesCol).as("shingle"))
+    val inv   = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = inv.as("a")
-      .join(inv.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val shared = inv.as("a").hint("shuffle_hash")
+      .join(inv.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     candidates.join(shared, Seq("doc_a", "doc_b"))
@@ -178,13 +206,17 @@ object Dedup extends QueryPack {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val sk = simhashSketch(docs)
-    val candidates = (0 until 4).map { c =>
-        sk.as("x").join(sk.as("y"),
-            col(s"x.chunk$c") === col(s"y.chunk$c") && col("x.doc_id") < col("y.doc_id"))
-          .select(
-            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      }.reduce(_ union _).distinct()
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c => col(s"chunk$c")): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+    val candidates = sk.as("x").hint("shuffle_hash")
+      .join(sk.as("y").hint("shuffle_hash"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
     candidates
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= 3)
