@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Catalyst codegen emits one Janino class per plan fragment; a full bench
+  // run over every query overflows the default 240m JIT code cache, after
+  // which HotSpot stops compiling and later queries run interpreted
+  // (observed: 3s queries ballooning to 50s late in the run).
+  "-XX:ReservedCodeCacheSize=1g",
 )

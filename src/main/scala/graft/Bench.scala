@@ -32,6 +32,11 @@ object Bench {
         case c            => c.toString
       } + "\""
 
+    // untimed warmup: JVM/codegen/broadcast machinery + parquet footers, so
+    // the alphabetically-first query doesn't absorb session startup cost
+    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -62,7 +62,7 @@ object IngestPack extends QueryPack {
     Normalize.serialize(Tables.load(s, dir, "region").select(
       col("r_regionkey").as("blob"), col("r_name").as("label")))
 
-  private def allMessages(s: SparkSession, dir: String): DataFrame =
+  private[graft] def allMessages(s: SparkSession, dir: String): DataFrame =
     Seq(candleMessages(s, dir), tradeMessages(s, dir), bookMessages(s, dir),
       companyMessages(s, dir), unknownMessages(s, dir)).reduce(_ union _)
 

@@ -57,6 +57,12 @@ object Dedup extends QueryPack {
   private[graft] def withShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
 
+  /** whitespace tokens, duplicates kept (simhash weights by occurrence) */
+  private val tokensUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+  }
+
   private val shinglesSql =
     """list_distinct(CASE WHEN len(t) >= 3
       |  THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
@@ -187,8 +193,7 @@ object Dedup extends QueryPack {
     * used for Hamming-≤3 candidate bucketing.
     */
   private[llm] def simhashSketch(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')")).as("token"))
+    val toks = docs.select(col("doc_id"), explode(tokensUdf(col("text"))).as("token"))
     val h = xxhash64(col("token"))
     val bitVotes = (0 until 64).map(i =>
       sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))

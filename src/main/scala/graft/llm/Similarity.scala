@@ -126,6 +126,119 @@ object Similarity extends QueryPack {
       .where(col("rank") <= TopK)
   }
 
+  // ---------------------------------------------------------------------------
+  // Embedding-cosine near-dup (semantic dedup)
+  // ---------------------------------------------------------------------------
+
+  /** cosine threshold above which two vectors count as semantic duplicates */
+  val DupThreshold = 0.95
+
+  /** Embedding-cosine near-duplicate accounting, LSH-bucketed: candidate
+    * pairs are vectors sharing ≥1 (table, bucket) key — never all pairs —
+    * then exact-cosine verified against [[DupThreshold]]. Output is one row
+    * per label (candidate/dup counts + the max candidate cosine), so the
+    * result is non-empty even on corpora with no duplicates.
+    *
+    * 100 TB shape: bucket keys are computed in one scan; the self-join is a
+    * single shuffle on (table, bucket); verified pairs re-fetch vectors by
+    * id (two hash joins) instead of carrying 64-float payloads through the
+    * exploded bucket relation.
+    */
+  def embCosDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val buckets = emb.select(
+      col("vec_id"),
+      posexplode(array((0 until Tables_).map(t => bucketKey(col("embedding"), t)): _*))
+        .as(Seq("t", "b")))
+    val cand = buckets.as("x").hint("shuffle_hash")
+      .join(buckets.as("y").hint("shuffle_hash"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("label"), cosine(col("va"), col("vb")).as("cos"))
+    val perLabel = scored.groupBy("label").agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("cos") >= DupThreshold, 1L).otherwise(0L)).as("n_dups"),
+      round(max(col("cos")), 6).as("max_cos"))
+    emb.groupBy("label").agg(count(lit(1)).as("n_vectors"))
+      .join(perLabel, Seq("label"), "left")
+      .select(
+        col("label"), col("n_vectors"),
+        coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("max_cos"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // ---------------------------------------------------------------------------
+
+  val NumCells = 16 // coarse-quantizer cells
+  val NProbe   = 4  // cells probed per query
+
+  /** IVF cell centroids: deterministic pseudo-random seed vectors (the
+    * NumCells smallest xxhash64(vec_id)) refined by one Lloyd step. Means
+    * accumulate in DECIMAL fixed-point so centroids are independent of
+    * aggregation order (floats would make the cell assignment — and thus the
+    * candidate sets — vary run to run).
+    */
+  private[llm] def centroids(emb: DataFrame): DataFrame = {
+    val seeds = emb
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(NumCells)
+      .select(row_number().over(Window.orderBy("h")).as("cell"), col("embedding").as("cvec"))
+    val assigned = assignCells(emb, seeds)
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast("decimal(28,9)")) / count(lit(1))).cast("double").as("mean"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.mean)").as("cvec"))
+  }
+
+  /** nearest-centroid assignment (broadcast NumCells rows into the scan) */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        struct(cosine(col("embedding"), col("cvec")).as("cos"), (-col("cell")).as("negc")).as("sc"),
+        col("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), col("sc")).as("cell"), first(col("embedding")).as("embedding"))
+
+  /** ANN top-k via IVF: corpus vectors live in their nearest-centroid cell;
+    * each query probes its NProbe nearest cells and exact-cosine re-ranks
+    * only those cells' members. Approximate (recall < 1 by design) → no SQL
+    * oracle; the ScalaTest pins recall against brute force on planted
+    * clusters.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb   = Tables.load(s, dir, "embeddings")
+    val cents = centroids(emb)
+    val corpus = assignCells(emb, cents)
+    val queries = emb.orderBy("vec_id").limit(NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("cvec")).as("qcos"))
+      .withColumn("r", row_number().over(probeW))
+      .where(col("r") <= NProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+  }
+
   /** Per-label centroid statistics — element-wise mean over 6-dp fixed-point
     * values (decimal accumulation ⇒ row-order-independent exact sums).
     */
@@ -154,5 +267,7 @@ object Similarity extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("ann_lsh_topk", lshTopK, None),
+    Q("ann_ivf_topk", ivfTopK, None),
+    Q("dedup_embcos", embCosDedup, None),
     Q("emb_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -67,6 +67,48 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall on clustered data")
   }
 
+  test("ann IVF top-k recall ≥ 0.9 on planted clusters") {
+    // reuses the clustered fixture shape from the LSH test
+    val dim = 64
+    def base(seed: Int) = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    def jitter(v: Array[Float], k: Int) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * math.sin(k * 7 + d).toFloat }
+    val clustered = for {c <- 0 until 3; k <- 0 until 20}
+      yield ((c * 20 + k).toLong, jitter(base(c + 1), k), c)
+    val noise = for (k <- 0 until 40)
+      yield ((60 + k).toLong, base(100 + k), 9)
+    (clustered ++ noise).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ivf/embeddings.parquet")
+
+    val exact = Similarity.bruteForceTopK(spark, "/tmp/graft_test_ivf")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, "/tmp/graft_test_ivf")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall on clustered data")
+  }
+
+  test("embedding-cosine dedup finds planted near-identical vectors") {
+    val dim = 64
+    def base(seed: Int) = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    def tweak(v: Array[Float], k: Int) = // cos ≥ 0.999 vs base
+      v.zipWithIndex.map { case (x, d) => x + 0.001f * math.sin(k * 7 + d).toFloat }
+    // label 0: 5 near-identical copies (C(5,2)=10 dup pairs); labels 1-3: singles
+    val dups    = (0 until 5).map(k => (k.toLong, tweak(base(1), k), 0))
+    val singles = (0 until 3).map(k => ((10 + k).toLong, base(50 + k), 1 + k))
+    (dups ++ singles).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_embcos/embeddings.parquet")
+
+    val out = Similarity.embCosDedup(spark, "/tmp/graft_test_embcos")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 4) // one row per label, even dup-free ones
+    assert(out(0).getLong(3) == 10L, s"expected 10 dup pairs, got ${out(0).getLong(3)}")
+    assert((1 to 3).forall(l => out(l).getLong(3) == 0L))
+    // sanity: the real corpus has no dups above threshold but must still emit rows
+    val real = Similarity.embCosDedup(spark, sfDir).collect()
+    assert(real.nonEmpty && real.forall(_.getLong(3) == 0L))
+  }
+
   test("tokenizer drops empties; token stats consistent with manual counts") {
     val toks = Seq((1L, "  a  b\tc ", "en", "s", 9L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
