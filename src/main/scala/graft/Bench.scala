@@ -16,6 +16,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bench parquet files are a few MB: default 128m splits would serialize
+      // every scan onto 1-2 cores. 1m splits ≈ one split per core at sf0.1 —
+      // the local-mode analogue of sizing splits to the cluster (the conf a
+      // real deployment tunes per table size).
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

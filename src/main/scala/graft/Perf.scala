@@ -1,15 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only micro-profiler for hot queries (not part of the driver contract). */
+/** Dev-only micro-profiler (not part of the driver contract): times the named
+  * registered queries (all of them with no args) at SPARK_GRAFT_SF_DIR, twice
+  * each (cold + warm), and prints the physical plan when PERF_EXPLAIN=1.
+  */
 object Perf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -21,25 +25,15 @@ object Perf {
       println(f"[perf] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    // session warmup: parquet footer + codegen paths
-    time("warmup count")(Tables.load(spark, sfDir, "documents").count())
+    time("warmup")(Tables.load(spark, sfDir, "documents").count())
 
-    val docs = Tables.load(spark, sfDir, "documents")
-    val sh = llm.Dedup.withShingles(docs)
-    time("withShingles")(sh.write.mode("overwrite").format("noop").save())
-    time("withShingles x2")(sh.write.mode("overwrite").format("noop").save())
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    time("inv explode")(inv.write.mode("overwrite").format("noop").save())
-    val pairs = inv.as("a").hint("shuffle_hash")
-      .join(inv.as("b").hint("shuffle_hash"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    time("pair join+agg")(pairs.write.mode("overwrite").format("noop").save())
-    time("full jaccard")(llm.Dedup.jaccard(spark, sfDir).write.mode("overwrite").format("noop").save())
-    time("full minhash")(llm.Dedup.minhash(spark, sfDir).write.mode("overwrite").format("noop").save())
-    time("full simhash")(llm.Dedup.simhash(spark, sfDir).write.mode("overwrite").format("noop").save())
-    llm.Dedup.jaccard(spark, sfDir).explain("formatted")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n"))
+      time(s"$n cold")(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      time(s"$n warm")(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      if (sys.env.get("PERF_EXPLAIN").contains("1")) fn(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }

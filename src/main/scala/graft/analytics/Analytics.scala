@@ -28,10 +28,41 @@ import org.apache.spark.sql.functions._
   */
 object Analytics extends QueryPack {
 
-  /** A1 — per-entity daily return volatility (lag + stddev over tumbling day). */
+  /** `quantile_cont(q)` from a value-sorted (value, count) histogram: with N
+    * total values (1-indexed ranks), interpolates between the values at ranks
+    * `floor(h)+1` and `floor(h)+2` where `h = q*(N-1)` — the exact semantics
+    * of DuckDB's `quantile_cont` and Spark's `percentile`, but from bounded
+    * per-value state instead of an all-rows aggregation buffer.
+    */
+  private val quantileFromHist =
+    udf { (hist: Seq[org.apache.spark.sql.Row], q: Double) =>
+      val n = hist.iterator.map(_.getLong(1)).sum
+      val h = q * (n - 1)
+      val k = math.floor(h).toLong
+      var cum = 0L
+      var vLo = Double.NaN; var vHi = Double.NaN
+      val it = hist.iterator
+      while (it.hasNext && (vLo.isNaN || vHi.isNaN)) {
+        val r = it.next()
+        cum += r.getLong(1)
+        if (vLo.isNaN && cum > k) vLo = r.getDouble(0)
+        if (vHi.isNaN && cum > k + 1) vHi = r.getDouble(0)
+      }
+      if (vHi.isNaN) vHi = vLo
+      vLo + (h - k) * (vHi - vLo)
+    }
+
+  /** A1 — per-entity daily return volatility (lag + stddev over tumbling day),
+    * labeled with the entity dimension (SURVEY §2.5: every analysis broadcast-
+    * joins the companies dim for name/sector). The join runs AFTER the
+    * aggregation — the broadcast hash join touches only the reduced
+    * (entity, day) relation, never the raw event stream.
+    */
   def volatility(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    val w  = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev  = Tables.load(s, dir, "events")
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name").as("name"), col("c_mktsegment").as("sector"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("ret", col("value") - lag("value", 1).over(w))
       .where(col("ret").isNotNull)
@@ -40,6 +71,9 @@ object Analytics extends QueryPack {
         round(stddev_samp(col("ret")), 6).as("volatility"),
         count(col("ret")).as("n_returns"))
       .where(col("n_returns") >= 2)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("name"), col("sector"), col("day"),
+        col("volatility"), col("n_returns"))
   }
 
   private val volatilitySql =
@@ -47,63 +81,111 @@ object Analytics extends QueryPack {
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_id, value,
       |         value - lag(value) OVER (PARTITION BY user_id
       |                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ret
-      |  FROM events)
-      |SELECT user_id, strftime(tsv, '%Y-%m-%d') AS day,
-      |       round(stddev_samp(ret), 6) AS volatility,
-      |       count(ret) AS n_returns
-      |FROM r WHERE ret IS NOT NULL
-      |GROUP BY user_id, strftime(tsv, '%Y-%m-%d')
-      |HAVING count(ret) >= 2""".stripMargin
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, strftime(tsv, '%Y-%m-%d') AS day,
+      |         round(stddev_samp(ret), 6) AS volatility,
+      |         count(ret) AS n_returns
+      |  FROM r WHERE ret IS NOT NULL
+      |  GROUP BY user_id, strftime(tsv, '%Y-%m-%d')
+      |  HAVING count(ret) >= 2)
+      |SELECT user_id, c_name AS name, c_mktsegment AS sector, day,
+      |       volatility, n_returns
+      |FROM v JOIN customer ON user_id = c_custkey""".stripMargin
 
-  /** A2 — price move following large trades (p90-quantile flag + lead).
-    * The quantile threshold stays distributed: a 1-row aggregate broadcast
-    * into the fact scan, never `.collect()`ed (the reference's own collect
-    * at `from_parser_to_rabbitmq.py:140` is the anti-pattern we avoid).
+  /** A2 — price move following large trades (p90-quantile flag + lead), per
+    * instrument, labeled with the part dimension (broadcast, post-agg).
+    *
+    * The p90 threshold is an exact DISTRIBUTED quantile: a value-histogram
+    * (map-side-combined `groupBy(value).count`) + a cumulative-count window
+    * over the distinct values only + `quantile_cont`-style linear
+    * interpolation. Unlike `percentile(...)` — a TypedImperativeAggregate
+    * that buffers every row of the table in ONE aggregation buffer (executor
+    * OOM at 100 TB) — this plan's state is bounded by value cardinality, and
+    * the window sorts distinct values, not rows. For a genuinely continuous
+    * high-cardinality column, swap the histogram for `percentile_approx`;
+    * for quantity-like columns the histogram is exact AND cheaper. The 1-row
+    * threshold is broadcast into the fact scan, never `.collect()`ed (the
+    * reference's own collect at `from_parser_to_rabbitmq.py:140` is the
+    * anti-pattern we avoid).
+    *
+    * Impact deltas are summed in DECIMAL so the per-group mean is independent
+    * of partition order (double addition is not associative).
     */
   def tradeImpact(s: SparkSession, dir: String): DataFrame = {
     val li  = Tables.load(s, dir, "lineitem")
-    val thr = li.agg(expr("percentile(l_quantity, 0.9D)").as("thr"))
-    val w   = Window.partitionBy("l_partkey")
+    val dim = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name").as("name"), col("p_brand").as("ticker"))
+    // exact p90 via value histogram: one map-side-combined groupBy(value),
+    // then the tiny (value, count) list collapses into a single row where
+    // [[quantileFromHist]] interpolates quantile_cont-style. State is bounded
+    // by value cardinality; no window, no single-row-partition sort.
+    val hist = li.groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("cnt"))
+    val thr = hist
+      .agg(array_sort(collect_list(struct(col("v"), col("cnt")))).as("h"))
+      .select(quantileFromHist(col("h"), lit(0.9)).as("thr"))
+    val w = Window.partitionBy("l_partkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     li.withColumn("next_price", lead("l_extendedprice", 1).over(w))
       .where(col("next_price").isNotNull)
       .crossJoin(broadcast(thr))
       .withColumn("is_large", col("l_quantity") > col("thr"))
-      .groupBy("is_large")
+      .groupBy("l_partkey", "is_large")
       .agg(
-        round(avg(col("next_price") - col("l_extendedprice")), 6).as("avg_impact"),
+        // no round(): the decimal sum and integer count are bit-deterministic
+        // on both engines, so the IEEE quotient is too — rounding would only
+        // reintroduce half-up tie divergence at 6-dp boundaries
+        (sum((col("next_price") - col("l_extendedprice")).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("avg_impact"),
         count(lit(1)).as("n_trades"))
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("name"), col("ticker"), col("is_large"),
+        col("avg_impact"), col("n_trades"))
   }
 
   private val tradeImpactSql =
     """WITH thr AS (SELECT quantile_cont(l_quantity, 0.9) AS thr FROM lineitem),
       |x AS (
-      |  SELECT l_quantity, l_extendedprice,
+      |  SELECT l_partkey, l_quantity, l_extendedprice,
       |         lead(l_extendedprice) OVER (PARTITION BY l_partkey
       |             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_price
-      |  FROM lineitem)
-      |SELECT l_quantity > thr AS is_large,
-      |       round(avg(next_price - l_extendedprice), 6) AS avg_impact,
-      |       count(*) AS n_trades
-      |FROM x, thr WHERE next_price IS NOT NULL
-      |GROUP BY 1""".stripMargin
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_partkey, l_quantity > thr AS is_large,
+      |         CAST(sum(CAST(next_price - l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |               / count(*) AS avg_impact,
+      |         count(*) AS n_trades
+      |  FROM x, thr WHERE next_price IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT l_partkey, p_name AS name, p_brand AS ticker, is_large,
+      |       avg_impact, n_trades
+      |FROM g JOIN part ON l_partkey = p_partkey""".stripMargin
 
   /** A3 — close-price predictability: lag-1 autocorrelation of the daily
-    * mean price series per order priority class.
+    * mean price series per (order priority × customer nation), labeled with
+    * the nation dimension name (broadcast snowflake: orders → customer →
+    * nation, both dims broadcast — the fact table never shuffles for the
+    * joins, only for the daily aggregation).
     */
   def predictability(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
+    val o    = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nat  = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
     val daily = o
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(
         col("o_orderpriority").as("priority"),
+        col("nation"),
         to_date(col("o_orderdate")).as("day"))
       .agg((sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
         count(lit(1))).as("close"))
-    val w = Window.partitionBy("priority").orderBy("day")
+    val w = Window.partitionBy("priority", "nation").orderBy("day")
     daily
       .withColumn("prev_close", lag("close", 1).over(w))
       .where(col("prev_close").isNotNull)
-      .groupBy("priority")
+      .groupBy("priority", "nation")
       .agg(
         round(corr(col("close"), col("prev_close")), 6).as("autocorr"),
         count(lit(1)).as("n_days"))
@@ -111,24 +193,30 @@ object Analytics extends QueryPack {
 
   private val predictabilitySql =
     """WITH d AS (
-      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |  SELECT o_orderpriority AS priority, n_name AS nation,
+      |         CAST(o_orderdate AS DATE) AS day,
       |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS close
-      |  FROM orders GROUP BY 1, 2),
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3),
       |l AS (
-      |  SELECT priority, close,
-      |         lag(close) OVER (PARTITION BY priority ORDER BY day) AS prev_close
+      |  SELECT priority, nation, close,
+      |         lag(close) OVER (PARTITION BY priority, nation ORDER BY day) AS prev_close
       |  FROM d)
-      |SELECT priority, round(corr(close, prev_close), 6) AS autocorr,
+      |SELECT priority, nation, round(corr(close, prev_close), 6) AS autocorr,
       |       count(*) AS n_days
       |FROM l WHERE prev_close IS NOT NULL
-      |GROUP BY priority""".stripMargin
+      |GROUP BY priority, nation""".stripMargin
 
   /** A4 — buy/sell pressure imbalance per entity per day:
     * (buys - sells) / (buys + sells), the order-book imbalance formula over
     * the event stream ('click' as bid-side, 'view' as ask-side interest).
     */
   def imbalance(s: SparkSession, dir: String): DataFrame = {
-    val ev    = Tables.load(s, dir, "events")
+    val ev  = Tables.load(s, dir, "events")
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name").as("name"), col("c_mktsegment").as("sector"))
     val buys  = sum(when(col("event_type") === "click", 1).otherwise(0))
     val sells = sum(when(col("event_type") === "view", 1).otherwise(0))
     ev.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -137,15 +225,17 @@ object Analytics extends QueryPack {
         sells.as("n_sells"),
         count(lit(1)).as("n_events"))
       .where(col("n_buys") + col("n_sells") > 0)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(
-        col("user_id"), col("day"), col("n_buys"), col("n_sells"),
-        col("n_events"),
+        col("user_id"), col("name"), col("sector"), col("day"),
+        col("n_buys"), col("n_sells"), col("n_events"),
         round((col("n_buys") - col("n_sells")) /
           (col("n_buys") + col("n_sells")).cast("double"), 6).as("imbalance"))
   }
 
   private val imbalanceSql =
-    """SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+    """WITH g AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
       |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
       |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells,
       |       count(*) AS n_events,
@@ -154,9 +244,12 @@ object Analytics extends QueryPack {
       |           / CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
       |                + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE),
       |             6) AS imbalance
-      |FROM events
-      |GROUP BY 1, 2
-      |HAVING sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) > 0""".stripMargin
+      |  FROM events
+      |  GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) > 0)
+      |SELECT user_id, c_name AS name, c_mktsegment AS sector, day,
+      |       n_buys, n_sells, n_events, imbalance
+      |FROM g JOIN customer ON user_id = c_custkey""".stripMargin
 
   /** Sessionization: split each user's event stream on >30-minute gaps
     * (lag + conditional cumsum inside one per-user window — the batch twin of
@@ -194,8 +287,8 @@ object Analytics extends QueryPack {
       |  FROM x),
       |sq AS (
       |  SELECT user_id, tsv,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsv, event_id
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsv, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM m)
       |SELECT user_id, session_seq, count(*) AS n_events,
       |       date_diff('second', min(tsv), max(tsv)) AS duration_sec,

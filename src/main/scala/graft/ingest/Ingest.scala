@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 /** Consumer-side pipeline (E2, SURVEY.md §2.3): raw JSON wire frames → four
   * validated, typed tables, with the reference's drop-on-invalid semantics
   * (`from_rabbitmq_to_clickhouse.py:142-177`) expressed as declarative
-  * filters so Catalyst fuses classify+parse+validate into one codegen stage:
+  * filters:
   *
   *  - F1 type classification by field-sniffing (`:148-159`) — a message with
   *    an `open` field is a candle, `side` → trade, `bid_price` → order_book,
@@ -17,24 +17,40 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *  - F3 timestamp validity (`:164-170`) — unparseable timestamps drop
   *  - P8 JSON deserialize with null-on-failure (`:145,174-175`)
   *
+  * PARSE-ONCE DISCIPLINE: every `from_json` sits inside
+  * [[parsedOnce]]'s `explode(array(...))` Generate. The generator output is a
+  * real attribute, so downstream field references and filters cannot be
+  * alias-substituted back into per-field `from_json` copies — the historical
+  * failure mode here: Catalyst's JSON pruning rewrote every field reference
+  * into its own pruned parse (~7 full parses/frame, measured 3.8 s → 25 s at
+  * sf0.1), and the earlier workarounds (session-wide
+  * `enableJsonExpressionOptimization=false` + a typed-Row filter barrier)
+  * mutated global conf and deserialized every row. The Generate barrier needs
+  * neither: one parse per frame, plain Column filters, no conf side effects.
+  *
   * Late/duplicate handling is intentionally NOT added here: the reference is
   * at-least-once and keeps duplicates (`:172-173`); dedup is opt-in via
   * [[graft.llm.Dedup]]-style operators downstream.
   */
 object Ingest {
 
-  /** F1: sniff the routing field off the raw JSON frame, with ONE JSON parse
-    * per frame (a superset struct of the four discriminator fields) instead
-    * of four `get_json_object` probes. Sniffing order matches the reference's
-    * if/elif chain. from_json returns a null struct for malformed JSON, so
-    * bad frames fall through to 'unknown'.
+  /** one-parse barrier: parse `value` against `schema` into attribute `as` */
+  private def parsedOnce(raw: DataFrame, schema: StructType, as: String): DataFrame =
+    raw.select(col("*"), explode(array(from_json(col("value"), schema))).as(as))
+
+  private val sniffSchema = StructType(Seq(
+    StructField("open", StringType), StructField("side", StringType),
+    StructField("bid_price", StringType), StructField("name", StringType)))
+
+  /** F1: sniff the routing field off the raw JSON frame with ONE JSON parse
+    * per frame (a superset struct of the four discriminator fields, string-
+    * typed so presence — not parseability — routes, like the reference's
+    * `in message` checks). Sniffing order matches the reference's if/elif
+    * chain. from_json returns a null struct for malformed JSON, so bad
+    * frames fall through to 'unknown'.
     */
-  def classify(raw: DataFrame): DataFrame = {
-    val sniff = from_json(col("value"), StructType(Seq(
-      StructField("open", StringType), StructField("side", StringType),
-      StructField("bid_price", StringType), StructField("name", StringType))))
-    raw
-      .withColumn("_sniff", sniff)
+  def classify(raw: DataFrame): DataFrame =
+    parsedOnce(raw, sniffSchema, "_sniff")
       .withColumn("route",
         when(col("_sniff.open").isNotNull, "candles")
           .when(col("_sniff.side").isNotNull, "trades")
@@ -42,41 +58,16 @@ object Ingest {
           .when(col("_sniff.name").isNotNull, "companies")
           .otherwise("unknown"))
       .drop("_sniff")
-  }
-
-  private def allRequired(table: String): Column =
-    Schemas.required(table).map(col(_).isNotNull).reduce(_ && _)
-
-  /** Catalyst's per-field JSON pruning (enableJsonExpressionOptimization)
-    * rewrites every `m.field` reference into its OWN pruned from_json parse;
-    * inside the required-fields AND-chain those are conditionally evaluated,
-    * so subexpression elimination can't merge them → ~7 full JSON parses per
-    * frame (measured 3.8s → 25s at sf0.1). With the rule off, all references
-    * share one full-schema parse via codegen CSE. Set lazily on the session
-    * that owns the frames (same pattern as Tables.load's nanosAsLong).
-    */
-  private def disableJsonPruning(df: DataFrame): DataFrame = {
-    df.sparkSession.conf.set("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
-    df
-  }
 
   /** P8+F2+F3 for one table: parse frames against the table's wire schema,
     * drop rows missing required fields, convert + validate the timestamp.
     */
-  def parseTable(raw0: DataFrame, table: String): DataFrame = {
-    val raw = disableJsonPruning(raw0)
-    // Required-fields gate as a TYPED filter on purpose: a Column predicate
-    // gets pushed below the parse projection with the from_json alias
-    // substituted per field reference — one full JSON parse per required
-    // field per row (measured 13 s → 4 s at sf0.1 for the candle route).
-    // The typed filter is an optimizer barrier, so the parse stays
-    // materialized exactly once; the row-level null probe is index-based.
-    val schema = Schemas.msgSchema(table)
-    val reqIdx = Schemas.required(table).map(schema.fieldIndex)
-    val parsed = raw
-      .select(from_json(col("value"), schema).as("m"))
+  def parseTable(raw: DataFrame, table: String): DataFrame = {
+    val required = Schemas.required(table)
+      .map(f => col("m").getField(f).isNotNull).reduce(_ && _)
+    val parsed = parsedOnce(raw.select("value"), Schemas.msgSchema(table), "m")
+      .where(required)
       .select(col("m.*"))
-      .filter((r: org.apache.spark.sql.Row) => reqIdx.forall(i => !r.isNullAt(i)))
     if (Schemas.timestamped(table))
       // try_to_timestamp: malformed → null → dropped (ANSI-safe F3 semantics)
       parsed
@@ -98,28 +89,30 @@ object Ingest {
   }
 
   /** Drop accounting: how many frames landed per route vs survived all three
-    * gates — ONE scan of the frame stream, the keep-predicate evaluated
-    * inline per route, one tiny shuffle on the 5-valued route key. (The naive
-    * formulation — re-running [[demux]] per table and unioning — rescans the
-    * stream 5×; at 100 TB that is 5 queue replays.)
+    * gates — ONE scan of the frame stream, ONE JSON parse per frame, the
+    * keep-predicate evaluated inline per route, one tiny shuffle on the
+    * 5-valued route key. (The naive formulation — re-running [[demux]] per
+    * table and unioning — rescans the stream 5×; at 100 TB that is 5 queue
+    * replays.)
+    *
+    * The single parse uses an ALL-STRING superset of every table's fields:
+    * routing and required-field validation are PRESENCE checks in the
+    * reference (`'open' in message`, `from_rabbitmq_to_clickhouse.py:148-159,
+    * 122-140`), and string-typed fields make `from_json` presence-faithful —
+    * a typed superset would null the whole row on one type-mismatched field
+    * and mis-route it. Timestamp validity still parses for real (F3).
     */
-  def dropStats(raw0: DataFrame): DataFrame = {
-    val raw = disableJsonPruning(raw0)
-    // ONE superset-schema parse serves every route's required-field check:
-    // field names are disjoint across tables except company_id/timestamp/
-    // volume (types agree), so per-field nullability is identical to the
-    // per-table parses, at 1 parse per frame instead of 4.
+  def dropStats(raw: DataFrame): DataFrame = {
     val superset = StructType(
-      Schemas.msgSchema.values.flatMap(_.fields).toSeq.distinctBy(_.name))
-    // Materialize the parse in its OWN projection below the aggregate:
-    // references inside CaseWhen branches are conditionally evaluated, which
-    // disqualifies them from subexpression elimination — with the parse
-    // inlined, every per-route field probe re-parsed the frame (~14 full
-    // JSON parses per row; measured 26 s → 4 s at sf0.1). CollapseProject
-    // keeps the projection because the struct is non-cheap and multiply
-    // referenced, so the branch probes read a materialized struct.
-    val parsed = classify(raw)
-      .select(col("route"), from_json(col("value"), superset).as("m"))
+      Schemas.msgSchema.values.flatMap(_.fields).toSeq.distinctBy(_.name)
+        .map(f => StructField(f.name, StringType)))
+    val parsed = parsedOnce(raw, superset, "m")
+      .withColumn("route",
+        when(col("m.open").isNotNull, "candles")
+          .when(col("m.side").isNotNull, "trades")
+          .when(col("m.bid_price").isNotNull, "order_book")
+          .when(col("m.name").isNotNull, "companies")
+          .otherwise("unknown"))
     val tsParsed = try_to_timestamp(col("m").getField("timestamp"), lit(Schemas.TsFormat))
     val keep = Schemas.msgSchema.foldLeft(when(lit(false), lit(false))) {
       case (acc, (t, _)) =>

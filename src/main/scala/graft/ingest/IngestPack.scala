@@ -158,9 +158,9 @@ object IngestPack extends QueryPack {
   private val tsRoundtripSql =
     """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tsv FROM events)
       |SELECT strftime(tsv, '%Y-%m-%d') AS day, count(*) AS n_events,
-      |       sum(CASE WHEN strptime(strftime(tsv, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
-      |                     = date_trunc('second', tsv) THEN 1 ELSE 0 END) AS n_roundtrip_ok,
-      |       sum(CASE WHEN tsv <> date_trunc('second', tsv) THEN 1 ELSE 0 END) AS n_subsecond
+      |       CAST(sum(CASE WHEN strptime(strftime(tsv, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+      |                     = date_trunc('second', tsv) THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+      |       CAST(sum(CASE WHEN tsv <> date_trunc('second', tsv) THEN 1 ELSE 0 END) AS BIGINT) AS n_subsecond
       |FROM e GROUP BY 1""".stripMargin
 
   override val all: Seq[Q] = Seq(

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the north-star
@@ -14,11 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB posture): none of these compares all document pairs.
   * The Jaccard join is keyed by shingle (candidate pairs only materialize for
-  * docs sharing a shingle); MinHash compares only within LSH band buckets
-  * (b=8 bands × r=4 rows: P[candidate] = 1-(1-J^4)^8, ≈1 for J≥0.8); SimHash
-  * compares only docs agreeing on one of four 16-bit chunks (covers all
-  * Hamming-distance≤3 pairs by pigeonhole). Shingle/band/chunk keys are what a
-  * production table would be bucketed by, so each op is a single shuffle.
+  * docs sharing a shingle), with a document-frequency cap dropping stop-
+  * shingles ([[DfCap]]) so no power-law hot key can go quadratic; MinHash
+  * compares only within LSH band buckets (b=12 bands × r=4 rows:
+  * P[candidate] = 1-(1-J^4)^12, ≈0.998 at J=0.8 and ≈1-4e-6 at J≥0.9) and
+  * verifies candidates pair-locally; SimHash compares only docs agreeing on
+  * one of four 16-bit chunks (covers all Hamming-distance≤3 pairs by
+  * pigeonhole). Shingle/band/chunk keys are what a production table would be
+  * bucketed by, so each op is a single shuffle.
   */
 object Dedup extends QueryPack {
 
@@ -90,14 +94,36 @@ object Dedup extends QueryPack {
       |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dupes
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Stop-shingle cap: shingles occurring in more than this many documents
+    * are dropped from BOTH sides of every Jaccard computation (numerator and
+    * denominator — i.e. Jaccard is defined over the retained shingle sets).
+    * Real corpora have power-law shingle frequencies; a shingle shared by k
+    * docs materializes k² candidate rows, so one hot boilerplate shingle
+    * stalls the join stage at scale. The cap bounds per-key join fan-out at
+    * DfCap² and loses nothing discriminative — a shingle in >DfCap docs
+    * carries no near-dup signal.
+    */
+  val DfCap = 100
+
+  /** inverted (doc_id, shingle) index with stop-shingles removed; the df
+    * window partitions on `shingle` — the SAME key the downstream self-join
+    * shuffles on, so the filter adds no extra exchange.
+    */
+  private def invIndex(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("df") <= DfCap)
+      .drop("df")
+
   /** Exact n-gram Jaccard near-dup pairs (J ≥ 0.5) via an inverted shingle
-    * index: explode shingles → self-join on shingle → shared counts →
-    * |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a shingle never materialize.
+    * index: explode shingles → df cap → self-join on shingle → shared counts
+    * → |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a retained shingle never
+    * materialize.
     */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(Tables.load(s, dir, "documents"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh")).where(col("n_sh") > 0)
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv = invIndex(Tables.load(s, dir, "documents"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // shuffle-hash (not broadcast) → both sides hash-partition on shingle
     // with identical subplans → ReusedExchange computes the index ONCE
     val pairs = inv.as("a").hint("shuffle_hash")
@@ -118,7 +144,12 @@ object Dedup extends QueryPack {
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-      |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+      |sh0 AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+      |    FROM sh0)
+      |  WHERE df <= $DfCap),
       |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -133,28 +164,34 @@ object Dedup extends QueryPack {
   // MinHash + LSH banding
   // ---------------------------------------------------------------------------
 
-  val NumPerms = 32
-  val Bands    = 8
+  val NumPerms = 48
+  val Bands    = 12
   val Rows     = 4 // NumPerms / Bands
 
   /** doc_id → minhash signature (NumPerms mins of seeded xxhash64 over the
-    * shingle set), computed in ONE aggregation over the exploded shingles.
+    * retained shingle set), computed in ONE aggregation over the exploded
+    * inverted index.
     */
-  private[llm] def signatures(docs: DataFrame): DataFrame = {
-    val inv = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
+  private[llm] def signatures(inv: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash near-dup pairs: LSH band buckets → candidates → exact-Jaccard
-    * verification at J ≥ 0.8. With r=4/b=8 the miss probability at J=0.8 is
-    * (1-0.8⁴)⁸ ≈ 0.9%, and ≈1e-6 at J≥0.95 — so on near-identical dup pairs
-    * this matches the exact-Jaccard oracle; verification removes any false
-    * positives, keeping output exact-above-threshold.
+  /** MinHash near-dup pairs: LSH band buckets → candidates → CANDIDATE-LOCAL
+    * exact-Jaccard verification at J ≥ 0.8. With r=4/b=12 the miss
+    * probability at J=0.8 is (1-0.8⁴)¹² ≈ 0.2%, and ≈4e-6 at J≥0.9 — so on
+    * near-identical dup pairs this matches the exact-Jaccard oracle;
+    * verification removes all false positives, keeping output
+    * exact-above-threshold.
+    *
+    * Verification joins the candidate id pairs to the two docs' retained
+    * shingle ARRAYS and intersects per pair — cost O(candidates), preserving
+    * the LSH win (the round-2 formulation re-ran the full inverted-index
+    * pair join for ALL co-shingled pairs, defeating the bucketing).
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val sigs = signatures(docs)
+    val inv  = invIndex(Tables.load(s, dir, "documents"))
+    val sigs = signatures(inv)
     // bands as ONE exploded (band_idx, band_hash) relation → a single
     // self-join; per-band joins would recompute the signature aggregation
     // once per band per side
@@ -167,19 +204,17 @@ object Dedup extends QueryPack {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only (inverted-index shared counts)
-    val inv   = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = inv.as("a").hint("shuffle_hash")
-      .join(inv.as("b").hint("shuffle_hash"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    candidates.join(shared, Seq("doc_a", "doc_b"))
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+    // per-doc retained shingle sets (distinct by construction in shingleUdf)
+    val sets = inv.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double")).as("j"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("shared"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") / (col("na") + col("nb") - col("shared")).cast("double")).as("j"))
       .where(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }

@@ -5,37 +5,59 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** [[Similarity.vecMean]] aggregation state: fixed-point component sums +
+  * row count. Top-level (public bytecode) so Spark codegen can construct it.
+  */
+final case class VecSum(sums: Array[Long], n: Long)
+
 /** Similarity search over the `embeddings` table (64-dim float vectors) —
   * north-star ANN surface (SURVEY.md §2.6).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force exact cosine top-k for a small query set: broadcast the
-  *    queries, ONE scan of the corpus, per-row dot products inside codegen
-  *    (`zip_with` + `aggregate`), top-k via window `row_number`. This is the
-  *    correct 100 TB plan for few queries — no shuffle of the corpus at all,
-  *    cost = one pass.
+  *    queries, ONE scan of the corpus, compiled per-row dot products, top-k
+  *    via window `row_number`. This is the correct 100 TB plan for few
+  *    queries — no shuffle of the corpus at all, cost = one pass.
   *  - LSH-bucketed ANN (random-hyperplane signs, L hash tables): corpus and
   *    queries meet only inside matching (table, bucket) keys — sub-linear
   *    candidate sets, then exact re-rank. The scale path when the query set
   *    itself is large.
+  *  - IVF ANN: corpus vectors live in their nearest-centroid cell; queries
+  *    probe their NProbe nearest cells only.
   *
-  * Determinism notes: dot/norm folds are sequential left-to-right double
-  * adds over array elements (same order in Spark `aggregate` and DuckDB
-  * `list_reduce`), so scores are bit-identical; ranking ties are broken by
-  * vec_id on the 6-dp-rounded score.
+  * Kernel discipline: all hot-path vector math runs in compiled Scala UDFs
+  * ([[cosUdf]], [[bucketsUdf]], [[bestCellUdf]]) — higher-order array
+  * functions (`aggregate`/`zip_with`) are CodegenFallback and re-evaluate
+  * their argument trees per element (measured 13× slower for the LSH plane
+  * hashing). The UDF folds are sequential left-to-right double adds, the
+  * exact operation order of the DuckDB oracle's `list_reduce`, so scores stay
+  * bit-identical across engines. Bucket/candidate relations carry only
+  * scalar columns through shuffles — embedding payloads never shuffle.
+  *
+  * Determinism notes: hyperplanes and centroid seeds derive from splitmix64
+  * of fixed indices (no RNG state — every executor and every run sees the
+  * same values); ranking ties are broken by vec_id on the 6-dp-rounded score.
   */
 object Similarity extends QueryPack {
 
   /** number of fixed query vectors (lowest vec_ids) */
   val NumQueries = 8
   val TopK       = 5
+  val Dim        = 64
 
-  /** cosine(a, b) in double, sequential fold (bit-stable across engines) */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** cosine(a, b) in double — one pass, three sequential accumulators, bit-
+    * identical to separate left-to-right folds over dot/norm (same add order).
+    */
+  private val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Exact cosine top-k neighbours for the NumQueries lowest vec_ids. */
@@ -47,16 +69,15 @@ object Similarity extends QueryPack {
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        round(cosUdf(col("qvec"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
 
   private val bruteForceSql = {
-    val dim = 64
     def dotSql(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, $dim + 1)]),
+         |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, $Dim + 1)]),
          |  (acc, v) -> acc + v)""".stripMargin
     s"""WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
@@ -82,46 +103,70 @@ object Similarity extends QueryPack {
   val Tables_ = 4  // L independent hash tables
   val Planes  = 8  // bits per table → 256 buckets/table
 
-  /** Deterministic pseudo-random hyperplane component for (table t, plane p,
-    * dim d): xxhash64 of the triple mapped into [-1, 1]. No RNG state needed —
-    * every executor derives the same planes.
-    */
-  private def planeComponent(t: Int, p: Int, d: Column): Column =
-    ((pmod(xxhash64(lit(t), lit(p), d), lit(2001L)) - 1000L) / 1000.0)
+  /** splitmix64 finalizer — deterministic, high-quality 64-bit mix */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
-  /** bucket key for one table: sign bits of Planes hyperplane dot products */
-  private[llm] def bucketKey(vec: Column, t: Int): Column =
-    (0 until Planes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), lit(63)), (v, d) => v.cast("double") * planeComponent(t, p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+  /** Hyperplane matrix [table][plane][dim], components uniform in [-1, 1),
+    * derived deterministically from the indices. Built ONCE on the driver and
+    * shipped in the UDF closure — per-row work is a plain compiled dot
+    * product, not 2048 hash calls (the round-2 formulation recomputed
+    * xxhash64 per (table × plane × dim) per row inside interpreted
+    * higher-order functions — 13× slower than brute force).
+    */
+  private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(Tables_, Planes, Dim) { (t, p, d) =>
+      val h = splitmix((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
+      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+
+  /** embedding → all Tables_ bucket keys (sign bits of Planes dot products) */
+  private val bucketsUdf = udf { (emb: Seq[Float]) =>
+    val out = new Array[Long](Tables_)
+    var t = 0
+    while (t < Tables_) {
+      var key = 0L
+      var p = 0
+      while (p < Planes) {
+        val pl = planes(t)(p)
+        var dot = 0.0; var i = 0
+        while (i < Dim) { dot += emb(i) * pl(i); i += 1 }
+        if (dot >= 0) key |= (1L << p)
+        p += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    out
+  }
 
   /** ANN top-k via L×(256-bucket) random-hyperplane LSH: candidates are
-    * corpus vectors sharing ≥1 bucket with the query, exact-cosine re-ranked.
-    * Output is approximate (recall < 1 by design) → no SQL oracle; the
-    * ScalaTest pins recall on planted clusters instead.
+    * corpus vectors sharing ≥1 (table, bucket) key with a query, exact-cosine
+    * re-ranked. One corpus scan computes all L keys per vector (posexplode),
+    * the query keys broadcast into it, and only (query_id, neighbor_id,
+    * cos_sim) scalars flow into the dedup/rank shuffle. Output is approximate
+    * (recall < 1 by design) → no SQL oracle; the ScalaTest pins recall on
+    * planted clusters instead.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val withBuckets = emb.select(
-      col("vec_id") +: col("embedding") +:
-        (0 until Tables_).map(t => bucketKey(col("embedding"), t).as(s"bucket$t")): _*)
-    val queries = withBuckets.orderBy("vec_id").limit(NumQueries)
+    val corpusBuckets = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
+    val queryBuckets = emb.orderBy("vec_id").limit(NumQueries)
       .select(
-        col("vec_id").as("query_id") +: col("embedding").as("qvec") +:
-          (0 until Tables_).map(t => col(s"bucket$t").as(s"qbucket$t")): _*)
-    val candidates = (0 until Tables_).map { t =>
-        withBuckets.join(broadcast(queries),
-            col(s"bucket$t") === col(s"qbucket$t") && col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qvec"), col("embedding"))
-      }.reduce(_ union _)
-      .dropDuplicates("query_id", "neighbor_id")
+        col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    candidates
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qvec"), col("embedding")), 6).as("cos_sim"))
+    corpusBuckets.join(broadcast(queryBuckets), Seq("t", "b"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosUdf(col("qvec"), col("embedding")), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
@@ -148,8 +193,7 @@ object Similarity extends QueryPack {
     val emb = Tables.load(s, dir, "embeddings")
     val buckets = emb.select(
       col("vec_id"),
-      posexplode(array((0 until Tables_).map(t => bucketKey(col("embedding"), t)): _*))
-        .as(Seq("t", "b")))
+      posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
     val cand = buckets.as("x").hint("shuffle_hash")
       .join(buckets.as("y").hint("shuffle_hash"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
@@ -159,7 +203,7 @@ object Similarity extends QueryPack {
     val scored = cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .select(col("label"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("label"), cosUdf(col("va"), col("vb")).as("cos"))
     val perLabel = scored.groupBy("label").agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("cos") >= DupThreshold, 1L).otherwise(0L)).as("n_dups"),
@@ -180,61 +224,144 @@ object Similarity extends QueryPack {
   val NumCells = 16 // coarse-quantizer cells
   val NProbe   = 4  // cells probed per query
 
-  /** IVF cell centroids: deterministic pseudo-random seed vectors (the
-    * NumCells smallest xxhash64(vec_id)) refined by one Lloyd step. Means
-    * accumulate in DECIMAL fixed-point so centroids are independent of
-    * aggregation order (floats would make the cell assignment — and thus the
-    * candidate sets — vary run to run).
+  /** argmax-cosine cell for one vector against the flattened centroid matrix
+    * (NumCells × Dim doubles, cell c at offset c*Dim); ties → lower cell id.
+    * Cells are 1-indexed to match the centroid relation.
     */
-  private[llm] def centroids(emb: DataFrame): DataFrame = {
-    val seeds = emb
-      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
-      .orderBy("h").limit(NumCells)
-      .select(row_number().over(Window.orderBy("h")).as("cell"), col("embedding").as("cvec"))
-    val assigned = assignCells(emb, seeds)
-    assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cell", "dim")
-      .agg((sum(col("v").cast("decimal(28,9)")) / count(lit(1))).cast("double").as("mean"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("pairs"))
-      .select(col("cell"), expr("transform(pairs, p -> p.mean)").as("cvec"))
+  private val bestCellUdf = udf { (emb: Seq[Float], cmat: Seq[Double]) =>
+    val nCells = cmat.length / Dim
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < Dim) {
+        val x = emb(i).toDouble; val y = cmat(c * Dim + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best + 1
   }
 
-  /** nearest-centroid assignment (broadcast NumCells rows into the scan) */
-  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"),
-        struct(cosine(col("embedding"), col("cvec")).as("cos"), (-col("cell")).as("negc")).as("sc"),
-        col("cell"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), col("sc")).as("cell"), first(col("embedding")).as("embedding"))
+  /** Per-cell vector mean as ONE typed aggregation: partial state is a
+    * Dim-long fixed-point sum vector + count — exact and associative, so
+    * centroids are independent of aggregation order (double sums would make
+    * the cell assignment — and thus the candidate sets — vary run to run) —
+    * and the shuffle carries NumCells partial states of 64 longs, not a
+    * 64×-exploded (cell, dim, value) row relation. Components are in [-1, 1];
+    * 1e9-scaled longs overflow only past ~9e9 rows per cell-dim, far beyond a
+    * cell's share even at 100 TB.
+    */
+  private object VecMeanAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], VecSum, Seq[Double]] {
+    def zero: VecSum = VecSum(new Array[Long](Dim), 0L)
+    def reduce(b: VecSum, a: Seq[Float]): VecSum = {
+      var i = 0
+      while (i < Dim) { b.sums(i) += math.round(a(i).toDouble * 1e9); i += 1 }
+      VecSum(b.sums, b.n + 1)
+    }
+    def merge(x: VecSum, y: VecSum): VecSum = {
+      var i = 0
+      while (i < Dim) { x.sums(i) += y.sums(i); i += 1 }
+      VecSum(x.sums, x.n + y.n)
+    }
+    def finish(b: VecSum): Seq[Double] = {
+      val out = new Array[Double](Dim)
+      var i = 0
+      while (i < Dim) { out(i) = b.sums(i) / 1e9 / b.n; i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecSum] =
+      org.apache.spark.sql.Encoders.product[VecSum]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+  private val vecMean = udaf(VecMeanAgg)
+
+  /** IVF index build: deterministic pseudo-random seed vectors (the NumCells
+    * smallest xxhash64(vec_id)) refined by one Lloyd step ([[vecMean]] per
+    * assigned cell), flattened to the ONE-row cell-major centroid matrix both
+    * query branches broadcast. Cell ids are 1-based positions in the
+    * key-sorted matrix — no single-partition `row_number` window anywhere.
+    */
+  private[graft] def ivfIndex(emb: DataFrame): DataFrame = {
+    val seeds = emb
+      .select(xxhash64(col("vec_id")).as("key"), col("embedding").cast("array<double>").as("cvec"))
+      .orderBy("key").limit(NumCells)
+    emb.crossJoin(broadcast(centroidMatrix(seeds)))
+      .select(bestCellUdf(col("embedding"), col("cmat")).as("cell"), col("embedding"))
+      .groupBy("cell").agg(vecMean(col("embedding")).as("cvec"))
+      .transform(centroidMatrix)
+  }
+
+  /** top-NProbe cells for a query against the flattened centroid matrix —
+    * by descending cosine, ties → lower cell id; same fold as [[bestCellUdf]].
+    */
+  private val probeCellsUdf = udf { (emb: Seq[Float], cmat: Seq[Double]) =>
+    val nCells = cmat.length / Dim
+    val cos = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < Dim) {
+        val x = emb(i).toDouble; val y = cmat(c * Dim + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    (0 until nCells).sortBy(c => (-cos(c), c)).take(NProbe).map(_ + 1).toArray
+  }
+
+  /** centroid relation → ONE row holding the flattened (cell-ordered) matrix;
+    * both IVF consumers broadcast this SAME subplan, so the expensive
+    * centroid DAG executes once and the second use is a ReusedExchange.
+    */
+  private def centroidMatrix(cents: DataFrame): DataFrame = {
+    val keyCol = cents.columns(0)
+    cents
+      .groupBy(lit(0).as("g"))
+      .agg(array_sort(collect_list(struct(col(keyCol).as("k"), col("cvec")))).as("pairs"))
+      .select(flatten(expr("transform(pairs, p -> p.cvec)")).as("cmat"))
+  }
 
   /** ANN top-k via IVF: corpus vectors live in their nearest-centroid cell;
     * each query probes its NProbe nearest cells and exact-cosine re-ranks
-    * only those cells' members. Approximate (recall < 1 by design) → no SQL
-    * oracle; the ScalaTest pins recall against brute force on planted
-    * clusters.
+    * only those cells' members — per-query work is corpus×NProbe/NumCells,
+    * the win over brute force once the corpus is large. At bench scale (2k
+    * vectors) the run is dominated by the index build's fixed chain of tiny
+    * sequential jobs, which a production deployment builds once and persists;
+    * the per-query marginal cost is what scales. Approximate (recall < 1 by
+    * design) → no SQL oracle; the ScalaTest pins recall against brute force
+    * on planted clusters.
     */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb   = Tables.load(s, dir, "embeddings")
-    val cents = centroids(emb)
-    val corpus = assignCells(emb, cents)
-    val queries = emb.orderBy("vec_id").limit(NumQueries)
+    val emb = Tables.load(s, dir, "embeddings")
+    // materialize the index ONCE (NumCells rows, distributed — not a driver
+    // collect): Catalyst does not reuse the centroid DAG across the corpus-
+    // assignment and probe branches (no common exchange), so without this
+    // the whole k-means pipeline executes twice. At scale this is the
+    // "build the IVF index" step a production system would persist anyway.
+    val centsRow = ivfIndex(emb).localCheckpoint()
+    val corpus = emb.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"),
+        bestCellUdf(col("embedding"), col("cmat")).as("cell"))
+    val probes = emb.orderBy("vec_id").limit(NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("qcos").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qvec"), col("cell"),
-        cosine(col("qvec"), col("cvec")).as("qcos"))
-      .withColumn("r", row_number().over(probeW))
-      .where(col("r") <= NProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+      .crossJoin(broadcast(centsRow))
+      .select(col("query_id"), col("qvec"),
+        explode(probeCellsUdf(col("qvec"), col("cmat"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        round(cosUdf(col("qvec"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }

@@ -17,34 +17,38 @@ class AnalyticsSpec extends SparkSpec {
       (3L, ts("2024-01-01 12:00:00"), 7L, "click", 2.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     ev.write.mode("overwrite").parquet("/tmp/graft_test_a1/events.parquet")
+    Seq((7L, "Customer#7", 0, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet("/tmp/graft_test_a1/customer.parquet")
     val out = Analytics.volatility(spark, "/tmp/graft_test_a1").collect()
     assert(out.length == 1)
     val expected = BigDecimal(math.sqrt((math.pow(2 - 0.5, 2) + math.pow(-1 - 0.5, 2)) / 1))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(out.head.getDouble(2) == expected) // 2.121320
-    assert(out.head.getLong(3) == 2L)
+    assert(out.head.getDouble(4) == expected) // 2.121320
+    assert(out.head.getLong(5) == 2L)
+    assert(out.head.getString(1) == "Customer#7") // broadcast dim label
   }
 
   test("A4 imbalance = (clicks - views) / (clicks + views), bounded in [-1,1]") {
     val out = Analytics.imbalance(spark, sfDir).collect()
     assert(out.nonEmpty)
-    assert(out.forall(r => math.abs(r.getDouble(5)) <= 1.0))
+    assert(out.forall(r => math.abs(r.getDouble(7)) <= 1.0))
     // spot-check the formula on one row
     val r = out.head
-    val expect = BigDecimal((r.getLong(2) - r.getLong(3)).toDouble / (r.getLong(2) + r.getLong(3)))
+    val expect = BigDecimal((r.getLong(4) - r.getLong(5)).toDouble / (r.getLong(4) + r.getLong(5)))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(r.getDouble(5) == expect)
+    assert(r.getDouble(7) == expect)
   }
 
   test("A3 autocorrelation is in [-1,1] with enough days") {
     val out = Analytics.predictability(spark, sfDir).collect()
     assert(out.nonEmpty)
-    assert(out.forall(r => r.isNullAt(1) || math.abs(r.getDouble(1)) <= 1.0))
+    assert(out.forall(r => r.isNullAt(2) || math.abs(r.getDouble(2)) <= 1.0))
   }
 
   test("A2 trade impact splits on the p90 quantity threshold") {
     val out = Analytics.tradeImpact(spark, sfDir).collect()
-    val flags = out.map(_.getBoolean(0)).toSet
+    val flags = out.map(_.getBoolean(3)).toSet
     assert(flags == Set(true, false))
   }
 }

@@ -74,6 +74,12 @@ def compare(mine: pd.DataFrame, theirs: pd.DataFrame):
         return False, f"rows: mine={len(mine)} oracle={len(theirs)}"
     for c in mine.columns:
         a, b = mine[c], theirs[c]
+        # the driver's gate hashes typed values: an int64 Spark column vs a
+        # float64/HUGEINT oracle column hash-mismatches even when numerically
+        # equal, so mirror that strictness here instead of coercing.
+        if pd.api.types.is_integer_dtype(a) != pd.api.types.is_integer_dtype(b):
+            return False, (f"col {c}: dtype mismatch mine={a.dtype} "
+                           f"oracle={b.dtype} (driver hash gate would fail)")
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             ae, be = a.astype("float64"), b.astype("float64")
             exact = ((ae == be) | (ae.isna() & be.isna())).all()
