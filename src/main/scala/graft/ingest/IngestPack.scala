@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-verifiable ingest queries: the consumer pipeline (F1–F3, P2, P3,
@@ -163,9 +163,139 @@ object IngestPack extends QueryPack {
       |       CAST(sum(CASE WHEN tsv <> date_trunc('second', tsv) THEN 1 ELSE 0 END) AS BIGINT) AS n_subsecond
       |FROM e GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Typed producer→consumer round trips for the remaining three routes:
+  // API-shaped nested records (Quotation structs, direction enums, depth-N
+  // book arrays) run through the REAL producer projections (Normalize P2/P4/
+  // P5/P6), serialize to wire frames, pass the full consumer demux, and the
+  // survivors aggregate — so a bug in the enum mapping
+  // (`from_parser_to_rabbitmq.py:104`), the top-of-book indexing (`:189-192`)
+  // or either quotation fold flips the DuckDB compare.
+  // ---------------------------------------------------------------------------
+
+  /** API trades from orders: Quotation price, direction 1 (buy) iff even key */
+  private def apiTrades(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      concat(lit("FIGI"), col("o_custkey")).as("figi"),
+      date_format(col("o_orderdate"), Schemas.TsFormat).as("time"),
+      struct(
+        (col("o_orderkey") % 1000).as("units"),
+        ((col("o_orderkey") * 7919) % 1000000000).cast("int").as("nano")).as("price"),
+      (col("o_orderkey") % 97 + 1).as("quantity"),
+      (col("o_orderkey") % 2 + 1).cast("int").as("direction"))
+
+  def tradesE2e(s: SparkSession, dir: String): DataFrame = {
+    val wire = Normalize.serialize(Normalize.projectTrades(apiTrades(s, dir)))
+    Ingest.demux(wire)("trades")
+      .groupBy("side")
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(col("price").cast("decimal(18,9)")).cast("double").as("sum_price"),
+        sum(col("volume")).as("sum_volume"),
+        date_format(min(col("timestamp")), Schemas.TsFormat).as("min_ts"),
+        date_format(max(col("timestamp")), Schemas.TsFormat).as("max_ts"))
+  }
+
+  private val tradesE2eSql =
+    """WITH t AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS wire_ts,
+      |         CAST(o_orderkey % 1000 AS DOUBLE)
+      |           + CAST((o_orderkey * 7919) % 1000000000 AS DOUBLE) / 1e9 AS price,
+      |         o_orderkey % 97 + 1 AS volume,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'buy' ELSE 'sell' END AS side
+      |  FROM orders)
+      |SELECT side, count(*) AS n_trades,
+      |       CAST(sum(CAST(price AS DECIMAL(18,9))) AS DOUBLE) AS sum_price,
+      |       CAST(sum(volume) AS BIGINT) AS sum_volume,
+      |       min(wire_ts) AS min_ts, max(wire_ts) AS max_ts
+      |FROM t GROUP BY side""".stripMargin
+
+  /** API order books from customer: depth-3 bid/ask arrays whose DEEPER
+    * levels carry different values than level 1, so a wrong array index
+    * (P5 must take element 1 = best) cannot hash-match.
+    */
+  private def apiBooks(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    def q(u: Column, n: Column): Column =
+      struct(u.cast("long").as("units"), n.cast("int").as("nano"))
+    def lvl(u: Column, n: Column, qty: Column): Column =
+      struct(q(u, n).as("price"), qty.cast("long").as("quantity"))
+    val k = col("c_custkey")
+    c.select(
+      concat(lit("FIGI"), k).as("figi"),
+      date_format(
+        expr("timestampadd(MINUTE, CAST((c_custkey % 96) * 15 AS INT), TIMESTAMP '2024-02-01 00:00:00')"),
+        Schemas.TsFormat).as("time"),
+      array(
+        lvl(k % 500 + 100, (k * 31) % 1000000000, k % 50 + 1),
+        lvl(k % 500 + 99, (k * 17) % 1000000000, k % 50 + 7),
+        lvl(k % 500 + 98, (k * 13) % 1000000000, k % 50 + 13)).as("bids"),
+      array(
+        lvl(k % 500 + 101, (k * 37) % 1000000000, k % 60 + 1),
+        lvl(k % 500 + 102, (k * 19) % 1000000000, k % 60 + 7),
+        lvl(k % 500 + 103, (k * 11) % 1000000000, k % 60 + 13)).as("asks"))
+  }
+
+  def orderBookE2e(s: SparkSession, dir: String): DataFrame = {
+    val wire = Normalize.serialize(Normalize.projectOrderBook(apiBooks(s, dir)))
+    Ingest.demux(wire)("order_book")
+      .groupBy(pmod(substring(col("company_id"), 5, 18).cast("long"), lit(8)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_snapshots"),
+        sum(col("bid_price").cast("decimal(18,9)")).cast("double").as("sum_bid"),
+        sum(col("ask_price").cast("decimal(18,9)")).cast("double").as("sum_ask"),
+        sum(col("bid_volume")).as("sum_bid_vol"),
+        sum(col("ask_volume")).as("sum_ask_vol"),
+        date_format(max(col("timestamp")), Schemas.TsFormat).as("max_ts"))
+  }
+
+  private val orderBookE2eSql =
+    """WITH b AS (
+      |  SELECT c_custkey % 8 AS bucket,
+      |         CAST(c_custkey % 500 + 100 AS DOUBLE)
+      |           + CAST((c_custkey * 31) % 1000000000 AS DOUBLE) / 1e9 AS bid_price,
+      |         CAST(c_custkey % 500 + 101 AS DOUBLE)
+      |           + CAST((c_custkey * 37) % 1000000000 AS DOUBLE) / 1e9 AS ask_price,
+      |         c_custkey % 50 + 1 AS bid_volume,
+      |         c_custkey % 60 + 1 AS ask_volume,
+      |         strftime(TIMESTAMP '2024-02-01 00:00:00'
+      |           + (c_custkey % 96) * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS wire_ts
+      |  FROM customer)
+      |SELECT bucket, count(*) AS n_snapshots,
+      |       CAST(sum(CAST(bid_price AS DECIMAL(18,9))) AS DOUBLE) AS sum_bid,
+      |       CAST(sum(CAST(ask_price AS DECIMAL(18,9))) AS DOUBLE) AS sum_ask,
+      |       CAST(sum(bid_volume) AS BIGINT) AS sum_bid_vol,
+      |       CAST(sum(ask_volume) AS BIGINT) AS sum_ask_vol,
+      |       max(wire_ts) AS max_ts
+      |FROM b GROUP BY bucket""".stripMargin
+
+  def companiesE2e(s: SparkSession, dir: String): DataFrame = {
+    val api = Tables.load(s, dir, "part").select(
+      concat(lit("FIGI"), col("p_partkey")).as("figi"),
+      col("p_name").as("name"),
+      col("p_brand").as("ticker"),
+      col("p_type").as("sector"))
+    val wire = Normalize.serialize(Normalize.projectCompanies(api))
+    Ingest.demux(wire)("companies")
+      .groupBy("sector")
+      .agg(
+        count(lit(1)).as("n_companies"),
+        countDistinct(col("ticker")).as("n_tickers"),
+        min(col("name")).as("first_name"))
+  }
+
+  private val companiesE2eSql =
+    """SELECT p_type AS sector, count(*) AS n_companies,
+      |       count(DISTINCT p_brand) AS n_tickers,
+      |       min(p_name) AS first_name
+      |FROM part GROUP BY p_type""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ingest_demux_counts", demuxCounts, Some(demuxCountsSql)),
     Q("ingest_candles_e2e", candlesE2e, Some(candlesE2eSql)),
+    Q("ingest_trades_e2e", tradesE2e, Some(tradesE2eSql)),
+    Q("ingest_order_book_e2e", orderBookE2e, Some(orderBookE2eSql)),
+    Q("ingest_companies_e2e", companiesE2e, Some(companiesE2eSql)),
     Q("ingest_quotation_fold", quotationFold, Some(quotationFoldSql)),
     Q("ingest_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)))
 }
