@@ -290,8 +290,72 @@ object IngestPack extends QueryPack {
       |       min(p_name) AS first_name
       |FROM part GROUP BY p_type""".stripMargin
 
+  /** API candles from lineitem with integer-derived quotation components
+    * (exactly reproducible in the oracle's arithmetic, unlike decomposing a
+    * double price).
+    */
+  private[graft] def apiCandles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    def q(u: Column, n: Column): Column =
+      struct(u.cast("long").as("units"), n.cast("int").as("nano"))
+    li.select(
+      concat(lit("FIGI"), col("l_partkey") % 200).as("figi"),
+      date_format(col("l_shipdate"), Schemas.TsFormat).as("time"),
+      q(col("l_partkey") % 900, (col("l_orderkey") * 7919) % 1000000000).as("open"),
+      q(col("l_partkey") % 900 + 10, (col("l_orderkey") * 104729) % 1000000000).as("high"),
+      q(col("l_partkey") % 900 - 10, (col("l_orderkey") * 1299709) % 1000000000).as("low"),
+      q(col("l_partkey") % 900 + 1, (col("l_orderkey") * 15485863) % 1000000000).as("close"),
+      col("l_quantity").cast("long").as("volume"))
+  }
+
+  /** E1 grid ingest end-to-end: API candles → [[BatchIngest.ingestCandles]]
+    * (30-day-window-partitioned Parquet) → read back with a WINDOW-range
+    * predicate (partition pruning — the batch replacement for the
+    * reference's manual chunk loop) → aggregate. The oracle recomputes the
+    * same projection, window assignment and range from lineitem directly.
+    */
+  def gridCandles(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_grid_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/candles"
+    val table = BatchIngest.ingestCandles(
+      apiCandles(s, dir), "1995-01-01", "2002-01-01", out, gridBuckets = 2)
+    table
+      .where(col("window") >= lit("1996-01-01").cast("date") &&
+        col("window") < lit("1997-01-20").cast("date"))
+      .groupBy(pmod(substring(col("company_id"), 5, 18).cast("long"), lit(10)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_candles"),
+        sum(col("close").cast("decimal(18,9)")).cast("double").as("sum_close"),
+        sum(col("volume")).as("sum_volume"),
+        countDistinct(col("window")).as("n_windows"),
+        date_format(min(col("timestamp")), "yyyy-MM-dd").as("min_day"),
+        date_format(max(col("timestamp")), "yyyy-MM-dd").as("max_day"))
+  }
+
+  private val gridCandlesSql =
+    """WITH c AS (
+      |  SELECT (l_partkey % 200) % 10 AS bucket,
+      |         CAST(l_shipdate AS DATE) AS d,
+      |         CAST(l_partkey % 900 + 1 AS DOUBLE)
+      |           + CAST((l_orderkey * 15485863) % 1000000000 AS DOUBLE) / 1e9 AS close,
+      |         CAST(l_quantity AS BIGINT) AS volume,
+      |         DATE '1995-01-01'
+      |           + (CAST(floor(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) / 30.0) AS INT) * 30)
+      |             * INTERVAL 1 DAY AS win
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '2002-01-01')
+      |SELECT bucket, count(*) AS n_candles,
+      |       CAST(sum(CAST(close AS DECIMAL(18,9))) AS DOUBLE) AS sum_close,
+      |       CAST(sum(volume) AS BIGINT) AS sum_volume,
+      |       count(DISTINCT win) AS n_windows,
+      |       strftime(min(d), '%Y-%m-%d') AS min_day,
+      |       strftime(max(d), '%Y-%m-%d') AS max_day
+      |FROM c
+      |WHERE win >= DATE '1996-01-01' AND win < DATE '1997-01-20'
+      |GROUP BY bucket""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ingest_demux_counts", demuxCounts, Some(demuxCountsSql)),
+    Q("ingest_grid_candles", gridCandles, Some(gridCandlesSql)),
     Q("ingest_candles_e2e", candlesE2e, Some(candlesE2eSql)),
     Q("ingest_trades_e2e", tradesE2e, Some(tradesE2eSql)),
     Q("ingest_order_book_e2e", orderBookE2e, Some(orderBookE2eSql)),
