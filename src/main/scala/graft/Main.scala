@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing CLI (SURVEY.md §7.1): `ingest | query | list | bench`.
+  *
+  *   ingest <apiCandleParquet> <outPath> <start> <end>  — E1 batch grid
+  *     ingest: read API-shaped candle records, write window-partitioned
+  *     parquet (see [[ingest.BatchIngest]])
+  *   query <name> [sfDir]  — run one registered query and print it
+  *   list                  — list registered query names
+  *   bench                 — delegate to [[Bench]] (one JSON line)
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: api :: out :: start :: end :: Nil =>
+      val spark = session()
+      val written = ingest.BatchIngest.ingestCandles(spark.read.parquet(api), start, end, out)
+      println(s"[graft] ingested ${written.count()} candles -> $out")
+      spark.stop()
+    case "query" :: name :: rest if SparkEntry.queries.contains(name) =>
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      SparkEntry.queries(name)(spark, dir).show(50, truncate = false)
+      spark.stop()
+    case "query" :: name :: _ =>
+      System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
+    case "list" :: Nil =>
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+    case "bench" :: Nil =>
+      Bench.main(Array.empty)
+    case _ =>
+      System.err.println(
+        "usage: graft ingest <apiCandleParquet> <outPath> <start> <end>\n" +
+          "       graft query <name> [sfDir]\n" +
+          "       graft list\n" +
+          "       graft bench")
+      sys.exit(1)
+  }
+}

@@ -353,6 +353,43 @@ object IngestPack extends QueryPack {
       |WHERE win >= DATE '1996-01-01' AND win < DATE '1997-01-20'
       |GROUP BY bucket""".stripMargin
 
+  /** S5 snapshot-cadence semantics over the event stream: the latest update
+    * per (entity, 15-minute bucket) — [[graft.operators.Snapshot.atCadence]]
+    * — then per-entity accounting. `floor(value*1000)` keeps the value
+    * aggregation in exact integer space (a double→decimal cast could round
+    * differently at 0.5-ulp boundaries across engines).
+    */
+  def bookSnapshotCadence(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(s, dir, "events")
+    graft.operators.Snapshot
+      .atCadence(ev, Seq("user_id"), "ts", 15, col("event_id"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_snapshots"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_v3"),
+        date_format(min(col("snapshot_ts")), Schemas.TsFormat).as("first_snap"),
+        date_format(max(col("snapshot_ts")), Schemas.TsFormat).as("last_snap"))
+  }
+
+  private val bookSnapshotCadenceSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tsv,
+      |         TIMESTAMP '1970-01-01'
+      |           + (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900)
+      |             * INTERVAL 1 SECOND AS snapshot_ts
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, value, snapshot_ts,
+      |         row_number() OVER (PARTITION BY user_id, snapshot_ts
+      |                            ORDER BY tsv DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_snapshots,
+      |       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v3,
+      |       strftime(min(snapshot_ts), '%Y-%m-%d %H:%M:%S') AS first_snap,
+      |       strftime(max(snapshot_ts), '%Y-%m-%d %H:%M:%S') AS last_snap
+      |FROM r WHERE rn = 1
+      |GROUP BY user_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ingest_demux_counts", demuxCounts, Some(demuxCountsSql)),
     Q("ingest_grid_candles", gridCandles, Some(gridCandlesSql)),
@@ -361,5 +398,6 @@ object IngestPack extends QueryPack {
     Q("ingest_order_book_e2e", orderBookE2e, Some(orderBookE2eSql)),
     Q("ingest_companies_e2e", companiesE2e, Some(companiesE2eSql)),
     Q("ingest_quotation_fold", quotationFold, Some(quotationFoldSql)),
-    Q("ingest_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)))
+    Q("ingest_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
+    Q("book_snapshot_cadence", bookSnapshotCadence, Some(bookSnapshotCadenceSql)))
 }
