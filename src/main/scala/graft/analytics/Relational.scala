@@ -217,6 +217,63 @@ object Relational extends QueryPack {
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
 
+  /** CUBE grouping sets (all 2^k subtotal combinations; nulls folded to
+    * 'ALL' so the output is total-orderable for the hash compare).
+    */
+  def cubePricing(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_price"), col("n"))
+  }
+
+  private val cubePricingSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** As-of join ([[graft.operators.Asof.joinLatest]]): each click event is
+    * matched to the user's latest purchase at-or-before it. Value sums stay
+    * in exact integer space (`floor(value*1000)` — both engines floor the
+    * identical double).
+    */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+    graft.operators.Asof.joinLatest(clicks, purchases, "user_id", "ts", "ts", "pval")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("pval_asof")).as("n_matched"),
+        coalesce(sum(floor(col("pval_asof") * 1000).cast("long")), lit(0L)).as("sum_v3"))
+  }
+
+  private val asofClickPurchaseSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, arg_max(value, event_id) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.user_id, count(*) AS n_clicks,
+      |       count(p.pval) AS n_matched,
+      |       CAST(coalesce(sum(CAST(floor(p.pval * 1000) AS BIGINT)), 0) AS BIGINT) AS sum_v3
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv >= p.tsv
+      |GROUP BY c.user_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),
@@ -226,5 +283,7 @@ object Relational extends QueryPack {
     Q("distinct_customers", distinctCustomers, Some(distinctCustomersSql)),
     Q("setop_repeat_buyers", repeatBuyers, Some(repeatBuyersSql)),
     Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),
-    Q("hll_approx_distinct", hllApproxDistinct, None))
+    Q("hll_approx_distinct", hllApproxDistinct, None),
+    Q("cube_pricing", cubePricing, Some(cubePricingSql)),
+    Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)))
 }

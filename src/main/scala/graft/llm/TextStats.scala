@@ -150,9 +150,46 @@ object TextStats extends QueryPack {
       |       md5(text) AS md5_hash
       |FROM documents""".stripMargin
 
+  /** BPE-ish subword pre-tokenization: the GPT-2-style split into letter
+    * runs / digit runs / punctuation runs (the regex pass every byte-pair
+    * tokenizer applies before merges). Token-count ratios vs whitespace
+    * tokens approximate tokens-per-word — the standard budget metric for an
+    * LLM data pipeline. Pattern is identical Java-regex/RE2 so Spark and
+    * DuckDB extract the same runs.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs
+      .select(
+        col("lang"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe"),
+        size(tokensCol).as("n_ws"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("sum_bpe_tokens"),
+        sum(col("n_ws")).as("sum_ws_tokens"),
+        (sum(col("n_bpe")).cast("double") / sum(col("n_ws"))).as("bpe_per_word"))
+  }
+
+  private val bpeTokensSql =
+    s"""WITH t AS (
+      |  SELECT lang,
+      |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe,
+      |         len($tokensSql) AS n_ws
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+      |       CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+      |       CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS bpe_per_word
+      |FROM t GROUP BY lang""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
     Q("text_lang_id", langId, Some(langIdSql)),
+    Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("doc_fingerprint", fingerprint, Some(fingerprintSql)))
 }

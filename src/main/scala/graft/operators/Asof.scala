@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the time-series join Spark lacks natively (SURVEY.md §2.5 A2
+  * names it for trade→candle alignment).
+  *
+  * Formulated Spark-first as union + ignore-nulls running last instead of a
+  * range join: tag both streams, union them, and within each key's
+  * time-ordered window carry the latest right-side value forward; left rows
+  * then read their as-of match off the window. ONE shuffle on the join key,
+  * no (left × right-candidates) row explosion, no range-join planner support
+  * needed — the formulation a 100 TB pipeline can actually run. (A
+  * broadcast-range alternative only works when one side is dim-sized.)
+  */
+object Asof {
+
+  /** Left as-of join: attach to each left row the `valueCol` of the LATEST
+    * right row with `rightTs` <= `leftTs` for the same `key` (inclusive; no
+    * match → null), as column `<valueCol>_asof`.
+    *
+    * `right` must be unique per (key, ts) — pre-aggregate with `max_by` if it
+    * is not, or the carried value is nondeterministic under equal timestamps.
+    */
+  def joinLatest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      valueCol: String): DataFrame = {
+    val l = left
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_ts", col(leftTs))
+    val r = right
+      .select(col(key), col(rightTs).as("_asof_ts"), col(valueCol).as("_asof_value"))
+      .withColumn("_asof_side", lit(0))
+    // right rows sort BEFORE left rows at equal timestamps → inclusive <=
+    val w = Window.partitionBy(key).orderBy(col("_asof_ts"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(s"${valueCol}_asof", last(col("_asof_value"), ignoreNulls = true).over(w))
+      .where(col("_asof_side") === 1)
+      .drop("_asof_side", "_asof_ts", "_asof_value")
+  }
+}
