@@ -26,7 +26,7 @@ final case class VecSum(sums: Array[Long], n: Long)
   *    probe their NProbe nearest cells only.
   *
   * Kernel discipline: all hot-path vector math runs in compiled Scala UDFs
-  * ([[cosUdf]], [[bucketsUdf]], [[bestCellUdf]]) — higher-order array
+  * ([[bucketsUdf]], [[bestCellUdf]]; scalar cosine goes further — a native codegen Expression, [[graft.functions.CosineSimilarity]]) — higher-order array
   * functions (`aggregate`/`zip_with`) are CodegenFallback and re-evaluate
   * their argument trees per element (measured 13× slower for the LSH plane
   * hashing). The UDF folds are sequential left-to-right double adds, the
@@ -45,20 +45,12 @@ object Similarity extends QueryPack {
   val TopK       = 5
   val Dim        = 64
 
-  /** cosine(a, b) in double — one pass, three sequential accumulators, bit-
-    * identical to separate left-to-right folds over dot/norm (same add order).
+  /** cosine(a, b) — the native codegen Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): in-place ArrayData reads inside
+    * whole-stage codegen, same sequential fold as the oracle's list_reduce.
     */
-  private val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  private def cosSim(a: Column, b: Column): Column =
+    graft.functions.cosine_similarity(a, b)
 
   /** Exact cosine top-k neighbours for the NumQueries lowest vec_ids. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -69,7 +61,7 @@ object Similarity extends QueryPack {
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosUdf(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
@@ -165,7 +157,7 @@ object Similarity extends QueryPack {
     corpusBuckets.join(broadcast(queryBuckets), Seq("t", "b"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosUdf(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
@@ -203,7 +195,7 @@ object Similarity extends QueryPack {
     val scored = cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .select(col("label"), cosUdf(col("va"), col("vb")).as("cos"))
+      .select(col("label"), cosSim(col("va"), col("vb")).as("cos"))
     val perLabel = scored.groupBy("label").agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("cos") >= DupThreshold, 1L).otherwise(0L)).as("n_dups"),
@@ -361,7 +353,7 @@ object Similarity extends QueryPack {
     corpus.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosUdf(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
