@@ -295,10 +295,61 @@ object Analytics extends QueryPack {
       |       strftime(min(tsv), '%Y-%m-%d %H:%M:%S') AS session_start
       |FROM sq GROUP BY user_id, session_seq""".stripMargin
 
+  /** OHLCV candle resampling — tick trades → monthly bars (the batch twin of
+    * [[graft.streaming.StreamIngest.ohlcvBars]], and the construction of the
+    * reference's core `candles` table from first principles). open/close are
+    * `min_by`/`max_by` on a TOTAL order (event time, unique event id) —
+    * without the unique tie-break the bar endpoints are nondeterministic
+    * whenever two ticks share a timestamp. One shuffle on (instrument, bar).
+    */
+  def candleResample(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val eid = (col("l_orderkey") * 10 + col("l_linenumber")).as("eid")
+    val trades = li.select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+      expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+      col("l_extendedprice").as("price"),
+      col("l_quantity").cast("long").as("volume"),
+      eid)
+    trades
+      .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(
+        min_by(col("price"), struct(col("ts"), col("eid"))).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), struct(col("ts"), col("eid"))).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  private val candleResampleSql =
+    """WITH t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND AS tsv,
+      |         l_extendedprice AS price,
+      |         CAST(l_quantity AS BIGINT) AS volume,
+      |         l_orderkey * 10 + l_linenumber AS eid
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT company_id, strftime(tsv, '%Y-%m') AS month, price, volume,
+      |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m')
+      |                            ORDER BY tsv, eid) AS rn_a,
+      |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m')
+      |                            ORDER BY tsv DESC, eid DESC) AS rn_d
+      |  FROM t)
+      |SELECT company_id, month,
+      |       max(CASE WHEN rn_a = 1 THEN price END) AS open,
+      |       max(price) AS high, min(price) AS low,
+      |       max(CASE WHEN rn_d = 1 THEN price END) AS close,
+      |       CAST(sum(volume) AS BIGINT) AS volume,
+      |       count(*) AS n_trades
+      |FROM o GROUP BY company_id, month""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
     Q("a3_predictability", predictability, Some(predictabilitySql)),
     Q("a4_imbalance", imbalance, Some(imbalanceSql)),
-    Q("sessionization", sessionization, Some(sessionizationSql)))
+    Q("sessionization", sessionization, Some(sessionizationSql)),
+    Q("candle_resample", candleResample, Some(candleResampleSql)))
 }

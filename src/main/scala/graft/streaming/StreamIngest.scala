@@ -71,6 +71,26 @@ object StreamIngest {
         col("window.start").as("window_start"),
         col("buy_volume"), col("sell_volume"))
 
+  /** Streaming OHLCV bar builder: tick trades → 1-hour candles (the
+    * reference's core derived table, built by its broker API upstream —
+    * here from first principles). open/close are `min_by`/`max_by` on the
+    * event time (deterministic under a unique tie-break), high/low/volume
+    * plain aggregates; the watermark finalizes bars and drops stragglers.
+    */
+  def ohlcvBars(trades: DataFrame, barWidth: String = "1 hour"): DataFrame =
+    trades
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(col("company_id"), window(col("timestamp"), barWidth))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        sum(col("volume")).as("volume"))
+      .select(
+        col("company_id"), col("window.start").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
   // ---------------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState)
   // ---------------------------------------------------------------------------

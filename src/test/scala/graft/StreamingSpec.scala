@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     assert(r.getString(0) == "F1" && r.getLong(2) == 5L && r.getLong(3) == 3L)
   }
 
+  test("streaming OHLCV bars: open/close by event time, finalized by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double, Long)]
+    val df = mem.toDF().toDF("company_id", "timestamp", "price", "volume")
+    val q = StreamIngest.ohlcvBars(df, "1 hour")
+      .writeStream.format("memory").queryName("bars").outputMode("append").start()
+    mem.addData(
+      ("F1", Timestamp.valueOf("2024-03-01 10:20:00"), 12.0, 3L), // not first by ts
+      ("F1", Timestamp.valueOf("2024-03-01 10:05:00"), 10.0, 1L), // open
+      ("F1", Timestamp.valueOf("2024-03-01 10:40:00"), 9.0, 2L),  // low + close
+      ("F1", Timestamp.valueOf("2024-03-01 10:30:00"), 15.0, 4L)) // high
+    q.processAllAvailable()
+    mem.addData(("F1", Timestamp.valueOf("2024-03-01 12:00:00"), 1.0, 1L)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("bars").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 15.0 &&
+      r.getDouble(4) == 9.0 && r.getDouble(5) == 9.0 && r.getLong(6) == 10L)
+  }
+
   test("stateful sessionization closes sessions on >30min event-time gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Event]
