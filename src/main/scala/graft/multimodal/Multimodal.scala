@@ -34,6 +34,15 @@ object Multimodal extends QueryPack {
     val EmbeddingDim = 8
     val FrameStride  = 64 // "sample one frame per 64 bytes" for video blobs
 
+    val ResizeStride = 4 // "thumbnail": keep one byte per 4-byte block
+
+    /** Resize/thumbnail stand-in: keeps each block's head byte, so the
+      * output length is exactly ceil(n/stride) — an invariant the SQL oracle
+      * checks from the input lengths without needing the codec.
+      */
+    def resize(r: MediaRecord): MediaRecord =
+      r.copy(content = r.content.grouped(ResizeStride).map(_.head).toArray)
+
     /** ??? in spirit: a real implementation would decode the payload; this
       * derives deterministic pseudo-features so the pipeline is testable.
       */
@@ -107,7 +116,37 @@ object Multimodal extends QueryPack {
         round(avg(round(col("mean_byte"), 6)), 6).as("avg_mean_byte"))
   }
 
+  /** Partition-local resize: Dataset[MediaRecord] → Dataset[MediaRecord],
+    * blobs shrunk in place on the scan partitions, never shuffled.
+    */
+  def resizeMedia(records: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(StubCodec.resize))
+  }
+
+  /** Resize pipeline with an oracle: the engine REALLY runs the partition-
+    * local resize and measures the outputs; the oracle recomputes the
+    * ceil(n/stride) length invariant from the source lengths.
+    */
+  def resizeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = attachBinary(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
+    resizeMedia(recs).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(octet_length(col("content")).cast("long")).as("total_resized_bytes"))
+  }
+
+  private val resizeStatsSql =
+    """SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |       count(*) AS n_media,
+      |       CAST(sum((octet_length(encode(text)) + 3) // 4) AS BIGINT) AS total_resized_bytes
+      |FROM documents GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
-    Q("mm_decode_stats", decodeStats, None))
+    Q("mm_decode_stats", decodeStats, None),
+    Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)))
 }
