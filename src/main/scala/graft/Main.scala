@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
   *     ingest: read API-shaped candle records, write window-partitioned
   *     parquet (see [[ingest.BatchIngest]])
   *   query <name> [sfDir]  — run one registered query and print it
+  *   sql <statement> [sfDir] — register the testdata tables as views and run
+  *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
   *   list                  — list registered query names
   *   bench                 — delegate to [[Bench]] (one JSON line)
   */
@@ -37,6 +39,16 @@ object Main {
       spark.stop()
     case "query" :: name :: _ =>
       System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
+    case "sql" :: statement :: rest =>
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        if (new java.io.File(s"$dir/$t.parquet").exists())
+          Tables.load(spark, dir, t).createOrReplaceTempView(t)
+      }
+      spark.sql(statement).show(100, truncate = false)
+      spark.stop()
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -45,6 +57,7 @@ object Main {
       System.err.println(
         "usage: graft ingest <apiCandleParquet> <outPath> <start> <end>\n" +
           "       graft query <name> [sfDir]\n" +
+          "       graft sql <statement> [sfDir]\n" +
           "       graft list\n" +
           "       graft bench")
       sys.exit(1)

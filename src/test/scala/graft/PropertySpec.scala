@@ -1,0 +1,75 @@
+package graft
+
+import graft.ingest.{Ingest, Normalize, Quotation, Schemas}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based laws (SURVEY.md §5.3): serde round trips, quotation fold
+  * algebra, dedup idempotence, analytic invariants. Raw ScalaCheck
+  * (Prop.forAll + Test.check) — the scalatest bridge isn't in the offline
+  * dependency cache.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genUnits = Gen.chooseNum(-1000000L, 1000000L)
+  private val genNano  = Gen.chooseNum(-999999999, 999999999)
+
+  test("quotation fold: toDouble equals units + nano/1e9 and toDecimal is lossless") {
+    check(Prop.forAll(genUnits, genNano) { (u: Long, n: Int) =>
+      val row = Seq((u, n)).toDF("units", "nano")
+        .select(
+          Quotation.toDouble(col("units"), col("nano")).as("d"),
+          Quotation.toDecimal(col("units"), col("nano")).as("dec"))
+        .collect().head
+      val exactNanos = java.math.BigInteger.valueOf(u)
+        .multiply(java.math.BigInteger.valueOf(1000000000L))
+        .add(java.math.BigInteger.valueOf(n.toLong))
+      row.getDouble(0) == u + n / 1e9 &&
+        row.getDecimal(1).compareTo(new java.math.BigDecimal(exactNanos, 9)) == 0
+    }, n = 50)
+  }
+
+  test("wire round trip: serialize then parseTable is identity on valid candles") {
+    val genCandle = for {
+      id  <- Gen.chooseNum(1, 9999)
+      sec <- Gen.chooseNum(0L, 86399L)
+      o   <- Gen.chooseNum(1, 100000).map(_ / 100.0)
+      v   <- Gen.chooseNum(1L, 100000L)
+    } yield (s"FIGI$id",
+      java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.ofEpochSecond(1700000000L + sec, 0, java.time.ZoneOffset.UTC)),
+      o, o + 1.0, o - 1.0, o + 0.5, v)
+
+    check(Prop.forAll(Gen.listOfN(5, genCandle)) { rows =>
+      val df = rows.toDF("company_id", "ts", "open", "high", "low", "close", "volume")
+        .select(col("company_id"),
+          date_format(col("ts"), Schemas.TsFormat).as("timestamp"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+      val back = Ingest.parseTable(Normalize.serialize(df), "candles")
+      val sent = df.withColumn("timestamp",
+        to_timestamp(col("timestamp"), Schemas.TsFormat))
+      back.exceptAll(sent).isEmpty && sent.exceptAll(back).isEmpty
+    }, n = 10)
+  }
+
+  test("exact dedup is idempotent: re-deduping distinct hashes changes nothing") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val once = docs.select(col("source"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
+      .distinct()
+    assert(once.distinct().count() == once.count())
+  }
+
+  test("imbalance is bounded in [-1, 1] and volatility non-negative on real data") {
+    val imb = analytics.Analytics.imbalance(spark, sfDir).collect()
+    assert(imb.nonEmpty && imb.forall(r => math.abs(r.getDouble(7)) <= 1.0))
+    val vol = analytics.Analytics.volatility(spark, sfDir).collect()
+    assert(vol.nonEmpty && vol.forall(r => r.getDouble(4) >= 0.0))
+  }
+}
