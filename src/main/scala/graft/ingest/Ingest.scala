@@ -77,15 +77,46 @@ object Ingest {
     else parsed
   }
 
-  /** Full consumer demux: one mixed frame stream → Map(table → typed rows).
-    * Each table's plan re-reads only its own route slice; at 100 TB this is
-    * the `foreachBatch` fan-out body (see [[graft.streaming.StreamIngest]]).
+  /** all-string superset of every table's wire fields: presence-faithful
+    * (routing + required-field validation are presence checks in the
+    * reference) and parseable ONCE for all routes.
+    */
+  private val supersetStr = StructType(
+    Schemas.msgSchema.values.flatMap(_.fields).toSeq.distinctBy(_.name)
+      .map(f => StructField(f.name, StringType)))
+
+  private val routeFromSuperset =
+    when(col("m.open").isNotNull, "candles")
+      .when(col("m.side").isNotNull, "trades")
+      .when(col("m.bid_price").isNotNull, "order_book")
+      .when(col("m.name").isNotNull, "companies")
+      .otherwise("unknown")
+
+  /** Full consumer demux: one mixed frame stream → Map(table → typed rows),
+    * with ONE JSON parse per frame total: the all-string superset parse
+    * drives routing AND field extraction, and each route's slice re-types
+    * via per-field CASTs (a cast of an already-extracted string is ~free
+    * next to a second Jackson pass; a failed numeric cast nulls the field →
+    * the required-fields gate drops the row, same outcome as a typed parse
+    * failure). Each table's plan reads only its own route slice; at 100 TB
+    * this is the `foreachBatch` fan-out body (see
+    * [[graft.streaming.StreamIngest]]).
     */
   def demux(raw: DataFrame): Map[String, DataFrame] = {
-    val routed = classify(raw)
-    Schemas.msgSchema.keys.map { t =>
-      t -> parseTable(routed.where(col("route") === t).select("value"), t)
-    }.toMap
+    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFromSuperset)
+    Schemas.msgSchema.map { case (t, schema) =>
+      val typed = parsed.where(col("route") === t)
+        .select(schema.fields.map(f =>
+          col("m").getField(f.name).cast(f.dataType).as(f.name)): _*)
+      val required = Schemas.required(t).map(col(_).isNotNull).reduce(_ && _)
+      val validated = typed.where(required)
+      t -> (if (Schemas.timestamped(t))
+        validated
+          .withColumn("timestamp",
+            expr(s"try_to_timestamp(timestamp, '${Schemas.TsFormat}')"))
+          .where(col("timestamp").isNotNull)
+      else validated)
+    }
   }
 
   /** Drop accounting: how many frames landed per route vs survived all three
@@ -103,16 +134,7 @@ object Ingest {
     * and mis-route it. Timestamp validity still parses for real (F3).
     */
   def dropStats(raw: DataFrame): DataFrame = {
-    val superset = StructType(
-      Schemas.msgSchema.values.flatMap(_.fields).toSeq.distinctBy(_.name)
-        .map(f => StructField(f.name, StringType)))
-    val parsed = parsedOnce(raw, superset, "m")
-      .withColumn("route",
-        when(col("m.open").isNotNull, "candles")
-          .when(col("m.side").isNotNull, "trades")
-          .when(col("m.bid_price").isNotNull, "order_book")
-          .when(col("m.name").isNotNull, "companies")
-          .otherwise("unknown"))
+    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFromSuperset)
     val tsParsed = try_to_timestamp(col("m").getField("timestamp"), lit(Schemas.TsFormat))
     val keep = Schemas.msgSchema.foldLeft(when(lit(false), lit(false))) {
       case (acc, (t, _)) =>
