@@ -274,21 +274,47 @@ object Similarity extends QueryPack {
   }
   private val vecMean = udaf(VecMeanAgg)
 
-  /** IVF index build: deterministic pseudo-random seed vectors (the NumCells
-    * smallest xxhash64(vec_id)) refined by one Lloyd step ([[vecMean]] per
-    * assigned cell), flattened to the ONE-row cell-major centroid matrix both
-    * query branches broadcast. Cell ids are 1-based positions in the
-    * key-sorted matrix — no single-partition `row_number` window anywhere.
+  /** Data-independent seed centroids: splitmix64-derived unit-cube vectors
+    * (same construction as the LSH [[planes]]), flattened cell-major. Living
+    * in the UDF closure, they cost ZERO Spark jobs — the round-2/3 interim
+    * designs spent 3 sequential jobs just selecting and broadcasting
+    * data-derived seeds, half the IVF runtime at bench scale.
     */
-  private[graft] def ivfIndex(emb: DataFrame): DataFrame = {
-    val seeds = emb
-      .select(xxhash64(col("vec_id")).as("key"), col("embedding").cast("array<double>").as("cvec"))
-      .orderBy("key").limit(NumCells)
-    emb.crossJoin(broadcast(centroidMatrix(seeds)))
-      .select(bestCellUdf(col("embedding"), col("cmat")).as("cell"), col("embedding"))
+  private lazy val seedMatrix: Array[Double] =
+    Array.tabulate(NumCells * Dim) { i =>
+      val h = splitmix(0x51ee7beefL + i.toLong * 0x9e3779b97f4a7c15L)
+      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+    }
+
+  /** seed-pass cell assignment against the closure matrix (no cmat column) */
+  private val seedCellUdf = udf { (emb: Seq[Float]) =>
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < NumCells) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < Dim) {
+        val x = emb(i).toDouble; val y = seedMatrix(c * Dim + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best + 1
+  }
+
+  /** IVF index build: data-independent seeds refined by one Lloyd step
+    * ([[vecMean]] per assigned cell), flattened to the ONE-row cell-major
+    * centroid matrix both query branches broadcast. Two jobs total. Cell ids
+    * are 1-based positions in the key-sorted matrix — no single-partition
+    * `row_number` window anywhere.
+    */
+  private[graft] def ivfIndex(emb: DataFrame): DataFrame =
+    emb.select(seedCellUdf(col("embedding")).as("cell"), col("embedding"))
       .groupBy("cell").agg(vecMean(col("embedding")).as("cvec"))
       .transform(centroidMatrix)
-  }
 
   /** top-NProbe cells for a query against the flattened centroid matrix —
     * by descending cosine, ties → lower cell id; same fold as [[bestCellUdf]].
