@@ -120,7 +120,10 @@ object Analytics extends QueryPack {
     // then the tiny (value, count) list collapses into a single row where
     // [[quantileFromHist]] interpolates quantile_cont-style. State is bounded
     // by value cardinality; no window, no single-row-partition sort.
-    val hist = li.groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("cnt"))
+    // null quantities are excluded like quantile_cont excludes them (and a
+    // null histogram bucket would NPE inside the UDF)
+    val hist = li.where(col("l_quantity").isNotNull)
+      .groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("cnt"))
     val thr = hist
       .agg(array_sort(collect_list(struct(col("v"), col("cnt")))).as("h"))
       .select(quantileFromHist(col("h"), lit(0.9)).as("thr"))

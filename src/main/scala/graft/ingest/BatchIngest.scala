@@ -53,6 +53,11 @@ object BatchIngest {
     flat
       .repartition(col("window"), pmod(hash(col("company_id")), lit(gridBuckets)))
       .write.mode(SaveMode.Overwrite)
+      // DYNAMIC partition overwrite: a run replaces only the window
+      // directories it produced — re-running a range is idempotent and a
+      // later range APPENDS new windows (static overwrite would truncate
+      // every previously ingested window in outPath)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("window")
       .parquet(outPath)
     api.sparkSession.read.parquet(outPath)

@@ -38,25 +38,34 @@ object Ingest {
   private def parsedOnce(raw: DataFrame, schema: StructType, as: String): DataFrame =
     raw.select(col("*"), explode(array(from_json(col("value"), schema))).as(as))
 
-  private val sniffSchema = StructType(Seq(
-    StructField("open", StringType), StructField("side", StringType),
-    StructField("bid_price", StringType), StructField("name", StringType)))
+  /** SINGLE routing rule table (the reference's if/elif chain,
+    * `from_rabbitmq_to_clickhouse.py:148-159`, in declaration order) —
+    * shared by [[classify]], [[demux]] and [[dropStats]] so the rules can
+    * never diverge between the entry points.
+    */
+  private val routeRules: Seq[(String, String)] = Seq(
+    "open" -> "candles", "side" -> "trades",
+    "bid_price" -> "order_book", "name" -> "companies")
+
+  private def routeFrom(struct: String): Column =
+    routeRules
+      .map { case (field, table) => (col(s"$struct.$field").isNotNull, table) }
+      .foldRight(lit("unknown"): Column) { case ((cond, table), other) =>
+        when(cond, table).otherwise(other)
+      }
+
+  private val sniffSchema = StructType(
+    routeRules.map { case (field, _) => StructField(field, StringType) })
 
   /** F1: sniff the routing field off the raw JSON frame with ONE JSON parse
     * per frame (a superset struct of the four discriminator fields, string-
     * typed so presence — not parseability — routes, like the reference's
-    * `in message` checks). Sniffing order matches the reference's if/elif
-    * chain. from_json returns a null struct for malformed JSON, so bad
-    * frames fall through to 'unknown'.
+    * `in message` checks). from_json returns a null struct for malformed
+    * JSON, so bad frames fall through to 'unknown'.
     */
   def classify(raw: DataFrame): DataFrame =
     parsedOnce(raw, sniffSchema, "_sniff")
-      .withColumn("route",
-        when(col("_sniff.open").isNotNull, "candles")
-          .when(col("_sniff.side").isNotNull, "trades")
-          .when(col("_sniff.bid_price").isNotNull, "order_book")
-          .when(col("_sniff.name").isNotNull, "companies")
-          .otherwise("unknown"))
+      .withColumn("route", routeFrom("_sniff"))
       .drop("_sniff")
 
   /** P8+F2+F3 for one table: parse frames against the table's wire schema,
@@ -85,13 +94,6 @@ object Ingest {
     Schemas.msgSchema.values.flatMap(_.fields).toSeq.distinctBy(_.name)
       .map(f => StructField(f.name, StringType)))
 
-  private val routeFromSuperset =
-    when(col("m.open").isNotNull, "candles")
-      .when(col("m.side").isNotNull, "trades")
-      .when(col("m.bid_price").isNotNull, "order_book")
-      .when(col("m.name").isNotNull, "companies")
-      .otherwise("unknown")
-
   /** Full consumer demux: one mixed frame stream → Map(table → typed rows),
     * with ONE JSON parse per frame total: the all-string superset parse
     * drives routing AND field extraction, and each route's slice re-types
@@ -103,7 +105,7 @@ object Ingest {
     * [[graft.streaming.StreamIngest]]).
     */
   def demux(raw: DataFrame): Map[String, DataFrame] = {
-    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFromSuperset)
+    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFrom("m"))
     Schemas.msgSchema.map { case (t, schema) =>
       val typed = parsed.where(col("route") === t)
         .select(schema.fields.map(f =>
@@ -134,11 +136,16 @@ object Ingest {
     * and mis-route it. Timestamp validity still parses for real (F3).
     */
   def dropStats(raw: DataFrame): DataFrame = {
-    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFromSuperset)
+    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFrom("m"))
     val tsParsed = try_to_timestamp(col("m").getField("timestamp"), lit(Schemas.TsFormat))
+    // keep == exactly what demux would emit: required fields must survive the
+    // cast to their TYPED schema (presence alone would overcount — a frame
+    // with open="abc" routes to candles but demux's cast nulls it out)
     val keep = Schemas.msgSchema.foldLeft(when(lit(false), lit(false))) {
-      case (acc, (t, _)) =>
-        val req = Schemas.required(t).map(f => col("m").getField(f).isNotNull).reduce(_ && _)
+      case (acc, (t, schema)) =>
+        val req = Schemas.required(t).map { f =>
+          col("m").getField(f).cast(schema(f).dataType).isNotNull
+        }.reduce(_ && _)
         val tsOk = if (Schemas.timestamped(t)) tsParsed.isNotNull else lit(true)
         acc.when(col("route") === t, req && tsOk)
     }.otherwise(lit(false))

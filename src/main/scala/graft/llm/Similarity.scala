@@ -216,27 +216,40 @@ object Similarity extends QueryPack {
   val NumCells = 16 // coarse-quantizer cells
   val NProbe   = 4  // cells probed per query
 
-  /** argmax-cosine cell for one vector against the flattened centroid matrix
-    * (NumCells × Dim doubles, cell c at offset c*Dim); ties → lower cell id.
-    * Cells are 1-indexed to match the centroid relation.
+  /** per-cell cosines of one vector against a flattened cell-major matrix
+    * (cell c at offset c*Dim) — the single compiled kernel behind
+    * [[bestCellUdf]], [[seedCellUdf]] and [[probeCellsUdf]].
     */
-  private val bestCellUdf = udf { (emb: Seq[Float], cmat: Seq[Double]) =>
-    val nCells = cmat.length / Dim
-    var best = 0; var bestCos = Double.NegativeInfinity
+  private def cosRow(emb: Seq[Float], mat: Seq[Double]): Array[Double] = {
+    val nCells = mat.length / Dim
+    val out = new Array[Double](nCells)
     var c = 0
     while (c < nCells) {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < Dim) {
-        val x = emb(i).toDouble; val y = cmat(c * Dim + i)
+        val x = emb(i).toDouble; val y = mat(c * Dim + i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (cos > bestCos) { bestCos = cos; best = c }
+      out(c) = dot / (math.sqrt(na) * math.sqrt(nb))
       c += 1
     }
+    out
+  }
+
+  /** 1-based argmax with ties → lower cell id */
+  private def argmaxCell(cos: Array[Double]): Int = {
+    var best = 0; var c = 1
+    while (c < cos.length) { if (cos(c) > cos(best)) best = c; c += 1 }
     best + 1
+  }
+
+  /** argmax-cosine cell for one vector against the flattened centroid matrix;
+    * cells are 1-indexed to match the centroid relation.
+    */
+  private val bestCellUdf = udf { (emb: Seq[Float], cmat: Seq[Double]) =>
+    argmaxCell(cosRow(emb, cmat))
   }
 
   /** Per-cell vector mean as ONE typed aggregation: partial state is a
@@ -288,21 +301,8 @@ object Similarity extends QueryPack {
 
   /** seed-pass cell assignment against the closure matrix (no cmat column) */
   private val seedCellUdf = udf { (emb: Seq[Float]) =>
-    var best = 0; var bestCos = Double.NegativeInfinity
-    var c = 0
-    while (c < NumCells) {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < Dim) {
-        val x = emb(i).toDouble; val y = seedMatrix(c * Dim + i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (cos > bestCos) { bestCos = cos; best = c }
-      c += 1
-    }
-    best + 1
+    argmaxCell(cosRow(emb,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(seedMatrix)))
   }
 
   /** IVF index build: data-independent seeds refined by one Lloyd step
@@ -320,21 +320,8 @@ object Similarity extends QueryPack {
     * by descending cosine, ties → lower cell id; same fold as [[bestCellUdf]].
     */
   private val probeCellsUdf = udf { (emb: Seq[Float], cmat: Seq[Double]) =>
-    val nCells = cmat.length / Dim
-    val cos = new Array[Double](nCells)
-    var c = 0
-    while (c < nCells) {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < Dim) {
-        val x = emb(i).toDouble; val y = cmat(c * Dim + i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
-      c += 1
-    }
-    (0 until nCells).sortBy(c => (-cos(c), c)).take(NProbe).map(_ + 1).toArray
+    val cos = cosRow(emb, cmat)
+    (0 until cos.length).sortBy(c => (-cos(c), c)).take(NProbe).map(_ + 1).toArray
   }
 
   /** centroid relation → ONE row holding the flattened (cell-ordered) matrix;

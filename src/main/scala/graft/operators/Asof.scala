@@ -21,6 +21,12 @@ object Asof {
     * right row with `rightTs` <= `leftTs` for the same `key` (inclusive; no
     * match → null), as column `<valueCol>_asof`.
     *
+    * Matching is by ROW, not by value (DuckDB `ASOF JOIN` semantics): the
+    * carried payload is a struct wrapper, so a matched right row whose value
+    * is null yields null — it does NOT fall through to an older non-null
+    * value. Right rows with a null timestamp cannot be "latest at any time"
+    * and are dropped.
+    *
     * `right` must be unique per (key, ts) — pre-aggregate with `max_by` if it
     * is not, or the carried value is nondeterministic under equal timestamps.
     */
@@ -35,14 +41,17 @@ object Asof {
       .withColumn("_asof_side", lit(1))
       .withColumn("_asof_ts", col(leftTs))
     val r = right
-      .select(col(key), col(rightTs).as("_asof_ts"), col(valueCol).as("_asof_value"))
+      .where(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("_asof_ts"),
+        struct(col(valueCol).as("v")).as("_asof_row"))
       .withColumn("_asof_side", lit(0))
     // right rows sort BEFORE left rows at equal timestamps → inclusive <=
     val w = Window.partitionBy(key).orderBy(col("_asof_ts"), col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(s"${valueCol}_asof", last(col("_asof_value"), ignoreNulls = true).over(w))
+      .withColumn(s"${valueCol}_asof",
+        last(col("_asof_row"), ignoreNulls = true).over(w).getField("v"))
       .where(col("_asof_side") === 1)
-      .drop("_asof_side", "_asof_ts", "_asof_value")
+      .drop("_asof_side", "_asof_ts", "_asof_row")
   }
 }

@@ -73,19 +73,22 @@ object StreamIngest {
 
   /** Streaming OHLCV bar builder: tick trades → 1-hour candles (the
     * reference's core derived table, built by its broker API upstream —
-    * here from first principles). open/close are `min_by`/`max_by` on the
-    * event time (deterministic under a unique tie-break), high/low/volume
-    * plain aggregates; the watermark finalizes bars and drops stragglers.
+    * here from first principles). open/close are `min_by`/`max_by` on
+    * (event time, price, volume): the wire schema carries no unique event
+    * id, so the value columns join the ordering key — equal-timestamp ties
+    * then either resolve deterministically (different prices order totally)
+    * or are indistinguishable (identical rows → identical result). The
+    * watermark finalizes bars and drops stragglers.
     */
   def ohlcvBars(trades: DataFrame, barWidth: String = "1 hour"): DataFrame =
     trades
       .withWatermark("timestamp", "10 minutes")
       .groupBy(col("company_id"), window(col("timestamp"), barWidth))
       .agg(
-        min_by(col("price"), col("timestamp")).as("open"),
+        min_by(col("price"), struct(col("timestamp"), col("price"), col("volume"))).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("timestamp")).as("close"),
+        max_by(col("price"), struct(col("timestamp"), col("price"), col("volume"))).as("close"),
         sum(col("volume")).as("volume"))
       .select(
         col("company_id"), col("window.start").as("bar_start"),

@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * the `ann_topk` oracle pin this).
   *
   * Zero vectors yield NaN (0/0) — identical to the UDF and oracle behavior.
+  * Mismatched lengths truncate to the shorter array (zip_with semantics);
+  * null ELEMENTS read as the primitive slot default (0.0f) in both the
+  * interpreted and generated paths — embeddings are containsNull-free, so
+  * neither case arises on the engine's own tables.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -37,7 +41,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = x.numElements()
+    // truncate to the shorter array (zip_with semantics) — looping the left
+    // length over a shorter right would read past its unsafe buffer
+    val n = math.min(x.numElements(), y.numElements())
     while (i < n) {
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
@@ -58,7 +64,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y   = ctx.freshName("y")
       s"""
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = $a.numElements();
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);

@@ -37,7 +37,7 @@ class BatchIngestSpec extends SparkSpec {
     assert(q.count() == expected && expected > 0)
   }
 
-  test("grid ingest drops records outside [start, end)") {
+  test("grid ingest drops records outside [start, end); disjoint ranges accumulate") {
     val out = "/tmp/graft_test_grid_range/candles"
     val table = BatchIngest.ingestCandles(
       IngestPack.apiCandles(spark, sfDir), "1996-01-01", "1997-01-01", out, gridBuckets = 1)
@@ -45,5 +45,14 @@ class BatchIngestSpec extends SparkSpec {
     assert(!bounds.isNullAt(0))
     assert(bounds.getTimestamp(0).toString >= "1996-01-01")
     assert(bounds.getTimestamp(1).toString < "1997-01-01")
+
+    // a later-range run must APPEND its windows (dynamic partition
+    // overwrite), not truncate the previously ingested ones
+    val both = BatchIngest.ingestCandles(
+      IngestPack.apiCandles(spark, sfDir), "1997-01-01", "1998-01-01", out, gridBuckets = 1)
+    val bounds2 = both.agg(min("timestamp"), max("timestamp")).collect().head
+    assert(bounds2.getTimestamp(0).toString >= "1996-01-01")
+    assert(bounds2.getTimestamp(0).toString < "1997-01-01")
+    assert(bounds2.getTimestamp(1).toString >= "1997-01-01")
   }
 }

@@ -58,12 +58,26 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
-  test("exact dedup is idempotent: re-deduping distinct hashes changes nothing") {
+  test("exact dedup is idempotent: a corpus deduped to one doc per hash has zero dupes") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val once = docs.select(col("source"),
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
-      .distinct()
-    assert(once.distinct().count() == once.count())
+    val out = "/tmp/graft_test_dedup_idem"
+    // keep exactly one doc per (source, normalized-content hash) …
+    docs.withColumn("h",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "h").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .drop("h", "rn")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // … then Dedup.exact itself must report n_dupes = 0 everywhere, with the
+    // per-source unique counts preserved from the original corpus
+    val after = llm.Dedup.exact(spark, out).collect()
+    assert(after.nonEmpty && after.forall(_.getAs[Long]("n_dupes") == 0L))
+    val uniqueBefore = llm.Dedup.exact(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_unique")).toMap
+    val docsAfter = after.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(docsAfter == uniqueBefore)
   }
 
   test("imbalance is bounded in [-1, 1] and volatility non-negative on real data") {
