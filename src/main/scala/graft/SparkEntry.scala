@@ -18,6 +18,7 @@ object SparkEntry {
     llm.TextStats,
     llm.Dedup,
     llm.Similarity,
+    llm.Curation,
     ingest.IngestPack,
     multimodal.Multimodal)
 
