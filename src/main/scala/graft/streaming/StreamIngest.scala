@@ -94,6 +94,27 @@ object StreamIngest {
         col("company_id"), col("window.start").as("bar_start"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Watermarked stream-stream interval join: each trade picks up the book
+    * snapshots of its instrument from the preceding `lookback`. Both sides
+    * carry watermarks so the join state is BOUNDED — matched-and-expired
+    * buffers are evicted, the requirement for any unbounded-input join at
+    * scale (an unwatermarked stream-stream join accumulates state forever).
+    */
+  def tradesWithQuotes(trades: DataFrame, books: DataFrame, lookback: String = "5 minutes"): DataFrame = {
+    val t = trades.withWatermark("timestamp", "10 minutes")
+    val b = books
+      .select(
+        col("company_id").as("b_company_id"), col("timestamp").as("b_ts"),
+        col("bid_price"), col("ask_price"))
+      .withWatermark("b_ts", "10 minutes")
+    t.join(b,
+      col("company_id") === col("b_company_id") &&
+        col("b_ts") >= col("timestamp") - expr(s"INTERVAL $lookback") &&
+        col("b_ts") <= col("timestamp"))
+      .select(col("company_id"), col("timestamp"), col("price"), col("volume"),
+        col("side"), col("b_ts"), col("bid_price"), col("ask_price"))
+  }
+
   // ---------------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState)
   // ---------------------------------------------------------------------------

@@ -86,6 +86,26 @@ class StreamingSpec extends SparkSpec {
       r.getDouble(4) == 9.0 && r.getDouble(5) == 9.0 && r.getLong(6) == 10L)
   }
 
+  test("stream-stream interval join matches trades to in-window book snapshots only") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmem = MemoryStream[(String, Timestamp, Double, Long, String)]
+    val bmem = MemoryStream[(String, Timestamp, Double, Double)]
+    val trades = tmem.toDF().toDF("company_id", "timestamp", "price", "volume", "side")
+    val books = bmem.toDF().toDF("company_id", "timestamp", "bid_price", "ask_price")
+    val q = StreamIngest.tradesWithQuotes(trades, books)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    bmem.addData(
+      ("F1", Timestamp.valueOf("2024-03-01 10:02:00"), 9.9, 10.1),  // in 5-min window
+      ("F1", Timestamp.valueOf("2024-03-01 09:50:00"), 9.0, 9.2),   // too old
+      ("F2", Timestamp.valueOf("2024-03-01 10:03:00"), 5.0, 5.2))   // wrong key
+    tmem.addData(("F1", Timestamp.valueOf("2024-03-01 10:05:00"), 10.0, 3L, "buy"))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "F1" && rows.head.getDouble(6) == 9.9)
+  }
+
   test("stateful sessionization closes sessions on >30min event-time gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Event]
