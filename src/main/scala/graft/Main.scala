@@ -30,7 +30,11 @@ object Main {
     case "ingest" :: api :: out :: start :: end :: Nil =>
       val spark = session()
       val written = ingest.BatchIngest.ingestCandles(spark.read.parquet(api), start, end, out)
-      println(s"[graft] ingested ${written.count()} candles -> $out")
+      // count only this run's windows — the table may hold earlier runs' data
+      val n = written.where(
+        org.apache.spark.sql.functions.col("timestamp") >= start &&
+          org.apache.spark.sql.functions.col("timestamp") < end).count()
+      println(s"[graft] ingested $n candles in [$start, $end) -> $out (table total ${written.count()})")
       spark.stop()
     case "query" :: name :: rest if SparkEntry.queries.contains(name) =>
       val spark = session()

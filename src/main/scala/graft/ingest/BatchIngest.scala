@@ -26,18 +26,35 @@ object BatchIngest {
   /** 30-day extraction window (`from_parser_to_rabbitmq.py:46`) */
   val ChunkDays = 30
 
+  /** Fixed anchor for the window grid. Anchoring to a CONSTANT epoch — not
+    * the run's `start` — makes window boundaries a pure function of the
+    * timestamp, so overlapping or re-chunked ingest runs land the same rows
+    * in the SAME partitions and dynamic overwrite truly replaces them
+    * (a start-anchored grid would write one record under two different
+    * window keys across runs → silent duplication).
+    */
+  val GridEpoch = "1970-01-01"
+
   /** partition-column value: the grid window this timestamp falls in,
-    * expressed as the window's start date (start + chunk*30d) so the column
+    * expressed as the window's start date (epoch + chunk*30d) so the column
     * is human-readable AND range-prunable.
     */
-  private def windowStart(ts: String, start: String): String =
-    s"date_add(CAST('$start' AS DATE), " +
-      s"CAST(floor(datediff($ts, CAST('$start' AS DATE)) / $ChunkDays) AS INT) * $ChunkDays)"
+  private def windowStart(ts: String): String =
+    s"date_add(CAST('$GridEpoch' AS DATE), " +
+      s"CAST(floor(datediff($ts, CAST('$GridEpoch' AS DATE)) / $ChunkDays) AS INT) * $ChunkDays)"
 
   /** Ingest API-shaped candle records for [start, end): normalize (P1–P3),
     * restrict to the range (F4), grid-partition, append as window-partitioned
     * Parquet at `outPath`. Returns the ingested DataFrame's schema twin
     * (read back from the written table).
+    *
+    * The range is SNAPPED OUTWARD to whole grid windows before filtering:
+    * partition overwrite is per-window, so a run must own every window it
+    * touches completely — a range cutting through a window would overwrite
+    * it with a partial slice and silently drop the complement written by an
+    * earlier run. With snapping, any sequence of (possibly overlapping,
+    * possibly re-chunked) runs converges to exactly what one big run over
+    * the union range would write (BatchIngestSpec pins this equivalence).
     */
   def ingestCandles(
       api: DataFrame,
@@ -45,11 +62,18 @@ object BatchIngest {
       end: String,
       outPath: String,
       gridBuckets: Int = 8): DataFrame = {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val epoch = LocalDate.parse(GridEpoch)
+    def snapDown(d: LocalDate): LocalDate =
+      epoch.plusDays(ChronoUnit.DAYS.between(epoch, d) / ChunkDays * ChunkDays)
+    val effStart = snapDown(LocalDate.parse(start))
+    val effEnd   = snapDown(LocalDate.parse(end).minusDays(1)).plusDays(ChunkDays)
     val flat = Normalize.projectCandles(api)
       .withColumn("timestamp", to_timestamp(col("timestamp"), Schemas.TsFormat))
-      .where(col("timestamp") >= lit(start).cast("timestamp") &&
-        col("timestamp") < lit(end).cast("timestamp"))
-      .withColumn("window", expr(windowStart("timestamp", start)))
+      .where(col("timestamp") >= lit(effStart.toString).cast("timestamp") &&
+        col("timestamp") < lit(effEnd.toString).cast("timestamp"))
+      .withColumn("window", expr(windowStart("timestamp")))
     flat
       .repartition(col("window"), pmod(hash(col("company_id")), lit(gridBuckets)))
       .write.mode(SaveMode.Overwrite)

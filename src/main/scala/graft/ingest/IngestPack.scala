@@ -316,6 +316,15 @@ object IngestPack extends QueryPack {
     */
   def gridCandles(s: SparkSession, dir: String): DataFrame = {
     val out = "/tmp/graft_grid_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/candles"
+    // self-contained verification run: start from an empty table so window
+    // dirs left by a DIFFERENT grid layout (older code, other tests) cannot
+    // leak into the read-back — dynamic overwrite only replaces its own
+    // windows by design
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
     val table = BatchIngest.ingestCandles(
       apiCandles(s, dir), "1995-01-01", "2002-01-01", out, gridBuckets = 2)
     table
@@ -338,8 +347,8 @@ object IngestPack extends QueryPack {
       |         CAST(l_partkey % 900 + 1 AS DOUBLE)
       |           + CAST((l_orderkey * 15485863) % 1000000000 AS DOUBLE) / 1e9 AS close,
       |         CAST(l_quantity AS BIGINT) AS volume,
-      |         DATE '1995-01-01'
-      |           + (CAST(floor(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) / 30.0) AS INT) * 30)
+      |         DATE '1970-01-01'
+      |           + (CAST(floor(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) / 30.0) AS INT) * 30)
       |             * INTERVAL 1 DAY AS win
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '2002-01-01')

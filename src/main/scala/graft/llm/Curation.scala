@@ -49,7 +49,7 @@ object Curation extends QueryPack {
     val scored = docs
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         size(TextStats.tokensCol).as("n_tokens"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
+        Dedup.contentHash.as("h"))
       .where(col("n_tokens") >= 10)
     val kept = scored
       .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * The Jaccard join is keyed by shingle (candidate pairs only materialize for
   * docs sharing a shingle), with a document-frequency cap dropping stop-
   * shingles ([[DfCap]]) so no power-law hot key can go quadratic; MinHash
-  * compares only within LSH band buckets (b=12 bands × r=4 rows:
-  * P[candidate] = 1-(1-J^4)^12, ≈0.998 at J=0.8 and ≈1-4e-6 at J≥0.9) and
+  * compares only within LSH band buckets (b=16 bands × r=4 rows:
+  * P[candidate] = 1-(1-J^4)^16, ≈0.9998 at J=0.8 and ≈1-5e-8 at J≥0.9) and
   * verifies candidates pair-locally; SimHash compares only docs agreeing on
   * one of four 16-bit chunks (covers all Hamming-distance≤3 pairs by
   * pigeonhole). Shingle/band/chunk keys are what a production table would be
@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryPack {
 
-  /** canonical text normalization for exact dedup */
-  private val normText: Column =
+  /** canonical text normalization — THE definition of "same content" for
+    * exact dedup, shared with [[Curation.cleanCorpus]] so the two packs can
+    * never diverge on what counts as a duplicate
+    */
+  private[llm] val normText: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** normalized-content hash (md5 over [[normText]]) */
+  private[llm] val contentHash: Column = md5(normText.cast("binary"))
 
   /** Single-pass trigram shingling as a Scala UDF (first-occurrence order,
     * distinct), matching the DuckDB oracle's list-comprehension formulation.
@@ -80,7 +86,7 @@ object Dedup extends QueryPack {
     */
   def exact(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    docs.select(col("source"), md5(normText.cast("binary")).as("h"))
+    docs.select(col("source"), contentHash.as("h"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -164,8 +170,8 @@ object Dedup extends QueryPack {
   // MinHash + LSH banding
   // ---------------------------------------------------------------------------
 
-  val NumPerms = 48
-  val Bands    = 12
+  val NumPerms = 64
+  val Bands    = 16
   val Rows     = 4 // NumPerms / Bands
 
   /** doc_id → minhash signature (NumPerms mins of seeded xxhash64 over the
@@ -178,9 +184,10 @@ object Dedup extends QueryPack {
   }
 
   /** MinHash near-dup pairs: LSH band buckets → candidates → CANDIDATE-LOCAL
-    * exact-Jaccard verification at J ≥ 0.8. With r=4/b=12 the miss
-    * probability at J=0.8 is (1-0.8⁴)¹² ≈ 0.2%, and ≈4e-6 at J≥0.9 — so on
-    * near-identical dup pairs this matches the exact-Jaccard oracle;
+    * exact-Jaccard verification at J ≥ 0.8. With r=4/b=16 the miss
+    * probability at J=0.8 is (1-0.8⁴)¹⁶ ≈ 0.02%, ≈5e-8 at J≥0.9 — so
+    * against the exact-Jaccard oracle a mismatch requires a pair sitting in
+    * the narrow band just above the threshold AND missing all 16 bands;
     * verification removes all false positives, keeping output
     * exact-above-threshold.
     *

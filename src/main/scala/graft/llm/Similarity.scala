@@ -348,12 +348,13 @@ object Similarity extends QueryPack {
     */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    // materialize the index ONCE (NumCells rows, distributed — not a driver
-    // collect): Catalyst does not reuse the centroid DAG across the corpus-
-    // assignment and probe branches (no common exchange), so without this
-    // the whole k-means pipeline executes twice. At scale this is the
-    // "build the IVF index" step a production system would persist anyway.
-    val centsRow = ivfIndex(emb).localCheckpoint()
+    // cache() the one-row index: Catalyst does not share the index DAG
+    // across the corpus-assignment and probe branches, and CacheManager
+    // keys entries by CANONICAL plan — repeated ivfTopK calls reuse ONE
+    // cache entry per dataset (no per-invocation leak, unlike
+    // localCheckpoint) and the entry recomputes after executor loss. A
+    // production deployment persists the index to a table instead.
+    val centsRow = ivfIndex(emb).cache()
     val corpus = emb.crossJoin(broadcast(centsRow))
       .select(col("vec_id"), col("embedding"),
         bestCellUdf(col("embedding"), col("cmat")).as("cell"))

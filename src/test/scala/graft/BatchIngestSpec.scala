@@ -3,23 +3,33 @@ package graft
 import graft.ingest.{BatchIngest, IngestPack}
 import org.apache.spark.sql.functions._
 
-/** E1 batch grid ingest: window-partitioned layout + partition pruning. */
+/** E1 batch grid ingest: window-partitioned layout, partition pruning, and
+  * multi-run convergence under the epoch-anchored grid.
+  */
 class BatchIngestSpec extends SparkSpec {
 
+  private def fresh(path: String): String = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    path
+  }
+
   test("grid ingest writes window-partitioned parquet and a window predicate prunes") {
-    val out = "/tmp/graft_test_grid/candles"
+    val out = fresh("/tmp/graft_test_grid/candles")
     val table = BatchIngest.ingestCandles(
       IngestPack.apiCandles(spark, sfDir), "1995-01-01", "2002-01-01", out, gridBuckets = 2)
 
-    // layout: window partition dirs on disk, ChunkDays apart
+    // layout: window partition dirs on disk, ChunkDays apart, epoch-aligned
     val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("window=")).sorted
     assert(dirs.nonEmpty)
+    val epoch = java.time.LocalDate.parse(BatchIngest.GridEpoch)
     val starts = dirs.map(d => java.time.LocalDate.parse(d.stripPrefix("window=")))
-    starts.sliding(2).foreach {
-      case Array(a, b) =>
-        assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) % BatchIngest.ChunkDays == 0)
-      case _ => ()
+    starts.foreach { s =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(epoch, s) % BatchIngest.ChunkDays == 0)
     }
 
     // a window predicate reaches PartitionFilters (pruned scan — no data read
@@ -32,27 +42,27 @@ class BatchIngestSpec extends SparkSpec {
 
     val expected = IngestPack.apiCandles(spark, sfDir)
       .select(to_timestamp(col("time")).as("ts"))
-      .where(expr(s"date_add(DATE '1995-01-01', CAST(floor(datediff(ts, DATE '1995-01-01') / ${BatchIngest.ChunkDays}) AS INT) * ${BatchIngest.ChunkDays}) = DATE '$win'"))
+      .where(expr(s"date_add(DATE '${BatchIngest.GridEpoch}', CAST(floor(datediff(ts, DATE '${BatchIngest.GridEpoch}') / ${BatchIngest.ChunkDays}) AS INT) * ${BatchIngest.ChunkDays}) = DATE '$win'"))
       .count()
     assert(q.count() == expected && expected > 0)
   }
 
-  test("grid ingest drops records outside [start, end); disjoint ranges accumulate") {
-    val out = "/tmp/graft_test_grid_range/candles"
-    val table = BatchIngest.ingestCandles(
-      IngestPack.apiCandles(spark, sfDir), "1996-01-01", "1997-01-01", out, gridBuckets = 1)
-    val bounds = table.agg(min("timestamp"), max("timestamp")).collect().head
-    assert(!bounds.isNullAt(0))
-    assert(bounds.getTimestamp(0).toString >= "1996-01-01")
-    assert(bounds.getTimestamp(1).toString < "1997-01-01")
+  test("chunked / overlapping runs converge to the single-run result") {
+    val api = IngestPack.apiCandles(spark, sfDir)
+    // reference: one ingest over the whole range
+    val ref = BatchIngest.ingestCandles(
+      api, "1996-01-01", "1998-01-01", fresh("/tmp/graft_test_grid_ref/candles"), gridBuckets = 1)
+    val refCount = ref.count()
+    assert(refCount > 0)
 
-    // a later-range run must APPEND its windows (dynamic partition
-    // overwrite), not truncate the previously ingested ones
-    val both = BatchIngest.ingestCandles(
-      IngestPack.apiCandles(spark, sfDir), "1997-01-01", "1998-01-01", out, gridBuckets = 1)
-    val bounds2 = both.agg(min("timestamp"), max("timestamp")).collect().head
-    assert(bounds2.getTimestamp(0).toString >= "1996-01-01")
-    assert(bounds2.getTimestamp(0).toString < "1997-01-01")
-    assert(bounds2.getTimestamp(1).toString >= "1997-01-01")
+    // same range as two chunked runs, then an overlapping re-run
+    val out = fresh("/tmp/graft_test_grid_multi/candles")
+    BatchIngest.ingestCandles(api, "1996-01-01", "1997-01-01", out, gridBuckets = 1)
+    BatchIngest.ingestCandles(api, "1997-01-01", "1998-01-01", out, gridBuckets = 1)
+    val twoRuns = spark.read.parquet(out)
+    assert(twoRuns.count() == refCount)
+
+    BatchIngest.ingestCandles(api, "1996-06-01", "1997-06-01", out, gridBuckets = 1)
+    assert(spark.read.parquet(out).count() == refCount) // no duplication, no loss
   }
 }
