@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape regression pins: the properties that make these queries scale
+  * (broadcast dims, pushed scan predicates, no cartesian blowups) asserted
+  * against the physical plan, so a refactor that silently flips a broadcast
+  * into a shuffle join fails here instead of in a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int = needle.r.findAllIn(p).length
+
+  test("star joins broadcast every dimension (no sort-merge, no cartesian)") {
+    val p5 = plan("q5_regional_revenue")
+    assert(count(p5, "BroadcastHashJoin") >= 4, p5.take(2000))
+    assert(count(p5, "SortMergeJoin") == 0 && count(p5, "CartesianProduct") == 0)
+    val p3 = plan("q3_topk_revenue")
+    assert(count(p3, "BroadcastHashJoin") >= 1)
+    assert(count(p3, "CartesianProduct") == 0)
+  }
+
+  test("analytics label joins stay broadcast") {
+    Seq("a1_volatility", "a2_trade_impact", "a3_predictability", "a4_imbalance").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "BroadcastHashJoin") >= 1, s"$q lost its broadcast dim join")
+      assert(count(p, "SortMergeJoin") == 0, s"$q shuffles a dim join")
+    }
+  }
+
+  test("scan predicates reach the parquet reader") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("no query plan contains a cartesian product") {
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "ingest_grid_candles") // performs its ingest on construction
+      .foreach { q =>
+        assert(count(plan(q), "CartesianProduct") == 0, s"$q has a cartesian product")
+      }
+  }
+}
