@@ -326,7 +326,7 @@ object IngestPack extends QueryPack {
     }
     rm(new java.io.File(out))
     val table = BatchIngest.ingestCandles(
-      apiCandles(s, dir), "1995-01-01", "2002-01-01", out, gridBuckets = 2)
+      apiCandles(s, dir), "1995-01-01", "2002-01-01", out, gridBuckets = 1)
     table
       .where(col("window") >= lit("1996-01-01").cast("date") &&
         col("window") < lit("1997-01-20").cast("date"))
