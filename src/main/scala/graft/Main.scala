@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** User-facing CLI (SURVEY.md §7.1): `ingest | query | list | bench`.
   *
-  *   ingest <apiCandleParquet> <outPath> <start> <end>  — E1 batch grid
-  *     ingest: read API-shaped candle records, write window-partitioned
-  *     parquet (see [[ingest.BatchIngest]])
+  *   ingest <route> <apiParquet> <outPath> <start> <end>  — E1 batch grid
+  *     ingest (route = candles | trades | order_book): read API-shaped
+  *     records, write window-partitioned parquet (see [[ingest.BatchIngest]])
   *   query <name> [sfDir]  — run one registered query and print it
   *   sql <statement> [sfDir] — register the testdata tables as views and run
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
@@ -27,14 +27,14 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "ingest" :: api :: out :: start :: end :: Nil =>
+    case "ingest" :: route :: api :: out :: start :: end :: Nil =>
       val spark = session()
-      val written = ingest.BatchIngest.ingestCandles(spark.read.parquet(api), start, end, out)
+      val written = ingest.BatchIngest.ingest(spark.read.parquet(api), route, start, end, out)
       // count only this run's windows — the table may hold earlier runs' data
       val n = written.where(
         org.apache.spark.sql.functions.col("timestamp") >= start &&
           org.apache.spark.sql.functions.col("timestamp") < end).count()
-      println(s"[graft] ingested $n candles in [$start, $end) -> $out (table total ${written.count()})")
+      println(s"[graft] ingested $n $route records in [$start, $end) -> $out (table total ${written.count()})")
       spark.stop()
     case "query" :: name :: rest if SparkEntry.queries.contains(name) =>
       val spark = session()
@@ -59,7 +59,7 @@ object Main {
       Bench.main(Array.empty)
     case _ =>
       System.err.println(
-        "usage: graft ingest <apiCandleParquet> <outPath> <start> <end>\n" +
+        "usage: graft ingest <candles|trades|order_book> <apiParquet> <outPath> <start> <end>\n" +
           "       graft query <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
           "       graft list\n" +

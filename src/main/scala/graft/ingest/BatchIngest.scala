@@ -43,10 +43,16 @@ object BatchIngest {
     s"date_add(CAST('$GridEpoch' AS DATE), " +
       s"CAST(floor(datediff($ts, CAST('$GridEpoch' AS DATE)) / $ChunkDays) AS INT) * $ChunkDays)"
 
-  /** Ingest API-shaped candle records for [start, end): normalize (P1–P3),
-    * restrict to the range (F4), grid-partition, append as window-partitioned
-    * Parquet at `outPath`. Returns the ingested DataFrame's schema twin
-    * (read back from the written table).
+  /** producer projection per timestamped route (P1/P4/P5) */
+  private val projections: Map[String, DataFrame => DataFrame] = Map(
+    "candles" -> Normalize.projectCandles,
+    "trades" -> Normalize.projectTrades,
+    "order_book" -> Normalize.projectOrderBook)
+
+  /** Ingest API-shaped records of one timestamped route for [start, end):
+    * normalize (P1/P4/P5 + P2/P3), restrict to the range (F4),
+    * grid-partition, append as window-partitioned Parquet at `outPath`.
+    * Returns the written table (read back).
     *
     * The range is SNAPPED OUTWARD to whole grid windows before filtering:
     * partition overwrite is per-window, so a run must own every window it
@@ -56,12 +62,16 @@ object BatchIngest {
     * possibly re-chunked) runs converges to exactly what one big run over
     * the union range would write (BatchIngestSpec pins this equivalence).
     */
-  def ingestCandles(
+  def ingest(
       api: DataFrame,
+      table: String,
       start: String,
       end: String,
       outPath: String,
       gridBuckets: Int = 8): DataFrame = {
+    val project = projections.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"unknown grid-ingest route '$table' (one of ${projections.keys.mkString(", ")})"))
     import java.time.LocalDate
     import java.time.temporal.ChronoUnit
     val epoch = LocalDate.parse(GridEpoch)
@@ -69,7 +79,7 @@ object BatchIngest {
       epoch.plusDays(ChronoUnit.DAYS.between(epoch, d) / ChunkDays * ChunkDays)
     val effStart = snapDown(LocalDate.parse(start))
     val effEnd   = snapDown(LocalDate.parse(end).minusDays(1)).plusDays(ChunkDays)
-    val flat = Normalize.projectCandles(api)
+    val flat = project(api)
       .withColumn("timestamp", to_timestamp(col("timestamp"), Schemas.TsFormat))
       .where(col("timestamp") >= lit(effStart.toString).cast("timestamp") &&
         col("timestamp") < lit(effEnd.toString).cast("timestamp"))
@@ -86,4 +96,13 @@ object BatchIngest {
       .parquet(outPath)
     api.sparkSession.read.parquet(outPath)
   }
+
+  /** convenience wrapper for the candles route (the reference's main grid) */
+  def ingestCandles(
+      api: DataFrame,
+      start: String,
+      end: String,
+      outPath: String,
+      gridBuckets: Int = 8): DataFrame =
+    ingest(api, "candles", start, end, outPath, gridBuckets)
 }

@@ -65,4 +65,25 @@ class BatchIngestSpec extends SparkSpec {
     BatchIngest.ingestCandles(api, "1996-06-01", "1997-06-01", out, gridBuckets = 1)
     assert(spark.read.parquet(out).count() == refCount) // no duplication, no loss
   }
+
+  test("grid ingest handles the trades route (P4 enum projection end to end)") {
+    import org.apache.spark.sql.functions.{struct => st}
+    import spark.implicits._
+    val api = Seq(
+      ("FIGI1", "1996-02-01 10:00:00", 100L, 250000000, 5L, 1),
+      ("FIGI1", "1996-02-01 11:00:00", 101L, 0, 3L, 2))
+      .toDF("figi", "time", "units", "nano", "quantity", "direction")
+      .select($"figi", $"time",
+        st($"units", $"nano").as("price"), $"quantity", $"direction")
+    val t = BatchIngest.ingest(api, "trades", "1996-01-01", "1996-12-31",
+      fresh("/tmp/graft_test_grid_trades/trades"), gridBuckets = 1)
+    val rows = t.orderBy("timestamp").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("side") == "buy" && rows(0).getAs[Double]("price") == 100.25)
+    assert(rows(1).getAs[String]("side") == "sell" && rows(1).getAs[Double]("price") == 101.0)
+    intercept[IllegalArgumentException] {
+      BatchIngest.ingest(api, "companies", "1996-01-01", "1996-12-31", "/tmp/x")
+    }
+    ()
+  }
 }
