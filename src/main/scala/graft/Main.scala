@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
   *   ingest <route> <apiParquet> <outPath> <start> <end>  — E1 batch grid
   *     ingest (route = candles | trades | order_book): read API-shaped
   *     records, write window-partitioned parquet (see [[ingest.BatchIngest]])
+  *   stream <srcDir> <tablesDir> <ckptDir> [follow] — checkpointed streaming
+  *     consumer (E2): drain available frames once, or follow continuously
   *   query <name> [sfDir]  — run one registered query and print it
   *   sql <statement> [sfDir] — register the testdata tables as views and run
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
@@ -36,6 +38,14 @@ object Main {
           org.apache.spark.sql.functions.col("timestamp") < end).count()
       println(s"[graft] ingested $n $route records in [$start, $end) -> $out (table total ${written.count()})")
       spark.stop()
+    case "stream" :: src :: tables :: ckpt :: rest =>
+      val spark = session()
+      // drain-once by default (replayable batch catch-up); pass "follow" to
+      // keep consuming micro-batches until killed
+      val follow = rest.contains("follow")
+      val q = streaming.StreamIngest.start(spark, src, tables, ckpt, availableNow = !follow)
+      q.awaitTermination()
+      spark.stop()
     case "query" :: name :: rest if SparkEntry.queries.contains(name) =>
       val spark = session()
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -60,6 +70,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: graft ingest <candles|trades|order_book> <apiParquet> <outPath> <start> <end>\n" +
+          "       graft stream <srcDir> <tablesDir> <ckptDir> [follow]\n" +
           "       graft query <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
           "       graft list\n" +
