@@ -109,7 +109,9 @@ object Ingest {
     Schemas.msgSchema.map { case (t, schema) =>
       val typed = parsed.where(col("route") === t)
         .select(schema.fields.map(f =>
-          col("m").getField(f.name).cast(f.dataType).as(f.name)): _*)
+          // try_cast, NOT cast: ANSI mode (Spark 4 default) makes a plain
+          // cast THROW on malformed numerics — drop-on-invalid requires null
+          col("m").getField(f.name).try_cast(f.dataType).as(f.name)): _*)
       val required = Schemas.required(t).map(col(_).isNotNull).reduce(_ && _)
       val validated = typed.where(required)
       t -> (if (Schemas.timestamped(t))
@@ -144,7 +146,7 @@ object Ingest {
     val keep = Schemas.msgSchema.foldLeft(when(lit(false), lit(false))) {
       case (acc, (t, schema)) =>
         val req = Schemas.required(t).map { f =>
-          col("m").getField(f).cast(schema(f).dataType).isNotNull
+          col("m").getField(f).try_cast(schema(f).dataType).isNotNull
         }.reduce(_ && _)
         val tsOk = if (Schemas.timestamped(t)) tsParsed.isNotNull else lit(true)
         acc.when(col("route") === t, req && tsOk)
