@@ -91,7 +91,7 @@ object IngestPack extends QueryPack {
   def candlesE2e(s: SparkSession, dir: String): DataFrame = {
     val candles = Ingest.demux(allMessages(s, dir))("candles")
     candles
-      .groupBy(pmod(substring(col("company_id"), 5, 18).cast("long"), lit(10)).as("bucket"))
+      .groupBy(pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(10)).as("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),
         sum(col("close").cast("decimal(12,2)")).cast("double").as("sum_close"),
@@ -239,7 +239,7 @@ object IngestPack extends QueryPack {
   def orderBookE2e(s: SparkSession, dir: String): DataFrame = {
     val wire = Normalize.serialize(Normalize.projectOrderBook(apiBooks(s, dir)))
     Ingest.demux(wire)("order_book")
-      .groupBy(pmod(substring(col("company_id"), 5, 18).cast("long"), lit(8)).as("bucket"))
+      .groupBy(pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(8)).as("bucket"))
       .agg(
         count(lit(1)).as("n_snapshots"),
         sum(col("bid_price").cast("decimal(18,9)")).cast("double").as("sum_bid"),
@@ -330,7 +330,7 @@ object IngestPack extends QueryPack {
     table
       .where(col("window") >= lit("1996-01-01").cast("date") &&
         col("window") < lit("1997-01-20").cast("date"))
-      .groupBy(pmod(substring(col("company_id"), 5, 18).cast("long"), lit(10)).as("bucket"))
+      .groupBy(pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(10)).as("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),
         sum(col("close").cast("decimal(18,9)")).cast("double").as("sum_close"),
