@@ -33,6 +33,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(103L) == Some(20.0)) // keys don't leak across figi
   }
 
+  test("as-of join matches by row: a matched null value does not fall through") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 200L),  // latest match has null value
+      (1L, ts("2024-01-01 08:00:00"), 201L))  // before everything
+      .toDF("figi", "ts", "trade_id")
+    val right = Seq(
+      (1L, Some(ts("2024-01-01 09:00:00")), Some(10.0)),
+      (1L, Some(ts("2024-01-01 10:00:00")), None),        // matched row, null value
+      (1L, None, Some(99.0)))                             // null ts → dropped
+      .toDF("figi", "ts", "quote")
+    val out = Asof.joinLatest(left, right, "figi", "ts", "ts", "quote")
+      .select("trade_id", "quote_asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(200L) == None) // the 10:00 row matched; its null value is the answer
+    assert(out(201L) == None) // null-ts right row must not leak a pre-time match
+  }
+
   test("snapshot cadence keeps exactly the latest update per bucket") {
     val updates = Seq(
       (1L, ts("2024-01-01 10:01:00"), 1L, 5.0),
