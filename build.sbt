@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a full bench run keeps every query's cached relations and
+  // shuffle buffers in one JVM; at 8g the alphabetically-late queries ran
+  // inside GC churn (observed: an 1s aggregate timed at 11s mid-bench).
+  // The sandbox has 128 GiB; a real cluster sizes executor memory likewise.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Catalyst codegen emits one Janino class per plan fragment; a full bench
   // run over every query overflows the default 240m JIT code cache, after
   // which HotSpot stops compiling and later queries run interpreted

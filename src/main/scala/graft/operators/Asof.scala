@@ -37,6 +37,15 @@ object Asof {
       leftTs: String,
       rightTs: String,
       valueCol: String): DataFrame = {
+    // The union tags both sides with fixed working columns; a left frame
+    // already carrying one (e.g. a second joinLatest chained with the SAME
+    // valueCol) would be silently overwritten by withColumn and dropped —
+    // fail loudly instead of corrupting user columns.
+    val reserved = Seq("_asof_side", "_asof_ts", "_asof_row", s"${valueCol}_asof")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"joinLatest: left input already contains reserved column(s) ${clash.mkString(", ")} — " +
+        s"rename them first (alias a prior joinLatest's ${valueCol}_asof away before chaining)")
     val l = left
       .withColumn("_asof_side", lit(1))
       .withColumn("_asof_ts", col(leftTs))

@@ -66,6 +66,39 @@ class BatchIngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == refCount) // no duplication, no loss
   }
 
+  test("a partial-source run preserves boundary-window rows outside its range") {
+    import org.apache.spark.sql.functions.{struct => st}
+    import spark.implicits._
+    def apiOf(rows: (String, String)*) = rows.toSeq
+      .toDF("figi", "time")
+      .select($"figi", $"time",
+        st(lit(10L).as("units"), lit(0).as("nano")).as("open"),
+        st(lit(11L).as("units"), lit(0).as("nano")).as("high"),
+        st(lit(9L).as("units"), lit(0).as("nano")).as("low"),
+        st(lit(10L).as("units"), lit(0).as("nano")).as("close"),
+        lit(1L).as("volume"))
+    val out = fresh("/tmp/graft_test_grid_partial/candles")
+    // the epoch-anchored window [1996-01-15, 1996-02-14) straddles Feb 1
+    // run 1: January range, January rows
+    BatchIngest.ingestCandles(
+      apiOf("FIGI1" -> "1996-01-20 10:00:00", "FIGI1" -> "1996-01-25 10:00:00"),
+      "1996-01-01", "1996-02-01", out, gridBuckets = 1)
+    // run 2: February range fed by a FEBRUARY-ONLY source — it overwrites
+    // the straddling window and must carry run 1's late-January rows through
+    BatchIngest.ingestCandles(
+      apiOf("FIGI1" -> "1996-02-05 10:00:00"),
+      "1996-02-01", "1996-03-01", out, gridBuckets = 1)
+    val days = spark.read.parquet(out)
+      .select(date_format(col("timestamp"), "yyyy-MM-dd").as("d"))
+      .as[String].collect().sorted.toSeq
+    assert(days == Seq("1996-01-20", "1996-01-25", "1996-02-05"))
+    // and a run's source rows OUTSIDE its requested range are not written
+    BatchIngest.ingestCandles(
+      apiOf("FIGI1" -> "1996-02-05 10:00:00", "FIGI1" -> "1996-03-05 10:00:00"),
+      "1996-02-01", "1996-03-01", out, gridBuckets = 1)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("grid ingest handles the trades route (P4 enum projection end to end)") {
     import org.apache.spark.sql.functions.{struct => st}
     import spark.implicits._

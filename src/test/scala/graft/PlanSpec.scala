@@ -37,7 +37,9 @@ class PlanSpec extends SparkSpec {
 
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "ingest_grid_candles") // performs its ingest on construction
+      // first construction per dir materializes the grid table (memoized
+      // in IngestPack) — skip the write here, the plan is a plain agg scan
+      .filterNot(_ == "ingest_grid_candles")
       .foreach { q =>
         assert(count(plan(q), "CartesianProduct") == 0, s"$q has a cartesian product")
       }
