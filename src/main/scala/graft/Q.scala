@@ -29,6 +29,27 @@ object Tables {
   import org.apache.spark.sql.functions.{expr, timestamp_micros}
   import org.apache.spark.sql.types.LongType
 
+  /** [[load]] + round-robin spread across the session's shuffle parallelism.
+    *
+    * The local testdata parquet ships ONE row group per table, and a parquet
+    * split only yields rows when a row group's midpoint falls inside it — so
+    * every scan stage over these files runs as a single task no matter how
+    * `maxPartitionBytes` is tuned, serializing any per-row-expensive pipeline
+    * (JSON wire parse, shingling/hashing UDFs, embedding kernels) onto one
+    * core. Spreading first costs one narrow exchange of the raw rows and buys
+    * full-cluster map parallelism; use it when downstream per-row work
+    * dominates the exchange, and plain [[load]] when a scan-adjacent partial
+    * aggregate is the whole query. On a production table (many row groups,
+    * bucketed layout) the reader gets this parallelism from the file splits
+    * and `spread` would be a needless shuffle — it compensates for input
+    * layout, it does not change semantics (round-robin is retry-deterministic:
+    * Spark local-sorts each partition before dealing).
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    load(spark, dir, name).repartition(n)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by

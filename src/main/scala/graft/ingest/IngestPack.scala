@@ -19,7 +19,7 @@ object IngestPack extends QueryPack {
     * l_linenumber = 4 → close omitted       (F2 drop; json drops null fields)
     */
   private def candleMessages(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    val li = Tables.loadSpread(s, dir, "lineitem")
     val flat = li.select(
       concat(lit("FIGI"), col("l_partkey")).as("company_id"),
       when(col("l_linenumber") === 3, lit("not-a-timestamp"))
@@ -34,7 +34,7 @@ object IngestPack extends QueryPack {
   }
 
   private def tradeMessages(s: SparkSession, dir: String): DataFrame =
-    Normalize.serialize(Tables.load(s, dir, "orders").select(
+    Normalize.serialize(Tables.loadSpread(s, dir, "orders").select(
       concat(lit("FIGI"), col("o_custkey")).as("company_id"),
       date_format(col("o_orderdate"), Schemas.TsFormat).as("timestamp"),
       col("o_totalprice").as("price"),
@@ -42,7 +42,7 @@ object IngestPack extends QueryPack {
       when(col("o_orderkey") % 2 === 0, "buy").otherwise("sell").as("side")))
 
   private def bookMessages(s: SparkSession, dir: String): DataFrame =
-    Normalize.serialize(Tables.load(s, dir, "customer").select(
+    Normalize.serialize(Tables.loadSpread(s, dir, "customer").select(
       concat(lit("FIGI"), col("c_custkey")).as("company_id"),
       lit("2024-01-01 00:00:00").as("timestamp"),
       col("c_acctbal").as("bid_price"),
@@ -51,7 +51,7 @@ object IngestPack extends QueryPack {
       (col("c_custkey") + lit(1L)).as("ask_volume")))
 
   private def companyMessages(s: SparkSession, dir: String): DataFrame =
-    Normalize.serialize(Tables.load(s, dir, "part").select(
+    Normalize.serialize(Tables.loadSpread(s, dir, "part").select(
       concat(lit("FIGI"), col("p_partkey")).as("company_id"),
       col("p_name").as("name"),
       col("p_brand").as("ticker"),
@@ -295,7 +295,7 @@ object IngestPack extends QueryPack {
     * double price).
     */
   private[graft] def apiCandles(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    val li = Tables.loadSpread(s, dir, "lineitem")
     def q(u: Column, n: Column): Column =
       struct(u.cast("long").as("units"), n.cast("int").as("nano"))
     li.select(

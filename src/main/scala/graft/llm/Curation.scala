@@ -45,7 +45,7 @@ object Curation extends QueryPack {
     * hash) → per-(source, lang) accounting of what survives.
     */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val scored = docs
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         size(TextStats.tokensCol).as("n_tokens"),

@@ -91,7 +91,7 @@ object Dedup extends QueryPack {
     * hash aggregate keyed by (source, hash).
     */
   def exact(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     docs.select(col("source"), contentHash.as("h"))
       .groupBy("source")
       .agg(
@@ -142,7 +142,7 @@ object Dedup extends QueryPack {
     * materialize.
     */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val inv = invIndex(Tables.load(s, dir, "documents"))
+    val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // shuffle-hash (not broadcast) → both sides hash-partition on shingle
     // with identical subplans → ReusedExchange computes the index ONCE
@@ -307,7 +307,7 @@ object Dedup extends QueryPack {
     * pair join for ALL co-shingled pairs, defeating the bucketing).
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
-    val inv  = invIndex(Tables.load(s, dir, "documents"))
+    val inv  = invIndex(Tables.loadSpread(s, dir, "documents"))
     val sigs = signatures(inv)
     // bands as ONE exploded band-key relation → a single self-join;
     // per-band joins would recompute the signature aggregation once per band
@@ -366,7 +366,7 @@ object Dedup extends QueryPack {
     * (pigeonhole ⇒ complete for Hamming ≤ 3), verified by exact popcount.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val sk = simhashSketch(docs)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c => col(s"chunk$c")): _*))

@@ -57,7 +57,9 @@ object Similarity extends QueryPack {
     val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.orderBy("vec_id").limit(NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val scored = emb.crossJoin(broadcast(queries))
+    // corpus side spread: the testdata parquet is one unsplittable row
+    // group, which would run all NumQueries cosines per row on one core
+    val scored = Tables.loadSpread(s, dir, "embeddings").crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -146,7 +148,7 @@ object Similarity extends QueryPack {
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val corpusBuckets = emb.select(
+    val corpusBuckets = Tables.loadSpread(s, dir, "embeddings").select(
       col("vec_id"), col("embedding"),
       posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
     val queryBuckets = emb.orderBy("vec_id").limit(NumQueries)
@@ -183,7 +185,7 @@ object Similarity extends QueryPack {
     */
   def embCosDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val buckets = emb.select(
+    val buckets = Tables.loadSpread(s, dir, "embeddings").select(
       col("vec_id"),
       posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
     val cand = buckets.as("x").hint("shuffle_hash")
@@ -354,8 +356,9 @@ object Similarity extends QueryPack {
     // cache entry per dataset (no per-invocation leak, unlike
     // localCheckpoint) and the entry recomputes after executor loss. A
     // production deployment persists the index to a table instead.
-    val centsRow = ivfIndex(emb).cache()
-    val corpus = emb.crossJoin(broadcast(centsRow))
+    val spread = Tables.loadSpread(s, dir, "embeddings")
+    val centsRow = ivfIndex(spread).cache()
+    val corpus = spread.crossJoin(broadcast(centsRow))
       .select(col("vec_id"), col("embedding"),
         bestCellUdf(col("embedding"), col("cmat")).as("cell"))
     val probes = emb.orderBy("vec_id").limit(NumQueries)
@@ -376,7 +379,7 @@ object Similarity extends QueryPack {
     * values (decimal accumulation ⇒ row-order-independent exact sums).
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("label"), col("dim"),
         round(col("v").cast("double"), 6).cast("decimal(18,6)").as("v6"))

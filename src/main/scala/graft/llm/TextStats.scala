@@ -46,7 +46,7 @@ object TextStats extends QueryPack {
     * vocabulary, mean tokens/doc.
     */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     docs.select(col("lang"), col("doc_id"), explode(tokensCol).as("token"))
       .groupBy("lang")
       .agg(
@@ -70,7 +70,7 @@ object TextStats extends QueryPack {
     * score is engine-independent).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     docs
       .select(col("doc_id"), col("source"), col("n_chars"), tokensCol.as("tokens"))
       .select(
@@ -114,7 +114,7 @@ object TextStats extends QueryPack {
     * labelled `lang` column → confusion counts.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     docs
       .select(col("lang"), col("doc_id"), tokensCol.as("tokens"))
       .select(
@@ -144,7 +144,7 @@ object TextStats extends QueryPack {
     * across engines reduces to comparing these two columns.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     docs.select(
       col("doc_id"),
       expr("aggregate(split(text, ''), 0L, (h, c) -> (h * 131 + ascii(c)) % 1000000007)")
@@ -172,7 +172,7 @@ object TextStats extends QueryPack {
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
 
   def bpeTokens(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     docs
       .select(
         col("lang"),
