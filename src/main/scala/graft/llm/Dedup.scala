@@ -385,9 +385,73 @@ object Dedup extends QueryPack {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  // ---------------------------------------------------------------------------
+  // Near-dup clusters (connected components)
+  // ---------------------------------------------------------------------------
+
+  /** Near-duplicate CLUSTERS: connected components of the exact-Jaccard
+    * (J ≥ 0.5) pair graph, each doc labeled with its component's minimum
+    * doc_id (the canonical representative a curation pipeline keeps).
+    *
+    * Distributed min-label propagation: every doc starts as its own label;
+    * each round unions the edge-propagated labels with the previous ones
+    * (which carry themselves along as `old`) and keeps the per-doc minimum —
+    * so the new label AND the change flag come out of ONE aggregation, and
+    * the round costs exactly one job (the changed-row COUNT that also
+    * materializes the round's cache; no data ever collects to the driver).
+    * Rounds needed = graph diameter; near-dup graphs are overwhelmingly tiny
+    * cliques/chains, so this converges in a handful of rounds — at genuinely
+    * web-scale diameters the same loop takes the alternating large-star/
+    * small-star edge rewrite to O(log n) rounds, which plugs in here without
+    * changing the contract. Each round's labels are cache()d and the
+    * previous round's unpersisted, keeping lineage shallow and state
+    * bounded by |V|.
+    */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = adj.select(col("src").as("doc")).distinct()
+      .withColumn("comp", col("doc")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val viaEdges = adj.join(labels, adj("dst") === labels("doc"))
+        .select(adj("src").as("doc"), col("comp"), lit(null).cast("long").as("old"))
+      val own = labels.select(col("doc"), col("comp"), col("comp").as("old"))
+      // min(old) ignores the nulls from viaEdges → each doc's previous label
+      val next = own.union(viaEdges)
+        .groupBy("doc").agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+        .cache()
+      changed = next.where(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("comp").as("canon_id"))
+  }
+
+  /** components oracle: same pair graph, transitive closure via a recursive
+    * CTE (UNION-dedup guarantees termination), min reachable id per doc.
+    */
+  private val componentsSql =
+    s"""WITH RECURSIVE $shCte,
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |  WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.5),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |      UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(doc, comp) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.doc)
+      |SELECT doc AS doc_id, min(comp) AS canon_id FROM reach GROUP BY doc""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
-    Q("dedup_simhash", simhash, None))
+    Q("dedup_simhash", simhash, None),
+    Q("dedup_components", components, Some(componentsSql)))
 }

@@ -198,10 +198,89 @@ object TextStats extends QueryPack {
       |       CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS bpe_per_word
       |FROM t GROUP BY lang""".stripMargin
 
+  /** BM25 parameter k1; the idf is the RATIONAL Robertson form
+    * (N - df + 0.5)/(df + 0.5) rather than its logarithm: log differs in the
+    * last ulp between libm implementations, while +,-,*,/ on doubles are
+    * IEEE-exact in every engine — so scores (and the ranking) are
+    * bit-identical in Spark and DuckDB with no rounding games.
+    */
+  val Bm25K1 = 1.2
+  val TopTerms = 3
+
+  /** Per-document top-[[TopTerms]] terms by BM25-lite score (saturating tf ×
+    * rational idf), ties → term ascending. The tf/df relations are two hash
+    * aggregates off one tokenize pass; N arrives as a broadcast 1-row
+    * aggregate (never `.collect()`ed); ranking is a per-doc window over at
+    * most |distinct terms in doc| rows.
+    */
+  def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokensCol).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nRel = docs.agg(count(lit(1)).as("n_total"))
+    val score =
+      (col("tf") * lit(Bm25K1 + 1) / (col("tf") + lit(Bm25K1))) *
+        ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfRel, "term")
+      .crossJoin(broadcast(nRel))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopTerms)
+      .select(col("doc_id"), col("term"), col("rank"),
+        round(col("score"), 6).as("bm25"))
+  }
+
+  private val bm25TopSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_total FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |         (tf * ${Bm25K1 + 1} / (tf + $Bm25K1))
+      |           * ((n_total - df + 0.5) / (df + 0.5)) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, rank, round(score, 6) AS bm25
+      |FROM ranked WHERE rank <= $TopTerms""".stripMargin
+
+  /** Corpus vocabulary induction: the [[VocabSize]] most frequent tokens
+    * (ties → token ascending) with document frequencies — the first step of
+    * building a tokenizer vocabulary. One tokenize pass, one (term) hash
+    * aggregate, then a distributed TakeOrdered — no single-partition window.
+    */
+  val VocabSize = 100
+
+  def vocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs.select(col("doc_id"), explode(tokensCol).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(VocabSize)
+  }
+
+  private val vocabTopKSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+      |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM toks GROUP BY term
+      |ORDER BY tf DESC, term LIMIT $VocabSize""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
     Q("text_lang_id", langId, Some(langIdSql)),
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    Q("text_bm25_top", bm25Top, Some(bm25TopSql)),
+    Q("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     Q("doc_fingerprint", fingerprint, Some(fingerprintSql)))
 }

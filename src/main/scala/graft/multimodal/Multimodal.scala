@@ -145,8 +145,54 @@ object Multimodal extends QueryPack {
       |       CAST(sum((octet_length(encode(text)) + 3) // 4) AS BIGINT) AS total_resized_bytes
       |FROM documents GROUP BY 1""".stripMargin
 
+  case class Frame(media_id: Long, frame_idx: Long, frame_bytes: Long)
+
+  /** Partition-local frame sampling: video blobs → one row per
+    * [[StubCodec.FrameStride]]-byte frame. A flatMap directly over the scan
+    * partitions (mapInPandas-shaped, like [[decodeFeatures]]): blobs never
+    * shuffle — only (id, idx, len) scalars leave the stage. A real video
+    * codec replaces the byte-chunking body only; the fan-out shape, schema
+    * and partitioning are what production keeps.
+    */
+  def sampleFrames(records: Dataset[MediaRecord]): Dataset[Frame] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      if (r.kind != "video") Iterator.empty
+      else
+        r.content.grouped(StubCodec.FrameStride).zipWithIndex.map {
+          case (chunk, i) => Frame(r.media_id, i.toLong, chunk.length.toLong)
+        }
+    }
+  }
+
+  /** Frame-sample pipeline with an oracle: the engine REALLY chunks the
+    * blobs on the scan partitions; the oracle recomputes every frame's
+    * (index, length) from the source byte lengths alone.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = attachBinary(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
+    sampleFrames(recs).toDF()
+  }
+
+  private val frameSampleSql = {
+    val fs = StubCodec.FrameStride
+    s"""WITH v AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id AS media_id,
+      |         unnest([{'idx': CAST(fi AS BIGINT),
+      |                  'fb': least(CAST($fs AS BIGINT), n - fi * $fs)}
+      |                 for fi in range(0, CAST(ceil(n / $fs.0) AS BIGINT))]) AS u
+      |  FROM v)
+      |SELECT media_id, u.idx AS frame_idx, u.fb AS frame_bytes FROM f""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Q("mm_decode_stats", decodeStats, None),
-    Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)))
+    Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
+    Q("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

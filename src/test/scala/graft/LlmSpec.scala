@@ -37,6 +37,43 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) <= 3))
   }
 
+  test("dedup_components labels every paired doc with its cluster minimum") {
+    import org.apache.spark.sql.Row
+    // planted graph: chain a-b-c (transitive closure) + isolated pair d-e
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s1", 35L),
+      (2L, "alpha beta gamma delta epsilon eta", "en", "s1", 34L),  // ~ doc 1
+      (3L, "beta gamma delta epsilon eta theta", "en", "s1", 34L),  // ~ doc 2
+      (10L, "one two three four five six seven", "en", "s1", 33L),
+      (11L, "one two three four five six eight", "en", "s1", 33L), // ~ doc 10
+      (20L, "completely unrelated content here now", "en", "s1", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_cc/documents.parquet")
+    val labels = graft.llm.Dedup.components(spark, "/tmp/graft_test_cc")
+      .collect().map { case Row(d: Long, c: Long) => d -> c }.toMap
+    // chain 1-2, 2-3 must transitively share canon 1 even if (1,3) is no pair
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(!labels.contains(20L)) // isolated docs have no cluster row
+  }
+
+  test("text_bm25_top ranks at most TopTerms per doc, rare terms above common") {
+    val out = TextStats.bm25Top(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(rs => rs.length <= TextStats.TopTerms))
+    assert(perDoc.values.forall(rs => rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)))
+    assert(out.forall(_.getDouble(3) >= 0.0))
+  }
+
+  test("vocab_topk returns the highest-frequency tokens with a total order") {
+    val out = TextStats.vocabTopK(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= TextStats.VocabSize)
+    val tfs = out.map(_.getLong(1))
+    assert(tfs.sameElements(tfs.sortBy(-_: Long)), "rows arrive tf-descending")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "df <= tf")
+  }
+
   test("ann brute-force top-k is exact and self-excluding") {
     val out = Similarity.bruteForceTopK(spark, sfDir)
     val rows = out.collect()

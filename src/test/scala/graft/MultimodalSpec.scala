@@ -37,6 +37,21 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(_.kind == "video").forall(_.frames_sampled >= 1))
   }
 
+  test("sampleFrames chunks video blobs shuffle-free, byte-exactly") {
+    val recs = Seq(
+      MediaRecord(1L, "video", Array.tabulate(150)(_.toByte)), // 2 full + 22 tail
+      MediaRecord(2L, "image", Array.tabulate(200)(_.toByte)), // skipped
+      MediaRecord(3L, "video", Array.empty[Byte])).toDS()      // no frames
+    val out = Multimodal.sampleFrames(recs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must be shuffle-free:\n$plan")
+    val frames = out.collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.forall(_.media_id == 1L))
+    assert(frames.map(_.frame_bytes).sum == 150L)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.last.frame_bytes == 150L % StubCodec.FrameStride)
+  }
+
   test("binary attach exposes typed metadata over the real corpus") {
     val meta = Multimodal.binaryMeta(spark, sfDir).collect()
     assert(meta.length == 500)
