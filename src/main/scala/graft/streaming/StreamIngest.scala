@@ -115,6 +115,22 @@ object StreamIngest {
         col("side"), col("b_ts"), col("bid_price"), col("ask_price"))
   }
 
+  /** Streaming exact deduplication: the reference's at-least-once delivery
+    * keeps redelivered rows (`from_rabbitmq_to_clickhouse.py:172-173`); here
+    * replayed records collapse via `dropDuplicatesWithinWatermark` on the
+    * full record identity. Within-watermark, not plain `dropDuplicates`, on
+    * purpose: the dedup state evicts once the watermark passes a key, so
+    * state is bounded by the lateness horizon — the only formulation that
+    * survives an unbounded stream (plain dropDuplicates grows state with
+    * every distinct key forever). A redelivery later than the watermark
+    * re-emits — the at-least-once floor every bounded-state system shares.
+    */
+  def dedupedTrades(trades: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    trades
+      .withWatermark("timestamp", lateness)
+      .dropDuplicatesWithinWatermark(
+        "company_id", "timestamp", "price", "volume", "side")
+
   // ---------------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState)
   // ---------------------------------------------------------------------------

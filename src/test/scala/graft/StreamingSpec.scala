@@ -86,6 +86,26 @@ class StreamingSpec extends SparkSpec {
       r.getDouble(4) == 9.0 && r.getDouble(5) == 9.0 && r.getLong(6) == 10L)
   }
 
+  test("streaming dedup collapses redeliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double, Long, String)]
+    val df = mem.toDF().toDF("company_id", "timestamp", "price", "volume", "side")
+    val q = StreamIngest.dedupedTrades(df)
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    mem.addData(
+      ("F1", t0, 10.5, 3L, "buy"),
+      ("F1", t0, 10.5, 3L, "buy"))                   // same-batch duplicate
+    q.processAllAvailable()
+    mem.addData(("F1", t0, 10.5, 3L, "buy"))         // redelivery next batch
+    mem.addData(("F1", t0, 11.0, 3L, "buy"))         // different price → kept
+    q.processAllAvailable()
+    val rows = spark.table("deduped").collect()
+    q.stop()
+    assert(rows.length == 2, rows.mkString(", "))
+    assert(rows.map(_.getDouble(2)).sorted.toSeq == Seq(10.5, 11.0))
+  }
+
   test("stream-stream interval join matches trades to in-window book snapshots only") {
     implicit val sqlCtx = spark.sqlContext
     val tmem = MemoryStream[(String, Timestamp, Double, Long, String)]
