@@ -403,16 +403,23 @@ object Dedup extends QueryPack {
     * cliques/chains, so this converges in a handful of rounds — at genuinely
     * web-scale diameters the same loop takes the alternating large-star/
     * small-star edge rewrite to O(log n) rounds, which plugs in here without
-    * changing the contract. Each round's labels are cache()d and the
-    * previous round's unpersisted, keeping lineage shallow and state
-    * bounded by |V|.
+    * changing the contract.
+    *
+    * Each round's labels are `localCheckpoint`ed — deliberately NOT
+    * `cache()` (the library rule for shared subplans): each round references
+    * the previous round's frame TWICE (own labels + edge join), so retained
+    * lineage doubles per round and Catalyst re-optimizes an exponentially
+    * growing tree even though caches shield execution (measured: a 3752-
+    * exchange plan text after convergence). Checkpointing truncates the plan
+    * to a LogicalRDD leaf per round — bounded analysis cost, bounded state,
+    * one RDD per round released with the loop.
     */
   def components(s: SparkSession, dir: String): DataFrame = {
     val pairs = jaccard(s, dir).select(col("doc_a"), col("doc_b"))
     val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = adj.select(col("src").as("doc")).distinct()
-      .withColumn("comp", col("doc")).cache()
+      .withColumn("comp", col("doc")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -422,9 +429,9 @@ object Dedup extends QueryPack {
       // min(old) ignores the nulls from viaEdges → each doc's previous label
       val next = own.union(viaEdges)
         .groupBy("doc").agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
-        .cache()
+        .localCheckpoint(eager = false)
+      // one job per round: the changed count materializes the checkpoint
       changed = next.where(col("comp") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
