@@ -348,11 +348,105 @@ object Analytics extends QueryPack {
       |       count(*) AS n_trades
       |FROM o GROUP BY company_id, month""".stripMargin
 
+  /** A5 — VWAP/TWAP per (instrument, month) over the tick-trade stream
+    * ([[candleResample]]'s derivation). Both numerators accumulate in
+    * DECIMAL (exact, order-independent); the final quotients are raw double
+    * divisions of exactly-determined operands — deterministic in any engine,
+    * no rounding. One shuffle on the grouping key, map-side partials.
+    */
+  def vwap(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val trades = li.select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+      expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+      col("l_extendedprice").as("price"),
+      col("l_quantity").cast("long").as("volume"))
+    trades
+      .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(col("volume")).as("sum_volume"),
+        (sum(col("price").cast("decimal(12,2)") * col("volume")).cast("double") /
+          sum(col("volume")).cast("double")).as("vwap"),
+        (sum(col("price").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("twap"))
+  }
+
+  private val vwapSql =
+    """WITH t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         strftime(l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND, '%Y-%m') AS month,
+      |         l_extendedprice AS price,
+      |         CAST(l_quantity AS BIGINT) AS volume
+      |  FROM lineitem)
+      |SELECT company_id, month, count(*) AS n_trades,
+      |       CAST(sum(volume) AS BIGINT) AS sum_volume,
+      |       CAST(sum(CAST(price AS DECIMAL(12,2)) * volume) AS DOUBLE)
+      |         / CAST(sum(volume) AS DOUBLE) AS vwap,
+      |       CAST(sum(CAST(price AS DECIMAL(12,2))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS twap
+      |FROM t GROUP BY company_id, month""".stripMargin
+
+  /** A6 — top-of-book liquidity per instrument bucket over the normalized
+    * order-book snapshots (the REAL P5 projection over API-shaped depth-3
+    * books, no wire round trip). Per-row spread/mid are deterministic double
+    * arithmetic; group stats stick to order-independent aggregates — min/max
+    * for doubles, exact integer sums for volumes — and the imbalance is a
+    * raw quotient of exact longs. No double is ever summed.
+    */
+  def bookLiquidity(s: SparkSession, dir: String): DataFrame = {
+    val books = graft.ingest.Normalize.projectOrderBook(
+      graft.ingest.IngestPack.apiBooks(s, dir))
+    books
+      .select(
+        pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(8)).as("bucket"),
+        (col("ask_price") - col("bid_price")).as("spread"),
+        ((col("bid_price") + col("ask_price")) / 2).as("mid"),
+        col("bid_volume"), col("ask_volume"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_quotes"),
+        min(col("spread")).as("min_spread"),
+        max(col("spread")).as("max_spread"),
+        min(col("mid")).as("min_mid"),
+        max(col("mid")).as("max_mid"),
+        sum(col("bid_volume")).as("sum_bid_vol"),
+        sum(col("ask_volume")).as("sum_ask_vol"),
+        ((sum(col("bid_volume")) - sum(col("ask_volume"))).cast("double") /
+          (sum(col("bid_volume")) + sum(col("ask_volume"))).cast("double"))
+          .as("book_imbalance"))
+  }
+
+  private val bookLiquiditySql =
+    """WITH b AS (
+      |  SELECT c_custkey % 8 AS bucket,
+      |         (CAST(c_custkey % 500 + 101 AS DOUBLE)
+      |            + CAST((c_custkey * 37) % 1000000000 AS DOUBLE) / 1e9)
+      |         - (CAST(c_custkey % 500 + 100 AS DOUBLE)
+      |            + CAST((c_custkey * 31) % 1000000000 AS DOUBLE) / 1e9) AS spread,
+      |         ((CAST(c_custkey % 500 + 100 AS DOUBLE)
+      |            + CAST((c_custkey * 31) % 1000000000 AS DOUBLE) / 1e9)
+      |          + (CAST(c_custkey % 500 + 101 AS DOUBLE)
+      |            + CAST((c_custkey * 37) % 1000000000 AS DOUBLE) / 1e9)) / 2 AS mid,
+      |         c_custkey % 50 + 1 AS bid_volume,
+      |         c_custkey % 60 + 1 AS ask_volume
+      |  FROM customer)
+      |SELECT bucket, count(*) AS n_quotes,
+      |       min(spread) AS min_spread, max(spread) AS max_spread,
+      |       min(mid) AS min_mid, max(mid) AS max_mid,
+      |       CAST(sum(bid_volume) AS BIGINT) AS sum_bid_vol,
+      |       CAST(sum(ask_volume) AS BIGINT) AS sum_ask_vol,
+      |       CAST(sum(bid_volume) - sum(ask_volume) AS DOUBLE)
+      |         / CAST(sum(bid_volume) + sum(ask_volume) AS DOUBLE) AS book_imbalance
+      |FROM b GROUP BY bucket""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
     Q("a3_predictability", predictability, Some(predictabilitySql)),
     Q("a4_imbalance", imbalance, Some(imbalanceSql)),
+    Q("a5_vwap", vwap, Some(vwapSql)),
+    Q("a6_book_liquidity", bookLiquidity, Some(bookLiquiditySql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
     Q("candle_resample", candleResample, Some(candleResampleSql)))
 }

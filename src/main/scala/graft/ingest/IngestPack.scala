@@ -214,7 +214,7 @@ object IngestPack extends QueryPack {
     * levels carry different values than level 1, so a wrong array index
     * (P5 must take element 1 = best) cannot hash-match.
     */
-  private def apiBooks(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def apiBooks(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
     def q(u: Column, n: Column): Column =
       struct(u.cast("long").as("units"), n.cast("int").as("nano"))

@@ -46,6 +46,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(2) || math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("A5 vwap sits inside each group's price range; twap likewise") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val bounds = li
+      .groupBy(concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"))
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+    val rows = graft.analytics.Analytics.vwap(spark, sfDir)
+      .join(bounds, "company_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vwap, twap) = (r.getAs[Double]("vwap"), r.getAs[Double]("twap"))
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(vwap >= lo - 1e-6 && vwap <= hi + 1e-6, s"vwap $vwap outside [$lo,$hi]")
+      assert(twap >= lo - 1e-6 && twap <= hi + 1e-6)
+    }
+  }
+
+  test("A6 book liquidity: ask above bid everywhere, imbalance bounded") {
+    val rows = graft.analytics.Analytics.bookLiquidity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_spread") > 0.0, "ask must sit above bid")
+      assert(math.abs(r.getAs[Double]("book_imbalance")) <= 1.0)
+      assert(r.getAs[Double]("min_mid") <= r.getAs[Double]("max_mid"))
+    }
+  }
+
   test("A2 trade impact splits on the p90 quantity threshold") {
     val out = Analytics.tradeImpact(spark, sfDir).collect()
     val flags = out.map(_.getBoolean(3)).toSet
