@@ -23,7 +23,12 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // native expressions reachable from SQL text (`sql` subcommand)
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .getOrCreate()
+    // getOrCreate may return a pre-existing session (tests, REPL) whose
+    // build-time extensions differ — register post-hoc, idempotently
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

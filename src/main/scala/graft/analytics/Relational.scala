@@ -274,6 +274,42 @@ object Relational extends QueryPack {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv >= p.tsv
       |GROUP BY c.user_id""".stripMargin
 
+  /** Skew-mitigated join ([[graft.operators.SaltedJoin]]): a synthetic
+    * 70%-hot key (7 of 10 lineitem rows collapse onto key 0) joined to a
+    * 51-row group dim, salted 16 ways so the hot key's rows spread over 16
+    * reducers instead of stalling one. The oracle is the PLAIN join — the
+    * salt must be invisible in the result. (At this dim size the planner
+    * rightly broadcasts and no skew exists; the operator is for dims above
+    * the broadcast threshold, where the salted key is what keeps the
+    * shuffle balanced — SaltedJoinSpec pins the key-spreading itself.)
+    */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val fact = li.select(
+      when(col("l_orderkey") % 10 < 7, 0L)
+        .otherwise(col("l_partkey") % 50 + 1).as("hot_key"),
+      col("l_extendedprice"))
+    val dim = s.range(0, 51)
+      .select(col("id").as("hot_key"), concat(lit("G"), col("id")).as("grp"))
+    graft.operators.SaltedJoin.join(fact, dim, "hot_key", salts = 16)
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+  }
+
+  private val skewJoinSql =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+      |              ELSE l_partkey % 50 + 1 END AS hot_key,
+      |         l_extendedprice
+      |  FROM lineitem),
+      |dim AS (SELECT r AS hot_key, 'G' || r AS grp FROM range(0, 51) t(r))
+      |SELECT grp, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM fact JOIN dim USING (hot_key)
+      |GROUP BY grp""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),
@@ -285,5 +321,6 @@ object Relational extends QueryPack {
     Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),
     Q("hll_approx_distinct", hllApproxDistinct, None),
     Q("cube_pricing", cubePricing, Some(cubePricingSql)),
-    Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)))
+    Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
+    Q("skew_salted_join", skewJoin, Some(skewJoinSql)))
 }

@@ -50,6 +50,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(201L) == None) // null-ts right row must not leak a pre-time match
   }
 
+  test("GraftExtensions makes cosine_similarity callable from SQL text") {
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val orth = spark.sql(
+      """SELECT cosine_similarity(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(orth) < 1e-12)
+  }
+
+  test("as-of join guards its reserved working columns") {
+    import org.apache.spark.sql.functions.lit
+    val left = Seq((1L, 1L)).toDF("figi", "ts").withColumn("_asof_ts", lit(0L))
+    val right = Seq((1L, 1L, 2.0)).toDF("figi", "ts", "quote")
+    intercept[IllegalArgumentException] {
+      Asof.joinLatest(left, right, "figi", "ts", "ts", "quote")
+    }
+    ()
+  }
+
   test("snapshot cadence keeps exactly the latest update per bucket") {
     val updates = Seq(
       (1L, ts("2024-01-01 10:01:00"), 1L, 5.0),
