@@ -274,6 +274,30 @@ object Relational extends QueryPack {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv >= p.tsv
       |GROUP BY c.user_id""".stripMargin
 
+  /** PIVOT: order counts as a (priority × status) matrix. Explicit pivot
+    * values keep the plan single-pass (no values-discovery job) and the
+    * output schema static; absent cells coalesce to 0 so the relation is
+    * total. One shuffle on the row key; the pivot itself is a map-side
+    * conditional aggregate.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  private val pivotStatusSql =
+    """SELECT o_orderpriority,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** Skew-mitigated join ([[graft.operators.SaltedJoin]]): a synthetic
     * 70%-hot key (7 of 10 lineitem rows collapse onto key 0) joined to a
     * 51-row group dim, salted 16 ways so the hot key's rows spread over 16
@@ -322,5 +346,6 @@ object Relational extends QueryPack {
     Q("hll_approx_distinct", hllApproxDistinct, None),
     Q("cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
-    Q("skew_salted_join", skewJoin, Some(skewJoinSql)))
+    Q("skew_salted_join", skewJoin, Some(skewJoinSql)),
+    Q("pivot_status", pivotStatus, Some(pivotStatusSql)))
 }
