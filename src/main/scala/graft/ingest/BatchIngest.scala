@@ -102,8 +102,10 @@ object BatchIngest {
       Option.when(endDay != effEnd)(lastWin)).flatten.distinct
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val fs   = outP.getFileSystem(spark.sessionState.newHadoopConf())
+    // an existing-but-empty dir has nothing to preserve (and no schema to read)
+    val hasExisting = fs.exists(outP) && fs.listStatus(outP).nonEmpty
     val withPreserved =
-      if (partialWins.isEmpty || !fs.exists(outP)) newRows
+      if (partialWins.isEmpty || !hasExisting) newRows
       else {
         val preserved = spark.read.parquet(outPath)
           .where(col("window")

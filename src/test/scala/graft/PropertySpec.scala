@@ -58,6 +58,23 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("salted join equals the plain join for any salt count and skew") {
+    val genRows = Gen.listOfN(60, for {
+      k <- Gen.frequency(7 -> Gen.const(0L), 3 -> Gen.chooseNum(1L, 4L))
+      v <- Gen.chooseNum(1L, 1000L)
+    } yield (k, v))
+    val genSalts = Gen.chooseNum(1, 9)
+    check(Prop.forAll(genRows, genSalts) { (rows, salts) =>
+      val fact = rows.toDF("k", "v")
+      val dim = (0L to 4L).map(k => (k, s"d$k")).toDF("k", "label")
+      val plain = fact.join(dim, "k")
+        .select("k", "v", "label").as[(Long, Long, String)].collect().sorted.toSeq
+      val salted = graft.operators.SaltedJoin.join(fact, dim, "k", salts)
+        .select("k", "v", "label").as[(Long, Long, String)].collect().sorted.toSeq
+      salted == plain
+    }, n = 10)
+  }
+
   test("exact dedup is idempotent: a corpus deduped to one doc per hash has zero dupes") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = "/tmp/graft_test_dedup_idem"
