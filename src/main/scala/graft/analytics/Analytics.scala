@@ -399,7 +399,7 @@ object Analytics extends QueryPack {
       graft.ingest.IngestPack.apiBooks(s, dir))
     books
       .select(
-        pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(8)).as("bucket"),
+        graft.ingest.IngestPack.figiBucket(col("company_id"), 8).as("bucket"),
         (col("ask_price") - col("bid_price")).as("spread"),
         ((col("bid_price") + col("ask_price")) / 2).as("mid"),
         col("bid_volume"), col("ask_volume"))

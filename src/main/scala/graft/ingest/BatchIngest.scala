@@ -102,10 +102,15 @@ object BatchIngest {
       Option.when(endDay != effEnd)(lastWin)).flatten.distinct
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val fs   = outP.getFileSystem(spark.sessionState.newHadoopConf())
-    // an existing-but-empty dir has nothing to preserve (and no schema to read)
-    val hasExisting = fs.exists(outP) && fs.listStatus(outP).nonEmpty
+    // "existing data" = at least one window= partition dir — a dir holding
+    // only write markers (_SUCCESS from a zero-row run) has nothing to
+    // preserve and no schema to infer
+    def windowDirs: Array[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(outP)) Array.empty
+      else fs.listStatus(outP).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("window="))
     val withPreserved =
-      if (partialWins.isEmpty || !hasExisting) newRows
+      if (partialWins.isEmpty || windowDirs.isEmpty) newRows
       else {
         val preserved = spark.read.parquet(outPath)
           .where(col("window")
@@ -130,7 +135,10 @@ object BatchIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("window")
       .parquet(outPath)
-    spark.read.parquet(outPath)
+    // a run whose range holds no rows may leave only a _SUCCESS marker —
+    // return the (empty) relation instead of failing schema inference
+    if (windowDirs.isEmpty) withPreserved.limit(0)
+    else spark.read.parquet(outPath)
   }
 
   /** convenience wrapper for the candles route (the reference's main grid) */

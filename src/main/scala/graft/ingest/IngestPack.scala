@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object IngestPack extends QueryPack {
 
+  /** Bucket decode for the synthetic `FIGI<key>` ids shared by the e2e
+    * packs (and [[graft.analytics.Analytics.bookLiquidity]]): strip the
+    * 4-char prefix, parse the key, pmod into `mod` buckets. ONE definition —
+    * an id-format change otherwise has to be hunted through every pack.
+    */
+  private[graft] def figiBucket(c: Column, mod: Int): Column =
+    pmod(substring(c, 5, 18).try_cast("long"), lit(mod))
+
   /** Candle wire messages derived from lineitem. Two corruption channels:
     * l_linenumber = 3 → unparseable timestamp (F3 drop)
     * l_linenumber = 4 → close omitted       (F2 drop; json drops null fields)
@@ -91,7 +99,7 @@ object IngestPack extends QueryPack {
   def candlesE2e(s: SparkSession, dir: String): DataFrame = {
     val candles = Ingest.demux(allMessages(s, dir))("candles")
     candles
-      .groupBy(pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(10)).as("bucket"))
+      .groupBy(figiBucket(col("company_id"), 10).as("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),
         sum(col("close").cast("decimal(12,2)")).cast("double").as("sum_close"),
@@ -239,7 +247,7 @@ object IngestPack extends QueryPack {
   def orderBookE2e(s: SparkSession, dir: String): DataFrame = {
     val wire = Normalize.serialize(Normalize.projectOrderBook(apiBooks(s, dir)))
     Ingest.demux(wire)("order_book")
-      .groupBy(pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(8)).as("bucket"))
+      .groupBy(figiBucket(col("company_id"), 8).as("bucket"))
       .agg(
         count(lit(1)).as("n_snapshots"),
         sum(col("bid_price").cast("decimal(18,9)")).cast("double").as("sum_bid"),
@@ -341,7 +349,7 @@ object IngestPack extends QueryPack {
     table
       .where(col("window") >= lit("1996-01-01").cast("date") &&
         col("window") < lit("1997-01-20").cast("date"))
-      .groupBy(pmod(substring(col("company_id"), 5, 18).try_cast("long"), lit(10)).as("bucket"))
+      .groupBy(figiBucket(col("company_id"), 10).as("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),
         sum(col("close").cast("decimal(18,9)")).cast("double").as("sum_close"),

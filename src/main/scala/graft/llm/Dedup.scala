@@ -393,50 +393,69 @@ object Dedup extends QueryPack {
     * (J ≥ 0.5) pair graph, each doc labeled with its component's minimum
     * doc_id (the canonical representative a curation pipeline keeps).
     *
-    * Distributed min-label propagation: every doc starts as its own label;
-    * each round unions the edge-propagated labels with the previous ones
-    * (which carry themselves along as `old`) and keeps the per-doc minimum —
-    * so the new label AND the change flag come out of ONE aggregation, and
-    * the round costs exactly one job (the changed-row COUNT that also
-    * materializes the round's cache; no data ever collects to the driver).
-    * Rounds needed = graph diameter; near-dup graphs are overwhelmingly tiny
-    * cliques/chains, so this converges in a handful of rounds — at genuinely
-    * web-scale diameters the same loop takes the alternating large-star/
-    * small-star edge rewrite to O(log n) rounds, which plugs in here without
-    * changing the contract.
+    * Distributed min-label propagation WITH pointer jumping: every doc
+    * starts as its own label; each round (a) pulls neighbours' labels across
+    * edges, keeping the per-doc minimum (the previous label rides along as
+    * `old`, so the change flag comes out of the same aggregation), then
+    * (b) path-halves — each doc also adopts its current label's label
+    * (labels are doc ids, and every node is in the relation, so the lookup
+    * is a self-join). Jumping makes reachable-distance DOUBLE per round:
+    * convergence in O(log diameter) rounds, so the 40-round cap covers any
+    * graph that fits on earth; if it is ever hit the function FAILS loudly
+    * rather than returning non-minimal labels (the oracle computes the full
+    * closure — a silent partial result would be wrong, not approximate).
+    * No data ever collects to the driver; each round is two jobs (agg +
+    * jump/count).
     *
     * Each round's labels are `localCheckpoint`ed — deliberately NOT
     * `cache()` (the library rule for shared subplans): each round references
-    * the previous round's frame TWICE (own labels + edge join), so retained
-    * lineage doubles per round and Catalyst re-optimizes an exponentially
-    * growing tree even though caches shield execution (measured: a 3752-
-    * exchange plan text after convergence). Checkpointing truncates the plan
-    * to a LogicalRDD leaf per round — bounded analysis cost, bounded state,
-    * one RDD per round released with the loop.
+    * the previous round's frame multiple times, so retained lineage grows
+    * geometrically and Catalyst re-optimizes an exponentially growing tree
+    * even though caches shield execution (measured: a 3752-exchange plan
+    * text after convergence). Checkpointing truncates the plan to a
+    * LogicalRDD leaf per round — bounded analysis cost, bounded state, one
+    * RDD per round released with the loop.
+    *
+    * Memoized per data dir (the [[graft.ingest.IngestPack.gridCandles]]
+    * precedent): query construction must stay cheap and read-only for plan
+    * tooling — the propagation runs once per (JVM, dir) and later calls
+    * return the materialized labels.
     */
-  def components(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = adj.select(col("src").as("doc")).distinct()
-      .withColumn("comp", col("doc")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val viaEdges = adj.join(labels, adj("dst") === labels("doc"))
-        .select(adj("src").as("doc"), col("comp"), lit(null).cast("long").as("old"))
-      val own = labels.select(col("doc"), col("comp"), col("comp").as("old"))
-      // min(old) ignores the nulls from viaEdges → each doc's previous label
-      val next = own.union(viaEdges)
-        .groupBy("doc").agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
-        .localCheckpoint(eager = false)
-      // one job per round: the changed count materializes the checkpoint
-      changed = next.where(col("comp") =!= col("old")).count()
-      labels = next
-      rounds += 1
-    }
-    labels.select(col("doc").as("doc_id"), col("comp").as("canon_id"))
-  }
+  def components(s: SparkSession, dir: String): DataFrame =
+    componentsMemo.computeIfAbsent(dir, { d =>
+      val pairs = jaccard(s, d).select(col("doc_a"), col("doc_b"))
+      val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint()
+      var labels = adj.select(col("src").as("doc")).distinct()
+        .withColumn("comp", col("doc")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      val MaxRounds = 40
+      while (changed > 0 && rounds < MaxRounds) {
+        val viaEdges = adj.join(labels, adj("dst") === labels("doc"))
+          .select(adj("src").as("doc"), col("comp"), lit(null).cast("long").as("old"))
+        val own = labels.select(col("doc"), col("comp"), col("comp").as("old"))
+        // min(old) ignores the nulls from viaEdges → each doc's previous label
+        val pulled = own.union(viaEdges)
+          .groupBy("doc").agg(min(col("comp")).as("comp"), min(col("old")).as("old"))
+        // pointer jumping: comp := comp's comp (parent's label ≤ its id)
+        val parents = pulled.select(col("doc").as("p_doc"), col("comp").as("p_comp"))
+        val next = pulled
+          .join(parents, pulled("comp") === parents("p_doc"))
+          .select(col("doc"), least(col("comp"), col("p_comp")).as("comp"), col("old"))
+          .localCheckpoint(eager = false)
+        changed = next.where(col("comp") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0,
+        s"components: not converged after $MaxRounds pointer-jumping rounds " +
+          "(diameter > 2^40 is not a real graph — investigate)")
+      labels.select(col("doc").as("doc_id"), col("comp").as("canon_id"))
+    })
+
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** components oracle: same pair graph, transitive closure via a recursive
     * CTE (UNION-dedup guarantees termination), min reachable id per doc.
