@@ -440,6 +440,110 @@ object Analytics extends QueryPack {
       |         / CAST(sum(bid_volume) + sum(ask_volume) AS DOUBLE) AS book_imbalance
       |FROM b GROUP BY bucket""".stripMargin
 
+  /** fold for [[ema]]: seed with the first value, then e ← α·v + (1-α)·e —
+    * EXACTLY DuckDB's `list_reduce(l, (a, b) -> α*b + (1-α)*a)` (which seeds
+    * with the first element), same operation order, so the result is
+    * bit-identical without rounding.
+    */
+  private val emaFold = udf { (values: Seq[Double], alpha: Double) =>
+    if (values.isEmpty) Double.NaN
+    else values.tail.foldLeft(values.head)((e, v) => alpha * v + (1 - alpha) * e)
+  }
+
+  /** A7 — per-entity exponential moving average of the value stream.
+    * EMA is inherently order-RECURSIVE (e_t depends on e_{t-1}), which no
+    * window frame expresses; the Spark-first shape is one per-key
+    * aggregation collecting the (ts, id, value) structs, an `array_sort`
+    * (struct order = field order = the total event order), and a compiled
+    * fold — per-key state is the key's own history, the same bound a
+    * segment-scan implementation needs, and keys are independent so the one
+    * shuffle is on the natural entity key. (The closed form
+    * α·Σ(1-α)^(n-i)·v_i overflows for long histories — the fold does not.)
+    */
+  def ema(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        emaFold(
+          expr("transform(array_sort(collect_list(struct(ts, event_id, value))), r -> r.value)"),
+          lit(0.1)).as("ema_value"))
+  }
+
+  private val emaSql =
+    """SELECT user_id, count(*) AS n_events,
+      |       list_reduce(
+      |         list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+      |         (a, b) -> 0.1 * b + (1 - 0.1) * a) AS ema_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Funnel: view → click → purchase, each stage strictly after the user's
+    * first event of the previous stage. Stage timestamps come from ONE
+    * conditional aggregation pass; the later stages re-aggregate the joined
+    * event stream (broadcast of the per-user stage-1 row). Output is the
+    * 1-row stage-count summary.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val firstView = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"))
+      .where(col("first_view").isNotNull)
+    val firstClick = ev.join(broadcast(firstView), "user_id")
+      .where(col("event_type") === "click" && col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val purchased = ev.join(broadcast(firstClick), "user_id")
+      .where(col("event_type") === "purchase" && col("ts") > col("first_click"))
+      .select("user_id").distinct()
+    firstView.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(broadcast(firstClick.agg(count(lit(1)).as("n_clicked_after_view"))))
+      .crossJoin(broadcast(purchased.agg(count(lit(1)).as("n_purchased_after_click"))))
+  }
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_type FROM events),
+      |v AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN tsv END) AS first_view
+      |  FROM e GROUP BY user_id
+      |  HAVING min(CASE WHEN event_type = 'view' THEN tsv END) IS NOT NULL),
+      |c AS (
+      |  SELECT e.user_id, min(tsv) AS first_click
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND tsv > first_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT DISTINCT e.user_id
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND tsv > first_click)
+      |SELECT (SELECT count(*) FROM v) AS n_viewed,
+      |       (SELECT count(*) FROM c) AS n_clicked_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity day, counted per
+    * day-offset of later activity. Two aggregations — per-user cohort
+    * assignment (broadcast back into the stream) and the (cohort, offset)
+    * distinct-user matrix.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohorts), "user_id")
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      |       date_diff('day', cohort_day, day) AS day_offset,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
@@ -447,6 +551,9 @@ object Analytics extends QueryPack {
     Q("a4_imbalance", imbalance, Some(imbalanceSql)),
     Q("a5_vwap", vwap, Some(vwapSql)),
     Q("a6_book_liquidity", bookLiquidity, Some(bookLiquiditySql)),
+    Q("a7_ema", ema, Some(emaSql)),
+    Q("funnel_stages", funnel, Some(funnelSql)),
+    Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
     Q("candle_resample", candleResample, Some(candleResampleSql)))
 }

@@ -73,6 +73,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("A7 ema stays inside each user's value range and uses every event") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val bounds = ev.groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+    val rows = graft.analytics.Analytics.ema(spark, sfDir)
+      .join(bounds, "user_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ema_value")
+      assert(e >= r.getAs[Double]("lo") - 1e-9 && e <= r.getAs[Double]("hi") + 1e-9)
+      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val r = graft.analytics.Analytics.funnel(spark, sfDir).collect().head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && v > 0)
+  }
+
+  test("cohort retention: offset-0 cell equals the cohort's size") {
+    import org.apache.spark.sql.functions._
+    val ret = graft.analytics.Analytics.cohortRetention(spark, sfDir)
+    val cohortSizes = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("cd"))
+      .groupBy(date_format(col("cd"), "yyyy-MM-dd").as("cohort"))
+      .agg(countDistinct(col("user_id")).as("size"))
+    val joined = ret.where(col("day_offset") === 0)
+      .join(cohortSizes, "cohort").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getAs[Long]("n_users") == r.getAs[Long]("size")))
+    // no negative offsets can exist (cohort day is the minimum)
+    assert(ret.where(col("day_offset") < 0).count() == 0)
+  }
+
   test("A2 trade impact splits on the p90 quantity threshold") {
     val out = Analytics.tradeImpact(spark, sfDir).collect()
     val flags = out.map(_.getBoolean(3)).toSet
