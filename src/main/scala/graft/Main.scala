@@ -58,6 +58,13 @@ object Main {
       spark.stop()
     case "query" :: name :: _ =>
       System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
+    case "explain" :: name :: rest if SparkEntry.queries.contains(name) =>
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      spark.stop()
+    case "explain" :: name :: _ =>
+      System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
     case "sql" :: statement :: rest =>
       val spark = session()
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -77,6 +84,7 @@ object Main {
         "usage: graft ingest <candles|trades|order_book> <apiParquet> <outPath> <start> <end>\n" +
           "       graft stream <srcDir> <tablesDir> <ckptDir> [follow]\n" +
           "       graft query <name> [sfDir]\n" +
+          "       graft explain <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
           "       graft list\n" +
           "       graft bench")
