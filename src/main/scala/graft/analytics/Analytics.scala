@@ -486,12 +486,17 @@ object Analytics extends QueryPack {
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
+    // the per-user stage frames each feed TWO consumers (next stage's join +
+    // the final count) — cache() them or the events scan and per-user aggs
+    // re-run once per consumer (measured: 12 parquet scans uncached)
     val firstView = ev.groupBy("user_id")
       .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"))
       .where(col("first_view").isNotNull)
+      .cache()
     val firstClick = ev.join(broadcast(firstView), "user_id")
       .where(col("event_type") === "click" && col("ts") > col("first_view"))
       .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      .cache()
     val purchased = ev.join(broadcast(firstClick), "user_id")
       .where(col("event_type") === "purchase" && col("ts") > col("first_click"))
       .select("user_id").distinct()
@@ -527,7 +532,9 @@ object Analytics extends QueryPack {
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    // cache: the per-user cohort frame is consumed by the join AND its
+    // build re-reads the same events scan the probe side uses
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day")).cache()
     ev.join(broadcast(cohorts), "user_id")
       .groupBy(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),

@@ -136,9 +136,13 @@ object BatchIngest {
       .partitionBy("window")
       .parquet(outPath)
     // a run whose range holds no rows may leave only a _SUCCESS marker —
-    // return the (empty) relation instead of failing schema inference
-    if (windowDirs.isEmpty) withPreserved.limit(0)
-    else spark.read.parquet(outPath)
+    // return an empty relation instead of failing schema inference, with
+    // the partition column LAST like every parquet read-back, so callers
+    // see one column order regardless of whether the range was empty
+    if (windowDirs.isEmpty) {
+      val dataCols = withPreserved.columns.filterNot(_ == "window")
+      withPreserved.limit(0).select((dataCols :+ "window").map(col): _*)
+    } else spark.read.parquet(outPath)
   }
 
   /** convenience wrapper for the candles route (the reference's main grid) */

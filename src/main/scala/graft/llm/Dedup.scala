@@ -417,12 +417,25 @@ object Dedup extends QueryPack {
     * RDD per round released with the loop.
     *
     * Memoized per data dir (the [[graft.ingest.IngestPack.gridCandles]]
-    * precedent): query construction must stay cheap and read-only for plan
-    * tooling — the propagation runs once per (JVM, dir) and later calls
-    * return the materialized labels.
+    * precedent, including its PATH-not-DataFrame discipline): query
+    * construction must stay cheap and read-only for plan tooling, so the
+    * propagation runs once per (JVM, dir), lands as a parquet table, and
+    * every call — including from a LATER SparkSession after the first one
+    * stops — just reads that table with the session passed now (a cached
+    * DataFrame would pin the first session's checkpointed RDDs and die with
+    * its SparkContext).
     */
-  def components(s: SparkSession, dir: String): DataFrame =
-    componentsMemo.computeIfAbsent(dir, { d =>
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val out = componentsMemo.computeIfAbsent(dir, { d =>
+      val labelsDf = propagate(s, d)
+      val path = "/tmp/graft_components_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      labelsDf.write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(out)
+  }
+
+  private def propagate(s: SparkSession, d: String): DataFrame = {
       val pairs = jaccard(s, d).select(col("doc_a"), col("doc_b"))
       val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint()
@@ -452,10 +465,10 @@ object Dedup extends QueryPack {
         s"components: not converged after $MaxRounds pointer-jumping rounds " +
           "(diameter > 2^40 is not a real graph — investigate)")
       labels.select(col("doc").as("doc_id"), col("comp").as("canon_id"))
-    })
+  }
 
   private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** components oracle: same pair graph, transitive closure via a recursive
     * CTE (UNION-dedup guarantees termination), min reachable id per doc.
