@@ -375,6 +375,61 @@ object Similarity extends QueryPack {
       .where(col("rank") <= TopK)
   }
 
+  // ---------------------------------------------------------------------------
+  // Persisted IVF index
+  // ---------------------------------------------------------------------------
+
+  /** Persist the IVF index: the 1-row flattened centroid matrix plus every
+    * vector's cell assignment, written as CELL-PARTITIONED parquet. This is
+    * the production shape [[ivfTopK]]'s scaladoc promises: build once, and a
+    * query's NProbe cell probes become PARTITION-PRUNED file reads — the
+    * scan touches NProbe/NumCells of the corpus bytes, which is the entire
+    * point of an inverted-file index at 100 TB (the in-memory variant
+    * rebuilds per call because the driver bench is stateless).
+    */
+  def writeIvfIndex(emb: DataFrame, path: String): Unit = {
+    val cents = ivfIndex(emb)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        bestCellUdf(col("embedding"), col("cmat")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ANN top-k against a persisted index, two-phase like every inverted-file
+    * service: (1) resolve the queries' probe CELLS, (2) scan only those
+    * cells' partitions. Phase 2's pruning is a STATIC `cell IN (...)`
+    * partition filter built from the probed cell ids — the one deliberate
+    * driver-side materialization in the library, and it collects PARTITION
+    * KEYS only (≤ queries × NProbe ints; the vectors never leave the
+    * executors). This is the same set Spark's dynamic partition pruning
+    * materializes in its subquery; spelled explicitly because DPP's benefit
+    * heuristic skips filter-less broadcast sides. Results are identical to
+    * [[ivfTopK]] (same deterministic seed centroids → same assignment) —
+    * IvfIndexSpec pins the equivalence and the pruned scan.
+    */
+  def ivfTopKIndexed(s: SparkSession, indexPath: String, queries: DataFrame): DataFrame = {
+    val cents = s.read.parquet(s"$indexPath/centroids")
+    val members = s.read.parquet(s"$indexPath/cells")
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qvec"),
+        explode(probeCellsUdf(col("qvec"), col("cmat"))).as("cell"))
+      .cache()
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    members
+      .where(col("cell").isInCollection(probedCells))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopK)
+  }
+
   /** Per-label centroid statistics — element-wise mean over 6-dp fixed-point
     * values (decimal accumulation ⇒ row-order-independent exact sums).
     */
