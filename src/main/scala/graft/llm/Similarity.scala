@@ -388,8 +388,11 @@ object Similarity extends QueryPack {
     * rebuilds per call because the driver bench is stateless).
     */
   def writeIvfIndex(emb: DataFrame, path: String): Unit = {
-    val cents = ivfIndex(emb)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfIndex(emb).write.mode("overwrite").parquet(s"$path/centroids")
+    // assign cells from the PERSISTED centroids, not a second evaluation of
+    // the index DAG: the two stored artifacts must come from one centroid
+    // set (and the build's most expensive phase must run once)
+    val cents = emb.sparkSession.read.parquet(s"$path/centroids")
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"),
         bestCellUdf(col("embedding"), col("cmat")).as("cell"))
@@ -412,12 +415,16 @@ object Similarity extends QueryPack {
   def ivfTopKIndexed(s: SparkSession, indexPath: String, queries: DataFrame): DataFrame = {
     val cents = s.read.parquet(s"$indexPath/centroids")
     val members = s.read.parquet(s"$indexPath/cells")
+    // probes is a trivial plan (queries × a 1-row matrix) evaluated twice —
+    // once for the key collect, once inside the join. Deliberately NOT
+    // cache()d: a service session calling this per request would leak one
+    // CacheManager entry per distinct query batch, and the recompute is
+    // cheaper than the bookkeeping.
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       .crossJoin(broadcast(cents))
       .select(col("query_id"), col("qvec"),
         explode(probeCellsUdf(col("qvec"), col("cmat"))).as("cell"))
-      .cache()
     val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     members

@@ -11,6 +11,14 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("equi-join of co-bucketed tables plans with zero exchanges") {
+    // pre-clean: stale catalog entries / external data from a previous run
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    Seq("b_orders", "b_lineitem").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    rm(new java.io.File("/tmp/graft_test_bucketed"))
+
     val orders = Tables.load(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val lines = Tables.load(spark, sfDir, "lineitem")
@@ -40,6 +48,10 @@ class BucketingSpec extends SparkSpec {
       val expected = orders.join(lines, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
       assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // don't leave permanent catalog tables behind for later suites
+      Seq("b_orders", "b_lineitem").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 }

@@ -33,12 +33,20 @@ class IvfIndexSpec extends SparkSpec {
     val inMemory = Similarity.ivfTopK(spark, sfDir).collect().map(key).toSet
     assert(fromIndex == inMemory && fromIndex.nonEmpty)
 
-    // the member scan carries a static cell IN (...) partition filter
+    // the member scan carries a static cell IN (...) partition filter:
+    // inspect the PartitionFilters bracket itself (a plain isnotnull(cell)
+    // there means NO pruning — every cell partition would be scanned)
     val plan = indexed.queryExecution.executedPlan.toString
-    val scanLine = plan.linesIterator
-      .find(l => l.contains("graft_test_ivf_index/cells") && l.contains("PartitionFilters"))
-    assert(scanLine.exists(l => l.contains("cell") && l.toLowerCase.contains(" in ")
-        || scanLine.exists(_.matches(".*PartitionFilters: \\[.*cell.*(IN|in).*"))),
-      s"probed-cell scan should carry a static IN partition filter:\n$plan")
+    val pf = plan.linesIterator
+      .filter(_.contains("graft_test_ivf_index/cells"))
+      .flatMap { l =>
+        val i = l.indexOf("PartitionFilters: [")
+        if (i < 0) None
+        else Some(l.substring(i + "PartitionFilters: [".length,
+          math.max(l.indexOf("]", i), i)))
+      }.toSeq
+    assert(pf.nonEmpty, s"no PartitionFilters on the cells scan:\n$plan")
+    assert(pf.exists(f => f.contains("cell") && (f.contains(" IN ") || f.contains("INSET"))),
+      s"probed-cell scan should carry a static IN/INSET partition filter, got: $pf")
   }
 }
