@@ -477,6 +477,36 @@ object Analytics extends QueryPack {
       |         (a, b) -> 0.1 * b + (1 - 0.1) * a) AS ema_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** A8 — maximum drawdown per entity: the deepest peak-to-trough decline
+    * `min(value / running_max - 1)` over the time-ordered value stream.
+    * Fully declarative (running max is a window frame; the trough is an
+    * order-independent min of per-row ratios), one shuffle on the entity
+    * key, window sorts within partitions only. Ratios are raw doubles —
+    * deterministic IEEE division of identical operands in both engines.
+    */
+  def maxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("runmax", max(col("value")).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value") / col("runmax") - 1).as("max_drawdown"))
+  }
+
+  private val maxDrawdownSql =
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |         max(value) OVER (PARTITION BY user_id
+      |                          ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |       min(value / runmax - 1) AS max_drawdown
+      |FROM r GROUP BY user_id""".stripMargin
+
   /** Funnel: view → click → purchase, each stage strictly after the user's
     * first event of the previous stage. Stage timestamps come from ONE
     * conditional aggregation pass; the later stages re-aggregate the joined
@@ -559,6 +589,7 @@ object Analytics extends QueryPack {
     Q("a5_vwap", vwap, Some(vwapSql)),
     Q("a6_book_liquidity", bookLiquidity, Some(bookLiquiditySql)),
     Q("a7_ema", ema, Some(emaSql)),
+    Q("a8_max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("funnel_stages", funnel, Some(funnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),

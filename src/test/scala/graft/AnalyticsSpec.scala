@@ -88,6 +88,15 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("A8 max drawdown is in [-1, 0] and 0 only for monotone-rising streams") {
+    val rows = graft.analytics.Analytics.maxDrawdown(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dd = r.getAs[Double]("max_drawdown")
+      assert(dd <= 0.0 && dd > -1.0, s"drawdown $dd out of range")
+    }
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val r = graft.analytics.Analytics.funnel(spark, sfDir).collect().head
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
