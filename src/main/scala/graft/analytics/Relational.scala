@@ -217,6 +217,28 @@ object Relational extends QueryPack {
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
 
+  /** Approximate quantile sketch per group (KLL-style `percentile_approx`,
+    * accuracy 10000): mergeable bounded-size sketch state — the scale path
+    * when A2's exact value-histogram doesn't apply because the column is
+    * continuous and high-cardinality. Sketch internals are engine-specific
+    * → no SQL oracle; RelationalSpec-style check lives in LlmSpec's sketch
+    * family (within 1% of the exact quantile).
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile_approx(
+          col("o_totalprice"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+          .as("q"))
+      // scalar columns, not the array: the compare tooling hashes flat cells
+      .select(
+        col("o_orderstatus"), col("n_orders"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p90"),
+        col("q").getItem(2).as("p99"))
+
   /** CUBE grouping sets (all 2^k subtotal combinations; nulls folded to
     * 'ALL' so the output is total-orderable for the hash compare).
     */
@@ -344,6 +366,7 @@ object Relational extends QueryPack {
     Q("setop_repeat_buyers", repeatBuyers, Some(repeatBuyersSql)),
     Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),
     Q("hll_approx_distinct", hllApproxDistinct, None),
+    Q("approx_quantiles", approxQuantiles, None),
     Q("cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
     Q("skew_salted_join", skewJoin, Some(skewJoinSql)),

@@ -275,6 +275,72 @@ object TextStats extends QueryPack {
       |FROM toks GROUP BY term
       |ORDER BY tf DESC, term LIMIT $VocabSize""".stripMargin
 
+  /** adjacent-token bigrams, duplicates kept (counts weight the merges) */
+  private val bigramsUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split(WsRe).filter(_.nonEmpty)
+      if (toks.length < 2) Array.empty[String]
+      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+    }
+  }
+
+  /** Collocation extraction — the scoring pass of a BPE/wordpiece merge
+    * step: adjacent-pair frequencies plus LIFT `p(ab)/(p(a)p(b)) =
+    * (c_ab·N)/(c_a·c_b)` as the association strength. Lift, not PMI: the
+    * log differs in the last ulp across libm implementations while this is
+    * one exact-integer product ratio (c_ab·N < 2^63 up to ~3·10^9-token
+    * corpora per partition-group; the driver-scale corpus is far below).
+    * Two tokenize-free aggregations off one pass each (pair counts, unigram
+    * counts), unigram counts broadcast into the pair relation, distributed
+    * TakeOrdered for the top slice.
+    */
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val pairCounts = docs.select(explode(bigramsUdf(col("text"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_pair"))
+      .where(col("c_pair") >= CollocMinCount)
+    val toks = docs.select(explode(tokensCol).as("token"))
+    val tokCounts = toks.groupBy("token").agg(count(lit(1)).as("c_tok"))
+    val nTotal = toks.agg(count(lit(1)).as("n_tokens"))
+    pairCounts
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+      .join(tokCounts.select(col("token").as("w1"), col("c_tok").as("c1")), "w1")
+      .join(tokCounts.select(col("token").as("w2"), col("c_tok").as("c2")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(
+        col("pair"), col("c_pair"),
+        ((col("c_pair") * col("n_tokens")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("lift"))
+      .orderBy(col("c_pair").desc, col("pair"))
+      .limit(CollocTopK)
+  }
+
+  private val collocationsSql =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      |pairs AS (
+      |  SELECT unnest(CASE WHEN len(toks) >= 2
+      |    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+      |    ELSE [] END) AS pair
+      |  FROM t),
+      |pc AS (SELECT pair, count(*) AS c_pair FROM pairs GROUP BY pair
+      |       HAVING count(*) >= $CollocMinCount),
+      |tok AS (SELECT unnest(toks) AS token FROM t),
+      |tc AS (SELECT token, count(*) AS c_tok FROM tok GROUP BY token),
+      |n AS (SELECT count(*) AS n_tokens FROM tok)
+      |SELECT pair, c_pair,
+      |       CAST(c_pair * n_tokens AS DOUBLE)
+      |         / CAST(c1.c_tok * c2.c_tok AS DOUBLE) AS lift
+      |FROM pc
+      |JOIN tc c1 ON split_part(pair, ' ', 1) = c1.token
+      |JOIN tc c2 ON split_part(pair, ' ', 2) = c2.token
+      |CROSS JOIN n
+      |ORDER BY c_pair DESC, pair LIMIT $CollocTopK""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
@@ -282,5 +348,6 @@ object TextStats extends QueryPack {
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("text_bm25_top", bm25Top, Some(bm25TopSql)),
     Q("vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    Q("text_collocations", collocations, Some(collocationsSql)),
     Q("doc_fingerprint", fingerprint, Some(fingerprintSql)))
 }

@@ -74,6 +74,35 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "df <= tf")
   }
 
+  test("approx quantile sketch lands within 1% of the exact quantiles") {
+    val approx = graft.analytics.Relational.approxQuantiles(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (k, qs) =>
+      qs.zip(exact(k)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 0.01 * math.abs(e) + 1e-9, s"$k: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("text_collocations: lift is positive and pairs meet the min count") {
+    val rows = TextStats.collocations(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextStats.CollocTopK)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= TextStats.CollocMinCount)
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getString(0).split(" ").length == 2)
+    }
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_: Long)), "rows arrive count-descending")
+  }
+
   test("ann brute-force top-k is exact and self-excluding") {
     val out = Similarity.bruteForceTopK(spark, sfDir)
     val rows = out.collect()
