@@ -171,6 +171,34 @@ object Relational extends QueryPack {
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders""".stripMargin
 
+  /** RANGE-frame window: per-customer 7-day trailing spend. Unlike the ROWS
+    * frame of `window_running_spend`, the frame is bounded by the ORDER
+    * VALUE (days), so same-day peers aggregate together and gaps shrink the
+    * frame — the time-window semantics a ROWS frame cannot express. The
+    * order key is an integer day number so Spark's numeric `rangeBetween`
+    * and the oracle's `RANGE BETWEEN 6 PRECEDING` share exact semantics.
+    */
+  def trailingSpend(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-6, 0)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("day_num"),
+        col("o_totalprice"))
+      .withColumn("trailing_7d",
+        sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"), col("trailing_7d"))
+  }
+
+  private val trailingSpendSql =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |            OVER (PARTITION BY o_custkey
+      |                  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+      |FROM orders""".stripMargin
+
   /** Exact distinct counts per group (the HLL variant is `hll_approx_distinct`). */
   def distinctCustomers(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
@@ -362,6 +390,7 @@ object Relational extends QueryPack {
     Q("q5_regional_revenue", regionalRevenue, Some(regionalRevenueSql)),
     Q("rollup_pricing", rollupPricing, Some(rollupPricingSql)),
     Q("window_running_spend", runningSpend, Some(runningSpendSql)),
+    Q("window_trailing_spend", trailingSpend, Some(trailingSpendSql)),
     Q("distinct_customers", distinctCustomers, Some(distinctCustomersSql)),
     Q("setop_repeat_buyers", repeatBuyers, Some(repeatBuyersSql)),
     Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),

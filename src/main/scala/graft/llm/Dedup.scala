@@ -386,6 +386,53 @@ object Dedup extends QueryPack {
   }
 
   // ---------------------------------------------------------------------------
+  // Edit-distance near-dup (blocking + levenshtein)
+  // ---------------------------------------------------------------------------
+
+  /** Blocking key width (chars) and match threshold for [[editDistance]]. */
+  val EditPrefixLen = 60
+  val EditMaxDist = 15
+
+  /** Edit-distance near-dup accounting: classic entity-resolution BLOCKING —
+    * candidate pairs share a (source, n_chars/100) block, never all pairs —
+    * then exact levenshtein over the documents' lead [[EditPrefixLen]] chars.
+    * Levenshtein is unit-cost in both Spark and DuckDB, so distances are
+    * integer-identical. At scale the block key is the bucketing column; the
+    * per-block pair fan-out is bounded by block size like [[DfCap]] bounds
+    * the shingle join.
+    */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), (col("n_chars") / 100).cast("long").as("blk"),
+        substring(col("text"), 1, EditPrefixLen).as("head"))
+    val pairs = docs.as("a").hint("shuffle_hash")
+      .join(docs.as("b").hint("shuffle_hash"),
+        col("a.source") === col("b.source") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        levenshtein(col("a.head"), col("b.head")).as("dist"))
+    pairs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs_blocked"),
+        sum(when(col("dist") <= EditMaxDist, 1L).otherwise(0L)).as("n_fuzzy_dupes"),
+        min(col("dist")).cast("long").as("min_dist"))
+  }
+
+  private val editDistanceSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, source, CAST(n_chars // 100 AS BIGINT) AS blk,
+      |         substr(text, 1, $EditPrefixLen) AS head
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.source AS source, levenshtein(a.head, b.head) AS dist
+      |  FROM d a JOIN d b
+      |    ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT source, count(*) AS n_pairs_blocked,
+      |       CAST(sum(CASE WHEN dist <= $EditMaxDist THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy_dupes,
+      |       CAST(min(dist) AS BIGINT) AS min_dist
+      |FROM p GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Near-dup clusters (connected components)
   // ---------------------------------------------------------------------------
 
@@ -492,5 +539,6 @@ object Dedup extends QueryPack {
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
     Q("dedup_simhash", simhash, None),
+    Q("dedup_editdist", editDistance, Some(editDistanceSql)),
     Q("dedup_components", components, Some(componentsSql)))
 }

@@ -31,6 +31,15 @@ class LlmSpec extends SparkSpec {
     assert(lshPairs == exactPairs) // b=8,r=4 ⇒ full recall at J≥0.9 dups
   }
 
+  test("dedup_editdist: fuzzy dupes never exceed blocked pairs; distances sane") {
+    val rows = Dedup.editDistance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fuzzy_dupes") <= r.getAs[Long]("n_pairs_blocked"))
+      assert(r.getAs[Long]("min_dist") >= 0L)
+    }
+  }
+
   test("dedup_simhash: identical docs collide at hamming 0; near-dups ≤ 3") {
     val pairs = Dedup.simhash(spark, sfDir).collect()
     assert(pairs.nonEmpty)
