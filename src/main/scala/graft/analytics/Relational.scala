@@ -291,6 +291,72 @@ object Relational extends QueryPack {
       |       count(*) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the two
+    * single-dimension marginals plus the grand total, with `grouping()`
+    * flags exported so consumers can tell a real NULL from a subtotal row.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       grouping(l_returnflag) AS g_flag,
+        |       grouping(l_linestatus) AS g_status,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+      |       sum(l_quantity) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** NTILE quartiles over per-customer total spend: the bucketing window
+    * every percentile-band report uses. The order carries the unique
+    * custkey tie-break, so bucket assignment is total-ordered and
+    * deterministic; ntile's uneven-split rule (earlier buckets take the
+    * remainder) is shared by both engines.
+    *
+    * The global (partition-less) window runs over the REDUCED per-customer
+    * relation, never the fact table — the aggregation does the scaling.
+    * Exact global ntile inherently needs a total order; past ~10⁷ reduced
+    * rows swap the window for approx-quantile thresholds
+    * ([[approxQuantiles]]) joined as band boundaries.
+    */
+  def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val totals = o.groupBy("o_custkey")
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
+    totals
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("quartile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("total_spend").cast("decimal(18,2)")).cast("double").as("band_spend"))
+  }
+
+  private val spendQuartilesSql =
+    """WITH t AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY o_custkey),
+      |q AS (
+      |  SELECT total_spend,
+      |         ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS quartile
+      |  FROM t)
+      |SELECT quartile, count(*) AS n_customers,
+      |       CAST(sum(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) AS band_spend
+      |FROM q GROUP BY quartile""".stripMargin
+
   /** As-of join ([[graft.operators.Asof.joinLatest]]): each click event is
     * matched to the user's latest purchase at-or-before it. Value sums stay
     * in exact integer space (`floor(value*1000)` — both engines floor the
@@ -397,6 +463,8 @@ object Relational extends QueryPack {
     Q("hll_approx_distinct", hllApproxDistinct, None),
     Q("approx_quantiles", approxQuantiles, None),
     Q("cube_pricing", cubePricing, Some(cubePricingSql)),
+    Q("grouping_sets_pricing", groupingSets, Some(groupingSetsSql)),
+    Q("window_spend_quartiles", spendQuartiles, Some(spendQuartilesSql)),
     Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
     Q("skew_salted_join", skewJoin, Some(skewJoinSql)),
     Q("pivot_status", pivotStatus, Some(pivotStatusSql)))
