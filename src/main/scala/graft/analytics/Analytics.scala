@@ -581,6 +581,55 @@ object Analytics extends QueryPack {
       |FROM e JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** A9: per-user covariance between daily click and purchase activity, in
+    * EXACT integer space. Statistical moments over doubles are
+    * accumulation-order-dependent (a float sum differs between engines), so
+    * the whole computation stays in BIGINTs — daily counts x, y; n days;
+    * Σx, Σy, Σxy — and population covariance is emitted in the rational
+    * form (n·Σxy − Σx·Σy)/n²: one division of exact integers, which IEEE
+    * rounds identically everywhere. The same discipline as BM25's rational
+    * idf (CLAUDE.md plan rules).
+    *
+    * Scale shape: two shuffles — (user, day) count matrix, then per-user
+    * moment fold; per-task state is one hash-agg partial either way.
+    */
+  def activityCov(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    daily.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("x").as("sum_x"),
+        sum("y").as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .select(
+        col("user_id"), col("n_days"), col("sum_x"), col("sum_y"),
+        ((col("n_days") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
+          (col("n_days") * col("n_days")).cast("double")).as("cov_xy"))
+  }
+
+  private val activityCovSql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+      |         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+      |         CAST(sum(x * y) AS BIGINT) AS sum_xy
+      |  FROM daily GROUP BY user_id)
+      |SELECT user_id, n_days, sum_x, sum_y,
+      |       CAST(n_days * sum_xy - sum_x * sum_y AS DOUBLE) /
+      |       CAST(n_days * n_days AS DOUBLE) AS cov_xy
+      |FROM m""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
@@ -592,6 +641,7 @@ object Analytics extends QueryPack {
     Q("a8_max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("funnel_stages", funnel, Some(funnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    Q("a9_activity_cov", activityCov, Some(activityCovSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
     Q("candle_resample", candleResample, Some(candleResampleSql)))
 }

@@ -450,6 +450,236 @@ object Relational extends QueryPack {
       |FROM fact JOIN dim USING (hot_key)
       |GROUP BY grp""".stripMargin
 
+  /** Interval join ([[graft.operators.RangeJoin.joinPointInInterval]]): each
+    * purchase event is matched to the same user's clicks in the trailing
+    * hour. The operator grid-bucketizes both sides (1h pitch ⇒ ≤2 buckets
+    * per interval) so the plan is an equi-join on (user, bucket) — never a
+    * nested loop. Purchases with no clicks are restored by a right join
+    * back onto the purchase set (count 0).
+    */
+  def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val windows = purchases
+      .withColumn("w_start", col("p_us") - hourUs)
+    val joined = graft.operators.RangeJoin.joinPointInInterval(
+      clicks, windows, "user_id",
+      pointCol = "c_us", startCol = "w_start", endCol = "p_us",
+      granularity = hourUs)
+    val counts = joined.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks_1h"))
+    purchases
+      .join(counts, Seq("event_id"), "left")
+      .select(
+        col("event_id"), col("user_id"),
+        coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"))
+  }
+
+  private val rangeJoinClicksSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |       CAST(count(c.cts) AS BIGINT) AS n_clicks_1h
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      | AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
+      |GROUP BY p.event_id, p.user_id""".stripMargin
+
+  /** CDC MERGE ([[graft.operators.Merge]]): a change log derived from
+    * orders is folded into the customer snapshot — latest change per key
+    * wins (version = orderdate, orderkey), `D` ops delete, keys absent from
+    * the base insert (keys shifted by 1e6 simulate late-arriving entities).
+    * The oracle replays the same fold declaratively (window + outer join +
+    * NOT EXISTS), pinning all three MERGE paths.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), dec2(col("c_acctbal")).as("bal"))
+    val changes = Tables.load(s, dir, "orders").select(
+      when(col("o_orderkey") % 50 === 7, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_orderdate"), col("o_orderkey"),
+      when(col("o_orderkey") % 20 === 0, "D").otherwise("U").as("op"),
+      dec2(col("o_totalprice")).as("bal"))
+    graft.operators.Merge(
+        base, changes,
+        keyCols = Seq("c_custkey"),
+        versionCols = Seq("o_orderdate", "o_orderkey"),
+        opCol = "op",
+        payloadCols = Seq("bal"))
+      .select(col("c_custkey"), col("bal").cast("double").as("bal"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH ch AS (
+      |  SELECT CASE WHEN o_orderkey % 50 = 7 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS c_custkey,
+      |         CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS newbal,
+      |         row_number() OVER (
+      |           PARTITION BY CASE WHEN o_orderkey % 50 = 7 THEN o_custkey + 1000000
+      |                             ELSE o_custkey END
+      |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders),
+      |latest AS (SELECT c_custkey, op, newbal FROM ch WHERE rn = 1),
+      |upd AS (
+      |  SELECT c.c_custkey,
+      |         CAST(CASE WHEN l.op IS NOT NULL THEN l.newbal
+      |                   ELSE CAST(c.c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS bal
+      |  FROM customer c LEFT JOIN latest l ON c.c_custkey = l.c_custkey
+      |  WHERE l.op IS NULL OR l.op <> 'D'),
+      |ins AS (
+      |  SELECT l.c_custkey, CAST(l.newbal AS DOUBLE) AS bal
+      |  FROM latest l
+      |  WHERE l.op <> 'D'
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = l.c_custkey))
+      |SELECT c_custkey, bal FROM upd
+      |UNION ALL
+      |SELECT c_custkey, bal FROM ins""".stripMargin
+
+  /** Semi/anti join surface: parts that have been ordered (LEFT SEMI) vs
+    * never ordered (LEFT ANTI), counted per brand. Both joins shuffle the
+    * fact side once on the part key and keep only the existence bit — no
+    * fact payload survives the join, which is the point of semi/anti over
+    * inner+distinct at scale.
+    */
+  def semiAntiParts(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+    val li = Tables.load(s, dir, "lineitem").select("l_partkey")
+    val ordered = part.join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_ordered"))
+    val never = part.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_never"))
+    ordered.join(never, Seq("p_brand"), "full_outer")
+      .select(
+        col("p_brand"),
+        coalesce(col("n_ordered"), lit(0L)).as("n_ordered"),
+        coalesce(col("n_never"), lit(0L)).as("n_never"))
+  }
+
+  private val semiAntiPartsSql =
+    """WITH o AS (
+      |  SELECT p_brand,
+      |         EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) AS is_ordered
+      |  FROM part p)
+      |SELECT p_brand,
+      |       CAST(count(*) FILTER (WHERE is_ordered) AS BIGINT) AS n_ordered,
+      |       CAST(count(*) FILTER (WHERE NOT is_ordered) AS BIGINT) AS n_never
+      |FROM o GROUP BY p_brand""".stripMargin
+
+  /** JSON property extraction: `events.props` is a JSON string column;
+    * `get_json_object` pulls the single field in ONE parse per row (the
+    * multi-field case goes through the pack's from_json-in-Generate barrier
+    * — CLAUDE.md plan rules), then an exact integer aggregate per type.
+    */
+  def propsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  private val propsExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Column profiler: per-column null count and distinct count of orders in
+    * ONE pass (a single aggregate row, unpivoted to one row per column) —
+    * the data-quality primitives every ingestion audit runs. min/max are
+    * emitted only for engine-stable string renderings (integers, strings);
+    * float/timestamp renderings differ across engines and stay NULL.
+    */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val one = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      countDistinct(col("o_orderkey")).as("dist_orderkey"),
+      min(col("o_orderkey")).cast("string").as("min_orderkey"),
+      max(col("o_orderkey")).cast("string").as("max_orderkey"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      countDistinct(col("o_custkey")).as("dist_custkey"),
+      min(col("o_custkey")).cast("string").as("min_custkey"),
+      max(col("o_custkey")).cast("string").as("max_custkey"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+      countDistinct(col("o_orderstatus")).as("dist_status"),
+      min(col("o_orderstatus")).as("min_status"),
+      max(col("o_orderstatus")).as("max_status"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_totalprice"),
+      countDistinct(col("o_totalprice")).as("dist_totalprice"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+      countDistinct(col("o_orderdate")).as("dist_orderdate"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priority"),
+      countDistinct(col("o_orderpriority")).as("dist_priority"),
+      min(col("o_orderpriority")).as("min_priority"),
+      max(col("o_orderpriority")).as("max_priority"))
+    def row(name: String, nulls: Column, dist: Column, mn: Column, mx: Column) =
+      struct(lit(name).as("column_name"), col("n_rows"), nulls.as("n_null"),
+        dist.as("n_distinct"), mn.as("min_s"), mx.as("max_s"))
+    val nullS = lit(null).cast("string")
+    one.select(explode(array(
+        row("o_orderkey", col("null_orderkey"), col("dist_orderkey"),
+          col("min_orderkey"), col("max_orderkey")),
+        row("o_custkey", col("null_custkey"), col("dist_custkey"),
+          col("min_custkey"), col("max_custkey")),
+        row("o_orderstatus", col("null_status"), col("dist_status"),
+          col("min_status"), col("max_status")),
+        row("o_totalprice", col("null_totalprice"), col("dist_totalprice"), nullS, nullS),
+        row("o_orderdate", col("null_orderdate"), col("dist_orderdate"), nullS, nullS),
+        row("o_orderpriority", col("null_priority"), col("dist_priority"),
+          col("min_priority"), col("max_priority")))).as("p"))
+      .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
+  }
+
+  private val profileOrdersSql =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_orderkey,
+      |    count(DISTINCT o_orderkey) AS dist_orderkey,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS min_orderkey,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS max_orderkey,
+      |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_custkey,
+      |    count(DISTINCT o_custkey) AS dist_custkey,
+      |    CAST(min(o_custkey) AS VARCHAR) AS min_custkey,
+      |    CAST(max(o_custkey) AS VARCHAR) AS max_custkey,
+      |    CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS null_status,
+      |    count(DISTINCT o_orderstatus) AS dist_status,
+      |    min(o_orderstatus) AS min_status,
+      |    max(o_orderstatus) AS max_status,
+      |    CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) AS null_totalprice,
+      |    count(DISTINCT o_totalprice) AS dist_totalprice,
+      |    CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS null_orderdate,
+      |    count(DISTINCT o_orderdate) AS dist_orderdate,
+      |    CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) AS null_priority,
+      |    count(DISTINCT o_orderpriority) AS dist_priority,
+      |    min(o_orderpriority) AS min_priority,
+      |    max(o_orderpriority) AS max_priority
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS column_name, n_rows, null_orderkey AS n_null,
+      |       dist_orderkey AS n_distinct, min_orderkey AS min_s, max_orderkey AS max_s FROM a
+      |UNION ALL SELECT 'o_custkey', n_rows, null_custkey, dist_custkey, min_custkey, max_custkey FROM a
+      |UNION ALL SELECT 'o_orderstatus', n_rows, null_status, dist_status, min_status, max_status FROM a
+      |UNION ALL SELECT 'o_totalprice', n_rows, null_totalprice, dist_totalprice, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_orderdate', n_rows, null_orderdate, dist_orderdate, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_orderpriority', n_rows, null_priority, dist_priority, min_priority, max_priority FROM a""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),
@@ -467,5 +697,10 @@ object Relational extends QueryPack {
     Q("window_spend_quartiles", spendQuartiles, Some(spendQuartilesSql)),
     Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
     Q("skew_salted_join", skewJoin, Some(skewJoinSql)),
+    Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinClicksSql)),
+    Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Q("semi_anti_parts", semiAntiParts, Some(semiAntiPartsSql)),
+    Q("props_extract", propsExtract, Some(propsExtractSql)),
+    Q("profile_orders", profileOrders, Some(profileOrdersSql)),
     Q("pivot_status", pivotStatus, Some(pivotStatusSql)))
 }

@@ -341,6 +341,49 @@ object TextStats extends QueryPack {
       |CROSS JOIN n
       |ORDER BY c_pair DESC, pair LIMIT $CollocTopK""".stripMargin
 
+  /** Per-document repetition metrics (Gopher-style quality filter): token
+    * count, distinct tokens, the modal token's count, and the duplicate-token
+    * fraction (n_tokens − n_distinct)/n_tokens — high values flag the
+    * degenerate boilerplate/spam documents a pretraining corpus drops. All
+    * counts are exact integers off one tokenize pass + one (doc, token)
+    * hash aggregate; the fraction is a single exact-integer division.
+    * `is_repetitive` applies the published Gopher-ish cut (dup fraction
+    * > 0.3 or modal token > 20% of the document).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs.select(col("doc_id"), explode(tokensCol).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_token_n"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"),
+        (((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")) > 0.3 ||
+          col("top_token_n").cast("double") / col("n_tokens").cast("double") > 0.2)
+          .as("is_repetitive"))
+  }
+
+  private val repetitionSql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+      |per AS (
+      |  SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_distinct,
+      |       CAST(max(c) AS BIGINT) AS top_token_n,
+      |       CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+      |       (CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.3
+      |        OR CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.2) AS is_repetitive
+      |FROM per GROUP BY doc_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
@@ -349,5 +392,6 @@ object TextStats extends QueryPack {
     Q("text_bm25_top", bm25Top, Some(bm25TopSql)),
     Q("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     Q("text_collocations", collocations, Some(collocationsSql)),
-    Q("doc_fingerprint", fingerprint, Some(fingerprintSql)))
+    Q("doc_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("text_repetition", repetition, Some(repetitionSql)))
 }

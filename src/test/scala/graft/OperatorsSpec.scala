@@ -93,4 +93,63 @@ class OperatorsSpec extends SparkSpec {
     assert(out((1L, "2024-01-01 10:15:00.0")) == 4L)
     assert(out((2L, "2024-01-01 10:00:00.0")) == 5L)
   }
+
+  test("range join matches the naive nested-loop result, once per pair") {
+    // grid pitch 10; intervals spanning 1, 2 and 4 buckets + an empty one
+    val points = Seq((1L, 5L, 100L), (1L, 19L, 101L), (1L, 35L, 102L),
+      (2L, 5L, 103L), (1L, 40L, 104L), (1L, 45L, 105L))
+      .toDF("k", "t", "pid")
+    val ivs = Seq((1L, 0L, 20L, 200L), (1L, 15L, 45L, 201L),
+      (1L, 30L, 30L, 202L), // empty: start == end
+      (2L, 0L, 50L, 203L), (3L, 0L, 100L, 204L))
+      .toDF("k", "s", "e", "iid")
+
+    val got = graft.operators.RangeJoin
+      .joinPointInInterval(points, ivs, "k", "t", "s", "e", granularity = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (pk, t, pid) <- Seq((1L, 5L, 100L), (1L, 19L, 101L), (1L, 35L, 102L),
+        (2L, 5L, 103L), (1L, 40L, 104L), (1L, 45L, 105L))
+      (ik, s0, e0, iid) <- Seq((1L, 0L, 20L, 200L), (1L, 15L, 45L, 201L),
+        (1L, 30L, 30L, 202L), (2L, 0L, 50L, 203L), (3L, 0L, 100L, 204L))
+      if pk == ik && t >= s0 && t < e0
+    } yield (pid, iid)
+    assert(got.sorted.toSeq == want.sorted) // no dup pairs, none missing
+    assert(!got.contains((105L, 201L)))     // end exclusive: t=45 ∉ [15,45)
+  }
+
+  test("range join renames colliding interval columns instead of clobbering") {
+    val points = Seq((1L, 5L, "p")).toDF("k", "t", "tag")
+    val ivs = Seq((1L, 0L, 10L, "i")).toDF("k", "s", "t", "tag")
+    val out = graft.operators.RangeJoin
+      .joinPointInInterval(points, ivs, "k", "t", "s", "t_iv", granularity = 10L)
+    assert(out.columns.count(_ == "tag") == 1 && out.columns.contains("tag_iv"))
+    val r = out.select("tag", "tag_iv").head()
+    assert(r.getString(0) == "p" && r.getString(1) == "i")
+  }
+
+  test("merge applies latest-wins upserts, deletes and inserts") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 1L, "U", 11.0),  // stale update...
+      (1L, 2L, "U", 12.0),  // ...latest wins
+      (2L, 1L, "D", 0.0),   // delete
+      (3L, 1L, "D", 0.0),   // delete then re-insert: latest is the upsert
+      (3L, 2L, "U", 33.0),
+      (9L, 1L, "U", 90.0))  // key not in base → insert
+      .toDF("k", "ver", "op", "v")
+    val out = graft.operators.Merge(base, changes,
+      keyCols = Seq("k"), versionCols = Seq("ver"), opCol = "op",
+      payloadCols = Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 12.0, 3L -> 33.0, 9L -> 90.0))
+  }
+
+  test("merge honors a null payload in an upsert (op drives it, not coalesce)") {
+    val base = Seq((1L, Some(10.0))).toDF("k", "v")
+    val changes = Seq((1L, 1L, "U", Option.empty[Double])).toDF("k", "ver", "op", "v")
+    val rows = graft.operators.Merge(base, changes, Seq("k"), Seq("ver"), "op", Seq("v"))
+      .collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).isNullAt(1))
+  }
 }
