@@ -630,6 +630,49 @@ object Analytics extends QueryPack {
       |       CAST(n_days * n_days AS DOUBLE) AS cov_xy
       |FROM m""".stripMargin
 
+  /** A10: z-score outlier counts per event type WITHOUT any float moment.
+    * z > 2 ⟺ (n·x − Σx)² > 4·(n·Σx² − (Σx)²): both sides are exact
+    * integers once values are anchored to the milli grid
+    * (floor(value·1000)), so the flag never flips across engines the way a
+    * stddev comparison would. Products run in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — overflow-proof to ~1e38, far past 100 TB row
+    * counts. One group pass for the moments, a broadcast join back (the
+    * moment table is |event types| rows), one count pass.
+    */
+  def outlierZscore(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("v3"))
+    val m = ev.groupBy("event_type").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("v3")).cast(d38).as("s"),
+      sum(col("v3").cast(d38) * col("v3").cast(d38)).as("q"))
+    val dev = ev.join(broadcast(m), "event_type")
+      .withColumn("lhs",
+        (col("n") * col("v3").cast(d38) - col("s")) *
+          (col("n") * col("v3").cast(d38) - col("s")))
+      .withColumn("rhs", lit(4).cast(d38) * (col("n") * col("q") - col("s") * col("s")))
+    dev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outlier"))
+  }
+
+  private val outlierZscoreSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v3 FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(v3) AS HUGEINT) AS s,
+      |         sum(CAST(v3 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS q
+      |  FROM ev GROUP BY event_type)
+      |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(*) FILTER (
+      |         WHERE (m.n * ev.v3 - m.s) * (m.n * ev.v3 - m.s)
+      |             > 4 * (m.n * m.q - m.s * m.s)) AS BIGINT) AS n_outlier
+      |FROM ev JOIN m ON ev.event_type = m.event_type
+      |GROUP BY ev.event_type""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
@@ -642,6 +685,7 @@ object Analytics extends QueryPack {
     Q("funnel_stages", funnel, Some(funnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("a9_activity_cov", activityCov, Some(activityCovSql)),
+    Q("a10_outlier_zscore", outlierZscore, Some(outlierZscoreSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
     Q("candle_resample", candleResample, Some(candleResampleSql)))
 }

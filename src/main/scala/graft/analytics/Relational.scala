@@ -680,6 +680,26 @@ object Relational extends QueryPack {
       |UNION ALL SELECT 'o_orderdate', n_rows, null_orderdate, dist_orderdate, NULL, NULL FROM a
       |UNION ALL SELECT 'o_orderpriority', n_rows, null_priority, dist_priority, min_priority, max_priority FROM a""".stripMargin
 
+  /** Fixed-width histogram of order totals (30k-wide buckets). The bucket
+    * index is floor(v/30000) — a single correctly-rounded IEEE division
+    * both engines share, NOT width_bucket, whose internal
+    * (v−min)/(max−min)·n float path can land boundary values in different
+    * buckets per engine. Map-side combine makes this one scan + one
+    * tiny-key shuffle at any scale.
+    */
+  def histPrice(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 30000).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("bucket_total"))
+
+  private val histPriceSql =
+    """SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bucket,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
+      |FROM orders GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),
@@ -702,5 +722,6 @@ object Relational extends QueryPack {
     Q("semi_anti_parts", semiAntiParts, Some(semiAntiPartsSql)),
     Q("props_extract", propsExtract, Some(propsExtractSql)),
     Q("profile_orders", profileOrders, Some(profileOrdersSql)),
+    Q("hist_price", histPrice, Some(histPriceSql)),
     Q("pivot_status", pivotStatus, Some(pivotStatusSql)))
 }
