@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,7 +78,89 @@ object Curation extends QueryPack {
       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM kept GROUP BY source, lang""".stripMargin
 
+  /** Distinct 8-gram set of a document, single pass (same shape as
+    * [[Dedup]]'s trigram shingler and a UDF for the same reason — the
+    * higher-order-function formulation re-inlines under generator filters).
+    */
+  private val gram8Udf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split(TextStats.WsRe).filter(_.nonEmpty)
+      if (toks.length < 8) Array.empty[String]
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i <= toks.length - 8) {
+          seen += toks.slice(i, i + 8).mkString(" ")
+          i += 1
+        }
+        seen.toArray
+      }
+    }
+  }
+
+  /** eval-set membership: first two hex chars of md5(doc_id) ≥ 'e0' (top
+    * 12.5% of hash space) — deterministic, content-independent, identical in
+    * Spark and DuckDB (same portable-membership trick as
+    * [[sampleStratified]])
+    */
+  private val isEval: Column =
+    substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) >= "e0"
+
+  /** Benchmark decontamination: flag training documents sharing any 8-gram
+    * with the held-out eval split, the standard pretraining contamination
+    * check (GPT-3 appendix C / PaLM-style n-gram overlap). Here the "eval
+    * benchmark" is a deterministic 12.5% hash-split of `documents`; in
+    * production it is a separate tiny table, which makes the shape below the
+    * real one: the eval side's distinct gram set is small enough to
+    * broadcast (a few million 8-grams for a 100k-doc benchmark; at scale
+    * you'd broadcast 64-bit gram hashes or a Bloom filter instead of
+    * strings), so the train side is ONE full scan with a map-side hash join
+    * and the only shuffle is the per-doc hit count. The eval filter sits
+    * BELOW the gram UDF, so the expensive tokenization runs on 12.5% + 87.5%
+    * of rows — never 2× the corpus.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val evalGrams = docs.where(isEval)
+      .select(explode(gram8Udf(col("text"))).as("g"))
+      .distinct()
+    docs.where(!isEval)
+      .select(col("doc_id"), col("source"), explode(gram8Udf(col("text"))).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shared")) // grams are per-doc distinct already
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_contaminated"),
+        sum(col("n_shared")).as("n_hits"),
+        max(col("n_shared")).as("max_shared"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e0' AS is_eval,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, is_eval,
+      |         unnest(CASE WHEN len(t) >= 8
+      |           THEN list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])
+      |           ELSE [] END) AS g
+      |  FROM toks),
+      |eg AS (SELECT DISTINCT g FROM g WHERE is_eval),
+      |hits AS (
+      |  SELECT a.doc_id, a.source, count(*) AS n_shared
+      |  FROM g a JOIN eg ON a.g = eg.g
+      |  WHERE NOT a.is_eval GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_contaminated,
+      |       CAST(sum(n_shared) AS BIGINT) AS n_hits,
+      |       CAST(max(n_shared) AS BIGINT) AS max_shared
+      |FROM hits GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
-    Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)))
+    Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
+    Q("decontaminate_eval", decontaminate, Some(decontaminateSql)))
 }

@@ -216,4 +216,19 @@ class LlmSpec extends SparkSpec {
       assert(math.abs(approx(k) - n).toDouble / n <= 0.05, s"$k: ${approx(k)} vs $n")
     }
   }
+
+  test("decontaminate_eval finds cross-split 8-gram overlap (vs DuckDB)") {
+    import graft.llm.Curation
+    val rows = Curation.decontaminate(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independently computed with DuckDB over sf0.001
+    val expected = Map(
+      "src0" -> ((1L, 68L, 68L)),
+      "src12" -> ((1L, 70L, 70L)),
+      "src4" -> ((1L, 59L, 59L)),
+      "src8" -> ((1L, 69L, 69L)))
+    assert(rows == expected, s"got $rows")
+  }
 }
