@@ -673,6 +673,69 @@ object Analytics extends QueryPack {
       |FROM ev JOIN m ON ev.event_type = m.event_type
       |GROUP BY ev.event_type""".stripMargin
 
+  /** Gap-fill + LOCF: regularize each user's event series onto a daily
+    * spine (min..max event date) and forward-fill the daily close — the
+    * missing-bar repair step every time-series store performs before
+    * resampling/returns math (a candle feed like the reference's has no bar
+    * on non-trading days). Shapes: the spine is (distinct users) ×
+    * (generated day array) — both tiny relative to the fact table at any
+    * scale (spine cardinality = |users|·|days|, independent of event count);
+    * the daily close is a map-side-partial row_number argmax; the LOCF is
+    * one window pass per user ordered by day. `filled` marks synthesized
+    * rows. The close is a RAW observed double (no arithmetic), so the LOCF
+    * output is bit-exact cross-engine.
+    */
+  def gapfillCloses(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    // last event of the (user, day) by (ts, event_id) — composite-order
+    // argmax via row_number (DuckDB arg_max rejects struct keys)
+    val perDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(perDay))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close"))
+    val days = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val spine = ev.select("user_id").distinct().crossJoin(broadcast(days))
+    val locf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        last(col("close"), ignoreNulls = true).over(locf).as("close"),
+        when(col("close").isNull, 1).otherwise(0).as("filled"))
+  }
+
+  private val gapfillClosesSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_id, value FROM events),
+      |daily AS (
+      |  SELECT user_id, day, value AS close FROM (
+      |    SELECT user_id, CAST(tsv AS DATE) AS day, value,
+      |           row_number() OVER (PARTITION BY user_id, CAST(tsv AS DATE)
+      |                              ORDER BY tsv DESC, event_id DESC) AS rn
+      |    FROM ev)
+      |  WHERE rn = 1),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(
+      |           CAST((SELECT min(tsv) FROM ev) AS DATE),
+      |           CAST((SELECT max(tsv) FROM ev) AS DATE),
+      |           INTERVAL 1 DAY)) AS DATE) AS day),
+      |spine AS (
+      |  SELECT u.user_id, d.day
+      |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d)
+      |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+      |       last_value(daily.close IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+      |       CASE WHEN daily.close IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
@@ -687,5 +750,6 @@ object Analytics extends QueryPack {
     Q("a9_activity_cov", activityCov, Some(activityCovSql)),
     Q("a10_outlier_zscore", outlierZscore, Some(outlierZscoreSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
-    Q("candle_resample", candleResample, Some(candleResampleSql)))
+    Q("candle_resample", candleResample, Some(candleResampleSql)),
+    Q("gapfill_locf", gapfillCloses, Some(gapfillClosesSql)))
 }

@@ -159,8 +159,86 @@ object Curation extends QueryPack {
       |       CAST(max(n_shared) AS BIGINT) AS max_shared
       |FROM hits GROUP BY source""".stripMargin
 
+  /** training-window chunking params: 32-token windows, stride 24 (8-token
+    * overlap) — small enough to exercise multi-chunk docs on the synthetic
+    * corpus (p50 = 56 tokens); a production run would use 2048/1536 with the
+    * identical plan
+    */
+  private[llm] val ChunkSize = 32
+  private[llm] val ChunkStride = 24
+
+  /** Sliding-window chunk texts of a document: k = ceil((n-size)/stride)+1
+    * windows starting at multiples of stride, last window truncated at the
+    * document end. Single pass, same UDF rationale as [[gram8Udf]].
+    */
+  private val chunkUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split(TextStats.WsRe).filter(_.nonEmpty)
+      if (toks.isEmpty) Array.empty[String]
+      else {
+        val k =
+          if (toks.length <= ChunkSize) 1
+          else (toks.length - ChunkSize + ChunkStride - 1) / ChunkStride + 1
+        Array.tabulate(k) { i =>
+          val s = i * ChunkStride
+          toks.slice(s, math.min(s + ChunkSize, toks.length)).mkString(" ")
+        }
+      }
+    }
+  }
+
+  /** Library form: one row per (doc, chunk) with the chunk text — what a
+    * training-data writer would feed a tokenizer. Narrow generate, no
+    * shuffle; chunk_id is the window index.
+    */
+  def chunkDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(chunkUdf(col("text"))).as(Seq("chunk_id", "chunk_text")))
+
+  /** Oracle-gated accounting over the materialized chunks. The md5-half sum
+    * pins every chunk's BYTES (boundary placement, overlap, truncation)
+    * cross-engine, not just the counts — the portable-hash recipe (md5 hex →
+    * 32-bit half → integer sum) from the minhash oracle. Plan: narrow
+    * generate → map-side partial agg → one low-cardinality shuffle on
+    * source; at 100 TB the chunk rows stream through the aggregate without
+    * ever materializing.
+    */
+  def chunkStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs.select(col("doc_id"), col("source"), explode(chunkUdf(col("text"))).as("c"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(size(split(col("c"), " ")).cast("long")).as("chunk_tokens"),
+        sum(conv(substring(md5(col("c").cast("binary")), 1, 8), 16, 10).cast("long"))
+          .as("chunk_md5_sum"))
+  }
+
+  private val chunkStatsSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS t
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, source, t,
+      |         CASE WHEN len(t) = 0 THEN 0
+      |              WHEN len(t) <= $ChunkSize THEN 1
+      |              ELSE (len(t) - $ChunkSize + $ChunkStride - 1) // $ChunkStride + 1 END AS n_ch
+      |  FROM toks),
+      |c AS (
+      |  SELECT doc_id, source,
+      |         unnest([array_to_string(t[i*$ChunkStride + 1 : i*$ChunkStride + $ChunkSize], ' ')
+      |                 for i in range(0, n_ch)]) AS c
+      |  FROM k)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+      |       CAST(sum(len(string_split(c, ' '))) AS BIGINT) AS chunk_tokens,
+      |       CAST(sum(CAST('0x' || substr(md5(c), 1, 8) AS BIGINT)) AS BIGINT) AS chunk_md5_sum
+      |FROM c GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
-    Q("decontaminate_eval", decontaminate, Some(decontaminateSql)))
+    Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
+    Q("chunk_docs", chunkStats, Some(chunkStatsSql)))
 }
