@@ -19,6 +19,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Curation,
+    llm.Governance,
     ingest.IngestPack,
     multimodal.Multimodal)
 

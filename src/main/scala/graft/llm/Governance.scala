@@ -1,0 +1,161 @@
+package graft.llm
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators for a training-data pipeline: PII detection /
+  * redaction and source-mixture rebalancing. The reference stores raw wire
+  * payloads with no scrubbing pass (SURVEY.md §1.3); these are north-star
+  * extension ops in the same family as [[Curation]].
+  *
+  * Scale notes (100 TB posture):
+  *   - PII redaction is a narrow per-row projection — three codegen'd
+  *     `regexp_replace` passes and three `regexp_extract_all` counts, no
+  *     shuffle until the low-cardinality accounting aggregate. At 100 TB the
+  *     redacted text streams straight to the sink; nothing widens.
+  *   - Mixture rebalance is two scans (count pass, filter pass) + one
+  *     broadcast of the per-stratum thresholds; membership is a pure
+  *     function of a content-independent hash, so the sample is stable
+  *     across task retries and engine replays (a `rand()` sample is not).
+  *     On a production catalog the count pass comes free from table stats.
+  *
+  * Determinism notes: every regex below is written in the Java-regex ∩ RE2
+  * common dialect (explicit character classes, bounded repetition, no
+  * lookaround, no `\d`/`\s` shorthands whose definitions differ), so the ONE
+  * pattern string drives both the Spark side and the DuckDB oracle.
+  */
+object Governance extends QueryPack {
+
+  /** PII patterns — Java-regex ∩ RE2 common dialect (see determinism notes). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9]{7,12}"
+
+  /** Redact all three PII classes, email → ip → phone. Order matters only in
+    * that replacements must not synthesize new matches; the `<CLASS>` tokens
+    * contain no `@`, digits or `+`, so the three passes are independent.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Deterministic wire-log rendering of `events` — the governance analogue
+    * of [[graft.ingest.IngestPack]]'s JSON frames: the synthetic tables carry
+    * no real PII, so the scan target is derived (reproducibly, in both
+    * engines) from the event columns. Each PII class appears on a different
+    * deterministic subset of rows so the per-class counts are non-trivial.
+    */
+  private def logLine: Column = concat(
+    lit("uid="), col("user_id").cast("string"),
+    when(col("user_id") % 3 =!= 0,
+      concat(lit(" email=u"), col("user_id").cast("string"),
+        lit("@ex"), (col("event_id") % 7).cast("string"), lit(".com")))
+      .otherwise(lit("")),
+    when(col("event_id") % 2 === 0,
+      concat(lit(" ip=10."), (col("event_id") % 223).cast("string"),
+        lit("."), (col("user_id") % 251).cast("string"),
+        lit("."), (col("event_id") % 199).cast("string")))
+      .otherwise(lit("")),
+    when(col("event_id") % 5 < 2,
+      concat(lit(" phone=+1"),
+        lpad((col("event_id") % 1000000000L).cast("string"), 9, "0")))
+      .otherwise(lit("")),
+    lit(" type="), col("event_type"))
+
+  /** PII scrub + audit: per event type, how many of each PII class were
+    * found, and a portable hash-sum pinning every BYTE of the redacted
+    * output (so a mask that eats one character too many flips the gate).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadSpread(s, dir, "events")
+    ev.select(col("event_type"), logLine.as("line"))
+      .select(col("event_type"),
+        size(regexp_extract_all(col("line"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("line"), lit(Ipv4Re), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("line"), lit(PhoneRe), lit(0))).as("n_phone"),
+        redactPii(col("line")).as("r"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("n_email").cast("long")).as("n_email"),
+        sum(col("n_ip").cast("long")).as("n_ip"),
+        sum(col("n_phone").cast("long")).as("n_phone"),
+        sum(conv(substring(md5(col("r").cast("binary")), 1, 8), 16, 10).cast("long"))
+          .as("redacted_md5_sum"))
+  }
+
+  private val piiRedactSql =
+    s"""WITH lines AS (
+      |  SELECT event_type,
+      |    'uid=' || CAST(user_id AS VARCHAR)
+      |    || CASE WHEN user_id % 3 <> 0 THEN ' email=u' || CAST(user_id AS VARCHAR) || '@ex' || CAST(event_id % 7 AS VARCHAR) || '.com' ELSE '' END
+      |    || CASE WHEN event_id % 2 = 0 THEN ' ip=10.' || CAST(event_id % 223 AS VARCHAR) || '.' || CAST(user_id % 251 AS VARCHAR) || '.' || CAST(event_id % 199 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN event_id % 5 < 2 THEN ' phone=+1' || lpad(CAST(event_id % 1000000000 AS VARCHAR), 9, '0') ELSE '' END
+      |    || ' type=' || event_type AS line
+      |  FROM events),
+      |red AS (
+      |  SELECT event_type,
+      |    len(regexp_extract_all(line, '$EmailRe')) AS n_email,
+      |    len(regexp_extract_all(line, '$Ipv4Re')) AS n_ip,
+      |    len(regexp_extract_all(line, '$PhoneRe')) AS n_phone,
+      |    regexp_replace(regexp_replace(regexp_replace(line,
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '$Ipv4Re', '<IP>', 'g'),
+      |      '$PhoneRe', '<PHONE>', 'g') AS r
+      |  FROM lines)
+      |SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(n_email) AS BIGINT) AS n_email,
+      |       CAST(sum(n_ip) AS BIGINT) AS n_ip,
+      |       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+      |       CAST(sum(CAST('0x' || substr(md5(r), 1, 8) AS BIGINT)) AS BIGINT) AS redacted_md5_sum
+      |FROM red GROUP BY event_type""".stripMargin
+
+  /** portable per-row coin: md5(doc_id) first 8 hex chars → long → mod 1000
+    * (the cross-engine hash recipe from the minhash oracle / CLAUDE.md).
+    */
+  private val coin1000: Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000
+
+  /** Source-mixture rebalancing: deterministically downsample each language
+    * stratum to (approximately) the smallest stratum's size — the standard
+    * "flatten the mixture" step before weighting a pretraining corpus.
+    * Thresholds are exact integer arithmetic (`1000*min DIV n`), membership
+    * is the portable hash coin, so both engines keep literally the same
+    * documents. Output: per-stratum before-count, acceptance threshold
+    * (permille), and kept-count.
+    */
+  def mixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cnt = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val minCnt = cnt.agg(min(col("n_before")).as("n_min"))
+    val th = cnt.crossJoin(broadcast(minCnt))
+      .select(col("lang"), col("n_before"),
+        expr("1000 * n_min DIV n_before").as("threshold"))
+    val kept = docs.join(broadcast(th.select("lang", "threshold")), "lang")
+      .where(coin1000 < col("threshold"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    th.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  private val mixtureRebalanceSql =
+    """WITH cnt AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+      |m AS (SELECT min(n_before) AS n_min FROM cnt),
+      |th AS (SELECT lang, n_before, (1000 * m.n_min) // n_before AS threshold FROM cnt, m),
+      |kept AS (
+      |  SELECT d.lang AS lang FROM documents d JOIN th ON d.lang = th.lang
+      |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < th.threshold),
+      |kc AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang)
+      |SELECT th.lang, th.n_before, th.threshold, COALESCE(kc.n_kept, 0) AS n_kept
+      |FROM th LEFT JOIN kc ON th.lang = kc.lang""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("pii_redact", piiRedact, Some(piiRedactSql)),
+    Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)))
+}
