@@ -575,6 +575,36 @@ object Relational extends QueryPack {
       |       CAST(count(*) FILTER (WHERE NOT is_ordered) AS BIGINT) AS n_never
       |FROM o GROUP BY p_brand""".stripMargin
 
+  /** Bloom-pruned fact/dim join ([[graft.operators.BloomPrune]]): spend by
+    * order priority for one customer segment, with the orders side pruned by
+    * a broadcast Bloom sketch of the eligible custkeys BEFORE the join
+    * shuffle. Bloom filters have no false negatives, so the result is
+    * byte-identical to the plain join the oracle runs — only the shuffled
+    * volume changes (~segment-fraction + fpp of orders instead of all of
+    * them). The join deliberately carries no broadcast hint: the scenario is
+    * a dim too big to broadcast whose key set still fits a sketch.
+    */
+  def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .select("o_custkey", "o_orderpriority", "o_totalprice")
+    val pruned = graft.operators.BloomPrune
+      .pruneByBloom(ord, "o_custkey", cust, "c_custkey", expectedItems = 100000L)
+    pruned.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("segment_spend"))
+  }
+
+  private val bloomPruneJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS segment_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** JSON property extraction: `events.props` is a JSON string column;
     * `get_json_object` pulls the single field in ONE parse per row (the
     * multi-field case goes through the pack's from_json-in-Generate barrier
@@ -720,6 +750,7 @@ object Relational extends QueryPack {
     Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinClicksSql)),
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("semi_anti_parts", semiAntiParts, Some(semiAntiPartsSql)),
+    Q("bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql)),
     Q("props_extract", propsExtract, Some(propsExtractSql)),
     Q("profile_orders", profileOrders, Some(profileOrdersSql)),
     Q("hist_price", histPrice, Some(histPriceSql)),

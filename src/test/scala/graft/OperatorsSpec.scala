@@ -152,4 +152,21 @@ class OperatorsSpec extends SparkSpec {
       .collect()
     assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).isNullAt(1))
   }
+
+  test("bloom prune keeps every true match and actually prunes the big side") {
+    val small = (0L until 100L).map(k => k * 10).toDF("k")       // 100 of 1000 keys
+    val big = (0L until 1000L).map(k => (k, k % 7)).toDF("bk", "payload")
+    val pruned = graft.operators.BloomPrune
+      .pruneByBloom(big, "bk", small, "k", expectedItems = 100L, fpp = 0.01)
+    val keptKeys = pruned.select("bk").collect().map(_.getLong(0)).toSet
+    // no false negatives: every real key survives the prune
+    assert((0L until 100L).map(_ * 10).forall(keptKeys.contains))
+    // and the prune is real: ≤ 100 true + ~1% fpp of the 900 others
+    assert(keptKeys.size <= 130, s"kept ${keptKeys.size} of 1000")
+    // null keys never match
+    val withNull = big.select(when(col("bk") < 0, col("bk")).as("bk"))
+    val prunedNull = graft.operators.BloomPrune
+      .pruneByBloom(withNull, "bk", small, "k", expectedItems = 100L, fpp = 0.01)
+    assert(prunedNull.count() == 0L)
+  }
 }
