@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * token order inside a document is preserved by `split`, so rolling hashes
   * are bit-stable across engines.
   */
+/** [[TextStats.heavyHitters]] aggregation state: k parallel (token, count)
+  * slots, null key = free slot. Top-level (public bytecode) so Spark codegen
+  * can construct it.
+  */
+final case class MgBuf(keys: Array[String], counts: Array[Long])
+
 object TextStats extends QueryPack {
 
   /** Whitespace run, spelled as an explicit character class instead of `\s`:
@@ -384,8 +390,97 @@ object TextStats extends QueryPack {
       |        OR CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.2) AS is_repetitive
       |FROM per GROUP BY doc_id""".stripMargin
 
+  /** Misra-Gries heavy-hitters sketch, k entries: a bounded-memory mergeable
+    * summary answering "which tokens exceed n/(k+1) frequency" with one pass
+    * and O(k) state — the streaming/distributed alternative to
+    * [[vocabTopK]]'s exact count-then-TakeOrdered when the vocabulary itself
+    * is too large to aggregate exactly. Guarantees (pinned in LlmSpec):
+    * every token with true count > n/(k+1) is present, and each estimate is
+    * an undercount by at most n/(k+1).
+    *
+    * Scale notes (100 TB posture): per-group state is 2k scalars regardless
+    * of vocabulary size; partial sketches merge associatively (sum counts,
+    * then subtract the (k+1)-th largest — the standard mergeable-MG rule,
+    * Agarwal et al., "Mergeable Summaries"), so the plan is one map-side
+    * partial agg + one k-row-per-group shuffle. No token-cardinality
+    * shuffle ever happens — the contrast with vocabTopK is the point.
+    */
+  private final val MgK = 16
+
+  private object MgAgg
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, Seq[(String, Long)]] {
+    def zero: MgBuf = MgBuf(new Array[String](MgK), new Array[Long](MgK))
+    def reduce(b: MgBuf, token: String): MgBuf = {
+      val keys = b.keys
+      var i = 0
+      var free = -1
+      while (i < MgK) {
+        if (keys(i) == token) { b.counts(i) += 1; return b }
+        if (free < 0 && keys(i) == null) free = i
+        i += 1
+      }
+      if (free >= 0) { keys(free) = token; b.counts(free) = 1; return b }
+      // full and absent: decrement all, evict zeros (classic MG step)
+      i = 0
+      while (i < MgK) {
+        b.counts(i) -= 1
+        if (b.counts(i) == 0) keys(i) = null
+        i += 1
+      }
+      b
+    }
+    def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var i = 0
+      while (i < MgK) {
+        if (x.keys(i) != null) m.update(x.keys(i), m.getOrElse(x.keys(i), 0L) + x.counts(i))
+        i += 1
+      }
+      i = 0
+      while (i < MgK) {
+        if (y.keys(i) != null) m.update(y.keys(i), m.getOrElse(y.keys(i), 0L) + y.counts(i))
+        i += 1
+      }
+      val entries = m.toArray
+      // subtract the (k+1)-th largest count so at most k survive
+      val cut =
+        if (entries.length <= MgK) 0L
+        else entries.map(_._2).sorted(Ordering[Long].reverse)(MgK)
+      val out = zero
+      var j = 0
+      entries.foreach { case (tok, c) =>
+        if (c - cut > 0) { out.keys(j) = tok; out.counts(j) = c - cut; j += 1 }
+      }
+      out
+    }
+    def finish(b: MgBuf): Seq[(String, Long)] =
+      b.keys.zip(b.counts).filter(_._1 != null)
+        .sortBy { case (tok, c) => (-c, tok) }.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
+      org.apache.spark.sql.Encoders.product[MgBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+  private val mgSketch = udaf(MgAgg)
+
+  /** Heavy-hitter tokens per language via the MG sketch (one row per kept
+    * entry: lang, token, est_count, and the stratum's exact token total so
+    * the n/(k+1) guarantee is auditable downstream). Approximate by design →
+    * rows-only driver check; the frequency guarantee is pinned in LlmSpec.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs.select(col("lang"), explode(tokensCol).as("token"))
+      .groupBy("lang")
+      .agg(mgSketch(col("token")).as("hh"), count(lit(1)).as("n_tokens"))
+      .select(col("lang"), col("n_tokens"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e._1").as("token"),
+        col("e._2").as("est_count"), col("n_tokens"))
+  }
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
+    Q("text_heavy_hitters", heavyHitters, None),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
     Q("text_lang_id", langId, Some(langIdSql)),
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),

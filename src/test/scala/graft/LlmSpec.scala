@@ -231,4 +231,28 @@ class LlmSpec extends SparkSpec {
       "src8" -> ((1L, 69L, 69L)))
     assert(rows == expected, s"got $rows")
   }
+
+  test("heavy hitters: MG guarantee — support > n/(k+1) present, undercount ≤ n/(k+1)") {
+    import graft.llm.TextStats
+    val hh = TextStats.heavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.explode(TextStats.tokensCol).as("token"))
+      .groupBy("lang", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nByLang = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val k = 16
+    exact.foreach { case ((lang, tok), n) =>
+      val bound = nByLang(lang) / (k + 1)
+      if (n > bound)
+        assert(hh.contains((lang, tok)), s"frequent token ($lang,$tok) n=$n bound=$bound missing")
+    }
+    hh.foreach { case ((lang, tok), (est, nTok)) =>
+      val truth = exact.getOrElse((lang, tok), 0L)
+      assert(est <= truth, s"($lang,$tok) overcounts: est=$est truth=$truth")
+      assert(truth - est <= nTok / (k + 1), s"($lang,$tok) undercount too deep: est=$est truth=$truth")
+      assert(nTok == nByLang(lang))
+    }
+  }
 }
