@@ -637,7 +637,11 @@ object Relational extends QueryPack {
     * float/timestamp renderings differ across engines and stay NULL.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
+    // spread, not plain load: the multi-countDistinct agg plans an Expand
+    // (×7 row multiplication) BEFORE the partial agg, so the map side is
+    // per-row-expensive and single-row-group testdata would run it on one
+    // core (CLAUDE.md testdata quirk)
+    val o = Tables.loadSpread(s, dir, "orders")
     val one = o.agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
