@@ -236,8 +236,63 @@ object Curation extends QueryPack {
       |       CAST(sum(CAST('0x' || substr(md5(c), 1, 8) AS BIGINT)) AS BIGINT) AS chunk_md5_sum
       |FROM c GROUP BY source""".stripMargin
 
+  /** Training-sequence packing length (tokens + 1 separator per doc). */
+  val SeqLen = 256
+
+  /** Sequence-packing accounting: concatenate each source's documents in
+    * deterministic doc_id order (one separator token between docs) and cut
+    * fixed [[SeqLen]]-token training sequences — the "concat-and-chunk"
+    * packing every pretraining shard writer does. Pure integer arithmetic
+    * over a per-source running sum, so both engines place every boundary
+    * identically: per source we pin the sequence count, how many documents
+    * straddle a sequence boundary, and the fill of the final partial
+    * sequence.
+    *
+    * Scale notes (100 TB posture): the running sum is a window per source —
+    * the inherently sequential part of deterministic packing. At 100 TB the
+    * unit of packing becomes (source, doc_id-range shard), which bounds each
+    * window partition to one shard's docs and keeps sequences reproducible;
+    * only shard-boundary padding differs from the global pack. Everything
+    * after the cumsum is a map-side per-row projection + one
+    * low-cardinality aggregate.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val units = docs.select(col("source"), col("doc_id"),
+      (size(TextStats.tokensCol) + 1).cast("long").as("u"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pos = units
+      .withColumn("end_pos", sum(col("u")).over(w))
+      .withColumn("start_pos", col("end_pos") - col("u"))
+    pos.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("u")).as("total_units"),
+      expr(s"(max(end_pos) + ${SeqLen - 1}) DIV $SeqLen").as("n_seqs"),
+      sum(when(expr(s"(end_pos - 1) DIV $SeqLen > start_pos DIV $SeqLen"), 1L)
+        .otherwise(0L)).as("n_straddling"),
+      (max(col("end_pos")) % SeqLen).as("tail_fill"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH u AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) + 1 AS BIGINT) AS u
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, u,
+      |         sum(u) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_pos
+      |  FROM u),
+      |p2 AS (SELECT source, u, end_pos, end_pos - u AS start_pos FROM p)
+      |SELECT source, count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS total_units,
+      |       CAST((max(end_pos) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
+      |       CAST(count(*) FILTER (WHERE (end_pos - 1) // $SeqLen > start_pos // $SeqLen) AS BIGINT) AS n_straddling,
+      |       CAST(max(end_pos) % $SeqLen AS BIGINT) AS tail_fill
+      |FROM p2 GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Q("pack_sequences", packSequences, Some(packSequencesSql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)))
