@@ -155,7 +155,65 @@ object Governance extends QueryPack {
       |SELECT th.lang, th.n_before, th.threshold, COALESCE(kc.n_kept, 0) AS n_kept
       |FROM th LEFT JOIN kc ON th.lang = kc.lang""".stripMargin
 
+  /** Model-scored quality filtering: a fixed linear classifier (the shape of
+    * a fastText/logreg quality gate) over exact integer token features —
+    * logit = 0.01·(n_tokens−40) + 3·(stop_ratio−0.08) + 2·(distinct_ratio−0.5),
+    * spelled as three integer-numerator rational terms so each is ONE
+    * correctly-rounded double division (the CLAUDE.md rational-form rule:
+    * +,−,×,÷ are IEEE-exact in both engines, so keep/drop decisions and the
+    * floor-scaled logit sum are bit-identical cross-engine — no libm, no
+    * decimal-literal ambiguity). Weights are inlined constants standing in
+    * for a trained model's.
+    *
+    * Scale notes (100 TB posture): narrow per-row scoring in codegen + one
+    * low-cardinality accounting aggregate; the real model would swap the
+    * linear form for a broadcast weight vector over hashed n-gram features —
+    * same plan shape.
+    */
+  def qualityModelFilter(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = TextStats.stopwords.mkString("array('", "', '", "')")
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextStats.tokensCol.as("tokens"))
+      .select(col("doc_id"), col("source"),
+        size(col("tokens")).as("n_tokens"),
+        expr(s"size(filter(tokens, t -> array_contains($stopArr, t)))").as("n_stop"),
+        size(array_distinct(col("tokens"))).as("n_distinct"))
+      .where(col("n_tokens") > 0)
+    val logit =
+      (col("n_tokens") - lit(40)) / lit(100) +
+        (lit(300) * col("n_stop") - lit(24) * col("n_tokens")) / (lit(100) * col("n_tokens")) +
+        (lit(200) * col("n_distinct") - lit(100) * col("n_tokens")) / (lit(100) * col("n_tokens"))
+    docs.select(col("source"), logit.as("logit"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0.0, 1L).otherwise(0L)).as("n_kept"),
+        sum(floor(col("logit") * 1000)).as("logit_millis"))
+  }
+
+  private val qualityModelFilterSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS tokens
+      |  FROM documents),
+      |f AS (
+      |  SELECT source, len(tokens) AS n_tokens,
+      |         len(list_filter(tokens, t -> list_contains(${TextStats.stopwords.mkString("['", "', '", "']")}, t))) AS n_stop,
+      |         len(list_distinct(tokens)) AS n_distinct
+      |  FROM t WHERE len(tokens) > 0),
+      |sc AS (
+      |  SELECT source,
+      |         (n_tokens - 40) / 100
+      |         + (300 * n_stop - 24 * n_tokens) / (100 * n_tokens)
+      |         + (200 * n_distinct - 100 * n_tokens) / (100 * n_tokens) AS logit
+      |  FROM f)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE logit > 0.0) AS BIGINT) AS n_kept,
+      |       CAST(sum(CAST(floor(logit * 1000) AS BIGINT)) AS BIGINT) AS logit_millis
+      |FROM sc GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
-    Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)))
+    Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)),
+    Q("quality_model_filter", qualityModelFilter, Some(qualityModelFilterSql)))
 }
