@@ -34,7 +34,7 @@ object Analytics extends QueryPack {
     * of DuckDB's `quantile_cont` and Spark's `percentile`, but from bounded
     * per-value state instead of an all-rows aggregation buffer.
     */
-  private val quantileFromHist =
+  private[analytics] val quantileFromHist =
     udf { (hist: Seq[org.apache.spark.sql.Row], q: Double) =>
       val n = hist.iterator.map(_.getLong(1)).sum
       val h = q * (n - 1)

@@ -575,6 +575,53 @@ object Relational extends QueryPack {
       |       CAST(count(*) FILTER (WHERE NOT is_ordered) AS BIGINT) AS n_never
       |FROM o GROUP BY p_brand""".stripMargin
 
+  /** Join-key skew profile — the diagnosis step that decides between a plain
+    * join, [[graft.operators.SaltedJoin]] and AQE skew handling: per-key
+    * group sizes reduced to one stats row (key count, max/min/p50/p99 group
+    * size, max/avg skew ratio, and the deterministic hottest key). Exact
+    * percentiles come from the bounded (size, count) histogram
+    * ([[Analytics.quantileFromHist]] — `quantile_cont` semantics without an
+    * all-rows buffer); the skew ratio is a pure double-quotient chain, exact
+    * in both engines.
+    *
+    * Scale notes (100 TB posture): two cheap shuffles on shrinking relations
+    * (fact → per-key counts → per-size histogram); per-task state is bounded
+    * by size cardinality, never key cardinality. The hottest key is a
+    * TakeOrdered over the counts relation, not a global sort.
+    */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val sizes = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("sz")).cache()
+    val q = sizes.groupBy("sz").agg(count(lit(1)).as("cnt"))
+      .agg(array_sort(collect_list(struct(col("sz").cast("double").as("v"), col("cnt")))).as("h"))
+      .select(
+        Analytics.quantileFromHist(col("h"), lit(0.5)).as("p50_size"),
+        Analytics.quantileFromHist(col("h"), lit(0.99)).as("p99_size"))
+    val hot = sizes.orderBy(col("sz").desc, col("k")).limit(1)
+      .select(col("k").as("hot_key"))
+    sizes
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("sz")).as("n_rows"),
+        max(col("sz")).as("max_size"),
+        min(col("sz")).as("min_size"))
+      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(hot))
+      .select(col("n_keys"), col("n_rows"), col("max_size"), col("min_size"),
+        col("p50_size"), col("p99_size"),
+        (col("max_size") / (col("n_rows") / col("n_keys").cast("double"))).as("skew_ratio"),
+        col("hot_key"))
+  }
+
+  private val skewProfileSql =
+    """WITH sz AS (SELECT l_partkey AS k, count(*) AS s FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_keys, CAST(sum(s) AS BIGINT) AS n_rows,
+      |       max(s) AS max_size, min(s) AS min_size,
+      |       quantile_cont(s, 0.5) AS p50_size, quantile_cont(s, 0.99) AS p99_size,
+      |       max(s) / (CAST(sum(s) AS BIGINT) / CAST(count(*) AS DOUBLE)) AS skew_ratio,
+      |       (SELECT min(k) FROM sz WHERE s = (SELECT max(s) FROM sz)) AS hot_key
+      |FROM sz""".stripMargin
+
   /** Bloom-pruned fact/dim join ([[graft.operators.BloomPrune]]): spend by
     * order priority for one customer segment, with the orders side pruned by
     * a broadcast Bloom sketch of the eligible custkeys BEFORE the join
@@ -755,6 +802,7 @@ object Relational extends QueryPack {
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("semi_anti_parts", semiAntiParts, Some(semiAntiPartsSql)),
     Q("bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql)),
+    Q("skew_profile", skewProfile, Some(skewProfileSql)),
     Q("props_extract", propsExtract, Some(propsExtractSql)),
     Q("profile_orders", profileOrders, Some(profileOrdersSql)),
     Q("hist_price", histPrice, Some(histPriceSql)),
