@@ -478,9 +478,52 @@ object TextStats extends QueryPack {
         col("e._2").as("est_count"), col("n_tokens"))
   }
 
+  /** tokenizer-coverage vocabulary size (top tokens by corpus frequency) */
+  private final val CoverageVocabK = 15
+
+  /** Tokenizer/vocabulary coverage: build the top-[[CoverageVocabK]] corpus
+    * vocabulary (count desc, token asc — total order, so the vocab is
+    * deterministic even at count ties) and measure each source's
+    * out-of-vocabulary token rate — the fit check run before committing a
+    * tokenizer to a corpus mix. The OOV rate is a raw double quotient
+    * (deterministic; rounding would reintroduce tie divergence).
+    *
+    * Scale notes (100 TB posture): the vocab is a TakeOrdered over the
+    * (token, count) relation — K rows to the driver, broadcast back; the
+    * coverage pass is one map-side membership probe + a low-cardinality
+    * aggregate. The token relation is cached across the two passes.
+    */
+  def tokenizerCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadSpread(s, dir, "documents")
+      .select(col("source"), explode(tokensCol).as("token")).cache()
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(CoverageVocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
+  private val tokenizerCoverageSql =
+    s"""WITH t AS (
+      |  SELECT source, unnest($tokensSql) AS token FROM documents),
+      |v AS (SELECT token FROM (
+      |  SELECT token, count(*) AS c FROM t GROUP BY token
+      |  ORDER BY c DESC, token LIMIT $CoverageVocabK))
+      |SELECT source, count(*) AS n_tokens,
+      |       CAST(count(*) FILTER (WHERE token NOT IN (SELECT token FROM v)) AS BIGINT) AS n_oov,
+      |       count(*) FILTER (WHERE token NOT IN (SELECT token FROM v))
+      |         / CAST(count(*) AS DOUBLE) AS oov_rate
+      |FROM t GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_heavy_hitters", heavyHitters, None),
+    Q("tokenizer_coverage", tokenizerCoverage, Some(tokenizerCoverageSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
     Q("text_lang_id", langId, Some(langIdSql)),
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
