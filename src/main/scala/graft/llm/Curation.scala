@@ -290,9 +290,70 @@ object Curation extends QueryPack {
       |       CAST(max(end_pos) % $SeqLen AS BIGINT) AS tail_fill
       |FROM p2 GROUP BY source""".stripMargin
 
+  /** The full train-ready chain composed end-to-end in ONE declarative plan:
+    * model-scored quality filter ([[Governance.logitCol]] > 0) → exact
+    * near-dup removal ([[Dedup.contentHash]], keep lowest doc_id) →
+    * sequence-packing accounting ([[packSequences]]'s grid) — i.e. what a
+    * shard writer materializes before tokenization. Every stage reuses the
+    * SHARED column definitions of its standalone operator, so this query
+    * also pins that the pieces compose without re-tokenizing (one scan, one
+    * token array).
+    *
+    * Scale notes (100 TB posture): one scan; the only wide ops are the
+    * dedup hash partition and the per-source packing window, both keys a
+    * production layout buckets/shards by. Filter sits BEFORE the dedup
+    * shuffle, dedup before the window — each stage shrinks the relation the
+    * next one shuffles.
+    */
+  def trainReady(s: SparkSession, dir: String): DataFrame = {
+    val feat = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextStats.tokensCol.as("tokens"),
+        Dedup.contentHash.as("h"))
+      .select(Seq(col("doc_id"), col("source"), col("h")) ++ Governance.featureCols: _*)
+      .where(col("n_tokens") > 0)
+      .where(Governance.logitCol > 0.0)
+    val kept = feat
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    kept.select(col("source"), col("doc_id"), (col("n_tokens") + 1).cast("long").as("u"))
+      .withColumn("end_pos", sum(col("u")).over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("u")).as("total_units"),
+        expr(s"(max(end_pos) + ${SeqLen - 1}) DIV $SeqLen").as("n_seqs"),
+        (max(col("end_pos")) % SeqLen).as("tail_fill"))
+  }
+
+  private val trainReadySql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS tokens,
+      |         md5(lower(trim(regexp_replace(text, '${TextStats.WsRe}', ' ', 'g')))) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, h, ${Governance.featureSql}
+      |  FROM t WHERE len(tokens) > 0),
+      |q AS (SELECT * FROM f WHERE ${Governance.logitSql} > 0.0),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM q)
+      |  WHERE rn = 1),
+      |p AS (
+      |  SELECT source, CAST(n_tokens + 1 AS BIGINT) AS u,
+      |         sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_pos
+      |  FROM kept)
+      |SELECT source, count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS total_units,
+      |       CAST((max(end_pos) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
+      |       CAST(max(end_pos) % $SeqLen AS BIGINT) AS tail_fill
+      |FROM p GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("pipeline_train_ready", trainReady, Some(trainReadySql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)))

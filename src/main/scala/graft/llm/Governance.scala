@@ -139,7 +139,7 @@ object Governance extends QueryPack {
     val kept = docs.join(broadcast(th.select("lang", "threshold")), "lang")
       .where(coin1000 < col("threshold"))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-    th.join(kept, Seq("lang"), "left")
+    th.join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"), col("n_before"), col("threshold"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
@@ -170,20 +170,38 @@ object Governance extends QueryPack {
     * linear form for a broadcast weight vector over hashed n-gram features —
     * same plan shape.
     */
+  /** the model logit over (n_tokens, n_stop, n_distinct) columns — shared by
+    * [[qualityModelFilter]] and [[Curation.trainReady]]; [[logitSql]] is the
+    * same formula verbatim for oracles
+    */
+  private[llm] val logitCol: Column =
+    (col("n_tokens") - lit(40)) / lit(100) +
+      (lit(300) * col("n_stop") - lit(24) * col("n_tokens")) / (lit(100) * col("n_tokens")) +
+      (lit(200) * col("n_distinct") - lit(100) * col("n_tokens")) / (lit(100) * col("n_tokens"))
+
+  private[llm] val logitSql: String =
+    "(n_tokens - 40) / 100" +
+      " + (300 * n_stop - 24 * n_tokens) / (100 * n_tokens)" +
+      " + (200 * n_distinct - 100 * n_tokens) / (100 * n_tokens)"
+
+  /** the three integer features the logit reads, from a `tokens` column */
+  private[llm] def featureCols: Seq[Column] = Seq(
+    size(col("tokens")).as("n_tokens"),
+    expr(s"size(filter(tokens, t -> array_contains(${TextStats.stopwords.mkString("array('", "', '", "')")}, t)))")
+      .as("n_stop"),
+    size(array_distinct(col("tokens"))).as("n_distinct"))
+
+  private[llm] val featureSql: String =
+    s"len(tokens) AS n_tokens, " +
+      s"len(list_filter(tokens, t -> list_contains(${TextStats.stopwords.mkString("['", "', '", "']")}, t))) AS n_stop, " +
+      s"len(list_distinct(tokens)) AS n_distinct"
+
   def qualityModelFilter(s: SparkSession, dir: String): DataFrame = {
-    val stopArr = TextStats.stopwords.mkString("array('", "', '", "')")
     val docs = Tables.loadSpread(s, dir, "documents")
       .select(col("doc_id"), col("source"), TextStats.tokensCol.as("tokens"))
-      .select(col("doc_id"), col("source"),
-        size(col("tokens")).as("n_tokens"),
-        expr(s"size(filter(tokens, t -> array_contains($stopArr, t)))").as("n_stop"),
-        size(array_distinct(col("tokens"))).as("n_distinct"))
+      .select(col("doc_id") +: col("source") +: featureCols: _*)
       .where(col("n_tokens") > 0)
-    val logit =
-      (col("n_tokens") - lit(40)) / lit(100) +
-        (lit(300) * col("n_stop") - lit(24) * col("n_tokens")) / (lit(100) * col("n_tokens")) +
-        (lit(200) * col("n_distinct") - lit(100) * col("n_tokens")) / (lit(100) * col("n_tokens"))
-    docs.select(col("source"), logit.as("logit"))
+    docs.select(col("source"), logitCol.as("logit"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -197,15 +215,10 @@ object Governance extends QueryPack {
       |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS tokens
       |  FROM documents),
       |f AS (
-      |  SELECT source, len(tokens) AS n_tokens,
-      |         len(list_filter(tokens, t -> list_contains(${TextStats.stopwords.mkString("['", "', '", "']")}, t))) AS n_stop,
-      |         len(list_distinct(tokens)) AS n_distinct
+      |  SELECT source, $featureSql
       |  FROM t WHERE len(tokens) > 0),
       |sc AS (
-      |  SELECT source,
-      |         (n_tokens - 40) / 100
-      |         + (300 * n_stop - 24 * n_tokens) / (100 * n_tokens)
-      |         + (200 * n_distinct - 100 * n_tokens) / (100 * n_tokens) AS logit
+      |  SELECT source, $logitSql AS logit
       |  FROM f)
       |SELECT source, count(*) AS n_docs,
       |       CAST(count(*) FILTER (WHERE logit > 0.0) AS BIGINT) AS n_kept,
