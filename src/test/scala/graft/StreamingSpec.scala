@@ -106,6 +106,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).sorted.toSeq == Seq(10.5, 11.0))
   }
 
+  test("PII redaction column works unchanged under structured streaming") {
+    // the batch redaction Column is a narrow stateless projection, so the
+    // SAME definition must run in a streaming plan — governance applied at
+    // ingest time, not as a later batch sweep
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = mem.toDF().toDF("line")
+      .select(graft.llm.Governance.redactPii(col("line")).as("r"))
+      .writeStream.format("memory").queryName("redacted").outputMode("append").start()
+    mem.addData(
+      "uid=1 email=a.user@ex.com ip=10.0.0.1 phone=+79990001122 done",
+      "no pii here")
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("redacted").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq(
+      "no pii here",
+      "uid=1 email=<EMAIL> ip=<IP> phone=<PHONE> done"), rows.mkString("|"))
+  }
+
   test("stream-stream interval join matches trades to in-window book snapshots only") {
     implicit val sqlCtx = spark.sqlContext
     val tmem = MemoryStream[(String, Timestamp, Double, Long, String)]
