@@ -97,6 +97,28 @@ class PropertySpec extends SparkSpec {
     assert(docsAfter == uniqueBefore)
   }
 
+  test("pii redaction is idempotent and leaves no raw match behind") {
+    import graft.llm.Governance
+    val word = Gen.oneOf("alpha", "beta", "x9", "end.", "a+b")
+    val pii = Gen.oneOf(
+      Gen.chooseNum(0, 999).map(n => s"user$n@mail$n.org"),
+      Gen.chooseNum(0, 254).map(n => s"192.168.$n.${254 - n}"),
+      Gen.chooseNum(0L, 999999999L).map(n => f"+7999$n%06d"))
+    val genLine = Gen.listOfN(8, Gen.frequency(3 -> word, 2 -> pii)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(20, genLine)) { lines =>
+      val df = lines.toDF("line")
+        .select(Governance.redactPii(col("line")).as("r1"))
+        .select(col("r1"), Governance.redactPii(col("r1")).as("r2"),
+          size(regexp_extract_all(col("r1"), lit(Governance.EmailRe), lit(0))).as("ne"),
+          size(regexp_extract_all(col("r1"), lit(Governance.Ipv4Re), lit(0))).as("ni"),
+          size(regexp_extract_all(col("r1"), lit(Governance.PhoneRe), lit(0))).as("np"))
+      df.collect().forall { r =>
+        r.getString(0) == r.getString(1) &&
+          r.getInt(2) == 0 && r.getInt(3) == 0 && r.getInt(4) == 0
+      }
+    }, n = 10)
+  }
+
   test("imbalance is bounded in [-1, 1] and volatility non-negative on real data") {
     val imb = analytics.Analytics.imbalance(spark, sfDir).collect()
     assert(imb.nonEmpty && imb.forall(r => math.abs(r.getDouble(7)) <= 1.0))
