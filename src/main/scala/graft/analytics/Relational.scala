@@ -414,6 +414,27 @@ object Relational extends QueryPack {
       |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** UNPIVOT / melt — the inverse reshape of [[pivotStatus]], via the native
+    * `Dataset.unpivot` (UnpivotExec: a narrow per-row expansion, no shuffle
+    * beyond the source agg): wide status columns back to tidy
+    * (priority, status_col, n) rows. Pivot → unpivot round-tripping is how
+    * wide report matrices re-enter relational pipelines.
+    */
+  def unpivotStatus(s: SparkSession, dir: String): DataFrame =
+    pivotStatus(s, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_open"), col("n_filled"), col("n_pending")),
+        "status_col", "n")
+
+  private val unpivotStatusSql =
+    """SELECT o_orderpriority, s.status_col,
+      |       CAST(count(*) FILTER (WHERE o_orderstatus = s.code) AS BIGINT) AS n
+      |FROM orders
+      |CROSS JOIN (VALUES ('O', 'n_open'), ('F', 'n_filled'), ('P', 'n_pending'))
+      |  AS s(code, status_col)
+      |GROUP BY o_orderpriority, s.status_col""".stripMargin
+
   /** Skew-mitigated join ([[graft.operators.SaltedJoin]]): a synthetic
     * 70%-hot key (7 of 10 lineitem rows collapse onto key 0) joined to a
     * 51-row group dim, salted 16 ways so the hot key's rows spread over 16
@@ -806,5 +827,6 @@ object Relational extends QueryPack {
     Q("props_extract", propsExtract, Some(propsExtractSql)),
     Q("profile_orders", profileOrders, Some(profileOrdersSql)),
     Q("hist_price", histPrice, Some(histPriceSql)),
-    Q("pivot_status", pivotStatus, Some(pivotStatusSql)))
+    Q("pivot_status", pivotStatus, Some(pivotStatusSql)),
+    Q("unpivot_status", unpivotStatus, Some(unpivotStatusSql)))
 }
