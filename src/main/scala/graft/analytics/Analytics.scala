@@ -254,6 +254,43 @@ object Analytics extends QueryPack {
       |       n_buys, n_sells, n_events, imbalance
       |FROM g JOIN customer ON user_id = c_custkey""".stripMargin
 
+  /** SCD2 dimension-history build: turn each user's change stream into
+    * type-2 validity intervals ([ts, next_ts) via `lead` in one per-user
+    * window — the complement of [[graft.operators.Merge]]'s latest-wins
+    * current-state view). Accounting output: versions per key, exact total
+    * covered span in integer microseconds, and formatted interval bounds.
+    *
+    * Scale notes (100 TB posture): one shuffle on the history key, window
+    * state = one key's versions; at scale the change stream is already
+    * bucketed by key, making the sort partition-local. The open (current)
+    * interval is the NULL-lead row — no sentinel timestamps that would
+    * break range pruning.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(unix_micros(col("valid_to")) - unix_micros(col("ts"))).as("covered_us"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_from"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_from"))
+  }
+
+  private val scd2HistorySql =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_id,
+      |         lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_versions,
+      |       CAST(sum(date_diff('microsecond', tsv, valid_to)) AS BIGINT) AS covered_us,
+      |       strftime(min(tsv), '%Y-%m-%d %H:%M:%S') AS first_from,
+      |       strftime(max(tsv), '%Y-%m-%d %H:%M:%S') AS last_from
+      |FROM iv GROUP BY user_id""".stripMargin
+
   /** Sessionization: split each user's event stream on >30-minute gaps
     * (lag + conditional cumsum inside one per-user window — the batch twin of
     * the stateful streaming variant in [[graft.streaming.StreamIngest]]).
@@ -750,6 +787,7 @@ object Analytics extends QueryPack {
     Q("a9_activity_cov", activityCov, Some(activityCovSql)),
     Q("a10_outlier_zscore", outlierZscore, Some(outlierZscoreSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
+    Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("candle_resample", candleResample, Some(candleResampleSql)),
     Q("gapfill_locf", gapfillCloses, Some(gapfillClosesSql)))
 }
