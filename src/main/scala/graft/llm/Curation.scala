@@ -257,7 +257,10 @@ object Curation extends QueryPack {
     * low-cardinality aggregate.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    // spread: tokenization runs in the scan stage, which is one task on
+    // single-row-group testdata; the window shuffle that follows re-clusters
+    // by source regardless
+    val docs = Tables.loadSpread(s, dir, "documents")
     val units = docs.select(col("source"), col("doc_id"),
       (size(TextStats.tokensCol) + 1).cast("long").as("u"))
     val w = Window.partitionBy("source").orderBy("doc_id")
