@@ -348,27 +348,43 @@ object Dedup extends QueryPack {
   /** doc_id → 64-bit simhash over the token stream (per-bit majority vote of
     * token hashes, weighted by occurrence), plus the 4 × 16-bit chunk keys
     * used for Hamming-≤3 candidate bucketing.
+    *
+    * The token hash is md5 split into two 32-bit words (`hi`/`lo`), NOT
+    * `xxhash64`: the signature lives in two sign-safe BIGINT words that
+    * DuckDB reproduces verbatim (`'0x'||substr(md5)` halves — the portable
+    * recipe), which is what lets `dedup_simhash` be oracle-gated on the
+    * exact pair set instead of a rows-only check.
     */
   private[llm] def simhashSketch(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokensUdf(col("text"))).as("token"))
-    val h = xxhash64(col("token"))
-    val bitVotes = (0 until 64).map(i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val voted = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    voted.select(
-      col("doc_id") +: (sig.as("simhash") +:
-        (0 until 4).map(c => shiftright(sig, c * 16).bitwiseAND(0xffffL).as(s"chunk$c"))): _*)
+    val md = md5(col("token").cast("binary"))
+    val words = toks.select(col("doc_id"),
+      conv(substring(md, 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md, 9, 8), 16, 10).cast("long").as("lo"))
+    val bitVotes =
+      (0 until 32).map(i =>
+        sum(when(shiftright(col("lo"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"l$i")) ++
+        (0 until 32).map(i =>
+          sum(when(shiftright(col("hi"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"h$i"))
+    val voted = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    def sig(prefix: String) = (0 until 32).map(i =>
+      when(col(s"$prefix$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), sig("h").as("sim_hi"), sig("l").as("sim_lo"))
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
+        col("sim_lo").bitwiseAND(0xffffL).as("chunk0"),
+        shiftright(col("sim_lo"), 16).bitwiseAND(0xffffL).as("chunk1"),
+        col("sim_hi").bitwiseAND(0xffffL).as("chunk2"),
+        shiftright(col("sim_hi"), 16).bitwiseAND(0xffffL).as("chunk3"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one 16-bit chunk
-    * (pigeonhole ⇒ complete for Hamming ≤ 3), verified by exact popcount.
+    * (pigeonhole ⇒ complete for Hamming ≤ 3), verified by exact popcount
+    * over the two signature words.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
     val sk = simhashSketch(docs)
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sim_hi"), col("sim_lo"),
         posexplode(array((0 until 4).map(c => col(s"chunk$c")): _*))
           .as(Seq("chunk_idx", "chunk_val")))
     val candidates = sk.as("x").hint("shuffle_hash")
@@ -377,12 +393,57 @@ object Dedup extends QueryPack {
           col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        col("x.sim_hi").as("ha_hi"), col("x.sim_lo").as("ha_lo"),
+        col("y.sim_hi").as("hb_hi"), col("y.sim_lo").as("hb_lo"))
       .distinct()
     candidates
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("hamming",
+        bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo"))))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** DuckDB twin of [[simhash]]: same md5-word hashes, same majority votes
+    * (disjoint power-of-two bits summed, not OR'd — identical value), same
+    * chunk bucketing and popcount verify, so the PAIR SET is gated exactly.
+    */
+  private val simhashOracleSql: String = {
+    val lVotes = (0 until 32)
+      .map(i => s"sum(CASE WHEN (lo >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS l$i")
+      .mkString(", ")
+    val hVotes = (0 until 32)
+      .map(i => s"sum(CASE WHEN (hi >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS h$i")
+      .mkString(", ")
+    val sigLo = (0 until 32).map(i => s"CASE WHEN l$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val sigHi = (0 until 32).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) AS token
+      |  FROM documents),
+      |hh AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hi,
+      |         CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS lo
+      |  FROM t),
+      |v AS (SELECT doc_id, $lVotes, $hVotes FROM hh GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST($sigHi AS BIGINT) AS sim_hi, CAST($sigLo AS BIGINT) AS sim_lo FROM v),
+      |ch AS (
+      |  SELECT doc_id, sim_hi, sim_lo, c.chunk_idx,
+      |         CASE c.chunk_idx WHEN 0 THEN sim_lo & 65535
+      |                          WHEN 1 THEN (sim_lo >> 16) & 65535
+      |                          WHEN 2 THEN sim_hi & 65535
+      |                          ELSE (sim_hi >> 16) & 65535 END AS chunk_val
+      |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(chunk_idx)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         x.sim_hi AS ha_hi, x.sim_lo AS ha_lo, y.sim_hi AS hb_hi, y.sim_lo AS hb_lo
+      |  FROM ch x JOIN ch y
+      |    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |       CAST(bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) AS INTEGER) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(ha_hi, hb_hi)) + bit_count(xor(ha_lo, hb_lo)) <= 3""".stripMargin
   }
 
   // ---------------------------------------------------------------------------
@@ -538,7 +599,7 @@ object Dedup extends QueryPack {
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
-    Q("dedup_simhash", simhash, None),
+    Q("dedup_simhash", simhash, Some(simhashOracleSql)),
     Q("dedup_editdist", editDistance, Some(editDistanceSql)),
     Q("dedup_components", components, Some(componentsSql)))
 }
