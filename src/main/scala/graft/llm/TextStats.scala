@@ -467,6 +467,10 @@ object TextStats extends QueryPack {
     * entry: lang, token, est_count, and the stratum's exact token total so
     * the n/(k+1) guarantee is auditable downstream). Approximate by design →
     * rows-only driver check; the frequency guarantee is pinned in LlmSpec.
+    * Note the kept SET (not the guarantee) can vary with partial-buffer
+    * merge order — inherent to MG: mergeability (Agarwal et al.) proves the
+    * error bound for ANY merge tree, not output equality, which is why the
+    * spec pins the bound rather than a fixed row set.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
