@@ -36,7 +36,11 @@ class LlmSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_fuzzy_dupes") <= r.getAs[Long]("n_pairs_blocked"))
-      assert(r.getAs[Long]("min_dist") >= 0L)
+      val minFuzzy = r.getAs[Long]("min_fuzzy_dist")
+      if (r.getAs[Long]("n_fuzzy_dupes") > 0)
+        assert(minFuzzy >= 0L && minFuzzy <= Dedup.EditMaxDist)
+      else
+        assert(minFuzzy == -1L)
     }
   }
 
