@@ -236,6 +236,40 @@ object Curation extends QueryPack {
       |       CAST(sum(CAST('0x' || substr(md5(c), 1, 8) AS BIGINT)) AS BIGINT) AS chunk_md5_sum
       |FROM c GROUP BY source""".stripMargin
 
+  /** rows kept per stratum by [[samplePerStratum]] */
+  val StratumN = 8
+
+  /** Fixed-size per-stratum sample: exactly [[StratumN]] documents per
+    * language, chosen by ranking on the content-independent md5 coin
+    * (doc_id tie-break) — how a balanced eval set is cut from an unbalanced
+    * corpus. Unlike the rate-based [[sampleStratified]], the output size per
+    * stratum is exact, and membership is still a pure function of the id
+    * (stable across runs/engines/retries).
+    *
+    * Scale notes (100 TB posture): rank-within-stratum is a window over the
+    * (tiny) per-stratum candidate id set, not the documents — at extreme
+    * stratum sizes swap row_number for a two-pass threshold on the hash
+    * (select the N-th smallest coin per stratum via the histogram recipe,
+    * then filter), which removes the sort entirely.
+    */
+  def samplePerStratum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))))
+      .where(col("rk") <= StratumN)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+  }
+
+  private val samplePerStratumSql =
+    s"""SELECT lang, rk, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY lang
+      |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) r
+      |WHERE rk <= $StratumN""".stripMargin
+
   /** Training-sequence packing length (tokens + 1 separator per doc). */
   val SeqLen = 256
 
@@ -355,6 +389,7 @@ object Curation extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Q("sample_per_stratum", samplePerStratum, Some(samplePerStratumSql)),
     Q("pack_sequences", packSequences, Some(packSequencesSql)),
     Q("pipeline_train_ready", trainReady, Some(trainReadySql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
