@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   *   query <name> [sfDir]  — run one registered query and print it
   *   sql <statement> [sfDir] — register the testdata tables as views and run
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
+  *   compact <tableDir> <partitionCol> [targetBytes] — partition-local
+  *     small-file compaction (see [[sources.Compaction]])
   *   list                  — list registered query names
   *   bench                 — delegate to [[Bench]] (one JSON line)
   */
@@ -75,6 +77,15 @@ object Main {
       }
       spark.sql(statement).show(100, truncate = false)
       spark.stop()
+    case "compact" :: table :: partCol :: rest =>
+      val spark = session()
+      val target = rest.headOption.map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val done = sources.Compaction.compact(spark, table, partCol, target)
+      if (done.isEmpty) println(s"[graft] $table already compact")
+      else done.foreach { case (dir, before, after) =>
+        println(s"[graft] compacted $dir: $before -> $after files")
+      }
+      spark.stop()
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -86,6 +97,7 @@ object Main {
           "       graft query <name> [sfDir]\n" +
           "       graft explain <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
+          "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft list\n" +
           "       graft bench")
       sys.exit(1)
