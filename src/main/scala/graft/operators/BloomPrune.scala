@@ -29,16 +29,31 @@ object BloomPrune {
     * `smallKey` set (integral keys). No false negatives: the result joined
     * against `small` is byte-identical to the unpruned join.
     */
+  /** Build the sketch alone (one tree-aggregated job over the small side) —
+    * split out so callers constructing plans repeatedly (audit/bench
+    * tooling) can memoize it instead of re-running the job per construction.
+    */
+  def buildFilter(
+      small: DataFrame,
+      smallKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter =
+    small.stat.bloomFilter(smallKey, expectedItems, fpp)
+
+  /** Prune with a prebuilt sketch. */
+  def prune(big: DataFrame, bigKey: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bcast = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+    big.where(might(col(bigKey)))
+  }
+
   def pruneByBloom(
       big: DataFrame,
       bigKey: String,
       small: DataFrame,
       smallKey: String,
       expectedItems: Long = 1000000L,
-      fpp: Double = 0.03): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bcast = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-    big.where(might(col(bigKey)))
-  }
+      fpp: Double = 0.03): DataFrame =
+    prune(big, bigKey, buildFilter(small, smallKey, expectedItems, fpp))
 }

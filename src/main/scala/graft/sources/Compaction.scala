@@ -65,12 +65,24 @@ object Compaction {
           .write.parquet(tmp.toString)
         val fresh = fs.listStatus(tmp).filter(f =>
           f.isFile && f.getPath.getName.endsWith(".parquet"))
-        // swap: drop originals, then move the new set in
+        // sanity before destroying anything: the rewrite must have produced
+        // the expected file count (a failed/partial write aborts the swap)
+        require(fresh.length == want,
+          s"compaction rewrite of ${p.dir} produced ${fresh.length} files, expected $want — aborting swap")
+        // swap: drop originals, then move the new set in. Every FS call is
+        // checked — rename returning false AFTER the deletes would otherwise
+        // lose the partition silently (the temp dir still holds the data,
+        // but the table would read empty).
         fs.listStatus(dir)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
-          .foreach(f => fs.delete(f.getPath, false))
-        fresh.foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+          .foreach { f =>
+            require(fs.delete(f.getPath, false), s"failed to delete ${f.getPath}")
+          }
+        fresh.foreach { f =>
+          require(fs.rename(f.getPath, new Path(dir, f.getPath.getName)),
+            s"failed to move ${f.getPath} into $dir — recover from $tmp")
+        }
         fs.delete(tmp, true)
         Some((p.dir, p.nFiles, fresh.length))
       }
