@@ -652,21 +652,16 @@ object Relational extends QueryPack {
     * them). The join deliberately carries no broadcast hint: the scenario is
     * a dim too big to broadcast whose key set still fits a sketch.
     */
-  /** one sketch per data dir per JVM: building it is a (read-only) Spark job,
-    * and plan-construction paths (PlanAudit, PlanSpec, Perf) build every
-    * query's plan repeatedly — the memo keeps construction cheap after the
-    * first build (same discipline as IngestPack's grid memo)
-    */
-  private val bloomMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
-
   def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
       .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables.load(s, dir, "orders")
       .select("o_custkey", "o_orderpriority", "o_totalprice")
-    val bf = bloomMemo.computeIfAbsent(dir, _ =>
-      graft.operators.BloomPrune.buildFilter(cust, "c_custkey", expectedItems = 100000L))
+    // the sketch is rebuilt per construction (one small read-only job), NOT
+    // memoized by dir: it is content-derived, and a stale cache after an
+    // in-JVM data rewrite would introduce false negatives — silently dropped
+    // join rows — violating the operator's exactness contract
+    val bf = graft.operators.BloomPrune.buildFilter(cust, "c_custkey", expectedItems = 100000L)
     val pruned = graft.operators.BloomPrune.prune(ord, "o_custkey", bf)
     pruned.join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderpriority")

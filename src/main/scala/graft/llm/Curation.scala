@@ -265,13 +265,30 @@ object Curation extends QueryPack {
   private val samplePerStratumSql =
     s"""SELECT lang, rk, doc_id, n_chars FROM (
       |  SELECT lang, doc_id, n_chars,
-      |         row_number() OVER (PARTITION BY lang
-      |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
       |  FROM documents) r
       |WHERE rk <= $StratumN""".stripMargin
 
   /** Training-sequence packing length (tokens + 1 separator per doc). */
   val SeqLen = 256
+
+  /** THE packing accounting aggregate over a per-stratum running sum
+    * `end_pos` (and per-doc unit count `u`) — single definition shared by
+    * [[packSequences]] and the composed [[trainReady]], with
+    * [[packingAggSql]] its verbatim oracle twin, so the standalone query and
+    * the pipeline can never diverge on boundary placement.
+    */
+  private def packingAgg: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("u")).as("total_units"),
+    expr(s"(max(end_pos) + ${SeqLen - 1}) DIV $SeqLen").as("n_seqs"),
+    (max(col("end_pos")) % SeqLen).as("tail_fill"))
+
+  private val packingAggSql: String =
+    s"""count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS total_units,
+      |       CAST((max(end_pos) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
+      |       CAST(max(end_pos) % $SeqLen AS BIGINT) AS tail_fill""".stripMargin
 
   /** Sequence-packing accounting: concatenate each source's documents in
     * deterministic doc_id order (one separator token between docs) and cut
@@ -301,13 +318,11 @@ object Curation extends QueryPack {
     val pos = units
       .withColumn("end_pos", sum(col("u")).over(w))
       .withColumn("start_pos", col("end_pos") - col("u"))
-    pos.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("u")).as("total_units"),
-      expr(s"(max(end_pos) + ${SeqLen - 1}) DIV $SeqLen").as("n_seqs"),
-      sum(when(expr(s"(end_pos - 1) DIV $SeqLen > start_pos DIV $SeqLen"), 1L)
-        .otherwise(0L)).as("n_straddling"),
-      (max(col("end_pos")) % SeqLen).as("tail_fill"))
+    val straddling = sum(
+      when(expr(s"(end_pos - 1) DIV $SeqLen > start_pos DIV $SeqLen"), 1L)
+        .otherwise(0L)).as("n_straddling")
+    val aggs = packingAgg :+ straddling
+    pos.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
 
   private val packSequencesSql =
@@ -321,10 +336,8 @@ object Curation extends QueryPack {
       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_pos
       |  FROM u),
       |p2 AS (SELECT source, u, end_pos, end_pos - u AS start_pos FROM p)
-      |SELECT source, count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS total_units,
-      |       CAST((max(end_pos) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
-      |       CAST(count(*) FILTER (WHERE (end_pos - 1) // $SeqLen > start_pos // $SeqLen) AS BIGINT) AS n_straddling,
-      |       CAST(max(end_pos) % $SeqLen AS BIGINT) AS tail_fill
+      |SELECT source, $packingAggSql,
+      |       CAST(count(*) FILTER (WHERE (end_pos - 1) // $SeqLen > start_pos // $SeqLen) AS BIGINT) AS n_straddling
       |FROM p2 GROUP BY source""".stripMargin
 
   /** The full train-ready chain composed end-to-end in ONE declarative plan:
@@ -356,11 +369,7 @@ object Curation extends QueryPack {
     kept.select(col("source"), col("doc_id"), (col("n_tokens") + 1).cast("long").as("u"))
       .withColumn("end_pos", sum(col("u")).over(w))
       .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("u")).as("total_units"),
-        expr(s"(max(end_pos) + ${SeqLen - 1}) DIV $SeqLen").as("n_seqs"),
-        (max(col("end_pos")) % SeqLen).as("tail_fill"))
+      .agg(packingAgg.head, packingAgg.tail: _*)
   }
 
   private val trainReadySql =
@@ -382,9 +391,7 @@ object Curation extends QueryPack {
       |         sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
       |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_pos
       |  FROM kept)
-      |SELECT source, count(*) AS n_docs, CAST(sum(u) AS BIGINT) AS total_units,
-      |       CAST((max(end_pos) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
-      |       CAST(max(end_pos) % $SeqLen AS BIGINT) AS tail_fill
+      |SELECT source, $packingAggSql
       |FROM p GROUP BY source""".stripMargin
 
   override val all: Seq[Q] = Seq(

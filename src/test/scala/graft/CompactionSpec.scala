@@ -59,4 +59,28 @@ class CompactionSpec extends SparkSpec {
     // idempotent: nothing left to do
     assert(Compaction.compact(spark, base, "p", targetBytes = 1L << 30).isEmpty)
   }
+
+  test("compaction heals a crashed swap from the trash dir before proceeding") {
+    val t = "/tmp/graft_test_compact_heal/t"
+    rm(new java.io.File("/tmp/graft_test_compact_heal"))
+    (0L until 3000L).map(k => (k, 0, s"r$k")).toDF("k", "p", "v")
+      .repartition(6)
+      .write.partitionBy("p").mode("overwrite").parquet(t)
+
+    // simulate a crash mid-swap: all data files moved to trash, partition empty
+    val part = new java.io.File(s"$t/p=0")
+    val trash = new java.io.File(s"$t/.compact_trash_p=0")
+    trash.mkdirs()
+    part.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      assert(f.renameTo(new java.io.File(trash, f.getName)))
+    }
+    assert(part.listFiles.count(_.getName.endsWith(".parquet")) == 0) // really broken
+
+    val done = Compaction.compact(spark, t, "p", targetBytes = 1L << 30)
+    // heal restored the originals, then the normal path compacted them
+    assert(done.map(_._1.split('/').last) == Seq("p=0") && done.head._2 == 6)
+    assert(!trash.exists)
+    assert(spark.read.parquet(t).count() == 3000)
+    assert(part.listFiles.count(_.getName.endsWith(".parquet")) == 1)
+  }
 }
