@@ -394,6 +394,147 @@ object Curation extends QueryPack {
       |SELECT source, $packingAggSql
       |FROM p GROUP BY source""".stripMargin
 
+  /** salted portable coin (the md5 two-half recipe from CLAUDE.md): a pure
+    * function of (salt, doc_id) → [0, 1000), identical in Spark and DuckDB,
+    * so assignment survives retries, replays, and engine swaps.
+    */
+  private def saltedCoin(salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 1000
+
+  private def saltedCoinSql(salt: String): String =
+    s"CAST('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000"
+
+  /** Deterministic train/val/test split (90/5/5): the salted hash coin
+    * assigns every document to exactly one split as a pure function of its
+    * id — disjoint, exhaustive, and stable under retries and re-runs (the
+    * property `rand()`-based splits lack). Per-(source, split) accounting
+    * proves the cut is stratified-in-expectation and leak-free: the same
+    * doc_id can never appear in two splits because the assignment is a
+    * partition of the coin's range.
+    *
+    * Scale notes (100 TB posture): one narrow projection + one
+    * low-cardinality aggregate — the split column would be written once at
+    * ingest and every downstream reader filters on it (partition or
+    * predicate pushdown), never re-hashing.
+    */
+  def splitTrainEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs
+      .withColumn("split",
+        when(saltedCoin("split") < 900, "train")
+          .when(saltedCoin("split") < 950, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val splitTrainEvalSql =
+    s"""WITH a AS (
+      |  SELECT source, n_chars,
+      |         CASE WHEN ${saltedCoinSql("split")} < 900 THEN 'train'
+      |              WHEN ${saltedCoinSql("split")} < 950 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT source, split, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM a GROUP BY source, split""".stripMargin
+
+  /** Shards per training epoch in [[epochShuffle]]. */
+  val EpochShards = 8
+
+  /** Deterministic epoch shuffle: the sharded permutation a training run
+    * reads — shard = hash(epoch, id) mod [[EpochShards]], order within the
+    * shard by the same hash. Global order is (shard, pos) lexicographic;
+    * different epochs get independent permutations from the salt, and any
+    * worker can re-materialize its shard's order from ids alone.
+    *
+    * Scale notes (100 TB posture): this is exactly how training data is laid
+    * out at scale — N shard files, each locally ordered — because a single
+    * global `row_number` would funnel the corpus through one partition. The
+    * window below partitions by (epoch, shard), so each shard sorts
+    * independently; at 100 TB, shards map 1:1 to output files and the sort
+    * is a per-file spillable sort, never a global one.
+    */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val withEpoch = docs
+      .select(col("doc_id"), explode(array(lit(1), lit(2))).as("epoch"))
+      .withColumn("coin",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+      .withColumn("shard",
+        conv(substring(col("coin"), 1, 8), 16, 10).cast("long") % EpochShards)
+    withEpoch
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(col("coin"), col("doc_id"))))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  private val epochShuffleSql =
+    s"""WITH e AS (
+      |  SELECT doc_id, epoch,
+      |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS coin
+      |  FROM documents, (VALUES (1), (2)) ep(epoch)),
+      |sh AS (
+      |  SELECT epoch, doc_id, coin,
+      |         CAST('0x' || substr(coin, 1, 8) AS BIGINT) % $EpochShards AS shard
+      |  FROM e)
+      |SELECT epoch, shard,
+      |       CAST(row_number() OVER (PARTITION BY epoch, shard
+      |           ORDER BY coin, doc_id) AS INTEGER) AS pos,
+      |       doc_id
+      |FROM sh""".stripMargin
+
+  /** Text normalization audit: lowercase + whitespace-collapse + trim over a
+    * deterministically "dirtied" wire rendering of the corpus (leading
+    * blanks, an upper-cased prefix, an embedded tab, a trailing CRLF on
+    * every third doc — the damage real scraped text carries). Per-source
+    * before/after byte accounting plus the md5-sum pin from the PII audit:
+    * a normalizer that eats or leaks one byte flips the gate.
+    *
+    * Scale notes (100 TB posture): pure narrow codegen projections
+    * (`lower`/`regexp_replace`/`trim`) — no shuffle until the accounting
+    * aggregate; the normalized text streams straight to the next stage.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val noisy = concat(
+      lit("  "),
+      upper(substring(col("text"), 1, 40)),
+      lit("\t"),
+      expr("substr(text, 41)"),
+      when(col("doc_id") % 3 === 0, lit(" \r\n")).otherwise(lit("")))
+    val norm = trim(regexp_replace(lower(noisy), TextStats.WsRe, " "))
+    docs
+      .select(col("source"), noisy.as("noisy"), norm.as("norm"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("noisy")).cast("long")).as("chars_in"),
+        sum(length(col("norm")).cast("long")).as("chars_out"),
+        sum(conv(substring(md5(col("norm").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("norm_md5_sum"))
+  }
+
+  private val textNormalizeSql =
+    s"""WITH noisy AS (
+      |  SELECT source,
+      |         '  ' || upper(substr(text, 1, 40)) || chr(9) || substr(text, 41)
+      |         || CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(13) || chr(10) ELSE '' END AS noisy
+      |  FROM documents),
+      |n AS (
+      |  SELECT source, noisy,
+      |         trim(regexp_replace(lower(noisy), '${TextStats.WsRe}', ' ', 'g')) AS norm
+      |  FROM noisy)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(noisy)) AS BIGINT) AS chars_in,
+      |       CAST(sum(len(norm)) AS BIGINT) AS chars_out,
+      |       CAST(sum(CAST('0x' || substr(md5(norm), 1, 8) AS BIGINT)) AS BIGINT) AS norm_md5_sum
+      |FROM n GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("sample_per_stratum", samplePerStratum, Some(samplePerStratumSql)),
@@ -401,5 +542,8 @@ object Curation extends QueryPack {
     Q("pipeline_train_ready", trainReady, Some(trainReadySql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
-    Q("chunk_docs", chunkStats, Some(chunkStatsSql)))
+    Q("chunk_docs", chunkStats, Some(chunkStatsSql)),
+    Q("split_train_eval", splitTrainEval, Some(splitTrainEvalSql)),
+    Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    Q("text_normalize", textNormalize, Some(textNormalizeSql)))
 }
