@@ -21,6 +21,7 @@ object SparkEntry {
     llm.Curation,
     llm.Governance,
     ingest.IngestPack,
+    sources.Layout,
     multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

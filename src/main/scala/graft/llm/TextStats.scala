@@ -524,9 +524,92 @@ object TextStats extends QueryPack {
       |         / CAST(count(*) AS DOUBLE) AS oov_rate
       |FROM t GROUP BY source""".stripMargin
 
+  /** CMS geometry: [[CmsDepth]] hash rows × [[CmsWidth]] counters. */
+  private final val CmsDepth = 4
+  private final val CmsWidth = 256
+
+  /** Count-Min sketch frequency estimation per language — the mergeable
+    * OVER-counting dual of the Misra-Gries UNDER-counting sketch above:
+    * est(t) = min over rows r of cell[r][h_r(t)], with est ≥ true always and
+    * est ≤ true + εn with high probability (Cormode & Muthukrishnan).
+    *
+    * Deterministic by construction, hence FULLY oracle-gated unlike MG: the
+    * counter matrix is an elementwise SUM of per-token one-hot updates, so
+    * it is independent of merge order (MG's kept set is not), and the four
+    * hash rows are slices of one md5 (chars 1-8, 9-16, 17-24, 25-32 → four
+    * independent 32-bit values, one hash computation per token) — the same
+    * portable recipe both engines evaluate identically. A sketch whose
+    * estimates the oracle reproduces bit-for-bit is a far stronger gate
+    * than a tolerance test.
+    *
+    * Scale notes (100 TB posture): after the map-side partial aggregate the
+    * shuffle carries at most depth×width rows per (lang, task) — constant in
+    * vocabulary and corpus size, the same bound an Aggregator-state CMS
+    * would give, but expressed as a plain codegen groupBy so Tungsten owns
+    * the memory. Probes join the cell relation by (r, cell) — broadcast,
+    * metadata-scale.
+    */
+  def cmsTokenFreq(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val toks = docs.select(col("lang"), explode(tokensCol).as("token"))
+      .withColumn("h", md5(col("token").cast("binary")))
+    // one (r, cell) pair per hash row per occurrence
+    val cells = toks
+      .select(col("lang"), posexplode(array((0 until CmsDepth).map(r =>
+        conv(substring(col("h"), 1 + 8 * r, 8), 16, 10).cast("long") % CmsWidth): _*))
+        .as(Seq("r", "cell")))
+      .groupBy("lang", "r", "cell").agg(count(lit(1)).as("n"))
+    // probe the sketch for the stopword set in every language stratum
+    val probes = docs.select(col("lang")).distinct()
+      .crossJoin(
+        docs.sparkSession.range(1).select(
+          explode(array(stopwords.map(lit): _*)).as("token")))
+      .withColumn("h", md5(col("token").cast("binary")))
+      .select(col("lang"), col("token"), posexplode(array((0 until CmsDepth).map(r =>
+        conv(substring(col("h"), 1 + 8 * r, 8), 16, 10).cast("long") % CmsWidth): _*))
+        .as(Seq("r", "cell")))
+    val est = probes
+      .join(cells, Seq("lang", "r", "cell"), "left")
+      .groupBy("lang", "token")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_count"))
+    val exact = toks.where(col("token").isin(stopwords: _*))
+      .groupBy("lang", "token").agg(count(lit(1)).as("true_count"))
+    est.join(exact, Seq("lang", "token"), "left")
+      .select(col("lang"), col("token"), col("est_count"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"))
+  }
+
+  private val cmsTokenFreqSql =
+    s"""WITH t AS (
+      |  SELECT lang, unnest($tokensSql) AS token FROM documents),
+      |h AS (SELECT lang, token, md5(token) AS h FROM t),
+      |cells AS (
+      |  SELECT lang, r, CAST('0x' || substr(h, 1 + 8 * r, 8) AS BIGINT) % $CmsWidth AS cell,
+      |         count(*) AS n
+      |  FROM h, range(0, $CmsDepth) rr(r)
+      |  GROUP BY 1, 2, 3),
+      |probes AS (
+      |  SELECT lang, token, r,
+      |         CAST('0x' || substr(md5(token), 1 + 8 * r, 8) AS BIGINT) % $CmsWidth AS cell
+      |  FROM (SELECT DISTINCT lang FROM documents),
+      |       (SELECT unnest($stopwordsSqlList) AS token),
+      |       range(0, $CmsDepth) rr(r)),
+      |est AS (
+      |  SELECT p.lang, p.token, min(COALESCE(c.n, 0)) AS est_count
+      |  FROM probes p LEFT JOIN cells c
+      |    ON p.lang = c.lang AND p.r = c.r AND p.cell = c.cell
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT lang, token, count(*) AS true_count FROM t
+      |  WHERE token IN (SELECT unnest($stopwordsSqlList)) GROUP BY 1, 2)
+      |SELECT est.lang, est.token, CAST(est.est_count AS BIGINT) AS est_count,
+      |       CAST(COALESCE(ex.true_count, 0) AS BIGINT) AS true_count
+      |FROM est LEFT JOIN ex ON est.lang = ex.lang AND est.token = ex.token""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_heavy_hitters", heavyHitters, None),
+    Q("cms_token_freq", cmsTokenFreq, Some(cmsTokenFreqSql)),
     Q("tokenizer_coverage", tokenizerCoverage, Some(tokenizerCoverageSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
     Q("text_lang_id", langId, Some(langIdSql)),

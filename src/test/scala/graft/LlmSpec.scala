@@ -259,4 +259,16 @@ class LlmSpec extends SparkSpec {
       assert(nTok == nByLang(lang))
     }
   }
+
+  test("count-min sketch: est >= true always (one-sided error), exact when no collision") {
+    import graft.llm.TextStats
+    val rows = TextStats.cmsTokenFreq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, truth) = (r.getLong(2), r.getLong(3))
+      assert(est >= truth, s"(${r.getString(0)},${r.getString(1)}) undercounts: est=$est truth=$truth")
+    }
+    // the probe set includes genuinely present tokens — the sketch is not vacuous
+    assert(rows.exists(_.getLong(3) > 0))
+  }
 }
