@@ -462,8 +462,103 @@ object Similarity extends QueryPack {
       |       round(CAST(max(v6) AS DOUBLE), 6) AS max_component
       |FROM x GROUP BY label""".stripMargin
 
+  /** fused list depth and the standard RRF damping constant */
+  val FusedK = 10
+  val RrfC   = 60
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-stack pattern of
+    * fusing a DENSE ranking (embedding cosine) with a SPARSE one (distinct
+    * token overlap with the query document) per query:
+    * rrf = 1/(C+r_dense) + 1/(C+r_sparse), top-[[FusedK]] by fused score.
+    *
+    * Fully oracle-gated: both ranks are total orders (6-dp score, id
+    * tie-break), and the RRF score is spelled as two int/int divisions and
+    * one sum — three correctly-rounded IEEE ops both engines evaluate
+    * identically (the CLAUDE.md rational-form rule; a `0.0164...` literal
+    * would parse as DECIMAL in DuckDB and diverge).
+    *
+    * Scale notes (100 TB posture): queries broadcast (embedding + token set
+    * per query — KBs); the corpus side is one pass, and both rank windows
+    * partition by query_id, so each sort is one query's candidate list. At
+    * real scale the candidate set comes from the ANN index + an inverted
+    * index (top-N each) instead of the full corpus — the fusion plan is
+    * unchanged, only the candidate generators narrow.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(TextStats.tokensCol).as("toks"))
+    // corpus = embeddings ⋈ documents on id (the tables ship different row
+    // counts at sf0.1 — the intersection is the retrievable corpus)
+    val corpus = Tables.loadSpread(s, dir, "embeddings")
+      .join(toks, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("toks"))
+    val queries = corpus.orderBy("vec_id").limit(NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("toks").as("qtoks"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("cand_id"),
+        round(cosSim(col("qvec"), col("embedding")), 6).as("cos6"),
+        size(array_intersect(col("toks"), col("qtoks"))).as("overlap"))
+    val byQ = Window.partitionBy("query_id")
+    val ranked = scored
+      .withColumn("dense_rank", row_number().over(
+        byQ.orderBy(col("cos6").desc, col("cand_id"))))
+      .withColumn("sparse_rank", row_number().over(
+        byQ.orderBy(col("overlap").desc, col("cand_id"))))
+      .withColumn("rrf",
+        lit(1) / (lit(RrfC) + col("dense_rank")) +
+          lit(1) / (lit(RrfC) + col("sparse_rank")))
+    ranked
+      .withColumn("fused_rank", row_number().over(
+        byQ.orderBy(col("rrf").desc, col("cand_id"))))
+      .where(col("fused_rank") <= FusedK)
+      .select(col("query_id"), col("fused_rank"), col("cand_id"),
+        col("dense_rank"), col("sparse_rank"), col("rrf"))
+  }
+
+  private val hybridRrfSql = {
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, $Dim + 1)]),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT e.vec_id, e.embedding, t.toks
+      |  FROM embeddings e JOIN tok t ON e.vec_id = t.doc_id),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, toks AS qtoks
+      |  FROM c ORDER BY vec_id LIMIT $NumQueries),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS cand_id,
+      |         round(${dotSql("qvec", "c.embedding")}
+      |           / (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})), 6)
+      |           AS cos6,
+      |         len(list_intersect(c.toks, q.qtoks)) AS overlap
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+      |r AS (
+      |  SELECT query_id, cand_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, cand_id) AS INTEGER) AS dense_rank,
+      |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, cand_id) AS INTEGER) AS sparse_rank
+      |  FROM scored),
+      |f AS (
+      |  SELECT query_id, cand_id, dense_rank, sparse_rank,
+      |         1 / ($RrfC + dense_rank) + 1 / ($RrfC + sparse_rank) AS rrf
+      |  FROM r)
+      |SELECT query_id,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS INTEGER) AS fused_rank,
+      |       cand_id, dense_rank, sparse_rank, rrf
+      |FROM f
+      |QUALIFY fused_rank <= $FusedK""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
+    Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
     Q("ann_lsh_topk", lshTopK, None),
     Q("ann_ivf_topk", ivfTopK, None),
     Q("dedup_embcos", embCosDedup, None),
