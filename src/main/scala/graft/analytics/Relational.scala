@@ -806,7 +806,61 @@ object Relational extends QueryPack {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Table snapshot diff — the CDC-reconciliation operator: given the
+    * current snapshot and a prior one, classify every key as
+    * added / removed / changed / unchanged via ONE full-outer join and emit
+    * per-class counts plus a key checksum (so a misclassified row flips the
+    * gate, not just a count that might cancel). The prior snapshot is
+    * synthesized deterministically from the current one (drop every 97th
+    * key, bump price on every 31st, add a foreign key range), identically
+    * in both engines.
+    *
+    * Scale notes (100 TB posture): one key-partitioned shuffle join carrying
+    * only (key, payload-hash) — on bucketed snapshots it is exchange-free;
+    * output is 4 rows. Payload equality compares the column directly here;
+    * a wide table would compare an md5 over a canonical column concat, same
+    * plan shape.
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val cur = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val prior = o.where(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 31 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("p"))
+      .unionByName(o.where(col("o_orderkey") % 41 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("k"), col("o_totalprice").as("p")))
+    val joined = cur.as("a").join(prior.as("b"), col("a.k") === col("b.k"), "full_outer")
+    joined.select(
+      when(col("b.k").isNull, "added")
+        .when(col("a.k").isNull, "removed")
+        .when(col("a.p") =!= col("b.p"), "changed")
+        .otherwise("unchanged").as("status"),
+      coalesce(col("a.k"), col("b.k")).as("k"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("key_sum"))
+  }
+
+  private val tableDiffSql =
+    """WITH cur AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      |prior AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_totalprice FROM orders WHERE o_orderkey % 41 = 0),
+      |d AS (
+      |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+      |              WHEN a.k IS NULL THEN 'removed'
+      |              WHEN a.p <> b.p THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |         COALESCE(a.k, b.k) AS k
+      |  FROM cur a FULL OUTER JOIN prior b ON a.k = b.k)
+      |SELECT status, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY status""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("table_diff", tableDiff, Some(tableDiffSql)),
     Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),
     Q("q5_regional_revenue", regionalRevenue, Some(regionalRevenueSql)),

@@ -225,7 +225,61 @@ object Governance extends QueryPack {
       |       CAST(sum(CAST(floor(logit * 1000) AS BIGINT)) AS BIGINT) AS logit_millis
       |FROM sc GROUP BY source""".stripMargin
 
+  /** Data-quality expectations (the Deequ/Great-Expectations pattern): a
+    * rule set evaluated in ONE pass of conditional aggregates — null-check,
+    * uniqueness, domain membership, range — then unpivoted to a row per
+    * rule. A validation engine that re-scanned per rule would be O(rules)
+    * table passes; this is O(1) passes for any number of algebraic rules.
+    *
+    * Scale notes (100 TB posture): all rules ride the same map-side partial
+    * aggregate (a handful of longs per task); uniqueness is the only rule
+    * needing a shuffle and it shares the one exchange. Output is
+    * metadata-scale (rows = rules).
+    */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val one = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_key"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2005-01-01").cast("timestamp"), 1L).otherwise(0L))
+        .as("bad_date"))
+    one.select(explode(array(
+      struct(lit("orderkey_not_null").as("rule"), col("n").as("n_checked"),
+        col("null_key").as("n_violations")),
+      struct(lit("orderkey_unique").as("rule"), col("n").as("n_checked"),
+        col("dup_key").as("n_violations")),
+      struct(lit("price_positive").as("rule"), col("n").as("n_checked"),
+        col("bad_price").as("n_violations")),
+      struct(lit("status_in_domain").as("rule"), col("n").as("n_checked"),
+        col("bad_status").as("n_violations")),
+      struct(lit("date_in_range").as("rule"), col("n").as("n_checked"),
+        col("bad_date").as("n_violations")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
+  }
+
+  private val dqExpectationsSql =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |         CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_key,
+      |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key,
+      |         CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS bad_price,
+      |         CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) AS bad_status,
+      |         CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+      |                                  OR o_orderdate >= TIMESTAMP '2005-01-01') AS BIGINT) AS bad_date
+      |  FROM orders)
+      |SELECT 'orderkey_not_null' AS rule, n AS n_checked, null_key AS n_violations FROM a
+      |UNION ALL SELECT 'orderkey_unique', n, dup_key FROM a
+      |UNION ALL SELECT 'price_positive', n, bad_price FROM a
+      |UNION ALL SELECT 'status_in_domain', n, bad_status FROM a
+      |UNION ALL SELECT 'date_in_range', n, bad_date FROM a""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)),
     Q("quality_model_filter", qualityModelFilter, Some(qualityModelFilterSql)))
