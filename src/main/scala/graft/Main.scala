@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
   *   compact <tableDir> <partitionCol> [targetBytes] — partition-local
   *     small-file compaction (see [[sources.Compaction]])
+  *   zorder <inParquet> <outPath> <colA> <colB> [nFiles] — rewrite a table
+  *     clustered by the Morton interleave of two numeric columns and write
+  *     its min/max skipping manifest (see [[sources.Layout]])
   *   list                  — list registered query names
   *   bench                 — delegate to [[Bench]] (one JSON line)
   */
@@ -86,6 +89,16 @@ object Main {
         println(s"[graft] compacted $dir: $before -> $after files")
       }
       spark.stop()
+    case "zorder" :: in :: out :: colA :: colB :: rest =>
+      val spark = session()
+      val nFiles = rest.headOption.map(_.toInt).getOrElse(32)
+      val df = spark.read.parquet(in)
+      import org.apache.spark.sql.functions.col
+      val (table, manifest) = sources.Layout.writeZOrdered(
+        df, col(colA), col(colB), out, nFiles)
+      val files = spark.read.parquet(manifest).count()
+      println(s"[graft] z-ordered ${df.count()} rows by ($colA, $colB) -> $table ($files files, manifest $manifest)")
+      spark.stop()
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -98,6 +111,7 @@ object Main {
           "       graft explain <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
+          "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft list\n" +
           "       graft bench")
       sys.exit(1)
