@@ -22,6 +22,7 @@ object SparkEntry {
     llm.Governance,
     ingest.IngestPack,
     sources.Layout,
+    sources.TableLog,
     multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

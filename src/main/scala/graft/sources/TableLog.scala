@@ -1,0 +1,178 @@
+package graft.sources
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal table-format metadata log — versioned commits, snapshot-isolated
+  * reads, time travel, vacuum: the Delta/Iceberg discipline that makes a
+  * 100 TB table mutable-in-metadata while its data files stay immutable.
+  *
+  * Layout: `tableDir/data/<uuid>.parquet` (immutable data files, written
+  * once, never rewritten) + `tableDir/_log/v<N>.txt` (manifest: the data
+  * files LIVE at version N, one relative path per line). A commit writes
+  * new data files, then publishes the next manifest via temp-file + atomic
+  * rename — readers either see version N or N+1, never a torn state, and a
+  * crashed commit leaves only unreferenced files for [[vacuum]].
+  *
+  * Scale notes (100 TB posture): every operation here is METADATA-scale on
+  * the driver (lists of file names — the same asymptotics as a Delta log);
+  * data moves only through executor-side parquet read/write. Append = new
+  * files + superset manifest; logical overwrite = new files + disjoint
+  * manifest, with old versions still readable (time travel) until vacuumed.
+  * A production log adds per-file min/max stats to the manifest — that
+  * composes with [[Layout]]'s manifest skipping unchanged.
+  */
+object TableLog extends QueryPack {
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def dataDir(table: String): Path = Paths.get(table, "data")
+
+  private def versionFile(table: String, v: Long): Path =
+    logDir(table).resolve(s"v$v.txt")
+
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
+  /** Committed versions, ascending (empty for a fresh/absent table). */
+  def versions(table: String): Seq[Long] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) return Seq.empty
+    listDir(ld)
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toLong }
+      .sorted
+  }
+
+  private def liveFiles(table: String, v: Long): Seq[String] =
+    Files.readAllLines(versionFile(table, v)).asScala.toSeq.filter(_.nonEmpty)
+
+  /** Write `df`'s rows as new immutable data files; return their relative
+    * paths (NOT yet referenced by any manifest).
+    */
+  private def writeDataFiles(df: DataFrame, table: String): Seq[String] = {
+    val staging = Paths.get(table, s".staging_${java.util.UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    Files.createDirectories(dataDir(table))
+    val moved = listDir(staging)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        Files.move(p, dataDir(table).resolve(name))
+        s"data/$name"
+      }
+    listDir(staging).foreach(Files.delete) // _SUCCESS etc.
+    Files.delete(staging)
+    moved
+  }
+
+  /** Publish manifest `v` atomically (temp + rename). */
+  private def publish(table: String, v: Long, files: Seq[String]): Long = {
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".v$v.tmp")
+    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Append commit: new version = previous live files + the new ones. */
+  def commitAppend(df: DataFrame, table: String): Long = {
+    val vs = versions(table)
+    val prev = vs.lastOption.map(liveFiles(table, _)).getOrElse(Seq.empty)
+    publish(table, vs.lastOption.getOrElse(-1L) + 1, prev ++ writeDataFiles(df, table))
+  }
+
+  /** Logical overwrite: new version references ONLY the new files; prior
+    * versions stay readable (their files are untouched) until vacuumed.
+    */
+  def commitOverwrite(df: DataFrame, table: String): Long = {
+    val vs = versions(table)
+    publish(table, vs.lastOption.getOrElse(-1L) + 1, writeDataFiles(df, table))
+  }
+
+  /** Snapshot read at `asOf` (default: latest). The file list is pinned at
+    * plan time — concurrent commits cannot tear the read (snapshot
+    * isolation).
+    */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in committed set ${vs.mkString(",")}")
+    val files = liveFiles(table, v).map(f => Paths.get(table).resolve(f).toString)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Drop manifests older than the last `keepVersions` and delete data files
+    * no kept manifest references. Returns (versions dropped, files deleted).
+    */
+  def vacuum(table: String, keepVersions: Int = 1): (Seq[Long], Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = versions(table)
+    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
+    val referenced = keep.flatMap(liveFiles(table, _)).toSet
+    val doomed = drop.flatMap(liveFiles(table, _)).toSet -- referenced
+    doomed.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
+    drop.foreach(v => Files.delete(versionFile(table, v)))
+    (drop, doomed.size)
+  }
+
+  // ---- the graded query: time travel over two commits of orders ----------
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ordersVersioned(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir, { d =>
+      val table = "/tmp/graft_tlog_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/orders"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val orders = Tables.load(s, d, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      commitAppend(orders.where(col("o_orderdate") < cut), table)
+      commitAppend(orders.where(col("o_orderdate") >= cut), table)
+      table
+    })
+
+  /** Per-version accounting across the log: version 0 must still read as
+    * exactly the pre-1998 snapshot AFTER version 1 was committed — the
+    * snapshot-isolation/time-travel contract. The oracle recomputes both
+    * prefixes from the source table directly.
+    */
+  def timeTravelRead(s: SparkSession, dir: String): DataFrame = {
+    val table = ordersVersioned(s, dir)
+    def snap(v: Long): DataFrame =
+      read(s, table, Some(v)).select(
+        lit(v.toInt).as("version"),
+        col("o_orderkey"), col("o_totalprice"))
+    snap(0L).unionByName(snap(1L))
+      .groupBy("version")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  private val timeTravelReadSql =
+    """SELECT CAST(0 AS INTEGER) AS version, count(*) AS n_orders,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |UNION ALL
+      |SELECT 1, count(*),
+      |       CAST(sum(o_orderkey) AS BIGINT),
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)))
+}

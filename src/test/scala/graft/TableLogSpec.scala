@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.TableLog
+import org.apache.spark.sql.functions._
+
+/** Pins the metadata-log contract: append/overwrite versioning, snapshot
+  * isolation (old versions read identically after later commits), time
+  * travel, atomic publication (no torn manifests), and vacuum deleting
+  * exactly the unreferenced files.
+  */
+class TableLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = "/tmp/graft_test_tlog"
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rm)
+    f.delete(); ()
+  }
+
+  test("append/overwrite commits version; old snapshots stay readable; vacuum prunes") {
+    rm(new java.io.File(root))
+    val t = s"$root/t"
+
+    val v0 = TableLog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    assert(v0 == 0L && TableLog.versions(t) == Seq(0L))
+
+    val v1 = TableLog.commitAppend(Seq((3L, "c")).toDF("k", "v"), t)
+    assert(v1 == 1L)
+    // latest sees the union, v0 still sees only its snapshot
+    assert(TableLog.read(spark, t).count() == 3)
+    assert(TableLog.read(spark, t, Some(0L)).select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // logical overwrite: v2 is ONLY the new rows, v0/v1 untouched
+    val v2 = TableLog.commitOverwrite(Seq((9L, "z")).toDF("k", "v"), t)
+    assert(v2 == 2L)
+    assert(TableLog.read(spark, t).select("k").as[Long].collect().toSeq == Seq(9L))
+    assert(TableLog.read(spark, t, Some(1L)).count() == 3)
+
+    // no torn state: log contains only fully-published manifests
+    val logFiles = new java.io.File(s"$t/_log").listFiles().map(_.getName).toSet
+    assert(logFiles == Set("v0.txt", "v1.txt", "v2.txt"))
+
+    // vacuum to latest only: v0/v1 manifests dropped, their files deleted
+    val dataBefore = new java.io.File(s"$t/data").listFiles().length
+    val (dropped, deleted) = TableLog.vacuum(t, keepVersions = 1)
+    assert(dropped == Seq(0L, 1L))
+    assert(deleted > 0 && new java.io.File(s"$t/data").listFiles().length == dataBefore - deleted)
+    // latest still reads
+    assert(TableLog.read(spark, t).select("k").as[Long].collect().toSeq == Seq(9L))
+    // time travel to vacuumed versions now (correctly) refuses
+    intercept[IllegalArgumentException](TableLog.read(spark, t, Some(0L)))
+  }
+
+  test("vacuum keeps files still referenced by a kept version") {
+    rm(new java.io.File(root))
+    val t = s"$root/t2"
+    TableLog.commitAppend(Seq((1L, "a")).toDF("k", "v"), t) // v0: fileA
+    TableLog.commitAppend(Seq((2L, "b")).toDF("k", "v"), t) // v1: fileA + fileB
+    val (dropped, deleted) = TableLog.vacuum(t, keepVersions = 1)
+    // v0's file is still live in v1 — nothing may be deleted
+    assert(dropped == Seq(0L) && deleted == 0)
+    assert(TableLog.read(spark, t).count() == 2)
+  }
+}
