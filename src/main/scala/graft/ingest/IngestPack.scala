@@ -471,8 +471,51 @@ object IngestPack extends QueryPack {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** CSV wire-format ingest e2e — the second wire format next to the JSON
+    * frame path: orders rendered as CSV lines (with a deliberately
+    * malformed numeric field on every 83rd key), parsed back through
+    * `from_csv` in PERMISSIVE mode, corrupt rows dropped by the
+    * required-field gate, survivors aggregated. The oracle computes the
+    * survivor set directly — a parser that drops too much or coerces
+    * garbage to a value flips the gate.
+    *
+    * Scale notes (100 TB posture): parse is a narrow per-row projection
+    * (one `from_csv`, no per-field re-parse — the csv struct is consumed
+    * whole); drop accounting rides the same single aggregate.
+    */
+  def csvE2e(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadSpread(s, dir, "orders")
+    val line = concat_ws(",",
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      // corrupt the numeric field on every 83rd key
+      when(col("o_orderkey") % 83 === 0, lit("xx"))
+        .otherwise(col("o_totalprice").cast("string")))
+    val parsed = o.select(line.as("line"))
+      .select(from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k LONG, status STRING, price DOUBLE"),
+        Map.empty[String, String]).as("r"))
+      .select(col("r.k").as("k"), col("r.status").as("status"), col("r.price").as("price"))
+    parsed
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_received"),
+        sum(when(col("price").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("price").isNotNull, col("k"))).as("key_sum"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  private val csvE2eSql =
+    """SELECT o_orderstatus AS status, count(*) AS n_received,
+      |       CAST(count(*) FILTER (WHERE o_orderkey % 83 = 0) AS BIGINT) AS n_dropped,
+      |       CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 83 <> 0) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderkey % 83 <> 0) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ingest_demux_counts", demuxCounts, Some(demuxCountsSql)),
+    Q("ingest_csv_e2e", csvE2e, Some(csvE2eSql)),
     Q("incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
     Q("ingest_grid_candles", gridCandles, Some(gridCandlesSql)),
     Q("ingest_candles_e2e", candlesE2e, Some(candlesE2eSql)),

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over the
@@ -606,10 +607,71 @@ object TextStats extends QueryPack {
       |       CAST(COALESCE(ex.true_count, 0) AS BIGINT) AS true_count
       |FROM est LEFT JOIN ex ON est.lang = ex.lang AND est.token = ex.token""".stripMargin
 
+  /** Statistical language-model fluency scoring — the n-gram LM quality
+    * signal of a pretraining pipeline (the classifier-free cousin of
+    * [[Governance.qualityModelFilter]]): train bigram/unigram counts ON the
+    * corpus itself, then score each document by its average bigram
+    * likelihood under that model. High scores = text whose token
+    * transitions are corpus-typical; gibberish and boilerplate fall out the
+    * bottom.
+    *
+    * Determinism: each bigram occurrence contributes
+    * floor(1000 · c₂(a,b) / c₁(a)) — ONE correctly-rounded double division
+    * then an exact integer floor — so the per-doc and per-source SUMS are
+    * integer arithmetic, immune to distributed addition order (a raw double
+    * sum over shuffled rows is not reproducible; a log-prob sum would also
+    * hit libm). The oracle reproduces the model and the scoring verbatim.
+    *
+    * Scale notes (100 TB posture): the model is two hash aggregates (bigram
+    * and unigram counts — vocabulary-scale, the same shuffle class as
+    * [[vocabTopK]]); scoring joins each bigram occurrence to its two counts
+    * by key. At web scale the counts relation is pruned to df ≥ k first —
+    * the join shape is unchanged.
+    */
+  def lmFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("source"), posexplode(tokensCol).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), col("source"), col("tok").as("a"), col("nxt").as("b"))
+    val c2 = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(col("tok").as("a")).agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(c2, Seq("a", "b"))
+      .join(c1, Seq("a"))
+      .select(col("source"),
+        floor(lit(1000) * col("c2") / col("c1")).as("term_millis"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("term_millis")).as("fluency_millis"))
+  }
+
+  private val lmFluencySql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, unnest($tokensSql) AS tok,
+      |         generate_subscripts($tokensSql, 1) AS pos
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, source, tok AS a,
+      |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      |  FROM t QUALIFY b IS NOT NULL),
+      |c2 AS (SELECT a, b, count(*) AS c2 FROM big GROUP BY a, b),
+      |c1 AS (SELECT tok AS a, count(*) AS c1 FROM t GROUP BY tok)
+      |SELECT big.source, count(*) AS n_bigrams,
+      |       CAST(sum(CAST(floor(1000 * c2.c2 / c1.c1) AS BIGINT)) AS BIGINT) AS fluency_millis
+      |FROM big JOIN c2 ON big.a = c2.a AND big.b = c2.b
+      |         JOIN c1 ON big.a = c1.a
+      |GROUP BY big.source""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_heavy_hitters", heavyHitters, None),
     Q("cms_token_freq", cmsTokenFreq, Some(cmsTokenFreqSql)),
+    Q("lm_fluency", lmFluency, Some(lmFluencySql)),
     Q("tokenizer_coverage", tokenizerCoverage, Some(tokenizerCoverageSql)),
     Q("text_quality", qualityScore, Some(qualityScoreSql)),
     Q("text_lang_id", langId, Some(langIdSql)),
