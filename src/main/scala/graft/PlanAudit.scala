@@ -17,9 +17,23 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try {
-        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+        // AQE wraps everything in AdaptiveSparkPlan and only collapses
+        // codegen stages (and finalizes join strategies) as stages EXECUTE —
+        // the pre-execution plan shows zero codegen spans and provisional
+        // joins. And it must be THIS QueryExecution that runs: a sink write
+        // plans a fresh QueryExecution, leaving this one isFinalPlan=false.
+        // collect() is safe — registered queries return small aggregates.
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.collect()
+        // finalized AQE toString appends the pre-execution tree under
+        // "== Initial Plan ==" — keep only the final plan or every count doubles
+        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
         def c(p: String) = p.r.findAllIn(plan).length
-        println(f"$n%-24s bcastJoin=${c("BroadcastHashJoin")}%2d smj=${c("SortMergeJoin")}%2d shj=${c("ShuffledHashJoin")}%2d cartesian=${c("CartesianProduct")}%2d bcastNL=${c("BroadcastNestedLoopJoin")}%2d exch=${c("Exchange")}%2d codegen=${c("WholeStageCodegen")}%2d pushed=${c("PushedFilters: \\[[^\\]]")}%2d")
+        // codegen spans surface as `*(n) Node` prefixes in executedPlan
+        // toString (WholeStageCodegenExec nodes don't print their own name);
+        // distinct span ids = number of fused stages
+        val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+        println(f"$n%-24s bcastJoin=${c("BroadcastHashJoin")}%2d smj=${c("SortMergeJoin")}%2d shj=${c("ShuffledHashJoin")}%2d cartesian=${c("CartesianProduct")}%2d bcastNL=${c("BroadcastNestedLoopJoin")}%2d exch=${c("Exchange")}%2d codegen=$codegen%2d pushed=${c("PushedFilters: \\[[^\\]]")}%2d")
       } catch { case e: Throwable => println(s"$n ERROR ${e.getMessage.take(80)}") }
     }
     spark.stop()
