@@ -773,6 +773,67 @@ object Analytics extends QueryPack {
       |       CASE WHEN daily.close IS NULL THEN 1 ELSE 0 END AS filled
       |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day""".stripMargin
 
+  /** A11: cross-series lead-lag agreement — for every pair of portfolios
+    * (user buckets), how often their DAILY activity value moves in the same
+    * direction. The reference's predictability analysis (#3,
+    * `from_parser_to_rabbitmq.py:234-237`) looks at one series in
+    * isolation; the pairwise variant is the standard next question (which
+    * instruments co-move?) and exercises a shape nothing else in the pack
+    * does: aligning N series on the time axis via a self-join, then
+    * aggregating per pair.
+    *
+    * Exactness: daily values anchor to the milli grid (floor(value·1000)
+    * summed as longs — the [[outlierZscore]] rule), and the day-over-day
+    * move is reduced to its SIGN, so every output is an integer count.
+    * Scale: the self-join keys on day across B buckets → B² rows per day,
+    * fine for portfolio-level B (pairwise questions are inherently B²);
+    * the daily rollup before the join keeps the joined relation
+    * days × B, not raw-events-sized.
+    */
+  def leadLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev
+      .groupBy((col("user_id") % 5).as("bucket"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("v3"))
+    val w = Window.partitionBy("bucket").orderBy("day")
+    val rets = daily
+      .withColumn("prev", lag(col("v3"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("sgn",
+        when(col("v3") > col("prev"), 1L)
+          .when(col("v3") < col("prev"), -1L).otherwise(0L))
+      .select(col("bucket"), col("day"), col("sgn"))
+    val lhs = rets.select(col("bucket").as("b_a"), col("day"), col("sgn").as("sgn_a"))
+    val rhs = rets.select(col("bucket").as("b_b"), col("day"), col("sgn").as("sgn_b"))
+    lhs.join(rhs, Seq("day"))
+      .where(col("b_a") < col("b_b"))
+      .groupBy("b_a", "b_b")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("sgn_a") === col("sgn_b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("sgn_a") === 1 && col("sgn_b") === 1, 1L).otherwise(0L)).as("n_both_up"),
+        sum(when(col("sgn_a") === -1 && col("sgn_b") === -1, 1L).otherwise(0L)).as("n_both_down"))
+  }
+
+  private val leadLagSql =
+    """WITH daily AS (
+      |  SELECT user_id % 5 AS bucket, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v3
+      |  FROM events GROUP BY 1, 2),
+      |rets AS (
+      |  SELECT bucket, day,
+      |         lag(v3) OVER w AS prev,
+      |         CASE WHEN v3 > lag(v3) OVER w THEN 1
+      |              WHEN v3 < lag(v3) OVER w THEN -1 ELSE 0 END AS sgn
+      |  FROM daily WINDOW w AS (PARTITION BY bucket ORDER BY day)),
+      |r AS (SELECT bucket, day, sgn FROM rets WHERE prev IS NOT NULL)
+      |SELECT a.bucket AS b_a, b.bucket AS b_b, count(*) AS n_days,
+      |       CAST(sum(CASE WHEN a.sgn = b.sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      |       CAST(sum(CASE WHEN a.sgn = 1 AND b.sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_up,
+      |       CAST(sum(CASE WHEN a.sgn = -1 AND b.sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_down
+      |FROM r a JOIN r b ON a.day = b.day AND a.bucket < b.bucket
+      |GROUP BY 1, 2""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
@@ -786,6 +847,7 @@ object Analytics extends QueryPack {
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("a9_activity_cov", activityCov, Some(activityCovSql)),
     Q("a10_outlier_zscore", outlierZscore, Some(outlierZscoreSql)),
+    Q("a11_lead_lag", leadLag, Some(leadLagSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),
     Q("scd2_history", scd2History, Some(scd2HistorySql)),
     Q("candle_resample", candleResample, Some(candleResampleSql)),

@@ -547,8 +547,30 @@ object Dedup extends QueryPack {
     s.read.parquet(out)
   }
 
+  /** Edge-count threshold for the driver-side union-find fast path. A
+    * near-dup pair graph is almost always SMALL relative to the corpus (it
+    * holds only docs with a ≥0.5-Jaccard partner): even a corpus with 10%
+    * duplicates at 100 TB yields edges ~ the duplicate count, and 5M edges
+    * is ~80 MB on the driver — far below any executor's shuffle budget for
+    * the distributed alternative. Below the threshold, iterating Spark jobs
+    * is pure scheduler overhead (measured 11 s for a few hundred edges);
+    * above it, the pointer-jumping rounds take over unchanged.
+    */
+  private val DriverCcMaxEdges = 5000000L
+
   private def propagate(s: SparkSession, d: String): DataFrame = {
       val pairs = jaccard(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      if (pairs.count() <= DriverCcMaxEdges) unionFind(s, pairs)
+      else propagateDistributed(pairs)
+  }
+
+  /** Large-graph path: distributed min-label propagation with pointer
+    * jumping (doc comment on [[components]]). Package-visible so the spec
+    * can pin its equivalence with [[unionFind]] even though test-sized
+    * graphs always take the fast path in production code.
+    */
+  private[graft] def propagateDistributed(pairs: DataFrame): DataFrame = {
       val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst").localCheckpoint()
       var labels = adj.select(col("src").as("doc")).distinct()
@@ -579,14 +601,46 @@ object Dedup extends QueryPack {
       labels.select(col("doc").as("doc_id"), col("comp").as("canon_id"))
   }
 
+  /** Small-graph fast path: collect the pair list, union-find with
+    * union-by-min (attaching the larger root under the smaller makes every
+    * root the component's MINIMUM doc id — the same label the distributed
+    * propagation and the oracle's transitive closure produce), parallelize
+    * the labels back. One collect bounded by [[DriverCcMaxEdges]], zero
+    * iterative jobs.
+    */
+  private def unionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(d => (d.toLong, find(d)))
+    s.createDataset(labels.toSeq).toDF("doc_id", "canon_id")
+  }
+
   private val componentsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** components oracle: same pair graph, transitive closure via a recursive
     * CTE (UNION-dedup guarantees termination), min reachable id per doc.
     */
-  private val componentsSql =
-    s"""WITH RECURSIVE $shCte,
+  /** the closure CTEs shared by the components and keep-best oracles:
+    * pair graph → symmetric edges → transitive reach → min-label per doc
+    */
+  private val closureCtes =
+    s"""$shCte,
       |pairs AS (
       |  SELECT doc_a, doc_b
       |  FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
@@ -596,8 +650,60 @@ object Dedup extends QueryPack {
       |reach(doc, comp) AS (
       |  SELECT src, src FROM e
       |  UNION
-      |  SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.doc)
-      |SELECT doc AS doc_id, min(comp) AS canon_id FROM reach GROUP BY doc""".stripMargin
+      |  SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.doc),
+      |lab AS (SELECT doc AS doc_id, min(comp) AS canon_id FROM reach GROUP BY doc)""".stripMargin
+
+  private val componentsSql =
+    s"""WITH RECURSIVE $closureCtes
+      |SELECT doc_id, canon_id FROM lab""".stripMargin
+
+  /** Cluster-representative selection — the decision step a curation
+    * pipeline runs AFTER clustering: every document (singletons included)
+    * joins its near-dup cluster label, and each cluster keeps its
+    * highest-quality member (longest by n_chars, doc_id as the tie-break).
+    * Output is per-cluster survivor accounting: what is kept, what is
+    * dropped, how many characters each costs.
+    *
+    * 100 TB posture: the label table is small (docs WITH a near-dup
+    * partner), so the left join broadcasts; the representative choice is a
+    * per-cluster window over cluster-hash-partitioned rows — one shuffle,
+    * no driver involvement.
+    */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val labeled = docs
+      .join(broadcast(components(s, dir)), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("canon_id"), col("doc_id")))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - lit(1L)).as("n_removed"),
+        sum(col("n_chars")).as("total_chars"),
+        max(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"))
+  }
+
+  private val keepBestSql =
+    s"""WITH RECURSIVE $closureCtes,
+      |ld AS (
+      |  SELECT d.doc_id, d.n_chars, COALESCE(l.canon_id, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+      |r AS (
+      |  SELECT cluster, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY cluster
+      |                            ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM ld)
+      |SELECT cluster, count(*) AS n_docs,
+      |       CAST(count(*) - 1 AS BIGINT) AS n_removed,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+      |       max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
+      |FROM r GROUP BY cluster""".stripMargin
 
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
@@ -605,5 +711,6 @@ object Dedup extends QueryPack {
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
     Q("dedup_simhash", simhash, Some(simhashOracleSql)),
     Q("dedup_editdist", editDistance, Some(editDistanceSql)),
-    Q("dedup_components", components, Some(componentsSql)))
+    Q("dedup_components", components, Some(componentsSql)),
+    Q("dedup_keep_best", keepBest, Some(keepBestSql)))
 }

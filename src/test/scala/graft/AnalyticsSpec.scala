@@ -125,4 +125,16 @@ class AnalyticsSpec extends SparkSpec {
     val flags = out.map(_.getBoolean(3)).toSet
     assert(flags == Set(true, false))
   }
+
+  test("A11 lead-lag emits every bucket pair once with consistent counts") {
+    val out = Analytics.leadLag(spark, sfDir).collect()
+    // 5 buckets → C(5,2) ordered pairs, each exactly once
+    assert(out.length == 10)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    out.foreach { r =>
+      val (nDays, nAgree) = (r.getAs[Long]("n_days"), r.getAs[Long]("n_agree"))
+      val both = r.getAs[Long]("n_both_up") + r.getAs[Long]("n_both_down")
+      assert(nAgree <= nDays && both <= nAgree)
+    }
+  }
 }

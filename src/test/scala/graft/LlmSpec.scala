@@ -70,6 +70,33 @@ class LlmSpec extends SparkSpec {
     assert(!labels.contains(20L)) // isolated docs have no cluster row
   }
 
+  test("distributed propagation and driver union-find agree on the planted graph") {
+    // test-sized graphs always take the union-find fast path inside
+    // components(); drive the pointer-jumping rounds directly on the same
+    // pair relation and require identical labels
+    val pairs = Dedup.jaccard(spark, "/tmp/graft_test_cc")
+      .select($"doc_a", $"doc_b")
+    val dist = graft.llm.Dedup.propagateDistributed(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = graft.llm.Dedup.components(spark, "/tmp/graft_test_cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == uf)
+  }
+
+  test("dedup_keep_best keeps the longest member per cluster, min doc_id on ties") {
+    val rows = Dedup.keepBest(spark, "/tmp/graft_test_cc")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // chain {1,2,3}: doc 1 is longest (35 chars)
+    assert(rows(1L).getAs[Long]("rep_doc") == 1L)
+    assert(rows(1L).getAs[Long]("n_docs") == 3L && rows(1L).getAs[Long]("n_removed") == 2L)
+    assert(rows(1L).getAs[Long]("total_chars") == 35L + 34L + 34L)
+    // pair {10,11}: equal length 33 → tie-break min doc_id
+    assert(rows(10L).getAs[Long]("rep_doc") == 10L)
+    // isolated doc 20 is its own singleton cluster, nothing removed
+    assert(rows(20L).getAs[Long]("n_docs") == 1L && rows(20L).getAs[Long]("n_removed") == 0L)
+    assert(rows(20L).getAs[Long]("rep_doc") == 20L)
+  }
+
   test("text_bm25_top ranks at most TopTerms per doc, rare terms above common") {
     val out = TextStats.bm25Top(spark, sfDir).collect()
     assert(out.nonEmpty)
