@@ -100,14 +100,24 @@ object TableLog extends QueryPack {
     * plan time — concurrent commits cannot tear the read (snapshot
     * isolation).
     */
-  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+  def read(
+      spark: SparkSession,
+      table: String,
+      asOf: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed versions under $table")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in committed set ${vs.mkString(",")}")
     val files = liveFiles(table, v).map(f => Paths.get(table).resolve(f).toString)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    // mergeSchema = schema EVOLUTION read: the union of every live file's
+    // columns, missing ones null-backfilled. Without it parquet takes the
+    // schema from one file and silently drops columns the others added —
+    // required whenever commits span an ALTER-style widening. Footer-only
+    // work, so the cost scales with file COUNT (vacuum/compaction keep that
+    // bounded), not data size.
+    else spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
   }
 
   /** Drop manifests older than the last `keepVersions` and delete data files
@@ -173,6 +183,52 @@ object TableLog extends QueryPack {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |FROM orders""".stripMargin
 
+  private val evolved = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** versioned table whose second commit WIDENS the schema: v0 holds even
+    * orders as (o_orderkey, cents); v1 appends odd orders with a new
+    * `status` column v0's files have never heard of.
+    */
+  private[graft] def ordersEvolved(s: SparkSession, dir: String): String =
+    evolved.computeIfAbsent(dir, { d =>
+      val table = "/tmp/graft_tlog_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/orders_evolved"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val orders = Tables.load(s, d, "orders")
+        .withColumn("cents",
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      commitAppend(orders.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "cents"), table)
+      commitAppend(orders.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("cents"), col("o_orderstatus").as("status")), table)
+      table
+    })
+
+  /** Schema-evolution read: after a widening commit, the latest snapshot
+    * must surface the new column with pre-evolution rows null-backfilled —
+    * and lose no row or value from either side. Aggregating per status
+    * (nulls bucketed as '(v0)') over exact integer cents makes any dropped
+    * column, dropped row, or misaligned backfill flip the oracle hash.
+    */
+  def schemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    val table = ordersEvolved(s, dir)
+    read(s, table, mergeSchema = true)
+      .groupBy(coalesce(col("status"), lit("(v0)")).as("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  private val schemaEvolutionReadSql =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '(v0)' END AS status,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
-    Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)))
+    Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
+    Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)))
 }

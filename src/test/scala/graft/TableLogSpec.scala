@@ -62,4 +62,18 @@ class TableLogSpec extends SparkSpec {
     assert(dropped == Seq(0L) && deleted == 0)
     assert(TableLog.read(spark, t).count() == 2)
   }
+
+  test("schema evolution: widened commit reads merged, old rows null-backfilled") {
+    rm(new java.io.File(root))
+    val t = s"$root/t3"
+    TableLog.commitAppend(Seq((1L, 10L)).toDF("k", "cents"), t)
+    TableLog.commitAppend(Seq((2L, 20L, "NEW")).toDF("k", "cents", "status"), t)
+    val merged = TableLog.read(spark, t, mergeSchema = true)
+    assert(merged.columns.toSet == Set("k", "cents", "status"))
+    val byK = merged.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("status")).toMap
+    assert(byK == Map(1L -> null, 2L -> "NEW"))
+    // time travel to v0 keeps the ORIGINAL narrow schema
+    assert(TableLog.read(spark, t, Some(0L), mergeSchema = true)
+      .columns.toSet == Set("k", "cents"))
+  }
 }
