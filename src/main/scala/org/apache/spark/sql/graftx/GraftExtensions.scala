@@ -4,11 +4,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Session-extension entry point for the engine's native expressions —
-  * the (c) rung of the extension ladder (SURVEY.md §4): built-in operators
-  * cover every whole-operator semantic this engine needs, so the only
-  * Catalyst surface worth registering is the scalar expression layer, and
-  * this class makes it reachable from SQL text, not just the Column API.
+/** Session-extension entry point for the engine's Catalyst surface — the
+  * (c) rung of the extension ladder (SURVEY.md §4): the native scalar
+  * expression layer ([[CosineSimilarity]], reachable from SQL text, not
+  * just the Column API) and the [[RangeJoinRewrite]] optimizer rule
+  * (nested-loop range joins → bucketed equi-joins, conf-gated). Built-in
+  * operators cover every other whole-operator semantic this engine needs.
   *
   * Wire-up options:
   *  - config: `spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions`
@@ -19,8 +20,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    already-created session returned by `getOrCreate`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
+    // conf-gated (spark.graft.rangeJoin.granularity), no-op until enabled
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -37,11 +41,16 @@ object GraftExtensions {
     })
 
   /** Register into a LIVE session's function registry (same registration the
-    * extension performs at session build). Idempotent: re-registering simply
-    * replaces the entry.
+    * extension performs at session build), plus the optimizer rule via the
+    * experimental-methods hook (extension instances configured at build time
+    * don't apply to an already-created session). Idempotent: re-registering
+    * replaces the function entry and skips an already-present rule.
     */
   def register(spark: SparkSession): Unit = {
     val (ident, info, builder) = cosineSimilarity
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
   }
 }
