@@ -705,6 +705,73 @@ object Dedup extends QueryPack {
       |       max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
       |FROM r GROUP BY cluster""".stripMargin
 
+  /** Split-leakage audit — near-dup pairs straddling a train/eval split
+    * leak training data into evaluation exactly like benchmark
+    * contamination ([[Curation.decontaminate]]'s sibling hazard). Compares
+    * the engine's per-doc salted-coin split ([[Curation.splitTrainEval]]'s
+    * coin, train = coin < 900) against a CLUSTER-AWARE split (every doc
+    * inherits its cluster representative's coin, so a cluster moves as a
+    * unit): per scheme, the doc counts per side and the number of clusters
+    * with members on BOTH sides. Cluster-aware leakage is zero by
+    * construction — and the oracle proves it rather than asserts it.
+    *
+    * 100 TB posture: label table broadcast (docs with a near-dup partner
+    * only), two low-cardinality aggregates; the coin is md5-based and
+    * engine-portable, never a Spark-only hash.
+    */
+  def splitAudit(s: SparkSession, dir: String): DataFrame = {
+    def coin(c: Column): Column =
+      conv(substring(md5(concat(lit("split:"), c.cast("string")).cast("binary")), 1, 8),
+        16, 10).cast("long") % 1000
+    val labeled = Tables.load(s, dir, "documents").select("doc_id")
+      .join(broadcast(components(s, dir)), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("canon_id"), col("doc_id")))
+    val flagged = labeled.select(
+      col("cluster"),
+      when(coin(col("doc_id")) < 900, "train").otherwise("eval").as("naive"),
+      when(coin(col("cluster")) < 900, "train").otherwise("eval").as("cluster_aware"))
+    val schemes = flagged
+      .select(col("cluster"), lit("naive").as("scheme"), col("naive").as("split"))
+      .union(flagged
+        .select(col("cluster"), lit("cluster_aware").as("scheme"), col("cluster_aware").as("split")))
+    val perCluster = schemes
+      .groupBy("scheme", "cluster")
+      .agg(
+        countDistinct(col("split")).as("nsp"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "eval", 1L).otherwise(0L)).as("ce"))
+    perCluster.groupBy("scheme")
+      .agg(
+        sum(col("ct")).as("n_train"),
+        sum(col("ce")).as("n_eval"),
+        sum(when(col("nsp") === 2, 1L).otherwise(0L)).as("n_leaky_clusters"))
+  }
+
+  private val splitAuditSql =
+    s"""WITH RECURSIVE $closureCtes,
+      |ld AS (
+      |  SELECT d.doc_id, COALESCE(l.canon_id, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+      |fl AS (
+      |  SELECT cluster,
+      |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900
+      |         THEN 'train' ELSE 'eval' END AS naive,
+      |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 900
+      |         THEN 'train' ELSE 'eval' END AS cluster_aware
+      |  FROM ld),
+      |sch AS (
+      |  SELECT cluster, 'naive' AS scheme, naive AS split FROM fl
+      |  UNION ALL
+      |  SELECT cluster, 'cluster_aware', cluster_aware FROM fl),
+      |pc AS (
+      |  SELECT scheme, cluster, count(DISTINCT split) AS nsp,
+      |         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |         CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS ce
+      |  FROM sch GROUP BY 1, 2)
+      |SELECT scheme, CAST(sum(ct) AS BIGINT) AS n_train, CAST(sum(ce) AS BIGINT) AS n_eval,
+      |       CAST(sum(CASE WHEN nsp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters
+      |FROM pc GROUP BY scheme""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
@@ -712,5 +779,6 @@ object Dedup extends QueryPack {
     Q("dedup_simhash", simhash, Some(simhashOracleSql)),
     Q("dedup_editdist", editDistance, Some(editDistanceSql)),
     Q("dedup_components", components, Some(componentsSql)),
-    Q("dedup_keep_best", keepBest, Some(keepBestSql)))
+    Q("dedup_keep_best", keepBest, Some(keepBestSql)),
+    Q("dedup_split_audit", splitAudit, Some(splitAuditSql)))
 }

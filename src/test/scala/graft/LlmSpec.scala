@@ -97,6 +97,18 @@ class LlmSpec extends SparkSpec {
     assert(rows(20L).getAs[Long]("rep_doc") == 20L)
   }
 
+  test("dedup_split_audit: cluster-aware split never leaks a cluster across sides") {
+    val rows = Dedup.splitAudit(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("naive", "cluster_aware"))
+    assert(rows("cluster_aware").getAs[Long]("n_leaky_clusters") == 0L)
+    // both schemes assign every document exactly once
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_eval") == nDocs)
+    }
+  }
+
   test("text_bm25_top ranks at most TopTerms per doc, rare terms above common") {
     val out = TextStats.bm25Top(spark, sfDir).collect()
     assert(out.nonEmpty)
