@@ -145,17 +145,24 @@ object TextStats extends QueryPack {
       |       count(*) AS n_docs
       |FROM p GROUP BY 1, 2""".stripMargin
 
-  /** Per-document fingerprint: polynomial rolling hash over the character
+  /** Per-document fingerprint: polynomial rolling hash over the code-point
     * stream (mod 1e9+7 — intermediate values stay < 2^63, so the fold is
     * overflow-free in both engines) plus the md5 content hash. Dup detection
     * across engines reduces to comparing these two columns.
+    *
+    * The hash runs as the native codegen expression
+    * [[org.apache.spark.sql.graftx.RollingHash]] — the HOF formulation
+    * (`aggregate(split(text,''), 0L, (h,c) -> ...)`) allocates a
+    * per-character array and evaluates the lambda interpreted
+    * (CodegenFallback); the expression folds code points straight off the
+    * UTF-8 bytes inside the generated stage (same fold as the oracle's
+    * `list_reduce`, pinned byte-for-byte by the hash gate).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
     docs.select(
       col("doc_id"),
-      expr("aggregate(split(text, ''), 0L, (h, c) -> (h * 131 + ascii(c)) % 1000000007)")
-        .as("rolling_hash"),
+      org.apache.spark.sql.graftx.RollingHash(col("text")).as("rolling_hash"),
       md5(col("text").cast("binary")).as("md5_hash"))
   }
 

@@ -22,6 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
+    ext.injectFunction(GraftExtensions.rollingHash)
     // conf-gated (spark.graft.rangeJoin.granularity), no-op until enabled
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
@@ -40,15 +41,26 @@ object GraftExtensions {
       CosineSimilarity(args(0), args(1))
     })
 
+  /** `rolling_hash(string) -> bigint` (the fingerprint fold) */
+  val rollingHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getCanonicalName, "rolling_hash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"rolling_hash expects exactly 1 argument, got ${args.length}")
+      RollingHash(args(0))
+    })
+
   /** Register into a LIVE session's function registry (same registration the
     * extension performs at session build), plus the optimizer rule via the
     * experimental-methods hook (extension instances configured at build time
     * don't apply to an already-created session). Idempotent: re-registering
-    * replaces the function entry and skips an already-present rule.
+    * replaces the function entries and skips an already-present rule.
     */
   def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimilarity
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(cosineSimilarity, rollingHash).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
