@@ -773,6 +773,70 @@ object Analytics extends QueryPack {
       |       CASE WHEN daily.close IS NULL THEN 1 ELSE 0 END AS filled
       |FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day""".stripMargin
 
+  /** Ordered-sequence (CEP-style) detection: purchases completing a
+    * STRICTLY-ORDERED view → click → purchase chain where each hop happens
+    * within one hour. The plain funnel ([[funnel]]) only checks stage
+    * timestamps exist in order somewhere in the user's history; real
+    * conversion attribution needs the MATCH_RECOGNIZE-style contiguity
+    * constraint, which Spark lacks as an operator. Expressed with two
+    * running window passes instead of self-joins:
+    *
+    *   1. per event, the latest PRECEDING view timestamp;
+    *   2. clicks within an hour of that view become "qualified clicks";
+    *      per event, the latest preceding qualified click;
+    *   3. a purchase converts iff a qualified click precedes it within 1 h.
+    *
+    * Both passes share one (user) partitioning and one (ts, event_id) sort
+    * — strictly-preceding ROW frames, integer-µs arithmetic end to end, so
+    * the count is exact and engine-portable. Scale: two window passes over
+    * user-partitioned rows, one sort, no join — the self-join formulation
+    * would shuffle events × events.
+    */
+  def orderedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("ok_click_us",
+        when(col("event_type") === "click" &&
+          col("us") - col("last_view") <= HourUs, col("us")))
+      .withColumn("last_ok_click", max(col("ok_click_us")).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("us") - col("last_ok_click") <= HourUs, 1L).otherwise(0L))
+          .as("n_converted"))
+  }
+
+  private val orderedFunnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |s1 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER w AS last_view
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND us - last_view <= 3600000000
+      |                 THEN us END AS ok_click_us
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, max(ok_click_us) OVER w AS last_ok_click
+      |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, count(*) AS n_purchases,
+      |       CAST(sum(CASE WHEN us - last_ok_click <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_converted
+      |FROM s3 WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin
+
   /** A11: cross-series lead-lag agreement — for every pair of portfolios
     * (user buckets), how often their DAILY activity value moves in the same
     * direction. The reference's predictability analysis (#3,
@@ -844,6 +908,7 @@ object Analytics extends QueryPack {
     Q("a7_ema", ema, Some(emaSql)),
     Q("a8_max_drawdown", maxDrawdown, Some(maxDrawdownSql)),
     Q("funnel_stages", funnel, Some(funnelSql)),
+    Q("funnel_ordered", orderedFunnel, Some(orderedFunnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("a9_activity_cov", activityCov, Some(activityCovSql)),
     Q("a10_outlier_zscore", outlierZscore, Some(outlierZscoreSql)),

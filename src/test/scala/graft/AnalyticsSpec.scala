@@ -126,6 +126,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(flags == Set(true, false))
   }
 
+  test("ordered funnel converts only strictly-ordered chains with <=1h hops") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: view→click(30m)→purchase(60m) converts; purchase@200m has no
+      // qualified click within the hour
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(30)),
+      (3L, 1L, "purchase", ts(60)), (4L, 1L, "purchase", ts(200)),
+      // user 2: click with NO preceding view never qualifies
+      (5L, 2L, "click", ts(0)), (6L, 2L, "purchase", ts(10)),
+      // user 3: click 90m after the view exceeds the hop bound
+      (7L, 3L, "view", ts(0)), (8L, 3L, "click", ts(90)),
+      (9L, 3L, "purchase", ts(100)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    ev.write.mode("overwrite").parquet("/tmp/graft_test_funnel/events.parquet")
+    val out = Analytics.orderedFunnel(spark, "/tmp/graft_test_funnel")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 1L), 2L -> (1L, 0L), 3L -> (1L, 0L)))
+  }
+
   test("A11 lead-lag emits every bucket pair once with consistent counts") {
     val out = Analytics.leadLag(spark, sfDir).collect()
     // 5 buckets → C(5,2) ordered pairs, each exactly once
