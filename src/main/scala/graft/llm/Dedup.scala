@@ -719,10 +719,16 @@ object Dedup extends QueryPack {
     * only), two low-cardinality aggregates; the coin is md5-based and
     * engine-portable, never a Spark-only hash.
     */
+  /** Portable salted coin in [0, 1000): md5 hex head → bigint, identical
+    * arithmetic in Spark and DuckDB (the repo's standard engine-shared
+    * hash — see [[splitAuditSql]] / [[contrastiveSql]] for the SQL twin).
+    */
+  private def portableCoin(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), c.cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long") % 1000
+
   def splitAudit(s: SparkSession, dir: String): DataFrame = {
-    def coin(c: Column): Column =
-      conv(substring(md5(concat(lit("split:"), c.cast("string")).cast("binary")), 1, 8),
-        16, 10).cast("long") % 1000
+    def coin(c: Column): Column = portableCoin(c, "split")
     val labeled = Tables.load(s, dir, "documents").select("doc_id")
       .join(broadcast(components(s, dir)), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("canon_id"), col("doc_id")))
@@ -772,6 +778,68 @@ object Dedup extends QueryPack {
       |       CAST(sum(CASE WHEN nsp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters
       |FROM pc GROUP BY scheme""".stripMargin
 
+  /** Negatives per contrastive pair. */
+  private val NumNegatives = 2
+
+  /** Coin threshold selecting the negative candidate pool (≈10% of docs). */
+  private val NegPoolCoin = 100
+
+  /** Contrastive training-pair generation: every exact-Jaccard positive
+    * pair (anchor, positive) gets [[NumNegatives]] deterministic hard-ish
+    * negatives — documents from a hash-selected candidate pool that are NOT
+    * in the anchor's near-dup cluster, ranked by a salted md5 of
+    * (anchor, candidate) so retries and re-runs emit identical pairs
+    * (`rand()`-style sampling would not survive task retry).
+    *
+    * 100 TB posture: the pool is a fixed ~10% coin slice of doc IDS ONLY —
+    * small enough to broadcast — so negatives come from an anchors ×
+    * broadcast(pool) join, never a corpus × corpus shuffle; the per-pair
+    * top-k is a window over (pair)-partitioned rows. Raising pool quality
+    * (e.g. same-language negatives) is a pool-side filter, same plan shape.
+    */
+  def contrastiveNegatives(s: SparkSession, dir: String): DataFrame = {
+    val labels = components(s, dir)
+    val pool = Tables.load(s, dir, "documents").select("doc_id")
+      .where(portableCoin(col("doc_id"), "negpool") < NegPoolCoin)
+      .join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").as("neg_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("neg_cluster"))
+    val anchors = jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left")
+      .withColumn("a_cluster", coalesce(col("canon_id"), col("doc_a")))
+    val w = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("rk_hash"), col("neg_id"))
+    anchors
+      .join(broadcast(pool), col("neg_cluster") =!= col("a_cluster"))
+      .withColumn("rk_hash",
+        md5(concat(lit("neg:"), col("doc_a").cast("string"), lit(":"),
+          col("neg_id").cast("string")).cast("binary")))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= NumNegatives)
+      .select(
+        col("doc_a").as("anchor"), col("doc_b").as("positive"),
+        col("neg_id").as("negative"), col("neg_rank"))
+  }
+
+  private val contrastiveSql =
+    s"""WITH RECURSIVE $closureCtes,
+      |pool AS (
+      |  SELECT d.doc_id AS neg_id, COALESCE(l.canon_id, d.doc_id) AS neg_cluster
+      |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+      |  WHERE CAST('0x' || substr(md5('negpool:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < $NegPoolCoin),
+      |anch AS (
+      |  SELECT p.doc_a, p.doc_b, COALESCE(l.canon_id, p.doc_a) AS a_cluster
+      |  FROM pairs p LEFT JOIN lab l ON p.doc_a = l.doc_id),
+      |ranked AS (
+      |  SELECT a.doc_a, a.doc_b, c.neg_id,
+      |         row_number() OVER (PARTITION BY a.doc_a, a.doc_b
+      |           ORDER BY md5('neg:' || CAST(a.doc_a AS VARCHAR) || ':' || CAST(c.neg_id AS VARCHAR)), c.neg_id) AS neg_rank
+      |  FROM anch a JOIN pool c ON c.neg_cluster <> a.a_cluster)
+      |SELECT doc_a AS anchor, doc_b AS positive, neg_id AS negative,
+      |       CAST(neg_rank AS INTEGER) AS neg_rank
+      |FROM ranked WHERE neg_rank <= $NumNegatives""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
@@ -780,5 +848,6 @@ object Dedup extends QueryPack {
     Q("dedup_editdist", editDistance, Some(editDistanceSql)),
     Q("dedup_components", components, Some(componentsSql)),
     Q("dedup_keep_best", keepBest, Some(keepBestSql)),
-    Q("dedup_split_audit", splitAudit, Some(splitAuditSql)))
+    Q("dedup_split_audit", splitAudit, Some(splitAuditSql)),
+    Q("contrastive_negatives", contrastiveNegatives, Some(contrastiveSql)))
 }

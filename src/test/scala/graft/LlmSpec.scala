@@ -109,6 +109,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("contrastive negatives: k per pair, never from the anchor's cluster, deterministic") {
+    val rows = Dedup.contrastiveNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = Dedup.components(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perPair = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    perPair.foreach { case ((anchor, pos), ns) =>
+      assert(ns.length == 2, s"pair ($anchor,$pos) got ${ns.length} negatives")
+      ns.foreach { r =>
+        val neg = r.getLong(2)
+        assert(neg != anchor && neg != pos)
+        assert(labels.getOrElse(neg, neg) != labels.getOrElse(anchor, anchor))
+      }
+    }
+    // pure function of the corpus: a second run emits identical rows
+    val again = Dedup.contrastiveNegatives(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("text_bm25_top ranks at most TopTerms per doc, rare terms above common") {
     val out = TextStats.bm25Top(spark, sfDir).collect()
     assert(out.nonEmpty)
