@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Optimizer rule: plan a pure range-condition inner join as a bucketed
   * equi-join instead of a nested loop.
@@ -41,7 +41,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   val GranularityKey = "spark.graft.rangeJoin.granularity"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val g = conf.getConfString(GranularityKey, "0").toLong
+    val raw = conf.getConfString(GranularityKey, "0")
+    val g = scala.util.Try(raw.toLong).getOrElse {
+      logWarning(s"$GranularityKey='$raw' is not a long — range-join rewrite disabled")
+      0L
+    }
     if (g <= 0) plan
     else plan.transform {
       case j @ Join(_, _, Inner, Some(_), _) if !j.isStreaming =>
@@ -122,8 +126,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
     val (pointPlan, ivPlan) = if (pointOnLeft) (left, right) else (right, left)
 
+    // exact long floor-division: e div g, minus 1 when a negative e doesn't
+    // divide evenly (div truncates toward zero, buckets need floor). A
+    // double floor (the obvious floor(e/g)) silently mis-buckets
+    // |values| > 2^53 — fine for epoch micros, not for arbitrary user
+    // longs, and a wrong bucket here means MISSING join rows, not an
+    // error. This form is overflow-free under ANSI for every long (g > 0,
+    // and the -1 adjustment only applies when |div| < 2^63/g).
     def bucketOf(e: Expression): Expression =
-      Floor(Divide(Cast(e, DoubleType), Literal(g.toDouble)))
+      Subtract(
+        IntegralDivide(e, Literal(g)),
+        If(
+          And(Not(EqualTo(Remainder(e, Literal(g)), Literal(0L))),
+            LessThan(e, Literal(0L))),
+          Literal(1L), Literal(0L)))
 
     // point side: one bucket per row
     val pAlias = Alias(bucketOf(p), "_rj_bucket_p")()

@@ -60,6 +60,23 @@ class RangeRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRewrite.GranularityKey)
   }
 
+  test("negative coordinates bucket by FLOOR division (no trunc-toward-zero gaps)") {
+    GraftExtensions.register(spark)
+    spark.conf.set(RangeJoinRewrite.GranularityKey, "4")
+    try {
+      val negPts = (-10L to 10L).map(i => (i, i.toString)).toDF("p", "tag")
+      val negIvs = Seq((-7L, -2L, "n"), (-3L, 5L, "z")).toDF("lo", "hi", "name")
+      val on = negPts.join(negIvs, $"p" >= $"lo" && $"p" < $"hi")
+      val got = on.collect().map(r => (r.getLong(0), r.getString(4))).toSet
+      val want = (for {
+        i <- -10L to 10L
+        (lo, hi, n) <- Seq((-7L, -2L, "n"), (-3L, 5L, "z")) if i >= lo && i < hi
+      } yield (i, n)).toSet
+      assert(got == want)
+      assert(!on.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(RangeJoinRewrite.GranularityKey)
+  }
+
   test("a join that already has a cross-side equi-key is left alone") {
     GraftExtensions.register(spark)
     spark.conf.set(RangeJoinRewrite.GranularityKey, "64")
