@@ -859,7 +859,199 @@ object Relational extends QueryPack {
       |SELECT status, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS key_sum
       |FROM d GROUP BY status""".stripMargin
 
+  /** Correlated scalar subqueries, decorrelated by Catalyst: orders whose
+    * value exceeds 1.5× their customer's average order value. The engine side
+    * is deliberately SQL TEXT with two correlated subqueries — Catalyst's
+    * RewriteCorrelatedScalarSubquery turns both into ONE aggregate over the
+    * orders relation joined back on o_custkey (verify with explain: no
+    * per-row subplan execution survives), which is exactly the plan a
+    * hand-decorrelated DataFrame formulation would build. The 1.5× compare
+    * runs in rational integer form (cents·2·n > 3·Σcents) — no division, no
+    * doubles, bit-exact in both engines.
+    */
+  private def corrSubquerySqlFor(table: String): String =
+    s"""WITH ov AS (
+      |  SELECT o_custkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM $table)
+      |SELECT o_custkey % 100 AS cust_bucket, count(*) AS n_big,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ov o
+      |WHERE cents * 2 * (SELECT count(*) FROM ov i WHERE i.o_custkey = o.o_custkey)
+      |      > 3 * (SELECT CAST(sum(cents) AS BIGINT) FROM ov i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY 1""".stripMargin
+
+  def corrSubqueryOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_cs")
+    s.sql(corrSubquerySqlFor("orders_cs"))
+  }
+
+  /** Nation-pair trade volume (TPC-H Q7-shaped): the 6-way star/snowflake —
+    * fact ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ nation — with the date
+    * filter pushed to the fact scan. Join strategy is left to AQE: the two
+    * nation dims are explicit broadcasts (always tiny), while supplier and
+    * customer joins are declared as plain equi-joins — at bench scale AQE
+    * converts them to broadcasts, at 100 TB they become shuffle joins on
+    * their natural keys with no plan change here. Revenue is the exact
+    * decimal discounted price.
+    */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("rev"),
+        year(col("l_shipdate")).as("l_year"))
+    val o  = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c  = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n  = Tables.load(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val nationVolumeSql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |       CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Interval×interval OVERLAP join ([[graft.operators.RangeJoin.joinOverlap]]):
+    * concurrent error-activity windows per user — even-id windows joined to
+    * overlapping odd-id windows, grid-bucketed so the plan is a plain
+    * equi-join on (user, hour-bucket) with a canonical-bucket filter for
+    * exactly-once pairs (never a nested loop, never a `distinct()`).
+    * Durations are synthesized per event (1 + event_id % 59 minutes) and all
+    * arithmetic stays in integer epoch-µs, so overlap sums are engine-exact.
+    */
+  def intervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val minUs = 60L * 1000000L
+    val e = Tables.load(s, dir, "events")
+      .where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + (lit(1L) + col("event_id") % 59L) * minUs).as("e"))
+    val l = e.where(col("event_id") % 2 === 0)
+    val r = e.where(col("event_id") % 2 === 1)
+    val joined = graft.operators.RangeJoin.joinOverlap(
+      l, r, "user_id", "s", "e", "s", "e", granularity = 3600L * 1000000L)
+    joined
+      .select(col("user_id"),
+        (least(col("e"), col("e_r")) - greatest(col("s"), col("s_r"))).as("ov"))
+      .groupBy((col("user_id") % 20).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov")).as("sum_overlap_us"))
+  }
+
+  private val intervalOverlapJoinSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) + (1 + event_id % 59) * 60 * 1000000 AS en
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT l.user_id, least(l.en, r.en) - greatest(l.s, r.s) AS ov
+      |  FROM e l JOIN e r
+      |    ON l.user_id = r.user_id AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+      |   AND l.s < r.en AND r.s < l.en)
+      |SELECT user_id % 20 AS bucket, count(*) AS n_pairs,
+      |       CAST(sum(ov) AS BIGINT) AS sum_overlap_us
+      |FROM p GROUP BY 1""".stripMargin
+
+  /** Exact per-group MEDIAN — distributed, histogram-based
+    * ([[graft.operators.ExactQuantile]]): task state is bounded by value
+    * cardinality, not group row count (the scale-safe exact form; Spark's
+    * `percentile(...)` buffers the whole group in one aggregation buffer).
+    * Money goes through the lossless cents integerization so the median
+    * ELEMENT is bit-identical cross-engine (quantile_disc semantics — an
+    * interpolated even-count median would be a derived double instead of a
+    * data element).
+    */
+  def exactMedianGroups(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val medPrice = graft.operators.ExactQuantile
+      .groupQuantileDisc(li, keys, "cents", 0.5)
+      .withColumnRenamed("cents_q", "med_price_cents")
+    val medQty = graft.operators.ExactQuantile
+      .groupQuantileDisc(li, keys, "qty", 0.5)
+      .select(col("l_returnflag"), col("l_linestatus"), col("qty_q").as("med_qty"))
+    medPrice.join(medQty, keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("med_price_cents"), col("med_qty"))
+  }
+
+  private val exactMedianGroupsSql =
+    """SELECT l_returnflag, l_linestatus, count(l_extendedprice) AS n,
+      |       quantile_disc(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5) AS med_price_cents,
+      |       quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS med_qty
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Robust outlier detection via MAD (median absolute deviation): per-group
+    * median, then the median of |x − median|, then |x − median| > 3·MAD
+    * counts. Two histogram-quantile passes + two broadcast joins of the tiny
+    * per-group stats — everything stays in exact integer cents, so the gate
+    * is bit-strict. The robust twin of `a10_outlier_zscore` (moments are
+    * skew-sensitive; medians are not).
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val med = graft.operators.ExactQuantile
+      .groupQuantileDisc(c, Seq("l_returnflag"), "cents", 0.5)
+      .select(col("l_returnflag"), col("cents_q").as("med"), col("n"))
+    val dev = c.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = graft.operators.ExactQuantile
+      .groupQuantileDisc(dev, Seq("l_returnflag"), "dev", 0.5)
+      .select(col("l_returnflag"), col("dev_q").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("l_returnflag"), col("n"), col("med").as("med_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"))
+  }
+
+  private val madOutliersSql =
+    """WITH c AS (
+      |  SELECT l_returnflag AS f,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |med AS (SELECT f, count(*) AS n, quantile_disc(v, 0.5) AS med FROM c GROUP BY f),
+      |d AS (SELECT c.f, v, n, med, abs(v - med) AS dev FROM c JOIN med ON c.f = med.f),
+      |mad AS (SELECT f, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY f)
+      |SELECT d.f AS l_returnflag, n, med AS med_cents, mad.mad AS mad_cents,
+      |       CAST(sum(CASE WHEN dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad ON d.f = mad.f
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),
+    Q("mad_outliers", madOutliers, Some(madOutliersSql)),
+    Q("interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinSql)),
+    Q("corr_subquery_orders", corrSubqueryOrders, Some(corrSubquerySqlFor("orders"))),
+    Q("q7_nation_volume", nationVolume, Some(nationVolumeSql)),
     Q("table_diff", tableDiff, Some(tableDiffSql)),
     Q("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q3_topk_revenue", topkRevenue, Some(topkRevenueSql)),

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group discrete quantiles from value histograms.
+  *
+  * Spark's exact `percentile(...)` is a TypedImperativeAggregate that buffers
+  * every value of a group inside ONE aggregation buffer — at 100× scale a hot
+  * group is an executor OOM, and a window-sort formulation
+  * (`row_number() over (partition by grp order by v)`) ships a whole group
+  * into one task's sort. This operator instead reduces the data to a
+  * per-group VALUE HISTOGRAM first — `groupBy(keys, value).count()` with
+  * map-side combine — and selects the quantile element by cumulative count
+  * over the histogram rows. Task state is bounded by the group's value
+  * CARDINALITY (price grids, integer quantities, bucketed measures), not its
+  * row count: a trillion-row group with 50 distinct values costs 50 histogram
+  * rows. For genuinely continuous high-cardinality columns, use
+  * `percentile_approx` instead — exactness from a histogram no longer pays.
+  *
+  * Rank semantics match DuckDB's `quantile_disc(v, q)`: the element at
+  * ascending position `floor(q·(n-1)) + 1` (1-based), the lower median at
+  * q = 0.5 — so results are oracle-gateable bit-for-bit, unlike interpolating
+  * forms. (The single-group interpolating variant lives in
+  * [[graft.analytics.Analytics]]'s A2 threshold — `quantileFromHist`.)
+  *
+  * Reference behavioral anchor: the reference declares quantile-style
+  * analytics but delegates them to ClickHouse
+  * (`/root/reference/app/for_rabbit/from_parser_to_rabbitmq.py:231-232`,
+  * SURVEY.md §2.5 A2); this is the engine-native exact form.
+  */
+object ExactQuantile {
+
+  /** Per-group exact discrete q-quantile of `valueCol` (nulls excluded, like
+    * `quantile_disc`). Output: `keys :+ <valueCol>_q :+ n` — one row per
+    * group present in `df` with at least one non-null value.
+    */
+  def groupQuantileDisc(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q=$q outside [0, 1]")
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol).as("_eq_v"): _*)
+      .agg(count(lit(1)).as("_eq_cnt"))
+    // both windows partition on the SAME keys the histogram groupBy shuffled
+    // on, so they add sorts but no extra exchange
+    val ordered = Window.partitionBy(keys.map(col): _*).orderBy("_eq_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(keys.map(col): _*)
+    // 1-based target rank, quantile_disc-compatible: floor(q·(n-1)) + 1
+    val rank = floor(lit(q) * (col("_eq_n") - 1)).cast("long") + 1L
+    hist
+      .withColumn("_eq_cum", sum("_eq_cnt").over(ordered))
+      .withColumn("_eq_n", sum("_eq_cnt").over(whole))
+      .where(col("_eq_cum") - col("_eq_cnt") < rank && rank <= col("_eq_cum"))
+      .select(keys.map(col) :+ col("_eq_v").as(valueCol + "_q") :+
+        col("_eq_n").as("n"): _*)
+  }
+}

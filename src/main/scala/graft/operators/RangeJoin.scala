@@ -63,4 +63,52 @@ object RangeJoin {
       .where(col(pointCol) >= col(startC) && col(pointCol) < col(endC))
       .drop("_rj_bucket")
   }
+
+  /** Interval × interval OVERLAP join on the same grid: rows of `left` and
+    * `right` with `key` equality whose half-open spans `[leftStart, leftEnd)`
+    * and `[rightStart, rightEnd)` intersect. Both sides explode over the
+    * buckets they span; the equi-join on (key, bucket) then meets every
+    * overlapping pair at least once, and exactly-once de-duplication is a
+    * FILTER, not a `distinct()`: a match is attributed to its canonical
+    * bucket — the one containing the overlap's start `max(lStart, rStart)`.
+    * That instant lies inside BOTH intervals, so both sides exploded a row
+    * for its bucket (the pair survives), and it is a single well-defined
+    * bucket (the pair survives once). No shuffle for dedup, no row-identity
+    * columns required on either input.
+    *
+    * Cost: O(|L|·span/g + |R|·span/g + |bucket-local pairs|), shuffled on
+    * (key, bucket) — the grid splits a hot key's time range across tasks,
+    * same as [[joinPointInInterval]]. Empty intervals (start ≥ end) never
+    * match. Right-side columns are suffixed `_r` on name collisions.
+    */
+  def joinOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      granularity: Long): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    val g = lit(granularity)
+
+    val collide = right.columns.toSet.intersect(left.columns.toSet) - key
+    val rv = collide.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + "_r"))
+    val (rsC, reC) =
+      (if (collide(rightStart)) rightStart + "_r" else rightStart,
+        if (collide(rightEnd)) rightEnd + "_r" else rightEnd)
+
+    def exploded(df: DataFrame, sC: String, eC: String) =
+      df.where(col(sC) < col(eC))
+        .withColumn("_rj_bucket",
+          explode(sequence(floor(col(sC) / g), floor((col(eC) - 1) / g))))
+    val lx = exploded(left, leftStart, leftEnd)
+    val rx = exploded(rv, rsC, reC)
+
+    lx.join(rx, Seq(key, "_rj_bucket"))
+      .where(col(leftStart) < col(reC) && col(rsC) < col(leftEnd) &&
+        col("_rj_bucket") === floor(greatest(col(leftStart), col(rsC)) / g))
+      .drop("_rj_bucket")
+  }
 }

@@ -169,4 +169,51 @@ class OperatorsSpec extends SparkSpec {
       .pruneByBloom(withNull, "bk", small, "k", expectedItems = 100L, fpp = 0.01)
     assert(prunedNull.count() == 0L)
   }
+
+  test("overlap join equals the naive overlap join, exactly once per pair") {
+    // spans engineered to cross multiple grid buckets (g = 10), share several
+    // buckets per pair (dup hazard), touch bucket boundaries, and include an
+    // empty interval that must never match
+    val l = Seq((1L, 0L, 35L, "l0"), (1L, 5L, 12L, "l1"), (1L, 40L, 41L, "l2"),
+      (2L, 0L, 100L, "l3"), (1L, 7L, 7L, "l4"), (1L, 10L, 20L, "l5"))
+      .toDF("k", "s", "e", "lid")
+    val r = Seq((1L, 30L, 50L, "r0"), (1L, 0L, 100L, "r1"), (1L, 12L, 13L, "r2"),
+      (2L, 99L, 300L, "r3"), (3L, 0L, 10L, "r4"), (1L, 20L, 30L, "r5"))
+      .toDF("k", "s", "e", "rid")
+    val got = graft.operators.RangeJoin
+      .joinOverlap(l, r, "k", "s", "e", "s", "e", granularity = 10L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq.sorted
+    // the textbook predicate alone would "match" the empty [7,7) interval
+    // (7 < 100 && 0 < 7); non-emptiness is part of overlap semantics
+    val naive = l.as("a").join(r.as("b"),
+      col("a.k") === col("b.k") && col("a.s") < col("b.e") && col("b.s") < col("a.e") &&
+        col("a.s") < col("a.e") && col("b.s") < col("b.e"))
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq.sorted
+    assert(naive.nonEmpty && got == naive)
+    assert(got.distinct.size == got.size) // no bucket-duplicated pairs
+  }
+
+  test("exact group quantile matches the sorted-sequence definition") {
+    // duplicated values, uneven group sizes, a null to exclude
+    val rows = Seq(
+      ("a", Some(5L)), ("a", Some(1L)), ("a", Some(3L)), ("a", Some(3L)),
+      ("a", Some(9L)), ("a", None),
+      ("b", Some(7L)), ("b", Some(2L)),
+      ("c", Some(4L)))
+    val df = rows.toDF("g", "v")
+    def expected(q: Double): Map[String, (Long, Long)] =
+      rows.collect { case (g, Some(v)) => g -> v }
+        .groupMap(_._1)(_._2).map { case (g, vs) =>
+          val sorted = vs.sorted
+          val k = math.floor(q * (sorted.length - 1)).toInt // 0-based
+          g -> (sorted(k), sorted.length.toLong)
+        }
+    for (q <- Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+      val got = graft.operators.ExactQuantile.groupQuantileDisc(df, Seq("g"), "v", q)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected(q), s"q=$q")
+    }
+  }
 }
