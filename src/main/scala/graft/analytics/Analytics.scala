@@ -898,7 +898,115 @@ object Analytics extends QueryPack {
       |FROM r a JOIN r b ON a.day = b.day AND a.bucket < b.bucket
       |GROUP BY 1, 2""".stripMargin
 
+  /** Fixed-iteration influence propagation over the co-purchase graph — the
+    * PageRank-shaped distributed-graph pattern (iterate: flow = score/degree
+    * along edges, damp, re-aggregate), kept in EXACT integer arithmetic so
+    * two engines can agree bit-for-bit: per-edge flow is `score div deg`,
+    * damping is `150000 + (85·Σflow) div 100` (PageRank's 0.15/0.85 as
+    * integer rationals — a float formulation could never hash-gate because
+    * Σ of doubles is order-dependent). Two rounds, each one join + one
+    * groupBy shuffled on the vertex key; the edge relation is built once
+    * from an order-local self-join (≤7 lines/order ⇒ ≤21 pairs/order, never
+    * quadratic in the table). The unbounded-iteration twin with convergence
+    * handling is [[graft.llm.Dedup.components]]; this is the fixed-round
+    * scored variant.
+    */
+  def graphInfluence(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val edges = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    // cache: consumed by both iterations (canonical-plan-deduped — CLAUDE.md)
+    val e = edges.join(deg, "u").cache()
+    val s0 = deg.select(col("u").as("node"), lit(1000000L).as("score"))
+    val s2 = (1 to 2).foldLeft(s0) { (score, _) =>
+      e.join(score, col("u") === col("node"))
+        .select(col("v"), expr("score div deg").as("fl"))
+        .groupBy("v")
+        .agg(sum("fl").as("sfl"))
+        .select(col("v").as("node"),
+          (lit(150000L) + expr("85 * sfl div 100")).as("score"))
+    }
+    s2.orderBy(col("score").desc, col("node")).limit(20)
+  }
+
+  private val graphInfluenceSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a
+      |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      |s0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+      |f1 AS (
+      |  SELECT e.v AS node, CAST(sum(s0.score // d.deg) AS BIGINT) AS sfl
+      |  FROM edges e JOIN deg d ON e.u = d.u JOIN s0 ON s0.node = e.u
+      |  GROUP BY e.v),
+      |s1 AS (SELECT node, CAST(150000 + (85 * sfl) // 100 AS BIGINT) AS score FROM f1),
+      |f2 AS (
+      |  SELECT e.v AS node, CAST(sum(s1.score // d.deg) AS BIGINT) AS sfl
+      |  FROM edges e JOIN deg d ON e.u = d.u JOIN s1 ON s1.node = e.u
+      |  GROUP BY e.v),
+      |s2 AS (SELECT node, CAST(150000 + (85 * sfl) // 100 AS BIGINT) AS score FROM f2)
+      |SELECT node, score FROM s2 ORDER BY score DESC, node LIMIT 20""".stripMargin
+
+  /** SCD2 point-in-time dimension join: each fact row joins the dimension
+    * VERSION that was valid at its event time — the warehouse pattern behind
+    * "price as of the trade" / "user profile as of the purchase". Versions
+    * are lead-window validity intervals (the [[scd2History]] build); the join
+    * is [[graft.operators.RangeJoin.joinPointInInterval]] on (user, day
+    * bucket), so the plan is a pruned equi-join — never a per-row scan of
+    * the dimension history, never a BroadcastNestedLoopJoin. Facts before a
+    * user's first version drop (inner semantics), like a dim-less fact in a
+    * strict star.
+    */
+  def scd2AsofDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val capUs = 1706745600000000L // 2024-02-01 00:00:00 UTC, after all events
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("vs", "ver_id")
+    val versions = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("ver_id"),
+        unix_micros(col("ts")).as("vs"))
+      .withColumn("ve", coalesce(lead("vs", 1).over(w), lit(capUs)))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    graft.operators.RangeJoin
+      .joinPointInInterval(purchases, versions, "user_id",
+        pointCol = "p_us", startCol = "vs", endCol = "ve", granularity = dayUs)
+      .groupBy((col("user_id") % 20).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("ver_id")).as("sum_ver_ids"),
+        countDistinct(col("ver_id")).as("n_versions_used"))
+  }
+
+  private val scd2AsofDimJoinSql =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS ver_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS vs,
+      |         coalesce(
+      |           lead(epoch_us(CAST(ts AS TIMESTAMP)))
+      |             OVER (PARTITION BY user_id
+      |                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id),
+      |           epoch_us(TIMESTAMP '2024-02-01 00:00:00')) AS ve
+      |  FROM events WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id % 20 AS bucket, count(*) AS n_matched,
+      |       CAST(sum(ver_id) AS BIGINT) AS sum_ver_ids,
+      |       count(DISTINCT ver_id) AS n_versions_used
+      |FROM p JOIN v ON p.user_id = v.user_id AND p_us >= vs AND p_us < ve
+      |GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
+    Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
     Q("a3_predictability", predictability, Some(predictabilitySql)),

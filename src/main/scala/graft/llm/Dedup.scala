@@ -840,7 +840,55 @@ object Dedup extends QueryPack {
       |       CAST(neg_rank AS INTEGER) AS neg_rank
       |FROM ranked WHERE neg_rank <= $NumNegatives""".stripMargin
 
+  /** Shingles occurring in more than this many documents count as corpus
+    * boilerplate for [[boilerplateRatio]] (headers, footers, license blocks —
+    * the CCNet/C4-style cleanup signal). Distinct from [[DfCap]]: DfCap
+    * DISCARDS hot shingles to bound join fan-out; this MEASURES them.
+    */
+  val BoilerplateDf = 20
+
+  /** Cross-document boilerplate accounting: per-source document counts,
+    * boilerplate-vs-total shingle counts, and the summed per-doc boilerplate
+    * permille (integer floor division — engine-exact). The df window
+    * partitions on `shingle` and the per-doc rollup shuffles on `doc_id` —
+    * two bounded shuffles, no pair join anywhere; at 100 TB the shingle df
+    * relation is the same one the dedup family's inverted index builds, so a
+    * production pipeline computes it once for both.
+    */
+  def boilerplateRatio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val inv = withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val perDoc = inv.groupBy("doc_id").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("df") > BoilerplateDf, 1L).otherwise(0L)).as("b"))
+    docs.select(col("doc_id"), col("source")).join(perDoc, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("b")).as("n_boiler_shingles"),
+        sum(col("t")).as("n_shingles"),
+        sum(expr("b * 1000 div t")).as("sum_permille"))
+  }
+
+  private val boilerplateRatioSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+      |f AS (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM sh),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS t,
+      |         CAST(sum(CASE WHEN df > $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM f GROUP BY doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(b) AS BIGINT) AS n_boiler_shingles,
+      |       CAST(sum(t) AS BIGINT) AS n_shingles,
+      |       CAST(sum((b * 1000) // t) AS BIGINT) AS sum_permille
+      |FROM documents d JOIN pd USING (doc_id)
+      |GROUP BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("boilerplate_ratio", boilerplateRatio, Some(boilerplateRatioSql)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),

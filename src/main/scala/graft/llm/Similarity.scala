@@ -556,7 +556,56 @@ object Similarity extends QueryPack {
       |QUALIFY fused_rank <= $FusedK""".stripMargin
   }
 
+  /** Scalar int8 quantization of the embedding corpus — the compression step
+    * a 100 TB vector store runs before ANN serving (4× smaller than float32,
+    * SIMD-friendly integer dot products). Per-dimension affine quantization:
+    * `q = floor((v − min_d) · 255 / (max_d − min_d))`. The per-dim stats are
+    * one narrow groupBy over the exploded components; the quantization pass
+    * broadcast-joins the 64-row stats table back — embeddings shuffle once
+    * (the posexplode spread), never pairwise. Output is exact integer
+    * accounting (level sums, saturation counts, 1e-6-floored ranges), so the
+    * whole op is hash-gated cross-engine despite the float inputs: every
+    * arithmetic step is the same IEEE double expression tree in both engines.
+    */
+  def embQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.loadSpread(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"), col("col").cast("double").as("v"))
+    val stats = comp.groupBy("dim").agg(min("v").as("vmin"), max("v").as("vmax"))
+    comp.join(broadcast(stats), "dim")
+      .withColumn("q",
+        when(col("vmax") === col("vmin"), 0L)
+          .otherwise(floor((col("v") - col("vmin")) * 255.0 / (col("vmax") - col("vmin")))
+            .cast("long")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sum_q"),
+        sum(when(col("q") >= 255L, 1L).otherwise(0L)).as("n_sat"),
+        floor(min("v") * 1000000.0).cast("long").as("min_e6"),
+        floor(max("v") * 1000000.0).cast("long").as("max_e6"))
+  }
+
+  private val embQuantizeInt8Sql =
+    """WITH c AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |         CAST(embedding[generate_subscripts(embedding, 1)] AS DOUBLE) AS v
+      |  FROM embeddings),
+      |s AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM c GROUP BY dim),
+      |q AS (
+      |  SELECT c.dim, v,
+      |         CASE WHEN vmax = vmin THEN 0
+      |              ELSE CAST(floor((v - vmin) * 255 / (vmax - vmin)) AS BIGINT)
+      |         END AS q
+      |  FROM c JOIN s ON c.dim = s.dim)
+      |SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+      |       CAST(sum(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+      |       CAST(floor(min(v) * 1000000) AS BIGINT) AS min_e6,
+      |       CAST(floor(max(v) * 1000000) AS BIGINT) AS max_e6
+      |FROM q GROUP BY dim""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("emb_quantize_int8", embQuantizeInt8, Some(embQuantizeInt8Sql)),
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
     Q("ann_lsh_topk", lshTopK, None),
