@@ -1046,7 +1046,119 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Per-group top-k through the BOUNDED-STATE aggregate
+    * ([[graft.operators.TopKAgg]]): O(k) task state per group and ≤ k rows
+    * per group leave each map task (partial aggregation), vs the window
+    * formulation that sorts every row of a group in one task — the
+    * difference between a plan that survives a low-cardinality group column
+    * at 100 TB and one that doesn't. Ranked output re-derives positions via
+    * posexplode over the (already sorted) top array.
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val topk3 = udaf(new graft.operators.TopKAgg(3))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(topk3(col("cents"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("o_orderkey"), col("col.v").as("cents"))
+  }
+
+  private val topkPerGroupSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |                               ORDER BY cents DESC, o_orderkey) AS rank
+      |  FROM o)
+      |SELECT o_orderpriority, rank, o_orderkey, cents FROM r WHERE rank <= 3""".stripMargin
+
+  /** Winsorized statistics: clip each group's values to its exact [p01, p99]
+    * before aggregating — the standard tail-robust preprocessing for model
+    * features. Both cut points come from the histogram quantile
+    * ([[graft.operators.ExactQuantile]], one pass for both via two calls that
+    * share the scan), clipping is a codegen `least/greatest`, and everything
+    * stays in integer cents.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val p01 = graft.operators.ExactQuantile
+      .groupQuantileDisc(c, Seq("l_returnflag"), "cents", 0.01)
+      .select(col("l_returnflag"), col("cents_q").as("p01"), col("n"))
+    val p99 = graft.operators.ExactQuantile
+      .groupQuantileDisc(c, Seq("l_returnflag"), "cents", 0.99)
+      .select(col("l_returnflag"), col("cents_q").as("p99"))
+    c.join(broadcast(p01), "l_returnflag").join(broadcast(p99), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"), col("p01"), col("p99"))
+      .agg(
+        sum(least(greatest(col("cents"), col("p01")), col("p99"))).as("sum_clipped"),
+        sum(when(col("cents") < col("p01"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("cents") > col("p99"), 1L).otherwise(0L)).as("n_clip_high"))
+  }
+
+  private val winsorizedStatsSql =
+    """WITH c AS (
+      |  SELECT l_returnflag AS f,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |q AS (SELECT f, count(*) AS n, quantile_disc(v, 0.01) AS p01,
+      |             quantile_disc(v, 0.99) AS p99
+      |      FROM c GROUP BY f)
+      |SELECT c.f AS l_returnflag, n, p01, p99,
+      |       CAST(sum(least(greatest(v, p01), p99)) AS BIGINT) AS sum_clipped,
+      |       CAST(sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+      |       CAST(sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
+      |FROM c JOIN q ON c.f = q.f
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Ratio-to-report: each nation's revenue share within its region, as
+    * integer parts-per-million over the exact cents totals. The window runs
+    * over the POST-AGGREGATE relation (25 rows), so the "share of total"
+    * reshuffle that is quadratic-prone on raw facts costs nothing — compute
+    * the small thing, then window the small thing.
+    */
+  def shareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    rev
+      .withColumn("region_cents",
+        sum("cents").over(Window.partitionBy("r_name")))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("cents * 1000000 div region_cents").as("share_ppm"))
+  }
+
+  private val shareOfTotalSql =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, cents,
+      |       CAST((cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+      |FROM rev""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
+    Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
+    Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinSql)),

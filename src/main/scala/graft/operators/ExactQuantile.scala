@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * `percentile_approx` instead — exactness from a histogram no longer pays.
   *
   * Rank semantics match DuckDB's `quantile_disc(v, q)`: the element at
-  * ascending position `floor(q·(n-1)) + 1` (1-based), the lower median at
-  * q = 0.5 — so results are oracle-gateable bit-for-bit, unlike interpolating
-  * forms. (The single-group interpolating variant lives in
+  * ascending 1-based position `max(ceil(q·n), 1)`, the lower median at
+  * q = 0.5 (verified numerically against DuckDB across n × q grids — the
+  * textbook `floor(q·(n-1))+1` rule agrees at the median but picks one
+  * element LOWER at the tails, e.g. q=0.99) — so results are oracle-gateable
+  * bit-for-bit, unlike interpolating forms. (The single-group interpolating variant lives in
   * [[graft.analytics.Analytics]]'s A2 threshold — `quantileFromHist`.)
   *
   * Reference behavioral anchor: the reference declares quantile-style
@@ -50,8 +52,8 @@ object ExactQuantile {
     val ordered = Window.partitionBy(keys.map(col): _*).orderBy("_eq_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(keys.map(col): _*)
-    // 1-based target rank, quantile_disc-compatible: floor(q·(n-1)) + 1
-    val rank = floor(lit(q) * (col("_eq_n") - 1)).cast("long") + 1L
+    // 1-based target rank, quantile_disc-compatible: max(ceil(q·n), 1)
+    val rank = greatest(ceil(lit(q) * col("_eq_n")).cast("long"), lit(1L))
     hist
       .withColumn("_eq_cum", sum("_eq_cnt").over(ordered))
       .withColumn("_eq_n", sum("_eq_cnt").over(whole))

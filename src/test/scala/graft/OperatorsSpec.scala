@@ -207,7 +207,8 @@ class OperatorsSpec extends SparkSpec {
       rows.collect { case (g, Some(v)) => g -> v }
         .groupMap(_._1)(_._2).map { case (g, vs) =>
           val sorted = vs.sorted
-          val k = math.floor(q * (sorted.length - 1)).toInt // 0-based
+          // quantile_disc rank: max(ceil(q·n), 1), here 0-based
+          val k = math.max(math.ceil(q * sorted.length).toInt, 1) - 1
           g -> (sorted(k), sorted.length.toLong)
         }
     for (q <- Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)) {
