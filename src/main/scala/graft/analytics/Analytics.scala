@@ -898,6 +898,88 @@ object Analytics extends QueryPack {
       |FROM r a JOIN r b ON a.day = b.day AND a.bucket < b.bucket
       |GROUP BY 1, 2""".stripMargin
 
+  /** Time-series training-feature matrix: per (user, day) activity with lag
+    * features (t−1, t−7), a 7-row trailing sum, and a relative-change
+    * feature — the feature-engineering pass an ML pipeline runs before model
+    * training. Aggregation first (facts → daily grain), windows second over
+    * the small per-entity series. Integer value space end-to-end; the change
+    * ratio is `floor((Δ·1e6)/prev)` where both operands are exact-in-double
+    * longs, because integer `div` would diverge cross-engine on NEGATIVE
+    * deltas (Spark truncates toward zero, DuckDB floors — floor(double) is
+    * the portable form). Warm-up rows (no t−7 yet) drop like a dropna.
+    */
+  def tsFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("v_lag1", lag("v", 1).over(w))
+      .withColumn("v_lag7", lag("v", 7).over(w))
+      .withColumn("ma7", sum("v").over(w.rowsBetween(-6, 0)))
+      .where(col("v_lag7").isNotNull)
+      .select(col("user_id"), col("day"), col("v"), col("v_lag1"),
+        col("v_lag7"), col("ma7"),
+        when(col("v_lag1") === 0, lit(0L))
+          .otherwise(floor((col("v") - col("v_lag1")) * 1000000 / col("v_lag1"))
+            .cast("long")).as("chg_ppm"))
+  }
+
+  private val tsFeaturesSql =
+    """WITH daily AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT user_id, day, v,
+      |         lag(v, 1) OVER w AS v_lag1,
+      |         lag(v, 7) OVER w AS v_lag7,
+      |         CAST(sum(v) OVER (PARTITION BY user_id ORDER BY day
+      |                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+      |SELECT user_id, day, v, v_lag1, v_lag7, ma7,
+      |       CASE WHEN v_lag1 = 0 THEN 0
+      |            ELSE CAST(floor((v - v_lag1) * 1000000 / v_lag1) AS BIGINT)
+      |       END AS chg_ppm
+      |FROM f WHERE v_lag7 IS NOT NULL""".stripMargin
+
+  /** First-order Markov transition counts over per-user event sequences —
+    * the sequence statistics behind next-event prediction features and
+    * session-model sanity checks. One window pass pairs each event with its
+    * successor (no self-join); the (from → to) matrix is a 25-row aggregate,
+    * and transition probabilities are integer ppm over the post-aggregate
+    * relation (positive operands, so `div` is portable).
+    */
+  def seqTransitionCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = ev
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("ts"), col("event_id"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .withColumn("prob_ppm",
+        expr("n * 1000000 div sum(n) over (partition by from_type)"))
+  }
+
+  private val seqTransitionCountsSql =
+    """WITH p AS (
+      |  SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS n,
+      |         count(DISTINCT user_id) AS n_users
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n, n_users,
+      |       CAST((n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS prob_ppm
+      |FROM m""".stripMargin
+
   /** Fixed-iteration influence propagation over the co-purchase graph — the
     * PageRank-shaped distributed-graph pattern (iterate: flow = score/degree
     * along edges, damp, re-aggregate), kept in EXACT integer arithmetic so
@@ -1007,6 +1089,8 @@ object Analytics extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
+    Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
+    Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
     Q("a3_predictability", predictability, Some(predictabilitySql)),
