@@ -556,6 +556,161 @@ object Similarity extends QueryPack {
       |QUALIFY fused_rank <= $FusedK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // k-means training (exact integer space → oracle-gated)
+  // ---------------------------------------------------------------------------
+
+  /** [[kmeansTrain]] geometry: k centroids, fixed Lloyd rounds. */
+  val KmK     = 8
+  val KmIters = 2
+
+  /** embedding → 1e6-quantized integer vector: every distance and centroid
+    * below is exact 64-bit arithmetic, which is what lets a TRAINING LOOP be
+    * hash-gated cross-engine (float k-means never is — Σ of doubles is
+    * aggregation-order-dependent, so two runs disagree in the last ulp and
+    * assignments flip).
+    */
+  private val quantUdf = udf { emb: Seq[Float] =>
+    val out = new Array[Long](Dim)
+    var i = 0
+    while (i < Dim) {
+      out(i) = math.floor(emb(i).toDouble * 1e6).toLong; i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** nearest centroid by squared-L2 over the flattened key-sorted matrix;
+    * ties → lower cell id (strict < keeps the first of the ascending keys).
+    * Returns (cell, distance) so the final pass gets inertia for free.
+    */
+  private val nearestCellUdf = udf { (x: Seq[Long], keys: Seq[Long], cmatq: Seq[Long]) =>
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < keys.length) {
+      var d = 0L; var i = 0
+      while (i < Dim) { val t = x(i) - cmatq(c * Dim + i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (keys(best), bestD)
+  }
+
+  /** Per-cell integer centroid as ONE typed aggregation (same shape as
+    * [[VecMeanAgg]]): exact long sums + count, `floor(sum/n)` per component
+    * at finish — the floor of an exact-in-double quotient, which DuckDB
+    * reproduces verbatim.
+    */
+  private object QVecMeanAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], VecSum, Seq[Long]] {
+    def zero: VecSum = VecSum(new Array[Long](Dim), 0L)
+    def reduce(b: VecSum, a: Seq[Long]): VecSum = {
+      var i = 0
+      while (i < Dim) { b.sums(i) += a(i); i += 1 }
+      VecSum(b.sums, b.n + 1)
+    }
+    def merge(x: VecSum, y: VecSum): VecSum = {
+      var i = 0
+      while (i < Dim) { x.sums(i) += y.sums(i); i += 1 }
+      VecSum(x.sums, x.n + y.n)
+    }
+    def finish(b: VecSum): Seq[Long] = {
+      val out = new Array[Long](Dim)
+      var i = 0
+      while (i < Dim) {
+        out(i) = math.floor(b.sums(i).toDouble / b.n).toLong; i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecSum] =
+      org.apache.spark.sql.Encoders.product[VecSum]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+  private val qVecMean = udaf(QVecMeanAgg)
+
+  /** centroid relation → one broadcastable row: ascending cell keys + the
+    * flattened key-sorted matrix (the [[centroidMatrix]] discipline, with the
+    * key array kept so cell ids survive an empty cell dropping out).
+    */
+  private def centroidMatrixQ(cents: DataFrame): DataFrame =
+    cents.groupBy(lit(0).as("g"))
+      .agg(array_sort(collect_list(struct(col("cell").as("k"), col("c")))).as("pairs"))
+      .select(expr("transform(pairs, p -> p.k)").as("keys"),
+        flatten(expr("transform(pairs, p -> p.c)")).as("cmatq"))
+
+  /** Distributed k-means TRAINING (Lloyd's algorithm, [[KmIters]] rounds,
+    * seeds = the first [[KmK]] corpus vectors): per round, assignment is a
+    * narrow projection against the broadcast 1-row centroid matrix (corpus
+    * never shuffles for it — the round-2 lesson from `assignCells`), and the
+    * update is one hash aggregate carrying k partial states of 64 longs.
+    * Everything — quantization, distances, floor-mean centroids, inertia —
+    * is exact integer/floor arithmetic, so the DuckDB oracle replays the
+    * SAME training trajectory and the gate compares final cluster sizes,
+    * inertia and centroid checksums bit-for-bit. This is the trainer behind
+    * [[ivfIndex]]'s one-step refinement, promoted to a multi-round loop.
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    // cache: consumed by the seed selection + every round's assignment
+    val xq = Tables.loadSpread(s, dir, "embeddings")
+      .select(col("vec_id"), quantUdf(col("embedding")).as("x"))
+      .cache()
+    val c0 = xq.where(col("vec_id") < KmK)
+      .select((col("vec_id") + 1).as("cell"), col("x").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      xq.crossJoin(broadcast(centroidMatrixQ(cents)))
+        .select(col("vec_id"), col("x"),
+          nearestCellUdf(col("x"), col("keys"), col("cmatq")).as("a"))
+        .select(col("vec_id"), col("x"),
+          col("a._1").as("cell"), col("a._2").as("d"))
+    val trained = (1 to KmIters).foldLeft(c0) { (cents, _) =>
+      assign(cents).groupBy("cell").agg(qVecMean(col("x")).as("c"))
+    }
+    val members = assign(trained)
+    members.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
+      .join(trained.select(col("cell"),
+        expr("aggregate(c, 0L, (acc, v) -> acc + v)").as("c_sum")), "cell")
+  }
+
+  private val kmeansTrainSql = {
+    def dist(xs: String, cs: String) =
+      s"list_sum([ ($xs[i] - $cs[i]) * ($xs[i] - $cs[i]) for i in range(1, ${Dim + 1}) ])"
+    def round(n: Int) =
+      s"""d$n AS (
+        |  SELECT vec_id, x, cell, ${dist("x", "c")} AS d
+        |  FROM xq, c${n - 1}),
+        |a$n AS (
+        |  SELECT vec_id, x, cell, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM d$n)
+        |  WHERE rn = 1),
+        |s$n AS (
+        |  SELECT cell, i,
+        |         CAST(floor(CAST(sum(x[i]) AS BIGINT) / count(*)) AS BIGINT) AS ci
+        |  FROM a$n, unnest(range(1, ${Dim + 1})) AS t(i)
+        |  GROUP BY cell, i),
+        |c$n AS (SELECT cell, list(ci ORDER BY i) AS c FROM s$n GROUP BY cell)""".stripMargin
+    s"""WITH xq AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |          for i in range(1, len(embedding) + 1)] AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id + 1 AS cell, x AS c FROM xq WHERE vec_id < $KmK),
+      |${(1 to KmIters).map(round).mkString(",\n")},
+      |df AS (
+      |  SELECT vec_id, cell, ${dist("x", "c")} AS d
+      |  FROM xq, c$KmIters),
+      |af AS (
+      |  SELECT cell, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM df)
+      |  WHERE rn = 1),
+      |cs AS (SELECT cell, CAST(list_sum(c) AS BIGINT) AS c_sum FROM c$KmIters)
+      |SELECT cell, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia, c_sum
+      |FROM af JOIN cs USING (cell)
+      |GROUP BY cell, c_sum""".stripMargin
+  }
+
   /** Scalar int8 quantization of the embedding corpus — the compression step
     * a 100 TB vector store runs before ANN serving (4× smaller than float32,
     * SIMD-friendly integer dot products). Per-dimension affine quantization:
@@ -605,6 +760,7 @@ object Similarity extends QueryPack {
       |FROM q GROUP BY dim""".stripMargin
 
   override val all: Seq[Q] = Seq(
+    Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("emb_quantize_int8", embQuantizeInt8, Some(embQuantizeInt8Sql)),
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
