@@ -898,6 +898,45 @@ object Analytics extends QueryPack {
       |FROM r a JOIN r b ON a.day = b.day AND a.bucket < b.bucket
       |GROUP BY 1, 2""".stripMargin
 
+  /** A/B-experiment lift readout: users split deterministically into two
+    * arms (`user_id % 2` — membership is a pure function, so retries,
+    * replays and the oracle all agree), per-arm user counts and purchase
+    * totals, and the relative lift of arm 1 over arm 0 in ppm via the
+    * rational integer form `(p1·n0·1e6) div (p0·n1)` — no rate division
+    * anywhere. Two aggregates (per-user, then per-arm) and a 1×1 cross of
+    * the two arm rows; nothing here is data-scale-dependent past the first
+    * groupBy.
+    */
+  def abLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purch"))
+      .withColumn("arm", col("user_id") % 2)
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("purch").as("n_purch"))
+    val a0 = arms.where(col("arm") === 0)
+      .select(col("n_users").as("n_users_0"), col("n_purch").as("n_purch_0"))
+    val a1 = arms.where(col("arm") === 1)
+      .select(col("n_users").as("n_users_1"), col("n_purch").as("n_purch_1"))
+    a0.crossJoin(a1)
+      .withColumn("lift_ppm",
+        expr("n_purch_1 * n_users_0 * 1000000 div (n_purch_0 * n_users_1)"))
+  }
+
+  private val abLiftSql =
+    """WITH pu AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purch
+      |  FROM events GROUP BY 1, 2),
+      |arms AS (
+      |  SELECT arm, count(*) AS n_users, CAST(sum(purch) AS BIGINT) AS n_purch
+      |  FROM pu GROUP BY arm)
+      |SELECT a0.n_users AS n_users_0, a0.n_purch AS n_purch_0,
+      |       a1.n_users AS n_users_1, a1.n_purch AS n_purch_1,
+      |       CAST((a1.n_purch * a0.n_users * 1000000) // (a0.n_purch * a1.n_users) AS BIGINT) AS lift_ppm
+      |FROM (SELECT * FROM arms WHERE arm = 0) a0,
+      |     (SELECT * FROM arms WHERE arm = 1) a1""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -1090,6 +1129,7 @@ object Analytics extends QueryPack {
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
+    Q("ab_lift", abLift, Some(abLiftSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),

@@ -1046,6 +1046,44 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Order-independent table fingerprint for replica/migration
+    * reconciliation: each row canonicalizes to a delimited string of exact
+    * fields (integers, cents, formatted dates — never raw doubles), hashes
+    * through the portable md5→two-bigint-halves recipe, and the halves SUM
+    * per key bucket — sums commute, so two tables compare equal iff their
+    * row multisets match per bucket, with no sort and one aggregate over
+    * each replica. Bucketing by key range localizes a mismatch to 1/16 of
+    * the table before any row-level diff (the cheap precursor to
+    * [[tableDiff]]'s full outer join).
+    */
+  def tableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"),
+      (dec2(col("o_totalprice")) * 100).cast("long"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      col("o_orderstatus"))
+    val h = md5(canon.cast("binary"))
+    o.select((col("o_orderkey") % 16).as("bucket"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("h1").as("sum_h1"), sum("h2").as("sum_h2"))
+  }
+
+  private val tableFingerprintSql =
+    """WITH c AS (
+      |  SELECT o_orderkey % 16 AS bucket,
+      |         md5(concat_ws('|', o_orderkey, o_custkey,
+      |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+      |             strftime(o_orderdate, '%Y-%m-%d'), o_orderstatus)) AS h
+      |  FROM orders)
+      |SELECT bucket, count(*) AS n_rows,
+      |       CAST(sum(CAST('0x' || substr(h, 1, 8) AS BIGINT)) AS BIGINT) AS sum_h1,
+      |       CAST(sum(CAST('0x' || substr(h, 9, 8) AS BIGINT)) AS BIGINT) AS sum_h2
+      |FROM c GROUP BY bucket""".stripMargin
+
   /** Per-group top-k through the BOUNDED-STATE aggregate
     * ([[graft.operators.TopKAgg]]): O(k) task state per group and ≤ k rows
     * per group leave each map task (partial aggregation), vs the window
@@ -1157,6 +1195,7 @@ object Relational extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
+    Q("table_fingerprint", tableFingerprint, Some(tableFingerprintSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),
