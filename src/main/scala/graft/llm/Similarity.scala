@@ -649,7 +649,13 @@ object Similarity extends QueryPack {
     * inertia and centroid checksums bit-for-bit. This is the trainer behind
     * [[ivfIndex]]'s one-step refinement, promoted to a multi-round loop.
     */
-  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame =
+    kmeansCore(s, dir, KmIters)
+
+  /** iteration-parameterized core (KmeansSpec pins that training does not
+    * increase inertia round over round)
+    */
+  private[graft] def kmeansCore(s: SparkSession, dir: String, iters: Int): DataFrame = {
     // cache: consumed by the seed selection + every round's assignment
     val xq = Tables.loadSpread(s, dir, "embeddings")
       .select(col("vec_id"), quantUdf(col("embedding")).as("x"))
@@ -662,7 +668,7 @@ object Similarity extends QueryPack {
           nearestCellUdf(col("x"), col("keys"), col("cmatq")).as("a"))
         .select(col("vec_id"), col("x"),
           col("a._1").as("cell"), col("a._2").as("d"))
-    val trained = (1 to KmIters).foldLeft(c0) { (cents, _) =>
+    val trained = (1 to iters).foldLeft(c0) { (cents, _) =>
       assign(cents).groupBy("cell").agg(qVecMean(col("x")).as("c"))
     }
     val members = assign(trained)

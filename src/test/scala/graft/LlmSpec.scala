@@ -329,4 +329,17 @@ class LlmSpec extends SparkSpec {
     // the probe set includes genuinely present tokens — the sketch is not vacuous
     assert(rows.exists(_.getLong(3) > 0))
   }
+
+  test("k-means training reduces inertia vs the raw seed assignment") {
+    import graft.llm.Similarity
+    def inertia(iters: Int): Long = Similarity.kmeansCore(spark, sfDir, iters)
+      .agg(org.apache.spark.sql.functions.sum("inertia")).collect()(0).getLong(0)
+    val (i0, i2) = (inertia(0), (inertia(Similarity.KmIters)))
+    assert(i2 < i0, s"training did not improve: iters=0 inertia=$i0, trained=$i2")
+    // every corpus vector lands in exactly one cell
+    val n = Similarity.kmeansCore(spark, sfDir, Similarity.KmIters)
+      .agg(org.apache.spark.sql.functions.sum("n_members")).collect()(0).getLong(0)
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    assert(n == total, s"partition not exhaustive: $n of $total assigned")
+  }
 }

@@ -195,6 +195,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.distinct.size == got.size) // no bucket-duplicated pairs
   }
 
+  test("top-k aggregate is split-invariant (merge law)") {
+    val agg = new graft.operators.TopKAgg(5)
+    val rnd = new scala.util.Random(42)
+    val items = Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+    val expected = items.sortBy(t => (-t._1, t._2)).take(5)
+      .map(t => graft.operators.TopKItem(t._1, t._2))
+    def fold(xs: Seq[(Long, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
+    for (_ <- 1 to 10) {
+      val shuffled = rnd.shuffle(items)
+      val (a, b) = shuffled.splitAt(rnd.nextInt(items.size - 1) + 1)
+      assert(agg.finish(agg.merge(fold(a), fold(b))) == expected)
+    }
+  }
+
   test("exact group quantile matches the sorted-sequence definition") {
     // duplicated values, uneven group sizes, a null to exclude
     val rows = Seq(

@@ -215,6 +215,25 @@ class StreamingSpec extends SparkSpec {
       (s.end_ts.getTime - s.start_ts.getTime) == 600000L))
   }
 
+  test("bounded-state top-k aggregate runs under streaming (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val topk2 = udaf(new graft.operators.TopKAgg(2))
+    val mem = MemoryStream[(String, Long, Long)]
+    val df = mem.toDF().toDF("grp", "v", "id")
+    val q = df.groupBy("grp").agg(topk2(col("v"), col("id")).as("top"))
+      .writeStream.format("memory").queryName("topk").outputMode("complete").start()
+    mem.addData(("a", 10L, 1L), ("a", 30L, 2L), ("b", 5L, 3L))
+    q.processAllAvailable()
+    mem.addData(("a", 20L, 4L), ("a", 40L, 5L)) // displaces 10 and 20
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk").collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))).toMap
+    assert(rows("a") == Seq((40L, 5L), (30L, 2L)))
+    assert(rows("b") == Seq((5L, 3L)))
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
