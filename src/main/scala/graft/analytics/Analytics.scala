@@ -1032,20 +1032,42 @@ object Analytics extends QueryPack {
     * handling is [[graft.llm.Dedup.components]]; this is the fixed-round
     * scored variant.
     */
+  /** ordered distinct pairs within one order's part set (compiled kernel —
+    * the order-local twin of the dedup pack's shingleUdf discipline)
+    */
+  private val copairsUdf = udf { parts: Seq[Long] =>
+    val ps = parts.sorted
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < ps.length) {
+      var j = i + 1
+      while (j < ps.length) { out += ((ps(i), ps(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  }
+
   def graphInfluence(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    // pair generation is ONE shuffle on the order key (collect_set + a
+    // compiled pair kernel), not a fact self-join: each order contributes
+    // ≤ lines² local pairs, and only (u, v) longs leave the stage
+    val pairs = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(copairsUdf(col("ps"))).as("p"))
+      .select(col("p._1").as("u"), col("p._2").as("v"))
       .distinct()
     val edges = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     // cache: consumed by both iterations (canonical-plan-deduped — CLAUDE.md)
     val e = edges.join(deg, "u").cache()
     val s0 = deg.select(col("u").as("node"), lit(1000000L).as("score"))
+    // score is VERTEX-sized (tiny next to the edge relation): broadcasting
+    // it makes each round one shuffle (the per-target aggregation) instead
+    // of two. When V itself outgrows a broadcast, drop the hint and
+    // co-partition edges and scores on `u` — the plan shape is unchanged.
     val s2 = (1 to 2).foldLeft(s0) { (score, _) =>
-      e.join(score, col("u") === col("node"))
+      e.join(broadcast(score), col("u") === col("node"))
         .select(col("v"), expr("score div deg").as("fl"))
         .groupBy("v")
         .agg(sum("fl").as("sfl"))

@@ -1128,13 +1128,12 @@ object Relational extends QueryPack {
     val c = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
-    val p01 = graft.operators.ExactQuantile
-      .groupQuantileDisc(c, Seq("l_returnflag"), "cents", 0.01)
-      .select(col("l_returnflag"), col("cents_q").as("p01"), col("n"))
-    val p99 = graft.operators.ExactQuantile
-      .groupQuantileDisc(c, Seq("l_returnflag"), "cents", 0.99)
-      .select(col("l_returnflag"), col("cents_q").as("p99"))
-    c.join(broadcast(p01), "l_returnflag").join(broadcast(p99), "l_returnflag")
+    // both cut points from ONE histogram pass (shared scan + shuffle)
+    val cuts = graft.operators.ExactQuantile
+      .groupQuantilesDisc(c, Seq("l_returnflag"), "cents", Seq(0.01, 0.99))
+      .select(col("l_returnflag"), col("cents_q0").as("p01"),
+        col("cents_q1").as("p99"), col("n"))
+    c.join(broadcast(cuts), "l_returnflag")
       .groupBy(col("l_returnflag"), col("n"), col("p01"), col("p99"))
       .agg(
         sum(least(greatest(col("cents"), col("p01")), col("p99"))).as("sum_clipped"),

@@ -42,8 +42,22 @@ object ExactQuantile {
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
-      q: Double): DataFrame = {
-    require(q >= 0.0 && q <= 1.0, s"quantile q=$q outside [0, 1]")
+      q: Double): DataFrame =
+    groupQuantilesDisc(df, keys, valueCol, Seq(q))
+      .withColumnRenamed(s"${valueCol}_q0", valueCol + "_q")
+
+  /** Several quantiles of one column in ONE histogram pass: the scan, the
+    * `groupBy(keys, value)` shuffle and the cumulative window are shared;
+    * each extra quantile is one more conditional `min` over the histogram
+    * rows. Output: `keys :+ <valueCol>_q<i> (per q) :+ n`.
+    */
+  def groupQuantilesDisc(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile q=$q outside [0, 1]"))
     val hist = df.where(col(valueCol).isNotNull)
       .groupBy(keys.map(col) :+ col(valueCol).as("_eq_v"): _*)
       .agg(count(lit(1)).as("_eq_cnt"))
@@ -52,13 +66,18 @@ object ExactQuantile {
     val ordered = Window.partitionBy(keys.map(col): _*).orderBy("_eq_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(keys.map(col): _*)
-    // 1-based target rank, quantile_disc-compatible: max(ceil(q·n), 1)
-    val rank = greatest(ceil(lit(q) * col("_eq_n")).cast("long"), lit(1L))
-    hist
+    val cum = hist
       .withColumn("_eq_cum", sum("_eq_cnt").over(ordered))
       .withColumn("_eq_n", sum("_eq_cnt").over(whole))
-      .where(col("_eq_cum") - col("_eq_cnt") < rank && rank <= col("_eq_cum"))
-      .select(keys.map(col) :+ col("_eq_v").as(valueCol + "_q") :+
-        col("_eq_n").as("n"): _*)
+    // 1-based target rank, quantile_disc-compatible: max(ceil(q·n), 1).
+    // The q-th element is the FIRST histogram row whose cumulative count
+    // reaches the rank — a conditional min, so all quantiles fold into one
+    // aggregate over the (tiny) histogram relation.
+    val picks = qs.zipWithIndex.map { case (q, i) =>
+      val rank = greatest(ceil(lit(q) * col("_eq_n")).cast("long"), lit(1L))
+      min(when(col("_eq_cum") >= rank, col("_eq_v"))).as(s"${valueCol}_q$i")
+    }
+    cum.groupBy(keys.map(col): _*)
+      .agg(picks.head, picks.tail :+ max(col("_eq_n")).as("n"): _*)
   }
 }
