@@ -513,9 +513,61 @@ object IngestPack extends QueryPack {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderkey % 83 <> 0) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** one ORC materialization per data dir per JVM (the gridCandles memo
+    * discipline: query construction stays read-only after the first run)
+    */
+  private val orcWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ORC round-trip e2e — the third sink/source format next to Parquet and
+    * the CSV/JSON wire paths: the SAME normalized candle relation written as
+    * ORC, read back and aggregated. The oracle recomputes from lineitem
+    * directly, so what's under test is type fidelity through the ORC
+    * writer/reader (timestamps, quotation-fold doubles, longs). At scale the
+    * format is a sink choice, not a plan change — both are columnar splittable
+    * sources to the scan planner.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = orcWritten.computeIfAbsent(dir, { d =>
+      val path = "/tmp/graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/candles"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      Normalize.projectCandles(apiCandles(s, d))
+        .withColumn("timestamp", to_timestamp(col("timestamp"), Schemas.TsFormat))
+        .write.mode("overwrite").orc(path)
+      path
+    })
+    s.read.orc(out)
+      .groupBy(figiBucket(col("company_id"), 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_candles"),
+        sum(col("close").cast("decimal(18,9)")).cast("double").as("sum_close"),
+        sum(col("volume")).as("sum_volume"),
+        date_format(min(col("timestamp")), Schemas.TsFormat).as("min_ts"),
+        date_format(max(col("timestamp")), Schemas.TsFormat).as("max_ts"))
+  }
+
+  private val orcRoundtripSql =
+    """WITH c AS (
+      |  SELECT (l_partkey % 200) % 10 AS bucket,
+      |         l_shipdate AS ts,
+      |         CAST(l_partkey % 900 + 1 AS DOUBLE)
+      |           + CAST((l_orderkey * 15485863) % 1000000000 AS DOUBLE) / 1e9 AS close,
+      |         CAST(l_quantity AS BIGINT) AS volume
+      |  FROM lineitem)
+      |SELECT bucket, count(*) AS n_candles,
+      |       CAST(sum(CAST(close AS DECIMAL(18,9))) AS DOUBLE) AS sum_close,
+      |       CAST(sum(volume) AS BIGINT) AS sum_volume,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      |FROM c GROUP BY bucket""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ingest_demux_counts", demuxCounts, Some(demuxCountsSql)),
     Q("ingest_csv_e2e", csvE2e, Some(csvE2eSql)),
+    Q("ingest_orc_e2e", orcRoundtrip, Some(orcRoundtripSql)),
     Q("incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
     Q("ingest_grid_candles", gridCandles, Some(gridCandlesSql)),
     Q("ingest_candles_e2e", candlesE2e, Some(candlesE2eSql)),

@@ -23,8 +23,11 @@ import scala.jdk.CollectionConverters._
   * data moves only through executor-side parquet read/write. Append = new
   * files + superset manifest; logical overwrite = new files + disjoint
   * manifest, with old versions still readable (time travel) until vacuumed.
-  * A production log adds per-file min/max stats to the manifest — that
-  * composes with [[Layout]]'s manifest skipping unchanged.
+  * Commits can record per-file min/max column stats in a version sidecar
+  * ([[commitAppend]]'s `statCols`); [[readPruned]] then skips files whose
+  * range cannot match a predicate — composing with [[Layout]]'s Z-order
+  * clustering (cluster on write → narrow per-file ranges → effective
+  * skipping).
   */
 object TableLog extends QueryPack {
 
@@ -81,11 +84,107 @@ object TableLog extends QueryPack {
     v
   }
 
-  /** Append commit: new version = previous live files + the new ones. */
-  def commitAppend(df: DataFrame, table: String): Long = {
+  /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
+    * stat column), long-valued. Written BEFORE the manifest rename — the
+    * manifest stays the single commit point; a crashed commit leaves only an
+    * unreferenced sidecar for [[vacuum]].
+    */
+  private def statsFile(table: String, v: Long): Path =
+    logDir(table).resolve(s"s$v.txt")
+
+  private def statsLines(table: String, v: Long): Seq[String] = {
+    val p = statsFile(table, v)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Append commit: new version = previous live files + the new ones.
+    * `statCols` (long-valued columns) adds per-file [min, max] stats to the
+    * version's sidecar — the Delta-style file-statistics index that
+    * [[readPruned]] skips by. Gathering them is ONE footer-light aggregate
+    * over the new files grouped by `input_file_name()` (rows scale with the
+    * data ONCE at write; the collected result scales with file count — the
+    * same driver-metadata asymptotics as the manifest itself). Prior
+    * versions' stats carry forward untouched.
+    */
+  def commitAppend(df: DataFrame, table: String, statCols: Seq[String] = Nil): Long = {
     val vs = versions(table)
-    val prev = vs.lastOption.map(liveFiles(table, _)).getOrElse(Seq.empty)
-    publish(table, vs.lastOption.getOrElse(-1L) + 1, prev ++ writeDataFiles(df, table))
+    val prevV = vs.lastOption
+    val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
+    val prevStats = prevV.map(statsLines(table, _)).getOrElse(Seq.empty)
+    val moved = writeDataFiles(df, table)
+    val newStats =
+      if (statCols.isEmpty || moved.isEmpty) Seq.empty
+      else {
+        val spark = df.sparkSession
+        val abs = moved.map(f => Paths.get(table).resolve(f).toString)
+        val aggs = statCols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        spark.read.parquet(abs: _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .flatMap { row =>
+            val uri = row.getString(0)
+            val rel = "data/" + uri.substring(uri.lastIndexOf('/') + 1)
+            statCols.map { c =>
+              s"$rel|$c|${row.getAs[Long](s"min_$c")}|${row.getAs[Long](s"max_$c")}"
+            }
+          }.toSeq
+      }
+    val v = prevV.getOrElse(-1L) + 1
+    if ((prevStats ++ newStats).nonEmpty) {
+      Files.createDirectories(logDir(table))
+      Files.write(statsFile(table, v),
+        (prevStats ++ newStats).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    publish(table, v, prev ++ moved)
+  }
+
+  /** live files at a version whose `[min, max]` of `statCol` can intersect
+    * `[lo, hi]` — files WITHOUT recorded stats are always kept (pruning is
+    * sound, never speculative). Returns (kept, total live).
+    */
+  private[graft] def prunedFiles(
+      table: String,
+      statCol: String,
+      lo: Long,
+      hi: Long,
+      asOf: Option[Long] = None): (Seq[String], Int) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val v = asOf.getOrElse(vs.last)
+    val files = liveFiles(table, v)
+    val ranges = statsLines(table, v).flatMap { line =>
+      line.split('|') match {
+        case Array(f, c, mn, mx) if c == statCol => Some(f -> (mn.toLong, mx.toLong))
+        case _ => None
+      }
+    }.toMap
+    val kept = files.filter(f =>
+      ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    (kept, files.size)
+  }
+
+  /** Snapshot read restricted to files whose `statCol` range intersects
+    * `[lo, hi]` (inclusive): a metadata-only lookup decides what to scan, so
+    * a selective predicate over a range-clustered table touches O(matching
+    * files), not O(table). The caller still applies the exact row filter —
+    * skipping is sound by range intersection, not a row-level guarantee.
+    * Composes with [[Layout]]'s Z-order clustering (cluster on write →
+    * narrow per-file ranges → effective skipping).
+    */
+  def readPruned(
+      spark: SparkSession,
+      table: String,
+      statCol: String,
+      lo: Long,
+      hi: Long,
+      asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = prunedFiles(table, statCol, lo, hi, asOf)
+    if (kept.isEmpty) read(spark, table, asOf).limit(0)
+    else spark.read.parquet(
+      kept.map(f => Paths.get(table).resolve(f).toString): _*)
   }
 
   /** Logical overwrite: new version references ONLY the new files; prior
@@ -130,7 +229,10 @@ object TableLog extends QueryPack {
     val referenced = keep.flatMap(liveFiles(table, _)).toSet
     val doomed = drop.flatMap(liveFiles(table, _)).toSet -- referenced
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
-    drop.foreach(v => Files.delete(versionFile(table, v)))
+    drop.foreach { v =>
+      Files.delete(versionFile(table, v))
+      Files.deleteIfExists(statsFile(table, v))
+    }
     (drop, doomed.size)
   }
 

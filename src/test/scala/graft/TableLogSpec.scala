@@ -76,4 +76,30 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t, Some(0L), mergeSchema = true)
       .columns.toSet == Set("k", "cents"))
   }
+
+  test("file stats prune range-clustered files; pruned read equals full read") {
+    rm(new java.io.File(root))
+    val t = s"$root/t4"
+    // range-cluster on k at write → narrow per-file key ranges
+    val rows = (0L until 400L).map(k => (k, k % 7)).toDF("k", "payload")
+      .repartitionByRange(4, col("k"))
+    TableLog.commitAppend(rows, t, statCols = Seq("k"))
+    val (kept, total) = TableLog.prunedFiles(t, "k", lo = 120L, hi = 140L)
+    assert(total == 4 && kept.size < total, s"no pruning: $kept of $total")
+    val pruned = TableLog.readPruned(spark, t, "k", 120L, 140L)
+      .where(col("k").between(120L, 140L))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("payload"))).toSet
+    val full = TableLog.read(spark, t)
+      .where(col("k").between(120L, 140L))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("payload"))).toSet
+    assert(pruned == full && pruned.size == 21)
+    // appended files without overlap prune away too; stats carry forward
+    TableLog.commitAppend(
+      (1000L until 1100L).map(k => (k, k % 7)).toDF("k", "payload"), t,
+      statCols = Seq("k"))
+    val (kept2, total2) = TableLog.prunedFiles(t, "k", 120L, 140L)
+    assert(total2 > total && kept2 == kept, "carried-forward stats must keep pruning")
+    // a box missing every file reads empty but keeps the schema
+    assert(TableLog.readPruned(spark, t, "k", 5000L, 6000L).count() == 0L)
+  }
 }
