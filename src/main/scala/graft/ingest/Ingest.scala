@@ -137,6 +137,35 @@ object Ingest {
     * a typed superset would null the whole row on one type-mismatched field
     * and mis-route it. Timestamp validity still parses for real (F3).
     */
+  /** Quarantine relation: the raw frames the demux would DROP, each with its
+    * route and the first failed gate — `unknown_type` (F1), then
+    * `missing_required` (F2, which also covers type-mismatched required
+    * fields — the try_cast discipline), then `bad_timestamp` (F3); gate
+    * order matches the consumer's check order
+    * (`from_rabbitmq_to_clickhouse.py:148-170`), so a frame failing several
+    * gates reports the FIRST one, like the reference's early returns. The
+    * reference logs-and-drops; a production pipeline lands these in a side
+    * table for replay after a parser fix — same single-parse plan as
+    * [[dropStats]], opposite polarity.
+    */
+  def quarantine(raw: DataFrame): DataFrame = {
+    val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFrom("m"))
+    val tsParsed = try_to_timestamp(col("m").getField("timestamp"), lit(Schemas.TsFormat))
+    val reason = Schemas.msgSchema.foldLeft(
+      when(col("route") === "unknown", lit("unknown_type"))) {
+      case (acc, (t, schema)) =>
+        val req = Schemas.required(t).map { f =>
+          col("m").getField(f).try_cast(schema(f).dataType).isNotNull
+        }.reduce(_ && _)
+        val tsOk = if (Schemas.timestamped(t)) tsParsed.isNotNull else lit(true)
+        acc.when(col("route") === t && !req, lit("missing_required"))
+          .when(col("route") === t && !tsOk, lit("bad_timestamp"))
+    } // no otherwise: surviving frames get null → filtered out
+    parsed.withColumn("reason", reason)
+      .where(col("reason").isNotNull)
+      .select(col("value"), col("route"), col("reason"))
+  }
+
   def dropStats(raw: DataFrame): DataFrame = {
     val parsed = parsedOnce(raw, supersetStr, "m").withColumn("route", routeFrom("m"))
     val tsParsed = try_to_timestamp(col("m").getField("timestamp"), lit(Schemas.TsFormat))

@@ -92,6 +92,25 @@ object IngestPack extends QueryPack {
       |UNION ALL
       |SELECT 'unknown', count(*), 0, count(*) FROM region""".stripMargin
 
+  /** Quarantine accounting over the mixed frame stream — the drop side of
+    * [[demuxCounts]] in full: every dropped frame lands with its route and
+    * FIRST failed gate. The oracle recomputes each (route, reason) bucket
+    * from the corruption channels directly, so a gate misfiring (wrong
+    * reason, wrong precedence, silently keeping a bad frame) flips the hash.
+    */
+  def quarantineCounts(s: SparkSession, dir: String): DataFrame =
+    Ingest.quarantine(allMessages(s, dir))
+      .groupBy("route", "reason")
+      .agg(count(lit(1)).as("n_frames"))
+
+  private val quarantineCountsSql =
+    """SELECT 'candles' AS route, 'bad_timestamp' AS reason, count(*) AS n_frames
+      |FROM lineitem WHERE l_linenumber = 3
+      |UNION ALL
+      |SELECT 'candles', 'missing_required', count(*) FROM lineitem WHERE l_linenumber = 4
+      |UNION ALL
+      |SELECT 'unknown', 'unknown_type', count(*) FROM region""".stripMargin
+
   /** Candle path end-to-end: corrupted frames dropped, survivors re-typed and
     * aggregated per company bucket with exact decimal sums + wire-format
     * timestamp bounds.
@@ -566,6 +585,7 @@ object IngestPack extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("ingest_demux_counts", demuxCounts, Some(demuxCountsSql)),
+    Q("ingest_quarantine", quarantineCounts, Some(quarantineCountsSql)),
     Q("ingest_csv_e2e", csvE2e, Some(csvE2eSql)),
     Q("ingest_orc_e2e", orcRoundtrip, Some(orcRoundtripSql)),
     Q("incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),

@@ -41,7 +41,11 @@ object StreamIngest {
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tables = Ingest.demux(batch)
+        // 4 typed tables + the quarantine side table (frames any gate
+        // dropped, with route + reason — replayable after a parser fix);
+        // every sink shares the idempotent (batch-partition, dynamic
+        // overwrite) exactly-once discipline
+        val tables = Ingest.demux(batch) + ("_quarantine" -> Ingest.quarantine(batch))
         tables.foreach { case (table, df) =>
           df.withColumn("ingest_batch", lit(batchId))
             .write

@@ -30,6 +30,10 @@ class StreamingSpec extends SparkSpec {
     StreamIngest.start(spark, src, tables, ckpt).awaitTermination()
     assert(spark.read.parquet(s"$tables/candles").count() == 2)
     assert(spark.read.parquet(s"$tables/trades").count() == 1)
+    // the junk frame is QUARANTINED with its failed gate, not silently lost
+    val quarantined = spark.read.parquet(s"$tables/_quarantine")
+      .select("route", "reason").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(quarantined.toSeq == Seq(("unknown", "unknown_type")))
 
     // restart with NO new data → replayed plan must not duplicate rows
     StreamIngest.start(spark, src, tables, ckpt).awaitTermination()
