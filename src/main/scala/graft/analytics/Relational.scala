@@ -1046,6 +1046,36 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Catalog profile — the INFORMATION_SCHEMA-style overview a warehouse
+    * exposes: one row per table with row and column counts. Each branch is a
+    * scan-adjacent count (parquet footer metadata at scan level), unioned;
+    * column counts come from the resolved schema, not data. The oracle pins
+    * the same inventory, so a loader regression (dropped column, misread
+    * table) flips the gate.
+    */
+  def catalogProfile(s: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.map { t =>
+      val df = Tables.load(s, dir, t)
+      df.groupBy(lit(t).as("table_name"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("n_cols", lit(df.columns.length))
+    }.reduce(_ unionByName _)
+  }
+
+  private val catalogProfileSql =
+    """SELECT 'region' AS table_name, count(*) AS n_rows, 2 AS n_cols FROM region
+      |UNION ALL SELECT 'nation', count(*), 3 FROM nation
+      |UNION ALL SELECT 'customer', count(*), 5 FROM customer
+      |UNION ALL SELECT 'supplier', count(*), 4 FROM supplier
+      |UNION ALL SELECT 'part', count(*), 6 FROM part
+      |UNION ALL SELECT 'orders', count(*), 6 FROM orders
+      |UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+      |UNION ALL SELECT 'events', count(*), 6 FROM events
+      |UNION ALL SELECT 'documents', count(*), 5 FROM documents
+      |UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings""".stripMargin
+
   /** Order-independent table fingerprint for replica/migration
     * reconciliation: each row canonicalizes to a delimited string of exact
     * fields (integers, cents, formatted dates — never raw doubles), hashes
@@ -1195,6 +1225,7 @@ object Relational extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
     Q("table_fingerprint", tableFingerprint, Some(tableFingerprintSql)),
+    Q("catalog_profile", catalogProfile, Some(catalogProfileSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),

@@ -43,6 +43,35 @@ object Multimodal extends QueryPack {
     def resize(r: MediaRecord): MediaRecord =
       r.copy(content = r.content.grouped(ResizeStride).map(_.head).toArray)
 
+    /** Average-hash (perceptual-hash family) over the decoded byte plane:
+      * 64 equal blocks, bit b = 1 iff block b's mean exceeds the global
+      * mean. The compare is the integer cross-multiplication
+      * `blockSum·n > total·blockLen` — no division, so the DuckDB oracle
+      * reproduces the hash equivalence classes exactly. A real pHash swaps
+      * the byte plane for DCT coefficients of decoded pixels; the blocking,
+      * bit packing and dedup shape are what production keeps.
+      */
+    def avgHash(r: MediaRecord): Long = {
+      val b = r.content
+      val n = b.length
+      if (n == 0) return 0L
+      var total = 0L
+      var i = 0
+      while (i < n) { total += (b(i) & 0xff); i += 1 }
+      var h = 0L
+      var blk = 0
+      while (blk < 64) {
+        val lo = blk * n / 64
+        val hi = (blk + 1) * n / 64
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (b(j) & 0xff); j += 1 }
+        if (hi > lo && s * n > total * (hi - lo)) h |= (1L << blk)
+        blk += 1
+      }
+      h
+    }
+
     /** ??? in spirit: a real implementation would decode the payload; this
       * derives deterministic pseudo-features so the pipeline is testable.
       */
@@ -190,7 +219,51 @@ object Multimodal extends QueryPack {
       |SELECT media_id, u.idx AS frame_idx, u.fb AS frame_bytes FROM f""".stripMargin
   }
 
+  /** Perceptual-hash dedup over the blob plane: partition-local
+    * [[StubCodec.avgHash]] per record (blobs never shuffle — only the
+    * (id, kind, hash) triple leaves the stage), then the dedup_exact
+    * accounting per kind. The oracle rebuilds each 64-bit-vector hash from
+    * the text bytes with the same integer cross-multiplied compares and
+    * counts the SAME equivalence classes — the gate proves the whole
+    * blob → feature → group pipeline, not just the counts.
+    */
+  def phashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = attachBinary(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
+    recs.mapPartitions(_.map(r => (r.media_id, r.kind, StubCodec.avgHash(r))))
+      .toDF("media_id", "kind", "h")
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        countDistinct(col("h")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
+  }
+
+  private val phashDedupSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |         text, length(text) AS n,
+      |         list_sum([ascii(substr(text, i, 1)) for i in range(1, length(text) + 1)]) AS total
+      |  FROM documents),
+      |bits AS (
+      |  SELECT media_id, kind, blk,
+      |         CASE WHEN ((blk + 1) * n) // 64 > (blk * n) // 64 AND
+      |                   list_sum([ascii(substr(text, i, 1))
+      |                             for i in range((blk * n) // 64 + 1, ((blk + 1) * n) // 64 + 1)]) * n
+      |                   > total * (((blk + 1) * n) // 64 - (blk * n) // 64)
+      |              THEN '1' ELSE '0' END AS bit
+      |  FROM m, unnest(range(0, 64)) AS t(blk)),
+      |h AS (
+      |  SELECT media_id, kind, string_agg(bit, '' ORDER BY blk) AS hs
+      |  FROM bits GROUP BY 1, 2)
+      |SELECT kind, count(*) AS n_media, count(DISTINCT hs) AS n_unique,
+      |       count(*) - count(DISTINCT hs) AS n_dupes
+      |FROM h GROUP BY kind""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Q("mm_decode_stats", decodeStats, None),
     Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)),

@@ -52,6 +52,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.last.frame_bytes == 150L % StubCodec.FrameStride)
   }
 
+  test("average-hash: identical blobs collide, near-dups stay close, distinct content diverges") {
+    import Multimodal.MediaRecord
+    def rec(bytes: Array[Byte]) = MediaRecord(0L, "image", bytes)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4096)((rnd.nextInt(64) + 32).toByte)
+    val same = base.clone()
+    val near = base.clone(); near(100) = (near(100) + 1).toByte // one-byte edit
+    val other = Array.fill(4096)((rnd.nextInt(64) + 32).toByte)
+    val h = StubCodec.avgHash(rec(base))
+    assert(StubCodec.avgHash(rec(same)) == h)
+    assert(hamming(StubCodec.avgHash(rec(near)), h) <= 4,
+      "a one-byte edit must barely move the hash")
+    assert(hamming(StubCodec.avgHash(rec(other)), h) >= 12,
+      "independent content must not collide")
+    assert(StubCodec.avgHash(rec(Array.empty)) == 0L) // empty blob is defined
+  }
+
   test("binary attach exposes typed metadata over the real corpus") {
     val meta = Multimodal.binaryMeta(spark, sfDir).collect()
     assert(meta.length == 500)
