@@ -54,7 +54,8 @@ object TableLog extends QueryPack {
   }
 
   private def liveFiles(table: String, v: Long): Seq[String] =
-    Files.readAllLines(versionFile(table, v)).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(versionFile(table, v)).asScala.toSeq
+      .filter(_.nonEmpty).filterNot(_.startsWith("#"))
 
   /** Write `df`'s rows as new immutable data files; return their relative
     * paths (NOT yet referenced by any manifest).
@@ -75,13 +76,42 @@ object TableLog extends QueryPack {
     moved
   }
 
-  /** Publish manifest `v` atomically (temp + rename). */
-  private def publish(table: String, v: Long, files: Seq[String]): Long = {
+  /** Publish manifest `v` atomically (temp + rename). An optional txn id
+    * rides as a `#txn:` header line INSIDE the manifest, so the rename that
+    * publishes the version is also what records the transaction — there is
+    * no window where data is committed but its idempotence marker is not.
+    */
+  private def publish(
+      table: String, v: Long, files: Seq[String], txn: Option[String] = None): Long = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".v$v.tmp")
-    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val lines = txn.map(t => s"#txn:$t").toSeq ++ files
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** txn ids recorded by committed versions (empty for untagged commits). */
+  def committedTxns(table: String): Set[String] =
+    versions(table).flatMap { v =>
+      Files.readAllLines(versionFile(table, v)).asScala
+        .filter(_.startsWith("#txn:")).map(_.stripPrefix("#txn:"))
+    }.toSet
+
+  /** Exactly-once logical overwrite: a no-op when `txnId` already committed.
+    * This is the sink half of end-to-end exactly-once streaming — a replayed
+    * `foreachBatch` (same batch id after a crash) re-runs the same merge and
+    * the txn-tagged manifest dedupes the outcome; a crash BEFORE publish
+    * leaves only unreferenced data files for [[vacuum]].
+    */
+  def commitOnceOverwrite(
+      df: DataFrame, table: String, txnId: String): Option[Long] = {
+    if (committedTxns(table).contains(txnId)) None
+    else {
+      val vs = versions(table)
+      Some(publish(table, vs.lastOption.getOrElse(-1L) + 1,
+        writeDataFiles(df, table), Some(txnId)))
+    }
   }
 
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,

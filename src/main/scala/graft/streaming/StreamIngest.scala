@@ -232,4 +232,46 @@ object StreamIngest {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Streaming CDC apply: fold each micro-batch of change rows (key, version,
+    * op, payload) into a VERSIONED table — [[graft.operators.Merge]] per
+    * batch (latest-wins upsert / delete / insert), committed through
+    * [[graft.sources.TableLog.commitOnceOverwrite]] with the batch id as the
+    * transaction: a crash-replayed batch re-runs the same deterministic
+    * merge and the txn-tagged manifest dedupes the outcome — end-to-end
+    * exactly-once without relying on the sink being append-only. Every batch
+    * leaves a time-travelable snapshot version. Each version rewrites the
+    * full (small) dim snapshot here; a fact-sized target narrows the rewrite
+    * to touched partitions (the [[graft.operators.IncrementalAgg]]
+    * discipline) with the SAME commit protocol.
+    */
+  def cdcApply(
+      spark: SparkSession,
+      srcDir: String,
+      table: String,
+      checkpointDir: String,
+      schemaDdl: String,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      opCol: String,
+      payloadCols: Seq[String]): StreamingQuery = {
+    val changes = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .json(srcDir)
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val base =
+          if (graft.sources.TableLog.versions(table).nonEmpty)
+            graft.sources.TableLog.read(s, table)
+          else batch.select((keyCols ++ payloadCols).map(col): _*).limit(0)
+        val merged = graft.operators.Merge(
+          base, batch, keyCols, versionCols, opCol, payloadCols)
+        graft.sources.TableLog.commitOnceOverwrite(merged, table, s"stream_batch_$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -219,6 +219,47 @@ class StreamingSpec extends SparkSpec {
       (s.end_ts.getTime - s.start_ts.getTime) == 600000L))
   }
 
+  test("streaming CDC apply: per-batch merge into the table log, exactly-once, time-travelable") {
+    import graft.sources.TableLog
+    val cdcSrc = s"$base/cdc_src"; val tbl = s"$base/cdc_table"; val ck = s"$base/cdc_ckpt"
+    Files.createDirectories(Paths.get(cdcSrc))
+    def run(): Unit = StreamIngest.cdcApply(spark, cdcSrc, tbl, ck,
+      "k LONG, ver LONG, op STRING, v DOUBLE",
+      keyCols = Seq("k"), versionCols = Seq("ver"), opCol = "op",
+      payloadCols = Seq("v")).awaitTermination()
+    def snapshot(asOf: Option[Long] = None): Map[Long, Double] =
+      TableLog.read(spark, tbl, asOf).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+
+    Files.writeString(Paths.get(s"$cdcSrc/c0.json"),
+      """{"k":1,"ver":1,"op":"U","v":10.0}
+        |{"k":2,"ver":1,"op":"U","v":20.0}""".stripMargin)
+    run()
+    assert(snapshot() == Map(1L -> 10.0, 2L -> 20.0))
+    val v0 = TableLog.versions(tbl)
+    assert(v0.size == 1)
+
+    // later batch: update k=1 (two versions in ONE batch — latest wins),
+    // delete k=2, insert k=3
+    Files.writeString(Paths.get(s"$cdcSrc/c1.json"),
+      """{"k":1,"ver":2,"op":"U","v":11.0}
+        |{"k":1,"ver":3,"op":"U","v":12.0}
+        |{"k":2,"ver":2,"op":"D","v":null}
+        |{"k":3,"ver":1,"op":"U","v":30.0}""".stripMargin)
+    run()
+    assert(snapshot() == Map(1L -> 12.0, 3L -> 30.0))
+    assert(TableLog.versions(tbl).size == 2)
+    // the pre-CDC snapshot is still readable (time travel)
+    assert(snapshot(Some(v0.head)) == Map(1L -> 10.0, 2L -> 20.0))
+
+    // replay with no new data: no batch fires, no version appears
+    run()
+    assert(TableLog.versions(tbl).size == 2)
+    // and a re-delivered txn id is a no-op by construction
+    assert(TableLog.commitOnceOverwrite(
+      TableLog.read(spark, tbl), tbl, "stream_batch_1").isEmpty)
+  }
+
   test("bounded-state top-k aggregate runs under streaming (complete mode)") {
     implicit val sqlCtx = spark.sqlContext
     val topk2 = udaf(new graft.operators.TopKAgg(2))
