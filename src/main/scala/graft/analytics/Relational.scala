@@ -1046,6 +1046,66 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Q12-shaped shipping-priority matrix: fact ⋈ orders with the date-range
+    * filter pushed to the fact scan and the priority split as conditional
+    * aggregates (CASE inside SUM — one pass, no pivot shuffle). The classic
+    * "join then bucket-count" warehouse report.
+    */
+  def shipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"), (col("l_quantity") > 25).as("heavy"))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("heavy"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+
+  private val shipmodePrioritySql =
+    """SELECT l_quantity > 25 AS heavy,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** Q19-shaped disjunctive-predicate revenue: three OR-branches mixing join
+    * and scan columns. What's under test is the PLAN: Catalyst must extract
+    * the branch-common conjuncts (quantity floor, brand membership) and push
+    * them into both scans even though the full predicate is a disjunction —
+    * `.explain` shows PushedFilters on l_quantity and p_brand, so the scan
+    * prunes before the join instead of evaluating the OR over the full
+    * join product.
+    */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    joined.where(branch1 || branch2 || branch3)
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val disjunctiveRevenueSql =
+    s"""SELECT CAST(sum($discPriceSql) AS DOUBLE) AS revenue, count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Catalog profile — the INFORMATION_SCHEMA-style overview a warehouse
     * exposes: one row per table with row and column counts. Each branch is a
     * scan-adjacent count (parquet footer metadata at scan level), unioned;
@@ -1226,6 +1286,8 @@ object Relational extends QueryPack {
     Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
     Q("table_fingerprint", tableFingerprint, Some(tableFingerprintSql)),
     Q("catalog_profile", catalogProfile, Some(catalogProfileSql)),
+    Q("q12_shipmode_priority", shipmodePriority, Some(shipmodePrioritySql)),
+    Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),

@@ -280,16 +280,24 @@ object Dedup extends QueryPack {
   }
   private val minSig = udaf(MinSigAgg)
 
-  /** doc_id → minhash signature array (column `sig`, element i =
-    * `min over shingles of (h1 + i·h2) mod (2^31-1)`).
+  /** doc_id → (minhash signature, retained shingle set, set size) in ONE
+    * aggregation: the signature UDAF and the verification-side shingle
+    * arrays consume the same inverted index, so computing them in one
+    * `groupBy(doc_id)` halves the index's shuffle passes. cache()'d — three
+    * consumers (band explode + both sides of the candidate join).
     */
-  private[llm] def signatures(inv: DataFrame): DataFrame = {
+  private[llm] def docSketch(inv: DataFrame): DataFrame = {
     val h = md5(col("shingle").cast("binary"))
-    val withH = inv.select(
-      col("doc_id"),
+    inv.select(
+      col("doc_id"), col("shingle"),
       (conv(substring(h, 1, 8), 16, 10).cast("long") % HashMod).as("h1"),
       (conv(substring(h, 9, 8), 16, 10).cast("long") % HashMod).as("h2"))
-    withH.groupBy("doc_id").agg(minSig(col("h1"), col("h2")).as("sig"))
+      .groupBy("doc_id")
+      .agg(
+        minSig(col("h1"), col("h2")).as("sig"),
+        collect_list(col("shingle")).as("sh"),
+        count(lit(1)).as("n_sh"))
+      .cache()
   }
 
   /** MinHash near-dup pairs: LSH band buckets → candidates → CANDIDATE-LOCAL
@@ -308,7 +316,7 @@ object Dedup extends QueryPack {
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
     val inv  = invIndex(Tables.loadSpread(s, dir, "documents"))
-    val sigs = signatures(inv)
+    val sigs = docSketch(inv)
     // bands as ONE exploded band-key relation → a single self-join;
     // per-band joins would recompute the signature aggregation once per band
     // per side. Band key = band_idx·2^47 + Horner-31 fold of the band's Rows
@@ -327,8 +335,8 @@ object Dedup extends QueryPack {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // per-doc retained shingle sets (distinct by construction in shingleUdf)
-    val sets = inv.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n_sh"))
+    // — same cached docSketch relation as the signatures
+    val sets = sigs.select(col("doc_id"), col("sh"), col("n_sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "doc_b")
