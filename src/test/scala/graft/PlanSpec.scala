@@ -35,6 +35,28 @@ class PlanSpec extends SparkSpec {
       p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"), p.take(2000))
   }
 
+  test("disjunctive predicate (q19) still pushes branch-common filters to both scans") {
+    val p = plan("q19_disjunctive_revenue")
+    // the OR of three (brand, size, quantity) branches must not block
+    // pushdown: each scan gets the disjunction restricted to ITS columns
+    // (lineitem: the quantity ranges; part: the brand/size branches)
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p.take(3000))
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("q7 star keeps dims broadcast; fact joins stay equi-joins") {
+    val p = plan("q7_nation_volume")
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(2000))
+    assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("bounded top-k per group plans as an aggregate, not a window sort") {
+    val p = plan("topk_per_group")
+    assert(!p.contains("Window"), s"topk_per_group fell back to a window sort: ${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(1500))
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized
