@@ -36,13 +36,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("disjunctive predicate (q19) still pushes branch-common filters to both scans") {
-    val p = plan("q19_disjunctive_revenue")
     // the OR of three (brand, size, quantity) branches must not block
     // pushdown: each scan gets the disjunction restricted to ITS columns
-    // (lineitem: the quantity ranges; part: the brand/size branches)
-    assert(p.contains("EqualTo(p_brand,Brand#12)"), p.take(3000))
-    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p.take(3000))
-    assert(count(p, "CartesianProduct") == 0)
+    // (lineitem: the quantity ranges; part: the brand/size branches).
+    // Inspect the scan nodes directly — plan toString truncates filter lists.
+    val qe = SparkEntry.queries("q19_disjunctive_revenue")(spark, sfDir).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.dataFilters.mkString(";")
+    }
+    assert(scans.exists(f => f.contains("l_quantity") && f.contains(" OR ")),
+      s"quantity disjunction not pushed: $scans")
+    assert(scans.exists(f => f.contains("p_brand") && f.contains("Brand#12")),
+      s"brand disjunction not pushed: $scans")
+    assert(count(plan("q19_disjunctive_revenue"), "CartesianProduct") == 0)
   }
 
   test("q7 star keeps dims broadcast; fact joins stay equi-joins") {
