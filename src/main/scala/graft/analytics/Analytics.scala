@@ -898,6 +898,46 @@ object Analytics extends QueryPack {
       |FROM r a JOIN r b ON a.day = b.day AND a.bucket < b.bucket
       |GROUP BY 1, 2""".stripMargin
 
+  /** Native session windows (`session_window(ts, gap)`) on a BATCH frame —
+    * the declarative twin of the manual lag-cumsum [[sessionization]] and
+    * the stateful streaming variant: Spark merges events whose gap to the
+    * session's end is under 30 minutes inside the aggregate itself (no
+    * window function pass). Boundary semantics are half-open — an event at
+    * EXACTLY `last + gap` starts a new session — so the oracle's manual
+    * reconstruction splits on `diff >= gap`, not `>`. Per-user rollup keeps
+    * the output compact and cross-checks the session partition.
+    */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+  }
+
+  private val sessionWindowNativeSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, event_id FROM events),
+      |l AS (
+      |  SELECT user_id, tsv, event_id,
+      |         CASE WHEN lag(tsv) OVER w IS NULL
+      |                   OR date_diff('microsecond', lag(tsv) OVER w, tsv) >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsv, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsv, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM l),
+      |per AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       CAST(max(n_events) AS BIGINT) AS max_session_events
+      |FROM per GROUP BY user_id""".stripMargin
+
   /** A/B-experiment lift readout: users split deterministically into two
     * arms (`user_id % 2` — membership is a pure function, so retries,
     * replays and the oracle all agree), per-arm user counts and purchase
@@ -1152,6 +1192,7 @@ object Analytics extends QueryPack {
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
     Q("ab_lift", abLift, Some(abLiftSql)),
+    Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),

@@ -1046,6 +1046,40 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other — the semantics CDC reconciliation and dim lookups with
+    * optional keys need, and a silent-wrong-answer trap when a plain `=`
+    * drops the null bucket. Both sides AGGREGATE to per-key counts first:
+    * null-safe joining raw rows would cross-multiply the two null
+    * populations (n_a·n_b rows for one key); count-then-join is the
+    * scale-correct shape and exercises the same equality semantics.
+    */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "orders")
+      .select(when(col("o_orderkey") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey") % 50).as("ka"))
+      .groupBy("ka").agg(count(lit(1)).as("n_a"))
+    val b = Tables.load(s, dir, "customer")
+      .select(when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("c_custkey") % 50).as("kb"))
+      .groupBy("kb").agg(count(lit(1)).as("n_b"))
+    a.join(b, col("ka") <=> col("kb"))
+      .select(coalesce(col("ka").cast("string"), lit("(null)")).as("key"),
+        col("n_a"), col("n_b"))
+  }
+
+  private val nullSafeJoinSql =
+    """WITH a AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey % 50 END AS ka,
+      |         count(*) AS n_a
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 50 END AS kb,
+      |         count(*) AS n_b
+      |  FROM customer GROUP BY 1)
+      |SELECT coalesce(CAST(ka AS VARCHAR), '(null)') AS key, n_a, n_b
+      |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb""".stripMargin
+
   /** Q12-shaped shipping-priority matrix: fact ⋈ orders with the date-range
     * filter pushed to the fact scan and the priority split as conditional
     * aggregates (CASE inside SUM — one pass, no pivot shuffle). The classic
@@ -1287,6 +1321,7 @@ object Relational extends QueryPack {
     Q("table_fingerprint", tableFingerprint, Some(tableFingerprintSql)),
     Q("catalog_profile", catalogProfile, Some(catalogProfileSql)),
     Q("q12_shipmode_priority", shipmodePriority, Some(shipmodePrioritySql)),
+    Q("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
