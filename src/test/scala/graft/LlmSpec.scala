@@ -330,6 +330,30 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 0))
   }
 
+  test("text index lookup prunes to one term bucket and matches a direct scan") {
+    import graft.llm.TextStats
+    import org.apache.spark.sql.functions._
+    val p = "/tmp/graft_tindex_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(p))
+    TextStats.writeTextIndex(Tables.loadSpread(spark, sfDir, "documents"), p)
+    // bucketed layout on disk
+    val dirs = new java.io.File(p).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.length > 1, s"index not bucketed: ${dirs.toSeq}")
+    val look = TextStats.termLookup(spark, p, "table")
+    val plan = look.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"lookup does not partition-prune:\n${plan.take(1500)}")
+    val direct = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextStats.tokensCol).as("term"))
+      .where(col("term") === "table").select("doc_id").distinct().count()
+    assert(look.count() == direct && direct > 0)
+  }
+
   test("k-means training reduces inertia vs the raw seed assignment") {
     import graft.llm.Similarity
     def inertia(iters: Int): Long = Similarity.kmeansCore(spark, sfDir, iters)
