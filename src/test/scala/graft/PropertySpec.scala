@@ -125,4 +125,37 @@ class PropertySpec extends SparkSpec {
     val vol = analytics.Analytics.volatility(spark, sfDir).collect()
     assert(vol.nonEmpty && vol.forall(r => r.getDouble(4) >= 0.0))
   }
+
+  test("exact quantiles are monotone in q and are data elements") {
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+    check(Prop.forAll(genVals) { vs: List[Long] =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val qs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+      val row = operators.ExactQuantile.groupQuantilesDisc(df, Seq("g"), "v", qs)
+        .collect().head
+      val picked = qs.indices.map(i => row.getLong(i + 1))
+      picked.sliding(2).forall(p => p.head <= p.last) && // monotone in q
+        picked.forall(vs.contains) &&                    // always a data element
+        row.getLong(qs.size + 1) == vs.size.toLong       // n
+    }, n = 30)
+  }
+
+  test("overlap join is symmetric: swapping sides yields the mirrored pair set") {
+    val genIv = Gen.listOfN(12, for {
+      k <- Gen.chooseNum(1L, 2L)
+      s <- Gen.chooseNum(0L, 90L)
+      len <- Gen.chooseNum(0L, 40L) // includes empty intervals
+    } yield (k, s, s + len))
+    check(Prop.forAll(genIv, genIv) { (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+        .toDF("k", "s", "e", "lid")
+      val r = rs.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+        .toDF("k", "s", "e", "rid")
+      val fwd = operators.RangeJoin.joinOverlap(l, r, "k", "s", "e", "s", "e", 16L)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val bwd = operators.RangeJoin.joinOverlap(r, l, "k", "s", "e", "s", "e", 16L)
+        .select("rid", "lid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      fwd == bwd.map(_.swap) || { println(s"fwd=$fwd bwd=$bwd"); false }
+    }, n = 15)
+  }
 }
