@@ -249,6 +249,29 @@ object TableLog extends QueryPack {
     else spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
   }
 
+  /** OPTIMIZE: rewrite the latest snapshot into `nFiles` compacted data
+    * files and publish that as a NEW version — readers never see a torn
+    * table (snapshot isolation), prior versions still time-travel to the
+    * small-file layout until [[vacuum]] reclaims it. The metadata-log twin
+    * of [[Compaction]]'s in-place partition rewrite: here the table's
+    * mutability lives entirely in the manifest, so "rewrite" is an append
+    * of new files plus one atomic rename.
+    */
+  def optimize(spark: SparkSession, table: String, nFiles: Int = 1): Long = {
+    require(nFiles > 0, "nFiles must be positive")
+    val snapshot = read(spark, table).coalesce(nFiles)
+    commitOverwrite(snapshot, table)
+  }
+
+  /** data files live at the given (default latest) version — count these to
+    * observe compaction
+    */
+  def liveFileCount(table: String, asOf: Option[Long] = None): Int = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    liveFiles(table, asOf.getOrElse(vs.last)).size
+  }
+
   /** Drop manifests older than the last `keepVersions` and delete data files
     * no kept manifest references. Returns (versions dropped, files deleted).
     */

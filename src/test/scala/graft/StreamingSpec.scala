@@ -279,6 +279,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows("b") == Seq((5L, 3L)))
   }
 
+  test("observed metrics surface per-batch counts without a second aggregation pass") {
+    // Dataset.observe rides accumulator-style on the existing plan — the
+    // production hook for ingest-rate / drop-rate dashboards that would
+    // otherwise cost a separate aggregation job per batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val df = mem.toDF().toDF("k", "v")
+      .observe("ingest_metrics", count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    val q = df.groupBy("k").agg(sum("v").as("sv"))
+      .writeStream.format("memory").queryName("obs").outputMode("complete").start()
+    mem.addData(("a", 1L), ("a", 2L), ("b", 3L))
+    q.processAllAvailable()
+    val m = q.lastProgress.observedMetrics.get("ingest_metrics")
+    q.stop()
+    assert(m != null, "no observed metrics on the last progress")
+    assert(m.getAs[Long]("n_rows") == 3L && m.getAs[Long]("sum_v") == 6L)
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),

@@ -77,6 +77,30 @@ class TableLogSpec extends SparkSpec {
       .columns.toSet == Set("k", "cents"))
   }
 
+  test("optimize compacts the snapshot into a new version; history intact until vacuum") {
+    rm(new java.io.File(root))
+    val t = s"$root/t5"
+    // many small commits → many small files
+    (0L until 6L).foreach(i =>
+      TableLog.commitAppend(Seq((i, i * 10)).toDF("k", "v").repartition(2), t))
+    val before = TableLog.liveFileCount(t)
+    assert(before >= 6, s"expected a small-file spray, got $before")
+    val full = TableLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val v = TableLog.optimize(spark, t)
+    assert(TableLog.liveFileCount(t) == 1)
+    // same data, new version; the pre-optimize snapshot still reads
+    assert(TableLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+    assert(TableLog.read(spark, t, Some(v - 1)).count() == full.size)
+    // vacuum to latest-only reclaims the small files
+    val (_, deleted) = TableLog.vacuum(t, keepVersions = 1)
+    assert(deleted == before)
+    assert(TableLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+  }
+
   test("file stats prune range-clustered files; pruned read equals full read") {
     rm(new java.io.File(root))
     val t = s"$root/t4"
