@@ -564,20 +564,21 @@ object Similarity extends QueryPack {
   val KmK     = 8
   val KmIters = 2
 
-  /** embedding → 1e6-quantized integer vector: every distance and centroid
+  /** embedding → scale-quantized integer vector: every distance and centroid
     * below is exact 64-bit arithmetic, which is what lets a TRAINING LOOP be
     * hash-gated cross-engine (float k-means never is — Σ of doubles is
     * aggregation-order-dependent, so two runs disagree in the last ulp and
     * assignments flip).
     */
-  private val quantUdf = udf { emb: Seq[Float] =>
+  private def quantAt(scale: Double) = udf { emb: Seq[Float] =>
     val out = new Array[Long](Dim)
     var i = 0
     while (i < Dim) {
-      out(i) = math.floor(emb(i).toDouble * 1e6).toLong; i += 1
+      out(i) = math.floor(emb(i).toDouble * scale).toLong; i += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
+  private val quantUdf = quantAt(1e6)
 
   /** nearest centroid by squared-L2 over the flattened key-sorted matrix;
     * ties → lower cell id (strict < keeps the first of the ascending keys).
@@ -717,6 +718,57 @@ object Similarity extends QueryPack {
       |GROUP BY cell, c_sum""".stripMargin
   }
 
+  /** compiled integer dot product over two quantized vectors */
+  private val intDotUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var s = 0L; var i = 0
+    while (i < Dim) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** ANN over the int8-QUANTIZED corpus: symmetric scale quantization
+    * (`floor(v·127)`), integer dot-product scoring, and per-query top-k
+    * through the bounded-state [[graft.operators.TopKAgg]] — so unlike the
+    * float-cosine [[bruteForceTopK]] (whose oracle leans on careful double
+    * discipline), EVERY step here is exact 64-bit arithmetic and the DuckDB
+    * oracle replays scores and ranking bit-for-bit. This is the serving-side
+    * complement of [[embQuantizeInt8]]: quantize once, search in integers
+    * (4× less bandwidth, SIMD-friendly on a real deployment). Queries
+    * broadcast; the corpus never shuffles — map-side partial top-k means
+    * ≤ k rows per query per task reach the final aggregate.
+    */
+  def annInt8TopK(s: SparkSession, dir: String): DataFrame = {
+    val topk10 = udaf(new graft.operators.TopKAgg(10))
+    val xq = Tables.loadSpread(s, dir, "embeddings")
+      .select(col("vec_id"), quantAt(127)(col("embedding")).as("x"))
+    val queries = xq.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("x").as("qx"))
+    xq.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), intDotUdf(col("x"), col("qx")).as("dot"))
+      .groupBy("q_id")
+      .agg(topk10(col("dot"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.v").as("dot"))
+  }
+
+  private val annInt8TopKSql =
+    s"""WITH xq AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 127) AS BIGINT)
+      |          for i in range(1, len(embedding) + 1)] AS x
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, x AS qx FROM xq WHERE vec_id < 5),
+      |d AS (
+      |  SELECT q_id, vec_id,
+      |         CAST(list_sum([ x[i] * qx[i] for i in range(1, ${Dim + 1}) ]) AS BIGINT) AS dot
+      |  FROM xq, q WHERE vec_id <> q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, dot,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank
+      |  FROM d)
+      |SELECT q_id, rank, vec_id, dot FROM r WHERE rank <= 10""".stripMargin
+
   /** Scalar int8 quantization of the embedding corpus — the compression step
     * a 100 TB vector store runs before ANN serving (4× smaller than float32,
     * SIMD-friendly integer dot products). Per-dimension affine quantization:
@@ -767,6 +819,7 @@ object Similarity extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
+    Q("ann_int8_topk", annInt8TopK, Some(annInt8TopKSql)),
     Q("emb_quantize_int8", embQuantizeInt8, Some(embQuantizeInt8Sql)),
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
