@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
   *   compact <tableDir> <partitionCol> [targetBytes] — partition-local
   *     small-file compaction (see [[sources.Compaction]])
+  *   optimize <tableLogDir> [nFiles] — compact a table-log table's latest
+  *     snapshot into a new atomic version (see [[sources.TableLog.optimize]])
   *   zorder <inParquet> <outPath> <colA> <colB> [nFiles] — rewrite a table
   *     clustered by the Morton interleave of two numeric columns and write
   *     its min/max skipping manifest (see [[sources.Layout]])
@@ -99,6 +101,12 @@ object Main {
       val files = spark.read.parquet(manifest).count()
       println(s"[graft] z-ordered ${df.count()} rows by ($colA, $colB) -> $table ($files files, manifest $manifest)")
       spark.stop()
+    case "optimize" :: table :: rest =>
+      val spark = session()
+      val before = sources.TableLog.liveFileCount(table)
+      val v = sources.TableLog.optimize(spark, table, rest.headOption.map(_.toInt).getOrElse(1))
+      println(s"[graft] optimized $table: $before -> ${sources.TableLog.liveFileCount(table)} files (version $v; vacuum to reclaim)")
+      spark.stop()
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -111,6 +119,7 @@ object Main {
           "       graft explain <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
+          "       graft optimize <tableLogDir> [nFiles]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft list\n" +
           "       graft bench")
