@@ -718,12 +718,6 @@ object Similarity extends QueryPack {
       |GROUP BY cell, c_sum""".stripMargin
   }
 
-  /** compiled integer dot product over two quantized vectors */
-  private val intDotUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var s = 0L; var i = 0
-    while (i < Dim) { s += a(i) * b(i); i += 1 }
-    s
-  }
 
   /** ANN over the int8-QUANTIZED corpus: symmetric scale quantization
     * (`floor(v·127)`), integer dot-product scoring, and per-query top-k
@@ -744,7 +738,11 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("q_id"), col("x").as("qx"))
     xq.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), intDotUdf(col("x"), col("qx")).as("dot"))
+      // native codegen expression — the dot loop inlines into the generated
+      // stage (a UDF would box Seq[Long] per row); also SQL-callable as
+      // int_dot(...) via GraftExtensions
+      .select(col("q_id"), col("vec_id"),
+        org.apache.spark.sql.graftx.IntDotProduct(col("x"), col("qx")).as("dot"))
       .groupBy("q_id")
       .agg(topk10(col("dot"), col("vec_id")).as("top"))
       .select(col("q_id"), posexplode(col("top")))

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarity)
     ext.injectFunction(GraftExtensions.rollingHash)
+    ext.injectFunction(GraftExtensions.intDot)
     // conf-gated (spark.graft.rangeJoin.granularity), no-op until enabled
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
@@ -51,6 +52,16 @@ object GraftExtensions {
       RollingHash(args(0))
     })
 
+  /** `int_dot(array<bigint>, array<bigint>) -> bigint` (quantized scoring) */
+  val intDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("int_dot"),
+    new ExpressionInfo(classOf[IntDotProduct].getCanonicalName, "int_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"int_dot expects exactly 2 arguments, got ${args.length}")
+      IntDotProduct(args(0), args(1))
+    })
+
   /** Register into a LIVE session's function registry (same registration the
     * extension performs at session build), plus the optimizer rule via the
     * experimental-methods hook (extension instances configured at build time
@@ -58,7 +69,7 @@ object GraftExtensions {
     * replaces the function entries and skips an already-present rule.
     */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimilarity, rollingHash).foreach { case (ident, info, builder) =>
+    Seq(cosineSimilarity, rollingHash, intDot).foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))

@@ -66,6 +66,23 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(orth) < 1e-12)
   }
 
+  test("int_dot native expression: SQL-callable, interpreted == generated == manual") {
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT int_dot(array(1L, -2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect().head.getLong(0)
+    assert(viaSql == 1L * 4 - 2L * 5 + 3L * 6)
+    // column API over real rows (exercises the codegen path inside a stage)
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(50)((Array.fill(8)(rnd.nextInt(1000).toLong - 500),
+      Array.fill(8)(rnd.nextInt(1000).toLong - 500)))
+    val got = rows.toDF("a", "b")
+      .select(org.apache.spark.sql.graftx.IntDotProduct(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got == want)
+  }
+
   test("as-of join guards its reserved working columns") {
     import org.apache.spark.sql.functions.lit
     val left = Seq((1L, 1L)).toDF("figi", "ts").withColumn("_asof_ts", lit(0L))
