@@ -653,11 +653,14 @@ object Similarity extends QueryPack {
   def kmeansTrain(s: SparkSession, dir: String): DataFrame =
     kmeansCore(s, dir, KmIters)
 
-  /** iteration-parameterized core (KmeansSpec pins that training does not
-    * increase inertia round over round)
+  /** trained k-means state: (quantized corpus, trained centroid relation,
+    * assignment function) — shared by the training gate and the trained-IVF
+    * search. Both corpus and centroids are cache()'d (multiple consumers,
+    * canonical-plan-deduped).
     */
-  private[graft] def kmeansCore(s: SparkSession, dir: String, iters: Int): DataFrame = {
-    // cache: consumed by the seed selection + every round's assignment
+  private[graft] def kmeansState(
+      s: SparkSession, dir: String, iters: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     val xq = Tables.loadSpread(s, dir, "embeddings")
       .select(col("vec_id"), quantUdf(col("embedding")).as("x"))
       .cache()
@@ -672,6 +675,14 @@ object Similarity extends QueryPack {
     val trained = (1 to iters).foldLeft(c0) { (cents, _) =>
       assign(cents).groupBy("cell").agg(qVecMean(col("x")).as("c"))
     }
+    (xq, if (iters > 0) trained.cache() else trained, assign)
+  }
+
+  /** iteration-parameterized core (KmeansSpec pins that training does not
+    * increase inertia round over round)
+    */
+  private[graft] def kmeansCore(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val (_, trained, assign) = kmeansState(s, dir, iters)
     val members = assign(trained)
     members.groupBy("cell")
       .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
@@ -679,12 +690,19 @@ object Similarity extends QueryPack {
         expr("aggregate(c, 0L, (acc, v) -> acc + v)").as("c_sum")), "cell")
   }
 
-  private val kmeansTrainSql = {
-    def dist(xs: String, cs: String) =
-      s"list_sum([ ($xs[i] - $cs[i]) * ($xs[i] - $cs[i]) for i in range(1, ${Dim + 1}) ])"
+  /** DuckDB rendering of the integer squared-L2 between two list columns */
+  private def sqlDist(xs: String, cs: String) =
+    s"list_sum([ ($xs[i] - $cs[i]) * ($xs[i] - $cs[i]) for i in range(1, ${Dim + 1}) ])"
+
+  /** shared oracle CTE chain replaying the k-means trajectory: quantized
+    * corpus `xq`, seeds `c0`, per-round assign/update up to `c<KmIters>`,
+    * and the final assignment `af (vec_id, x, cell, d)` — both the training
+    * gate and the trained-IVF search gate build on the SAME trained state.
+    */
+  private def kmeansCtes: String = {
     def round(n: Int) =
       s"""d$n AS (
-        |  SELECT vec_id, x, cell, ${dist("x", "c")} AS d
+        |  SELECT vec_id, x, cell, ${sqlDist("x", "c")} AS d
         |  FROM xq, c${n - 1}),
         |a$n AS (
         |  SELECT vec_id, x, cell, d FROM (
@@ -697,7 +715,7 @@ object Similarity extends QueryPack {
         |  FROM a$n, unnest(range(1, ${Dim + 1})) AS t(i)
         |  GROUP BY cell, i),
         |c$n AS (SELECT cell, list(ci ORDER BY i) AS c FROM s$n GROUP BY cell)""".stripMargin
-    s"""WITH xq AS (
+    s"""xq AS (
       |  SELECT vec_id,
       |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
       |          for i in range(1, len(embedding) + 1)] AS x
@@ -705,18 +723,91 @@ object Similarity extends QueryPack {
       |c0 AS (SELECT vec_id + 1 AS cell, x AS c FROM xq WHERE vec_id < $KmK),
       |${(1 to KmIters).map(round).mkString(",\n")},
       |df AS (
-      |  SELECT vec_id, cell, ${dist("x", "c")} AS d
+      |  SELECT vec_id, x, cell, ${sqlDist("x", "c")} AS d
       |  FROM xq, c$KmIters),
       |af AS (
-      |  SELECT cell, d FROM (
+      |  SELECT vec_id, x, cell, d FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
       |    FROM df)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val kmeansTrainSql =
+    s"""WITH $kmeansCtes,
       |cs AS (SELECT cell, CAST(list_sum(c) AS BIGINT) AS c_sum FROM c$KmIters)
       |SELECT cell, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia, c_sum
       |FROM af JOIN cs USING (cell)
       |GROUP BY cell, c_sum""".stripMargin
+
+  /** cells each query probes in the trained index */
+  val TrainedProbes = 2
+
+  /** compiled integer squared-L2 between two quantized vectors */
+  private val intL2Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var d = 0L; var i = 0
+    while (i < Dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
   }
+
+  /** top-[[TrainedProbes]] cells for a query — ascending integer L2 against
+    * the flattened trained matrix, ties → lower cell id (the probe twin of
+    * [[nearestCellUdf]])
+    */
+  private val probeCellsQUdf = udf { (x: Seq[Long], keys: Seq[Long], cmatq: Seq[Long]) =>
+    val scored = keys.indices.map { c =>
+      var d = 0L; var i = 0
+      while (i < Dim) { val t = x(i) - cmatq(c * Dim + i); d += t * t; i += 1 }
+      (d, keys(c))
+    }
+    scored.sorted.take(TrainedProbes).map(_._2).toArray
+  }
+
+  /** ANN through the TRAINED index, oracle-exact end to end: the k-means
+    * trajectory ([[kmeansState]]), the corpus cell assignment, each query's
+    * probed cells, candidate integer L2 scores and the tie-broken top-k all
+    * replay bit-for-bit in DuckDB — an approximate-NN search whose entire
+    * index-build-and-serve pipeline is hash-gated, where the float IVF
+    * ([[ivfTopK]]) can only pin recall. Same serving shape as production:
+    * centroids broadcast, queries explode to (cell, query) probes, the join
+    * touches only probed cells' members, per-query top-k is the
+    * bounded-state aggregate.
+    */
+  def annIvfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val (xq, trained, assign) = kmeansState(s, dir, KmIters)
+    val corpusCells = assign(trained).select("cell", "vec_id", "x")
+    val queries = xq.where(col("vec_id") < 5)
+      .crossJoin(broadcast(centroidMatrixQ(trained)))
+      .select(col("vec_id").as("q_id"), col("x").as("qx"),
+        explode(probeCellsQUdf(col("x"), col("keys"), col("cmatq"))).as("cell"))
+    val topk10 = udaf(new graft.operators.TopKAgg(10))
+    corpusCells.join(queries, Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), intL2Udf(col("x"), col("qx")).as("dist"))
+      .groupBy("q_id")
+      .agg(topk10(-col("dist"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), (-col("col.v")).as("dist"))
+  }
+
+  private val annIvfTrainedTopKSql =
+    s"""WITH $kmeansCtes,
+      |q AS (SELECT vec_id AS q_id, x AS qx FROM xq WHERE vec_id < 5),
+      |pd AS (SELECT q_id, qx, cell, ${sqlDist("qx", "c")} AS d FROM q, c$KmIters),
+      |probes AS (
+      |  SELECT q_id, qx, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cell) AS rn
+      |    FROM pd)
+      |  WHERE rn <= $TrainedProbes),
+      |cand AS (
+      |  SELECT q_id, af.vec_id AS vec_id, ${sqlDist("af.x", "qx")} AS d
+      |  FROM probes JOIN af USING (cell)
+      |  WHERE af.vec_id <> q_id),
+      |r AS (
+      |  SELECT q_id, vec_id, CAST(d AS BIGINT) AS dist,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, rank, vec_id, dist FROM r WHERE rank <= 10""".stripMargin
 
 
   /** ANN over the int8-QUANTIZED corpus: symmetric scale quantization
@@ -818,6 +909,7 @@ object Similarity extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("ann_int8_topk", annInt8TopK, Some(annInt8TopKSql)),
+    Q("ann_ivf_trained_topk", annIvfTrainedTopK, Some(annIvfTrainedTopKSql)),
     Q("emb_quantize_int8", embQuantizeInt8, Some(embQuantizeInt8Sql)),
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
