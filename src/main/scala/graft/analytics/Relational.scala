@@ -1046,6 +1046,57 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Staleness-BOUNDED as-of: each purchase attributes to the latest view at
+    * most 30 minutes before it — the marketing-attribution variant of the
+    * as-of join, where an unboundedly old match is wrong, not stale. Shape:
+    * views become `[ts, ts+30m)` intervals, the grid point-in-interval join
+    * finds all in-window candidates (never a nested loop, hot users split
+    * across grid buckets), and a lexicographic struct-max argmax picks the
+    * latest (DuckDB needs the row_number emulation — the portable argmax
+    * recipe). Purchases with no in-window view drop, like unmatched facts
+    * in a strict attribution model.
+    */
+  def asofBoundedAttribution(s: SparkSession, dir: String): DataFrame = {
+    val us30m = 1800L * 1000000L
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        unix_micros(col("ts")).as("v_us"))
+      .withColumn("v_end", col("v_us") + us30m)
+    graft.operators.RangeJoin
+      .joinPointInInterval(purchases, views, "user_id",
+        pointCol = "p_us", startCol = "v_us", endCol = "v_end",
+        granularity = us30m)
+      .groupBy("p_id")
+      .agg(
+        max(struct(col("v_us"), col("v_id"))).as("best"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("p_id"), col("best.v_id").as("attributed_view"),
+        col("n_candidates"))
+  }
+
+  private val asofBoundedAttributionSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, event_id AS v_id, epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p_id, v_id, v_us
+      |  FROM p JOIN v ON p.user_id = v.user_id
+      |   AND v_us <= p_us AND p_us < v_us + 1800000000),
+      |r AS (
+      |  SELECT p_id, v_id,
+      |         count(*) OVER (PARTITION BY p_id) AS n_candidates,
+      |         row_number() OVER (PARTITION BY p_id ORDER BY v_us DESC, v_id DESC) AS rn
+      |  FROM j)
+      |SELECT p_id, v_id AS attributed_view, CAST(n_candidates AS BIGINT) AS n_candidates
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
     * each other — the semantics CDC reconciliation and dim lookups with
     * optional keys need, and a silent-wrong-answer trap when a plain `=`
@@ -1322,6 +1373,7 @@ object Relational extends QueryPack {
     Q("catalog_profile", catalogProfile, Some(catalogProfileSql)),
     Q("q12_shipmode_priority", shipmodePriority, Some(shipmodePrioritySql)),
     Q("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
+    Q("asof_bounded_attribution", asofBoundedAttribution, Some(asofBoundedAttributionSql)),
     Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
