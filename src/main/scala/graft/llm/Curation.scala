@@ -40,6 +40,62 @@ object Curation extends QueryPack {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
       |GROUP BY source""".stripMargin
 
+  /** RAG corpus preparation composed end-to-end in ONE DAG: length filter →
+    * exact dedup (lowest doc_id per normalized-content hash survives) →
+    * embedding attach (docs without a vector drop — a strict retrieval
+    * corpus) → int8 quantization checksum over the retained vectors. The
+    * output is one stage-accounting row, so ANY stage silently widening or
+    * narrowing the funnel (filter criteria drift, dedup keeping the wrong
+    * representative, a lossy embedding join, quantization skew) flips the
+    * oracle hash. Shapes are the individual operators' shapes — hash-keyed
+    * dedup shuffle, broadcast-eligible survivor join, narrow quantization
+    * projection — composition adds no new shuffle.
+    */
+  def ragCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val scored = docs
+      .select(col("doc_id"), size(TextStats.tokensCol).as("n_tokens"),
+        Dedup.contentHash.as("h"))
+      .where(col("n_tokens") >= 10)
+    val kept = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select("doc_id")
+    val emb = Tables.load(s, dir, "embeddings")
+    val joined = kept.join(emb, col("doc_id") === col("vec_id"))
+      .select(expr(
+        "aggregate(transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)), 0L, (a, v) -> a + v)")
+        .as("qsum"))
+    docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(scored.agg(count(lit(1)).as("n_filtered")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(joined.agg(count(lit(1)).as("n_embedded"),
+        sum(col("qsum")).as("quant_checksum")))
+  }
+
+  private val ragCorpusSql =
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |         len(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) AS n_tokens,
+      |         md5(lower(trim(regexp_replace(text, '${TextStats.WsRe}', ' ', 'g')))) AS h
+      |  FROM documents),
+      |filtered AS (SELECT * FROM scored WHERE n_tokens >= 10),
+      |kept AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |    FROM filtered)
+      |  WHERE rn = 1),
+      |qs AS (
+      |  SELECT list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) * 127) AS BIGINT)
+      |                   for i in range(1, len(embedding) + 1)]) AS qsum
+      |  FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id)
+      |SELECT (SELECT count(*) FROM documents) AS n_total,
+      |       (SELECT count(*) FROM filtered) AS n_filtered,
+      |       (SELECT count(*) FROM kept) AS n_kept,
+      |       count(*) AS n_embedded,
+      |       CAST(sum(qsum) AS BIGINT) AS quant_checksum
+      |FROM qs""".stripMargin
+
   /** The canonical curation chain composed end-to-end: length filter →
     * exact near-dup removal (keep the lowest doc_id per normalized-content
     * hash) → per-(source, lang) accounting of what survives.
@@ -541,6 +597,7 @@ object Curation extends QueryPack {
     Q("pack_sequences", packSequences, Some(packSequencesSql)),
     Q("pipeline_train_ready", trainReady, Some(trainReadySql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
+    Q("pipeline_rag_corpus", ragCorpus, Some(ragCorpusSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)),
     Q("split_train_eval", splitTrainEval, Some(splitTrainEvalSql)),
