@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(1500))
   }
 
+  test("query registry: names globally unique, every oracle names a query") {
+    // queries/oracles build via flatMap(...).toMap — a duplicate name across
+    // packs would silently SHADOW one implementation instead of failing
+    val names = SparkEntry.packs.flatMap(_.all.map(_.name))
+    val dups = names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names across packs: $dups")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized

@@ -279,6 +279,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows("b") == Seq((5L, 3L)))
   }
 
+  test("streaming vector scoring matches the batch ranking (broadcast corpus)") {
+    // the ANN serving loop under streaming: quantized corpus broadcast,
+    // each micro-batch of query vectors scored with the native int_dot and
+    // top-1 picked per query — per-batch results must equal the batch answer
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graftx.IntDotProduct
+    val corpus = Seq(
+      (10L, Array(1L, 0L, 0L)), (11L, Array(0L, 1L, 0L)), (12L, Array(3L, 3L, 3L)))
+      .toDF("vec_id", "x")
+    val mem = MemoryStream[(Long, Array[Long])]
+    val queries = mem.toDF().toDF("q_id", "qx")
+    val scored = queries.join(broadcast(corpus))
+      .select(col("q_id"), col("vec_id"), IntDotProduct(col("x"), col("qx")).as("dot"))
+    val top = scored
+      .groupBy("q_id")
+      .agg(max(struct(col("dot"), col("vec_id"))).as("best"))
+      .select(col("q_id"), col("best.vec_id").as("vec_id"), col("best.dot").as("dot"))
+    val q = top.writeStream.format("memory").queryName("vecscore")
+      .outputMode("complete").start()
+    mem.addData((1L, Array(5L, 0L, 0L)), (2L, Array(0L, 0L, 9L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vecscore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (12L, 15L), 2L -> (12L, 27L)))
+  }
+
   test("observed metrics surface per-batch counts without a second aggregation pass") {
     // Dataset.observe rides accumulator-style on the existing plan — the
     // production hook for ingest-rate / drop-rate dashboards that would
