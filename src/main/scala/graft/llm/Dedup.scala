@@ -895,7 +895,41 @@ object Dedup extends QueryPack {
       |FROM documents d JOIN pd USING (doc_id)
       |GROUP BY source""".stripMargin
 
+  /** Cross-source duplication matrix: how many distinct LEADING contents
+    * (first 8 tokens — the template/boilerplate opening) appear in BOTH
+    * sources of each pair — the pooling diagnostic run before merging
+    * corpora (two crawls sharing openings are re-crawling each other's
+    * templates and shouldn't both count toward the token budget; full-body
+    * equality is [[exact]]'s job and is too strict to measure overlap).
+    * One distinct (source, prefix-hash) projection, a self-equi-join on the
+    * hash (fan-out bounded by sources² per hash, never documents²), and the
+    * upper-triangle pair aggregate.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val prefix = array_join(slice(TextStats.tokensCol, 1, 8), " ")
+    val hashSources = docs.select(col("source"), md5(prefix.cast("binary")).as("h")).distinct()
+    hashSources.as("a")
+      .join(hashSources.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_prefixes"))
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH hs AS (
+      |  SELECT DISTINCT source,
+      |         md5(array_to_string(
+      |           (list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> ''))[1:8],
+      |           ' ')) AS h
+      |  FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       count(*) AS n_shared_prefixes
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("boilerplate_ratio", boilerplateRatio, Some(boilerplateRatioSql)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
