@@ -40,6 +40,32 @@ object Curation extends QueryPack {
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
       |GROUP BY source""".stripMargin
 
+  /** Length-WEIGHTED deterministic sampling: each document keeps with
+    * probability ∝ its character count (capped at 1) — the token-budget
+    * shaping pass that favors long documents without a global sort or RNG
+    * state. Membership is the pure integer compare
+    * `md5(doc_id) mod 1e6 < n_chars · 250`: uniform in [0, 1e6) against a
+    * weight-scaled threshold, so retries, replays and the oracle agree
+    * row-for-row (the weighted twin of [[sampleStratified]]'s flat cut).
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+    docs.where(u < col("n_chars") * 250L)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+  }
+
+  private val weightedSampleSql =
+    """SELECT source, count(*) AS n_kept,
+      |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < n_chars * 250
+      |GROUP BY source""".stripMargin
+
   /** RAG corpus preparation composed end-to-end in ONE DAG: length filter →
     * exact dedup (lowest doc_id per normalized-content hash survives) →
     * embedding attach (docs without a vector drop — a strict retrieval
@@ -598,6 +624,7 @@ object Curation extends QueryPack {
     Q("pipeline_train_ready", trainReady, Some(trainReadySql)),
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     Q("pipeline_rag_corpus", ragCorpus, Some(ragCorpusSql)),
+    Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)),
     Q("split_train_eval", splitTrainEval, Some(splitTrainEvalSql)),
