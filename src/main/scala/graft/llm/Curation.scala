@@ -66,6 +66,34 @@ object Curation extends QueryPack {
       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < n_chars * 250
       |GROUP BY source""".stripMargin
 
+  /** Token-length distribution profile per source — p10/p50/p90 of document
+    * token counts, the curation diagnostic behind length filters and packing
+    * budgets. Exact quantiles from ONE value histogram per source
+    * ([[graft.operators.ExactQuantile.groupQuantilesDisc]]): token counts
+    * have bounded cardinality, so task state is histogram-sized regardless
+    * of corpus size.
+    */
+  def tokenLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select(col("source"), size(TextStats.tokensCol).cast("long").as("n_tokens"))
+    graft.operators.ExactQuantile
+      .groupQuantilesDisc(docs, Seq("source"), "n_tokens", Seq(0.1, 0.5, 0.9))
+      .select(col("source"), col("n_tokens_q0").as("p10"),
+        col("n_tokens_q1").as("p50"), col("n_tokens_q2").as("p90"), col("n"))
+  }
+
+  private val tokenLengthQuantilesSql =
+    s"""WITH t AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT source,
+      |       quantile_disc(n_tokens, 0.1) AS p10,
+      |       quantile_disc(n_tokens, 0.5) AS p50,
+      |       quantile_disc(n_tokens, 0.9) AS p90,
+      |       count(*) AS n
+      |FROM t GROUP BY source""".stripMargin
+
   /** RAG corpus preparation composed end-to-end in ONE DAG: length filter →
     * exact dedup (lowest doc_id per normalized-content hash survives) →
     * embedding attach (docs without a vector drop — a strict retrieval
@@ -625,6 +653,7 @@ object Curation extends QueryPack {
     Q("pipeline_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     Q("pipeline_rag_corpus", ragCorpus, Some(ragCorpusSql)),
     Q("weighted_sample", weightedSample, Some(weightedSampleSql)),
+    Q("token_length_quantiles", tokenLengthQuantiles, Some(tokenLengthQuantilesSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)),
     Q("split_train_eval", splitTrainEval, Some(splitTrainEvalSql)),
