@@ -938,6 +938,58 @@ object Analytics extends QueryPack {
       |       CAST(max(n_events) AS BIGINT) AS max_session_events
       |FROM per GROUP BY user_id""".stripMargin
 
+  /** RFM segmentation: each purchasing user scored on Recency (last purchase
+    * time), Frequency (purchase count) and Monetary (exact integer value
+    * sum), cut into terciles per dimension, labeled `r{1-3}f{1-3}m{1-3}`,
+    * and counted per segment — the classic marketing segmentation, here
+    * with EXACT tercile cut points from value histograms
+    * ([[graft.operators.ExactQuantile]]; the single-group histogram is
+    * bounded by value cardinality — for a billion-user deployment swap the
+    * R dimension's exact histogram for `percentile_approx`, the usual
+    * trade). Cuts broadcast back; the segment label is a pure function of
+    * (user stats, cuts), so the gate is hash-strict.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.load(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(unix_micros(col("ts"))).as("r"),
+        count(lit(1)).as("f"),
+        sum(floor(col("value") * 1000).cast("long")).as("m"))
+      .withColumn("g", lit(0))
+    def cuts(c: String) = broadcast(
+      graft.operators.ExactQuantile
+        .groupQuantilesDisc(perUser, Seq("g"), c, Seq(1.0 / 3, 2.0 / 3))
+        .select(col(s"${c}_q0").as(s"${c}33"), col(s"${c}_q1").as(s"${c}66")))
+    def idx(c: String) =
+      lit(1) + (col(c) > col(s"${c}33")).cast("int") + (col(c) > col(s"${c}66")).cast("int")
+    perUser
+      .crossJoin(cuts("r")).crossJoin(cuts("f")).crossJoin(cuts("m"))
+      .select(
+        concat(lit("r"), idx("r"), lit("f"), idx("f"), lit("m"), idx("m")).as("segment"),
+        col("m"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum("m").as("sum_m"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH pu AS (
+      |  SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS r, count(*) AS f,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS m
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |c AS (
+      |  SELECT quantile_disc(r, 1.0/3) AS r33, quantile_disc(r, 2.0/3) AS r66,
+      |         quantile_disc(f, 1.0/3) AS f33, quantile_disc(f, 2.0/3) AS f66,
+      |         quantile_disc(m, 1.0/3) AS m33, quantile_disc(m, 2.0/3) AS m66
+      |  FROM pu)
+      |SELECT concat(
+      |         'r', 1 + CASE WHEN r > r33 THEN 1 ELSE 0 END + CASE WHEN r > r66 THEN 1 ELSE 0 END,
+      |         'f', 1 + CASE WHEN f > f33 THEN 1 ELSE 0 END + CASE WHEN f > f66 THEN 1 ELSE 0 END,
+      |         'm', 1 + CASE WHEN m > m33 THEN 1 ELSE 0 END + CASE WHEN m > m66 THEN 1 ELSE 0 END) AS segment,
+      |       count(*) AS n_users, CAST(sum(m) AS BIGINT) AS sum_m
+      |FROM pu, c GROUP BY 1""".stripMargin
+
   /** A/B-experiment lift readout: users split deterministically into two
     * arms (`user_id % 2` — membership is a pure function, so retries,
     * replays and the oracle all agree), per-arm user counts and purchase
@@ -1193,6 +1245,7 @@ object Analytics extends QueryPack {
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
     Q("ab_lift", abLift, Some(abLiftSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
+    Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
