@@ -789,8 +789,13 @@ object Dedup extends QueryPack {
   /** Negatives per contrastive pair. */
   private val NumNegatives = 2
 
-  /** Coin threshold selecting the negative candidate pool (≈10% of docs). */
-  private val NegPoolCoin = 100
+  /** Fixed size of the negative candidate pool. A CONSTANT, not a fraction:
+    * a percentage pool grows with the corpus (at 100 TB a 10% id-slice is
+    * billions of rows — unbroadcastable), while a hash-ranked LIMIT keeps the
+    * pool this many rows at any scale, so the anchors × pool join stays a
+    * broadcast and the pre-window fan-out is bounded at |pairs| × this.
+    */
+  private val NegPoolSize = 200
 
   /** Contrastive training-pair generation: every exact-Jaccard positive
     * pair (anchor, positive) gets [[NumNegatives]] deterministic hard-ish
@@ -799,16 +804,22 @@ object Dedup extends QueryPack {
     * (anchor, candidate) so retries and re-runs emit identical pairs
     * (`rand()`-style sampling would not survive task retry).
     *
-    * 100 TB posture: the pool is a fixed ~10% coin slice of doc IDS ONLY —
-    * small enough to broadcast — so negatives come from an anchors ×
-    * broadcast(pool) join, never a corpus × corpus shuffle; the per-pair
-    * top-k is a window over (pair)-partitioned rows. Raising pool quality
-    * (e.g. same-language negatives) is a pool-side filter, same plan shape.
+    * 100 TB posture: the pool is the [[NegPoolSize]] doc ids with the
+    * smallest md5("negpool:"||id) — corpus-independent size, computed by
+    * Spark as a TakeOrderedAndProject (per-partition top-N, driver merge of
+    * N×partitions ids, never a global sort) — so negatives come from an
+    * anchors × broadcast(pool) join, never a corpus × corpus shuffle; the
+    * per-pair top-k is a window over (pair)-partitioned rows. Raising pool
+    * quality (e.g. same-language negatives) is a pool-side filter before the
+    * rank, same plan shape.
     */
   def contrastiveNegatives(s: SparkSession, dir: String): DataFrame = {
     val labels = components(s, dir)
     val pool = Tables.load(s, dir, "documents").select("doc_id")
-      .where(portableCoin(col("doc_id"), "negpool") < NegPoolCoin)
+      .withColumn("pool_rk",
+        md5(concat(lit("negpool:"), col("doc_id").cast("string")).cast("binary")))
+      .orderBy(col("pool_rk"), col("doc_id"))
+      .limit(NegPoolSize)
       .join(labels, Seq("doc_id"), "left")
       .select(
         col("doc_id").as("neg_id"),
@@ -832,10 +843,13 @@ object Dedup extends QueryPack {
 
   private val contrastiveSql =
     s"""WITH RECURSIVE $closureCtes,
+      |pool_ids AS (
+      |  SELECT doc_id FROM documents
+      |  ORDER BY md5('negpool:' || CAST(doc_id AS VARCHAR)), doc_id
+      |  LIMIT $NegPoolSize),
       |pool AS (
       |  SELECT d.doc_id AS neg_id, COALESCE(l.canon_id, d.doc_id) AS neg_cluster
-      |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
-      |  WHERE CAST('0x' || substr(md5('negpool:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < $NegPoolCoin),
+      |  FROM pool_ids d LEFT JOIN lab l ON d.doc_id = l.doc_id),
       |anch AS (
       |  SELECT p.doc_a, p.doc_b, COALESCE(l.canon_id, p.doc_a) AS a_cluster
       |  FROM pairs p LEFT JOIN lab l ON p.doc_a = l.doc_id),
