@@ -106,17 +106,49 @@ object Similarity extends QueryPack {
   }
 
   /** Hyperplane matrix [table][plane][dim], components uniform in [-1, 1),
-    * derived deterministically from the indices. Built ONCE on the driver and
-    * shipped in the UDF closure — per-row work is a plain compiled dot
-    * product, not 2048 hash calls (the round-2 formulation recomputed
-    * xxhash64 per (table × plane × dim) per row inside interpreted
-    * higher-order functions — 13× slower than brute force).
+    * derived deterministically from the indices via a PORTABLE hash:
+    * the first 8 hex chars of md5("plane:t:p:d") as a 32-bit integer,
+    * scaled by the exact power-of-two division h/2^31 − 1 (both steps are
+    * single correctly-rounded double ops, so DuckDB's
+    * `CAST('0x'||substr(md5(...),1,8) AS BIGINT) / 2147483648 - 1`
+    * reproduces every component bit-for-bit — which is what lets
+    * [[lshTopK]] and [[embCosDedup]] be hash-gated end to end instead of
+    * recall-pinned). Built ONCE on the driver and shipped in the UDF
+    * closure — per-row work is a plain compiled dot product, not 2048 hash
+    * calls (the round-2 formulation recomputed xxhash64 per
+    * (table × plane × dim) per row inside interpreted higher-order
+    * functions — 13× slower than brute force).
     */
-  private lazy val planes: Array[Array[Array[Double]]] =
+  private lazy val planes: Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(Tables_, Planes, Dim) { (t, p, d) =>
-      val h = splitmix((t.toLong << 40) ^ (p.toLong << 20) ^ d.toLong)
-      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+      val hex = md.digest(s"plane:$t:$p:$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
     }
+  }
+
+  /** DuckDB CTEs reproducing [[planes]] and [[bucketsUdf]]: `pl` is one row
+    * per (t, p) carrying the 64-weight plane as an ordered list; `keys` is
+    * one row per (vec_id, t) with the bucket key. The dot-product sign uses
+    * the same sequential fold as the UDF loop (list_prepend 0.0 +
+    * list_reduce), so bucket membership replays exactly.
+    */
+  private def bucketCtes: String =
+    s"""pl AS (
+      |  SELECT t, p,
+      |         [CAST('0x' || substr(md5('plane:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) / 2147483648 - 1
+      |          for i in range(1, $Dim + 1)] AS w
+      |  FROM range($Tables_) tt(t), range($Planes) pp(p)),
+      |sgn AS (
+      |  SELECT e.vec_id, pl.t, pl.p,
+      |         CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           [CAST(e.embedding[i] AS DOUBLE) * pl.w[i] for i in range(1, $Dim + 1)]),
+      |           (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e, pl),
+      |keys AS (
+      |  SELECT vec_id, t, CAST(sum(bit * (1 << p)) AS BIGINT) AS b
+      |  FROM sgn GROUP BY 1, 2)""".stripMargin
 
   /** embedding → all Tables_ bucket keys (sign bits of Planes dot products) */
   private val bucketsUdf = udf { (emb: Seq[Float]) =>
@@ -143,8 +175,10 @@ object Similarity extends QueryPack {
     * re-ranked. One corpus scan computes all L keys per vector (posexplode),
     * the query keys broadcast into it, and only (query_id, neighbor_id,
     * cos_sim) scalars flow into the dedup/rank shuffle. Output is approximate
-    * (recall < 1 by design) → no SQL oracle; the ScalaTest pins recall on
-    * planted clusters instead.
+    * vs brute force (recall < 1 by design) but DETERMINISTIC given the
+    * md5-derived [[planes]], so the DuckDB oracle replays bucket membership,
+    * candidate sets and ranks exactly ([[bucketCtes]]); the ScalaTest
+    * additionally pins recall on planted clusters.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
@@ -164,6 +198,39 @@ object Similarity extends QueryPack {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
+
+  /** exact-cosine SQL shared by the LSH/embcos oracles — the same
+    * sequential-fold dot products as [[bruteForceSql]]'s local helper */
+  private def cosSqlOf(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  [CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1, $Dim + 1)]),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val lshTopKSql =
+    s"""WITH $bucketCtes,
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      |  ORDER BY vec_id LIMIT $NumQueries),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id
+      |  FROM q
+      |  JOIN keys qk ON qk.vec_id = q.query_id
+      |  JOIN keys k ON k.t = qk.t AND k.b = qk.b AND k.vec_id <> q.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         round(${cosSqlOf("q.qvec", "e.embedding")}, 6) AS cos_sim
+      |  FROM cand c
+      |  JOIN q ON q.query_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $TopK""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Embedding-cosine near-dup (semantic dedup)
@@ -210,6 +277,28 @@ object Similarity extends QueryPack {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("max_cos"))
   }
+
+  private val embCosDedupSql =
+    s"""WITH $bucketCtes,
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM keys x JOIN keys y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+      |scored AS (
+      |  SELECT ea.label, ${cosSqlOf("ea.embedding", "eb.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+      |per AS (
+      |  SELECT label, count(*) AS n_candidate_pairs,
+      |         CAST(sum(CASE WHEN cos >= 95 / 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |         round(max(cos), 6) AS max_cos
+      |  FROM scored GROUP BY label),
+      |tot AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+      |SELECT t.label, t.n_vectors,
+      |       CAST(COALESCE(p.n_candidate_pairs, 0) AS BIGINT) AS n_candidate_pairs,
+      |       CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
+      |       p.max_cos
+      |FROM tot t LEFT JOIN per p ON t.label = p.label""".stripMargin
 
   // ---------------------------------------------------------------------------
   // IVF (inverted-file) ANN
@@ -913,8 +1002,8 @@ object Similarity extends QueryPack {
     Q("emb_quantize_int8", embQuantizeInt8, Some(embQuantizeInt8Sql)),
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
-    Q("ann_lsh_topk", lshTopK, None),
+    Q("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("ann_ivf_topk", ivfTopK, None),
-    Q("dedup_embcos", embCosDedup, None),
+    Q("dedup_embcos", embCosDedup, Some(embCosDedupSql)),
     Q("emb_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }
