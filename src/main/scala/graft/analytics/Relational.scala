@@ -707,6 +707,14 @@ object Relational extends QueryPack {
     * the data-quality primitives every ingestion audit runs. min/max are
     * emitted only for engine-stable string renderings (integers, strings);
     * float/timestamp renderings differ across engines and stay NULL.
+    *
+    * SMALL-TABLE-ONLY by design: the 6 exact `countDistinct`s in one
+    * aggregate plan an Expand — a ×6 row multiplication of the full fact
+    * BEFORE the partial agg — which at 100 TB pushes 6 copies of the table
+    * through one shuffle. This exact variant exists for oracle-exact audits
+    * of bounded tables; the scale path is [[profileOrdersApprox]], the same
+    * profile through single-pass mergeable HLL sketches (no Expand, one
+    * bounded-state aggregate), spec-pinned within 5% of these counts.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
     // spread, not plain load: the multi-countDistinct agg plans an Expand
@@ -785,6 +793,56 @@ object Relational extends QueryPack {
       |UNION ALL SELECT 'o_totalprice', n_rows, null_totalprice, dist_totalprice, NULL, NULL FROM a
       |UNION ALL SELECT 'o_orderdate', n_rows, null_orderdate, dist_orderdate, NULL, NULL FROM a
       |UNION ALL SELECT 'o_orderpriority', n_rows, null_priority, dist_priority, min_priority, max_priority FROM a""".stripMargin
+
+  /** The 100-TB-safe twin of [[profileOrders]]: identical output shape with
+    * every exact `countDistinct` replaced by a mergeable HLL sketch
+    * (`approx_count_distinct`, rsd = 0.01). One pass, one ordinary partial
+    * aggregate — NO Expand, no ×6 fact multiplication — so the plan is a
+    * scan plus a single 1-row reduce at any scale. Sketch estimates are
+    * engine-specific → no SQL oracle; LlmSpec pins every n_distinct within
+    * 5% of the exact profiler on the same data (rows-only check here).
+    */
+  def profileOrdersApprox(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadSpread(s, dir, "orders")
+    val one = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      approx_count_distinct(col("o_orderkey"), rsd = 0.01).as("dist_orderkey"),
+      min(col("o_orderkey")).cast("string").as("min_orderkey"),
+      max(col("o_orderkey")).cast("string").as("max_orderkey"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.01).as("dist_custkey"),
+      min(col("o_custkey")).cast("string").as("min_custkey"),
+      max(col("o_custkey")).cast("string").as("max_custkey"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+      approx_count_distinct(col("o_orderstatus"), rsd = 0.01).as("dist_status"),
+      min(col("o_orderstatus")).as("min_status"),
+      max(col("o_orderstatus")).as("max_status"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_totalprice"),
+      approx_count_distinct(col("o_totalprice"), rsd = 0.01).as("dist_totalprice"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+      approx_count_distinct(col("o_orderdate"), rsd = 0.01).as("dist_orderdate"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priority"),
+      approx_count_distinct(col("o_orderpriority"), rsd = 0.01).as("dist_priority"),
+      min(col("o_orderpriority")).as("min_priority"),
+      max(col("o_orderpriority")).as("max_priority"))
+    def row(name: String, nulls: Column, dist: Column, mn: Column, mx: Column) =
+      struct(lit(name).as("column_name"), col("n_rows"), nulls.as("n_null"),
+        dist.as("n_distinct"), mn.as("min_s"), mx.as("max_s"))
+    val nullS = lit(null).cast("string")
+    one.select(explode(array(
+        row("o_orderkey", col("null_orderkey"), col("dist_orderkey"),
+          col("min_orderkey"), col("max_orderkey")),
+        row("o_custkey", col("null_custkey"), col("dist_custkey"),
+          col("min_custkey"), col("max_custkey")),
+        row("o_orderstatus", col("null_status"), col("dist_status"),
+          col("min_status"), col("max_status")),
+        row("o_totalprice", col("null_totalprice"), col("dist_totalprice"), nullS, nullS),
+        row("o_orderdate", col("null_orderdate"), col("dist_orderdate"), nullS, nullS),
+        row("o_orderpriority", col("null_priority"), col("dist_priority"),
+          col("min_priority"), col("max_priority")))).as("p"))
+      .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
+  }
 
   /** Fixed-width histogram of order totals (30k-wide buckets). The bucket
     * index is floor(v/30000) — a single correctly-rounded IEEE division
@@ -1406,6 +1464,7 @@ object Relational extends QueryPack {
     Q("skew_profile", skewProfile, Some(skewProfileSql)),
     Q("props_extract", propsExtract, Some(propsExtractSql)),
     Q("profile_orders", profileOrders, Some(profileOrdersSql)),
+    Q("profile_orders_approx", profileOrdersApprox, None),
     Q("hist_price", histPrice, Some(histPriceSql)),
     Q("pivot_status", pivotStatus, Some(pivotStatusSql)),
     Q("unpivot_status", unpivotStatus, Some(unpivotStatusSql)))

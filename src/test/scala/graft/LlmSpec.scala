@@ -279,6 +279,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("approx column profile matches exact profile (counts exact, distinct within 5%)") {
+    import graft.analytics.Relational
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val exact  = byCol(Relational.profileOrders(spark, sfDir))
+    val approx = byCol(Relational.profileOrdersApprox(spark, sfDir))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getLong(1) == e.getLong(1), s"$c n_rows")   // exact fields identical
+      assert(a.getLong(2) == e.getLong(2), s"$c n_null")
+      assert(a.getString(4) == e.getString(4), s"$c min_s")
+      assert(a.getString(5) == e.getString(5), s"$c max_s")
+      val (ad, ed) = (a.getLong(3), e.getLong(3))          // sketch within rsd envelope
+      assert(math.abs(ad - ed).toDouble / ed <= 0.05, s"$c n_distinct: $ad vs $ed")
+    }
+  }
+
   test("decontaminate_eval finds cross-split 8-gram overlap (vs DuckDB)") {
     import graft.llm.Curation
     val rows = Curation.decontaminate(spark, sfDir)
