@@ -55,11 +55,22 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // millisecond precision keeps the line compact (139 queries at full
+    // double precision overflowed the driver's fixed-size log-tail capture
+    // in round 4, truncating the JSON mid-map)
+    def ms(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+    val json =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(json)
+    // silence executor/context shutdown chatter, then re-emit the JSON after
+    // spark.stop() so the payload is the process's LAST stdout line — a
+    // tail-capture of any size ends with a complete, parseable record
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
