@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *   query <name> [sfDir]  — run one registered query and print it
   *   sql <statement> [sfDir] — register the testdata tables as views and run
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
+  *   serve [sfDir] [port] — resident HiveServer2 Thrift/JDBC endpoint over
+  *     the tables + §2 analysis views (see [[Serve]]) — the reference's
+  *     always-on Grafana→ClickHouse serving path
   *   compact <tableDir> <partitionCol> [targetBytes] — partition-local
   *     small-file compaction (see [[sources.Compaction]])
   *   optimize <tableLogDir> [nFiles] — compact a table-log table's latest
@@ -75,13 +78,38 @@ object Main {
     case "sql" :: statement :: rest =>
       val spark = session()
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      Tables.All.foreach { t =>
         if (new java.io.File(s"$dir/$t.parquet").exists())
           Tables.load(spark, dir, t).createOrReplaceTempView(t)
       }
       spark.sql(statement).show(100, truncate = false)
       spark.stop()
+    case "serve" :: rest =>
+      val dir  = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      val port = rest.drop(1).headOption.map(_.toInt).getOrElse(10000)
+      // dedicated builder: singleSession is a static conf (must be set at
+      // session creation) and lets beeline use unqualified view names; the
+      // global_temp.* registrations in Serve work regardless
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.hive.thriftServer.singleSession", "true")
+        .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
+        .getOrCreate()
+      org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+      spark.sparkContext.setLogLevel("WARN")
+      Tables.All.foreach { t =>
+        if (new java.io.File(s"$dir/$t.parquet").exists())
+          Tables.load(spark, dir, t).createOrReplaceTempView(t)
+      }
+      Serve.start(spark, dir, port)
+      if (!Serve.awaitPort(port))
+        { System.err.println(s"[graft] serve: port $port did not open"); sys.exit(1) }
+      println(s"[graft] serving JDBC on jdbc:hive2://localhost:$port — tables " +
+        s"${Tables.All.mkString(", ")} (+ global_temp.q_<analysis>); Ctrl-C to stop")
+      Thread.currentThread.join()
     case "compact" :: table :: partCol :: rest =>
       val spark = session()
       val target = rest.headOption.map(_.toLong).getOrElse(128L * 1024 * 1024)
@@ -118,6 +146,7 @@ object Main {
           "       graft query <name> [sfDir]\n" +
           "       graft explain <name> [sfDir]\n" +
           "       graft sql <statement> [sfDir]\n" +
+          "       graft serve [sfDir] [port]          — resident JDBC endpoint\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +

@@ -29,6 +29,10 @@ object Tables {
   import org.apache.spark.sql.functions.{expr, timestamp_micros}
   import org.apache.spark.sql.types.LongType
 
+  /** every driver-generated testdata table */
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   /** [[load]] + round-robin spread across the session's shuffle parallelism.
     *
     * The local testdata parquet ships ONE row group per table, and a parquet

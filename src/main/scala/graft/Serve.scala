@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+
+/** Resident SQL serving endpoint — the engine's analogue of the reference's
+  * always-on dashboard path (Grafana polling ClickHouse over HTTP,
+  * `/root/reference/compose.yaml:16-28`, store exposed at `compose.yaml:11`):
+  * a HiveServer2 Thrift/JDBC endpoint over the registered tables plus the
+  * four §2 analyses as views, so any JDBC client (beeline, Grafana's
+  * Hive-compatible data source, BI tools) can poll the same relations the
+  * batch CLI computes — continuously, without spawning a JVM per query.
+  *
+  * Views are registered in the GLOBAL temp catalog (`global_temp.<name>`):
+  * every JDBC connection opens its own Spark session, and global temp views
+  * are the cross-session catalog that does not depend on the
+  * `thriftServer.singleSession` static conf (which cannot be applied to an
+  * already-running session). The CLI additionally sets singleSession so
+  * plain unqualified names work from beeline.
+  *
+  * Scale notes: the server plans each JDBC statement through the shared
+  * SparkContext — Catalyst + AQE + the cluster's full parallelism, identical
+  * to batch execution; the endpoint itself holds no data. Analysis views are
+  * lazy logical plans (re-planned and re-executed per poll, the Grafana
+  * refresh model); a production deployment would point them at table-log or
+  * catalog tables instead of raw parquet and leave result caching to the
+  * dashboard layer.
+  */
+object Serve {
+
+  /** The four declared analyses of the reference's main loop
+    * (`from_parser_to_rabbitmq.py:228-240`) — the relations its Grafana
+    * dashboards exist to chart, served here as `global_temp.q_<name>`.
+    */
+  val AnalysisViews: Seq[String] =
+    Seq("a1_volatility", "a2_trade_impact", "a3_predictability", "a4_imbalance")
+
+  /** Register base tables and analysis views into the global temp catalog. */
+  def registerViews(spark: SparkSession, dir: String,
+                    queries: Seq[String] = AnalysisViews): Unit = {
+    Tables.All.foreach { t =>
+      if (new java.io.File(s"$dir/$t.parquet").exists())
+        Tables.load(spark, dir, t).createOrReplaceGlobalTempView(t)
+    }
+    queries.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        fn(spark, dir).createOrReplaceGlobalTempView(s"q_$name")
+      }
+    }
+  }
+
+  /** Start the Thrift endpoint on `port` over `dir`'s tables. Returns the
+    * server; callers own its lifecycle (`stop()`). Declared as the public
+    * HiveServer2 ancestor — Spark's HiveThriftServer2 class itself is
+    * `private[hive]` (only its companion is public API).
+    */
+  def start(spark: SparkSession, dir: String, port: Int): org.apache.hive.service.server.HiveServer2 = {
+    registerViews(spark, dir)
+    // the server reads its port from the session's hadoop conf at init
+    spark.sparkContext.hadoopConfiguration.set("hive.server2.thrift.port", port.toString)
+    spark.sparkContext.hadoopConfiguration.set("hive.server2.thrift.bind.host", "localhost")
+    HiveThriftServer2.startWithContext(spark.sqlContext)
+  }
+
+  /** Block until `port` accepts TCP connections (the HiveServer2 services
+    * start asynchronously after init), up to `timeoutMs`.
+    */
+  def awaitPort(port: Int, timeoutMs: Long = 60000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      try {
+        val s = new java.net.Socket()
+        try { s.connect(new java.net.InetSocketAddress("localhost", port), 1000); return true }
+        finally s.close()
+      } catch { case _: java.io.IOException => Thread.sleep(250) }
+    }
+    false
+  }
+}
