@@ -1151,15 +1151,27 @@ object Analytics extends QueryPack {
       .distinct()
     val edges = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    // cache: consumed by both iterations (canonical-plan-deduped — CLAUDE.md)
-    val e = edges.join(deg, "u").cache()
-    val s0 = deg.select(col("u").as("node"), lit(1000000L).as("score"))
     // score is VERTEX-sized (tiny next to the edge relation): broadcasting
     // it makes each round one shuffle (the per-target aggregation) instead
-    // of two. When V itself outgrows a broadcast, drop the hint and
-    // co-partition edges and scores on `u` — the plan shape is unchanged.
+    // of two. When V itself outgrows executor memory, a deployment sets
+    // spark.graft.graph.broadcastVertices=false: edges are then cached
+    // CO-PARTITIONED on u (one exchange, reused by every round's join) and
+    // scores reach them through a shuffle-hash join — same plan shape, no
+    // vertex relation ever materialized on one machine. Identical results
+    // by construction; AnalyticsSpec pins both (plan + rows).
+    val bcastVerts =
+      s.conf.get("spark.graft.graph.broadcastVertices", "true").toBoolean
+    // cache: consumed by both iterations (canonical-plan-deduped — CLAUDE.md).
+    // deg is vertex-sized like score, so non-broadcast mode must keep IT out
+    // of a broadcast too — the edge build becomes a co-partitioned SHJ.
+    val eRaw =
+      if (bcastVerts) edges.join(deg, "u")
+      else edges.join(deg.hint("shuffle_hash"), "u")
+    val e = (if (bcastVerts) eRaw else eRaw.repartition(col("u"))).cache()
+    val s0 = deg.select(col("u").as("node"), lit(1000000L).as("score"))
     val s2 = (1 to 2).foldLeft(s0) { (score, _) =>
-      e.join(broadcast(score), col("u") === col("node"))
+      val scoreSide = if (bcastVerts) broadcast(score) else score.hint("shuffle_hash")
+      e.join(scoreSide, col("u") === col("node"))
         .select(col("v"), expr("score div deg").as("fl"))
         .groupBy("v")
         .agg(sum("fl").as("sfl"))

@@ -157,4 +157,27 @@ class AnalyticsSpec extends SparkSpec {
       assert(nAgree <= nDays && both <= nAgree)
     }
   }
+
+  test("graph influence: non-broadcast vertex mode plans no broadcast and matches") {
+    // fallback mode must run FIRST on a clean cache: join hints are not part
+    // of cache canonicalization, so a previously-cached broadcast-built edge
+    // relation would be substituted into this run's plan and show its (fine,
+    // already-materialized) broadcast in the toString
+    spark.sqlContext.clearCache()
+    spark.conf.set("spark.graft.graph.broadcastVertices", "false")
+    val (rows, plan) =
+      try {
+        val df = Analytics.graphInfluence(spark, sfDir)
+        // collect BEFORE reading the plan: same QueryExecution, AQE final
+        // plan (CLAUDE.md plan rules)
+        val r = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (r, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.graph.broadcastVertices")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"broadcast survived non-broadcast mode:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), "score join is not the promised SHJ")
+    val expected = Analytics.graphInfluence(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == expected, "co-partitioned rounds diverged from broadcast rounds")
+  }
 }
