@@ -1261,9 +1261,12 @@ object Relational extends QueryPack {
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.map { t =>
       val df = Tables.load(s, dir, t)
-      df.groupBy(lit(t).as("table_name"))
-        .agg(count(lit(1)).as("n_rows"))
-        .withColumn("n_cols", lit(df.columns.length))
+      // GLOBAL aggregate, not groupBy(lit(t)): a grouped agg over an empty
+      // table yields zero rows, while the oracle's UNION ALL always emits
+      // one row with count 0 — the global form agrees in both cases
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          lit(df.columns.length).as("n_cols"))
     }.reduce(_ unionByName _)
   }
 

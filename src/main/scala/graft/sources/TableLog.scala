@@ -143,25 +143,7 @@ object TableLog extends QueryPack {
     val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
     val prevStats = prevV.map(statsLines(table, _)).getOrElse(Seq.empty)
     val moved = writeDataFiles(df, table)
-    val newStats =
-      if (statCols.isEmpty || moved.isEmpty) Seq.empty
-      else {
-        val spark = df.sparkSession
-        val abs = moved.map(f => Paths.get(table).resolve(f).toString)
-        val aggs = statCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        spark.read.parquet(abs: _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .flatMap { row =>
-            val uri = row.getString(0)
-            val rel = "data/" + uri.substring(uri.lastIndexOf('/') + 1)
-            statCols.map { c =>
-              s"$rel|$c|${row.getAs[Long](s"min_$c")}|${row.getAs[Long](s"max_$c")}"
-            }
-          }.toSeq
-      }
+    val newStats = gatherStats(df.sparkSession, table, moved, statCols)
     val v = prevV.getOrElse(-1L) + 1
     if ((prevStats ++ newStats).nonEmpty) {
       Files.createDirectories(logDir(table))
@@ -170,6 +152,39 @@ object TableLog extends QueryPack {
     }
     publish(table, v, prev ++ moved)
   }
+
+  /** per-file `relpath|col|min|max` lines for freshly-written files — the
+    * shared gather behind [[commitAppend]] and [[commitOverwrite]]: ONE
+    * footer-light aggregate over the new files grouped by
+    * `input_file_name()`. A file whose stat column is entirely null is
+    * SKIPPED (unboxing the null would fabricate a spurious `0|0` range);
+    * statless files are always kept by [[readPruned]], so skipping is the
+    * sound direction.
+    */
+  private def gatherStats(
+      spark: SparkSession,
+      table: String,
+      moved: Seq[String],
+      statCols: Seq[String]): Seq[String] =
+    if (statCols.isEmpty || moved.isEmpty) Seq.empty
+    else {
+      val abs = moved.map(f => Paths.get(table).resolve(f).toString)
+      val aggs = statCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(abs: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .flatMap { row =>
+          val uri = row.getString(0)
+          val rel = "data/" + uri.substring(uri.lastIndexOf('/') + 1)
+          statCols.flatMap { c =>
+            val (mi, ma) = (row.fieldIndex(s"min_$c"), row.fieldIndex(s"max_$c"))
+            if (row.isNullAt(mi) || row.isNullAt(ma)) None
+            else Some(s"$rel|$c|${row.getLong(mi)}|${row.getLong(ma)}")
+          }
+        }.toSeq
+    }
 
   /** live files at a version whose `[min, max]` of `statCol` can intersect
     * `[lo, hi]` — files WITHOUT recorded stats are always kept (pruning is
@@ -219,10 +234,20 @@ object TableLog extends QueryPack {
 
   /** Logical overwrite: new version references ONLY the new files; prior
     * versions stay readable (their files are untouched) until vacuumed.
+    * `statCols` writes a fresh per-file stats sidecar for the new version
+    * (the overwrite drops prior files, so prior stats never carry forward).
     */
-  def commitOverwrite(df: DataFrame, table: String): Long = {
+  def commitOverwrite(df: DataFrame, table: String, statCols: Seq[String] = Nil): Long = {
     val vs = versions(table)
-    publish(table, vs.lastOption.getOrElse(-1L) + 1, writeDataFiles(df, table))
+    val v = vs.lastOption.getOrElse(-1L) + 1
+    val moved = writeDataFiles(df, table)
+    val stats = gatherStats(df.sparkSession, table, moved, statCols)
+    if (stats.nonEmpty) {
+      Files.createDirectories(logDir(table))
+      Files.write(statsFile(table, v),
+        stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    publish(table, v, moved)
   }
 
   /** Snapshot read at `asOf` (default: latest). The file list is pinned at
@@ -259,8 +284,15 @@ object TableLog extends QueryPack {
     */
   def optimize(spark: SparkSession, table: String, nFiles: Int = 1): Long = {
     require(nFiles > 0, "nFiles must be positive")
+    // compacting a stats-indexed table must not silently discard the
+    // min/max file index (readPruned would degrade to keep-all): recover
+    // the indexed columns from the latest sidecar and re-gather stats for
+    // the compacted files
+    val statCols = versions(table).lastOption
+      .map(v => statsLines(table, v).map(_.split('|')(1)).distinct)
+      .getOrElse(Seq.empty)
     val snapshot = read(spark, table).coalesce(nFiles)
-    commitOverwrite(snapshot, table)
+    commitOverwrite(snapshot, table, statCols)
   }
 
   /** data files live at the given (default latest) version — count these to

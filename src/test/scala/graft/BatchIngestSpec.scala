@@ -52,11 +52,17 @@ class BatchIngestSpec extends SparkSpec {
     // to a filtered dim — static pruning can't fire, Spark must inject a
     // runtime subquery filter on `window` so only matching partition dirs
     // are scanned (the mechanism a date-dim star schema lives by at 100 TB)
-    val out = "/tmp/graft_test_grid/candles" // written by the pruning test above
-    assert(new java.io.File(out).isDirectory, "run after the grid layout test")
+    // self-contained fixture: build the grid if the layout test hasn't run
+    // (order/isolation independence), and pick the two EARLIEST windows
+    // deterministically — an unordered limit(2) could return any pair
+    val out = "/tmp/graft_test_grid/candles"
+    if (!new java.io.File(out).isDirectory)
+      BatchIngest.ingestCandles(
+        IngestPack.apiCandles(spark, sfDir), "1995-01-01", "2002-01-01", out, gridBuckets = 2)
     val fact = spark.read.parquet(out)
-    val wins = fact.select(col("window")).distinct().limit(2)
+    val wins = fact.select(col("window")).distinct().orderBy(col("window")).limit(2)
       .collect().map(_.getDate(0))
+    assert(wins.length == 2, s"grid fixture spans ${wins.length} window(s), need 2 for DPP")
     // dim must be a REAL source with a residual filter: an in-memory local
     // relation gets its filter constant-folded away, and DPP only fires when
     // the filtering side carries a selective predicate
