@@ -645,7 +645,154 @@ object Curation extends QueryPack {
       |       CAST(sum(CAST('0x' || substr(md5(norm), 1, 8) AS BIGINT)) AS BIGINT) AS norm_md5_sum
       |FROM n GROUP BY source""".stripMargin
 
+  /** DSIR hashed-feature buckets (2^8 — the published method uses 10^4+ at
+    * web scale; the bucket table broadcasts at any B that fits a hash map)
+    */
+  val DsirBuckets = 256
+  /** sources standing in for the curated target domain */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+  /** docs selected */
+  val DsirTopK = 50
+
+  /** word bigrams WITH multiplicity (DSIR scores occurrence counts, unlike
+    * the dedup shinglers' distinct sets); compiled for the gram8Udf reason
+    */
+  private val bigramsUdf = udf { text: String =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.trim.split(TextStats.WsRe).filter(_.nonEmpty)
+      if (toks.length < 2) Array.empty[String]
+      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+    }
+  }
+
+  /** Data selection with importance resampling (DSIR, Xie et al. 2023): rank
+    * raw documents by how target-domain-like their hashed n-gram feature
+    * distribution is, and keep the top K — the published recipe for choosing
+    * pre-training data that matches a curated domain. Features are word
+    * bigrams hashed into [[DsirBuckets]] buckets; each bucket's importance
+    * weight is the smoothed target/raw frequency ratio, and a document's
+    * score sums its occurrences' bucket weights. All arithmetic is integer
+    * (ratio as `(tgt+1)·10^6 div (raw+1)`, scores as long sums; the paper's
+    * log-likelihood ratio ordering is monotone-equivalent per bucket), and
+    * the bucket hash is the portable md5 recipe — so the WHOLE selection,
+    * scores and ties included, replays bit-for-bit in DuckDB.
+    *
+    * 100 TB posture: one corpus pass explodes bigrams (codegen md5 bucket),
+    * the two distributions fold into ONE 256-row aggregate (conditional sum
+    * for the target side), weights broadcast back, per-doc scores are one
+    * map-side-combined sum, and the final cut is a TakeOrderedAndProject
+    * (per-partition top-K, driver merges K×partitions rows — never a global
+    * sort). Docs with < 2 tokens have no features and drop, as in the paper.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(bigramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("dsir:"), col("gram")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets).as("bucket"),
+        when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L).as("is_tgt"))
+    val w = b.groupBy("bucket")
+      .agg(expr("(sum(is_tgt) + 1) * 1000000 div (count(1) + 1)").as("wt"))
+    b.join(broadcast(w), "bucket")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"), sum("wt").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  private val dsirSelectSql = {
+    val tgt = DsirTargetSources.mkString("('", "', '", "')")
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS gram
+      |  FROM t, unnest(range(1, len(t))) AS r(i)),
+      |b AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substr(md5('dsir:' || gram), 1, 8) AS BIGINT) % $DsirBuckets AS bucket,
+      |         CASE WHEN source IN $tgt THEN 1 ELSE 0 END AS is_tgt
+      |  FROM g),
+      |w AS (
+      |  SELECT bucket,
+      |         (CAST(sum(is_tgt) AS BIGINT) + 1) * 1000000 // (count(*) + 1) AS wt
+      |  FROM b GROUP BY bucket),
+      |d AS (
+      |  SELECT doc_id, source, count(*) AS n_grams, CAST(sum(wt) AS BIGINT) AS score
+      |  FROM b JOIN w USING (bucket) GROUP BY 1, 2)
+      |SELECT doc_id, source, n_grams, score
+      |FROM d ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
+  /** total selection budget for [[temperatureMixture]] */
+  val TempBudget = 120
+
+  /** Temperature-flattened mixture sampling (the mT5/Gopher multilingual
+    * data-mixing recipe): per-domain sampling mass `p_i ∝ n_i^(1/τ)` with
+    * τ = 2, which upweights small domains relative to proportional sampling
+    * so head domains stop drowning the tail. `n^(1/2)` is `floor(sqrt(n))`
+    * in both engines — IEEE sqrt is correctly rounded, so the floor is the
+    * SAME integer cross-engine and the whole quota arithmetic stays exact:
+    * `quota_i = isqrt(n_i) · budget div Σ isqrt(n_j)` (largest-remainder
+    * corrections belong to the serving layer; the floor quota is the
+    * deterministic contract). Members are the hash-ranked first `quota_i`
+    * docs of each domain — the [[samplePerStratum]] discipline, so a retry
+    * or a re-run selects identical documents.
+    *
+    * 100 TB posture: domain counts are one tiny aggregate; quotas broadcast
+    * back; the per-domain rank is a window over the domain partition (the
+    * same shuffle a per-domain sort shard write needs anyway). Output is
+    * per-domain accounting plus an md5-half checksum over the SELECTED doc
+    * ids, so a single membership flip fails the gate.
+    */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("source", "doc_id")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs"))).cast("long"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum("isq").as("tot_isq"))))
+      .withColumn("quota", expr(s"isq * $TempBudget div tot_isq"))
+      .select("source", "n_docs", "quota")
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(concat(lit("tmix:"), col("doc_id").cast("string")).cast("binary")),
+            col("doc_id"))))
+      .join(broadcast(quotas), "source")
+      .where(col("rk") <= col("quota"))
+      .groupBy("source", "n_docs", "quota")
+      .agg(
+        count(lit(1)).as("n_selected"),
+        sum(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("sel_checksum"))
+  }
+
+  private val temperatureMixtureSql =
+    s"""WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+      |  FROM documents GROUP BY source),
+      |q AS (
+      |  SELECT source, n_docs,
+      |         isq * $TempBudget // (SELECT CAST(sum(isq) AS BIGINT) FROM c) AS quota
+      |  FROM c),
+      |r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT q.source, q.n_docs, quota,
+      |       count(*) AS n_selected,
+      |       CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT) AS sel_checksum
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE rk <= quota
+      |GROUP BY 1, 2, 3""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("dsir_select", dsirSelect, Some(dsirSelectSql)),
+    Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("sample_per_stratum", samplePerStratum, Some(samplePerStratumSql)),
     Q("pack_sequences", packSequences, Some(packSequencesSql)),

@@ -489,6 +489,27 @@ object Similarity extends QueryPack {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Incremental index maintenance: assign NEW vectors to the index's
+    * EXISTING persisted centroids and append them to their cell partitions —
+    * the standard IVF serving discipline (FAISS `add`): ingesting a batch
+    * must not retrain the coarse quantizer or rewrite the corpus, or index
+    * maintenance at 100 TB costs a full rebuild per arrival. Cost is one
+    * scan of the NEW batch (centroid matrix broadcast, narrow argmax) + an
+    * append-mode write into the touched `cell=` dirs; existing members are
+    * untouched bytes. Centroid drift from accumulated appends is a
+    * REBUILD-policy decision (re-run [[writeIvfIndex]] when recall decays);
+    * IvfIndexSpec pins that build(A)+append(B) searches exactly like
+    * build-with-same-centroids over A∪B.
+    */
+  def appendIvfIndex(newEmb: DataFrame, path: String): Unit = {
+    val cents = newEmb.sparkSession.read.parquet(s"$path/centroids")
+    newEmb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        bestCellUdf(col("embedding"), col("cmat")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** ANN top-k against a persisted index, two-phase like every inverted-file
     * service: (1) resolve the queries' probe CELLS, (2) scan only those
     * cells' partitions. Phase 2's pruning is a STATIC `cell IN (...)`

@@ -56,26 +56,44 @@ object ExactQuantile {
       keys: Seq[String],
       valueCol: String,
       qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty, "at least one quantile required")
-    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile q=$q outside [0, 1]"))
     val hist = df.where(col(valueCol).isNotNull)
       .groupBy(keys.map(col) :+ col(valueCol).as("_eq_v"): _*)
       .agg(count(lit(1)).as("_eq_cnt"))
-    // both windows partition on the SAME keys the histogram groupBy shuffled
+      .withColumnRenamed("_eq_v", valueCol)
+    groupQuantilesDiscWeighted(hist, keys, valueCol, "_eq_cnt", qs)
+  }
+
+  /** Quantiles over a PRE-BUILT value histogram — `hist` has one row per
+    * (keys, value) carrying that value's occurrence count in `weightCol`.
+    * This is the composition point when a pipeline already reduced its data
+    * to a histogram (e.g. MAD: the deviation histogram derives from the
+    * value histogram by key-local arithmetic, so the fact is scanned ONCE
+    * for any number of downstream quantiles). Rank semantics identical to
+    * [[groupQuantilesDisc]], which delegates here.
+    */
+  def groupQuantilesDiscWeighted(
+      hist: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile q=$q outside [0, 1]"))
+    // both windows partition on the SAME keys a histogram groupBy shuffles
     // on, so they add sorts but no extra exchange
-    val ordered = Window.partitionBy(keys.map(col): _*).orderBy("_eq_v")
+    val ordered = Window.partitionBy(keys.map(col): _*).orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(keys.map(col): _*)
     val cum = hist
-      .withColumn("_eq_cum", sum("_eq_cnt").over(ordered))
-      .withColumn("_eq_n", sum("_eq_cnt").over(whole))
+      .withColumn("_eq_cum", sum(weightCol).over(ordered))
+      .withColumn("_eq_n", sum(weightCol).over(whole))
     // 1-based target rank, quantile_disc-compatible: max(ceil(q·n), 1).
     // The q-th element is the FIRST histogram row whose cumulative count
     // reaches the rank — a conditional min, so all quantiles fold into one
     // aggregate over the (tiny) histogram relation.
     val picks = qs.zipWithIndex.map { case (q, i) =>
       val rank = greatest(ceil(lit(q) * col("_eq_n")).cast("long"), lit(1L))
-      min(when(col("_eq_cum") >= rank, col("_eq_v"))).as(s"${valueCol}_q$i")
+      min(when(col("_eq_cum") >= rank, col(valueCol))).as(s"${valueCol}_q$i")
     }
     cum.groupBy(keys.map(col): _*)
       .agg(picks.head, picks.tail :+ max(col("_eq_n")).as("n"): _*)

@@ -49,4 +49,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(pf.exists(f => f.contains("cell") && (f.contains(" IN ") || f.contains("INSET"))),
       s"probed-cell scan should carry a static IN/INSET partition filter, got: $pf")
   }
+
+  test("incremental append is batch-size invariant: build(A)+append(B) == assign-all") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val inc  = "/tmp/graft_test_ivf_inc"
+    val mono = "/tmp/graft_test_ivf_mono"
+    Seq(inc, mono).foreach(p => rm(new java.io.File(p)))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.where(col("vec_id") % 2 === 0)
+    val b = emb.where(col("vec_id") % 2 =!= 0)
+    // incremental: centroids from A, then B arrives later
+    Similarity.writeIvfIndex(a, inc)
+    Similarity.appendIvfIndex(b, inc)
+    // monolithic twin: SAME centroids, whole corpus assigned in one batch
+    spark.read.parquet(s"$inc/centroids").write.parquet(s"$mono/centroids")
+    Similarity.appendIvfIndex(emb, mono)
+    // every vector present exactly once
+    val incIds = spark.read.parquet(s"$inc/cells").select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(incIds.sameElements(emb.select("vec_id").collect().map(_.getLong(0)).sorted))
+    // searches are identical — append order never changes served results
+    val queries = emb.orderBy("vec_id").limit(Similarity.NumQueries)
+    def res(p: String) = Similarity.ivfTopKIndexed(spark, p, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (ri, rm2) = (res(inc), res(mono))
+    assert(ri == rm2 && ri.nonEmpty)
+  }
 }
