@@ -1016,7 +1016,121 @@ object Similarity extends QueryPack {
       |       CAST(floor(max(v) * 1000000) AS BIGINT) AS max_e6
       |FROM q GROUP BY dim""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Random-projection dimensionality reduction (JL / sparse Achlioptas)
+  // ---------------------------------------------------------------------------
+
+  /** projected dimensionality */
+  val RpK = 16
+  /** number of adjacent-id probe pairs whose distances are audited */
+  val RpPairs = 16
+
+  /** Sparse Achlioptas projection matrix [k][d] ∈ {−1, 0, +1} (P(±1) = 1/6
+    * each, P(0) = 2/3 — Achlioptas 2003's database-friendly JL variant),
+    * derived from the portable md5 recipe so DuckDB regenerates it exactly.
+    * Integer entries are the point: against [[quantAt]]-integerized vectors
+    * the entire projection and every distance below is 64-bit-exact.
+    */
+  private lazy val rpMatrix: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpK, Dim) { (k, d) =>
+      val hex = md.digest(s"rp:$k:$d".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1L
+        case 1 => -1L
+        case _ => 0L
+      }
+    }
+  }
+
+  private val rpProjectUdf = udf { x: Seq[Long] =>
+    val out = new Array[Long](RpK)
+    var k = 0
+    while (k < RpK) {
+      val row = rpMatrix(k)
+      var s = 0L; var i = 0
+      while (i < Dim) { s += x(i) * row(i); i += 1 }
+      out(k) = s
+      k += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  private val intL2DimUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var d = 0L; var i = 0
+    val n = a.length
+    while (i < n) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction audit: project the
+    * 1e3-quantized corpus from 64 to [[RpK]] dims through the sparse
+    * integer matrix and report, for [[RpPairs]] fixed adjacent-id pairs,
+    * the original and projected squared L2 plus their ppm ratio — the
+    * distance-preservation measurement a pipeline runs before swapping the
+    * full embeddings for compressed ones (4× fewer dims ⇒ 4× cheaper ANN
+    * candidate scoring and index storage). Every step is integer (quantize →
+    * ±1 combine → squared diffs → floor-div ppm), so the DuckDB oracle
+    * replays ratios bit-for-bit; LlmSpec pins the JL concentration law
+    * (ratios clustered around the k/3 expectation).
+    *
+    * 100 TB posture: projection is ONE map pass with the 16×64 matrix in
+    * the closure (no shuffle; at a real deployment this pass writes the
+    * compressed column next to the original); the audited pairs join by id.
+    */
+  def rpProject(s: SparkSession, dir: String): DataFrame = {
+    val xq = Tables.loadSpread(s, dir, "embeddings")
+      .select(col("vec_id"), quantAt(1e3)(col("embedding")).as("x"))
+      .withColumn("y", rpProjectUdf(col("x")))
+    val a = xq.where(col("vec_id") % 2 === 0 && col("vec_id") < RpPairs * 2L)
+      .select(col("vec_id").as("id_a"), col("x").as("xa"), col("y").as("ya"))
+    val b = xq.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+      col("x").as("xb"), col("y").as("yb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        intL2DimUdf(col("xa"), col("xb")).as("d2_orig"),
+        intL2DimUdf(col("ya"), col("yb")).as("d2_proj"))
+      .where(col("d2_orig") > 0L)
+      .withColumn("ratio_ppm", expr("d2_proj * 1000000 div d2_orig"))
+  }
+
+  private val rpProjectSql =
+    s"""WITH xq AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+      |          for i in range(1, $Dim + 1)] AS x
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT k,
+      |         [CASE CAST('0x' || substr(md5('rp:' || CAST(k AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 6
+      |            WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+      |          for i in range(1, $Dim + 1)] AS row
+      |  FROM range($RpK) kk(k)),
+      |proj AS (
+      |  SELECT vec_id, k,
+      |         CAST(list_sum([x[i] * row[i] for i in range(1, $Dim + 1)]) AS BIGINT) AS p
+      |  FROM xq, m),
+      |pv AS (SELECT vec_id, list(p ORDER BY k) AS y FROM proj GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.x AS xa, b.x AS xb,
+      |         pa.y AS ya, pb.y AS yb
+      |  FROM xq a
+      |  JOIN xq b ON b.vec_id = a.vec_id + 1
+      |  JOIN pv pa ON pa.vec_id = a.vec_id
+      |  JOIN pv pb ON pb.vec_id = b.vec_id
+      |  WHERE a.vec_id % 2 = 0 AND a.vec_id < ${RpPairs * 2}),
+      |d AS (
+      |  SELECT id_a, id_b,
+      |         CAST(list_sum([(xa[i] - xb[i]) * (xa[i] - xb[i]) for i in range(1, $Dim + 1)]) AS BIGINT) AS d2_orig,
+      |         CAST(list_sum([(ya[k] - yb[k]) * (ya[k] - yb[k]) for k in range(1, $RpK + 1)]) AS BIGINT) AS d2_proj
+      |  FROM pairs)
+      |SELECT id_a, id_b, d2_orig, d2_proj,
+      |       d2_proj * 1000000 // d2_orig AS ratio_ppm
+      |FROM d WHERE d2_orig > 0""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("rp_project", rpProject, Some(rpProjectSql)),
     Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("ann_int8_topk", annInt8TopK, Some(annInt8TopKSql)),
     Q("ann_ivf_trained_topk", annIvfTrainedTopK, Some(annIvfTrainedTopKSql)),

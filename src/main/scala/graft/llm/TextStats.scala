@@ -413,9 +413,9 @@ object TextStats extends QueryPack {
     * partial agg + one k-row-per-group shuffle. No token-cardinality
     * shuffle ever happens — the contrast with vocabTopK is the point.
     */
-  private final val MgK = 16
+  private[graft] final val MgK = 16
 
-  private object MgAgg
+  private[graft] object MgAgg
       extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, Seq[(String, Long)]] {
     def zero: MgBuf = MgBuf(new Array[String](MgK), new Array[Long](MgK))
     def reduce(b: MgBuf, token: String): MgBuf = {

@@ -186,6 +186,41 @@ object StreamIngest {
       }
   }
 
+  case class Tok(lang: String, token: String)
+  case class MgStreamState(buf: graft.llm.MgBuf, n_tokens: Long)
+  case class HeavyHitter(lang: String, token: String, est_count: Long, n_tokens: Long)
+
+  /** Continuous heavy-hitter tracking: a Misra-Gries sketch PER KEY kept as
+    * `mapGroupsWithState` state, refreshed every trigger — the streaming
+    * twin of [[graft.llm.TextStats.heavyHitters]], sharing its exact update
+    * rule ([[graft.llm.TextStats.MgAgg]].reduce) so the batch-pinned MG law
+    * (support > n/(k+1) present; undercount ≤ n/(k+1)) holds over the FULL
+    * stream history, not per micro-batch. State per key is 2k scalars + one
+    * counter forever — the bounded-state property that makes frequency
+    * tracking over an unbounded token stream possible at all (an exact
+    * streaming groupBy(token) would grow state with the vocabulary).
+    * Update output mode: each trigger re-emits the keys it touched.
+    */
+  def streamingHeavyHitters(toks: org.apache.spark.sql.Dataset[Tok]): org.apache.spark.sql.Dataset[HeavyHitter] = {
+    import toks.sparkSession.implicits._
+    import graft.llm.{MgBuf, TextStats}
+    toks.groupByKey(_.lang)
+      .flatMapGroupsWithState[MgStreamState, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[Tok], state: GroupState[MgStreamState]) =>
+          var st = state.getOption.getOrElse(
+            MgStreamState(MgBuf(new Array[String](TextStats.MgK), new Array[Long](TextStats.MgK)), 0L))
+          var buf = st.buf
+          var n = st.n_tokens
+          rows.foreach { t => buf = TextStats.MgAgg.reduce(buf, t.token); n += 1 }
+          state.update(MgStreamState(buf, n))
+          buf.keys.zip(buf.counts).filter(_._1 != null)
+            .sortBy { case (tok, c) => (-c, tok) }
+            .map { case (tok, c) => HeavyHitter(lang, tok, c, n) }
+            .iterator
+      }
+  }
+
   /** Streaming materialized view: maintain a windowed derived aggregate
     * from a stream — each micro-batch lands in the base table and refreshes
     * exactly the windows it touched ([[graft.operators.IncrementalAgg]]

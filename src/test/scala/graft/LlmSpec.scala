@@ -279,6 +279,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("random projection preserves distances around the k/3 JL expectation") {
+    import graft.llm.Similarity
+    val rows = Similarity.rpProject(spark, sfDir).collect()
+    assert(rows.length == Similarity.RpPairs, s"expected ${Similarity.RpPairs} audited pairs")
+    val ratios = rows.map(_.getAs[Long]("ratio_ppm").toDouble)
+    // E[d2_proj] = (k/3)·d2_orig for the sparse Achlioptas matrix → expected
+    // ratio ≈ 5.33e6 ppm; individual pairs concentrate loosely at k=16
+    assert(ratios.forall(r => r > 0 && r < 4e7), s"ratio escaped JL envelope: ${ratios.toSeq}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 2.5e6 && mean < 1.1e7, s"mean ratio $mean far from k/3 expectation 5.33e6")
+  }
+
   test("approx column profile matches exact profile (counts exact, distinct within 5%)") {
     import graft.analytics.Relational
     def byCol(df: org.apache.spark.sql.DataFrame) =

@@ -279,6 +279,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows("b") == Seq((5L, 3L)))
   }
 
+  test("streaming heavy hitters accumulate MG state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Tok]
+    val q = StreamIngest.streamingHeavyHitters(mem.toDS())
+      .writeStream.format("memory").queryName("shh").outputMode("update").start()
+    // trigger 1: 'hot' dominates
+    mem.addData((1 to 10).map(_ => StreamIngest.Tok("en", "hot")) ++
+      Seq(StreamIngest.Tok("en", "a"), StreamIngest.Tok("en", "b")): _*)
+    q.processAllAvailable()
+    val t1 = spark.table("shh").as[StreamIngest.HeavyHitter].collect()
+    assert(t1.exists(h => h.token == "hot" && h.n_tokens == 12L))
+    // trigger 2: more 'hot' — state must CARRY, not restart per batch
+    mem.addData((1 to 5).map(_ => StreamIngest.Tok("en", "hot")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("shh").as[StreamIngest.HeavyHitter].collect()
+    val last = rows.filter(_.n_tokens == 17L)
+    assert(last.nonEmpty, s"second trigger must see cumulative n=17, got ${rows.toSeq}")
+    val hot = last.find(_.token == "hot").get
+    // MG law over the WHOLE history: true 15, undercount ≤ n/(k+1) = 1
+    assert(hot.est_count <= 15L && 15L - hot.est_count <= 17L / (graft.llm.TextStats.MgK + 1),
+      s"est ${hot.est_count} violates the MG bound")
+  }
+
   test("streaming vector scoring matches the batch ranking (broadcast corpus)") {
     // the ANN serving loop under streaming: quantized corpus broadcast,
     // each micro-batch of query vectors scored with the native int_dot and
