@@ -847,6 +847,99 @@ object Relational extends QueryPack {
       .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
   }
 
+  /** Rank-function family over a deterministic total order — ntile /
+    * percent_rank / cume_dist in ONE window pass, folded to per-(status,
+    * quartile) accounting. Both engines compute identical doubles because
+    * the order is TOTAL (cents, then the unique order key breaks ties) and
+    * the rank ratios are single exact divisions of longs; the fold uses
+    * min/max (order-independent picks), never a sum of doubles. One shuffle
+    * on the partition key; the window sorts within partitions only.
+    */
+  def windowRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderstatus", "quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        min("pr").as("min_pr"), max("pr").as("max_pr"),
+        max("cd").as("max_cd"))
+  }
+
+  private val windowRankFamilySql =
+    """WITH r AS (
+      |  SELECT o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |         percent_rank() OVER w AS pr,
+      |         cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus
+      |               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), o_orderkey))
+      |SELECT o_orderstatus, quartile, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       min(pr) AS min_pr, max(pr) AS max_pr, max(cd) AS max_cd
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Interpolated (continuous) per-group median over the value histogram —
+    * the quantile_cont twin of [[exactMedianGroups]]'s discrete pick: at
+    * even group sizes the median is `lo + (hi − lo) · 0.5` over the two
+    * middle ELEMENTS, each selected by cumulative count from the histogram
+    * (task state bounded by value cardinality, like every quantile in this
+    * engine). All inputs are exact-in-double cents and the interpolation is
+    * two exact IEEE ops, so the gate stays bit-strict — the oracle spells
+    * THE SAME histogram selection rather than leaning on an engine's
+    * internal quantile_cont arithmetic.
+    */
+  def medianCont(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("o_orderstatus", "cents").agg(count(lit(1)).as("cnt"))
+    val ordered = Window.partitionBy("o_orderstatus").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("o_orderstatus")
+    hist
+      .withColumn("cum", sum("cnt").over(ordered))
+      .withColumn("n", sum("cnt").over(whole))
+      // 1-based ranks of the two middle elements: for odd n they coincide
+      .withColumn("rlo", expr("(n + 1) div 2"))
+      .withColumn("rhi", expr("(n + 2) div 2"))
+      .groupBy("o_orderstatus", "n")
+      .agg(
+        min(when(col("cum") >= col("rlo"), col("cents"))).as("lo"),
+        min(when(col("cum") >= col("rhi"), col("cents"))).as("hi"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("lo").cast("double") +
+          (col("hi") - col("lo")).cast("double") / lit(2)).as("med_cont_cents"))
+  }
+
+  private val medianContSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |h AS (SELECT o_orderstatus, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT o_orderstatus, cents,
+      |         CAST(sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY cents
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+      |  FROM h),
+      |sel AS (
+      |  SELECT o_orderstatus, n,
+      |         min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS lo,
+      |         min(CASE WHEN cum >= (n + 2) // 2 THEN cents END) AS hi
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT o_orderstatus, n,
+      |       CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE) / 2 AS med_cont_cents
+      |FROM sel""".stripMargin
+
   /** Fixed-width histogram of order totals (30k-wide buckets). The bucket
     * index is floor(v/30000) — a single correctly-rounded IEEE division
     * both engines share, NOT width_bucket, whose internal
@@ -1455,6 +1548,8 @@ object Relational extends QueryPack {
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
+    Q("window_rank_family", windowRankFamily, Some(windowRankFamilySql)),
+    Q("median_cont", medianCont, Some(medianContSql)),
     Q("interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinSql)),
     Q("corr_subquery_orders", corrSubqueryOrders, Some(corrSubquerySqlFor("orders"))),
     Q("q7_nation_volume", nationVolume, Some(nationVolumeSql)),

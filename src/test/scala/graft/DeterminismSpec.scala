@@ -29,7 +29,12 @@ class DeterminismSpec extends SparkSpec {
     "dedup_minhash",       // md5 signature + banding
     "kmeans_train",        // integer Lloyd trajectory
     "graph_influence",     // integer propagation
-    "ann_int8_topk"        // quantized scoring + tie-broken top-k
+    "ann_int8_topk",       // quantized scoring + tie-broken top-k
+    "ann_lsh_topk",        // md5-derived hyperplane buckets
+    "contrastive_negatives", // hash-ranked fixed pool + salted md5 rank
+    "dsir_select",         // hashed-bigram bucket weights + top-K cut
+    "temperature_mixture", // isqrt quotas + hash-ranked members
+    "rp_project"           // md5-derived sparse projection matrix
   ).foreach { q =>
     test(s"$q returns identical results when re-executed") { runTwice(q) }
   }
