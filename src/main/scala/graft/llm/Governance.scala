@@ -278,7 +278,100 @@ object Governance extends QueryPack {
       |UNION ALL SELECT 'status_in_domain', n, bad_status FROM a
       |UNION ALL SELECT 'date_in_range', n, bad_date FROM a""".stripMargin
 
+  /** perceptron training rounds */
+  val PtRounds = 3
+
+  /** Distributed TRAINING of a linear quality/language classifier — batch
+    * perceptron over integer features, [[PtRounds]] fixed rounds, the
+    * classifier-training twin of the oracle-replayed k-means
+    * ([[Similarity.kmeansTrain]]): lr = 1 and integer features keep the
+    * whole weight trajectory in exact 64-bit arithmetic, so every round's
+    * misclassified count and updated weight vector replays bit-for-bit in
+    * DuckDB (a logistic formulation could never hash-gate — exp/log differ
+    * in the last ulp across libms). Label: `lang = 'en'` vs rest; features:
+    * bias, token count, n_chars/10, stopword hits. The TRAJECTORY is the
+    * contract (exactly as [[Similarity.kmeansTrain]] pins Lloyd's path, not
+    * optimality): on the synthetic corpus the classes are near-inseparable
+    * (stopword rates barely differ by lang), so lr = 1 batch updates reduce
+    * error after the zero-init round and then oscillate — the spec pins the
+    * reduction and that round 1 counts everything misclassified.
+    *
+    * 100 TB posture: the feature build is one narrow pass (cached — 4 longs
+    * a row); each round is ONE map-side-combined aggregate producing 5
+    * scalars (count + 4 gradient sums) against driver-held weights, the
+    * same shape as a production distributed-SGD epoch with batch = corpus.
+    * Rounds are driver-sequenced like Lloyd iterations; nothing vertex- or
+    * vocabulary-sized ever shuffles.
+    */
+  def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = TextStats.stopwords.mkString("('", "', '", "')")
+    val feats = Tables.loadSpread(s, dir, "documents")
+      .select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x1"),
+        size(TextStats.tokensCol).cast("long").as("x2"),
+        expr("n_chars div 10").as("x3"),
+        size(filter(TextStats.tokensCol, t => t.isInCollection(TextStats.stopwords)))
+          .cast("long").as("x4"))
+      .cache()
+    var w = Array(0L, 0L, 0L, 0L)
+    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
+    (1 to PtRounds).foreach { r =>
+      val margin = s"y * (${w(0)}L * x1 + ${w(1)}L * x2 + ${w(2)}L * x3 + ${w(3)}L * x4)"
+      val row = feats.agg(
+        sum(expr(s"CASE WHEN $margin <= 0 THEN 1L ELSE 0L END")).as("n_mis"),
+        sum(expr(s"CASE WHEN $margin <= 0 THEN y * x1 ELSE 0L END")).as("g1"),
+        sum(expr(s"CASE WHEN $margin <= 0 THEN y * x2 ELSE 0L END")).as("g2"),
+        sum(expr(s"CASE WHEN $margin <= 0 THEN y * x3 ELSE 0L END")).as("g3"),
+        sum(expr(s"CASE WHEN $margin <= 0 THEN y * x4 ELSE 0L END")).as("g4"))
+        .collect().head
+      w = Array(w(0) + row.getLong(1), w(1) + row.getLong(2),
+        w(2) + row.getLong(3), w(3) + row.getLong(4))
+      out += ((r, row.getLong(0), w(0), w(1), w(2), w(3)))
+    }
+    out.result().toDF("round", "n_mis", "w_bias", "w_tokens", "w_chars10", "w_stop")
+  }
+
+  private val perceptronTrainSql = {
+    val stopList = TextStats.stopwords.mkString("['", "', '", "']")
+    def round(n: Int): String = {
+      val (pw1, pw2, pw3, pw4) =
+        if (n == 1) ("0", "0", "0", "0")
+        else (s"g${n - 1}.w1", s"g${n - 1}.w2", s"g${n - 1}.w3", s"g${n - 1}.w4")
+      val prev = if (n == 1) "" else s", g${n - 1}"
+      val margin = s"y * ($pw1 * x1 + $pw2 * x2 + $pw3 * x3 + $pw4 * x4)"
+      val grp = if (n == 1) "" else s" GROUP BY $pw1, $pw2, $pw3, $pw4"
+      s"""g$n AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN $margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+        |    $pw1 + CAST(sum(CASE WHEN $margin <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+        |    $pw2 + CAST(sum(CASE WHEN $margin <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+        |    $pw3 + CAST(sum(CASE WHEN $margin <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS w3,
+        |    $pw4 + CAST(sum(CASE WHEN $margin <= 0 THEN y * x4 ELSE 0 END) AS BIGINT) AS w4
+        |  FROM f$prev$grp)""".stripMargin
+    }
+    s"""WITH t AS (
+      |  SELECT lang, n_chars,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |         1 AS x1,
+      |         CAST(len(toks) AS BIGINT) AS x2,
+      |         n_chars // 10 AS x3,
+      |         CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT) AS x4
+      |  FROM t),
+      |${(1 to PtRounds).map(round).mkString(",\n")}
+      |SELECT * FROM (
+      |  ${(1 to PtRounds).map(n =>
+           s"SELECT $n AS round, n_mis, w1 AS w_bias, w2 AS w_tokens, w3 AS w_chars10, w4 AS w_stop FROM g$n")
+          .mkString("\n  UNION ALL ")}
+      |) ORDER BY round""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("perceptron_train", perceptronTrain, Some(perceptronTrainSql)),
     Q("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)),

@@ -34,7 +34,8 @@ class DeterminismSpec extends SparkSpec {
     "contrastive_negatives", // hash-ranked fixed pool + salted md5 rank
     "dsir_select",         // hashed-bigram bucket weights + top-K cut
     "temperature_mixture", // isqrt quotas + hash-ranked members
-    "rp_project"           // md5-derived sparse projection matrix
+    "rp_project",          // md5-derived sparse projection matrix
+    "perceptron_train"     // integer weight trajectory
   ).foreach { q =>
     test(s"$q returns identical results when re-executed") { runTwice(q) }
   }

@@ -279,6 +279,15 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("perceptron training: zero-init round misclassifies all, round 2 reduces error") {
+    import graft.llm.Governance
+    val rows = Governance.perceptronTrain(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(rows(1) == n, s"w=0 gives margin 0 everywhere: expected $n, got ${rows(1)}")
+    assert(rows(2) < rows(1), s"batch update must reduce error: ${rows.toSeq.sorted}")
+  }
+
   test("random projection preserves distances around the k/3 JL expectation") {
     import graft.llm.Similarity
     val rows = Similarity.rpProject(spark, sfDir).collect()
