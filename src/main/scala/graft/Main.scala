@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *   compact <tableDir> <partitionCol> [targetBytes] — partition-local
   *     small-file compaction (see [[sources.Compaction]])
   *   optimize <tableLogDir> [nFiles] — compact a table-log table's latest
-  *     snapshot into a new atomic version (see [[sources.TableLog.optimize]])
+  *     snapshot into a new atomic version (see [[sources.TableLog.optimize]]);
+  *   optimize <tableLogDir> zorder <colA> <colB> [nFiles] — compact AND
+  *     re-cluster by the Morton interleave with a fresh stats sidecar
+  *     (see [[sources.TableLog.optimizeZOrder]])
   *   zorder <inParquet> <outPath> <colA> <colB> [nFiles] — rewrite a table
   *     clustered by the Morton interleave of two numeric columns and write
   *     its min/max skipping manifest (see [[sources.Layout]])
@@ -129,6 +132,13 @@ object Main {
       val files = spark.read.parquet(manifest).count()
       println(s"[graft] z-ordered ${df.count()} rows by ($colA, $colB) -> $table ($files files, manifest $manifest)")
       spark.stop()
+    case "optimize" :: table :: "zorder" :: colA :: colB :: rest =>
+      val spark = session()
+      val before = sources.TableLog.liveFileCount(table)
+      val v = sources.TableLog.optimizeZOrder(
+        spark, table, colA, colB, rest.headOption.map(_.toInt).getOrElse(8))
+      println(s"[graft] optimized $table zorder($colA, $colB): $before -> ${sources.TableLog.liveFileCount(table)} files (version $v; vacuum to reclaim)")
+      spark.stop()
     case "optimize" :: table :: rest =>
       val spark = session()
       val before = sources.TableLog.liveFileCount(table)
@@ -148,7 +158,7 @@ object Main {
           "       graft sql <statement> [sfDir]\n" +
           "       graft serve [sfDir] [port]          — resident JDBC endpoint\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
-          "       graft optimize <tableLogDir> [nFiles]\n" +
+          "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft list\n" +
           "       graft bench")

@@ -295,6 +295,34 @@ object TableLog extends QueryPack {
     commitOverwrite(snapshot, table, statCols)
   }
 
+  /** OPTIMIZE ZORDER (the Delta `OPTIMIZE ... ZORDER BY` shape): rewrite the
+    * latest snapshot CLUSTERED by the Morton interleave of two long columns
+    * ([[Layout.zValue]]) into `nFiles` range-partitioned files, committed as
+    * a new atomic version with a fresh stats sidecar over the z-order
+    * columns (plus any previously indexed columns). Clustering is what makes
+    * the per-file [min, max] index BITE: after the rewrite each file covers
+    * a narrow box in (a, b) space, so [[readPruned]] on EITHER column skips
+    * most files — compaction and skipping-layout maintenance in one commit,
+    * with time travel to the unclustered layout intact until vacuum.
+    */
+  def optimizeZOrder(
+      spark: SparkSession,
+      table: String,
+      colA: String,
+      colB: String,
+      nFiles: Int = 8): Long = {
+    require(nFiles > 0, "nFiles must be positive")
+    val prevStatCols = versions(table).lastOption
+      .map(v => statsLines(table, v).map(_.split('|')(1)).distinct)
+      .getOrElse(Seq.empty)
+    val clustered = read(spark, table)
+      .withColumn("_z", Layout.zValue(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    commitOverwrite(clustered, table, (prevStatCols ++ Seq(colA, colB)).distinct)
+  }
+
   /** data files live at the given (default latest) version — count these to
     * observe compaction
     */

@@ -30,14 +30,27 @@ object StreamIngest {
   /** Start the ingest stream: JSON frames under `srcDir` → four validated
     * parquet tables under `tablesDir/<table>`. Blocking-drain via
     * Trigger.AvailableNow (tests, replay); omit for continuous micro-batches.
+    *
+    * `maxFilesPerTrigger` is the RATE LIMIT the reference's producer applies
+    * to its upstream API (sleep-and-retry polling,
+    * `from_parser_to_rabbitmq.py:47-77`): each micro-batch admits at most
+    * that many source files, so a backlog drains in bounded, checkpointed
+    * steps instead of one giant catch-up batch — backpressure at the source
+    * boundary, with Spark's own task retry standing in for the reference's
+    * per-request retry loop. Composes with AvailableNow (the trigger drains
+    * the WHOLE backlog but still in rate-limited batches — Spark guarantees
+    * the option is honored across its sub-batches).
     */
   def start(
       spark: SparkSession,
       srcDir: String,
       tablesDir: String,
       checkpointDir: String,
-      availableNow: Boolean = true): StreamingQuery = {
-    val raw = spark.readStream.text(srcDir)
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.text(srcDir)
     val writer = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -48,6 +48,22 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tables/candles").schema("timestamp").dataType.typeName == "timestamp")
   }
 
+  test("rate-limited consume splits a backlog into bounded per-trigger batches") {
+    val src2 = s"$base/rate_src"; val tables2 = s"$base/rate_tables"; val ck2 = s"$base/rate_ckpt"
+    Files.createDirectories(Paths.get(src2))
+    (0 until 3).foreach { i =>
+      Files.writeString(Paths.get(s"$src2/f$i.json"), candle.format(10 + i, i))
+    }
+    // cap = 1 file per micro-batch; AvailableNow still drains the whole
+    // backlog, but in rate-limited checkpointed steps
+    StreamIngest.start(spark, src2, tables2, ck2,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    val candles = spark.read.parquet(s"$tables2/candles")
+    assert(candles.count() == 3)
+    val batches = candles.select("ingest_batch").distinct().count()
+    assert(batches == 3L, s"expected 3 rate-limited batches, got $batches")
+  }
+
   test("streaming materialized view: incremental rollup across triggers equals full recompute") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types._

@@ -149,4 +149,25 @@ class TableLogSpec extends SparkSpec {
       .where(col("k").between(10L, 40L)).count()
     assert(pruned == 31L)
   }
+
+  test("optimize zorder clusters the snapshot so BOTH dimensions skip files") {
+    rm(new java.io.File(root))
+    val t = s"$root/t6"
+    // 40×40 grid in row-major order: unclustered in b (every file sees all b)
+    val rows = (0L until 1600L).map(i => (i % 40, i / 40)).toDF("a", "b")
+      .repartition(8)
+    TableLog.commitAppend(rows, t, statCols = Seq("a"))
+    TableLog.optimizeZOrder(spark, t, "a", "b", nFiles = 16)
+    val (keptA, total) = TableLog.prunedFiles(t, "a", lo = 0L, hi = 4L)
+    assert(total == 16, s"expected 16 z-ordered files, saw $total")
+    assert(keptA.size < total, s"a-dim box kept all $total files")
+    // the previously UNINDEXED dimension prunes too — the point of Z-order
+    val (keptB, _) = TableLog.prunedFiles(t, "b", lo = 0L, hi = 4L)
+    assert(keptB.size < total, s"b-dim box kept all $total files")
+    // identity: clustered snapshot reads back exactly, pruned == full
+    assert(TableLog.read(spark, t).count() == 1600L)
+    val box = TableLog.readPruned(spark, t, "b", 0L, 4L)
+      .where(col("b").between(0L, 4L)).count()
+    assert(box == 200L)
+  }
 }
