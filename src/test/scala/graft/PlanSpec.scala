@@ -73,6 +73,21 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("dsir selection plans a bounded TakeOrdered cut with broadcast weights") {
+    val p = plan("dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be per-partition TakeOrdered, not a global sort:\n${p.take(2000)}")
+    assert(count(p, "BroadcastHashJoin") >= 1, "bucket weights must broadcast")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0)
+  }
+
+  test("approx profiler plans no Expand; the exact profiler's Expand is the contrast") {
+    assert(!plan("profile_orders_approx").contains("Expand"),
+      "HLL profiler must not multiply the fact through an Expand")
+    assert(plan("profile_orders").contains("Expand"),
+      "exact profiler's documented x6 Expand disappeared — scaladoc is stale")
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized
