@@ -217,7 +217,7 @@ object IngestPack extends QueryPack {
       .groupBy("side")
       .agg(
         count(lit(1)).as("n_trades"),
-        sum(col("price").cast("decimal(18,9)")).cast("double").as("sum_price"),
+        sum(floor(col("price") * 1e9).cast("long")).as("sum_price_e9"),
         sum(col("volume")).as("sum_volume"),
         date_format(min(col("timestamp")), Schemas.TsFormat).as("min_ts"),
         date_format(max(col("timestamp")), Schemas.TsFormat).as("max_ts"))
@@ -232,7 +232,7 @@ object IngestPack extends QueryPack {
       |         CASE WHEN o_orderkey % 2 = 0 THEN 'buy' ELSE 'sell' END AS side
       |  FROM orders)
       |SELECT side, count(*) AS n_trades,
-      |       CAST(sum(CAST(price AS DECIMAL(18,9))) AS DOUBLE) AS sum_price,
+      |       CAST(sum(CAST(floor(price * 1e9) AS BIGINT)) AS BIGINT) AS sum_price_e9,
       |       CAST(sum(volume) AS BIGINT) AS sum_volume,
       |       min(wire_ts) AS min_ts, max(wire_ts) AS max_ts
       |FROM t GROUP BY side""".stripMargin
@@ -269,8 +269,8 @@ object IngestPack extends QueryPack {
       .groupBy(figiBucket(col("company_id"), 8).as("bucket"))
       .agg(
         count(lit(1)).as("n_snapshots"),
-        sum(col("bid_price").cast("decimal(18,9)")).cast("double").as("sum_bid"),
-        sum(col("ask_price").cast("decimal(18,9)")).cast("double").as("sum_ask"),
+        sum(floor(col("bid_price") * 1e9).cast("long")).as("sum_bid_e9"),
+        sum(floor(col("ask_price") * 1e9).cast("long")).as("sum_ask_e9"),
         sum(col("bid_volume")).as("sum_bid_vol"),
         sum(col("ask_volume")).as("sum_ask_vol"),
         date_format(max(col("timestamp")), Schemas.TsFormat).as("max_ts"))
@@ -289,8 +289,8 @@ object IngestPack extends QueryPack {
       |           + (c_custkey % 96) * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS wire_ts
       |  FROM customer)
       |SELECT bucket, count(*) AS n_snapshots,
-      |       CAST(sum(CAST(bid_price AS DECIMAL(18,9))) AS DOUBLE) AS sum_bid,
-      |       CAST(sum(CAST(ask_price AS DECIMAL(18,9))) AS DOUBLE) AS sum_ask,
+      |       CAST(sum(CAST(floor(bid_price * 1e9) AS BIGINT)) AS BIGINT) AS sum_bid_e9,
+      |       CAST(sum(CAST(floor(ask_price * 1e9) AS BIGINT)) AS BIGINT) AS sum_ask_e9,
       |       CAST(sum(bid_volume) AS BIGINT) AS sum_bid_vol,
       |       CAST(sum(ask_volume) AS BIGINT) AS sum_ask_vol,
       |       max(wire_ts) AS max_ts
@@ -371,7 +371,7 @@ object IngestPack extends QueryPack {
       .groupBy(figiBucket(col("company_id"), 10).as("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),
-        sum(col("close").cast("decimal(18,9)")).cast("double").as("sum_close"),
+        sum(floor(col("close") * 1e9).cast("long")).as("sum_close_e9"),
         sum(col("volume")).as("sum_volume"),
         countDistinct(col("window")).as("n_windows"),
         date_format(min(col("timestamp")), "yyyy-MM-dd").as("min_day"),
@@ -391,7 +391,7 @@ object IngestPack extends QueryPack {
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '2002-01-01')
       |SELECT bucket, count(*) AS n_candles,
-      |       CAST(sum(CAST(close AS DECIMAL(18,9))) AS DOUBLE) AS sum_close,
+      |       CAST(sum(CAST(floor(close * 1e9) AS BIGINT)) AS BIGINT) AS sum_close_e9,
       |       CAST(sum(volume) AS BIGINT) AS sum_volume,
       |       count(DISTINCT win) AS n_windows,
       |       strftime(min(d), '%Y-%m-%d') AS min_day,
@@ -562,7 +562,12 @@ object IngestPack extends QueryPack {
       .groupBy(figiBucket(col("company_id"), 10).as("bucket"))
       .agg(
         count(lit(1)).as("n_candles"),
-        sum(col("close").cast("decimal(18,9)")).cast("double").as("sum_close"),
+        // floor-integerized, NOT a DECIMAL cast: double→DECIMAL(18,9)
+        // rounds half-up per value, and at sf0.1 row counts a couple of
+        // values land on rounding boundaries where the engines disagree
+        // by 1e-9 — floor of an exact product is tie-free (CLAUDE.md
+        // arbitrary-double-sum rule, caught by the sf0.1 self-check)
+        sum(floor(col("close") * 1e9).cast("long")).as("sum_close_e9"),
         sum(col("volume")).as("sum_volume"),
         date_format(min(col("timestamp")), Schemas.TsFormat).as("min_ts"),
         date_format(max(col("timestamp")), Schemas.TsFormat).as("max_ts"))
@@ -577,7 +582,7 @@ object IngestPack extends QueryPack {
       |         CAST(l_quantity AS BIGINT) AS volume
       |  FROM lineitem)
       |SELECT bucket, count(*) AS n_candles,
-      |       CAST(sum(CAST(close AS DECIMAL(18,9))) AS DOUBLE) AS sum_close,
+      |       CAST(sum(CAST(floor(close * 1e9) AS BIGINT)) AS BIGINT) AS sum_close_e9,
       |       CAST(sum(volume) AS BIGINT) AS sum_volume,
       |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts

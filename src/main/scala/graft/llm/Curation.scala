@@ -666,6 +666,58 @@ object Curation extends QueryPack {
     }
   }
 
+  /** The trained DSIR "model": the 256-long bucket→weight vector (smoothed
+    * target/raw ratio ×10^6, [[dsirSelect]]'s `w` relation collected —
+    * model-sized by construction). Buckets no training gram hit default to
+    * the smoothing prior (1+0)·10^6/(0+1) = 10^6, exactly what the ratio
+    * formula yields for an empty bucket.
+    */
+  def dsirWeightVector(s: SparkSession, dir: String): Array[Long] = {
+    val w = Array.fill(DsirBuckets)(1000000L)
+    dsirBuckets(Tables.loadSpread(s, dir, "documents"))
+      .groupBy("bucket")
+      .agg(expr("(sum(is_tgt) + 1) * 1000000 div (count(1) + 1)").as("wt"))
+      .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
+  /** (doc_id, source, bucket, is_tgt) — one row per bigram occurrence */
+  private def dsirBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), explode(bigramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("dsir:"), col("gram")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets).as("bucket"),
+        when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L).as("is_tgt"))
+
+  /** Scalar DSIR scorer against a trained weight vector — the ONLINE form of
+    * [[dsirSelect]]'s aggregate scoring: one stateless compiled pass per
+    * row (bigram → md5 bucket → weight sum), no explode, no join, no state,
+    * so it runs identically under batch and Structured Streaming (the
+    * ingest-time admission filter). Bit-equal to the batch path: same
+    * tokenizer, same md5 bucket arithmetic, same integer sum.
+    */
+  def dsirScoreUdf(weights: Array[Long]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) 0L
+      else {
+        val toks = text.trim.split(TextStats.WsRe).filter(_.nonEmpty)
+        if (toks.length < 2) 0L
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var s = 0L
+          var i = 0
+          while (i < toks.length - 1) {
+            val hex = md.digest(s"dsir:${toks(i)} ${toks(i + 1)}".getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString
+            s += weights((java.lang.Long.parseLong(hex, 16) % weights.length).toInt)
+            i += 1
+          }
+          s
+        }
+      }
+    }
+
   /** Data selection with importance resampling (DSIR, Xie et al. 2023): rank
     * raw documents by how target-domain-like their hashed n-gram feature
     * distribution is, and keep the top K — the published recipe for choosing
@@ -686,12 +738,7 @@ object Curation extends QueryPack {
     * sort). Docs with < 2 tokens have no features and drop, as in the paper.
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val b = Tables.loadSpread(s, dir, "documents")
-      .select(col("doc_id"), col("source"), explode(bigramsUdf(col("text"))).as("gram"))
-      .select(col("doc_id"), col("source"),
-        (conv(substring(md5(concat(lit("dsir:"), col("gram")).cast("binary")), 1, 8), 16, 10)
-          .cast("long") % DsirBuckets).as("bucket"),
-        when(col("source").isin(DsirTargetSources: _*), 1L).otherwise(0L).as("is_tgt"))
+    val b = dsirBuckets(Tables.loadSpread(s, dir, "documents"))
     val w = b.groupBy("bucket")
       .agg(expr("(sum(is_tgt) + 1) * 1000000 div (count(1) + 1)").as("wt"))
     b.join(broadcast(w), "bucket")

@@ -199,6 +199,21 @@ object StreamIngest {
       }
   }
 
+  /** Online data selection (the streaming face of
+    * [[graft.llm.Curation.dsirSelect]]): score each incoming document's
+    * domain fit with the broadcast DSIR weight vector and admit those at or
+    * above `minScore` — data selection at INGEST time rather than as a
+    * post-hoc batch sweep. One stateless compiled projection per row (the
+    * 256-long model rides the closure): no shuffle, no state store, so it
+    * runs at source speed under any trigger, and the score is bit-equal to
+    * the batch aggregate's (same tokenizer, bucket hash and integer sum —
+    * StreamingSpec pins the equality against dsirSelect's rows).
+    */
+  def dsirAdmission(docs: DataFrame, weights: Array[Long], minScore: Long): DataFrame =
+    docs
+      .withColumn("dsir_score", graft.llm.Curation.dsirScoreUdf(weights)(col("text")))
+      .where(col("dsir_score") >= minScore)
+
   case class Tok(lang: String, token: String)
   case class MgStreamState(buf: graft.llm.MgBuf, n_tokens: Long)
   case class HeavyHitter(lang: String, token: String, est_count: Long, n_tokens: Long)

@@ -295,6 +295,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows("b") == Seq((5L, 3L)))
   }
 
+  test("streaming DSIR admission scores bit-equal to the batch selection") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Curation
+    val weights = Curation.dsirWeightVector(spark, sfDir)
+    // the batch top-K is the ground truth: feed those exact documents
+    // through the stream and require identical integer scores
+    val batch = Curation.dsirSelect(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id").isInCollection(batch.keys.toSeq))
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.dsirAdmission(
+        mem.toDF().toDF("doc_id", "text"), weights, minScore = 0L)
+      .select("doc_id", "dsir_score")
+      .writeStream.format("memory").queryName("dsir_adm").outputMode("append").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_adm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (id, score) =>
+      assert(streamed(id) == score, s"doc $id: stream ${streamed(id)} != batch $score")
+    }
+  }
+
   test("streaming heavy hitters accumulate MG state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Tok]
