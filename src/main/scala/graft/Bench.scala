@@ -65,12 +65,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     println(json)
-    // silence executor/context shutdown chatter, then re-emit the JSON after
-    // spark.stop() so the payload is the process's LAST stdout line — a
-    // tail-capture of any size ends with a complete, parseable record
+    // silence executor/context shutdown chatter, then emit a COMPACT summary
+    // after spark.stop() so the process's LAST stdout line is a complete JSON
+    // record that fits the driver's ~2 KB tail capture (the full per-query map
+    // above is ~4.5 KB at 146 queries and was truncated two rounds running —
+    // the tail must carry the headline, not the map)
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(json)
+    val errNames = errors.keys.take(8).map(jstr).mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"err_names":$errNames,"sf":${jstr(sfDir)}}""")
     System.out.flush()
   }
 }

@@ -34,9 +34,12 @@ final case class VecSum(sums: Array[Long], n: Long)
   * bit-identical across engines. Bucket/candidate relations carry only
   * scalar columns through shuffles — embedding payloads never shuffle.
   *
-  * Determinism notes: hyperplanes and centroid seeds derive from splitmix64
-  * of fixed indices (no RNG state — every executor and every run sees the
-  * same values); ranking ties are broken by vec_id on the 6-dp-rounded score.
+  * Determinism notes: hyperplanes and centroid seeds derive from the
+  * PORTABLE md5 recipe over fixed indices (no RNG state — every executor,
+  * every run, and the DuckDB oracle see the same values); ranking ties are
+  * broken by vec_id on the integerized `floor(cos·1e6)` score — never a
+  * `round(x, 6)` of a raw double, whose half-up tie class is the one
+  * operation Spark (exact-decimal) and DuckDB (double-space) disagree on.
   */
 object Similarity extends QueryPack {
 
@@ -52,6 +55,15 @@ object Similarity extends QueryPack {
   private def cosSim(a: Column, b: Column): Column =
     graft.functions.cosine_similarity(a, b)
 
+  /** `floor(cos·1e6)` as BIGINT — the engine-portable integerization of an
+    * arbitrary double score (CLAUDE.md rule): one correctly-rounded multiply
+    * + floor in both engines, vs `round(x, 6)` where Spark rounds via exact
+    * decimal HALF_UP while DuckDB rounds in double space and a score within
+    * 1 ulp of a .5e-6 boundary diverges.
+    */
+  private def cosE6(a: Column, b: Column): Column =
+    floor(cosSim(a, b) * lit(1e6)).as("cos_e6")
+
   /** Exact cosine top-k neighbours for the NumQueries lowest vec_ids. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
@@ -63,8 +75,8 @@ object Similarity extends QueryPack {
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+        cosE6(col("qvec"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
 
@@ -78,16 +90,16 @@ object Similarity extends QueryPack {
       |  ORDER BY vec_id LIMIT $NumQueries),
       |scored AS (
       |  SELECT query_id, e.vec_id AS neighbor_id,
-      |         round(${dotSql("qvec", "e.embedding")}
-      |           / (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6)
-      |           AS cos_sim
+      |         CAST(floor(${dotSql("qvec", "e.embedding")}
+      |           / (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) * 1000000) AS BIGINT)
+      |           AS cos_e6
       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
       |ranked AS (
-      |  SELECT query_id, neighbor_id, cos_sim,
+      |  SELECT query_id, neighbor_id, cos_e6,
       |         row_number() OVER (PARTITION BY query_id
-      |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
       |  FROM scored)
-      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+      |SELECT query_id, neighbor_id, cos_e6, rank FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
   // ---------------------------------------------------------------------------
@@ -97,12 +109,17 @@ object Similarity extends QueryPack {
   val Tables_ = 4  // L independent hash tables
   val Planes  = 8  // bits per table → 256 buckets/table
 
-  /** splitmix64 finalizer — deterministic, high-quality 64-bit mix */
-  private def splitmix(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+  /** Driver-side twin of the engine-portable unit-interval hash: first 8 hex
+    * chars of md5(key) as a 32-bit int, scaled by the exact power-of-two
+    * division h/2^31 − 1 ∈ [−1, 1). Both steps are single correctly-rounded
+    * double ops, so DuckDB's
+    * `CAST('0x'||substr(md5(key),1,8) AS BIGINT) / 2147483648 - 1`
+    * reproduces every value bit-for-bit.
+    */
+  private def md5Unit(key: String): Double = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
 
   /** Hyperplane matrix [table][plane][dim], components uniform in [-1, 1),
@@ -119,14 +136,8 @@ object Similarity extends QueryPack {
     * (table × plane × dim) per row inside interpreted higher-order
     * functions — 13× slower than brute force).
     */
-  private lazy val planes: Array[Array[Array[Double]]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(Tables_, Planes, Dim) { (t, p, d) =>
-      val hex = md.digest(s"plane:$t:$p:$d".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
-    }
-  }
+  private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(Tables_, Planes, Dim) { (t, p, d) => md5Unit(s"plane:$t:$p:$d") }
 
   /** DuckDB CTEs reproducing [[planes]] and [[bucketsUdf]]: `pl` is one row
     * per (t, p) carrying the 64-weight plane as an ordered list; `keys` is
@@ -189,11 +200,11 @@ object Similarity extends QueryPack {
       .select(
         col("vec_id").as("query_id"), col("embedding").as("qvec"),
         posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
     corpusBuckets.join(broadcast(queryBuckets), Seq("t", "b"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        cosE6(col("qvec"), col("embedding")))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
@@ -221,16 +232,16 @@ object Similarity extends QueryPack {
       |  JOIN keys k ON k.t = qk.t AND k.b = qk.b AND k.vec_id <> q.query_id),
       |scored AS (
       |  SELECT c.query_id, c.neighbor_id,
-      |         round(${cosSqlOf("q.qvec", "e.embedding")}, 6) AS cos_sim
+      |         CAST(floor((${cosSqlOf("q.qvec", "e.embedding")}) * 1000000) AS BIGINT) AS cos_e6
       |  FROM cand c
       |  JOIN q ON q.query_id = c.query_id
       |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
       |ranked AS (
-      |  SELECT query_id, neighbor_id, cos_sim,
+      |  SELECT query_id, neighbor_id, cos_e6,
       |         row_number() OVER (PARTITION BY query_id
-      |                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
       |  FROM scored)
-      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+      |SELECT query_id, neighbor_id, cos_e6, rank FROM ranked WHERE rank <= $TopK""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Embedding-cosine near-dup (semantic dedup)
@@ -268,14 +279,17 @@ object Similarity extends QueryPack {
     val perLabel = scored.groupBy("label").agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("cos") >= DupThreshold, 1L).otherwise(0L)).as("n_dups"),
-      round(max(col("cos")), 6).as("max_cos"))
+      // floor-integerized per pair BEFORE the max (floor is monotone, so
+      // max∘floor = floor∘max — but spelling it per-pair keeps both engines
+      // on the identical expression tree)
+      max(floor(col("cos") * lit(1e6))).as("max_cos_e6"))
     emb.groupBy("label").agg(count(lit(1)).as("n_vectors"))
       .join(perLabel, Seq("label"), "left")
       .select(
         col("label"), col("n_vectors"),
         coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        col("max_cos"))
+        col("max_cos_e6"))
   }
 
   private val embCosDedupSql =
@@ -291,13 +305,13 @@ object Similarity extends QueryPack {
       |per AS (
       |  SELECT label, count(*) AS n_candidate_pairs,
       |         CAST(sum(CASE WHEN cos >= 95 / 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-      |         round(max(cos), 6) AS max_cos
+      |         CAST(max(floor(cos * 1000000)) AS BIGINT) AS max_cos_e6
       |  FROM scored GROUP BY label),
       |tot AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
       |SELECT t.label, t.n_vectors,
       |       CAST(COALESCE(p.n_candidate_pairs, 0) AS BIGINT) AS n_candidate_pairs,
       |       CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
-      |       p.max_cos
+      |       p.max_cos_e6
       |FROM tot t LEFT JOIN per p ON t.label = p.label""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -357,7 +371,10 @@ object Similarity extends QueryPack {
     def zero: VecSum = VecSum(new Array[Long](Dim), 0L)
     def reduce(b: VecSum, a: Seq[Float]): VecSum = {
       var i = 0
-      while (i < Dim) { b.sums(i) += math.round(a(i).toDouble * 1e9); i += 1 }
+      // floor (not Math.round = floor(x+.5), whose half-up tie diverges from
+      // DuckDB's half-away round at negative .5 boundaries) — every quantized
+      // component replays as CAST(floor(v*1e9) AS BIGINT)
+      while (i < Dim) { b.sums(i) += math.floor(a(i).toDouble * 1e9).toLong; i += 1 }
       VecSum(b.sums, b.n + 1)
     }
     def merge(x: VecSum, y: VecSum): VecSum = {
@@ -378,17 +395,16 @@ object Similarity extends QueryPack {
   }
   private val vecMean = udaf(VecMeanAgg)
 
-  /** Data-independent seed centroids: splitmix64-derived unit-cube vectors
-    * (same construction as the LSH [[planes]]), flattened cell-major. Living
-    * in the UDF closure, they cost ZERO Spark jobs — the round-2/3 interim
-    * designs spent 3 sequential jobs just selecting and broadcasting
-    * data-derived seeds, half the IVF runtime at bench scale.
+  /** Data-independent seed centroids: md5-derived unit-cube vectors (the
+    * SAME portable recipe as the LSH [[planes]], key `ivf:cell:dim`),
+    * flattened cell-major. Living in the UDF closure, they cost ZERO Spark
+    * jobs — the round-2/3 interim designs spent 3 sequential jobs just
+    * selecting and broadcasting data-derived seeds, half the IVF runtime at
+    * bench scale. md5 (not splitmix64) because DuckDB regenerates the exact
+    * matrix, which is what lets [[ivfTopK]] be hash-gated end to end.
     */
   private lazy val seedMatrix: Array[Double] =
-    Array.tabulate(NumCells * Dim) { i =>
-      val h = splitmix(0x51ee7beefL + i.toLong * 0x9e3779b97f4a7c15L)
-      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
-    }
+    Array.tabulate(NumCells * Dim) { i => md5Unit(s"ivf:${i / Dim}:${i % Dim}") }
 
   /** seed-pass cell assignment against the closure matrix (no cmat column) */
   private val seedCellUdf = udf { (emb: Seq[Float]) =>
@@ -433,9 +449,14 @@ object Similarity extends QueryPack {
     * the win over brute force once the corpus is large. At bench scale (2k
     * vectors) the run is dominated by the index build's fixed chain of tiny
     * sequential jobs, which a production deployment builds once and persists;
-    * the per-query marginal cost is what scales. Approximate (recall < 1 by
-    * design) → no SQL oracle; the ScalaTest pins recall against brute force
-    * on planted clusters.
+    * the per-query marginal cost is what scales. Approximate vs brute force
+    * (recall < 1 by design) but fully DETERMINISTIC: md5 seed centroids, one
+    * Lloyd step in floor-quantized fixed point, centroid means as two
+    * correctly-rounded double divisions, cosine argmax/probe orders and the
+    * floor-integerized re-rank all replay in DuckDB ([[ivfTopKSql]]) — so the
+    * whole float-IVF build-and-serve pipeline is hash-gated like its integer
+    * twin [[annIvfTrainedTopK]]; the ScalaTest additionally pins recall
+    * against brute force on planted clusters.
     */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
@@ -455,14 +476,85 @@ object Similarity extends QueryPack {
       .crossJoin(broadcast(centsRow))
       .select(col("query_id"), col("qvec"),
         explode(probeCellsUdf(col("qvec"), col("cmat"))).as("cell"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        cosE6(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
+
+  /** DuckDB replay of the ENTIRE [[ivfTopK]] pipeline: md5 seed matrix →
+    * seed-cosine argmax assignment → one Lloyd step (floor-1e9 fixed-point
+    * component sums, mean = two double divisions) → positional re-keying of
+    * the key-sorted surviving cells ([[centroidMatrix]]) → corpus assignment
+    * and NProbe probe cells against the refined centroids → candidate
+    * re-rank on floor(cos·1e6). Every double op is a correctly-rounded
+    * IEEE primitive both engines share; every sum is sequential-fold or
+    * integer-exact.
+    */
+  private val ivfTopKSql =
+    s"""WITH sm AS (
+      |  SELECT c,
+      |         [CAST('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) / 2147483648 - 1
+      |          for i in range(1, $Dim + 1)] AS w
+      |  FROM range($NumCells) cc(c)),
+      |seedcos AS (
+      |  SELECT e.vec_id, sm.c, ${cosSqlOf("e.embedding", "sm.w")} AS cos
+      |  FROM embeddings e, sm),
+      |sa AS (
+      |  SELECT vec_id, c + 1 AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rn
+      |    FROM seedcos)
+      |  WHERE rn = 1),
+      |csum AS (
+      |  SELECT sa.cell, t.i,
+      |         CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM sa JOIN embeddings e USING (vec_id), unnest(range(1, $Dim + 1)) AS t(i)
+      |  GROUP BY sa.cell, t.i),
+      |cent AS (
+      |  SELECT cell, list(s / 1000000000 / n ORDER BY i) AS cv
+      |  FROM csum GROUP BY cell),
+      |centk AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY cell) AS INTEGER) AS cell2, cv
+      |  FROM cent),
+      |corpcos AS (
+      |  SELECT e.vec_id, k.cell2, ${cosSqlOf("e.embedding", "k.cv")} AS cos
+      |  FROM embeddings e, centk k),
+      |ca AS (
+      |  SELECT vec_id, cell2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell2) AS rn
+      |    FROM corpcos)
+      |  WHERE rn = 1),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      |  ORDER BY vec_id LIMIT $NumQueries),
+      |qcos AS (
+      |  SELECT q.query_id, k.cell2, ${cosSqlOf("q.qvec", "k.cv")} AS cos
+      |  FROM q, centk k),
+      |probes AS (
+      |  SELECT query_id, cell2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cell2) AS rn
+      |    FROM qcos)
+      |  WHERE rn <= $NProbe),
+      |cand AS (
+      |  SELECT p.query_id, ca.vec_id AS neighbor_id
+      |  FROM probes p JOIN ca ON ca.cell2 = p.cell2
+      |  WHERE ca.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         CAST(floor((${cosSqlOf("q.qvec", "e.embedding")}) * 1000000) AS BIGINT) AS cos_e6
+      |  FROM cand c
+      |  JOIN q ON q.query_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_e6,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_e6 DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_e6, rank FROM ranked WHERE rank <= $TopK""".stripMargin
 
   // ---------------------------------------------------------------------------
   // Persisted IVF index
@@ -536,13 +628,13 @@ object Similarity extends QueryPack {
       .select(col("query_id"), col("qvec"),
         explode(probeCellsUdf(col("qvec"), col("cmat"))).as("cell"))
     val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_e6").desc, col("neighbor_id"))
     members
       .where(col("cell").isInCollection(probedCells))
       .join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosSim(col("qvec"), col("embedding")), 6).as("cos_sim"))
+        cosE6(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
@@ -609,7 +701,7 @@ object Similarity extends QueryPack {
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("cand_id"),
-        round(cosSim(col("qvec"), col("embedding")), 6).as("cos6"),
+        floor(cosSim(col("qvec"), col("embedding")) * lit(1e6)).as("cos6"),
         size(array_intersect(col("toks"), col("qtoks"))).as("overlap"))
     val byQ = Window.partitionBy("query_id")
     val ranked = scored
@@ -645,8 +737,8 @@ object Similarity extends QueryPack {
       |  FROM c ORDER BY vec_id LIMIT $NumQueries),
       |scored AS (
       |  SELECT query_id, c.vec_id AS cand_id,
-      |         round(${dotSql("qvec", "c.embedding")}
-      |           / (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})), 6)
+      |         CAST(floor(${dotSql("qvec", "c.embedding")}
+      |           / (sqrt(${dotSql("qvec", "qvec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) * 1000000) AS BIGINT)
       |           AS cos6,
       |         len(list_intersect(c.toks, q.qtoks)) AS overlap
       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
@@ -1138,7 +1230,7 @@ object Similarity extends QueryPack {
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
     Q("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
-    Q("ann_ivf_topk", ivfTopK, None),
+    Q("ann_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("dedup_embcos", embCosDedup, Some(embCosDedupSql)),
     Q("emb_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -28,7 +28,7 @@ class IvfIndexSpec extends SparkSpec {
     val queries = emb.orderBy("vec_id").limit(Similarity.NumQueries)
     val indexed = Similarity.ivfTopKIndexed(spark, path, queries)
     def key(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
     val fromIndex = indexed.collect().map(key).toSet
     val inMemory = Similarity.ivfTopK(spark, sfDir).collect().map(key).toSet
     assert(fromIndex == inMemory && fromIndex.nonEmpty)
@@ -74,7 +74,7 @@ class IvfIndexSpec extends SparkSpec {
     // searches are identical — append order never changes served results
     val queries = emb.orderBy("vec_id").limit(Similarity.NumQueries)
     def res(p: String) = Similarity.ivfTopKIndexed(spark, p, queries).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     val (ri, rm2) = (res(inc), res(mono))
     assert(ri == rm2 && ri.nonEmpty)
   }

@@ -179,8 +179,8 @@ class LlmSpec extends SparkSpec {
     val rows = out.collect()
     assert(rows.length == Similarity.NumQueries * Similarity.TopK)
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
-    // scores are valid cosines
-    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // scores are valid floor(cos·1e6)-integerized cosines
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 1000001L))
   }
 
   test("ann LSH top-k recall ≥ 0.9 on planted clusters") {
