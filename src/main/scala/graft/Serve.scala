@@ -22,9 +22,14 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   * SparkContext — Catalyst + AQE + the cluster's full parallelism, identical
   * to batch execution; the endpoint itself holds no data. Analysis views are
   * lazy logical plans (re-planned and re-executed per poll, the Grafana
-  * refresh model); a production deployment would point them at table-log or
-  * catalog tables instead of raw parquet and leave result caching to the
-  * dashboard layer.
+  * refresh model); result caching is the dashboard layer's job.
+  *
+  * Base tables serve from the TABLE LOG when one is committed
+  * (`tableLogRoot/<table>` with ≥1 version): the served view is then a
+  * snapshot-isolated [[graft.sources.TableLog.read]] — it composes with
+  * commits, OPTIMIZE and time travel (re-register after a commit to follow
+  * the log head; concurrent commits can never tear an in-flight JDBC scan).
+  * Raw parquet under `dir` is the fallback for tables nobody has committed.
   */
 object Serve {
 
@@ -35,12 +40,22 @@ object Serve {
   val AnalysisViews: Seq[String] =
     Seq("a1_volatility", "a2_trade_impact", "a3_predictability", "a4_imbalance")
 
-  /** Register base tables and analysis views into the global temp catalog. */
+  /** Register base tables and analysis views into the global temp catalog.
+    * A table with a committed table-log under `tableLogRoot` serves that
+    * log's LATEST snapshot; others fall back to `dir`'s raw parquet.
+    */
   def registerViews(spark: SparkSession, dir: String,
-                    queries: Seq[String] = AnalysisViews): Unit = {
+                    queries: Seq[String] = AnalysisViews,
+                    tableLogRoot: Option[String] = None): Unit = {
     Tables.All.foreach { t =>
-      if (new java.io.File(s"$dir/$t.parquet").exists())
-        Tables.load(spark, dir, t).createOrReplaceGlobalTempView(t)
+      tableLogRoot.map(r => s"$r/$t")
+        .filter(p => graft.sources.TableLog.versions(p).nonEmpty) match {
+        case Some(logged) =>
+          graft.sources.TableLog.read(spark, logged).createOrReplaceGlobalTempView(t)
+        case None =>
+          if (new java.io.File(s"$dir/$t.parquet").exists())
+            Tables.load(spark, dir, t).createOrReplaceGlobalTempView(t)
+      }
     }
     queries.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
@@ -54,8 +69,9 @@ object Serve {
     * HiveServer2 ancestor — Spark's HiveThriftServer2 class itself is
     * `private[hive]` (only its companion is public API).
     */
-  def start(spark: SparkSession, dir: String, port: Int): org.apache.hive.service.server.HiveServer2 = {
-    registerViews(spark, dir)
+  def start(spark: SparkSession, dir: String, port: Int,
+            tableLogRoot: Option[String] = None): org.apache.hive.service.server.HiveServer2 = {
+    registerViews(spark, dir, tableLogRoot = tableLogRoot)
     // the server reads its port from the session's hadoop conf at init
     spark.sparkContext.hadoopConfiguration.set("hive.server2.thrift.port", port.toString)
     spark.sparkContext.hadoopConfiguration.set("hive.server2.thrift.bind.host", "localhost")

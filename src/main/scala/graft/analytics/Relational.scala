@@ -702,64 +702,52 @@ object Relational extends QueryPack {
       |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Column profiler: per-column null count and distinct count of orders in
-    * ONE pass (a single aggregate row, unpivoted to one row per column) —
-    * the data-quality primitives every ingestion audit runs. min/max are
-    * emitted only for engine-stable string renderings (integers, strings);
-    * float/timestamp renderings differ across engines and stay NULL.
+  /** Column profiler: per-column null count, EXACT distinct count, and
+    * min/max of orders — the data-quality primitives every ingestion audit
+    * runs. min/max are emitted only for engine-stable string renderings
+    * (integers, strings); float/timestamp renderings differ across engines
+    * and stay NULL.
     *
-    * SMALL-TABLE-ONLY by design: the 6 exact `countDistinct`s in one
-    * aggregate plan an Expand — a ×6 row multiplication of the full fact
-    * BEFORE the partial agg — which at 100 TB pushes 6 copies of the table
-    * through one shuffle. This exact variant exists for oracle-exact audits
-    * of bounded tables; the scale path is [[profileOrdersApprox]], the same
-    * profile through single-pass mergeable HLL sketches (no Expand, one
-    * bounded-state aggregate), spec-pinned within 5% of these counts.
+    * Plan shape (the round-5 fix): one TWO-LEVEL aggregate per column —
+    * `groupBy(value) → count` collapses duplicates map-side, then a 1-row
+    * reduce derives n_rows (Σcnt), n_null (Σcnt where value null),
+    * n_distinct (count of non-null groups) and min/max — unioned across the
+    * six columns. NO Expand anywhere: the earlier single-aggregate
+    * formulation planned a ×7 row multiplication of the full fact before
+    * the partial agg, a named scale-killer. Here each union leg scans ONLY
+    * its own column (parquet-pruned, so six legs ≈ one full-width scan in
+    * bytes) and its shuffle carries just the column's DISTINCT values —
+    * bounded by cardinality, not row count, for every column except
+    * unique keys, where exact distinct irreducibly shuffles the 8-byte key
+    * column. When a 2% estimate is acceptable, [[profileOrdersApprox]] does
+    * the whole profile in one pass with mergeable HLL sketches and no
+    * per-key shuffle at all; PlanSpec pins both shapes Expand-free and
+    * LlmSpec pins the twins within 5% of each other.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
-    // spread, not plain load: the multi-countDistinct agg plans an Expand
-    // (×7 row multiplication) BEFORE the partial agg, so the map side is
-    // per-row-expensive and single-row-group testdata would run it on one
-    // core (CLAUDE.md testdata quirk)
     val o = Tables.loadSpread(s, dir, "orders")
-    val one = o.agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
-      countDistinct(col("o_orderkey")).as("dist_orderkey"),
-      min(col("o_orderkey")).cast("string").as("min_orderkey"),
-      max(col("o_orderkey")).cast("string").as("max_orderkey"),
-      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
-      countDistinct(col("o_custkey")).as("dist_custkey"),
-      min(col("o_custkey")).cast("string").as("min_custkey"),
-      max(col("o_custkey")).cast("string").as("max_custkey"),
-      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
-      countDistinct(col("o_orderstatus")).as("dist_status"),
-      min(col("o_orderstatus")).as("min_status"),
-      max(col("o_orderstatus")).as("max_status"),
-      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_totalprice"),
-      countDistinct(col("o_totalprice")).as("dist_totalprice"),
-      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
-      countDistinct(col("o_orderdate")).as("dist_orderdate"),
-      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_priority"),
-      countDistinct(col("o_orderpriority")).as("dist_priority"),
-      min(col("o_orderpriority")).as("min_priority"),
-      max(col("o_orderpriority")).as("max_priority"))
-    def row(name: String, nulls: Column, dist: Column, mn: Column, mx: Column) =
-      struct(lit(name).as("column_name"), col("n_rows"), nulls.as("n_null"),
-        dist.as("n_distinct"), mn.as("min_s"), mx.as("max_s"))
     val nullS = lit(null).cast("string")
-    one.select(explode(array(
-        row("o_orderkey", col("null_orderkey"), col("dist_orderkey"),
-          col("min_orderkey"), col("max_orderkey")),
-        row("o_custkey", col("null_custkey"), col("dist_custkey"),
-          col("min_custkey"), col("max_custkey")),
-        row("o_orderstatus", col("null_status"), col("dist_status"),
-          col("min_status"), col("max_status")),
-        row("o_totalprice", col("null_totalprice"), col("dist_totalprice"), nullS, nullS),
-        row("o_orderdate", col("null_orderdate"), col("dist_orderdate"), nullS, nullS),
-        row("o_orderpriority", col("null_priority"), col("dist_priority"),
-          col("min_priority"), col("max_priority")))).as("p"))
-      .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
+    def leg(c: String, mn: Column => Column, mx: Column => Column): DataFrame =
+      o.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          mn(col("v")).as("min_s"),
+          mx(col("v")).as("max_s"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    // min/max in the NATIVE type, cast to string after (lexicographic
+    // min-of-strings would order "10" < "9")
+    def minS(v: Column) = min(v).cast("string")
+    def maxS(v: Column) = max(v).cast("string")
+    def skip(v: Column) = max(nullS) // engine-unstable rendering → NULL
+    leg("o_orderkey", minS, maxS)
+      .unionAll(leg("o_custkey", minS, maxS))
+      .unionAll(leg("o_orderstatus", v => min(v), v => max(v)))
+      .unionAll(leg("o_totalprice", skip, skip))
+      .unionAll(leg("o_orderdate", skip, skip))
+      .unionAll(leg("o_orderpriority", v => min(v), v => max(v)))
   }
 
   private val profileOrdersSql =

@@ -305,7 +305,6 @@ object Governance extends QueryPack {
     */
   def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stopArr = TextStats.stopwords.mkString("('", "', '", "')")
     val feats = Tables.loadSpread(s, dir, "documents")
       .select(
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),

@@ -81,11 +81,14 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0)
   }
 
-  test("approx profiler plans no Expand; the exact profiler's Expand is the contrast") {
+  test("neither profiler plans an Expand; the exact one is per-column two-level aggs") {
     assert(!plan("profile_orders_approx").contains("Expand"),
       "HLL profiler must not multiply the fact through an Expand")
-    assert(plan("profile_orders").contains("Expand"),
-      "exact profiler's documented x6 Expand disappeared — scaladoc is stale")
+    val exact = plan("profile_orders")
+    assert(!exact.contains("Expand"),
+      "exact profiler regressed to the multi-countDistinct x7 Expand plan")
+    // six union legs, each a two-level aggregate over ONE pruned column
+    assert(count(exact, "Union") >= 1, exact.take(1500))
   }
 
   test("no query plan contains a cartesian product") {

@@ -62,6 +62,41 @@ class SeedRateSourceSpec extends SparkSpec {
     assert(out.map(_._2.size).sum == before, "restart re-admitted committed rows")
   }
 
+  test("pluggable paged upstream: admission math holds when page size ≠ rowsPerBatch") {
+    rm(new java.io.File(s"$base/paged"))
+    Files.createDirectories(Paths.get(s"$base/paged"))
+    PagedFrameUpstream.reset()
+    val out = collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream
+      .format("graft.sources.SeedRateSource")
+      .option("upstream", classOf[PagedFrameUpstream].getName)
+      .option("frames.total", "23")
+      .option("page.size", "4") // deliberately ≠ rowsPerBatch
+      .option("rowsPerBatch", "5")
+      .option("minPartitions", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/paged/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out += df.as[String].collect().toSeq
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    // admission is paced by rowsPerBatch, not by the upstream's page size
+    val sizes = out.map(_.size).filter(_ > 0)
+    assert(sizes.forall(_ <= 5), s"a batch exceeded the 5-row admission cap: $sizes")
+    assert(sizes.count(_ == 5) >= 4, s"full batches should admit exactly 5: $sizes")
+    // every upstream frame delivered exactly once, across page boundaries
+    assert(out.flatten.sorted == (0 until 23).map(i => s"frame-$i").sorted)
+    // the pager was actually exercised, and every opened slice was closed
+    assert(PagedFrameUpstream.requests.get() > 0, "no page request reached the upstream")
+    assert(PagedFrameUpstream.opens.get() == PagedFrameUpstream.closes.get(),
+      s"slice leak: ${PagedFrameUpstream.opens.get()} opens vs ${PagedFrameUpstream.closes.get()} closes")
+    assert(PagedFrameUpstream.opens.get() > 0)
+  }
+
   test("seed-rate frames flow through the ingest demux unchanged") {
     rm(new java.io.File(s"$base/demux"))
     Files.createDirectories(Paths.get(s"$base/demux"))
@@ -84,4 +119,47 @@ class SeedRateSourceSpec extends SparkSpec {
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     assert(spark.read.parquet(s"$base/demux/candles").count() == 2L)
   }
+}
+
+/** Synthetic paged upstream for the pluggability contract: a fake API that
+  * serves deterministic frames in fixed-size pages. `open(lo, hi)` pages
+  * from the page containing `lo` through the page containing `hi − 1` —
+  * exactly how a production [[graft.sources.FrameUpstream]] would wrap an
+  * HTTP/gRPC pager — while offsets, admission and checkpointing stay in the
+  * stream layer. Instantiated reflectively from the DSv2 `upstream` option
+  * with the full options map (keys arrive lowercased).
+  */
+class PagedFrameUpstream(opts: Map[String, String]) extends graft.sources.FrameUpstream {
+  private val n        = opts("frames.total").toLong
+  private val pageSize = opts("page.size").toInt
+  override def total(): Long = n
+  override def open(lo: Long, hi: Long): graft.sources.FrameSlice = {
+    PagedFrameUpstream.opens.incrementAndGet()
+    new graft.sources.FrameSlice {
+      private var idx = lo
+      private var pageStart = -1L
+      private var page: Array[String] = Array.empty
+      override def hasNext: Boolean = idx < hi
+      override def next(): String = {
+        val start = idx / pageSize * pageSize
+        if (pageStart != start || page.isEmpty) { // one "API request" per page
+          PagedFrameUpstream.requests.incrementAndGet()
+          pageStart = start
+          page = (start until math.min(start + pageSize, n)).map(j => s"frame-$j").toArray
+        }
+        val v = page((idx - pageStart).toInt)
+        idx += 1
+        v
+      }
+      override def close(): Unit = { PagedFrameUpstream.closes.incrementAndGet(); () }
+    }
+  }
+}
+
+/** JVM-wide counters (local-mode executors share the JVM) */
+object PagedFrameUpstream {
+  val requests = new java.util.concurrent.atomic.AtomicLong
+  val opens    = new java.util.concurrent.atomic.AtomicLong
+  val closes   = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = { requests.set(0); opens.set(0); closes.set(0) }
 }

@@ -5,11 +5,20 @@ import java.sql.DriverManager
 /** The resident JDBC endpoint ([[Serve]]) actually serves a §2 analysis:
   * starts HiveServer2 in-process over sf0.001, connects with the Hive JDBC
   * driver like an external dashboard would, and reads `a1_volatility`
-  * (§2 A1) plus a base-table aggregate through real Thrift round-trips.
+  * (§2 A1) plus base-table aggregates through real Thrift round-trips.
+  * One server lifetime for every case — HiveServer2 registers JVM-global
+  * state, so a second in-process instance cannot rebind.
   */
 class ServeSpec extends SparkSpec {
 
-  test("thrift endpoint serves the A1 volatility analysis over JDBC") {
+  test("thrift endpoint serves A1 analysis, raw tables, and table-log snapshots over JDBC") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val root = "/tmp/graft_test_serve_tlog"
+    rm(new java.io.File(root))
+
     val port = 10816 // fixed uncommon port; sandbox runs one test JVM
     val server = Serve.start(spark, sfDir, port)
     try {
@@ -33,6 +42,32 @@ class ServeSpec extends SparkSpec {
         val rs2 = conn.createStatement().executeQuery(
           "SELECT count(*) FROM global_temp.lineitem")
         assert(rs2.next() && rs2.getLong(1) > 0)
+
+        // --- table-log-backed serving on the SAME endpoint ---
+        val cust = Tables.load(spark, sfDir, "customer")
+        // v0: a committed snapshot DIFFERENT from the raw parquet, so a
+        // served count proves which source backs the view
+        graft.sources.TableLog.commitOverwrite(cust.limit(40), s"$root/customer")
+        Serve.registerViews(spark, sfDir, tableLogRoot = Some(root))
+        def servedCount(): Long = {
+          val r = conn.createStatement().executeQuery(
+            "SELECT count(*) FROM global_temp.customer")
+          assert(r.next()); r.getLong(1)
+        }
+        assert(servedCount() == 40L,
+          "customer view must serve the table-log snapshot, not raw parquet")
+        // tables WITHOUT a committed log still serve from raw parquet
+        val rs3 = conn.createStatement().executeQuery(
+          "SELECT count(*) FROM global_temp.orders")
+        assert(rs3.next() && rs3.getLong(1) > 0)
+        // a new commit + re-register follows the log head (snapshot per
+        // registration — exactly TableLog.read's isolation contract)
+        graft.sources.TableLog.commitOverwrite(cust.limit(25), s"$root/customer")
+        Serve.registerViews(spark, sfDir, tableLogRoot = Some(root))
+        assert(servedCount() == 25L, "re-registered view must follow the new commit")
+        // and time travel still reads v0 through the same log
+        assert(graft.sources.TableLog.read(spark, s"$root/customer", asOf = Some(0L))
+          .count() == 40L)
       } finally conn.close()
     } finally server.stop()
   }
