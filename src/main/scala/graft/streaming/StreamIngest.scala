@@ -214,6 +214,50 @@ object StreamIngest {
       .withColumn("dsir_score", graft.llm.Curation.dsirScoreUdf(weights)(col("text")))
       .where(col("dsir_score") >= minScore)
 
+  /** The full train→serve DSIR loop as one runnable stream: weights trained
+    * in THIS job ([[graft.llm.Curation.dsirWeightVector]] — a batch aggregate
+    * over the reference corpus) ride the scoring UDF's closure into a
+    * checkpointed document stream whose admitted rows land through the
+    * idempotent (batch-partition, dynamic overwrite) sink — the same
+    * composition [[graft.llm.Similarity.appendIvfIndex]] gives index
+    * build→append.
+    *
+    * Determinism across recovery: admission is a PURE function of
+    * (weights, text) — no state store — and a replayed batch overwrites its
+    * own `ingest_batch` partition, so the admitted SET after any
+    * stop/restart cycle equals the single-run set row for row (StreamingSpec
+    * pins this with a drain → extend → resume-from-checkpoint cycle).
+    * 100 TB posture: the 256-long model is closure-broadcast once per query,
+    * scoring is one compiled map pass — source-speed admission under any
+    * trigger, rate-limitable via `maxFilesPerTrigger`.
+    */
+  def dsirAdmitStream(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String,
+      weights: Array[Long],
+      minScore: Long,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    dsirAdmission(reader.json(srcDir), weights, minScore)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("ingest_batch", lit(batchId))
+          .write
+          .partitionBy("ingest_batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Tok(lang: String, token: String)
   case class MgStreamState(buf: graft.llm.MgBuf, n_tokens: Long)
   case class HeavyHitter(lang: String, token: String, est_count: Long, n_tokens: Long)

@@ -321,6 +321,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("train→serve DSIR stream: admitted set deterministic across checkpoint restart") {
+    import graft.llm.Curation
+    val srcD = s"$base/dsir_serve/src"; val outD = s"$base/dsir_serve/out"
+    val ckD  = s"$base/dsir_serve/ckpt"
+    // weights TRAINED in this job — the same vector then rides the stream
+    val weights = Curation.dsirWeightVector(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // batch ground truth on the full corpus; median score as the admission
+    // bar → a proper nonempty subset is admitted
+    val scores = StreamIngest.dsirAdmission(
+        docs.toSeq.toDF("doc_id", "text"), weights, Long.MinValue)
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect().toMap
+    val minScore = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val expected = scores.filter(_._2 >= minScore)
+    assert(expected.nonEmpty && expected.size < docs.length)
+
+    // phase 1: two-thirds of the corpus arrives; drain in 1-file batches
+    val (phase1, phase2) = docs.splitAt(docs.length * 2 / 3)
+    phase1.toSeq.toDF("doc_id", "text").repartition(3).write.mode("append").json(srcD)
+    StreamIngest.dsirAdmitStream(spark, srcD, outD, ckD, weights, minScore,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    // restart from the checkpoint after the upstream grew
+    phase2.toSeq.toDF("doc_id", "text").repartition(2).write.mode("append").json(srcD)
+    StreamIngest.dsirAdmitStream(spark, srcD, outD, ckD, weights, minScore,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+
+    val served = spark.read.parquet(outD)
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect()
+    assert(served.length == served.map(_._1).distinct.length,
+      "restart re-admitted already-committed documents")
+    assert(served.toMap == expected,
+      "admitted set across restart differs from the single-job batch admission")
+    // a restart with NO new upstream data admits nothing further
+    StreamIngest.dsirAdmitStream(spark, srcD, outD, ckD, weights, minScore,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(spark.read.parquet(outD).count() == expected.size.toLong)
+  }
+
   test("streaming heavy hitters accumulate MG state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Tok]
