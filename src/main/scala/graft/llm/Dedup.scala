@@ -942,7 +942,81 @@ object Dedup extends QueryPack {
       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Exact-substring span dedup (duplicated token-window accounting)
+  // ---------------------------------------------------------------------------
+
+  /** token width of an exact-substring span window */
+  val SpanW = 8
+
+  /** md5 hex of every [[SpanW]]-token window (stride 1) of a token list —
+    * ONE compiled pass per document; empty for docs shorter than the window.
+    * Hash-first is the scale discipline of [[exact]]: the shuffle carries
+    * 32-hex span keys, never span text (md5 collision odds are negligible
+    * and documented, the same contract as content-hash dedup).
+    */
+  private val spanHashUdf = udf { toks: Seq[String] =>
+    val n = toks.length - SpanW + 1
+    if (n <= 0) Array.empty[String]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(n) { i =>
+        md.reset()
+        md.digest(toks.slice(i, i + SpanW).mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+    }
+  }
+
+  /** Exact-substring duplication accounting — the token-window form of
+    * suffix-array substring dedup (the "duplicated 50-token span" method of
+    * the published training-data dedup literature, at window [[SpanW]]):
+    * a span is DUPLICATED when the identical [[SpanW]]-token window occurs
+    * in ≥ 2 distinct documents; each doc reports its span count, duplicated
+    * span count and duplication ppm. Catches copy-paste contamination that
+    * whole-doc hashing misses (a press release quoted inside otherwise
+    * unique articles) — the gap [[exact]] / [[minhash]] leave open.
+    *
+    * 100 TB shape: one tokenize+hash pass per doc (compiled UDF), then the
+    * span relation is (doc_id, 32-hex) scalars only. Duplicate detection is
+    * one hash aggregate on the span key (single-distinct rewrite — two-level
+    * agg, NO Expand); per-doc accounting is a left-semi join back on the
+    * same key. Span fan-out is n_tokens per doc — linear, the same constant
+    * as the BPE/shingle passes. Docs shorter than the window have no spans
+    * and are absent by definition (keeps the ppm division total).
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), explode(spanHashUdf(TextStats.tokensCol)).as("h"))
+    val dupH = spans.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = spans.join(dupH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+
+  private val spanDedupSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |spans AS (
+      |  SELECT doc_id, md5(array_to_string(t[i:i+${SpanW - 1}], ' ')) AS h
+      |  FROM toks, unnest(range(1, len(t) - $SpanW + 2)) AS s(i)
+      |  WHERE len(t) >= $SpanW),
+      |duph AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+      |dup AS (
+      |  SELECT doc_id, count(*) AS n_dup FROM spans
+      |  WHERE h IN (SELECT h FROM duph) GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_spans,
+      |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+      |       CAST(COALESCE(d.n_dup, 0) * 1000000 // t.n_spans AS BIGINT) AS dup_ppm
+      |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("dedup_spans", spanDedup, Some(spanDedupSql)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     Q("boilerplate_ratio", boilerplateRatio, Some(boilerplateRatioSql)),
     Q("dedup_exact", exact, Some(exactSql)),

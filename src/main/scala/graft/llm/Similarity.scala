@@ -1060,6 +1060,216 @@ object Similarity extends QueryPack {
       |  FROM d)
       |SELECT q_id, rank, vec_id, dot FROM r WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric-distance ANN
+  // ---------------------------------------------------------------------------
+
+  /** PQ geometry: [[PqM]] subspaces × [[PqSub]] dims each (= [[Dim]]),
+    * [[PqK]] centroids per subspace → codes are PqM bytes per vector (a
+    * 256× compression of the float corpus at serving time).
+    */
+  val PqM    = 8
+  val PqSub  = 8
+  val PqK    = 8
+  val PqTopK = 10
+
+  /** quantized 64-vector → its [[PqM]] sub-vectors (cheap compiled split) */
+  private val subVecsUdf = udf { x: Seq[Long] =>
+    (0 until PqM).map(m => x.slice(m * PqSub, (m + 1) * PqSub)): Seq[Seq[Long]]
+  }
+
+  /** per-(subspace, cell) integer centroid: exact long sums + count,
+    * `floor(sum/n)` per component — the [[PqSub]]-dim twin of [[QVecMeanAgg]]
+    */
+  private object PqMeanAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], VecSum, Seq[Long]] {
+    def zero: VecSum = VecSum(new Array[Long](PqSub), 0L)
+    def reduce(b: VecSum, a: Seq[Long]): VecSum = {
+      var i = 0
+      while (i < PqSub) { b.sums(i) += a(i); i += 1 }
+      VecSum(b.sums, b.n + 1)
+    }
+    def merge(x: VecSum, y: VecSum): VecSum = {
+      var i = 0
+      while (i < PqSub) { x.sums(i) += y.sums(i); i += 1 }
+      VecSum(x.sums, x.n + y.n)
+    }
+    def finish(b: VecSum): Seq[Long] = {
+      val out = new Array[Long](PqSub)
+      var i = 0
+      while (i < PqSub) {
+        out(i) = math.floor(b.sums(i).toDouble / b.n).toLong; i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecSum] =
+      org.apache.spark.sql.Encoders.product[VecSum]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+  private val pqMean = udaf(PqMeanAgg)
+
+  /** nearest (cell, dist²) over a flattened key-sorted sub-matrix — the
+    * dimension-generic twin of [[nearestCellUdf]] (dim = xs.length)
+    */
+  private val nearestSubUdf = udf { (xs: Seq[Long], keys: Seq[Long], cmatq: Seq[Long]) =>
+    val dim = xs.length
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < keys.length) {
+      var d = 0L; var i = 0
+      while (i < dim) { val t = xs(i) - cmatq(c * dim + i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (keys(best), bestD)
+  }
+
+  /** per-subspace centroid relation → [[PqM]] broadcastable rows of
+    * (keys, flattened key-sorted matrix) — [[centroidMatrixQ]] keyed by m
+    */
+  private def centroidMatrixByM(cents: DataFrame): DataFrame =
+    cents.groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cell").as("k"), col("c")))).as("pairs"))
+      .select(col("m"), expr("transform(pairs, p -> p.k)").as("keys"),
+        flatten(expr("transform(pairs, p -> p.c)")).as("cmatq"))
+
+  /** trained PQ state: (sub-vector relation, trained per-subspace codebooks,
+    * assignment function). Codebook training is one Lloyd round per subspace
+    * over the floor-1e6 integer sub-vectors (seeds = sub-vectors of the
+    * first [[PqK]] corpus vectors), all exact 64-bit arithmetic — the same
+    * discipline that lets [[kmeansState]] replay in DuckDB, run [[PqM]]
+    * times in parallel inside ONE plan (subspace is just a grouping column;
+    * no per-subspace jobs).
+    */
+  private[graft] def pqState(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val sub = Tables.loadSpread(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(subVecsUdf(quantUdf(col("embedding")))).as(Seq("m", "xs")))
+      .cache()
+    val c0 = sub.where(col("vec_id") < PqK)
+      .select(col("m"), (col("vec_id") + 1).as("cell"), col("xs").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(centroidMatrixByM(cents)), Seq("m"))
+        .select(col("vec_id"), col("m"), col("xs"),
+          nearestSubUdf(col("xs"), col("keys"), col("cmatq")).as("a"))
+        .select(col("vec_id"), col("m"), col("xs"),
+          col("a._1").as("cell"), col("a._2").as("d"))
+    val c1 = assign(c0).groupBy("m", "cell").agg(pqMean(col("xs")).as("c")).cache()
+    (sub, c1, assign)
+  }
+
+  /** PQ codebook training audit: per (subspace, cell) member count, inertia
+    * (Σ dist² to the trained centroid) and centroid checksum — the
+    * train-side gate of the PQ pipeline, every value exact integer
+    * arithmetic and hash-replayed by DuckDB (the [[kmeansTrain]] contract
+    * extended to [[PqM]] independent codebooks in one plan).
+    */
+  def pqTrain(s: SparkSession, dir: String): DataFrame = {
+    val (_, c1, assign) = pqState(s, dir)
+    assign(c1).groupBy("m", "cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("d")).as("inertia"))
+      .join(c1.select(col("m"), col("cell"),
+        expr("aggregate(c, 0L, (acc, v) -> acc + v)").as("c_sum")), Seq("m", "cell"))
+  }
+
+  /** ANN over PQ codes via asymmetric distance computation (ADC): each query
+    * builds a [[PqM]]×[[PqK]] distance table to the codebooks (broadcast —
+    * KBs), and a candidate's distance is the Σ of [[PqM]] table lookups on
+    * its CODES — the corpus's float vectors are never touched at serving
+    * time, the entire point of PQ at 100 TB (codes are PqM small ints per
+    * vector; the scan reads 256× fewer bytes than float re-ranking). The
+    * lookup join is a broadcast hash join on (m, cell) followed by one
+    * bounded-state per-query top-k ([[graft.operators.TopKAgg]]). Exact
+    * integer arithmetic end to end → the DuckDB oracle replays training,
+    * codes, distance tables and ranking bit-for-bit.
+    */
+  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val (sub, c1, assign) = pqState(s, dir)
+    val codes = assign(c1).select("vec_id", "m", "cell")
+    val dt = sub.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("m"), col("xs"))
+      .join(broadcast(c1), Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        intL2DimUdf(col("xs"), col("c")).as("d"))
+    val topk = udaf(new graft.operators.TopKAgg(PqTopK))
+    codes.join(broadcast(dt), Seq("m", "cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d")).as("dist"))
+      .groupBy("q_id")
+      .agg(topk(-col("dist"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), (-col("col.v")).as("dist"))
+  }
+
+  /** 8-dim integer squared-L2 rendered for DuckDB */
+  private def sqlSubDist(a: String, b: String) =
+    s"list_sum([ ($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${PqSub + 1}) ])"
+
+  /** shared oracle CTE chain replaying PQ training and coding: quantized
+    * sub-vectors `sub`, seed codebooks `pc0`, one Lloyd round → `pc1`,
+    * final codes `codes (vec_id, m, cell, d)`
+    */
+  private def pqCtes: String =
+    s"""xq AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |          for i in range(1, $Dim + 1)] AS x
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, m, x[m * $PqSub + 1 : m * $PqSub + $PqSub] AS xs
+      |  FROM xq, range($PqM) mm(m)),
+      |pc0 AS (SELECT m, vec_id + 1 AS cell, xs AS c FROM sub WHERE vec_id < $PqK),
+      |pd1 AS (
+      |  SELECT s.vec_id, s.m, k.cell, s.xs, ${sqlSubDist("s.xs", "k.c")} AS d
+      |  FROM sub s JOIN pc0 k ON k.m = s.m),
+      |pa1 AS (
+      |  SELECT vec_id, m, xs, cell, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+      |    FROM pd1)
+      |  WHERE rn = 1),
+      |ps1 AS (
+      |  SELECT m, cell, i,
+      |         CAST(floor(CAST(sum(xs[i]) AS BIGINT) / count(*)) AS BIGINT) AS ci
+      |  FROM pa1, unnest(range(1, $PqSub + 1)) AS t(i)
+      |  GROUP BY m, cell, i),
+      |pc1 AS (SELECT m, cell, list(ci ORDER BY i) AS c FROM ps1 GROUP BY m, cell),
+      |pd2 AS (
+      |  SELECT s.vec_id, s.m, k.cell, ${sqlSubDist("s.xs", "k.c")} AS d
+      |  FROM sub s JOIN pc1 k ON k.m = s.m),
+      |codes AS (
+      |  SELECT vec_id, m, cell, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cell) AS rn
+      |    FROM pd2)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val pqTrainSql =
+    s"""WITH $pqCtes,
+      |cs AS (SELECT m, cell, CAST(list_sum(c) AS BIGINT) AS c_sum FROM pc1)
+      |SELECT m, cell, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia, c_sum
+      |FROM codes JOIN cs USING (m, cell)
+      |GROUP BY m, cell, c_sum""".stripMargin
+
+  private val annPqTopKSql =
+    s"""WITH $pqCtes,
+      |q AS (SELECT vec_id AS q_id, m, xs FROM sub WHERE vec_id < 5),
+      |dt AS (
+      |  SELECT q_id, k.m, k.cell, ${sqlSubDist("q.xs", "k.c")} AS d
+      |  FROM q JOIN pc1 k ON k.m = q.m),
+      |pair AS (
+      |  SELECT dt.q_id, codes.vec_id, CAST(sum(dt.d) AS BIGINT) AS dist
+      |  FROM codes JOIN dt ON dt.m = codes.m AND dt.cell = codes.cell
+      |  WHERE codes.vec_id <> dt.q_id
+      |  GROUP BY dt.q_id, codes.vec_id),
+      |r AS (
+      |  SELECT q_id, vec_id, dist,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+      |  FROM pair)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dist FROM r
+      |WHERE rank <= $PqTopK""".stripMargin
+
   /** Scalar int8 quantization of the embedding corpus — the compression step
     * a 100 TB vector store runs before ANN serving (4× smaller than float32,
     * SIMD-friendly integer dot products). Per-dimension affine quantization:
@@ -1225,6 +1435,8 @@ object Similarity extends QueryPack {
     Q("rp_project", rpProject, Some(rpProjectSql)),
     Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("ann_int8_topk", annInt8TopK, Some(annInt8TopKSql)),
+    Q("pq_train", pqTrain, Some(pqTrainSql)),
+    Q("ann_pq_topk", annPqTopK, Some(annPqTopKSql)),
     Q("ann_ivf_trained_topk", annIvfTrainedTopK, Some(annIvfTrainedTopKSql)),
     Q("emb_quantize_int8", embQuantizeInt8, Some(embQuantizeInt8Sql)),
     Q("ann_topk", bruteForceTopK, Some(bruteForceSql)),

@@ -21,6 +21,26 @@ class LlmSpec extends SparkSpec {
     assert(out.getLong(1) == 3L && out.getLong(2) == 2L && out.getLong(3) == 1L)
   }
 
+  test("dedup_spans flags cross-document duplicated 8-token windows") {
+    // docs 0 & 1 share one 8-token span inside otherwise-distinct text;
+    // doc 2 is disjoint; doc 3 is shorter than the window
+    val span = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta $span gamma delta"),
+      (1L, s"one two three $span four"),
+      (2L, "totally different words with no overlap at all here now"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_spans/documents.parquet")
+    val out = Dedup.spanDedup(spark, "/tmp/graft_test_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 0: 12 tokens → 5 windows; exactly the full shared window duplicates
+    assert(out(0L) == ((5L, 1L, 200000L)), s"doc 0 got ${out(0L)}")
+    assert(out(1L)._2 == 1L, s"doc 1 got ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0L)
+    assert(!out.contains(3L), "sub-window doc must have no span rows")
+  }
+
   test("dedup_minhash finds the planted near-dup pairs exact jaccard finds") {
     val exactPairs = Dedup.jaccard(spark, sfDir)
       .where(col("jaccard") >= 0.8)
@@ -223,6 +243,34 @@ class LlmSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall $recall on clustered data")
+  }
+
+  test("PQ/ADC retrieval keeps planted-cluster neighbors on top; codes cover every vector") {
+    // 3 interleaved clusters (cluster = id % 3, ids 0..59) + 40 noise — the
+    // interleave puts all 3 clusters among the first-8 codebook seeds
+    val dim = 64
+    def base(seed: Int) = Array.tabulate(dim)(d => math.sin(seed * 31 + d).toFloat)
+    def jitter(v: Array[Float], k: Int) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * math.sin(k * 7 + d).toFloat }
+    val clustered = (0 until 60).map(id => (id.toLong, jitter(base(id % 3 + 1), id / 3), id % 3))
+    val noise = (0 until 40).map(k => ((60 + k).toLong, base(100 + k), 9))
+    (clustered ++ noise).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_pq/embeddings.parquet")
+
+    val top = Similarity.annPqTopK(spark, "/tmp/graft_test_pq")
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(top.nonEmpty)
+    // queries are ids 0..4 (clusters 0,1,2,0,1): every retrieved neighbor
+    // must come from the query's own 20-member cluster
+    top.foreach { case (q, n) =>
+      assert(n < 60 && n % 3 == q % 3,
+        s"query $q (cluster ${q % 3}) retrieved $n (cluster ${if (n < 60) n % 3 else 9})")
+    }
+    // training audit: every vector coded in every subspace, inertia finite
+    val train = Similarity.pqTrain(spark, "/tmp/graft_test_pq").collect()
+    val perM = train.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perM.toMap.values.forall(_ == 100L), s"codes must cover all vectors per subspace: $perM")
+    assert(train.forall(_.getLong(3) >= 0L))
   }
 
   test("embedding-cosine dedup finds planted near-identical vectors") {
