@@ -346,6 +346,101 @@ object Curation extends QueryPack {
       |       CAST(sum(CAST('0x' || substr(md5(c), 1, 8) AS BIGINT)) AS BIGINT) AS chunk_md5_sum
       |FROM c GROUP BY source""".stripMargin
 
+  /** content-defined chunking params: boundary test window of [[CdcW]]
+    * tokens; a boundary closes a chunk when the window's portable hash ≡ 0
+    * (mod [[CdcMask]]) → expected chunk length ≈ CdcMask tokens
+    */
+  private[llm] val CdcW    = 4
+  private[llm] val CdcMask = 16
+
+  /** (chunk md5, chunk token count) pairs of one document under
+    * content-defined boundaries — ONE compiled pass; the boundary decision
+    * is the first 8 md5 hex chars of the [[CdcW]]-token window as an int,
+    * mod [[CdcMask]] (the portable-hash recipe, so DuckDB replays every
+    * boundary). The last token always closes the trailing chunk.
+    */
+  private val cdcChunksUdf = udf { toks: Seq[String] =>
+    if (toks.isEmpty) Seq.empty[(String, Int)]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hexHead(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val out = Seq.newBuilder[(String, Int)]
+      var start = 0
+      var j = 0
+      while (j < toks.length) {
+        val isBoundary = j >= CdcW - 1 &&
+          java.lang.Long.parseLong(
+            hexHead(toks.slice(j - CdcW + 1, j + 1).mkString(" ")).take(8), 16) % CdcMask == 0L
+        if (isBoundary || j == toks.length - 1) {
+          out += ((hexHead(toks.slice(start, j + 1).mkString(" ")), j + 1 - start))
+          start = j + 1
+        }
+        j += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Content-defined chunking + cross-document chunk dedup — the FastCDC/
+    * rolling-boundary discipline of dedup storage applied to token streams:
+    * chunk boundaries depend only on LOCAL window content, so an insertion
+    * near a document's head shifts every fixed-stride window ([[chunkDocs]]
+    * misaligns) but re-synchronizes CDC chunks at the next boundary — shared
+    * tails hash to the same chunks and dedupe across docs regardless of
+    * offset. Per doc: token/chunk counts, the largest chunk, and how many of
+    * its chunks also occur in ≥ 2 distinct documents.
+    *
+    * 100 TB shape: one tokenize+chunk+hash pass per doc (compiled UDF), the
+    * chunk relation is (doc_id, 32-hex, len) scalars, duplicate detection is
+    * the [[graft.llm.Dedup.spanDedup]] single-distinct two-level aggregate +
+    * left-semi join. Empty docs have no chunks and are absent by definition.
+    */
+  def chunkCdc(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), explode(cdcChunksUdf(TextStats.tokensCol)).as("c"))
+      .select(col("doc_id"), col("c._1").as("h"), col("c._2").cast("long").as("len"))
+    val dupH = ch.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val dups = ch.join(dupH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    ch.groupBy("doc_id")
+      .agg(sum(col("len")).as("n_tokens"), count(lit(1)).as("n_chunks"),
+        max(col("len")).as("max_chunk_tokens"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("max_chunk_tokens"), coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+  }
+
+  private val chunkCdcSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS t
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, t, i,
+      |         CASE WHEN i >= $CdcW AND
+      |                   CAST('0x' || substr(md5(array_to_string(t[i - ${CdcW - 1} : i], ' ')), 1, 8) AS BIGINT) % $CdcMask = 0
+      |              THEN 1 ELSE 0 END AS bnd
+      |  FROM toks, unnest(range(1, len(t) + 1)) AS s(i)),
+      |cid AS (
+      |  SELECT doc_id, t, i,
+      |         CAST(COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+      |  FROM win),
+      |ch AS (
+      |  SELECT doc_id, chunk,
+      |         md5(string_agg(t[i], ' ' ORDER BY i)) AS h,
+      |         count(*) AS len
+      |  FROM cid GROUP BY doc_id, chunk),
+      |duph AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_tokens, count(*) AS n_chunks,
+      |       CAST(max(len) AS BIGINT) AS max_chunk_tokens,
+      |       CAST(sum(CASE WHEN h IN (SELECT h FROM duph) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      |FROM ch GROUP BY doc_id""".stripMargin
+
   /** rows kept per stratum by [[samplePerStratum]] */
   val StratumN = 8
 
@@ -850,6 +945,7 @@ object Curation extends QueryPack {
     Q("token_length_quantiles", tokenLengthQuantiles, Some(tokenLengthQuantilesSql)),
     Q("decontaminate_eval", decontaminate, Some(decontaminateSql)),
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)),
+    Q("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     Q("split_train_eval", splitTrainEval, Some(splitTrainEvalSql)),
     Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Q("text_normalize", textNormalize, Some(textNormalizeSql)))

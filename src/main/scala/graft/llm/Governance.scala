@@ -369,7 +369,45 @@ object Governance extends QueryPack {
       |) ORDER BY round""".stripMargin
   }
 
+  /** anonymity threshold: a quasi-identifier group smaller than this is a
+    * re-identification risk
+    */
+  val KAnonK = 5
+
+  /** k-anonymity audit over the customer dimension — the release-gate check
+    * a training-data compliance pass runs before shipping a corpus that
+    * joins against user attributes: group by the quasi-identifier tuple
+    * (nation, market segment) and report, per segment, how many QI groups
+    * fall below [[KAnonK]] members and how many rows they would suppress
+    * (the rows a k-anonymizing release must drop or generalize). Everything
+    * is exact integer accounting.
+    *
+    * 100 TB shape: a two-level aggregate — groupBy(QI) collapses map-side to
+    * one row per group (bounded by QI cardinality, not table size), then the
+    * per-segment reduce is trivial. No Expand, no joins.
+    */
+  def kAnonAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < KAnonK, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).as("n_suppressed_rows"),
+        min(col("n")).as("min_group_size"))
+
+  private val kAnonAuditSql =
+    s"""WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_mktsegment, count(*) AS n_groups,
+      |       CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+      |       CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT) AS n_suppressed_rows,
+      |       CAST(min(n) AS BIGINT) AS min_group_size
+      |FROM g GROUP BY c_mktsegment""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("kanon_audit", kAnonAudit, Some(kAnonAuditSql)),
     Q("perceptron_train", perceptronTrain, Some(perceptronTrainSql)),
     Q("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),

@@ -41,6 +41,42 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(3L), "sub-window doc must have no span rows")
   }
 
+  test("chunk_cdc re-synchronizes on shared tails despite unequal prefixes") {
+    import graft.llm.Curation
+    // docs share a 100-token tail behind DIFFERENT-length unique prefixes —
+    // fixed-stride windows misalign under the 4-token shift; content-defined
+    // boundaries re-sync at the first in-tail boundary, so later chunks are
+    // byte-identical and dedupe across the docs
+    val tail = (1 to 100).map(i => s"tail$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"p1 p2 p3 $tail"),
+      (1L, s"q1 q2 q3 q4 q5 q6 q7 $tail"),
+      (2L, (1 to 60).map(i => s"solo$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_test_cdc/documents.parquet")
+    val out = Curation.chunkCdc(spark, "/tmp/graft_test_cdc").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L)._1 == 103L && out(1L)._1 == 107L, "token accounting must be exact")
+    assert(out(0L)._4 >= 1L && out(1L)._4 >= 1L,
+      s"shared tail must dedupe through CDC boundaries: ${out(0L)} / ${out(1L)}")
+    assert(out(2L)._4 == 0L, "disjoint doc must have no duplicated chunks")
+  }
+
+  test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
+    import graft.llm.Governance
+    // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
+    // segment B: a single 6-member group (clean)
+    val rows = (1 to 2).map(i => (i.toLong, 1L, "A")) ++
+      (3 to 9).map(i => (i.toLong, 2L, "A")) ++
+      (10 to 15).map(i => (i.toLong, 3L, "B"))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet("/tmp/graft_test_kanon/customer.parquet")
+    val out = Governance.kAnonAudit(spark, "/tmp/graft_test_kanon").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") == ((2L, 1L, 2L, 2L)), s"""got ${out("A")}""")
+    assert(out("B") == ((1L, 0L, 0L, 6L)), s"""got ${out("B")}""")
+  }
+
   test("dedup_minhash finds the planted near-dup pairs exact jaccard finds") {
     val exactPairs = Dedup.jaccard(spark, sfDir)
       .where(col("jaccard") >= 0.8)
