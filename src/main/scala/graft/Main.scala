@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   *   query <name> [sfDir]  — run one registered query and print it
   *   sql <statement> [sfDir] — register the testdata tables as views and run
   *     arbitrary Spark SQL against them (Catalyst parse → optimize → codegen)
-  *   serve [sfDir] [port] — resident HiveServer2 Thrift/JDBC endpoint over
-  *     the tables + §2 analysis views (see [[Serve]]) — the reference's
-  *     always-on Grafana→ClickHouse serving path
+  *   serve [sfDir] [port] [tableLogRoot] — resident HiveServer2 Thrift/JDBC
+  *     endpoint over the tables + §2 analysis views (see [[Serve]]) — the
+  *     reference's always-on Grafana→ClickHouse serving path; with a
+  *     table-log root, committed tables serve as snapshot-isolated reads
   *   compact <tableDir> <partitionCol> [targetBytes] — partition-local
   *     small-file compaction (see [[sources.Compaction]])
   *   optimize <tableLogDir> [nFiles] — compact a table-log table's latest
@@ -90,6 +91,10 @@ object Main {
     case "serve" :: rest =>
       val dir  = rest.headOption.getOrElse("/root/testdata/sf0.01")
       val port = rest.drop(1).headOption.map(_.toInt).getOrElse(10000)
+      // optional third arg: a table-log root — committed tables under it are
+      // served as snapshot-isolated TableLog reads (composes with commits /
+      // OPTIMIZE / time travel; see Serve.registerViews)
+      val tlog = rest.drop(2).headOption
       // dedicated builder: singleSession is a static conf (must be set at
       // session creation) and lets beeline use unqualified view names; the
       // global_temp.* registrations in Serve work regardless
@@ -107,7 +112,7 @@ object Main {
         if (new java.io.File(s"$dir/$t.parquet").exists())
           Tables.load(spark, dir, t).createOrReplaceTempView(t)
       }
-      Serve.start(spark, dir, port)
+      Serve.start(spark, dir, port, tableLogRoot = tlog)
       if (!Serve.awaitPort(port))
         { System.err.println(s"[graft] serve: port $port did not open"); sys.exit(1) }
       println(s"[graft] serving JDBC on jdbc:hive2://localhost:$port — tables " +

@@ -399,9 +399,13 @@ object Curation extends QueryPack {
     * left-semi join. Empty docs have no chunks and are absent by definition.
     */
   def chunkCdc(s: SparkSession, dir: String): DataFrame = {
+    // cache(): three consumers (dup detection, per-doc totals, dup counts)
+    // would otherwise re-run the tokenize+chunk+hash pass 3×; a 100 TB run
+    // materializes this relation to a table instead (same plan shape)
     val ch = Tables.loadSpread(s, dir, "documents")
       .select(col("doc_id"), explode(cdcChunksUdf(TextStats.tokensCol)).as("c"))
       .select(col("doc_id"), col("c._1").as("h"), col("c._2").cast("long").as("len"))
+      .cache()
     val dupH = ch.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
     val dups = ch.join(dupH, Seq("h"), "left_semi")

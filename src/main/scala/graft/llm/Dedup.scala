@@ -841,6 +841,86 @@ object Dedup extends QueryPack {
         col("neg_id").as("negative"), col("neg_rank"))
   }
 
+  /** Hard-negative mining — the embedding-ranked upgrade of
+    * [[contrastiveNegatives]]: every positive pair gets the [[NumNegatives]]
+    * candidates from the hash-selected pool that are MOST SIMILAR to the
+    * anchor by int8 embedding dot product while still outside the anchor's
+    * near-dup cluster (the standard recipe for training retrieval/embedding
+    * models — random negatives quickly become trivially easy; hard ones keep
+    * the gradient informative). Only embeddable anchors/candidates (doc ids
+    * present in the embeddings table) participate.
+    *
+    * 100 TB posture: identical plan shape to the random variant — the pool
+    * stays [[NegPoolSize]] rows (now joined to its int8 vectors, still KBs)
+    * and broadcasts into the anchors; scoring is the codegen
+    * [[org.apache.spark.sql.graftx.IntDotProduct]] per (pair, candidate),
+    * bounded at |pairs| × pool. At larger pools the scoring join becomes the
+    * ANN serving path ([[Similarity.annPqTopK]]'s ADC lookup) with the same
+    * rank-and-keep tail. Exact integer scores → fully hash-gated.
+    */
+  def contrastiveHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val labels = components(s, dir)
+    val x8 = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantAt(127)(col("embedding")).as("x"))
+    val pool = Tables.load(s, dir, "documents").select("doc_id")
+      .withColumn("pool_rk",
+        md5(concat(lit("negpool:"), col("doc_id").cast("string")).cast("binary")))
+      .orderBy(col("pool_rk"), col("doc_id"))
+      .limit(NegPoolSize)
+      .join(labels, Seq("doc_id"), "left")
+      .join(x8, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("neg_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("neg_cluster"),
+        col("x").as("nx"))
+    val anchors = jaccard(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left")
+      .withColumn("a_cluster", coalesce(col("canon_id"), col("doc_a")))
+      .join(x8.withColumnRenamed("vec_id", "doc_a").withColumnRenamed("x", "ax"), Seq("doc_a"))
+    val w = Window.partitionBy("doc_a", "doc_b").orderBy(col("dot").desc, col("neg_id"))
+    anchors.join(broadcast(pool), col("neg_cluster") =!= col("a_cluster"))
+      .withColumn("dot", org.apache.spark.sql.graftx.IntDotProduct(col("ax"), col("nx")))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= NumNegatives)
+      .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+        col("neg_id").as("negative"), col("neg_rank"), col("dot"))
+  }
+
+  private val contrastiveHardSql =
+    s"""WITH RECURSIVE $closureCtes,
+      |x8 AS (
+      |  SELECT vec_id,
+      |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 127) AS BIGINT)
+      |          for i in range(1, len(embedding) + 1)] AS x
+      |  FROM embeddings),
+      |pool_ids AS (
+      |  SELECT doc_id FROM documents
+      |  ORDER BY md5('negpool:' || CAST(doc_id AS VARCHAR)), doc_id
+      |  LIMIT $NegPoolSize),
+      |pool AS (
+      |  SELECT d.doc_id AS neg_id, COALESCE(l.canon_id, d.doc_id) AS neg_cluster,
+      |         x.x AS nx
+      |  FROM pool_ids d
+      |  LEFT JOIN lab l ON d.doc_id = l.doc_id
+      |  JOIN x8 x ON x.vec_id = d.doc_id),
+      |anch AS (
+      |  SELECT p.doc_a, p.doc_b, COALESCE(l.canon_id, p.doc_a) AS a_cluster,
+      |         x.x AS ax
+      |  FROM pairs p
+      |  LEFT JOIN lab l ON p.doc_a = l.doc_id
+      |  JOIN x8 x ON x.vec_id = p.doc_a),
+      |scored AS (
+      |  SELECT a.doc_a, a.doc_b, c.neg_id,
+      |         CAST(list_sum([a.ax[i] * c.nx[i] for i in range(1, 65)]) AS BIGINT) AS dot
+      |  FROM anch a JOIN pool c ON c.neg_cluster <> a.a_cluster),
+      |ranked AS (
+      |  SELECT doc_a, doc_b, neg_id, dot,
+      |         row_number() OVER (PARTITION BY doc_a, doc_b
+      |           ORDER BY dot DESC, neg_id) AS neg_rank
+      |  FROM scored)
+      |SELECT doc_a AS anchor, doc_b AS positive, neg_id AS negative,
+      |       CAST(neg_rank AS INTEGER) AS neg_rank, dot
+      |FROM ranked WHERE neg_rank <= $NumNegatives""".stripMargin
+
   private val contrastiveSql =
     s"""WITH RECURSIVE $closureCtes,
       |pool_ids AS (
@@ -986,8 +1066,12 @@ object Dedup extends QueryPack {
     * and are absent by definition (keeps the ppm division total).
     */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    // cache(): three consumers (dup detection, totals, per-doc dup counts)
+    // would otherwise re-run the tokenize+hash pass 3×; a 100 TB run
+    // materializes this relation to a table instead (same plan shape)
     val spans = Tables.loadSpread(s, dir, "documents")
       .select(col("doc_id"), explode(spanHashUdf(TextStats.tokensCol)).as("h"))
+      .cache()
     val dupH = spans.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
     val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
@@ -1027,5 +1111,6 @@ object Dedup extends QueryPack {
     Q("dedup_components", components, Some(componentsSql)),
     Q("dedup_keep_best", keepBest, Some(keepBestSql)),
     Q("dedup_split_audit", splitAudit, Some(splitAuditSql)),
-    Q("contrastive_negatives", contrastiveNegatives, Some(contrastiveSql)))
+    Q("contrastive_negatives", contrastiveNegatives, Some(contrastiveSql)),
+    Q("contrastive_hard_negatives", contrastiveHardNegatives, Some(contrastiveHardSql)))
 }

@@ -772,7 +772,7 @@ object Similarity extends QueryPack {
     * aggregation-order-dependent, so two runs disagree in the last ulp and
     * assignments flip).
     */
-  private def quantAt(scale: Double) = udf { emb: Seq[Float] =>
+  private[llm] def quantAt(scale: Double) = udf { emb: Seq[Float] =>
     val out = new Array[Long](Dim)
     var i = 0
     while (i < Dim) {

@@ -184,6 +184,28 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("hard negatives: top-dot outside the cluster, ranks ordered, deterministic") {
+    val rows = Dedup.contrastiveHardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labels = Dedup.components(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case ((anchor, pos), ns) =>
+      // ranks are 1..k with non-increasing dot (rank 1 IS the hardest)
+      val byRank = ns.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).sameElements(1 to byRank.length))
+      assert(byRank.map(_.getLong(4)).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1)), "dots must be rank-ordered")
+      byRank.foreach { r =>
+        val neg = r.getLong(2)
+        assert(neg != anchor && neg != pos)
+        assert(labels.getOrElse(neg, neg) != labels.getOrElse(anchor, anchor),
+          s"negative $neg shares anchor $anchor's cluster")
+      }
+    }
+    val again = Dedup.contrastiveHardNegatives(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("text_bm25_top ranks at most TopTerms per doc, rare terms above common") {
     val out = TextStats.bm25Top(spark, sfDir).collect()
     assert(out.nonEmpty)
