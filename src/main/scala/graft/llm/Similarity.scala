@@ -1431,8 +1431,105 @@ object Similarity extends QueryPack {
       |       d2_proj * 1000000 // d2_orig AS ratio_ppm
       |FROM d WHERE d2_orig > 0""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // SemDeDup — semantic dedup by cluster-then-prune (oracle-gated)
+  // ---------------------------------------------------------------------------
+
+  /** [[semDedup]] prune threshold: within-cluster pairs with integer cosine
+    * ≥ this (·1e-6) are semantic duplicates. 0.40 sits deep in the tail of
+    * the corpus's pairwise-cosine distribution (measured at sf0.01/sf0.1:
+    * ~5e-4 of pairs), so a small, meaningful fraction prunes at every SF —
+    * a lower cut at p99 pruned most of the corpus, since expected dominators
+    * per doc scale with cell size × tail mass.
+    */
+  val SemTauE6 = 400000L
+
+  /** `floor(cos·1e6)` between two scale-quantized integer vectors. Dot and
+    * norms are exact 64-bit sums (|x_i| ≤ 1e6 ⇒ Σ ≤ 6.4e13 < 2^53, so the
+    * int→double conversions are exact); the remaining steps — two sqrt, one
+    * multiply, one divide, one multiply, floor — are each single correctly-
+    * rounded IEEE ops evaluated in the SAME order as the oracle's
+    * `dot / (sqrt(na) * sqrt(nb)) * 1000000`, so the value is bit-equal
+    * cross-engine (the [[cosE6]] discipline lifted to quantized space).
+    */
+  private val intCosE6Udf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < Dim) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    math.floor(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6).toLong
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering then within-cluster pruning — k-means the corpus, and inside
+    * each cluster drop any member that has a LOWER-centroid-similarity
+    * neighbor at pair-cosine ≥ [[SemTauE6]] (the paper's "keep the example
+    * farthest from the centroid" rule; ties break on vec_id, so the pruned
+    * set is deterministic). The kept set always contains each cell's
+    * (cent_e6, vec_id)-minimal member, and chains terminate there.
+    *
+    * Spark-first shape: reuses the hash-gated [[kmeansState]] trajectory
+    * (corpus + trained centroids cache()-shared with `kmeans_train` /
+    * `ann_ivf_trained_topk`), computes centroid similarity as a narrow
+    * broadcast projection, and the candidate pair join is keyed by `cell` —
+    * the only pairwise work is cluster-local, which is the entire point of
+    * the algorithm at 100 TB: k grows with the corpus so per-cell membership
+    * stays bounded, and a production table would be bucketed by cell making
+    * the self-join co-partitioned with no extra exchange. Everything is
+    * integer/floor arithmetic, so the DuckDB oracle replays the full
+    * cluster→prune pipeline bit-for-bit.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val (_, trained, assign) = kmeansState(s, dir, KmIters)
+    val wc = assign(trained)
+      .join(broadcast(trained), "cell")
+      .select(col("vec_id"), col("cell"), col("x"),
+        intCosE6Udf(col("x"), col("c")).as("cent_e6"))
+      .cache()
+    val dom = wc.as("a")
+      .join(wc.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (col("a.cent_e6") < col("b.cent_e6") ||
+            (col("a.cent_e6") === col("b.cent_e6") && col("a.vec_id") < col("b.vec_id"))) &&
+          intCosE6Udf(col("a.x"), col("b.x")) >= SemTauE6)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dom"))
+    wc.join(dom, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("cent_e6"),
+        coalesce(col("n_dom"), lit(0L)).as("n_dom"),
+        when(col("n_dom").isNull, 1).otherwise(0).as("kept"))
+  }
+
+  /** exact integer dot of two quantized lists, as a DOUBLE (< 2^53 ⇒ the
+    * cast is exact)
+    */
+  private def sqlIntDot(a: String, b: String) =
+    s"CAST(list_sum([ $a[i] * $b[i] for i in range(1, ${Dim + 1}) ]) AS DOUBLE)"
+
+  private def sqlIntCosE6(a: String, b: String) =
+    s"""CAST(floor(${sqlIntDot(a, b)}
+       | / (sqrt(${sqlIntDot(a, a)}) * sqrt(${sqlIntDot(b, b)})) * 1000000) AS BIGINT)""".stripMargin
+
+  private val semDedupSql =
+    s"""WITH $kmeansCtes,
+      |wc AS (
+      |  SELECT vec_id, cell, x, ${sqlIntCosE6("x", "c")} AS cent_e6
+      |  FROM af JOIN c$KmIters USING (cell)),
+      |dom AS (
+      |  SELECT b.vec_id AS vec_id, count(*) AS n_dom
+      |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |   AND (a.cent_e6 < b.cent_e6 OR (a.cent_e6 = b.cent_e6 AND a.vec_id < b.vec_id))
+      |   AND ${sqlIntCosE6("a.x", "b.x")} >= $SemTauE6
+      |  GROUP BY 1)
+      |SELECT wc.vec_id, cell, cent_e6,
+      |       coalesce(n_dom, CAST(0 AS BIGINT)) AS n_dom,
+      |       CASE WHEN n_dom IS NULL THEN 1 ELSE 0 END AS kept
+      |FROM wc LEFT JOIN dom ON wc.vec_id = dom.vec_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("rp_project", rpProject, Some(rpProjectSql)),
+    Q("dedup_semantic", semDedup, Some(semDedupSql)),
     Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("ann_int8_topk", annInt8TopK, Some(annInt8TopKSql)),
     Q("pq_train", pqTrain, Some(pqTrainSql)),

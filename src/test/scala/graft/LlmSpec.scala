@@ -511,4 +511,22 @@ class LlmSpec extends SparkSpec {
     val total = Tables.load(spark, sfDir, "embeddings").count()
     assert(n == total, s"partition not exhaustive: $n of $total assigned")
   }
+
+  test("semdedup: kept/dropped partition the corpus; every cell keeps its centroid-nearest-last anchor") {
+    val out = Similarity.semDedup(spark, sfDir)
+      .select("vec_id", "cell", "cent_e6", "n_dom", "kept").collect()
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.length == total, s"not a partition: ${out.length} of $total rows")
+    // kept ⇔ no dominating semantic duplicate
+    out.foreach { r =>
+      val (nDom, kept) = (r.getLong(3), r.getInt(4))
+      assert((kept == 1) == (nDom == 0L), s"kept/n_dom inconsistent: $r")
+    }
+    // the (cent_e6, vec_id)-minimal member of each cell cannot be dominated:
+    // chains of the paper's "drop the closer-to-centroid twin" rule end there
+    out.groupBy(_.getLong(1)).foreach { case (cell, rows) =>
+      val anchor = rows.minBy(r => (r.getLong(2), r.getLong(0)))
+      assert(anchor.getInt(4) == 1, s"cell $cell anchor dropped: $anchor")
+    }
+  }
 }
