@@ -222,6 +222,77 @@ object Dedup extends QueryPack {
   }
 
   // ---------------------------------------------------------------------------
+  // PPJoin — prefix-filtered all-pairs similarity join (exact, oracle = naive)
+  // ---------------------------------------------------------------------------
+
+  /** two-pointer intersection size of two SORTED string arrays */
+  private val sortedIntersectUdf = udf { (a: Seq[String], b: Seq[String]) =>
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** All-pairs exact Jaccard (J ≥ 0.5) via PREFIX FILTERING (Bayardo et al.
+    * 2007 "Scaling Up All Pairs Similarity Search"; Vernica et al. 2010 for
+    * the MapReduce shape): order every doc's shingles by ascending global
+    * document frequency (ties on the shingle string — one total order for
+    * the whole corpus), and index only each doc's first
+    * `n - ceil(t·n) + 1` shingles (`n div 2 + 1` at t = 0.5). The prefix
+    * lemma guarantees any pair with J ≥ t shares a token inside both
+    * prefixes, so candidate generation touches roughly half the index —
+    * and the RAREST half, where per-key fan-out is smallest; verification
+    * is an O(|A|+|B|) sorted-set intersection per surviving candidate.
+    *
+    * The oracle is deliberately the NAIVE full-index join ([[shCte]], the
+    * same relation `dedup_jaccard` gates against): the hash gate therefore
+    * PROVES the prefix pruning is lossless — identical pair set, identical
+    * scores — not just plausible. At 100 TB the full-index self-join's
+    * candidate set is dominated by common-shingle collisions that prefix
+    * filtering never materializes; the shuffle keys (shingle for candidates,
+    * doc_id for verification) are the bucketing keys a production corpus
+    * table would already have. Score emitted as `floor(j·1e6)` BIGINT (the
+    * engine-portable integerization; `dedup_jaccard` predates the rule).
+    */
+  def ppjoin(s: SparkSession, dir: String): DataFrame = {
+    val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
+    // df recomputed over the capped index is the capped df itself (the cap
+    // removes whole shingle groups); (df, shingle) is the global rarity order
+    val ranked = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked.where(col("pos") <= expr("n_sh div 2 + 1"))
+      .select("doc_id", "shingle")
+    val cands = prefix.as("a").hint("shuffle_hash")
+      .join(prefix.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = inv.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("ss"), count(lit(1)).as("n"))
+    val verified = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("shared", sortedIntersectUdf(col("sa"), col("sb")))
+      .withColumn("jd", col("shared") / (col("na") + col("nb") - col("shared")).cast("double"))
+      .where(col("jd") >= 0.5)
+    verified.select(col("doc_a"), col("doc_b"), floor(col("jd") * lit(1e6)).as("j_e6"))
+  }
+
+  private val ppjoinSql =
+    s"""WITH $shCte
+      |SELECT doc_a, doc_b,
+      |       CAST(floor(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) * 1000000) AS BIGINT) AS j_e6
+      |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // MinHash + LSH banding
   // ---------------------------------------------------------------------------
 
@@ -1105,6 +1176,7 @@ object Dedup extends QueryPack {
     Q("boilerplate_ratio", boilerplateRatio, Some(boilerplateRatioSql)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
+    Q("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
     Q("dedup_simhash", simhash, Some(simhashOracleSql)),
     Q("dedup_editdist", editDistance, Some(editDistanceSql)),

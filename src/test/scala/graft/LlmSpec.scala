@@ -512,6 +512,16 @@ class LlmSpec extends SparkSpec {
     assert(n == total, s"partition not exhaustive: $n of $total assigned")
   }
 
+  test("ppjoin prefix filtering is lossless: identical pair set to the full inverted-index jaccard") {
+    val full = Dedup.jaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pp = Dedup.ppjoin(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == full,
+      s"prefix filter diverged: missing=${full -- pp}, extra=${pp -- full}")
+    assert(full.nonEmpty, "vacuous: no near-dup pairs at spec scale")
+  }
+
   test("semdedup: kept/dropped partition the corpus; every cell keeps its centroid-nearest-last anchor") {
     val out = Similarity.semDedup(spark, sfDir)
       .select("vec_id", "cell", "cent_e6", "n_dom", "kept").collect()
