@@ -756,7 +756,137 @@ object TextStats extends QueryPack {
       |SELECT term, count(*) AS n_docs, CAST(sum(tf) AS BIGINT) AS sum_tf
       |FROM p GROUP BY term""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // BPE tokenizer TRAINING (oracle-replayed merge trajectory)
+  // ---------------------------------------------------------------------------
+
+  /** [[bpeTrain]] merge rounds */
+  val BpeRounds = 10
+
+  /** word → delimited symbol string: `table` → `@@t@@a@@b@@l@@e@@`.
+    *
+    * The DOUBLE delimiter is what makes literal string-replace equal to
+    * canonical greedy left-to-right BPE merging in both engines: the merge
+    * pattern `@x@@y@` takes one `@` from each side, so back-to-back
+    * occurrences (`x y x y`) each keep a boundary `@` and BOTH merge —
+    * a single-delimiter encoding consumes the shared boundary and silently
+    * skips every second occurrence — while an overlapping chain (`a a a`
+    * merging `a a`) correctly merges only the first pair. Both engines'
+    * `replace` scan left-to-right non-overlapping, so the two replays agree
+    * merge-for-merge.
+    */
+  private val initSymUdf = udf { w: String =>
+    "@@" + w.map(_.toString).mkString("@@") + "@@"
+  }
+
+  /** adjacent symbol pairs of a delimited symbol string, as `"x y"` keys */
+  private val symPairsUdf = udf { sym: String =>
+    val l = sym.split("@@").filter(_.nonEmpty)
+    if (l.length < 2) Array.empty[String]
+    else (0 until l.length - 1).map(i => l(i) + " " + l(i + 1)).toArray
+  }
+
+  private val symCountUdf = udf { sym: String =>
+    sym.split("@@").count(_.nonEmpty).toLong
+  }
+
+  /** apply merge `"x y"` → symbol `xy` (Java `String.replace` is literal,
+    * all-occurrence, left-to-right — the same semantics as DuckDB `replace`)
+    */
+  private val applyMergeUdf = udf { (sym: String, pair: String) =>
+    val sp = pair.indexOf(' ')
+    val x  = pair.substring(0, sp); val y = pair.substring(sp + 1)
+    sym.replace("@" + x + "@@" + y + "@", "@" + x + y + "@")
+  }
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) as a distributed job with
+    * the whole merge trajectory hash-gated: [[BpeRounds]] rounds of (count
+    * adjacent symbol pairs weighted by word frequency → pick the most
+    * frequent pair, ties to the lexicographically first → merge it in every
+    * word). Output: one row per round — the learned merge, its count, and
+    * the weighted corpus symbol count after the merge (a whole-state
+    * checksum, so a single diverged merge anywhere fails the gate).
+    *
+    * Spark-first shape, and the 100 TB one: the corpus is touched ONCE to
+    * build the word-frequency relation (Heap's law makes it vocabulary-
+    * sized, not corpus-sized); each round is then a map-side-combined pair
+    * aggregate over the vocab, a TakeOrdered(1) merge selection, and a
+    * broadcast-apply projection — no round ever reshuffles the corpus. This
+    * is the training twin of [[bpeTokens]] (which applies a fixed BPE-ish
+    * regex), completing the tokenizer loop the way `kmeans_train` /
+    * `perceptron_train` close theirs; determinism comes from the
+    * double-delimiter replace encoding on [[initSymUdf]].
+    *
+    * The selected merge is collected per round — O(1) MODEL state (the
+    * perceptron-gradient discipline), never data rows — and re-enters the
+    * next round as a literal: re-referencing the running relation for both
+    * the argmax and the merge-apply would double the logical plan every
+    * round (2^rounds analysis blowup), while a literal keeps lineage linear
+    * and each round one tiny job over the cached vocab.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    // '@' is the symbol delimiter; guard the (alphabetic) vocab in both engines
+    val words = Tables.loadSpread(s, dir, "documents")
+      .select(explode(tokensCol).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"), initSymUdf(col("w")).as("sym"))
+    var cur  = words.cache()
+    val rows = Seq.newBuilder[(Long, String, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val Row(pair: String, c: Long) = cur
+        .select(col("cnt"), explode(symPairsUdf(col("sym"))).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0)
+      val next = cur
+        .select(col("w"), col("cnt"), applyMergeUdf(col("sym"), lit(pair)).as("sym"))
+        .cache()
+      val nAfter = next.agg(sum(col("cnt") * symCountUdf(col("sym")))).collect()(0).getLong(0)
+      cur.unpersist()
+      cur = next
+      rows += ((r.toLong, pair, c, nAfter))
+    }
+    import s.implicits._
+    rows.result().toDF("round", "pair", "c", "n_syms")
+  }
+
+  private val bpeTrainSql = {
+    def round(r: Int) =
+      s"""p$r AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        |    SELECT cnt, unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS pair
+        |    FROM (SELECT cnt, list_filter(string_split(sym, '@@'), x -> x <> '') AS l
+        |          FROM s${r - 1}))
+        |  GROUP BY pair),
+        |b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+        |s$r AS (
+        |  SELECT w, cnt,
+        |         replace(sym,
+        |                 '@' || split_part(pair, ' ', 1) || '@@' || split_part(pair, ' ', 2) || '@',
+        |                 '@' || replace(pair, ' ', '') || '@') AS sym
+        |  FROM s${r - 1}, b$r),
+        |n$r AS (
+        |  SELECT CAST(sum(cnt * len(list_filter(string_split(sym, '@@'), x -> x <> ''))) AS BIGINT) AS n_syms
+        |  FROM s$r)""".stripMargin
+    val selects = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, c, n_syms FROM b$r, n$r")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH wf AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest($tokensSql) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+      |s0 AS (
+      |  SELECT w, cnt,
+      |         '@@' || array_to_string(string_split(w, ''), '@@') || '@@' AS sym
+      |  FROM wf),
+      |${(1 to BpeRounds).map(round).mkString(",\n")}
+      |$selects""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("text_index_lookup", textIndexLookup, Some(textIndexLookupSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_heavy_hitters", heavyHitters, None),

@@ -223,6 +223,21 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "df <= tf")
   }
 
+  test("bpe_train learns BpeRounds merges; each merge shrinks the corpus by exactly its count") {
+    val out = TextStats.bpeTrain(spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(out.length == TextStats.BpeRounds)
+    assert(out.map(_.getLong(0)).sameElements(1L to TextStats.BpeRounds.toLong))
+    val pairs = out.map(_.getString(1))
+    assert(pairs.distinct.length == pairs.length, "a pair is never re-learned")
+    assert(pairs.forall(p => p.split(" ").length == 2), "merge keys are 'x y'")
+    out.foreach(r => assert(r.getLong(2) > 0))
+    // merging pair p with weighted count c removes exactly c symbols
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(b.getLong(3) == a.getLong(3) - b.getLong(2))
+      case _           =>
+    }
+  }
+
   test("approx quantile sketch lands within 1% of the exact quantiles") {
     val approx = graft.analytics.Relational.approxQuantiles(spark, sfDir)
       .collect()
