@@ -825,34 +825,52 @@ object TextStats extends QueryPack {
     * and each round one tiny job over the cached vocab.
     */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    // '@' is the symbol delimiter; guard the (alphabetic) vocab in both engines
-    val words = Tables.loadSpread(s, dir, "documents")
-      .select(explode(tokensCol).as("w"))
-      .where(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"), initSymUdf(col("w")).as("sym"))
-    var cur  = words.cache()
-    val rows = Seq.newBuilder[(Long, String, Long, Long)]
-    for (r <- 1 to BpeRounds) {
-      val Row(pair: String, c: Long) = cur
-        .select(col("cnt"), explode(symPairsUdf(col("sym"))).as("pair"))
-        .groupBy("pair").agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .collect()(0)
-      val next = cur
-        .select(col("w"), col("cnt"), applyMergeUdf(col("sym"), lit(pair)).as("sym"))
-        .cache()
-      val nAfter = next.agg(sum(col("cnt") * symCountUdf(col("sym")))).collect()(0).getLong(0)
-      cur.unpersist()
-      cur = next
-      rows += ((r.toLong, pair, c, nAfter))
-    }
     import s.implicits._
-    rows.result().toDF("round", "pair", "c", "n_syms")
+    bpeMergeRows(s, dir).toDF("round", "pair", "c", "n_syms")
   }
 
-  private val bpeTrainSql = {
+  private val bpeTrained =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, Long, Long)]]()
+
+  /** the learned merge trajectory, memoized per data dir so `bpe_train` and
+    * `bpe_encode` share ONE training run (the model is O(rounds) driver
+    * state, exactly what a production job would persist and reload)
+    */
+  private def bpeMergeRows(s: SparkSession, dir: String): Seq[(Long, String, Long, Long)] =
+    bpeTrained.computeIfAbsent(dir, { d =>
+      import org.apache.spark.sql.Row
+      // '@' is the symbol delimiter; guard the (alphabetic) vocab in both engines
+      val words = Tables.loadSpread(s, d, "documents")
+        .select(explode(tokensCol).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"), initSymUdf(col("w")).as("sym"))
+      var cur  = words.cache()
+      val rows = Seq.newBuilder[(Long, String, Long, Long)]
+      for (r <- 1 to BpeRounds) {
+        val Row(pair: String, c: Long) = cur
+          .select(col("cnt"), explode(symPairsUdf(col("sym"))).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+          .collect()(0)
+        val next = cur
+          .select(col("w"), col("cnt"), applyMergeUdf(col("sym"), lit(pair)).as("sym"))
+          .cache()
+        val nAfter = next.agg(sum(col("cnt") * symCountUdf(col("sym")))).collect()(0).getLong(0)
+        cur.unpersist()
+        cur = next
+        rows += ((r.toLong, pair, c, nAfter))
+      }
+      cur.unpersist()
+      rows.result()
+    })
+
+  /** WITH-body replaying the whole training run: `wf` (corpus vocab with
+    * frequencies), `s0` (initial symbols) … `s{BpeRounds}` (fully-merged
+    * vocab), `b{r}`/`n{r}` (per-round learned merge / corpus symbol count) —
+    * shared by the `bpe_train` and `bpe_encode` oracles
+    */
+  private val bpeCtes = {
     def round(r: Int) =
       s"""p$r AS (
         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
@@ -870,10 +888,7 @@ object TextStats extends QueryPack {
         |n$r AS (
         |  SELECT CAST(sum(cnt * len(list_filter(string_split(sym, '@@'), x -> x <> ''))) AS BIGINT) AS n_syms
         |  FROM s$r)""".stripMargin
-    val selects = (1 to BpeRounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, c, n_syms FROM b$r, n$r")
-      .mkString("\n|UNION ALL\n|")
-    s"""WITH wf AS (
+    s"""wf AS (
       |  SELECT w, count(*) AS cnt FROM (
       |    SELECT unnest($tokensSql) AS w FROM documents)
       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
@@ -881,12 +896,85 @@ object TextStats extends QueryPack {
       |  SELECT w, cnt,
       |         '@@' || array_to_string(string_split(w, ''), '@@') || '@@' AS sym
       |  FROM wf),
-      |${(1 to BpeRounds).map(round).mkString(",\n")}
+      |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainSql = {
+    val selects = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, c, n_syms FROM b$r, n$r")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH $bpeCtes
       |$selects""".stripMargin
   }
 
+  /** apply the full learned merge sequence to one word's symbol string —
+    * the O(1) trained model as a closure, the literal-replay twin of the
+    * oracle's `s{BpeRounds}` CTE
+    */
+  private def bpeApplyUdf(merges: Seq[String]) = udf { w: String =>
+    var sym = "@@" + w.map(_.toString).mkString("@@") + "@@"
+    merges.foreach { p =>
+      val sp = p.indexOf(' ')
+      val x  = p.substring(0, sp); val y = p.substring(sp + 1)
+      sym = sym.replace("@" + x + "@@" + y + "@", "@" + x + y + "@")
+    }
+    sym
+  }
+
+  /** BPE tokenizer APPLICATION: encode every document with the merges
+    * learned by [[bpeTrain]] (shared run via [[bpeMergeRows]]), emitting
+    * per-document alphabetic word count, post-merge BPE token count, and an
+    * order-free md5 fingerprint of the encoded symbol stream — so a single
+    * mis-merged occurrence anywhere flips the gate. Closes the tokenizer
+    * train→apply loop the way `kmeans_train`→`ann_ivf_trained_topk` closes
+    * the index loop.
+    *
+    * Spark-first/100 TB shape: encoding is DICTIONARY-SHAPED — the merge
+    * chain runs once per distinct word (Heap's-law-bounded vocab), never per
+    * occurrence; the encoded vocab broadcasts back onto the per-doc word
+    * counts (a production job would flip to a shuffle join past a measured
+    * vocab size), so the corpus-sized relation is touched by exactly one
+    * tokenize+count pass and one map-side join. The fingerprint is the
+    * portable md5→int32 idiom, exact in 64-bit sums.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeRows(s, dir).map(_._2)
+    val docWords = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), explode(tokensCol).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = docWords.select("w").distinct()
+      .select(col("w"), bpeApplyUdf(merges)(col("w")).as("sym"))
+      .select(col("w"),
+        symCountUdf(col("sym")).as("wsyms"),
+        conv(substring(md5(col("sym")), 1, 8), 16, 10).cast("long").as("wfp"))
+    docWords.join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("wsyms")).as("n_syms"),
+        sum(col("tf") * col("wfp")).as("sym_fp"))
+  }
+
+  private val bpeEncodeSql =
+    s"""WITH $bpeCtes,
+      |dw AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest($tokensSql) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY 1, 2),
+      |v AS (
+      |  SELECT w,
+      |         len(list_filter(string_split(sym, '@@'), x -> x <> '')) AS wsyms,
+      |         CAST('0x' || substr(md5(sym), 1, 8) AS BIGINT) AS wfp
+      |  FROM s$BpeRounds)
+      |SELECT doc_id,
+      |       CAST(sum(tf) AS BIGINT) AS n_words,
+      |       CAST(sum(tf * wsyms) AS BIGINT) AS n_syms,
+      |       CAST(sum(tf * wfp) AS BIGINT) AS sym_fp
+      |FROM dw JOIN v USING (w) GROUP BY doc_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("text_index_lookup", textIndexLookup, Some(textIndexLookupSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_heavy_hitters", heavyHitters, None),

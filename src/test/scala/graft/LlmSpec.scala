@@ -238,6 +238,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode replays the trained merges: corpus symbol totals match training") {
+    val enc = TextStats.bpeEncode(spark, sfDir).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getLong(1) > 0, "every encoded doc has alphabetic words")
+      assert(r.getLong(2) >= r.getLong(1), "a word is at least one BPE symbol")
+    }
+    // the per-doc encoded symbol counts must sum to the trained run's final
+    // corpus symbol count (same merges, same vocab, different aggregation)
+    val trainFinal = TextStats.bpeTrain(spark, sfDir).collect()
+      .maxBy(_.getLong(0)).getLong(3)
+    assert(enc.map(_.getLong(2)).sum == trainFinal)
+  }
+
   test("approx quantile sketch lands within 1% of the exact quantiles") {
     val approx = graft.analytics.Relational.approxQuantiles(spark, sfDir)
       .collect()
