@@ -26,8 +26,8 @@ trait QueryPack {
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §B). */
 object Tables {
-  import org.apache.spark.sql.functions.{expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   /** every driver-generated testdata table */
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -56,14 +56,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; read the raw int64 nanos and truncate to microseconds
-      // (same truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+      // rejects by default — read the raw int64 nanos and truncate to
+      // microseconds, the truncation DuckDB applies casting TIMESTAMP_NS ->
+      // TIMESTAMP) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+      // Spark reads as TIMESTAMP_NTZ — cast to the session-TZ instant type;
+      // every entry point pins spark.sql.session.timeZone=UTC, so the wall
+      // values are unchanged, matching DuckDB's naive-timestamp read).
+      // Normalize both to TimestampType so downstream code sees ONE type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
         case _ => df
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -15,6 +15,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     analytics.Analytics,
     analytics.Relational,
+    analytics.Graph,
     llm.TextStats,
     llm.Dedup,
     llm.Similarity,

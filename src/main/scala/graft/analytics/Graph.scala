@@ -1,0 +1,271 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relations the warehouse already has —
+  * the iterative-join operator family (PageRank power iteration, oriented
+  * triangle counting, frontier BFS) that a training-data pipeline uses for
+  * link-graph quality signals (domain rank as a quality prior, community
+  * cohesion, crawl-frontier reachability). The reference delegates every
+  * derived analysis to its warehouse (SURVEY.md §2.6); graphs are the one
+  * analysis family plain SQL does worst, so this pack is the Spark-native
+  * answer: edges are DataFrames, every round is a keyed join + aggregate,
+  * and nothing graph-sized ever collects to the driver.
+  *
+  * Two graphs, both derived from driver testdata:
+  *  - the bipartite PURCHASE graph: customer c ↔ supplier s whenever an
+  *    order of c contains a lineitem of s. Node ids interleave losslessly
+  *    (customer → 2c, supplier → 2s+1) so one BIGINT column carries both
+  *    partitions portably.
+  *  - the CO-PURCHASE part graph: parts x–y linked when ≥ [[MinCoOrders]]
+  *    distinct orders contain both ("frequently bought together") — the
+  *    co-occurrence threshold keeps the graph sparse under any corpus size
+  *    (a single shared basket is noise; repeated co-occurrence is signal).
+  *
+  * Determinism/oracle posture: ranks are integer fixed-point (init 1e9,
+  * damping 85/100 as an integer ratio, per-edge contribution by integer
+  * division) — sums of longs are order-free and `div`/`//` agree on
+  * non-negative operands in Spark and DuckDB, so 5 rounds of power
+  * iteration replay EXACTLY as a chained-CTE oracle. No floats anywhere.
+  *
+  * Sibling operators: [[graft.analytics.Analytics.graphInfluence]] is the
+  * 2-round damped-flow variant on the co-purchase graph (with the
+  * broadcast/co-partitioned vertex-join mode switch);
+  * [[graft.llm.Dedup]]'s connected components is the
+  * converge-until-fixpoint traversal. This pack adds the full
+  * out-degree-normalized power iteration, the frontier BFS, and the
+  * triangle census.
+  */
+object Graph extends QueryPack {
+
+  /** power-iteration rounds (fixed — the oracle replays each round) */
+  val PrIters = 5
+
+  /** fixed-point scale: every node starts with this much integer mass */
+  val PrInit = 1000000000L
+
+  /** additive base per round = 0.15 · [[PrInit]] (damping 0.85) */
+  val PrBase = 150000000L
+
+  /** BFS rounds for [[reach]] */
+  val ReachHops = 3
+
+  /** co-purchase edge threshold: ≥ this many distinct shared orders */
+  val MinCoOrders = 2
+
+  // -------------------------------------------------------------------------
+  // Purchase graph (customer 2c ↔ supplier 2s+1, both directions)
+  // -------------------------------------------------------------------------
+
+  /** Directed edge list (u, v) of the bipartite purchase graph, both
+    * directions materialized. Repartitioned by source vertex and cached:
+    * every power-iteration/BFS round joins on `u`, so the graph-sized
+    * relation shuffles ONCE at build and never again — only the node-sized
+    * rank/frontier relation moves per round. CacheManager keys by canonical
+    * plan, so pagerank and reach share one entry per dataset.
+    */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cs = od.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    cs.unionAll(cs.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+      .cache()
+  }
+
+  private val edgeCtes =
+    """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT c * 2 AS u, s * 2 + 1 AS v FROM cs
+      |      UNION ALL
+      |      SELECT s * 2 + 1 AS u, c * 2 AS v FROM cs)""".stripMargin
+
+  /** Integer fixed-point PageRank, [[PrIters]] rounds of power iteration:
+    *
+    *   pr₀(n)    = 1e9
+    *   prₜ₊₁(n) = 150e6 + Σ_{u→n} (85 · prₜ(u)) div (100 · outdeg(u))
+    *
+    * Emits the top 20 nodes by final rank (ties by node id), decoded back
+    * to (kind, key).
+    *
+    * 100 TB shape: per round the edge relation (cached, pre-partitioned on
+    * `u`) joins the node-sized rank relation — one exchange of ranks in,
+    * one exchange of per-target partial sums out, both node-sized; the
+    * graph itself never re-shuffles. Each round's result is cached and the
+    * previous unpersisted, so lineage stays one round deep (no
+    * checkpoint-or-StackOverflow cliff at more rounds). The final top-20 is
+    * a TakeOrdered cut, never a global sort.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("outdeg")).cache()
+    var p = deg.select(col("node"), lit(PrInit).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(p.join(deg, "node")
+          .select(col("node").as("u"), expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
+        .groupBy(col("v").as("node")).agg(sum("contrib").as("c"))
+      val next = deg.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(PrBase) + coalesce(col("c"), lit(0L))).as("pr"))
+        .cache()
+      p.unpersist(blocking = false)
+      p = next
+    }
+    val top = p.orderBy(col("pr").desc, col("node")).limit(20)
+    val w   = Window.orderBy(col("pr").desc, col("node"))
+    top.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+      expr("node div 2").as("key"),
+      col("pr"),
+      row_number().over(w).cast("long").as("rank"))
+  }
+
+  private val pagerankSql = {
+    val rounds = (1 to PrIters).map { t =>
+      s"""c$t AS (
+         |  SELECT e.v AS node, (85 * p.pr) // (100 * d.outdeg) AS contrib
+         |  FROM e JOIN p${t - 1} p ON p.node = e.u JOIN deg d ON d.node = e.u),
+         |p$t AS (
+         |  SELECT d.node, CAST($PrBase + coalesce(sum(contrib), 0) AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN c$t ON c$t.node = d.node GROUP BY d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+      |deg AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+      |p0 AS (SELECT node, CAST($PrInit AS BIGINT) AS pr FROM deg),
+      |$rounds
+      |SELECT kind, key, pr, rank FROM (
+      |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      |         node // 2 AS key, pr,
+      |         row_number() OVER (ORDER BY pr DESC, node) AS rank
+      |  FROM p$PrIters)
+      |WHERE rank <= 20""".stripMargin
+  }
+
+  /** Frontier BFS from the seed customers (custkey < 10) over the purchase
+    * graph, [[ReachHops]] rounds; emits nodes-per-hop at first-discovery
+    * distance. Each round is frontier ⋈ edges (graph cached on the join
+    * key) then an anti-join against the visited set — the frontier relation
+    * is the only thing that grows, and dedup happens distributed, never on
+    * the driver. The DuckDB twin is the textbook recursive CTE with a
+    * min(hop) reduction.
+    */
+  def reach(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+    var visited = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
+      .distinct().select(col("u").as("node"), lit(0L).as("hop")).cache()
+    var frontier = visited.select("node")
+    for (h <- 1 to ReachHops) {
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop")).cache()
+      visited = visited.unionAll(next).cache()
+      frontier = next.select("node")
+    }
+    visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private val reachSql =
+    s"""WITH RECURSIVE $edgeCtes,
+      |walk(node, hop) AS (
+      |    SELECT DISTINCT c * 2 AS node, CAST(0 AS BIGINT) AS hop FROM cs WHERE c < 10
+      |  UNION
+      |    SELECT e.v, w.hop + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.hop < $ReachHops)
+      |SELECT hop, count(*) AS n_nodes
+      |FROM (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+      |GROUP BY hop""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Co-purchase triangle census
+  // -------------------------------------------------------------------------
+
+  /** Triangle census of the co-purchase part graph: one row of structural
+    * invariants (nodes, edges, wedges = Σ C(deg,2), triangles, global
+    * clustering coefficient in ppm) — each a pure integer, so the gate pins
+    * the whole degree sequence and the exact triangle count.
+    *
+    * The Spark side runs the degree-ordered orientation algorithm: each
+    * undirected edge is directed from its lower (degree, id) endpoint to the
+    * higher, wedges enumerate only ordered out-pairs of each node, and a
+    * wedge closes iff its (v₁, v₂) is itself an oriented edge. Fan-out per
+    * node is bounded by out-degree under orientation — O(m^1.5) total work
+    * on ANY graph (the hub that breaks naive wedge counting has huge
+    * in-degree but tiny out-degree) — while the count stays
+    * orientation-invariant, which is what lets the DuckDB oracle use the
+    * naive id-ordered formulation and still match exactly.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").hint("shuffle_hash")
+      .join(op.as("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= MinCoOrders)
+      .select("x", "y").cache()
+    val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy(col("x").as("node")).agg(count(lit(1)).as("d")).cache()
+
+    val withDeg = e
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("d").as("dy")), "y")
+    val xFirst = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val or = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("u"),
+      when(xFirst, col("y")).otherwise(col("x")).as("v"),
+      when(xFirst, col("dy")).otherwise(col("dx")).as("dv"))
+    val wedges = or.as("e1").join(or.as("e2"),
+      col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    val triCnt = wedges.join(or.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("n_wedges"))
+    val eCnt = e.agg(count(lit(1)).as("n_edges"))
+    // merge the three 1-row aggregates via a tagged union (never a cartesian)
+    val st = degStats
+      .select(col("n_nodes"), col("n_wedges"), lit(0L).as("n_edges"), lit(0L).as("n_triangles"))
+      .unionAll(eCnt.select(lit(0L), lit(0L), col("n_edges"), lit(0L)))
+      .unionAll(triCnt.select(lit(0L), lit(0L), lit(0L), col("n_triangles")))
+      .agg(
+        max("n_nodes").as("n_nodes"), max("n_edges").as("n_edges"),
+        max("n_wedges").as("n_wedges"), max("n_triangles").as("n_triangles"))
+    st.select(
+      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      when(col("n_wedges") === 0, lit(0L))
+        .otherwise(expr("(3000000 * n_triangles) div n_wedges")).as("clustering_ppm"))
+  }
+
+  private val trianglesSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |      GROUP BY 1, 2 HAVING count(*) >= $MinCoOrders),
+      |und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+      |deg AS (SELECT x AS node, count(*) AS d FROM und GROUP BY x),
+      |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      |        FROM e e1 JOIN e e2 ON e2.x = e1.y JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+      |st AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |              (SELECT count(*) FROM e) AS n_edges,
+      |              (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
+      |              (SELECT count(*) FROM tri) AS n_triangles)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE (3000000 * n_triangles) // n_wedges END AS clustering_ppm
+      |FROM st""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("graph_pagerank", pagerank, Some(pagerankSql)),
+    Q("graph_reach", reach, Some(reachSql)),
+    Q("graph_triangles", triangles, Some(trianglesSql)))
+}

