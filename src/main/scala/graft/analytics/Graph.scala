@@ -126,6 +126,75 @@ object Graph extends QueryPack {
       row_number().over(w).cast("long").as("rank"))
   }
 
+  /** seed cohort for personalized PageRank: customers with custkey < this */
+  val PprSeedMax = 50
+
+  /** Personalized PageRank — the random-walk-with-restart recommender: all
+    * teleport mass goes to the seed customer cohort (custkey <
+    * [[PprSeedMax]]), so after [[PrIters]] rounds the stationary-ish scores
+    * measure proximity TO THE SEEDS, not global centrality. Emits the top
+    * 20 SUPPLIERS by personalized score — "suppliers this cohort's
+    * purchasing puts them closest to", the bipartite-walk co-visitation
+    * recommendation. Same integer fixed-point arithmetic and plan shape as
+    * [[pagerank]] (only the base term differs: seeds get [[PrBase]], every
+    * other node 0), so the chained-CTE oracle replays it exactly.
+    */
+  def pprRecs(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("outdeg")).cache()
+    val seeded = deg
+      .withColumn("seed", col("node") % 2 === 0 && col("node") < lit(2L * PprSeedMax))
+      .cache()
+    var p = seeded.select(col("node"),
+      when(col("seed"), lit(PrInit)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(p.join(deg, "node")
+          .select(col("node").as("u"), expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
+        .groupBy(col("v").as("node")).agg(sum("contrib").as("c"))
+      val next = seeded.select("node", "seed")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("seed"), lit(PrBase)).otherwise(lit(0L)) +
+            coalesce(col("c"), lit(0L))).as("pr"))
+        .cache()
+      p.unpersist(blocking = false)
+      p = next
+    }
+    val top = p.where(col("node") % 2 === 1 && col("pr") > 0)
+      .orderBy(col("pr").desc, col("node")).limit(20)
+    val w = Window.orderBy(col("pr").desc, col("node"))
+    top.select(
+      expr("node div 2").as("s_suppkey"),
+      col("pr"),
+      row_number().over(w).cast("long").as("rank"))
+  }
+
+  private val pprRecsSql = {
+    val seedBase =
+      s"CASE WHEN d.node % 2 = 0 AND d.node < ${2L * PprSeedMax} THEN $PrBase ELSE 0 END"
+    val rounds = (1 to PrIters).map { t =>
+      s"""c$t AS (
+         |  SELECT e.v AS node, (85 * p.pr) // (100 * d.outdeg) AS contrib
+         |  FROM e JOIN p${t - 1} p ON p.node = e.u JOIN deg d ON d.node = e.u
+         |  WHERE p.pr > 0),
+         |p$t AS (
+         |  SELECT d.node, CAST($seedBase + coalesce(sum(contrib), 0) AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN c$t ON c$t.node = d.node GROUP BY d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+      |deg AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+      |p0 AS (SELECT node, CAST(CASE WHEN node % 2 = 0 AND node < ${2L * PprSeedMax}
+      |                             THEN $PrInit ELSE 0 END AS BIGINT) AS pr
+      |       FROM deg),
+      |$rounds
+      |SELECT s_suppkey, pr, rank FROM (
+      |  SELECT node // 2 AS s_suppkey, pr,
+      |         row_number() OVER (ORDER BY pr DESC, node) AS rank
+      |  FROM p$PrIters WHERE node % 2 = 1 AND pr > 0)
+      |WHERE rank <= 20""".stripMargin
+  }
+
   private val pagerankSql = {
     val rounds = (1 to PrIters).map { t =>
       s"""c$t AS (
@@ -266,6 +335,7 @@ object Graph extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("graph_pagerank", pagerank, Some(pagerankSql)),
+    Q("graph_ppr_recs", pprRecs, Some(pprRecsSql)),
     Q("graph_reach", reach, Some(reachSql)),
     Q("graph_triangles", triangles, Some(trianglesSql)))
 }

@@ -1200,6 +1200,56 @@ object Relational extends QueryPack {
       |FROM d JOIN mad ON d.f = mad.f
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Exact equi-depth histogram (8 buckets per group): boundary elements are
+    * the 1/8…7/8 discrete quantiles from ONE cardinality-bounded histogram
+    * pass ([[graft.operators.ExactQuantile]] — the pinned ceil(q·n) rank
+    * rule both engines share), then a second scan assigns each row its
+    * bucket by comparing against the BROADCAST boundary row (7 longs per
+    * group) and folds to per-bucket count + actual min/max. The optimizer's
+    * own statistics primitive, exposed as an operator: everything stays in
+    * exact integer cents, so counts, bucket ids and extrema all hash-gate.
+    * Ties sit entirely in one bucket (assignment is `v > boundary`, and
+    * boundaries are data elements), which is why bucket populations are NOT
+    * exactly n/8 — the gate pins that tie behavior too.
+    *
+    * 100 TB shape: two scans total — the boundary pass shuffles only the
+    * (group, value) histogram (bounded by value cardinality), the assign
+    * pass is map-side against broadcast boundaries followed by one
+    * 40-group aggregate. Never a global sort, never a per-group window
+    * over raw rows.
+    */
+  def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val qs = (1 to 7).map(_ / 8.0)
+    val bounds = graft.operators.ExactQuantile.groupQuantilesDisc(li, Seq("f"), "v", qs)
+    val bucket = (0 to 6)
+      .map(i => when(col("v") > col(s"v_q$i"), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    li.join(broadcast(bounds.drop("n")), "f")
+      .withColumn("bucket", bucket)
+      .groupBy(col("f"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min("v").as("lo_cents"), max("v").as("hi_cents"))
+      .withColumnRenamed("f", "l_returnflag")
+  }
+
+  private val histogramEquidepthSql = {
+    val bqs = (1 to 7).map(i => s"quantile_disc(v, 0.${i * 125}) AS b${i - 1}").mkString(", ")
+    val sum = (0 to 6).map(i => s"CASE WHEN v > b$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH c AS (
+      |  SELECT l_returnflag AS f,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |b AS (SELECT f, $bqs FROM c GROUP BY f),
+      |a AS (SELECT c.f, v, CAST(1 + $sum AS BIGINT) AS bucket
+      |      FROM c JOIN b ON c.f = b.f)
+      |SELECT f AS l_returnflag, bucket, count(*) AS n_rows,
+      |       min(v) AS lo_cents, max(v) AS hi_cents
+      |FROM a GROUP BY 1, 2""".stripMargin
+  }
+
   /** Staleness-BOUNDED as-of: each purchase attributes to the latest view at
     * most 30 minutes before it — the marketing-attribution variant of the
     * as-of join, where an unboundedly old match is wrong, not stale. Shape:
@@ -1536,6 +1586,7 @@ object Relational extends QueryPack {
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
+    Q("histogram_equidepth", histogramEquidepth, Some(histogramEquidepthSql)),
     Q("window_rank_family", windowRankFamily, Some(windowRankFamilySql)),
     Q("median_cont", medianCont, Some(medianContSql)),
     Q("interval_overlap_join", intervalOverlapJoin, Some(intervalOverlapJoinSql)),

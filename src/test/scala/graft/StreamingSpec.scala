@@ -216,6 +216,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getString(0) == "F1" && rows.head.getDouble(6) == 9.9)
   }
 
+  test("stream-stream LEFT OUTER join releases unmatched trades as nulls only after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmem = MemoryStream[(String, Timestamp, Double, Long, String)]
+    val bmem = MemoryStream[(String, Timestamp, Double, Double)]
+    val trades = tmem.toDF().toDF("company_id", "timestamp", "price", "volume", "side")
+    val books = bmem.toDF().toDF("company_id", "timestamp", "bid_price", "ask_price")
+    val q = StreamIngest.tradesWithQuotesOuter(trades, books)
+      .writeStream.format("memory").queryName("outer_enriched").outputMode("append").start()
+    // a quoted trade and an unquoted one in the same batch
+    bmem.addData(("F1", Timestamp.valueOf("2024-03-01 10:02:00"), 9.9, 10.1))
+    tmem.addData(
+      ("F1", Timestamp.valueOf("2024-03-01 10:05:00"), 10.0, 3L, "buy"),
+      ("F3", Timestamp.valueOf("2024-03-01 10:06:00"), 7.0, 1L, "sell"))
+    q.processAllAvailable()
+    val early = spark.table("outer_enriched").collect()
+    // the unmatched F3 trade must NOT have been emitted yet — a matching
+    // snapshot could still arrive within the watermark horizon
+    assert(!early.exists(_.getString(0) == "F3"), "unmatched row released before expiry")
+    // advance BOTH watermarks past 10:06 (+10min delay → needs events ≥ 10:16)
+    bmem.addData(("F1", Timestamp.valueOf("2024-03-01 10:40:00"), 9.8, 10.0))
+    tmem.addData(("F1", Timestamp.valueOf("2024-03-01 10:40:00"), 10.1, 2L, "buy"))
+    q.processAllAvailable()
+    tmem.addData(("F1", Timestamp.valueOf("2024-03-01 10:41:00"), 10.2, 2L, "buy"))
+    q.processAllAvailable()
+    val rows = spark.table("outer_enriched").collect()
+    q.stop()
+    val f3 = rows.filter(_.getString(0) == "F3")
+    assert(f3.length == 1, s"expected exactly one null-quoted F3 row, got ${f3.length}")
+    assert(f3.head.isNullAt(5) && f3.head.isNullAt(6) && f3.head.isNullAt(7))
+    // the matched trade emitted with its quote exactly once
+    val f1 = rows.filter(r => r.getString(0) == "F1" &&
+      r.getTimestamp(1) == Timestamp.valueOf("2024-03-01 10:05:00"))
+    assert(f1.length == 1 && f1.head.getDouble(6) == 9.9)
+  }
+
   test("stateful sessionization closes sessions on >30min event-time gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Event]
