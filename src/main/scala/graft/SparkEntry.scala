@@ -24,6 +24,7 @@ object SparkEntry {
     ingest.IngestPack,
     sources.Layout,
     sources.TableLog,
+    sources.IncrementalView,
     multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -91,6 +91,22 @@ class PlanSpec extends SparkSpec {
     assert(count(exact, "Union") >= 1, exact.take(1500))
   }
 
+  test("equi-depth histogram broadcasts its boundary row and keeps the fact un-sorted") {
+    val p = plan("histogram_equidepth")
+    assert(count(p, "BroadcastHashJoin") >= 1, "bucket boundaries must broadcast")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0)
+    // the only Window runs over the (group, value) HISTOGRAM relation, after
+    // its aggregate — never over raw fact rows
+    assert(p.indexOf("Window") > p.indexOf("HashAggregate"),
+      s"quantile window must sit above the histogram aggregate:\n${p.take(2000)}")
+  }
+
+  test("materialized view read is a pure scan — no recompute of the fact join") {
+    val p = plan("ivm_join_view")
+    assert(!p.contains("Join"), s"MV read must not re-join the fact:\n${p.take(1500)}")
+    assert(count(p, "Scan parquet") >= 1, p.take(1500))
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized
