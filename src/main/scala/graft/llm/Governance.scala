@@ -406,7 +406,74 @@ object Governance extends QueryPack {
       |       CAST(min(n) AS BIGINT) AS min_group_size
       |FROM g GROUP BY c_mktsegment""".stripMargin
 
+  /** erasure cohort: user_ids divisible by this (deterministic, non-empty
+    * at every SF since events.user_id covers 0-149)
+    */
+  val ErasureMod = 37
+
+  private val erased = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** replay a right-to-be-forgotten request through the table log, memoized
+    * per data dir: v0 commits the full events extract, v1 overwrites it with
+    * the erasure cohort's rows removed. Returns the table path.
+    */
+  private[graft] def erasureLog(s: SparkSession, dir: String): String =
+    erased.computeIfAbsent(dir, { d =>
+      val table = "/tmp/graft_gdpr_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/events_log"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      graft.sources.TableLog.commitOverwrite(ev, table)
+      graft.sources.TableLog.commitOverwrite(
+        ev.where(col("user_id") % ErasureMod =!= 0), table)
+      table
+    })
+
+  /** GDPR erasure with audit: delete every event of the requested user
+    * cohort by publishing a NEW table-log version (the physical-rewrite
+    * deletion a right-to-be-forgotten request requires — a tombstone mask
+    * would leave the data on disk), then emit the per-version audit the
+    * DPO signs off on: row/user counts and an id-sum fingerprint proving
+    * the non-erased rows are byte-identical. Version 0 remains
+    * time-travelable until a [[graft.sources.TableLog.vacuum]] reclaims it
+    * — the audit trail and the retention clock the regulation actually
+    * asks for.
+    *
+    * 100 TB shape: the rewrite is one pushed-filter scan + write (no
+    * shuffle); on a partitioned production table only partitions containing
+    * cohort rows rewrite (the BatchIngest dynamic-overwrite path). The
+    * audit is a 2-version scan-adjacent aggregate.
+    */
+  def gdprErasure(s: SparkSession, dir: String): DataFrame = {
+    val table = erasureLog(s, dir)
+    def audit(v: Long): DataFrame =
+      graft.sources.TableLog.read(s, table, Some(v)).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"),
+        sum(when(col("user_id") % ErasureMod === 0, 1L).otherwise(0L))
+          .as("n_cohort_rows"))
+        .select(lit(v).as("version"), col("n_events"), col("n_users"),
+          col("id_sum"), col("n_cohort_rows"))
+    audit(0L).unionByName(audit(1L))
+  }
+
+  private val gdprErasureSql =
+    s"""SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |       CAST(sum(CASE WHEN user_id % $ErasureMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cohort_rows
+      |FROM events
+      |UNION ALL
+      |SELECT 1, count(*), count(DISTINCT user_id), CAST(sum(event_id) AS BIGINT), 0
+      |FROM events WHERE user_id % $ErasureMod <> 0""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
     Q("kanon_audit", kAnonAudit, Some(kAnonAuditSql)),
     Q("perceptron_train", perceptronTrain, Some(perceptronTrainSql)),
     Q("dq_expectations", dqExpectations, Some(dqExpectationsSql)),

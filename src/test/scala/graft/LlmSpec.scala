@@ -77,6 +77,28 @@ class LlmSpec extends SparkSpec {
     assert(out("B") == ((1L, 0L, 0L, 6L)), s"""got ${out("B")}""")
   }
 
+  test("gdpr_erasure physically removes the cohort and preserves everything else") {
+    import graft.llm.Governance
+    val audit = Governance.gdprErasure(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (n0, u0, sum0, cohort0) = audit(0L)
+    val (n1, u1, sum1, cohort1) = audit(1L)
+    assert(cohort0 > 0, "erasure cohort must be non-empty at v0")
+    assert(cohort1 == 0, "no cohort row may survive at v1")
+    assert(n1 == n0 - cohort0, "exactly the cohort rows were removed")
+    assert(u1 < u0, "erased users no longer counted")
+    // non-erased rows byte-identical: the id fingerprint drops by exactly
+    // the erased rows' contribution
+    val erasedIdSum = Tables.load(spark, sfDir, "events")
+      .where(col("user_id") % Governance.ErasureMod === 0)
+      .agg(sum("event_id")).collect()(0).getLong(0)
+    assert(sum1 == sum0 - erasedIdSum)
+    // the log itself: v1 read contains no cohort user
+    val v1 = graft.sources.TableLog.read(spark,
+      Governance.erasureLog(spark, sfDir), Some(1L))
+    assert(v1.where(col("user_id") % Governance.ErasureMod === 0).count() == 0)
+  }
+
   test("dedup_minhash finds the planted near-dup pairs exact jaccard finds") {
     val exactPairs = Dedup.jaccard(spark, sfDir)
       .where(col("jaccard") >= 0.8)
