@@ -667,6 +667,62 @@ object Analytics extends QueryPack {
       |       CAST(n_days * n_days AS DOUBLE) AS cov_xy
       |FROM m""".stripMargin
 
+  /** minimum shared active days for a pair to be emitted by [[pairwiseCovStats]] */
+  val MinSharedDays = 20
+
+  /** A12: the pairwise-association SCAN — exact sufficient statistics
+    * (n, Σx, Σy, Σxy and the covariance numerator n·Σxy − Σx·Σy) for every
+    * user pair over their SHARED active days, the primitive a correlation /
+    * cointegration matrix is assembled from. Everything stays in exact
+    * integers (daily values anchored to the milli grid — the CLAUDE.md
+    * arbitrary-double rule), so 11k pair rows hash-gate bit-for-bit; the
+    * float covariance is one client-side division away and intentionally
+    * NOT emitted.
+    *
+    * Shape: one pass builds the (series, day, value) relation (150·30
+    * rows here; bounded by series × days, not events), then ONE
+    * shuffle on the day key self-joins it — each day contributes C(k,2)
+    * local pairs, so skew is bounded by per-day series count, never by
+    * event volume. At a production 10k-series scale the same plan holds
+    * (10k² pairs × 250 days ≈ 1.2e10 pair-days — a real but
+    * shuffle-parallel job); past that, blocking (sector buckets) or a
+    * sampled sketch replaces the exact scan, which is why the threshold
+    * and the day-key join, not a per-pair loop, are the operator.
+    */
+  def pairwiseCovStats(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+    val a = daily.select(col("user_id").as("ua"), col("day"), col("v").as("va"))
+    val b = daily.select(col("user_id").as("ub"), col("day"), col("v").as("vb"))
+    a.join(b, Seq("day")).where(col("ua") < col("ub"))
+      .groupBy("ua", "ub")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("va").as("sum_a"),
+        sum("vb").as("sum_b"),
+        sum(col("va") * col("vb")).as("sum_ab"))
+      .where(col("n_days") >= MinSharedDays)
+      .select(col("ua"), col("ub"), col("n_days"), col("sum_a"), col("sum_b"),
+        col("sum_ab"),
+        (col("n_days") * col("sum_ab") - col("sum_a") * col("sum_b")).as("cov_num"))
+  }
+
+  private val pairwiseCovStatsSql =
+    s"""WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_days,
+      |         CAST(sum(a.v) AS BIGINT) AS sum_a, CAST(sum(b.v) AS BIGINT) AS sum_b,
+      |         CAST(sum(a.v * b.v) AS BIGINT) AS sum_ab
+      |  FROM daily a JOIN daily b ON a.day = b.day AND a.user_id < b.user_id
+      |  GROUP BY 1, 2)
+      |SELECT ua, ub, n_days, sum_a, sum_b, sum_ab,
+      |       CAST(n_days * sum_ab - sum_a * sum_b AS BIGINT) AS cov_num
+      |FROM p WHERE n_days >= $MinSharedDays""".stripMargin
+
   /** A10: z-score outlier counts per event type WITHOUT any float moment.
     * z > 2 ⟺ (n·x − Σx)² > 4·(n·Σx² − (Σx)²): both sides are exact
     * integers once values are anchored to the milli grid
@@ -1271,6 +1327,7 @@ object Analytics extends QueryPack {
     Q("funnel_ordered", orderedFunnel, Some(orderedFunnelSql)),
     Q("cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("a9_activity_cov", activityCov, Some(activityCovSql)),
+    Q("a12_pairwise_cov", pairwiseCovStats, Some(pairwiseCovStatsSql)),
     Q("a10_outlier_zscore", outlierZscore, Some(outlierZscoreSql)),
     Q("a11_lead_lag", leadLag, Some(leadLagSql)),
     Q("sessionization", sessionization, Some(sessionizationSql)),

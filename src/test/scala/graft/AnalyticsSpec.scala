@@ -158,6 +158,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("A12 pairwise cov stats: one chosen pair matches a direct recompute") {
+    import org.apache.spark.sql.functions.{col, floor, sum, to_date}
+    val out = Analytics.pairwiseCovStats(spark, sfDir).collect()
+    assert(out.nonEmpty, "sf0.001 pairs share >=20 active days")
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)), "pairs emitted once, ordered")
+    out.foreach { r =>
+      assert(r.getLong(6) ==
+        r.getLong(2) * r.getLong(5) - r.getLong(3) * r.getLong(4),
+        "cov_num must equal n*sum_ab - sum_a*sum_b")
+    }
+    // direct recompute of the first emitted pair from raw events
+    val first = out.minBy(r => (r.getLong(0), r.getLong(1)))
+    val (ua, ub) = (first.getLong(0), first.getLong(1))
+    val daily = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
+    val da = daily.where(col("user_id") === ua).select(col("day"), col("v").as("va"))
+    val db = daily.where(col("user_id") === ub).select(col("day"), col("v").as("vb"))
+    val joined = da.join(db, "day").collect()
+    assert(first.getLong(2) == joined.length)
+    assert(first.getLong(5) == joined.map(r => r.getLong(1) * r.getLong(2)).sum)
+  }
+
   test("graph influence: non-broadcast vertex mode plans no broadcast and matches") {
     // fallback mode must run FIRST on a clean cache: join hints are not part
     // of cache canonicalization, so a previously-cached broadcast-built edge
