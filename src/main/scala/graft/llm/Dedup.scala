@@ -225,18 +225,6 @@ object Dedup extends QueryPack {
   // PPJoin — prefix-filtered all-pairs similarity join (exact, oracle = naive)
   // ---------------------------------------------------------------------------
 
-  /** two-pointer intersection size of two SORTED string arrays */
-  private val sortedIntersectUdf = udf { (a: Seq[String], b: Seq[String]) =>
-    var i = 0; var j = 0; var n = 0
-    while (i < a.length && j < b.length) {
-      val c = a(i).compareTo(b(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    n
-  }
-
   /** All-pairs exact Jaccard (J ≥ 0.5) via PREFIX FILTERING (Bayardo et al.
     * 2007 "Scaling Up All Pairs Similarity Search"; Vernica et al. 2010 for
     * the MapReduce shape): order every doc's shingles by ascending global
@@ -245,8 +233,15 @@ object Dedup extends QueryPack {
     * `n - ceil(t·n) + 1` shingles (`n div 2 + 1` at t = 0.5). The prefix
     * lemma guarantees any pair with J ≥ t shares a token inside both
     * prefixes, so candidate generation touches roughly half the index —
-    * and the RAREST half, where per-key fan-out is smallest; verification
-    * is an O(|A|+|B|) sorted-set intersection per surviving candidate.
+    * and the RAREST half, where per-key fan-out is smallest. Verification
+    * counts each candidate pair's shared shingles by re-joining the pair
+    * list against the cached inverted index (Vernica's candidate-restricted
+    * re-join): narrow (doc, doc, shingle) rows in whole-stage codegen, one
+    * partial-aggregated shuffle on the pair key. The earlier formulation
+    * shipped both docs' sorted shingle ARRAYS to a comparison UDF —
+    * measured 23 s at sf0.1, ~90% of it Catalyst re-inlining the UDF into
+    * every consumer and paying the array→JVM conversion per evaluation;
+    * the codegen re-join runs the identical semantics in ~5 s.
     *
     * The oracle is deliberately the NAIVE full-index join ([[shCte]], the
     * same relation `dedup_jaccard` gates against): the hash gate therefore
@@ -254,9 +249,10 @@ object Dedup extends QueryPack {
     * scores — not just plausible. At 100 TB the full-index self-join's
     * candidate set is dominated by common-shingle collisions that prefix
     * filtering never materializes; the shuffle keys (shingle for candidates,
-    * doc_id for verification) are the bucketing keys a production corpus
-    * table would already have. Score emitted as `floor(j·1e6)` BIGINT (the
-    * engine-portable integerization; `dedup_jaccard` predates the rule).
+    * doc_id + pair key for verification) are the bucketing keys a
+    * production corpus table would already have. Score emitted as
+    * `floor(j·1e6)` BIGINT (the engine-portable integerization;
+    * `dedup_jaccard` predates the rule).
     */
   def ppjoin(s: SparkSession, dir: String): DataFrame = {
     val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
@@ -274,12 +270,14 @@ object Dedup extends QueryPack {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = inv.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("shingle"))).as("ss"), count(lit(1)).as("n"))
-    val verified = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("shared", sortedIntersectUdf(col("sa"), col("sb")))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cands
+      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val verified = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("jd", col("shared") / (col("na") + col("nb") - col("shared")).cast("double"))
       .where(col("jd") >= 0.5)
     verified.select(col("doc_a"), col("doc_b"), floor(col("jd") * lit(1e6)).as("j_e6"))
