@@ -159,7 +159,9 @@ object Dedup extends QueryPack {
         (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
           .as("j"))
       .where(col("j") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      // floor-1e6 integerization (see ppjoin): round(j, 6) is the latent
+      // cross-engine half-up tie class; floor of the shared double is exact
+      .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
   }
 
   /** CTE prefix shared by the jaccard and minhash oracles: tokenize →
@@ -182,7 +184,7 @@ object Dedup extends QueryPack {
   private def jaccardOracle(threshold: Double): String =
     s"""WITH $shCte
       |SELECT doc_a, doc_b,
-      |       round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+      |       CAST(floor(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) * 1000000) AS BIGINT) AS j_e6
       |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
       |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= $threshold""".stripMargin
 
@@ -215,7 +217,7 @@ object Dedup extends QueryPack {
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b,
-      |       round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+      |       CAST(floor(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) * 1000000) AS BIGINT) AS j_e6
       |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
       |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.8
       |  AND EXISTS (SELECT 1 FROM cand c WHERE c.da = p.doc_a AND c.db = p.doc_b)""".stripMargin
@@ -415,7 +417,7 @@ object Dedup extends QueryPack {
       .select(col("doc_a"), col("doc_b"),
         (col("shared") / (col("na") + col("nb") - col("shared")).cast("double")).as("j"))
       .where(col("j") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
   }
 
   // ---------------------------------------------------------------------------

@@ -639,29 +639,32 @@ object Similarity extends QueryPack {
       .where(col("rank") <= TopK)
   }
 
-  /** Per-label centroid statistics — element-wise mean over 6-dp fixed-point
-    * values (decimal accumulation ⇒ row-order-independent exact sums).
+  /** Per-label centroid statistics — element-wise stats over floor-1e6
+    * fixed-point values (integer accumulation ⇒ row-order-independent exact
+    * sums; the mean is derivable as sum/n by any consumer). The previous
+    * round(v, 6) → DECIMAL(18,6) form was the latent cross-engine half-up
+    * tie class, and its decimal sum cast back to double diverges past 2^53
+    * (CLAUDE.md) — emit the scaled BIGINT sum itself instead.
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.loadSpread(s, dir, "embeddings")
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("label"), col("dim"),
-        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("v6"))
+      .select(col("label"), floor(col("v").cast("double") * lit(1e6)).as("v_e6"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_values"),
-        round(sum(col("v6")).cast("double") / count(lit(1)), 6).as("mean_component"),
-        round(max(col("v6")).cast("double"), 6).as("max_component"))
+        sum(col("v_e6")).as("sum_component_e6"),
+        max(col("v_e6")).as("max_component_e6"))
   }
 
   private val labelCentroidsSql =
     """WITH x AS (
       |  SELECT label,
-      |         CAST(round(CAST(v.val AS DOUBLE), 6) AS DECIMAL(18,6)) AS v6
+      |         CAST(floor(CAST(v.val AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
       |  FROM embeddings, unnest(embedding) AS v(val))
       |SELECT label, count(*) AS n_values,
-      |       round(CAST(sum(v6) AS DOUBLE) / count(*), 6) AS mean_component,
-      |       round(CAST(max(v6) AS DOUBLE), 6) AS max_component
+      |       CAST(sum(v_e6) AS BIGINT) AS sum_component_e6,
+      |       max(v_e6) AS max_component_e6
       |FROM x GROUP BY label""".stripMargin
 
   /** fused list depth and the standard RRF damping constant */

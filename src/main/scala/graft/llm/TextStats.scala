@@ -60,8 +60,10 @@ object TextStats extends QueryPack {
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
         countDistinct(col("token")).as("n_vocab"),
-        round(count(lit(1)) / countDistinct(col("doc_id")).cast("double"), 6)
-          .as("avg_tokens_per_doc"))
+        // floor-1e6 of the shared double quotient — round(x, 6) is the
+        // latent cross-engine half-up tie class (CLAUDE.md)
+        floor(count(lit(1)) / countDistinct(col("doc_id")).cast("double") * lit(1e6))
+          .as("avg_tokens_per_doc_e6"))
   }
 
   private val tokenStatsSql =
@@ -69,7 +71,7 @@ object TextStats extends QueryPack {
       |  SELECT lang, doc_id, unnest($tokensSql) AS token FROM documents)
       |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
       |       count(DISTINCT token) AS n_vocab,
-      |       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 6) AS avg_tokens_per_doc
+      |       CAST(floor(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE) * 1000000) AS BIGINT) AS avg_tokens_per_doc_e6
       |FROM t GROUP BY lang""".stripMargin
 
   /** Per-document quality score: piecewise-linear blend of length, stopword
@@ -89,14 +91,19 @@ object TextStats extends QueryPack {
       .select(
         col("doc_id"), col("source"),
         col("n_tokens"),
-        round(col("token_chars") / col("n_tokens").cast("double"), 6).as("avg_token_len"),
-        round(col("n_stop") / col("n_tokens").cast("double"), 6).as("stopword_ratio"),
-        round(
+        // floor-1e6 integerization of every emitted double quotient —
+        // round(x, 6) is the latent cross-engine half-up tie class. The
+        // blend itself stays +,*,least on doubles (IEEE-identical per op in
+        // both engines); only the EMITTED value is integerized.
+        floor(col("token_chars") / col("n_tokens").cast("double") * lit(1e6))
+          .as("avg_token_len_e6"),
+        floor(col("n_stop") / col("n_tokens").cast("double") * lit(1e6))
+          .as("stopword_ratio_e6"),
+        floor((
           least(col("n_tokens") / lit(200.0), lit(1.0)) * lit(0.5) +
             least(col("n_stop") / col("n_tokens").cast("double") * lit(10.0), lit(1.0)) * lit(0.3) +
             when((col("token_chars") / col("n_tokens").cast("double")).between(3.0, 8.0), lit(0.2))
-              .otherwise(lit(0.0)),
-          6).as("quality"))
+              .otherwise(lit(0.0))) * lit(1e6)).as("quality_e6"))
   }
 
   private val qualityScoreSql =
@@ -109,12 +116,12 @@ object TextStats extends QueryPack {
       |         len(list_filter(tokens, t -> list_contains($stopwordsSqlList, t))) AS n_stop
       |  FROM t)
       |SELECT doc_id, source, n_tokens,
-      |       round(token_chars / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
-      |       round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-      |       round(least(n_tokens / 200.0, 1.0) * 0.5
-      |           + least(n_stop / CAST(n_tokens AS DOUBLE) * 10.0, 1.0) * 0.3
-      |           + CASE WHEN token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 8.0
-      |                  THEN 0.2 ELSE 0.0 END, 6) AS quality
+      |       CAST(floor(token_chars / CAST(n_tokens AS DOUBLE) * 1000000) AS BIGINT) AS avg_token_len_e6,
+      |       CAST(floor(n_stop / CAST(n_tokens AS DOUBLE) * 1000000) AS BIGINT) AS stopword_ratio_e6,
+      |       CAST(floor((least(n_tokens / 200, 1) * (1 / 2)
+      |           + least(n_stop / CAST(n_tokens AS DOUBLE) * 10, 1) * (3 / 10)
+      |           + CASE WHEN token_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 8
+      |                  THEN 1 / 5 ELSE 0 END) * 1000000) AS BIGINT) AS quality_e6
       |FROM m""".stripMargin
 
   /** Heuristic n-gram language ID (stopword-hit ratio) scored against the

@@ -101,7 +101,7 @@ class LlmSpec extends SparkSpec {
 
   test("dedup_minhash finds the planted near-dup pairs exact jaccard finds") {
     val exactPairs = Dedup.jaccard(spark, sfDir)
-      .where(col("jaccard") >= 0.8)
+      .where(col("j_e6") >= 800000)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val lshPairs = Dedup.minhash(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -420,8 +420,8 @@ class LlmSpec extends SparkSpec {
   }
 
   test("quality score stays in [0,1] over the real corpus") {
-    val q = TextStats.qualityScore(spark, sfDir).select("quality").as[Double].collect()
-    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    val q = TextStats.qualityScore(spark, sfDir).select("quality_e6").as[Long].collect()
+    assert(q.forall(v => v >= 0L && v <= 1000000L))
   }
 
   test("hll approx distinct within 5% of exact") {
