@@ -24,6 +24,19 @@ trait QueryPack {
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
 
+/** pid-scoped scratch roots for the memoized per-data-dir table builders.
+  * Every builder follows delete → rebuild → commit on its path; with a FIXED
+  * path two concurrent JVMs (sbt test alongside a Verify run) can interleave
+  * those steps and leave one reader a half-built log. The pid in the path
+  * makes the sequence single-writer by construction; per-JVM memoization is
+  * unchanged.
+  */
+object Scratch {
+  def dir(prefix: String, dataDir: String): String =
+    "/tmp/" + prefix + "_p" + ProcessHandle.current().pid() + "_" +
+      dataDir.replaceAll("[^A-Za-z0-9]", "_")
+}
+
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §B). */
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

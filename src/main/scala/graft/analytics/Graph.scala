@@ -41,6 +41,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph extends QueryPack {
 
+  /** Evaluate `result` (≤ a few dozen rows for every query in this pack —
+    * top-20 cuts, per-hop counts, a 1-row census), release every cache the
+    * build pinned, and return the rows as a local DataFrame. Callers keep
+    * the lazy-DataFrame contract; the session keeps ZERO graph-sized cache
+    * entries once the query returns (previously each run left the edge/
+    * degree/frontier caches pinned until session end).
+    */
+  private def localized(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    val rows = result.collect()
+    caches.foreach(_.unpersist(blocking = false))
+    result.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** power-iteration rounds (fixed — the oracle replays each round) */
   val PrIters = 5
 
@@ -64,8 +78,10 @@ object Graph extends QueryPack {
     * directions materialized. Repartitioned by source vertex and cached:
     * every power-iteration/BFS round joins on `u`, so the graph-sized
     * relation shuffles ONCE at build and never again — only the node-sized
-    * rank/frontier relation moves per round. CacheManager keys by canonical
-    * plan, so pagerank and reach share one entry per dataset.
+    * rank/frontier relation moves per round. Each query releases the entry
+    * when it returns (via [[localized]]) so long sessions hold no stray
+    * graph caches; concurrent graph queries still share one entry while
+    * both are live (CacheManager keys by canonical plan).
     */
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -96,10 +112,12 @@ object Graph extends QueryPack {
     * 100 TB shape: per round the edge relation (cached, pre-partitioned on
     * `u`) joins the node-sized rank relation — one exchange of ranks in,
     * one exchange of per-target partial sums out, both node-sized; the
-    * graph itself never re-shuffles. Each round's result is cached and the
-    * previous unpersisted, so lineage stays one round deep (no
-    * checkpoint-or-StackOverflow cliff at more rounds). The final top-20 is
-    * a TakeOrdered cut, never a global sort.
+    * graph itself never re-shuffles. Each round is MATERIALIZED into its
+    * cache (the count() action) before the previous round is dropped, so
+    * lineage really is one round deep at any PrIters (an unmaterialized
+    * cache would silently rebuild the full join tree at the final action).
+    * The final top-20 is a TakeOrdered cut, never a global sort, and is
+    * localized so every cache can be released before returning.
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = purchaseEdges(s, dir)
@@ -114,16 +132,19 @@ object Graph extends QueryPack {
         .join(contrib, Seq("node"), "left")
         .select(col("node"), (lit(PrBase) + coalesce(col("c"), lit(0L))).as("pr"))
         .cache()
+      next.count()
       p.unpersist(blocking = false)
       p = next
     }
     val top = p.orderBy(col("pr").desc, col("node")).limit(20)
     val w   = Window.orderBy(col("pr").desc, col("node"))
-    top.select(
-      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
-      expr("node div 2").as("key"),
-      col("pr"),
-      row_number().over(w).cast("long").as("rank"))
+    localized(
+      top.select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("node div 2").as("key"),
+        col("pr"),
+        row_number().over(w).cast("long").as("rank")),
+      Seq(edges, deg, p))
   }
 
   /** seed cohort for personalized PageRank: customers with custkey < this */
@@ -158,16 +179,19 @@ object Graph extends QueryPack {
           (when(col("seed"), lit(PrBase)).otherwise(lit(0L)) +
             coalesce(col("c"), lit(0L))).as("pr"))
         .cache()
+      next.count()
       p.unpersist(blocking = false)
       p = next
     }
     val top = p.where(col("node") % 2 === 1 && col("pr") > 0)
       .orderBy(col("pr").desc, col("node")).limit(20)
     val w = Window.orderBy(col("pr").desc, col("node"))
-    top.select(
-      expr("node div 2").as("s_suppkey"),
-      col("pr"),
-      row_number().over(w).cast("long").as("rank"))
+    localized(
+      top.select(
+        expr("node div 2").as("s_suppkey"),
+        col("pr"),
+        row_number().over(w).cast("long").as("rank")),
+      Seq(edges, deg, seeded, p))
   }
 
   private val pprRecsSql = {
@@ -226,18 +250,25 @@ object Graph extends QueryPack {
     */
   def reach(s: SparkSession, dir: String): DataFrame = {
     val edges = purchaseEdges(s, dir)
+    var acquired = List.empty[DataFrame]
     var visited = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
       .distinct().select(col("u").as("node"), lit(0L).as("hop")).cache()
+    acquired ::= visited
     var frontier = visited.select("node")
     for (h <- 1 to ReachHops) {
       val next = frontier.join(edges, frontier("node") === edges("u"))
         .select(col("v").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hop")).cache()
+      next.count() // materialize: the anti-join chain must not rebuild
       visited = visited.unionAll(next).cache()
+      acquired ::= next
+      acquired ::= visited
       frontier = next.select("node")
     }
-    visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+    localized(
+      visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")),
+      edges :: acquired)
   }
 
   private val reachSql =
@@ -310,10 +341,12 @@ object Graph extends QueryPack {
       .agg(
         max("n_nodes").as("n_nodes"), max("n_edges").as("n_edges"),
         max("n_wedges").as("n_wedges"), max("n_triangles").as("n_triangles"))
-    st.select(
-      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-      when(col("n_wedges") === 0, lit(0L))
-        .otherwise(expr("(3000000 * n_triangles) div n_wedges")).as("clustering_ppm"))
+    localized(
+      st.select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0L))
+          .otherwise(expr("(3000000 * n_triangles) div n_wedges")).as("clustering_ppm")),
+      Seq(e, deg))
   }
 
   private val trianglesSql =

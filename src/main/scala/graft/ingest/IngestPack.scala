@@ -350,7 +350,7 @@ object IngestPack extends QueryPack {
 
   def gridCandles(s: SparkSession, dir: String): DataFrame = {
     val out = gridIngested.computeIfAbsent(dir, { d =>
-      val path = "/tmp/graft_grid_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/candles"
+      val path = graft.Scratch.dir("graft_grid", d) + "/candles"
       // self-contained verification run: start from an empty table so window
       // dirs left by a DIFFERENT grid layout (older code, other tests) cannot
       // leak into the read-back — dynamic overwrite only replaces its own
@@ -463,7 +463,7 @@ object IngestPack extends QueryPack {
     */
   def incrementalRollup(s: SparkSession, dir: String): DataFrame = {
     val aggDir = incrRollup.computeIfAbsent(dir, { d =>
-      val root = "/tmp/graft_incragg_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Scratch.dir("graft_incragg", d)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()
@@ -547,7 +547,7 @@ object IngestPack extends QueryPack {
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = orcWritten.computeIfAbsent(dir, { d =>
-      val path = "/tmp/graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/candles"
+      val path = graft.Scratch.dir("graft_orc", d) + "/candles"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()

@@ -619,7 +619,7 @@ object Dedup extends QueryPack {
   def components(s: SparkSession, dir: String): DataFrame = {
     val out = componentsMemo.computeIfAbsent(dir, { d =>
       val labelsDf = propagate(s, d)
-      val path = "/tmp/graft_components_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = graft.Scratch.dir("graft_components", d)
       labelsDf.write.mode("overwrite").parquet(path)
       path
     })

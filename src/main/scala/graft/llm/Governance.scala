@@ -415,11 +415,14 @@ object Governance extends QueryPack {
 
   /** replay a right-to-be-forgotten request through the table log, memoized
     * per data dir: v0 commits the full events extract, v1 overwrites it with
-    * the erasure cohort's rows removed. Returns the table path.
+    * the erasure cohort's rows removed. Returns the table path. The path
+    * carries the JVM's pid: two concurrent processes (sbt test alongside a
+    * Verify run) must never interleave the delete + two commits on a shared
+    * log directory.
     */
   private[graft] def erasureLog(s: SparkSession, dir: String): String =
     erased.computeIfAbsent(dir, { d =>
-      val table = "/tmp/graft_gdpr_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/events_log"
+      val table = graft.Scratch.dir("graft_gdpr", d) + "/events_log"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()

@@ -735,7 +735,7 @@ object TextStats extends QueryPack {
     */
   def textIndexLookup(s: SparkSession, dir: String): DataFrame = {
     val path = textIndexed.computeIfAbsent(dir, { d =>
-      val p = "/tmp/graft_tindex_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val p = graft.Scratch.dir("graft_tindex", d)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()

@@ -71,7 +71,7 @@ object IncrementalView extends QueryPack {
     */
   private[graft] def revenueMv(s: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, { d =>
-      val table = "/tmp/graft_ivm_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/rev_mv"
+      val table = graft.Scratch.dir("graft_ivm", d) + "/rev_mv"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()

@@ -127,7 +127,7 @@ object Layout extends QueryPack {
 
   private[graft] def ordersZOrdered(s: SparkSession, dir: String): (String, String) = {
     zOrdered.computeIfAbsent(dir, { d =>
-      val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/orders"
+      val path = graft.Scratch.dir("graft_zorder", d) + "/orders"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()

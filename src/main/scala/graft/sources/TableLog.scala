@@ -355,7 +355,7 @@ object TableLog extends QueryPack {
 
   private[graft] def ordersVersioned(s: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, { d =>
-      val table = "/tmp/graft_tlog_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/orders"
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()
@@ -406,7 +406,7 @@ object TableLog extends QueryPack {
     */
   private[graft] def ordersEvolved(s: SparkSession, dir: String): String =
     evolved.computeIfAbsent(dir, { d =>
-      val table = "/tmp/graft_tlog_" + d.replaceAll("[^A-Za-z0-9]", "_") + "/orders_evolved"
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_evolved"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()

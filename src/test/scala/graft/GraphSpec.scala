@@ -79,7 +79,12 @@ class GraphSpec extends SparkSpec {
   test("reach: hop-0 equals the seed set; hop counts cover distinct nodes exactly once") {
     val rows = Graph.reach(spark, sfDir).collect()
     val byHop = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seed set from the SAME relation the engine builds edges from (orders
+    // JOIN lineitem): a customer whose orders carry no lineitems is not in
+    // the purchase graph and must not be counted as a seed
     val seeds = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
       .where(col("o_custkey") < 10).select("o_custkey").distinct().count()
     assert(byHop(0L) == seeds, s"hop0=${byHop(0L)} seeds=$seeds")
     assert(byHop.keys.max <= Graph.ReachHops)
