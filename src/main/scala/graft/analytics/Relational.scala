@@ -245,20 +245,23 @@ object Relational extends QueryPack {
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
 
-  /** Approximate quantile sketch per group (KLL-style `percentile_approx`,
-    * accuracy 10000): mergeable bounded-size sketch state — the scale path
-    * when A2's exact value-histogram doesn't apply because the column is
-    * continuous and high-cardinality. Sketch internals are engine-specific
-    * → no SQL oracle; RelationalSpec-style check lives in LlmSpec's sketch
-    * family (within 1% of the exact quantile).
+  /** percentile_approx accuracy: guaranteed rank error ≤ n/this */
+  private final val AqAccuracy = 10000
+
+  /** Raw approximate quantile sketch per group (GK-style `percentile_approx`,
+    * accuracy [[AqAccuracy]]): mergeable bounded-size sketch state — the
+    * scale path when A2's exact value-histogram doesn't apply because the
+    * column is continuous and high-cardinality. The emitted VALUES are
+    * engine-specific (sketch internals); LlmSpec pins them within 1% of the
+    * exact quantiles. The ORACLE-GATED surface is [[approxQuantiles]] below.
     */
-  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+  def approxQuantilesRaw(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),
         percentile_approx(
-          col("o_totalprice"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+          col("o_totalprice"), array(lit(0.5), lit(0.9), lit(0.99)), lit(AqAccuracy))
           .as("q"))
       // scalar columns, not the array: the compare tooling hashes flat cells
       .select(
@@ -266,6 +269,41 @@ object Relational extends QueryPack {
         col("q").getItem(0).as("p50"),
         col("q").getItem(1).as("p90"),
         col("q").getItem(2).as("p99"))
+
+  /** Oracle-gated quantile-sketch audit: re-derive each sketch output's
+    * EXACT rank window in one candidate-restricted pass (3 values per group
+    * broadcast back against the fact) and emit whether the GK guarantee
+    * |rank − q·n| ≤ n/accuracy holds, as 0/1 longs. The sketch values
+    * themselves cannot be replayed by another engine, but the guarantee is
+    * deterministic — a sketch violating it flips the hash gate, so the
+    * CORRECTNESS row now pins rows + schema + the error law instead of
+    * being unoracled. (The rank window uses count(<v) and count(≤v): for
+    * duplicated values the guarantee applies to SOME rank of v's run.)
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val sk = approxQuantilesRaw(s, dir)
+    def rankOk(p: String, q: Double) = {
+      val lo = sum(when(col("o_totalprice") < col(p), 1L).otherwise(0L))
+      val hi = sum(when(col("o_totalprice") <= col(p), 1L).otherwise(0L))
+      val n = count(lit(1)).cast("double")
+      val eps = n / lit(AqAccuracy.toDouble) + lit(1.0)
+      when(lo + lit(1L) <= lit(q) * n + eps && hi >= lit(q) * n - eps, 1L)
+        .otherwise(0L).as(s"${p}_rank_ok")
+    }
+    orders.join(broadcast(sk), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        rankOk("p50", 0.5), rankOk("p90", 0.9), rankOk("p99", 0.99))
+  }
+
+  private val approxQuantilesSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       CAST(1 AS BIGINT) AS p50_rank_ok,
+      |       CAST(1 AS BIGINT) AS p90_rank_ok,
+      |       CAST(1 AS BIGINT) AS p99_rank_ok
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   /** CUBE grouping sets (all 2^k subtotal combinations; nulls folded to
     * 'ALL' so the output is total-orderable for the hash compare).
@@ -1603,7 +1641,7 @@ object Relational extends QueryPack {
     Q("setop_repeat_buyers", repeatBuyers, Some(repeatBuyersSql)),
     Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),
     Q("hll_approx_distinct", hllApproxDistinct, None),
-    Q("approx_quantiles", approxQuantiles, None),
+    Q("approx_quantiles", approxQuantiles, Some(approxQuantilesSql)),
     Q("cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("grouping_sets_pricing", groupingSets, Some(groupingSetsSql)),
     Q("window_spend_quartiles", spendQuartiles, Some(spendQuartilesSql)),

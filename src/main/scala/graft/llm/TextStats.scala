@@ -420,7 +420,12 @@ object TextStats extends QueryPack {
     * partial agg + one k-row-per-group shuffle. No token-cardinality
     * shuffle ever happens — the contrast with vocabTopK is the point.
     */
-  private[graft] final val MgK = 16
+  /** MG slot count: the exact heavy-hitter query emits tokens with support
+    * > n/(MgK+1), so k must sit below the corpus's top-token share (~3.4%
+    * at every SF) for the gate to be non-vacuous — 1/41 ≈ 2.4% clears ~30
+    * tokens per language stratum.
+    */
+  private[graft] final val MgK = 40
 
   private[graft] object MgAgg
       extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, Seq[(String, Long)]] {
@@ -478,16 +483,15 @@ object TextStats extends QueryPack {
   }
   private val mgSketch = udaf(MgAgg)
 
-  /** Heavy-hitter tokens per language via the MG sketch (one row per kept
-    * entry: lang, token, est_count, and the stratum's exact token total so
-    * the n/(k+1) guarantee is auditable downstream). Approximate by design →
-    * rows-only driver check; the frequency guarantee is pinned in LlmSpec.
-    * Note the kept SET (not the guarantee) can vary with partial-buffer
-    * merge order — inherent to MG: mergeability (Agarwal et al.) proves the
-    * error bound for ANY merge tree, not output equality, which is why the
-    * spec pins the bound rather than a fixed row set.
+  /** Raw Misra-Gries candidates per language (one row per kept entry: lang,
+    * token, est_count, and the stratum's exact token total so the n/(k+1)
+    * guarantee is auditable downstream). The kept SET (not the guarantee)
+    * can vary with partial-buffer merge order — inherent to MG:
+    * mergeability (Agarwal et al.) proves the error bound for ANY merge
+    * tree, not output equality — so this surface is pinned by the LlmSpec
+    * law, while the ORACLE-GATED query is [[heavyHitters]] below.
     */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+  def mgCandidates(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
     docs.select(col("lang"), explode(tokensCol).as("token"))
       .groupBy("lang")
@@ -496,6 +500,40 @@ object TextStats extends QueryPack {
       .select(col("lang"), col("e._1").as("token"),
         col("e._2").as("est_count"), col("n_tokens"))
   }
+
+  /** Heavy hitters per language, EXACT and oracle-gated, via the MG sketch:
+    * the sketch produces ≤ [[MgK]] candidates per stratum — guaranteed to
+    * contain every token with true count > n/(k+1) under any merge order —
+    * then ONE candidate-restricted re-count (a broadcast semi-join, the
+    * ppjoin/verify discipline) filters to the tokens that truly clear the
+    * support threshold. The emitted set is therefore exactly the true
+    * heavy-hitter set, independent of sketch merge order, so DuckDB can
+    * replay it from first principles — turning the sketch query from
+    * unoracled into a full rows+schema+hash gate that ALSO proves the MG
+    * recall guarantee (a candidate set missing a frequent token would drop
+    * an oracle row). 100 TB shape: the corpus is touched twice (sketch
+    * pass, candidate-filtered count pass); candidates ≤ langs × k rows
+    * broadcast; never a full (lang, token) aggregation.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val cand = mgCandidates(s, dir).select("lang", "token", "n_tokens")
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs.select(col("lang"), explode(tokensCol).as("token"))
+      .join(broadcast(cand), Seq("lang", "token"))
+      .groupBy("lang", "token", "n_tokens")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") * lit(MgK + 1) > col("n_tokens"))
+      .select(col("lang"), col("token"), col("n_occurrences"), col("n_tokens"))
+  }
+
+  private val heavyHittersSql =
+    s"""WITH t AS (
+      |  SELECT lang, unnest($tokensSql) AS token FROM documents),
+      |n AS (SELECT lang, count(*) AS n_tokens FROM t GROUP BY lang),
+      |c AS (SELECT lang, token, count(*) AS n_occurrences FROM t GROUP BY 1, 2)
+      |SELECT c.lang, c.token, c.n_occurrences, n.n_tokens
+      |FROM c JOIN n ON c.lang = n.lang
+      |WHERE c.n_occurrences * ${MgK + 1} > n.n_tokens""".stripMargin
 
   /** tokenizer-coverage vocabulary size (top tokens by corpus frequency) */
   private final val CoverageVocabK = 15
@@ -984,7 +1022,7 @@ object TextStats extends QueryPack {
     Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("text_index_lookup", textIndexLookup, Some(textIndexLookupSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
-    Q("text_heavy_hitters", heavyHitters, None),
+    Q("text_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("cms_token_freq", cmsTokenFreq, Some(cmsTokenFreqSql)),
     Q("lm_fluency", lmFluency, Some(lmFluencySql)),
     Q("tokenizer_coverage", tokenizerCoverage, Some(tokenizerCoverageSql)),

@@ -275,7 +275,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("approx quantile sketch lands within 1% of the exact quantiles") {
-    val approx = graft.analytics.Relational.approxQuantiles(spark, sfDir)
+    val approx = graft.analytics.Relational.approxQuantilesRaw(spark, sfDir)
       .collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
       .toMap
@@ -492,7 +492,7 @@ class LlmSpec extends SparkSpec {
 
   test("heavy hitters: MG guarantee — support > n/(k+1) present, undercount ≤ n/(k+1)") {
     import graft.llm.TextStats
-    val hh = TextStats.heavyHitters(spark, sfDir).collect()
+    val hh = TextStats.mgCandidates(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     val exact = Tables.load(spark, sfDir, "documents")
       .select(org.apache.spark.sql.functions.col("lang"),
@@ -500,7 +500,7 @@ class LlmSpec extends SparkSpec {
       .groupBy("lang", "token").count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val nByLang = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
-    val k = 16
+    val k = TextStats.MgK
     exact.foreach { case ((lang, tok), n) =>
       val bound = nByLang(lang) / (k + 1)
       if (n > bound)

@@ -414,7 +414,8 @@ class StreamingSpec extends SparkSpec {
     val last = rows.filter(_.n_tokens == 17L)
     assert(last.nonEmpty, s"second trigger must see cumulative n=17, got ${rows.toSeq}")
     val hot = last.find(_.token == "hot").get
-    // MG law over the WHOLE history: true 15, undercount ≤ n/(k+1) = 1
+    // MG law over the WHOLE history: true 15, undercount ≤ n/(k+1)
+    // (= 0 at k=40 with 3 distinct tokens — no eviction, so est is exact)
     assert(hot.est_count <= 15L && 15L - hot.est_count <= 17L / (graft.llm.TextStats.MgK + 1),
       s"est ${hot.est_count} violates the MG bound")
   }
