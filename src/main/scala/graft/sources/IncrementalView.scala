@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of a materialized JOIN view over the table log —
@@ -90,6 +90,128 @@ object IncrementalView extends QueryPack {
       table
     })
 
+  // -------------------------------------------------------------------------
+  // CDC (retraction-capable) maintenance
+  // -------------------------------------------------------------------------
+
+  /** Signed ΔMV merge — the retraction extension of [[mergeDelta]]: the
+    * delta's partial aggregates carry NEGATIVE contributions for retracted
+    * rows (delete legs, and the before-image leg of an update, the
+    * [[graft.operators.Merge]] change model decomposed for aggregates), so
+    * the same full-outer additive merge maintains the view under
+    * upserts/deletes; groups whose support count reaches zero are DROPPED,
+    * making the merged state identical to a from-scratch recompute of the
+    * live row set (count and sum are abelian GROUPS, not just monoids —
+    * that inverse is exactly what makes a sum/count view self-maintainable
+    * under deletes without re-reading the fact).
+    */
+  private[graft] def mergeCdc(
+      mv: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      sums: Seq[String],
+      support: String): DataFrame =
+    mergeDelta(mv, delta, keys, sums).where(col(support) > 0)
+
+  /** Deterministic CDC change stream over orders, as signed aggregate legs
+    * (priority, sign, price_cents) — the shape a Debezium-style feed's
+    * before/after images decompose into for aggregate maintenance:
+    *   batch 0: insert the o_orderkey%3=0 stratum;
+    *   batch 1: insert %3=1, DELETE %3=0 ∧ %5=0;
+    *   batch 2: insert %3=2, DELETE %3=1 ∧ %5=0, and UPDATE every
+    *            still-live %7=0 row's priority to 'U-RECLASS' (a retract
+    *            leg on the before image + an insert leg on the after
+    *            image — the group-moving case a tombstone mask cannot
+    *            express).
+    */
+  private def cdcLegs(orders: DataFrame, b: Int): DataFrame = {
+    val base = orders.select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("pc"))
+    def leg(cond: Column, sign: Int, pr: Column) =
+      base.where(cond).select(pr.as("o_orderpriority"),
+        lit(sign.toLong).as("sign"), col("pc"))
+    val ins = leg(col("k") % 3 === b, 1, col("pr"))
+    b match {
+      case 0 => ins
+      case 1 => ins.unionAll(leg(col("k") % 3 === 0 && col("k") % 5 === 0, -1, col("pr")))
+      case _ =>
+        val live2 = (col("k") % 3 === 0 && col("k") % 5 =!= 0) ||
+          (col("k") % 3 === 1 && col("k") % 5 =!= 0) || col("k") % 3 === 2
+        ins
+          .unionAll(leg(col("k") % 3 === 1 && col("k") % 5 === 0, -1, col("pr")))
+          .unionAll(leg(live2 && col("k") % 7 === 0, -1, col("pr")))
+          .unionAll(leg(live2 && col("k") % 7 === 0, 1, lit("U-RECLASS")))
+    }
+  }
+
+  private val cdcBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** replay the 3 CDC batches through the signed-merge path, one table-log
+    * version per batch, memoized per data dir
+    */
+  private[graft] def cdcMv(s: SparkSession, dir: String): String =
+    cdcBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_ivm_cdc", d) + "/rev_cdc_mv"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val orders = Tables.load(s, d, "orders")
+      val keys = Seq("o_orderpriority")
+      val sums = Seq("n_orders", "revenue_cents")
+      (0 until 3).foreach { b =>
+        val delta = cdcLegs(orders, b)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("sign")).as("n_orders"),
+            sum(col("sign") * col("pc")).as("revenue_cents"))
+        val next =
+          if (TableLog.versions(table).isEmpty) delta.where(col("n_orders") > 0)
+          else mergeCdc(TableLog.read(s, table), delta, keys, sums, "n_orders")
+        TableLog.commitOverwrite(next, table)
+        ()
+      }
+      table
+    })
+
+  /** Every version of the CDC-maintained view (version k = the view after
+    * CDC batches 0..k) — the oracle recomputes EACH version's live row set
+    * from scratch, so the gate proves the signed delta-merge path replays
+    * inserts, deletes and group-moving updates exactly, version by version.
+    */
+  def ivmCdcView(s: SparkSession, dir: String): DataFrame = {
+    val table = cdcMv(s, dir)
+    TableLog.versions(table).map { v =>
+      TableLog.read(s, table, Some(v))
+        .select(lit(v).as("version"), col("o_orderpriority"),
+          col("n_orders"), col("revenue_cents"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val ivmCdcViewSql = {
+    val pc = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    s"""WITH b AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pr, $pc AS pc FROM orders),
+      |live0 AS (SELECT pr, pc FROM b WHERE k % 3 = 0),
+      |live1 AS (SELECT pr, pc FROM b
+      |          WHERE (k % 3 = 0 AND k % 5 <> 0) OR k % 3 = 1),
+      |live2 AS (
+      |  SELECT CASE WHEN k % 7 = 0 THEN 'U-RECLASS' ELSE pr END AS pr, pc
+      |  FROM b
+      |  WHERE (k % 3 = 0 AND k % 5 <> 0) OR (k % 3 = 1 AND k % 5 <> 0)
+      |     OR k % 3 = 2)
+      |SELECT CAST(0 AS BIGINT) AS version, pr AS o_orderpriority,
+      |       count(*) AS n_orders, CAST(sum(pc) AS BIGINT) AS revenue_cents
+      |FROM live0 GROUP BY pr
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), pr, count(*), CAST(sum(pc) AS BIGINT)
+      |FROM live1 GROUP BY pr
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), pr, count(*), CAST(sum(pc) AS BIGINT)
+      |FROM live2 GROUP BY pr""".stripMargin
+  }
+
   /** the maintained view after all batches — the oracle recomputes it from
     * scratch over the full fact, so the gate proves the delta-merge path
     * reaches the same state as a full refresh
@@ -108,5 +230,6 @@ object IncrementalView extends QueryPack {
       |GROUP BY 1, 2""".stripMargin
 
   override val all: Seq[Q] = Seq(
-    Q("ivm_join_view", ivmJoinView, Some(ivmJoinViewSql)))
+    Q("ivm_join_view", ivmJoinView, Some(ivmJoinViewSql)),
+    Q("ivm_cdc_view", ivmCdcView, Some(ivmCdcViewSql)))
 }

@@ -57,4 +57,48 @@ class IncrementalViewSpec extends SparkSpec {
     assert(merged(("B", "P2")) == ((1L, 50L)), "untouched group unchanged")
     assert(merged(("C", "P9")) == ((4L, 400L)), "new group appears")
   }
+
+  test("CDC merge: retractions shrink groups and a zero-support group vanishes") {
+    import spark.implicits._
+    val keys = Seq("o_orderpriority")
+    val sums = IncrementalView.viewSums
+    val mv = Seq(("P1", 2L, 100L), ("P2", 1L, 50L), ("P3", 3L, 300L))
+      .toDF("o_orderpriority", "n_orders", "revenue_cents")
+    // delete one P1 row, delete THE P2 row (support hits zero), and move a
+    // P3 row to P9 (update = retract leg + insert leg)
+    val delta = Seq(
+      ("P1", -1L, -40L), ("P2", -1L, -50L),
+      ("P3", -1L, -100L), ("P9", 1L, 100L))
+      .toDF("o_orderpriority", "n_orders", "revenue_cents")
+    val merged = IncrementalView.mergeCdc(mv, delta, keys, sums, "n_orders")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged("P1") == ((1L, 60L)), "retraction shrinks the group")
+    assert(!merged.contains("P2"), "zero-support group must vanish, as in a recompute")
+    assert(merged("P3") == ((2L, 200L)) && merged("P9") == ((1L, 100L)),
+      "update moves mass between groups")
+  }
+
+  test("every CDC view version equals the from-scratch recompute of its live set") {
+    val table = IncrementalView.cdcMv(spark, sfDir)
+    val versions = TableLog.versions(table)
+    assert(versions.size == 3, s"one version per CDC batch, got $versions")
+    // the oracle re-derives each version; here pin the retraction effects
+    // structurally: deletes REDUCE totals at v1 (vs v0+batch1 inserts alone)
+    // and the group-moving update creates the U-RECLASS group only at v2
+    def totals(v: Long) = TableLog.read(spark, table, Some(v))
+      .agg(sum("n_orders")).collect()(0).getLong(0)
+    val orders = Tables.load(spark, sfDir, "orders")
+    val n0 = orders.where(col("o_orderkey") % 3 === 0).count()
+    val n1ins = orders.where(col("o_orderkey") % 3 === 1).count()
+    val n1del = orders.where(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 === 0).count()
+    assert(totals(0L) == n0)
+    assert(n1del > 0, "vacuous: the delete batch must delete something")
+    assert(totals(1L) == n0 + n1ins - n1del, "v1 totals must reflect the deletes")
+    val reclass = TableLog.read(spark, table, Some(2L))
+      .where(col("o_orderpriority") === "U-RECLASS").count()
+    assert(reclass == 1L, "updates must have moved rows into the reclassified group")
+    val v01 = (0L to 1L).flatMap(v => TableLog.read(spark, table, Some(v))
+      .where(col("o_orderpriority") === "U-RECLASS").collect())
+    assert(v01.isEmpty, "reclassified group must not exist before the update batch")
+  }
 }
