@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * (`mapPartitions` over a typed Dataset — the Scala twin of `mapInPandas`:
   * same batch shape, same schema contract, same partitioning discipline).
   *
-  * The actual codec step is a STUB — no image/audio libraries exist in this
-  * environment — implemented as a deterministic fake ([[StubCodec]]) so the
-  * Spark-side contract (schema, batching, partition parallelism, feature
-  * shapes) is real and testable end-to-end. Swapping in a real decoder means
-  * replacing ONLY [[StubCodec.decode]].
+  * The codec layer is REAL: [[MediaCodec]] encodes and decodes three
+  * genuine headered formats — binary PPM (P6) stills, RIFF/WAVE PCM-8
+  * audio, and YUV4MPEG2 (y4m) frame streams — sniffing the container by
+  * magic bytes and parsing headers per spec (PPM comments and whitespace,
+  * RIFF chunk walking with little-endian sizes, y4m parameter tokens).
+  * Only the PAYLOAD is synthetic (document bytes stand in for pixels/
+  * samples), which is what lets the DuckDB oracle replay the decoded
+  * stats from first principles and hash-gate the whole
+  * encode → container → decode round trip.
   *
   * Scale notes (100 TB posture): blobs never pass through a shuffle — decode
   * is a narrow per-partition map directly over the scan; only the small
@@ -25,13 +29,13 @@ import org.apache.spark.sql.functions._
 object Multimodal extends QueryPack {
 
   case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
-  case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Int,
-      mean_byte: Double, frames_sampled: Int, embedding: Array[Float])
 
-  /** Deterministic stand-in for the binary codecs (STUB — see scaladoc). */
+  /** Byte-plane transforms kept deliberately codec-agnostic (resize /
+    * frame-stride / average-hash run on the decoded plane in production;
+    * here they run on the raw blob bytes so their oracles derive from
+    * source lengths alone).
+    */
   object StubCodec {
-    val EmbeddingDim = 8
     val FrameStride  = 64 // "sample one frame per 64 bytes" for video blobs
 
     val ResizeStride = 4 // "thumbnail": keep one byte per 4-byte block
@@ -72,20 +76,213 @@ object Multimodal extends QueryPack {
       h
     }
 
-    /** ??? in spirit: a real implementation would decode the payload; this
-      * derives deterministic pseudo-features so the pipeline is testable.
+  }
+
+  /** Decoded container features: dimensions for raster formats, frame /
+    * sample counts, and exact payload accounting (byte count + byte-value
+    * sum — integers, so the oracle replays them bit-for-bit).
+    */
+  case class MediaDecoded(
+      media_id: Long, format: String, width: Int, height: Int,
+      n_frames: Int, n_samples: Int, payload_bytes: Int, payload_sum: Long)
+
+  /** Real, minimal codecs for three deterministic containers. Encoders
+    * write spec-conformant headers; decoders sniff the magic bytes and
+    * parse strictly (malformed input throws — ANSI-mode discipline for
+    * binary data). References: PPM — netpbm P6 spec; WAV — RIFF/WAVE
+    * PCM canonical 44-byte layout; Y4M — mjpegtools YUV4MPEG2 stream
+    * header. The reference pipeline has no binary decode at all (payloads
+    * stay opaque JSON, from_parser_to_rabbitmq.py); this is the north-star
+    * multimodal extension with the codec made genuine.
+    */
+  object MediaCodec {
+    /** PPM raster width; height stretches with the payload */
+    val PpmWidth = 8
+    /** WAV sample rate (PCM-8 mono) */
+    val WavRate = 8000
+    /** y4m frame geometry: 4×4, C444 ⇒ 3 bytes/pixel ⇒ 48 bytes/frame */
+    val Y4mWidth = 4
+    val Y4mHeight = 4
+    val Y4mFrameBytes: Int = Y4mWidth * Y4mHeight * 3
+
+    private def pad(b: Array[Byte], n: Int): Array[Byte] =
+      java.util.Arrays.copyOf(b, n)
+
+    /** P6 PPM: `P6\n<w> <h>\n255\n` + w·h·3 RGB bytes (payload zero-padded
+      * into the pixel plane; height = ceil(len/24) rows of 8 RGB pixels).
       */
-    def decode(r: MediaRecord): MediaFeatures = {
-      val bytes = r.content
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-      val frames = if (r.kind == "video") math.max(1, bytes.length / FrameStride) else 0
-      val emb = Array.tabulate(EmbeddingDim) { d =>
-        if (bytes.isEmpty) 0f
-        else (bytes(d % bytes.length) & 0xff) / 255.0f
+    def encodePpm(payload: Array[Byte]): Array[Byte] = {
+      val h = math.max(1, (payload.length + PpmWidth * 3 - 1) / (PpmWidth * 3))
+      s"P6\n$PpmWidth $h\n255\n".getBytes("US-ASCII") ++
+        pad(payload, PpmWidth * h * 3)
+    }
+
+    /** Canonical 44-byte RIFF/WAVE header (PCM, mono, 8-bit, little-endian
+      * sizes) + the payload as unsigned samples.
+      */
+    def encodeWav(samples: Array[Byte]): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(WavRate).putInt(WavRate) // byte rate = rate × align
+        .putShort(1).putShort(8) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(n)
+        .put(samples)
+      bb.array()
+    }
+
+    /** YUV4MPEG2: `YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n` then per frame
+      * `FRAME\n` + 48 payload bytes (zero-padded; ≥ 1 frame always).
+      */
+    def encodeY4m(payload: Array[Byte]): Array[Byte] = {
+      val f = math.max(1, (payload.length + Y4mFrameBytes - 1) / Y4mFrameBytes)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$Y4mWidth H$Y4mHeight F25:1 Ip A1:1 C444\n"
+        .getBytes("US-ASCII"))
+      (0 until f).foreach { i =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        val chunk = payload.slice(i * Y4mFrameBytes, (i + 1) * Y4mFrameBytes)
+        out.write(pad(chunk, Y4mFrameBytes))
       }
-      MediaFeatures(r.media_id, r.kind, bytes.length, mean, frames, emb)
+      out.toByteArray
+    }
+
+    /** kind → container, for the attach step */
+    def encode(kind: String, payload: Array[Byte]): Array[Byte] = kind match {
+      case "image" => encodePpm(payload)
+      case "audio" => encodeWav(payload)
+      case _       => encodeY4m(payload)
+    }
+
+    private def sumBytes(b: Array[Byte], from: Int, until: Int): Long = {
+      var s = 0L; var i = from
+      while (i < until) { s += (b(i) & 0xff); i += 1 }
+      s
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed media container: $msg")
+
+    /** netpbm P6 parser: magic, then whitespace-separated w/h/maxval with
+      * `#` comment lines honored (per spec), ONE whitespace byte, then
+      * exactly w·h·3 pixel bytes.
+      */
+    private[multimodal] def decodePpm(id: Long, b: Array[Byte]): MediaDecoded = {
+      var i = 2 // past "P6"
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && i < b.length) {
+          if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+          else if (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r') i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWsAndComments()
+        val start = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i == start) fail(s"PPM: expected integer at offset $start")
+        new String(b, start, i - start, "US-ASCII").toInt
+      }
+      val (w, h, maxval) = (int(), int(), int())
+      if (maxval != 255) fail(s"PPM: unsupported maxval $maxval")
+      i += 1 // exactly one whitespace byte after maxval, per spec
+      val need = w * h * 3
+      if (b.length - i != need) fail(s"PPM: ${b.length - i} pixel bytes, need $need")
+      MediaDecoded(id, "ppm", w, h, 1, 0, need, sumBytes(b, i, b.length))
+    }
+
+    /** RIFF chunk walker: validates RIFF/WAVE framing, reads fmt (PCM,
+      * little-endian fields), finds data; samples = dataLen / blockAlign.
+      */
+    private[multimodal] def decodeWav(id: Long, b: Array[Byte]): MediaDecoded = {
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") fail("WAV: no RIFF magic")
+      val riffLen = bb.getInt
+      if (riffLen != b.length - 8) fail(s"WAV: RIFF size $riffLen vs ${b.length - 8}")
+      if (fourcc() != "WAVE") fail("WAV: no WAVE form type")
+      var blockAlign = -1
+      var dataFrom = -1
+      var dataLen = -1
+      while (bb.remaining() >= 8) {
+        val (cid, clen) = (fourcc(), bb.getInt)
+        cid match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + clen
+            if (bb.getShort != 1) fail("WAV: not PCM")
+            val channels = bb.getShort
+            bb.getInt // sample rate
+            bb.getInt // byte rate
+            blockAlign = bb.getShort.toInt
+            val bits = bb.getShort
+            if (channels * ((bits + 7) / 8) != blockAlign) fail("WAV: align mismatch")
+            bb.position(fmtEnd)
+          case "data" =>
+            dataFrom = bb.position(); dataLen = clen
+            // word-aligned skip, clamped: a final odd-length data chunk may
+            // legally omit the trailing pad byte
+            bb.position(math.min(bb.limit(), bb.position() + clen + (clen & 1)))
+          case _ =>
+            bb.position(math.min(bb.limit(), bb.position() + clen + (clen & 1)))
+        }
+      }
+      if (blockAlign <= 0 || dataFrom < 0) fail("WAV: missing fmt or data chunk")
+      MediaDecoded(id, "wav", 0, 0, 0, dataLen / blockAlign, dataLen,
+        sumBytes(b, dataFrom, dataFrom + dataLen))
+    }
+
+    /** YUV4MPEG2 parser: stream-header parameter tokens (W/H/C mandatory
+      * here), then FRAME-marker-delimited planes sized by the colourspace.
+      */
+    private[multimodal] def decodeY4m(id: Long, b: Array[Byte]): MediaDecoded = {
+      var i = 0
+      def line(): String = {
+        val start = i
+        while (i < b.length && b(i) != '\n') i += 1
+        if (i >= b.length) fail("y4m: unterminated header line")
+        i += 1
+        new String(b, start, i - 1 - start, "US-ASCII")
+      }
+      val header = line().split(" ")
+      if (header.head != "YUV4MPEG2") fail("y4m: bad magic")
+      val params = header.tail.map(t => t.head -> t.tail).toMap
+      val w = params.getOrElse('W', fail("y4m: no width")).toInt
+      val h = params.getOrElse('H', fail("y4m: no height")).toInt
+      val frameBytes = params.getOrElse('C', "420") match {
+        case "444" => w * h * 3
+        case "420" => w * h * 3 / 2
+        case c     => fail(s"y4m: unsupported colourspace $c")
+      }
+      var frames = 0
+      var sum = 0L
+      while (i < b.length) {
+        if (!line().startsWith("FRAME")) fail("y4m: expected FRAME marker")
+        if (b.length - i < frameBytes) fail("y4m: truncated frame")
+        sum += sumBytes(b, i, i + frameBytes)
+        i += frameBytes
+        frames += 1
+      }
+      MediaDecoded(id, "y4m", w, h, frames, 0, frames * frameBytes, sum)
+    }
+
+    /** Sniff the container by magic bytes (as a real demuxer does — the
+      * `kind` column is a routing hint, not trusted) and decode.
+      */
+    def decode(r: MediaRecord): MediaDecoded = {
+      val b = r.content
+      if (b.length >= 2 && b(0) == 'P' && b(1) == '6') decodePpm(r.media_id, b)
+      else if (b.length >= 4 && new String(b, 0, 4, "US-ASCII") == "RIFF")
+        decodeWav(r.media_id, b)
+      else if (b.length >= 9 && new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2")
+        decodeY4m(r.media_id, b)
+      else fail("unrecognized magic bytes")
     }
   }
 
@@ -119,30 +316,74 @@ object Multimodal extends QueryPack {
       |       ascii(substr(text, 1, 1)) AS header_byte
       |FROM documents""".stripMargin
 
-  /** Partition-local batch decode (mapInPandas-shaped): Dataset[MediaRecord]
-    * → Dataset[MediaFeatures], one codec invocation per record, batched per
-    * partition, no shuffle.
+  /** Attach REAL encoded containers: each document's bytes become the
+    * payload of a PPM / WAV / y4m container (kind round-robin, as
+    * [[attachBinary]]). Encoding is a partition-local typed map directly
+    * over the scan — the write half of the codec round trip.
     */
-  def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    import records.sparkSession.implicits._
-    records.mapPartitions(_.map(StubCodec.decode))
+  def attachEncoded(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    attachBinary(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
+      .mapPartitions(_.map(r =>
+        r.copy(content = MediaCodec.encode(r.kind, r.content))))
   }
 
-  /** Feature-extraction query: binary attach → partition-local decode →
-    * per-kind aggregate. Decode output is engine-specific (stub codec) → no
-    * SQL oracle; the ScalaTest pins the codec contract instead.
+  /** Partition-local batch decode (mapInPandas-shaped): Dataset[MediaRecord]
+    * → Dataset[MediaDecoded], one codec invocation per record, batched per
+    * partition, no shuffle. The codec sniffs and parses real container
+    * headers ([[MediaCodec]]).
     */
-  def decodeStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val recs = attachBinary(s, dir)
-      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
-    decodeFeatures(recs)
-      .groupBy("kind")
+  def decodeFeatures(records: Dataset[MediaRecord]): Dataset[MediaDecoded] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(MediaCodec.decode))
+  }
+
+  /** Decode query, ORACLE-GATED end to end: encode each document into its
+    * container, decode it back through the header parsers, aggregate the
+    * decoded dimensions / frame and sample counts / exact payload sums per
+    * container format. The oracle derives every number from the source
+    * text alone (header arithmetic + byte-value sums), so a single
+    * mis-written or mis-parsed header byte, padding slip or endianness bug
+    * flips the hash gate — the round trip itself is what is being proved.
+    */
+  def decodeStats(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(attachEncoded(s, dir))
+      .groupBy("format")
       .agg(
         count(lit(1)).as("n_media"),
-        sum(col("n_bytes").cast("long")).as("total_bytes"),
-        sum(col("frames_sampled").cast("long")).as("total_frames"),
-        round(avg(round(col("mean_byte"), 6)), 6).as("avg_mean_byte"))
+        sum(col("width").cast("long")).as("total_width"),
+        sum(col("height").cast("long")).as("total_height"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("n_samples").cast("long")).as("total_samples"),
+        sum(col("payload_bytes").cast("long")).as("total_payload_bytes"),
+        sum(col("payload_sum")).as("payload_byte_sum"))
+
+  private val decodeStatsSql = {
+    val (pw, fb) = (MediaCodec.PpmWidth, MediaCodec.Y4mFrameBytes)
+    val rowBytes = pw * 3
+    s"""WITH m AS (
+      |  SELECT ['ppm','wav','y4m'][(doc_id % 3) + 1] AS format,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |         coalesce(list_sum([ascii(substr(text, i, 1))
+      |                            for i in range(1, length(text) + 1)]),
+      |                  0) AS bsum
+      |  FROM documents),
+      |f AS (
+      |  SELECT format, n, bsum,
+      |         greatest(1, (n + ${rowBytes - 1}) // $rowBytes) AS ppm_h,
+      |         greatest(1, (n + ${fb - 1}) // $fb) AS y4m_f
+      |  FROM m)
+      |SELECT format, count(*) AS n_media,
+      |  CAST(sum(CASE format WHEN 'ppm' THEN $pw WHEN 'y4m' THEN ${MediaCodec.Y4mWidth} ELSE 0 END) AS BIGINT) AS total_width,
+      |  CAST(sum(CASE format WHEN 'ppm' THEN ppm_h WHEN 'y4m' THEN ${MediaCodec.Y4mHeight} ELSE 0 END) AS BIGINT) AS total_height,
+      |  CAST(sum(CASE format WHEN 'ppm' THEN 1 WHEN 'y4m' THEN y4m_f ELSE 0 END) AS BIGINT) AS total_frames,
+      |  CAST(sum(CASE format WHEN 'wav' THEN n ELSE 0 END) AS BIGINT) AS total_samples,
+      |  CAST(sum(CASE format WHEN 'ppm' THEN $rowBytes * ppm_h
+      |                       WHEN 'wav' THEN n
+      |                       ELSE $fb * y4m_f END) AS BIGINT) AS total_payload_bytes,
+      |  CAST(sum(bsum) AS BIGINT) AS payload_byte_sum
+      |FROM f GROUP BY format""".stripMargin
   }
 
   /** Partition-local resize: Dataset[MediaRecord] → Dataset[MediaRecord],
@@ -265,7 +506,7 @@ object Multimodal extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
-    Q("mm_decode_stats", decodeStats, None),
+    Q("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
     Q("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

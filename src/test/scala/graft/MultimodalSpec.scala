@@ -1,40 +1,94 @@
 package graft
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{MediaFeatures, MediaRecord, StubCodec}
+import graft.multimodal.Multimodal.{MediaCodec, MediaRecord, StubCodec}
 
-/** Pins the multimodal plumbing contract: schema, batch shape, deterministic
-  * stub codec, frame sampling, partition-parallel decode.
+/** Pins the multimodal plumbing contract: real container codecs (PPM / WAV /
+  * y4m round trips, strict header parsing), schema, batch shape, frame
+  * sampling, partition-parallel decode.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("stub codec is deterministic and shape-stable") {
-    val r = MediaRecord(1L, "video", Array.tabulate(200)(_.toByte))
-    val a = StubCodec.decode(r); val b = StubCodec.decode(r)
-    assert(a == b.copy(embedding = a.embedding) && a.embedding.sameElements(b.embedding))
-    assert(a.n_bytes == 200)
-    assert(a.frames_sampled == 200 / StubCodec.FrameStride)
-    assert(a.embedding.length == StubCodec.EmbeddingDim)
-    assert(a.embedding.forall(v => v >= 0f && v <= 1f))
+  test("PPM round trip: spec header, exact pixel accounting, comments honored") {
+    val payload = Array.tabulate(100)(i => (i + 1).toByte) // → 8×5 pixels, padded
+    val ppm = MediaCodec.encodePpm(payload)
+    assert(new String(ppm.take(2), "US-ASCII") == "P6")
+    val d = MediaCodec.decode(MediaRecord(7L, "image", ppm))
+    assert(d.format == "ppm" && d.width == 8 && d.height == 5)
+    assert(d.payload_bytes == 8 * 5 * 3 && d.n_frames == 1)
+    assert(d.payload_sum == (1 to 100).sum.toLong) // zero padding adds nothing
+    // a real parser honors netpbm comment lines in the header
+    val withComment = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++ Array.fill(6)(3.toByte)
+    val c = MediaCodec.decode(MediaRecord(8L, "image", withComment))
+    assert(c.width == 2 && c.height == 1 && c.payload_sum == 18L)
+    // truncated pixel plane must throw, not mis-count
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaRecord(9L, "image", ppm.dropRight(1)))
+    }
+    ()
   }
 
-  test("only video records sample frames; empty payload is safe") {
-    assert(StubCodec.decode(MediaRecord(2L, "image", Array[Byte](1, 2, 3))).frames_sampled == 0)
-    val empty = StubCodec.decode(MediaRecord(3L, "audio", Array.empty[Byte]))
-    assert(empty.n_bytes == 0 && empty.mean_byte == 0.0 && empty.embedding.forall(_ == 0f))
+  test("WAV round trip: RIFF framing, little-endian sizes, odd-length data") {
+    for (n <- Seq(0, 1, 101)) {
+      val samples = Array.tabulate(n)(i => (i * 3 + 2).toByte)
+      val wav = MediaCodec.encodeWav(samples)
+      assert(wav.length == 44 + n)
+      val d = MediaCodec.decode(MediaRecord(1L, "audio", wav))
+      assert(d.format == "wav" && d.n_samples == n && d.payload_bytes == n)
+      assert(d.payload_sum == samples.map(_ & 0xff).map(_.toLong).sum)
+    }
+    // a corrupted RIFF size field must be rejected
+    val bad = MediaCodec.encodeWav(Array.fill(10)(1.toByte))
+    bad(4) = (bad(4) + 1).toByte
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaRecord(2L, "audio", bad))
+    }
+    ()
+  }
+
+  test("y4m round trip: header params parsed, frames counted, truncation rejected") {
+    val payload = Array.tabulate(100)(i => (i + 1).toByte) // → 3 frames of 48
+    val y4m = MediaCodec.encodeY4m(payload)
+    val d = MediaCodec.decode(MediaRecord(1L, "video", y4m))
+    assert(d.format == "y4m" && d.width == 4 && d.height == 4)
+    assert(d.n_frames == 3 && d.payload_bytes == 144)
+    assert(d.payload_sum == (1 to 100).sum.toLong)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaRecord(2L, "video", y4m.dropRight(1)))
+    }
+    // the C420 colourspace sizes frames at w·h·3/2 per spec
+    val c420 = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII") ++
+      ("FRAME\n".getBytes("US-ASCII") ++ Array.fill(24)(2.toByte))
+    val e = MediaCodec.decode(MediaRecord(3L, "video", c420))
+    assert(e.n_frames == 1 && e.payload_bytes == 24 && e.payload_sum == 48L)
+    ()
+  }
+
+  test("decode sniffs magic bytes — the kind column is a hint, not trusted") {
+    val wav = MediaCodec.encodeWav(Array[Byte](1, 2, 3))
+    // mislabeled kind still decodes by container magic
+    assert(MediaCodec.decode(MediaRecord(1L, "image", wav)).format == "wav")
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(MediaRecord(2L, "image", Array[Byte]('X', 'Y', 'Z')))
+    }
+    ()
   }
 
   test("decodeFeatures runs partition-local over a typed Dataset (no shuffle)") {
-    val recs = (1L to 100L).map(i => MediaRecord(i, if (i % 3 == 0) "video" else "image",
-      Array.tabulate((i % 10).toInt + 1)(b => (b + i).toByte))).toDS()
+    val recs = (1L to 100L).map { i =>
+      val kind = Seq("image", "audio", "video")((i % 3).toInt)
+      val payload = Array.tabulate((i % 10).toInt + 1)(b => (b + i).toByte)
+      MediaRecord(i, kind, MediaCodec.encode(kind, payload))
+    }.toDS()
     val out = Multimodal.decodeFeatures(recs)
     // decode adds no Exchange on top of its input (narrow per-partition map)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode plan must be shuffle-free:\n$plan")
     val feats = out.collect()
     assert(feats.length == 100)
-    assert(feats.filter(_.kind == "video").forall(_.frames_sampled >= 1))
+    assert(feats.filter(_.format == "y4m").forall(_.n_frames >= 1))
+    assert(feats.map(_.format).toSet == Set("ppm", "wav", "y4m"))
   }
 
   test("sampleFrames chunks video blobs shuffle-free, byte-exactly") {
