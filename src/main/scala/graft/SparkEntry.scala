@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.Analytics,
     analytics.Relational,
     analytics.Graph,
+    analytics.PortableSketch,
     llm.TextStats,
     llm.Dedup,
     llm.Similarity,

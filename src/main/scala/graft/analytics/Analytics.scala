@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * 1-row DataFrames and broadcast, never collected.
   *
   * Determinism notes: window orderings always carry a unique tie-break key;
-  * statistical aggregates are rounded to 6 decimals; money sums go through
-  * lossless DECIMAL casts so Spark and DuckDB agree bit-for-bit.
+  * order-dependent double aggregates (stddev, corr) are replayed from exact
+  * integer sufficient statistics over fixed-point inputs so every emitted
+  * double is a chain of single correctly-rounded IEEE ops; money sums go
+  * through lossless DECIMAL casts so Spark and DuckDB agree bit-for-bit.
   */
 object Analytics extends QueryPack {
 
@@ -57,6 +59,15 @@ object Analytics extends QueryPack {
     * joins the companies dim for name/sector). The join runs AFTER the
     * aggregation — the broadcast hash join touches only the reduced
     * (entity, day) relation, never the raw event stream.
+    *
+    * Cross-engine determinism: `stddev_samp` is a summation-order-dependent
+    * double aggregate (and `round(x, 6)` of it was the latent half-up tie
+    * class, CLAUDE.md). Instead the return is floored to 1e-5 fixed point
+    * (|r5| ≤ 5.6e7 for value ≤ 560, so n·ΣR² ≤ 3.9e17 stays exact in
+    * int64 at group size ≤ 11), the group keeps exact integer sufficient
+    * statistics, and the stddev is replayed as
+    * `sqrt((n·S2 − S1²)/(n·(n−1)))/1e5` — every step a single correctly-
+    * rounded IEEE op on exact integers, bit-identical in Spark and DuckDB.
     */
   def volatility(s: SparkSession, dir: String): DataFrame = {
     val ev  = Tables.load(s, dir, "events")
@@ -66,11 +77,16 @@ object Analytics extends QueryPack {
     ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("ret", col("value") - lag("value", 1).over(w))
       .where(col("ret").isNotNull)
+      .withColumn("r5", floor(col("ret") * lit(100000)).cast("long"))
       .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(
-        round(stddev_samp(col("ret")), 6).as("volatility"),
-        count(col("ret")).as("n_returns"))
+        count(col("r5")).as("n_returns"),
+        sum(col("r5")).as("s1"),
+        sum(col("r5") * col("r5")).as("s2"))
       .where(col("n_returns") >= 2)
+      .withColumn("volatility",
+        sqrt((col("n_returns") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n_returns") * (col("n_returns") - lit(1))).cast("double")) / lit(100000))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("name"), col("sector"), col("day"),
         col("volatility"), col("n_returns"))
@@ -82,15 +98,21 @@ object Analytics extends QueryPack {
       |         value - lag(value) OVER (PARTITION BY user_id
       |                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ret
       |  FROM events),
+      |q AS (
+      |  SELECT user_id, tsv, CAST(floor(ret * 100000) AS BIGINT) AS r5
+      |  FROM r WHERE ret IS NOT NULL),
       |v AS (
       |  SELECT user_id, strftime(tsv, '%Y-%m-%d') AS day,
-      |         round(stddev_samp(ret), 6) AS volatility,
-      |         count(ret) AS n_returns
-      |  FROM r WHERE ret IS NOT NULL
+      |         count(*) AS n_returns,
+      |         CAST(sum(r5) AS BIGINT) AS s1,
+      |         CAST(sum(r5 * r5) AS BIGINT) AS s2
+      |  FROM q
       |  GROUP BY user_id, strftime(tsv, '%Y-%m-%d')
-      |  HAVING count(ret) >= 2)
+      |  HAVING count(*) >= 2)
       |SELECT user_id, c_name AS name, c_mktsegment AS sector, day,
-      |       volatility, n_returns
+      |       sqrt(CAST(n_returns * s2 - s1 * s1 AS DOUBLE)
+      |            / CAST(n_returns * (n_returns - 1) AS DOUBLE)) / 100000 AS volatility,
+      |       n_returns
       |FROM v JOIN customer ON user_id = c_custkey""".stripMargin
 
   /** A2 — price move following large trades (p90-quantile flag + lead), per
@@ -185,13 +207,34 @@ object Analytics extends QueryPack {
       .agg((sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
         count(lit(1))).as("close"))
     val w = Window.partitionBy("priority", "nation").orderBy("day")
+    // Cross-engine determinism: `corr` is a summation-order-dependent double
+    // aggregate (`round(x, 6)` of it was the latent half-up tie class).
+    // `close` itself IS bit-deterministic (exact decimal sum → one cast, one
+    // division), so floor it to whole currency units (x ≤ 6e5) and keep
+    // exact integer sufficient statistics: with n_days ≤ ~2.4e3 every
+    // product (n·Σxy, Σx·Σy, n·Σx² − (Σx)²) stays under ~2.1e18 — exact in
+    // int64 — and the Pearson ratio is replayed as num/(sqrt(a)·sqrt(b)),
+    // each step one correctly-rounded IEEE op, bit-identical cross-engine.
     daily
       .withColumn("prev_close", lag("close", 1).over(w))
       .where(col("prev_close").isNotNull)
+      .select(col("priority"), col("nation"),
+        floor(col("close")).cast("long").as("x"),
+        floor(col("prev_close")).cast("long").as("y"))
       .groupBy("priority", "nation")
       .agg(
-        round(corr(col("close"), col("prev_close")), 6).as("autocorr"),
-        count(lit(1)).as("n_days"))
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("vy", (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .select(col("priority"), col("nation"),
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("vx")) * sqrt(col("vy")))).as("autocorr"),
+        col("n_days"))
   }
 
   private val predictabilitySql =
@@ -206,11 +249,28 @@ object Analytics extends QueryPack {
       |l AS (
       |  SELECT priority, nation, close,
       |         lag(close) OVER (PARTITION BY priority, nation ORDER BY day) AS prev_close
-      |  FROM d)
-      |SELECT priority, nation, round(corr(close, prev_close), 6) AS autocorr,
-      |       count(*) AS n_days
-      |FROM l WHERE prev_close IS NOT NULL
-      |GROUP BY priority, nation""".stripMargin
+      |  FROM d),
+      |xy AS (
+      |  SELECT priority, nation,
+      |         CAST(floor(close) AS BIGINT) AS x, CAST(floor(prev_close) AS BIGINT) AS y
+      |  FROM l WHERE prev_close IS NOT NULL),
+      |g AS (
+      |  SELECT priority, nation, count(*) AS n_days,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM xy GROUP BY priority, nation),
+      |v AS (
+      |  SELECT *, CAST(n_days * sxx - sx * sx AS DOUBLE) AS vx,
+      |            CAST(n_days * syy - sy * sy AS DOUBLE) AS vy
+      |  FROM g)
+      |SELECT priority, nation,
+      |       CASE WHEN vx > 0 AND vy > 0
+      |            THEN CAST(n_days * sxy - sx * sy AS DOUBLE) / (sqrt(vx) * sqrt(vy))
+      |       END AS autocorr,
+      |       n_days
+      |FROM v""".stripMargin
 
   /** A4 — buy/sell pressure imbalance per entity per day:
     * (buys - sells) / (buys + sells), the order-book imbalance formula over
@@ -232,8 +292,10 @@ object Analytics extends QueryPack {
       .select(
         col("user_id"), col("name"), col("sector"), col("day"),
         col("n_buys"), col("n_sells"), col("n_events"),
-        round((col("n_buys") - col("n_sells")) /
-          (col("n_buys") + col("n_sells")).cast("double"), 6).as("imbalance"))
+        // one correctly-rounded division of exact integers — emit it raw
+        // (round(x, 6) of a deterministic quotient is the half-up tie class)
+        ((col("n_buys") - col("n_sells")).cast("double") /
+          (col("n_buys") + col("n_sells")).cast("double")).as("imbalance"))
   }
 
   private val imbalanceSql =
@@ -242,11 +304,11 @@ object Analytics extends QueryPack {
       |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
       |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells,
       |       count(*) AS n_events,
-      |       round((sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-      |            - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
-      |           / CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-      |                + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE),
-      |             6) AS imbalance
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |          - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+      |         AS imbalance
       |  FROM events
       |  GROUP BY 1, 2
       |  HAVING sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) > 0)

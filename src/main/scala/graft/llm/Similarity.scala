@@ -494,8 +494,14 @@ object Similarity extends QueryPack {
     * IEEE primitive both engines share; every sum is sequential-fold or
     * integer-exact.
     */
-  private val ivfTopKSql =
-    s"""WITH sm AS (
+  /** shared oracle CTE chain replaying the coarse IVF quantizer: md5 seed
+    * matrix `sm` → seed argmax assignment `sa` → one fixed-point Lloyd step
+    * (`csum`/`cent`) → positional re-keying `centk` → final corpus
+    * assignment `ca (vec_id, cell2)` — the prefix of [[ivfTopKSql]], also
+    * composed by the IVF-PQ oracle ([[annIvfPqTopKSql]]).
+    */
+  private def ivfCoarseCtes: String =
+    s"""sm AS (
       |  SELECT c,
       |         [CAST('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) / 2147483648 - 1
       |          for i in range(1, $Dim + 1)] AS w
@@ -527,7 +533,10 @@ object Similarity extends QueryPack {
       |  SELECT vec_id, cell2 FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell2) AS rn
       |    FROM corpcos)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  private val ivfTopKSql =
+    s"""WITH $ivfCoarseCtes,
       |q AS (
       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
       |  ORDER BY vec_id LIMIT $NumQueries),
@@ -638,6 +647,160 @@ object Similarity extends QueryPack {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
+
+  // ---------------------------------------------------------------------------
+  // Persisted IVF-PQ index (coarse cells + PQ codes — the production layout)
+  // ---------------------------------------------------------------------------
+
+  /** [[probeCellsUdf]] with a caller-chosen probe count (the spec probes ALL
+    * cells to pin exact identity with the global in-memory ADC serve).
+    */
+  private val probeCellsNUdf = udf { (emb: Seq[Float], cmat: Seq[Double], n: Int) =>
+    val cos = cosRow(emb, cmat)
+    (0 until cos.length).sortBy(c => (-cos(c), c)).take(n).map(_ + 1).toArray
+  }
+
+  /** Persist the full IVF-PQ layout (FAISS `IndexIVFPQ`'s on-disk shape):
+    *  - `centroids/`  — the 1-row coarse centroid matrix ([[ivfIndex]]);
+    *  - `codebooks/`  — the [[PqM]]×[[PqK]] trained PQ codebooks
+    *                    ([[pqStateOf]], one Lloyd round, integer-exact);
+    *  - `codes/`      — per vector: coarse cell + its [[PqM]] PQ codes,
+    *                    CELL-PARTITIONED parquet.
+    * At serving time a query reads NProbe/NumCells of the `codes` bytes
+    * (partition-pruned) and each candidate costs [[PqM]] table lookups on
+    * small-int codes — the corpus floats are read by NO query: that is the
+    * 100 TB posture (codes are ~256× smaller than the float corpus).
+    * Codes are assigned from the PERSISTED artifacts, not a second
+    * evaluation of the training DAGs, so both stored relations come from
+    * one centroid/codebook set.
+    */
+  def writeIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    ivfIndex(emb).write.mode("overwrite").parquet(s"$path/centroids")
+    val (sub, c1, _) = pqStateOf(emb)
+    c1.write.mode("overwrite").parquet(s"$path/codebooks")
+    sub.unpersist(); c1.unpersist()
+    appendIvfPqIndex(emb, path, overwrite = true)
+  }
+
+  /** Incremental IVF-PQ maintenance (FAISS `add` discipline, like
+    * [[appendIvfIndex]]): new vectors are coarse-assigned and PQ-coded
+    * against the index's EXISTING persisted centroids/codebooks and appended
+    * into their cell partitions — one scan of the new batch, no retraining,
+    * existing members untouched. Quantizer drift is a rebuild-policy call.
+    */
+  def appendIvfPqIndex(newEmb: DataFrame, path: String,
+      overwrite: Boolean = false): Unit = {
+    val s = newEmb.sparkSession
+    val cents = s.read.parquet(s"$path/centroids")
+    val books = s.read.parquet(s"$path/codebooks")
+    newEmb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        bestCellUdf(col("embedding"), col("cmat")).as("cell"),
+        posexplode(subVecsUdf(quantUdf(col("embedding")))).as(Seq("m", "xs")))
+      .join(broadcast(centroidMatrixByM(books)), Seq("m"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        nearestSubUdf(col("xs"), col("keys"), col("cmatq")).as("a"))
+      .select(col("vec_id"), col("m"), col("a._1").as("code"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** ANN top-k served from a persisted IVF-PQ index: coarse-probe the
+    * queries' nProbe cells, PARTITION-PRUNE the codes scan to those cells
+    * (static `cell IN (...)` — the same deliberate key-only collect as
+    * [[ivfTopKIndexed]], ≤ queries×nProbe ints), then ADC: per-query
+    * distance tables to the persisted codebooks (broadcast — KBs) and a
+    * candidate's distance is Σ of [[PqM]] lookups on its codes. With
+    * nProbe = [[NumCells]] this is bit-identical to the in-memory
+    * [[annPqTopK]] (IvfIndexSpec pins it); at the default [[NProbe]] it is
+    * the IVF-restricted serve the oracle of `ann_ivfpq_topk` replays.
+    */
+  def annPqTopKIndexed(s: SparkSession, indexPath: String, queries: DataFrame,
+      nProbe: Int = NProbe): DataFrame = {
+    val cents = s.read.parquet(s"$indexPath/centroids")
+    val books = s.read.parquet(s"$indexPath/codebooks")
+    val codes = s.read.parquet(s"$indexPath/codes")
+    val dt = queries
+      .select(col("vec_id").as("q_id"),
+        posexplode(subVecsUdf(quantUdf(col("embedding")))).as(Seq("m", "xs")))
+      .join(broadcast(books), Seq("m"))
+      .select(col("q_id"), col("m"), col("cell").as("code"),
+        intL2DimUdf(col("xs"), col("c")).as("d"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"),
+        explode(probeCellsNUdf(col("embedding"), col("cmat"), lit(nProbe))).as("cell"))
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val topk = udaf(new graft.operators.TopKAgg(PqTopK))
+    codes.where(col("cell").isInCollection(probedCells))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dt), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d")).as("dist"))
+      .groupBy("q_id")
+      .agg(topk(-col("dist"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), (-col("col.v")).as("dist"))
+  }
+
+  /** memoized per-data-dir IVF-PQ index build (pid-scoped scratch path) */
+  private val ivfPqBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    ivfPqBuilt.computeIfAbsent(dir, { d =>
+      val path = graft.Scratch.dir("graft_ivfpq", d)
+      writeIvfPqIndex(Tables.loadSpread(s, d, "embeddings"), path)
+      path
+    })
+
+  /** `ann_ivfpq_topk` — end-to-end persisted IVF-PQ: build (memoized) →
+    * serve the first-5 query set with the default [[NProbe]] cell probes.
+    * The oracle replays coarse training/assignment ([[ivfCoarseCtes]]), PQ
+    * training/coding ([[pqCtes]]), the probe ranking AND the ADC serve —
+    * every step exact integer or correctly-rounded-double arithmetic, so
+    * the full production index lifecycle is hash-gated cross-engine.
+    */
+  def annIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfPqIndexPath(s, dir)
+    val queries = Tables.load(s, dir, "embeddings").where(col("vec_id") < 5)
+    annPqTopKIndexed(s, path, queries)
+  }
+
+  // lazy: interpolates PqM/PqK/PqTopK, declared further down the object
+  private lazy val annIvfPqTopKSql =
+    s"""WITH $ivfCoarseCtes,
+      |$pqCtes,
+      |q2 AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+      |qc AS (
+      |  SELECT q2.q_id, k.cell2, ${cosSqlOf("q2.embedding", "k.cv")} AS cos
+      |  FROM q2, centk k),
+      |qprobes AS (
+      |  SELECT q_id, cell2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cell2) AS rn
+      |    FROM qc)
+      |  WHERE rn <= $NProbe),
+      |qdt AS (
+      |  SELECT s.vec_id AS q_id, s.m, k.cell, ${sqlSubDist("s.xs", "k.c")} AS d
+      |  FROM sub s JOIN pc1 k ON k.m = s.m
+      |  WHERE s.vec_id < 5),
+      |candq AS (
+      |  SELECT p.q_id, ca.vec_id
+      |  FROM qprobes p JOIN ca ON ca.cell2 = p.cell2
+      |  WHERE ca.vec_id <> p.q_id),
+      |pairq AS (
+      |  SELECT c.q_id, c.vec_id, CAST(sum(dt.d) AS BIGINT) AS dist
+      |  FROM candq c
+      |  JOIN codes ON codes.vec_id = c.vec_id
+      |  JOIN qdt dt ON dt.q_id = c.q_id AND dt.m = codes.m AND dt.cell = codes.cell
+      |  GROUP BY c.q_id, c.vec_id),
+      |rq AS (
+      |  SELECT q_id, vec_id, dist,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rank
+      |  FROM pairq)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dist FROM rq
+      |WHERE rank <= $PqTopK""".stripMargin
 
   /** Per-label centroid statistics — element-wise stats over floor-1e6
     * fixed-point values (integer accumulation ⇒ row-order-independent exact
@@ -1146,8 +1309,12 @@ object Similarity extends QueryPack {
     * no per-subspace jobs).
     */
   private[graft] def pqState(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame => DataFrame) = {
-    val sub = Tables.loadSpread(s, dir, "embeddings")
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame => DataFrame) =
+    pqStateOf(Tables.loadSpread(s, dir, "embeddings"))
+
+  private[graft] def pqStateOf(
+      emb: DataFrame): (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    val sub = emb
       .select(col("vec_id"),
         posexplode(subVecsUdf(quantUdf(col("embedding")))).as(Seq("m", "xs")))
       .cache()
@@ -1543,6 +1710,7 @@ object Similarity extends QueryPack {
     Q("hybrid_rrf_search", hybridRrf, Some(hybridRrfSql)),
     Q("ann_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("ann_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Q("ann_ivfpq_topk", annIvfPqTopK, Some(annIvfPqTopKSql)),
     Q("dedup_embcos", embCosDedup, Some(embCosDedupSql)),
     Q("emb_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }

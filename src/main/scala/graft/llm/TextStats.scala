@@ -240,9 +240,13 @@ object TextStats extends QueryPack {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nRel = docs.agg(count(lit(1)).as("n_total"))
+    // constants spelled as int/int divisions (11/5 = k1+1, 6/5 = k1,
+    // 1/2 = 0.5): one correctly-rounded double division in BOTH engines,
+    // where a decimal literal would run DuckDB's DECIMAL arithmetic
+    // (CLAUDE.md) — keeps every score a bit-identical double chain
     val score =
-      (col("tf") * lit(Bm25K1 + 1) / (col("tf") + lit(Bm25K1))) *
-        ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (col("tf") * (lit(11) / lit(5)) / (col("tf") + lit(6) / lit(5))) *
+        ((col("n_total") - col("df") + lit(1) / lit(2)) / (col("df") + lit(1) / lit(2)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(dfRel, "term")
@@ -251,7 +255,9 @@ object TextStats extends QueryPack {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopTerms)
       .select(col("doc_id"), col("term"), col("rank"),
-        round(col("score"), 6).as("bm25"))
+        // floor-1e6 fixed point of the bit-identical rational score —
+        // round(x, 6) was the latent cross-engine half-up tie class
+        floor(col("score") * lit(1000000)).cast("long").as("bm25_e6"))
   }
 
   private val bm25TopSql =
@@ -262,15 +268,15 @@ object TextStats extends QueryPack {
       |n AS (SELECT count(*) AS n_total FROM documents),
       |scored AS (
       |  SELECT doc_id, term,
-      |         (tf * ${Bm25K1 + 1} / (tf + $Bm25K1))
-      |           * ((n_total - df + 0.5) / (df + 0.5)) AS score
+      |         (tf * (11 / 5) / (tf + 6 / 5))
+      |           * ((n_total - df + 1 / 2) / (df + 1 / 2)) AS score
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |ranked AS (
       |  SELECT doc_id, term, score,
       |         row_number() OVER (PARTITION BY doc_id
       |                            ORDER BY score DESC, term) AS rank
       |  FROM scored)
-      |SELECT doc_id, term, rank, round(score, 6) AS bm25
+      |SELECT doc_id, term, rank, CAST(floor(score * 1000000) AS BIGINT) AS bm25_e6
       |FROM ranked WHERE rank <= $TopTerms""".stripMargin
 
   /** Corpus vocabulary induction: the [[VocabSize]] most frequent tokens

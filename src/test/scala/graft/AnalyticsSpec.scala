@@ -22,9 +22,10 @@ class AnalyticsSpec extends SparkSpec {
       .write.mode("overwrite").parquet("/tmp/graft_test_a1/customer.parquet")
     val out = Analytics.volatility(spark, "/tmp/graft_test_a1").collect()
     assert(out.length == 1)
-    val expected = BigDecimal(math.sqrt((math.pow(2 - 0.5, 2) + math.pow(-1 - 0.5, 2)) / 1))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(out.head.getDouble(4) == expected) // 2.121320
+    // diffs floored at 1e-5: r5 = (200000, -100000); n=2, S1=1e5, S2=5e10
+    // → sqrt((2*5e10 - 1e10) / 2) / 1e5 — the exact engine op chain
+    val expected = math.sqrt(9e10 / 2.0) / 100000
+    assert(out.head.getDouble(4) == expected) // 2.1213203435596424
     assert(out.head.getLong(5) == 2L)
     assert(out.head.getString(1) == "Customer#7") // broadcast dim label
   }
@@ -33,10 +34,9 @@ class AnalyticsSpec extends SparkSpec {
     val out = Analytics.imbalance(spark, sfDir).collect()
     assert(out.nonEmpty)
     assert(out.forall(r => math.abs(r.getDouble(7)) <= 1.0))
-    // spot-check the formula on one row
+    // spot-check the formula on one row (raw correctly-rounded quotient)
     val r = out.head
-    val expect = BigDecimal((r.getLong(4) - r.getLong(5)).toDouble / (r.getLong(4) + r.getLong(5)))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (r.getLong(4) - r.getLong(5)).toDouble / (r.getLong(4) + r.getLong(5))
     assert(r.getDouble(7) == expect)
   }
 

@@ -50,6 +50,75 @@ class IvfIndexSpec extends SparkSpec {
       s"probed-cell scan should carry a static IN/INSET partition filter, got: $pf")
   }
 
+  test("persisted IVF-PQ: full-probe serve == in-memory ADC; default probes prune code cells") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val p = "/tmp/graft_test_ivfpq_index"
+    rm(new java.io.File(p))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.writeIvfPqIndex(emb, p)
+    // three artifacts on disk; codes are cell-partitioned
+    assert(new java.io.File(s"$p/centroids").exists && new java.io.File(s"$p/codebooks").exists)
+    val cellDirs = new java.io.File(s"$p/codes").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.length > 1, "codes must be partitioned by coarse cell")
+
+    val queries = emb.where(col("vec_id") < 5)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // probing EVERY cell makes the candidate set the whole corpus — the
+    // persisted ADC serve must then be bit-identical to the in-memory one
+    val full = Similarity.annPqTopKIndexed(spark, p, queries, nProbe = Similarity.NumCells)
+      .collect().map(key).toSet
+    val global = Similarity.annPqTopK(spark, sfDir).collect().map(key).toSet
+    assert(full == global && full.nonEmpty)
+
+    // default NProbe: the codes scan carries a static IN/INSET partition filter
+    val served = Similarity.annPqTopKIndexed(spark, p, queries)
+    assert(served.collect().nonEmpty)
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .filter(_.contains("graft_test_ivfpq_index/codes"))
+      .flatMap { l =>
+        val i = l.indexOf("PartitionFilters: [")
+        if (i < 0) None
+        else Some(l.substring(i + "PartitionFilters: [".length,
+          math.max(l.indexOf("]", i), i)))
+      }.toSeq
+    assert(pf.nonEmpty, s"no PartitionFilters on the codes scan:\n$plan")
+    assert(pf.exists(f => f.contains("cell") && (f.contains(" IN ") || f.contains("INSET"))),
+      s"probed-cell codes scan should carry a static IN/INSET partition filter, got: $pf")
+  }
+
+  test("IVF-PQ append is batch-size invariant: build(A)+append(B) == assign-all") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val inc  = "/tmp/graft_test_ivfpq_inc"
+    val mono = "/tmp/graft_test_ivfpq_mono"
+    Seq(inc, mono).foreach(p => rm(new java.io.File(p)))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.where(col("vec_id") % 2 === 0)
+    val b = emb.where(col("vec_id") % 2 =!= 0)
+    Similarity.writeIvfPqIndex(a, inc)
+    Similarity.appendIvfPqIndex(b, inc)
+    // monolithic twin: SAME centroids + codebooks, one-batch assignment
+    spark.read.parquet(s"$inc/centroids").write.parquet(s"$mono/centroids")
+    spark.read.parquet(s"$inc/codebooks").write.parquet(s"$mono/codebooks")
+    Similarity.appendIvfPqIndex(emb, mono)
+    // every vector coded exactly once (PqM rows each)
+    val perVec = spark.read.parquet(s"$inc/codes").groupBy("vec_id").count().collect()
+    assert(perVec.length == emb.count() && perVec.forall(_.getLong(1) == Similarity.PqM))
+    val queries = emb.where(col("vec_id") < 5)
+    def res(p: String) = Similarity.annPqTopKIndexed(spark, p, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (ri, rm2) = (res(inc), res(mono))
+    assert(ri == rm2 && ri.nonEmpty)
+  }
+
   test("incremental append is batch-size invariant: build(A)+append(B) == assign-all") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)

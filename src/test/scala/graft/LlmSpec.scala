@@ -234,7 +234,7 @@ class LlmSpec extends SparkSpec {
     val perDoc = out.groupBy(_.getLong(0))
     assert(perDoc.values.forall(rs => rs.length <= TextStats.TopTerms))
     assert(perDoc.values.forall(rs => rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)))
-    assert(out.forall(_.getDouble(3) >= 0.0))
+    assert(out.forall(_.getLong(3) >= 0L))
   }
 
   test("vocab_topk returns the highest-frequency tokens with a total order") {

@@ -1,0 +1,54 @@
+package graft
+
+import graft.analytics.PortableSketch
+import scala.util.Random
+
+/** Laws for the engine-portable KMV sketches (the oracle already pins exact
+  * cross-engine replay; these pin the ESTIMATOR quality and the aggregate's
+  * algebra, which a hash gate alone cannot express).
+  */
+class PortableSketchSpec extends SparkSpec {
+
+  test("MinKAgg is the sorted distinct min-K set function, any split/merge order") {
+    val K = PortableSketch.K
+    val rnd = new Random(7)
+    val values = Array.fill(5000)(rnd.nextLong(1L << 52))
+    val expected = values.distinct.sorted.take(K).toSeq
+    // single-pass reduce
+    val r1 = values.foldLeft(PortableSketch.MinKAgg.zero)(PortableSketch.MinKAgg.reduce)
+    assert(PortableSketch.MinKAgg.finish(r1) == expected)
+    // arbitrary partitioning + out-of-order merges
+    val parts = values.grouped(613).map(
+      _.foldLeft(PortableSketch.MinKAgg.zero)(PortableSketch.MinKAgg.reduce)).toSeq
+    val merged = rnd.shuffle(parts).reduce(PortableSketch.MinKAgg.merge)
+    assert(PortableSketch.MinKAgg.finish(merged) == expected)
+    // duplicates never occupy sketch slots
+    val dup = (values.take(10) ++ values.take(10) ++ values.take(10))
+      .foldLeft(PortableSketch.MinKAgg.zero)(PortableSketch.MinKAgg.reduce)
+    assert(PortableSketch.MinKAgg.finish(dup) == values.take(10).distinct.sorted.toSeq)
+  }
+
+  test("kmv_distinct: unsaturated sketches are exact; saturated within 4 sigma") {
+    val out = PortableSketch.kmvDistinct(spark, sfDir).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (exact, n, est) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      if (n < PortableSketch.K) assert(est == exact.toDouble, r.getString(0))
+      else {
+        val rsd = 1.0 / math.sqrt(PortableSketch.K - 2)
+        assert(math.abs(est - exact) / exact <= 4 * rsd,
+          s"${r.getString(0)}: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("kmv_set_ops: estimates track exact union/intersection; jaccard in [0,1]") {
+    val r = PortableSketch.kmvSetOps(spark, sfDir).collect().head
+    val (exU, exI) = (r.getAs[Long]("exact_union"), r.getAs[Long]("exact_inter"))
+    val (esU, esI) = (r.getAs[Double]("est_union"), r.getAs[Double]("est_inter"))
+    val j = r.getAs[Double]("jaccard")
+    assert(j >= 0.0 && j <= 1.0)
+    assert(math.abs(esU - exU) / exU <= 0.25, s"union est $esU vs $exU")
+    if (exI > 0) assert(math.abs(esI - exI) / exI <= 0.25, s"inter est $esI vs $exI")
+  }
+}
