@@ -22,6 +22,7 @@ object SparkEntry {
     llm.Similarity,
     llm.Curation,
     llm.Governance,
+    llm.EntityResolution,
     ingest.IngestPack,
     sources.Layout,
     sources.TableLog,

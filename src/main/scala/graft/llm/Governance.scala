@@ -475,7 +475,80 @@ object Governance extends QueryPack {
       |SELECT 1, count(*), count(DISTINCT user_id), CAST(sum(event_id) AS BIGINT), 0
       |FROM events WHERE user_id % $ErasureMod <> 0""".stripMargin
 
+  /** Distribution-drift detection between two time epochs of the event
+    * stream — the monitoring gate a production data pipeline runs before
+    * admitting a new ingest window into training. Pearson's chi-square over
+    * the event_type × epoch contingency table, with the epoch boundary
+    * derived from the data (integer midpoint of the epoch-micros range, so
+    * the query never goes degenerate when the driver regenerates testdata).
+    *
+    * Cross-engine exactness: each cell's statistic is
+    * `(o·N − rt·ct)² / (rt·ct·N)` — the rational form of (o−e)²/e scaled by
+    * N — where o·N, rt·ct (≤1e10) and rt·ct·N (≤1e15) are EXACT int64
+    * products; the square and the division are two correctly-rounded double
+    * ops, and each term is floor-1e9 integerized BEFORE summation so the
+    * total never depends on float summation order. Scale: the shuffle is
+    * one (type, epoch) hash aggregate; everything after runs on a ≤10-row
+    * relation with broadcast totals.
+    */
+  def driftChi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L)).cast("long").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), (col("us") < col("mid")).as("early"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("early").agg(sum(col("o")).as("ct"))
+    val nn = cells.agg(sum(col("o")).as("nn"))
+    val num = col("o") * col("nn") - col("rt") * col("ct")
+    val den = (col("rt") * col("ct") * col("nn")).cast("double")
+    val term = when(den > 0,
+      floor(num.cast("double") * num.cast("double") / den * lit(1000000000L))
+        .cast("long")).otherwise(0L)
+    val scored = cells.join(rt, "event_type").join(ct, "early")
+      .crossJoin(broadcast(nn))
+      .select(col("event_type"), col("early"), col("o"), term.as("term_e9"))
+    val total = scored.agg(sum(col("term_e9")).as("chi2_total_e9"))
+    scored.groupBy("event_type")
+      .agg(
+        sum(when(col("early"), col("o")).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), col("o")).otherwise(0L)).as("n_late"),
+        sum(col("term_e9")).as("chi2_type_e9"))
+      .crossJoin(broadcast(total))
+  }
+
+  private val driftChi2Sql =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |mid AS (
+      |  SELECT CAST((CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS BIGINT) AS mid
+      |  FROM ev),
+      |cells AS (
+      |  SELECT event_type, us < mid AS early, count(*) AS o
+      |  FROM ev, mid GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT early, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+      |scored AS (
+      |  SELECT c.event_type, c.early, c.o,
+      |         CASE WHEN rt * ct * nn > 0 THEN
+      |           CAST(floor(
+      |             CAST(o * nn - rt * ct AS DOUBLE) * CAST(o * nn - rt * ct AS DOUBLE)
+      |               / CAST(rt * ct * nn AS DOUBLE) * 1000000000) AS BIGINT)
+      |         ELSE 0 END AS term_e9
+      |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (early), nn),
+      |tot AS (SELECT CAST(sum(term_e9) AS BIGINT) AS chi2_total_e9 FROM scored)
+      |SELECT event_type,
+      |       CAST(sum(CASE WHEN early THEN o ELSE 0 END) AS BIGINT) AS n_early,
+      |       CAST(sum(CASE WHEN NOT early THEN o ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(sum(term_e9) AS BIGINT) AS chi2_type_e9,
+      |       chi2_total_e9
+      |FROM scored, tot
+      |GROUP BY event_type, chi2_total_e9""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("drift_chi2", driftChi2, Some(driftChi2Sql)),
     Q("gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
     Q("kanon_audit", kAnonAudit, Some(kAnonAuditSql)),
     Q("perceptron_train", perceptronTrain, Some(perceptronTrainSql)),

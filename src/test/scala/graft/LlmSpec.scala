@@ -62,6 +62,33 @@ class LlmSpec extends SparkSpec {
     assert(out(2L)._4 == 0L, "disjoint doc must have no duplicated chunks")
   }
 
+  test("er_resolve: deletion blocking recovers every planted link; blocking stays sub-quadratic") {
+    import graft.llm.EntityResolution
+    val out = EntityResolution.erResolve(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nRecords = out("deletion_index_keys") / 9
+    // every dirty record is a single deletion of its master → the deletion
+    // index is recall-complete and classification keeps exactly the truth
+    assert(out("resolved_entities") == nRecords)
+    assert(out("resolved_correct") == nRecords, "every resolved link must be the true one")
+    // deletion-neighborhood blocks stay near-unique: far below all-pairs
+    assert(out("candidates_distinct") < 9 * nRecords,
+      s"blocking degenerated: ${out("candidates_distinct")} candidates for $nRecords records")
+  }
+
+  test("drift_chi2 is non-negative, partitions every event, and sums its per-type terms") {
+    import graft.llm.Governance
+    val rows = Governance.driftChi2(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val total = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == total))
+    assert(rows.forall(_.getLong(3) >= 0L) && total >= 0L)
+    assert(rows.map(_.getLong(3)).sum == total, "type terms must sum to the total")
+    val n = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val exact = Tables.load(spark, sfDir, "events").count()
+    assert(n == exact, "epochs must partition the event stream")
+  }
+
   test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
     import graft.llm.Governance
     // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
