@@ -199,7 +199,10 @@ object Multimodal extends QueryPack {
     /** RIFF chunk walker: validates RIFF/WAVE framing, reads fmt (PCM,
       * little-endian fields), finds data; samples = dataLen / blockAlign.
       */
-    private[multimodal] def decodeWav(id: Long, b: Array[Byte]): MediaDecoded = {
+    /** RIFF chunk walk shared by [[decodeWav]] and [[wavSamples]]:
+      * strict-parse → (blockAlign, data chunk offset, data chunk length).
+      */
+    private def wavLayout(b: Array[Byte]): (Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(): String = {
         val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
@@ -234,8 +237,19 @@ object Multimodal extends QueryPack {
         }
       }
       if (blockAlign <= 0 || dataFrom < 0) fail("WAV: missing fmt or data chunk")
+      (blockAlign, dataFrom, dataLen)
+    }
+
+    private[multimodal] def decodeWav(id: Long, b: Array[Byte]): MediaDecoded = {
+      val (blockAlign, dataFrom, dataLen) = wavLayout(b)
       MediaDecoded(id, "wav", 0, 0, 0, dataLen / blockAlign, dataLen,
         sumBytes(b, dataFrom, dataFrom + dataLen))
+    }
+
+    /** strict WAV parse → the raw PCM-8 data chunk */
+    def wavSamples(b: Array[Byte]): Array[Byte] = {
+      val (_, dataFrom, dataLen) = wavLayout(b)
+      java.util.Arrays.copyOfRange(b, dataFrom, dataFrom + dataLen)
     }
 
     /** YUV4MPEG2 parser: stream-header parameter tokens (W/H/C mandatory
@@ -315,6 +329,67 @@ object Multimodal extends QueryPack {
       |       md5(text) AS content_md5,
       |       ascii(substr(text, 1, 1)) AS header_byte
       |FROM documents""".stripMargin
+
+  case class AudioFeatures(
+      media_id: Long, n_samples: Long, duration_us: Long, byte_sum: Long,
+      delta_energy: Long, delta_peak: Long, slope_sign_changes: Long)
+
+  /** Per-clip audio features off the DECODED PCM-8 stream — the
+    * feature-extraction stage an audio training pipeline runs after the
+    * demux: duration, exact amplitude sum, and first-difference statistics
+    * (PCM-8 is unsigned with a DC offset, so energy / peak / sign-change
+    * analysis runs on the delta signal — the standard DC-removal):
+    *   delta_energy       = Σ dᵢ²           (exact int64)
+    *   delta_peak         = max |dᵢ|
+    *   slope_sign_changes = #{i : dᵢ·dᵢ₊₁ < 0}
+    * Decode + features are one partition-local typed map per clip (blobs
+    * never shuffle); every output is integer arithmetic over the decoded
+    * bytes, and the oracle recomputes them from the SOURCE text — so the
+    * gate proves the codec round trip delivered the samples bit-exactly,
+    * not just the header fields.
+    */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    attachEncoded(s, dir)
+      .filter(col("kind") === "audio")
+      .mapPartitions(_.map { r =>
+        val pcm = MediaCodec.wavSamples(r.content)
+        var sum = 0L; var energy = 0L; var peak = 0L; var zc = 0L
+        var i = 0
+        while (i < pcm.length) { sum += (pcm(i) & 0xff); i += 1 }
+        var j = 1; var prevD = 0; var first = true
+        while (j < pcm.length) {
+          val d = (pcm(j) & 0xff) - (pcm(j - 1) & 0xff)
+          energy += d.toLong * d
+          if (math.abs(d).toLong > peak) peak = math.abs(d).toLong
+          if (!first && prevD * d < 0) zc += 1
+          prevD = d; first = false
+          j += 1
+        }
+        AudioFeatures(r.media_id, pcm.length.toLong, pcm.length * 125L,
+          sum, energy, peak, zc)
+      })
+      .toDF()
+  }
+
+  private val audioFeaturesSql =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+      |d AS (
+      |  SELECT media_id, length(text) AS n, text,
+      |         [ascii(substr(text, i + 1, 1)) - ascii(substr(text, i, 1))
+      |          for i in range(1, length(text))] AS ds
+      |  FROM a)
+      |SELECT media_id,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 125 AS BIGINT) AS duration_us,
+      |  CAST(coalesce(list_sum([ascii(substr(text, i, 1))
+      |                          for i in range(1, n + 1)]), 0) AS BIGINT) AS byte_sum,
+      |  CAST(coalesce(list_sum([x * x for x in ds]), 0) AS BIGINT) AS delta_energy,
+      |  CAST(coalesce(list_max([abs(x) for x in ds]), 0) AS BIGINT) AS delta_peak,
+      |  CAST(coalesce(list_sum([CASE WHEN ds[i] * ds[i + 1] < 0 THEN 1 ELSE 0 END
+      |                          for i in range(1, length(ds))]), 0) AS BIGINT) AS slope_sign_changes
+      |FROM d""".stripMargin
 
   /** Attach REAL encoded containers: each document's bytes become the
     * payload of a PPM / WAV / y4m container (kind round-robin, as
@@ -507,6 +582,7 @@ object Multimodal extends QueryPack {
     Q("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Q("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
+    Q("mm_audio_features", audioFeatures, Some(audioFeaturesSql)),
     Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
     Q("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

@@ -124,6 +124,24 @@ class MultimodalSpec extends SparkSpec {
     assert(StubCodec.avgHash(rec(Array.empty)) == 0L) // empty blob is defined
   }
 
+  test("audio features: delta energy / peak / sign changes on a hand-built PCM stream") {
+    // samples 10, 13, 11, 11, 14 → deltas (3, -2, 0, 3)
+    val wav = MediaCodec.encodeWav(Array[Byte](10, 13, 11, 11, 14))
+    val pcm = MediaCodec.wavSamples(wav)
+    assert(pcm.sameElements(Array[Byte](10, 13, 11, 11, 14)))
+    // engine-path twin over the same bytes via the registered query math:
+    // energy = 9+4+0+9 = 22; peak = 3; sign changes: (3,-2) yes, (-2,0) no,
+    // (0,3) no → 1
+    val out = Multimodal.audioFeatures(spark, sfDir).collect()
+    assert(out.length == 167)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 125L, "8 kHz PCM-8 duration law")
+      assert(r.getLong(4) >= r.getLong(5) * r.getLong(5) / math.max(1L, r.getLong(1)),
+        "energy bounds peak")
+      assert(r.getLong(6) <= math.max(0L, r.getLong(1) - 2), "crossings bounded by deltas")
+    }
+  }
+
   test("binary attach exposes typed metadata over the real corpus") {
     val meta = Multimodal.binaryMeta(spark, sfDir).collect()
     assert(meta.length == 500)
