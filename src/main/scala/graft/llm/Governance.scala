@@ -495,9 +495,14 @@ object Governance extends QueryPack {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_type"), unix_micros(col("ts")).as("us"))
     val mid = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L)).cast("long").as("mid"))
+    // cache() the ≤(types×2)-row contingency table: five consumers (row /
+    // column / grand totals, the scored join, the final agg) would each
+    // otherwise replay the full event scan — at 100 TB that is the whole
+    // query cost ×5. Canonical-plan dedup keeps this one entry per dataset.
     val cells = ev.crossJoin(broadcast(mid))
       .groupBy(col("event_type"), (col("us") < col("mid")).as("early"))
       .agg(count(lit(1)).as("o"))
+      .cache()
     val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy("early").agg(sum(col("o")).as("ct"))
     val nn = cells.agg(sum(col("o")).as("nn"))

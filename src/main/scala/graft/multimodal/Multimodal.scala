@@ -171,7 +171,10 @@ object Multimodal extends QueryPack {
       * `#` comment lines honored (per spec), ONE whitespace byte, then
       * exactly w·h·3 pixel bytes.
       */
-    private[multimodal] def decodePpm(id: Long, b: Array[Byte]): MediaDecoded = {
+    /** P6 header parse shared by [[decodePpm]] and [[ppmPixels]]:
+      * strict-parse → (width, height, pixel-plane offset).
+      */
+    private def ppmLayout(b: Array[Byte]): (Int, Int, Int) = {
       var i = 2 // past "P6"
       def skipWsAndComments(): Unit = {
         var go = true
@@ -193,12 +196,20 @@ object Multimodal extends QueryPack {
       i += 1 // exactly one whitespace byte after maxval, per spec
       val need = w * h * 3
       if (b.length - i != need) fail(s"PPM: ${b.length - i} pixel bytes, need $need")
-      MediaDecoded(id, "ppm", w, h, 1, 0, need, sumBytes(b, i, b.length))
+      (w, h, i)
     }
 
-    /** RIFF chunk walker: validates RIFF/WAVE framing, reads fmt (PCM,
-      * little-endian fields), finds data; samples = dataLen / blockAlign.
-      */
+    private[multimodal] def decodePpm(id: Long, b: Array[Byte]): MediaDecoded = {
+      val (w, h, from) = ppmLayout(b)
+      MediaDecoded(id, "ppm", w, h, 1, 0, w * h * 3, sumBytes(b, from, b.length))
+    }
+
+    /** strict P6 parse → (width, height, raw interleaved RGB plane) */
+    def ppmPixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, from) = ppmLayout(b)
+      (w, h, java.util.Arrays.copyOfRange(b, from, b.length))
+    }
+
     /** RIFF chunk walk shared by [[decodeWav]] and [[wavSamples]]:
       * strict-parse → (blockAlign, data chunk offset, data chunk length).
       */
@@ -390,6 +401,63 @@ object Multimodal extends QueryPack {
       |  CAST(coalesce(list_sum([CASE WHEN ds[i] * ds[i + 1] < 0 THEN 1 ELSE 0 END
       |                          for i in range(1, length(ds))]), 0) AS BIGINT) AS slope_sign_changes
       |FROM d""".stripMargin
+
+  case class ImageFeatures(
+      media_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long, grad_energy: Long)
+
+  /** Per-image channel statistics off the DECODED PPM pixel plane — the
+    * image twin of [[audioFeatures]]: exact per-channel (R/G/B) intensity
+    * sums over the interleaved plane, plus horizontal gradient energy
+    * Σ (p[i+3] − p[i])² (same-channel adjacent-pixel deltas — the 1-D
+    * Sobel-style edge statistic an image-quality filter thresholds on).
+    * Partition-local decode, integer outputs, oracle replays every value
+    * from the source text + the P6 zero-padding rule — proving the pixel
+    * plane (padding included) survived the container bit-exactly.
+    */
+  def imageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    attachEncoded(s, dir)
+      .filter(col("kind") === "image")
+      .mapPartitions(_.map { r =>
+        val (w, h, px) = MediaCodec.ppmPixels(r.content)
+        val ch = new Array[Long](3)
+        var grad = 0L
+        var i = 0
+        while (i < px.length) {
+          ch(i % 3) += (px(i) & 0xff)
+          if (i + 3 < px.length) {
+            val d = (px(i + 3) & 0xff) - (px(i) & 0xff)
+            grad += d.toLong * d
+          }
+          i += 1
+        }
+        ImageFeatures(r.media_id, w.toLong, h.toLong, ch(0), ch(1), ch(2), grad)
+      })
+      .toDF()
+  }
+
+  private val imageFeaturesSql = {
+    val row = MediaCodec.PpmWidth * 3
+    s"""WITH a AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS n,
+      |         greatest(1, (length(text) + ${row - 1}) // $row) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |p AS (
+      |  SELECT media_id, n, h,
+      |         [CASE WHEN i <= n THEN ascii(substr(text, i, 1)) ELSE 0 END
+      |          for i in range(1, h * $row + 1)] AS px
+      |  FROM a)
+      |SELECT media_id,
+      |  CAST(${MediaCodec.PpmWidth} AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(coalesce(list_sum([px[i] for i in range(1, len(px) + 1) if i % 3 = 1]), 0) AS BIGINT) AS r_sum,
+      |  CAST(coalesce(list_sum([px[i] for i in range(1, len(px) + 1) if i % 3 = 2]), 0) AS BIGINT) AS g_sum,
+      |  CAST(coalesce(list_sum([px[i] for i in range(1, len(px) + 1) if i % 3 = 0]), 0) AS BIGINT) AS b_sum,
+      |  CAST(coalesce(list_sum([(px[i + 3] - px[i]) * (px[i + 3] - px[i])
+      |                          for i in range(1, len(px) - 2)]), 0) AS BIGINT) AS grad_energy
+      |FROM p""".stripMargin
+  }
 
   /** Attach REAL encoded containers: each document's bytes become the
     * payload of a PPM / WAV / y4m container (kind round-robin, as
@@ -583,6 +651,7 @@ object Multimodal extends QueryPack {
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Q("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     Q("mm_audio_features", audioFeatures, Some(audioFeaturesSql)),
+    Q("mm_image_features", imageFeatures, Some(imageFeaturesSql)),
     Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
     Q("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

@@ -142,6 +142,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image features: channel sums and gradient energy on a hand-built plane") {
+    // 2 pixels worth of payload → padded to one 8-px row (24 bytes)
+    val ppm = MediaCodec.encodePpm(Array[Byte](10, 20, 30, 40, 50, 60))
+    val (w, h, px) = MediaCodec.ppmPixels(ppm)
+    assert(w == 8 && h == 1 && px.length == 24)
+    assert(px.take(6).sameElements(Array[Byte](10, 20, 30, 40, 50, 60)))
+    assert(px.drop(6).forall(_ == 0), "P6 plane is zero-padded")
+    val out = Multimodal.imageFeatures(spark, sfDir).collect()
+    assert(out.length == 167)
+    out.foreach { r =>
+      assert(r.getLong(1) == MediaCodec.PpmWidth.toLong)
+      assert(r.getLong(2) >= 1L)
+      assert(r.getLong(3) >= 0L && r.getLong(6) >= 0L)
+    }
+  }
+
   test("binary attach exposes typed metadata over the real corpus") {
     val meta = Multimodal.binaryMeta(spark, sfDir).collect()
     assert(meta.length == 500)
