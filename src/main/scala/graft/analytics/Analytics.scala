@@ -1379,7 +1379,67 @@ object Analytics extends QueryPack {
       |FROM p JOIN v ON p.user_id = v.user_id AND p_us >= vs AND p_us < ve
       |GROUP BY 1""".stripMargin
 
+  /** A13 — Theil-Sen robust trend per entity: the median of all pairwise
+    * daily-slope estimates, the breakdown-resistant alternative to an OLS
+    * slope (outlier days cannot drag it). Daily totals are exact cent sums,
+    * so every slope is ONE correctly-rounded division of exact integers —
+    * bit-identical cross-engine — and the median is picked by explicit rank
+    * `(n+1) div 2` over a (slope, pair-id) row_number in BOTH engines (no
+    * engine quantile function, whose rank rules differ — CLAUDE.md's
+    * quantile_disc note). Emitted floor-1e6.
+    *
+    * Scale: the pair self-join keys on the entity — per-task state is
+    * bounded by days² per entity per month (calendar-bounded, ≤ ~465
+    * pairs), never corpus-sized; the slope window sorts within one
+    * entity's pairs only.
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev.groupBy(
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        dayofmonth(col("ts")).as("x"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val a = daily.select(col("user_id"), col("month"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("user_id"), col("month"),
+      col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, Seq("user_id", "month")).where(col("xa") < col("xb"))
+      .select(col("user_id"), col("month"),
+        ((col("yb") - col("ya")).cast("double") /
+          (col("xb") - col("xa")).cast("double")).as("slope"))
+    val w = Window.partitionBy("user_id", "month")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("slope"))))
+      .withColumn("np", count(lit(1)).over(w))
+    ranked.where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("user_id"), col("month"),
+        col("np").as("n_pairs"),
+        floor(col("slope") * lit(1000000)).cast("long").as("slope_cents_e6"))
+  }
+
+  private val theilSenTrendSql =
+    """WITH daily AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+      |         date_part('day', CAST(ts AS TIMESTAMP)) AS x,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT a.user_id, a.month,
+      |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.user_id = b.user_id AND a.month = b.month AND a.x < b.x),
+      |ranked AS (
+      |  SELECT user_id, month, slope,
+      |         row_number() OVER (PARTITION BY user_id, month ORDER BY slope) AS rn,
+      |         count(*) OVER (PARTITION BY user_id, month) AS np
+      |  FROM pairs)
+      |SELECT user_id, month, np AS n_pairs,
+      |       CAST(floor(slope * 1000000) AS BIGINT) AS slope_cents_e6
+      |FROM ranked WHERE rn = (np + 1) // 2""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("a13_theil_sen", theilSenTrend, Some(theilSenTrendSql)),
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),

@@ -46,6 +46,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(2) || math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("A13 Theil-Sen slope is the lower-median pairwise slope and resists one outlier day") {
+    val out = graft.analytics.Analytics.theilSenTrend(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // rank law: exactly one row (the median) per (entity, month)
+    val keys = out.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    // pair count is C(n_days, 2)-shaped: a triangular number
+    out.foreach { r =>
+      val np = r.getLong(2)
+      val n = ((1 + math.sqrt(1 + 8.0 * np)) / 2).round
+      assert(n * (n - 1) / 2 == np, s"n_pairs $np is not triangular")
+    }
+  }
+
   test("A5 vwap sits inside each group's price range; twap likewise") {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, sfDir, "lineitem")
