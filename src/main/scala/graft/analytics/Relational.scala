@@ -1612,7 +1612,52 @@ object Relational extends QueryPack {
       |       CAST((cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
       |FROM rev""".stripMargin
 
+  /** Skyline (Pareto-front) preference query: parts that no other part
+    * dominates on (lower best price, higher total demand) — the classic
+    * multi-criteria shortlist operator (Börzsönyi et al.'s SKYLINE OF).
+    *
+    * Plan shape: the FACT-scale work is one (partkey) hash aggregate; the
+    * skyline itself runs on the part-level relation (dimension-sized) with
+    * the sort-filter formulation — two window maxima instead of the O(n²)
+    * dominance join: a point is dominated iff a strictly-cheaper point
+    * reaches its quantity (RANGE-frame running max) or an equal-cost point
+    * strictly exceeds it (cost-partition max). The ORACLE deliberately uses
+    * the textbook NOT EXISTS dominance test instead — two independent
+    * formulations must agree row-for-row, which is what the hash gate
+    * checks. Costs are exact cents; everything integer.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val pp = li.groupBy(col("l_partkey"))
+      .agg(
+        min(floor(col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+          .as("cost_cents"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+    val cheaper = Window.orderBy(col("cost_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameCost = Window.partitionBy(col("cost_cents"))
+    pp.withColumn("m_cheaper", max(col("total_qty")).over(cheaper))
+      .withColumn("m_same", max(col("total_qty")).over(sameCost))
+      .where((col("m_cheaper").isNull || col("m_cheaper") < col("total_qty")) &&
+        col("m_same") <= col("total_qty"))
+      .select(col("l_partkey"), col("cost_cents"), col("total_qty"))
+  }
+
+  private val skylinePartsSql =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |         CAST(min(floor(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)) AS BIGINT) AS cost_cents,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, cost_cents, total_qty
+      |FROM pp p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pp q
+      |  WHERE q.cost_cents <= p.cost_cents AND q.total_qty >= p.total_qty
+      |    AND (q.cost_cents < p.cost_cents OR q.total_qty > p.total_qty))""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("skyline_parts", skylineParts, Some(skylinePartsSql)),
     Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
     Q("table_fingerprint", tableFingerprint, Some(tableFingerprintSql)),
     Q("catalog_profile", catalogProfile, Some(catalogProfileSql)),

@@ -248,4 +248,27 @@ class OperatorsSpec extends SparkSpec {
       assert(got == expected(q), s"q=$q")
     }
   }
+
+  test("skyline: window formulation equals brute-force dominance; front is a staircase") {
+    val rows = graft.analytics.Relational.skylineParts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // brute-force dominance check over the full per-part relation
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val pp = li.groupBy(col("l_partkey"))
+      .agg(min(floor(col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")).as("c"),
+        sum(col("l_quantity").cast("long")).as("q"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    rows.foreach { case (_, c, q) =>
+      assert(!pp.exists(o => o._1 <= c && o._2 >= q && (o._1 < c || o._2 > q)),
+        s"($c, $q) is dominated")
+    }
+    // staircase law: sorted by cost asc, demand strictly increases (else dominated)
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._2 < b._2 && a._3 < b._3
+      case _           => true
+    })
+  }
 }
