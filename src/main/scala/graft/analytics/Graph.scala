@@ -366,7 +366,75 @@ object Graph extends QueryPack {
       |            ELSE (3000000 * n_triangles) // n_wedges END AS clustering_ppm
       |FROM st""".stripMargin
 
+  /** Bellman-Ford relaxation rounds for [[sssp]] (shortest paths using ≤
+    * this many edges — the oracle's recursive walk is hop-bounded the same
+    * way, so the two are EXACTLY the same function, not approximations)
+    */
+  val SsspHops = 3
+
+  /** Weighted single-source shortest paths over the purchase graph:
+    * edge weight = `greatest(1, 10 − n_shared_orders)` (stronger
+    * relationships are "closer"), seeds = the same sub-20 customer set as
+    * [[reach]], [[SsspHops]] rounds of distributed Bellman-Ford — each
+    * round joins the node-sized distance relation against the cached
+    * pre-partitioned edge relation and takes the per-node MIN of (keep old,
+    * relax through incoming edge): monotone, integer-exact, and
+    * deterministic regardless of join order. The graph-sized relation
+    * shuffles once at build; per round only node-sized distances move —
+    * the same 100 TB shape as [[pagerank]]. Output is the distance
+    * histogram; the DuckDB oracle replays it with a hop-bounded recursive
+    * walk + per-node MIN, a completely independent formulation.
+    */
+  def sssp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pair = od.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"),
+        col("o_orderkey").as("o")).distinct()
+      .groupBy("c", "s").agg(count(lit(1)).as("n"))
+    val fwd = pair.select((col("c") * 2).as("u"), (col("s") * 2 + 1).as("v"),
+      greatest(lit(1L), lit(10L) - col("n")).as("w"))
+    val we = fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("u")).cache()
+    var acquired = List.empty[DataFrame]
+    var dist = we.select("u").where(col("u") % 2 === 0 && col("u") < 20)
+      .distinct().select(col("u").as("node"), lit(0L).as("dist")).cache()
+    acquired ::= dist
+    for (_ <- 1 to SsspHops) {
+      val cand = dist.join(we, dist("node") === we("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("d"))
+      val next = dist.select(col("node"), col("dist").as("d")).unionAll(cand)
+        .groupBy("node").agg(min(col("d")).as("dist")).cache()
+      next.count() // materialize before the predecessor is dropped
+      acquired ::= next
+      dist = next
+    }
+    localized(dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")), we :: acquired)
+  }
+
+  private val ssspSql =
+    s"""WITH RECURSIVE pairn AS (
+      |  SELECT c, s, count(*) AS n FROM (
+      |    SELECT DISTINCT o_custkey AS c, l_suppkey AS s, o_orderkey
+      |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+      |  GROUP BY c, s),
+      |we AS (
+      |  SELECT c * 2 AS u, s * 2 + 1 AS v, greatest(1, 10 - n) AS w FROM pairn
+      |  UNION ALL
+      |  SELECT s * 2 + 1 AS u, c * 2 AS v, greatest(1, 10 - n) AS w FROM pairn),
+      |walk(node, dist, hop) AS (
+      |    SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+      |    FROM we WHERE u % 2 = 0 AND u < 20
+      |  UNION
+      |    SELECT we.v, walk.dist + we.w, walk.hop + 1
+      |    FROM walk JOIN we ON we.u = walk.node
+      |    WHERE walk.hop < $SsspHops)
+      |SELECT dist, count(*) AS n_nodes
+      |FROM (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
+      |GROUP BY dist""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("graph_sssp", sssp, Some(ssspSql)),
     Q("graph_pagerank", pagerank, Some(pagerankSql)),
     Q("graph_ppr_recs", pprRecs, Some(pprRecsSql)),
     Q("graph_reach", reach, Some(reachSql)),

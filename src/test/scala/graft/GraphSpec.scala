@@ -93,4 +93,20 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == byHop)
   }
+
+  test("sssp distances: seeds at 0, bounded by hops x max weight, dominated by hop counts") {
+    import org.apache.spark.sql.functions._
+    val byDist = Graph.sssp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .where(col("o_custkey") < 10).select("o_custkey").distinct().count()
+    assert(byDist(0L) == seeds)
+    assert(byDist.keys.max <= Graph.SsspHops * 9L, "distances bounded by hops x max weight")
+    // every node the unweighted BFS reaches in <= hops is also reached here
+    val reached = Graph.reach(spark, sfDir).collect().map(_.getLong(1)).sum
+    assert(byDist.values.sum == reached,
+      "sssp and BFS must reach the same node set at equal hop bounds")
+  }
 }
