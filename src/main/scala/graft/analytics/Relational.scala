@@ -1656,7 +1656,73 @@ object Relational extends QueryPack {
       |  WHERE q.cost_cents <= p.cost_cents AND q.total_qty >= p.total_qty
       |    AND (q.cost_cents < p.cost_cents OR q.total_qty > p.total_qty))""".stripMargin
 
+  /** sample size for [[sampledQuantiles]]; rank error ~ 1/sqrt(S) */
+  val SampleK = 512
+
+  /** ENGINE-PORTABLE approximate quantiles — the [[PortableSketch]] trick
+    * applied to order statistics: the "sketch" is the [[SampleK]] rows with
+    * the smallest md5 row-key hashes (a deterministic uniform sample both
+    * engines reproduce bit-for-bit), and the estimate is the EXACT
+    * quantile of that sample under the pinned `ceil(q·n)` rank rule. Unlike
+    * `approx_quantiles` (engine-specific KLL/t-digest internals → forever
+    * `no_oracle`), every estimated value here hash-gates cross-engine.
+    * Exact full-relation quantiles ride alongside for the error reading.
+    *
+    * Scale: the sample is a bounded-state mergeable [[graft.operators.TopKAgg]]
+    * per group (≤ S entries per task, map-side combined — no per-group sort
+    * of the full data); the exact companion pays the usual value-histogram
+    * pass and is what a production sketch-only run drops.
+    */
+  def sampledQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val Qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val base = Tables.loadSpread(s, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      conv(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+        1, 13), 16, 10).cast("long").as("h"))
+    val topk = udaf(new graft.operators.TopKAgg(SampleK))
+    val sample = base.groupBy("flag").agg(topk(-col("h"), col("cents")).as("sk"))
+      .select(col("flag"), explode(col("sk")).as("it"))
+      .select(col("flag"), col("it.id").as("cents"))
+    def named(df: DataFrame, prefix: String, nName: String) =
+      graft.operators.ExactQuantile.groupQuantilesDisc(df, Seq("flag"), "cents", Qs)
+        .select(col("flag") +: Qs.indices.map(i =>
+          col(s"cents_q$i").as(s"${prefix}_p${(Qs(i) * 100).toInt}")) :+
+          col("n").as(nName): _*)
+    named(sample, "est", "n_sample")
+      .join(named(base.select("flag", "cents"), "exact", "n_rows"), "flag")
+  }
+
+  private val sampledQuantilesSql = {
+    def qcols(src: String, prefix: String, nName: String) =
+      s"""SELECT flag,
+        |       quantile_disc(cents, 0.25) AS ${prefix}_p25,
+        |       quantile_disc(cents, 0.5) AS ${prefix}_p50,
+        |       quantile_disc(cents, 0.75) AS ${prefix}_p75,
+        |       quantile_disc(cents, 0.99) AS ${prefix}_p99,
+        |       count(*) AS $nName
+        |FROM $src GROUP BY flag""".stripMargin
+    s"""WITH base AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
+      |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+      |                                 CAST(l_linenumber AS VARCHAR)), 1, 13) AS BIGINT) AS h
+      |  FROM lineitem),
+      |samp AS (
+      |  SELECT flag, cents FROM (
+      |    SELECT flag, cents,
+      |           row_number() OVER (PARTITION BY flag ORDER BY h, cents) AS rn
+      |    FROM base)
+      |  WHERE rn <= $SampleK),
+      |est AS (${qcols("samp", "est", "n_sample")}),
+      |exact AS (${qcols("base", "exact", "n_rows")})
+      |SELECT flag, est_p25, est_p50, est_p75, est_p99, n_sample,
+      |       exact_p25, exact_p50, exact_p75, exact_p99, n_rows
+      |FROM est JOIN exact USING (flag)""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("sampled_quantiles", sampledQuantiles, Some(sampledQuantilesSql)),
     Q("skyline_parts", skylineParts, Some(skylinePartsSql)),
     Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),
     Q("table_fingerprint", tableFingerprint, Some(tableFingerprintSql)),

@@ -42,6 +42,20 @@ class PortableSketchSpec extends SparkSpec {
     }
   }
 
+  test("sampled_quantiles: estimates ordered, bracketed by extremes, near exact") {
+    val out = graft.analytics.Relational.sampledQuantiles(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = Seq("est_p25", "est_p50", "est_p75", "est_p99").map(r.getAs[Long])
+      val exact = Seq("exact_p25", "exact_p50", "exact_p75", "exact_p99").map(r.getAs[Long])
+      assert(est == est.sorted && exact == exact.sorted, "quantiles must be monotone")
+      assert(r.getAs[Long]("n_sample") <= graft.analytics.Relational.SampleK)
+      est.zip(exact).foreach { case (e, x) =>
+        assert(math.abs(e - x).toDouble / x <= 0.25, s"est $e vs exact $x")
+      }
+    }
+  }
+
   test("kmv_set_ops: estimates track exact union/intersection; jaccard in [0,1]") {
     val r = PortableSketch.kmvSetOps(spark, sfDir).collect().head
     val (exU, exI) = (r.getAs[Long]("exact_union"), r.getAs[Long]("exact_inter"))
