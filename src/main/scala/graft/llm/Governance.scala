@@ -303,9 +303,9 @@ object Governance extends QueryPack {
     * Rounds are driver-sequenced like Lloyd iterations; nothing vertex- or
     * vocabulary-sized ever shuffles.
     */
-  def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val feats = Tables.loadSpread(s, dir, "documents")
+  /** the perceptron's 4-feature design matrix over documents */
+  private def ptFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
       .select(
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
         lit(1L).as("x1"),
@@ -314,8 +314,17 @@ object Governance extends QueryPack {
         size(filter(TextStats.tokensCol, t => t.isInCollection(TextStats.stopwords)))
           .cast("long").as("x4"))
       .cache()
+
+  /** [[PtRounds]] epochs of the integer batch perceptron: per-round
+    * (misclassified count, post-update weights). Shared by
+    * [[perceptronTrain]] (emits the trajectory) and [[modelAuc]] (evaluates
+    * the FINAL weights).
+    */
+  private def ptTrajectory(
+      s: SparkSession, dir: String): Seq[(Int, Long, Array[Long])] = {
+    val feats = ptFeatures(s, dir)
     var w = Array(0L, 0L, 0L, 0L)
-    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
+    val out = Seq.newBuilder[(Int, Long, Array[Long])]
     (1 to PtRounds).foreach { r =>
       val margin = s"y * (${w(0)}L * x1 + ${w(1)}L * x2 + ${w(2)}L * x3 + ${w(3)}L * x4)"
       val row = feats.agg(
@@ -327,12 +336,23 @@ object Governance extends QueryPack {
         .collect().head
       w = Array(w(0) + row.getLong(1), w(1) + row.getLong(2),
         w(2) + row.getLong(3), w(3) + row.getLong(4))
-      out += ((r, row.getLong(0), w(0), w(1), w(2), w(3)))
+      out += ((r, row.getLong(0), w.clone()))
     }
-    out.result().toDF("round", "n_mis", "w_bias", "w_tokens", "w_chars10", "w_stop")
+    out.result()
   }
 
-  private val perceptronTrainSql = {
+  def perceptronTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ptTrajectory(s, dir)
+      .map { case (r, mis, w) => (r, mis, w(0), w(1), w(2), w(3)) }
+      .toDF("round", "n_mis", "w_bias", "w_tokens", "w_chars10", "w_stop")
+  }
+
+  /** oracle CTE chain replaying the whole perceptron: features `f` and the
+    * round states `g1..g[[PtRounds]]` — shared by the training-trajectory
+    * and the AUC-evaluation oracles.
+    */
+  private def ptCtes: String = {
     val stopList = TextStats.stopwords.mkString("['", "', '", "']")
     def round(n: Int): String = {
       val (pw1, pw2, pw3, pw4) =
@@ -350,7 +370,7 @@ object Governance extends QueryPack {
         |    $pw4 + CAST(sum(CASE WHEN $margin <= 0 THEN y * x4 ELSE 0 END) AS BIGINT) AS w4
         |  FROM f$prev$grp)""".stripMargin
     }
-    s"""WITH t AS (
+    s"""t AS (
       |  SELECT lang, n_chars,
       |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS toks
       |  FROM documents),
@@ -361,13 +381,78 @@ object Governance extends QueryPack {
       |         n_chars // 10 AS x3,
       |         CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS BIGINT) AS x4
       |  FROM t),
-      |${(1 to PtRounds).map(round).mkString(",\n")}
+      |${(1 to PtRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val perceptronTrainSql =
+    s"""WITH $ptCtes
       |SELECT * FROM (
       |  ${(1 to PtRounds).map(n =>
            s"SELECT $n AS round, n_mis, w1 AS w_bias, w2 AS w_tokens, w3 AS w_chars10, w4 AS w_stop FROM g$n")
           .mkString("\n  UNION ALL ")}
       |) ORDER BY round""".stripMargin
+
+  /** Exact AUC of the trained perceptron's decision score — the evaluation
+    * half of the train→eval loop, as the Mann-Whitney rank statistic:
+    * with average ranks over score ties,
+    *   2U = Σ_{y=1} 2·rank(sᵢ) − n⁺(n⁺+1),   AUC = U / (n⁺·n⁻).
+    * Doubled ranks keep everything integer (a tie group starting after
+    * `cumb` rows of `c` members has 2·avgrank = 2·cumb + c + 1); the only
+    * float op is the final division, floor-1e6'd. Rank arithmetic runs on
+    * the SCORE HISTOGRAM (one hash aggregate + a cumulative window over
+    * distinct scores — NDV-bounded state, never a sort of the corpus), so
+    * the whole metric hash-gates cross-engine: a classic eval metric with
+    * no sampling and no engine-specific internals.
+    */
+  def modelAuc(s: SparkSession, dir: String): DataFrame = {
+    val w = ptTrajectory(s, dir).last._3
+    val sc = ptFeatures(s, dir).select(col("y"),
+      (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+        lit(w(2)) * col("x3") + lit(w(3)) * col("x4")).as("s"))
+    val hist = sc.groupBy("s").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumb", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+      .agg(
+        sum(col("cp") * (lit(2L) * col("cumb") + col("c") + lit(1L))).as("sum2r_pos"),
+        sum(col("cp")).as("n_pos"),
+        sum(col("c") - col("cp")).as("n_neg"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        (col("sum2r_pos") - col("n_pos") * (col("n_pos") + lit(1L))).as("u2"),
+        floor((col("sum2r_pos") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double") * lit(1000000))
+          .cast("long").as("auc_e6"))
   }
+
+  private lazy val modelAucSql =
+    s"""WITH $ptCtes,
+      |sc AS (
+      |  SELECT y, g$PtRounds.w1 * x1 + g$PtRounds.w2 * x2
+      |            + g$PtRounds.w3 * x3 + g$PtRounds.w4 * x4 AS s
+      |  FROM f, g$PtRounds),
+      |hist AS (
+      |  SELECT s, count(*) AS c,
+      |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      |  FROM sc GROUP BY s),
+      |r AS (
+      |  SELECT s, c, cp,
+      |         coalesce(CAST(sum(c) OVER (ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+      |  FROM hist),
+      |agg AS (
+      |  SELECT CAST(sum(cp * (2 * cumb + c + 1)) AS BIGINT) AS sum2r_pos,
+      |         CAST(sum(cp) AS BIGINT) AS n_pos,
+      |         CAST(sum(c - cp) AS BIGINT) AS n_neg
+      |  FROM r)
+      |SELECT n_pos, n_neg,
+      |       CAST(sum2r_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+      |       CAST(floor(CAST(sum2r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+      |                  / CAST(2 * n_pos * n_neg AS DOUBLE) * 1000000) AS BIGINT) AS auc_e6
+      |FROM agg""".stripMargin
 
   /** anonymity threshold: a quasi-identifier group smaller than this is a
     * re-identification risk
@@ -557,6 +642,7 @@ object Governance extends QueryPack {
     Q("gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
     Q("kanon_audit", kAnonAudit, Some(kAnonAuditSql)),
     Q("perceptron_train", perceptronTrain, Some(perceptronTrainSql)),
+    Q("model_auc", modelAuc, Some(modelAucSql)),
     Q("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)),

@@ -89,6 +89,19 @@ class LlmSpec extends SparkSpec {
     assert(n == exact, "epochs must partition the event stream")
   }
 
+  test("model_auc: Mann-Whitney identities hold and AUC is a probability") {
+    import graft.llm.Governance
+    val r = Governance.modelAuc(spark, sfDir).collect().head
+    val (np, nn, u2, auc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(np > 0 && nn > 0)
+    assert(u2 >= 0 && u2 <= 2 * np * nn, "U bounded by the pair count")
+    assert(auc >= 0L && auc <= 1000000L)
+    // floor-1e6 of u2 / (2 np nn) replays the emitted value
+    assert(auc == math.floor(u2.toDouble / (2.0 * np * nn) * 1e6).toLong)
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(np + nn == total, "every document is ranked")
+  }
+
   test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
     import graft.llm.Governance
     // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
