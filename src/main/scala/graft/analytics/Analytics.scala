@@ -1438,7 +1438,77 @@ object Analytics extends QueryPack {
       |       CAST(floor(slope * 1000000) AS BIGINT) AS slope_cents_e6
       |FROM ranked WHERE rn = (np + 1) // 2""".stripMargin
 
+  /** A14 — per-entity OLS regression (slope / intercept / R²) of daily
+    * spend against day-of-month, from EXACT integer sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy² — every product bounded well inside int64:
+    * x ≤ 31, y = daily cents ≤ ~6e5). The classical closed forms
+    *   slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    *   intercept = (Σy − slope·Σx)/n,
+    *   R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * then run as short chains of single correctly-rounded double ops —
+    * bit-identical cross-engine, floor-1e6 emitted. One (entity, month,
+    * day) aggregate then one (entity, month) aggregate; no windows, no
+    * per-group sort — the OLS twin of [[theilSenTrend]], and the
+    * parametric companion whose slope the robust estimator sanity-checks.
+    */
+  def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev.groupBy(
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        dayofmonth(col("ts")).cast("long").as("x"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val g = daily.groupBy("user_id", "month").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= 2)
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / vx
+    g.select(
+      col("user_id"), col("month"), col("n").as("n_days"),
+      floor(slope * lit(1000000)).cast("long").as("slope_e6"),
+      floor((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double") * lit(1000000)).cast("long").as("intercept_e6"),
+      when(vy > 0,
+        floor(num * num / (vx * vy) * lit(1000000)).cast("long")).as("r2_e6"))
+  }
+
+  private val olsTrendSql =
+    """WITH daily AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+      |         CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT user_id, month, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM daily GROUP BY 1, 2
+      |  HAVING count(*) >= 2),
+      |d AS (
+      |  SELECT user_id, month, n,
+      |         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |         CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+      |         CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+      |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM g)
+      |SELECT user_id, month, n AS n_days,
+      |       CAST(floor(num / vx * 1000000) AS BIGINT) AS slope_e6,
+      |       CAST(floor((syd - (num / vx) * sxd) / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS intercept_e6,
+      |       CASE WHEN vy > 0
+      |            THEN CAST(floor(num * num / (vx * vy) * 1000000) AS BIGINT)
+      |       END AS r2_e6
+      |FROM d""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("a14_ols_trend", olsTrend, Some(olsTrendSql)),
     Q("a13_theil_sen", theilSenTrend, Some(theilSenTrendSql)),
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),

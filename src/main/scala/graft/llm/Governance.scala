@@ -637,7 +637,55 @@ object Governance extends QueryPack {
       |FROM scored, tot
       |GROUP BY event_type, chi2_total_e9""".stripMargin
 
+  /** Referential-integrity audit across the star schema — the data-quality
+    * sweep a warehouse runs after every load: for each declared FK edge,
+    * exact child-row / orphan-row / distinct-orphan-key accounting via
+    * LEFT ANTI joins (parent key sets broadcast when dimension-sized). An
+    * orphan count > 0 is the earliest signal of a broken upstream extract;
+    * the audit is pure integer accounting, hash-gated cross-engine.
+    */
+  def riAudit(s: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(
+      ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"))
+    edges.map { case (label, ct, ck, pt, pk) =>
+      // null FKs are a different defect class (dq_expectations); exclude
+      // them so anti-join and NOT IN agree on the orphan definition
+      val child = Tables.load(s, dir, ct)
+        .select(col(ck).as("k")).where(col("k").isNotNull)
+      val parent = Tables.load(s, dir, pt).select(col(pk).as("k")).distinct()
+      val orphans = child.join(broadcast(parent), Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(
+          count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col("k")).as("n_orphan_keys")))
+        .select(lit(label).as("fk_edge"), col("n_child"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_.union(_))
+  }
+
+  private val riAuditSql = {
+    def leg(label: String, ct: String, ck: String, pt: String, pk: String) =
+      s"""SELECT '$label' AS fk_edge,
+        |       (SELECT count(*) FROM $ct WHERE $ck IS NOT NULL) AS n_child,
+        |       (SELECT count(*) FROM $ct WHERE $ck IS NOT NULL
+        |        AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan_rows,
+        |       (SELECT count(DISTINCT $ck) FROM $ct WHERE $ck IS NOT NULL
+        |        AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan_keys""".stripMargin
+    Seq(
+      leg("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      leg("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+      leg("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      leg("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      leg("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("ri_audit", riAudit, Some(riAuditSql)),
     Q("drift_chi2", driftChi2, Some(driftChi2Sql)),
     Q("gdpr_erasure", gdprErasure, Some(gdprErasureSql)),
     Q("kanon_audit", kAnonAudit, Some(kAnonAuditSql)),

@@ -60,6 +60,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("A14 OLS: R2 is a probability; slope agrees in sign class with sufficient stats") {
+    val out = graft.analytics.Analytics.olsTrend(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 2, "n_days >= 2 enforced")
+      if (!r.isNullAt(5)) {
+        val r2 = r.getLong(5)
+        assert(r2 >= 0L && r2 <= 1000000L, s"r2_e6 $r2 outside [0, 1e6]")
+      }
+    }
+    // same keys as the robust estimator — the two trend views align
+    val ts = graft.analytics.Analytics.theilSenTrend(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet == ts)
+  }
+
   test("A5 vwap sits inside each group's price range; twap likewise") {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, sfDir, "lineitem")
