@@ -653,15 +653,21 @@ object Governance extends QueryPack {
       ("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"))
     edges.map { case (label, ct, ck, pt, pk) =>
       // null FKs are a different defect class (dq_expectations); exclude
-      // them so anti-join and NOT IN agree on the orphan definition
+      // them so anti-join and NOT IN agree on the orphan definition.
+      // ONE child scan per edge: collapse to per-key counts first (map-side
+      // combined), then a broadcast left join marks parent hits and a plain
+      // final aggregate derives all three counts — no second scan, and no
+      // countDistinct mixed with plain sums (the Expand plan).
       val child = Tables.load(s, dir, ct)
         .select(col(ck).as("k")).where(col("k").isNotNull)
-      val parent = Tables.load(s, dir, pt).select(col(pk).as("k")).distinct()
-      val orphans = child.join(broadcast(parent), Seq("k"), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(
-          count(lit(1)).as("n_orphan_rows"),
-          countDistinct(col("k")).as("n_orphan_keys")))
+      val parent = Tables.load(s, dir, pt)
+        .select(col(pk).as("k")).distinct().withColumn("hit", lit(1))
+      child.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(parent), Seq("k"), "left")
+        .agg(
+          sum(col("cnt")).as("n_child"),
+          sum(when(col("hit").isNull, col("cnt")).otherwise(0L)).as("n_orphan_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
         .select(lit(label).as("fk_edge"), col("n_child"),
           col("n_orphan_rows"), col("n_orphan_keys"))
     }.reduce(_.union(_))
