@@ -169,7 +169,10 @@ object PortableSketch extends QueryPack {
         .select(col("l_orderkey").cast("string").as("v")).distinct()
     def hashes(v: DataFrame) = v.select(h52(col("v")).as("h")).distinct()
     def sketch(h: DataFrame) = h.orderBy("h").limit(K)
-    val (va, vb) = (vals("R"), vals("A"))
+    // each side feeds its sketch chain AND three exact-companion legs —
+    // cache the distinct-value relations so lineitem is scanned once per
+    // side (canonical-plan dedup keeps one entry per dataset)
+    val (va, vb) = (vals("R").cache(), vals("A").cache())
     val (ha, hb) = (hashes(va), hashes(vb))
     val (ska, skb) = (sketch(ha).cache(), sketch(hb).cache())
     val mu = sketch(ska.union(skb).distinct())
