@@ -183,7 +183,7 @@ object PortableSketch extends QueryPack {
       .crossJoin(va.join(vb, "v").agg(count(lit(1)).as("exact_inter")))
       .crossJoin(va.agg(count(lit(1)).as("exact_a")))
       .crossJoin(vb.agg(count(lit(1)).as("exact_b")))
-    stats(ska, "na", "ka").crossJoin(stats(skb, "nb", "kb"))
+    val result = stats(ska, "na", "ka").crossJoin(stats(skb, "nb", "kb"))
       .crossJoin(stats(mu, "nu", "ku"))
       .crossJoin(inter).crossJoin(exact)
       .select(
@@ -194,6 +194,12 @@ object PortableSketch extends QueryPack {
         (col("n_both").cast("double") / col("nu").cast("double")).as("jaccard"),
         ((col("n_both").cast("double") / col("nu").cast("double")) *
           estCol(col("nu"), col("ku"))).as("est_inter"))
+    // localize the 1-row result and release the four cache entries so the
+    // query leaves no session state behind (same discipline as the graph
+    // pack's `localized`)
+    val rows = result.collect()
+    Seq(va, vb, ska, skb).foreach(_.unpersist(blocking = false))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   private val kmvSetOpsSql: String = {
