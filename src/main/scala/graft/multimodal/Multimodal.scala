@@ -297,6 +297,38 @@ object Multimodal extends QueryPack {
       MediaDecoded(id, "y4m", w, h, frames, 0, frames * frameBytes, sum)
     }
 
+    /** strict y4m parse → (width, height, frames as raw plane byte arrays);
+      * same header/FRAME walk as [[decodeY4m]]
+      */
+    def y4mFrames(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      var i = 0
+      def line(): String = {
+        val start = i
+        while (i < b.length && b(i) != '\n') i += 1
+        if (i >= b.length) fail("y4m: unterminated header line")
+        i += 1
+        new String(b, start, i - 1 - start, "US-ASCII")
+      }
+      val header = line().split(" ")
+      if (header.head != "YUV4MPEG2") fail("y4m: bad magic")
+      val params = header.tail.map(t => t.head -> t.tail).toMap
+      val w = params.getOrElse('W', fail("y4m: no width")).toInt
+      val h = params.getOrElse('H', fail("y4m: no height")).toInt
+      val frameBytes = params.getOrElse('C', "420") match {
+        case "444" => w * h * 3
+        case "420" => w * h * 3 / 2
+        case c     => fail(s"y4m: unsupported colourspace $c")
+      }
+      val out = Array.newBuilder[Array[Byte]]
+      while (i < b.length) {
+        if (!line().startsWith("FRAME")) fail("y4m: expected FRAME marker")
+        if (b.length - i < frameBytes) fail("y4m: truncated frame")
+        out += java.util.Arrays.copyOfRange(b, i, i + frameBytes)
+        i += frameBytes
+      }
+      (w, h, out.result())
+    }
+
     /** Sniff the container by magic bytes (as a real demuxer does — the
       * `kind` column is a routing hint, not trusted) and decode.
       */
@@ -457,6 +489,80 @@ object Multimodal extends QueryPack {
       |  CAST(coalesce(list_sum([(px[i + 3] - px[i]) * (px[i + 3] - px[i])
       |                          for i in range(1, len(px) - 2)]), 0) AS BIGINT) AS grad_energy
       |FROM p""".stripMargin
+  }
+
+  case class VideoFeatures(
+      media_id: Long, n_frames: Long, frame_bytes: Long,
+      motion_energy: Long, peak_motion: Long, static_frames: Long)
+
+  /** Per-clip temporal features off the decoded y4m frame stream — the
+    * video member of the feature trio ([[audioFeatures]] /
+    * [[imageFeatures]]): frame-to-frame motion energy
+    * Σ_t Σ_j (frameₜ[j] − frameₜ₋₁[j])², the per-transition peak, and the
+    * count of static transitions (zero delta — the repeated-frame signal a
+    * video dedup/quality filter keys on). Partition-local decode, integer
+    * outputs; the oracle replays everything from source text + the y4m
+    * zero-padding rule, proving frame SEGMENTATION (not just totals)
+    * survived the container: a one-byte frame misalignment moves bytes
+    * across a frame boundary and flips the motion sums.
+    */
+  def videoFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    attachEncoded(s, dir)
+      .filter(col("kind") === "video")
+      .mapPartitions(_.map { r =>
+        val (_, _, frames) = MediaCodec.y4mFrames(r.content)
+        var energy = 0L; var peak = 0L; var static0 = 0L
+        var t = 1
+        while (t < frames.length) {
+          val (a, b) = (frames(t - 1), frames(t))
+          var e = 0L
+          var j = 0
+          while (j < b.length) {
+            val d = (b(j) & 0xff) - (a(j) & 0xff)
+            e += d.toLong * d
+            j += 1
+          }
+          energy += e
+          if (e > peak) peak = e
+          if (e == 0L) static0 += 1
+          t += 1
+        }
+        VideoFeatures(r.media_id, frames.length.toLong,
+          MediaCodec.Y4mFrameBytes.toLong, energy, peak, static0)
+      })
+      .toDF()
+  }
+
+  private val videoFeaturesSql = {
+    val fb = MediaCodec.Y4mFrameBytes
+    s"""WITH a AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS n,
+      |         greatest(1, (length(text) + ${fb - 1}) // $fb) AS f
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |p AS (
+      |  SELECT media_id, f,
+      |         [CASE WHEN i <= n THEN ascii(substr(text, i, 1)) ELSE 0 END
+      |          for i in range(1, f * $fb + 1)] AS px
+      |  FROM a),
+      |tr AS (
+      |  SELECT media_id, f, t,
+      |         CAST(coalesce(list_sum([
+      |           (px[(t - 1) * $fb + j] - px[(t - 2) * $fb + j])
+      |             * (px[(t - 1) * $fb + j] - px[(t - 2) * $fb + j])
+      |           for j in range(1, $fb + 1)]), 0) AS BIGINT) AS e
+      |  FROM p, unnest(range(2, f + 1)) AS tt(t))
+      |SELECT media_id,
+      |       CAST(any_value(f) AS BIGINT) AS n_frames,
+      |       CAST($fb AS BIGINT) AS frame_bytes,
+      |       CAST(coalesce(sum(e), 0) AS BIGINT) AS motion_energy,
+      |       CAST(coalesce(max(e), 0) AS BIGINT) AS peak_motion,
+      |       CAST(coalesce(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS static_frames
+      |FROM tr GROUP BY media_id
+      |UNION ALL
+      |SELECT media_id, CAST(f AS BIGINT), CAST($fb AS BIGINT),
+      |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM p WHERE f = 1""".stripMargin
   }
 
   /** Attach REAL encoded containers: each document's bytes become the
@@ -652,6 +758,7 @@ object Multimodal extends QueryPack {
     Q("mm_decode_stats", decodeStats, Some(decodeStatsSql)),
     Q("mm_audio_features", audioFeatures, Some(audioFeaturesSql)),
     Q("mm_image_features", imageFeatures, Some(imageFeaturesSql)),
+    Q("mm_video_motion", videoFeatures, Some(videoFeaturesSql)),
     Q("mm_resize_stats", resizeStats, Some(resizeStatsSql)),
     Q("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

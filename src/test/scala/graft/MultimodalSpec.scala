@@ -158,6 +158,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video motion: frame segmentation drives the energy sums") {
+    // two frames: 48 bytes of 1s then 48 bytes of 3s → one transition,
+    // delta 2 per byte → energy 48*4 = 192
+    val payload = Array.fill(48)(1.toByte) ++ Array.fill(48)(3.toByte)
+    val y4m = MediaCodec.encodeY4m(payload)
+    val (w, h, frames) = MediaCodec.y4mFrames(y4m)
+    assert(w == 4 && h == 4 && frames.length == 2)
+    assert(frames(0).forall(_ == 1) && frames(1).forall(_ == 3))
+    val out = Multimodal.videoFeatures(spark, sfDir).collect()
+    assert(out.length == 166)
+    out.foreach { r =>
+      val (nf, fb, energy, peak) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(fb == MediaCodec.Y4mFrameBytes.toLong)
+      assert(peak <= energy, "peak transition bounded by the total")
+      assert(peak <= fb * 255L * 255L, "per-transition energy bound")
+      if (nf == 1) assert(energy == 0L)
+    }
+  }
+
   test("binary attach exposes typed metadata over the real corpus") {
     val meta = Multimodal.binaryMeta(spark, sfDir).collect()
     assert(meta.length == 500)
