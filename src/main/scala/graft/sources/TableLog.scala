@@ -443,7 +443,135 @@ object TableLog extends QueryPack {
       |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM orders GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Bitemporal as-of (transaction time × valid time)
+  // -------------------------------------------------------------------------
+
+  /** 32-bit md5 integer of a salted key (portable randomness recipe) */
+  private def md5i(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** memoized two-version bitemporal state table: SCD2 validity intervals
+    * of each user's value stream, committed TWICE — tx-version 0 sees only
+    * the events that had ARRIVED on time (md5 picks a deterministic 20% as
+    * late/out-of-order), tx-version 1 sees the corrected full history.
+    */
+  private val btBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def btTable(s: SparkSession, dir: String): String =
+    btBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_btemp", d) + "/user_state"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val ev = graft.Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      def scd2(e: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        e.withColumn("vt_to", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("cents"),
+            col("us").as("vt_from"), col("vt_to"))
+      }
+      commitOverwrite(scd2(ev.where(md5i("bt:late:", col("event_id")) % 5 =!= 0)), table)
+      commitOverwrite(scd2(ev), table)
+      table
+    })
+
+  /** Bitemporal as-of: "what do we believe, at each TRANSACTION-time
+    * version of the table, about each user's state VALID at instant V?" —
+    * the two-axis query a warehouse needs once data arrives out of order
+    * (Snodgrass/SQL:2011 semantics; Delta/Iceberg give only the tx axis,
+    * SCD2 only the valid axis; the composition is this operator). V is the
+    * data-derived epoch midpoint; tx versions are real table-log commits
+    * (late rows withheld at v0, merged at v1), and the as-of read is an
+    * interval containment filter `vt_from ≤ V < vt_to` over the versioned
+    * SCD2 relation. Output: per tx snapshot the believed-state accounting
+    * (count / cents sum / portable hash-sum), plus the LATE-DATA IMPACT
+    * rows — how many users' beliefs about the SAME valid instant changed or
+    * appeared between tx versions: the restatement report out-of-order
+    * pipelines publish. Every number is exact integer arithmetic, replayed
+    * by the oracle from the raw events — the gate proves commit isolation,
+    * interval construction and the as-of filter end to end.
+    */
+  def bitemporalAsOf(s: SparkSession, dir: String): DataFrame = {
+    val table = btTable(s, dir)
+    val vs = versions(table)
+    val mid = graft.Tables.load(s, dir, "events")
+      .agg(((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / lit(2L))
+        .cast("long").as("v"))
+    def beliefs(tx: Long): DataFrame =
+      read(s, table, Some(tx)).crossJoin(broadcast(mid))
+        .where(col("vt_from") <= col("v") &&
+          (col("vt_to").isNull || col("v") < col("vt_to")))
+        .select(col("user_id"), col("cents"))
+    val (b0, b1) = (beliefs(vs.head), beliefs(vs.last))
+    def acct(df: DataFrame, label: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_users"),
+        coalesce(sum(col("cents")), lit(0L)).as("cents_sum"),
+        coalesce(sum(md5i("bt:", concat_ws(":", col("user_id"), col("cents")))), lit(0L))
+          .as("hash_sum"))
+        .select(lit(label).as("snapshot"), col("n_users"), col("cents_sum"),
+          col("hash_sum"))
+    val changed = b1.join(b0.withColumnRenamed("cents", "c0"), "user_id")
+      .where(col("cents") =!= col("c0")).select("user_id", "cents")
+    val added = b1.join(b0.select("user_id"), Seq("user_id"), "left_anti")
+    Seq(acct(b0, "tx0"), acct(b1, "tx1"),
+      acct(changed, "restated"), acct(added, "late_added")).reduce(_.union(_))
+  }
+
+  private val bitemporalAsOfSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |mid AS (
+      |  SELECT CAST((CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS BIGINT) AS v
+      |  FROM e),
+      |b0 AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, cents,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e, mid
+      |    WHERE us <= v
+      |      AND CAST('0x' || substr(md5('bt:late:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 <> 0)
+      |  WHERE rn = 1),
+      |b1 AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, cents,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e, mid WHERE us <= v)
+      |  WHERE rn = 1),
+      |ch AS (
+      |  SELECT b1.user_id, b1.cents FROM b1 JOIN b0 USING (user_id)
+      |  WHERE b1.cents <> b0.cents),
+      |ad AS (
+      |  SELECT user_id, cents FROM b1
+      |  WHERE user_id NOT IN (SELECT user_id FROM b0))
+      |SELECT 'tx0' AS snapshot, count(*) AS n_users,
+      |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_sum,
+      |       CAST(coalesce(sum(CAST('0x' || substr(md5('bt:' || CAST(user_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT) AS hash_sum
+      |FROM b0
+      |UNION ALL
+      |SELECT 'tx1', count(*), CAST(coalesce(sum(cents), 0) AS BIGINT),
+      |       CAST(coalesce(sum(CAST('0x' || substr(md5('bt:' || CAST(user_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT)
+      |FROM b1
+      |UNION ALL
+      |SELECT 'restated', count(*), CAST(coalesce(sum(cents), 0) AS BIGINT),
+      |       CAST(coalesce(sum(CAST('0x' || substr(md5('bt:' || CAST(user_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT)
+      |FROM ch
+      |UNION ALL
+      |SELECT 'late_added', count(*), CAST(coalesce(sum(cents), 0) AS BIGINT),
+      |       CAST(coalesce(sum(CAST('0x' || substr(md5('bt:' || CAST(user_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT)
+      |FROM ad""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
+    Q("bitemporal_asof", bitemporalAsOf, Some(bitemporalAsOfSql)),
     Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)))
 }

@@ -170,4 +170,22 @@ class TableLogSpec extends SparkSpec {
       .where(col("b").between(0L, 4L)).count()
     assert(box == 200L)
   }
+
+  test("bitemporal as-of: tx axis is real log versions; restatement laws hold") {
+    val rows = TableLog.bitemporalAsOf(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("tx0", "tx1", "restated", "late_added"))
+    // the valid instant is fixed, so corrections can only restate or add
+    assert(rows("tx1")._1 >= rows("tx0")._1)
+    assert(rows("tx1")._1 == rows("tx0")._1 + rows("late_added")._1,
+      "tx1 belief set = tx0 beliefs + late-added users")
+    assert(rows("restated")._1 <= rows("tx0")._1)
+    // a restatement means the hash-sums genuinely diverge between versions
+    if (rows("restated")._1 > 0 || rows("late_added")._1 > 0)
+      assert(rows("tx0")._3 != rows("tx1")._3)
+    // deterministic: a second evaluation returns the identical snapshot
+    val again = TableLog.bitemporalAsOf(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == rows)
+  }
 }
