@@ -1507,7 +1507,108 @@ object Analytics extends QueryPack {
       |       END AS r2_e6
       |FROM d""".stripMargin
 
+  /** minimum run length for a leg of a detected V-shape */
+  val VMinRun = 2
+
+  /** A15 — MATCH_RECOGNIZE-style sequential pattern detection: V-shapes
+    * (a strict down-run followed by a strict up-run, both ≥ [[VMinRun]]
+    * days) in each entity's daily close series — the row-pattern-matching
+    * operator class (Oracle/Flink MATCH_RECOGNIZE `PATTERN (DOWN{2,} UP{2,})`),
+    * expressed relationally via gaps-and-islands run-length encoding:
+    * sign of the daily diff → run boundaries (`s ≠ lag(s)`) → run ids by
+    * cumulative sum → per-run aggregates → adjacent-run self-join
+    * (run_id + 1) with the sign/length predicate. All windows partition on
+    * the entity (the natural shuffle key); runs are a per-entity-sized
+    * relation. Closes are deterministic doubles floored to cents, signs and
+    * depths exact integers — fully hash-gated.
+    */
+  def vshapePatterns(s: SparkSession, dir: String): DataFrame = {
+    val o    = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nat  = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val daily = o
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("o_orderpriority").as("priority"),
+        col("nation"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(floor((sum(col("o_totalprice").cast("decimal(12,2)")).cast("double") /
+        count(lit(1))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("priority", "nation").orderBy("day")
+    val diffed = daily
+      .withColumn("prev", lag("cents", 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("sg",
+        when(col("cents") > col("prev"), 1L)
+          .when(col("cents") < col("prev"), -1L).otherwise(0L))
+      .withColumn("newrun",
+        when(lag("sg", 1).over(w).isNull || col("sg") =!= lag("sg", 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum("newrun").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = diffed.groupBy("priority", "nation", "run_id")
+      .agg(max(col("sg")).as("sg"), count(lit(1)).as("len"),
+        min_by(col("prev"), col("day")).as("start_cents"),
+        max_by(col("cents"), col("day")).as("end_cents"))
+    val down = runs.where(col("sg") === -1L && col("len") >= VMinRun)
+      .select(col("priority"), col("nation"), col("run_id"),
+        (col("start_cents") - col("end_cents")).as("depth_cents"))
+    val up = runs.where(col("sg") === 1L && col("len") >= VMinRun)
+      .select(col("priority"), col("nation"), (col("run_id") - 1).as("run_id"))
+    down.join(up, Seq("priority", "nation", "run_id"))
+      .groupBy("priority", "nation")
+      .agg(count(lit(1)).as("n_vshapes"),
+        max(col("depth_cents")).as("max_depth_cents"),
+        sum(col("depth_cents")).as("sum_depth_cents"))
+  }
+
+  private val vshapePatternsSql =
+    s"""WITH d AS (
+      |  SELECT o_orderpriority AS priority, n_name AS nation,
+      |         CAST(o_orderdate AS DATE) AS day,
+      |         CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |                    / count(*) * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3),
+      |l AS (
+      |  SELECT priority, nation, day, cents,
+      |         lag(cents) OVER (PARTITION BY priority, nation ORDER BY day) AS prev
+      |  FROM d),
+      |sg AS (
+      |  SELECT *, CASE WHEN cents > prev THEN 1 WHEN cents < prev THEN -1 ELSE 0 END AS sg
+      |  FROM l WHERE prev IS NOT NULL),
+      |rl AS (
+      |  SELECT *, CAST(sum(newrun) OVER (PARTITION BY priority, nation ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM (
+      |    SELECT *,
+      |      CASE WHEN lag(sg) OVER (PARTITION BY priority, nation ORDER BY day) IS NULL
+      |             OR sg <> lag(sg) OVER (PARTITION BY priority, nation ORDER BY day)
+      |           THEN 1 ELSE 0 END AS newrun
+      |    FROM sg)),
+      |runs AS (
+      |  SELECT priority, nation, run_id, max(sg) AS sg, count(*) AS len,
+      |         arg_min(prev, day) AS start_cents,
+      |         arg_max(cents, day) AS end_cents
+      |  FROM rl GROUP BY 1, 2, 3),
+      |dn AS (
+      |  SELECT priority, nation, run_id, start_cents - end_cents AS depth_cents
+      |  FROM runs WHERE sg = -1 AND len >= $VMinRun),
+      |up AS (
+      |  SELECT priority, nation, run_id - 1 AS run_id
+      |  FROM runs WHERE sg = 1 AND len >= $VMinRun)
+      |SELECT priority, nation, count(*) AS n_vshapes,
+      |       CAST(max(depth_cents) AS BIGINT) AS max_depth_cents,
+      |       CAST(sum(depth_cents) AS BIGINT) AS sum_depth_cents
+      |FROM dn JOIN up USING (priority, nation, run_id)
+      |GROUP BY priority, nation""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("a15_vshape_patterns", vshapePatterns, Some(vshapePatternsSql)),
     Q("a14_ols_trend", olsTrend, Some(olsTrendSql)),
     Q("a13_theil_sen", theilSenTrend, Some(theilSenTrendSql)),
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),

@@ -76,6 +76,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1))).toSet == ts)
   }
 
+  test("A15 V-shape patterns: depths positive, max bounded by sum, count bounded by runs") {
+    val out = graft.analytics.Analytics.vshapePatterns(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, maxD, sumD) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1)
+      assert(maxD > 0, "a strict down-run must lose value")
+      assert(maxD <= sumD && sumD <= n * maxD)
+    }
+  }
+
   test("A5 vwap sits inside each group's price range; twap likewise") {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, sfDir, "lineitem")
