@@ -1507,6 +1507,47 @@ object Analytics extends QueryPack {
       |       END AS r2_e6
       |FROM d""".stripMargin
 
+  /** paths reported by [[pathTopK]] */
+  val PathK = 20
+
+  /** A16 — clickstream path mining: the [[PathK]] most frequent FULL
+    * event-type sequences per (user, day) session, with how many sessions
+    * and distinct users walk each path — the funnel-discovery complement of
+    * [[seqTransitionCounts]] (which sees only bigram edges; paths are whole
+    * trajectories). Sequence assembly is
+    * `array_join(transform(array_sort(collect_list(struct(ts, id, type)))))`
+    * — collect_list is order-nondeterministic but the sort key
+    * (ts, event_id) makes the assembled path retry/engine-deterministic,
+    * matching DuckDB's ordered `string_agg`. Per-session state is one
+    * session's events (watermark-bounded in the streaming twin); the final
+    * cut is a distributed TakeOrdered, never a global sort. Path strings
+    * and counts are exact — hash-gated.
+    */
+  def pathTopK(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val paths = ev.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+    // two-level (path, user) → path: n_users without a distinct aggregate
+    // mixed into plain counts (the ×N Expand shape, CLAUDE.md)
+    paths.groupBy("path", "user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("path")
+      .agg(sum(col("cnt")).as("n_sessions"), count(lit(1)).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathK)
+  }
+
+  private val pathTopKSql =
+    s"""WITH p AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS path
+      |  FROM events GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path
+      |LIMIT $PathK""".stripMargin
+
   /** minimum run length for a leg of a detected V-shape */
   val VMinRun = 2
 
@@ -1609,6 +1650,7 @@ object Analytics extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("a15_vshape_patterns", vshapePatterns, Some(vshapePatternsSql)),
+    Q("a16_path_topk", pathTopK, Some(pathTopKSql)),
     Q("a14_ols_trend", olsTrend, Some(olsTrendSql)),
     Q("a13_theil_sen", theilSenTrend, Some(theilSenTrendSql)),
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
