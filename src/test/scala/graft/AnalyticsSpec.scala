@@ -87,6 +87,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("A16 path mining: bounded top-K, user counts bounded by session counts") {
+    val out = graft.analytics.Analytics.pathTopK(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= graft.analytics.Analytics.PathK)
+    val counts = out.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_: Long)), "rows arrive count-descending")
+    out.foreach { r =>
+      assert(r.getString(0).nonEmpty)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1), "n_users <= n_sessions")
+    }
+  }
+
   test("A5 vwap sits inside each group's price range; twap likewise") {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, sfDir, "lineitem")
