@@ -302,6 +302,81 @@ object TextStats extends QueryPack {
       |FROM toks GROUP BY term
       |ORDER BY tf DESC, term LIMIT $VocabSize""".stripMargin
 
+  /** keyphrases reported by [[rakeKeyphrases]] */
+  val RakeTopK = 25
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs (gaps-and-islands: island id =
+    * position − row_number over the per-doc non-stopword order — one window,
+    * no self-join); each word scores `degree/freq` where `freq` counts its
+    * occurrences inside phrases and `degree` sums the lengths of the
+    * phrases it appears in (co-occurrence degree, RAKE's definition); a
+    * phrase scores the sum of its words' scores. All arithmetic integer:
+    * word scores are `floor(degree·1e6 / freq)` by integer division, phrase
+    * scores exact sums of those — no float summation anywhere, so the full
+    * extraction hash-gates cross-engine. Shuffles: per-doc tokenize →
+    * (doc) window, one (word) aggregate (vocabulary-sized), a broadcast
+    * word-score join back, and a distributed TakeOrdered cut.
+    */
+  def rakeKeyphrases(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokensCol).as(Seq("i", "w")))
+      .where(!col("w").isInCollection(stopwords))
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val member = toks
+      .withColumn("run_id", col("i") - row_number().over(wDoc))
+      .withColumn("plen", count(lit(1))
+        .over(Window.partitionBy("doc_id", "run_id")))
+    val wordScore = member.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("w"), expr("degree * 1000000 div freq").as("w_score_e6"))
+    val phrases = member.join(broadcast(wordScore), "w")
+      .groupBy("doc_id", "run_id")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(i, w))), x -> x.w)"),
+          " ").as("phrase"),
+        sum(col("w_score_e6")).as("score_e6"),
+        count(lit(1)).as("n_words"))
+      .where(col("n_words") >= 2) // single words are vocab_topk's job
+    phrases.groupBy("phrase")
+      .agg(max(col("score_e6")).as("score_e6"), count(lit(1)).as("n_occurrences"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(RakeTopK)
+  }
+
+  private val rakeKeyphrasesSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, $tokensSql AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, i - 1 AS i, toks[i] AS w
+      |  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+      |  WHERE NOT list_contains($stopwordsSqlList, toks[i])),
+      |member AS (
+      |  SELECT doc_id, i, w,
+      |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+      |  FROM tok),
+      |ml AS (
+      |  SELECT *, count(*) OVER (PARTITION BY doc_id, run_id) AS plen
+      |  FROM member),
+      |ws AS (
+      |  SELECT w, (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS w_score_e6
+      |  FROM ml GROUP BY w),
+      |ph AS (
+      |  SELECT ml.doc_id, ml.run_id,
+      |         string_agg(ml.w, ' ' ORDER BY ml.i) AS phrase,
+      |         CAST(sum(ws.w_score_e6) AS BIGINT) AS score_e6,
+      |         count(*) AS n_words
+      |  FROM ml JOIN ws USING (w)
+      |  GROUP BY ml.doc_id, ml.run_id
+      |  HAVING count(*) >= 2)
+      |SELECT phrase, CAST(max(score_e6) AS BIGINT) AS score_e6,
+      |       count(*) AS n_occurrences
+      |FROM ph GROUP BY phrase
+      |ORDER BY score_e6 DESC, phrase
+      |LIMIT $RakeTopK""".stripMargin
+
   /** adjacent-token bigrams, duplicates kept (counts weight the merges) */
   private val bigramsUdf = udf { text: String =>
     if (text == null) Array.empty[String]
@@ -1037,6 +1112,7 @@ object TextStats extends QueryPack {
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("text_bm25_top", bm25Top, Some(bm25TopSql)),
     Q("vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    Q("rake_keyphrases", rakeKeyphrases, Some(rakeKeyphrasesSql)),
     Q("text_collocations", collocations, Some(collocationsSql)),
     Q("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("text_repetition", repetition, Some(repetitionSql)))

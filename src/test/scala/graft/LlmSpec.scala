@@ -277,6 +277,20 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) >= 0L))
   }
 
+  test("rake_keyphrases: stopword-free multiword phrases, score-descending") {
+    val out = TextStats.rakeKeyphrases(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= TextStats.RakeTopK)
+    val scores = out.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_: Long)), "rows arrive score-descending")
+    out.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length >= 2, "single words excluded")
+      assert(words.forall(w => !TextStats.stopwords.contains(w)),
+        "phrases must be stopword-free runs")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
   test("vocab_topk returns the highest-frequency tokens with a total order") {
     val out = TextStats.vocabTopK(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= TextStats.VocabSize)
