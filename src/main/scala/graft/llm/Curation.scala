@@ -936,7 +936,83 @@ object Curation extends QueryPack {
       |WHERE rk <= quota
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Deterministic stratified-bootstrap SYNTHESIS + fidelity audit — the
+    * privacy-safe synthetic-twin step a data team runs to share a dataset's
+    * shape without its rows: per stratum (order priority), synthetic record
+    * i re-draws a real record by rank `h(i) mod n` where h is the portable
+    * md5 integer — a bootstrap resample BOTH engines generate bit-
+    * identically (no RNG state; the "generator" is a pure hash of the row
+    * index, retry/replay/engine-stable like every sample in this pack).
+    * The draw is an EQUI-join on (stratum, rank) against the rank-indexed
+    * real rows — never interval containment, never a nested loop — so
+    * synthesis scales like any keyed join. The audit emits per-stratum
+    * real-vs-synthetic counts, exact cent sums, and distinct-value draws;
+    * the hash gate certifies generation AND audit end to end.
+    */
+  def synthBootstrapAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pr"),
+      floor(col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("pr").orderBy(col("cents"), col("k"))
+    val ranked = o.withColumn("rank", row_number().over(w))
+    val sizes = o.groupBy("pr").agg(count(lit(1)).as("n"))
+    // ONE synthetic draw per real row, keyed by the row's own id (no global
+    // index, no driver-side N): stratum = the row's own stratum (marginal
+    // preserved exactly), drawn rank = h(id) mod n_stratum — a pure per-row
+    // hash, fully map-parallel
+    val assigned = o
+      .select(col("pr"),
+        conv(substring(md5(concat(lit("synth:"), col("k").cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .join(broadcast(sizes), "pr")
+      .select(col("pr"), (pmod(col("h"), col("n")) + 1).as("rank"))
+    val synth = assigned.join(ranked.select("pr", "rank", "cents"), Seq("pr", "rank"))
+    val real = o.groupBy("pr").agg(
+      count(lit(1)).as("n_real"),
+      sum(col("cents")).as("cents_real"))
+    synth.groupBy("pr").agg(
+      count(lit(1)).as("n_synth"),
+      sum(col("cents")).as("cents_synth"),
+      countDistinct(col("rank")).as("n_distinct_draws"))
+      .join(real, "pr")
+      .select(col("pr").as("priority"), col("n_real"), col("n_synth"),
+        col("cents_real"), col("cents_synth"), col("n_distinct_draws"))
+  }
+
+  private val synthBootstrapAuditSql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+      |         CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT pr, cents,
+      |         row_number() OVER (PARTITION BY pr ORDER BY cents, k) AS rank
+      |  FROM o),
+      |sizes AS (SELECT pr, count(*) AS n FROM o GROUP BY pr),
+      |draws AS (
+      |  SELECT pr,
+      |         CAST('0x' || substr(md5('synth:' || CAST(k AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM o),
+      |assigned AS (
+      |  SELECT d.pr, (d.h % s.n) + 1 AS rank
+      |  FROM draws d JOIN sizes s USING (pr)),
+      |synth AS (
+      |  SELECT a.pr, r.cents, a.rank
+      |  FROM assigned a JOIN ranked r ON r.pr = a.pr AND r.rank = a.rank),
+      |real AS (
+      |  SELECT pr, count(*) AS n_real, CAST(sum(cents) AS BIGINT) AS cents_real
+      |  FROM o GROUP BY pr)
+      |SELECT pr AS priority, n_real,
+      |       count(*) AS n_synth,
+      |       cents_real,
+      |       CAST(sum(s.cents) AS BIGINT) AS cents_synth,
+      |       count(DISTINCT s.rank) AS n_distinct_draws
+      |FROM synth s JOIN real USING (pr)
+      |GROUP BY pr, n_real, cents_real""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("synth_bootstrap_audit", synthBootstrapAudit, Some(synthBootstrapAuditSql)),
     Q("dsir_select", dsirSelect, Some(dsirSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

@@ -291,6 +291,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("synth bootstrap: marginals exact, sums near-real, draws near 1 - 1/e distinct") {
+    import graft.llm.Curation
+    val out = Curation.synthBootstrapAudit(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nr, ns) = (r.getLong(1), r.getLong(2))
+      assert(ns == nr, "stratum marginal preserved exactly")
+      val (cr, cs) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(cs - cr).toDouble / cr < 0.1, s"bootstrap sum drift: $cs vs $cr")
+      val frac = r.getLong(5).toDouble / nr
+      assert(frac > 0.55 && frac < 0.72, s"distinct-draw fraction $frac far from 1-1/e")
+    }
+  }
+
   test("vocab_topk returns the highest-frequency tokens with a total order") {
     val out = TextStats.vocabTopK(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= TextStats.VocabSize)
