@@ -34,13 +34,22 @@ object PortableSketch extends QueryPack {
   val K = 256
 
   /** 2^52 — the hash domain; 13 hex chars so every hash is double-exact */
-  private val Scale = 4503599627370496L
+  val Scale = 4503599627370496L
 
   /** 52-bit uniform hash of a value, identical in DuckDB as
     * `CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13) AS BIGINT)`.
     */
   private def h52(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** [[h52]]'s scalar twin for executor-side state updates (the streaming
+    * KMV monitor) — same bytes: md5 of the UTF-8 value, first 13 hex chars.
+    */
+  def h52Of(v: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16)
+  }
 
   /** Bounded-state K-minimum-DISTINCT-values aggregate: the buffer is a
     * sorted duplicate-free long array capped at [[K]]. Commutative and

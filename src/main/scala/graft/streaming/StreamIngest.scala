@@ -312,6 +312,45 @@ object StreamIngest {
       }
   }
 
+  case class Keyed(grp: String, key: String)
+  case class KmvEstimate(grp: String, sketch_n: Long, kth_hash: Long,
+      est_ndv: Double, n_rows: Long)
+  case class KmvStreamState(sketch: Array[Long], n_rows: Long)
+
+  /** Streaming KMV distinct-count monitor: the portable sketch
+    * ([[graft.analytics.PortableSketch.MinKAgg]]) maintained as per-group
+    * `mapGroupsWithState` state — the live NDV estimate an ingest monitor
+    * publishes per trigger. The state is the same ≤ K-long sorted array the
+    * batch aggregate uses and the update rule is literally `MinKAgg.reduce`,
+    * so cross-trigger accumulation equals the batch sketch over the full
+    * history for ANY trigger boundary pattern (mergeable-summaries law,
+    * StreamingSpec-pinned) — and therefore also equals the DuckDB-replayable
+    * batch estimate. Per-key state is K longs + a counter, forever.
+    */
+  def streamingKmvDistinct(
+      rows: org.apache.spark.sql.Dataset[Keyed]): org.apache.spark.sql.Dataset[KmvEstimate] = {
+    import rows.sparkSession.implicits._
+    import graft.analytics.PortableSketch
+    rows.groupByKey(_.grp)
+      .mapGroupsWithState[KmvStreamState, KmvEstimate](
+        GroupStateTimeout.NoTimeout()) {
+        (grp: String, it: Iterator[Keyed], state: GroupState[KmvStreamState]) =>
+          var st = state.getOption.getOrElse(KmvStreamState(Array.emptyLongArray, 0L))
+          var sk = st.sketch
+          var n = st.n_rows
+          it.foreach { r =>
+            sk = PortableSketch.MinKAgg.reduce(sk, PortableSketch.h52Of(r.key))
+            n += 1
+          }
+          state.update(KmvStreamState(sk, n))
+          val k = PortableSketch.K
+          val est =
+            if (sk.length < k) sk.length.toDouble
+            else (k - 1) / (sk.last.toDouble / PortableSketch.Scale)
+          KmvEstimate(grp, sk.length.toLong, if (sk.isEmpty) 0L else sk.last, est, n)
+      }
+  }
+
   /** Streaming materialized view: maintain a windowed derived aggregate
     * from a stream — each micro-batch lands in the base table and refreshes
     * exactly the windows it touched ([[graft.operators.IncrementalAgg]]

@@ -420,6 +420,37 @@ class StreamingSpec extends SparkSpec {
       s"est ${hot.est_count} violates the MG bound")
   }
 
+  test("streaming KMV sketch equals the batch sketch over the full history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Keyed]
+    val q = StreamIngest.streamingKmvDistinct(mem.toDS())
+      .writeStream.format("memory").queryName("skmv").outputMode("update").start()
+    // 400 distinct keys arrive split across two triggers with overlap —
+    // trigger boundaries must not change the accumulated sketch
+    val all = (0 until 400).map(i => StreamIngest.Keyed("g", s"k$i"))
+    mem.addData(all.take(250): _*)
+    q.processAllAvailable()
+    mem.addData(all.drop(200): _*) // 50-key overlap re-arrives
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("skmv").as[StreamIngest.KmvEstimate].collect()
+      .filter(_.n_rows == 450L)
+    assert(last.nonEmpty, "second trigger must see cumulative n_rows = 450")
+    val got = last.head
+    // batch twin over the full distinct history
+    val batch = all.map(k => graft.analytics.PortableSketch.h52Of(k.key))
+      .foldLeft(graft.analytics.PortableSketch.MinKAgg.zero)(
+        graft.analytics.PortableSketch.MinKAgg.reduce)
+    assert(got.sketch_n == batch.length.toLong)
+    assert(got.kth_hash == batch.last)
+    val k = graft.analytics.PortableSketch.K
+    val expectEst =
+      if (batch.length < k) batch.length.toDouble
+      else (k - 1) / (batch.last.toDouble / graft.analytics.PortableSketch.Scale)
+    assert(got.est_ndv == expectEst)
+    assert(math.abs(got.est_ndv - 400.0) / 400.0 < 0.3, s"estimate ${got.est_ndv} far from 400")
+  }
+
   test("streaming vector scoring matches the batch ranking (broadcast corpus)") {
     // the ANN serving loop under streaming: quantized corpus broadcast,
     // each micro-batch of query vectors scored with the native int_dot and
