@@ -136,21 +136,30 @@ object Dedup extends QueryPack {
       .drop("df")
       .cache()
 
+  /** shared-shingle pair machinery: per-doc retained-shingle sizes + the
+    * shingle-keyed self-join pair counts ([[jaccard]] and
+    * [[containmentDedup]] consume both; the shuffle-hash hints keep the two
+    * index sides as identical hash-partitioned subplans → ReusedExchange
+    * computes the index once)
+    */
+  private def sizedPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = inv.as("a").hint("shuffle_hash")
+      .join(inv.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    (sizes, pairs)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (J ≥ 0.5) via an inverted shingle
     * index: explode shingles → df cap → self-join on shingle → shared counts
     * → |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a retained shingle never
     * materialize.
     */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // shuffle-hash (not broadcast) → both sides hash-partition on shingle
-    // with identical subplans → ReusedExchange computes the index ONCE
-    val pairs = inv.as("a").hint("shuffle_hash")
-      .join(inv.as("b").hint("shuffle_hash"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val (sizes, pairs) = sizedPairs(s, dir)
     pairs
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
@@ -163,6 +172,41 @@ object Dedup extends QueryPack {
       // cross-engine half-up tie class; floor of the shared double is exact
       .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
   }
+
+  /** Asymmetric CONTAINMENT near-dup pairs: `|A∩B| / min(|A|, |B|) ≥ 0.8`
+    * — the subset-inclusion detector Jaccard structurally misses: a short
+    * document quoted whole inside a long one has tiny Jaccard (the union is
+    * dominated by the long doc) but containment ≈ 1. This is the dedup
+    * family's quote/boilerplate-inclusion case (Broder's containment
+    * coefficient), sharing the same df-capped inverted-index pair machinery
+    * — same shuffle key, same DfCap² fan-out bound — with both scores
+    * emitted so the gap between them is visible per pair. The 0.8 threshold
+    * is spelled `4 / 5` in both engines (one exact double, never a DECIMAL
+    * literal comparison).
+    */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val (sizes, pairs) = sizedPairs(s, dir)
+    pairs
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("na.n_sh").as("n_a"), col("nb.n_sh").as("n_b"),
+        (col("shared") / least(col("na.n_sh"), col("nb.n_sh")).cast("double")).as("c"),
+        (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
+          .as("j"))
+      .where(col("c") >= lit(4) / lit(5))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        floor(col("c") * lit(1e6)).as("c_e6"),
+        floor(col("j") * lit(1e6)).as("j_e6"))
+  }
+
+  private lazy val containmentDedupSql = // lazy: shCte is declared below
+    s"""WITH $shCte
+      |SELECT doc_a, doc_b, shared, na.n_sh AS n_a, nb.n_sh AS n_b,
+      |       CAST(floor(shared / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) * 1000000) AS BIGINT) AS c_e6,
+      |       CAST(floor(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) * 1000000) AS BIGINT) AS j_e6
+      |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |WHERE shared / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= (4 / 5)""".stripMargin
 
   /** CTE prefix shared by the jaccard and minhash oracles: tokenize →
     * shingle → df-cap → per-doc sizes → shared-shingle pair counts.
@@ -1176,6 +1220,7 @@ object Dedup extends QueryPack {
     Q("boilerplate_ratio", boilerplateRatio, Some(boilerplateRatioSql)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_jaccard", jaccard, Some(jaccardOracle(0.5))),
+    Q("dedup_containment", containmentDedup, Some(containmentDedupSql)),
     Q("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
     Q("dedup_simhash", simhash, Some(simhashOracleSql)),

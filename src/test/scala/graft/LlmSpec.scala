@@ -305,6 +305,17 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup_containment: containment >= jaccard always; catches subset inclusion") {
+    val out = Dedup.containmentDedup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (shared, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(shared <= math.min(na, nb), "intersection bounded by the smaller set")
+      assert(r.getLong(5) >= r.getLong(6), "containment dominates jaccard")
+      assert(r.getLong(5) >= 800000L, "threshold applied on the containment axis")
+    }
+  }
+
   test("vocab_topk returns the highest-frequency tokens with a total order") {
     val out = TextStats.vocabTopK(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= TextStats.VocabSize)
