@@ -1507,6 +1507,115 @@ object Analytics extends QueryPack {
       |       END AS r2_e6
       |FROM d""".stripMargin
 
+  /** A17 — split-conformal prediction intervals over the OLS spend model:
+    * fit on the ODD days, compute absolute residuals on the held-out EVEN
+    * days, and calibrate the interval half-width as the `ceil(0.9·n)`-rank
+    * residual (the pinned discrete-quantile rule — split conformal's
+    * distribution-free guarantee needs exactly this order statistic). The
+    * audit applies the calibrated width back to the fit days and counts
+    * covered points — the calibration-transfer diagnostic. Fit parameters
+    * come from exact integer sufficient statistics ([[olsTrend]]'s
+    * discipline); residuals are single correctly-rounded double chains
+    * floored to integer cents, so ranks, widths and coverage all hash-gate.
+    * Shuffles: one (entity, month, day) aggregate, one (entity, month)
+    * aggregate per split, a broadcast-sized model join back, and a per-group
+    * rank window over calibration days (calendar-bounded).
+    */
+  def conformalIntervals(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev.groupBy(
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        dayofmonth(col("ts")).cast("long").as("x"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      .cache() // three consumers (fit agg, calibration, audit) — one scan
+    val fit = daily.where(col("x") % 2 === 1)
+      .groupBy("user_id", "month").agg(
+        count(lit(1)).as("nf"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("nf") >= 3)
+      .withColumn("vx", (col("nf") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .where(col("vx") > 0)
+      .withColumn("slope",
+        (col("nf") * col("sxy") - col("sx") * col("sy")).cast("double") / col("vx"))
+      .withColumn("icept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("nf").cast("double"))
+      .select("user_id", "month", "nf", "slope", "icept")
+    def resid = floor(abs(col("y").cast("double") -
+      (col("slope") * col("x").cast("double") + col("icept")))).cast("long")
+    val cal = daily.where(col("x") % 2 === 0)
+      .join(fit, Seq("user_id", "month"))
+      .select(col("user_id"), col("month"), col("nf"), resid.as("r"))
+    val w = Window.partitionBy("user_id", "month")
+    val width = cal
+      .withColumn("nc", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("r"))))
+      .where(col("rn") === greatest(ceil(lit(9) / lit(10) * col("nc")).cast("long"), lit(1L)))
+      .select(col("user_id"), col("month"), col("nc").as("n_cal"),
+        col("r").as("q90_resid_cents"))
+    val audit = daily.where(col("x") % 2 === 1)
+      .join(fit, Seq("user_id", "month"))
+      .select(col("user_id"), col("month"), resid.as("rf"))
+      .join(width, Seq("user_id", "month"))
+      .groupBy("user_id", "month")
+      .agg(count(lit(1)).as("n_fit"),
+        sum(when(col("rf") <= col("q90_resid_cents"), 1L).otherwise(0L))
+          .as("n_fit_covered"))
+    width.join(audit, Seq("user_id", "month"))
+      .select(col("user_id"), col("month"), col("n_fit"), col("n_cal"),
+        col("q90_resid_cents"), col("n_fit_covered"))
+  }
+
+  private val conformalIntervalsSql =
+    """WITH daily AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+      |         CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2, 3),
+      |fit AS (
+      |  SELECT user_id, month, nf, slope,
+      |         (syd - slope * sxd) / CAST(nf AS DOUBLE) AS icept
+      |  FROM (
+      |    SELECT user_id, month, nf, sx, sy,
+      |           CAST(nf * sxy - sx * sy AS DOUBLE) / vx AS slope,
+      |           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |    FROM (
+      |      SELECT user_id, month, count(*) AS nf,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS BIGINT) AS sxy,
+      |             CAST(sum(x * x) AS BIGINT) AS sxx,
+      |             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE) AS vx
+      |      FROM daily WHERE x % 2 = 1
+      |      GROUP BY 1, 2
+      |      HAVING count(*) >= 3
+      |         AND count(*) * sum(x * x) - sum(x) * sum(x) > 0))),
+      |cal AS (
+      |  SELECT d.user_id, d.month,
+      |         CAST(floor(abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + icept))) AS BIGINT) AS r
+      |  FROM daily d JOIN fit USING (user_id, month)
+      |  WHERE d.x % 2 = 0),
+      |width AS (
+      |  SELECT user_id, month, nc, r AS q90_resid_cents FROM (
+      |    SELECT user_id, month, r,
+      |           CAST(count(*) OVER (PARTITION BY user_id, month) AS BIGINT) AS nc,
+      |           row_number() OVER (PARTITION BY user_id, month ORDER BY r) AS rn
+      |    FROM cal)
+      |  WHERE rn = greatest(CAST(ceil(9 / 10 * nc) AS BIGINT), 1)),
+      |audit AS (
+      |  SELECT d.user_id, d.month, count(*) AS n_fit,
+      |         CAST(sum(CASE WHEN
+      |           CAST(floor(abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + icept))) AS BIGINT)
+      |             <= q90_resid_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_covered
+      |  FROM daily d JOIN fit USING (user_id, month) JOIN width USING (user_id, month)
+      |  WHERE d.x % 2 = 1
+      |  GROUP BY 1, 2)
+      |SELECT user_id, month, n_fit, CAST(nc AS BIGINT) AS n_cal,
+      |       q90_resid_cents, n_fit_covered
+      |FROM width JOIN audit USING (user_id, month)""".stripMargin
+
   /** paths reported by [[pathTopK]] */
   val PathK = 20
 
@@ -1651,6 +1760,7 @@ object Analytics extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("a15_vshape_patterns", vshapePatterns, Some(vshapePatternsSql)),
     Q("a16_path_topk", pathTopK, Some(pathTopKSql)),
+    Q("a17_conformal", conformalIntervals, Some(conformalIntervalsSql)),
     Q("a14_ols_trend", olsTrend, Some(olsTrendSql)),
     Q("a13_theil_sen", theilSenTrend, Some(theilSenTrendSql)),
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),

@@ -98,6 +98,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("A17 conformal: calibration rank law and near-target transfer coverage") {
+    val out = graft.analytics.Analytics.conformalIntervals(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 3L, "fit split size enforced")
+      assert(r.getLong(4) >= 0L)
+      assert(r.getLong(5) <= r.getLong(2), "covered bounded by fit size")
+    }
+    val cov = out.map(_.getLong(5)).sum.toDouble / out.map(_.getLong(2)).sum
+    assert(cov > 0.7 && cov <= 1.0,
+      s"overall transfer coverage $cov implausibly far from the 0.9 target")
+  }
+
   test("A5 vwap sits inside each group's price range; twap likewise") {
     import org.apache.spark.sql.functions._
     val li = Tables.load(spark, sfDir, "lineitem")
