@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.Analytics,
     analytics.Relational,
     analytics.Graph,
+    analytics.Mining,
     analytics.PortableSketch,
     llm.TextStats,
     llm.Dedup,

@@ -1,0 +1,266 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining analytics: market-basket association rules, rank-based
+  * autocorrelation, and CUSUM changepoint detection — the classical "data
+  * mining" layer the reference's analysis list implies but never spells out
+  * (ref: app/for_rabbit/from_parser_to_rabbitmq.py:228-240 declares the
+  * analyses as comments; these are the co-movement/seasonality/structural-
+  * break companions of A1-A17).
+  *
+  * Everything here is INTEGER-exact end to end (counts, ranks, prefix sums,
+  * ppm ratios via integer division), so every query hash-gates against the
+  * DuckDB oracle with no float tie classes.
+  */
+object Mining extends QueryPack {
+
+  /** rules emitted by [[assocRules]] */
+  val RuleK = 50
+
+  /** minimum item support as a fraction denominator: sup*100 >= n_baskets */
+  val MinSupPct = 1
+
+  /** Market-basket association rules over order baskets (item = p_brand),
+    * the A-Priori shape: frequent items first (support >= 1% of baskets),
+    * pairs generated ONLY among frequent items, then directed rules
+    * a=>b scored by confidence = co/sup(a) and lift = co*n/(sup(a)*sup(b)),
+    * both emitted as integer ppm (floor of an all-integer quotient — exact
+    * in both engines for positive operands). Output: the [[RuleK]]
+    * positively-associated rules (lift > 1) by lift desc.
+    *
+    * 100 TB shape: the part dim is broadcast; the basket relation shuffles
+    * once on basket id for the pair self-join, with per-basket fan-out
+    * bounded by (frequent items per basket)^2 — the A-Priori prune is what
+    * keeps that quadratic bounded (item domain cut BEFORE pairing); item
+    * supports broadcast back onto the pair relation (item domain is small
+    * by construction after the support cut). No collect, no cartesian.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pt = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .cache()
+    val tot = baskets.agg(count_distinct(col("ok")).as("n_baskets"))
+    val sup = baskets.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sup") * 100 >= col("n_baskets") * MinSupPct)
+    val freqItems = broadcast(sup.select(col("item"), col("sup"), col("n_baskets")))
+    val fb = baskets.join(freqItems.select("item"), Seq("item"))
+      .select(col("ok"), col("item"))
+    val pairs = fb.as("x")
+      .join(fb.as("y"), col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("co"))
+    val directed = pairs.select(col("ia").as("ante"), col("ib").as("conseq"), col("co"))
+      .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("conseq"), col("co")))
+    val scored = directed
+      .join(freqItems.select(col("item").as("ante"), col("sup").as("sup_a"), col("n_baskets")), Seq("ante"))
+      .join(freqItems.select(col("item").as("conseq"), col("sup").as("sup_b")), Seq("conseq"))
+      .select(
+        col("ante"), col("conseq"), col("n_baskets"),
+        col("sup_a"), col("sup_b"), col("co").as("co_sup"),
+        expr("co * 1000000 div sup_a").as("conf_ppm"),
+        expr("co * n_baskets * 1000000 div (sup_a * sup_b)").as("lift_ppm"))
+      .filter(col("lift_ppm") > 1000000)
+    val out = scored
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc, col("ante"), col("conseq"))
+      .limit(RuleK)
+    // materialize the <= RuleK-row cut, then release the basket cache so the
+    // query leaves no fact-scale cache entry behind (Graph pack's localize
+    // pattern)
+    val rows = out.collect()
+    baskets.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val assocRulesSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT count(DISTINCT ok) AS n_baskets FROM baskets),
+       |sup AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS sup, n_baskets
+       |  FROM baskets CROSS JOIN tot
+       |  GROUP BY item, n_baskets
+       |  HAVING count(*) * 100 >= n_baskets * $MinSupPct),
+       |fb AS (SELECT ok, b.item FROM baskets b JOIN sup USING (item)),
+       |pairs AS (
+       |  SELECT x.item AS ia, y.item AS ib, CAST(count(*) AS BIGINT) AS co
+       |  FROM fb x JOIN fb y ON x.ok = y.ok AND x.item < y.item
+       |  GROUP BY 1, 2),
+       |directed AS (
+       |  SELECT ia AS ante, ib AS conseq, co FROM pairs
+       |  UNION ALL
+       |  SELECT ib AS ante, ia AS conseq, co FROM pairs),
+       |scored AS (
+       |  SELECT d.ante, d.conseq, a.n_baskets, a.sup AS sup_a, b.sup AS sup_b,
+       |         d.co AS co_sup,
+       |         d.co * 1000000 // a.sup AS conf_ppm,
+       |         d.co * a.n_baskets * 1000000 // (a.sup * b.sup) AS lift_ppm
+       |  FROM directed d
+       |  JOIN sup a ON a.item = d.ante
+       |  JOIN sup b ON b.item = d.conseq
+       |  WHERE d.co * a.n_baskets * 1000000 // (a.sup * b.sup) > 1000000)
+       |SELECT * FROM scored
+       |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, conseq
+       |LIMIT $RuleK""".stripMargin
+
+  /** index-space lags probed by [[tsAcf]] */
+  val AcfLags: Seq[Int] = Seq(1, 2, 3, 7, 14, 28)
+
+  /** Rank (Spearman) autocorrelation of the daily-revenue series at the
+    * [[AcfLags]] index lags — the robust ACF companion of
+    * [[Analytics]]'s Theil-Sen robust trend. For lag k over the n-day
+    * series, the head (first n-k days) and tail (last n-k days) are ranked
+    * INDEPENDENTLY by (value, index) — a deterministic total order, so no
+    * tie correction is needed and the statistic is integer-exact:
+    *
+    *   rho_k = 1 - 6*sum(d^2) / (m*(m^2-1)),   m = n-k, d = rank diff
+    *
+    * emitted as floor(1e6 * (M - 6D) / M), a possibly-negative integer
+    * quotient computed via the pmod identity (Spark `div` truncates while
+    * DuckDB `//` floors — subtracting pmod first makes the division exact,
+    * so both agree; CLAUDE.md's signed-ratio rule).
+    *
+    * 100 TB shape: the fact scan collapses to the daily series via one
+    * partial aggregate (series length is calendar-bounded, thousands of
+    * rows regardless of fact size); everything after — the lag cross join,
+    * the two windowed ranks, the pair join — is series-scale. Ranks are
+    * integers <= m, so M ~ m^3 and 1e6*(M-6D) stays far under 2^63 for any
+    * calendar-bounded series.
+    */
+  def tsAcf(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val daily = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("v"))
+    val idx = daily
+      .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+    val lags = s.createDataFrame(AcfLags.map(Tuple1(_))).toDF("lag")
+    val wl = idx.crossJoin(broadcast(lags))
+    val head = wl.filter(col("idx") <= col("n") - col("lag"))
+      .withColumn("rh", row_number().over(
+        Window.partitionBy(col("lag")).orderBy(col("v"), col("idx"))))
+      .select(col("lag"), col("idx"), col("rh"))
+    val tail = wl.filter(col("idx") > col("lag"))
+      .withColumn("rt", row_number().over(
+        Window.partitionBy(col("lag")).orderBy(col("v"), col("idx"))))
+      .select(col("lag").as("tl"), col("idx").as("tidx"), col("rt"))
+    head
+      .join(tail, col("lag") === col("tl") && col("idx") + col("lag") === col("tidx"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum((col("rh") - col("rt")) * (col("rh") - col("rt"))).as("d2"))
+      .select(
+        col("lag"), col("m"), col("d2"),
+        expr("""(1000000 * (m*(m*m-1) - 6*d2)
+               | - pmod(1000000 * (m*(m*m-1) - 6*d2), m*(m*m-1)))
+               | div (m*(m*m-1))""".stripMargin).as("rho_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  val tsAcfSql: String =
+    s"""WITH daily AS (
+       |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1),
+       |idx AS (
+       |  SELECT day, v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+       |  FROM daily),
+       |lags AS (SELECT CAST(lag AS BIGINT) AS lag
+       |         FROM (VALUES ${AcfLags.map("(" + _ + ")").mkString(", ")}) AS t(lag)),
+       |head AS (
+       |  SELECT lag, idx,
+       |         CAST(row_number() OVER (PARTITION BY lag ORDER BY v, idx) AS BIGINT) AS rh
+       |  FROM idx CROSS JOIN lags WHERE idx <= n - lag),
+       |tl AS (
+       |  SELECT lag, idx,
+       |         CAST(row_number() OVER (PARTITION BY lag ORDER BY v, idx) AS BIGINT) AS rt
+       |  FROM idx CROSS JOIN lags WHERE idx > lag),
+       |agg AS (
+       |  SELECT head.lag AS lag, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum((rh - rt) * (rh - rt)) AS BIGINT) AS d2
+       |  FROM head JOIN tl ON head.lag = tl.lag AND head.idx + head.lag = tl.idx
+       |  GROUP BY 1)
+       |SELECT lag, m, d2,
+       |       (1000000 * (m*(m*m-1) - 6*d2)
+       |        - ((1000000 * (m*(m*m-1) - 6*d2)) % (m*(m*m-1)) + m*(m*m-1)) % (m*(m*m-1)))
+       |       // (m*(m*m-1)) AS rho_ppm
+       |FROM agg ORDER BY lag""".stripMargin
+
+  /** Per-year CUSUM changepoint over the daily-revenue series: within each
+    * calendar year the split index t maximizing |m*P_t - t*S| (the CUSUM
+    * statistic scaled by m to stay integer; P = prefix sum, S = year
+    * total, m = days in year), excluding the trivial t=m split and
+    * breaking score ties on the earliest day. Emits the boundary day (last
+    * day of the left segment) plus the exact integer evidence: the scaled
+    * score and floor-cents means on both sides.
+    *
+    * 100 TB shape: one partial-aggregate fact scan to the calendar-bounded
+    * daily series; prefix sums and the argmax are year-partitioned windows
+    * over that tiny relation. Nothing fact-scale ever hits a window.
+    */
+  def tsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val daily = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("v"))
+      .withColumn("yr", substring(col("day"), 1, 4).cast("int"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("yr"))
+    val cum = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("v")).over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("sTot", sum(col("v")).over(wAll))
+    val scored = cum
+      .filter(col("t") < col("m"))
+      .withColumn("score", abs(col("m") * col("p") - col("t") * col("sTot")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("yr")).orderBy(col("score").desc, col("t"))))
+    scored.filter(col("rk") === 1)
+      .select(
+        col("yr"), col("day").as("chg_day"), col("t").as("t_star"),
+        col("m").as("m_days"), col("score"),
+        expr("p div t").as("mean_before_c"),
+        expr("(sTot - p) div (m - t)").as("mean_after_c"))
+      .orderBy(col("yr"))
+  }
+
+  val tsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT CAST(substr(day, 1, 4) AS INTEGER) AS yr, day, v,
+      |         CAST(row_number() OVER w AS BIGINT) AS t,
+      |         CAST(sum(v) OVER w AS BIGINT) AS p,
+      |         CAST(count(*) OVER (PARTITION BY substr(day, 1, 4)) AS BIGINT) AS m,
+      |         CAST(sum(v) OVER (PARTITION BY substr(day, 1, 4)) AS BIGINT) AS s_tot
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY substr(day, 1, 4) ORDER BY day)),
+      |scored AS (
+      |  SELECT yr, day, t, m, s_tot, p, abs(m * p - t * s_tot) AS score,
+      |         row_number() OVER (PARTITION BY yr
+      |                            ORDER BY abs(m * p - t * s_tot) DESC, t) AS rk
+      |  FROM cum WHERE t < m)
+      |SELECT yr, day AS chg_day, t AS t_star, m AS m_days, score,
+      |       p // t AS mean_before_c,
+      |       (s_tot - p) // (m - t) AS mean_after_c
+      |FROM scored WHERE rk = 1 ORDER BY yr""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("assoc_rules", assocRules, Some(assocRulesSql)),
+    Q("ts_acf", tsAcf, Some(tsAcfSql)),
+    Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)))
+}

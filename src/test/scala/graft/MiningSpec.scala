@@ -1,0 +1,74 @@
+package graft
+
+import graft.analytics.Mining
+
+/** Laws for the pattern-mining pack beyond the DuckDB hash gate: rule-measure
+  * identities (confidence bounds, lift symmetry, support containment),
+  * Spearman-range and pairing invariants for the rank ACF, and CUSUM
+  * split-evidence consistency.
+  */
+class MiningSpec extends SparkSpec {
+
+  test("assoc_rules: measures respect their identities and the lift cut") {
+    val rows = Mining.assocRules(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.RuleK)
+    val n = rows.head.getAs[Long]("n_baskets")
+    val lifts = rows.map(r =>
+      (r.getAs[String]("ante"), r.getAs[String]("conseq")) ->
+        r.getAs[Long]("lift_ppm")).toMap
+    rows.foreach { r =>
+      val (supA, supB, co) = (r.getAs[Long]("sup_a"), r.getAs[Long]("sup_b"),
+        r.getAs[Long]("co_sup"))
+      assert(co >= 1 && co <= math.min(supA, supB), "support containment")
+      assert(supA <= n && supB <= n)
+      val conf = r.getAs[Long]("conf_ppm")
+      assert(conf == co * 1000000L / supA && conf <= 1000000L)
+      val lift = r.getAs[Long]("lift_ppm")
+      assert(lift == co * n * 1000000L / (supA * supB) && lift > 1000000L,
+        "emitted rules must be positively associated")
+      // lift is symmetric in (ante, conseq); the integer quotient is too
+      lifts.get((r.getAs[String]("conseq"), r.getAs[String]("ante")))
+        .foreach(rev => assert(rev == lift, "lift must be direction-invariant"))
+    }
+  }
+
+  test("ts_acf: rho in [-1, 1] ppm, pair counts m = n - lag, lag-1 dominates noise floor") {
+    val rows = Mining.tsAcf(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == Mining.AcfLags)
+    val n = rows.map(r => r.getAs[Long]("m") + r.getAs[Int]("lag")).distinct
+    assert(n.length == 1, s"every lag must see the same series length, got $n")
+    rows.foreach { r =>
+      val (m, d2, rho) = (r.getAs[Long]("m"), r.getAs[Long]("d2"),
+        r.getAs[Long]("rho_ppm"))
+      assert(rho >= -1000000L && rho <= 1000000L)
+      // reconstruct: rho_ppm is the floor of 1e6*(M-6D)/M
+      val bigM = m * (m * m - 1)
+      val num = 1000000L * (bigM - 6 * d2)
+      assert(rho == Math.floorDiv(num, bigM))
+    }
+  }
+
+  test("ts_changepoint: one split per year, inside the year, with consistent side means") {
+    val rows = Mining.tsChangepoint(spark, sfDir).collect()
+    assert(rows.length >= 2, "multi-year shipdate range must yield multiple splits")
+    assert(rows.map(_.getAs[Int]("yr")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (t, m) = (r.getAs[Long]("t_star"), r.getAs[Long]("m_days"))
+      assert(t >= 1 && t < m, "split excludes the trivial whole-year cut")
+      assert(r.getAs[String]("chg_day").startsWith(r.getAs[Int]("yr").toString))
+      assert(r.getAs[Long]("score") >= 0)
+      // CUSUM evidence: score = |m*P - t*S| = m*t*|mean_before - mean_after|
+      // up to floor loss, so a positive score forces the side means apart
+      if (r.getAs[Long]("score") > 2 * m * m)
+        assert(r.getAs[Long]("mean_before_c") != r.getAs[Long]("mean_after_c"))
+    }
+  }
+
+  test("mining queries are rerun-deterministic") {
+    for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
+      val a = q(spark, sfDir).collect().map(_.toString).sorted
+      val b = q(spark, sfDir).collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    }
+  }
+}
