@@ -1697,7 +1697,113 @@ object Similarity extends QueryPack {
       |       CASE WHEN n_dom IS NULL THEN 1 ELSE 0 END AS kept
       |FROM wc LEFT JOIN dom ON wc.vec_id = dom.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // ANN quality evaluation + kNN-distance outlier audit
+  // ---------------------------------------------------------------------------
+
+  /** Retrieval-quality evaluation of the LSH ANN against the exact
+    * brute-force ground truth, per query: recall@[[TopK]] (how many of the
+    * exact top-k the LSH list recovered) and the reciprocal rank of the TRUE
+    * nearest neighbour inside the LSH list (0 when the bucket family missed
+    * it entirely) — the recall/MRR pair every ANN deployment monitors.
+    * Both inputs are deterministic (md5-derived planes, integerized scores,
+    * id tie-breaks), so unlike typical ANN evals this one hash-gates: the
+    * oracle replays BOTH retrieval paths and the join of their ranks.
+    *
+    * 100 TB shape: composes the two retrieval plans (each one corpus scan,
+    * candidates bucket-bounded); the eval join itself is queries×k rows.
+    */
+  def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("erank"))
+    val lsh = lshTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("lrank"))
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("lrank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        max(when(col("erank") === 1, coalesce(col("lrank"), lit(0L)))).as("nn_rank"))
+      .select(
+        col("query_id"), col("n_hits"),
+        expr(s"n_hits * 1000000 div $TopK").as("recall_ppm"),
+        col("nn_rank"),
+        when(col("nn_rank") > 0, expr("1000000 div nn_rank")).otherwise(0L).as("rr_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annRecallEvalSql =
+    s"""WITH exact_tk AS (SELECT * FROM ($bruteForceSql)),
+       |lsh_tk AS (SELECT * FROM ($lshTopKSql)),
+       |j AS (
+       |  SELECT e.query_id, e.rank AS erank, l.rank AS lrank
+       |  FROM exact_tk e LEFT JOIN lsh_tk l
+       |    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id),
+       |agg AS (
+       |  SELECT query_id,
+       |         CAST(sum(CASE WHEN lrank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |         CAST(max(CASE WHEN erank = 1 THEN coalesce(lrank, 0) END) AS BIGINT) AS nn_rank
+       |  FROM j GROUP BY 1)
+       |SELECT query_id, n_hits, n_hits * 1000000 // $TopK AS recall_ppm, nn_rank,
+       |       CASE WHEN nn_rank > 0 THEN 1000000 // nn_rank ELSE CAST(0 AS BIGINT) END AS rr_ppm
+       |FROM agg ORDER BY query_id""".stripMargin
+
+  /** k-th-NN rank for the outlier score */
+  val KnnK = 10
+  /** outliers emitted */
+  val OutlierK = 20
+  /** deterministic audit sample: score every [[SampleMod]]-th vec_id */
+  val SampleMod = 5
+
+  /** kNN-distance outlier detection (Ramaswamy et al.): a point's outlier
+    * score is its cosine to its [[KnnK]]-th nearest neighbour — isolated
+    * points have a LOW k-th-NN cosine. Scored over a deterministic audit
+    * sample (every [[SampleMod]]-th vec_id) against the FULL corpus; emits
+    * the [[OutlierK]] most isolated points. Scores are `floor(cos·1e6)`
+    * integers with id tie-breaks — fully hash-gated.
+    *
+    * 100 TB shape: the sample is broadcast (bounded by construction), the
+    * corpus is scanned ONCE with compiled codegen cosines — no corpus
+    * shuffle; only (sample_id, cos) scalars reach the rank window. For a
+    * full-corpus audit swap the broadcast sample for the IVF cell index
+    * (candidates from probed cells only), same downstream plan.
+    */
+  def embKnnOutliers(s: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") % SampleMod === 0)
+      .select(col("vec_id").as("sid"), col("label").as("slabel"),
+        col("embedding").as("svec"))
+    val scored = Tables.loadSpread(s, dir, "embeddings").crossJoin(broadcast(sample))
+      .where(col("vec_id") =!= col("sid"))
+      .select(col("sid"), col("slabel"), col("vec_id").as("nid"),
+        cosE6(col("svec"), col("embedding")))
+    val wk = Window.partitionBy("sid").orderBy(col("cos_e6").desc, col("nid"))
+    scored.withColumn("nn_rank", row_number().over(wk))
+      .where(col("nn_rank") === KnnK)
+      .select(col("sid").as("vec_id"), col("slabel").as("label"),
+        col("cos_e6").as("knn_cos_e6"))
+      .orderBy(col("knn_cos_e6"), col("vec_id"))
+      .limit(OutlierK)
+  }
+
+  private val embKnnOutliersSql =
+    s"""WITH sample AS (
+       |  SELECT vec_id AS sid, label AS slabel, embedding AS svec
+       |  FROM embeddings WHERE vec_id % $SampleMod = 0),
+       |scored AS (
+       |  SELECT sid, slabel, e.vec_id AS nid,
+       |         CAST(floor((${cosSqlOf("s.svec", "e.embedding")}) * 1000000) AS BIGINT) AS cos_e6
+       |  FROM sample s CROSS JOIN embeddings e WHERE e.vec_id <> s.sid),
+       |ranked AS (
+       |  SELECT sid, slabel, cos_e6,
+       |         row_number() OVER (PARTITION BY sid ORDER BY cos_e6 DESC, nid) AS nn_rank
+       |  FROM scored)
+       |SELECT sid AS vec_id, slabel AS label, cos_e6 AS knn_cos_e6
+       |FROM ranked WHERE nn_rank = $KnnK
+       |ORDER BY knn_cos_e6, vec_id LIMIT $OutlierK""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
+    Q("emb_knn_outliers", embKnnOutliers, Some(embKnnOutliersSql)),
     Q("rp_project", rpProject, Some(rpProjectSql)),
     Q("dedup_semantic", semDedup, Some(semDedupSql)),
     Q("kmeans_train", kmeansTrain, Some(kmeansTrainSql)),

@@ -391,6 +391,36 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getLong(2)) <= 1000001L))
   }
 
+  test("ann recall eval agrees with a direct set intersection of the two retrievals") {
+    val rows = Similarity.annRecallEval(spark, sfDir).collect()
+    assert(rows.length == Similarity.NumQueries)
+    val exact = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val hits = (exact(qid) intersect lsh.getOrElse(qid, Set.empty)).size
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / Similarity.TopK)
+      val nnRank = r.getAs[Long]("nn_rank")
+      assert(nnRank >= 0 && nnRank <= Similarity.TopK)
+      assert(r.getAs[Long]("rr_ppm") ==
+        (if (nnRank > 0) 1000000L / nnRank else 0L))
+    }
+  }
+
+  test("knn outlier audit: sampled ids only, isolation-ascending, valid scores") {
+    val rows = Similarity.embKnnOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.OutlierK)
+    assert(rows.forall(_.getAs[Long]("vec_id") % Similarity.SampleMod == 0))
+    val scores = rows.map(_.getAs[Long]("knn_cos_e6"))
+    assert(scores.sameElements(scores.sorted), "most isolated first")
+    assert(scores.forall(s => math.abs(s) <= 1000001L))
+  }
+
   test("ann LSH top-k recall ≥ 0.9 on planted clusters") {
     // 3 clusters of 20 near-identical vectors + 40 noise vectors
     val dim = 64
