@@ -280,8 +280,143 @@ object Mining extends QueryPack {
       |       (s_tot - p) // (m - t) AS mean_after_c
       |FROM scored WHERE rk = 1 ORDER BY yr""".stripMargin
 
+  /** Holt smoothing weights as exact int/int-division doubles (a decimal
+    * literal would parse as DECIMAL in DuckDB — different arithmetic;
+    * CLAUDE.md model-weight rule): alpha = 3/10, beta = 1/10.
+    */
+  val HoltAlphaNum = 3
+  val HoltBetaNum  = 1
+  /** forecast horizon (days ahead) */
+  val HoltH = 7
+
+  private val holtAlpha = HoltAlphaNum.toDouble / 10
+  private val holtBeta  = HoltBetaNum.toDouble / 10
+
+  /** Holt's linear (double) exponential smoothing over each nation's daily
+    * order-revenue series, with an [[HoltH]]-day-ahead forecast — the
+    * engine's first FORECASTING operator. The recurrence
+    *
+    *   L' = a·x + (1−a)·(L+T);  T' = b·(L'−L) + (1−b)·T
+    *
+    * is an inherently sequential fold, so it runs as a compiled while-loop
+    * over each group's day-ordered value array; the DuckDB oracle replays
+    * the identical operation sequence with `list_reduce` over [L,T] pair
+    * state (same trick as the LSH dot products — every op is one correctly
+    * rounded IEEE double op in both engines, so the fold is bit-exact and
+    * the final floors hash-gate). Weights are exact int/10 doubles.
+    *
+    * 100 TB shape: the fact collapses to (nation × calendar-bounded days)
+    * in one partial aggregate; each group's fold state is the series
+    * (thousands of doubles) — group-local, no cross-group traffic. The
+    * group-partitioned collect is the standard per-entity-model shape
+    * (same as BPE/perceptron training).
+    */
+  def tsHoltForecast(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders")
+    val cu = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val na = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val daily = od
+      .join(broadcast(cu.join(na, col("c_nationkey") === col("n_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("v"))
+    val series = daily.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, v))), p -> CAST(p.v AS DOUBLE))")
+          .as("xs"))
+      .filter(col("n_days") >= 2)
+    val holt = udf { (xs: Seq[Double]) =>
+      var level = xs(0)
+      var trend = xs(1) - xs(0)
+      var i = 1
+      while (i < xs.length) {
+        val l2 = holtAlpha * xs(i) + (1 - holtAlpha) * (level + trend)
+        trend = holtBeta * (l2 - level) + (1 - holtBeta) * trend
+        level = l2
+        i += 1
+      }
+      (level, trend)
+    }
+    series.withColumn("lt", holt(col("xs")))
+      .select(
+        col("n_name"), col("n_days"),
+        floor(col("lt._1")).cast("long").as("level_c"),
+        floor(col("lt._2")).cast("long").as("trend_c"),
+        floor(col("lt._1") + lit(HoltH) * col("lt._2")).cast("long").as("fc7_c"))
+      .orderBy(col("n_name"))
+  }
+
+  private val tsHoltForecastSql = {
+    val a = s"(CAST($HoltAlphaNum AS DOUBLE) / 10)"
+    val b = s"(CAST($HoltBetaNum AS DOUBLE) / 10)"
+    // L' appears twice in the lambda (for itself and inside T'); both
+    // occurrences are the same expression tree, so both round identically
+    val lNew = s"$a * e[1] + (1 - $a) * (acc[1] + acc[2])"
+    s"""WITH daily AS (
+       |  SELECT n_name, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |series AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_days,
+       |         list([CAST(v AS DOUBLE), CAST(0 AS DOUBLE)] ORDER BY day) AS xs
+       |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+       |folded AS (
+       |  SELECT n_name, n_days,
+       |         list_reduce(
+       |           list_prepend([xs[1][1], xs[2][1] - xs[1][1]], xs[2:len(xs)]),
+       |           (acc, e) -> [$lNew,
+       |                        $b * (($lNew) - acc[1]) + (1 - $b) * acc[2]]) AS lt
+       |  FROM series)
+       |SELECT n_name, n_days,
+       |       CAST(floor(lt[1]) AS BIGINT) AS level_c,
+       |       CAST(floor(lt[2]) AS BIGINT) AS trend_c,
+       |       CAST(floor(lt[1] + $HoltH * lt[2]) AS BIGINT) AS fc7_c
+       |FROM folded ORDER BY n_name""".stripMargin
+  }
+
+  /** Day-of-week seasonality profile of lineitem revenue: per weekday slot
+    * (days-since-epoch mod 7 — pure integer arithmetic, so the slot never
+    * depends on either engine's DOW numbering; slot 4 = Sunday given epoch
+    * day 0 was a Thursday), the exact dollar total, day count, and the
+    * seasonal index vs the uniform-week expectation as integer ppm
+    * (total·7e6 // grand — dollars not cents keep the product far from
+    * 2^63 at any calendar-bounded scale).
+    *
+    * 100 TB shape: one partial-aggregate scan to 7 rows; the grand total
+    * is a broadcast 1-row join.
+    */
+  def tsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val byDow = li
+      .groupBy((datediff(to_date(col("l_shipdate")), lit("1970-01-01")) % 7).as("dow7"))
+      .agg(
+        count_distinct(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("n_days"),
+        sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("long")).as("total_d"))
+    byDow.crossJoin(broadcast(byDow.agg(sum(col("total_d")).as("grand_d"))))
+      .select(
+        col("dow7"), col("n_days"), col("total_d"),
+        expr("total_d * 7000000 div grand_d").as("idx_ppm"))
+      .orderBy(col("dow7"))
+  }
+
+  private val tsSeasonalitySql =
+    """WITH by_dow AS (
+      |  SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') % 7 AS dow7,
+      |         CAST(count(DISTINCT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d')) AS BIGINT) AS n_days,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS total_d
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(total_d) AS BIGINT) AS grand_d FROM by_dow)
+      |SELECT dow7, n_days, total_d, total_d * 7000000 // grand_d AS idx_ppm
+      |FROM by_dow CROSS JOIN tot ORDER BY dow7""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
-    Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)))
+    Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),
+    Q("ts_holt_forecast", tsHoltForecast, Some(tsHoltForecastSql)),
+    Q("ts_seasonality", tsSeasonality, Some(tsSeasonalitySql)))
 }

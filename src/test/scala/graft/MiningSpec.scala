@@ -1,6 +1,7 @@
 package graft
 
 import graft.analytics.Mining
+import org.apache.spark.sql.functions._
 
 /** Laws for the pattern-mining pack beyond the DuckDB hash gate: rule-measure
   * identities (confidence bounds, lift symmetry, support containment),
@@ -62,6 +63,42 @@ class MiningSpec extends SparkSpec {
       if (r.getAs[Long]("score") > 2 * m * m)
         assert(r.getAs[Long]("mean_before_c") != r.getAs[Long]("mean_after_c"))
     }
+  }
+
+  test("ts_holt_forecast: forecast is the linear level+trend extrapolation; flat series fixpoint") {
+    val rows = Mining.tsHoltForecast(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, t, f) = (r.getAs[Long]("level_c"), r.getAs[Long]("trend_c"),
+        r.getAs[Long]("fc7_c"))
+      // floors commute with the sum only up to 1 unit of floor loss
+      assert(math.abs(f - (l + Mining.HoltH * t)) <= Mining.HoltH + 1,
+        s"forecast must extrapolate level+h*trend, got l=$l t=$t f=$f")
+      assert(r.getAs[Long]("n_days") >= 2)
+    }
+    // law: on a constant series the recurrence is a fixpoint (L=x, T=0)
+    import spark.implicits._
+    val flat = Seq.fill(50)(1000.0)
+    val (lv, tr) = flat.indices.drop(1).foldLeft((flat.head, flat(1) - flat.head)) {
+      case ((level, trend), i) =>
+        val a = Mining.HoltAlphaNum.toDouble / 10
+        val b = Mining.HoltBetaNum.toDouble / 10
+        val l2 = a * flat(i) + (1 - a) * (level + trend)
+        (l2, b * (l2 - level) + (1 - b) * trend)
+    }
+    assert(lv == 1000.0 && tr == 0.0)
+  }
+
+  test("ts_seasonality: seven slots partition every ship day and indices average to 1e6") {
+    val rows = Mining.tsSeasonality(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("dow7")).sorted.sameElements(0 until 7))
+    val idx = rows.map(_.getAs[Long]("idx_ppm"))
+    // sum of floors of x_i*7e6/total with sum(x_i)=total: within 7 of 7e6
+    assert(math.abs(idx.sum - 7000000L) <= 7, s"indices sum ${idx.sum}")
+    val totalDays = rows.map(_.getAs[Long]("n_days")).sum
+    val distinctDays = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM-dd")).distinct().count()
+    assert(totalDays == distinctDays, "slots partition the day set")
   }
 
   test("mining queries are rerun-deterministic") {
