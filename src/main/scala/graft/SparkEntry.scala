@@ -22,6 +22,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Curation,
+    llm.Features,
     llm.Governance,
     llm.EntityResolution,
     ingest.IngestPack,
