@@ -690,7 +690,119 @@ object Governance extends QueryPack {
       .mkString("\nUNION ALL\n")
   }
 
+  /** l-diversity threshold: a QI group whose sensitive attribute takes
+    * fewer than this many distinct values is homogeneity-attackable even
+    * when k-anonymous
+    */
+  val LDivL = 3
+
+  /** l-diversity audit — the homogeneity-attack companion of
+    * [[kAnonAudit]]: k-anonymity only bounds group SIZE; if everyone in a
+    * 5-member QI group shares the same sensitive value, membership alone
+    * discloses it. Per QI group (nation, market segment) count the DISTINCT
+    * sensitive-attribute values (account-balance band, $2500 buckets via a
+    * portable floor of one correctly-rounded division — bands can be
+    * negative, so never integer `div`), then report per segment how many
+    * groups fall below [[LDivL]]-diversity and how many rows sit in them.
+    *
+    * 100 TB shape: a SINGLE distinct aggregate per group — the two-level
+    * HashAggregate rewrite, no Expand (CLAUDE.md's mixing rule); state is
+    * QI-cardinality-bounded.
+    */
+  def lDiversityAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(floor(col("c_acctbal") * 100).cast("long") / lit(250000.0))
+          .cast("long").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count_distinct(col("band")).as("ldiv"), count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("ldiv") < LDivL, 1L).otherwise(0L)).as("n_low_div_groups"),
+        sum(when(col("ldiv") < LDivL, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("ldiv")).as("min_diversity"))
+
+  private val lDiversityAuditSql =
+    s"""WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(count(DISTINCT CAST(floor(CAST(floor(c_acctbal * 100) AS BIGINT) / 250000.0) AS BIGINT)) AS BIGINT) AS ldiv,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_mktsegment, count(*) AS n_groups,
+      |       CAST(sum(CASE WHEN ldiv < $LDivL THEN 1 ELSE 0 END) AS BIGINT) AS n_low_div_groups,
+      |       CAST(sum(CASE WHEN ldiv < $LDivL THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |       CAST(min(ldiv) AS BIGINT) AS min_diversity
+      |FROM g GROUP BY c_mktsegment""".stripMargin
+
+  /** calibration deciles */
+  val CalBins = 10
+
+  /** Reliability diagram of the trained perceptron: rank-decile score bins
+    * (a score group's doubled midrank 2·cumb+c places the WHOLE group in
+    * one bin — deterministic under ties), each with its observed positive
+    * rate and floor-mean score. A well-calibrated monotone scorer shows
+    * pos_rate_ppm non-decreasing in bin — the eval every score-thresholding
+    * curation filter ([[qualityModelFilter]]) should be read against.
+    * Mean score uses the pmod floor-division identity (score sums can be
+    * negative; `div` truncation would diverge from the oracle's `//`).
+    *
+    * 100 TB shape: same histogram discipline as [[modelAuc]] — all rank
+    * arithmetic on the NDV-bounded score histogram, never a corpus sort.
+    */
+  def modelCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = ptTrajectory(s, dir).last._3
+    val sc = ptFeatures(s, dir).select(col("y"),
+      (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+        lit(w(2)) * col("x3") + lit(w(3)) * col("x4")).as("s"))
+    val hist = sc.groupBy("s").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumb", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("nt"))))
+      .withColumn("bin", expr(s"((2 * cumb + c) * $CalBins) div (2 * nt)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n"), sum(col("cp")).as("n_pos"),
+        sum(col("s") * col("c")).as("ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
+        expr("(ssum - pmod(ssum, n)) div n").as("mean_score"))
+      .orderBy(col("bin"))
+  }
+
+  private lazy val modelCalibrationSql =
+    s"""WITH $ptCtes,
+      |sc AS (
+      |  SELECT y, g$PtRounds.w1 * x1 + g$PtRounds.w2 * x2
+      |            + g$PtRounds.w3 * x3 + g$PtRounds.w4 * x4 AS s
+      |  FROM f, g$PtRounds),
+      |hist AS (
+      |  SELECT s, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      |  FROM sc GROUP BY s),
+      |r AS (
+      |  SELECT s, c, cp,
+      |         coalesce(CAST(sum(c) OVER (ORDER BY s
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb,
+      |         (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS nt
+      |  FROM hist),
+      |binned AS (
+      |  SELECT ((2 * cumb + c) * $CalBins) // (2 * nt) AS bin, c, cp, s
+      |  FROM r),
+      |agg AS (
+      |  SELECT bin, CAST(sum(c) AS BIGINT) AS n, CAST(sum(cp) AS BIGINT) AS n_pos,
+      |         CAST(sum(s * c) AS BIGINT) AS ssum
+      |  FROM binned GROUP BY 1)
+      |SELECT bin, n, n_pos, n_pos * 1000000 // n AS pos_rate_ppm,
+      |       (ssum - ((ssum % n + n) % n)) // n AS mean_score
+      |FROM agg ORDER BY bin""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("ldiversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),
+    Q("model_calibration", modelCalibration, Some(modelCalibrationSql)),
     Q("ri_audit", riAudit, Some(riAuditSql)),
     Q("drift_chi2", driftChi2, Some(driftChi2Sql)),
     Q("gdpr_erasure", gdprErasure, Some(gdprErasureSql)),

@@ -102,6 +102,44 @@ class LlmSpec extends SparkSpec {
     assert(np + nn == total, "every document is ranked")
   }
 
+  test("ldiversity_audit: a homogeneous QI group is flagged even when k-anonymous") {
+    import graft.llm.Governance
+    // segment A, nation 1: 6 members all in the SAME balance band (k-anonymous
+    // at k=5 but 1-diverse -> flagged); segment B, nation 2: 6 members across
+    // 3 bands (clean)
+    val rows = (1 to 6).map(i => (i.toLong, 1L, 100.0, "A")) ++
+      (7 to 12).map(i => (i.toLong, 2L, i * 3000.0, "B"))
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ldiv/customer.parquet")
+    val out = Governance.lDiversityAudit(spark, "/tmp/graft_test_ldiv").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") == ((1L, 1L, 6L, 1L)), s"""got ${out("A")}""")
+    val (bGroups, bLow, bRisk, bMin) = out("B")
+    assert(bGroups == 1L && bLow == 0L && bRisk == 0L && bMin >= Governance.LDivL,
+      s"""got ${out("B")}""")
+  }
+
+  test("model_calibration: deciles partition the corpus and rates are probabilities") {
+    import graft.llm.Governance
+    val rows = Governance.modelCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Governance.CalBins)
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "bins partition the corpus")
+    rows.foreach { r =>
+      val (n, np, rate) = (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("pos_rate_ppm"))
+      assert(np >= 0 && np <= n)
+      assert(rate == np * 1000000L / n)
+      // floor-mean bounded by the bin's score support
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") < Governance.CalBins)
+    }
+    // bins arrive in rank order: mean scores must be non-decreasing
+    val means = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Long]("mean_score"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      "rank-binned mean scores are monotone")
+  }
+
   test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
     import graft.llm.Governance
     // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
