@@ -413,7 +413,107 @@ object Mining extends QueryPack {
       |SELECT dow7, n_days, total_d, total_d * 7000000 // grand_d AS idx_ppm
       |FROM by_dow CROSS JOIN tot ORDER BY dow7""".stripMargin
 
+  /** DBSCAN-style density threshold: a grid cell with at least this many
+    * points is dense
+    */
+  val DbMinPts = 4
+
+  /** Grid-density clustering (the GriDBSCAN/STING shape) over part
+    * economics: quantize (retail price → $10 cells, size → unit cells),
+    * keep cells with ≥ [[DbMinPts]] points, and merge 8-adjacent dense
+    * cells into clusters labeled by their minimum encoded cell id; points
+    * in non-dense cells are the noise row (cluster_id −1). Cluster merging
+    * runs as driver union-find over the DENSE-CELL adjacency — bounded by
+    * the grid AREA, never the point count (the same metadata-scale argument
+    * as Dedup's union-find fast path; a 100 TB corpus still quantizes into
+    * the same fixed grid). The oracle replays the merge as a recursive
+    * min-label closure over the identical adjacency.
+    *
+    * 100 TB shape: one partial-aggregated fact scan to grid-area-bounded
+    * cell counts; everything after is cell-scale. The per-cluster stats
+    * join is a broadcast of the cell→cluster map.
+    */
+  def clusterGridDensity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "part")
+      .select(floor(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("cy"))
+      .select(expr("cents div 1000").as("cx"), col("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      .cache()
+    val dense = cells.filter(col("n") >= DbMinPts)
+    val local = dense.select("cx", "cy").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val idOf = local.map { case (x, y) => (x, y) -> (x * 1000 + y) }.toMap
+    val parent = scala.collection.mutable.Map(idOf.values.map(v => v -> v).toSeq: _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      var c = v
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for ((x, y) <- local; dx <- -1L to 1L; dy <- -1L to 1L
+         if (dx, dy) != ((0L, 0L)); nb <- idOf.get((x + dx, y + dy))) {
+      val (ra, rb) = (find(idOf((x, y))), find(nb))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = s.createDataFrame(
+      local.map { case (x, y) => (x, y, find(idOf((x, y)))) }.toSeq)
+      .toDF("cx", "cy", "cluster_id")
+    val clustered = dense.join(broadcast(labels), Seq("cx", "cy"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"),
+        min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+        min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"))
+    val noise = cells.filter(col("n") < DbMinPts)
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(sum(col("n")), lit(0L)).as("n_points"),
+        coalesce(min(col("cx")), lit(0L)).as("min_cx"),
+        coalesce(max(col("cx")), lit(0L)).as("max_cx"),
+        coalesce(min(col("cy")), lit(0L)).as("min_cy"),
+        coalesce(max(col("cy")), lit(0L)).as("max_cy"))
+      .select(lit(-1L).as("cluster_id"), col("n_cells"), col("n_points"),
+        col("min_cx"), col("max_cx"), col("min_cy"), col("max_cy"))
+    val out = clustered.unionAll(noise).orderBy(col("cluster_id"))
+    val rows = out.collect()
+    cells.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val clusterGridDensitySql =
+    s"""WITH RECURSIVE cells AS (
+       |  SELECT CAST(floor(p_retailprice * 100) AS BIGINT) // 1000 AS cx,
+       |         CAST(p_size AS BIGINT) AS cy, CAST(count(*) AS BIGINT) AS n
+       |  FROM part GROUP BY 1, 2),
+       |dense AS (SELECT * FROM cells WHERE n >= $DbMinPts),
+       |e AS (
+       |  SELECT a.cx * 1000 + a.cy AS src, b.cx * 1000 + b.cy AS dst
+       |  FROM dense a JOIN dense b
+       |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       |   AND (a.cx <> b.cx OR a.cy <> b.cy)),
+       |reach(cell, comp) AS (
+       |  SELECT cx * 1000 + cy, cx * 1000 + cy FROM dense
+       |  UNION
+       |  SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.cell),
+       |lab AS (SELECT cell, min(comp) AS cluster_id FROM reach GROUP BY cell),
+       |clustered AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(sum(n) AS BIGINT) AS n_points,
+       |         min(cx) AS min_cx, max(cx) AS max_cx,
+       |         min(cy) AS min_cy, max(cy) AS max_cy
+       |  FROM dense JOIN lab ON cell = cx * 1000 + cy
+       |  GROUP BY 1),
+       |noise AS (
+       |  SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+       |         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points,
+       |         coalesce(min(cx), 0) AS min_cx, coalesce(max(cx), 0) AS max_cx,
+       |         coalesce(min(cy), 0) AS min_cy, coalesce(max(cy), 0) AS max_cy
+       |  FROM cells WHERE n < $DbMinPts)
+       |SELECT * FROM clustered UNION ALL SELECT * FROM noise
+       |ORDER BY cluster_id""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("cluster_grid_density", clusterGridDensity, Some(clusterGridDensitySql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),

@@ -101,6 +101,35 @@ class MiningSpec extends SparkSpec {
     assert(totalDays == distinctDays, "slots partition the day set")
   }
 
+  test("cluster_grid_density: points conserved, noise row present, separation holds") {
+    val rows = Mining.clusterGridDensity(spark, sfDir).collect()
+    val noise = rows.filter(_.getAs[Long]("cluster_id") == -1L)
+    assert(noise.length == 1, "exactly one noise row")
+    val total = Tables.load(spark, sfDir, "part").count()
+    assert(rows.map(_.getAs[Long]("n_points")).sum == total,
+      "clusters + noise partition the points")
+    val clusters = rows.filter(_.getAs[Long]("cluster_id") >= 0)
+    clusters.foreach { r =>
+      // label is the min encoded cell id -> must sit inside the bbox
+      val (cx, cy) = (r.getAs[Long]("cluster_id") / 1000,
+        r.getAs[Long]("cluster_id") % 1000)
+      assert(cx >= r.getAs[Long]("min_cx") && cx <= r.getAs[Long]("max_cx"))
+      assert(cy >= r.getAs[Long]("min_cy") && cy <= r.getAs[Long]("max_cy"))
+      assert(r.getAs[Long]("n_points") >= Mining.DbMinPts * r.getAs[Long]("n_cells") ||
+        r.getAs[Long]("n_cells") == 0)
+    }
+    // recompute the dense-cell set locally: two DIFFERENT clusters may never
+    // hold 8-adjacent dense cells (otherwise union-find should have merged)
+    val cells = Tables.load(spark, sfDir, "part")
+      .select((floor(col("p_retailprice") * 100).cast("long") / 1000).cast("long").as("cx"),
+        col("p_size").cast("long").as("cy"))
+      .groupBy("cx", "cy").count()
+      .filter(col("count") >= Mining.DbMinPts)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dense = cells.toSet
+    assert(clusters.map(_.getAs[Long]("n_cells")).sum == dense.size)
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
