@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -512,8 +512,98 @@ object Mining extends QueryPack {
        |SELECT * FROM clustered UNION ALL SELECT * FROM noise
        |ORDER BY cluster_id""".stripMargin
 
+  /** Kaplan-Meier survival analysis of time-to-first-purchase: each user's
+    * clock starts at their first event; a "death" is the first purchase day
+    * offset, users with no purchase are right-censored at their last
+    * observed day — the estimator that handles censoring correctly where a
+    * naive mean-time-to-purchase is biased. The product-limit curve
+    *
+    *   S(t_i) = prod_{j<=i} (1 − d_j / n_j)
+    *
+    * over death times is an inherently sequential product; it folds
+    * left-to-right in a compiled UDF over the day-ordered curve array and
+    * the oracle replays the SAME order via per-row prefix `list_reduce`
+    * (the Holt discipline: every factor is one correctly-rounded divide +
+    * subtract, every product step one rounded multiply — bit-exact in both
+    * engines, so even the survival probabilities hash-gate). Risk counts
+    * are pure integer window arithmetic.
+    *
+    * 100 TB shape: one fact scan collapses to per-user (start, death,
+    * censor) rows, a second aggregate to the calendar-bounded day curve;
+    * the fold is curve-scale. Emits one row per death time.
+    */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val per = ev.groupBy(col("user_id")).agg(
+      min(to_date(col("ts"))).as("d0"),
+      min(when(col("event_type") === "purchase", to_date(col("ts")))).as("dp"),
+      max(to_date(col("ts"))).as("dl"))
+    val obs = per.select(
+      when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+        .otherwise(datediff(col("dl"), col("d0"))).cast("long").as("t"),
+      when(col("dp").isNotNull, 1L).otherwise(0L).as("death"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("death")).as("d"))
+    val curve = byT
+      .crossJoin(broadcast(byT.agg(sum(col("c")).as("tot"))))
+      .repartition(1)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cb", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("t"), (col("tot") - col("cb")).as("n_risk"), col("d"))
+      .filter(col("d") > 0)
+    val km = udf { (rows: Seq[Row]) =>
+      var surv = 1.0
+      rows.map { r =>
+        val (t, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        surv = surv * (1.0 - d.toDouble / n.toDouble)
+        (t, n, d, math.floor(surv * 1e6).toLong)
+      }
+    }
+    curve.agg(expr("sort_array(collect_list(struct(t, n_risk, d)))").as("cv"))
+      .select(explode(km(col("cv"))).as("r"))
+      .select(col("r._1").as("t"), col("r._2").as("n_risk"),
+        col("r._3").as("d"), col("r._4").as("s_e6"))
+      .orderBy(col("t"))
+  }
+
+  private val survivalKmSql =
+    """WITH per AS (
+      |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0,
+      |         min(CASE WHEN event_type = 'purchase'
+      |                  THEN CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS dp,
+      |         max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dl
+      |  FROM events GROUP BY 1),
+      |obs AS (
+      |  SELECT CAST(CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS BIGINT) AS t,
+      |         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS death
+      |  FROM per),
+      |byt AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c, CAST(sum(death) AS BIGINT) AS d
+      |  FROM obs GROUP BY 1),
+      |cum AS (
+      |  SELECT t, c, d,
+      |         CAST(coalesce(sum(c) OVER (ORDER BY t
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+      |         (SELECT CAST(sum(c) AS BIGINT) FROM byt) AS tot
+      |  FROM byt),
+      |deaths AS (
+      |  SELECT t, tot - cb AS n_risk, d,
+      |         CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+      |  FROM cum WHERE d > 0),
+      |fl AS (
+      |  SELECT list(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) ORDER BY t) AS fs
+      |  FROM deaths)
+      |SELECT t, n_risk, d,
+      |       CAST(floor(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:i]),
+      |                              (a, b) -> a * b) * 1000000) AS BIGINT) AS s_e6
+      |FROM deaths CROSS JOIN fl
+      |ORDER BY t""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("cluster_grid_density", clusterGridDensity, Some(clusterGridDensitySql)),
+    Q("survival_km", survivalKm, Some(survivalKmSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),

@@ -211,7 +211,52 @@ object Features extends QueryPack {
        |FROM res GROUP BY 1, 2, 3 ORDER BY fold""".stripMargin
   }
 
+  /** export shards */
+  val ManifestShards = 16
+
+  /** Training-data export manifest: the integrity sidecar a 100 TB corpus
+    * ships with so the trainer can verify every shard before reading it.
+    * Rows shard by portable md5 of the key; each shard row carries exact
+    * row/char counts, the id range, and an ORDER-FREE content checksum (sum
+    * of per-row 32-bit md5 halves over id+length+text — commutative, so
+    * partial aggregation and any partitioning produce the same digest).
+    * A re-export after any mutation (erasure, dedup, redaction) changes
+    * exactly the affected shards' checksums.
+    *
+    * 100 TB shape: one map-side hash pass, a [[ManifestShards]]-row
+    * partial-aggregated reduce. Nothing else moves.
+    */
+  def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(concat_ws(":",
+          col("doc_id"), col("n_chars"), md5(col("text")))), 1, 8), 16, 10)
+          .cast("long").as("rh"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % ManifestShards).as("shard"))
+    docs.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("rh")).as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  private val exportManifestSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR) || ':' || md5(text)), 1, 8) AS BIGINT) AS rh,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % $ManifestShards AS shard
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |       CAST(sum(rh) AS BIGINT) AS checksum
+       |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("export_manifest", exportManifest, Some(exportManifestSql)),
     Q("target_encode_loo", targetEncodeLoo, Some(targetEncodeLooSql)),
     Q("feature_hash_export", featureHashExport, Some(featureHashExportSql)),
     Q("cv_kfold_ols", cvKfoldOls, Some(cvKfoldOlsSql)))

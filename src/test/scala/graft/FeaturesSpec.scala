@@ -43,6 +43,29 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("export manifest: shards partition the corpus and checksums replay the md5 twin") {
+    val rows = Features.exportManifest(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total, "shards partition the corpus")
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length == rows.length)
+    // driver-side MessageDigest twin of the shard assignment + row hash
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars", "text").collect()
+    val local = docs.groupBy(d => h32(d.getLong(0).toString) % Features.ManifestShards)
+      .view.mapValues(ds => (ds.length.toLong,
+        ds.map(d => h32(s"${d.getLong(0)}:${d.getLong(1)}:${md5hex(d.getString(2))}")).sum))
+      .toMap
+    rows.foreach { r =>
+      val (n, ck) = local(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("checksum") == ck, "order-free checksum replays")
+    }
+  }
+
   test("k-fold CV: folds partition the fact, train+test = total, MSE consistent") {
     val rows = Features.cvKfoldOls(spark, sfDir).collect()
     assert(rows.length == Features.CvK)

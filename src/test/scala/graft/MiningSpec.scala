@@ -130,6 +130,24 @@ class MiningSpec extends SparkSpec {
     assert(clusters.map(_.getAs[Long]("n_cells")).sum == dense.size)
   }
 
+  test("survival_km: survival is a non-increasing probability, risk sets shrink, first step exact") {
+    val rows = Mining.survivalKm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byT = rows.sortBy(_.getAs[Long]("t"))
+    byT.foreach { r =>
+      assert(r.getAs[Long]("d") >= 1 && r.getAs[Long]("d") <= r.getAs[Long]("n_risk"))
+      assert(r.getAs[Long]("s_e6") >= 0 && r.getAs[Long]("s_e6") <= 1000000L)
+    }
+    val s = byT.map(_.getAs[Long]("s_e6"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b }, "S never increases")
+    val n = byT.map(_.getAs[Long]("n_risk"))
+    assert(n.zip(n.tail).forall { case (a, b) => a > b }, "risk set strictly shrinks past each death time")
+    val first = byT.head
+    val expected = math.floor(
+      (1.0 - first.getAs[Long]("d").toDouble / first.getAs[Long]("n_risk").toDouble) * 1e6).toLong
+    assert(first.getAs[Long]("s_e6") == expected, "first product-limit step replays")
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
