@@ -1157,6 +1157,74 @@ object Analytics extends QueryPack {
       |FROM (SELECT * FROM arms WHERE arm = 0) a0,
       |     (SELECT * FROM arms WHERE arm = 1) a1""".stripMargin
 
+  /** A/B conversion significance: the 2×2 chi-square test on per-arm
+    * converter counts (a user converts if they purchased at least once).
+    * The statistic
+    *
+    *   chi2 = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * is computed as ONE double division of two exact int64 products (cell
+    * counts are user-domain-bounded, so n·det² < 2^53 and the 4-margin
+    * product < 2^63 — both operands integer-exact, the lone division
+    * correctly rounded → bit-equal cross-engine), emitted as floor-milli
+    * with the 3.841 critical-value verdict (alpha = 0.05, df = 1) as an
+    * integer flag. The decision an experimentation readout actually needs
+    * on top of [[abLift]]'s point estimate.
+    *
+    * 100 TB shape: same as abLift — per-user aggregate, then a 2-row
+    * reduce; the test itself is O(1).
+    */
+  def abSignificance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    // conversion = at least one HIGH-VALUE purchase (value >= 200): nearly
+    // every user purchases something, which would empty the non-converter
+    // margin and make the test degenerate
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+    val cells = perUser.groupBy(col("arm"))
+      .agg(sum(col("conv")).as("conv"),
+        sum(lit(1L) - col("conv")).as("nonconv"))
+    val a0 = cells.where(col("arm") === 0)
+      .select(col("conv").as("a"), col("nonconv").as("b"))
+    val a1 = cells.where(col("arm") === 1)
+      .select(col("conv").as("c"), col("nonconv").as("d"))
+    a0.crossJoin(a1)
+      .select(
+        col("a").as("n_conv_0"), col("b").as("n_nonconv_0"),
+        col("c").as("n_conv_1"), col("d").as("n_nonconv_1"),
+        expr("a * 1000000 div (a + b)").as("conv0_ppm"),
+        expr("c * 1000000 div (c + d)").as("conv1_ppm"),
+        expr("""CAST(floor(CAST((a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+               | / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) * 1000) AS BIGINT)"""
+          .stripMargin).as("chi2_milli"))
+      .withColumn("significant_05", when(col("chi2_milli") >= 3841L, 1L).otherwise(0L))
+  }
+
+  private val abSignificanceSql =
+    """WITH pu AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |         CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT arm, CAST(sum(conv) AS BIGINT) AS conv,
+      |         CAST(sum(1 - conv) AS BIGINT) AS nonconv
+      |  FROM pu GROUP BY arm),
+      |t AS (
+      |  SELECT a0.conv AS a, a0.nonconv AS b, a1.conv AS c, a1.nonconv AS d
+      |  FROM (SELECT * FROM cells WHERE arm = 0) a0,
+      |       (SELECT * FROM cells WHERE arm = 1) a1)
+      |SELECT a AS n_conv_0, b AS n_nonconv_0, c AS n_conv_1, d AS n_nonconv_1,
+      |       a * 1000000 // (a + b) AS conv0_ppm,
+      |       c * 1000000 // (c + d) AS conv1_ppm,
+      |       CAST(floor(CAST((a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+      |         / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) * 1000) AS BIGINT) AS chi2_milli,
+      |       CAST(CASE WHEN CAST(floor(CAST((a + b + c + d) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+      |         / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) * 1000) AS BIGINT) >= 3841
+      |            THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+      |FROM t""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -1767,6 +1835,7 @@ object Analytics extends QueryPack {
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
     Q("ab_lift", abLift, Some(abLiftSql)),
+    Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

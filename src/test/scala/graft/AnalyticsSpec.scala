@@ -9,6 +9,23 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("ab_significance: margins partition users and the chi-square identity replays") {
+    val r = Analytics.abSignificance(spark, sfDir).collect().head
+    val (a, b, c, d) = (r.getAs[Long]("n_conv_0"), r.getAs[Long]("n_nonconv_0"),
+      r.getAs[Long]("n_conv_1"), r.getAs[Long]("n_nonconv_1"))
+    val users = Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(a + b + c + d == users, "cells partition the user base")
+    assert(r.getAs[Long]("conv0_ppm") == a * 1000000 / (a + b))
+    assert(r.getAs[Long]("conv1_ppm") == c * 1000000 / (c + d))
+    val n = (a + b + c + d).toDouble
+    val det = (a * d - b * c).toDouble
+    val chi2 = n * det * det / ((a + b) * (c + d) * (a + c) * (b + d)).toDouble
+    assert(r.getAs[Long]("chi2_milli") == math.floor(chi2 * 1000).toLong)
+    assert(r.getAs[Long]("significant_05") ==
+      (if (r.getAs[Long]("chi2_milli") >= 3841L) 1L else 0L))
+  }
+
   test("A1 volatility = stddev of consecutive diffs within a day") {
     // one user, one day, values 1, 3, 2 → diffs (2, -1) → stddev_samp ≈ 2.12132
     val ev = Seq(
