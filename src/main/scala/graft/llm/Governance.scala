@@ -800,7 +800,86 @@ object Governance extends QueryPack {
       |       (ssum - ((ssum % n + n) % n)) // n AS mean_score
       |FROM agg ORDER BY bin""".stripMargin
 
+  /** Isotonic-regression calibration (PAV) of the perceptron's reliability
+    * curve, via the minimax closed form instead of the sequential
+    * pool-adjacent-violators loop:
+    *
+    *   fit(i) = max_{j<=i} min_{k>=i} wavg(pos_rate over bins [j, k])
+    *
+    * which makes the whole fit RELATIONAL — a triple self-join over the
+    * [[CalBins]]-row bin relation, two min/max aggregates, no iteration,
+    * no driver state. Interval averages are exact-integer ratios; their
+    * double quotients order EXACTLY here (two distinct rationals with
+    * these operand bounds differ by >> 1 ulp), so min/max pick the same
+    * interval in both engines and the emitted floor-ppm hash-gates.
+    * Output: the raw (possibly non-monotone) rate next to the isotonic
+    * fit — the monotone score→probability map a production calibrator
+    * serves.
+    *
+    * 100 TB shape: everything downstream of the score histogram is
+    * bin-count-scale (the cubic triple-join is over [[CalBins]] rows —
+    * constant); the histogram itself is the modelCalibration shape.
+    */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val bins = modelCalibration(s, dir)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .repartition(1)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cn", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid").orderBy("bin")))
+      .withColumn("cp", sum(col("n_pos")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid").orderBy("bin")))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("cn") - col("n")).as("cbn"), (col("cp") - col("n_pos")).as("cbp"),
+        col("cn"), col("cp"))
+      .cache()
+    val i = bins.select(col("bin").as("i"), col("n"), col("n_pos"))
+    val j = bins.select(col("bin").as("j"), col("cbn"), col("cbp"))
+    val k = bins.select(col("bin").as("k"), col("cn"), col("cp"))
+    val fits = i.join(j, col("j") <= col("i"))
+      .join(k, col("k") >= col("i"))
+      .select(col("i"), col("j"), col("n"), col("n_pos"),
+        ((col("cp") - col("cbp")).cast("double") / (col("cn") - col("cbn")))
+          .as("frac"))
+      .groupBy(col("i"), col("j"), col("n"), col("n_pos"))
+      .agg(min(col("frac")).as("mn"))
+      .groupBy(col("i"), col("n"), col("n_pos"))
+      .agg(max(col("mn")).as("fit"))
+    val out = fits.select(
+      col("i").as("bin"), col("n"), col("n_pos"),
+      expr("n_pos * 1000000 div n").as("raw_ppm"),
+      floor(col("fit") * 1000000).cast("long").as("iso_ppm"))
+      .orderBy(col("bin"))
+    val rows = out.collect()
+    bins.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private lazy val isotonicCalibrationSql =
+    s"""WITH cal AS ($modelCalibrationSql),
+      |bins AS (
+      |  SELECT bin, n, n_pos,
+      |         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) - n AS cbn,
+      |         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) - n_pos AS cbp,
+      |         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+      |         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      |  FROM cal),
+      |m1 AS (
+      |  SELECT i.bin AS i, j.bin AS j, i.n AS n, i.n_pos AS n_pos,
+      |         min(CAST(k.cp - j.cbp AS DOUBLE) / (k.cn - j.cbn)) AS mn
+      |  FROM bins i
+      |  JOIN bins j ON j.bin <= i.bin
+      |  JOIN bins k ON k.bin >= i.bin
+      |  GROUP BY 1, 2, 3, 4),
+      |fit AS (
+      |  SELECT i AS bin, n, n_pos, max(mn) AS f
+      |  FROM m1 GROUP BY 1, 2, 3)
+      |SELECT bin, n, n_pos, n_pos * 1000000 // n AS raw_ppm,
+      |       CAST(floor(f * 1000000) AS BIGINT) AS iso_ppm
+      |FROM fit ORDER BY bin""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("isotonic_calibration", isotonicCalibration, Some(isotonicCalibrationSql)),
     Q("ldiversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),
     Q("model_calibration", modelCalibration, Some(modelCalibrationSql)),
     Q("ri_audit", riAudit, Some(riAuditSql)),

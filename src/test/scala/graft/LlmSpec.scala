@@ -140,6 +140,35 @@ class LlmSpec extends SparkSpec {
       "rank-binned mean scores are monotone")
   }
 
+  test("isotonic_calibration: fit is monotone, bounded, and PAV-equivalent") {
+    import graft.llm.Governance
+    val rows = Governance.isotonicCalibration(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.length <= Governance.CalBins && rows.nonEmpty)
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, "isotonic fit is monotone")
+    assert(iso.forall(v => v >= 0 && v <= 1000000L))
+    // PAV reference: pool-adjacent-violators on the same (n, n_pos) bins
+    case class Block(var n: Long, var p: Long)
+    val st = scala.collection.mutable.Stack[Block]()
+    rows.foreach { r =>
+      st.push(Block(r.getAs[Long]("n"), r.getAs[Long]("n_pos")))
+      while (st.size >= 2 && {
+        val top = st(0); val below = st(1)
+        top.p * below.n <= below.p * top.n  // top avg <= below avg -> pool
+      }) { val t = st.pop(); st(0).n += t.n; st(0).p += t.p }
+    }
+    val pav = st.toList.reverse.flatMap(b =>
+      List.fill(b.n.toInt)(b.p.toDouble / b.n))  // per-ROW fitted rate
+    // expand engine fit per row and compare floors
+    val engine = rows.flatMap(r =>
+      List.fill(r.getAs[Long]("n").toInt)(r.getAs[Long]("iso_ppm")))
+    assert(engine.length == pav.length)
+    engine.zip(pav).foreach { case (e, p) =>
+      assert(e == math.floor(p * 1e6).toLong, "minimax form equals sequential PAV")
+    }
+  }
+
   test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
     import graft.llm.Governance
     // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
