@@ -601,8 +601,57 @@ object Mining extends QueryPack {
       |FROM deaths CROSS JOIN fl
       |ORDER BY t""".stripMargin
 
+  /** BFS hop limit for [[recursiveSqlReach]] */
+  val RecHops = 3
+
+  /** the recursive BFS text shared VERBATIM by both engines — Spark 4.1's
+    * `WITH RECURSIVE` (UNION ALL + per-level `SELECT DISTINCT`) and
+    * DuckDB's dialect intersect exactly on this query. The per-level
+    * DISTINCT is the termination/size discipline: the recursion carries a
+    * deduped FRONTIER per hop (state ≤ nodes × hops), never the path
+    * multiset a naive UNION ALL walk explodes into.
+    */
+  private def reachSqlFor(orders: String, lineitem: String): String =
+    s"""WITH RECURSIVE cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+       |  FROM $orders JOIN $lineitem ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT c * 2 AS u, sk * 2 + 1 AS v FROM cs
+       |  UNION ALL
+       |  SELECT sk * 2 + 1 AS u, c * 2 AS v FROM cs),
+       |walk(node, hop) AS (
+       |  SELECT DISTINCT u, 0 FROM e WHERE u % 2 = 0 AND u < 20
+       |  UNION ALL
+       |  SELECT DISTINCT e.v, w.hop + 1
+       |  FROM walk w JOIN e ON e.u = w.node WHERE w.hop < $RecHops),
+       |m AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM m GROUP BY hop ORDER BY hop""".stripMargin
+
+  /** Graph reachability expressed as a SINGLE recursive SQL query — the
+    * SQL:1999 hierarchical-query surface (Spark 4.1 `WITH RECURSIVE`),
+    * dialect-identical to the oracle: the same statement text runs on both
+    * engines. Semantically the same per-hop frontier BFS as
+    * [[Graph.reach]] (seeds: customers with key < 10, [[RecHops]] hops,
+    * min-hop labeling), but driven entirely by the engine's recursion
+    * operator instead of a driver loop — proving the engine serves
+    * recursive analytics to plain-SQL clients (Thrift/JDBC included).
+    *
+    * 100 TB shape: each recursion level is one join + distinct of the
+    * node-sized frontier against the edge relation — the same per-round
+    * cost as the hand-rolled BFS; recursion state is frontier-bounded by
+    * the per-level DISTINCT.
+    */
+  def recursiveSqlReach(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_rec")
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_rec")
+    s.sql(reachSqlFor("orders_rec", "lineitem_rec"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("cluster_grid_density", clusterGridDensity, Some(clusterGridDensitySql)),
+    Q("recursive_sql_reach", recursiveSqlReach,
+      Some(reachSqlFor("orders", "lineitem"))),
     Q("survival_km", survivalKm, Some(survivalKmSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),

@@ -148,6 +148,15 @@ class MiningSpec extends SparkSpec {
     assert(first.getAs[Long]("s_e6") == expected, "first product-limit step replays")
   }
 
+  test("recursive_sql_reach equals the DataFrame-loop BFS exactly") {
+    val sqlSide = Mining.recursiveSqlReach(spark, sfDir).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val loopSide = graft.analytics.Graph.reach(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlSide == loopSide,
+      s"recursive CTE $sqlSide must equal frontier BFS $loopSide")
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
