@@ -1225,6 +1225,89 @@ object Analytics extends QueryPack {
       |            THEN 1 ELSE 0 END AS BIGINT) AS significant_05
       |FROM t""".stripMargin
 
+  /** mix-shift comparison years */
+  val MixY1 = 1996
+  val MixY2 = 1997
+
+  /** Kitagawa / mix-shift decomposition of the year-over-year change in
+    * average order value by market segment: for each segment the change
+    * contribution splits into
+    *
+    *   mix  = (w2 − w1)·r1      (the segment's share moved)
+    *   rate = w1·(r2 − r1)      (the segment's own average moved)
+    *   inter = (w2 − w1)·(r2 − r1)
+    *
+    * with w = segment share of orders and r = segment average value — the
+    * standard answer to "did revenue/order change because the business
+    * shifted toward pricier segments, or because segments themselves got
+    * pricier?". Shares/rates are single correctly-rounded divisions of
+    * exact integer sums and the effects fixed short op sequences, so the
+    * floor-milli-cent outputs hash-gate; the additive identity
+    * (Σ effects = Δ overall) is spec-pinned with floor tolerance.
+    *
+    * 100 TB shape: one fact scan → (segment × 2 years) sufficient stats
+    * (partial-aggregated), two 1-row year totals broadcast back. Segment
+    * domain bounds everything downstream.
+    */
+  def mixShiftDecomp(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders")
+    val cu = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val base = od.filter(year(col("o_orderdate")).isin(MixY1, MixY2))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        sum(when(year(col("o_orderdate")) === MixY1, 1L).otherwise(0L)).as("n1"),
+        sum(when(year(col("o_orderdate")) === MixY1,
+          floor(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("s1"),
+        sum(when(year(col("o_orderdate")) === MixY2, 1L).otherwise(0L)).as("n2"),
+        sum(when(year(col("o_orderdate")) === MixY2,
+          floor(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("s2"))
+    base.crossJoin(broadcast(base.agg(
+        sum(col("n1")).as("tn1"), sum(col("n2")).as("tn2"))))
+      .select(
+        col("segment"), col("n1"), col("n2"),
+        expr("n1 * 1000000 div tn1").as("share1_ppm"),
+        expr("n2 * 1000000 div tn2").as("share2_ppm"),
+        expr("s1 div n1").as("rate1_c"),
+        expr("s2 div n2").as("rate2_c"),
+        expr("""CAST(floor((CAST(n2 AS DOUBLE) / tn2 - CAST(n1 AS DOUBLE) / tn1)
+               | * (CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT)""".stripMargin)
+          .as("mix_mc"),
+        expr("""CAST(floor((CAST(n1 AS DOUBLE) / tn1)
+               | * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT)"""
+          .stripMargin).as("rate_mc"),
+        expr("""CAST(floor((CAST(n2 AS DOUBLE) / tn2 - CAST(n1 AS DOUBLE) / tn1)
+               | * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT)"""
+          .stripMargin).as("inter_mc"))
+      .orderBy(col("segment"))
+  }
+
+  private val mixShiftDecompSql =
+    s"""WITH base AS (
+      |  SELECT c_mktsegment AS segment,
+      |         CAST(sum(CASE WHEN year(o_orderdate) = $MixY1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN year(o_orderdate) = $MixY1
+      |                       THEN CAST(floor(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+      |         CAST(sum(CASE WHEN year(o_orderdate) = $MixY2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |         CAST(sum(CASE WHEN year(o_orderdate) = $MixY2
+      |                       THEN CAST(floor(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN ($MixY1, $MixY2)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS tn1, CAST(sum(n2) AS BIGINT) AS tn2 FROM base)
+      |SELECT segment, n1, n2,
+      |       n1 * 1000000 // tn1 AS share1_ppm,
+      |       n2 * 1000000 // tn2 AS share2_ppm,
+      |       s1 // n1 AS rate1_c,
+      |       s2 // n2 AS rate2_c,
+      |       CAST(floor((CAST(n2 AS DOUBLE) / tn2 - CAST(n1 AS DOUBLE) / tn1)
+      |         * (CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT) AS mix_mc,
+      |       CAST(floor((CAST(n1 AS DOUBLE) / tn1)
+      |         * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT) AS rate_mc,
+      |       CAST(floor((CAST(n2 AS DOUBLE) / tn2 - CAST(n1 AS DOUBLE) / tn1)
+      |         * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT) AS inter_mc
+      |FROM base CROSS JOIN tot ORDER BY segment""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -1836,6 +1919,7 @@ object Analytics extends QueryPack {
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
     Q("ab_lift", abLift, Some(abLiftSql)),
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
+    Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

@@ -26,6 +26,33 @@ class AnalyticsSpec extends SparkSpec {
       (if (r.getAs[Long]("chi2_milli") >= 3841L) 1L else 0L))
   }
 
+  test("mix_shift_decomp: Kitagawa effects sum to the overall rate change") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.mixShiftDecomp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild exact sufficient stats from the emitted integer columns
+    val (tn1, tn2) = (rows.map(_.getAs[Long]("n1")).sum, rows.map(_.getAs[Long]("n2")).sum)
+    assert(tn1 > 0 && tn2 > 0)
+    // shares per period sum to ~1e6 (floor loss < #segments)
+    assert(math.abs(rows.map(_.getAs[Long]("share1_ppm")).sum - 1000000L) < rows.length)
+    assert(math.abs(rows.map(_.getAs[Long]("share2_ppm")).sum - 1000000L) < rows.length)
+    // Kitagawa identity on the milli-cent effects: sum of all three effect
+    // columns approximates overall avg2 - avg1 within floor tolerance
+    val effectsMc = rows.flatMap(r => Seq(
+      r.getAs[Long]("mix_mc"), r.getAs[Long]("rate_mc"), r.getAs[Long]("inter_mc"))).sum
+    // overall rates from the emitted per-segment rate floors would lose too
+    // much; recompute from raw data instead
+    val od = Tables.load(spark, sfDir, "orders")
+    val y = org.apache.spark.sql.functions.year(col("o_orderdate"))
+    val s1 = od.filter(y === Analytics.MixY1)
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long"))).collect()(0).getLong(0)
+    val s2 = od.filter(y === Analytics.MixY2)
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long"))).collect()(0).getLong(0)
+    val deltaMc = (s2.toDouble / tn2 - s1.toDouble / tn1) * 1000
+    assert(math.abs(effectsMc - deltaMc) <= 3 * rows.length + 1,
+      s"decomposition $effectsMc must track overall change $deltaMc")
+  }
+
   test("A1 volatility = stddev of consecutive diffs within a day") {
     // one user, one day, values 1, 3, 2 → diffs (2, -1) → stddev_samp ≈ 2.12132
     val ev = Seq(
