@@ -1308,6 +1308,62 @@ object Analytics extends QueryPack {
       |         * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1) * 1000) AS BIGINT) AS inter_mc
       |FROM base CROSS JOIN tot ORDER BY segment""".stripMargin
 
+  /** Gini coefficient + top-decile share of per-user purchase spend — the
+    * concentration readout ("how unequal is our revenue base?"). With
+    * spend sorted ascending (rank r over a deterministic (spend, user)
+    * order — equal spends commute in Σr·x, so ties cannot move the
+    * statistic):
+    *
+    *   G = (2·Σ r·x − (n+1)·Σ x) / (n·Σ x)
+    *
+    * both operands exact int64, ONE correctly-rounded division, floor-ppm
+    * (the ab_significance discipline). The top-10% share is pure integer
+    * arithmetic on the same ranked relation.
+    *
+    * 100 TB shape: fact collapses to per-user sums first; the rank window
+    * runs on the user-domain-bounded relation in one deliberate partition.
+    */
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val spend = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
+    val ranked = spend.repartition(1)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+          .orderBy(col("x"), col("user_id"))).cast("long"))
+      .drop("pid")
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .agg(
+        max(col("n")).as("n_users"),
+        sum(col("x")).as("total_mc"),
+        sum(col("r") * col("x")).as("rx"),
+        sum(when(col("r") > col("n") - expr("n div 10"), col("x"))
+          .otherwise(0L)).as("top_decile_mc"))
+      .select(
+        col("n_users"), col("total_mc"),
+        expr("""CAST(floor(CAST(2 * rx - (n_users + 1) * total_mc AS DOUBLE)
+               | / CAST(n_users * total_mc AS DOUBLE) * 1000000) AS BIGINT)"""
+          .stripMargin).as("gini_ppm"),
+        expr("top_decile_mc * 1000000 div total_mc").as("top10_share_ppm"))
+  }
+
+  private val giniSpendSql =
+    """WITH spend AS (
+      |  SELECT user_id, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |ranked AS (
+      |  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS r,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM spend) AS n
+      |  FROM spend)
+      |SELECT max(n) AS n_users, CAST(sum(x) AS BIGINT) AS total_mc,
+      |       CAST(floor(CAST(2 * CAST(sum(r * x) AS BIGINT) - (max(n) + 1) * CAST(sum(x) AS BIGINT) AS DOUBLE)
+      |         / CAST(max(n) * CAST(sum(x) AS BIGINT) AS DOUBLE) * 1000000) AS BIGINT) AS gini_ppm,
+      |       CAST(sum(CASE WHEN r > n - n // 10 THEN x ELSE 0 END) AS BIGINT) * 1000000
+      |         // CAST(sum(x) AS BIGINT) AS top10_share_ppm
+      |FROM ranked""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -1920,6 +1976,7 @@ object Analytics extends QueryPack {
     Q("ab_lift", abLift, Some(abLiftSql)),
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),
+    Q("gini_spend", giniSpend, Some(giniSpendSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

@@ -878,7 +878,59 @@ object Governance extends QueryPack {
       |       CAST(floor(f * 1000000) AS BIGINT) AS iso_ppm
       |FROM fit ORDER BY bin""".stripMargin
 
+  /** Functional-dependency audit — schema-quality profiling: for each
+    * candidate FD X→Y report how many X keys exist, how many VIOLATE the
+    * dependency (more than one distinct Y), the worst per-key Y
+    * cardinality, and how many rows sit under violating keys. The
+    * candidates span a real FD-discovery probe set (part→supplier,
+    * order→shipdate, customer→priority, nation→segment); none of them
+    * hold in this schema, which is the point — the audit quantifies HOW
+    * broken each is before anyone keys a table on it.
+    *
+    * 100 TB shape: each leg is one groupBy(X) with a SINGLE distinct
+    * aggregate (two-level HashAggregate, no Expand), collapsed map-side to
+    * key-domain-sized state, then a 1-row reduce; legs union at report
+    * scale.
+    */
+  def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, df: DataFrame, x: String, y: String): DataFrame =
+      df.groupBy(col(x))
+        .agg(count(lit(1)).as("rows"), count_distinct(col(y)).as("ndv"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max(col("ndv")).as("max_rhs_ndv"),
+          sum(when(col("ndv") > 1, col("rows")).otherwise(0L)).as("rows_in_violations"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating_keys"),
+          col("max_rhs_ndv"), col("rows_in_violations"))
+    val li = Tables.load(s, dir, "lineitem")
+    val od = Tables.load(s, dir, "orders")
+    val cu = Tables.load(s, dir, "customer")
+    leg("lineitem.l_partkey->l_suppkey", li, "l_partkey", "l_suppkey")
+      .unionAll(leg("lineitem.l_orderkey->l_shipdate", li, "l_orderkey", "l_shipdate"))
+      .unionAll(leg("orders.o_custkey->o_orderpriority", od, "o_custkey", "o_orderpriority"))
+      .unionAll(leg("customer.c_nationkey->c_mktsegment", cu, "c_nationkey", "c_mktsegment"))
+      .orderBy(col("fd"))
+  }
+
+  private val fdAuditSql = {
+    def leg(name: String, table: String, x: String, y: String): String =
+      s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         |       CAST(max(ndv) AS BIGINT) AS max_rhs_ndv,
+         |       CAST(sum(CASE WHEN ndv > 1 THEN rows_ ELSE 0 END) AS BIGINT) AS rows_in_violations
+         |FROM (SELECT $x, count(*) AS rows_, count(DISTINCT $y) AS ndv
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      leg("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+      leg("lineitem.l_orderkey->l_shipdate", "lineitem", "l_orderkey", "l_shipdate"),
+      leg("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+      leg("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("fd_audit", fdAudit, Some(fdAuditSql)),
     Q("isotonic_calibration", isotonicCalibration, Some(isotonicCalibrationSql)),
     Q("ldiversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),
     Q("model_calibration", modelCalibration, Some(modelCalibrationSql)),

@@ -302,6 +302,61 @@ object TextStats extends QueryPack {
       |FROM toks GROUP BY term
       |ORDER BY tf DESC, term LIMIT $VocabSize""".stripMargin
 
+  /** largest rank probed by [[zipfProfile]] */
+  val ZipfMaxRank = 512
+
+  /** Zipf rank-frequency profile of the corpus vocabulary: term frequency
+    * at probe ranks 1, 2, 4, …, [[ZipfMaxRank]] plus the halving ratio
+    * tf(2r)/tf(r) as integer ppm — for an ideal Zipf (exponent 1) every
+    * ratio is ~500000, so the profile reads the exponent WITHOUT the
+    * log-log regression whose libm calls never replay cross-engine
+    * (CLAUDE.md's rational-form rule). Ranks come from a
+    * vocabulary-bounded single-partition window with full (tf, term) tie
+    * ordering. The corpus-health check a tokenizer/dedup pipeline reads
+    * before trusting frequency-based heuristics.
+    *
+    * 100 TB shape: one tokenize pass to the vocabulary-sized count
+    * relation; the rank window and probe joins are vocabulary-scale.
+    */
+  def zipfProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.loadSpread(s, dir, "documents")
+      .select(explode(tokensCol).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val ranked = counts.repartition(1)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+          .orderBy(col("tf").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 2L * ZipfMaxRank)
+      .select(col("rank"), col("term"), col("tf"))
+    val probes = s.createDataFrame(
+      Iterator.iterate(1L)(_ * 2).takeWhile(_ <= ZipfMaxRank).map(Tuple1(_)).toSeq)
+      .toDF("rank")
+    val twice = ranked.select(col("rank").as("rank2"), col("tf").as("tf2x"))
+    probes.join(ranked, Seq("rank"))
+      .join(twice, col("rank2") === col("rank") * 2)
+      .select(col("rank"), col("term"), col("tf"), col("tf2x"),
+        expr("tf2x * 1000000 div tf").as("halving_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  private val zipfProfileSql =
+    s"""WITH toks AS (SELECT unnest($tokensSql) AS term FROM documents),
+      |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1),
+      |ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank,
+      |         term, tf
+      |  FROM counts),
+      |probes AS (SELECT CAST(r AS BIGINT) AS rank FROM (VALUES ${Iterator
+        .iterate(1L)(_ * 2).takeWhile(_ <= ZipfMaxRank).map("(" + _ + ")")
+        .mkString(", ")}) AS t(r))
+      |SELECT p.rank, a.term, a.tf, b.tf AS tf2x,
+      |       b.tf * 1000000 // a.tf AS halving_ppm
+      |FROM probes p
+      |JOIN ranked a ON a.rank = p.rank
+      |JOIN ranked b ON b.rank = p.rank * 2
+      |ORDER BY p.rank""".stripMargin
+
   /** keyphrases reported by [[rakeKeyphrases]] */
   val RakeTopK = 25
 
@@ -1113,6 +1168,7 @@ object TextStats extends QueryPack {
     Q("text_bm25_top", bm25Top, Some(bm25TopSql)),
     Q("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     Q("rake_keyphrases", rakeKeyphrases, Some(rakeKeyphrasesSql)),
+    Q("zipf_profile", zipfProfile, Some(zipfProfileSql)),
     Q("text_collocations", collocations, Some(collocationsSql)),
     Q("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("text_repetition", repetition, Some(repetitionSql)))

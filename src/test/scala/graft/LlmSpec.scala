@@ -169,6 +169,47 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("zipf_profile: ranks double, frequencies fall, ratios are the emitted quotients") {
+    val rows = zipfRows()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tf, tf2x, ppm) = (r.getAs[Long]("tf"), r.getAs[Long]("tf2x"),
+        r.getAs[Long]("halving_ppm"))
+      assert(tf2x <= tf, "frequency non-increasing in rank")
+      assert(ppm == tf2x * 1000000L / tf && ppm <= 1000000L)
+    }
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => b == 2 * a },
+      "probe ranks double")
+  }
+  private def zipfRows() =
+    graft.llm.TextStats.zipfProfile(spark, sfDir).collect().sortBy(_.getAs[Long]("rank"))
+
+  test("gini_spend: coefficient in [0,1), top-decile share dominates uniform") {
+    val r = graft.analytics.Analytics.giniSpend(spark, sfDir).collect().head
+    val g = r.getAs[Long]("gini_ppm")
+    assert(g >= 0 && g < 1000000L, s"gini $g must be a [0,1) ppm")
+    val share = r.getAs[Long]("top10_share_ppm")
+    // top 10% of users hold at least floor(n/10)/n of spend (they are the
+    // LARGEST spenders), i.e. at least a uniform share
+    val n = r.getAs[Long]("n_users")
+    assert(share >= (n / 10) * 1000000L / n || n < 10)
+    assert(share <= 1000000L)
+  }
+
+  test("fd_audit: violation accounting is internally consistent") {
+    import graft.llm.Governance
+    val rows = Governance.fdAudit(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violating_keys") <= r.getAs[Long]("n_keys"))
+      if (r.getAs[Long]("n_violating_keys") > 0)
+        assert(r.getAs[Long]("max_rhs_ndv") > 1, "violations imply a key with ndv>1")
+      assert(r.getAs[Long]("rows_in_violations") >= 2 * r.getAs[Long]("n_violating_keys"),
+        "each violating key carries at least 2 rows")
+    }
+  }
+
   test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
     import graft.llm.Governance
     // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
