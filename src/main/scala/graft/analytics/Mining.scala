@@ -648,7 +648,69 @@ object Mining extends QueryPack {
     s.sql(reachSqlFor("orders_rec", "lineitem_rec"))
   }
 
+  /** Bounded-state EXACT distinct via a roaring-style bitmap aggregate
+    * (ClickHouse's groupBitmap idiom): the buffer is a growable Long
+    * bitset over the bounded user-id domain; reduce sets a bit, merge is
+    * word-wise OR — commutative/associative, so map-side partial
+    * aggregation applies and the count is exact at O(domain/64) state per
+    * group, REGARDLESS of row count. The exactness/state trade sits
+    * between the exact value-distinct shuffle (state ∝ NDV rows) and the
+    * KMV/HLL sketches (state O(K), approximate): when the id domain is
+    * known and bounded, the bitmap is strictly better than both.
+    */
+  object BitmapAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], id: Long): Array[Long] = {
+      val w = (id >>> 6).toInt
+      val out = if (w >= b.length) java.util.Arrays.copyOf(b, w + 1) else b
+      out(w) |= 1L << (id & 63)
+      out
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      if (x.length < y.length) merge(y, x)
+      else {
+        var i = 0
+        while (i < y.length) { x(i) |= y(i); i += 1 }
+        x
+      }
+    }
+    def finish(b: Array[Long]): Long = {
+      var n = 0L; var i = 0
+      while (i < b.length) { n += java.lang.Long.bitCount(b(i)); i += 1 }
+      n
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  private lazy val bitmapDistinct = udaf(BitmapAgg)
+
+  /** Weekly active users via [[BitmapAgg]] — exact distinct counts whose
+    * per-group state never exceeds domain/64 longs (no per-value shuffle
+    * rows, unlike `count(DISTINCT ...)`'s two-level rewrite). The oracle is
+    * the plain COUNT(DISTINCT): the hash gate proves the bitmap path exact.
+    * Weeks are epoch-day div 7 (integer, engine-DOW-agnostic, same
+    * convention as [[tsSeasonality]]).
+    */
+  def bitmapDistinctWeekly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy(expr("CAST(datediff(to_date(ts), '1970-01-01') AS BIGINT) div 7")
+        .as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        bitmapDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("week"))
+  }
+
+  private val bitmapDistinctWeeklySql =
+    """SELECT CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS BIGINT) // 7 AS week,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1 ORDER BY week""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("bitmap_distinct_weekly", bitmapDistinctWeekly, Some(bitmapDistinctWeeklySql)),
     Q("cluster_grid_density", clusterGridDensity, Some(clusterGridDensitySql)),
     Q("recursive_sql_reach", recursiveSqlReach,
       Some(reachSqlFor("orders", "lineitem"))),

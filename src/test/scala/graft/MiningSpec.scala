@@ -157,6 +157,24 @@ class MiningSpec extends SparkSpec {
       s"recursive CTE $sqlSide must equal frontier BFS $loopSide")
   }
 
+  test("bitmap distinct equals count(DISTINCT) and the aggregator laws hold") {
+    val rows = Mining.bitmapDistinctWeekly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.load(spark, sfDir, "events")
+      .groupBy(expr("CAST(datediff(to_date(ts), '1970-01-01') AS BIGINT) div 7").as("week"))
+      .agg(count_distinct(col("user_id")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_users") == exact(r.getAs[Long]("week"))))
+    // direct aggregator laws: idempotent reduce, commutative merge
+    val a = Mining.BitmapAgg
+    val b1 = a.reduce(a.reduce(a.zero, 5L), 5L)
+    assert(a.finish(b1) == 1L, "re-adding an id is idempotent")
+    val x = a.reduce(a.reduce(a.zero, 1L), 200L)
+    val y = a.reduce(a.zero, 64L)
+    assert(a.finish(a.merge(x.clone(), y.clone())) == 3L)
+    assert(a.finish(a.merge(y.clone(), x.clone())) == 3L, "merge commutes")
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
