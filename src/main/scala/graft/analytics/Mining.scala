@@ -709,7 +709,73 @@ object Mining extends QueryPack {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1 ORDER BY week""".stripMargin
 
+  /** half-window for [[tsPeaks]] neighborhoods */
+  val PeakW = 3
+  /** minimum prominence vs the neighborhood in ppm of the peak value */
+  val PeakPromPpm = 50000L
+
+  /** Local-peak detection over the daily-revenue series: a day is a peak
+    * when it strictly dominates every neighbor within ±[[PeakW]] index
+    * positions AND its prominence over the neighborhood's best other day
+    * clears [[PeakPromPpm]] (5%) — the spike-surfacing companion of
+    * [[tsChangepoint]] (level shifts) and [[tsAcf]] (periodicity). All
+    * comparisons are integer; prominence is the exact ppm ratio of two
+    * BIGINT cents values. RANGE-free: neighborhoods are ROWS frames on the
+    * index, so gaps in the calendar cannot widen a window silently.
+    *
+    * 100 TB shape: fact → calendar-bounded daily series (one partial agg);
+    * the max-window and filter are series-scale.
+    */
+  def tsPeaks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val daily = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("v"))
+    val base = daily.repartition(1).withColumn("pid", spark_partition_id())
+    val ord = Window.partitionBy(col("pid")).orderBy(col("day"))
+    val wL = ord.rowsBetween(-PeakW, -1)
+    val wR = ord.rowsBetween(1, PeakW)
+    // self-excluding neighborhood: the best OTHER day is
+    // greatest(left max, right max) — strict dominance needs no tie logic
+    base
+      .withColumn("lmax", max(col("v")).over(wL))
+      .withColumn("rmax", max(col("v")).over(wR))
+      .withColumn("lcnt", count(lit(1)).over(wL))
+      .withColumn("rcnt", count(lit(1)).over(wR))
+      .filter(col("lcnt") === PeakW && col("rcnt") === PeakW)
+      .withColumn("runner_up", greatest(col("lmax"), col("rmax")))
+      .filter(col("v") > col("runner_up") &&
+        (col("v") - col("runner_up")) * 1000000L >= col("v") * PeakPromPpm)
+      .select(col("day"), col("v"), col("runner_up"),
+        expr("(v - runner_up) * 1000000 div v").as("prominence_ppm"))
+      .orderBy(col("day"))
+  }
+
+  private val tsPeaksSql =
+    s"""WITH daily AS (
+       |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1),
+       |nb AS (
+       |  SELECT day, v,
+       |         CAST(max(v) OVER wl AS BIGINT) AS lmax,
+       |         CAST(max(v) OVER wr AS BIGINT) AS rmax,
+       |         CAST(count(*) OVER wl AS BIGINT) AS lcnt,
+       |         CAST(count(*) OVER wr AS BIGINT) AS rcnt
+       |  FROM daily
+       |  WINDOW wl AS (ORDER BY day ROWS BETWEEN $PeakW PRECEDING AND 1 PRECEDING),
+       |         wr AS (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND $PeakW FOLLOWING)),
+       |full_nb AS (
+       |  SELECT day, v, greatest(lmax, rmax) AS runner_up
+       |  FROM nb WHERE lcnt = $PeakW AND rcnt = $PeakW)
+       |SELECT day, v, runner_up,
+       |       (v - runner_up) * 1000000 // v AS prominence_ppm
+       |FROM full_nb
+       |WHERE v > runner_up AND (v - runner_up) * 1000000 >= v * $PeakPromPpm
+       |ORDER BY day""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("ts_peaks", tsPeaks, Some(tsPeaksSql)),
     Q("bitmap_distinct_weekly", bitmapDistinctWeekly, Some(bitmapDistinctWeeklySql)),
     Q("cluster_grid_density", clusterGridDensity, Some(clusterGridDensitySql)),
     Q("recursive_sql_reach", recursiveSqlReach,

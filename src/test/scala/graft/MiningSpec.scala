@@ -175,6 +175,28 @@ class MiningSpec extends SparkSpec {
     assert(a.finish(a.merge(y.clone(), x.clone())) == 3L, "merge commutes")
   }
 
+  test("ts_peaks: every peak strictly dominates its neighborhood with the claimed prominence") {
+    val peaks = Mining.tsPeaks(spark, sfDir).collect()
+    // recompute the daily series locally and check each emitted peak
+    val daily = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100))
+        .cast("long")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val idxOf = daily.zipWithIndex.map { case ((d, _), i) => d -> i }.toMap
+    peaks.foreach { p =>
+      val i = idxOf(p.getAs[String]("day"))
+      val v = p.getAs[Long]("v")
+      assert(daily(i)._2 == v)
+      val nb = ((i - Mining.PeakW) to (i + Mining.PeakW))
+        .filter(j => j != i && j >= 0 && j < daily.length).map(daily(_)._2)
+      assert(nb.size == 2 * Mining.PeakW)
+      assert(nb.max == p.getAs[Long]("runner_up"))
+      assert(v > nb.max)
+      assert((v - nb.max) * 1000000L >= v * Mining.PeakPromPpm)
+    }
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
