@@ -351,6 +351,40 @@ object StreamIngest {
       }
   }
 
+  case class IdKeyed(grp: String, id: Long)
+  case class BitmapCount(grp: String, n_distinct: Long, n_rows: Long)
+  case class BitmapStreamState(bits: Array[Long], n_rows: Long)
+
+  /** Streaming EXACT distinct monitor over a bounded id domain: the bitmap
+    * aggregate ([[graft.analytics.Mining.BitmapAgg]]) as per-group
+    * `mapGroupsWithState` state — the update rule is literally
+    * `BitmapAgg.reduce`, so cross-trigger accumulation equals the batch
+    * bitmap over the full history for ANY trigger pattern (same
+    * mergeable-summaries law as [[streamingKmvDistinct]], but EXACT: this
+    * is the live-WAU monitor when ids are bounded, with state
+    * O(domain/64) longs per group forever — redeliveries are absorbed by
+    * bit idempotence, so at-least-once upstreams still count exactly once).
+    */
+  def streamingBitmapDistinct(
+      rows: org.apache.spark.sql.Dataset[IdKeyed]): org.apache.spark.sql.Dataset[BitmapCount] = {
+    import rows.sparkSession.implicits._
+    import graft.analytics.Mining
+    rows.groupByKey(_.grp)
+      .mapGroupsWithState[BitmapStreamState, BitmapCount](
+        GroupStateTimeout.NoTimeout()) {
+        (grp: String, it: Iterator[IdKeyed], state: GroupState[BitmapStreamState]) =>
+          var st = state.getOption.getOrElse(BitmapStreamState(Array.emptyLongArray, 0L))
+          var bits = st.bits
+          var n = st.n_rows
+          it.foreach { r =>
+            bits = Mining.BitmapAgg.reduce(bits, r.id)
+            n += 1
+          }
+          state.update(BitmapStreamState(bits, n))
+          BitmapCount(grp, Mining.BitmapAgg.finish(bits), n)
+      }
+  }
+
   /** Streaming materialized view: maintain a windowed derived aggregate
     * from a stream — each micro-batch lands in the base table and refreshes
     * exactly the windows it touched ([[graft.operators.IncrementalAgg]]

@@ -420,6 +420,25 @@ class StreamingSpec extends SparkSpec {
       s"est ${hot.est_count} violates the MG bound")
   }
 
+  test("streaming bitmap distinct counts exactly once under redelivery across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.IdKeyed]
+    val q = StreamIngest.streamingBitmapDistinct(mem.toDS())
+      .writeStream.format("memory").queryName("sbm").outputMode("update").start()
+    // 300 distinct ids split across two triggers with a 100-id overlap: the
+    // count must be EXACT (bit idempotence absorbs the redelivery)
+    val ids = (0L until 300L).map(i => StreamIngest.IdKeyed("g", i))
+    mem.addData(ids.take(200): _*)
+    q.processAllAvailable()
+    mem.addData(ids.drop(100): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("sbm").as[StreamIngest.BitmapCount].collect()
+      .filter(_.n_rows == 400L)
+    assert(last.nonEmpty, "second trigger must see cumulative n_rows = 400")
+    assert(last.head.n_distinct == 300L, "exact distinct despite 100 redelivered ids")
+  }
+
   test("streaming KMV sketch equals the batch sketch over the full history") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Keyed]
