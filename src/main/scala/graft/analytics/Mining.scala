@@ -774,7 +774,94 @@ object Mining extends QueryPack {
        |WHERE v > runner_up AND (v - runner_up) * 1000000 >= v * $PeakPromPpm
        |ORDER BY day""".stripMargin
 
+  /** Decision-stump training (one-split tree, CART step): exhaustive split
+    * search over the feature's value domain, maximizing
+    *
+    *   score(t) = Σ_c nL_c²/nL + Σ_c nR_c²/nR
+    *
+    * (equivalent to minimizing weighted Gini impurity). Class counts per
+    * candidate threshold come from ONE scan: per-value class counts, then
+    * a cumulative window over the NDV-bounded value domain — never a
+    * per-threshold re-scan. Squares/sums stay exact int64; each side's
+    * term is one correctly-rounded division and the sum a fixed two-op
+    * sequence, identical text in both engines; the argmax tie-breaks on
+    * the threshold. Emits the split, both leaves' class histograms,
+    * majority votes, and the floor-milli score.
+    *
+    * 100 TB shape: fact → (value × class) counts map-side; everything
+    * after is value-domain-scale. This is how real tree trainers batch
+    * split search (XGBoost's exact greedy mode).
+    */
+  def stumpTrain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val byQ = li.groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("a"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("q"))
+    val cum = byQ.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("la", sum(col("a")).over(w))
+      .withColumn("ln", sum(col("n")).over(w))
+      .withColumn("lr", sum(col("r")).over(w))
+      .crossJoin(broadcast(byQ.agg(
+        sum(col("a")).as("ta"), sum(col("n")).as("tn"), sum(col("r")).as("tr"))))
+      .select(col("q"), col("la"), col("ln"), col("lr"),
+        (col("ta") - col("la")).as("ra"), (col("tn") - col("ln")).as("rn"),
+        (col("tr") - col("lr")).as("rr"))
+      .filter(col("ra") + col("rn") + col("rr") > 0)
+    val scored = cum.select(col("*"),
+      (col("la") + col("ln") + col("lr")).as("n_left"),
+      (col("ra") + col("rn") + col("rr")).as("n_right"),
+      expr("""CAST(la*la + ln*ln + lr*lr AS DOUBLE) / (la + ln + lr)
+             | + CAST(ra*ra + rn*rn + rr*rr AS DOUBLE) / (ra + rn + rr)"""
+        .stripMargin).as("score"))
+    scored
+      .orderBy(col("score").desc, col("q"))
+      .limit(1)
+      .select(
+        col("q").as("split_q"), col("n_left"), col("n_right"),
+        col("la"), col("ln"), col("lr"), col("ra"), col("rn"), col("rr"),
+        expr("""CASE WHEN la >= ln AND la >= lr THEN 'A'
+               |     WHEN ln >= lr THEN 'N' ELSE 'R' END""".stripMargin).as("left_vote"),
+        expr("""CASE WHEN ra >= rn AND ra >= rr THEN 'A'
+               |     WHEN rn >= rr THEN 'N' ELSE 'R' END""".stripMargin).as("right_vote"),
+        floor(col("score") * 1000).cast("long").as("score_milli"))
+  }
+
+  private val stumpTrainSql =
+    """WITH byq AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT q,
+      |         CAST(sum(a) OVER w AS BIGINT) AS la,
+      |         CAST(sum(n) OVER w AS BIGINT) AS ln,
+      |         CAST(sum(r) OVER w AS BIGINT) AS lr,
+      |         (SELECT CAST(sum(a) AS BIGINT) FROM byq) - CAST(sum(a) OVER w AS BIGINT) AS ra,
+      |         (SELECT CAST(sum(n) AS BIGINT) FROM byq) - CAST(sum(n) OVER w AS BIGINT) AS rn,
+      |         (SELECT CAST(sum(r) AS BIGINT) FROM byq) - CAST(sum(r) OVER w AS BIGINT) AS rr
+      |  FROM byq
+      |  WINDOW w AS (ORDER BY q)),
+      |scored AS (
+      |  SELECT q, la, ln, lr, ra, rn, rr,
+      |         la + ln + lr AS n_left, ra + rn + rr AS n_right,
+      |         CAST(la*la + ln*ln + lr*lr AS DOUBLE) / (la + ln + lr)
+      |           + CAST(ra*ra + rn*rn + rr*rr AS DOUBLE) / (ra + rn + rr) AS score
+      |  FROM cum WHERE ra + rn + rr > 0)
+      |SELECT q AS split_q, n_left, n_right, la, ln, lr, ra, rn, rr,
+      |       CASE WHEN la >= ln AND la >= lr THEN 'A'
+      |            WHEN ln >= lr THEN 'N' ELSE 'R' END AS left_vote,
+      |       CASE WHEN ra >= rn AND ra >= rr THEN 'A'
+      |            WHEN rn >= rr THEN 'N' ELSE 'R' END AS right_vote,
+      |       CAST(floor(score * 1000) AS BIGINT) AS score_milli
+      |FROM scored ORDER BY score DESC, q LIMIT 1""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("stump_train", stumpTrain, Some(stumpTrainSql)),
     Q("ts_peaks", tsPeaks, Some(tsPeaksSql)),
     Q("bitmap_distinct_weekly", bitmapDistinctWeekly, Some(bitmapDistinctWeeklySql)),
     Q("cluster_grid_density", clusterGridDensity, Some(clusterGridDensitySql)),

@@ -197,6 +197,34 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("stump_train: split beats every other threshold in a local exhaustive re-search") {
+    val r = Mining.stumpTrain(spark, sfDir).collect().head
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_quantity").cast("long"), col("l_returnflag"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == rows.length)
+    def score(thr: Long): Double = {
+      val (l, rt) = rows.partition(_._1 <= thr)
+      def side(xs: Array[(Long, String)]): Double = {
+        if (xs.isEmpty) return 0.0
+        val c = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+        val sq = List("A", "N", "R").map(k => { val v = c.getOrElse(k, 0L); v * v }).sum
+        sq.toDouble / xs.length
+      }
+      side(l) + side(rt)
+    }
+    val qs = rows.map(_._1).distinct.sorted
+    val best = r.getAs[Long]("split_q")
+    val bestScore = score(best)
+    qs.filter(_ < qs.max).foreach { t =>
+      assert(score(t) <= bestScore + 1e-9, s"threshold $t beats chosen $best")
+    }
+    // leaf histograms replay
+    val (l, rt) = rows.partition(_._1 <= best)
+    assert(l.count(_._2 == "A") == r.getAs[Long]("la"))
+    assert(rt.count(_._2 == "R") == r.getAs[Long]("rr"))
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
