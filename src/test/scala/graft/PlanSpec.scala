@@ -64,6 +64,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(1500))
   }
 
+  test("feature-engineering queries keep the fact un-shuffled past its aggregate") {
+    // target encoding: category stats and prior come back as broadcasts —
+    // a sort-merge join here would shuffle the whole fact per feature
+    val p = plan("target_encode_loo")
+    assert(count(p, "BroadcastHashJoin") + count(p, "BroadcastNestedLoopJoin") >= 2,
+      s"LOO encoding must broadcast its stats: ${p.take(1500)}")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0)
+    // Holt forecast: dim labeling broadcast, no cartesian
+    val ph = plan("ts_holt_forecast")
+    assert(count(ph, "BroadcastHashJoin") >= 1, ph.take(1500))
+    assert(count(ph, "SortMergeJoin") == 0 && count(ph, "CartesianProduct") == 0)
+    // mix-shift: one fact aggregate + a 1-row broadcast back
+    val pm = plan("mix_shift_decomp")
+    assert(count(pm, "SortMergeJoin") == 0 && count(pm, "CartesianProduct") == 0)
+  }
+
+  test("knn outlier audit broadcasts the sample and never shuffles the corpus") {
+    val qe = SparkEntry.queries("emb_knn_outliers")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p.take(1500))
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "CartesianProduct") == 0)
+    // the only exchanges are for the rank window + final cut, never a
+    // corpus-wide hash repartition on the embedding payload
+    assert(!p.contains("hashpartitioning(embedding"), "embedding payload shuffled")
+  }
+
   test("query registry: names globally unique, every oracle names a query") {
     // queries/oracles build via flatMap(...).toMap — a duplicate name across
     // packs would silently SHADOW one implementation instead of failing
