@@ -1364,6 +1364,57 @@ object Analytics extends QueryPack {
       |         // CAST(sum(x) AS BIGINT) AS top10_share_ppm
       |FROM ranked""".stripMargin
 
+  /** Order-fulfillment lag profile — the accumulating-snapshot warehouse
+    * metric: days from order placement to each line's ship date, as exact
+    * discrete quantiles (the verified `ceil(q·n)` 1-based rank rule from
+    * [[graft.operators.ExactQuantile]], computed on the lag-value HISTOGRAM
+    * — day-domain-bounded state, never a row sort) plus the floor-mean and
+    * the worst tail.
+    *
+    * 100 TB shape: one broadcast-dim join, one partial-aggregated histogram
+    * over the calendar-bounded lag domain, then histogram-scale windows.
+    */
+  def fulfillmentLag(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val lags = li.join(od, col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("lag"))
+      .groupBy(col("lag")).agg(count(lit(1)).as("c"))
+    val cum = lags.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("lag"))))
+      .crossJoin(broadcast(lags.agg(
+        sum(col("c")).as("n"), sum(col("lag") * col("c")).as("lagsum"))))
+    def q(p: Int): org.apache.spark.sql.Column =
+      min(when(col("cum") * 100 >= col("n") * p, col("lag"))).as(s"p$p")
+    cum.agg(
+        max(col("n")).as("n_lines"),
+        min(col("lag")).as("min_lag"),
+        q(50), q(90), q(99),
+        max(col("lag")).as("max_lag"),
+        expr("max(lagsum) div max(n)").as("mean_lag_floor"))
+  }
+
+  private val fulfillmentLagSql =
+    """WITH lags AS (
+      |  SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lag,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT lag, c, CAST(sum(c) OVER (ORDER BY lag) AS BIGINT) AS cum,
+      |         (SELECT CAST(sum(c) AS BIGINT) FROM lags) AS n,
+      |         (SELECT CAST(sum(lag * c) AS BIGINT) FROM lags) AS lagsum
+      |  FROM lags)
+      |SELECT max(n) AS n_lines, min(lag) AS min_lag,
+      |       min(CASE WHEN cum * 100 >= n * 50 THEN lag END) AS p50,
+      |       min(CASE WHEN cum * 100 >= n * 90 THEN lag END) AS p90,
+      |       min(CASE WHEN cum * 100 >= n * 99 THEN lag END) AS p99,
+      |       max(lag) AS max_lag,
+      |       max(lagsum) // max(n) AS mean_lag_floor
+      |FROM cum""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -1977,6 +2028,7 @@ object Analytics extends QueryPack {
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),
     Q("gini_spend", giniSpend, Some(giniSpendSql)),
+    Q("fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

@@ -53,6 +53,26 @@ class AnalyticsSpec extends SparkSpec {
       s"decomposition $effectsMc must track overall change $deltaMc")
   }
 
+  test("fulfillment_lag: quantiles ordered and consistent with quantile_disc semantics") {
+    val r = Analytics.fulfillmentLag(spark, sfDir).collect().head
+    val (mn, p50, p90, p99, mx) = (r.getAs[Long]("min_lag"), r.getAs[Long]("p50"),
+      r.getAs[Long]("p90"), r.getAs[Long]("p99"), r.getAs[Long]("max_lag"))
+    assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    val mean = r.getAs[Long]("mean_lag_floor")
+    assert(mean >= mn && mean <= mx)
+    // independent check: p90 is the smallest lag with cum >= ceil(0.9 n)
+    import org.apache.spark.sql.functions._
+    val lags = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("lag"))
+      .collect().map(_.getLong(0)).sorted
+    val n = lags.length
+    assert(r.getAs[Long]("n_lines") == n)
+    assert(p90 == lags((Math.ceil(0.9 * n) - 1).toInt))
+  }
+
   test("A1 volatility = stddev of consecutive diffs within a day") {
     // one user, one day, values 1, 3, 2 → diffs (2, -1) → stddev_samp ≈ 2.12132
     val ev = Seq(
