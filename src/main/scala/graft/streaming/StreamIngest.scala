@@ -385,6 +385,57 @@ object StreamIngest {
       }
   }
 
+  case class Purchase(user: String, mc: Long)
+  case class RollingSpend(user: String, n: Long, total_mc: Long, last3_mc: Long)
+
+  /** [[streamingRollingSpend]]'s processor on Spark 4's `transformWithState`
+    * API (the arbitrary-state successor of mapGroupsWithState): composite
+    * per-key state — two ValueStates (count, total) plus a ListState holding
+    * the last-3 purchase window — something the single-state-object
+    * mapGroupsWithState forces into one monolithic case class, with no
+    * per-component TTL. Requires the RocksDB state store provider.
+    */
+  class RollingSpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Purchase, RollingSpend] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var count: ValueState[Long] = _
+    @transient private var total: ValueState[Long] = _
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[Purchase],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RollingSpend] = {
+      var n = if (count.exists()) count.get() else 0L
+      var t = if (total.exists()) total.get() else 0L
+      var window = if (recent.exists()) recent.get().toList else Nil
+      rows.foreach { p =>
+        n += 1; t += p.mc
+        window = (window :+ p.mc).takeRight(3)
+      }
+      count.update(n); total.update(t)
+      recent.put(window.toArray)
+      Iterator.single(RollingSpend(key, n, t, window.sum))
+    }
+  }
+
+  /** Per-user purchase monitor on `transformWithState`: cumulative count +
+    * total plus a rolling last-3 window that spans trigger boundaries.
+    * State is O(1) per user (two longs + ≤3 window entries) forever; the
+    * StreamingSpec pins cross-trigger carryover of all three components.
+    */
+  def streamingRollingSpend(
+      rows: org.apache.spark.sql.Dataset[Purchase]): org.apache.spark.sql.Dataset[RollingSpend] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user)
+      .transformWithState(new RollingSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming materialized view: maintain a windowed derived aggregate
     * from a stream — each micro-batch lands in the base table and refreshes
     * exactly the windows it touched ([[graft.operators.IncrementalAgg]]

@@ -439,6 +439,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.head.n_distinct == 300L, "exact distinct despite 100 redelivered ids")
   }
 
+  test("transformWithState rolling spend carries composite state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamIngest.Purchase]
+      val q = StreamIngest.streamingRollingSpend(mem.toDS())
+        .writeStream.format("memory").queryName("srs").outputMode("update").start()
+      mem.addData(StreamIngest.Purchase("u1", 100L), StreamIngest.Purchase("u1", 200L))
+      q.processAllAvailable()
+      // second trigger: the last-3 window must span the boundary
+      // (100, 200 | 300, 400 -> window 200, 300, 400)
+      mem.addData(StreamIngest.Purchase("u1", 300L), StreamIngest.Purchase("u1", 400L))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("srs").as[StreamIngest.RollingSpend].collect()
+      val first = out.find(_.n == 2L).get
+      assert(first.total_mc == 300L && first.last3_mc == 300L)
+      val second = out.find(_.n == 4L).get
+      assert(second.total_mc == 1000L, "cumulative total crosses triggers")
+      assert(second.last3_mc == 900L, "rolling window spans the trigger boundary")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming KMV sketch equals the batch sketch over the full history") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Keyed]
