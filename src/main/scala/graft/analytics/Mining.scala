@@ -875,7 +875,71 @@ object Mining extends QueryPack {
       |       CAST(floor(score * 1000) AS BIGINT) AS score_milli
       |FROM scored ORDER BY score DESC, q LIMIT 1""".stripMargin
 
+  /** Mann-Kendall trend test over MONTHLY revenue — the nonparametric
+    * significance companion of Theil-Sen (which estimates the slope, but
+    * never says whether it's distinguishable from noise):
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i),   Var(S) = n(n−1)(2n+5)/18
+    *
+    * (no-ties variance form; the month series' exact cents sums never tie
+    * in practice, and tied pairs contribute 0 to S either way). S and the
+    * 18·Var numerator stay integer; the z-score uses the continuity
+    * correction and ONE division by the correctly-rounded sqrt — the
+    * ab_significance discipline, emitted floor-milli with the 1.96
+    * verdict.
+    *
+    * 100 TB shape: fact → calendar-bounded monthly series; the pair
+    * self-join is series²-bounded (≤ thousands² rows), never fact-scale.
+    */
+  def tsMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val monthly = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("v"))
+    val pairs = monthly.as("a").join(monthly.as("b"), col("a.m") < col("b.m"))
+      .select(signum(col("b.v") - col("a.v")).cast("long").as("sg"))
+    pairs.agg(sum(col("sg")).as("s_stat"))
+      .crossJoin(broadcast(monthly.agg(count(lit(1)).as("n"))))
+      .select(
+        col("n"), col("s_stat"),
+        expr("n * (n - 1) * (2 * n + 5) div 18").as("var_s"),
+        expr("""CAST(floor(
+               |  (CAST(s_stat AS DOUBLE) - CAST(CASE WHEN s_stat > 0 THEN 1
+               |       WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))
+               |  / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18) * 1000)
+               | AS BIGINT)""".stripMargin).as("z_milli"))
+      .withColumn("significant_05",
+        when(abs(col("z_milli")) >= 1960L, 1L).otherwise(0L))
+  }
+
+  private val tsMannKendallSql =
+    """WITH monthly AS (
+      |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS m,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |pairs AS (
+      |  SELECT CAST(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS BIGINT) AS sg
+      |  FROM monthly a JOIN monthly b ON a.m < b.m),
+      |agg AS (
+      |  SELECT CAST(sum(sg) AS BIGINT) AS s_stat,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM monthly) AS n
+      |  FROM pairs)
+      |SELECT n, s_stat,
+      |       n * (n - 1) * (2 * n + 5) // 18 AS var_s,
+      |       CAST(floor(
+      |         (CAST(s_stat AS DOUBLE) - CAST(CASE WHEN s_stat > 0 THEN 1
+      |              WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))
+      |         / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18) * 1000)
+      |        AS BIGINT) AS z_milli,
+      |       CAST(CASE WHEN abs(CAST(floor(
+      |         (CAST(s_stat AS DOUBLE) - CAST(CASE WHEN s_stat > 0 THEN 1
+      |              WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))
+      |         / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18) * 1000)
+      |        AS BIGINT)) >= 1960 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+      |FROM agg""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("ts_mann_kendall", tsMannKendall, Some(tsMannKendallSql)),
     Q("stump_train", stumpTrain, Some(stumpTrainSql)),
     Q("ts_peaks", tsPeaks, Some(tsPeaksSql)),
     Q("bitmap_distinct_weekly", bitmapDistinctWeekly, Some(bitmapDistinctWeeklySql)),

@@ -225,6 +225,24 @@ class MiningSpec extends SparkSpec {
     assert(rt.count(_._2 == "R") == r.getAs[Long]("rr"))
   }
 
+  test("ts_mann_kendall: S from a local pair count, z replays, |S| bounded by pairs") {
+    val r = Mining.tsMannKendall(spark, sfDir).collect().head
+    val (n, s) = (r.getAs[Long]("n"), r.getAs[Long]("s_stat"))
+    assert(math.abs(s) <= n * (n - 1) / 2, "|S| bounded by the pair count")
+    assert(r.getAs[Long]("var_s") == n * (n - 1) * (2 * n + 5) / 18)
+    val vals = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100))
+        .cast("long")).as("v"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).sortBy(_._1).map(_._2)
+    val sLocal = (for (i <- vals.indices; j <- i + 1 until vals.length)
+      yield java.lang.Long.signum(vals(j) - vals(i)).toLong).sum
+    assert(s == sLocal, "pairwise sign sum replays")
+    val z = (s.toDouble - math.signum(s.toDouble)) /
+      math.sqrt(n.toDouble * (n - 1) * (2 * n + 5) / 18)
+    assert(r.getAs[Long]("z_milli") == math.floor(z * 1000).toLong)
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
