@@ -357,6 +357,58 @@ object TextStats extends QueryPack {
       |JOIN ranked b ON b.rank = p.rank * 2
       |ORDER BY p.rank""".stripMargin
 
+  /** Flesch-Kincaid readability grade per document, fully integerized:
+    * words from the shared tokenizer, sentences = [.!?]+ runs (min 1),
+    * syllables = vowel-group count per lowercased token (min 1 per word —
+    * the standard heuristic). The grade
+    *
+    *   0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * spells its weights as int/int divisions (39/100 etc. — a decimal
+    * literal would parse as DECIMAL in DuckDB, CLAUDE.md's model-weight
+    * rule) over exact integer counts, fixed op order, floor-milli. Regexes
+    * stay in the Java∩RE2 dialect (explicit classes, no shorthand).
+    *
+    * 100 TB shape: tokenize + count are map-side; one (doc) aggregate.
+    */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val sent = docs.select(col("doc_id"),
+      greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+        .cast("long").as("sents"))
+    val syl = docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+      .select(col("doc_id"),
+        greatest(size(expr("regexp_extract_all(lower(tok), '[aeiouy]+', 0)")), lit(1))
+          .cast("long").as("y"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words"), sum(col("y")).as("sylls"))
+      .filter(col("words") > 0)
+    syl.join(sent, Seq("doc_id"))
+      .select(col("doc_id"), col("words"), col("sents"), col("sylls"),
+        expr("""CAST(floor((
+               |  (CAST(39 AS DOUBLE) / 100) * (CAST(words AS DOUBLE) / sents)
+               |  + (CAST(118 AS DOUBLE) / 10) * (CAST(sylls AS DOUBLE) / words)
+               |  - CAST(1559 AS DOUBLE) / 100) * 1000) AS BIGINT)"""
+          .stripMargin).as("fk_milli"))
+  }
+
+  private val textReadabilitySql =
+    s"""WITH sent AS (
+      |  SELECT doc_id,
+      |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sents
+      |  FROM documents),
+      |syl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS words,
+      |         CAST(sum(greatest(len(regexp_extract_all(lower(tok), '[aeiouy]+')), 1)) AS BIGINT) AS sylls
+      |  FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+      |  GROUP BY 1 HAVING count(*) > 0)
+      |SELECT doc_id, words, sents, sylls,
+      |       CAST(floor((
+      |         (CAST(39 AS DOUBLE) / 100) * (CAST(words AS DOUBLE) / sents)
+      |         + (CAST(118 AS DOUBLE) / 10) * (CAST(sylls AS DOUBLE) / words)
+      |         - CAST(1559 AS DOUBLE) / 100) * 1000) AS BIGINT) AS fk_milli
+      |FROM syl JOIN sent USING (doc_id)""".stripMargin
+
   /** keyphrases reported by [[rakeKeyphrases]] */
   val RakeTopK = 25
 
@@ -1169,6 +1221,7 @@ object TextStats extends QueryPack {
     Q("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     Q("rake_keyphrases", rakeKeyphrases, Some(rakeKeyphrasesSql)),
     Q("zipf_profile", zipfProfile, Some(zipfProfileSql)),
+    Q("text_readability", textReadability, Some(textReadabilitySql)),
     Q("text_collocations", collocations, Some(collocationsSql)),
     Q("doc_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("text_repetition", repetition, Some(repetitionSql)))

@@ -210,6 +210,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("text_readability: counts cover every doc and the FK formula replays") {
+    import graft.llm.TextStats
+    val rows = TextStats.textReadability(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "documents")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.length == total, "every non-empty doc scored")
+    rows.foreach { r =>
+      val (w, sn, y) = (r.getAs[Long]("words"), r.getAs[Long]("sents"),
+        r.getAs[Long]("sylls"))
+      assert(w >= 1 && sn >= 1 && y >= w, "at least one syllable per word")
+      val fk = (39.0 / 100) * (w.toDouble / sn) +
+        (118.0 / 10) * (y.toDouble / w) - 1559.0 / 100
+      assert(r.getAs[Long]("fk_milli") == math.floor(fk * 1000).toLong)
+    }
+  }
+
   test("kanon_audit flags quasi-identifier groups below k and their suppressed rows") {
     import graft.llm.Governance
     // segment A: a 2-member QI group (below k=5, flagged) + a 7-member one;
