@@ -938,7 +938,127 @@ object Mining extends QueryPack {
       |        AS BIGINT)) >= 1960 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
       |FROM agg""".stripMargin
 
+  /** Depth-2 decision tree: the [[stumpTrain]] split step applied
+    * recursively — root split on l_quantity, then each child re-splits on
+    * ITS OWN rows (p_size via the part dim — a different feature per
+    * level, the CART shape). Every split search is the same one-scan
+    * cumulative-window argmax; the children's searches run on the
+    * root-filtered relation, so the whole tree costs three scans of
+    * value-domain-bounded histograms. The oracle recomputes the root split
+    * as a scalar subquery and replays both child searches — tree induction
+    * end-to-end under the hash gate. Output: one row per node with its
+    * split, sizes, class histogram, and purity gain.
+    */
+  def treeDepth2(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val pt = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_size"))
+    val base = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(col("l_quantity").cast("long").as("x1"),
+        col("p_size").cast("long").as("x2"), col("l_returnflag").as("y"))
+      .cache()
+
+    def bestSplit(df: DataFrame, feat: String): (Long, Double) = {
+      val byV = df.groupBy(col(feat).as("q"))
+        .agg(
+          sum(when(col("y") === "A", 1L).otherwise(0L)).as("a"),
+          sum(when(col("y") === "N", 1L).otherwise(0L)).as("n"),
+          sum(when(col("y") === "R", 1L).otherwise(0L)).as("r"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("q"))
+      val best = byV.repartition(1).withColumn("pid", spark_partition_id())
+        .withColumn("la", sum(col("a")).over(w))
+        .withColumn("ln", sum(col("n")).over(w))
+        .withColumn("lr", sum(col("r")).over(w))
+        .crossJoin(broadcast(byV.agg(
+          sum(col("a")).as("ta"), sum(col("n")).as("tn"), sum(col("r")).as("tr"))))
+        .select(col("q"), col("la"), col("ln"), col("lr"),
+          (col("ta") - col("la")).as("ra"), (col("tn") - col("ln")).as("rn"),
+          (col("tr") - col("lr")).as("rr"))
+        .filter(col("ra") + col("rn") + col("rr") > 0)
+        .select(col("q"),
+          expr("""CAST(la*la + ln*ln + lr*lr AS DOUBLE) / (la + ln + lr)
+                 | + CAST(ra*ra + rn*rn + rr*rr AS DOUBLE) / (ra + rn + rr)"""
+            .stripMargin).as("score"))
+        .orderBy(col("score").desc, col("q"))
+        .limit(1).collect()(0)
+      (best.getLong(0), best.getDouble(1))
+    }
+
+    def nodeRow(df: DataFrame, node: String, feat: String, split: Long, score: Double) =
+      df.agg(
+        sum(when(col("y") === "A", 1L).otherwise(0L)).as("a"),
+        sum(when(col("y") === "N", 1L).otherwise(0L)).as("n"),
+        sum(when(col("y") === "R", 1L).otherwise(0L)).as("r"))
+        .select(lit(node).as("node"), lit(feat).as("feature"),
+          lit(split).as("split_at"),
+          (col("a") + col("n") + col("r")).as("n_rows"),
+          col("a"), col("n"), col("r"),
+          lit(math.floor(score * 1000).toLong).as("score_milli"))
+
+    val (q1, s1) = bestSplit(base, "x1")
+    val left = base.filter(col("x1") <= q1)
+    val right = base.filter(col("x1") > q1)
+    val (qL, sL) = bestSplit(left, "x2")
+    val (qR, sR) = bestSplit(right, "x2")
+    val out = nodeRow(base, "root", "l_quantity", q1, s1)
+      .unionAll(nodeRow(left, "left", "p_size", qL, sL))
+      .unionAll(nodeRow(right, "right", "p_size", qR, sR))
+      .orderBy(col("node"))
+    val rows = out.collect()
+    base.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val treeDepth2Sql = {
+    // shared building block: best split of <rel> on <feat> (scalar argmax)
+    def searchCtes(rel: String, feat: String, p: String): String =
+      s"""${p}byv AS (
+         |  SELECT $feat AS q,
+         |         CAST(sum(CASE WHEN y = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |         CAST(sum(CASE WHEN y = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN y = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+         |  FROM $rel GROUP BY 1),
+         |${p}cum AS (
+         |  SELECT q,
+         |         CAST(sum(a) OVER w AS BIGINT) AS la,
+         |         CAST(sum(n) OVER w AS BIGINT) AS ln,
+         |         CAST(sum(r) OVER w AS BIGINT) AS lr,
+         |         (SELECT CAST(sum(a) AS BIGINT) FROM ${p}byv) - CAST(sum(a) OVER w AS BIGINT) AS ra,
+         |         (SELECT CAST(sum(n) AS BIGINT) FROM ${p}byv) - CAST(sum(n) OVER w AS BIGINT) AS rn,
+         |         (SELECT CAST(sum(r) AS BIGINT) FROM ${p}byv) - CAST(sum(r) OVER w AS BIGINT) AS rr
+         |  FROM ${p}byv WINDOW w AS (ORDER BY q)),
+         |${p}best AS (
+         |  SELECT q, CAST(la*la + ln*ln + lr*lr AS DOUBLE) / (la + ln + lr)
+         |            + CAST(ra*ra + rn*rn + rr*rr AS DOUBLE) / (ra + rn + rr) AS score
+         |  FROM ${p}cum WHERE ra + rn + rr > 0
+         |  ORDER BY score DESC, q LIMIT 1)""".stripMargin
+    def nodeSel(rel: String, node: String, feat: String, p: String): String =
+      s"""SELECT '$node' AS node, '$feat' AS feature,
+         |       (SELECT q FROM ${p}best) AS split_at,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN y = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |       CAST(sum(CASE WHEN y = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN y = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         |       (SELECT CAST(floor(score * 1000) AS BIGINT) FROM ${p}best) AS score_milli
+         |FROM $rel""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS x1, CAST(p_size AS BIGINT) AS x2,
+       |         l_returnflag AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |${searchCtes("base", "x1", "rt")},
+       |lf AS (SELECT * FROM base WHERE x1 <= (SELECT q FROM rtbest)),
+       |rg AS (SELECT * FROM base WHERE x1 > (SELECT q FROM rtbest)),
+       |${searchCtes("lf", "x2", "lf")},
+       |${searchCtes("rg", "x2", "rg")}
+       |${nodeSel("base", "root", "l_quantity", "rt")}
+       |UNION ALL
+       |${nodeSel("lf", "left", "p_size", "lf")}
+       |UNION ALL
+       |${nodeSel("rg", "right", "p_size", "rg")}
+       |ORDER BY node""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("tree_depth2", treeDepth2, Some(treeDepth2Sql)),
     Q("ts_mann_kendall", tsMannKendall, Some(tsMannKendallSql)),
     Q("stump_train", stumpTrain, Some(stumpTrainSql)),
     Q("ts_peaks", tsPeaks, Some(tsPeaksSql)),

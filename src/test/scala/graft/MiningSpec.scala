@@ -243,6 +243,44 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Long]("z_milli") == math.floor(z * 1000).toLong)
   }
 
+  test("tree_depth2: children partition the root and each child split is optimal on its side") {
+    val rows = Mining.treeDepth2(spark, sfDir).collect()
+      .map(r => r.getAs[String]("node") -> r).toMap
+    assert(rows.keySet == Set("root", "left", "right"))
+    assert(rows("left").getAs[Long]("n_rows") + rows("right").getAs[Long]("n_rows") ==
+      rows("root").getAs[Long]("n_rows"))
+    Seq("a", "n", "r").foreach { c =>
+      assert(rows("left").getAs[Long](c) + rows("right").getAs[Long](c) ==
+        rows("root").getAs[Long](c), s"class $c conserved")
+    }
+    // optimality of the left child's split on its own rows
+    val q1 = rows("root").getAs[Long]("split_at")
+    val data = Tables.load(spark, sfDir, "lineitem")
+      .join(broadcast(Tables.load(spark, sfDir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_quantity").cast("long"), col("p_size").cast("long"),
+        col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val leftRows = data.filter(_._1 <= q1)
+    def score(rows: Array[(Long, Long, String)], thr: Long): Double = {
+      val (l, rt) = rows.partition(_._2 <= thr)
+      def side(xs: Array[(Long, Long, String)]): Double =
+        if (xs.isEmpty) 0.0
+        else {
+          val c = xs.groupBy(_._3).view.mapValues(_.length.toLong)
+          List("A", "N", "R").map(k => { val v = c.getOrElse(k, 0L); v * v }).sum
+            .toDouble / xs.length
+        }
+      side(l) + side(rt)
+    }
+    val sizes = leftRows.map(_._2).distinct.sorted
+    val chosen = rows("left").getAs[Long]("split_at")
+    val best = score(leftRows, chosen)
+    sizes.filter(_ < sizes.max).foreach { t =>
+      assert(score(leftRows, t) <= best + 1e-9, s"size threshold $t beats chosen $chosen")
+    }
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
