@@ -1057,7 +1057,71 @@ object Mining extends QueryPack {
        |ORDER BY node""".stripMargin
   }
 
+  /** Additive seasonal decomposition of the daily revenue series (the
+    * classical-decomposition shape STL refines): trend = centered 7-day
+    * moving average (full windows only, floor-cents), seasonal = per
+    * weekday-slot floor-mean of the detrended series (pmod floor division
+    * — detrended values go negative), residual = the exact remainder.
+    * v = trend + seasonal + residual holds EXACTLY by construction
+    * (residual is defined as the difference), so the decomposition is
+    * all-integer and hash-gates row by row.
+    *
+    * 100 TB shape: fact → calendar-bounded daily series; ROWS-frame MA and
+    * the 7-row seasonal join are series-scale.
+    */
+  def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val daily = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("v"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("wsum", sum(col("v")).over(w))
+      .withColumn("wcnt", count(lit(1)).over(w))
+      .filter(col("wcnt") === 7)
+      .select(col("day"), col("v"),
+        expr("wsum div 7").as("trend_c"),
+        (col("day").substr(1, 4)).as("yr"))
+      .withColumn("detr", col("v") - col("trend_c"))
+      .withColumn("dow7",
+        expr("CAST(datediff(to_date(day), '1970-01-01') AS BIGINT) % 7"))
+    val seasonal = trended.groupBy(col("dow7"))
+      .agg(sum(col("detr")).as("sd"), count(lit(1)).as("sc"))
+      .select(col("dow7"),
+        expr("(sd - pmod(sd, sc)) div sc").as("seasonal_c"))
+    trended.join(broadcast(seasonal), Seq("dow7"))
+      .select(col("day"), col("v"), col("trend_c"), col("seasonal_c"),
+        (col("detr") - col("seasonal_c")).as("resid_c"))
+      .orderBy(col("day"))
+  }
+
+  private val tsDecomposeSql =
+    """WITH daily AS (
+      |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |tr AS (
+      |  SELECT day, v,
+      |         CAST(sum(v) OVER w AS BIGINT) AS wsum,
+      |         CAST(count(*) OVER w AS BIGINT) AS wcnt
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT day, v, wsum // 7 AS trend_c, v - wsum // 7 AS detr,
+      |         CAST((CAST(day AS DATE) - DATE '1970-01-01') AS BIGINT) % 7 AS dow7
+      |  FROM tr WHERE wcnt = 7),
+      |seas AS (
+      |  SELECT dow7,
+      |         (CAST(sum(detr) AS BIGINT)
+      |          - ((CAST(sum(detr) AS BIGINT) % count(*) + count(*)) % count(*)))
+      |         // count(*) AS seasonal_c
+      |  FROM dt GROUP BY 1)
+      |SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c
+      |FROM dt JOIN seas USING (dow7)
+      |ORDER BY day""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("ts_decompose", tsDecompose, Some(tsDecomposeSql)),
     Q("tree_depth2", treeDepth2, Some(treeDepth2Sql)),
     Q("ts_mann_kendall", tsMannKendall, Some(tsMannKendallSql)),
     Q("stump_train", stumpTrain, Some(stumpTrainSql)),

@@ -281,6 +281,30 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ts_decompose: exact additive identity and centered-MA trend") {
+    val rows = Mining.tsDecompose(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // v = trend + seasonal + residual EXACTLY (integer identity)
+      assert(r.getAs[Long]("v") == r.getAs[Long]("trend_c") +
+        r.getAs[Long]("seasonal_c") + r.getAs[Long]("resid_c"))
+    }
+    // seasonal components: 7 distinct values keyed by weekday slot, and the
+    // residual means per slot are (near) zero by construction of the
+    // seasonal floor-mean: |mean| < 1 cent
+    val byDay = rows.map(r => r.getAs[String]("day") -> r).toMap
+    val slots = rows.groupBy(r =>
+      java.time.LocalDate.parse(r.getAs[String]("day")).toEpochDay % 7)
+    slots.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("seasonal_c")).distinct.length == 1,
+        "one seasonal value per slot")
+      val resids = rs.map(_.getAs[Long]("resid_c"))
+      val mean = resids.sum.toDouble / resids.length
+      assert(mean >= 0 && mean < 1, s"slot residual mean $mean out of [0,1)")
+    }
+    assert(byDay.size == rows.length)
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
