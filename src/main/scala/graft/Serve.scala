@@ -37,8 +37,14 @@ object Serve {
     * (`from_parser_to_rabbitmq.py:228-240`) — the relations its Grafana
     * dashboards exist to chart, served here as `global_temp.q_<name>`.
     */
+  /** default served views: the four reference analyses (the Grafana role,
+    * SURVEY §2.5) plus the dashboard-grade monitors a BI client charts
+    * directly — weekly actives, seasonality, concentration, fulfillment
+    * SLAs. All are bounded-row summaries, safe to recompute per register.
+    */
   val AnalysisViews: Seq[String] =
-    Seq("a1_volatility", "a2_trade_impact", "a3_predictability", "a4_imbalance")
+    Seq("a1_volatility", "a2_trade_impact", "a3_predictability", "a4_imbalance",
+      "bitmap_distinct_weekly", "ts_seasonality", "gini_spend", "fulfillment_lag")
 
   /** Register base tables and analysis views into the global temp catalog.
     * A table with a committed table-log under `tableLogRoot` serves that
