@@ -1415,6 +1415,65 @@ object Analytics extends QueryPack {
       |       max(lagsum) // max(n) AS mean_lag_floor
       |FROM cum""".stripMargin
 
+  /** Cohort lifetime-value curves — the revenue companion of
+    * [[cohortRetention]]: users grouped by acquisition month (first event
+    * of any type), purchase spend accumulated by cohort AGE in months,
+    * emitted as the running total and the per-user LTV (integer
+    * milli-cents, floor division). The curve a growth team reads payback
+    * periods from. All integer: month indices are y*12+m ints, spend is
+    * floor-milli-cent sums, the cumulative is a cohort-partitioned window.
+    *
+    * 100 TB shape: per-user frame (one aggregate, broadcast back), one
+    * (cohort, age) aggregate, then windows over the months×cohorts-bounded
+    * curve relation.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM").as("ym"),
+        col("event_type"), col("value"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("ym")).as("cohort"))
+      .cache()
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val curve = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(cohorts), "user_id")
+      .groupBy(col("cohort"),
+        expr("""(CAST(substr(ym, 1, 4) AS INT) * 12 + CAST(substr(ym, 6, 2) AS INT))
+               | - (CAST(substr(cohort, 1, 4) AS INT) * 12 + CAST(substr(cohort, 6, 2) AS INT))"""
+          .stripMargin).cast("long").as("age_m"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("spend_mc"))
+    val out = curve.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_spend_mc", sum(col("spend_mc")).over(
+        Window.partitionBy(col("cohort")).orderBy(col("age_m"))))
+      .select(col("cohort"), col("age_m"), col("n_users"), col("spend_mc"),
+        col("cum_spend_mc"),
+        expr("cum_spend_mc div n_users").as("ltv_per_user_mc"))
+      .orderBy(col("cohort"), col("age_m"))
+    val rows = out.collect()
+    cohorts.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val cohortLtvSql =
+    """WITH e AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS ym,
+      |         event_type, value
+      |  FROM events),
+      |c AS (SELECT user_id, min(ym) AS cohort FROM e GROUP BY 1),
+      |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY 1),
+      |curve AS (
+      |  SELECT cohort,
+      |         CAST((CAST(substr(ym, 1, 4) AS INT) * 12 + CAST(substr(ym, 6, 2) AS INT))
+      |           - (CAST(substr(cohort, 1, 4) AS INT) * 12 + CAST(substr(cohort, 6, 2) AS INT)) AS BIGINT) AS age_m,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS spend_mc
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT cohort, age_m, n_users, spend_mc,
+      |       CAST(sum(spend_mc) OVER (PARTITION BY cohort ORDER BY age_m) AS BIGINT) AS cum_spend_mc,
+      |       CAST(sum(spend_mc) OVER (PARTITION BY cohort ORDER BY age_m) AS BIGINT) // n_users AS ltv_per_user_mc
+      |FROM curve JOIN sz USING (cohort)
+      |ORDER BY cohort, age_m""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -2029,6 +2088,7 @@ object Analytics extends QueryPack {
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),
     Q("gini_spend", giniSpend, Some(giniSpendSql)),
     Q("fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)),
+    Q("cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

@@ -1120,7 +1120,68 @@ object Mining extends QueryPack {
       |FROM dt JOIN seas USING (dow7)
       |ORDER BY day""".stripMargin
 
+  /** balance ceiling for [[cappedRunningBalance]] (milli-units) */
+  val BalCap = 1000000L
+
+  /** Capped running balance per user — the textbook NON-LINEAR running
+    * aggregate (inventory with capacity, credit with a ceiling, leaky
+    * bucket):
+    *
+    *   b_t = least(Cap, greatest(0, b_{t-1} + delta_t))
+    *
+    * which NO window frame can express (the clamp makes it
+    * non-associative, history-dependent at every step). It runs as the
+    * Holt-style compiled fold over each user's day-ordered delta array;
+    * the oracle replays per row with prefix `list_reduce` and the
+    * identical least/greatest ops — all INTEGER, so the whole trajectory
+    * hash-gates. Deltas: purchases add, errors subtract.
+    *
+    * 100 TB shape: one (user, day) aggregate, then per-user folds over
+    * calendar-bounded arrays — group-local, no cross-user traffic.
+    */
+  def cappedRunningBalance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val daily = ev.filter(col("event_type").isin("purchase", "error"))
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1000).cast("long"))
+        .otherwise(-floor(col("value") * 1000).cast("long"))).as("delta_mc"))
+    val fold = udf { (rows: Seq[Row]) =>
+      var b = 0L
+      rows.map { r =>
+        val (day, d) = (r.getString(0), r.getLong(1))
+        b = math.min(BalCap, math.max(0L, b + d))
+        (day, d, b)
+      }
+    }
+    daily.groupBy(col("user_id"))
+      .agg(expr("sort_array(collect_list(struct(day, delta_mc)))").as("ds"))
+      .select(col("user_id"), explode(fold(col("ds"))).as("r"))
+      .select(col("user_id"), col("r._1").as("day"), col("r._2").as("delta_mc"),
+        col("r._3").as("balance_mc"))
+  }
+
+  private val cappedRunningBalanceSql =
+    s"""WITH daily AS (
+       |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |         CAST(sum(CASE WHEN event_type = 'purchase'
+       |                       THEN CAST(floor(value * 1000) AS BIGINT)
+       |                       ELSE -CAST(floor(value * 1000) AS BIGINT) END) AS BIGINT) AS delta_mc
+       |  FROM events WHERE event_type IN ('purchase', 'error')
+       |  GROUP BY 1, 2),
+       |seq AS (
+       |  SELECT user_id, day, delta_mc,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS i
+       |  FROM daily),
+       |arr AS (
+       |  SELECT user_id, list(delta_mc ORDER BY day) AS ds FROM daily GROUP BY 1)
+       |SELECT s.user_id, s.day, s.delta_mc,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), ds[1:i]),
+       |         (a, b) -> least($BalCap, greatest(0, a + b))) AS balance_mc
+       |FROM seq s JOIN arr USING (user_id)""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("capped_running_balance", cappedRunningBalance, Some(cappedRunningBalanceSql)),
     Q("ts_decompose", tsDecompose, Some(tsDecomposeSql)),
     Q("tree_depth2", treeDepth2, Some(treeDepth2Sql)),
     Q("ts_mann_kendall", tsMannKendall, Some(tsMannKendallSql)),

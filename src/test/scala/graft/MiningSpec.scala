@@ -305,6 +305,44 @@ class MiningSpec extends SparkSpec {
     assert(byDay.size == rows.length)
   }
 
+  test("capped_running_balance: trajectory clamps bind and replay a local fold") {
+    val rows = Mining.cappedRunningBalance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("balance_mc")
+      assert(b >= 0 && b <= Mining.BalCap, "balance stays in [0, cap]")
+    }
+    // replay one user's full trajectory locally
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val (_, urs) = byUser.maxBy(_._2.length)
+    val sorted = urs.sortBy(_.getAs[String]("day"))
+    var b = 0L
+    sorted.foreach { r =>
+      b = math.min(Mining.BalCap, math.max(0L, b + r.getAs[Long]("delta_mc")))
+      assert(r.getAs[Long]("balance_mc") == b, "fold replays step by step")
+    }
+    // the clamp is not vacuous on real data: some step hits floor or cap
+    val hits = rows.count(r => r.getAs[Long]("balance_mc") == 0L ||
+      r.getAs[Long]("balance_mc") == Mining.BalCap)
+    assert(hits > 0, "clamp must bind somewhere or the cap is untested")
+  }
+
+  test("cohort_ltv is non-decreasing in age and conserves purchase spend") {
+    val rows = graft.analytics.Analytics.cohortLtv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort")).values.foreach { rs =>
+      val byAge = rs.sortBy(_.getAs[Long]("age_m"))
+      val cums = byAge.map(_.getAs[Long]("cum_spend_mc"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+      assert(byAge.map(_.getAs[Long]("spend_mc")).sum == cums.last)
+    }
+    val total = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 1000).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("spend_mc")).sum == total,
+      "curves conserve total purchase spend")
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
