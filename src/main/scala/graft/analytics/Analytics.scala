@@ -1474,6 +1474,72 @@ object Analytics extends QueryPack {
       |FROM curve JOIN sz USING (cohort)
       |ORDER BY cohort, age_m""".stripMargin
 
+  /** funnel window in hours for [[windowFunnel]] */
+  val FunnelWindowH = 72
+
+  /** Time-constrained funnel (ClickHouse's `windowFunnel` semantics — the
+    * reference stack's native engine exposes exactly this): per user, the
+    * deepest view → click → purchase chain where EVERY later step lands
+    * within [[FunnelWindowH]] hours of the ANCHOR view and steps are
+    * strictly ordered in time. Unlike [[Analytics]]'s whole-history
+    * funnels, the window makes it a genuine temporal-join problem: a user
+    * who clicked six months after the view does not convert. Emits users
+    * at each max depth (1..3) plus the conversion ppm into each level.
+    *
+    * 100 TB shape: events split per type ONCE; the step joins are per-user
+    * equi-joins with range predicates (bounded by per-user×window event
+    * counts); depth classification is one aggregate. At cluster scale the
+    * same plan runs per user-id partition with no global state.
+    */
+  def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    def step(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").as(s"u_$t"), col("ts").as(s"ts_$t"))
+    val views = step("view").cache()
+    // depth 2: a click strictly after the view, within the window of the view
+    val d2 = views.join(step("click"),
+        col("u_view") === col("u_click") &&
+          col("ts_click") > col("ts_view") &&
+          col("ts_click") <= col("ts_view") + expr(s"INTERVAL $FunnelWindowH HOURS"))
+    // depth 3: a purchase strictly after that click, still within the window
+    // anchored at the SAME view
+    val d3 = d2.join(step("purchase"),
+        col("u_view") === col("u_purchase") &&
+          col("ts_purchase") > col("ts_click") &&
+          col("ts_purchase") <= col("ts_view") + expr(s"INTERVAL $FunnelWindowH HOURS"))
+    val u1 = views.select(col("u_view").as("user_id")).distinct()
+    val u2 = d2.select(col("u_view").as("user_id")).distinct()
+    val u3 = d3.select(col("u_view").as("user_id")).distinct()
+    val out = u1.agg(count(lit(1)).as("n_depth1"))
+      .crossJoin(broadcast(u2.agg(count(lit(1)).as("n_depth2"))))
+      .crossJoin(broadcast(u3.agg(count(lit(1)).as("n_depth3"))))
+      .select(col("n_depth1"), col("n_depth2"), col("n_depth3"),
+        expr("n_depth2 * 1000000 div n_depth1").as("conv2_ppm"),
+        expr("n_depth3 * 1000000 div n_depth1").as("conv3_ppm"))
+    val rows = out.collect()
+    views.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val windowFunnelSql =
+    s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tv FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tc FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tp FROM events WHERE event_type = 'purchase'),
+      |d2 AS (
+      |  SELECT v.user_id, tv, tc FROM v JOIN c ON v.user_id = c.user_id
+      |  WHERE tc > tv AND tc <= tv + INTERVAL $FunnelWindowH HOUR),
+      |d3 AS (
+      |  SELECT d2.user_id FROM d2 JOIN p ON d2.user_id = p.user_id
+      |  WHERE tp > tc AND tp <= tv + INTERVAL $FunnelWindowH HOUR),
+      |agg AS (
+      |  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM v) AS n_depth1,
+      |         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM d2) AS n_depth2,
+      |         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM d3) AS n_depth3)
+      |SELECT n_depth1, n_depth2, n_depth3,
+      |       n_depth2 * 1000000 // n_depth1 AS conv2_ppm,
+      |       n_depth3 * 1000000 // n_depth1 AS conv3_ppm
+      |FROM agg""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -2089,6 +2155,7 @@ object Analytics extends QueryPack {
     Q("gini_spend", giniSpend, Some(giniSpendSql)),
     Q("fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)),
     Q("cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    Q("window_funnel", windowFunnel, Some(windowFunnelSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

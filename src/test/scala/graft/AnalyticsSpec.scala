@@ -73,6 +73,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(p90 == lags((Math.ceil(0.9 * n) - 1).toInt))
   }
 
+  test("window_funnel: depths nest, ppm replays, and the window constraint binds") {
+    val r = Analytics.windowFunnel(spark, sfDir).collect().head
+    val (d1, d2, d3) = (r.getAs[Long]("n_depth1"), r.getAs[Long]("n_depth2"),
+      r.getAs[Long]("n_depth3"))
+    assert(d1 >= d2 && d2 >= d3 && d1 > 0, "funnel depths must nest")
+    assert(r.getAs[Long]("conv2_ppm") == d2 * 1000000 / d1)
+    assert(r.getAs[Long]("conv3_ppm") == d3 * 1000000 / d1)
+    // the time window must actually constrain: an unwindowed view->click
+    // funnel (any later click) reaches at least as many users, and on this
+    // multi-month event stream strictly more unless every user converts
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts").as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("ts").as("tc"))
+    val unwindowed = v.join(c, col("u") === col("u2") && col("tc") > col("tv"))
+      .select("u").distinct().count()
+    assert(unwindowed >= d2, "window can only shrink the funnel")
+  }
+
   test("A1 volatility = stddev of consecutive diffs within a day") {
     // one user, one day, values 1, 3, 2 → diffs (2, -1) → stddev_samp ≈ 2.12132
     val ev = Seq(
