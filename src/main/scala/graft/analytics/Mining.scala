@@ -122,6 +122,87 @@ object Mining extends QueryPack {
        |ORDER BY lift_ppm DESC, conf_ppm DESC, ante, conseq
        |LIMIT $RuleK""".stripMargin
 
+  /** triples reported by [[assocTriples]] */
+  val TripleK = 25
+
+  /** 3-itemset association mining — the level-3 A-Priori step over the
+    * same baskets as [[assocRules]]: triples expand IN PLACE from each
+    * basket's sorted frequent-item array (cubic per basket but bounded by
+    * the A-Priori item cut, and generated map-side — no 3-way self-join of
+    * the fact), counted with map-side combine into an item-domain³ shuffle
+    * at most. Scored by 3-way lift co·n²/(s_a·s_b·s_c) — all operands
+    * exact in double, fixed op order, floor-milli. Emits the [[TripleK]]
+    * most positively-associated triples.
+    */
+  def assocTriples(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pt = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+      .cache()
+    val tot = baskets.agg(count(lit(1)).as("n_baskets"))
+    val sup = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sup") * 100 >= col("n_baskets") * MinSupPct)
+    val freqItems = broadcast(sup.select(col("item"), col("sup"), col("n_baskets")))
+    val freqArr = broadcast(sup.agg(sort_array(collect_list(col("item"))).as("freq")))
+    val triples = baskets.crossJoin(freqArr)
+      .select(expr("filter(items, x -> array_contains(freq, x))").as("fi"))
+      .select(explode(expr(
+        """flatten(transform(fi, (x, i) ->
+          |  flatten(transform(slice(fi, i + 2, greatest(size(fi) - i - 1, 0)), (y, j) ->
+          |    transform(slice(fi, i + j + 3, greatest(size(fi) - i - j - 2, 0)),
+          |              z -> struct(x AS ia, y AS ib, z AS ic))))))""".stripMargin)).as("t"))
+      .groupBy(col("t.ia").as("ia"), col("t.ib").as("ib"), col("t.ic").as("ic"))
+      .agg(count(lit(1)).as("co3"))
+    val scored = triples
+      .join(freqItems.select(col("item").as("ia"), col("sup").as("sa"), col("n_baskets")), Seq("ia"))
+      .join(freqItems.select(col("item").as("ib"), col("sup").as("sb")), Seq("ib"))
+      .join(freqItems.select(col("item").as("ic"), col("sup").as("sc_")), Seq("ic"))
+      .select(col("ia"), col("ib"), col("ic"), col("co3"),
+        col("sa"), col("sb"), col("sc_"),
+        expr("""CAST(floor(CAST(co3 AS DOUBLE) * n_baskets * n_baskets
+               | / CAST(sa * sb * sc_ AS DOUBLE) * 1000) AS BIGINT)"""
+          .stripMargin).as("lift3_milli"))
+    val out = scored
+      .orderBy(col("lift3_milli").desc, col("ia"), col("ib"), col("ic"))
+      .limit(TripleK)
+    val rows = out.collect()
+    baskets.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val assocTriplesSql =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT count(DISTINCT ok) AS n_baskets FROM baskets),
+       |sup AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS sup, n_baskets
+       |  FROM baskets CROSS JOIN tot
+       |  GROUP BY item, n_baskets
+       |  HAVING count(*) * 100 >= n_baskets * $MinSupPct),
+       |fb AS (SELECT ok, b.item FROM baskets b JOIN sup USING (item)),
+       |triples AS (
+       |  SELECT x.item AS ia, y.item AS ib, z.item AS ic, CAST(count(*) AS BIGINT) AS co3
+       |  FROM fb x
+       |  JOIN fb y ON x.ok = y.ok AND x.item < y.item
+       |  JOIN fb z ON y.ok = z.ok AND y.item < z.item
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT t.ia, t.ib, t.ic, t.co3, a.sup AS sa, b.sup AS sb, c.sup AS sc_,
+       |         CAST(floor(CAST(t.co3 AS DOUBLE) * a.n_baskets * a.n_baskets
+       |           / CAST(a.sup * b.sup * c.sup AS DOUBLE) * 1000) AS BIGINT) AS lift3_milli
+       |  FROM triples t
+       |  JOIN sup a ON a.item = t.ia
+       |  JOIN sup b ON b.item = t.ib
+       |  JOIN sup c ON c.item = t.ic)
+       |SELECT * FROM scored
+       |ORDER BY lift3_milli DESC, ia, ib, ic
+       |LIMIT $TripleK""".stripMargin
+
   /** index-space lags probed by [[tsAcf]] */
   val AcfLags: Seq[Int] = Seq(1, 2, 3, 7, 14, 28)
 
@@ -1194,6 +1275,7 @@ object Mining extends QueryPack {
         s"edges AS (SELECT * FROM (${edgeSqlFor("orders", "lineitem")})),"))),
     Q("survival_km", survivalKm, Some(survivalKmSql)),
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
+    Q("assoc_triples", assocTriples, Some(assocTriplesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),
     Q("ts_holt_forecast", tsHoltForecast, Some(tsHoltForecastSql)),

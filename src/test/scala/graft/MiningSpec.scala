@@ -343,6 +343,24 @@ class MiningSpec extends SparkSpec {
       "curves conserve total purchase spend")
   }
 
+  test("assoc_triples: canonical order, support monotonicity, lift replay") {
+    val rows = Mining.assocTriples(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.TripleK)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[String]("ia"), r.getAs[String]("ib"), r.getAs[String]("ic"))
+      assert(a < b && b < c, "triples are canonically ordered")
+      val (co, sa, sb, sc) = (r.getAs[Long]("co3"), r.getAs[Long]("sa"),
+        r.getAs[Long]("sb"), r.getAs[Long]("sc_"))
+      assert(co >= 1 && co <= math.min(sa, math.min(sb, sc)),
+        "triple support bounded by every item support")
+      // replay the double lift with the identical op order
+      val n = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey").distinct().count()
+      val lift = co.toDouble * n * n / (sa * sb * sc).toDouble * 1000
+      assert(r.getAs[Long]("lift3_milli") == math.floor(lift).toLong)
+    }
+  }
+
   test("mining queries are rerun-deterministic") {
     for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
