@@ -362,7 +362,12 @@ class MiningSpec extends SparkSpec {
   }
 
   test("mining queries are rerun-deterministic") {
-    for (q <- Seq(Mining.assocRules _, Mining.tsAcf _, Mining.tsChangepoint _)) {
+    // includes every collect-localized query in the pack: a driver-side
+    // union-find / argmax / fold that depended on row arrival order would
+    // flicker here
+    for (q <- Seq(Mining.assocRules _, Mining.assocTriples _, Mining.tsAcf _,
+      Mining.tsChangepoint _, Mining.clusterGridDensity _, Mining.survivalKm _,
+      Mining.treeDepth2 _, Mining.cappedRunningBalance _)) {
       val a = q(spark, sfDir).collect().map(_.toString).sorted
       val b = q(spark, sfDir).collect().map(_.toString).sorted
       assert(a.sameElements(b))
