@@ -1540,6 +1540,66 @@ object Analytics extends QueryPack {
       |       n_depth3 * 1000000 // n_depth1 AS conv3_ppm
       |FROM agg""".stripMargin
 
+  /** Time-to-convert profile inside the [[windowFunnel]] window: for each
+    * user's EARLIEST view→purchase conversion within [[FunnelWindowH]]
+    * hours, the lag in whole minutes — exact discrete quantiles via the
+    * verified ceil-rank rule on the minute-domain-bounded lag histogram
+    * (the [[fulfillmentLag]] discipline applied to funnel timing). The
+    * "how fast do converters convert" readout that decides retargeting
+    * windows.
+    *
+    * 100 TB shape: one per-user range join bounded by the window, a
+    * per-user min (first conversion), then histogram-scale windows.
+    */
+  def funnelTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts").as("tv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("tp"))
+    val lags = v.join(p,
+        col("u") === col("u2") && col("tp") > col("tv") &&
+          col("tp") <= col("tv") + expr(s"INTERVAL $FunnelWindowH HOURS"))
+      .groupBy(col("u"))
+      .agg(min(expr("(unix_timestamp(tp) - unix_timestamp(tv)) div 60")).as("lag_min"))
+      .groupBy(col("lag_min")).agg(count(lit(1)).as("c"))
+    val cum = lags.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("lag_min"))))
+      .crossJoin(broadcast(lags.agg(
+        sum(col("c")).as("n"), sum(col("lag_min") * col("c")).as("lagsum"))))
+    def q(pct: Int) =
+      min(when(col("cum") * 100 >= col("n") * pct, col("lag_min"))).as(s"p$pct")
+    cum.agg(
+      max(col("n")).as("n_converters"),
+      min(col("lag_min")).as("min_lag_min"),
+      q(50), q(90),
+      max(col("lag_min")).as("max_lag_min"),
+      expr("max(lagsum) div max(n)").as("mean_lag_floor_min"))
+  }
+
+  private val funnelTimeToConvertSql =
+    s"""WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tv FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tp FROM events WHERE event_type = 'purchase'),
+      |lag0 AS (
+      |  SELECT v.user_id,
+      |         CAST(min(date_diff('second', tv, tp) // 60) AS BIGINT) AS lag_min
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |  WHERE tp > tv AND tp <= tv + INTERVAL $FunnelWindowH HOUR
+      |  GROUP BY 1),
+      |lags AS (SELECT lag_min, CAST(count(*) AS BIGINT) AS c FROM lag0 GROUP BY 1),
+      |cum AS (
+      |  SELECT lag_min, c, CAST(sum(c) OVER (ORDER BY lag_min) AS BIGINT) AS cum,
+      |         (SELECT CAST(sum(c) AS BIGINT) FROM lags) AS n,
+      |         (SELECT CAST(sum(lag_min * c) AS BIGINT) FROM lags) AS lagsum
+      |  FROM lags)
+      |SELECT max(n) AS n_converters, min(lag_min) AS min_lag_min,
+      |       min(CASE WHEN cum * 100 >= n * 50 THEN lag_min END) AS p50,
+      |       min(CASE WHEN cum * 100 >= n * 90 THEN lag_min END) AS p90,
+      |       max(lag_min) AS max_lag_min,
+      |       max(lagsum) // max(n) AS mean_lag_floor_min
+      |FROM cum""".stripMargin
+
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
     * feature — the feature-engineering pass an ML pipeline runs before model
@@ -2156,6 +2216,7 @@ object Analytics extends QueryPack {
     Q("fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)),
     Q("cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     Q("window_funnel", windowFunnel, Some(windowFunnelSql)),
+    Q("funnel_time_to_convert", funnelTimeToConvert, Some(funnelTimeToConvertSql)),
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),

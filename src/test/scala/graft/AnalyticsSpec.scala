@@ -94,6 +94,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(unwindowed >= d2, "window can only shrink the funnel")
   }
 
+  test("funnel_time_to_convert: converters subset depth-3-or-better users, quantiles ordered") {
+    val r = Analytics.funnelTimeToConvert(spark, sfDir).collect().head
+    val (mn, p50, p90, mx) = (r.getAs[Long]("min_lag_min"), r.getAs[Long]("p50"),
+      r.getAs[Long]("p90"), r.getAs[Long]("max_lag_min"))
+    assert(mn >= 0 && mn <= p50 && p50 <= p90 && p90 <= mx)
+    val mean = r.getAs[Long]("mean_lag_floor_min")
+    assert(mean >= mn && mean <= mx)
+    // every converter lag fits the funnel window
+    assert(mx < Analytics.FunnelWindowH * 60L)
+    // converters here (view->purchase) are at least the strict
+    // view->click->purchase depth-3 population
+    val wf = Analytics.windowFunnel(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_converters") >= wf.getAs[Long]("n_depth3"))
+  }
+
   test("A1 volatility = stddev of consecutive diffs within a day") {
     // one user, one day, values 1, 3, 2 → diffs (2, -1) → stddev_samp ≈ 2.12132
     val ev = Seq(
