@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1157,6 +1157,162 @@ object Analytics extends QueryPack {
       |FROM (SELECT * FROM arms WHERE arm = 0) a0,
       |     (SELECT * FROM arms WHERE arm = 1) a1""".stripMargin
 
+  /** Difference-in-differences estimator over purchase spend: arms by the
+    * deterministic `user_id % 2` assignment ([[abLift]]'s discipline),
+    * periods split at the data-derived midpoint day of the purchase
+    * history, per-user-per-period spend summed in exact integer
+    * milli-units, then the 2×2 cell means and
+    * DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre). Each mean is
+    * ONE correctly-rounded division of an exact int64 sum (the long→double
+    * rule), and the three subtractions are a fixed IEEE-exact sequence —
+    * the whole readout hash-gates. DiD is the panel-causal estimate an A/B
+    * readout needs when arms differ at baseline (pure post-period lift
+    * would confound pre-existing spend gaps).
+    *
+    * 100 TB shape: per-(user, period) partial aggregate, then a 4-row
+    * reduce via conditional aggregation — one pass, no Expand (no distinct
+    * aggregates anywhere); the midpoint is a broadcast 1-row aggregate.
+    */
+  def abDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), (col("user_id") % 2).as("arm"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("micro"))
+    val b = p.agg(expr("(min(d) + max(d) + 1) div 2").as("bday"))
+    val uc = p.crossJoin(broadcast(b))
+      .groupBy(col("user_id"), col("arm"),
+        when(col("d") >= col("bday"), 1L).otherwise(0L).as("period"), col("bday"))
+      .agg(sum(col("micro")).as("sp"))
+    def cell(a: Int, pd: Int, what: Column, alias: String) =
+      sum(when(col("arm") === a && col("period") === pd, what).otherwise(lit(0L))).as(alias)
+    uc.agg(
+        max(col("bday")).as("boundary_day_num"),
+        cell(0, 0, lit(1L), "n_c_pre"), cell(0, 0, col("sp"), "s_c_pre"),
+        cell(0, 1, lit(1L), "n_c_post"), cell(0, 1, col("sp"), "s_c_post"),
+        cell(1, 0, lit(1L), "n_t_pre"), cell(1, 0, col("sp"), "s_t_pre"),
+        cell(1, 1, lit(1L), "n_t_post"), cell(1, 1, col("sp"), "s_t_post"))
+      .select(col("*"),
+        expr("CAST(s_c_pre AS DOUBLE) / n_c_pre").as("m_c_pre"),
+        expr("CAST(s_c_post AS DOUBLE) / n_c_post").as("m_c_post"),
+        expr("CAST(s_t_pre AS DOUBLE) / n_t_pre").as("m_t_pre"),
+        expr("CAST(s_t_post AS DOUBLE) / n_t_post").as("m_t_post"))
+      .withColumn("did_milli",
+        (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+  }
+
+  private val abDiffInDiffSql =
+    """WITH p AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |         date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
+      |         CAST(floor(value * 1000) AS BIGINT) AS micro
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT (min(d) + max(d) + 1) // 2 AS bday FROM p),
+      |uc AS (
+      |  SELECT user_id, arm, CASE WHEN d >= bday THEN 1 ELSE 0 END AS period,
+      |         bday, CAST(sum(micro) AS BIGINT) AS sp
+      |  FROM p CROSS JOIN b GROUP BY 1, 2, 3, 4),
+      |cells AS (
+      |  SELECT CAST(max(bday) AS BIGINT) AS boundary_day_num,
+      |         CAST(sum(CASE WHEN arm = 0 AND period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+      |         CAST(sum(CASE WHEN arm = 0 AND period = 0 THEN sp ELSE 0 END) AS BIGINT) AS s_c_pre,
+      |         CAST(sum(CASE WHEN arm = 0 AND period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+      |         CAST(sum(CASE WHEN arm = 0 AND period = 1 THEN sp ELSE 0 END) AS BIGINT) AS s_c_post,
+      |         CAST(sum(CASE WHEN arm = 1 AND period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+      |         CAST(sum(CASE WHEN arm = 1 AND period = 0 THEN sp ELSE 0 END) AS BIGINT) AS s_t_pre,
+      |         CAST(sum(CASE WHEN arm = 1 AND period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+      |         CAST(sum(CASE WHEN arm = 1 AND period = 1 THEN sp ELSE 0 END) AS BIGINT) AS s_t_post
+      |  FROM uc)
+      |SELECT *,
+      |       ((CAST(s_t_post AS DOUBLE) / n_t_post) - (CAST(s_t_pre AS DOUBLE) / n_t_pre))
+      |       - ((CAST(s_c_post AS DOUBLE) / n_c_post) - (CAST(s_c_pre AS DOUBLE) / n_c_pre)) AS did_milli
+      |FROM (
+      |  SELECT *,
+      |         CAST(s_c_pre AS DOUBLE) / n_c_pre AS m_c_pre,
+      |         CAST(s_c_post AS DOUBLE) / n_c_post AS m_c_post,
+      |         CAST(s_t_pre AS DOUBLE) / n_t_pre AS m_t_pre,
+      |         CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post
+      |  FROM cells)""".stripMargin
+
+  /** Per-user temporal burstiness + behavioral-diversity profile — the
+    * bot/spam screen over the event stream: inter-arrival gaps in whole
+    * seconds (exact integer µs difference, floor-divided), their exact
+    * integer moments, the squared coefficient of variation as a
+    * fixed-sequence correctly-rounded double (CV² ≈ 1 for a Poisson user,
+    * ≪ 1 for a metronomic bot, ≫ 1 for bursty humans), and the Gini
+    * impurity of the user's event-type mix (log-free diversity: 1 − Σp²,
+    * exact integer ppm) with the dominant type share. Scripted accounts
+    * show near-zero CV² and near-zero type diversity simultaneously.
+    *
+    * 100 TB shape: gaps come from ONE user-partitioned window pass (the
+    * sessionization shape); both profiles aggregate to the user domain and
+    * join user-to-user. Σgap² stays in int64 (gaps in seconds: a 10-year
+    * span is 3e8 s, squared 9e16 — one gap; sums bounded by span·max_gap
+    * ≤ 9e16·k only for pathological single-gap users, and the per-user
+    * event cap of the generated domain keeps it far below 2^63; CV² itself
+    * is computed in doubles from the exact sums).
+    */
+  def userBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("pus", lag(col("us"), 1).over(w))
+      .where(col("pus").isNotNull)
+      .select(col("user_id"), expr("(us - pus) div 1000000").as("g"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+    val types = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sc2"), max(col("c")).as("max_c"))
+    types.join(gaps, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        col("sg").as("sum_gap_s"),
+        expr("sg div n_gaps").as("mean_gap_s"),
+        expr("""CASE WHEN sg > 0 THEN
+               |  CAST(floor(CAST(sg2 AS DOUBLE) / sg / sg * n_gaps * 1000000) AS BIGINT)
+               |END""".stripMargin).as("cv2_ppm"),
+        col("n_types"),
+        (lit(1000000L) - expr("sc2 * 1000000 div (n_events * n_events)")).as("gini_ppm"),
+        expr("max_c * 1000000 div n_events").as("top_type_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  private val userBurstinessSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+      |  FROM events),
+      |g0 AS (
+      |  SELECT user_id,
+      |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dus
+      |  FROM e),
+      |gaps AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         CAST(sum(dus // 1000000) AS BIGINT) AS sg,
+      |         CAST(sum((dus // 1000000) * (dus // 1000000)) AS BIGINT) AS sg2
+      |  FROM g0 WHERE dus IS NOT NULL GROUP BY 1),
+      |types AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+      |         CAST(sum(c) AS BIGINT) AS n_events,
+      |         CAST(sum(c * c) AS BIGINT) AS sc2,
+      |         CAST(max(c) AS BIGINT) AS max_c
+      |  FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |        FROM e GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT t.user_id, t.n_events, g.n_gaps, g.sg AS sum_gap_s,
+      |       g.sg // g.n_gaps AS mean_gap_s,
+      |       CASE WHEN g.sg > 0 THEN
+      |         CAST(floor(CAST(g.sg2 AS DOUBLE) / g.sg / g.sg * g.n_gaps * 1000000) AS BIGINT)
+      |       END AS cv2_ppm,
+      |       t.n_types,
+      |       1000000 - t.sc2 * 1000000 // (t.n_events * t.n_events) AS gini_ppm,
+      |       t.max_c * 1000000 // t.n_events AS top_type_ppm
+      |FROM types t JOIN gaps g ON g.user_id = t.user_id
+      |ORDER BY t.user_id""".stripMargin
+
   /** A/B conversion significance: the 2×2 chi-square test on per-arm
     * converter counts (a user converts if they purchased at least once).
     * The statistic
@@ -1599,6 +1755,56 @@ object Analytics extends QueryPack {
       |       max(lag_min) AS max_lag_min,
       |       max(lagsum) // max(n) AS mean_lag_floor_min
       |FROM cum""".stripMargin
+
+  /** Rolling 7-day distinct active users per day (the WAU curve computed
+    * for EVERY day, not just week boundaries) — the sliding-window DISTINCT
+    * aggregate that no window frame can express (frames compose sums, not
+    * set unions). The scalable idiom: collapse the fact to the (user, day)
+    * grain first, then fan each pair out to the ≤ 7 window-anchor days it
+    * contributes to (a FIXED ×7 map-side explode, not a range join), and
+    * count distinct users per anchor.
+    *
+    * 100 TB shape: the fact collapses to user×day BEFORE any fan-out, the
+    * explode is a constant-width Generate (codegen, no BNL range join), the
+    * anchor semi-join broadcasts the day-domain grid, and the final count
+    * is a SINGLE distinct aggregate — the two-level HashAggregate rewrite,
+    * never an Expand. State is bounded by user×day, not events.
+    */
+  def rollingWau(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val pairs = ev.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .distinct()
+    val grid = pairs.select(col("day_num").as("anchor")).distinct()
+    val fan = pairs
+      .select(col("user_id"), col("day_num"), explode(expr("sequence(0L, 6L)")).as("o"))
+      .select(col("user_id"), (col("day_num") + col("o")).as("anchor"))
+      .join(broadcast(grid), Seq("anchor"), "left_semi")
+    fan.groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(
+        col("anchor").as("day_num"),
+        date_format(date_add(lit("1970-01-01").cast("date"), col("anchor").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("wau"))
+      .orderBy(col("day_num"))
+  }
+
+  private val rollingWauSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_num
+      |  FROM events),
+      |grid AS (SELECT DISTINCT day_num AS anchor FROM pairs),
+      |fan AS (SELECT p.user_id, p.day_num + o AS anchor FROM pairs p, range(7) t(o)),
+      |w AS (
+      |  SELECT f.anchor, CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+      |  FROM fan f JOIN grid g ON g.anchor = f.anchor
+      |  GROUP BY 1)
+      |SELECT anchor AS day_num,
+      |       strftime(DATE '1970-01-01' + CAST(anchor AS INTEGER), '%Y-%m-%d') AS day,
+      |       wau
+      |FROM w ORDER BY day_num""".stripMargin
 
   /** Time-series training-feature matrix: per (user, day) activity with lag
     * features (t−1, t−7), a 7-row trailing sum, and a relative-change
@@ -2209,8 +2415,11 @@ object Analytics extends QueryPack {
     Q("scd2_asof_dim_join", scd2AsofDimJoin, Some(scd2AsofDimJoinSql)),
     Q("graph_influence", graphInfluence, Some(graphInfluenceSql)),
     Q("ts_features", tsFeatures, Some(tsFeaturesSql)),
+    Q("rolling_wau", rollingWau, Some(rollingWauSql)),
     Q("ab_lift", abLift, Some(abLiftSql)),
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
+    Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
+    Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),
     Q("gini_spend", giniSpend, Some(giniSpendSql)),
     Q("fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)),

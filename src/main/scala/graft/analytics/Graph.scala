@@ -433,7 +433,91 @@ object Graph extends QueryPack {
       |FROM (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
       |GROUP BY dist""".stripMargin
 
+  /** k-core threshold: peel nodes with fewer than this many neighbors */
+  val KcoreK = 3
+
+  /** peel rounds for [[kcore]] (fixed — the oracle replays each round; once
+    * peeling converges the remaining rounds are exact no-ops, so raising
+    * this never changes a converged answer)
+    */
+  val KcoreRounds = 4
+
+  /** k-core decomposition of the co-purchase part graph by distributed
+    * peeling: [[KcoreRounds]] rounds of "drop every node whose degree in the
+    * surviving subgraph is < [[KcoreK]]" — the standard iterative route to
+    * the k-core (the maximal subgraph where every node keeps ≥ k
+    * neighbors), which marks the structurally-cohesive region of the graph
+    * that one-off co-occurrences (degree-1 spokes, pendant chains) never
+    * enter. Emits one row per round: survivors after the peel and the edge
+    * count among them — the shrinking-core trajectory, all integer.
+    *
+    * 100 TB shape: the edge relation shuffles once at build (cached,
+    * pre-partitioned on `x`); each round is two semi-joins against the
+    * node-sized survivor set plus a degree aggregate, and the edge relation
+    * only ever SHRINKS — monotone peeling, no fan-out anywhere. Each round
+    * materializes before its predecessor unpersists (lineage one round
+    * deep), and the ≤ rounds-sized stats rows are assembled driver-side —
+    * nothing graph-sized collects.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").hint("shuffle_hash")
+      .join(op.as("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= MinCoOrders)
+      .select("x", "y")
+    var cur = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+      .repartition(col("x")).cache()
+    var acquired = List[DataFrame](cur)
+    val stats = scala.collection.mutable.ListBuffer(
+      (0L, cur.select("x").distinct().count(), cur.count() / 2))
+    for (t <- 1 to KcoreRounds) {
+      val surv = cur.groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= KcoreK).select(col("x").as("node")).cache()
+      val next = cur
+        .join(surv.select(col("node").as("x")), Seq("x"), "left_semi")
+        .join(surv.select(col("node").as("y")), Seq("y"), "left_semi")
+        .cache()
+      val nNodes = surv.count()
+      val nEdges = next.count() / 2 // materializes next before cur drops
+      stats += ((t.toLong, nNodes, nEdges))
+      acquired = surv :: next :: acquired
+      cur = next
+    }
+    acquired.foreach(_.unpersist(blocking = false))
+    import s.implicits._
+    stats.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
+  private val kcoreSql = {
+    val rounds = (1 to KcoreRounds).map { t =>
+      val prev = if (t == 1) "und" else s"u${t - 1}"
+      s"""s$t AS (SELECT x AS node FROM $prev GROUP BY x HAVING count(*) >= $KcoreK),
+         |u$t AS (SELECT p.x, p.y FROM $prev p
+         |        JOIN s$t a ON a.node = p.x JOIN s$t b ON b.node = p.y)""".stripMargin
+    }.mkString(",\n")
+    val rows = (
+      s"""SELECT CAST(0 AS BIGINT) AS round,
+         |       (SELECT count(DISTINCT x) FROM und) AS n_nodes,
+         |       (SELECT count(*) // 2 FROM und) AS n_edges""".stripMargin +:
+        (1 to KcoreRounds).map { t =>
+          s"""SELECT CAST($t AS BIGINT) AS round,
+             |       (SELECT count(*) FROM s$t) AS n_nodes,
+             |       (SELECT count(*) // 2 FROM u$t) AS n_edges""".stripMargin
+        }).mkString("\nUNION ALL\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinCoOrders),
+       |und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+       |$rounds
+       |$rows""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("graph_kcore", kcore, Some(kcoreSql)),
     Q("graph_sssp", sssp, Some(ssspSql)),
     Q("graph_pagerank", pagerank, Some(pagerankSql)),
     Q("graph_ppr_recs", pprRecs, Some(pprRecsSql)),

@@ -299,6 +299,188 @@ object Mining extends QueryPack {
        |       // (m*(m*m-1)) AS rho_ppm
        |FROM agg ORDER BY lag""".stripMargin
 
+  /** per-user purchase-history cap for [[cfItemRecs]] (bounds the pair
+    * quadratic at C(cap,2) per user regardless of history length)
+    */
+  val CfHistCap = 30
+
+  /** item-item neighbor-list truncation (the serving-layout bound) */
+  val CfNeighborK = 10
+
+  /** recommendations emitted per target user */
+  val CfRecK = 3
+
+  /** target cohort: customers with custkey below this */
+  val CfTargetMax = 10L
+
+  /** Item-item collaborative filtering (the classic Amazon/"customers who
+    * bought X also bought Y" recommender): per-customer purchase histories
+    * → item-item Jaccard similarities from co-purchase counts → truncated
+    * per-item neighbor lists → per-target-user scores as the integer sum of
+    * similarity ppm over paths from their owned items, owned items
+    * excluded, top [[CfRecK]] per user. Every score is integer (Jaccard as
+    * floor-ppm of an all-integer quotient), so the whole recommend pipeline
+    * hash-gates.
+    *
+    * 100 TB shape: histories are CAPPED at [[CfHistCap]] items by md5 rank
+    * (the production frequency-cap: a crawler account with 10^6 purchases
+    * otherwise contributes 10^12 pairs), pairs expand IN PLACE from each
+    * user's sorted capped array (map-side, no fact self-join — the
+    * [[assocRules]] shape), item supports broadcast, neighbor lists
+    * truncated to [[CfNeighborK]] per item (the standard serving layout),
+    * and scoring joins the target cohort's capped histories against those
+    * bounded lists. No step is more than (cap × neighbor-list) fan-out.
+    */
+  def cfItemRecs(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val up0 = od.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("it")).distinct()
+    val up = up0
+      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(md5(concat(col("u"), lit(":"), col("it"))), col("it"))))
+      .where(col("rk") <= CfHistCap).drop("rk")
+      .cache()
+    val sup = up.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val pairs = up.groupBy(col("u")).agg(sort_array(collect_list(col("it"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, greatest(size(items) - i - 1, 0)),
+          |            y -> struct(x AS ia, y AS ib))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.unionAll(
+      pairs.select(col("ib").as("ia"), col("ia").as("ib"), col("co")))
+    val sim = sym
+      .join(broadcast(sup.select(col("it").as("ia"), col("n").as("na"))), "ia")
+      .join(broadcast(sup.select(col("it").as("ib"), col("n").as("nb"))), "ib")
+      .select(col("ia"), col("ib"),
+        expr("co * 1000000 div (na + nb - co)").as("jac_ppm"))
+    val nb = sim
+      .withColumn("rk", row_number().over(Window.partitionBy(col("ia"))
+        .orderBy(col("jac_ppm").desc, col("ib"))))
+      .where(col("rk") <= CfNeighborK).drop("rk")
+    val targets = up.where(col("u") < CfTargetMax)
+    // exclusion runs against the FULL ownership relation (up0), not the
+    // capped history: an item squeezed out of the cap is still owned and
+    // must never be recommended back
+    val cand = targets.join(nb, targets("it") === nb("ia"))
+      .join(up0.select(col("u").as("u"), col("it").as("ib")), Seq("u", "ib"), "left_anti")
+      .groupBy(col("u"), col("ib"))
+      .agg(sum(col("jac_ppm")).as("score"), count(lit(1)).as("n_paths"))
+    val out = cand
+      .withColumn("rank", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("score").desc, col("ib"))).cast("long"))
+      .where(col("rank") <= CfRecK)
+      .select(col("u").as("custkey"), col("ib").as("p_reckey"),
+        col("score"), col("n_paths"), col("rank"))
+      .orderBy(col("custkey"), col("rank"))
+    val rows = out.collect()
+    up.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val cfItemRecsSql: String =
+    s"""WITH up0 AS (
+       |  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |up AS (
+       |  SELECT u, it FROM (
+       |    SELECT u, it, row_number() OVER (PARTITION BY u
+       |      ORDER BY md5(CAST(u AS VARCHAR) || ':' || CAST(it AS VARCHAR)), it) AS rk
+       |    FROM up0)
+       |  WHERE rk <= $CfHistCap),
+       |sup AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM up GROUP BY it),
+       |co AS (
+       |  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS co
+       |  FROM up a JOIN up b ON a.u = b.u AND a.it < b.it
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT ia, ib, co FROM co UNION ALL SELECT ib AS ia, ia AS ib, co FROM co),
+       |sim AS (
+       |  SELECT sym.ia, sym.ib, co * 1000000 // (sa.n + sb.n - co) AS jac_ppm
+       |  FROM sym JOIN sup sa ON sa.it = sym.ia JOIN sup sb ON sb.it = sym.ib),
+       |nb AS (
+       |  SELECT ia, ib, jac_ppm FROM (
+       |    SELECT ia, ib, jac_ppm,
+       |           row_number() OVER (PARTITION BY ia ORDER BY jac_ppm DESC, ib) AS rk
+       |    FROM sim)
+       |  WHERE rk <= $CfNeighborK),
+       |cand AS (
+       |  SELECT t.u, nb.ib, CAST(sum(nb.jac_ppm) AS BIGINT) AS score,
+       |         CAST(count(*) AS BIGINT) AS n_paths
+       |  FROM up t JOIN nb ON nb.ia = t.it
+       |  WHERE t.u < $CfTargetMax
+       |    AND NOT EXISTS (SELECT 1 FROM up0 o WHERE o.u = t.u AND o.it = nb.ib)
+       |  GROUP BY 1, 2)
+       |SELECT u AS custkey, ib AS p_reckey, score, n_paths, rank FROM (
+       |  SELECT u, ib, score, n_paths,
+       |         CAST(row_number() OVER (PARTITION BY u ORDER BY score DESC, ib) AS BIGINT) AS rank
+       |  FROM cand)
+       |WHERE rank <= $CfRecK
+       |ORDER BY custkey, rank""".stripMargin
+
+  /** Forecast backtesting harness over the daily net-revenue series: replay
+    * the two standard zero-parameter baselines — naive-1 (yesterday's value)
+    * and seasonal-naive-7 (same weekday last week) — across every day the
+    * history can score, and report exact error metrics per model: floor-mean
+    * absolute error in cents, floor-mean MAPE (per-day integer ppm ratios,
+    * then an integer mean — both divisions non-negative so `div`/`//`
+    * agree), signed bias via the portable `floor(double)` form (the
+    * possibly-negative-numerator rule), and the worst absolute miss. This is
+    * the evaluation half every forecasting operator ([[tsHoltForecast]],
+    * [[tsSeasonality]]) needs before anyone trusts it.
+    *
+    * 100 TB shape: ONE partial-aggregate fact scan collapses lineitem to the
+    * calendar-bounded daily series (cached for the model replays and
+    * released before return); each model is a day-keyed self-join of that
+    * tiny relation. Nothing fact-scale is joined or windowed.
+    */
+  def tsBacktest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ser = li.groupBy(
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .cache()
+    val out = Seq(("naive1", 1L), ("seasonal7", 7L)).map { case (name, lagD) =>
+      val f = ser.select((col("d") + lagD).as("d"), col("v").as("fc"))
+      ser.join(f, "d")
+        .select(col("v"), col("fc"), abs(col("v") - col("fc")).as("ae"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("ae")).as("sae"),
+          sum(col("v") - col("fc")).as("serr"),
+          sum(expr("(1000000 * ae) div v")).as("sppm"),
+          max(col("ae")).as("max_abs_err_c"))
+        .select(
+          lit(name).as("model"), col("n_days"),
+          expr("sae div n_days").as("mae_c"),
+          expr("sppm div n_days").as("mape_ppm"),
+          floor(col("serr").cast("double") / col("n_days")).cast("long").as("bias_floor_c"),
+          col("max_abs_err_c"))
+    }.reduce(_ unionAll _)
+    val rows = out.collect()
+    ser.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val tsBacktestSql: String = {
+    def leg(name: String, lagD: Int) =
+      s"""SELECT '$name' AS model, CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(sum(abs(v - fc)) AS BIGINT) // count(*) AS mae_c,
+         |       CAST(sum((1000000 * abs(v - fc)) // v) AS BIGINT) // count(*) AS mape_ppm,
+         |       CAST(floor(CAST(sum(v - fc) AS DOUBLE) / count(*)) AS BIGINT) AS bias_floor_c,
+         |       CAST(max(abs(v - fc)) AS BIGINT) AS max_abs_err_c
+         |FROM (SELECT a.v, f.v AS fc FROM ser a JOIN ser f ON a.d = f.d + $lagD)""".stripMargin
+    s"""WITH ser AS (
+       |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+       |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1)
+       |${leg("naive1", 1)}
+       |UNION ALL
+       |${leg("seasonal7", 7)}""".stripMargin
+  }
+
   /** Per-year CUSUM changepoint over the daily-revenue series: within each
     * calendar year the split index t maximizing |m*P_t - t*S| (the CUSUM
     * statistic scaled by m to stay integer; P = prefix sum, S = year
@@ -1277,6 +1459,8 @@ object Mining extends QueryPack {
     Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("assoc_triples", assocTriples, Some(assocTriplesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
+    Q("ts_backtest", tsBacktest, Some(tsBacktestSql)),
+    Q("cf_item_recs", cfItemRecs, Some(cfItemRecsSql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),
     Q("ts_holt_forecast", tsHoltForecast, Some(tsHoltForecastSql)),
     Q("ts_seasonality", tsSeasonality, Some(tsSeasonalitySql)))

@@ -929,7 +929,68 @@ object Governance extends QueryPack {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
 
+  /** Benford expected first-digit shares in ppm — floor(1e6·log10(1+1/d)),
+    * precomputed once as integer constants so no libm log runs at query
+    * time in either engine (they sum to 999995; floor loses 5 ppm).
+    */
+  val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301029L, 2L -> 176091L, 3L -> 124938L, 4L -> 96910L, 5L -> 79181L,
+    6L -> 66946L, 7L -> 57991L, 8L -> 51152L, 9L -> 45757L)
+
+  /** Benford's-law first-digit audit over order totals — the forensic
+    * data-quality screen for fabricated or truncated monetary columns
+    * (invented numbers over-sample mid digits; real multiplicative amounts
+    * follow log10(1+1/d)). First digits are extracted WITHOUT logarithms:
+    * exact integer cents (`floor(x·100)`, identical in both engines), then
+    * the first character of the integer's decimal rendering — integer→
+    * string is exact everywhere. Emits one row per digit with observed
+    * count, observed/expected ppm, and the signed deviation; the expected
+    * shares are fixed integer constants shared verbatim with the oracle.
+    *
+    * 100 TB shape: one partial-aggregate scan to 9 digit counts; the
+    * expected table and grand total are broadcast 9-row/1-row relations.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exp = BenfordPpm.toDF("digit", "exp_ppm")
+    val digits = Tables.load(s, dir, "orders")
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .where(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+    val obs = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    broadcast(exp).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("n"),
+        expr("coalesce(n_obs, 0) * 1000000 div n").as("obs_ppm"),
+        col("exp_ppm"),
+        (expr("coalesce(n_obs, 0) * 1000000 div n") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String = {
+    val values = BenfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH expd(digit, exp_ppm) AS (VALUES $values),
+       |digits AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+       |  WHERE cents > 0),
+       |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+       |SELECT CAST(e.digit AS BIGINT) AS digit,
+       |       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       |       t.n,
+       |       coalesce(o.n_obs, 0) * 1000000 // t.n AS obs_ppm,
+       |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       |       coalesce(o.n_obs, 0) * 1000000 // t.n - e.exp_ppm AS dev_ppm
+       |FROM expd e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+       |ORDER BY digit""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("benford_audit", benfordAudit, Some(benfordAuditSql)),
     Q("fd_audit", fdAudit, Some(fdAuditSql)),
     Q("isotonic_calibration", isotonicCalibration, Some(isotonicCalibrationSql)),
     Q("ldiversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),

@@ -9,6 +9,72 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("rolling_wau: every day's count equals a naive per-anchor distinct recompute") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val rows = Analytics.rollingWau(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._2).distinct.sorted
+    assert(rows.map(_.getLong(0)).sameElements(days), "one row per active day")
+    rows.foreach { r =>
+      val anchor = r.getLong(0)
+      val expect = pairs.filter(p => p._2 >= anchor - 6 && p._2 <= anchor)
+        .map(_._1).distinct.length.toLong
+      assert(r.getLong(2) == expect, s"day $anchor: ${r.getLong(2)} != $expect")
+    }
+  }
+
+  test("ab_diff_in_diff: cells populated, boundary inside history, DiD identity replays") {
+    val r = Analytics.abDiffInDiff(spark, sfDir).collect().head
+    Seq("n_c_pre", "n_c_post", "n_t_pre", "n_t_post").foreach(c =>
+      assert(r.getAs[Long](c) > 0, s"empty cell $c"))
+    val mcPre  = r.getAs[Long]("s_c_pre").toDouble / r.getAs[Long]("n_c_pre")
+    val mcPost = r.getAs[Long]("s_c_post").toDouble / r.getAs[Long]("n_c_post")
+    val mtPre  = r.getAs[Long]("s_t_pre").toDouble / r.getAs[Long]("n_t_pre")
+    val mtPost = r.getAs[Long]("s_t_post").toDouble / r.getAs[Long]("n_t_post")
+    assert(r.getAs[Double]("did_milli") == (mtPost - mtPre) - (mcPost - mcPre))
+    assert(r.getAs[Double]("m_c_pre") == mcPre && r.getAs[Double]("m_t_post") == mtPost)
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val days = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(org.apache.spark.sql.functions.min("d"), org.apache.spark.sql.functions.max("d"))
+      .collect().head
+    val b = r.getAs[Long]("boundary_day_num")
+    assert(b > days.getLong(0) && b <= days.getLong(1))
+  }
+
+  test("user_burstiness: gap moments and diversity replay an in-memory recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = Analytics.userBurstiness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val sortedUs = es.sortBy(e => (e._2, e._3)).map(_._2)
+      if (sortedUs.length >= 2) {
+        val gaps = sortedUs.sliding(2).map(p => (p(1) - p(0)) / 1000000L).toSeq
+        val r = rows(u)
+        assert(r.getAs[Long]("n_gaps") == gaps.length)
+        assert(r.getAs[Long]("sum_gap_s") == gaps.sum)
+        val sg = gaps.sum; val sg2 = gaps.map(g => g * g).sum
+        if (sg > 0)
+          assert(r.getAs[Long]("cv2_ppm") ==
+            math.floor(sg2.toDouble / sg / sg * gaps.length * 1000000L).toLong)
+        val cs = es.groupBy(_._4).map(_._2.length.toLong)
+        assert(r.getAs[Long]("n_types") == cs.size)
+        assert(r.getAs[Long]("gini_ppm") ==
+          1000000L - cs.map(c => c * c).sum * 1000000L / (es.length.toLong * es.length))
+      } else assert(!rows.contains(u), "single-event users carry no gap profile")
+    }
+  }
+
   test("ab_significance: margins partition users and the chi-square identity replays") {
     val r = Analytics.abSignificance(spark, sfDir).collect().head
     val (a, b, c, d) = (r.getAs[Long]("n_conv_0"), r.getAs[Long]("n_nonconv_0"),

@@ -94,6 +94,34 @@ class GraphSpec extends SparkSpec {
     assert(again == byHop)
   }
 
+  test("kcore: trajectory matches an independent in-memory peel, monotone shrink") {
+    val rows = Graph.kcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == (0L to Graph.KcoreRounds).toSet)
+    // monotone: peeling only ever shrinks nodes and edges
+    (1L to Graph.KcoreRounds).foreach { t =>
+      assert(rows(t)._1 <= rows(t - 1)._1 && rows(t)._2 <= rows(t - 1)._2)
+    }
+    // independent recompute: collect the (small at sf0.001) undirected edge
+    // list and peel with plain Scala sets
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    var edges = op.as("a").join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= Graph.MinCoOrders)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def nodes(es: Set[(Long, Long)]) = es.flatMap(e => Set(e._1, e._2))
+    assert(rows(0L) == ((nodes(edges).size.toLong, edges.size.toLong)))
+    (1 to Graph.KcoreRounds).foreach { t =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val surv = deg.filter(_._2 >= Graph.KcoreK).keySet
+      edges = edges.filter(e => surv(e._1) && surv(e._2))
+      assert(rows(t.toLong) == ((surv.size.toLong, edges.size.toLong)),
+        s"round $t diverges from the in-memory peel")
+    }
+  }
+
   test("sssp distances: seeds at 0, bounded by hops x max weight, dominated by hop counts") {
     import org.apache.spark.sql.functions._
     val byDist = Graph.sssp(spark, sfDir).collect()

@@ -669,6 +669,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("benford_audit: digit rows partition the orders and deviations close the identity") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = graft.llm.Governance.benfordAudit(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(1L to 9L), "one row per digit 1..9")
+    assert(graft.llm.Governance.BenfordPpm.map(_._2).sum == 999995L)
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == n, "digit counts partition the rows")
+    val positive = Tables.load(spark, sfDir, "orders")
+      .where(expr("CAST(floor(o_totalprice * 100) AS BIGINT)") > 0).count()
+    assert(n == positive)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("obs_ppm") == r.getAs[Long]("n_obs") * 1000000L / n)
+      assert(r.getAs[Long]("dev_ppm") == r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))
+    }
+  }
+
   test("perceptron training: zero-init round misclassifies all, round 2 reduces error") {
     import graft.llm.Governance
     val rows = Governance.perceptronTrain(spark, sfDir).collect()

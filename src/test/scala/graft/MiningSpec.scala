@@ -49,6 +49,50 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("cf_item_recs: ranked, positive-score, never-owned recommendations per target") {
+    import org.apache.spark.sql.functions.col
+    val rows = Mining.cfItemRecs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.CfTargetMax * Mining.CfRecK)
+    val owned = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("o_custkey") < Mining.CfTargetMax)
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.sameElements(1L to rs.length), "ranks contiguous")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(0) < Mining.CfTargetMax)
+      assert(!owned((r.getLong(0), r.getLong(1))), "recommended an owned item")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, "positive score via >= 1 path")
+      assert(r.getLong(2) >= r.getLong(3), "score is a sum of >= 1-ppm paths")
+    }
+  }
+
+  test("ts_backtest: both models replay an independent in-memory error recompute") {
+    import org.apache.spark.sql.functions.{col, datediff, floor, lit, sum, to_date}
+    val rows = Mining.tsBacktest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("naive1", "seasonal7"))
+    val ser = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(("naive1", 1L), ("seasonal7", 7L)).foreach { case (name, lagD) =>
+      val pairs = ser.toSeq.flatMap { case (d, v) => ser.get(d - lagD).map(fc => (v, fc)) }
+      val n = pairs.size.toLong
+      val r = rows(name)
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("mae_c") == pairs.map(p => math.abs(p._1 - p._2)).sum / n)
+      assert(r.getAs[Long]("mape_ppm") ==
+        pairs.map(p => 1000000L * math.abs(p._1 - p._2) / p._1).sum / n)
+      assert(r.getAs[Long]("bias_floor_c") ==
+        math.floor(pairs.map(p => p._1 - p._2).sum.toDouble / n).toLong)
+      assert(r.getAs[Long]("max_abs_err_c") == pairs.map(p => math.abs(p._1 - p._2)).max)
+    }
+  }
+
   test("ts_changepoint: one split per year, inside the year, with consistent side means") {
     val rows = Mining.tsChangepoint(spark, sfDir).collect()
     assert(rows.length >= 2, "multi-year shipdate range must yield multiple splits")
