@@ -415,6 +415,18 @@ object Dedup extends QueryPack {
       .cache()
   }
 
+  /** LSH band keys off a `sig` array column: band key = band_idx·2^47 +
+    * Horner-31 fold of the band's [[Rows]] signature values (< 2^47, see
+    * [[HashMod]]) — a single long the oracle reproduces exactly, folding the
+    * band index in so distinct bands can never collide. Shared by the
+    * in-memory [[minhash]] route and the persisted incremental index.
+    */
+  private def bandKeyArr: Column = array((0 until Bands).map { b =>
+    val folded = (b * Rows until (b + 1) * Rows).map(i => col("sig").getItem(i))
+      .reduce((acc, m) => acc * 31L + m)
+    lit(b.toLong << 47) + folded
+  }: _*)
+
   /** MinHash near-dup pairs: LSH band buckets → candidates → CANDIDATE-LOCAL
     * exact-Jaccard verification at J ≥ 0.8. With r=4/b=16 the candidate-miss
     * probability at J=0.8 is (1-0.8⁴)¹⁶ ≈ 0.02%, ≈5e-8 at J≥0.9;
@@ -438,12 +450,7 @@ object Dedup extends QueryPack {
     // signature values (< 2^47, see HashMod) — a single long the oracle
     // reproduces exactly, folding the band index in so distinct bands can
     // never collide.
-    val bandArr = array((0 until Bands).map { b =>
-      val folded = (b * Rows until (b + 1) * Rows).map(i => col("sig").getItem(i))
-        .reduce((acc, m) => acc * 31L + m)
-      lit(b.toLong << 47) + folded
-    }: _*)
-    val banded = sigs.select(col("doc_id"), explode(bandArr).as("bh"))
+    val banded = sigs.select(col("doc_id"), explode(bandKeyArr).as("bh"))
     val candidates = banded.as("x").hint("shuffle_hash")
       .join(banded.as("y").hint("shuffle_hash"),
         col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
@@ -462,6 +469,156 @@ object Dedup extends QueryPack {
         (col("shared") / (col("na") + col("nb") - col("shared")).cast("double")).as("j"))
       .where(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Persisted incremental MinHash index (dedup new batches against a corpus
+  // without re-comparing the corpus)
+  // ---------------------------------------------------------------------------
+
+  /** "new batch" membership for [[incrementalDedup]]: doc_id % this == 0 */
+  val IncBatchMod = 10L
+
+  /** Per-doc UNCAPPED minhash sketch: signature + full shingle set + size.
+    * Deliberately no [[DfCap]]: the df cap is a CORPUS-level statistic, so a
+    * capped signature changes whenever unrelated documents arrive — fatal
+    * for an incremental index, where appended state must never invalidate
+    * existing entries. Uncapped, every row here is a pure function of the
+    * document alone, which is exactly what makes blind appends sound; hot-
+    * shingle quadratic risk moves to the band buckets, where banding itself
+    * is the prune (a band key collides only on a full [[Rows]]-minima
+    * agreement, not on one shared stop-shingle).
+    */
+  private[graft] def uncappedSketch(docs: DataFrame): DataFrame = {
+    val inv = withShingles(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val h = md5(col("shingle").cast("binary"))
+    inv.select(
+        col("doc_id"), col("shingle"),
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % HashMod).as("h1"),
+        (conv(substring(h, 9, 8), 16, 10).cast("long") % HashMod).as("h2"))
+      .groupBy("doc_id")
+      .agg(
+        minSig(col("h1"), col("h2")).as("sig"),
+        collect_list(col("shingle")).as("sh"),
+        count(lit(1)).as("n_sh"))
+  }
+
+  /** Build (or blindly append to) the persisted minhash index at `path`:
+    * `buckets/` = (bh, doc_id) band-bucket rows, partitioned by the 16 band
+    * ids (the shuffle/bucketing key a production corpus table would carry);
+    * `sketch/` = (doc_id, shingles, n_sh) for candidate verification.
+    * Append writes ONLY the new docs' rows — existing files are never
+    * touched, the property [[uncappedSketch]]'s corpus-independence buys.
+    */
+  def writeMinhashIndex(docs: DataFrame, path: String, append: Boolean): Unit = {
+    val sk = uncappedSketch(docs).cache()
+    val mode = if (append) "append" else "overwrite"
+    sk.select(col("doc_id"), explode(bandKeyArr).as("bh"))
+      .withColumn("band", shiftrightunsigned(col("bh"), 47))
+      .write.mode(mode).partitionBy("band").parquet(path + "/buckets")
+    sk.select(col("doc_id"), col("sh"), col("n_sh"))
+      .write.mode(mode).parquet(path + "/sketch")
+    sk.unpersist(blocking = false)
+    ()
+  }
+
+  private val mhIdxBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** standing corpus index + one appended batch, memoized per data dir
+    * (pid-scoped path — the [[graft.Scratch]] single-writer rule)
+    */
+  private[graft] def minhashIndex(s: SparkSession, dir: String): String =
+    mhIdxBuilt.computeIfAbsent(dir, { d =>
+      val path = graft.Scratch.dir("graft_mhidx", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val docs = Tables.loadSpread(s, d, "documents")
+      writeMinhashIndex(docs.where(col("doc_id") % IncBatchMod =!= 0), path, append = false)
+      writeMinhashIndex(docs.where(col("doc_id") % IncBatchMod === 0), path, append = true)
+      path
+    })
+
+  /** Incremental near-dup detection: dedup an arriving batch (doc_id %
+    * [[IncBatchMod]] == 0) against the standing corpus THROUGH the persisted
+    * index — corpus docs are touched only via their indexed band buckets and
+    * stored sketches, never re-shingled and never re-compared against each
+    * other. Probe = the batch's own bucket rows; candidates = bucket-key
+    * collisions with ≥ 1 batch endpoint; verification intersects the two
+    * stored shingle sets; emits exact Jaccard ≥ 0.8 pairs as floor-1e6.
+    * This is the production ingestion shape: per-batch cost scales with the
+    * batch and its collision fan-out, not with corpus size.
+    *
+    * The DuckDB oracle recomputes signatures, banding, and verification
+    * from the raw corpus (no index) restricted to batch-touching pairs — so
+    * the hash gate proves the build→append→serve index lifecycle loses and
+    * invents nothing vs the from-scratch computation.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = minhashIndex(s, dir)
+    val buckets = s.read.parquet(path + "/buckets").select("bh", "doc_id")
+    val sketch = s.read.parquet(path + "/sketch")
+    val probes = buckets.where(col("doc_id") % IncBatchMod === 0)
+      .select(col("bh").as("pbh"), col("doc_id").as("pid"))
+    val cand = probes.hint("shuffle_hash")
+      .join(buckets.hint("shuffle_hash"),
+        col("pbh") === col("bh") && col("pid") =!= col("doc_id"))
+      .select(least(col("pid"), col("doc_id")).as("doc_a"),
+        greatest(col("pid"), col("doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sketch.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "doc_a")
+      .join(sketch.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("shared"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") / (col("na") + col("nb") - col("shared")).cast("double")).as("j"))
+      .where(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
+  }
+
+  /** oracle for [[incrementalDedup]]: from-scratch uncapped signatures +
+    * banding (bit-equal to the engine's), candidates restricted to
+    * batch-touching pairs, shared-shingle verification JOINED TO the
+    * candidate set (so the oracle never materializes the full pair
+    * quadratic either).
+    */
+  private def incrementalOracleSql: String = {
+    val minCols = (0 until NumPerms)
+      .map(i => s"min((h1 + $i * h2) % $HashMod) AS m$i").mkString(", ")
+    val bandList = (0 until Bands)
+      .map { b =>
+        val folded = (b * Rows until (b + 1) * Rows).map(i => s"m$i")
+          .reduce((acc, m) => s"($acc * 31 + $m)")
+        s"${b.toLong << 47} + $folded"
+      }
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM toks),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |sh_h AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % $HashMod AS h1,
+      |         CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % $HashMod AS h2
+      |  FROM sh),
+      |sig AS (SELECT doc_id, $minCols FROM sh_h GROUP BY doc_id),
+      |bands AS (SELECT doc_id, unnest([$bandList]) AS bh FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+      |         WHERE a.doc_id % $IncBatchMod = 0 OR b.doc_id % $IncBatchMod = 0),
+      |p AS (
+      |  SELECT c.da AS doc_a, c.db AS doc_b, count(*) AS shared
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.da
+      |  JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(floor(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) * 1000000) AS BIGINT) AS j_e6
+      |FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.8""".stripMargin
   }
 
   // ---------------------------------------------------------------------------
@@ -1223,6 +1380,7 @@ object Dedup extends QueryPack {
     Q("dedup_containment", containmentDedup, Some(containmentDedupSql)),
     Q("dedup_ppjoin", ppjoin, Some(ppjoinSql)),
     Q("dedup_minhash", minhash, Some(minhashOracleSql)),
+    Q("dedup_incremental", incrementalDedup, Some(incrementalOracleSql)),
     Q("dedup_simhash", simhash, Some(simhashOracleSql)),
     Q("dedup_editdist", editDistance, Some(editDistanceSql)),
     Q("dedup_components", components, Some(componentsSql)),

@@ -669,6 +669,39 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash index: build+append state equals one-shot build; serve laws hold") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tmp = "/tmp/graft_test_mhidx"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+    // one-shot build over the full corpus
+    graft.llm.Dedup.writeMinhashIndex(docs, tmp + "/all", append = false)
+    // staged build: corpus first, batch appended blind
+    graft.llm.Dedup.writeMinhashIndex(
+      docs.where(col("doc_id") % graft.llm.Dedup.IncBatchMod =!= 0), tmp + "/staged", append = false)
+    graft.llm.Dedup.writeMinhashIndex(
+      docs.where(col("doc_id") % graft.llm.Dedup.IncBatchMod === 0), tmp + "/staged", append = true)
+    def bucketSet(p: String) = spark.read.parquet(p + "/buckets")
+      .select("bh", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketSet(tmp + "/all") == bucketSet(tmp + "/staged"),
+      "blind append must reproduce the one-shot index state")
+    val bands = new java.io.File(tmp + "/staged/buckets").listFiles
+      .filter(_.getName.startsWith("band=")).map(_.getName)
+    assert(bands.length == graft.llm.Dedup.Bands, "one partition directory per band")
+    // serve laws: every pair touches the batch, is canonical, and clears 0.8
+    val rows = graft.llm.Dedup.incrementalDedup(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "canonical pair order")
+      assert(a % graft.llm.Dedup.IncBatchMod == 0 || b % graft.llm.Dedup.IncBatchMod == 0,
+        "every emitted pair must involve the new batch")
+      assert(r.getLong(2) >= 800000L, "verified Jaccard clears the threshold")
+    }
+  }
+
   test("benford_audit: digit rows partition the orders and deviations close the identity") {
     import org.apache.spark.sql.functions.{col, expr}
     val rows = graft.llm.Governance.benfordAudit(spark, sfDir).collect()
