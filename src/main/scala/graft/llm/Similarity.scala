@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   */
 final case class VecSum(sums: Array[Long], n: Long)
 
+/** [[Similarity.embPcaPower]] Gram-matrix aggregation state: the flattened
+  * Dim×Dim outer-product sums. Top-level (public bytecode) so Spark codegen
+  * can construct it.
+  */
+final case class GramBuf(s: Array[Long])
+
 /** Similarity search over the `embeddings` table (64-dim float vectors) —
   * north-star ANN surface (SURVEY.md §2.6).
   *
@@ -1801,7 +1807,117 @@ object Similarity extends QueryPack {
        |FROM ranked WHERE nn_rank = $KnnK
        |ORDER BY knn_cos_e6, vec_id LIMIT $OutlierK""".stripMargin
 
+  /** power-iteration rounds for [[embPcaPower]] (fixed; the oracle replays
+    * each round, so the result is THE same function in both engines)
+    */
+  val PcaIters = 5
+
+  /** fixed-point scale of the iterated vector (components ∈ [−1e6, 1e6]) */
+  val PcaScale = 1000000L
+
+  /** Distributed PCA by power iteration: the dominant principal direction
+    * of the embedding corpus' (uncentered) second-moment matrix, computed
+    * without any linear-algebra library. Components quantize to exact
+    * integers (`floor(v·1000)`, the [[rpProject]] recipe); the Dim×Dim Gram
+    * matrix accumulates in ONE typed aggregate over a flattened
+    * outer-product buffer (the classic distributed Gram shape: per-partition
+    * accumulation, map-side combine, a Dim²-sized shuffle — the corpus is
+    * scanned once and never self-joined); then [[PcaIters]] rounds of
+    * v ← C·v on the Dim²-row relation, re-normalized each round by the max
+    * absolute component through the portable fixed-sequence double form
+    * (int64 → double is IEEE round-to-nearest in both engines, the division
+    * and ×1e6 are single correctly-rounded ops, floor is exact — so every
+    * round replays bit-identically in DuckDB and the whole eigenvector
+    * hash-gates). Emits the Dim fixed-point components plus the final
+    * pre-normalization scale (the Rayleigh-quotient-scale eigenvalue
+    * readout).
+    *
+    * 100 TB shape: the only corpus-sized work is the single Gram scan;
+    * every iteration touches Dim²=4096 rows. A wider corpus changes the
+    * Gram sums' magnitude, never the plan.
+    */
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    object GramAgg
+        extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], GramBuf, Seq[Long]] {
+      def zero: GramBuf = GramBuf(Array.fill(Dim * Dim)(0L))
+      def reduce(b: GramBuf, q: Seq[Long]): GramBuf = {
+        var i = 0
+        while (i < Dim) {
+          val qi = q(i); var j = 0
+          while (j < Dim) { b.s(i * Dim + j) += qi * q(j); j += 1 }
+          i += 1
+        }
+        b
+      }
+      def merge(x: GramBuf, y: GramBuf): GramBuf = {
+        var k = 0
+        while (k < Dim * Dim) { x.s(k) += y.s(k); k += 1 }
+        x
+      }
+      def finish(b: GramBuf): Seq[Long] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b.s)
+      def bufferEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+        org.apache.spark.sql.Encoders.product[GramBuf]
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+    val gram = udaf(GramAgg)
+    val cm = Tables.loadSpread(s, dir, "embeddings")
+      .select(quantAt(1e3)(col("embedding")).as("x"))
+      .agg(gram(col("x")).as("g"))
+      .select(posexplode(col("g")))
+      .select(expr("CAST(pos div 64 AS BIGINT)").as("i"),
+        expr("CAST(pos % 64 AS BIGINT)").as("j"), col("col").as("cij"))
+      .cache()
+    var v = s.range(Dim).select(col("id").as("j"), lit(PcaScale).as("v"))
+    var scale: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      val w = cm.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("cij") * col("v")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          floor(col("w").cast("double") / col("m") * PcaScale).cast("long").as("v"))
+      scale = m
+    }
+    val out = v.crossJoin(broadcast(scale))
+      .select(col("j").as("dim"), col("v").as("v_fp"), col("m").as("last_scale"))
+      .orderBy(col("dim"))
+    val rows = out.collect()
+    cm.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val embPcaPowerSql = {
+    val rounds = (1 to PcaIters).map { t =>
+      s"""w$t AS (
+         |  SELECT cm.i, CAST(sum(cm.cij * p.v) AS BIGINT) AS w
+         |  FROM cm JOIN v${t - 1} p ON p.j = cm.j GROUP BY 1),
+         |m$t AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT i AS j,
+         |         CAST(floor(CAST(w AS DOUBLE) / m * $PcaScale) AS BIGINT) AS v
+         |  FROM w$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT vec_id,
+       |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |         CAST(floor(CAST(embedding[generate_subscripts(embedding, 1)] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings),
+       |cm AS (
+       |  SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS cij
+       |  FROM c a JOIN c b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(j AS BIGINT) AS j, CAST($PcaScale AS BIGINT) AS v
+       |       FROM range($Dim) t(j)),
+       |$rounds
+       |SELECT f.j AS dim, f.v AS v_fp, m.m AS last_scale
+       |FROM v$PcaIters f CROSS JOIN m$PcaIters m
+       |ORDER BY dim""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
     Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
     Q("emb_knn_outliers", embKnnOutliers, Some(embKnnOutliersSql)),
     Q("rp_project", rpProject, Some(rpProjectSql)),

@@ -669,6 +669,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("emb_pca_power: unit-scale fixed-point vector, PSD alignment, deterministic rerun") {
+    import org.apache.spark.sql.functions.{col, floor => sfloor}
+    val rows = graft.llm.Similarity.embPcaPower(spark, sfDir).collect()
+    assert(rows.length == graft.llm.Similarity.Dim)
+    assert(rows.map(_.getLong(0)).sorted.sameElements(0L until graft.llm.Similarity.Dim.toLong))
+    val v = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(v.map(math.abs).max == graft.llm.Similarity.PcaScale,
+      "normalization pins the max-abs component to the fixed-point scale")
+    assert(rows.head.getLong(2) > 0, "PSD matrix keeps the iteration scale positive")
+    // PSD alignment: w = C v must point in v's half-space (Rayleigh >= 0),
+    // recomputed from the raw embeddings in-memory
+    val dim = graft.llm.Similarity.Dim
+    val qs = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => math.floor(f.toDouble * 1000).toLong))
+    val c = Array.ofDim[Long](dim, dim)
+    qs.foreach { q =>
+      var i = 0
+      while (i < dim) { var j = 0; while (j < dim) { c(i)(j) += q(i) * q(j); j += 1 }; i += 1 }
+    }
+    val w = (0 until dim).map(i => (0 until dim).map(j => c(i)(j).toDouble * v(j)).sum)
+    val dot = (0 until dim).map(i => w(i) * v(i)).sum
+    val cos = dot / math.sqrt(w.map(x => x * x).sum) / math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(cos > 0.9, s"iterated vector should be near-fixed under C (cos=$cos)")
+    val again = graft.llm.Similarity.embPcaPower(spark, sfDir).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(again.sameElements(v), "rerun-deterministic")
+  }
+
   test("incremental minhash index: build+append state equals one-shot build; serve laws hold") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, sfDir, "documents")
