@@ -1234,6 +1234,77 @@ object Analytics extends QueryPack {
       |         CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post
       |  FROM cells)""".stripMargin
 
+  /** attribution lookback window (hours) for [[attributionMultiTouch]] */
+  val AttrWindowH = 72
+
+  /** Multi-touch attribution: every purchase distributes EXACTLY 1e6 ppm of
+    * credit linearly across the user's view/click touches in the prior
+    * [[AttrWindowH]] hours (the integer split `1e6 div n`, remainder to the
+    * earliest touch — so credit conservation is exact, never a float
+    * epsilon), reported by touch type × position class (first / middle /
+    * last; a single-touch purchase classifies "first"). The marketing
+    * readout [[asofBoundedAttribution]]'s last-touch rule can't give:
+    * how much conversion credit the early-funnel touches carry.
+    *
+    * 100 TB shape: one per-user range join bounded by the lookback window
+    * (the [[windowFunnel]] discipline), then windows partitioned by
+    * purchase id — state bounded by touches-per-purchase; the final
+    * aggregate is 6 rows.
+    */
+  def attributionMultiTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("tp"), col("event_id").as("pid"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("ts").as("tv"),
+        col("event_id").as("tid"), col("event_type").as("touch_type"))
+    val joined = p.join(t,
+      col("pu") === col("tu") && col("tv") < col("tp") &&
+        col("tv") >= col("tp") - expr(s"INTERVAL $AttrWindowH HOURS"))
+    val wOrd = Window.partitionBy(col("pid")).orderBy(col("tv"), col("tid"))
+    val wAll = Window.partitionBy(col("pid"))
+    joined
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit_ppm",
+        expr("1000000 div n") +
+          when(col("r") === 1, expr("1000000 % n")).otherwise(lit(0L)))
+      .withColumn("pos_class",
+        when(col("r") === 1, lit("first"))
+          .when(col("r") === col("n"), lit("last"))
+          .otherwise(lit("middle")))
+      .groupBy(col("touch_type"), col("pos_class"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_ppm")).as("credit_ppm_sum"))
+      .orderBy(col("touch_type"), col("pos_class"))
+  }
+
+  private val attributionMultiTouchSql =
+    s"""WITH p AS (
+      |  SELECT user_id AS pu, CAST(ts AS TIMESTAMP) AS tp, event_id AS pid
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id AS tu, CAST(ts AS TIMESTAMP) AS tv, event_id AS tid,
+      |         event_type AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT pid, tv, tid, touch_type FROM p JOIN t ON pu = tu
+      |  WHERE tv < tp AND tv >= tp - INTERVAL $AttrWindowH HOUR),
+      |credited AS (
+      |  SELECT touch_type,
+      |         CAST(row_number() OVER (PARTITION BY pid ORDER BY tv, tid) AS BIGINT) AS r,
+      |         CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+      |  FROM j)
+      |SELECT touch_type,
+      |       CASE WHEN r = 1 THEN 'first'
+      |            WHEN r = n THEN 'last'
+      |            ELSE 'middle' END AS pos_class,
+      |       CAST(count(*) AS BIGINT) AS n_touches,
+      |       CAST(sum(1000000 // n +
+      |                CASE WHEN r = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT) AS credit_ppm_sum
+      |FROM credited
+      |GROUP BY 1, 2
+      |ORDER BY touch_type, pos_class""".stripMargin
+
   /** Per-user temporal burstiness + behavioral-diversity profile — the
     * bot/spam screen over the event stream: inter-arrival gaps in whole
     * seconds (exact integer µs difference, floor-divided), their exact
@@ -2420,6 +2491,7 @@ object Analytics extends QueryPack {
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
+    Q("attribution_multitouch", attributionMultiTouch, Some(attributionMultiTouchSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),
     Q("gini_spend", giniSpend, Some(giniSpendSql)),
     Q("fulfillment_lag", fulfillmentLag, Some(fulfillmentLagSql)),

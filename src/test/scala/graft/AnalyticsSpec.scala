@@ -27,6 +27,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("attribution_multitouch: credit conserves exactly at 1e6 per attributed purchase") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = Analytics.attributionMultiTouch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("tp"), col("event_id").as("pid"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("ts").as("tv"))
+    val attributed = p.join(t,
+        col("pu") === col("tu") && col("tv") < col("tp") &&
+          col("tv") >= col("tp") - expr(s"INTERVAL ${Analytics.AttrWindowH} HOURS"))
+      .select("pid").distinct().count()
+    assert(rows.map(_.getAs[Long]("credit_ppm_sum")).sum == 1000000L * attributed,
+      "every attributed purchase distributes exactly 1e6 ppm")
+    val firstTouches = rows.filter(_.getString(1) == "first").map(_.getAs[Long]("n_touches")).sum
+    assert(firstTouches == attributed, "exactly one first touch per attributed purchase")
+    rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
+  }
+
   test("ab_diff_in_diff: cells populated, boundary inside history, DiD identity replays") {
     val r = Analytics.abDiffInDiff(spark, sfDir).collect().head
     Seq("n_c_pre", "n_c_post", "n_t_pre", "n_t_post").foreach(c =>
