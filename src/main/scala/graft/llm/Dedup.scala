@@ -421,11 +421,15 @@ object Dedup extends QueryPack {
     * band index in so distinct bands can never collide. Shared by the
     * in-memory [[minhash]] route and the persisted incremental index.
     */
-  private def bandKeyArr: Column = array((0 until Bands).map { b =>
+  private[graft] def bandKeyArr: Column = array((0 until Bands).map { b =>
     val folded = (b * Rows until (b + 1) * Rows).map(i => col("sig").getItem(i))
       .reduce((acc, m) => acc * 31L + m)
     lit(b.toLong << 47) + folded
   }: _*)
+
+  /** (doc_id, bh) band-bucket rows off an [[uncappedSketch]] relation */
+  private[graft] def sketchBuckets(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id"), explode(bandKeyArr).as("bh"))
 
   /** MinHash near-dup pairs: LSH band buckets → candidates → CANDIDATE-LOCAL
     * exact-Jaccard verification at J ≥ 0.8. With r=4/b=16 the candidate-miss
@@ -513,7 +517,7 @@ object Dedup extends QueryPack {
   def writeMinhashIndex(docs: DataFrame, path: String, append: Boolean): Unit = {
     val sk = uncappedSketch(docs).cache()
     val mode = if (append) "append" else "overwrite"
-    sk.select(col("doc_id"), explode(bandKeyArr).as("bh"))
+    sketchBuckets(sk)
       .withColumn("band", shiftrightunsigned(col("bh"), 47))
       .write.mode(mode).partitionBy("band").parquet(path + "/buckets")
     sk.select(col("doc_id"), col("sh"), col("n_sh"))

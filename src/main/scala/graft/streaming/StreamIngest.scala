@@ -277,6 +277,111 @@ object StreamIngest {
       .start()
   }
 
+  /** Streaming near-dup ADMISSION against a persisted minhash index — the
+    * ingest-time face of [[graft.llm.Dedup.incrementalDedup]]: each
+    * micro-batch's documents are sketched ([[graft.llm.Dedup.uncappedSketch]]
+    * — per-doc state is corpus-independent, which is what makes the index
+    * appendable from a stream at all), probed against (a) the standing
+    * corpus index at `indexPath`, (b) every prior batch's admissions (the
+    * stream's own index under `streamIdxDir`), and (c) smaller-id documents
+    * of the SAME batch; any doc whose verified Jaccard against an indexed
+    * doc reaches 0.8 is rejected. Survivors land in `outDir` and their
+    * bucket + sketch rows are appended to the stream index — both writes
+    * partitioned by `ingest_batch` with dynamic overwrite, so a replayed
+    * batch overwrites its own partitions and the admitted set AND index
+    * state after any stop/restart equal the single-run state (the
+    * [[dsirAdmitStream]] exactly-once discipline, extended to a sink that
+    * future batches READ).
+    *
+    * 100 TB posture: per-batch cost is the batch's sketching plus its
+    * band-bucket collision fan-out against the index — never a corpus
+    * rescan; the corpus is touched only through indexed buckets/sketches.
+    * Within-batch dedup is greedy by doc id (a doc is rejected if similar
+    * to ANY smaller-id batch doc) — deterministic under replay.
+    */
+  def dedupAdmitStream(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      streamIdxDir: String,
+      indexPath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import graft.llm.Dedup
+    val shSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, sh ARRAY<STRING>, n_sh BIGINT")
+    val bkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, bh BIGINT")
+    def readOr(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      scala.util.Try(spark.read.schema(schema).parquet(path).select(
+        schema.fieldNames.map(col): _*))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sk = Dedup.uncappedSketch(batch).cache()
+        val probe = Dedup.sketchBuckets(sk)
+          .select(col("bh").as("pbh"), col("doc_id").as("pid"))
+        // stream-index reads EXCLUDE this batch id: on a replay the stream
+        // index already holds batch b's own first-run admissions, and
+        // probing against them would self-match every doc (J = 1) and
+        // reject the whole batch — the filter keeps replay exactly-once
+        def readStreamIdx(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+          scala.util.Try(spark.read.parquet(path)
+            .where(col("ingest_batch") < lit(batchId))
+            .select(schema.fieldNames.map(col): _*))
+            .getOrElse(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+        // indexed side: corpus index ∪ prior-batch stream index (any id
+        // rejects) tagged slf=false; this batch itself (only SMALLER ids
+        // reject — greedy-by-id within the batch) tagged slf=true
+        val idxBuckets = readOr(indexPath + "/buckets", bkSchema)
+          .unionByName(readStreamIdx(streamIdxDir + "/buckets", bkSchema))
+          .withColumn("slf", lit(false))
+          .unionByName(Dedup.sketchBuckets(sk).withColumn("slf", lit(true)))
+        val idxSketch = readOr(indexPath + "/sketch", shSchema)
+          .unionByName(readStreamIdx(streamIdxDir + "/sketch", shSchema))
+          .unionByName(sk.select("doc_id", "sh", "n_sh"))
+        val cand = probe
+          .join(idxBuckets, col("pbh") === col("bh") &&
+            (!col("slf") && col("doc_id") =!= col("pid") ||
+              col("slf") && col("doc_id") < col("pid")))
+          .select(col("pid"), col("doc_id").as("oid")).distinct()
+        val rejected = cand
+          .join(sk.select(col("doc_id").as("pid"), col("sh").as("sh_p"), col("n_sh").as("np")), "pid")
+          .join(idxSketch.select(col("doc_id").as("oid"), col("sh").as("sh_o"), col("n_sh").as("no")), "oid")
+          .select(col("pid"),
+            (size(array_intersect(col("sh_p"), col("sh_o"))) /
+              (col("np") + col("no") - size(array_intersect(col("sh_p"), col("sh_o"))))
+                .cast("double")).as("j"))
+          .where(col("j") >= 0.8)
+          .select(col("pid").as("doc_id")).distinct()
+        val admitted = batch.join(rejected, Seq("doc_id"), "left_anti").cache()
+        def landPartitioned(df: DataFrame, path: String): Unit = {
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(path)
+          ()
+        }
+        landPartitioned(admitted, outDir)
+        val admSk = sk.join(rejected, Seq("doc_id"), "left_anti").cache()
+        landPartitioned(Dedup.sketchBuckets(admSk), streamIdxDir + "/buckets")
+        landPartitioned(admSk.select("doc_id", "sh", "n_sh"), streamIdxDir + "/sketch")
+        admSk.unpersist(blocking = false)
+        admitted.unpersist(blocking = false)
+        sk.unpersist(blocking = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Tok(lang: String, token: String)
   case class MgStreamState(buf: graft.llm.MgBuf, n_tokens: Long)
   case class HeavyHitter(lang: String, token: String, est_count: Long, n_tokens: Long)

@@ -395,6 +395,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outD).count() == expected.size.toLong)
   }
 
+  test("streaming dedup admission: corpus, prior-batch, and in-batch dups rejected; replay exactly-once") {
+    import graft.llm.Dedup
+    val root = s"$base/dedup_admit"
+    val srcD = s"$root/src"; val outD = s"$root/out"
+    val idxD = s"$root/baseidx"; val sIdxD = s"$root/streamidx"; val ckD = s"$root/ckpt"
+    // standing corpus index: two docs with >= 3 tokens each
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(corpus, idxD, append = false)
+    // phase 1: copy of corpus doc 1 (reject), a novel doc (admit), and an
+    // in-batch near-dup of that novel doc with a LARGER id (reject)
+    val novel = "quick brown fox jumps over lazy dog tonight"
+    Seq(
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, novel),
+      (103L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(srcD)
+    StreamIngest.dedupAdmitStream(spark, srcD, outD, sIdxD, idxD, ckD).awaitTermination()
+    val p1 = spark.read.parquet(outD).select("doc_id").as[Long].collect().sorted
+    assert(p1.sameElements(Array(102L)), s"phase 1 admitted ${p1.toSeq}")
+    // phase 2 (restart from checkpoint): dup of the phase-1 ADMISSION
+    // (reject via the stream index) and a genuinely new doc (admit)
+    Seq(
+      (201L, novel),
+      (202L, "totally different words appear in this sentence")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").json(srcD)
+    StreamIngest.dedupAdmitStream(spark, srcD, outD, sIdxD, idxD, ckD).awaitTermination()
+    val p2 = spark.read.parquet(outD).select("doc_id").as[Long].collect().sorted
+    assert(p2.sameElements(Array(102L, 202L)), s"phase 2 admitted ${p2.toSeq}")
+    // stream index carries exactly the admitted docs' sketches
+    val idxDocs = spark.read.parquet(s"$sIdxD/sketch").select("doc_id").as[Long].collect().sorted
+    assert(idxDocs.sameElements(Array(102L, 202L)))
+    // a restart with no new upstream data must change nothing (exactly-once)
+    StreamIngest.dedupAdmitStream(spark, srcD, outD, sIdxD, idxD, ckD).awaitTermination()
+    assert(spark.read.parquet(outD).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(102L, 202L)))
+    assert(spark.read.parquet(s"$sIdxD/buckets").select("doc_id").distinct().count() == 2L)
+  }
+
   test("streaming heavy hitters accumulate MG state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Tok]
