@@ -1721,7 +1721,85 @@ object Relational extends QueryPack {
       |FROM est JOIN exact USING (flag)""".stripMargin
   }
 
+  /** target PPS sample size for [[ppsHtEstimate]] */
+  val PpsK = 200L
+
+  /** fixed-point denominator of the PPS inclusion probabilities (2^20) */
+  val PpsFp = 1L << 20
+
+  /** Survey-sampling estimation: a deterministic Poisson-PPS sample of
+    * orders (inclusion probability ∝ order value, the size-biased design
+    * that minimizes variance for estimating a TOTAL of the same measure)
+    * with the Horvitz-Thompson estimator read back against the exact truth.
+    * Inclusion probabilities are exact rationals floored to a 2^20
+    * fixed-point threshold `thr = min(2^20, k·w·2^20 div W)`; a unit is
+    * sampled iff its md5-uniform draw < thr, and the HT term divides by THE
+    * SAME floored probability (`x·2^20·1000 div thr`, integer milli-cents)
+    * — so the estimator is unbiased w.r.t. the probabilities actually used
+    * and every number in the readout is integer-exact. High-value
+    * "certainty units" (π = 1) are always included, the classic PPS cutoff
+    * property. The one-row audit a sampling pipeline ships alongside any
+    * estimate: population, truth, sample size, estimate, error.
+    *
+    * 100 TB shape: one partial-aggregate pass for (W, N), one broadcast,
+    * one conditional-aggregate scan — membership is a pure hash of the key,
+    * stable under retries. (The u·W < k·w·2^20 comparison is pre-divided by
+    * W so intermediates stay in int64; at petabyte W the same floored
+    * threshold form keeps working — magnitudes only shrink.)
+    */
+  def ppsHtEstimate(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .where(col("cents") > 0)
+    val tot = od.agg(sum(col("cents")).as("w_tot"), count(lit(1)).as("n_pop"))
+    od.crossJoin(broadcast(tot))
+      .withColumn("thr",
+        least(lit(PpsFp), expr(s"($PpsK * cents * $PpsFp) div w_tot")))
+      .withColumn("u",
+        conv(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % PpsFp)
+      .agg(
+        max(col("n_pop")).as("n_pop"),
+        max(col("w_tot")).as("true_total_c"),
+        lit(PpsK).as("k_target"),
+        sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("thr") === PpsFp, 1L).otherwise(0L)).as("n_certainty"),
+        sum(when(col("u") < col("thr"),
+          expr(s"(cents * $PpsFp * 1000) div thr")).otherwise(0L)).as("ht_milli_c"))
+      .withColumn("err_ppm",
+        floor(abs(col("ht_milli_c") - col("true_total_c") * 1000L).cast("double")
+          / (col("true_total_c") * 1000L) * 1000000L).cast("long"))
+  }
+
+  private val ppsHtEstimateSql =
+    s"""WITH od AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS w_tot,
+      |               CAST(count(*) AS BIGINT) AS n_pop FROM od),
+      |drawn AS (
+      |  SELECT cents,
+      |         least($PpsFp, ($PpsK * cents * $PpsFp) // w_tot) AS thr,
+      |         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % $PpsFp AS u,
+      |         w_tot, n_pop
+      |  FROM od CROSS JOIN tot),
+      |agg AS (
+      |  SELECT CAST(max(n_pop) AS BIGINT) AS n_pop,
+      |         CAST(max(w_tot) AS BIGINT) AS true_total_c,
+      |         CAST($PpsK AS BIGINT) AS k_target,
+      |         CAST(sum(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |         CAST(sum(CASE WHEN thr = $PpsFp THEN 1 ELSE 0 END) AS BIGINT) AS n_certainty,
+      |         CAST(sum(CASE WHEN u < thr THEN (cents * $PpsFp * 1000) // thr ELSE 0 END) AS BIGINT) AS ht_milli_c
+      |  FROM drawn)
+      |SELECT *,
+      |       CAST(floor(CAST(abs(ht_milli_c - true_total_c * 1000) AS DOUBLE)
+      |                  / (true_total_c * 1000) * 1000000) AS BIGINT) AS err_ppm
+      |FROM agg""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("pps_ht_estimate", ppsHtEstimate, Some(ppsHtEstimateSql)),
     Q("sampled_quantiles", sampledQuantiles, Some(sampledQuantilesSql)),
     Q("skyline_parts", skylineParts, Some(skylinePartsSql)),
     Q("topk_per_group", topkPerGroup, Some(topkPerGroupSql)),

@@ -56,6 +56,26 @@ class PortableSketchSpec extends SparkSpec {
     }
   }
 
+  test("pps_ht_estimate: certainty units sampled, HT estimate near truth, consistent counts") {
+    val r = graft.analytics.Relational.ppsHtEstimate(spark, sfDir).collect().head
+    val nPop = r.getAs[Long]("n_pop")
+    val nSampled = r.getAs[Long]("n_sampled")
+    assert(nPop > 0 && nSampled > 0 && nSampled <= nPop)
+    assert(r.getAs[Long]("n_certainty") <= nSampled,
+      "pi = 1 units are always in the sample")
+    // size-biased PPS keeps HT terms near W/k — the estimate lands well
+    // inside a few sigma of the truth (~1/sqrt(k) relative SE)
+    assert(r.getAs[Long]("err_ppm") < 250000L,
+      s"HT error ${r.getAs[Long]("err_ppm")} ppm exceeds the 25% envelope")
+    // Poisson-PPS sample size concentrates around k
+    val k = r.getAs[Long]("k_target")
+    assert(nSampled > k / 4 && nSampled < k * 4,
+      s"sample size $nSampled far from target $k")
+    val again = graft.analytics.Relational.ppsHtEstimate(spark, sfDir).collect().head
+    assert(again.getAs[Long]("ht_milli_c") == r.getAs[Long]("ht_milli_c"),
+      "hash-membership sampling is rerun-deterministic")
+  }
+
   test("kmv_set_ops: estimates track exact union/intersection; jaccard in [0,1]") {
     val r = PortableSketch.kmvSetOps(spark, sfDir).collect().head
     val (exU, exI) = (r.getAs[Long]("exact_union"), r.getAs[Long]("exact_inter"))
