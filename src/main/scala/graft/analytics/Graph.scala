@@ -516,7 +516,83 @@ object Graph extends QueryPack {
        |$rows""".stripMargin
   }
 
+  /** predicted links emitted by [[linkPrediction]] */
+  val LpK = 20
+
+  /** Link prediction on the co-purchase part graph via the
+    * Resource-Allocation index (Zhou/Lü/Zhang 2009): for parts x,y NOT
+    * currently linked, RA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — common
+    * neighbors vote with weight inversely proportional to their degree, so
+    * promiscuous hubs contribute little. RA is the log-free member of the
+    * common-neighbor family (Adamic-Adar's 1/log deg needs libm; 1/deg
+    * integerizes exactly as `1e6 div deg`), which is what lets the whole
+    * prediction ranking hash-gate. Emits the [[LpK]] highest-scoring
+    * non-edges — "products that SHOULD be co-bought next", the candidate
+    * feed for the recommender.
+    *
+    * 100 TB shape: candidate pairs enumerate WEDGES (two edges through a
+    * shared neighbor), never all pairs — the same O(Σ deg²) bound as the
+    * triangle census, with the df-style [[MinCoOrders]] threshold keeping
+    * the graph sparse; existing edges drop via one anti-join; the top-K is
+    * a TakeOrdered cut, never a global sort.
+    */
+  def linkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").hint("shuffle_hash")
+      .join(op.as("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= MinCoOrders)
+      .select("x", "y").cache()
+    val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy(col("x").as("z")).agg(count(lit(1)).as("d"))
+    // wedges through z, canonical x < y, each common neighbor voting once
+    val wedges = und.select(col("x").as("z1"), col("y").as("u"))
+      .join(und.select(col("x").as("z2"), col("y").as("v")),
+        col("z1") === col("z2") && col("u") < col("v"))
+      .select(col("z1").as("z"), col("u"), col("v"))
+    val scored = wedges
+      .join(e.select(col("x").as("u"), col("y").as("v"), lit(1).as("is_edge")),
+        Seq("u", "v"), "left_anti")
+      .join(deg, "z")
+      .groupBy(col("u").as("p_a"), col("v").as("p_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div d")).as("ra_e6"))
+    val out = scored
+      .orderBy(col("ra_e6").desc, col("p_a"), col("p_b"))
+      .limit(LpK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ra_e6").desc, col("p_a"), col("p_b"))).cast("long"))
+    localized(out, Seq(e))
+  }
+
+  private val linkPredictionSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |      GROUP BY 1, 2 HAVING count(*) >= $MinCoOrders),
+      |und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+      |deg AS (SELECT x AS z, count(*) AS d FROM und GROUP BY x),
+      |wedges AS (
+      |  SELECT a.x AS z, a.y AS u, b.y AS v
+      |  FROM und a JOIN und b ON a.x = b.x AND a.y < b.y),
+      |nonedge AS (
+      |  SELECT w.z, w.u, w.v FROM wedges w
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = w.u AND e.y = w.v)),
+      |scored AS (
+      |  SELECT n.u AS p_a, n.v AS p_b, CAST(count(*) AS BIGINT) AS n_common,
+      |         CAST(sum(1000000 // d) AS BIGINT) AS ra_e6
+      |  FROM nonedge n JOIN deg ON deg.z = n.z
+      |  GROUP BY 1, 2)
+      |SELECT p_a, p_b, n_common, ra_e6, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY ra_e6 DESC, p_a, p_b) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= $LpK
+      |ORDER BY rank""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),
     Q("graph_kcore", kcore, Some(kcoreSql)),
     Q("graph_sssp", sssp, Some(ssspSql)),
     Q("graph_pagerank", pagerank, Some(pagerankSql)),

@@ -94,6 +94,28 @@ class GraphSpec extends SparkSpec {
     assert(again == byHop)
   }
 
+  test("link prediction: only non-edges, deg>=2 voters bound RA, ranks contiguous") {
+    val rows = Graph.linkPrediction(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Graph.LpK)
+    assert(rows.map(_.getLong(4)).sorted.sameElements(1L to rows.length))
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = op.as("a").join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= Graph.MinCoOrders)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(pair._1 < pair._2, "canonical pair order")
+      assert(!edges(pair), s"predicted an EXISTING edge $pair")
+      val (nCommon, ra) = (r.getLong(2), r.getLong(3))
+      assert(nCommon >= 1 && ra > 0)
+      // every common neighbor is linked to both endpoints, so deg >= 2 and
+      // each vote is at most 1e6 div 2
+      assert(ra <= nCommon * 500000L, "RA vote exceeds the deg>=2 bound")
+    }
+  }
+
   test("kcore: trajectory matches an independent in-memory peel, monotone shrink") {
     val rows = Graph.kcore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
