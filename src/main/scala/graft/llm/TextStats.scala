@@ -1205,7 +1205,67 @@ object TextStats extends QueryPack {
       |       CAST(sum(tf * wfp) AS BIGINT) AS sym_fp
       |FROM dw JOIN v USING (w) GROUP BY doc_id""".stripMargin
 
+  /** minimum in-source term frequency for [[sourceSignatureTerms]] */
+  val SigMinTf = 5L
+
+  /** signature terms emitted per source */
+  val SigK = 5
+
+  /** Per-source signature terms — the TF-IDF-style "what distinguishes this
+    * source" profiler, scored log-free: lift = (source share of the term) /
+    * (corpus share of the term) as one all-integer product quotient
+    * `tf·tot_c·1e6 div (tok_s·tf_c)`, with a minimum in-source frequency
+    * cut so one-off typos can't top the ranking. Top [[SigK]] per source by
+    * (lift, token). The curation readout behind source-mixture decisions:
+    * which vocabularies a source over-represents.
+    *
+    * 100 TB shape: ONE fact-scale shuffle (the (source, token) partial
+    * aggregate); source totals, corpus totals and the grand total all
+    * derive from that vocabulary-sized relation; the final rank windows are
+    * source-partitioned over the post-cut vocabulary.
+    */
+  def sourceSignatureTerms(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.loadSpread(s, dir, "documents")
+      .select(col("source"), explode(tokensCol).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val srcTot = st.groupBy("source").agg(sum(col("tf")).as("tok_s"))
+    val tokTot = st.groupBy("token").agg(sum(col("tf")).as("tf_c"))
+    val tot = st.agg(sum(col("tf")).as("tot_c"))
+    val out = st.where(col("tf") >= SigMinTf)
+      .join(broadcast(srcTot), "source")
+      .join(tokTot, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("token"), col("tf"),
+        expr("tf * tot_c * 1000000 div (tok_s * tf_c)").as("lift_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("lift_ppm").desc, col("token"))).cast("long"))
+      .where(col("rank") <= SigK)
+      .orderBy(col("source"), col("rank"))
+    val rows = out.collect()
+    st.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val sourceSignatureTermsSql =
+    s"""WITH tk AS (SELECT source, unnest($tokensSql) AS token FROM documents),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+      |srct AS (SELECT source, CAST(sum(tf) AS BIGINT) AS tok_s FROM st GROUP BY 1),
+      |tokt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS tf_c FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot_c FROM st)
+      |SELECT source, token, tf, lift_ppm, rank FROM (
+      |  SELECT st.source, st.token, st.tf,
+      |         st.tf * tot_c * 1000000 // (tok_s * tf_c) AS lift_ppm,
+      |         CAST(row_number() OVER (PARTITION BY st.source
+      |           ORDER BY st.tf * tot_c * 1000000 // (tok_s * tf_c) DESC, st.token) AS BIGINT) AS rank
+      |  FROM st JOIN srct USING (source) JOIN tokt USING (token) CROSS JOIN tot
+      |  WHERE st.tf >= $SigMinTf)
+      |WHERE rank <= $SigK
+      |ORDER BY source, rank""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("source_signature_terms", sourceSignatureTerms, Some(sourceSignatureTermsSql)),
     Q("bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("text_index_lookup", textIndexLookup, Some(textIndexLookupSql)),

@@ -669,6 +669,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("source_signature_terms: lift identity replays and ranks are per-source contiguous") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val rows = graft.llm.TextStats.sourceSignatureTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.sameElements(1L to rs.length))
+      // ranked by lift desc (ties by token asc)
+      val sorted = rs.sortBy(_.getLong(4))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) >= b.getLong(3))
+        case _ =>
+      }
+    }
+    // recompute one row's lift from raw counts
+    val st = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), explode(graft.llm.TextStats.tokensCol).as("token"))
+      .groupBy("source", "token").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totC = st.values.sum
+    val r = rows.head
+    val tf = st((r.getString(0), r.getString(1)))
+    assert(tf == r.getLong(2) && tf >= graft.llm.TextStats.SigMinTf)
+    val tokS = st.filter(_._1._1 == r.getString(0)).values.sum
+    val tfC = st.filter(_._1._2 == r.getString(1)).values.sum
+    assert(r.getLong(3) == tf * totC * 1000000L / (tokS * tfC))
+  }
+
   test("emb_pca_power: unit-scale fixed-point vector, PSD alignment, deterministic rerun") {
     import org.apache.spark.sql.functions.{col, floor => sfloor}
     val rows = graft.llm.Similarity.embPcaPower(spark, sfDir).collect()
