@@ -1305,6 +1305,58 @@ object Analytics extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY touch_type, pos_class""".stripMargin
 
+  /** Quantile treatment effect — the distributional A/B readout
+    * [[abLift]]'s mean cannot give: per-arm p25/p50/p75/p90 of per-user
+    * purchase spend (exact discrete quantiles via the verified ceil-rank
+    * histogram rule, [[graft.operators.ExactQuantile]]) and the per-quantile
+    * treat−control deltas. A treatment that moves only the tail (or only
+    * the median) is invisible to the mean and obvious here; all integer
+    * milli-units end to end.
+    *
+    * 100 TB shape: per-user partial aggregate, then histogram-scale
+    * windows keyed by arm (state bounded by spend NDV ≤ user domain); the
+    * effect join is 1×1 rows.
+    */
+  def abQuantileEffect(s: SparkSession, dir: String): DataFrame = {
+    val pu = Tables.load(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("sp"))
+      .select("arm", "sp")
+    val q = graft.operators.ExactQuantile
+      .groupQuantilesDisc(pu, Seq("arm"), "sp", Seq(0.25, 0.5, 0.75, 0.9))
+    def side(arm: Int, sfx: String) = q.where(col("arm") === arm)
+      .select(col("n").as(s"n_$sfx"),
+        col("sp_q0").as(s"p25_$sfx"), col("sp_q1").as(s"p50_$sfx"),
+        col("sp_q2").as(s"p75_$sfx"), col("sp_q3").as(s"p90_$sfx"))
+    side(0, "ctrl").crossJoin(side(1, "treat"))
+      .select(col("*"),
+        (col("p25_treat") - col("p25_ctrl")).as("d25"),
+        (col("p50_treat") - col("p50_ctrl")).as("d50"),
+        (col("p75_treat") - col("p75_ctrl")).as("d75"),
+        (col("p90_treat") - col("p90_ctrl")).as("d90"))
+  }
+
+  private val abQuantileEffectSql =
+    """WITH pu AS (
+      |  SELECT user_id % 2 AS arm,
+      |         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sp
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, user_id % 2),
+      |q AS (
+      |  SELECT arm,
+      |         quantile_disc(sp, 0.25) AS q0, quantile_disc(sp, 0.5) AS q1,
+      |         quantile_disc(sp, 0.75) AS q2, quantile_disc(sp, 0.9) AS q3,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM pu GROUP BY arm)
+      |SELECT c.n AS n_ctrl, c.q0 AS p25_ctrl, c.q1 AS p50_ctrl,
+      |       c.q2 AS p75_ctrl, c.q3 AS p90_ctrl,
+      |       t.n AS n_treat, t.q0 AS p25_treat, t.q1 AS p50_treat,
+      |       t.q2 AS p75_treat, t.q3 AS p90_treat,
+      |       t.q0 - c.q0 AS d25, t.q1 - c.q1 AS d50,
+      |       t.q2 - c.q2 AS d75, t.q3 - c.q3 AS d90
+      |FROM (SELECT * FROM q WHERE arm = 0) c, (SELECT * FROM q WHERE arm = 1) t""".stripMargin
+
   /** Per-user temporal burstiness + behavioral-diversity profile — the
     * bot/spam screen over the event stream: inter-arrival gaps in whole
     * seconds (exact integer µs difference, floor-divided), their exact
@@ -2490,6 +2542,7 @@ object Analytics extends QueryPack {
     Q("ab_lift", abLift, Some(abLiftSql)),
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
+    Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
     Q("attribution_multitouch", attributionMultiTouch, Some(attributionMultiTouchSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),

@@ -225,6 +225,62 @@ object Governance extends QueryPack {
       |       CAST(sum(CAST(floor(logit * 1000) AS BIGINT)) AS BIGINT) AS logit_millis
       |FROM sc GROUP BY source""".stripMargin
 
+  /** Disparate-impact fairness audit of the quality model: per-source pass
+    * rates under the SAME logit [[qualityModelFilter]] ships, plus each
+    * source's selection ratio vs the best-treated source
+    * (`rate·1e6 div max_rate`, computed on the floored integer rates) and
+    * the four-fifths-rule flag (ratio < 0.8 ⇒ the filter disparately
+    * suppresses that source — the EEOC 80% test applied to data curation,
+    * where "source" is the protected-attribute analogue). An automated
+    * quality filter that silently drops one source's dialect is a mixture
+    * bug AND a fairness bug; this is the one-pass audit that catches it.
+    *
+    * 100 TB shape: one conditional-aggregate pass to source-domain rows;
+    * the max rate is a broadcast 1-row aggregate. `greatest(max,1)` keeps
+    * the ratio total (all-zero rates → all ratios 0) without a divide guard
+    * in either engine.
+    */
+  def fairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextStats.tokensCol.as("tokens"))
+      .select(col("doc_id") +: col("source") +: featureCols: _*)
+      .where(col("n_tokens") > 0)
+    val rates = docs.select(col("source"), logitCol.as("logit"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0.0, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("rate_ppm", expr("n_pass * 1000000 div n_docs"))
+    val mx = rates.agg(max(col("rate_ppm")).as("max_rate_ppm"))
+    rates.crossJoin(broadcast(mx))
+      .withColumn("di_ppm",
+        expr("rate_ppm * 1000000 div greatest(max_rate_ppm, 1)"))
+      .withColumn("below_80pct",
+        when(col("di_ppm") < 800000L, 1L).otherwise(0L))
+      .select("source", "n_docs", "n_pass", "rate_ppm", "di_ppm", "below_80pct")
+      .orderBy("source")
+  }
+
+  private val fairnessAuditSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '') AS tokens
+      |  FROM documents),
+      |f AS (SELECT source, $featureSql FROM t WHERE len(tokens) > 0),
+      |sc AS (SELECT source, $logitSql AS logit FROM f),
+      |rates AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(*) FILTER (WHERE logit > 0.0) AS BIGINT) AS n_pass,
+      |         CAST(count(*) FILTER (WHERE logit > 0.0) AS BIGINT) * 1000000
+      |           // CAST(count(*) AS BIGINT) AS rate_ppm
+      |  FROM sc GROUP BY source),
+      |mx AS (SELECT CAST(max(rate_ppm) AS BIGINT) AS max_rate_ppm FROM rates)
+      |SELECT source, n_docs, n_pass, rate_ppm,
+      |       rate_ppm * 1000000 // greatest(max_rate_ppm, 1) AS di_ppm,
+      |       CAST(CASE WHEN rate_ppm * 1000000 // greatest(max_rate_ppm, 1) < 800000
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS below_80pct
+      |FROM rates CROSS JOIN mx
+      |ORDER BY source""".stripMargin
+
   /** Data-quality expectations (the Deequ/Great-Expectations pattern): a
     * rule set evaluated in ONE pass of conditional aggregates — null-check,
     * uniqueness, domain membership, range — then unpivoted to a row per
@@ -991,6 +1047,7 @@ object Governance extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("benford_audit", benfordAudit, Some(benfordAuditSql)),
+    Q("fairness_audit", fairnessAudit, Some(fairnessAuditSql)),
     Q("fd_audit", fdAudit, Some(fdAuditSql)),
     Q("isotonic_calibration", isotonicCalibration, Some(isotonicCalibrationSql)),
     Q("ldiversity_audit", lDiversityAudit, Some(lDiversityAuditSql)),

@@ -47,6 +47,21 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
   }
 
+  test("ab_quantile_effect: quantiles ordered within arm, deltas close the identity") {
+    val r = Analytics.abQuantileEffect(spark, sfDir).collect().head
+    def q(sfx: String) = Seq(s"p25_$sfx", s"p50_$sfx", s"p75_$sfx", s"p90_$sfx")
+      .map(r.getAs[Long](_))
+    Seq("ctrl", "treat").foreach { sfx =>
+      val qs = q(sfx)
+      assert(qs.sliding(2).forall(p => p(0) <= p(1)), s"quantiles out of order for $sfx")
+    }
+    Seq(("d25", "p25"), ("d50", "p50"), ("d75", "p75"), ("d90", "p90")).foreach {
+      case (d, p) =>
+        assert(r.getAs[Long](d) == r.getAs[Long](s"${p}_treat") - r.getAs[Long](s"${p}_ctrl"))
+    }
+    assert(r.getAs[Long]("n_ctrl") > 0 && r.getAs[Long]("n_treat") > 0)
+  }
+
   test("ab_diff_in_diff: cells populated, boundary inside history, DiD identity replays") {
     val r = Analytics.abDiffInDiff(spark, sfDir).collect().head
     Seq("n_c_pre", "n_c_post", "n_t_pre", "n_t_post").foreach(c =>

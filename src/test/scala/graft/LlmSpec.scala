@@ -758,6 +758,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("fairness_audit: the best-treated source scores 1e6 and ratios respect the rates") {
+    val rows = graft.llm.Governance.fairnessAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val maxRate = rows.map(_.getAs[Long]("rate_ppm")).max
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_ppm") == r.getAs[Long]("n_pass") * 1000000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("di_ppm") ==
+        r.getAs[Long]("rate_ppm") * 1000000L / math.max(maxRate, 1L))
+      assert((r.getAs[Long]("below_80pct") == 1L) == (r.getAs[Long]("di_ppm") < 800000L))
+    }
+    assert(rows.exists(r => r.getAs[Long]("rate_ppm") == maxRate &&
+      (maxRate == 0L || r.getAs[Long]("di_ppm") == 1000000L)),
+      "the max-rate source must have a full selection ratio")
+    // pass counts agree with the production filter's accounting
+    val qm = graft.llm.Governance.qualityModelFilter(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_pass") == qm(r.getString(0)),
+      "fairness audit and quality filter disagree on pass counts"))
+  }
+
   test("benford_audit: digit rows partition the orders and deviations close the identity") {
     import org.apache.spark.sql.functions.{col, expr}
     val rows = graft.llm.Governance.benfordAudit(spark, sfDir).collect()
