@@ -320,6 +320,70 @@ object Similarity extends QueryPack {
       |       p.max_cos_e6
       |FROM tot t LEFT JOIN per p ON t.label = p.label""".stripMargin
 
+  /** mislabel candidates emitted */
+  val NoiseK = 25
+
+  /** Label-noise audit — the ML-data-quality screen cleanlab popularized:
+    * vector pairs that are close in embedding space yet carry DIFFERENT
+    * labels are the prime suspects for annotation errors. Emits the
+    * [[NoiseK]] highest-cosine cross-label pairs among the LSH candidates
+    * as a SUSPICION RANKING (no absolute cutoff: the human-review queue
+    * wants "the K most suspicious", and a fixed threshold goes silent on
+    * corpora whose labels are actually clean). Same md5-portable buckets
+    * and sequential-fold cosine as [[embCosDedup]], so the audit
+    * hash-gates.
+    *
+    * 100 TB shape: identical to embCosDedup — candidates only within
+    * (table, bucket) keys, vectors re-fetched by id, TakeOrdered cut.
+    */
+  def labelNoiseAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val buckets = Tables.loadSpread(s, dir, "embeddings").select(
+      col("vec_id"),
+      posexplode(bucketsUdf(col("embedding"))).as(Seq("t", "b")))
+    val cand = buckets.as("x").hint("shuffle_hash")
+      .join(buckets.as("y").hint("shuffle_hash"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("label").as("label_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("label").as("label_b")), "id_b")
+      .where(col("label_a") =!= col("label_b"))
+      .select(col("id_a"), col("id_b"),
+        col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        floor(cosSim(col("va"), col("vb")) * lit(1e6)).as("cos_e6"))
+    scored
+      .orderBy(col("cos_e6").desc, col("id_a"), col("id_b"))
+      .limit(NoiseK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_e6").desc, col("id_a"), col("id_b"))).cast("long"))
+  }
+
+  private val labelNoiseAuditSql =
+    s"""WITH $bucketCtes,
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM keys x JOIN keys y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(ea.label AS BIGINT) AS label_a,
+      |         CAST(eb.label AS BIGINT) AS label_b,
+      |         CAST(floor((${cosSqlOf("ea.embedding", "eb.embedding")}) * 1000000) AS BIGINT) AS cos_e6
+      |  FROM cand c
+      |  JOIN embeddings ea ON ea.vec_id = c.id_a
+      |  JOIN embeddings eb ON eb.vec_id = c.id_b
+      |  WHERE ea.label <> eb.label)
+      |SELECT id_a, id_b, label_a, label_b, cos_e6, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY cos_e6 DESC, id_a, id_b) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= $NoiseK
+      |ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------------------
   // IVF (inverted-file) ANN
   // ---------------------------------------------------------------------------
@@ -1934,5 +1998,6 @@ object Similarity extends QueryPack {
     Q("ann_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("ann_ivfpq_topk", annIvfPqTopK, Some(annIvfPqTopKSql)),
     Q("dedup_embcos", embCosDedup, Some(embCosDedupSql)),
+    Q("label_noise_audit", labelNoiseAudit, Some(labelNoiseAuditSql)),
     Q("emb_label_centroids", labelCentroids, Some(labelCentroidsSql)))
 }

@@ -696,6 +696,22 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(3) == tf * totC * 1000000L / (tokS * tfC))
   }
 
+  test("label_noise_audit: cross-label only, suspicion-ordered, rerun-deterministic") {
+    val rows = graft.llm.Similarity.labelNoiseAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.llm.Similarity.NoiseK)
+    assert(rows.map(_.getLong(5)).sorted.sameElements(1L to rows.length))
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order")
+      assert(r.getLong(2) != r.getLong(3), "suspects must disagree on label")
+    }
+    val byRank = rows.sortBy(_.getLong(5)).map(_.getLong(4))
+    assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "suspicion ranking must be cosine-descending")
+    val again = graft.llm.Similarity.labelNoiseAudit(spark, sfDir).collect()
+      .sortBy(_.getLong(5)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sameElements(rows.sortBy(_.getLong(5)).map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("emb_pca_power: unit-scale fixed-point vector, PSD alignment, deterministic rerun") {
     import org.apache.spark.sql.functions.{col, floor => sfloor}
     val rows = graft.llm.Similarity.embPcaPower(spark, sfDir).collect()
