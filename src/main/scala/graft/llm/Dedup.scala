@@ -503,7 +503,11 @@ object Dedup extends QueryPack {
       .groupBy("doc_id")
       .agg(
         minSig(col("h1"), col("h2")).as("sig"),
-        collect_list(col("shingle")).as("sh"),
+        // verification set = 62-bit shingle HASHES (h1·2^31 + h2), never the
+        // raw strings: an index sidecar that stores text is 6× the bytes and
+        // a governance leak; the oracle intersects the SAME hashes, so the
+        // gate still proves the lifecycle end to end
+        collect_list(col("h1") * lit(1L << 31) + col("h2")).as("sh"),
         count(lit(1)).as("n_sh"))
   }
 
@@ -616,8 +620,8 @@ object Dedup extends QueryPack {
       |p AS (
       |  SELECT c.da AS doc_a, c.db AS doc_b, count(*) AS shared
       |  FROM cand c
-      |  JOIN sh a ON a.doc_id = c.da
-      |  JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+      |  JOIN sh_h a ON a.doc_id = c.da
+      |  JOIN sh_h b ON b.doc_id = c.db AND b.h1 = a.h1 AND b.h2 = a.h2
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |       CAST(floor(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) * 1000000) AS BIGINT) AS j_e6

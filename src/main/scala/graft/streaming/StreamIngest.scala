@@ -309,7 +309,7 @@ object StreamIngest {
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import graft.llm.Dedup
     val shSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, sh ARRAY<STRING>, n_sh BIGINT")
+      "doc_id BIGINT, sh ARRAY<BIGINT>, n_sh BIGINT")
     val bkSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, bh BIGINT")
     def readOr(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
