@@ -2429,6 +2429,83 @@ object Analytics extends QueryPack {
       |ORDER BY n_sessions DESC, path
       |LIMIT $PathK""".stripMargin
 
+  /** Process-mining conformance checking: each (user, day) session's
+    * event-type sequence is audited against the reference journey —
+    * signup (if any) first, a view before any click, a click before any
+    * purchase, nothing after the purchase — and classified by its FIRST
+    * violated rule (a fixed priority ladder, so every session lands in
+    * exactly one bucket). All tests are first-occurrence POSITION
+    * comparisons on the type-initial string (`instr`/`strpos`, identical
+    * 1-based/0-absent semantics in both engines) — no regex dialect risk.
+    * Emits per-verdict session/user counts and the share of traffic, the
+    * deviation report a process-mining tool ships from an event log.
+    *
+    * 100 TB shape: the [[pathTopK]] assembly — one per-session sort-
+    * aggregate (state bounded by session length), then verdict-domain
+    * aggregates; user counts via the two-level shape, never a mixed
+    * distinct.
+    */
+  def processConformance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val seqs = ev.groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), " +
+          "x -> substring(x.event_type, 1, 1))"), "").as("seq"))
+    val verdict = when(
+        instr(col("seq"), "s") > 1, lit("late_signup"))
+      .when(instr(col("seq"), "c") > 0 &&
+        (instr(col("seq"), "v") === 0 || instr(col("seq"), "v") > instr(col("seq"), "c")),
+        lit("click_before_view"))
+      .when(instr(col("seq"), "p") > 0 &&
+        (instr(col("seq"), "c") === 0 || instr(col("seq"), "c") > instr(col("seq"), "p")),
+        lit("purchase_before_click"))
+      .when(instr(col("seq"), "p") > 0 && instr(col("seq"), "p") < length(col("seq")),
+        lit("activity_after_purchase"))
+      .otherwise(lit("conformant"))
+    val classed = seqs.select(col("user_id"), verdict.as("verdict"))
+    val agg = classed.groupBy("verdict", "user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("verdict")
+      .agg(sum(col("cnt")).as("n_sessions"), count(lit(1)).as("n_users"))
+    val tot = agg.agg(sum(col("n_sessions")).as("n_total"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("verdict"), col("n_sessions"), col("n_users"),
+        expr("n_sessions * 1000000 div n_total").as("share_ppm"))
+      .orderBy(col("verdict"))
+  }
+
+  private val processConformanceSql =
+    """WITH seqs AS (
+      |  SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         string_agg(substr(event_type, 1, 1), ''
+      |                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+      |  FROM events GROUP BY 1, 2),
+      |classed AS (
+      |  SELECT user_id,
+      |         CASE
+      |           WHEN strpos(seq, 's') > 1 THEN 'late_signup'
+      |           WHEN strpos(seq, 'c') > 0 AND
+      |                (strpos(seq, 'v') = 0 OR strpos(seq, 'v') > strpos(seq, 'c'))
+      |             THEN 'click_before_view'
+      |           WHEN strpos(seq, 'p') > 0 AND
+      |                (strpos(seq, 'c') = 0 OR strpos(seq, 'c') > strpos(seq, 'p'))
+      |             THEN 'purchase_before_click'
+      |           WHEN strpos(seq, 'p') > 0 AND strpos(seq, 'p') < length(seq)
+      |             THEN 'activity_after_purchase'
+      |           ELSE 'conformant'
+      |         END AS verdict
+      |  FROM seqs),
+      |agg AS (
+      |  SELECT verdict, CAST(sum(cnt) AS BIGINT) AS n_sessions,
+      |         CAST(count(*) AS BIGINT) AS n_users
+      |  FROM (SELECT verdict, user_id, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM classed GROUP BY 1, 2)
+      |  GROUP BY verdict),
+      |tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM agg)
+      |SELECT verdict, n_sessions, n_users,
+      |       n_sessions * 1000000 // n_total AS share_ppm
+      |FROM agg CROSS JOIN tot
+      |ORDER BY verdict""".stripMargin
+
   /** minimum run length for a leg of a detected V-shape */
   val VMinRun = 2
 
@@ -2532,6 +2609,7 @@ object Analytics extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("a15_vshape_patterns", vshapePatterns, Some(vshapePatternsSql)),
     Q("a16_path_topk", pathTopK, Some(pathTopKSql)),
+    Q("process_conformance", processConformance, Some(processConformanceSql)),
     Q("a17_conformal", conformalIntervals, Some(conformalIntervalsSql)),
     Q("a14_ols_trend", olsTrend, Some(olsTrendSql)),
     Q("a13_theil_sen", theilSenTrend, Some(theilSenTrendSql)),

@@ -47,6 +47,32 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
   }
 
+  test("process_conformance: verdicts partition sessions and replay an in-memory ladder") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val rows = Analytics.processConformance(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        (r.getTimestamp(2).getTime, r.getLong(3)), r.getString(4).charAt(0)))
+    val expect = ev.groupBy(e => (e._1, e._2)).toSeq.map { case (_, es) =>
+      val seq = es.sortBy(_._3).map(_._4).mkString
+      def pos(c: Char) = seq.indexOf(c) + 1
+      if (pos('s') > 1) "late_signup"
+      else if (pos('c') > 0 && (pos('v') == 0 || pos('v') > pos('c'))) "click_before_view"
+      else if (pos('p') > 0 && (pos('c') == 0 || pos('c') > pos('p'))) "purchase_before_click"
+      else if (pos('p') > 0 && pos('p') < seq.length) "activity_after_purchase"
+      else "conformant"
+    }
+    val counts = expect.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.keySet == counts.keySet)
+    counts.foreach { case (v, n) => assert(rows(v)._1 == n, s"$v session count") }
+    assert(rows.values.map(_._1).sum == expect.size.toLong, "verdicts partition sessions")
+    assert(rows.values.map(_._3).sum <= 1000000L, "floored shares cannot exceed unity")
+  }
+
   test("ab_quantile_effect: quantiles ordered within arm, deltas close the identity") {
     val r = Analytics.abQuantileEffect(spark, sfDir).collect().head
     def q(sfx: String) = Seq(s"p25_$sfx", s"p50_$sfx", s"p75_$sfx", s"p90_$sfx")
