@@ -419,6 +419,66 @@ object Mining extends QueryPack {
        |WHERE rank <= $CfRecK
        |ORDER BY custkey, rank""".stripMargin
 
+  /** trending items emitted by [[trendingDecay]] */
+  val TrendK = 20
+
+  /** decay half-life in days (weight halves every window) */
+  val TrendHalfLifeD = 7L
+
+  /** Time-decayed trending ranking — "what's hot NOW", the recency-weighted
+    * leaderboard a plain count can't give (it weighs January like today).
+    * Each order contributes `1e6 div 2^(age div half_life)` to its parts —
+    * exponential decay in exact INTEGER arithmetic (division by a shifted
+    * power of two; the shift is clamped so it never leaves int64 — no
+    * libm `exp`, no float accumulation), aged against the corpus' max
+    * order date so the query is reproducible on a frozen dataset. Emits
+    * the [[TrendK]] parts by decayed score with their raw counts alongside
+    * (the two rankings disagree exactly where recency matters).
+    *
+    * 100 TB shape: one fact scan with a broadcast 1-row max-date, map-side
+    * weights, a part-domain aggregate, TakeOrdered cut.
+    */
+  def trendingDecay(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("d"))
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val mx = od.agg(max(col("d")).as("dmax"))
+    val weighted = od.crossJoin(broadcast(mx))
+      .select(col("o_orderkey"),
+        expr(s"1000000 div shiftleft(1L, CAST(least((dmax - d) div $TrendHalfLifeD, 40) AS INT))")
+          .as("w"))
+    val scored = li.join(weighted, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("w")).as("decayed_score"), count(lit(1)).as("n_lineitems"))
+    scored
+      .orderBy(col("decayed_score").desc, col("p_partkey"))
+      .limit(TrendK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("decayed_score").desc, col("p_partkey"))).cast("long"))
+  }
+
+  val trendingDecaySql: String =
+    s"""WITH od AS (
+       |  SELECT o_orderkey,
+       |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+       |  FROM orders),
+       |mx AS (SELECT CAST(max(d) AS BIGINT) AS dmax FROM od),
+       |w AS (
+       |  SELECT o_orderkey,
+       |         1000000 // (CAST(1 AS BIGINT) << CAST(least((dmax - d) // $TrendHalfLifeD, 40) AS INTEGER)) AS w
+       |  FROM od CROSS JOIN mx),
+       |scored AS (
+       |  SELECT l_partkey AS p_partkey, CAST(sum(w.w) AS BIGINT) AS decayed_score,
+       |         CAST(count(*) AS BIGINT) AS n_lineitems
+       |  FROM lineitem JOIN w ON l_orderkey = o_orderkey
+       |  GROUP BY 1)
+       |SELECT p_partkey, decayed_score, n_lineitems, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY decayed_score DESC, p_partkey) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TrendK
+       |ORDER BY rank""".stripMargin
+
   /** Forecast backtesting harness over the daily net-revenue series: replay
     * the two standard zero-parameter baselines — naive-1 (yesterday's value)
     * and seasonal-naive-7 (same weekday last week) — across every day the
@@ -1461,6 +1521,7 @@ object Mining extends QueryPack {
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
     Q("ts_backtest", tsBacktest, Some(tsBacktestSql)),
     Q("cf_item_recs", cfItemRecs, Some(cfItemRecsSql)),
+    Q("trending_decay", trendingDecay, Some(trendingDecaySql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),
     Q("ts_holt_forecast", tsHoltForecast, Some(tsHoltForecastSql)),
     Q("ts_seasonality", tsSeasonality, Some(tsSeasonalitySql)))

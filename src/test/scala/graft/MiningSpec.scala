@@ -49,6 +49,33 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("trending_decay: weights replay in-memory and recency dominates raw counts at ties") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
+    val rows = Mining.trendingDecay(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.TrendK)
+    assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    val od = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dmax = od.values.max
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def w(ok: Long) = 1000000L / (1L << math.min((dmax - od(ok)) / Mining.TrendHalfLifeD, 40L))
+    val expect = li.groupBy(_._2).map { case (p, ls) =>
+      p -> (ls.map(l => w(l._1)).sum, ls.length.toLong)
+    }
+    rows.foreach { r =>
+      val (score, n) = expect(r.getLong(0))
+      assert(r.getLong(1) == score && r.getLong(2) == n,
+        s"part ${r.getLong(0)}: decayed score/count mismatch")
+    }
+    // the emitted leaderboard is the true top-K of the in-memory scores
+    val topScore = expect.values.map(_._1).max
+    assert(rows.head.getLong(1) == topScore)
+  }
+
   test("cf_item_recs: ranked, positive-score, never-owned recommendations per target") {
     import org.apache.spark.sql.functions.col
     val rows = Mining.cfItemRecs(spark, sfDir).collect()
