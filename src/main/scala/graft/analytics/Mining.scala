@@ -313,6 +313,13 @@ object Mining extends QueryPack {
   /** target cohort: customers with custkey below this */
   val CfTargetMax = 10L
 
+  /** minimum co-purchase support for an item-item similarity edge: a pair
+    * seen in ONE shared history is noise (and the co=1 tail is ~90% of the
+    * pair relation — the cut is also what keeps the neighbor-ranking
+    * window off a mostly-noise multimillion-row input)
+    */
+  val CfMinCo = 2L
+
   /** Item-item collaborative filtering (the classic Amazon/"customers who
     * bought X also bought Y" recommender): per-customer purchase histories
     * → item-item Jaccard similarities from co-purchase counts → truncated
@@ -331,11 +338,31 @@ object Mining extends QueryPack {
     * and scoring joins the target cohort's capped histories against those
     * bounded lists. No step is more than (cap × neighbor-list) fan-out.
     */
+  /** compiled ordered-pair expansion (i<j) over a sorted id array — the
+    * HOF `transform(slice(...))` form is CodegenFallback and re-evaluates
+    * its lambda interpreted per element (the [[graft.llm.Dedup]] shingle
+    * lesson); this is a tight two-index loop
+    */
+  private val pairUdf = udf { items: Seq[Long] =>
+    val n = items.length
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out += ((items(i), items(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  }
+
   def cfItemRecs(s: SparkSession, dir: String): DataFrame = {
     val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val up0 = od.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("it")).distinct()
+      .cache() // consumed twice: the capped-history build AND the
+               // full-ownership exclusion anti-join — uncached it re-runs
+               // the fact join+distinct per consumer
     val up = up0
       .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
         .orderBy(md5(concat(col("u"), lit(":"), col("it"))), col("it"))))
@@ -343,12 +370,10 @@ object Mining extends QueryPack {
       .cache()
     val sup = up.groupBy(col("it")).agg(count(lit(1)).as("n"))
     val pairs = up.groupBy(col("u")).agg(sort_array(collect_list(col("it"))).as("items"))
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, greatest(size(items) - i - 1, 0)),
-          |            y -> struct(x AS ia, y AS ib))))""".stripMargin)).as("p"))
-      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .select(explode(pairUdf(col("items"))).as("p"))
+      .groupBy(col("p._1").as("ia"), col("p._2").as("ib"))
       .agg(count(lit(1)).as("co"))
+      .where(col("co") >= CfMinCo)
     val sym = pairs.unionAll(
       pairs.select(col("ib").as("ia"), col("ia").as("ib"), col("co")))
     val sim = sym
@@ -377,6 +402,7 @@ object Mining extends QueryPack {
       .orderBy(col("custkey"), col("rank"))
     val rows = out.collect()
     up.unpersist(blocking = false)
+    up0.unpersist(blocking = false)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -394,7 +420,7 @@ object Mining extends QueryPack {
        |co AS (
        |  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS co
        |  FROM up a JOIN up b ON a.u = b.u AND a.it < b.it
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCo),
        |sym AS (SELECT ia, ib, co FROM co UNION ALL SELECT ib AS ia, ia AS ib, co FROM co),
        |sim AS (
        |  SELECT sym.ia, sym.ib, co * 1000000 // (sa.n + sb.n - co) AS jac_ppm
