@@ -44,7 +44,11 @@ object Serve {
     */
   val AnalysisViews: Seq[String] =
     Seq("a1_volatility", "a2_trade_impact", "a3_predictability", "a4_imbalance",
-      "bitmap_distinct_weekly", "ts_seasonality", "gini_spend", "fulfillment_lag")
+      "bitmap_distinct_weekly", "ts_seasonality", "gini_spend", "fulfillment_lag",
+      // growth/commerce dashboard row: daily rolling actives, the decayed
+      // trending leaderboard, backtested forecast quality, and the A/B
+      // experiment readout — every one a bounded-row summary
+      "rolling_wau", "trending_decay", "ts_backtest", "ab_quantile_effect")
 
   /** Register base tables and analysis views into the global temp catalog.
     * A table with a committed table-log under `tableLogRoot` serves that

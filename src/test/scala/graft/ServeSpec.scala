@@ -42,6 +42,14 @@ class ServeSpec extends SparkSpec {
         val rs2 = conn.createStatement().executeQuery(
           "SELECT count(*) FROM global_temp.lineitem")
         assert(rs2.next() && rs2.getLong(1) > 0)
+        // the growth-dashboard row ships by default: rolling actives and
+        // the decayed trending leaderboard answer over the same connection
+        val rsW = conn.createStatement().executeQuery(
+          "SELECT max(wau) FROM global_temp.q_rolling_wau")
+        assert(rsW.next() && rsW.getLong(1) > 0, "rolling_wau view must serve rows")
+        val rsT = conn.createStatement().executeQuery(
+          "SELECT count(*) FROM global_temp.q_trending_decay WHERE rank <= 5")
+        assert(rsT.next() && rsT.getLong(1) == 5L, "trending view must serve the cut")
 
         // --- table-log-backed serving on the SAME endpoint ---
         val cust = Tables.load(spark, sfDir, "customer")
