@@ -490,6 +490,54 @@ object StreamIngest {
       }
   }
 
+  case class ItemDay(item: Long, day: Long)
+  case class TrendStreamState(wins: Array[Long], counts: Array[Long])
+  case class TrendScore(item: Long, score: Long, last_win: Long, n_events: Long)
+
+  /** decay-window cap: contributions older than this many half-life windows
+    * have shifted to zero weight and their state buckets are evicted
+    */
+  val TrendMaxWins = 41
+
+  /** Streaming time-decayed trending — the live twin of
+    * [[graft.analytics.Mining.trendingDecay]]: per-item event counts kept
+    * PER HALF-LIFE WINDOW as `mapGroupsWithState` state (≤ [[TrendMaxWins]]
+    * (win, count) pairs per item forever — older windows have decayed to
+    * zero weight and are evicted), with the exponential decay applied AT
+    * READ TIME against the item's newest window:
+    * `score = Σ count_w · (2^20 >> (max_win − w))`. Keeping raw counts in
+    * state rather than a pre-decayed accumulator is what makes the monitor
+    * EXACT under any trigger split and any arrival order (a decayed running
+    * sum loses carry bits differently depending on where the batch
+    * boundaries fall; per-window counts are order-free integers, decay is a
+    * pure function of the final state — the mergeable-summaries discipline
+    * of [[streamingKmvDistinct]] applied to decayed counters).
+    */
+  def streamingTrending(
+      rows: org.apache.spark.sql.Dataset[ItemDay],
+      halfLifeDays: Long = graft.analytics.Mining.TrendHalfLifeD):
+      org.apache.spark.sql.Dataset[TrendScore] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.item)
+      .mapGroupsWithState[TrendStreamState, TrendScore](
+        GroupStateTimeout.NoTimeout()) {
+        (item: Long, it: Iterator[ItemDay], state: GroupState[TrendStreamState]) =>
+          val st = state.getOption.getOrElse(
+            TrendStreamState(Array.emptyLongArray, Array.emptyLongArray))
+          val m = scala.collection.mutable.LongMap[Long]()
+          st.wins.indices.foreach(i => m(st.wins(i)) = st.counts(i))
+          it.foreach { e =>
+            val w = e.day / halfLifeDays
+            m(w) = m.getOrElse(w, 0L) + 1L
+          }
+          val maxWin = m.keys.max
+          val kept = m.filter { case (w, _) => maxWin - w < TrendMaxWins }.toArray.sortBy(_._1)
+          state.update(TrendStreamState(kept.map(_._1), kept.map(_._2)))
+          val score = kept.map { case (w, c) => c * ((1L << 20) >> (maxWin - w)) }.sum
+          TrendScore(item, score, maxWin, kept.map(_._2).sum)
+      }
+  }
+
   case class Purchase(user: String, mc: Long)
   case class RollingSpend(user: String, n: Long, total_mc: Long, last3_mc: Long)
 

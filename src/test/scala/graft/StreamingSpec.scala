@@ -435,6 +435,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sIdxD/buckets").select("doc_id").distinct().count() == 2L)
   }
 
+  test("streaming trending: decayed scores exact and trigger-split invariant, old windows evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamIngest.{ItemDay, TrendScore}
+    val t1 = Seq(ItemDay(1L, 0L), ItemDay(1L, 0L), ItemDay(1L, 7L), ItemDay(2L, 0L))
+    val t2 = Seq(ItemDay(1L, 14L), ItemDay(1L, 7L), ItemDay(2L, 300L))
+    def run(name: String, batches: Seq[Seq[ItemDay]]): Map[Long, (Long, Long, Long)] = {
+      val mem = MemoryStream[ItemDay]
+      val q = StreamIngest.streamingTrending(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[TrendScore].collect()
+        .groupBy(_.item).map { case (k, v) =>
+          val last = v.maxBy(r => (r.last_win, r.n_events))
+          k -> ((last.score, last.last_win, last.n_events))
+        }
+    }
+    val split = run("trend_split", Seq(t1, t2))
+    // item 1: windows {0:2, 1:2, 2:1}, newest 2 →
+    //   2·(2^20>>2) + 2·(2^20>>1) + 1·2^20
+    assert(split(1L) == ((2L * (1L << 18) + 2L * (1L << 19) + (1L << 20), 2L, 5L)))
+    // item 2: the day-0 window is 42 half-lives stale → evicted, only the
+    // fresh event survives
+    assert(split(2L) == (((1L << 20), 42L, 1L)))
+    // the same events in ONE trigger give identical final state
+    val whole = run("trend_whole", Seq(t1 ++ t2))
+    assert(whole == split, "scores must not depend on trigger boundaries")
+  }
+
   test("streaming heavy hitters accumulate MG state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Tok]
