@@ -1469,6 +1469,83 @@ object Mining extends QueryPack {
       |FROM dt JOIN seas USING (dow7)
       |ORDER BY day""".stripMargin
 
+  /** MAD multiple above which a residual is flagged anomalous */
+  val ResidMadK = 5L
+
+  /** anomaly rows emitted (ranked worst-first, flagged against the cut) */
+  val ResidTopK = 10
+
+  /** Seasonal-adjusted anomaly detection — the monitoring op raw-value
+    * thresholds get wrong twice (weekend dips page, in-season spikes hide):
+    * residuals from [[tsDecompose]]'s exact trend+seasonal fit, centered by
+    * their exact median and scored against the residual MAD (both via the
+    * pinned ceil-rank rule on sorted rows — `rn·2 ≥ n` IS rank ceil(n/2)).
+    * Emits the [[ResidTopK]] largest deviations ranked worst-first with the
+    * `|r − med| > K·MAD` verdict alongside — a ranked anomaly queue that
+    * stays useful (and non-empty) on quiet series instead of going silent.
+    *
+    * 100 TB shape: everything beyond the one fact scan inside tsDecompose
+    * runs on the calendar-bounded daily relation; the median/MAD windows
+    * ride the [[tsDecompose]] single-partition idiom (constant-0 pid
+    * partition, opaque to constant folding).
+    */
+  def tsResidualOutliers(s: SparkSession, dir: String): DataFrame = {
+    val base = tsDecompose(s, dir)
+    val one = base.repartition(1).withColumn("pid", spark_partition_id())
+    val wp = Window.partitionBy(col("pid"))
+    val wr = Window.partitionBy(col("pid")).orderBy(col("resid_c"), col("day"))
+    val withMed = one
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("med_c", min(when(col("rn") * 2 >= col("n"), col("resid_c"))).over(wp))
+      .withColumn("dev_c", abs(col("resid_c") - col("med_c")))
+    val wd = Window.partitionBy(col("pid")).orderBy(col("dev_c"), col("day"))
+    val withMad = withMed
+      .withColumn("rd", row_number().over(wd).cast("long"))
+      .withColumn("mad_c", min(when(col("rd") * 2 >= col("n"), col("dev_c"))).over(wp))
+    withMad
+      .select(col("day"), col("v"), col("resid_c"), col("med_c"),
+        col("mad_c"), col("dev_c"),
+        when(col("dev_c") > lit(ResidMadK) * col("mad_c"), 1L).otherwise(0L)
+          .as("is_anomaly"))
+      .orderBy(col("dev_c").desc, col("day"))
+      .limit(ResidTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dev_c").desc, col("day"))).cast("long"))
+  }
+
+  val tsResidualOutliersSql: String = {
+    val decomposeBody = tsDecomposeSql
+      .stripSuffix("\nORDER BY day")
+      .replaceFirst("^WITH ", "")
+      .replace("SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c\nFROM dt JOIN seas USING (dow7)",
+        ",\nresid AS (SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c\nFROM dt JOIN seas USING (dow7))")
+    s"""WITH $decomposeBody,
+      |withmed AS (
+      |  SELECT day, v, resid_c,
+      |         CAST(row_number() OVER (ORDER BY resid_c, day) AS BIGINT) AS rn,
+      |         CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM resid),
+      |med AS (
+      |  SELECT *, CAST(min(CASE WHEN rn * 2 >= n THEN resid_c END) OVER () AS BIGINT) AS med_c
+      |  FROM withmed),
+      |dev AS (
+      |  SELECT *, abs(resid_c - med_c) AS dev_c,
+      |         CAST(row_number() OVER (ORDER BY abs(resid_c - med_c), day) AS BIGINT) AS rd
+      |  FROM med),
+      |mad AS (
+      |  SELECT *, CAST(min(CASE WHEN rd * 2 >= n THEN dev_c END) OVER () AS BIGINT) AS mad_c
+      |  FROM dev)
+      |SELECT day, v, resid_c, med_c, mad_c, dev_c,
+      |       CAST(CASE WHEN dev_c > $ResidMadK * mad_c THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly,
+      |       rank
+      |FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY dev_c DESC, day) AS BIGINT) AS rank
+      |  FROM mad)
+      |WHERE rank <= $ResidTopK
+      |ORDER BY rank""".stripMargin
+  }
+
   /** balance ceiling for [[cappedRunningBalance]] (milli-units) */
   val BalCap = 1000000L
 
@@ -1532,6 +1609,7 @@ object Mining extends QueryPack {
   def all: Seq[Q] = Seq(
     Q("capped_running_balance", cappedRunningBalance, Some(cappedRunningBalanceSql)),
     Q("ts_decompose", tsDecompose, Some(tsDecomposeSql)),
+    Q("ts_residual_outliers", tsResidualOutliers, Some(tsResidualOutliersSql)),
     Q("tree_depth2", treeDepth2, Some(treeDepth2Sql)),
     Q("ts_mann_kendall", tsMannKendall, Some(tsMannKendallSql)),
     Q("stump_train", stumpTrain, Some(stumpTrainSql)),

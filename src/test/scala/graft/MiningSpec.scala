@@ -49,6 +49,27 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ts_residual_outliers: median/MAD replay the ceil-rank rule and verdicts close") {
+    val rows = Mining.tsResidualOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Mining.ResidTopK)
+    assert(rows.map(_.getLong(7)).sorted.sameElements(1L to rows.length))
+    val resid = Mining.tsDecompose(spark, sfDir).collect().map(_.getAs[Long]("resid_c"))
+    def ceilRankMedian(xs: Array[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((xs.length + 1) / 2 - 1) // rank ceil(n/2), 1-based
+    }
+    val med = ceilRankMedian(resid)
+    val mad = ceilRankMedian(resid.map(r => math.abs(r - med)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("med_c") == med && r.getAs[Long]("mad_c") == mad)
+      assert(r.getAs[Long]("dev_c") == math.abs(r.getAs[Long]("resid_c") - med))
+      assert((r.getAs[Long]("is_anomaly") == 1L) ==
+        (r.getAs[Long]("dev_c") > Mining.ResidMadK * mad))
+    }
+    // worst-first: the top row carries the global max deviation
+    assert(rows.head.getAs[Long]("dev_c") == resid.map(r => math.abs(r - med)).max)
+  }
+
   test("trending_decay: weights replay in-memory and recency dominates raw counts at ties") {
     import org.apache.spark.sql.functions.{col, datediff, lit, to_date}
     val rows = Mining.trendingDecay(spark, sfDir).collect()
