@@ -240,7 +240,85 @@ object PortableSketch extends QueryPack {
       |FROM sa, sb, su, ib, ex""".stripMargin
   }
 
+  /** CMS geometry for [[joinSizeEstimate]] — wider than the frequency
+    * sketch because inner-product noise scales as N_A·N_B/width
+    */
+  val JsWidth = 65536L
+  val JsDepth = 4
+
+  /** Planner-grade equi-join cardinality estimation from Count-Min
+    * sketches (the AMS/CMS inner-product estimator): |A ⋈ B| on a key is
+    * EXACTLY Σ_v f_A(v)·f_B(v), and the per-row sketch inner product
+    * Σ_cell A_r[cell]·B_r[cell] is a ONE-SIDED overestimate of it
+    * (collisions only add); taking the min over [[JsDepth]] independent
+    * rows is the classic estimator. This is what a cost-based optimizer
+    * does before choosing a join strategy — here readable as a query, with
+    * the exact truth computed alongside from the per-key frequency
+    * relations (never by materializing the join) so the overestimate is
+    * auditable. Orders ⋈ events on customer key is a genuine m:n join —
+    * both sides carry duplicates, the case naive NDV-based estimates get
+    * wrong.
+    *
+    * 100 TB shape: each relation is ONE partial-aggregate scan into a
+    * ≤ depth·width sparse cell relation; the estimate joins sketches, not
+    * data. The exact-truth leg costs a per-key aggregate of each side and
+    * a key-domain join — the audit column, dropped in a production
+    * estimate-only run.
+    */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, c: String) = df.select(col(c).cast("long").as("k"))
+    val a = keyed(Tables.load(s, dir, "orders"), "o_custkey")
+    val b = keyed(Tables.load(s, dir, "events"), "user_id")
+    def cells(df: DataFrame) = df
+      .withColumn("h", md5(col("k").cast("string").cast("binary")))
+      .select(posexplode(array((0 until JsDepth).map(r =>
+        conv(substring(col("h"), 1 + 8 * r, 8), 16, 10).cast("long") % JsWidth): _*))
+        .as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("n"))
+    val estPerRow = cells(a).as("x")
+      .join(cells(b).as("y"), col("x.r") === col("y.r") && col("x.cell") === col("y.cell"))
+      .groupBy(col("x.r")).agg(sum(col("x.n") * col("y.n")).as("ip"))
+      .agg(min(col("ip")).as("est_rows"))
+    val fa = a.groupBy("k").agg(count(lit(1)).as("na"))
+    val fb = b.groupBy("k").agg(count(lit(1)).as("nb"))
+    val truth = fa.join(fb, "k").agg(sum(col("na") * col("nb")).as("true_rows"))
+    val counts = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+    counts.crossJoin(broadcast(truth)).crossJoin(broadcast(estPerRow))
+      .select(col("n_a"), col("n_b"), col("true_rows"), col("est_rows"),
+        (col("est_rows") - col("true_rows")).as("overest_rows"),
+        expr("(est_rows - true_rows) * 1000000 div true_rows").as("err_ppm"))
+  }
+
+  private val joinSizeEstimateSql =
+    s"""WITH a AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+      |b AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+      |ca AS (
+      |  SELECT r, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * r, 8) AS BIGINT) % $JsWidth AS cell,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM a, range(0, $JsDepth) rr(r) GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT r, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * r, 8) AS BIGINT) % $JsWidth AS cell,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM b, range(0, $JsDepth) rr(r) GROUP BY 1, 2),
+      |est AS (
+      |  SELECT CAST(min(ip) AS BIGINT) AS est_rows FROM (
+      |    SELECT x.r, CAST(sum(x.n * y.n) AS BIGINT) AS ip
+      |    FROM ca x JOIN cb y ON x.r = y.r AND x.cell = y.cell
+      |    GROUP BY 1)),
+      |tr AS (
+      |  SELECT CAST(sum(na * nb) AS BIGINT) AS true_rows FROM
+      |    (SELECT k, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY k) fa
+      |    JOIN (SELECT k, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY k) fb USING (k)),
+      |cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+      |               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b)
+      |SELECT n_a, n_b, true_rows, est_rows,
+      |       est_rows - true_rows AS overest_rows,
+      |       (est_rows - true_rows) * 1000000 // true_rows AS err_ppm
+      |FROM cnt, tr, est""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("join_size_estimate", joinSizeEstimate, Some(joinSizeEstimateSql)),
     Q("kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("kmv_set_ops", kmvSetOps, Some(kmvSetOpsSql)))
 }

@@ -56,6 +56,25 @@ class PortableSketchSpec extends SparkSpec {
     }
   }
 
+  test("join_size_estimate: one-sided overestimate, truth matches the materialized join") {
+    import org.apache.spark.sql.functions.col
+    val r = PortableSketch.joinSizeEstimate(spark, sfDir).collect().head
+    val truth = r.getAs[Long]("true_rows")
+    val est = r.getAs[Long]("est_rows")
+    assert(truth > 0, "the m:n join must be non-empty")
+    assert(est >= truth, "CMS inner product must never underestimate")
+    assert(r.getAs[Long]("overest_rows") == est - truth)
+    assert(r.getAs[Long]("err_ppm") == (est - truth) * 1000000L / truth)
+    // the 'truth' leg really is the join size (materialized recount)
+    val joined = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "events"),
+        col("o_custkey") === col("user_id")).count()
+    assert(truth == joined, s"frequency-product truth $truth != joined $joined")
+    // collision noise stays inside 10x the N_A N_B / width envelope
+    val bound = 10L * r.getAs[Long]("n_a") * r.getAs[Long]("n_b") / PortableSketch.JsWidth
+    assert(est - truth <= bound, s"overestimate ${est - truth} beyond envelope $bound")
+  }
+
   test("pps_ht_estimate: certainty units sampled, HT estimate near truth, consistent counts") {
     val r = graft.analytics.Relational.ppsHtEstimate(spark, sfDir).collect().head
     val nPop = r.getAs[Long]("n_pop")
