@@ -349,6 +349,54 @@ object TableLog extends QueryPack {
     (drop, doomed.size)
   }
 
+  /** Order-free content checksum of a relation: md5-half of each row's
+    * canonical JSON rendering, summed — any partitioning/file layout of the
+    * same rows yields the same (count, checksum) pair. Per-row values stay
+    * < 2^32 so the sum never overflows int64 below 2^31 rows.
+    */
+  private def contentChecksum(df: DataFrame): (Long, Long) = {
+    val r = df.select(
+      count(lit(1)).as("n"),
+      coalesce(sum(
+        conv(substring(md5(to_json(struct(df.columns.map(col): _*))), 1, 8), 16, 10)
+          .cast("long")), lit(0L)).as("cs")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Export the snapshot at `asOf` (default: latest) as a self-contained
+    * backup: data parquet plus a MANIFEST recording (version, row count,
+    * order-free content checksum). The checksum is computed from the
+    * WRITTEN files read back, so it covers the serialized bytes a restore
+    * will actually consume — the disaster-recovery export every production
+    * table format ships.
+    */
+  def backup(spark: SparkSession, table: String, destDir: String,
+             asOf: Option[Long] = None): Long = {
+    val v = asOf.getOrElse(versions(table).max)
+    read(spark, table, asOf = Some(v))
+      .write.mode("overwrite").parquet(destDir + "/data")
+    val (n, cs) = contentChecksum(spark.read.parquet(destDir + "/data"))
+    Files.createDirectories(Paths.get(destDir))
+    Files.write(Paths.get(destDir, "MANIFEST"),
+      s"$v\n$n\n$cs\n".getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** Restore a [[backup]] into a fresh table log: the backup's content is
+    * re-verified against its MANIFEST (count + checksum) and the restore
+    * REFUSES a corrupted or tampered backup — then commits the data as the
+    * new log's first version. Returns the committed version id.
+    */
+  def restore(spark: SparkSession, backupDir: String, newTable: String): Long = {
+    val lines = Files.readAllLines(Paths.get(backupDir, "MANIFEST"))
+    val (n0, cs0) = (lines.get(1).toLong, lines.get(2).toLong)
+    val df = spark.read.parquet(backupDir + "/data")
+    val (n, cs) = contentChecksum(df)
+    require(n == n0 && cs == cs0,
+      s"backup integrity check failed: rows $n vs $n0, checksum $cs vs $cs0")
+    commitOverwrite(df, newTable)
+  }
+
   // ---- the graded query: time travel over two commits of orders ----------
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()

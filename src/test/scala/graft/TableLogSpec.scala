@@ -52,6 +52,38 @@ class TableLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableLog.read(spark, t, Some(0L)))
   }
 
+  test("backup/restore: snapshot round-trips exactly; a tampered backup is refused") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    val root = "/tmp/graft_test_backup"
+    rm(new java.io.File(root))
+    val src = s"$root/src"; val bak = s"$root/bak"; val restored = s"$root/restored"
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    val v1 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "payload")
+    TableLog.commitOverwrite(v0, src)
+    TableLog.commitOverwrite(v1, src)
+    // latest-snapshot backup restores to an identical relation in a new log
+    val bv = TableLog.backup(spark, src, bak)
+    assert(bv == 1L, "default backup takes the latest version")
+    TableLog.restore(spark, bak, restored)
+    val got = TableLog.read(spark, restored).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // an as-of backup exports the time-travel snapshot
+    val bak0 = s"$root/bak0"
+    assert(TableLog.backup(spark, src, bak0, asOf = Some(0L)) == 0L)
+    TableLog.restore(spark, bak0, s"$root/restored0")
+    assert(TableLog.read(spark, s"$root/restored0").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // tampering: smuggle an extra data file into the backup → restore refuses
+    Seq((99L, "evil")).toDF("id", "payload")
+      .write.mode("append").parquet(s"$bak/data")
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.restore(spark, bak, s"$root/restored_bad")
+    }
+    assert(ex.getMessage.contains("integrity"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("vacuum keeps files still referenced by a kept version") {
     rm(new java.io.File(root))
     val t = s"$root/t2"
