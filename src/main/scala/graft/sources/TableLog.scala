@@ -349,6 +349,26 @@ object TableLog extends QueryPack {
     (drop, doomed.size)
   }
 
+  /** Remove ORPHANED data files — written by a crashed commit but never
+    * published in any version manifest ([[vacuum]] only reclaims files of
+    * DROPPED versions, so a commit that died between [[writeDataFiles]] and
+    * [[publish]] leaks storage forever without this). Also sweeps abandoned
+    * `.staging_*` directories. Every file referenced by ANY live version is
+    * untouched; returns the number of files removed.
+    */
+  def gcOrphans(table: String): Int = {
+    val referenced = versions(table).flatMap(liveFiles(table, _))
+      .map(rel => Paths.get(table).resolve(rel).normalize()).toSet
+    val stray = listDir(dataDir(table)).filterNot(p => referenced(p.normalize()))
+    stray.foreach(Files.deleteIfExists(_))
+    val staged = listDir(Paths.get(table))
+      .filter(_.getFileName.toString.startsWith(".staging_"))
+    val stagedFiles = staged.flatMap(listDir)
+    stagedFiles.foreach(Files.deleteIfExists(_))
+    staged.foreach(Files.deleteIfExists(_))
+    stray.size + stagedFiles.size
+  }
+
   /** Order-free content checksum of a relation: md5-half of each row's
     * canonical JSON rendering, summed — any partitioning/file layout of the
     * same rows yields the same (count, checksum) pair. Per-row values stay

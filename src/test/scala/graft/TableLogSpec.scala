@@ -84,6 +84,34 @@ class TableLogSpec extends SparkSpec {
     assert(ex.getMessage.contains("integrity"), s"wrong failure: ${ex.getMessage}")
   }
 
+  test("gcOrphans removes crashed-commit leftovers and spares every live file") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    val t = "/tmp/graft_test_gc"
+    rm(new java.io.File(t))
+    TableLog.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), t)
+    TableLog.commitAppend(Seq((3L, "c")).toDF("id", "p"), t)
+    val before = TableLog.read(spark, t).as[(Long, String)].collect().toSet
+    // simulate a crashed commit: a data file nobody ever published, plus an
+    // abandoned staging dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "data", "orphan.parquet"), Array[Byte](1, 2, 3))
+    val stage = java.nio.file.Paths.get(t, ".staging_dead")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("part.parquet"), Array[Byte](4))
+    val removed = TableLog.gcOrphans(t)
+    assert(removed == 2, s"expected 2 orphans removed, got $removed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "data", "orphan.parquet")))
+    assert(!java.nio.file.Files.exists(stage))
+    // every live snapshot still reads identically — v0 AND the head
+    assert(TableLog.read(spark, t).as[(Long, String)].collect().toSet == before)
+    assert(TableLog.read(spark, t, asOf = Some(0L)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // idempotent: a second sweep finds nothing
+    assert(TableLog.gcOrphans(t) == 0)
+  }
+
   test("vacuum keeps files still referenced by a kept version") {
     rm(new java.io.File(root))
     val t = s"$root/t2"
