@@ -150,6 +150,19 @@ object Main {
       val v = sources.TableLog.optimize(spark, table, rest.headOption.map(_.toInt).getOrElse(1))
       println(s"[graft] optimized $table: $before -> ${sources.TableLog.liveFileCount(table)} files (version $v; vacuum to reclaim)")
       spark.stop()
+    case "backup" :: table :: dest :: rest =>
+      val spark = session()
+      val v = sources.TableLog.backup(spark, table, dest, rest.headOption.map(_.toLong))
+      println(s"[graft] backed up $table version $v -> $dest")
+      spark.stop()
+    case "restore" :: backupDir :: newTable :: Nil =>
+      val spark = session()
+      val v = sources.TableLog.restore(spark, backupDir, newTable)
+      println(s"[graft] restored $backupDir -> $newTable (version $v)")
+      spark.stop()
+    case "gc" :: table :: Nil =>
+      val n = sources.TableLog.gcOrphans(table)
+      println(s"[graft] gc $table: removed $n orphaned files")
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -165,6 +178,9 @@ object Main {
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
+          "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
+          "       graft restore <backupDir> <newTableLogDir>\n" +
+          "       graft gc <tableLogDir>               — reclaim crashed-commit orphans\n" +
           "       graft list\n" +
           "       graft bench")
       sys.exit(1)
