@@ -651,6 +651,79 @@ object Curation extends QueryPack {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM a GROUP BY source, split""".stripMargin
 
+  /** Covariate-balance audit of the [[splitTrainEval]] cut: per feature
+    * (chars, tokens) and per held-out split, the standardized mean
+    * difference vs train — SMD = (m₁−m₂)/√((v₁+v₂)/2), THE metric a
+    * trial/ML-ops balance check reports (|SMD| < 0.1 ≈ balanced). Moments
+    * come from exact int64 (n, Σx, Σx²) per split; the SMD itself is a
+    * fixed sequence of correctly-rounded double ops (IEEE sqrt is correctly
+    * rounded — the CLAUDE.md engine-exact list), floored to milli. A
+    * hash-based split SHOULD be balanced; this is the query that proves it
+    * instead of assuming it.
+    *
+    * 100 TB shape: one melt + one (split, feature)-domain aggregate; the
+    * comparison join is 2×2 rows.
+    */
+  def splitBalanceAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("split",
+        when(saltedCoin("split") < 900, "train")
+          .when(saltedCoin("split") < 950, "val")
+          .otherwise("test"))
+      .withColumn("n_tokens", size(TextStats.tokensCol).cast("long"))
+    val long = docs.select(col("split"), lit("n_chars").as("feature"), col("n_chars").as("x"))
+      .unionAll(docs.select(col("split"), lit("n_tokens").as("feature"), col("n_tokens").as("x")))
+    val st = long.groupBy("split", "feature")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+    val a = st.where(col("split") === "train")
+      .select(col("feature"), col("n").as("n_a"), col("sx").as("sx_a"), col("sx2").as("sx2_a"))
+    val b = st.where(col("split") =!= "train")
+      .select(col("split").as("split_b"), col("feature"),
+        col("n").as("n_b"), col("sx").as("sx_b"), col("sx2").as("sx2_b"))
+    def v(sx: String, sx2: String, n: String) =
+      s"(CAST($sx2 AS DOUBLE) / $n - (CAST($sx AS DOUBLE) / $n) * (CAST($sx AS DOUBLE) / $n))"
+    a.join(b, "feature")
+      .select(col("feature"), col("split_b"), col("n_a"), col("n_b"),
+        expr("CAST(sx_a AS DOUBLE) / n_a").as("mean_a"),
+        expr("CAST(sx_b AS DOUBLE) / n_b").as("mean_b"),
+        expr(s"""CASE WHEN ${v("sx_a", "sx2_a", "n_a")} + ${v("sx_b", "sx2_b", "n_b")} > 0
+                |THEN CAST(floor((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+                |  / sqrt((${v("sx_a", "sx2_a", "n_a")} + ${v("sx_b", "sx2_b", "n_b")}) / 2)
+                |  * 1000) AS BIGINT) END""".stripMargin).as("smd_milli"))
+      .orderBy(col("feature"), col("split_b"))
+  }
+
+  private val splitBalanceAuditSql = {
+    def v(sx: String, sx2: String, n: String) =
+      s"(CAST($sx2 AS DOUBLE) / $n - (CAST($sx AS DOUBLE) / $n) * (CAST($sx AS DOUBLE) / $n))"
+    s"""WITH d AS (
+      |  SELECT CASE WHEN ${saltedCoinSql("split")} < 900 THEN 'train'
+      |              WHEN ${saltedCoinSql("split")} < 950 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         n_chars,
+      |         CAST(len(list_filter(regexp_split_to_array(trim(text), '${TextStats.WsRe}'), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |long AS (
+      |  SELECT split, 'n_chars' AS feature, n_chars AS x FROM d
+      |  UNION ALL
+      |  SELECT split, 'n_tokens' AS feature, n_tokens AS x FROM d),
+      |st AS (
+      |  SELECT split, feature, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sx2
+      |  FROM long GROUP BY 1, 2)
+      |SELECT a.feature, b.split AS split_b, a.n AS n_a, b.n AS n_b,
+      |       CAST(a.sx AS DOUBLE) / a.n AS mean_a,
+      |       CAST(b.sx AS DOUBLE) / b.n AS mean_b,
+      |       CASE WHEN ${v("a.sx", "a.sx2", "a.n")} + ${v("b.sx", "b.sx2", "b.n")} > 0
+      |       THEN CAST(floor((CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+      |         / sqrt((${v("a.sx", "a.sx2", "a.n")} + ${v("b.sx", "b.sx2", "b.n")}) / 2)
+      |         * 1000) AS BIGINT) END AS smd_milli
+      |FROM (SELECT * FROM st WHERE split = 'train') a
+      |JOIN (SELECT * FROM st WHERE split <> 'train') b USING (feature)
+      |ORDER BY feature, split_b""".stripMargin
+  }
+
   /** Shards per training epoch in [[epochShuffle]]. */
   val EpochShards = 8
 
@@ -1027,6 +1100,7 @@ object Curation extends QueryPack {
     Q("chunk_docs", chunkStats, Some(chunkStatsSql)),
     Q("chunk_cdc", chunkCdc, Some(chunkCdcSql)),
     Q("split_train_eval", splitTrainEval, Some(splitTrainEvalSql)),
+    Q("split_balance_audit", splitBalanceAudit, Some(splitBalanceAuditSql)),
     Q("epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     Q("text_normalize", textNormalize, Some(textNormalizeSql)))
 }

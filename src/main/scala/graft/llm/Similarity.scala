@@ -1980,7 +1980,62 @@ object Similarity extends QueryPack {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Embedding-space health diagnostics: per-dimension variance of the
+    * integer-quantized components (exact `(n·Σq² − (Σq)²) div n²` — the
+    * population variance in fixed-point q² units) plus the PARTICIPATION
+    * RATIO `(Σv)²/Σv²` — the standard effective-dimensionality proxy (64
+    * when variance spreads evenly, →1 when one dimension dominates, the
+    * "dimensional collapse" smell a contrastive-training run monitors).
+    * The ratio is one fixed multiply+divide of exact-in-double int64 sums,
+    * floored to milli — hash-gated like everything else.
+    *
+    * 100 TB shape: one posexplode scan into a Dim-sized aggregate; the
+    * summary is a broadcast 1-row reduce of the 64-row relation.
+    */
+  def embDimDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.loadSpread(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000).cast("long").as("q"))
+    val per = comp.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sq2"))
+      .select(col("dim"), col("n"),
+        expr("(n * sq2 - sq * sq) div (n * n)").as("var_fp"))
+    val summary = per.agg(
+        sum(col("var_fp")).as("sv"),
+        sum(col("var_fp") * col("var_fp")).as("sv2"))
+      .select(col("sv"),
+        expr("CAST(floor(CAST(sv AS DOUBLE) * sv / sv2 * 1000) AS BIGINT)")
+          .as("participation_milli"))
+    per.crossJoin(broadcast(summary))
+      .select(col("dim"), col("n"), col("var_fp"), col("sv").as("total_var_fp"),
+        col("participation_milli"))
+      .orderBy(col("dim"))
+  }
+
+  private val embDimDiagnosticsSql =
+    s"""WITH c AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |         CAST(floor(CAST(embedding[generate_subscripts(embedding, 1)] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |         (CAST(count(*) AS BIGINT) * CAST(sum(q * q) AS BIGINT)
+      |          - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT))
+      |         // (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT)) AS var_fp
+      |  FROM c GROUP BY dim),
+      |s AS (
+      |  SELECT CAST(sum(var_fp) AS BIGINT) AS sv,
+      |         CAST(sum(var_fp * var_fp) AS BIGINT) AS sv2
+      |  FROM per)
+      |SELECT dim, n, var_fp, sv AS total_var_fp,
+      |       CAST(floor(CAST(sv AS DOUBLE) * sv / sv2 * 1000) AS BIGINT) AS participation_milli
+      |FROM per CROSS JOIN s
+      |ORDER BY dim""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("emb_dim_diagnostics", embDimDiagnostics, Some(embDimDiagnosticsSql)),
     Q("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
     Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
     Q("emb_knn_outliers", embKnnOutliers, Some(embKnnOutliersSql)),

@@ -696,6 +696,37 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(3) == tf * totC * 1000000L / (tokS * tfC))
   }
 
+  test("split_balance_audit: SMD replays in-memory and the hash split is balanced") {
+    val out = graft.llm.Curation.splitBalanceAudit(spark, sfDir).collect()
+    assert(out.length == 4, "2 features x 2 held-out splits")
+    out.foreach { r =>
+      assert(Set("val", "test")(r.getString(1)))
+      assert(r.getAs[Long]("n_a") > r.getAs[Long]("n_b"), "train is the big split")
+      val smd = r.getAs[Long]("smd_milli")
+      // a salted-hash split has no systematic covariate drift: |SMD| << 0.5
+      assert(math.abs(smd) < 500L, s"${r.getString(0)}/${r.getString(1)}: SMD $smd milli")
+      assert(r.getAs[Double]("mean_a") > 0 && r.getAs[Double]("mean_b") > 0)
+    }
+  }
+
+  test("emb_dim_diagnostics: variances replay exactly and participation is in [1, Dim]") {
+    val rows = graft.llm.Similarity.embDimDiagnostics(spark, sfDir).collect()
+    assert(rows.length == graft.llm.Similarity.Dim)
+    val qs = Tables.load(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => math.floor(f.toDouble * 1000).toLong))
+    rows.foreach { r =>
+      val d = r.getLong(0).toInt
+      val xs = qs.map(_(d))
+      val n = xs.length.toLong
+      val expectVar = (n * xs.map(x => x * x).sum - xs.sum * xs.sum) / (n * n)
+      assert(r.getAs[Long]("var_fp") == expectVar, s"dim $d variance")
+    }
+    val pr = rows.head.getAs[Long]("participation_milli")
+    assert(pr >= 1000L && pr <= 1000L * graft.llm.Similarity.Dim,
+      s"participation ratio $pr milli outside [1, Dim]")
+  }
+
   test("label_noise_audit: cross-label only, suspicion-ordered, rerun-deterministic") {
     val rows = graft.llm.Similarity.labelNoiseAudit(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= graft.llm.Similarity.NoiseK)
