@@ -730,8 +730,11 @@ object Multimodal extends QueryPack {
         (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
   }
 
-  private val phashDedupSql =
-    """WITH m AS (
+  /** oracle CTE prefix rebuilding every record's 64-bit avg-hash bit string
+    * from the text bytes — shared by the exact-class and near-dup queries
+    */
+  private val phashCtes =
+    """m AS (
       |  SELECT doc_id AS media_id,
       |         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
       |         text, length(text) AS n,
@@ -747,12 +750,76 @@ object Multimodal extends QueryPack {
       |  FROM m, unnest(range(0, 64)) AS t(blk)),
       |h AS (
       |  SELECT media_id, kind, string_agg(bit, '' ORDER BY blk) AS hs
-      |  FROM bits GROUP BY 1, 2)
+      |  FROM bits GROUP BY 1, 2)""".stripMargin
+
+  private val phashDedupSql =
+    s"""WITH $phashCtes
       |SELECT kind, count(*) AS n_media, count(DISTINCT hs) AS n_unique,
       |       count(*) - count(DISTINCT hs) AS n_dupes
       |FROM h GROUP BY kind""".stripMargin
 
+  /** NEAR-duplicate detection on the perceptual hashes — the flip-tolerant
+    * extension of [[phashDedup]]'s exact classes (a re-encoded or slightly
+    * cropped asset shifts a few hash bits; exact grouping misses it).
+    * Candidates share one of four 16-bit hash chunks within their modality
+    * (pigeonhole: Hamming ≤ 3 implies ≥ 1 untouched chunk — the
+    * [[graft.llm.Dedup.simhash]] discipline applied to blob hashes), then
+    * exact Hamming verification at ≤ 3. Per-kind accounting: candidates,
+    * near pairs, exact pairs.
+    *
+    * 100 TB posture: blobs never shuffle — only (id, kind, 64-char hash)
+    * triples reach the chunk self-join, keyed by (kind, chunk) exactly as a
+    * production media table would be bucketed.
+    */
+  def phashNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = attachBinary(s, dir)
+      .select(col("media_id"), col("kind"), col("content")).as[MediaRecord]
+    val hs = recs.mapPartitions(_.map(r => (r.media_id, r.kind, StubCodec.avgHash(r))))
+      .toDF("media_id", "kind", "h")
+    val chunks = hs.select(col("media_id"), col("kind"), col("h"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("h"), 16 * i).bitwiseAND(0xffffL)): _*))
+        .as(Seq("ci", "cv")))
+    val cand = chunks.as("x").hint("shuffle_hash")
+      .join(chunks.as("y").hint("shuffle_hash"),
+        col("x.kind") === col("y.kind") && col("x.ci") === col("y.ci") &&
+          col("x.cv") === col("y.cv") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.kind").as("kind"), col("x.media_id").as("id_a"),
+        col("y.media_id").as("id_b"), col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("n_near_pairs"),
+        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact_pairs"))
+      .orderBy(col("kind"))
+  }
+
+  private val phashNearSql =
+    s"""WITH $phashCtes,
+      |chunks AS (
+      |  SELECT media_id, kind, hs, ci, substr(hs, 1 + 16 * ci, 16) AS cv
+      |  FROM h, range(0, 4) t(ci)),
+      |cand AS (
+      |  SELECT DISTINCT x.kind, x.media_id AS id_a, y.media_id AS id_b,
+      |         x.hs AS ha, y.hs AS hb
+      |  FROM chunks x JOIN chunks y
+      |    ON x.kind = y.kind AND x.ci = y.ci AND x.cv = y.cv
+      |   AND x.media_id < y.media_id),
+      |scored AS (
+      |  SELECT kind,
+      |         list_sum([CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1) THEN 1 ELSE 0 END
+      |                   for i in range(1, 65)]) AS hamming
+      |  FROM cand)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+      |       CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_pairs,
+      |       CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pairs
+      |FROM scored GROUP BY kind ORDER BY kind""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("mm_phash_near", phashNear, Some(phashNearSql)),
     Q("mm_phash_dedup", phashDedup, Some(phashDedupSql)),
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Q("mm_decode_stats", decodeStats, Some(decodeStatsSql)),

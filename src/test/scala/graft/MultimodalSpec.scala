@@ -124,6 +124,32 @@ class MultimodalSpec extends SparkSpec {
     assert(StubCodec.avgHash(rec(Array.empty)) == 0L) // empty blob is defined
   }
 
+  test("phash near-dup: exact pairs equal the class pair-count; near is a candidate subset") {
+    val rows = Multimodal.phashNear(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (cand, near, exact) =>
+      assert(cand >= near && near >= exact, "candidates ⊇ near ⊇ exact")
+    }
+    // n_exact_pairs per kind must equal sum of C(k,2) over the hash classes
+    // the exact-dedup query groups by (pigeonhole: hamming-0 pairs always
+    // share every chunk, so no exact pair can be missed)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val classes = Multimodal.attachBinary(spark, sfDir)
+      .select(col("media_id"), col("kind"), col("content"))
+      .as[Multimodal.MediaRecord].collect()
+      .map(r => (r.kind, Multimodal.StubCodec.avgHash(r)))
+      .groupBy(identity).map { case ((k, _), v) => k -> v.length.toLong }
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map { case (_, c) => c * (c - 1) / 2 }.sum
+      }
+    classes.foreach { case (kind, expectPairs) =>
+      val got = rows.get(kind).map(_._3).getOrElse(0L)
+      assert(got == expectPairs, s"$kind: exact pairs $got != class count $expectPairs")
+    }
+  }
+
   test("audio features: delta energy / peak / sign changes on a hand-built PCM stream") {
     // samples 10, 13, 11, 11, 14 → deltas (3, -2, 0, 3)
     val wav = MediaCodec.encodeWav(Array[Byte](10, 13, 11, 11, 14))
