@@ -212,6 +212,150 @@ object IncrementalView extends QueryPack {
       |FROM live2 GROUP BY pr""".stripMargin
   }
 
+  /** live (key, value) rows after CDC batches 0..b — the base relation a
+    * dirty-group recompute reads (production: the CDC-applied base table;
+    * here the same deterministic predicates [[cdcLegs]] encodes)
+    */
+  private def liveRows(orders: DataFrame, b: Int): DataFrame = {
+    val base = orders.select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("pc"))
+    b match {
+      case 0 => base.where(col("k") % 3 === 0).select(col("pr"), col("pc"))
+      case 1 => base.where((col("k") % 3 === 0 && col("k") % 5 =!= 0) || col("k") % 3 === 1)
+        .select(col("pr"), col("pc"))
+      case _ => base.where((col("k") % 3 === 0 && col("k") % 5 =!= 0) ||
+          (col("k") % 3 === 1 && col("k") % 5 =!= 0) || col("k") % 3 === 2)
+        .select(when(col("k") % 7 === 0, lit("U-RECLASS")).otherwise(col("pr")).as("pr"),
+          col("pc"))
+    }
+  }
+
+  private val mmBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MIN/MAX view maintained under the same CDC stream — the
+    * NON-INVERTIBLE-aggregate case [[mergeCdc]]'s abelian-group trick
+    * cannot touch (a deleted value gives no inverse for min/max). The
+    * standard production algorithm: inserts merge monotonically
+    * (`least`/`greatest`); a batch's deletes mark a group DIRTY only when
+    * a deleted value ties the group's current extremum (`del_min ≤ old_min
+    * or del_max ≥ old_max` — otherwise the extremum provably survives),
+    * and ONLY dirty groups re-aggregate from the live base relation.
+    * Each version records which groups took the recompute path, and the
+    * oracle replays both the states AND the dirty decisions from scratch —
+    * proving the partial-recompute rule itself, not just the results.
+    */
+  private[graft] def minmaxMv(s: SparkSession, dir: String): String =
+    mmBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_ivm_mm", d) + "/mm_mv"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val orders = Tables.load(s, d, "orders")
+      val key = "o_orderpriority"
+      (0 until 3).foreach { b =>
+        val legs = cdcLegs(orders, b)
+        val ins = legs.where(col("sign") > 0).groupBy(key)
+          .agg(count(lit(1)).as("ins_n"), min(col("pc")).as("ins_min"),
+            max(col("pc")).as("ins_max"))
+        val del = legs.where(col("sign") < 0).groupBy(key)
+          .agg(count(lit(1)).as("del_n"), min(col("pc")).as("del_min"),
+            max(col("pc")).as("del_max"))
+        val next =
+          if (TableLog.versions(table).isEmpty)
+            ins.select(col(key), col("ins_n").as("n"),
+              col("ins_min").as("min_pc"), col("ins_max").as("max_pc"),
+              lit(0L).as("recomputed"))
+          else {
+            val old = TableLog.read(s, table)
+              .select(col(key), col("n").as("old_n"),
+                col("min_pc").as("old_min"), col("max_pc").as("old_max"))
+            val j = old.join(ins, Seq(key), "full_outer").join(del, Seq(key), "full_outer")
+              .select(col(key),
+                (coalesce(col("old_n"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
+                  - coalesce(col("del_n"), lit(0L))).as("n"),
+                least(col("old_min"), col("ins_min")).as("merged_min"),
+                greatest(col("old_max"), col("ins_max")).as("merged_max"),
+                (coalesce(col("del_n"), lit(0L)) > 0 &&
+                  (col("del_min") <= col("old_min") || col("del_max") >= col("old_max")))
+                  .as("dirty"))
+            val dirtyKeys = j.where(col("dirty")).select(col(key))
+            val recomputed = liveRows(orders, b).withColumnRenamed("pr", key)
+              .join(broadcast(dirtyKeys), Seq(key), "left_semi")
+              .groupBy(key)
+              .agg(count(lit(1)).as("n"), min(col("pc")).as("min_pc"),
+                max(col("pc")).as("max_pc"))
+              .withColumn("recomputed", lit(1L))
+            val clean = j.where(!col("dirty") && col("n") > 0)
+              .select(col(key), col("n"), col("merged_min").as("min_pc"),
+                col("merged_max").as("max_pc"), lit(0L).as("recomputed"))
+            clean.unionAll(recomputed)
+          }
+        TableLog.commitOverwrite(next, table)
+        ()
+      }
+      table
+    })
+
+  /** Every version of the min/max CDC view with its per-group recompute
+    * flags; the oracle rebuilds states AND flags from the raw fact.
+    */
+  def ivmMinmaxView(s: SparkSession, dir: String): DataFrame = {
+    val table = minmaxMv(s, dir)
+    TableLog.versions(table).map { v =>
+      TableLog.read(s, table, Some(v))
+        .select(lit(v).as("version"), col("o_orderpriority"),
+          col("n"), col("min_pc"), col("max_pc"), col("recomputed"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val ivmMinmaxViewSql = {
+    val pc = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    s"""WITH b AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pr, $pc AS pc FROM orders),
+      |live0 AS (SELECT pr, pc FROM b WHERE k % 3 = 0),
+      |live1 AS (SELECT pr, pc FROM b
+      |          WHERE (k % 3 = 0 AND k % 5 <> 0) OR k % 3 = 1),
+      |live2 AS (
+      |  SELECT CASE WHEN k % 7 = 0 THEN 'U-RECLASS' ELSE pr END AS pr, pc
+      |  FROM b
+      |  WHERE (k % 3 = 0 AND k % 5 <> 0) OR (k % 3 = 1 AND k % 5 <> 0)
+      |     OR k % 3 = 2),
+      |del1 AS (
+      |  SELECT pr, CAST(count(*) AS BIGINT) AS del_n, min(pc) AS del_min,
+      |         max(pc) AS del_max
+      |  FROM b WHERE k % 3 = 0 AND k % 5 = 0 GROUP BY pr),
+      |del2 AS (
+      |  SELECT pr, CAST(count(*) AS BIGINT) AS del_n, min(pc) AS del_min,
+      |         max(pc) AS del_max
+      |  FROM b
+      |  WHERE (k % 3 = 1 AND k % 5 = 0)
+      |     OR (((k % 3 = 0 AND k % 5 <> 0) OR (k % 3 = 1 AND k % 5 <> 0)
+      |          OR k % 3 = 2) AND k % 7 = 0)
+      |  GROUP BY pr),
+      |st0 AS (SELECT pr, CAST(count(*) AS BIGINT) AS n, min(pc) AS min_pc,
+      |               max(pc) AS max_pc FROM live0 GROUP BY pr),
+      |st1 AS (SELECT pr, CAST(count(*) AS BIGINT) AS n, min(pc) AS min_pc,
+      |               max(pc) AS max_pc FROM live1 GROUP BY pr),
+      |st2 AS (SELECT pr, CAST(count(*) AS BIGINT) AS n, min(pc) AS min_pc,
+      |               max(pc) AS max_pc FROM live2 GROUP BY pr)
+      |SELECT CAST(0 AS BIGINT) AS version, pr AS o_orderpriority, n, min_pc, max_pc,
+      |       CAST(0 AS BIGINT) AS recomputed
+      |FROM st0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), s.pr, s.n, s.min_pc, s.max_pc,
+      |       CAST(CASE WHEN d.del_n > 0 AND (d.del_min <= p.min_pc OR d.del_max >= p.max_pc)
+      |                 THEN 1 ELSE 0 END AS BIGINT)
+      |FROM st1 s LEFT JOIN st0 p ON p.pr = s.pr LEFT JOIN del1 d ON d.pr = s.pr
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), s.pr, s.n, s.min_pc, s.max_pc,
+      |       CAST(CASE WHEN d.del_n > 0 AND (d.del_min <= p.min_pc OR d.del_max >= p.max_pc)
+      |                 THEN 1 ELSE 0 END AS BIGINT)
+      |FROM st2 s LEFT JOIN st1 p ON p.pr = s.pr LEFT JOIN del2 d ON d.pr = s.pr""".stripMargin
+  }
+
   /** the maintained view after all batches — the oracle recomputes it from
     * scratch over the full fact, so the gate proves the delta-merge path
     * reaches the same state as a full refresh
@@ -231,5 +375,6 @@ object IncrementalView extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("ivm_join_view", ivmJoinView, Some(ivmJoinViewSql)),
-    Q("ivm_cdc_view", ivmCdcView, Some(ivmCdcViewSql)))
+    Q("ivm_cdc_view", ivmCdcView, Some(ivmCdcViewSql)),
+    Q("ivm_minmax_view", ivmMinmaxView, Some(ivmMinmaxViewSql)))
 }

@@ -101,4 +101,37 @@ class IncrementalViewSpec extends SparkSpec {
       .where(col("o_orderpriority") === "U-RECLASS").collect())
     assert(v01.isEmpty, "reclassified group must not exist before the update batch")
   }
+
+  test("minmax CDC view: partial recompute matches full refresh; both paths exercised") {
+    val rows = IncrementalView.ivmMinmaxView(spark, sfDir).collect()
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("pc"))
+    def liveState(pred: org.apache.spark.sql.Column, reclass: Boolean) = {
+      val lv = if (reclass)
+        orders.where(pred).select(
+          when(col("k") % 7 === 0, lit("U-RECLASS")).otherwise(col("pr")).as("pr"), col("pc"))
+      else orders.where(pred).select(col("pr"), col("pc"))
+      lv.groupBy("pr").agg(count(lit(1)).as("n"), min("pc").as("mn"), max("pc").as("mx"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val preds = Seq(
+      (col("k") % 3 === 0, false),
+      ((col("k") % 3 === 0 && col("k") % 5 =!= 0) || col("k") % 3 === 1, false),
+      ((col("k") % 3 === 0 && col("k") % 5 =!= 0) ||
+        (col("k") % 3 === 1 && col("k") % 5 =!= 0) || col("k") % 3 === 2, true))
+    preds.zipWithIndex.foreach { case ((p, rc), v) =>
+      val expect = liveState(p, rc)
+      val got = rows.filter(_.getLong(0) == v.toLong)
+        .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"version $v state diverges from the full refresh")
+    }
+    // the delete batches must exercise BOTH maintenance paths: untouched
+    // extrema merge cleanly, tied extrema re-aggregate
+    Seq(1L, 2L).foreach { v =>
+      val flags = rows.filter(_.getLong(0) == v).map(_.getLong(5)).toSet
+      assert(flags == Set(0L, 1L),
+        s"version $v should have both clean and recomputed groups, got $flags")
+    }
+  }
 }
