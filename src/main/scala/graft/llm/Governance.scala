@@ -484,6 +484,66 @@ object Governance extends QueryPack {
           .cast("long").as("auc_e6"))
   }
 
+  /** ROC operating points of the trained perceptron — the threshold table
+    * behind [[modelAuc]]'s single number: for every distinct score s
+    * (predict positive iff score ≥ s), the exact confusion counts and
+    * TPR/FPR/precision as integer ppm. Score NDV is feature-domain-bounded,
+    * so the whole curve is a histogram-sized relation; this is the table a
+    * deployment reads to PICK its threshold, where AUC only says the model
+    * ranks well.
+    */
+  def modelRoc(s: SparkSession, dir: String): DataFrame = {
+    val w = ptTrajectory(s, dir).last._3
+    val sc = ptFeatures(s, dir).select(col("y"),
+      (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+        lit(w(2)) * col("x3") + lit(w(3)) * col("x4")).as("s"))
+    val hist = sc.groupBy("s").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("cp"))
+    val wDesc = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.agg(sum(col("cp")).as("n_pos"), sum(col("c") - col("cp")).as("n_neg"))
+    hist
+      .withColumn("tp", sum(col("cp")).over(wDesc))
+      .withColumn("pp", sum(col("c")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"),
+        col("tp"), (col("pp") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - (col("pp") - col("tp"))).as("tn"),
+        expr("tp * 1000000 div n_pos").as("tpr_ppm"),
+        expr("(pp - tp) * 1000000 div n_neg").as("fpr_ppm"),
+        expr("tp * 1000000 div pp").as("prec_ppm"))
+      .orderBy(col("threshold").desc)
+  }
+
+  private lazy val modelRocSql =
+    s"""WITH $ptCtes,
+      |sc AS (
+      |  SELECT y, g$PtRounds.w1 * x1 + g$PtRounds.w2 * x2
+      |            + g$PtRounds.w3 * x3 + g$PtRounds.w4 * x4 AS s
+      |  FROM f, g$PtRounds),
+      |hist AS (
+      |  SELECT s, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      |  FROM sc GROUP BY s),
+      |cum AS (
+      |  SELECT s, c, cp,
+      |         CAST(sum(cp) OVER (ORDER BY s DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+      |         CAST(sum(c) OVER (ORDER BY s DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+      |  FROM hist),
+      |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+      |               CAST(sum(c - cp) AS BIGINT) AS n_neg FROM hist)
+      |SELECT s AS threshold, tp, pp - tp AS fp, n_pos - tp AS fn,
+      |       n_neg - (pp - tp) AS tn,
+      |       tp * 1000000 // n_pos AS tpr_ppm,
+      |       (pp - tp) * 1000000 // n_neg AS fpr_ppm,
+      |       tp * 1000000 // pp AS prec_ppm
+      |FROM cum CROSS JOIN tot
+      |ORDER BY threshold DESC""".stripMargin
+
   private lazy val modelAucSql =
     s"""WITH $ptCtes,
       |sc AS (
@@ -1058,6 +1118,7 @@ object Governance extends QueryPack {
     Q("kanon_audit", kAnonAudit, Some(kAnonAuditSql)),
     Q("perceptron_train", perceptronTrain, Some(perceptronTrainSql)),
     Q("model_auc", modelAuc, Some(modelAucSql)),
+    Q("model_roc", modelRoc, Some(modelRocSql)),
     Q("dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("pii_redact", piiRedact, Some(piiRedactSql)),
     Q("mixture_rebalance", mixtureRebalance, Some(mixtureRebalanceSql)),

@@ -696,6 +696,30 @@ class LlmSpec extends SparkSpec {
     assert(r.getLong(3) == tf * totC * 1000000L / (tokS * tfC))
   }
 
+  test("model_roc: curve monotone, endpoints complete, confusion rows close the margins") {
+    val rows = graft.llm.Governance.modelRoc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nPos = rows.head.getAs[Long]("tp") + rows.head.getAs[Long]("fn")
+    val nNeg = rows.head.getAs[Long]("fp") + rows.head.getAs[Long]("tn")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == nPos, "positive margin fixed")
+      assert(r.getAs[Long]("fp") + r.getAs[Long]("tn") == nNeg, "negative margin fixed")
+      assert(r.getAs[Long]("tpr_ppm") == r.getAs[Long]("tp") * 1000000L / nPos)
+      assert(r.getAs[Long]("fpr_ppm") == r.getAs[Long]("fp") * 1000000L / nNeg)
+    }
+    // descending threshold order ⇒ tp and fp are non-decreasing (the curve
+    // walks from (0,0)-ish toward (1,1))
+    val ordered = rows.sortBy(-_.getAs[Long]("threshold"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("tp") <= b.getAs[Long]("tp"))
+        assert(a.getAs[Long]("fp") <= b.getAs[Long]("fp"))
+      case _ =>
+    }
+    // the loosest threshold predicts everything positive
+    assert(ordered.last.getAs[Long]("tp") == nPos && ordered.last.getAs[Long]("fp") == nNeg)
+  }
+
   test("split_balance_audit: SMD replays in-memory and the hash split is balanced") {
     val out = graft.llm.Curation.splitBalanceAudit(spark, sfDir).collect()
     assert(out.length == 4, "2 features x 2 held-out splits")
