@@ -1305,6 +1305,71 @@ object Analytics extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY touch_type, pos_class""".stripMargin
 
+  /** Behavioral retention lift — "which behaviors predict that a user
+    * sticks around": the observation window splits at the data-derived 75%
+    * day (pre-period = first three quarters, retention = any activity in
+    * the last quarter); for each event type, the retention rate of
+    * pre-period users who exhibited it vs the overall pre-period base rate,
+    * as an exact integer-ppm lift. The prioritization readout a growth team
+    * runs before picking an activation metric. (Correlational by
+    * construction — the CAUSAL version is [[abDiffInDiff]].)
+    *
+    * 100 TB shape: collapses to user×type and user domains immediately
+    * (distinct projections), every aggregate user-domain-bounded, boundary
+    * broadcast from a 1-row reduce; no mixed distinct aggregates anywhere.
+    */
+  def retentionLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+    val bounds = ev.agg(expr("min(d) + ((max(d) - min(d)) * 3) div 4").as("b"))
+    val e = ev.crossJoin(broadcast(bounds))
+    val pre = e.where(col("d") <= col("b")).select("user_id").distinct()
+    val ret = e.where(col("d") > col("b")).select("user_id").distinct()
+      .withColumn("r", lit(1L))
+    val preR = pre.join(ret, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("r"), lit(0L)).as("r"))
+    val base = preR.agg(count(lit(1)).as("n_base"), sum(col("r")).as("r_base"))
+    val perType = e.where(col("d") <= col("b"))
+      .select("user_id", "event_type").distinct()
+      .join(preR, "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("r")).as("n_retained"))
+    perType.crossJoin(broadcast(base))
+      .select(col("event_type"), col("n_users"), col("n_retained"),
+        expr("n_retained * 1000000 div n_users").as("rate_ppm"),
+        expr("r_base * 1000000 div n_base").as("base_rate_ppm"),
+        expr("n_retained * n_base * 1000000 div (n_users * r_base)").as("lift_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val retentionLiftSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      |  FROM events),
+      |bnd AS (SELECT min(d) + ((max(d) - min(d)) * 3) // 4 AS b FROM ev),
+      |e AS (SELECT ev.*, b FROM ev CROSS JOIN bnd),
+      |pre AS (SELECT DISTINCT user_id FROM e WHERE d <= b),
+      |ret AS (SELECT DISTINCT user_id FROM e WHERE d > b),
+      |prer AS (
+      |  SELECT p.user_id, CASE WHEN r.user_id IS NULL THEN 0 ELSE 1 END AS r
+      |  FROM pre p LEFT JOIN ret r ON r.user_id = p.user_id),
+      |base AS (SELECT CAST(count(*) AS BIGINT) AS n_base,
+      |                CAST(sum(r) AS BIGINT) AS r_base FROM prer),
+      |ut AS (SELECT DISTINCT user_id, event_type FROM e WHERE d <= b),
+      |per AS (
+      |  SELECT ut.event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(p.r) AS BIGINT) AS n_retained
+      |  FROM ut JOIN prer p ON p.user_id = ut.user_id
+      |  GROUP BY 1)
+      |SELECT event_type, n_users, n_retained,
+      |       n_retained * 1000000 // n_users AS rate_ppm,
+      |       r_base * 1000000 // n_base AS base_rate_ppm,
+      |       n_retained * n_base * 1000000 // (n_users * r_base) AS lift_ppm
+      |FROM per CROSS JOIN base
+      |ORDER BY event_type""".stripMargin
+
   /** Quantile treatment effect — the distributional A/B readout
     * [[abLift]]'s mean cannot give: per-arm p25/p50/p75/p90 of per-user
     * purchase spend (exact discrete quantiles via the verified ceil-rank
@@ -2621,6 +2686,7 @@ object Analytics extends QueryPack {
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
+    Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
     Q("attribution_multitouch", attributionMultiTouch, Some(attributionMultiTouchSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),

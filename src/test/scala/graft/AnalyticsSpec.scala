@@ -47,6 +47,33 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
   }
 
+  test("retention_lift: cohort counts bounded by base and lift closes the rate identity") {
+    val rows = Analytics.retentionLift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val baseRate = rows.head.getAs[Long]("base_rate_ppm")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_retained") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("rate_ppm") ==
+        r.getAs[Long]("n_retained") * 1000000L / r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("base_rate_ppm") == baseRate, "one shared base rate")
+      assert(r.getAs[Long]("lift_ppm") >= 0)
+    }
+    // independent recompute of the base rate from raw events
+    import org.apache.spark.sql.functions.{col, datediff, expr, lit, to_date}
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+    val Array(mn, mx) = ev.agg(
+      org.apache.spark.sql.functions.min("d"), org.apache.spark.sql.functions.max("d"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val b = mn + ((mx - mn) * 3) / 4
+    val users = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val preUsers = users.filter(_._2 <= b).map(_._1).distinct
+    val retUsers = users.filter(_._2 > b).map(_._1).toSet
+    val expectBase = preUsers.count(retUsers) * 1000000L / preUsers.length
+    assert(baseRate == expectBase, s"base rate $baseRate != recomputed $expectBase")
+  }
+
   test("process_conformance: verdicts partition sessions and replay an in-memory ladder") {
     import org.apache.spark.sql.functions.{col, date_format}
     val rows = Analytics.processConformance(spark, sfDir).collect()
