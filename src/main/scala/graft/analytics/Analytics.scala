@@ -1339,7 +1339,9 @@ object Analytics extends QueryPack {
       .select(col("event_type"), col("n_users"), col("n_retained"),
         expr("n_retained * 1000000 div n_users").as("rate_ppm"),
         expr("r_base * 1000000 div n_base").as("base_rate_ppm"),
-        expr("n_retained * n_base * 1000000 div (n_users * r_base)").as("lift_ppm"))
+        expr("""CASE WHEN r_base > 0
+               |THEN n_retained * n_base * 1000000 div (n_users * r_base) END""".stripMargin)
+          .as("lift_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -1366,7 +1368,8 @@ object Analytics extends QueryPack {
       |SELECT event_type, n_users, n_retained,
       |       n_retained * 1000000 // n_users AS rate_ppm,
       |       r_base * 1000000 // n_base AS base_rate_ppm,
-      |       n_retained * n_base * 1000000 // (n_users * r_base) AS lift_ppm
+      |       CASE WHEN r_base > 0
+      |            THEN n_retained * n_base * 1000000 // (n_users * r_base) END AS lift_ppm
       |FROM per CROSS JOIN base
       |ORDER BY event_type""".stripMargin
 

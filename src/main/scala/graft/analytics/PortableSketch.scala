@@ -287,7 +287,9 @@ object PortableSketch extends QueryPack {
     counts.crossJoin(broadcast(truth)).crossJoin(broadcast(estPerRow))
       .select(col("n_a"), col("n_b"), col("true_rows"), col("est_rows"),
         (col("est_rows") - col("true_rows")).as("overest_rows"),
-        expr("(est_rows - true_rows) * 1000000 div true_rows").as("err_ppm"))
+        expr("""CASE WHEN true_rows > 0
+               |THEN (est_rows - true_rows) * 1000000 div true_rows END""".stripMargin)
+          .as("err_ppm"))
   }
 
   private val joinSizeEstimateSql =
@@ -314,7 +316,8 @@ object PortableSketch extends QueryPack {
       |               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b)
       |SELECT n_a, n_b, true_rows, est_rows,
       |       est_rows - true_rows AS overest_rows,
-      |       (est_rows - true_rows) * 1000000 // true_rows AS err_ppm
+      |       CASE WHEN true_rows > 0
+      |            THEN (est_rows - true_rows) * 1000000 // true_rows END AS err_ppm
       |FROM cnt, tr, est""".stripMargin
 
   override val all: Seq[Q] = Seq(
