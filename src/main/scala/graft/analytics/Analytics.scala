@@ -1305,6 +1305,66 @@ object Analytics extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY touch_type, pos_class""".stripMargin
 
+  /** ABC (Pareto) classification of parts by net revenue — the inventory
+    * analysis behind "80% of revenue sits in class A": parts ranked by
+    * exact integer cents, class A while the INCLUSIVE cumulative share is
+    * ≤ 80%, B to 95%, C beyond (thresholds as integer cross-products —
+    * `cum·5 ≤ tot·4`, never a float share). Emits the three classes with
+    * part counts, revenue, and exact ppm shares — [[giniSpend]]'s
+    * actionable sibling (Gini says HOW concentrated; ABC says WHICH items
+    * to manage tightly).
+    *
+    * 100 TB shape: one fact partial-aggregate to the part domain; the rank
+    * window rides the single-partition pid idiom over that bounded
+    * relation; the class reduce is 3 rows.
+    */
+  def abcClassification(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_c"))
+    val one = rev.repartition(1).withColumn("pid", spark_partition_id())
+    val wOrd = Window.partitionBy(col("pid")).orderBy(col("rev_c").desc, col("l_partkey"))
+    val wAll = Window.partitionBy(col("pid"))
+    one
+      .withColumn("cum", sum(col("rev_c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("rev_c")).over(wAll))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise(lit("C")))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("revenue_c"),
+        max(col("tot")).as("tot"))
+      .select(col("cls"), col("n_parts"), col("revenue_c"),
+        expr("revenue_c * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
+  private val abcClassificationSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT l_partkey, rev_c,
+      |         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(rev_c) OVER () AS BIGINT) AS tot
+      |  FROM rev),
+      |classed AS (
+      |  SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+      |              WHEN cum * 20 <= tot * 19 THEN 'B'
+      |              ELSE 'C' END AS cls,
+      |         rev_c, tot
+      |  FROM cum)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+      |       CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+      |       CAST(sum(rev_c) AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT) AS share_ppm
+      |FROM classed GROUP BY cls
+      |ORDER BY cls""".stripMargin
+
   /** Behavioral retention lift — "which behaviors predict that a user
     * sticks around": the observation window splits at the data-derived 75%
     * day (pre-period = first three quarters, retention = any activity in
@@ -2690,6 +2750,7 @@ object Analytics extends QueryPack {
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
+    Q("abc_classification", abcClassification, Some(abcClassificationSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
     Q("attribution_multitouch", attributionMultiTouch, Some(attributionMultiTouchSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),

@@ -47,6 +47,24 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
   }
 
+  test("abc_classification: classes partition parts, shares telescope, A dominates per-part") {
+    val rows = Analytics.abcClassification(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_parts"),
+        r.getAs[Long]("revenue_c"), r.getAs[Long]("share_ppm")))).toMap
+    assert(rows.contains("A") && rows.contains("C"))
+    val totalParts = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == totalParts, "classes partition the part domain")
+    // floored shares sum to at most unity and A's share is <= 80% + one part
+    assert(rows.values.map(_._3).sum <= 1000000L)
+    assert(rows("A")._3 <= 800000L, "A is capped at the 80% cut by construction")
+    // mean revenue per part strictly decreases A -> C (Pareto ordering)
+    def meanRev(c: String) = rows.get(c).map(v => v._2.toDouble / v._1)
+    val order = Seq("A", "B", "C").flatMap(meanRev)
+    assert(order.sliding(2).forall(p => p.length < 2 || p(0) > p(1)),
+      s"per-part revenue must fall across classes: $order")
+  }
+
   test("retention_lift: cohort counts bounded by base and lift closes the rate identity") {
     val rows = Analytics.retentionLift(spark, sfDir).collect()
     assert(rows.nonEmpty)
