@@ -1546,6 +1546,93 @@ object Mining extends QueryPack {
       |ORDER BY rank""".stripMargin
   }
 
+  /** Holt-Winters additive triple-exponential smoothing over the global
+    * daily-revenue series — the seasonal completion of [[tsHoltForecast]]
+    * (level + trend + a 7-slot weekly seasonal state). Weights are spelled
+    * as exact divisions (α=1/2, β=1/5, γ=1/10: `x/2`, `x/5 + t − t/5`,
+    * `x/10 + s − s/10`) in ONE fixed operation sequence, and the 9-scalar
+    * state [L, T, S₁..S₇] folds left-to-right — the compiled while-loop is
+    * bit-identical to the oracle's `list_reduce` over 9-element lists with
+    * the seasonal slot ROTATED each step (head = the slot due now), so even
+    * the smoothed DOUBLE forecasts hash-gate (the CLAUDE.md fold-replay
+    * rule at its widest state yet). Emits the 7-day-ahead forecast fan.
+    *
+    * 100 TB shape: the fact collapses to the calendar-bounded daily series
+    * in one partial aggregate; the fold is a per-series array pass
+    * (inherently sequential — that's the model, not the plan).
+    */
+  def tsHwForecast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val daily = li
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+    val series = daily.agg(
+      count(lit(1)).as("n_days"),
+      expr("transform(sort_array(collect_list(struct(day, v))), p -> CAST(p.v AS DOUBLE))")
+        .as("xs"))
+      .filter(col("n_days") >= 8)
+    val hw = udf { xs: Seq[Double] =>
+      var lsum = 0.0
+      var i = 0
+      while (i < 7) { lsum += xs(i); i += 1 }
+      var level = lsum / 7
+      var trend = 0.0
+      val sArr = Array.tabulate(7)(j => xs(j) - level)
+      var t = 7
+      while (t < xs.length) {
+        val sOld = sArr(t % 7)
+        val lNew = (xs(t) - sOld) / 2 + (level + trend) / 2
+        val tNew = (lNew - level) / 5 + trend - trend / 5
+        val sNew = (xs(t) - lNew) / 10 + sOld - sOld / 10
+        sArr(t % 7) = sNew; level = lNew; trend = tNew; t += 1
+      }
+      val n = xs.length
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Array.tabulate(7)(h0 => level + (h0 + 1) * trend + sArr((n + h0) % 7)))
+    }
+    series.select(col("n_days"), posexplode(hw(col("xs"))).as(Seq("h0", "forecast")))
+      .select((col("h0") + 1).cast("long").as("h"), col("n_days"), col("forecast"))
+      .orderBy(col("h"))
+  }
+
+  private val tsHwForecastSql = {
+    // L' is written out twice (for itself and inside T'/S'): identical
+    // expression trees round identically, matching the Scala single-compute
+    val lNew = "(e[1] - acc[3]) / 2 + (acc[1] + acc[2]) / 2"
+    s"""WITH daily AS (
+      |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |xs AS (SELECT list(CAST(v AS DOUBLE) ORDER BY day) AS l,
+      |              CAST(count(*) AS BIGINT) AS n_days
+      |       FROM daily HAVING count(*) >= 8),
+      |ini AS (
+      |  SELECT l, n_days,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE), l[1:7]), (a, v) -> a + v) / 7 AS l0
+      |  FROM xs),
+      |st AS (
+      |  SELECT n_days,
+      |         list_reduce(
+      |           list_prepend(
+      |             [l0, CAST(0 AS DOUBLE), l[1] - l0, l[2] - l0, l[3] - l0,
+      |              l[4] - l0, l[5] - l0, l[6] - l0, l[7] - l0],
+      |             [[x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |               CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |               CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+      |              for x in l[8:len(l)]]),
+      |           (acc, e) -> [
+      |             $lNew,
+      |             (($lNew) - acc[1]) / 5 + acc[2] - acc[2] / 5,
+      |             acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+      |             (e[1] - ($lNew)) / 10 + acc[3] - acc[3] / 10]) AS st
+      |  FROM ini)
+      |SELECT CAST(h AS BIGINT) AS h, n_days,
+      |       st[1] + h * st[2] + st[2 + h] AS forecast
+      |FROM st, range(1, 8) t(h)
+      |ORDER BY h""".stripMargin
+  }
+
   /** balance ceiling for [[cappedRunningBalance]] (milli-units) */
   val BalCap = 1000000L
 
@@ -1628,5 +1715,6 @@ object Mining extends QueryPack {
     Q("trending_decay", trendingDecay, Some(trendingDecaySql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),
     Q("ts_holt_forecast", tsHoltForecast, Some(tsHoltForecastSql)),
+    Q("ts_hw_forecast", tsHwForecast, Some(tsHwForecastSql)),
     Q("ts_seasonality", tsSeasonality, Some(tsSeasonalitySql)))
 }

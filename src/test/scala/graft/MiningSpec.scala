@@ -49,6 +49,35 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ts_hw_forecast: the triple-smoothing fold replays bit-exactly in memory") {
+    import org.apache.spark.sql.functions.{col, date_format, floor, lit, sum}
+    val rows = Mining.tsHwForecast(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(1L to 7L))
+    val xs = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    var lsum = 0.0
+    (0 until 7).foreach(i => lsum += xs(i))
+    var level = lsum / 7; var trend = 0.0
+    val sArr = Array.tabulate(7)(j => xs(j) - level)
+    var t = 7
+    while (t < xs.length) {
+      val sOld = sArr(t % 7)
+      val lNew = (xs(t) - sOld) / 2 + (level + trend) / 2
+      val tNew = (lNew - level) / 5 + trend - trend / 5
+      val sNew = (xs(t) - lNew) / 10 + sOld - sOld / 10
+      sArr(t % 7) = sNew; level = lNew; trend = tNew; t += 1
+    }
+    rows.foreach { r =>
+      val h = r.getLong(0).toInt
+      val expect = level + h * trend + sArr((xs.length + h - 1) % 7)
+      assert(r.getDouble(2) == expect, s"h=$h forecast bit-diverges")
+      assert(r.getLong(1) == xs.length.toLong)
+    }
+  }
+
   test("ts_residual_outliers: median/MAD replay the ceil-rank rule and verdicts close") {
     val rows = Mining.tsResidualOutliers(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= Mining.ResidTopK)
