@@ -1305,6 +1305,74 @@ object Analytics extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY touch_type, pos_class""".stripMargin
 
+  /** Growth accounting — the standard weekly MAU decomposition: every
+    * active user of week w is exactly one of NEW (first-ever activity),
+    * RETAINED (also active in w−1) or RESURRECTED (returning after a gap),
+    * and CHURNED(w) = active(w−1) − retained(w); the quick ratio
+    * (new + resurrected) / churned says whether growth out-runs leakage.
+    * All classes are exact integer counts on the epoch-anchored week grid
+    * (day div 7), mutually exclusive by construction (a first-ever week
+    * cannot be retained). The decomposition every growth dashboard leads
+    * with — one level deeper than [[rollingWau]]'s single curve.
+    *
+    * 100 TB shape: the fact collapses to the user×week grain immediately;
+    * first-weeks and the week-shifted self-join are user-domain relations;
+    * weekly totals join week-to-week.
+    */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), '1970-01-01') AS BIGINT) div 7").as("w"))
+      .distinct()
+    val fw = uw.groupBy(col("user_id")).agg(min(col("w")).as("firstw"))
+    val prev = uw.select(col("user_id"), (col("w") + 1).as("w"), lit(1L).as("was_prev"))
+    val flagged = uw.join(fw, "user_id")
+      .join(prev, Seq("user_id", "w"), "left")
+      .select(col("w"),
+        when(col("w") === col("firstw"), 1L).otherwise(0L).as("is_new"),
+        coalesce(col("was_prev"), lit(0L)).as("is_ret"))
+    val weekly = flagged.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"), sum(col("is_new")).as("n_new"),
+        sum(col("is_ret")).as("n_retained"))
+      .withColumn("n_resurrected", col("n_active") - col("n_new") - col("n_retained"))
+    val lastWeek = weekly.select((col("w") + 1).as("w"), col("n_active").as("prev_active"))
+    weekly.join(lastWeek, Seq("w"), "left")
+      .select(col("w").as("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained")).as("n_churned"))
+      .withColumn("quick_ratio_ppm",
+        expr("""CASE WHEN n_churned > 0
+               |THEN (n_new + n_resurrected) * 1000000 div n_churned END""".stripMargin))
+      .orderBy(col("week"))
+  }
+
+  private val growthAccountingSql =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7 AS w
+      |  FROM events),
+      |fw AS (SELECT user_id, min(w) AS firstw FROM uw GROUP BY 1),
+      |flagged AS (
+      |  SELECT uw.w,
+      |         CASE WHEN uw.w = fw.firstw THEN 1 ELSE 0 END AS is_new,
+      |         CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS is_ret
+      |  FROM uw
+      |  JOIN fw ON fw.user_id = uw.user_id
+      |  LEFT JOIN uw p ON p.user_id = uw.user_id AND p.w = uw.w - 1),
+      |weekly AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+      |         CAST(sum(is_new) AS BIGINT) AS n_new,
+      |         CAST(sum(is_ret) AS BIGINT) AS n_retained
+      |  FROM flagged GROUP BY w)
+      |SELECT a.w AS week, a.n_active, a.n_new, a.n_retained,
+      |       a.n_active - a.n_new - a.n_retained AS n_resurrected,
+      |       coalesce(b.n_active, 0) - a.n_retained AS n_churned,
+      |       CASE WHEN coalesce(b.n_active, 0) - a.n_retained > 0
+      |            THEN (a.n_new + (a.n_active - a.n_new - a.n_retained)) * 1000000
+      |                 // (coalesce(b.n_active, 0) - a.n_retained) END AS quick_ratio_ppm
+      |FROM weekly a LEFT JOIN weekly b ON b.w = a.w - 1
+      |ORDER BY week""".stripMargin
+
   /** ABC (Pareto) classification of parts by net revenue — the inventory
     * analysis behind "80% of revenue sits in class A": parts ranked by
     * exact integer cents, class A while the INCLUSIVE cumulative share is
@@ -2751,6 +2819,7 @@ object Analytics extends QueryPack {
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("abc_classification", abcClassification, Some(abcClassificationSql)),
+    Q("growth_accounting", growthAccounting, Some(growthAccountingSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
     Q("attribution_multitouch", attributionMultiTouch, Some(attributionMultiTouchSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),

@@ -47,6 +47,31 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
   }
 
+  test("growth_accounting: classes partition weekly actives and flows balance week over week") {
+    val rows = Analytics.growthAccounting(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"),
+        "new/retained/resurrected must partition the week's actives")
+      assert(r.getAs[Long]("n_churned") >= 0)
+    }
+    // week 1 has no predecessor: nobody retained, nobody churned, all new
+    val first = rows.head
+    assert(first.getAs[Long]("n_retained") == 0 && first.getAs[Long]("n_churned") == 0)
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_active"))
+    // conservation: active(w) = active(w-1) - churned(w) + new(w) + resurrected(w)
+    rows.sliding(2).foreach {
+      case Array(a, b) if b.getLong(0) == a.getLong(0) + 1 =>
+        assert(b.getAs[Long]("n_active") ==
+          a.getAs[Long]("n_active") - b.getAs[Long]("n_churned") +
+            b.getAs[Long]("n_new") + b.getAs[Long]("n_resurrected"),
+          s"week ${b.getLong(0)}: growth-accounting identity broken")
+      case _ => // a fully-inactive gap week breaks row adjacency, not the law
+    }
+  }
+
   test("abc_classification: classes partition parts, shares telescope, A dominates per-part") {
     val rows = Analytics.abcClassification(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getAs[Long]("n_parts"),
