@@ -1546,6 +1546,69 @@ object Mining extends QueryPack {
       |ORDER BY rank""".stripMargin
   }
 
+  /** Price (discount) elasticity of demand via the WITHIN estimator — the
+    * fixed-effects regression of quantity on discount that uses ONLY
+    * within-part variation, so cross-part confounders (a cheap part selling
+    * more for being cheap) cancel by construction:
+    * slope = Σ_p (n_p·Σxy_p − Σx_p·Σy_p) / Σ_p (n_p·Σx²_p − (Σx_p)²),
+    * every sufficient statistic an exact int64 (discount as integer pct,
+    * quantity integer-valued), the pooled slope ONE correctly-rounded
+    * division plus a floor-milli twin. Parts with a single observed
+    * discount level contribute zero to both sums (no within variation) and
+    * are counted out. The "how much does a deeper discount move volume"
+    * readout behind markdown planning.
+    *
+    * 100 TB shape: one fact partial-aggregate to per-part sufficient
+    * statistics, then a part-domain reduce; nothing else.
+    */
+  def priceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("y"))
+    val per = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+      .select(col("l_partkey"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("den"))
+    per.agg(
+        sum(when(col("den") > 0, 1L).otherwise(0L)).as("n_parts_used"),
+        sum(col("num")).as("num_total"),
+        sum(col("den")).as("den_total"))
+      .select(col("n_parts_used"), col("num_total"), col("den_total"),
+        expr("CASE WHEN den_total > 0 THEN CAST(num_total AS DOUBLE) / den_total END")
+          .as("elasticity_qty_per_pct"),
+        expr("""CASE WHEN den_total > 0 THEN
+               |CAST(floor(CAST(num_total AS DOUBLE) / den_total * 1000) AS BIGINT) END""".stripMargin)
+          .as("elasticity_milli"))
+  }
+
+  private val priceElasticitySql =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |         CAST(floor(l_discount * 100) AS BIGINT) AS x,
+      |         CAST(floor(l_quantity) AS BIGINT) AS y
+      |  FROM lineitem),
+      |per AS (
+      |  SELECT l_partkey,
+      |         CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+      |           - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS num,
+      |         CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+      |           - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS den
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(sum(CASE WHEN den > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_used,
+      |       CAST(sum(num) AS BIGINT) AS num_total,
+      |       CAST(sum(den) AS BIGINT) AS den_total,
+      |       CASE WHEN CAST(sum(den) AS BIGINT) > 0
+      |            THEN CAST(CAST(sum(num) AS BIGINT) AS DOUBLE) / CAST(sum(den) AS BIGINT)
+      |       END AS elasticity_qty_per_pct,
+      |       CASE WHEN CAST(sum(den) AS BIGINT) > 0
+      |            THEN CAST(floor(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+      |                            / CAST(sum(den) AS BIGINT) * 1000) AS BIGINT)
+      |       END AS elasticity_milli
+      |FROM per""".stripMargin
+
   /** Holt-Winters additive triple-exponential smoothing over the global
     * daily-revenue series — the seasonal completion of [[tsHoltForecast]]
     * (level + trend + a 7-slot weekly seasonal state). Weights are spelled
@@ -1716,5 +1779,6 @@ object Mining extends QueryPack {
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),
     Q("ts_holt_forecast", tsHoltForecast, Some(tsHoltForecastSql)),
     Q("ts_hw_forecast", tsHwForecast, Some(tsHwForecastSql)),
+    Q("price_elasticity", priceElasticity, Some(priceElasticitySql)),
     Q("ts_seasonality", tsSeasonality, Some(tsSeasonalitySql)))
 }

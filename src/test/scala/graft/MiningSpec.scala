@@ -49,6 +49,29 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("price_elasticity: the within estimator replays an in-memory recompute") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val r = Mining.priceElasticity(spark, sfDir).collect().head
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("y"))
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    var numT = 0L; var denT = 0L; var used = 0L
+    li.groupBy(_._1).foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(t => t._2 * t._3).sum; val sx2 = rs.map(t => t._2 * t._2).sum
+      val den = n * sx2 - sx * sx
+      numT += n * sxy - sx * sy; denT += den
+      if (den > 0) used += 1
+    }
+    assert(r.getAs[Long]("n_parts_used") == used)
+    assert(r.getAs[Long]("num_total") == numT && r.getAs[Long]("den_total") == denT)
+    assert(denT > 0, "the corpus must have within-part discount variation")
+    assert(r.getAs[Double]("elasticity_qty_per_pct") == numT.toDouble / denT)
+  }
+
   test("ts_hw_forecast: the triple-smoothing fold replays bit-exactly in memory") {
     import org.apache.spark.sql.functions.{col, date_format, floor, lit, sum}
     val rows = Mining.tsHwForecast(spark, sfDir).collect()
