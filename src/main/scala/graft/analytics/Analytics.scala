@@ -1305,6 +1305,70 @@ object Analytics extends QueryPack {
       |GROUP BY 1, 2
       |ORDER BY touch_type, pos_class""".stripMargin
 
+  /** Open-order aging report — the accounts-receivable-style backlog
+    * breakdown: non-final orders (status O/P) bucketed by age against the
+    * corpus max order date (frozen-dataset reproducible, like
+    * [[graft.analytics.Mining.trendingDecay]]), with per-(status, bucket)
+    * counts, exact cents value, and the value share of the whole open
+    * backlog. The "how stale is our pipeline" operational readout; bucket
+    * edges as integer day compares, oldest-first severity ordering baked
+    * into the bucket label for sort-stable dashboards.
+    *
+    * 100 TB shape: one filtered scan with a broadcast 1-row max-date; the
+    * aggregate is (status × 4 buckets)-sized.
+    */
+  def orderAging(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders")
+      .where(col("o_orderstatus").isin("O", "P"))
+      .select(col("o_orderstatus").as("status"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("d"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = Tables.load(s, dir, "orders")
+      .agg(max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")).as("dmax"))
+    val bucketed = od.crossJoin(broadcast(mx))
+      .withColumn("age_d", col("dmax") - col("d"))
+      .withColumn("bucket",
+        when(col("age_d") <= 30, "1_0_30d")
+          .when(col("age_d") <= 90, "2_31_90d")
+          .when(col("age_d") <= 365, "3_91_365d")
+          .otherwise(lit("4_over_1y")))
+    val agg = bucketed.groupBy(col("status"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("value_c"),
+        max(col("age_d")).as("oldest_age_d"))
+    val tot = agg.agg(sum(col("value_c")).as("tot_c"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("status"), col("bucket"), col("n_orders"), col("value_c"),
+        col("oldest_age_d"),
+        expr("value_c * 1000000 div tot_c").as("value_share_ppm"))
+      .orderBy(col("status"), col("bucket"))
+  }
+
+  private val orderAgingSql =
+    """WITH od AS (
+      |  SELECT o_orderstatus AS status,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderstatus IN ('O', 'P')),
+      |mx AS (SELECT CAST(max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS dmax
+      |       FROM orders),
+      |b AS (
+      |  SELECT status, cents, dmax - d AS age_d,
+      |         CASE WHEN dmax - d <= 30 THEN '1_0_30d'
+      |              WHEN dmax - d <= 90 THEN '2_31_90d'
+      |              WHEN dmax - d <= 365 THEN '3_91_365d'
+      |              ELSE '4_over_1y' END AS bucket
+      |  FROM od CROSS JOIN mx),
+      |agg AS (
+      |  SELECT status, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(cents) AS BIGINT) AS value_c,
+      |         CAST(max(age_d) AS BIGINT) AS oldest_age_d
+      |  FROM b GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot_c FROM agg)
+      |SELECT status, bucket, n_orders, value_c, oldest_age_d,
+      |       value_c * 1000000 // tot_c AS value_share_ppm
+      |FROM agg CROSS JOIN tot
+      |ORDER BY status, bucket""".stripMargin
+
   /** Growth accounting — the standard weekly MAU decomposition: every
     * active user of week w is exactly one of NEW (first-ever activity),
     * RETAINED (also active in w−1) or RESURRECTED (returning after a gap),
@@ -2820,6 +2884,7 @@ object Analytics extends QueryPack {
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("abc_classification", abcClassification, Some(abcClassificationSql)),
     Q("growth_accounting", growthAccounting, Some(growthAccountingSql)),
+    Q("order_aging", orderAging, Some(orderAgingSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),
     Q("attribution_multitouch", attributionMultiTouch, Some(attributionMultiTouchSql)),
     Q("mix_shift_decomp", mixShiftDecomp, Some(mixShiftDecompSql)),

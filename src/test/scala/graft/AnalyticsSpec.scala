@@ -47,6 +47,24 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(Set("view", "click")(r.getString(0))))
   }
 
+  test("order_aging: buckets partition open orders and value shares close") {
+    import org.apache.spark.sql.functions.col
+    val rows = Analytics.orderAging(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val openOrders = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderstatus").isin("O", "P")).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == openOrders,
+      "buckets must partition the open backlog")
+    val totalValue = rows.map(_.getAs[Long]("value_c")).sum
+    rows.foreach { r =>
+      assert(Set("O", "P")(r.getString(0)))
+      assert(r.getAs[Long]("value_share_ppm") ==
+        r.getAs[Long]("value_c") * 1000000L / totalValue)
+      assert(r.getAs[Long]("oldest_age_d") >= 0)
+    }
+    assert(rows.map(_.getAs[Long]("value_share_ppm")).sum <= 1000000L)
+  }
+
   test("growth_accounting: classes partition weekly actives and flows balance week over week") {
     val rows = Analytics.growthAccounting(spark, sfDir).collect()
       .sortBy(_.getLong(0))
