@@ -1,12 +1,46 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dev tool: plan audit over registered queries — counts the plan features
-  * that matter at 100 TB (pushed filters, broadcast joins, codegen spans,
-  * cartesian products) so a regression is visible without reading plans.
+/** Plan audit over registered queries — counts the plan features that
+  * matter at 100 TB (pushed filters, broadcast joins, exchanges, codegen
+  * spans, cartesian products) so a regression is visible without reading
+  * plans. The extraction is a library function ([[features]]) so PlanSpec
+  * pins flagship queries' exact numbers in CI; the main emits the full
+  * per-query dossier as machine-checkable JSON (sidecar + stdout lines).
   */
 object PlanAudit {
+
+  /** Executed-plan feature counts for one query result. EXECUTES the frame
+    * (collect on this QueryExecution): under AQE the pre-execution plan is
+    * `isFinalPlan=false` — zero codegen spans, provisional joins — and a
+    * sink write would plan a FRESH QueryExecution, so collect-then-inspect
+    * on the same QE is the only sequence that sees the real final plan.
+    */
+  def features(df: DataFrame): Map[String, Int] = {
+    df.collect()
+    // finalized AQE toString appends the pre-execution tree under
+    // "== Initial Plan ==" — keep only the final plan or every count doubles
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    def c(p: String) = p.r.findAllIn(plan).length
+    // codegen spans surface as `*(n) Node` prefixes (WholeStageCodegenExec
+    // nodes don't print their own name); distinct ids = fused stages
+    val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+    Map(
+      "bcast_join" -> c("BroadcastHashJoin"),
+      "smj" -> c("SortMergeJoin"),
+      "shj" -> c("ShuffledHashJoin"),
+      "cartesian" -> c("CartesianProduct"),
+      "bcast_nl" -> c("BroadcastNestedLoopJoin"),
+      "exchange" -> c("Exchange"),
+      "codegen_spans" -> codegen,
+      "pushed_scans" -> c("PushedFilters: \\[[^\\]]"))
+  }
+
+  /** stable key order for the JSON rendering */
+  private val Keys = Seq("bcast_join", "smj", "shj", "cartesian", "bcast_nl",
+    "exchange", "codegen_spans", "pushed_scans")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
@@ -15,27 +49,21 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val rows = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { n =>
       try {
-        // AQE wraps everything in AdaptiveSparkPlan and only collapses
-        // codegen stages (and finalizes join strategies) as stages EXECUTE —
-        // the pre-execution plan shows zero codegen spans and provisional
-        // joins. And it must be THIS QueryExecution that runs: a sink write
-        // plans a fresh QueryExecution, leaving this one isFinalPlan=false.
-        // collect() is safe — registered queries return small aggregates.
-        val df = SparkEntry.queries(n)(spark, sfDir)
-        df.collect()
-        // finalized AQE toString appends the pre-execution tree under
-        // "== Initial Plan ==" — keep only the final plan or every count doubles
-        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-        def c(p: String) = p.r.findAllIn(plan).length
-        // codegen spans surface as `*(n) Node` prefixes in executedPlan
-        // toString (WholeStageCodegenExec nodes don't print their own name);
-        // distinct span ids = number of fused stages
-        val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
-        println(f"$n%-24s bcastJoin=${c("BroadcastHashJoin")}%2d smj=${c("SortMergeJoin")}%2d shj=${c("ShuffledHashJoin")}%2d cartesian=${c("CartesianProduct")}%2d bcastNL=${c("BroadcastNestedLoopJoin")}%2d exch=${c("Exchange")}%2d codegen=$codegen%2d pushed=${c("PushedFilters: \\[[^\\]]")}%2d")
-      } catch { case e: Throwable => println(s"$n ERROR ${e.getMessage.take(80)}") }
+        val f = features(SparkEntry.queries(n)(spark, sfDir))
+        rows(n) = Keys.map(k => s""""$k":${f(k)}""").mkString("{", ",", "}")
+        println(f"$n%-24s " + Keys.map(k => s"$k=${f(k)}").mkString(" "))
+      } catch { case e: Throwable =>
+        println(s"$n ERROR ${Option(e.getMessage).getOrElse(e.getClass.getName).take(80)}")
+      }
     }
+    val json = rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}\n")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLAN_OUT", "/tmp/graft_planaudit.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[planaudit] wrote ${rows.size} query dossiers to $out")
     spark.stop()
   }
 }

@@ -18,6 +18,7 @@ object SparkEntry {
     analytics.Graph,
     analytics.Mining,
     analytics.PortableSketch,
+    analytics.Indicators,
     llm.TextStats,
     llm.Dedup,
     llm.Similarity,

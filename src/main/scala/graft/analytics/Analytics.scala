@@ -1339,7 +1339,9 @@ object Analytics extends QueryPack {
     agg.crossJoin(broadcast(tot))
       .select(col("status"), col("bucket"), col("n_orders"), col("value_c"),
         col("oldest_age_d"),
-        expr("value_c * 1000000 div tot_c").as("value_share_ppm"))
+        // cents-sum × 1e6 passes 2^63 near 1e13 in total value — widen to
+        // DECIMAL(38,0)/HUGEINT like the other money-share ppm sites
+        expr("CAST(value_c AS DECIMAL(38,0)) * 1000000 div tot_c").as("value_share_ppm"))
       .orderBy(col("status"), col("bucket"))
   }
 
@@ -1365,7 +1367,7 @@ object Analytics extends QueryPack {
       |  FROM b GROUP BY 1, 2),
       |tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS tot_c FROM agg)
       |SELECT status, bucket, n_orders, value_c, oldest_age_d,
-      |       value_c * 1000000 // tot_c AS value_share_ppm
+      |       CAST(CAST(value_c AS HUGEINT) * 1000000 // tot_c AS BIGINT) AS value_share_ppm
       |FROM agg CROSS JOIN tot
       |ORDER BY status, bucket""".stripMargin
 
@@ -1470,7 +1472,8 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("revenue_c"),
         max(col("tot")).as("tot"))
       .select(col("cls"), col("n_parts"), col("revenue_c"),
-        expr("revenue_c * 1000000 div tot").as("share_ppm"))
+        // money-sum × 1e6 overflow guard (same DECIMAL38/HUGEINT widening)
+        expr("CAST(revenue_c AS DECIMAL(38,0)) * 1000000 div tot").as("share_ppm"))
       .orderBy(col("cls"))
   }
 
@@ -1493,7 +1496,7 @@ object Analytics extends QueryPack {
       |  FROM cum)
       |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
       |       CAST(sum(rev_c) AS BIGINT) AS revenue_c,
-      |       CAST(sum(rev_c) AS BIGINT) * 1000000 // CAST(max(tot) AS BIGINT) AS share_ppm
+      |       CAST(CAST(sum(rev_c) AS HUGEINT) * 1000000 // CAST(max(tot) AS BIGINT) AS BIGINT) AS share_ppm
       |FROM classed GROUP BY cls
       |ORDER BY cls""".stripMargin
 
@@ -1531,8 +1534,13 @@ object Analytics extends QueryPack {
       .select(col("event_type"), col("n_users"), col("n_retained"),
         expr("n_retained * 1000000 div n_users").as("rate_ppm"),
         expr("r_base * 1000000 div n_base").as("base_rate_ppm"),
+        // 128-bit intermediates: n_retained·n_base·1e6 overflows int64 once
+        // the user domain passes ~3e5² (certain at 100 TB); DECIMAL(38,0)
+        // products are exact to 38 digits and `div` returns BIGINT. The
+        // DuckDB twin widens via HUGEINT — same exact integer quotient.
         expr("""CASE WHEN r_base > 0
-               |THEN n_retained * n_base * 1000000 div (n_users * r_base) END""".stripMargin)
+               |THEN CAST(n_retained AS DECIMAL(38,0)) * n_base * 1000000
+               |     div (CAST(n_users AS DECIMAL(38,0)) * r_base) END""".stripMargin)
           .as("lift_ppm"))
       .orderBy(col("event_type"))
   }
@@ -1561,7 +1569,8 @@ object Analytics extends QueryPack {
       |       n_retained * 1000000 // n_users AS rate_ppm,
       |       r_base * 1000000 // n_base AS base_rate_ppm,
       |       CASE WHEN r_base > 0
-      |            THEN n_retained * n_base * 1000000 // (n_users * r_base) END AS lift_ppm
+      |            THEN CAST(CAST(n_retained AS HUGEINT) * n_base * 1000000
+      |                      // (CAST(n_users AS HUGEINT) * r_base) AS BIGINT) END AS lift_ppm
       |FROM per CROSS JOIN base
       |ORDER BY event_type""".stripMargin
 
@@ -1621,8 +1630,10 @@ object Analytics extends QueryPack {
     * bot/spam screen over the event stream: inter-arrival gaps in whole
     * seconds (exact integer µs difference, floor-divided), their exact
     * integer moments, the squared coefficient of variation as a
-    * fixed-sequence correctly-rounded double (CV² ≈ 1 for a Poisson user,
-    * ≪ 1 for a metronomic bot, ≫ 1 for bursty humans), and the Gini
+    * fixed-sequence correctly-rounded double: cv2_ppm = floor(n·Σg²/(Σg)²
+    * ·1e6) − 1e6, i.e. the second-moment ratio minus the 1e6 the mean²
+    * term always contributes (CV² ≈ 1e6 ppm for a Poisson user, ≈ 0 for a
+    * metronomic bot, ≫ 1e6 for bursty humans), and the Gini
     * impurity of the user's event-type mix (log-free diversity: 1 − Σp²,
     * exact integer ppm) with the dominant type share. Scripted accounts
     * show near-zero CV² and near-zero type diversity simultaneously.
@@ -1656,7 +1667,7 @@ object Analytics extends QueryPack {
         col("sg").as("sum_gap_s"),
         expr("sg div n_gaps").as("mean_gap_s"),
         expr("""CASE WHEN sg > 0 THEN
-               |  CAST(floor(CAST(sg2 AS DOUBLE) / sg / sg * n_gaps * 1000000) AS BIGINT)
+               |  CAST(floor(CAST(sg2 AS DOUBLE) / sg / sg * n_gaps * 1000000) AS BIGINT) - 1000000
                |END""".stripMargin).as("cv2_ppm"),
         col("n_types"),
         (lit(1000000L) - expr("sc2 * 1000000 div (n_events * n_events)")).as("gini_ppm"),
@@ -1688,7 +1699,7 @@ object Analytics extends QueryPack {
       |SELECT t.user_id, t.n_events, g.n_gaps, g.sg AS sum_gap_s,
       |       g.sg // g.n_gaps AS mean_gap_s,
       |       CASE WHEN g.sg > 0 THEN
-      |         CAST(floor(CAST(g.sg2 AS DOUBLE) / g.sg / g.sg * g.n_gaps * 1000000) AS BIGINT)
+      |         CAST(floor(CAST(g.sg2 AS DOUBLE) / g.sg / g.sg * g.n_gaps * 1000000) AS BIGINT) - 1000000
       |       END AS cv2_ppm,
       |       t.n_types,
       |       1000000 - t.sc2 * 1000000 // (t.n_events * t.n_events) AS gini_ppm,
@@ -1885,7 +1896,9 @@ object Analytics extends QueryPack {
         expr("""CAST(floor(CAST(2 * rx - (n_users + 1) * total_mc AS DOUBLE)
                | / CAST(n_users * total_mc AS DOUBLE) * 1000000) AS BIGINT)"""
           .stripMargin).as("gini_ppm"),
-        expr("top_decile_mc * 1000000 div total_mc").as("top10_share_ppm"))
+        // money-sum × 1e6 overflow guard (same DECIMAL38/HUGEINT widening)
+        expr("CAST(top_decile_mc AS DECIMAL(38,0)) * 1000000 div total_mc")
+          .as("top10_share_ppm"))
   }
 
   private val giniSpendSql =
@@ -1899,8 +1912,8 @@ object Analytics extends QueryPack {
       |SELECT max(n) AS n_users, CAST(sum(x) AS BIGINT) AS total_mc,
       |       CAST(floor(CAST(2 * CAST(sum(r * x) AS BIGINT) - (max(n) + 1) * CAST(sum(x) AS BIGINT) AS DOUBLE)
       |         / CAST(max(n) * CAST(sum(x) AS BIGINT) AS DOUBLE) * 1000000) AS BIGINT) AS gini_ppm,
-      |       CAST(sum(CASE WHEN r > n - n // 10 THEN x ELSE 0 END) AS BIGINT) * 1000000
-      |         // CAST(sum(x) AS BIGINT) AS top10_share_ppm
+      |       CAST(CAST(sum(CASE WHEN r > n - n // 10 THEN x ELSE 0 END) AS HUGEINT) * 1000000
+      |         // CAST(sum(x) AS BIGINT) AS BIGINT) AS top10_share_ppm
       |FROM ranked""".stripMargin
 
   /** Order-fulfillment lag profile — the accumulating-snapshot warehouse

@@ -122,15 +122,19 @@ object Graph extends QueryPack {
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = purchaseEdges(s, dir)
     val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("outdeg")).cache()
-    var p = deg.select(col("node"), lit(PrInit).as("pr"))
+    // outdeg rides INSIDE the rank relation: the per-round contribution
+    // needs (pr, outdeg) together, and carrying both in one node-sized row
+    // drops a p⋈deg join from every round (PrIters joins per query saved)
+    var p = deg.select(col("node"), col("outdeg"), lit(PrInit).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = edges
-        .join(p.join(deg, "node")
-          .select(col("node").as("u"), expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
+        .join(p.select(col("node").as("u"),
+          expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
         .groupBy(col("v").as("node")).agg(sum("contrib").as("c"))
-      val next = deg.select("node")
+      val next = deg
         .join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(PrBase) + coalesce(col("c"), lit(0L))).as("pr"))
+        .select(col("node"), col("outdeg"),
+          (lit(PrBase) + coalesce(col("c"), lit(0L))).as("pr"))
         .cache()
       next.count()
       p.unpersist(blocking = false)
@@ -166,16 +170,17 @@ object Graph extends QueryPack {
     val seeded = deg
       .withColumn("seed", col("node") % 2 === 0 && col("node") < lit(2L * PprSeedMax))
       .cache()
-    var p = seeded.select(col("node"),
+    // same outdeg-in-rank-relation fold as [[pagerank]]: one join per round
+    var p = seeded.select(col("node"), col("outdeg"),
       when(col("seed"), lit(PrInit)).otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = edges
-        .join(p.join(deg, "node")
-          .select(col("node").as("u"), expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
+        .join(p.select(col("node").as("u"),
+          expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
         .groupBy(col("v").as("node")).agg(sum("contrib").as("c"))
-      val next = seeded.select("node", "seed")
+      val next = seeded
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (when(col("seed"), lit(PrBase)).otherwise(lit(0L)) +
             coalesce(col("c"), lit(0L))).as("pr"))
         .cache()

@@ -1,0 +1,336 @@
+package graft.analytics
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator pack over the synthetic tick-trade stream — the
+  * screening layer of the reference's invest-analytics domain (the candles
+  * the reference ingests exist to FEED indicators like these; its declared
+  * analyses at `from_parser_to_rabbitmq.py:228-240` stop at volatility /
+  * predictability, this pack carries the standard chartist family).
+  *
+  * Everything reduces the fact ONCE to the per-(instrument, day) close
+  * series in exact integer cents (the [[Analytics.candleResample]] trade
+  * derivation at daily grain), then computes per-instrument on the
+  * calendar-bounded series:
+  *
+  *  - OBV: signed cumulative volume — pure integer window sums.
+  *  - Bollinger: the ±2σ band test done WITHOUT sqrt — compare
+  *    (n·c − Σx)² against 4·(n·Σx² − (Σx)²), exact int64 both sides, so
+  *    band verdicts replay with no float anywhere.
+  *  - RSI (Cutler's SMA variant): gain/loss window sums → integer-ppm
+  *    ratio. Chosen over Wilder's recursive smoothing precisely because it
+  *    is all-integer (the recursive variant would need the fold-replay
+  *    treatment MACD below gets).
+  *  - MACD(12,26,9): three chained EMA folds in ONE compiled pass with
+  *    [e12, e26, signal] state, bit-identical to DuckDB's `list_reduce`
+  *    over 3-element lists (the CLAUDE.md sequential-fold rule at state
+  *    width 3); outputs integerized floor-1e6.
+  *
+  * 100 TB shape: the only fact-scale work is the (instrument, day) partial
+  * aggregate — one shuffle keyed by instrument×day, map-side combined.
+  * Every window/fold after that runs on the instrument-count × calendar
+  * domain (bounded), partitioned by instrument; per-key fold state is the
+  * key's own series, the same bound any segment-scan engine needs.
+  */
+object Indicators extends QueryPack {
+
+  /** trades → per-(company, day) close (cents, max_by total order) + volume */
+  private def dailyCloses(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.select(
+        concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+        expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("volume"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+      .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        max_by(col("cents"), struct(col("ts"), col("eid"))).as("close_c"),
+        sum(col("volume")).as("vol"))
+  }
+
+  /** shared oracle CTE chain: tick derivation → daily closes */
+  private val closesCtes =
+    """t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND AS tsv,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(l_quantity AS BIGINT) AS volume,
+      |         l_orderkey * 10 + l_linenumber AS eid
+      |  FROM lineitem),
+      |dd AS (
+      |  SELECT company_id, strftime(tsv, '%Y-%m-%d') AS day, cents, volume,
+      |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m-%d')
+      |                            ORDER BY tsv DESC, eid DESC) AS rn_d
+      |  FROM t),
+      |closes AS (
+      |  SELECT company_id, day,
+      |         CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+      |         CAST(sum(volume) AS BIGINT) AS vol
+      |  FROM dd GROUP BY 1, 2)""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // OBV — on-balance volume
+  // -------------------------------------------------------------------------
+
+  /** Per-instrument OBV profile: volume flows signed by the close-to-close
+    * direction, accumulated over the series; emitted as the final OBV plus
+    * its running extremes (the divergence readout: price up + OBV down =
+    * distribution). All integer, two window passes (lag, cumsum) on the
+    * instrument-partitioned daily series.
+    */
+  def obv(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val cum = Window.partitionBy(col("company_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyCloses(s, dir)
+      .withColumn("prev_c", lag(col("close_c"), 1).over(w))
+      .withColumn("signed_vol",
+        when(col("prev_c").isNull, 0L)
+          .when(col("close_c") > col("prev_c"), col("vol"))
+          .when(col("close_c") < col("prev_c"), -col("vol"))
+          .otherwise(0L))
+      .withColumn("obv", sum(col("signed_vol")).over(cum))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max_by(col("obv"), col("day")).as("obv_final"),
+        min(col("obv")).as("obv_min"),
+        max(col("obv")).as("obv_max"))
+      .orderBy(col("company_id"))
+  }
+
+  private val obvSql =
+    s"""WITH $closesCtes,
+      |sv AS (
+      |  SELECT company_id, day, vol,
+      |         lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_c,
+      |         close_c
+      |  FROM closes),
+      |ob AS (
+      |  SELECT company_id, day,
+      |         CAST(sum(CASE WHEN prev_c IS NULL THEN 0
+      |                       WHEN close_c > prev_c THEN vol
+      |                       WHEN close_c < prev_c THEN -vol ELSE 0 END)
+      |              OVER (PARTITION BY company_id ORDER BY day
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS obv
+      |  FROM sv)
+      |SELECT company_id, CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(max(CASE WHEN rn = 1 THEN obv END) AS BIGINT) AS obv_final,
+      |       CAST(min(obv) AS BIGINT) AS obv_min,
+      |       CAST(max(obv) AS BIGINT) AS obv_max
+      |FROM (SELECT *, row_number() OVER (PARTITION BY company_id ORDER BY day DESC) AS rn
+      |      FROM ob)
+      |GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Bollinger bands — sqrt-free integer band verdicts
+  // -------------------------------------------------------------------------
+
+  /** band window length (trading days) */
+  val BollW = 20
+
+  /** Per-instrument Bollinger accounting over full [[BollW]]-day windows:
+    * how often the close breaks the ±2σ band, plus the widest band seen.
+    * The break test `|c − x̄| > 2σ` is evaluated in EXACT int64 as
+    * `(n·c − Σx)² > 4·(n·Σx² − (Σx)²)` (multiply through by n² — no sqrt,
+    * no division, no float), so the verdict can never straddle an ulp.
+    * Operand bound: cents ≤ 1e7, n = 20 → dev ≤ 2e8, dev² ≤ 4e16 « 2^63.
+    */
+  def bollinger(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("company_id")).orderBy(col("day"))
+      .rowsBetween(-(BollW - 1), Window.currentRow)
+    dailyCloses(s, dir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("close_c")).over(w))
+      .withColumn("sx2", sum(col("close_c") * col("close_c")).over(w))
+      .where(col("n") === BollW)
+      .select(col("company_id"),
+        (col("n") * col("close_c") - col("sx")).as("dev_n"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("var_n2"))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("dev_n") > 0 && col("dev_n") * col("dev_n") > lit(4L) * col("var_n2"), 1L)
+          .otherwise(0L)).as("n_above"),
+        sum(when(col("dev_n") < 0 && col("dev_n") * col("dev_n") > lit(4L) * col("var_n2"), 1L)
+          .otherwise(0L)).as("n_below"),
+        max(col("var_n2")).as("max_var_n2"))
+      .orderBy(col("company_id"))
+  }
+
+  private val bollingerSql =
+    s"""WITH $closesCtes,
+      |wd AS (
+      |  SELECT company_id,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(sum(close_c) OVER w AS BIGINT) AS sx,
+      |         CAST(sum(close_c * close_c) OVER w AS BIGINT) AS sx2,
+      |         close_c
+      |  FROM closes
+      |  WINDOW w AS (PARTITION BY company_id ORDER BY day
+      |               ROWS BETWEEN ${BollW - 1} PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT company_id, n * close_c - sx AS dev_n,
+      |         n * sx2 - sx * sx AS var_n2
+      |  FROM wd WHERE n = $BollW)
+      |SELECT company_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(CASE WHEN dev_n > 0 AND dev_n * dev_n > 4 * var_n2
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |       CAST(sum(CASE WHEN dev_n < 0 AND dev_n * dev_n > 4 * var_n2
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |       CAST(max(var_n2) AS BIGINT) AS max_var_n2
+      |FROM f GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // RSI — Cutler's (SMA) variant, all-integer ppm
+  // -------------------------------------------------------------------------
+
+  /** RSI lookback (trading days of gain/loss history) */
+  val RsiW = 14
+
+  /** overbought / oversold cuts in ppm (the chartist 70/30) */
+  val RsiHi = 700000L
+  val RsiLo = 300000L
+
+  /** Per-instrument RSI regime accounting over full [[RsiW]]-gap windows:
+    * RSI = 1e6·Σgain div (Σgain + Σloss) on integer cent moves (Cutler's
+    * simple-average form — exactly replayable where Wilder's recursive
+    * smoothing would need a fold), with overbought (≥ [[RsiHi]]) /
+    * oversold (≤ [[RsiLo]]) day counts and the latest window's value.
+    * Flat windows (Σgain + Σloss = 0) emit NULL and count in neither tail.
+    */
+  def rsi(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val w = Window.partitionBy(col("company_id")).orderBy(col("day"))
+      .rowsBetween(-(RsiW - 1), Window.currentRow)
+    dailyCloses(s, dir)
+      .withColumn("diff", col("close_c") - lag(col("close_c"), 1).over(lw))
+      .where(col("diff").isNotNull)
+      .withColumn("gain", when(col("diff") > 0, col("diff")).otherwise(0L))
+      .withColumn("loss", when(col("diff") < 0, -col("diff")).otherwise(0L))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sg", sum(col("gain")).over(w))
+      .withColumn("sl", sum(col("loss")).over(w))
+      .where(col("n") === RsiW)
+      .withColumn("rsi_ppm",
+        when(col("sg") + col("sl") > 0,
+          expr("sg * 1000000 div (sg + sl)")))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("rsi_ppm") >= RsiHi, 1L).otherwise(0L)).as("n_overbought"),
+        sum(when(col("rsi_ppm") <= RsiLo, 1L).otherwise(0L)).as("n_oversold"),
+        max_by(col("rsi_ppm"), col("day")).as("last_rsi_ppm"))
+      .orderBy(col("company_id"))
+  }
+
+  private val rsiSql =
+    s"""WITH $closesCtes,
+      |df AS (
+      |  SELECT company_id, day,
+      |         close_c - lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS diff
+      |  FROM closes),
+      |gl AS (
+      |  SELECT company_id, day,
+      |         CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+      |         CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+      |  FROM df WHERE diff IS NOT NULL),
+      |wd AS (
+      |  SELECT company_id, day,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(sum(gain) OVER w AS BIGINT) AS sg,
+      |         CAST(sum(loss) OVER w AS BIGINT) AS sl
+      |  FROM gl
+      |  WINDOW w AS (PARTITION BY company_id ORDER BY day
+      |               ROWS BETWEEN ${RsiW - 1} PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT company_id, day,
+      |         CASE WHEN sg + sl > 0 THEN sg * 1000000 // (sg + sl) END AS rsi_ppm
+      |  FROM wd WHERE n = $RsiW)
+      |SELECT company_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(CASE WHEN rsi_ppm >= $RsiHi THEN 1 ELSE 0 END) AS BIGINT) AS n_overbought,
+      |       CAST(sum(CASE WHEN rsi_ppm <= $RsiLo THEN 1 ELSE 0 END) AS BIGINT) AS n_oversold,
+      |       CAST(max(CASE WHEN rn = 1 THEN rsi_ppm END) AS BIGINT) AS last_rsi_ppm
+      |FROM (SELECT *, row_number() OVER (PARTITION BY company_id ORDER BY day DESC) AS rn
+      |      FROM r)
+      |GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // MACD(12, 26, 9) — three chained EMA folds, one pass, bit-exact replay
+  // -------------------------------------------------------------------------
+
+  /** One left-to-right pass with [e12, e26, signal] state: both EMAs seed
+    * at the first close, the signal EMA seeds at the first MACD (= 0).
+    * Operation order matches the oracle's `list_reduce` over 3-element
+    * lists exactly — α·x + (1−α)·e with α spelled as the SAME int/int
+    * division both engines evaluate as one correctly-rounded double op —
+    * so the smoothed doubles are bit-identical (the [[ema]]/Holt rule at
+    * state width 3; the signal step reads the ROUND-UPDATED e12/e26).
+    */
+  private val macdFold = udf { (vs: Seq[Double]) =>
+    if (vs.isEmpty) Array(Double.NaN, Double.NaN)
+    else {
+      var e12 = vs.head; var e26 = vs.head; var sig = 0.0
+      vs.tail.foreach { c =>
+        e12 = 2.0 / 13 * c + (1 - 2.0 / 13) * e12
+        e26 = 2.0 / 27 * c + (1 - 2.0 / 27) * e26
+        sig = 2.0 / 10 * (e12 - e26) + (1 - 2.0 / 10) * sig
+      }
+      Array(e12 - e26, sig)
+    }
+  }
+
+  /** Per-instrument MACD snapshot at the end of the series: the MACD line
+    * (EMA12 − EMA26 of the close), its 9-day signal EMA, and the histogram
+    * (their difference), floor-1e6-integerized from bit-identical folds.
+    * The fold runs as a compiled per-key pass over the key's own sorted
+    * series (collect → array_sort → fold — the [[Analytics.ema]] shape).
+    */
+  def macd(s: SparkSession, dir: String): DataFrame = {
+    dailyCloses(s, dir)
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        macdFold(expr(
+          "transform(array_sort(collect_list(struct(day, close_c))), r -> CAST(r.close_c AS DOUBLE))"))
+          .as("st"))
+      .select(col("company_id"), col("n_days"),
+        expr("CAST(floor(st[0] * 1000000) AS BIGINT)").as("macd_e6"),
+        expr("CAST(floor(st[1] * 1000000) AS BIGINT)").as("signal_e6"),
+        expr("CAST(floor((st[0] - st[1]) * 1000000) AS BIGINT)").as("hist_e6"))
+      .orderBy(col("company_id"))
+  }
+
+  private val macdSql =
+    s"""WITH $closesCtes,
+      |folded AS (
+      |  SELECT company_id, CAST(count(*) AS BIGINT) AS n_days,
+      |         list_reduce(
+      |           list([CAST(close_c AS DOUBLE), CAST(close_c AS DOUBLE), 0] ORDER BY day),
+      |           (a, x) -> [2 / 13 * x[1] + (1 - 2 / 13) * a[1],
+      |                      2 / 27 * x[1] + (1 - 2 / 27) * a[2],
+      |                      2 / 10 * ((2 / 13 * x[1] + (1 - 2 / 13) * a[1])
+      |                                - (2 / 27 * x[1] + (1 - 2 / 27) * a[2]))
+      |                        + (1 - 2 / 10) * a[3]]) AS st
+      |  FROM closes GROUP BY company_id)
+      |SELECT company_id, n_days,
+      |       CAST(floor((st[1] - st[2]) * 1000000) AS BIGINT) AS macd_e6,
+      |       CAST(floor(st[3] * 1000000) AS BIGINT) AS signal_e6,
+      |       CAST(floor((st[1] - st[2] - st[3]) * 1000000) AS BIGINT) AS hist_e6
+      |FROM folded
+      |ORDER BY company_id""".stripMargin
+
+  override val all: Seq[Q] = Seq(
+    Q("ind_obv", obv, Some(obvSql)),
+    Q("ind_bollinger", bollinger, Some(bollingerSql)),
+    Q("ind_rsi", rsi, Some(rsiSql)),
+    Q("ind_macd", macd, Some(macdSql)))
+}

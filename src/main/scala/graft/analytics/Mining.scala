@@ -1444,8 +1444,14 @@ object Mining extends QueryPack {
       .orderBy(col("day"))
   }
 
-  private val tsDecomposeSql =
-    """WITH daily AS (
+  /** The decomposition CTE chain (`daily`→`tr`→`dt`→`seas`) plus a final
+    * `resid` CTE holding the decomposed rows — shared VERBATIM by
+    * [[tsDecomposeSql]] and [[tsResidualOutliersSql]] so an edit to the
+    * decomposition can never silently desynchronize the two oracles (the
+    * previous string-surgery derivation became a no-op on any text drift).
+    */
+  private val tsDecomposeCtes =
+    """daily AS (
       |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS day,
       |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
       |  FROM lineitem GROUP BY 1),
@@ -1464,9 +1470,15 @@ object Mining extends QueryPack {
       |         (CAST(sum(detr) AS BIGINT)
       |          - ((CAST(sum(detr) AS BIGINT) % count(*) + count(*)) % count(*)))
       |         // count(*) AS seasonal_c
-      |  FROM dt GROUP BY 1)
-      |SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c
-      |FROM dt JOIN seas USING (dow7)
+      |  FROM dt GROUP BY 1),
+      |resid AS (
+      |  SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c
+      |  FROM dt JOIN seas USING (dow7))""".stripMargin
+
+  private val tsDecomposeSql =
+    s"""WITH $tsDecomposeCtes
+      |SELECT day, v, trend_c, seasonal_c, resid_c
+      |FROM resid
       |ORDER BY day""".stripMargin
 
   /** MAD multiple above which a residual is flagged anomalous */
@@ -1515,12 +1527,7 @@ object Mining extends QueryPack {
   }
 
   val tsResidualOutliersSql: String = {
-    val decomposeBody = tsDecomposeSql
-      .stripSuffix("\nORDER BY day")
-      .replaceFirst("^WITH ", "")
-      .replace("SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c\nFROM dt JOIN seas USING (dow7)",
-        ",\nresid AS (SELECT day, v, trend_c, seasonal_c, detr - seasonal_c AS resid_c\nFROM dt JOIN seas USING (dow7))")
-    s"""WITH $decomposeBody,
+    s"""WITH $tsDecomposeCtes,
       |withmed AS (
       |  SELECT day, v, resid_c,
       |         CAST(row_number() OVER (ORDER BY resid_c, day) AS BIGINT) AS rn,

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** ENGINE-PORTABLE distinct-count sketches: k-minimum-values (KMV).
   *
-  * `hll_approx_distinct` (HyperLogLog) is inherently `no_oracle` — register
-  * layouts differ per engine. KMV is the sketch family that ISN'T: the
+  * HyperLogLog ESTIMATES can never replay in another engine — register
+  * layouts differ — so `hll_approx_distinct` gates its ±5% error LAW
+  * instead ([[Relational.hllDistinctAudit]]). KMV is the sketch family
+  * whose estimates themselves replay: the
   * sketch is "the K smallest distinct 52-bit md5-prefix hashes of the
   * values", a pure set function of the data that both Spark and DuckDB can
   * compute bit-identically (md5 is md5 everywhere; CLAUDE.md's portable-

@@ -236,14 +236,40 @@ object Relational extends QueryPack {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
 
-  /** HLL sketch distinct (approx_count_distinct, rsd=0.01). No SQL oracle —
-    * sketch estimates are engine-specific; the ScalaTest pins it within 5%
-    * of the exact count instead (rows-only check here).
+  /** HLL sketch distinct (approx_count_distinct, rsd=0.01). The raw
+    * estimates are engine-specific (register layout) and stay pinned by the
+    * ScalaTest 5% law; the REGISTERED `hll_approx_distinct` surface is
+    * [[hllDistinctAudit]], which hash-gates the law itself.
     */
   def hllApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"))
+
+  /** Oracle-gated HLL audit (the [[approxQuantiles]] treatment applied to
+    * HyperLogLog): emit the group keys, the EXACT distinct count, and a 0/1
+    * verdict that the engine's sketch estimate lands within ±5% of it. The
+    * estimate itself cannot replay in another engine, but the error law is
+    * deterministic (Spark's HLL is a pure function of the data), so a
+    * sketch regression flips the hash gate instead of hiding behind
+    * `no_oracle`. Exact-vs-sketch runs as two separate 3-row aggregates
+    * joined at the end — never one mixed distinct+plain agg (Expand).
+    */
+  def hllDistinctAudit(s: SparkSession, dir: String): DataFrame = {
+    val est = hllApproxDistinct(s, dir)
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .join(broadcast(est), "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_customers"),
+        when(abs(col("approx_customers") - col("n_customers")) * 100
+          <= col("n_customers") * 5, 1L).otherwise(0L).as("hll_within_5pct"))
+  }
+
+  private val hllDistinctAuditSql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+      |       CAST(1 AS BIGINT) AS hll_within_5pct
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   /** percentile_approx accuracy: guaranteed rank error ≤ n/this */
   private final val AqAccuracy = 10000
@@ -872,6 +898,30 @@ object Relational extends QueryPack {
           col("min_priority"), col("max_priority")))).as("p"))
       .select("p.column_name", "p.n_rows", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s")
   }
+
+  /** Oracle-gated audit of [[profileOrdersApprox]]: every field the sketch
+    * profiler computes EXACTLY (row counts, null counts, min/max) is
+    * emitted as-is and hash-compared, and each HLL `n_distinct` becomes a
+    * 0/1 within-±5%-of-exact verdict against [[profileOrders]] — so the
+    * registered `profile_orders_approx` row pins rows + schema + the error
+    * law instead of `no_oracle`. The join is 6 rows × 6 rows on
+    * column_name; the raw estimates stay additionally pinned in LlmSpec.
+    */
+  def profileOrdersApproxAudit(s: SparkSession, dir: String): DataFrame = {
+    val ex = profileOrders(s, dir)
+      .select(col("column_name"), col("n_distinct").as("exact_distinct"))
+    profileOrdersApprox(s, dir)
+      .join(broadcast(ex), "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        when(abs(col("n_distinct") - col("exact_distinct")) * 100
+          <= col("exact_distinct") * 5, 1L).otherwise(0L).as("dist_within_5pct"),
+        col("min_s"), col("max_s"))
+  }
+
+  private val profileOrdersApproxAuditSql =
+    s"""SELECT column_name, n_rows, n_null,
+      |       CAST(1 AS BIGINT) AS dist_within_5pct, min_s, max_s
+      |FROM ($profileOrdersSql)""".stripMargin
 
   /** Rank-function family over a deterministic total order — ntile /
     * percent_rank / cume_dist in ONE window pass, folded to per-(status,
@@ -1829,7 +1879,7 @@ object Relational extends QueryPack {
     Q("distinct_customers", distinctCustomers, Some(distinctCustomersSql)),
     Q("setop_repeat_buyers", repeatBuyers, Some(repeatBuyersSql)),
     Q("setop_lapsed_buyers", lapsedBuyers, Some(lapsedBuyersSql)),
-    Q("hll_approx_distinct", hllApproxDistinct, None),
+    Q("hll_approx_distinct", hllDistinctAudit, Some(hllDistinctAuditSql)),
     Q("approx_quantiles", approxQuantiles, Some(approxQuantilesSql)),
     Q("cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("grouping_sets_pricing", groupingSets, Some(groupingSetsSql)),
@@ -1843,7 +1893,7 @@ object Relational extends QueryPack {
     Q("skew_profile", skewProfile, Some(skewProfileSql)),
     Q("props_extract", propsExtract, Some(propsExtractSql)),
     Q("profile_orders", profileOrders, Some(profileOrdersSql)),
-    Q("profile_orders_approx", profileOrdersApprox, None),
+    Q("profile_orders_approx", profileOrdersApproxAudit, Some(profileOrdersApproxAuditSql)),
     Q("hist_price", histPrice, Some(histPriceSql)),
     Q("pivot_status", pivotStatus, Some(pivotStatusSql)),
     Q("unpivot_status", unpivotStatus, Some(unpivotStatusSql)))

@@ -1237,7 +1237,12 @@ object TextStats extends QueryPack {
       .join(tokTot, "token")
       .crossJoin(broadcast(tot))
       .select(col("source"), col("token"), col("tf"),
-        expr("tf * tot_c * 1000000 div (tok_s * tf_c)").as("lift_ppm"))
+        // 128-bit intermediates: tf·tot_c·1e6 blows past 2^63 once the
+        // corpus token total nears 1e12 (any 100 TB corpus); DECIMAL(38,0)
+        // products stay exact to 38 digits (1e12·1e13·1e6 = 1e31) and
+        // `div` returns BIGINT. DuckDB twin widens via HUGEINT.
+        expr("CAST(tf AS DECIMAL(38,0)) * tot_c * 1000000 div (CAST(tok_s AS DECIMAL(38,0)) * tf_c)")
+          .as("lift_ppm"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("lift_ppm").desc, col("token"))).cast("long"))
@@ -1256,9 +1261,11 @@ object TextStats extends QueryPack {
       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot_c FROM st)
       |SELECT source, token, tf, lift_ppm, rank FROM (
       |  SELECT st.source, st.token, st.tf,
-      |         st.tf * tot_c * 1000000 // (tok_s * tf_c) AS lift_ppm,
+      |         CAST(CAST(st.tf AS HUGEINT) * tot_c * 1000000
+      |              // (CAST(tok_s AS HUGEINT) * tf_c) AS BIGINT) AS lift_ppm,
       |         CAST(row_number() OVER (PARTITION BY st.source
-      |           ORDER BY st.tf * tot_c * 1000000 // (tok_s * tf_c) DESC, st.token) AS BIGINT) AS rank
+      |           ORDER BY CAST(st.tf AS HUGEINT) * tot_c * 1000000
+      |                    // (CAST(tok_s AS HUGEINT) * tf_c) DESC, st.token) AS BIGINT) AS rank
       |  FROM st JOIN srct USING (source) JOIN tokt USING (token) CROSS JOIN tot
       |  WHERE st.tf >= $SigMinTf)
       |WHERE rank <= $SigK

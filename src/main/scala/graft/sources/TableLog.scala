@@ -38,6 +38,7 @@ object TableLog extends QueryPack {
     logDir(table).resolve(s"v$v.txt")
 
   private def listDir(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Seq.empty // fresh/absent table: nothing to list
     val st = Files.list(p)
     try st.iterator().asScala.toSeq finally st.close()
   }

@@ -494,10 +494,13 @@ object StreamIngest {
   case class TrendStreamState(wins: Array[Long], counts: Array[Long])
   case class TrendScore(item: Long, score: Long, last_win: Long, n_events: Long)
 
-  /** decay-window cap: contributions older than this many half-life windows
-    * have shifted to zero weight and their state buckets are evicted
+  /** decay-window cap: the score weight is `(2^20) >> age`, which is
+    * already zero at age 21 — so 21 windows (ages 0..20) are exactly the
+    * ones that can still contribute; anything older is evicted. (A 41-cap
+    * kept 20 extra all-zero-weight buckets per item: double the state and
+    * an inflated n_events for no score contribution.)
     */
-  val TrendMaxWins = 41
+  val TrendMaxWins = 21
 
   /** Streaming time-decayed trending — the live twin of
     * [[graft.analytics.Mining.trendingDecay]]: per-item event counts kept

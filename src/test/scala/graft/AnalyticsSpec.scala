@@ -215,7 +215,7 @@ class AnalyticsSpec extends SparkSpec {
         val sg = gaps.sum; val sg2 = gaps.map(g => g * g).sum
         if (sg > 0)
           assert(r.getAs[Long]("cv2_ppm") ==
-            math.floor(sg2.toDouble / sg / sg * gaps.length * 1000000L).toLong)
+            math.floor(sg2.toDouble / sg / sg * gaps.length * 1000000L).toLong - 1000000L)
         val cs = es.groupBy(_._4).map(_._2.length.toLong)
         assert(r.getAs[Long]("n_types") == cs.size)
         assert(r.getAs[Long]("gini_ppm") ==

@@ -1,0 +1,119 @@
+package graft
+
+import graft.analytics.Indicators
+import org.apache.spark.sql.functions.col
+
+/** Laws for the technical-indicator pack beyond the DuckDB hash gate:
+  * in-memory recomputes of each indicator from the raw trade derivation,
+  * plus the structural invariants (conservation, bounds, identities).
+  */
+class IndicatorsSpec extends SparkSpec {
+
+  /** in-memory (company → date-ordered (closeCents, volume)) ground truth */
+  private lazy val series: Map[String, Seq[(Long, Long)]] = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr(
+        "concat('FIGI', l_partkey % 20) AS company_id",
+        "unix_micros(CAST(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate) AS TIMESTAMP)) AS ts_us",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS cents",
+        "CAST(l_quantity AS LONG) AS volume",
+        "l_orderkey * 10 + l_linenumber AS eid",
+        "date_format(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate), 'yyyy-MM-dd') AS day")
+      .collect()
+      .map(r => (r.getString(0), r.getString(5), r.getLong(1), r.getLong(4), r.getLong(2), r.getLong(3)))
+    li.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((c, day), rows) =>
+        val close = rows.maxBy(t => (t._3, t._4))._5
+        (c, day, close, rows.map(_._6).sum)
+      }
+      .groupBy(_._1)
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      }
+  }
+
+  test("obv: final value equals the in-memory signed-volume accumulation") {
+    val got = Indicators.obv(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == series.keySet && got.nonEmpty)
+    series.foreach { case (c, s) =>
+      val obvs = s.sliding(2).scanLeft(0L) { case (acc, pair) =>
+        if (pair.length < 2) acc
+        else acc + (if (pair(1)._1 > pair(0)._1) pair(1)._2
+        else if (pair(1)._1 < pair(0)._1) -pair(1)._2 else 0L)
+      }.toSeq
+      val (nDays, fin, mn, mx) = got(c)
+      assert(nDays == s.length)
+      assert(fin == obvs.last, s"$c obv final")
+      assert(mn == obvs.min && mx == obvs.max, s"$c obv extremes")
+    }
+  }
+
+  test("bollinger: integer band test matches the sqrt form on every full window") {
+    val got = Indicators.bollinger(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    series.foreach { case (c, s) =>
+      val closes = s.map(_._1)
+      if (closes.length >= Indicators.BollW) {
+        val wins = closes.sliding(Indicators.BollW).toSeq
+        var above = 0L; var below = 0L
+        wins.foreach { w =>
+          val n = w.length.toLong
+          val cl = w.last
+          val mean = w.sum.toDouble / n
+          val sd = math.sqrt(w.map(x => (x - mean) * (x - mean)).sum / n)
+          if (cl > mean + 2 * sd) above += 1
+          if (cl < mean - 2 * sd) below += 1
+        }
+        val (nw, a, b) = got(c)
+        assert(nw == wins.length)
+        assert(a == above && b == below,
+          s"$c band verdicts: got ($a,$b) want ($above,$below)")
+      }
+    }
+  }
+
+  test("rsi: ppm ratio bounded and regime counts partition correctly") {
+    val rows = Indicators.rsi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ob, os) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ob + os <= nw, "regime days cannot exceed windows")
+      if (!r.isNullAt(4)) {
+        val last = r.getLong(4)
+        assert(last >= 0L && last <= 1000000L, s"rsi out of [0, 1e6]: $last")
+      }
+    }
+    // independent recompute of one company's last window
+    val (c, s) = series.maxBy(_._2.length)
+    val diffs = s.map(_._1).sliding(2).map(p => p(1) - p(0)).toSeq
+    if (diffs.length >= Indicators.RsiW) {
+      val w = diffs.takeRight(Indicators.RsiW)
+      val sg = w.filter(_ > 0).sum
+      val sl = -w.filter(_ < 0).sum
+      val want = if (sg + sl > 0) Some(sg * 1000000L / (sg + sl)) else None
+      val got = rows.find(_.getString(0) == c).get
+      val gotLast = if (got.isNullAt(4)) None else Some(got.getLong(4))
+      assert(gotLast == want, s"$c last rsi: got $gotLast want $want")
+    }
+  }
+
+  test("macd: fold replays in memory and hist = macd - signal at the e6 grain") {
+    val got = Indicators.macd(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    series.foreach { case (c, s) =>
+      val closes = s.map(_._1.toDouble)
+      var e12 = closes.head; var e26 = closes.head; var sig = 0.0
+      closes.tail.foreach { v =>
+        e12 = 2.0 / 13 * v + (1 - 2.0 / 13) * e12
+        e26 = 2.0 / 27 * v + (1 - 2.0 / 27) * e26
+        sig = 2.0 / 10 * (e12 - e26) + (1 - 2.0 / 10) * sig
+      }
+      val (nDays, m, sg, h) = got(c)
+      assert(nDays == closes.length)
+      assert(m == math.floor((e12 - e26) * 1e6).toLong, s"$c macd")
+      assert(sg == math.floor(sig * 1e6).toLong, s"$c signal")
+      assert(h == math.floor((e12 - e26 - sig) * 1e6).toLong, s"$c hist")
+    }
+  }
+}

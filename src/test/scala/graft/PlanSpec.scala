@@ -133,6 +133,30 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Scan parquet") >= 1, p.take(1500))
   }
 
+  test("flagship plan-feature dossiers are pinned (PlanAudit numbers fail CI on drift)") {
+    // exact executed-plan feature counts for the flagship queries at test
+    // scale — a refactor that adds an exchange, loses a broadcast, or
+    // breaks a codegen span changes these numbers and fails HERE instead
+    // of waiting for a bench diff. Cleared cache first: a cached subplan
+    // from an earlier suite substitutes by canonical plan (ignoring
+    // join-strategy context) and would warp the counts.
+    spark.sqlContext.clearCache()
+    val pins = Map(
+      "q1_pricing_summary" -> Map(
+        "bcast_join" -> 0, "smj" -> 0, "shj" -> 0, "cartesian" -> 0,
+        "bcast_nl" -> 0, "exchange" -> 1, "codegen_spans" -> 2, "pushed_scans" -> 1),
+      "q3_topk_revenue" -> Map(
+        "bcast_join" -> 2, "smj" -> 0, "shj" -> 0, "cartesian" -> 0,
+        "bcast_nl" -> 0, "exchange" -> 3, "codegen_spans" -> 4, "pushed_scans" -> 3),
+      "dedup_minhash" -> Map(
+        "bcast_join" -> 2, "smj" -> 0, "shj" -> 1, "cartesian" -> 0,
+        "bcast_nl" -> 0, "exchange" -> 5, "codegen_spans" -> 6, "pushed_scans" -> 0))
+    pins.foreach { case (q, expect) =>
+      val got = PlanAudit.features(SparkEntry.queries(q)(spark, sfDir))
+      assert(got == expect, s"$q plan features drifted: got $got expected $expect")
+    }
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized
