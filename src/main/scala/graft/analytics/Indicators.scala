@@ -328,9 +328,312 @@ object Indicators extends QueryPack {
       |FROM folded
       |ORDER BY company_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // ATR — average true range over daily H/L/C bars
+  // -------------------------------------------------------------------------
+
+  /** trades → per-(company, day) high/low/close bars in exact cents */
+  private def dailyBars(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.select(
+        concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+        expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+      .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), struct(col("ts"), col("eid"))).as("close_c"))
+  }
+
+  private val barsCtes =
+    """t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND AS tsv,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         l_orderkey * 10 + l_linenumber AS eid
+      |  FROM lineitem),
+      |dd AS (
+      |  SELECT company_id, strftime(tsv, '%Y-%m-%d') AS day, cents,
+      |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m-%d')
+      |                            ORDER BY tsv DESC, eid DESC) AS rn_d
+      |  FROM t),
+      |bars AS (
+      |  SELECT company_id, day,
+      |         CAST(max(cents) AS BIGINT) AS high_c,
+      |         CAST(min(cents) AS BIGINT) AS low_c,
+      |         CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c
+      |  FROM dd GROUP BY 1, 2)""".stripMargin
+
+  /** Per-instrument ATR profile over full [[RsiW]]-day windows: the true
+    * range `max(H−L, |H−Cprev|, |L−Cprev|)` is exact integer cents, and
+    * Cutler-style SMA smoothing keeps the average integer too (floor
+    * division by the window length — same every engine). Emits window
+    * count, the latest ATR, and the single widest true range (the
+    * stop-loss sizing readout).
+    */
+  def atr(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val w = Window.partitionBy(col("company_id")).orderBy(col("day"))
+      .rowsBetween(-(RsiW - 1), Window.currentRow)
+    dailyBars(s, dir)
+      .withColumn("prev_c", lag(col("close_c"), 1).over(lw))
+      .where(col("prev_c").isNotNull)
+      .withColumn("tr", greatest(
+        col("high_c") - col("low_c"),
+        abs(col("high_c") - col("prev_c")),
+        abs(col("low_c") - col("prev_c"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("str", sum(col("tr")).over(w))
+      .where(col("n") === RsiW)
+      .withColumn("atr_c", expr(s"str div $RsiW"))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        max_by(col("atr_c"), col("day")).as("last_atr_c"),
+        max(col("tr")).as("max_tr_c"))
+      .orderBy(col("company_id"))
+  }
+
+  private val atrSql =
+    s"""WITH $barsCtes,
+      |tr AS (
+      |  SELECT company_id, day,
+      |         greatest(high_c - low_c, abs(high_c - prev_c), abs(low_c - prev_c)) AS tr
+      |  FROM (SELECT *, lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_c
+      |        FROM bars)
+      |  WHERE prev_c IS NOT NULL),
+      |wd AS (
+      |  SELECT company_id, day, tr,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(sum(tr) OVER w AS BIGINT) AS str
+      |  FROM tr
+      |  WINDOW w AS (PARTITION BY company_id ORDER BY day
+      |               ROWS BETWEEN ${RsiW - 1} PRECEDING AND CURRENT ROW)),
+      |a AS (SELECT company_id, day, tr, str // $RsiW AS atr_c FROM wd WHERE n = $RsiW)
+      |SELECT company_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(max(CASE WHEN rn = 1 THEN atr_c END) AS BIGINT) AS last_atr_c,
+      |       CAST(max(tr) AS BIGINT) AS max_tr_c
+      |FROM (SELECT *, row_number() OVER (PARTITION BY company_id ORDER BY day DESC) AS rn
+      |      FROM a)
+      |GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Stochastic oscillator — %K / %D in integer ppm
+  // -------------------------------------------------------------------------
+
+  /** stochastic regime cuts in ppm (the chartist 80/20) */
+  val StochHi = 800000L
+  val StochLo = 200000L
+
+  /** Per-instrument stochastic-oscillator accounting: %K = position of the
+    * close inside the [[RsiW]]-day high-low range as integer ppm, %D = the
+    * 3-day SMA of %K (an integer floor-mean of integer ppms; NULL %K days
+    * — flat ranges — are skipped by sum identically in both engines).
+    * Emits overbought/oversold day counts and the latest pair — the
+    * momentum-reversal readout RSI's gain/loss ratio smooths away.
+    */
+  def stochastic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("company_id")).orderBy(col("day"))
+      .rowsBetween(-(RsiW - 1), Window.currentRow)
+    val d3 = Window.partitionBy(col("company_id")).orderBy(col("day"))
+      .rowsBetween(-2, Window.currentRow)
+    dailyBars(s, dir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("hh", max(col("high_c")).over(w))
+      .withColumn("ll", min(col("low_c")).over(w))
+      .where(col("n") === RsiW)
+      .withColumn("k_ppm",
+        when(col("hh") > col("ll"),
+          expr("(close_c - ll) * 1000000 div (hh - ll)")))
+      .withColumn("nk", count(lit(1)).over(d3))
+      .withColumn("ksum", sum(col("k_ppm")).over(d3))
+      .withColumn("d_ppm", when(col("nk") === 3, expr("ksum div 3")))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("k_ppm") >= StochHi, 1L).otherwise(0L)).as("n_overbought"),
+        sum(when(col("k_ppm") <= StochLo, 1L).otherwise(0L)).as("n_oversold"),
+        max_by(col("k_ppm"), col("day")).as("last_k_ppm"),
+        max_by(col("d_ppm"), col("day")).as("last_d_ppm"))
+      .orderBy(col("company_id"))
+  }
+
+  private val stochasticSql =
+    s"""WITH $barsCtes,
+      |wd AS (
+      |  SELECT company_id, day, close_c,
+      |         CAST(count(*) OVER w AS BIGINT) AS n,
+      |         CAST(max(high_c) OVER w AS BIGINT) AS hh,
+      |         CAST(min(low_c) OVER w AS BIGINT) AS ll
+      |  FROM bars
+      |  WINDOW w AS (PARTITION BY company_id ORDER BY day
+      |               ROWS BETWEEN ${RsiW - 1} PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT company_id, day,
+      |         CASE WHEN hh > ll THEN (close_c - ll) * 1000000 // (hh - ll) END AS k_ppm
+      |  FROM wd WHERE n = $RsiW),
+      |kd AS (
+      |  SELECT company_id, day, k_ppm,
+      |         CASE WHEN CAST(count(*) OVER d AS BIGINT) = 3
+      |              THEN CAST(sum(k_ppm) OVER d AS BIGINT) // 3 END AS d_ppm
+      |  FROM k
+      |  WINDOW d AS (PARTITION BY company_id ORDER BY day
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      |SELECT company_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(CASE WHEN k_ppm >= $StochHi THEN 1 ELSE 0 END) AS BIGINT) AS n_overbought,
+      |       CAST(sum(CASE WHEN k_ppm <= $StochLo THEN 1 ELSE 0 END) AS BIGINT) AS n_oversold,
+      |       CAST(max(CASE WHEN rn = 1 THEN k_ppm END) AS BIGINT) AS last_k_ppm,
+      |       CAST(max(CASE WHEN rn = 1 THEN d_ppm END) AS BIGINT) AS last_d_ppm
+      |FROM (SELECT *, row_number() OVER (PARTITION BY company_id ORDER BY day DESC) AS rn
+      |      FROM kd)
+      |GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Beta vs the equal-weight market — integer sufficient statistics
+  // -------------------------------------------------------------------------
+
+  /** return clamp in basis points (±1000% per day): keeps every beta
+    * sufficient statistic inside int64 at ANY series length and makes the
+    * estimator outlier-robust — a winsorized beta, documented as such
+    */
+  val BetaClampBp = 100000L
+
+  /** Per-instrument beta against the equal-weight market portfolio:
+    * day-over-day returns in integer basis points — `floor(Δc·1e4 / prev)`
+    * in BOTH engines (floor, never `div`: the numerator goes negative, and
+    * Spark `div` truncates where DuckDB `//` floors), clamped to
+    * ±[[BetaClampBp]]; the market return is the floor-MEAN bp over the
+    * instruments trading that day; then
+    * `beta = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` with every sufficient
+    * statistic an EXACT int64 (clamped bp keep n·Σxy « 2^63 at any
+    * calendar length) and the final slope one `floor(num/den·1e6)` double
+    * sequence — int64→double is IEEE round-to-nearest in both engines, so
+    * the quotient replays. The systematic-risk readout of the CAPM
+    * decomposition.
+    *
+    * 100 TB shape: fact → (instrument, day) closes immediately; returns
+    * and the market relation are calendar-bounded; the market join is a
+    * broadcast. Nothing after the first aggregate scales with rows.
+    */
+  def beta(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val rets = dailyCloses(s, dir)
+      .withColumn("prev_c", lag(col("close_c"), 1).over(lw))
+      .where(col("prev_c").isNotNull && col("prev_c") > 0)
+      .select(col("company_id"), col("day"),
+        expr(s"""least(greatest(
+               |  CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
+               |  ${-BetaClampBp}L), ${BetaClampBp}L)""".stripMargin).as("r_bp"))
+    val mkt = rets.groupBy(col("day"))
+      .agg(expr("CAST(floor(CAST(sum(r_bp) AS DOUBLE) / count(*)) AS BIGINT)").as("m_bp"))
+    rets.join(broadcast(mkt), "day")
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("m_bp")).as("sx"),
+        sum(col("r_bp")).as("sy"),
+        sum(col("m_bp") * col("m_bp")).as("sxx"),
+        sum(col("m_bp") * col("r_bp")).as("sxy"))
+      .select(col("company_id"), col("n"),
+        expr("""CASE WHEN n * sxx - sx * sx > 0 THEN
+               |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               |             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+               |END""".stripMargin).as("beta_e6"))
+      .orderBy(col("company_id"))
+  }
+
+  private val betaSql =
+    s"""WITH $closesCtes,
+      |rets AS (
+      |  SELECT company_id, day,
+      |         least(greatest(
+      |           CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
+      |           -$BetaClampBp), $BetaClampBp) AS r_bp
+      |  FROM (SELECT *, lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_c
+      |        FROM closes)
+      |  WHERE prev_c IS NOT NULL AND prev_c > 0),
+      |mkt AS (
+      |  SELECT day, CAST(floor(CAST(sum(r_bp) AS DOUBLE) / count(*)) AS BIGINT) AS m_bp
+      |  FROM rets GROUP BY day),
+      |st AS (
+      |  SELECT company_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(m_bp) AS BIGINT) AS sx,
+      |         CAST(sum(r_bp) AS BIGINT) AS sy,
+      |         CAST(sum(m_bp * m_bp) AS BIGINT) AS sxx,
+      |         CAST(sum(m_bp * r_bp) AS BIGINT) AS sxy
+      |  FROM rets JOIN mkt USING (day) GROUP BY company_id)
+      |SELECT company_id, n,
+      |       CASE WHEN n * sxx - sx * sx > 0 THEN
+      |         CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+      |       END AS beta_e6
+      |FROM st
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Drawdown duration — the time axis a8_max_drawdown's depth misses
+  // -------------------------------------------------------------------------
+
+  /** Per-instrument underwater-spell accounting: a day is underwater when
+    * its close sits strictly below the running maximum; consecutive
+    * underwater days group into spells by the gaps-and-islands rule
+    * (island id = running count of at-the-high days). Emits total and
+    * LONGEST underwater duration — the recovery-time readout
+    * [[Analytics.maxDrawdown]]'s depth metric cannot give. All integer,
+    * three window passes on the instrument-partitioned series.
+    */
+  def drawdownDuration(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyCloses(s, dir)
+      .withColumn("runmax", max(col("close_c")).over(run))
+      .withColumn("uw", when(col("close_c") < col("runmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(lit(1L) - col("uw")).over(run))
+      .groupBy(col("company_id"), col("island"))
+      .agg(sum(col("uw")).as("spell"))
+      .groupBy(col("company_id"))
+      .agg(
+        sum(col("spell")).as("n_underwater_days"),
+        max(col("spell")).as("max_underwater_days"))
+      .orderBy(col("company_id"))
+  }
+
+  private val drawdownDurationSql =
+    s"""WITH $closesCtes,
+      |r AS (
+      |  SELECT company_id, day, close_c,
+      |         CAST(max(close_c) OVER (PARTITION BY company_id ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmax
+      |  FROM closes),
+      |u AS (
+      |  SELECT company_id, day,
+      |         CASE WHEN close_c < runmax THEN 1 ELSE 0 END AS uw
+      |  FROM r),
+      |isl AS (
+      |  SELECT company_id, uw,
+      |         CAST(sum(1 - uw) OVER (PARTITION BY company_id ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM u),
+      |sp AS (
+      |  SELECT company_id, island, CAST(sum(uw) AS BIGINT) AS spell
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT company_id,
+      |       CAST(sum(spell) AS BIGINT) AS n_underwater_days,
+      |       CAST(max(spell) AS BIGINT) AS max_underwater_days
+      |FROM sp GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ind_obv", obv, Some(obvSql)),
     Q("ind_bollinger", bollinger, Some(bollingerSql)),
     Q("ind_rsi", rsi, Some(rsiSql)),
-    Q("ind_macd", macd, Some(macdSql)))
+    Q("ind_macd", macd, Some(macdSql)),
+    Q("ind_atr", atr, Some(atrSql)),
+    Q("ind_stochastic", stochastic, Some(stochasticSql)),
+    Q("ind_beta", beta, Some(betaSql)),
+    Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

@@ -98,6 +98,64 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("atr: true range dominates high-low and the window mean is bounded by the max") {
+    val rows = Indicators.atr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (last, mx) = (r.getLong(2), r.getLong(3))
+      assert(last >= 0 && mx >= 0 && last <= mx,
+        s"ATR ${last} must sit within [0, max TR ${mx}]")
+    }
+  }
+
+  test("stochastic: %K within [0, 1e6], %D is the floor-mean of a window of %Ks") {
+    val rows = Indicators.stochastic(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ob, os) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ob + os <= nw)
+      if (!r.isNullAt(4)) {
+        val k = r.getLong(4)
+        assert(k >= 0L && k <= 1000000L, s"%K out of range: $k")
+      }
+      if (!r.isNullAt(5)) {
+        val d = r.getLong(5)
+        assert(d >= 0L && d <= 1000000L, s"%D out of range: $d")
+      }
+    }
+  }
+
+  test("beta: equal-weight market has beta ~1 on average and clamp bounds hold") {
+    val rows = Indicators.beta(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val betas = rows.filterNot(_.isNullAt(2)).map(_.getLong(2))
+    assert(betas.nonEmpty)
+    // each instrument's regression slope on the (floor-)mean of all
+    // instruments: individual betas vary, but the cross-sectional average
+    // must hover near 1 (it IS ~the average of slopes whose weighted sum
+    // reconstructs the market) — a wide corridor still catches a sign or
+    // scaling bug cold
+    val mean = betas.sum.toDouble / betas.length / 1e6
+    assert(mean > 0.2 && mean < 5.0, s"cross-sectional mean beta $mean implausible")
+  }
+
+  test("drawdown duration: totals bound spells and a monotone series is never underwater") {
+    val got = Indicators.drawdownDuration(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == series.keySet)
+    series.foreach { case (c, s) =>
+      // independent recompute
+      var runmax = Long.MinValue; var cur = 0L; var best = 0L; var tot = 0L
+      s.map(_._1).foreach { v =>
+        if (v > runmax) runmax = v
+        if (v < runmax) { cur += 1; tot += 1; best = math.max(best, cur) }
+        else cur = 0
+      }
+      val (gt, gm) = got(c)
+      assert(gt == tot && gm == best, s"$c underwater: got ($gt,$gm) want ($tot,$best)")
+    }
+  }
+
   test("macd: fold replays in memory and hist = macd - signal at the e6 grain") {
     val got = Indicators.macd(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
