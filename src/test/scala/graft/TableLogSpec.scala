@@ -110,6 +110,9 @@ class TableLogSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
     // idempotent: a second sweep finds nothing
     assert(TableLog.gcOrphans(t) == 0)
+    // a fresh/absent table reports 0 removed instead of throwing
+    // (NoSuchFileException regression: the CLI `graft gc` crashed here)
+    assert(TableLog.gcOrphans("/tmp/graft_test_gc_never_created") == 0)
   }
 
   test("vacuum keeps files still referenced by a kept version") {
