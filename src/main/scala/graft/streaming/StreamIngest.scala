@@ -541,6 +541,50 @@ object StreamIngest {
       }
   }
 
+  case class DayBar(company: String, day: Long, close_c: Long, vol: Long)
+  case class ObvStreamState(lastDay: Long, lastClose: Long, obv: Long,
+      obvMin: Long, obvMax: Long, nDays: Long)
+  case class ObvPoint(company: String, last_day: Long, obv: Long,
+      obv_min: Long, obv_max: Long, n_days: Long)
+
+  /** Streaming OBV monitor — the live twin of
+    * [[graft.analytics.Indicators.obv]]: per-instrument
+    * [prevClose, obv, running extremes] scalars under `mapGroupsWithState`
+    * over COMPLETED daily bars (the [[ohlcvBars]] output grain) — O(1)
+    * state per instrument forever, exactly the segment a per-symbol ticker
+    * plant keeps. Bars must arrive in day order across triggers (the bar
+    * builder emits completed windows in order); within a batch the iterator
+    * is sorted before folding, so ANY trigger split of an ordered bar
+    * stream produces identical state. A late or duplicate bar
+    * (day ≤ lastDay) is dropped deterministically rather than corrupting
+    * the accumulation — at-least-once redelivery of the latest bar is a
+    * no-op.
+    */
+  def streamingObv(bars: org.apache.spark.sql.Dataset[DayBar]):
+      org.apache.spark.sql.Dataset[ObvPoint] = {
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.company)
+      .mapGroupsWithState[ObvStreamState, ObvPoint](GroupStateTimeout.NoTimeout()) {
+        (company: String, it: Iterator[DayBar], state: GroupState[ObvStreamState]) =>
+          var st = state.getOption.getOrElse(
+            ObvStreamState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(_.day).foreach { b =>
+            if (b.day > st.lastDay) {
+              val signed =
+                if (st.nDays == 0L) 0L
+                else if (b.close_c > st.lastClose) b.vol
+                else if (b.close_c < st.lastClose) -b.vol
+                else 0L
+              val obv = st.obv + signed
+              st = ObvStreamState(b.day, b.close_c, obv,
+                math.min(st.obvMin, obv), math.max(st.obvMax, obv), st.nDays + 1L)
+            }
+          }
+          state.update(st)
+          ObvPoint(company, st.lastDay, st.obv, st.obvMin, st.obvMax, st.nDays)
+      }
+  }
+
   case class Purchase(user: String, mc: Long)
   case class RollingSpend(user: String, n: Long, total_mc: Long, last3_mc: Long)
 

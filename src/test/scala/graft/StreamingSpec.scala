@@ -464,6 +464,36 @@ class StreamingSpec extends SparkSpec {
     assert(whole == split, "scores must not depend on trigger boundaries")
   }
 
+  test("streaming obv: trigger-split invariant, late bars dropped, extremes tracked") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamIngest.{DayBar, ObvPoint}
+    val t1 = Seq(DayBar("A", 1L, 100L, 10L), DayBar("A", 2L, 120L, 5L),
+      DayBar("B", 1L, 50L, 7L))
+    val t2 = Seq(DayBar("A", 3L, 110L, 8L), DayBar("A", 2L, 999L, 99L), // late dup: dropped
+      DayBar("B", 2L, 40L, 3L))
+    def run(name: String, batches: Seq[Seq[DayBar]]): Map[String, (Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[DayBar]
+      val q = StreamIngest.streamingObv(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[ObvPoint].collect()
+        .groupBy(_.company).map { case (k, v) =>
+          val last = v.maxBy(_.n_days)
+          k -> ((last.last_day, last.obv, last.obv_min, last.obv_max, last.n_days))
+        }
+    }
+    val split = run("obv_split", Seq(t1, t2))
+    // A: day1 obv 0; day2 close up -> +5; day3 close down -> -8 => -3;
+    //    the day-2 replay (999) must be ignored
+    assert(split("A") == ((3L, -3L, -3L, 5L, 3L)))
+    // B: day1 obv 0; day2 close down -> -3
+    assert(split("B") == ((2L, -3L, -3L, 0L, 2L)))
+    // identical state when the same ordered bars arrive in ONE trigger
+    val whole = run("obv_whole", Seq(t1.take(2) ++ Seq(t1(2), t2(0), t2(2))))
+    assert(whole == split, "obv must not depend on trigger boundaries")
+  }
+
   test("streaming heavy hitters accumulate MG state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamIngest.Tok]
