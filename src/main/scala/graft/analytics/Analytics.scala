@@ -416,10 +416,13 @@ object Analytics extends QueryPack {
     trades
       .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM").as("month"))
       .agg(
-        min_by(col("price"), struct(col("ts"), col("eid"))).as("open"),
+        // price itself joins both pick orders: the driver testdata carries
+        // DUPLICATE (orderkey, linenumber) pairs at sf0.1, so (ts, eid)
+        // alone can tie with different prices — ambiguous across engines
+        min_by(col("price"), struct(col("ts"), col("eid"), col("price"))).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), struct(col("ts"), col("eid"))).as("close"),
+        max_by(col("price"), struct(col("ts"), col("eid"), col("price"))).as("close"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_trades"))
   }
@@ -435,9 +438,9 @@ object Analytics extends QueryPack {
       |o AS (
       |  SELECT company_id, strftime(tsv, '%Y-%m') AS month, price, volume,
       |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m')
-      |                            ORDER BY tsv, eid) AS rn_a,
+      |                            ORDER BY tsv, eid, price) AS rn_a,
       |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m')
-      |                            ORDER BY tsv DESC, eid DESC) AS rn_d
+      |                            ORDER BY tsv DESC, eid DESC, price DESC) AS rn_d
       |  FROM t)
       |SELECT company_id, month,
       |       max(CASE WHEN rn_a = 1 THEN price END) AS open,

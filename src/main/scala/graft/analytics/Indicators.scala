@@ -48,7 +48,11 @@ object Indicators extends QueryPack {
         (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
       .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(
-        max_by(col("cents"), struct(col("ts"), col("eid"))).as("close_c"),
+        // cents joins the pick order: the testdata carries DUPLICATE
+        // (orderkey, linenumber) pairs at sf0.1, so (ts, eid) alone ties
+        // with different prices and the close pick is ambiguous across
+        // engines — found by the deep gate, invisible at sf0.01
+        max_by(col("cents"), struct(col("ts"), col("eid"), col("cents"))).as("close_c"),
         sum(col("volume")).as("vol"))
   }
 
@@ -64,7 +68,7 @@ object Indicators extends QueryPack {
       |dd AS (
       |  SELECT company_id, strftime(tsv, '%Y-%m-%d') AS day, cents, volume,
       |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m-%d')
-      |                            ORDER BY tsv DESC, eid DESC) AS rn_d
+      |                            ORDER BY tsv DESC, eid DESC, cents DESC) AS rn_d
       |  FROM t),
       |closes AS (
       |  SELECT company_id, day,
@@ -344,7 +348,8 @@ object Indicators extends QueryPack {
       .agg(
         max(col("cents")).as("high_c"),
         min(col("cents")).as("low_c"),
-        max_by(col("cents"), struct(col("ts"), col("eid"))).as("close_c"))
+        // same duplicate-(orderkey, linenumber) tie-break as [[dailyCloses]]
+        max_by(col("cents"), struct(col("ts"), col("eid"), col("cents"))).as("close_c"))
   }
 
   private val barsCtes =
@@ -357,7 +362,7 @@ object Indicators extends QueryPack {
       |dd AS (
       |  SELECT company_id, strftime(tsv, '%Y-%m-%d') AS day, cents,
       |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m-%d')
-      |                            ORDER BY tsv DESC, eid DESC) AS rn_d
+      |                            ORDER BY tsv DESC, eid DESC, cents DESC) AS rn_d
       |  FROM t),
       |bars AS (
       |  SELECT company_id, day,
@@ -575,6 +580,65 @@ object Indicators extends QueryPack {
       |ORDER BY company_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Sharpe ratio — risk-adjusted return, engine-exact sqrt discipline
+  // -------------------------------------------------------------------------
+
+  /** Per-instrument per-day Sharpe ratio on the clamped bp returns of
+    * [[beta]]: mean/std collapses to `Σr / sqrt(n·Σr² − (Σr)²)` (the n's
+    * cancel), which is exactly TWO correctly-rounded IEEE ops — one sqrt
+    * of an exact int64 (int64→double is round-to-nearest in both engines,
+    * IEEE sqrt is correctly rounded) and one division — then a ×1e6
+    * multiply and floor, all in the same fixed sequence in both engines,
+    * so even this ratio-of-moments hash-gates. Zero-variance series emit
+    * NULL. (Per-day, not annualized: the √252 convention is a constant
+    * factor readers can apply.)
+    */
+  def sharpe(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    dailyCloses(s, dir)
+      .withColumn("prev_c", lag(col("close_c"), 1).over(lw))
+      .where(col("prev_c").isNotNull && col("prev_c") > 0)
+      .select(col("company_id"),
+        expr(s"""least(greatest(
+               |  CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
+               |  ${-BetaClampBp}L), ${BetaClampBp}L)""".stripMargin).as("r_bp"))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("r_bp")).as("sr"),
+        sum(col("r_bp") * col("r_bp")).as("srr"))
+      .select(col("company_id"), col("n"), col("sr"),
+        expr("""CASE WHEN n * srr - sr * sr > 0 THEN
+               |  CAST(floor(CAST(sr AS DOUBLE)
+               |             / sqrt(CAST(n * srr - sr * sr AS DOUBLE)) * 1000000) AS BIGINT)
+               |END""".stripMargin).as("sharpe_e6"))
+      .orderBy(col("company_id"))
+  }
+
+  private val sharpeSql =
+    s"""WITH $closesCtes,
+      |rets AS (
+      |  SELECT company_id,
+      |         least(greatest(
+      |           CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
+      |           -$BetaClampBp), $BetaClampBp) AS r_bp
+      |  FROM (SELECT *, lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_c
+      |        FROM closes)
+      |  WHERE prev_c IS NOT NULL AND prev_c > 0),
+      |st AS (
+      |  SELECT company_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(r_bp) AS BIGINT) AS sr,
+      |         CAST(sum(r_bp * r_bp) AS BIGINT) AS srr
+      |  FROM rets GROUP BY company_id)
+      |SELECT company_id, n, sr,
+      |       CASE WHEN n * srr - sr * sr > 0 THEN
+      |         CAST(floor(CAST(sr AS DOUBLE)
+      |                    / sqrt(CAST(n * srr - sr * sr AS DOUBLE)) * 1000000) AS BIGINT)
+      |       END AS sharpe_e6
+      |FROM st
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Drawdown duration — the time axis a8_max_drawdown's depth misses
   // -------------------------------------------------------------------------
 
@@ -635,5 +699,6 @@ object Indicators extends QueryPack {
     Q("ind_atr", atr, Some(atrSql)),
     Q("ind_stochastic", stochastic, Some(stochasticSql)),
     Q("ind_beta", beta, Some(betaSql)),
+    Q("ind_sharpe", sharpe, Some(sharpeSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

