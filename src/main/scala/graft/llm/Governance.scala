@@ -1105,7 +1105,86 @@ object Governance extends QueryPack {
        |ORDER BY digit""".stripMargin
   }
 
+  /** SAR cohort: data subjects with user/customer key ≡ 0 (mod this) */
+  val SarMod = 17L
+
+  /** GDPR subject-access-request export — the READ companion of
+    * [[gdprErasure]] (Art. 15 beside Art. 17): for a deterministic subject
+    * cohort (key % [[SarMod]] = 0), inventory EVERYTHING the engine holds
+    * about them across tables — row counts, distinct-subject counts, and
+    * ORDER-FREE md5-half content checksums of each row's canonical
+    * rendering (the [[graft.analytics.Relational.tableFingerprint]] canon:
+    * integerized fields joined with '|'), so the export manifest proves
+    * completeness: any missing row, extra row, or altered value flips the
+    * checksum. This is the artifact a compliance team hands the requester
+    * alongside the data.
+    *
+    * 100 TB shape: one scan per table with a narrow per-row hash
+    * projection; each leg collapses to a 1-row aggregate (the
+    * single-distinct subject count is the two-level no-Expand shape); no
+    * joins — each table is inventoried against its own subject key.
+    */
+  def gdprSarExport(s: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, df: DataFrame, subject: Column, canon: Column): DataFrame = {
+      val h = md5(canon.cast("binary"))
+      df.select(subject.as("subj"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+        .agg(
+          countDistinct(col("subj")).as("n_subjects"),
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col("h1")), lit(0L)).as("sum_h1"),
+          coalesce(sum(col("h2")), lit(0L)).as("sum_h2"))
+        .select(lit(name).as("table_name"), col("n_subjects"), col("n_rows"),
+          col("sum_h1"), col("sum_h2"))
+    }
+    val ev = Tables.load(s, dir, "events").where(col("user_id") % SarMod === 0)
+    val od = Tables.load(s, dir, "orders").where(col("o_custkey") % SarMod === 0)
+    val cu = Tables.load(s, dir, "customer").where(col("c_custkey") % SarMod === 0)
+    leg("events", ev, col("user_id"),
+        concat_ws("|", col("event_id"), col("user_id"), col("event_type"),
+          coalesce(floor(col("value") * 1000).cast("long"), lit(-1L))))
+      .unionByName(leg("orders", od, col("o_custkey"),
+        concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))))
+      .unionByName(leg("customer", cu, col("c_custkey"),
+        concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"))))
+      .orderBy(col("table_name"))
+  }
+
+  private val gdprSarExportSql =
+    s"""WITH ev AS (
+      |  SELECT md5(concat_ws('|', event_id, user_id, event_type,
+      |           coalesce(CAST(floor(value * 1000) AS BIGINT), -1))) AS h, user_id AS subj
+      |  FROM events WHERE user_id % $SarMod = 0),
+      |od AS (
+      |  SELECT md5(concat_ws('|', o_orderkey, o_custkey,
+      |           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))) AS h,
+      |         o_custkey AS subj
+      |  FROM orders WHERE o_custkey % $SarMod = 0),
+      |cu AS (
+      |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey)) AS h,
+      |         c_custkey AS subj
+      |  FROM customer WHERE c_custkey % $SarMod = 0)
+      |SELECT 'events' AS table_name, count(DISTINCT subj) AS n_subjects,
+      |       count(*) AS n_rows,
+      |       CAST(coalesce(sum(CAST('0x' || substr(h, 1, 8) AS BIGINT)), 0) AS BIGINT) AS sum_h1,
+      |       CAST(coalesce(sum(CAST('0x' || substr(h, 9, 8) AS BIGINT)), 0) AS BIGINT) AS sum_h2
+      |FROM ev
+      |UNION ALL
+      |SELECT 'orders', count(DISTINCT subj), count(*),
+      |       CAST(coalesce(sum(CAST('0x' || substr(h, 1, 8) AS BIGINT)), 0) AS BIGINT),
+      |       CAST(coalesce(sum(CAST('0x' || substr(h, 9, 8) AS BIGINT)), 0) AS BIGINT)
+      |FROM od
+      |UNION ALL
+      |SELECT 'customer', count(DISTINCT subj), count(*),
+      |       CAST(coalesce(sum(CAST('0x' || substr(h, 1, 8) AS BIGINT)), 0) AS BIGINT),
+      |       CAST(coalesce(sum(CAST('0x' || substr(h, 9, 8) AS BIGINT)), 0) AS BIGINT)
+      |FROM cu
+      |ORDER BY table_name""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("gdpr_sar_export", gdprSarExport, Some(gdprSarExportSql)),
     Q("benford_audit", benfordAudit, Some(benfordAuditSql)),
     Q("fairness_audit", fairnessAudit, Some(fairnessAuditSql)),
     Q("fd_audit", fdAudit, Some(fdAuditSql)),

@@ -263,6 +263,35 @@ class LlmSpec extends SparkSpec {
     assert(v1.where(col("user_id") % Governance.ErasureMod === 0).count() == 0)
   }
 
+  test("gdpr_sar_export inventories exactly the cohort and its checksum detects tampering") {
+    import graft.llm.Governance
+    val rows = Governance.gdprSarExport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("events", "orders", "customer"))
+    // completeness: counts match independent recomputes of the cohort
+    val ev = Tables.load(spark, sfDir, "events")
+      .where(col("user_id") % Governance.SarMod === 0)
+    assert(rows("events")._2 == ev.count())
+    assert(rows("events")._1 ==
+      ev.select("user_id").distinct().count())
+    val cu = Tables.load(spark, sfDir, "customer")
+      .where(col("c_custkey") % Governance.SarMod === 0)
+    assert(rows("customer")._1 == rows("customer")._2 && rows("customer")._2 == cu.count(),
+      "customer dim: one row per subject")
+    // tamper evidence: dropping ONE cohort row must change the checksum pair
+    // (recompute the customer leg minus its smallest key)
+    val minKey = cu.agg(org.apache.spark.sql.functions.min("c_custkey"))
+      .collect()(0).getLong(0)
+    val h = md5(concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey")).cast("binary"))
+    val tampered = cu.where(col("c_custkey") =!= minKey)
+      .agg(
+        sum(conv(substring(h, 1, 8), 16, 10).cast("long")).as("h1"),
+        sum(conv(substring(h, 9, 8), 16, 10).cast("long")).as("h2"))
+      .collect()(0)
+    assert((tampered.getLong(0), tampered.getLong(1)) != ((rows("customer")._3, rows("customer")._4)),
+      "a dropped row must flip the manifest checksum")
+  }
+
   test("dedup_minhash finds the planted near-dup pairs exact jaccard finds") {
     val exactPairs = Dedup.jaccard(spark, sfDir)
       .where(col("j_e6") >= 800000)
