@@ -1084,7 +1084,118 @@ object Curation extends QueryPack {
       |FROM synth s JOIN real USING (pr)
       |GROUP BY pr, n_real, cents_real""".stripMargin
 
+  /** short-doc cut (tokens) for the [[datasetCard]] short-doc metric */
+  val CardShortTok = 10L
+
+  /** Dataset card / datasheet — the one-relation summary a corpus release
+    * ships (the "Datasheets for Datasets" practice): size, source/language
+    * breadth, token statistics (total, floor-mean, exact ceil-rank median),
+    * exact-duplicate accounting, concentration, and the short-doc tail — a
+    * TALL (metric, value) relation so downstream tooling diffs cards
+    * across releases without schema churn. Every number is exact integer
+    * arithmetic; the median rides the verified `rn·2 ≥ n` ceil-rank rule on
+    * the token-count histogram.
+    *
+    * 100 TB shape: ONE tokenize pass builds the per-doc profile (id,
+    * source, lang, chars, tokens, text-md5) — everything else aggregates
+    * that narrow relation: the duplicate leg shuffles 16-byte hashes, the
+    * median runs on the token-count histogram (value-domain-bounded), and
+    * the final card is a handful of 1-row reduces unioned metadata-side.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(TextStats.tokensCol).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("h"))
+      .cache()
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("n_chars_total"),
+      sum(col("n_tok")).as("n_tokens_total"),
+      sum(when(col("n_tok") < CardShortTok, 1L).otherwise(0L)).as("n_short_docs"))
+    val langs = d.agg(countDistinct(col("lang")).as("n_langs"))
+    val dups = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c")).otherwise(0L)), lit(0L))
+        .as("n_dup_docs"))
+    val topSrc = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_source_docs"))
+    // exact median tokens/doc: ceil-rank rule on the token-count histogram
+    // (value-domain-bounded; the constant-pid idiom keeps the tiny global
+    // window off WindowExec's move-everything path — CLAUDE.md)
+    val medTok = d.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("n_tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .where(col("cum") * 2 >= col("n"))
+      .agg(min(col("n_tok")).as("median_tokens"))
+    val row = base.crossJoin(broadcast(langs)).crossJoin(broadcast(dups))
+      .crossJoin(broadcast(topSrc)).crossJoin(broadcast(medTok))
+    def m(name: String, v: Column) =
+      struct(lit(name).as("metric"), v.cast("long").as("value"))
+    row.select(explode(array(
+        m("n_docs", col("n_docs")),
+        m("n_sources", col("n_sources")),
+        m("n_langs", col("n_langs")),
+        m("n_chars_total", col("n_chars_total")),
+        m("n_tokens_total", col("n_tokens_total")),
+        m("mean_tokens_per_doc", expr("n_tokens_total div n_docs")),
+        m("median_tokens_per_doc", col("median_tokens")),
+        m("n_exact_dup_docs", col("n_dup_docs")),
+        m("dup_ppm", expr("n_dup_docs * 1000000 div n_docs")),
+        m("top_source_share_ppm", expr("top_source_docs * 1000000 div n_docs")),
+        m("n_short_docs", col("n_short_docs")))).as("p"))
+      .select(col("p.metric"), col("p.value"))
+      .orderBy(col("metric"))
+  }
+
+  private val datasetCardSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |         CAST(len(${TextStats.tokensSql}) AS BIGINT) AS n_tok,
+      |         md5(text) AS h
+      |  FROM documents),
+      |base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens_total,
+      |         CAST(sum(CASE WHEN n_tok < $CardShortTok THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+      |  FROM d),
+      |dups AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS n_dup_docs
+      |  FROM (SELECT h, count(*) AS c FROM d GROUP BY h)),
+      |topsrc AS (
+      |  SELECT CAST(max(c) AS BIGINT) AS top_source_docs
+      |  FROM (SELECT source, count(*) AS c FROM d GROUP BY source)),
+      |med AS (
+      |  SELECT CAST(min(n_tok) AS BIGINT) AS median_tokens
+      |  FROM (SELECT n_tok,
+      |               sum(c) OVER (ORDER BY n_tok
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |               (SELECT count(*) FROM d) AS n
+      |        FROM (SELECT n_tok, count(*) AS c FROM d GROUP BY n_tok))
+      |  WHERE cum * 2 >= n)
+      |SELECT metric, value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+      |  UNION ALL SELECT 'n_sources', n_sources FROM base
+      |  UNION ALL SELECT 'n_langs', n_langs FROM base
+      |  UNION ALL SELECT 'n_chars_total', n_chars_total FROM base
+      |  UNION ALL SELECT 'n_tokens_total', n_tokens_total FROM base
+      |  UNION ALL SELECT 'mean_tokens_per_doc', n_tokens_total // n_docs FROM base
+      |  UNION ALL SELECT 'median_tokens_per_doc', median_tokens FROM med
+      |  UNION ALL SELECT 'n_exact_dup_docs', n_dup_docs FROM dups
+      |  UNION ALL SELECT 'dup_ppm', n_dup_docs * 1000000 // n_docs FROM dups CROSS JOIN base
+      |  UNION ALL SELECT 'top_source_share_ppm', top_source_docs * 1000000 // n_docs
+      |            FROM topsrc CROSS JOIN base
+      |  UNION ALL SELECT 'n_short_docs', n_short_docs FROM base)
+      |ORDER BY metric""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("dataset_card", datasetCard, Some(datasetCardSql)),
     Q("synth_bootstrap_audit", synthBootstrapAudit, Some(synthBootstrapAuditSql)),
     Q("dsir_select", dsirSelect, Some(dsirSelectSql)),
     Q("temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),

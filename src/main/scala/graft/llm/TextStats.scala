@@ -43,7 +43,7 @@ object TextStats extends QueryPack {
     */
   val tokensCol: Column = filter(split(trim(col("text")), WsRe), x => x =!= lit(""))
 
-  private val tokensSql = s"list_filter(regexp_split_to_array(trim(text), '$WsRe'), x -> x <> '')"
+  private[llm] val tokensSql = s"list_filter(regexp_split_to_array(trim(text), '$WsRe'), x -> x <> '')"
 
   /** tiny English-stopword list used by quality scoring + language ID */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")

@@ -263,6 +263,21 @@ class LlmSpec extends SparkSpec {
     assert(v1.where(col("user_id") % Governance.ErasureMod === 0).count() == 0)
   }
 
+  test("dataset_card: internal identities hold and counts match the raw corpus") {
+    import graft.llm.Curation
+    val card = Curation.datasetCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(card("n_docs") == docs.count())
+    assert(card("n_sources") == docs.select("source").distinct().count())
+    assert(card("dup_ppm") == card("n_exact_dup_docs") * 1000000L / card("n_docs"))
+    assert(card("mean_tokens_per_doc") == card("n_tokens_total") / card("n_docs"))
+    assert(card("median_tokens_per_doc") > 0 &&
+      card("n_short_docs") <= card("n_docs"))
+    assert(card("top_source_share_ppm") >= 1000000L / card("n_sources"),
+      "top source must carry at least the uniform share")
+  }
+
   test("gdpr_sar_export inventories exactly the cohort and its checksum detects tampering") {
     import graft.llm.Governance
     val rows = Governance.gdprSarExport(spark, sfDir).collect()
