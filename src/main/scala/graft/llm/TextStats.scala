@@ -1271,7 +1271,140 @@ object TextStats extends QueryPack {
       |WHERE rank <= $SigK
       |ORDER BY source, rank""".stripMargin
 
+  /** PRF shape: queries, query terms, feedback depth, expansion terms, top-k */
+  val PrfQueries = 8
+  val PrfQTerms = 3
+  val PrfFb = 5
+  val PrfExp = 2
+  val PrfK = 10
+
+  /** Pseudo-relevance-feedback retrieval (Rocchio's two-pass expansion over
+    * the BM25 index): each query (a probe document's [[PrfQTerms]] top BM25
+    * terms) retrieves a first ranking; the top [[PrfFb]] feedback docs vote
+    * expansion terms (highest summed BM25 mass, original terms excluded);
+    * the query re-runs with original terms at weight 2 and expansion terms
+    * at weight 1, emitting the final top-[[PrfK]]. The recall lever BM25
+    * alone lacks: a vocabulary-mismatched relevant doc enters through the
+    * expansion terms.
+    *
+    * Cross-engine exactness: each (doc, term) BM25 score is the established
+    * bit-identical rational double chain integerized floor-1e6 BEFORE any
+    * summation, so every ranking sums/compares exact int64 — no float
+    * summation order anywhere. (At extreme corpus scale the rational idf
+    * factor grows ~N/df; a deployment drops the fixed point to e3 or adds
+    * a min-df cut to keep weighted sums « 2^63 — same headroom note as the
+    * signature-term lift.)
+    *
+    * 100 TB shape: scoring joins the posting relation ON TERM against a
+    * broadcast ≤ queries×(terms+expansions) relation — only postings of
+    * query terms ever move; both rescore rounds are (query, doc) integer
+    * partial aggregates; every window is query-partitioned over
+    * candidate-sized relations. The final card is collect-materialized
+    * (≤ queries×k rows), releasing the shared posting cache.
+    */
+  def prfSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokensCol).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nRel = docs.agg(count(lit(1)).as("n_total"))
+    val score =
+      (col("tf") * (lit(11) / lit(5)) / (col("tf") + lit(6) / lit(5))) *
+        ((col("n_total") - col("df") + lit(1) / lit(2)) / (col("df") + lit(1) / lit(2)))
+    val pair = tf.join(dfRel, "term")
+      .crossJoin(broadcast(nRel))
+      .select(col("doc_id"), col("term"),
+        floor(score * lit(1000000)).cast("long").as("s_e6"))
+      .cache()
+    val qids = docs.orderBy("doc_id").limit(PrfQueries)
+      .select(col("doc_id").as("query_id"))
+    val wq = Window.partitionBy("query_id").orderBy(col("s_e6").desc, col("term"))
+    val qterms = pair.join(broadcast(qids), col("doc_id") === col("query_id"))
+      .withColumn("r", row_number().over(wq)).where(col("r") <= PrfQTerms)
+      .select(col("query_id"), col("term"))
+    def scoreWith(terms: DataFrame): DataFrame =
+      pair.join(broadcast(terms), "term")
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("s_e6") * col("w")).as("score_e6"))
+    val r1 = scoreWith(qterms.withColumn("w", lit(2L)))
+    val wr = Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))
+    val fb = r1.withColumn("r", row_number().over(wr)).where(col("r") <= PrfFb)
+      .select(col("query_id"), col("doc_id"))
+    val wexp = Window.partitionBy("query_id").orderBy(col("t_e6").desc, col("term"))
+    val exp = pair.join(broadcast(fb), "doc_id")
+      .groupBy(col("query_id"), col("term")).agg(sum(col("s_e6")).as("t_e6"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+      .withColumn("r", row_number().over(wexp)).where(col("r") <= PrfExp)
+      .select(col("query_id"), col("term"))
+    val allTerms = qterms.withColumn("w", lit(2L))
+      .unionByName(exp.withColumn("w", lit(1L)))
+    val out = scoreWith(allTerms)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .where(col("rank") <= PrfK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"))
+      .orderBy(col("query_id"), col("rank"))
+    val rows = out.collect()
+    pair.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val prfSearchSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_total FROM documents),
+      |pair AS (
+      |  SELECT doc_id, term,
+      |         CAST(floor((tf * (11 / 5) / (tf + 6 / 5))
+      |           * ((n_total - df + 1 / 2) / (df + 1 / 2)) * 1000000) AS BIGINT) AS s_e6
+      |  FROM tf JOIN dfr USING (term) CROSS JOIN n),
+      |qids AS (SELECT doc_id AS query_id FROM documents ORDER BY doc_id LIMIT $PrfQueries),
+      |qterms AS (
+      |  SELECT query_id, term FROM (
+      |    SELECT q.query_id, p.term,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |                              ORDER BY p.s_e6 DESC, p.term) AS r
+      |    FROM pair p JOIN qids q ON p.doc_id = q.query_id)
+      |  WHERE r <= $PrfQTerms),
+      |r1 AS (
+      |  SELECT t.query_id, p.doc_id, CAST(sum(p.s_e6 * 2) AS BIGINT) AS score_e6
+      |  FROM pair p JOIN qterms t USING (term)
+      |  WHERE p.doc_id <> t.query_id GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY score_e6 DESC, doc_id) AS r
+      |    FROM r1)
+      |  WHERE r <= $PrfFb),
+      |cand AS (
+      |  SELECT f.query_id, p.term, CAST(sum(p.s_e6) AS BIGINT) AS t_e6
+      |  FROM pair p JOIN fb f ON p.doc_id = f.doc_id GROUP BY 1, 2),
+      |expd AS (
+      |  SELECT query_id, term FROM (
+      |    SELECT c.query_id, c.term,
+      |           row_number() OVER (PARTITION BY c.query_id
+      |                              ORDER BY c.t_e6 DESC, c.term) AS r
+      |    FROM cand c ANTI JOIN qterms t
+      |      ON t.query_id = c.query_id AND t.term = c.term)
+      |  WHERE r <= $PrfExp),
+      |allt AS (
+      |  SELECT query_id, term, 2 AS w FROM qterms
+      |  UNION ALL SELECT query_id, term, 1 FROM expd),
+      |r2 AS (
+      |  SELECT t.query_id, p.doc_id, CAST(sum(p.s_e6 * t.w) AS BIGINT) AS score_e6
+      |  FROM pair p JOIN allt t USING (term)
+      |  WHERE p.doc_id <> t.query_id GROUP BY 1, 2)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_e6 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score_e6 DESC, doc_id) AS rank
+      |  FROM r2)
+      |WHERE rank <= $PrfK
+      |ORDER BY query_id, rank""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("text_prf_search", prfSearch, Some(prfSearchSql)),
     Q("source_signature_terms", sourceSignatureTerms, Some(sourceSignatureTermsSql)),
     Q("bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),

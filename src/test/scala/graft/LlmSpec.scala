@@ -263,6 +263,32 @@ class LlmSpec extends SparkSpec {
     assert(v1.where(col("user_id") % Governance.ErasureMod === 0).count() == 0)
   }
 
+  test("text_prf_search: contiguous per-query rankings, no self-retrieval, deterministic") {
+    import graft.llm.TextStats
+    val rows = TextStats.prfSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val qids = Tables.load(spark, sfDir, "documents")
+      .orderBy("doc_id").limit(TextStats.PrfQueries)
+      .select("doc_id").as[Long].collect().toSet
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(qids.contains(q), s"query $q not in the probe set")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"ranks not contiguous for $q")
+      assert(rs.length <= TextStats.PrfK)
+      assert(!rs.exists(_._3 == q), "a query must not retrieve itself")
+      // ranking consistent with scores (desc, doc asc tiebreak)
+      val byRank = rs.sortBy(_._2).map(r => (r._4, r._3)).toSeq
+      assert(byRank == byRank.sortBy { case (sc, id) => (-sc, id) },
+        s"rank order disagrees with scores for $q")
+      assert(rs.forall(_._4 > 0), "scores must be positive")
+    }
+    // determinism: an immediate re-run returns the identical card
+    val again = TextStats.prfSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("dataset_card: internal identities hold and counts match the raw corpus") {
     import graft.llm.Curation
     val card = Curation.datasetCard(spark, sfDir).collect()
