@@ -541,6 +541,83 @@ object StreamIngest {
       }
   }
 
+  /** chi2 drift verdict threshold in milli (9 df at alpha=0.05 ≈ 16.919;
+    * the monitor compares against the caller-supplied critical value)
+    */
+  case class DriftVerdict(batch_id: Long, n_live: Long, chi2_milli: Long, drifted: Boolean)
+
+  /** Streaming distribution-drift monitor — the live twin of
+    * [[graft.llm.Governance.driftChi2]]: each micro-batch's per-type counts
+    * merge into an ACCUMULATING live contingency held in a table-log table
+    * (txn = batch id via `commitOnceOverwrite`, so a crash-replayed batch
+    * merges exactly once), and the chi-square of accumulated-live vs the
+    * frozen reference distribution is emitted per batch with the drift
+    * verdict. State and verdicts are both type-domain-bounded relations;
+    * the only fact-scale work per trigger is one map-side-combined count
+    * aggregate. Chi2 uses the SAME rational cell form as the batch twin —
+    * `(o·N − rt·ct)² / (rt·ct·N)`, floor-milli integerized per cell before
+    * the (bounded, type-ordered) summation — computed driver-side over the
+    * collected ≤|types|×2 contingency, so batch and stream agree exactly.
+    */
+  def driftMonitorStream(
+      events: DataFrame,
+      refCounts: Map[String, Long],
+      stateTable: String,
+      outDir: String,
+      checkpointDir: String,
+      critMilli: Long = 16919L): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bc = batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val prior =
+          if (graft.sources.TableLog.versions(stateTable).nonEmpty)
+            graft.sources.TableLog.read(spark, stateTable)
+          else spark.createDataset(Seq.empty[(String, Long)]).toDF("event_type", "n")
+        val merged = prior.unionByName(bc)
+          .groupBy("event_type").agg(sum(col("n")).as("n"))
+        // exactly-once state growth: a replayed batch's txn id is already
+        // committed and the merge is skipped — the state table never
+        // double-counts
+        graft.sources.TableLog.commitOnceOverwrite(
+          merged, stateTable, s"drift_b$batchId")
+        val live = graft.sources.TableLog.read(spark, stateTable)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val verdict = chi2Milli(refCounts, live)
+        Seq(DriftVerdict(batchId, live.values.sum, verdict, verdict > critMilli))
+          .toDF()
+          .withColumn("_batch", lit(batchId))
+          .write.partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** the batch twin's rational chi2 on a bounded contingency: per-cell
+    * `(o·N − rt·ct)² / (rt·ct·N)` floor-milli BEFORE summation, cells
+    * visited in type order — a pure deterministic function of the counts
+    */
+  private[graft] def chi2Milli(ref: Map[String, Long], live: Map[String, Long]): Long = {
+    val types = (ref.keySet ++ live.keySet).toSeq.sorted
+    val rt = ref.values.sum
+    val lt = live.values.sum
+    val n = rt + lt
+    if (rt == 0L || lt == 0L) return 0L
+    types.map { t =>
+      val cells = Seq((ref.getOrElse(t, 0L), rt), (live.getOrElse(t, 0L), lt))
+      val ct = cells.map(_._1).sum
+      if (ct == 0L) 0L
+      else cells.map { case (o, rowTot) =>
+        val num = o * n - rowTot * ct
+        math.floor(num.toDouble * num / (rowTot.toDouble * ct * n) * 1000).toLong
+      }.sum
+    }.sum
+  }
+
   case class DayBar(company: String, day: Long, close_c: Long, vol: Long)
   case class ObvStreamState(lastDay: Long, lastClose: Long, obv: Long,
       obvMin: Long, obvMax: Long, nDays: Long)

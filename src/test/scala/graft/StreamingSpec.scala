@@ -464,6 +464,42 @@ class StreamingSpec extends SparkSpec {
     assert(whole == split, "scores must not depend on trigger boundaries")
   }
 
+  test("streaming drift monitor: exactly-once state growth, verdict flips on planted drift") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("drift_mon").toString
+    val (stateT, outD, ckD) = (s"$root/state", s"$root/out", s"$root/ck")
+    // frozen reference: balanced two-type distribution
+    val ref = Map("view" -> 500L, "purchase" -> 500L)
+    val mem = MemoryStream[String]
+    def run(): Unit = {
+      val q = StreamIngest.driftMonitorStream(
+        mem.toDS().toDF("event_type"), ref, stateT, outD, ckD)
+      q.processAllAvailable(); q.stop()
+    }
+    // trigger 1: matches the reference -> no drift
+    mem.addData((1 to 50).map(_ => "view") ++ (1 to 50).map(_ => "purchase"): _*)
+    run()
+    val v1 = spark.read.parquet(outD).orderBy("batch_id")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    assert(v1.last._2 == 100L && !v1.last._4, s"balanced batch must not drift: ${v1.toSeq}")
+    // trigger 2: heavy one-sided skew -> accumulated live diverges from ref
+    mem.addData((1 to 900).map(_ => "view"): _*)
+    run()
+    val v2 = spark.read.parquet(outD).orderBy("batch_id")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    assert(v2.last._2 == 1000L, "state must accumulate across triggers")
+    assert(v2.last._4, s"planted skew must flip the verdict: ${v2.toSeq}")
+    assert(v2.last._3 > v1.last._3, "chi2 must grow with the divergence")
+    // replay: restarting with no new data must not double-count state
+    run()
+    val st = graft.sources.TableLog.read(spark, stateT)
+      .as[(String, Long)].collect().toMap
+    assert(st("view") == 950L && st("purchase") == 50L, s"state corrupted on replay: $st")
+    // chi2 replays the pure function of (ref, live)
+    assert(v2.last._3 == StreamIngest.chi2Milli(ref, st))
+  }
+
   test("streaming obv: trigger-split invariant, late bars dropped, extremes tracked") {
     implicit val sqlCtx = spark.sqlContext
     import StreamIngest.{DayBar, ObvPoint}
