@@ -79,6 +79,16 @@ object Main {
       spark.stop()
     case "explain" :: name :: _ =>
       System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
+    case "audit" :: name :: rest if SparkEntry.queries.contains(name) =>
+      // executed-plan feature dossier (broadcasts/exchanges/codegen spans/
+      // pushed scans) — the machine-checkable cost report `explain` isn't
+      val spark = session()
+      val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+      val f = PlanAudit.features(SparkEntry.queries(name)(spark, dir))
+      f.toSeq.sortBy(_._1).foreach { case (k, v) => println(f"$k%-14s $v") }
+      spark.stop()
+    case "audit" :: name :: _ =>
+      System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
     case "sql" :: statement :: rest =>
       val spark = session()
       val dir = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -173,6 +183,7 @@ object Main {
           "       graft stream <srcDir> <tablesDir> <ckptDir> [follow]\n" +
           "       graft query <name> [sfDir]\n" +
           "       graft explain <name> [sfDir]\n" +
+          "       graft audit <name> [sfDir]           — executed-plan feature dossier\n" +
           "       graft sql <statement> [sfDir]\n" +
           "       graft serve [sfDir] [port]          — resident JDBC endpoint\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
