@@ -1183,7 +1183,73 @@ object Governance extends QueryPack {
       |FROM cu
       |ORDER BY table_name""".stripMargin
 
+  /** SCD2 validity-interval lint — the dimension-loader data-quality gate:
+    * given a versioned dimension's [valid_from, valid_to) intervals, find
+    * the two corruptions every point-in-time join silently mis-answers
+    * under — OVERLAPS (two versions simultaneously "current": an as-of
+    * lookup becomes ambiguous) and GAPS (no version current: the lookup
+    * returns nothing). Audited here on a synthesized dirty dimension —
+    * per customer, each order opens a state valid for `o_orderkey % 120`
+    * days, so overlaps arise when the next order lands inside the previous
+    * duration and gaps when it lands later. Adjacent intervals (ordered by
+    * (valid_from, key) per customer) classify as overlap / seamless / gap
+    * with exact day magnitudes; the report aggregates per nation with the
+    * broadcast dim chain. All integer day arithmetic — one fact-sized
+    * window pass, nation-sized output.
+    */
+  def scd2IntervalAudit(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("vf"),
+        col("o_orderkey"))
+      .withColumn("vt", col("vf") + col("o_orderkey") % 120)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("vf", "o_orderkey")
+    val pairs = od
+      .withColumn("prev_vt", lag(col("vt"), 1).over(w))
+      .where(col("prev_vt").isNotNull)
+      .select(col("o_custkey"),
+        (col("prev_vt") - col("vf")).as("delta"))
+    val cu = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+    pairs.join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_overlap_pairs"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("n_gap_pairs"),
+        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("n_seamless_pairs"),
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("overlap_days"),
+        sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).as("gap_days"))
+      .orderBy(col("nation"))
+  }
+
+  private val scd2IntervalAuditSql =
+    """WITH iv AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS vf,
+      |         o_orderkey,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + o_orderkey % 120 AS vt
+      |  FROM orders),
+      |pr AS (
+      |  SELECT o_custkey,
+      |         lag(vt) OVER (PARTITION BY o_custkey ORDER BY vf, o_orderkey) - vf AS delta
+      |  FROM iv),
+      |p AS (SELECT * FROM pr WHERE delta IS NOT NULL)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_pairs,
+      |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_pairs,
+      |       CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seamless_pairs,
+      |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS overlap_days,
+      |       CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) AS BIGINT) AS gap_days
+      |FROM p JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY nation""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("scd2_interval_audit", scd2IntervalAudit, Some(scd2IntervalAuditSql)),
     Q("gdpr_sar_export", gdprSarExport, Some(gdprSarExportSql)),
     Q("benford_audit", benfordAudit, Some(benfordAuditSql)),
     Q("fairness_audit", fairnessAudit, Some(fairnessAuditSql)),

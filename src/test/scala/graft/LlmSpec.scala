@@ -304,6 +304,33 @@ class LlmSpec extends SparkSpec {
       "top source must carry at least the uniform share")
   }
 
+  test("scd2_interval_audit: pair classes partition and magnitudes match a recompute") {
+    import graft.llm.Governance
+    val rows = Governance.scd2IntervalAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ov, gp, sm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ov + gp + sm == n, "overlap/gap/seamless must partition the pairs")
+      assert(r.getLong(5) >= ov && r.getLong(6) >= gp,
+        "each flagged pair contributes at least one day")
+    }
+    // independent recompute of the global totals
+    val iv = Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_custkey",
+        "CAST(datediff(to_date(o_orderdate), '1970-01-01') AS LONG) AS vf",
+        "o_orderkey")
+      .selectExpr("o_custkey", "vf", "o_orderkey", "vf + o_orderkey % 120 AS vt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = iv.groupBy(_._1).values.flatMap { os =>
+      os.toSeq.sortBy(o => (o._2, o._3)).sliding(2).collect {
+        case scala.collection.Seq(a, b) => a._4 - b._2
+      }
+    }.toSeq
+    assert(rows.map(_.getLong(2)).sum == want.count(_ > 0))
+    assert(rows.map(_.getLong(3)).sum == want.count(_ < 0))
+    assert(rows.map(_.getLong(5)).sum == want.filter(_ > 0).sum)
+  }
+
   test("gdpr_sar_export inventories exactly the cohort and its checksum detects tampering") {
     import graft.llm.Governance
     val rows = Governance.gdprSarExport(spark, sfDir).collect()
