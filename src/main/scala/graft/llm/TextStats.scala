@@ -1302,7 +1302,13 @@ object TextStats extends QueryPack {
     * candidate-sized relations. The final card is collect-materialized
     * (≤ queries×k rows), releasing the shared posting cache.
     */
-  def prfSearch(s: SparkSession, dir: String): DataFrame = {
+  /** shared PRF pipeline: the cached posting relation plus the BM25-only
+    * (round 1) and expanded (round 2) rankings — consumed by [[prfSearch]]
+    * (the retrieval surface) and [[retrievalMrrEval]] (the IR-metrics
+    * audit). Callers collect their bounded result then unpersist `pair`.
+    */
+  private def prfPipeline(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.loadSpread(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokensCol).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1339,7 +1345,14 @@ object TextStats extends QueryPack {
       .select(col("query_id"), col("term"))
     val allTerms = qterms.withColumn("w", lit(2L))
       .unionByName(exp.withColumn("w", lit(1L)))
-    val out = scoreWith(allTerms)
+    val r2 = scoreWith(allTerms)
+    (pair, r1, r2)
+  }
+
+  def prfSearch(s: SparkSession, dir: String): DataFrame = {
+    val (pair, _, r2) = prfPipeline(s, dir)
+    val wr = Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))
+    val out = r2
       .withColumn("rank", row_number().over(wr).cast("long"))
       .where(col("rank") <= PrfK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"))
@@ -1349,8 +1362,48 @@ object TextStats extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
-  private val prfSearchSql =
-    s"""WITH toks AS (
+  /** IR-metrics audit of the PRF pipeline — did expansion actually help?
+    * For each query, MRR@[[PrfK]] and precision@[[PrfK]] of the BM25-only
+    * round-1 ranking vs the expanded round-2 ranking, against a
+    * DETERMINISTIC relevance oracle: a candidate is relevant when it shares
+    * the probe document's source (the label both engines can derive from
+    * the data alone). All metrics are exact integers — reciprocal rank as
+    * `1e6 div rank` (0 when no relevant doc enters the cut), precision as
+    * hits·1e6 div k — so the eval hash-gates like [[Similarity.annRecallEval]].
+    */
+  def retrievalMrrEval(s: SparkSession, dir: String): DataFrame = {
+    val (pair, r1, r2) = prfPipeline(s, dir)
+    val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+    val qsrc = src.select(col("doc_id").as("query_id"), col("source").as("qsource"))
+    val wr = Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))
+    def eval(ranked: DataFrame, tag: String): DataFrame =
+      ranked.withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= PrfK)
+        .join(broadcast(qsrc), "query_id")
+        .join(src, "doc_id")
+        .withColumn("rel", when(col("source") === col("qsource"), 1L).otherwise(0L))
+        .groupBy(col("query_id"))
+        .agg(
+          coalesce(min(when(col("rel") === 1L, col("rank"))), lit(0L)).as("first_rel"),
+          sum(col("rel")).as("hits"))
+        .select(col("query_id"),
+          when(col("first_rel") > 0, expr("1000000 div first_rel")).otherwise(0L)
+            .as(s"rr_${tag}_e6"),
+          expr(s"hits * 1000000 div $PrfK").as(s"prec_${tag}_ppm"))
+    val out = eval(r1, "bm25").join(eval(r2, "prf"), "query_id")
+      .orderBy(col("query_id"))
+    val rows = out.collect()
+    pair.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** shared PRF oracle CTE chain through both rankings (r1 = BM25-only,
+    * r2 = expanded) — composed verbatim by [[prfSearchSql]] and
+    * [[retrievalMrrEvalSql]] (the shared-constant discipline that keeps
+    * two oracles from desynchronizing; see tsDecomposeCtes)
+    */
+  private val prfCtes =
+    s"""toks AS (
       |  SELECT doc_id, unnest($tokensSql) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -1395,7 +1448,10 @@ object TextStats extends QueryPack {
       |r2 AS (
       |  SELECT t.query_id, p.doc_id, CAST(sum(p.s_e6 * t.w) AS BIGINT) AS score_e6
       |  FROM pair p JOIN allt t USING (term)
-      |  WHERE p.doc_id <> t.query_id GROUP BY 1, 2)
+      |  WHERE p.doc_id <> t.query_id GROUP BY 1, 2)""".stripMargin
+
+  private val prfSearchSql =
+    s"""WITH $prfCtes
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_e6 FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |                               ORDER BY score_e6 DESC, doc_id) AS rank
@@ -1403,8 +1459,34 @@ object TextStats extends QueryPack {
       |WHERE rank <= $PrfK
       |ORDER BY query_id, rank""".stripMargin
 
+  private val retrievalMrrEvalSql = {
+    def evalLeg(rel: String, tag: String) =
+      s"""SELECT query_id,
+         |       CASE WHEN first_rel > 0 THEN 1000000 // first_rel ELSE 0 END AS rr_${tag}_e6,
+         |       hits * 1000000 // $PrfK AS prec_${tag}_ppm
+         |FROM (
+         |  SELECT r.query_id,
+         |         CAST(coalesce(min(CASE WHEN ds.source = qs.source THEN r.rank END), 0) AS BIGINT) AS first_rel,
+         |         CAST(sum(CASE WHEN ds.source = qs.source THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM (
+         |    SELECT query_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |                                   ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+         |    FROM $rel) r
+         |  JOIN documents ds ON ds.doc_id = r.doc_id
+         |  JOIN documents qs ON qs.doc_id = r.query_id
+         |  WHERE r.rank <= $PrfK
+         |  GROUP BY r.query_id)""".stripMargin
+    s"""WITH $prfCtes
+      |SELECT query_id, rr_bm25_e6, prec_bm25_ppm, rr_prf_e6, prec_prf_ppm
+      |FROM (${evalLeg("r1", "bm25")}) b
+      |JOIN (${evalLeg("r2", "prf")}) p USING (query_id)
+      |ORDER BY query_id""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
     Q("text_prf_search", prfSearch, Some(prfSearchSql)),
+    Q("retrieval_mrr_eval", retrievalMrrEval, Some(retrievalMrrEvalSql)),
     Q("source_signature_terms", sourceSignatureTerms, Some(sourceSignatureTermsSql)),
     Q("bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),

@@ -289,6 +289,27 @@ class LlmSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("retrieval_mrr_eval: metrics bounded, rr consistent with a rank, per-query coverage") {
+    import graft.llm.TextStats
+    val rows = TextStats.retrievalMrrEval(spark, sfDir).collect()
+    assert(rows.length == TextStats.PrfQueries ||
+      rows.length <= TextStats.PrfQueries && rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(1, 3).foreach { i =>
+        val rr = r.getLong(i)
+        assert(rr == 0L || (rr >= 1000000L / TextStats.PrfK && rr <= 1000000L),
+          s"rr out of the 1e6/rank lattice: $rr")
+        // rr must be exactly 1e6 div some rank in [1, k]
+        if (rr > 0) assert((1 to TextStats.PrfK).exists(k => 1000000L / k == rr))
+      }
+      Seq(2, 4).foreach { i =>
+        val p = r.getLong(i)
+        assert(p >= 0L && p <= 1000000L && p % (1000000L / TextStats.PrfK) == 0L,
+          s"precision not on the 1/k grid: $p")
+      }
+    }
+  }
+
   test("dataset_card: internal identities hold and counts match the raw corpus") {
     import graft.llm.Curation
     val card = Curation.datasetCard(spark, sfDir).collect()
