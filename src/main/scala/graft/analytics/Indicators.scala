@@ -524,17 +524,27 @@ object Indicators extends QueryPack {
     * and the market relation are calendar-bounded; the market join is a
     * broadcast. Nothing after the first aggregate scales with rows.
     */
-  def beta(s: SparkSession, dir: String): DataFrame = {
+  /** clamped floor-bp day-over-day returns (shared by beta/Sharpe/event
+    * study): floor (never `div` — the numerator goes negative), ±clamp
+    */
+  private def bpReturns(s: SparkSession, dir: String): DataFrame = {
     val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
-    val rets = dailyCloses(s, dir)
+    dailyCloses(s, dir)
       .withColumn("prev_c", lag(col("close_c"), 1).over(lw))
       .where(col("prev_c").isNotNull && col("prev_c") > 0)
       .select(col("company_id"), col("day"),
         expr(s"""least(greatest(
                |  CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
                |  ${-BetaClampBp}L), ${BetaClampBp}L)""".stripMargin).as("r_bp"))
-    val mkt = rets.groupBy(col("day"))
+  }
+
+  /** equal-weight market: per-day floor-mean bp over trading instruments */
+  private def marketMean(rets: DataFrame): DataFrame =
+    rets.groupBy(col("day"))
       .agg(expr("CAST(floor(CAST(sum(r_bp) AS DOUBLE) / count(*)) AS BIGINT)").as("m_bp"))
+
+  /** per-instrument CAPM slope from exact int64 sufficient statistics */
+  private def betaStats(rets: DataFrame, mkt: DataFrame): DataFrame =
     rets.join(broadcast(mkt), "day")
       .groupBy(col("company_id"))
       .agg(
@@ -548,11 +558,18 @@ object Indicators extends QueryPack {
                |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
                |             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
                |END""".stripMargin).as("beta_e6"))
-      .orderBy(col("company_id"))
+
+  def beta(s: SparkSession, dir: String): DataFrame = {
+    val rets = bpReturns(s, dir)
+    betaStats(rets, marketMean(rets)).orderBy(col("company_id"))
   }
 
-  private val betaSql =
-    s"""WITH $closesCtes,
+  /** shared oracle CTE chain: closes → clamped bp returns → market mean →
+    * beta sufficient stats — composed verbatim by [[betaSql]] and
+    * [[eventStudySql]] (the shared-constant oracle discipline)
+    */
+  private val retsCtes =
+    s"""$closesCtes,
       |rets AS (
       |  SELECT company_id, day,
       |         least(greatest(
@@ -564,19 +581,25 @@ object Indicators extends QueryPack {
       |mkt AS (
       |  SELECT day, CAST(floor(CAST(sum(r_bp) AS DOUBLE) / count(*)) AS BIGINT) AS m_bp
       |  FROM rets GROUP BY day),
-      |st AS (
+      |bst AS (
       |  SELECT company_id, CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(m_bp) AS BIGINT) AS sx,
       |         CAST(sum(r_bp) AS BIGINT) AS sy,
       |         CAST(sum(m_bp * m_bp) AS BIGINT) AS sxx,
       |         CAST(sum(m_bp * r_bp) AS BIGINT) AS sxy
-      |  FROM rets JOIN mkt USING (day) GROUP BY company_id)
-      |SELECT company_id, n,
-      |       CASE WHEN n * sxx - sx * sx > 0 THEN
-      |         CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-      |                    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
-      |       END AS beta_e6
-      |FROM st
+      |  FROM rets JOIN mkt USING (day) GROUP BY company_id),
+      |betas AS (
+      |  SELECT company_id, n,
+      |         CASE WHEN n * sxx - sx * sx > 0 THEN
+      |           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+      |         END AS beta_e6
+      |  FROM bst)""".stripMargin
+
+  private val betaSql =
+    s"""WITH $retsCtes
+      |SELECT company_id, n, beta_e6
+      |FROM betas
       |ORDER BY company_id""".stripMargin
 
   // -------------------------------------------------------------------------
@@ -594,14 +617,7 @@ object Indicators extends QueryPack {
     * factor readers can apply.)
     */
   def sharpe(s: SparkSession, dir: String): DataFrame = {
-    val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
-    dailyCloses(s, dir)
-      .withColumn("prev_c", lag(col("close_c"), 1).over(lw))
-      .where(col("prev_c").isNotNull && col("prev_c") > 0)
-      .select(col("company_id"),
-        expr(s"""least(greatest(
-               |  CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
-               |  ${-BetaClampBp}L), ${BetaClampBp}L)""".stripMargin).as("r_bp"))
+    bpReturns(s, dir)
       .groupBy(col("company_id"))
       .agg(
         count(lit(1)).as("n"),
@@ -636,6 +652,86 @@ object Indicators extends QueryPack {
       |                    / sqrt(CAST(n * srr - sr * sr AS DOUBLE)) * 1000000) AS BIGINT)
       |       END AS sharpe_e6
       |FROM st
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Event study — cumulative abnormal return around the volume spike
+  // -------------------------------------------------------------------------
+
+  /** event-window half-width (trading-day index positions, not calendar) */
+  val EventHalfW = 5L
+
+  /** Market-model event study (MacKinlay's CAR methodology on the exact
+    * arithmetic stack): each instrument's EVENT is its maximum-volume day
+    * (ties → earliest); the expected return under the market model is
+    * `floor(beta_e6 · m_bp / 1e6)` (product ≤ 1e11 — exact in double; one
+    * power-of-ten division; floor — all engine-exact), the abnormal return
+    * is `r_bp − expected`, and the emitted CAR sums abnormal returns over
+    * the ±[[EventHalfW]] trading-day index window. In-sample beta is used
+    * deliberately (a frozen-dataset audit, not a forecast — same stance as
+    * the decayed-trending aging rule). "Did the volume spike carry
+    * information beyond market beta" is THE canonical event-study readout.
+    *
+    * 100 TB shape: everything after the closes aggregate runs on the
+    * instrument×calendar relation; event picks are per-instrument argmax
+    * (min_by on a total order), window membership is an integer index
+    * band — no self-join, no calendar explosion.
+    */
+  def eventStudy(s: SparkSession, dir: String): DataFrame = {
+    val rets = bpReturns(s, dir)
+    val mkt = marketMean(rets)
+    val betas = betaStats(rets, mkt).where(col("beta_e6").isNotNull)
+    val ord = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val pos = rets.withColumn("pos", row_number().over(ord).cast("long"))
+    val vol = dailyCloses(s, dir).select(col("company_id"), col("day"), col("vol"))
+    val events = pos.join(vol, Seq("company_id", "day"))
+      .groupBy(col("company_id"))
+      .agg(min_by(struct(col("pos"), col("day")), struct(-col("vol"), col("day")))
+        .as("ev"))
+      .select(col("company_id"), col("ev.pos").as("ev_pos"), col("ev.day").as("event_day"))
+    pos.join(broadcast(mkt), "day")
+      .join(broadcast(betas.select(col("company_id"), col("beta_e6"))), "company_id")
+      .join(broadcast(events), "company_id")
+      .where(abs(col("pos") - col("ev_pos")) <= EventHalfW)
+      .withColumn("ar_bp",
+        col("r_bp") - expr("CAST(floor(CAST(beta_e6 * m_bp AS DOUBLE) / 1000000) AS BIGINT)"))
+      .groupBy(col("company_id"), col("event_day"))
+      .agg(
+        count(lit(1)).as("n_window_days"),
+        sum(col("ar_bp")).as("car_bp"),
+        max(abs(col("ar_bp"))).as("max_abs_ar_bp"))
+      .orderBy(col("company_id"))
+  }
+
+  private val eventStudySql =
+    s"""WITH $retsCtes,
+      |pos AS (
+      |  SELECT company_id, day, r_bp,
+      |         CAST(row_number() OVER (PARTITION BY company_id ORDER BY day) AS BIGINT) AS pos
+      |  FROM rets),
+      |ev AS (
+      |  SELECT company_id,
+      |         CAST(max(CASE WHEN rn = 1 THEN pos END) AS BIGINT) AS ev_pos,
+      |         max(CASE WHEN rn = 1 THEN day END) AS event_day
+      |  FROM (
+      |    SELECT p.company_id, p.pos, p.day,
+      |           row_number() OVER (PARTITION BY p.company_id
+      |                              ORDER BY c.vol DESC, p.day) AS rn
+      |    FROM pos p JOIN closes c ON c.company_id = p.company_id AND c.day = p.day)
+      |  GROUP BY company_id),
+      |win AS (
+      |  SELECT p.company_id, e.event_day,
+      |         p.r_bp - CAST(floor(CAST(b.beta_e6 * m.m_bp AS DOUBLE) / 1000000) AS BIGINT) AS ar_bp
+      |  FROM pos p
+      |  JOIN mkt m ON m.day = p.day
+      |  JOIN betas b ON b.company_id = p.company_id AND b.beta_e6 IS NOT NULL
+      |  JOIN ev e ON e.company_id = p.company_id
+      |  WHERE abs(p.pos - e.ev_pos) <= $EventHalfW)
+      |SELECT company_id, event_day,
+      |       CAST(count(*) AS BIGINT) AS n_window_days,
+      |       CAST(sum(ar_bp) AS BIGINT) AS car_bp,
+      |       CAST(max(abs(ar_bp)) AS BIGINT) AS max_abs_ar_bp
+      |FROM win GROUP BY company_id, event_day
       |ORDER BY company_id""".stripMargin
 
   // -------------------------------------------------------------------------
@@ -700,5 +796,6 @@ object Indicators extends QueryPack {
     Q("ind_stochastic", stochastic, Some(stochasticSql)),
     Q("ind_beta", beta, Some(betaSql)),
     Q("ind_sharpe", sharpe, Some(sharpeSql)),
+    Q("ind_event_study", eventStudy, Some(eventStudySql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

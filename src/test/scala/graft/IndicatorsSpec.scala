@@ -153,6 +153,19 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("event study: window membership bounded and CAR dominated by its worst day") {
+    val rows = Indicators.eventStudy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, car, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1 && n <= 2 * Indicators.EventHalfW + 1,
+        s"window must hold 1..${2 * Indicators.EventHalfW + 1} days, got $n")
+      assert(math.abs(car) <= n * mx,
+        s"CAR $car cannot exceed n_days x max |abnormal| ($n x $mx)")
+      assert(r.getString(1).matches("\\d{4}-\\d{2}-\\d{2}"), "event day is a date string")
+    }
+  }
+
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
     val got = Indicators.drawdownDuration(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
