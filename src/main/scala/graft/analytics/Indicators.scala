@@ -735,6 +735,120 @@ object Indicators extends QueryPack {
       |ORDER BY company_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Pairs-trading monitor — correlation-ranked pair + spread band breaches
+  // -------------------------------------------------------------------------
+
+  /** Statistical-arbitrage screening: rank every instrument PAIR by
+    * |return correlation| and audit the top pair's close-price spread for
+    * ±2σ band breaches — the entry/exit signal of a pairs strategy.
+    *
+    * Correlation is integerized engine-exact: with num = n·Σxy − ΣxΣy and
+    * d_i = n·Σx² − (Σx)², `corr_e6 = floor(num / (sqrt(dA)·sqrt(dB)) ·
+    * 1e6)` is two correctly-rounded sqrts of exact int64, a multiply, a
+    * divide, a ×1e6 and a floor — one fixed IEEE sequence in both engines
+    * (sqrt(dA)·sqrt(dB), never sqrt(dA·dB): the PRODUCT overflows int64).
+    * The winning pair (|corr| desc, then lexicographic pair) has its
+    * spread  close_a − close_b  tested per day against the full-series
+    * ±2σ band with the sqrt-free integer form (the Bollinger trick):
+    * (n·s − Σs)² > 4·(n·Σs² − (Σs)²). Emits the chosen pair, its
+    * correlation, and the breach accounting — all integer after the corr
+    * pick.
+    *
+    * 100 TB shape: returns collapse to instrument×calendar immediately;
+    * the pair relation is C(instruments, 2) × common days — bounded by
+    * the universe, not the fact; at a large universe the pair join keys on
+    * day and the ranking is one TakeOrdered. Spread audit touches only the
+    * ONE chosen pair's series.
+    */
+  def pairsSpread(s: SparkSession, dir: String): DataFrame = {
+    val rets = bpReturns(s, dir)
+    val a = rets.select(col("company_id").as("ca"), col("day"), col("r_bp").as("ra"))
+    val b = rets.select(col("company_id").as("cb"), col("day"), col("r_bp").as("rb"))
+    val stats = a.join(b, Seq("day")).where(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy"),
+        sum(col("ra") * col("rb")).as("sxy"))
+      .where(expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"))
+      .select(col("ca"), col("cb"), col("n"),
+        expr("""CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT)"""
+          .stripMargin).as("corr_e6"))
+    val top = stats
+      .orderBy(abs(col("corr_e6")).desc, col("ca"), col("cb")).limit(1)
+    val closes = dailyCloses(s, dir).select(col("company_id"), col("day"), col("close_c"))
+    val spread = closes.select(col("company_id").as("ca"), col("day"),
+        col("close_c").as("cla"))
+      .join(closes.select(col("company_id").as("cb"), col("day"), col("close_c").as("clb")),
+        Seq("day"))
+      .join(broadcast(top), Seq("ca", "cb"))
+      .select(col("ca"), col("cb"), col("n"), col("corr_e6"), col("day"),
+        // spread in whole DOLLARS (negative-safe floor, never div): cents²
+        // sums would blow n·Σsp² past 2^63 on a decade of trading days
+        expr("CAST(floor(CAST(cla - clb AS DOUBLE) / 100) AS BIGINT)").as("sp"))
+    spread.groupBy(col("ca"), col("cb"), col("n"), col("corr_e6"))
+      .agg(
+        count(lit(1)).as("n_spread_days"),
+        sum(col("sp")).as("ssp"),
+        sum(col("sp") * col("sp")).as("ssp2"))
+      .crossJoin(broadcast(spread.select(col("day"), col("sp"))))
+      .select(col("ca"), col("cb"), col("n"), col("corr_e6"),
+        col("n_spread_days"),
+        (col("n_spread_days") * col("sp") - col("ssp")).as("dev_n"),
+        (col("n_spread_days") * col("ssp2") - col("ssp") * col("ssp")).as("var_n2"))
+      .groupBy(col("ca").as("company_a"), col("cb").as("company_b"),
+        col("corr_e6"), col("n_spread_days"))
+      .agg(
+        sum(when(col("dev_n") * col("dev_n") > lit(4L) * col("var_n2"), 1L)
+          .otherwise(0L)).as("n_breach_days"))
+      .orderBy(col("company_a"))
+  }
+
+  private val pairsSpreadSql =
+    s"""WITH $retsCtes,
+      |pst AS (
+      |  SELECT a.company_id AS ca, b.company_id AS cb,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(a.r_bp) AS BIGINT) AS sx, CAST(sum(b.r_bp) AS BIGINT) AS sy,
+      |         CAST(sum(a.r_bp * a.r_bp) AS BIGINT) AS sxx,
+      |         CAST(sum(b.r_bp * b.r_bp) AS BIGINT) AS syy,
+      |         CAST(sum(a.r_bp * b.r_bp) AS BIGINT) AS sxy
+      |  FROM rets a JOIN rets b ON a.day = b.day AND a.company_id < b.company_id
+      |  GROUP BY 1, 2),
+      |corr AS (
+      |  SELECT ca, cb, n,
+      |         CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS corr_e6
+      |  FROM pst
+      |  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+      |top AS (SELECT * FROM corr ORDER BY abs(corr_e6) DESC, ca, cb LIMIT 1),
+      |sp AS (
+      |  SELECT t.ca, t.cb, t.n, t.corr_e6, x.day,
+      |         CAST(floor(CAST(x.close_c - y.close_c AS DOUBLE) / 100) AS BIGINT) AS sp
+      |  FROM top t
+      |  JOIN closes x ON x.company_id = t.ca
+      |  JOIN closes y ON y.company_id = t.cb AND y.day = x.day),
+      |spagg AS (
+      |  SELECT ca, cb, n, corr_e6,
+      |         CAST(count(*) AS BIGINT) AS n_spread_days,
+      |         CAST(sum(sp) AS BIGINT) AS ssp,
+      |         CAST(sum(sp * sp) AS BIGINT) AS ssp2
+      |  FROM sp GROUP BY 1, 2, 3, 4)
+      |SELECT g.ca AS company_a, g.cb AS company_b, g.corr_e6, g.n_spread_days,
+      |       CAST(sum(CASE WHEN (g.n_spread_days * s.sp - g.ssp)
+      |                          * (g.n_spread_days * s.sp - g.ssp)
+      |                        > 4 * (g.n_spread_days * g.ssp2 - g.ssp * g.ssp)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_days
+      |FROM spagg g CROSS JOIN sp s
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY company_a""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Drawdown duration — the time axis a8_max_drawdown's depth misses
   // -------------------------------------------------------------------------
 
@@ -797,5 +911,6 @@ object Indicators extends QueryPack {
     Q("ind_beta", beta, Some(betaSql)),
     Q("ind_sharpe", sharpe, Some(sharpeSql)),
     Q("ind_event_study", eventStudy, Some(eventStudySql)),
+    Q("ind_pairs_spread", pairsSpread, Some(pairsSpreadSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

@@ -166,6 +166,16 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("pairs spread: correlation bounded, breaches bounded by days, pair ordered") {
+    val r = Indicators.pairsSpread(spark, sfDir).collect()
+    assert(r.length == 1, "exactly one top pair")
+    val row = r.head
+    assert(row.getString(0) < row.getString(1), "pair must be lexicographically ordered")
+    val corr = row.getLong(2)
+    assert(math.abs(corr) <= 1000000L, s"|corr| must stay within 1e6: $corr")
+    assert(row.getLong(4) <= row.getLong(3), "breach days cannot exceed spread days")
+  }
+
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
     val got = Indicators.drawdownDuration(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
