@@ -849,6 +849,79 @@ object Indicators extends QueryPack {
       |ORDER BY company_a""".stripMargin
 
   // -------------------------------------------------------------------------
+  // TCA — execution slippage vs the VWAP benchmark
+  // -------------------------------------------------------------------------
+
+  /** Transaction-cost analysis against the per-(instrument, month) VWAP
+    * benchmark — the execution-quality report a trading desk reviews: each
+    * trade's deviation from VWAP in basis points, and how the book splits
+    * above/below the benchmark. The whole chain is a FIXED correctly-
+    * rounded double sequence: S = Σ(price·vol) and V = Σvol are exact
+    * int64 partial aggregates; int64→double is IEEE round-to-nearest in
+    * both engines EVEN past 2^53, so `vwap = S/V`, the above/below double
+    * compare, and `dev_bp = floor((p/vwap − 1)·1e4)` all replay bit-exactly
+    * with NO int64 cross-product anywhere (a `p·V − S` formulation would
+    * overflow once monthly volume nears 1e12).
+    *
+    * 100 TB shape: ONE fact-scale aggregate builds (S, V) per group, then
+    * a second pass re-joins the broadcast benchmark — the fact shuffles
+    * once on its natural (instrument, month) key; everything emitted is
+    * group-sized.
+    */
+  def tcaSlippage(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val trades = li.select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+      date_format(expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)"),
+        "yyyy-MM").as("month"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
+      col("l_quantity").cast("long").as("v"))
+    val bench = trades.groupBy(col("company_id"), col("month"))
+      .agg(sum(col("p") * col("v")).as("s_pv"), sum(col("v")).as("v_tot"))
+    trades.join(broadcast(bench), Seq("company_id", "month"))
+      .withColumn("vwap", expr("CAST(s_pv AS DOUBLE) / CAST(v_tot AS DOUBLE)"))
+      .withColumn("pd", col("p").cast("double"))
+      .withColumn("dev_bp",
+        expr("CAST(floor((pd / vwap - 1) * 10000) AS BIGINT)"))
+      .groupBy(col("company_id"), col("month"))
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(when(col("pd") > col("vwap"), 1L).otherwise(0L)).as("n_above_vwap"),
+        sum(when(col("pd") < col("vwap"), 1L).otherwise(0L)).as("n_below_vwap"),
+        max(col("dev_bp")).as("max_dev_bp"),
+        min(col("dev_bp")).as("min_dev_bp"))
+      .orderBy(col("company_id"), col("month"))
+  }
+
+  private val tcaSlippageSql =
+    """WITH t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         strftime(l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND, '%Y-%m') AS month,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+      |         CAST(l_quantity AS BIGINT) AS v
+      |  FROM lineitem),
+      |bench AS (
+      |  SELECT company_id, month,
+      |         CAST(sum(p * v) AS BIGINT) AS s_pv,
+      |         CAST(sum(v) AS BIGINT) AS v_tot
+      |  FROM t GROUP BY 1, 2),
+      |d AS (
+      |  SELECT t.company_id, t.month,
+      |         CAST(p AS DOUBLE) AS pd,
+      |         CAST(s_pv AS DOUBLE) / CAST(v_tot AS DOUBLE) AS vwap,
+      |         CAST(floor((CAST(p AS DOUBLE) / (CAST(s_pv AS DOUBLE) / CAST(v_tot AS DOUBLE)) - 1)
+      |                    * 10000) AS BIGINT) AS dev_bp
+      |  FROM t JOIN bench USING (company_id, month))
+      |SELECT company_id, month,
+      |       CAST(count(*) AS BIGINT) AS n_trades,
+      |       CAST(sum(CASE WHEN pd > vwap THEN 1 ELSE 0 END) AS BIGINT) AS n_above_vwap,
+      |       CAST(sum(CASE WHEN pd < vwap THEN 1 ELSE 0 END) AS BIGINT) AS n_below_vwap,
+      |       CAST(max(dev_bp) AS BIGINT) AS max_dev_bp,
+      |       CAST(min(dev_bp) AS BIGINT) AS min_dev_bp
+      |FROM d GROUP BY 1, 2
+      |ORDER BY company_id, month""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Drawdown duration — the time axis a8_max_drawdown's depth misses
   // -------------------------------------------------------------------------
 
@@ -912,5 +985,6 @@ object Indicators extends QueryPack {
     Q("ind_sharpe", sharpe, Some(sharpeSql)),
     Q("ind_event_study", eventStudy, Some(eventStudySql)),
     Q("ind_pairs_spread", pairsSpread, Some(pairsSpreadSql)),
+    Q("ind_tca_slippage", tcaSlippage, Some(tcaSlippageSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

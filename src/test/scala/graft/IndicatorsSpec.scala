@@ -176,6 +176,22 @@ class IndicatorsSpec extends SparkSpec {
     assert(row.getLong(4) <= row.getLong(3), "breach days cannot exceed spread days")
   }
 
+  test("tca slippage: above/below partition trades and deviations straddle zero correctly") {
+    val rows = Indicators.tcaSlippage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ab, bl) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ab + bl <= n, "above + below cannot exceed trades (ties sit at VWAP)")
+      val (mx, mn) = (r.getLong(5), r.getLong(6))
+      assert(mx >= mn)
+      // VWAP is a volume-weighted mean: some trade sits at-or-above and
+      // some at-or-below unless every trade printed the same price
+      if (n > 1 && (ab > 0 || bl > 0)) assert(mx >= 0 || mn <= 0)
+      if (ab > 0) assert(mx >= 0, "a trade above VWAP implies a non-negative max dev")
+      if (bl > 0) assert(mn < 0, "a trade below VWAP implies a negative min dev")
+    }
+  }
+
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
     val got = Indicators.drawdownDuration(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
