@@ -1194,7 +1194,81 @@ object Curation extends QueryPack {
       |  UNION ALL SELECT 'n_short_docs', n_short_docs FROM base)
       |ORDER BY metric""".stripMargin
 
+  /** admission ladder cuts: min tokens, min distinct-token ppm, min
+    * letter-char ppm — deliberately simple thresholds; the point is the
+    * LADDER (deterministic first-failed-gate attribution), not the tuning
+    */
+  val AdmitMinTok = 10L
+  val AdmitMinDiversityPpm = 300000L
+  val AdmitMinAlphaPpm = 500000L
+
+  /** Corpus admission report — the whole ingest-time filter pipeline as ONE
+    * relation: every document passes a fixed gate LADDER (too-short →
+    * low-diversity → bad-charset → admitted) and is attributed to its
+    * FIRST failed gate (the process-conformance priority-ladder discipline:
+    * each doc counts in exactly one bucket, so the report is a partition
+    * and reads as "what would fixing gate k recover"). Per source:
+    * admission rate in exact ppm plus the per-gate rejection counts. All
+    * integer — token counts, distinct-token diversity ppm, and letter-char
+    * ppm from one tokenize/scan pass.
+    *
+    * 100 TB shape: one narrow per-doc projection (no shuffle until the
+    * source-sized accounting aggregate); the gates are codegen'd
+    * expressions over per-row scalars — the same plan at any corpus size.
+    */
+  def corpusAdmission(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(s, dir, "documents")
+      .select(col("source"),
+        size(TextStats.tokensCol).cast("long").as("n_tok"),
+        size(array_distinct(TextStats.tokensCol)).cast("long").as("n_dist"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("n_alpha"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("verdict",
+        when(col("n_tok") < AdmitMinTok, "1_too_short")
+          .when(col("n_dist") * 1000000 < col("n_tok") * AdmitMinDiversityPpm,
+            "2_low_diversity")
+          .when(col("n_alpha") * 1000000 < col("n_chars") * AdmitMinAlphaPpm,
+            "3_bad_charset")
+          .otherwise(lit("0_admitted")))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "0_admitted", 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("verdict") === "1_too_short", 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("verdict") === "2_low_diversity", 1L).otherwise(0L)).as("n_low_diversity"),
+        sum(when(col("verdict") === "3_bad_charset", 1L).otherwise(0L)).as("n_bad_charset"))
+      .withColumn("admit_ppm", expr("n_admitted * 1000000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusAdmissionSql =
+    s"""WITH d AS (
+      |  SELECT source,
+      |         CAST(len(${TextStats.tokensSql}) AS BIGINT) AS n_tok,
+      |         CAST(len(list_distinct(${TextStats.tokensSql})) AS BIGINT) AS n_dist,
+      |         CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |         CAST(len(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |v AS (
+      |  SELECT source,
+      |         CASE WHEN n_tok < $AdmitMinTok THEN '1_too_short'
+      |              WHEN n_dist * 1000000 < n_tok * $AdmitMinDiversityPpm THEN '2_low_diversity'
+      |              WHEN n_alpha * 1000000 < n_chars * $AdmitMinAlphaPpm THEN '3_bad_charset'
+      |              ELSE '0_admitted' END AS verdict
+      |  FROM d)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN verdict = '0_admitted' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      |       CAST(sum(CASE WHEN verdict = '1_too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+      |       CAST(sum(CASE WHEN verdict = '2_low_diversity' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+      |       CAST(sum(CASE WHEN verdict = '3_bad_charset' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_charset,
+      |       CAST(sum(CASE WHEN verdict = '0_admitted' THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |         // CAST(count(*) AS BIGINT) AS admit_ppm
+      |FROM v GROUP BY source
+      |ORDER BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("corpus_admission", corpusAdmission, Some(corpusAdmissionSql)),
     Q("dataset_card", datasetCard, Some(datasetCardSql)),
     Q("synth_bootstrap_audit", synthBootstrapAudit, Some(synthBootstrapAuditSql)),
     Q("dsir_select", dsirSelect, Some(dsirSelectSql)),

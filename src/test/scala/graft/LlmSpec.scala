@@ -310,6 +310,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("corpus_admission: ladder partitions every doc and admit_ppm is exact") {
+    import graft.llm.Curation
+    val rows = Curation.corpusAdmission(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, adm, ts, ld, bc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(adm + ts + ld + bc == n, "verdicts must partition the docs")
+      assert(r.getLong(6) == adm * 1000000L / n)
+      total += n
+    }
+    assert(total == Tables.load(spark, sfDir, "documents").count(),
+      "every document appears in exactly one source row")
+  }
+
   test("dataset_card: internal identities hold and counts match the raw corpus") {
     import graft.llm.Curation
     val card = Curation.datasetCard(spark, sfDir).collect()
