@@ -567,6 +567,74 @@ object Mining extends QueryPack {
        |${leg("seasonal7", 7)}""".stripMargin
   }
 
+  /** pinball-eval window: the trailing history the quantile forecaster sees */
+  val PinW = 28
+
+  /** Quantile-forecast evaluation with the pinball (quantile) loss — the
+    * eval dimension [[tsBacktest]]'s point metrics (MAE/MAPE) cannot score:
+    * the forecaster predicts the q-QUANTILE of tomorrow's revenue as the
+    * exact ceil(q·n)-rank order statistic of the trailing [[PinW]]-day
+    * window (sorted-array pick — engine-identical 1-based indexing), and
+    * the loss is the ×10-scaled ALL-INTEGER pinball
+    * `10q·(v−f)⁺ + 10(1−q)·(f−v)⁺` summed over the history, beside the
+    * empirical coverage (share of days at-or-under the forecast, which a
+    * calibrated q-quantile forecaster should hold near q·1e6 ppm). Emitted
+    * for q = 0.5 and q = 0.9.
+    *
+    * 100 TB shape: the fact collapses to the calendar-bounded daily series
+    * first; the sliding sorted-window pick and both metrics run on that
+    * tiny relation under the constant-pid single-partition idiom.
+    */
+  def tsPinball(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ser = li.groupBy(
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("d"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy(col("pid")).orderBy(col("d")).rowsBetween(-PinW, -1)
+    val win = ser
+      .withColumn("hist", collect_list(col("v")).over(w))
+      .where(size(col("hist")) === PinW)
+      .withColumn("sorted", array_sort(col("hist")))
+    val out = Seq(("q50", 5L, math.ceil(0.5 * PinW).toInt),
+        ("q90", 9L, math.ceil(0.9 * PinW).toInt)).map { case (label, tenQ, rank) =>
+      win
+        .withColumn("f", element_at(col("sorted"), rank))
+        .select(col("v"), col("f"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(expr(s"$tenQ * greatest(v - f, 0L) + ${10 - tenQ} * greatest(f - v, 0L)"))
+            .as("pinball10_c"),
+          sum(when(col("v") <= col("f"), 1L).otherwise(0L)).as("n_covered"))
+        .select(lit(label).as("q"), col("n_days"), col("pinball10_c"),
+          expr("n_covered * 1000000 div n_days").as("coverage_ppm"))
+    }.reduce(_ unionAll _)
+    val rows = out.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val tsPinballSql: String = {
+    def leg(label: String, tenQ: Int, rank: Int) =
+      s"""SELECT '$label' AS q, CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(sum($tenQ * greatest(v - f, 0) + ${10 - tenQ} * greatest(f - v, 0)) AS BIGINT) AS pinball10_c,
+         |       CAST(sum(CASE WHEN v <= f THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |         // CAST(count(*) AS BIGINT) AS coverage_ppm
+         |FROM (SELECT v, list_sort(hist)[$rank] AS f
+         |      FROM win WHERE len(hist) = $PinW)""".stripMargin
+    s"""WITH ser AS (
+       |  SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+       |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1),
+       |win AS (
+       |  SELECT d, v,
+       |         list(v) OVER (ORDER BY d ROWS BETWEEN $PinW PRECEDING AND 1 PRECEDING) AS hist
+       |  FROM ser)
+       |${leg("q50", 5, math.ceil(0.5 * PinW).toInt)}
+       |UNION ALL
+       |${leg("q90", 9, math.ceil(0.9 * PinW).toInt)}""".stripMargin
+  }
+
   /** Per-year CUSUM changepoint over the daily-revenue series: within each
     * calendar year the split index t maximizing |m*P_t - t*S| (the CUSUM
     * statistic scaled by m to stay integer; P = prefix sum, S = year
@@ -1781,6 +1849,7 @@ object Mining extends QueryPack {
     Q("assoc_triples", assocTriples, Some(assocTriplesSql)),
     Q("ts_acf", tsAcf, Some(tsAcfSql)),
     Q("ts_backtest", tsBacktest, Some(tsBacktestSql)),
+    Q("ts_pinball", tsPinball, Some(tsPinballSql)),
     Q("cf_item_recs", cfItemRecs, Some(cfItemRecsSql)),
     Q("trending_decay", trendingDecay, Some(trendingDecaySql)),
     Q("ts_changepoint", tsChangepoint, Some(tsChangepointSql)),

@@ -169,6 +169,36 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ts_pinball: losses replay in memory and q90 covers at least as often as q50") {
+    val rows = Mining.tsPinball(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("q50", "q90"))
+    // q90 forecasts a higher order statistic -> it must cover >= q50's rate
+    assert(rows("q90")._3 >= rows("q50")._3)
+    // independent in-memory recompute of both legs
+    val ser = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("CAST(datediff(to_date(l_shipdate), '1970-01-01') AS LONG) AS d",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS LONG) AS c")
+      .groupBy("d").agg(org.apache.spark.sql.functions.sum("c").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val vs = ser.map(_._2)
+    Seq(("q50", 5L, math.ceil(0.5 * Mining.PinW).toInt),
+        ("q90", 9L, math.ceil(0.9 * Mining.PinW).toInt)).foreach { case (label, tenQ, rank) =>
+      var n = 0L; var loss = 0L; var cov = 0L
+      (Mining.PinW until vs.length).foreach { i =>
+        val hist = vs.slice(i - Mining.PinW, i).sorted
+        val f = hist(rank - 1)
+        val v = vs(i)
+        n += 1
+        loss += tenQ * math.max(v - f, 0L) + (10 - tenQ) * math.max(f - v, 0L)
+        if (v <= f) cov += 1
+      }
+      val (gn, gl, gc) = rows(label)
+      assert(gn == n && gl == loss && gc == cov * 1000000L / n,
+        s"$label: got ($gn,$gl,$gc) want ($n,$loss,${cov * 1000000L / n})")
+    }
+  }
+
   test("ts_backtest: both models replay an independent in-memory error recompute") {
     import org.apache.spark.sql.functions.{col, datediff, floor, lit, sum, to_date}
     val rows = Mining.tsBacktest(spark, sfDir).collect()
