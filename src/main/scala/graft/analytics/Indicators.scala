@@ -849,6 +849,51 @@ object Indicators extends QueryPack {
       |ORDER BY company_a""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Amihud illiquidity — price impact per unit volume
+  // -------------------------------------------------------------------------
+
+  /** Amihud (2002) illiquidity: the average of |daily return| per unit of
+    * daily volume — the standard price-impact proxy when no order-book
+    * depth is available. Per day `illq = |r_bp|·1e3 div vol` (integer:
+    * clamped bp × 1e3 ≤ 1e8 — no overflow at any volume), per instrument
+    * the floor-mean plus the worst day. Ranks instruments by how violently
+    * price moves per traded unit — the liquidity screen a position-sizing
+    * rule consumes beside [[atr]]'s volatility.
+    *
+    * 100 TB shape: bp returns and volumes are both per-(instrument, day)
+    * aggregates of the one fact shuffle; everything after is
+    * instrument×calendar-scale.
+    */
+  def amihud(s: SparkSession, dir: String): DataFrame = {
+    val rets = bpReturns(s, dir)
+    val vol = dailyCloses(s, dir).select(col("company_id"), col("day"), col("vol"))
+    rets.join(vol, Seq("company_id", "day"))
+      .where(col("vol") > 0)
+      .withColumn("illq", expr("(abs(r_bp) * 1000) div vol"))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("illq")).as("sum_illq"),
+        max(col("illq")).as("max_illq"))
+      .select(col("company_id"), col("n_days"),
+        expr("sum_illq div n_days").as("mean_illq"),
+        col("max_illq"))
+      .orderBy(col("company_id"))
+  }
+
+  private val amihudSql =
+    s"""WITH $retsCtes,
+      |j AS (
+      |  SELECT r.company_id, (abs(r.r_bp) * 1000) // c.vol AS illq
+      |  FROM rets r JOIN closes c ON c.company_id = r.company_id AND c.day = r.day
+      |  WHERE c.vol > 0)
+      |SELECT company_id, CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(illq) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_illq,
+      |       CAST(max(illq) AS BIGINT) AS max_illq
+      |FROM j GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // TCA — execution slippage vs the VWAP benchmark
   // -------------------------------------------------------------------------
 
@@ -986,5 +1031,6 @@ object Indicators extends QueryPack {
     Q("ind_event_study", eventStudy, Some(eventStudySql)),
     Q("ind_pairs_spread", pairsSpread, Some(pairsSpreadSql)),
     Q("ind_tca_slippage", tcaSlippage, Some(tcaSlippageSql)),
+    Q("ind_amihud", amihud, Some(amihudSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

@@ -192,6 +192,16 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("amihud: mean bounded by max and illiquidity non-negative") {
+    val rows = Indicators.amihud(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, mx) = (r.getLong(2), r.getLong(3))
+      assert(mean >= 0 && mx >= 0 && mean <= mx,
+        s"mean illiquidity $mean must sit in [0, max $mx]")
+    }
+  }
+
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
     val got = Indicators.drawdownDuration(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
