@@ -1237,6 +1237,101 @@ object Analytics extends QueryPack {
       |         CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post
       |  FROM cells)""".stripMargin
 
+  /** CUPED variance reduction — the modern A/B readout that shrinks metric
+    * variance with a pre-period covariate (Deng et al. 2013): per user,
+    * x = pre-period purchase spend and y = post-period spend (whole value
+    * units — `div 1000` of the milli sums keeps every squared sufficient
+    * statistic « 2^63 up to ~1e9 users), θ = cov(x, y)/var(x) POOLED
+    * across arms, and each arm's adjusted mean uses the algebraic identity
+    * `mean(y − θ(x − x̄)) = ȳ − θ(x̄_arm − x̄_pooled)` — so NO per-user
+    * double is ever summed (the order-dependence trap); everything derives
+    * from exact int64 sums through one fixed correctly-rounded double
+    * sequence, with the variance reduction
+    * `1 − (v_y − 2θc_xy + θ²v_x)/v_y` per arm on the same n²-scaled exact
+    * numerators. Outputs floor-integerized (e3 means, ppm reduction).
+    *
+    * 100 TB shape: one per-user aggregate, then arm-level 1-row reduces;
+    * the pooled stats broadcast. Same boundary rule as [[abDiffInDiff]].
+    */
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+        floor(col("value") * 1000).cast("long").as("micro"))
+    val bounds = ev.agg(expr("(min(d) + max(d) + 1) div 2").as("bday"))
+    val pu = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("d") < col("bday"), col("micro")).otherwise(0L)).as("pre_m"),
+        sum(when(col("d") >= col("bday"), col("micro")).otherwise(0L)).as("post_m"))
+      .select((col("user_id") % 2).as("arm"),
+        expr("pre_m div 1000").as("x"), expr("post_m div 1000").as("y"))
+    val pooled = pu.agg(
+      count(lit(1)).as("np"), sum(col("x")).as("sxp"),
+      sum(col("x") * col("x")).as("sxxp"), sum(col("x") * col("y")).as("sxyp"),
+      sum(col("y")).as("syp"))
+    val arms = pu.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("theta",
+        expr("CAST(np * sxyp - sxp * syp AS DOUBLE) / CAST(np * sxxp - sxp * sxp AS DOUBLE)"))
+      .withColumn("vy", expr("CAST(n * syy - sy * sy AS DOUBLE)"))
+      .withColumn("vx", expr("CAST(n * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("cxy", expr("CAST(n * sxy - sx * sy AS DOUBLE)"))
+      .select(col("arm"), col("n").as("n_users"),
+        expr("CAST(floor(CAST(sy AS DOUBLE) / n * 1000) AS BIGINT)").as("mean_y_e3"),
+        expr("""CAST(floor((CAST(sy AS DOUBLE) / n
+               |  - theta * (CAST(sx AS DOUBLE) / n - CAST(sxp AS DOUBLE) / np)) * 1000)
+               |AS BIGINT)""".stripMargin).as("adj_mean_e3"),
+        expr("""CASE WHEN vy > 0 THEN
+               |  CAST(floor((1 - (vy - 2 * theta * cxy + theta * theta * vx) / vy) * 1000000)
+               |  AS BIGINT) END""".stripMargin).as("var_red_ppm"))
+      .orderBy(col("arm"))
+  }
+
+  private val abCupedSql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
+      |         CAST(floor(value * 1000) AS BIGINT) AS micro
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT (min(d) + max(d) + 1) // 2 AS bday FROM p),
+      |pu AS (
+      |  SELECT user_id % 2 AS arm,
+      |         CAST(sum(CASE WHEN d < bday THEN micro ELSE 0 END) AS BIGINT) // 1000 AS x,
+      |         CAST(sum(CASE WHEN d >= bday THEN micro ELSE 0 END) AS BIGINT) // 1000 AS y
+      |  FROM p CROSS JOIN b GROUP BY user_id, arm),
+      |pooled AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(x) AS BIGINT) AS sxp,
+      |         CAST(sum(x * x) AS BIGINT) AS sxxp, CAST(sum(x * y) AS BIGINT) AS sxyp,
+      |         CAST(sum(y) AS BIGINT) AS syp
+      |  FROM pu),
+      |arms AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pu GROUP BY arm),
+      |j AS (
+      |  SELECT a.*, p.*,
+      |         CAST(np * sxyp - sxp * syp AS DOUBLE) / CAST(np * sxxp - sxp * sxp AS DOUBLE) AS theta,
+      |         CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+      |         CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+      |         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy
+      |  FROM arms a CROSS JOIN pooled p)
+      |SELECT arm, n AS n_users,
+      |       CAST(floor(CAST(sy AS DOUBLE) / n * 1000) AS BIGINT) AS mean_y_e3,
+      |       CAST(floor((CAST(sy AS DOUBLE) / n
+      |         - theta * (CAST(sx AS DOUBLE) / n - CAST(sxp AS DOUBLE) / np)) * 1000)
+      |       AS BIGINT) AS adj_mean_e3,
+      |       CASE WHEN vy > 0 THEN
+      |         CAST(floor((1 - (vy - 2 * theta * cxy + theta * theta * vx) / vy) * 1000000)
+      |         AS BIGINT) END AS var_red_ppm
+      |FROM j
+      |ORDER BY arm""".stripMargin
+
   /** attribution lookback window (hours) for [[attributionMultiTouch]] */
   val AttrWindowH = 72
 
@@ -2896,6 +2991,7 @@ object Analytics extends QueryPack {
     Q("ab_lift", abLift, Some(abLiftSql)),
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
+    Q("ab_cuped", abCuped, Some(abCupedSql)),
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("abc_classification", abcClassification, Some(abcClassificationSql)),

@@ -224,6 +224,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ab_cuped: variance never increases and adjusted means replay in memory") {
+    val rows = Analytics.abCuped(spark, sfDir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      // CUPED with the pooled OLS theta cannot increase pooled variance;
+      // per-arm reduction can dip slightly negative only when the arm's
+      // covariance structure diverges from pooled — allow a small corridor
+      if (!r.isNullAt(4))
+        assert(r.getLong(4) > -200000L && r.getLong(4) <= 1000000L,
+          s"variance reduction implausible: ${r.getLong(4)}")
+    }
+    // in-memory replay of arm 0's adjusted mean
+    val ev = Tables.load(spark, sfDir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id",
+        "CAST(datediff(to_date(ts), '1970-01-01') AS LONG) AS d",
+        "CAST(floor(value * 1000) AS LONG) AS micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bday = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val pu = ev.groupBy(_._1).map { case (u, es) =>
+      (u % 2,
+        es.filter(_._2 < bday).map(_._3).sum / 1000,
+        es.filter(_._2 >= bday).map(_._3).sum / 1000)
+    }.toSeq
+    val np = pu.size.toLong
+    val sxp = pu.map(_._2).sum; val syp = pu.map(_._3).sum
+    val sxxp = pu.map(t => t._2 * t._2).sum
+    val sxyp = pu.map(t => t._2 * t._3).sum
+    val theta = (np * sxyp - sxp * syp).toDouble / (np * sxxp - sxp * sxp).toDouble
+    val a0 = pu.filter(_._1 == 0L)
+    val n0 = a0.size.toLong
+    val adj = a0.map(_._3).sum.toDouble / n0 -
+      theta * (a0.map(_._2).sum.toDouble / n0 - sxp.toDouble / np)
+    val got = rows.find(_.getLong(0) == 0L).get
+    assert(got.getLong(3) == math.floor(adj * 1000).toLong,
+      s"arm0 adjusted mean: got ${got.getLong(3)} want ${math.floor(adj * 1000).toLong}")
+  }
+
   test("ab_significance: margins partition users and the chi-square identity replays") {
     val r = Analytics.abSignificance(spark, sfDir).collect().head
     val (a, b, c, d) = (r.getAs[Long]("n_conv_0"), r.getAs[Long]("n_nonconv_0"),
