@@ -2382,6 +2382,73 @@ object Analytics extends QueryPack {
       |       CAST((n * 1000000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS prob_ppm
       |FROM m""".stripMargin
 
+  /** Next-event prediction eval of the Markov transition model — closes
+    * the loop [[seqTransitionCounts]] opens: the model predicts, for each
+    * from-type, the argmax-probability next type (ties → type ascending, a
+    * total order both engines share), and the eval scores every observed
+    * transition against that prediction — in-sample accuracy per from-type
+    * in exact ppm, beside the majority-class baseline every classifier
+    * must beat (predict the globally most common to-type). The
+    * sanity readout before anyone ships "next-action" personalization on
+    * the transition matrix.
+    *
+    * 100 TB shape: transitions come from the one user-partitioned window
+    * pass; the model is a types²-sized relation broadcast back; accuracy
+    * is a per-from-type aggregate of integer hit counts.
+    */
+  def seqNextpredEval(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = ev
+      .select(col("user_id"), col("event_type").as("from_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select("from_type", "to_type")
+    val m = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val pred = m.groupBy(col("from_type"))
+      .agg(min_by(col("to_type"), struct(-col("n"), col("to_type"))).as("pred_type"))
+    val global = m.groupBy(col("to_type")).agg(sum(col("n")).as("gn"))
+      .agg(min_by(col("to_type"), struct(-col("gn"), col("to_type"))).as("base_type"))
+    pairs.join(broadcast(pred), "from_type")
+      .crossJoin(broadcast(global))
+      .groupBy(col("from_type"), col("pred_type"), col("base_type"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        sum(when(col("to_type") === col("pred_type"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("to_type") === col("base_type"), 1L).otherwise(0L)).as("n_base_hits"))
+      .select(col("from_type"), col("pred_type"), col("n_transitions"),
+        expr("n_hits * 1000000 div n_transitions").as("acc_ppm"),
+        expr("n_base_hits * 1000000 div n_transitions").as("baseline_ppm"))
+      .orderBy(col("from_type"))
+  }
+
+  private val seqNextpredEvalSql =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |pr AS (SELECT from_type, to_type FROM p WHERE to_type IS NOT NULL),
+      |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT from_type, to_type AS pred_type FROM (
+      |    SELECT from_type, to_type,
+      |           row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+      |    FROM m) WHERE rn = 1),
+      |gb AS (
+      |  SELECT to_type AS base_type FROM (
+      |    SELECT to_type, row_number() OVER (ORDER BY sum(n) DESC, to_type) AS rn
+      |    FROM m GROUP BY to_type) WHERE rn = 1)
+      |SELECT pr.from_type, pred.pred_type,
+      |       CAST(count(*) AS BIGINT) AS n_transitions,
+      |       CAST(sum(CASE WHEN pr.to_type = pred.pred_type THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // CAST(count(*) AS BIGINT) AS acc_ppm,
+      |       CAST(sum(CASE WHEN pr.to_type = gb.base_type THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // CAST(count(*) AS BIGINT) AS baseline_ppm
+      |FROM pr JOIN pred USING (from_type) CROSS JOIN gb
+      |GROUP BY pr.from_type, pred.pred_type
+      |ORDER BY pr.from_type""".stripMargin
+
   /** Fixed-iteration influence propagation over the co-purchase graph — the
     * PageRank-shaped distributed-graph pattern (iterate: flow = score/degree
     * along edges, damp, re-aggregate), kept in EXACT integer arithmetic so
@@ -3008,6 +3075,7 @@ object Analytics extends QueryPack {
     Q("session_window_native", sessionWindowNative, Some(sessionWindowNativeSql)),
     Q("rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("seq_transition_counts", seqTransitionCounts, Some(seqTransitionCountsSql)),
+    Q("seq_nextpred_eval", seqNextpredEval, Some(seqNextpredEvalSql)),
     Q("a1_volatility", volatility, Some(volatilitySql)),
     Q("a2_trade_impact", tradeImpact, Some(tradeImpactSql)),
     Q("a3_predictability", predictability, Some(predictabilitySql)),

@@ -596,7 +596,63 @@ object Graph extends QueryPack {
       |WHERE rank <= $LpK
       |ORDER BY rank""".stripMargin
 
+  /** Degree-distribution profile of the purchase graph — the structural
+    * health check run before ANY iterative graph job is sized (a heavy
+    * power-law tail is what the salting/broadcast guards in the §2.8
+    * dossier exist for): degree at doubling rank probes 1, 2, 4, … plus
+    * the halving ratio deg(2r)/deg(r) in integer ppm — the graph twin of
+    * the Zipf vocabulary probe (reads the tail exponent with NO log-log
+    * libm), with node/edge totals and the max-degree share alongside.
+    * All integer; one edge aggregate, then rank windows over the
+    * node-sized degree relation.
+    */
+  def degreeProfile(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+    val deg = edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(
+      count(lit(1)).as("n_nodes"), sum(col("deg")).as("n_halfedges"),
+      max(col("deg")).as("max_deg"))
+    val ranked = deg
+      .repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("deg").desc, col("node"))).cast("long"))
+      .drop("pid")
+    val probes = ranked.where(expr("r IN (1, 2, 4, 8, 16, 32, 64, 128)"))
+      .select(col("r"), col("deg"))
+    val doubled = probes.select((col("r") * 2).as("r"), col("deg").as("deg2"))
+    val out = probes.join(doubled, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r").as("rank"), col("deg"),
+        expr("CASE WHEN deg2 IS NOT NULL THEN deg * 1000000 div deg2 END")
+          .as("halving_ppm"),
+        col("n_nodes"), col("n_halfedges"),
+        expr("max_deg * 1000000 div n_halfedges").as("max_deg_share_ppm"))
+      .orderBy(col("rank"))
+    val rows = out.collect()
+    edges.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val degreeProfileSql =
+    s"""WITH $edgeCtes,
+      |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |               CAST(sum(deg) AS BIGINT) AS n_halfedges,
+      |               CAST(max(deg) AS BIGINT) AS max_deg FROM deg),
+      |rk AS (
+      |  SELECT deg, CAST(row_number() OVER (ORDER BY deg DESC, node) AS BIGINT) AS r
+      |  FROM deg),
+      |pr AS (SELECT r, deg FROM rk WHERE r IN (1, 2, 4, 8, 16, 32, 64, 128))
+      |SELECT p.r AS rank, p.deg,
+      |       CASE WHEN d2.deg IS NOT NULL THEN p.deg * 1000000 // d2.deg END AS halving_ppm,
+      |       n_nodes, n_halfedges,
+      |       max_deg * 1000000 // n_halfedges AS max_deg_share_ppm
+      |FROM pr p LEFT JOIN (SELECT r * 2 AS r, deg FROM pr) d2 ON d2.r = p.r
+      |CROSS JOIN tot
+      |ORDER BY rank""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("graph_degree_profile", degreeProfile, Some(degreeProfileSql)),
     Q("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),
     Q("graph_kcore", kcore, Some(kcoreSql)),
     Q("graph_sssp", sssp, Some(ssspSql)),

@@ -1484,8 +1484,73 @@ object TextStats extends QueryPack {
       |ORDER BY query_id""".stripMargin
   }
 
+  /** Heaps'-law vocabulary-growth probe — the scaling readout a tokenizer/
+    * vocab plan needs before committing to a vocabulary size: distinct
+    * vocabulary at nested corpus prefixes of 1/8, 1/4, 1/2 and all of the
+    * corpus (prefix = doc_id below a max_id fraction — an ID-RANGE cut, so
+    * the probe needs NO global sort at any corpus size), with token counts
+    * and the doubling ratio vocab(2x)/vocab(x) in integer ppm. Heaps' law
+    * predicts the ratio ≈ 2^β (β ≈ 0.5 for natural text) — read directly
+    * with no log-log fit, the same discipline as the Zipf/degree probes.
+    * Each prefix leg is one tokenize + one distinct aggregate; legs nest,
+    * so at scale the three smaller legs are prunable id-range scans.
+    */
+  def heapsLawProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val toks = docs.select(col("doc_id"), explode(tokensCol).as("term"))
+      .crossJoin(broadcast(maxId))
+    val legs = Seq(1L, 2L, 4L, 8L).map { k =>
+      // two-level group-by-term shape, never several distincts in one agg
+      // (that plans the ×N Expand of the token relation — CLAUDE.md)
+      val va = toks.where(col("doc_id") * 8 <= col("mx") * k)
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("vocab"), coalesce(sum(col("c")), lit(0L)).as("n_tokens"))
+      val nd = docs.crossJoin(broadcast(maxId))
+        .where(col("doc_id") * 8 <= col("mx") * k)
+        .agg(count(lit(1)).as("n_docs"))
+      nd.crossJoin(broadcast(va))
+        .select(lit(k).as("probe_eighths"), col("n_docs"), col("n_tokens"), col("vocab"))
+    }
+    val out = legs.reduce(_ unionAll _)
+    val prev = out.select((col("probe_eighths") * 2).as("probe_eighths"),
+      col("vocab").as("vocab_half"))
+    out.join(prev, Seq("probe_eighths"), "left")
+      .select(col("probe_eighths"), col("n_docs"), col("n_tokens"), col("vocab"),
+        expr("CASE WHEN vocab_half IS NOT NULL THEN vocab * 1000000 div vocab_half END")
+          .as("growth_ppm"))
+      .orderBy(col("probe_eighths"))
+  }
+
+  private val heapsLawProbeSql =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |tk AS (
+      |  SELECT doc_id, unnest($tokensSql) AS term, mx
+      |  FROM documents CROSS JOIN mx),
+      |legs AS (
+      |  SELECT CAST(1 AS BIGINT) AS probe_eighths,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(count(DISTINCT term) AS BIGINT) AS vocab
+      |  FROM tk WHERE doc_id * 8 <= mx * 1
+      |  UNION ALL
+      |  SELECT 2, count(DISTINCT doc_id), count(*), count(DISTINCT term)
+      |  FROM tk WHERE doc_id * 8 <= mx * 2
+      |  UNION ALL
+      |  SELECT 4, count(DISTINCT doc_id), count(*), count(DISTINCT term)
+      |  FROM tk WHERE doc_id * 8 <= mx * 4
+      |  UNION ALL
+      |  SELECT 8, count(DISTINCT doc_id), count(*), count(DISTINCT term)
+      |  FROM tk WHERE doc_id * 8 <= mx * 8)
+      |SELECT l.probe_eighths, l.n_docs, l.n_tokens, l.vocab,
+      |       CASE WHEN h.vocab IS NOT NULL THEN l.vocab * 1000000 // h.vocab END AS growth_ppm
+      |FROM legs l LEFT JOIN (SELECT probe_eighths * 2 AS probe_eighths, vocab FROM legs) h
+      |  USING (probe_eighths)
+      |ORDER BY probe_eighths""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("text_prf_search", prfSearch, Some(prfSearchSql)),
+    Q("heaps_law_probe", heapsLawProbe, Some(heapsLawProbeSql)),
     Q("retrieval_mrr_eval", retrievalMrrEval, Some(retrievalMrrEvalSql)),
     Q("source_signature_terms", sourceSignatureTerms, Some(sourceSignatureTermsSql)),
     Q("bpe_train", bpeTrain, Some(bpeTrainSql)),

@@ -224,6 +224,18 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seq_nextpred_eval: per-from argmax accuracy dominates the global baseline") {
+    val rows = Analytics.seqNextpredEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (acc, base) = (r.getLong(3), r.getLong(4))
+      assert(acc >= 0 && acc <= 1000000L && base >= 0 && base <= 1000000L)
+      // the per-from-type argmax is the in-sample-optimal constant-per-from
+      // predictor, and the global majority class is one such predictor
+      assert(acc >= base, s"${r.getString(0)}: argmax acc $acc < baseline $base")
+    }
+  }
+
   test("ab_cuped: variance never increases and adjusted means replay in memory") {
     val rows = Analytics.abCuped(spark, sfDir).collect()
     assert(rows.length == 2)

@@ -159,4 +159,24 @@ class GraphSpec extends SparkSpec {
     assert(byDist.values.sum == reached,
       "sssp and BFS must reach the same node set at equal hop bounds")
   }
+
+  test("degree profile: degrees non-increasing down the rank probes, shares consistent") {
+    val rows = Graph.degreeProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.head._1 == 1L)
+    val byRank = rows.toSeq.sortBy(_._1)
+    byRank.sliding(2).foreach {
+      case scala.collection.Seq(a, b) =>
+        assert(b._2 <= a._2, s"degree must fall with rank: $a -> $b")
+      case _ =>
+    }
+    // rank-1 degree IS the max degree, so its share replays
+    val (n1deg, halfedges) = (byRank.head._2, byRank.head._5)
+    rows.foreach { case (_, _, growth, _, _) =>
+      growth.foreach(g => assert(g >= 0 && g <= 1000000L,
+        s"halving ratio must sit in [0, 1e6]: $g"))
+    }
+    assert(n1deg <= halfedges)
+  }
 }

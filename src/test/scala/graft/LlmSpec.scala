@@ -310,6 +310,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("heaps_law_probe: nested prefixes grow monotonically in docs, tokens and vocab") {
+    import graft.llm.TextStats
+    val rows = TextStats.heapsLawProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.toSeq.sliding(2).foreach {
+      case scala.collection.Seq(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4,
+          s"prefixes nest, so every count must be monotone: $a -> $b")
+      case _ =>
+    }
+    // growth ratio of a nested prefix can never fall below 1e6
+    rows.flatMap(_._5).foreach(g => assert(g >= 1000000L, s"vocab shrank: $g"))
+  }
+
   test("corpus_admission: ladder partitions every doc and admit_ppm is exact") {
     import graft.llm.Curation
     val rows = Curation.corpusAdmission(spark, sfDir).collect()
