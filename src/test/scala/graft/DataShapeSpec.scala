@@ -62,7 +62,9 @@ class DataShapeSpec extends SparkSpec {
       "a1_volatility",      // double-emitting analysis over events
       "dedup_minhash",      // loadSpread + shingle/minhash UDF pipeline
       "text_quality",       // loadSpread + tokenizer scoring
-      "graph_pagerank")     // cached iterative joins
+      "graph_pagerank",     // cached iterative joins
+      "ind_macd",           // sequential per-key double fold (order-sensitive if wrong)
+      "dataset_card")       // multi-leg hash/histogram composition
     picks.foreach { q =>
       assert(canon(q, shapedDir) == canon(q, sfDir), s"$q differs across layouts")
     }
