@@ -37,8 +37,22 @@ import org.apache.spark.sql.functions._
   */
 object Indicators extends QueryPack {
 
+  /** Memoized-per-dir CACHED bar/close relations: thirteen indicator
+    * queries all start from the same tick→(instrument, day) aggregate, so
+    * the first query pays the fact scan and every later one reuses the
+    * ~instrument×calendar-sized cached relation — the in-session analogue
+    * of the materialized bar table a production deployment keeps (the
+    * `ordersVersioned` memoization discipline). Entries are tiny and live
+    * for the session.
+    */
+  private val closesCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val barsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** trades → per-(company, day) close (cents, max_by total order) + volume */
-  private def dailyCloses(s: SparkSession, dir: String): DataFrame = {
+  private def dailyCloses(s: SparkSession, dir: String): DataFrame =
+    closesCache.computeIfAbsent(dir, _ => buildDailyCloses(s, dir).cache())
+
+  private def buildDailyCloses(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     li.select(
         concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
@@ -336,8 +350,13 @@ object Indicators extends QueryPack {
   // ATR — average true range over daily H/L/C bars
   // -------------------------------------------------------------------------
 
-  /** trades → per-(company, day) high/low/close bars in exact cents */
-  private def dailyBars(s: SparkSession, dir: String): DataFrame = {
+  /** trades → per-(company, day) high/low/close bars in exact cents
+    * (memoized + cached per dir like [[dailyCloses]])
+    */
+  private def dailyBars(s: SparkSession, dir: String): DataFrame =
+    barsCache.computeIfAbsent(dir, _ => buildDailyBars(s, dir).cache())
+
+  private def buildDailyBars(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     li.select(
         concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
