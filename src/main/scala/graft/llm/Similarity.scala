@@ -2034,7 +2034,77 @@ object Similarity extends QueryPack {
       |FROM per CROSS JOIN s
       |ORDER BY dim""".stripMargin
 
+  /** per-dim shifted-centroid cut: contribution > this ⇔ |Δmean| > 1e-3 */
+  private val DriftDimCutE12 = 1000000L
+
+  /** Embedding-space distribution-shift monitor — the vector companion of
+    * the categorical chi-square drift gate: split the corpus into two
+    * deterministic halves (vec_id parity — stands in for old/new ingest
+    * windows), compute each half's centroid via the documented replay
+    * recipe (per-dim exact `floor(v·1e6)` fixed-point sums, then TWO
+    * correctly-rounded divisions — bit-equal cross-engine), and emit the
+    * squared centroid distance with per-dim attribution: each dim's
+    * `floor(Δ²·1e12)` is integerized BEFORE the 64-term sum (no float
+    * summation order), the worst dim is argmax'd on that integer, and dims
+    * with |Δmean| > 1e-3 are counted. The embedding-drift gate a retrieval
+    * index re-build decision reads.
+    *
+    * 100 TB shape: ONE corpus scan to Dim×2 fixed-point sums (map-side
+    * combined); everything after runs on the 64-row dim relation.
+    */
+  def embCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.loadSpread(s, dir, "embeddings")
+      .select((col("vec_id") % 2).as("half"), posexplode(col("embedding")))
+      .select(col("half"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1000000).cast("long").as("q"))
+    val per = comp.groupBy(col("dim"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+    val a = per.where(col("half") === 0)
+      .select(col("dim"), col("n").as("n_a"), col("sq").as("sq_a"))
+    val b = per.where(col("half") === 1)
+      .select(col("dim"), col("n").as("n_b"), col("sq").as("sq_b"))
+    val dims = a.join(b, "dim")
+      .withColumn("delta",
+        expr("CAST(sq_a AS DOUBLE) / 1000000 / n_a - CAST(sq_b AS DOUBLE) / 1000000 / n_b"))
+      .withColumn("contrib_e12",
+        expr("CAST(floor(delta * delta * 1000000000000) AS BIGINT)"))
+    dims.agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("contrib_e12")).as("dist2_e12"),
+        min_by(col("dim"), struct(-col("contrib_e12"), col("dim"))).as("worst_dim"),
+        max(col("contrib_e12")).as("worst_dim_e12"),
+        sum(when(col("contrib_e12") > DriftDimCutE12, 1L).otherwise(0L))
+          .as("n_dims_shifted"))
+  }
+
+  private val embCentroidDriftSql =
+    s"""WITH c AS (
+      |  SELECT vec_id % 2 AS half,
+      |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |         CAST(floor(CAST(embedding[generate_subscripts(embedding, 1)] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT dim, half, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq
+      |  FROM c GROUP BY 1, 2),
+      |d AS (
+      |  SELECT a.dim,
+      |         a.n AS n_a, b.n AS n_b,
+      |         CAST(a.sq AS DOUBLE) / 1000000 / a.n - CAST(b.sq AS DOUBLE) / 1000000 / b.n AS delta
+      |  FROM (SELECT * FROM per WHERE half = 0) a
+      |  JOIN (SELECT * FROM per WHERE half = 1) b USING (dim)),
+      |e AS (
+      |  SELECT dim, n_a, n_b,
+      |         CAST(floor(delta * delta * 1000000000000) AS BIGINT) AS contrib_e12
+      |  FROM d)
+      |SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+      |       CAST(sum(contrib_e12) AS BIGINT) AS dist2_e12,
+      |       CAST(max(CASE WHEN rn = 1 THEN dim END) AS BIGINT) AS worst_dim,
+      |       CAST(max(contrib_e12) AS BIGINT) AS worst_dim_e12,
+      |       CAST(sum(CASE WHEN contrib_e12 > $DriftDimCutE12 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_shifted
+      |FROM (SELECT *, row_number() OVER (ORDER BY contrib_e12 DESC, dim) AS rn FROM e)""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("emb_centroid_drift", embCentroidDrift, Some(embCentroidDriftSql)),
     Q("emb_dim_diagnostics", embDimDiagnostics, Some(embDimDiagnosticsSql)),
     Q("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),
     Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),

@@ -310,6 +310,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("emb_centroid_drift: distance dominated by the worst dim x Dim, counts partition") {
+    import graft.llm.Similarity
+    val r = Similarity.embCentroidDrift(spark, sfDir).collect().head
+    val (na, nb, d2, worst, worstE12, shifted) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(na > 0 && nb > 0)
+    val dim = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("size(embedding) AS d").distinct().collect().head.getInt(0)
+    assert(worst >= 0 && worst < dim)
+    assert(d2 >= worstE12, "total distance cannot be below its worst component")
+    assert(d2 <= worstE12 * dim, "total cannot exceed Dim x the worst component")
+    assert(shifted >= 0 && shifted <= dim)
+  }
+
   test("heaps_law_probe: nested prefixes grow monotonically in docs, tokens and vocab") {
     import graft.llm.TextStats
     val rows = TextStats.heapsLawProbe(spark, sfDir).collect()
