@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature engineering for training-data export — the layer between curation
@@ -255,7 +256,62 @@ object Features extends QueryPack {
        |       CAST(sum(rh) AS BIGINT) AS checksum
        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Tie-aware quantile normalization — the rank-transform featurizer that
+    * makes any monotone feature comparable across sources/scales: each
+    * DISTINCT value maps to its doubled MID-RANK in ppm (`2·cumb + c` over
+    * the value histogram — the Mann-Whitney doubled-rank discipline, so
+    * ties land on their exact average rank with no halving round), and the
+    * fact joins the broadcast value→ppm map back. Emitted as the per-value
+    * mapping plus a per-decile occupancy audit (a correct rank transform
+    * fills deciles uniformly up to tie granularity). All integer; the
+    * shuffle state is the value HISTOGRAM, never rows.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.load(s, dir, "orders")
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v"))
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
+      // doubled mid-rank of the tie run: 2·(cum − c) + c + 1 per member
+      .select(col("v"), col("c"),
+        expr("(2 * (cum - c) + c + 1) * 1000000 div (2 * n)").as("qnorm_ppm"))
+    ranked
+      .withColumn("decile", expr("least(qnorm_ppm * 10 div 1000000, 9L)"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_distinct_values"),
+        sum(col("c")).as("n_rows"),
+        min(col("qnorm_ppm")).as("min_ppm"),
+        max(col("qnorm_ppm")).as("max_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  private val quantileNormalizeSql =
+    """WITH vals AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+      |rk AS (
+      |  SELECT v, c,
+      |         (2 * (CAST(sum(c) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c)
+      |          + c + 1) * 1000000 // (2 * n) AS qnorm_ppm
+      |  FROM hist CROSS JOIN n)
+      |SELECT least(qnorm_ppm * 10 // 1000000, 9) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_distinct_values,
+      |       CAST(sum(c) AS BIGINT) AS n_rows,
+      |       CAST(min(qnorm_ppm) AS BIGINT) AS min_ppm,
+      |       CAST(max(qnorm_ppm) AS BIGINT) AS max_ppm
+      |FROM rk GROUP BY 1
+      |ORDER BY decile""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("feature_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     Q("export_manifest", exportManifest, Some(exportManifestSql)),
     Q("target_encode_loo", targetEncodeLoo, Some(targetEncodeLooSql)),
     Q("feature_hash_export", featureHashExport, Some(featureHashExportSql)),

@@ -94,4 +94,24 @@ class FeaturesSpec extends SparkSpec {
     assert(fold0.getAs[Long]("slope_ppm") == math.floor(slope * 1000000).toLong,
       "fold-0 slope matches an independent recomputation")
   }
+
+  test("quantile normalize: deciles partition rows near-uniformly, ppms ordered") {
+    import graft.llm.Features
+    val rows = Features.quantileNormalize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val totalRows = Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_._3).sum == totalRows, "deciles must partition every row")
+    // rank transform: decile row masses are uniform up to tie granularity
+    rows.foreach { case (d, _, n, lo, hi) =>
+      assert(lo <= hi && lo >= 0 && hi <= 1000000L)
+      assert(n <= totalRows / 10 + totalRows / 50 + 1,
+        s"decile $d holds $n rows — rank transform should spread near-uniformly")
+    }
+    // ppm ranges of successive deciles never overlap
+    rows.toSeq.sliding(2).foreach {
+      case scala.collection.Seq(a, b) => assert(a._5 < b._4)
+      case _ =>
+    }
+  }
 }
