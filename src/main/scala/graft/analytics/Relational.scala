@@ -1348,6 +1348,94 @@ object Relational extends QueryPack {
     * recipe). Purchases with no in-window view drop, like unmatched facts
     * in a strict attribution model.
     */
+  /** nearest-attribution window (seconds each side) */
+  val NearestWinS = 3600L
+
+  /** Bidirectional NEAREST-event join — the attribution semantics neither
+    * as-of direction alone expresses: each purchase attaches to its
+    * temporally CLOSEST view by the same user within ±[[NearestWinS]]
+    * (|Δt| min; tie → the earlier/backward side), found with two window
+    * passes over the per-user merged stream — running max of view-times
+    * behind, running min ahead — never a range self-join (the nearest
+    * view is always one of those two candidates because view times are
+    * monotone along the stream). Emits per-direction accounting:
+    * backward/forward/none counts with exact lag sums and extremes — the
+    * "did the ad view precede or chase the purchase" readout.
+    *
+    * 100 TB shape: one shuffle on user_id; both window passes sort within
+    * user partitions only; output is 3 accounting rows.
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val marked = ev
+      .withColumn("prev_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(back))
+      .withColumn("next_view_us",
+        min(when(col("event_type") === "view", col("us"))).over(fwd))
+      .where(col("event_type") === "purchase")
+      .withColumn("d_back",
+        when(col("prev_view_us").isNotNull, col("us") - col("prev_view_us")))
+      .withColumn("d_fwd",
+        when(col("next_view_us").isNotNull, col("next_view_us") - col("us")))
+      .withColumn("direction",
+        when(col("d_back").isNotNull && col("d_back") <= lit(NearestWinS * 1000000L) &&
+          (col("d_fwd").isNull || col("d_back") <= col("d_fwd") ||
+            col("d_fwd") > lit(NearestWinS * 1000000L)), "backward")
+          .when(col("d_fwd").isNotNull && col("d_fwd") <= lit(NearestWinS * 1000000L),
+            "forward")
+          .otherwise(lit("none")))
+      .withColumn("lag_s",
+        when(col("direction") === "backward", expr("d_back div 1000000"))
+          .when(col("direction") === "forward", expr("d_fwd div 1000000")))
+    marked.groupBy(col("direction"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("lag_s")), lit(0L)).as("sum_lag_s"),
+        coalesce(max(col("lag_s")), lit(0L)).as("max_lag_s"))
+      .orderBy(col("direction"))
+  }
+
+  private val asofNearestSql =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type
+      |  FROM events),
+      |m AS (
+      |  SELECT *,
+      |         max(CASE WHEN event_type = 'view' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us,
+      |         min(CASE WHEN event_type = 'view' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_view_us
+      |  FROM e),
+      |p AS (
+      |  SELECT us - prev_view_us AS d_back, next_view_us - us AS d_fwd
+      |  FROM m WHERE event_type = 'purchase'),
+      |cls AS (
+      |  SELECT CASE
+      |           WHEN d_back IS NOT NULL AND d_back <= ${NearestWinS * 1000000L}
+      |                AND (d_fwd IS NULL OR d_back <= d_fwd
+      |                     OR d_fwd > ${NearestWinS * 1000000L}) THEN 'backward'
+      |           WHEN d_fwd IS NOT NULL AND d_fwd <= ${NearestWinS * 1000000L} THEN 'forward'
+      |           ELSE 'none' END AS direction,
+      |         d_back, d_fwd
+      |  FROM p)
+      |SELECT direction,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(coalesce(sum(CASE WHEN direction = 'backward' THEN d_back // 1000000
+      |                              WHEN direction = 'forward' THEN d_fwd // 1000000 END), 0)
+      |            AS BIGINT) AS sum_lag_s,
+      |       CAST(coalesce(max(CASE WHEN direction = 'backward' THEN d_back // 1000000
+      |                              WHEN direction = 'forward' THEN d_fwd // 1000000 END), 0)
+      |            AS BIGINT) AS max_lag_s
+      |FROM cls GROUP BY direction
+      |ORDER BY direction""".stripMargin
+
   def asofBoundedAttribution(s: SparkSession, dir: String): DataFrame = {
     val us30m = 1800L * 1000000L
     val ev = Tables.load(s, dir, "events")
@@ -1858,6 +1946,7 @@ object Relational extends QueryPack {
     Q("q12_shipmode_priority", shipmodePriority, Some(shipmodePrioritySql)),
     Q("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Q("asof_bounded_attribution", asofBoundedAttribution, Some(asofBoundedAttributionSql)),
+    Q("asof_nearest", asofNearest, Some(asofNearestSql)),
     Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),

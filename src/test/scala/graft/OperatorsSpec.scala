@@ -271,4 +271,37 @@ class OperatorsSpec extends SparkSpec {
       case _           => true
     })
   }
+
+  test("asof_nearest: directions partition purchases and match a naive nearest scan") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.analytics.Relational.asofNearest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val W = graft.analytics.Relational.NearestWinS * 1000000L
+    var nb = 0L; var nf = 0L; var nn = 0L; var sb = 0L; var sf = 0L
+    ev.groupBy(_._1).values.foreach { es =>
+      val sorted = es.toSeq.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.foreach { case (e, i) =>
+        if (e._4 == "purchase") {
+          val prevV = sorted.take(i).reverse.find(_._4 == "view").map(v => e._2 - v._2)
+          val nextV = sorted.drop(i + 1).find(_._4 == "view").map(v => v._2 - e._2)
+          (prevV, nextV) match {
+            case (Some(b), f) if b <= W && (f.isEmpty || b <= f.get || f.get > W) =>
+              nb += 1; sb += b / 1000000L
+            case (_, Some(f)) if f <= W => nf += 1; sf += f / 1000000L
+            case _ => nn += 1
+          }
+        }
+      }
+    }
+    assert(rows.getOrElse("backward", (0L, 0L, 0L))._1 == nb)
+    assert(rows.getOrElse("forward", (0L, 0L, 0L))._1 == nf)
+    assert(rows.getOrElse("none", (0L, 0L, 0L))._1 == nn)
+    assert(rows.getOrElse("backward", (0L, 0L, 0L))._2 == sb)
+    assert(rows.getOrElse("forward", (0L, 0L, 0L))._2 == sf)
+  }
 }
