@@ -1348,6 +1348,56 @@ object Relational extends QueryPack {
     * recipe). Purchases with no in-window view drop, like unmatched facts
     * in a strict attribution model.
     */
+  /** Supplier scorecard — the procurement-analytics readout over the
+    * supplier dimension (the one §1 table no other query profiles
+    * end-to-end): per supplier, line/revenue volume in exact cents, the
+    * return rate and average discount in integer ppm/bp, part-assortment
+    * breadth, and the revenue rank within the supplier's nation (a
+    * window over the supplier-sized relation). One fact shuffle on
+    * l_suppkey; the 100-row dim broadcasts for labels.
+    */
+  def supplierScorecard(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val base = li.groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((dec2(col("l_extendedprice")) * 100).cast("long")).as("revenue_c"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum((col("l_discount").cast("decimal(4,2)") * 10000).cast("long")).as("disc_bp_sum"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey").cast("long").as("nation"))
+    base.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("suppkey"), col("s_name"), col("nation"),
+        col("n_lines"), col("revenue_c"),
+        expr("n_returned * 1000000 div n_lines").as("return_ppm"),
+        expr("disc_bp_sum div n_lines").as("avg_disc_bp"),
+        col("n_parts"))
+      .withColumn("nation_rank", row_number().over(
+        Window.partitionBy(col("nation"))
+          .orderBy(col("revenue_c").desc, col("suppkey"))).cast("long"))
+      .orderBy(col("suppkey"))
+  }
+
+  private val supplierScorecardSql =
+    """WITH base AS (
+      |  SELECT l_suppkey AS suppkey,
+      |         CAST(count(*) AS BIGINT) AS n_lines,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_c,
+      |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |         CAST(sum(CAST(CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) AS BIGINT) AS disc_bp_sum,
+      |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      |  FROM lineitem GROUP BY 1)
+      |SELECT suppkey, s_name, CAST(s_nationkey AS BIGINT) AS nation,
+      |       n_lines, revenue_c,
+      |       n_returned * 1000000 // n_lines AS return_ppm,
+      |       disc_bp_sum // n_lines AS avg_disc_bp,
+      |       n_parts,
+      |       CAST(row_number() OVER (PARTITION BY s_nationkey
+      |                               ORDER BY revenue_c DESC, suppkey) AS BIGINT) AS nation_rank
+      |FROM base JOIN supplier ON suppkey = s_suppkey
+      |ORDER BY suppkey""".stripMargin
+
   /** nearest-attribution window (seconds each side) */
   val NearestWinS = 3600L
 
@@ -1947,6 +1997,7 @@ object Relational extends QueryPack {
     Q("null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     Q("asof_bounded_attribution", asofBoundedAttribution, Some(asofBoundedAttributionSql)),
     Q("asof_nearest", asofNearest, Some(asofNearestSql)),
+    Q("supplier_scorecard", supplierScorecard, Some(supplierScorecardSql)),
     Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
