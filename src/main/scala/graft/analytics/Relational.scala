@@ -1398,6 +1398,111 @@ object Relational extends QueryPack {
       |FROM base JOIN supplier ON suppkey = s_suppkey
       |ORDER BY suppkey""".stripMargin
 
+  /** Region-level year-over-year growth — the geo trend readout every BI
+    * deployment leads with: per (region, order-year) revenue in exact
+    * cents with the YoY delta in integer ppm (lag window over the
+    * region×year relation; first year emits NULL). The snowflake chain
+    * broadcasts both dims; the fact shuffles once on its (region, year)
+    * grouping grain.
+    */
+  def regionYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec2(col("o_totalprice")) * 100).cast("long")).as("revenue_c"))
+    rev
+      .withColumn("prev_c", lag(col("revenue_c"), 1).over(
+        Window.partitionBy(col("r_name")).orderBy(col("yr"))))
+      .select(col("r_name"), col("yr"), col("n_orders"), col("revenue_c"),
+        expr("""CASE WHEN prev_c > 0 THEN
+               |  CAST(floor(CAST(revenue_c - prev_c AS DOUBLE) / prev_c * 1000000) AS BIGINT)
+               |END""".stripMargin).as("yoy_ppm"))
+      .orderBy(col("r_name"), col("yr"))
+  }
+
+  private val regionYoyGrowthSql =
+    """WITH rev AS (
+      |  SELECT r_name, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(revenue_c) OVER (PARTITION BY r_name ORDER BY yr) AS prev_c
+      |  FROM rev)
+      |SELECT r_name, yr, n_orders, revenue_c,
+      |       CASE WHEN prev_c > 0 THEN
+      |         CAST(floor(CAST(revenue_c - prev_c AS DOUBLE) / prev_c * 1000000) AS BIGINT)
+      |       END AS yoy_ppm
+      |FROM l
+      |ORDER BY r_name, yr""".stripMargin
+
+  /** Header-vs-lines aggregate-consistency audit — the cross-table DQ
+    * invariant every order system claims (`o_totalprice =
+    * Σ extprice·(1−disc)·(1+tax)`) and real data routinely violates: per
+    * order, the header total in exact cents against the floor-cents line
+    * reconstruction, reported per status as exact-match / within-1% /
+    * beyond-1% counts and the worst relative deviation in floor-bp. The
+    * referential sibling of [[graft.llm.Governance.riAudit]] (that audits
+    * WHICH rows join; this audits whether the joined AMOUNTS agree).
+    * One fact shuffle on the order key, then a status-sized accounting.
+    */
+  def orderTotalAudit(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax")) * 100).cast("long")).as("lines_c"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("hdr_c"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("lines_c", coalesce(col("lines_c"), lit(0L)))
+      .withColumn("dev_bp",
+        expr("""CASE WHEN hdr_c > 0 THEN
+               |  CAST(floor(CAST(abs(hdr_c - lines_c) AS DOUBLE) / hdr_c * 10000) AS BIGINT)
+               |END""".stripMargin))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("hdr_c") === col("lines_c"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("dev_bp").isNotNull && col("dev_bp") <= 100, 1L).otherwise(0L))
+          .as("n_within_1pct"),
+        max(col("dev_bp")).as("max_dev_bp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val orderTotalAuditSql =
+    """WITH lines AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS lines_c
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS hdr_c,
+      |         coalesce(lines_c, 0) AS lines_c
+      |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey),
+      |d AS (
+      |  SELECT o_orderstatus, hdr_c, lines_c,
+      |         CASE WHEN hdr_c > 0 THEN
+      |           CAST(floor(CAST(abs(hdr_c - lines_c) AS DOUBLE) / hdr_c * 10000) AS BIGINT)
+      |         END AS dev_bp
+      |  FROM j)
+      |SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN hdr_c = lines_c THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |       CAST(sum(CASE WHEN dev_bp IS NOT NULL AND dev_bp <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |       CAST(max(dev_bp) AS BIGINT) AS max_dev_bp
+      |FROM d GROUP BY 1
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** nearest-attribution window (seconds each side) */
   val NearestWinS = 3600L
 
@@ -1998,6 +2103,8 @@ object Relational extends QueryPack {
     Q("asof_bounded_attribution", asofBoundedAttribution, Some(asofBoundedAttributionSql)),
     Q("asof_nearest", asofNearest, Some(asofNearestSql)),
     Q("supplier_scorecard", supplierScorecard, Some(supplierScorecardSql)),
+    Q("region_yoy_growth", regionYoyGrowth, Some(regionYoyGrowthSql)),
+    Q("order_total_audit", orderTotalAudit, Some(orderTotalAuditSql)),
     Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
