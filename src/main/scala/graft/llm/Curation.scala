@@ -1267,7 +1267,62 @@ object Curation extends QueryPack {
       |FROM v GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Token-budget mixture planner — the capacity question a pretraining
+    * data plan answers FIRST: after exact dedup (keep the lowest doc_id
+    * per content hash), how many tokens does each source actually have,
+    * and what uniform per-source budget can the corpus fund? The binding
+    * budget T = min over sources of post-dedup tokens; each source
+    * reports raw vs kept tokens, the dedup loss, its surplus over T, and
+    * utilization T/kept in exact ppm — "which source binds the mixture
+    * and how much of everything else goes unused". One tokenize pass;
+    * dedup membership is a (hash → min id) aggregate; the budget is a
+    * broadcast 1-row reduce.
+    */
+  def tokenBudgetPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokensCol).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("h"))
+      .cache()
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = d.join(keep, Seq("h", "doc_id"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens_kept"))
+    val raw = d.groupBy(col("source")).agg(sum(col("n_tok")).as("tokens_raw"))
+    val budget = kept.agg(min(col("tokens_kept")).as("t_budget"))
+    val out = raw.join(kept, "source")
+      .crossJoin(broadcast(budget))
+      .select(col("source"), col("tokens_raw"), col("tokens_kept"),
+        (col("tokens_raw") - col("tokens_kept")).as("tokens_deduped_away"),
+        col("t_budget"),
+        (col("tokens_kept") - col("t_budget")).as("surplus_tokens"),
+        expr("t_budget * 1000000 div tokens_kept").as("utilization_ppm"))
+      .orderBy(col("source"))
+    val rows = out.collect()
+    d.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val tokenBudgetPlanSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, source, CAST(len(${TextStats.tokensSql}) AS BIGINT) AS n_tok,
+      |         md5(text) AS h
+      |  FROM documents),
+      |keep AS (SELECT h, min(doc_id) AS doc_id FROM d GROUP BY h),
+      |kept AS (
+      |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+      |  FROM d JOIN keep USING (h, doc_id) GROUP BY source),
+      |raw AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens_raw FROM d GROUP BY source),
+      |b AS (SELECT CAST(min(tokens_kept) AS BIGINT) AS t_budget FROM kept)
+      |SELECT source, tokens_raw, tokens_kept,
+      |       tokens_raw - tokens_kept AS tokens_deduped_away,
+      |       t_budget,
+      |       tokens_kept - t_budget AS surplus_tokens,
+      |       t_budget * 1000000 // tokens_kept AS utilization_ppm
+      |FROM raw JOIN kept USING (source) CROSS JOIN b
+      |ORDER BY source""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("token_budget_plan", tokenBudgetPlan, Some(tokenBudgetPlanSql)),
     Q("corpus_admission", corpusAdmission, Some(corpusAdmissionSql)),
     Q("dataset_card", datasetCard, Some(datasetCardSql)),
     Q("synth_bootstrap_audit", synthBootstrapAudit, Some(synthBootstrapAuditSql)),

@@ -340,6 +340,23 @@ class LlmSpec extends SparkSpec {
     rows.flatMap(_._5).foreach(g => assert(g >= 1000000L, s"vocab shrank: $g"))
   }
 
+  test("token_budget_plan: budget binds at the minimum source and identities hold") {
+    import graft.llm.Curation
+    val rows = Curation.tokenBudgetPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val t = rows.head._5
+    assert(rows.forall(_._5 == t), "one shared budget")
+    assert(rows.map(_._3).min == t, "budget IS the minimum kept-token source")
+    rows.foreach { case (src, raw, kept, away, _, surplus, util) =>
+      assert(raw - kept == away && kept - t == surplus, s"$src identities")
+      assert(kept <= raw && surplus >= 0)
+      assert(util == t * 1000000L / kept && util <= 1000000L)
+    }
+    assert(rows.exists(_._7 == 1000000L), "the binding source runs at full utilization")
+  }
+
   test("corpus_admission: ladder partitions every doc and admit_ppm is exact") {
     import graft.llm.Curation
     val rows = Curation.corpusAdmission(spark, sfDir).collect()
