@@ -986,6 +986,92 @@ object Indicators extends QueryPack {
       |ORDER BY company_id, month""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Cross-sectional momentum factor — winner-loser spread backtest
+  // -------------------------------------------------------------------------
+
+  /** momentum portfolio width (instruments long and short each month) */
+  val MomK = 5
+
+  /** Cross-sectional momentum backtest (the Jegadeesh-Titman factor on the
+    * exact stack): each month, instruments rank by their TRAILING
+    * 3-month bp-return sum (signal months only — the formation window
+    * never sees the holding month); the top [[MomK]] form the winner
+    * portfolio, the bottom [[MomK]] the losers, and the month's factor
+    * return is the floor-mean winner minus floor-mean loser CURRENT-month
+    * return. Positive average spread = momentum exists in this market.
+    * All integer: monthly returns are negative-safe floor-bp, signals are
+    * int sums, portfolio means are floor-divisions by the fixed K.
+    *
+    * 100 TB shape: the fact collapses to (instrument, month) closes in one
+    * shuffle; ranks/spreads run on the instrument×month relation.
+    */
+  def momentumFactor(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy(col("company_id")).orderBy(col("month"))
+    val monthly = dailyCloses(s, dir)
+      .groupBy(col("company_id"), col("day").substr(1, 7).as("month"))
+      .agg(max_by(col("close_c"), col("day")).as("close_c"))
+      .withColumn("prev_c", lag(col("close_c"), 1).over(lw))
+      .where(col("prev_c").isNotNull && col("prev_c") > 0)
+      .withColumn("r_bp",
+        expr("CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT)"))
+    val sig = monthly
+      .withColumn("n_sig", count(lit(1)).over(lw.rowsBetween(-3, -1)))
+      .withColumn("mom_bp", sum(col("r_bp")).over(lw.rowsBetween(-3, -1)))
+      .where(col("n_sig") === 3)
+    val ranked = sig
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("month")).orderBy(col("mom_bp").desc, col("company_id"))))
+      .withColumn("n_inst", count(lit(1)).over(Window.partitionBy(col("month"))))
+      .where(col("n_inst") >= 2 * MomK)
+    ranked.groupBy(col("month"), col("n_inst"))
+      .agg(
+        sum(when(col("rk") <= MomK, col("r_bp")).otherwise(0L)).as("w_sum"),
+        sum(when(col("rk") > col("n_inst") - MomK, col("r_bp")).otherwise(0L)).as("l_sum"))
+      .select(col("month"), col("n_inst").as("n_instruments"),
+        expr(s"CAST(floor(CAST(w_sum AS DOUBLE) / $MomK) AS BIGINT)").as("winner_mean_bp"),
+        expr(s"CAST(floor(CAST(l_sum AS DOUBLE) / $MomK) AS BIGINT)").as("loser_mean_bp"),
+        expr(s"CAST(floor(CAST(w_sum AS DOUBLE) / $MomK) AS BIGINT) - CAST(floor(CAST(l_sum AS DOUBLE) / $MomK) AS BIGINT)")
+          .as("spread_bp"))
+      .orderBy(col("month"))
+  }
+
+  private val momentumFactorSql =
+    s"""WITH $closesCtes,
+      |mo AS (
+      |  SELECT company_id, substr(day, 1, 7) AS month,
+      |         CAST(max(CASE WHEN rn = 1 THEN close_c END) AS BIGINT) AS close_c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY company_id, substr(day, 1, 7)
+      |                                     ORDER BY day DESC) AS rn
+      |        FROM closes)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT company_id, month, close_c,
+      |         CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT) AS r_bp
+      |  FROM (SELECT *, lag(close_c) OVER (PARTITION BY company_id ORDER BY month) AS prev_c
+      |        FROM mo)
+      |  WHERE prev_c IS NOT NULL AND prev_c > 0),
+      |sig AS (
+      |  SELECT company_id, month, r_bp,
+      |         CAST(count(*) OVER w AS BIGINT) AS n_sig,
+      |         CAST(sum(r_bp) OVER w AS BIGINT) AS mom_bp
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY company_id ORDER BY month
+      |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+      |rk AS (
+      |  SELECT month, r_bp,
+      |         row_number() OVER (PARTITION BY month ORDER BY mom_bp DESC, company_id) AS rk,
+      |         CAST(count(*) OVER (PARTITION BY month) AS BIGINT) AS n_inst
+      |  FROM sig WHERE n_sig = 3)
+      |SELECT month, n_inst AS n_instruments,
+      |       CAST(floor(CAST(sum(CASE WHEN rk <= $MomK THEN r_bp ELSE 0 END) AS DOUBLE) / $MomK) AS BIGINT) AS winner_mean_bp,
+      |       CAST(floor(CAST(sum(CASE WHEN rk > n_inst - $MomK THEN r_bp ELSE 0 END) AS DOUBLE) / $MomK) AS BIGINT) AS loser_mean_bp,
+      |       CAST(floor(CAST(sum(CASE WHEN rk <= $MomK THEN r_bp ELSE 0 END) AS DOUBLE) / $MomK) AS BIGINT)
+      |         - CAST(floor(CAST(sum(CASE WHEN rk > n_inst - $MomK THEN r_bp ELSE 0 END) AS DOUBLE) / $MomK) AS BIGINT) AS spread_bp
+      |FROM rk WHERE n_inst >= ${2 * MomK}
+      |GROUP BY month, n_inst
+      |ORDER BY month""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Drawdown duration — the time axis a8_max_drawdown's depth misses
   // -------------------------------------------------------------------------
 
@@ -1051,5 +1137,6 @@ object Indicators extends QueryPack {
     Q("ind_pairs_spread", pairsSpread, Some(pairsSpreadSql)),
     Q("ind_tca_slippage", tcaSlippage, Some(tcaSlippageSql)),
     Q("ind_amihud", amihud, Some(amihudSql)),
+    Q("ind_momentum_factor", momentumFactor, Some(momentumFactorSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

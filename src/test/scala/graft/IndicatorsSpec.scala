@@ -202,6 +202,16 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("momentum factor: spread identity holds and portfolios never overlap") {
+    val rows = Indicators.momentumFactor(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, w, l, sp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 2L * Indicators.MomK, "winner and loser books must not overlap")
+      assert(sp == w - l, "spread must be exactly winner mean minus loser mean")
+    }
+  }
+
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
     val got = Indicators.drawdownDuration(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
