@@ -1332,6 +1332,52 @@ object Analytics extends QueryPack {
       |FROM j
       |ORDER BY arm""".stripMargin
 
+  /** Hour-of-day activity profile — the capacity-planning readout behind
+    * trigger scheduling and maintenance windows: per event type, the UTC
+    * hourly histogram collapsed to its peak hour (ties → earliest hour),
+    * the peak's share, the quietest hour, and the night share (00–05) —
+    * all exact integer ppm over one (type, hour) aggregate. The session
+    * pins UTC, so hour extraction is engine-identical.
+    */
+  def hourlyActivityProfile(s: SparkSession, dir: String): DataFrame = {
+    val byHour = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    byHour.groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        min_by(col("hr"), struct(-col("c"), col("hr"))).as("peak_hour"),
+        max(col("c")).as("peak_count"),
+        min_by(col("hr"), struct(col("c"), col("hr"))).as("quiet_hour"),
+        sum(when(col("hr") < 6, col("c")).otherwise(0L)).as("night_count"))
+      .select(col("event_type"), col("n_events"), col("peak_hour"),
+        expr("peak_count * 1000000 div n_events").as("peak_share_ppm"),
+        col("quiet_hour"),
+        expr("night_count * 1000000 div n_events").as("night_share_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  private val hourlyActivityProfileSql =
+    """WITH h AS (
+      |  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, hr, c,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, hr) AS rp,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY c, hr) AS rq
+      |  FROM h)
+      |SELECT event_type,
+      |       CAST(sum(c) AS BIGINT) AS n_events,
+      |       CAST(max(CASE WHEN rp = 1 THEN hr END) AS BIGINT) AS peak_hour,
+      |       CAST(max(CASE WHEN rp = 1 THEN c END) AS BIGINT) * 1000000
+      |         // CAST(sum(c) AS BIGINT) AS peak_share_ppm,
+      |       CAST(max(CASE WHEN rq = 1 THEN hr END) AS BIGINT) AS quiet_hour,
+      |       CAST(sum(CASE WHEN hr < 6 THEN c ELSE 0 END) AS BIGINT) * 1000000
+      |         // CAST(sum(c) AS BIGINT) AS night_share_ppm
+      |FROM rk GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** attribution lookback window (hours) for [[attributionMultiTouch]] */
   val AttrWindowH = 72
 
@@ -3059,6 +3105,7 @@ object Analytics extends QueryPack {
     Q("ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
     Q("ab_cuped", abCuped, Some(abCupedSql)),
+    Q("hourly_activity_profile", hourlyActivityProfile, Some(hourlyActivityProfileSql)),
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("abc_classification", abcClassification, Some(abcClassificationSql)),
