@@ -1072,6 +1072,98 @@ object Indicators extends QueryPack {
       |ORDER BY month""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Volatility regimes — vol clustering without GARCH
+  // -------------------------------------------------------------------------
+
+  /** Volatility-regime classification — the "volatility clusters" stylized
+    * fact read without any GARCH estimation: per instrument, the rolling
+    * [[RsiW]]-day sum of |bp returns| is an integer realized-vol proxy;
+    * each full-window day classifies HIGH when that proxy strictly exceeds
+    * the instrument's own ceil-rank median proxy (the pinned `rn·2 ≥ n`
+    * rule — an integer threshold, so the split is exact), and the report
+    * counts high days, the LONGEST high run (gaps-and-islands), and
+    * regime transitions. Clustered vol ⇒ long runs and few transitions vs
+    * the ~n/2 alternations independence would give.
+    */
+  def volRegimes(s: SparkSession, dir: String): DataFrame = {
+    val lw = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    val vol = bpReturns(s, dir)
+      .withColumn("a", abs(col("r_bp")))
+      .withColumn("n_w", count(lit(1)).over(lw.rowsBetween(-(RsiW - 1), Window.currentRow)))
+      .withColumn("rv", sum(col("a")).over(lw.rowsBetween(-(RsiW - 1), Window.currentRow)))
+      .where(col("n_w") === RsiW)
+    val med = vol
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("company_id")).orderBy(col("rv"), col("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("company_id"))))
+      .groupBy(col("company_id"))
+      .agg(min(when(col("rn") * 2 >= col("n"), col("rv"))).as("med_rv"))
+    val flagged = vol.join(broadcast(med), "company_id")
+      .withColumn("hi", when(col("rv") > col("med_rv"), 1L).otherwise(0L))
+      .withColumn("island", sum(lit(1L) - col("hi")).over(
+        lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("flip",
+        when(lag(col("hi"), 1).over(lw).isNotNull &&
+          lag(col("hi"), 1).over(lw) =!= col("hi"), 1L).otherwise(0L))
+    val runs = flagged.groupBy(col("company_id"), col("island"))
+      .agg(sum(col("hi")).as("run"))
+      .groupBy(col("company_id"))
+      .agg(max(col("run")).as("longest_high_run"))
+    flagged.groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("hi")).as("n_high_days"),
+        sum(col("flip")).as("n_transitions"))
+      .join(broadcast(runs), "company_id")
+      .select(col("company_id"), col("n_days"), col("n_high_days"),
+        col("longest_high_run"), col("n_transitions"))
+      .orderBy(col("company_id"))
+  }
+
+  private val volRegimesSql =
+    s"""WITH $retsCtes,
+      |v AS (
+      |  SELECT company_id, day,
+      |         CAST(count(*) OVER w AS BIGINT) AS n_w,
+      |         CAST(sum(abs(r_bp)) OVER w AS BIGINT) AS rv
+      |  FROM rets
+      |  WINDOW w AS (PARTITION BY company_id ORDER BY day
+      |               ROWS BETWEEN ${RsiW - 1} PRECEDING AND CURRENT ROW)),
+      |f AS (SELECT company_id, day, rv FROM v WHERE n_w = $RsiW),
+      |med AS (
+      |  SELECT company_id, CAST(min(CASE WHEN rn * 2 >= n THEN rv END) AS BIGINT) AS med_rv
+      |  FROM (SELECT company_id, rv,
+      |               CAST(row_number() OVER (PARTITION BY company_id ORDER BY rv, day) AS BIGINT) AS rn,
+      |               CAST(count(*) OVER (PARTITION BY company_id) AS BIGINT) AS n
+      |        FROM f)
+      |  GROUP BY company_id),
+      |hi AS (
+      |  SELECT f.company_id, f.day,
+      |         CASE WHEN f.rv > m.med_rv THEN 1 ELSE 0 END AS hi
+      |  FROM f JOIN med m ON m.company_id = f.company_id),
+      |g AS (
+      |  SELECT company_id, day, hi,
+      |         CAST(sum(1 - hi) OVER (PARTITION BY company_id ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island,
+      |         CASE WHEN lag(hi) OVER (PARTITION BY company_id ORDER BY day) IS NOT NULL
+      |                   AND lag(hi) OVER (PARTITION BY company_id ORDER BY day) <> hi
+      |              THEN 1 ELSE 0 END AS flip
+      |  FROM hi),
+      |runs AS (
+      |  SELECT company_id, CAST(max(run) AS BIGINT) AS longest_high_run
+      |  FROM (SELECT company_id, island, CAST(sum(hi) AS BIGINT) AS run
+      |        FROM g GROUP BY 1, 2)
+      |  GROUP BY company_id)
+      |SELECT g.company_id,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(g.hi) AS BIGINT) AS n_high_days,
+      |       CAST(max(r.longest_high_run) AS BIGINT) AS longest_high_run,
+      |       CAST(sum(g.flip) AS BIGINT) AS n_transitions
+      |FROM g JOIN runs r ON r.company_id = g.company_id
+      |GROUP BY g.company_id
+      |ORDER BY g.company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Drawdown duration — the time axis a8_max_drawdown's depth misses
   // -------------------------------------------------------------------------
 
@@ -1138,5 +1230,6 @@ object Indicators extends QueryPack {
     Q("ind_tca_slippage", tcaSlippage, Some(tcaSlippageSql)),
     Q("ind_amihud", amihud, Some(amihudSql)),
     Q("ind_momentum_factor", momentumFactor, Some(momentumFactorSql)),
+    Q("ind_vol_regimes", volRegimes, Some(volRegimesSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

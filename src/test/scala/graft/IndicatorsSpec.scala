@@ -212,6 +212,20 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("vol regimes: high days near half by the median split, runs/transitions consistent") {
+    val rows = Indicators.volRegimes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hi, run, flips) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // strict-above-median split: high days are at most half (ties go low)
+      assert(hi <= n - n / 2, s"high days $hi exceed the median-split bound at n=$n")
+      assert(run <= hi, "longest run cannot exceed total high days")
+      // each maximal high run contributes at most 2 transitions
+      if (run > 0) assert(flips >= 1, "a high run implies at least one transition")
+      assert(flips <= 2L * hi + 1, "transitions bounded by run structure")
+    }
+  }
+
   test("drawdown duration: totals bound spells and a monotone series is never underwater") {
     val got = Indicators.drawdownDuration(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
