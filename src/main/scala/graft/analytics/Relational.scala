@@ -1503,6 +1503,50 @@ object Relational extends QueryPack {
       |FROM d GROUP BY 1
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Customer revenue concentration per nation — the Herfindahl-Hirschman
+    * (HHI) readout a sales org reads key-account risk from: per-customer
+    * revenue shares in exact integer ppm (DECIMAL-widened cross-product,
+    * the money-share overflow discipline), HHI = Σ share² div 1e6 on those
+    * integerized shares (a deterministic, portable HHI definition), plus
+    * the top customer's share. HHI near 1e6 = one account owns the nation;
+    * near 1e6/n = fully diversified. One fact shuffle to the customer
+    * grain; windows/aggregates run per nation on the customer relation.
+    */
+  def customerConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"), col("o_custkey"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast("long")).as("rev_c"))
+    val tot = rev.groupBy(col("nation")).agg(sum(col("rev_c")).as("tot_c"))
+    rev.join(broadcast(tot), "nation")
+      .withColumn("share_ppm",
+        expr("CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000 div tot_c AS BIGINT)"))
+      .groupBy(col("nation"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        max(col("share_ppm")).as("top_share_ppm"),
+        expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").as("hhi_ppm"))
+      .orderBy(col("nation"))
+  }
+
+  private val customerConcentrationSql =
+    """WITH rev AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation, o_custkey,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT nation, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM rev GROUP BY 1),
+      |sh AS (
+      |  SELECT rev.nation,
+      |         CAST(CAST(rev_c AS HUGEINT) * 1000000 // tot_c AS BIGINT) AS share_ppm
+      |  FROM rev JOIN tot ON rev.nation = tot.nation)
+      |SELECT nation,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+      |       CAST(CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS BIGINT) AS hhi_ppm
+      |FROM sh GROUP BY nation
+      |ORDER BY nation""".stripMargin
+
   /** nearest-attribution window (seconds each side) */
   val NearestWinS = 3600L
 
@@ -2105,6 +2149,7 @@ object Relational extends QueryPack {
     Q("supplier_scorecard", supplierScorecard, Some(supplierScorecardSql)),
     Q("region_yoy_growth", regionYoyGrowth, Some(regionYoyGrowthSql)),
     Q("order_total_audit", orderTotalAudit, Some(orderTotalAuditSql)),
+    Q("customer_concentration", customerConcentration, Some(customerConcentrationSql)),
     Q("q19_disjunctive_revenue", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
