@@ -170,6 +170,15 @@ object Main {
       val v = sources.TableLog.restore(spark, backupDir, newTable)
       println(s"[graft] restored $backupDir -> $newTable (version $v)")
       spark.stop()
+    case "vacuum" :: table :: rest =>
+      val keep = rest.filterNot(_ == "apply").headOption.map(_.toInt).getOrElse(1)
+      val (dropV, nFiles, bytes) = sources.TableLog.vacuumPlan(table, keep)
+      println(s"[vacuum] plan: drop versions ${dropV.mkString("[", ",", "]")}, " +
+        s"reclaim $nFiles files / $bytes bytes (keepVersions=$keep)")
+      if (rest.contains("apply")) {
+        val (dropped, removed) = sources.TableLog.vacuum(table, keep)
+        println(s"[vacuum] applied: dropped ${dropped.size} versions, removed $removed files")
+      } else println("[vacuum] dry run — pass 'apply' to execute")
     case "gc" :: table :: Nil =>
       val n = sources.TableLog.gcOrphans(table)
       println(s"[graft] gc $table: removed $n orphaned files")
@@ -191,6 +200,7 @@ object Main {
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
           "       graft restore <backupDir> <newTableLogDir>\n" +
+          "       graft vacuum <tableLogDir> [keep] [apply] — retention dry-run / execute\n" +
           "       graft gc <tableLogDir>               — reclaim crashed-commit orphans\n" +
           "       graft list\n" +
           "       graft bench")

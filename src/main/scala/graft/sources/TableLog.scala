@@ -350,6 +350,26 @@ object TableLog extends QueryPack {
     (drop, doomed.size)
   }
 
+  /** Vacuum DRY RUN — the reclaim report an operator reads BEFORE deleting
+    * anything: for a given retention, which versions would drop, how many
+    * data files only those versions reference, and how many bytes that
+    * frees. Pure manifest arithmetic plus file stats — no mutation, so the
+    * answer can be reviewed (or alerted on) safely; [[vacuum]] executes
+    * exactly this plan.
+    */
+  def vacuumPlan(table: String, keepVersions: Int = 1): (Seq[Long], Int, Long) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val vs = versions(table)
+    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
+    val referenced = keep.flatMap(liveFiles(table, _)).toSet
+    val doomed = drop.flatMap(liveFiles(table, _)).toSet -- referenced
+    val bytes = doomed.toSeq.map { f =>
+      val p = Paths.get(table).resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    (drop, doomed.size, bytes)
+  }
+
   /** Remove ORPHANED data files — written by a crashed commit but never
     * published in any version manifest ([[vacuum]] only reclaims files of
     * DROPPED versions, so a commit that died between [[writeDataFiles]] and

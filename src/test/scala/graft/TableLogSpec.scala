@@ -115,6 +115,28 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.gcOrphans("/tmp/graft_test_gc_never_created") == 0)
   }
 
+  test("vacuumPlan is a faithful dry run: vacuum executes exactly the plan") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    val t = "/tmp/graft_test_vacplan"
+    rm(new java.io.File(t))
+    TableLog.commitOverwrite(Seq((1L, "a")).toDF("id", "p"), t)
+    TableLog.commitOverwrite(Seq((2L, "b"), (3L, "c")).toDF("id", "p"), t)
+    TableLog.commitAppend(Seq((4L, "d")).toDF("id", "p"), t)
+    val (dropV, nFiles, bytes) = TableLog.vacuumPlan(t, keepVersions = 1)
+    assert(dropV == Seq(0L, 1L))
+    assert(nFiles >= 1 && bytes > 0, "overwritten v0 files must be reclaimable")
+    // keeping everything reclaims nothing
+    assert(TableLog.vacuumPlan(t, keepVersions = 3) == ((Seq.empty[Long], 0, 0L)))
+    // execution matches the plan exactly
+    val (droppedV, removed) = TableLog.vacuum(t, keepVersions = 1)
+    assert(droppedV == dropV && removed == nFiles)
+    // the surviving snapshot is intact
+    assert(TableLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("vacuum keeps files still referenced by a kept version") {
     rm(new java.io.File(root))
     val t = s"$root/t2"
