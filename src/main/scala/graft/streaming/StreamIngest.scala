@@ -662,6 +662,60 @@ object StreamIngest {
       }
   }
 
+  case class BarClose(company: String, day: Long, close_c: Long)
+  case class VState(lastDay: Long, lastClose: Long, preDown: Long,
+      trough: Long, downRun: Long, upRun: Long)
+  case class VHit(company: String, day: Long, depth_c: Long, rebound_c: Long)
+
+  /** Streaming V-shape pattern detector — the LIVE row-pattern-matching
+    * twin of the batch `a15_vshape_patterns` (MATCH_RECOGNIZE
+    * `PATTERN (DOWN{2,} UP{2,})`): per instrument, six scalars of state
+    * (last close, pre-decline peak, trough, down/up run lengths) under
+    * `flatMapGroupsWithState`; a V EMITS the moment its second consecutive
+    * up-step lands after ≥2 down-steps — depth = peak − trough and the
+    * rebound so far, both exact cents. In-order bars split across ANY
+    * trigger boundary produce identical hits (state carries the partial
+    * pattern); a duplicate/late bar (day ≤ last) is dropped. O(1) state
+    * per instrument forever — the pattern memory a CEP engine keeps,
+    * without holding any window of rows.
+    */
+  def streamingVshape(bars: org.apache.spark.sql.Dataset[BarClose]):
+      org.apache.spark.sql.Dataset[VHit] = {
+    import bars.sparkSession.implicits._
+    bars.groupByKey(_.company)
+      .flatMapGroupsWithState[VState, VHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (company: String, it: Iterator[BarClose], state: GroupState[VState]) =>
+          var st = state.getOption.getOrElse(VState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          val hits = scala.collection.mutable.ArrayBuffer[VHit]()
+          it.toSeq.sortBy(_.day).foreach { b =>
+            if (b.day > st.lastDay) {
+              if (st.lastDay == Long.MinValue) {
+                st = VState(b.day, b.close_c, 0L, 0L, 0L, 0L)
+              } else if (b.close_c < st.lastClose) {
+                // a down-step extends (or starts) the decline; a decline
+                // after a partial rebound restarts the pattern
+                val pre = if (st.downRun == 0L || st.upRun > 0L) st.lastClose else st.preDown
+                val dr = if (st.upRun > 0L) 1L else st.downRun + 1L
+                st = VState(b.day, b.close_c, pre, b.close_c, dr, 0L)
+              } else if (b.close_c > st.lastClose && st.downRun >= 2L) {
+                val up = st.upRun + 1L
+                if (up == 2L) {
+                  hits += VHit(company, b.day, st.preDown - st.trough,
+                    b.close_c - st.trough)
+                  st = VState(b.day, b.close_c, 0L, 0L, 0L, 0L)
+                } else st = st.copy(lastDay = b.day, lastClose = b.close_c, upRun = up)
+              } else {
+                // up without a qualifying decline, or a flat step: reset
+                st = VState(b.day, b.close_c, 0L, 0L, 0L, 0L)
+              }
+            }
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
+
   case class Purchase(user: String, mc: Long)
   case class RollingSpend(user: String, n: Long, total_mc: Long, last3_mc: Long)
 

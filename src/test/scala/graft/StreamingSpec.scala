@@ -500,6 +500,30 @@ class StreamingSpec extends SparkSpec {
     assert(v2.last._3 == StreamIngest.chi2Milli(ref, st))
   }
 
+  test("streaming vshape: V completes across a trigger boundary, monotone series emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamIngest.{BarClose, VHit}
+    // A: 100 > 90 > 80 (DOWN x2) then 85 < 95 (UP x2) -> V of depth 20 on day 5
+    val t1 = Seq(BarClose("A", 1L, 100L), BarClose("A", 2L, 90L), BarClose("A", 3L, 80L),
+      BarClose("B", 1L, 10L), BarClose("B", 2L, 20L))
+    val t2 = Seq(BarClose("A", 4L, 85L), BarClose("A", 5L, 95L),
+      BarClose("B", 3L, 30L), BarClose("B", 4L, 40L)) // B monotone up: no V
+    def run(name: String, batches: Seq[Seq[BarClose]]): Seq[(String, Long, Long, Long)] = {
+      val mem = MemoryStream[BarClose]
+      val q = StreamIngest.streamingVshape(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[VHit].collect()
+        .map(h => (h.company, h.day, h.depth_c, h.rebound_c)).sorted.toSeq
+    }
+    val split = run("v_split", Seq(t1, t2))
+    assert(split == Seq(("A", 5L, 20L, 15L)), s"got $split")
+    // identical detection when all bars arrive in one trigger
+    val whole = run("v_whole", Seq(t1 ++ t2))
+    assert(whole == split, "pattern detection must not depend on trigger boundaries")
+  }
+
   test("streaming obv: trigger-split invariant, late bars dropped, extremes tracked") {
     implicit val sqlCtx = spark.sqlContext
     import StreamIngest.{DayBar, ObvPoint}
