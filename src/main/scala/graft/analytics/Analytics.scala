@@ -1378,6 +1378,70 @@ object Analytics extends QueryPack {
       |FROM rk GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** User stickiness (DAU/WAU) — THE product-engagement ratio every growth
+    * dashboard tracks beside the raw active curves: per day, distinct
+    * daily actives over the trailing-7-day distinct actives in exact ppm
+    * ([[rollingWau]]'s ×7 anchor-fan discipline supplies the WAU leg with
+    * no range join and no Expand), summarized as day count, the floor-mean
+    * ratio, and the extremes with their days. A habitual product holds
+    * near 1e6/7 ≈ 143k ppm × 7; broadcast-joined day relations — nothing
+    * beyond the user×day grain ever shuffles.
+    */
+  def userStickiness(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_num"))
+      .distinct()
+      .cache()
+    val grid = pairs.select(col("day_num").as("anchor")).distinct()
+    val dau = pairs.groupBy(col("day_num").as("anchor"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = pairs
+      .select(col("user_id"), col("day_num"), explode(expr("sequence(0L, 6L)")).as("o"))
+      .select(col("user_id"), (col("day_num") + col("o")).as("anchor"))
+      .join(broadcast(grid), Seq("anchor"), "left_semi")
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val daily = dau.join(wau, "anchor")
+      .select(col("anchor"), expr("dau * 1000000 div wau").as("stick_ppm"))
+    val out = daily.agg(
+      count(lit(1)).as("n_days"),
+      expr("sum(stick_ppm) div count(1)").as("mean_stick_ppm"),
+      min_by(col("anchor"), struct(col("stick_ppm"), col("anchor"))).as("min_day_num"),
+      min(col("stick_ppm")).as("min_stick_ppm"),
+      min_by(col("anchor"), struct(-col("stick_ppm"), col("anchor"))).as("max_day_num"),
+      max(col("stick_ppm")).as("max_stick_ppm"))
+    val rows = out.collect()
+    pairs.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val userStickinessSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_num
+      |  FROM events),
+      |grid AS (SELECT DISTINCT day_num AS anchor FROM pairs),
+      |dau AS (SELECT day_num AS anchor, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |        FROM pairs GROUP BY 1),
+      |fan AS (SELECT p.user_id, p.day_num + o AS anchor FROM pairs p, range(7) t(o)),
+      |wau AS (
+      |  SELECT f.anchor, CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+      |  FROM fan f JOIN grid g ON g.anchor = f.anchor GROUP BY 1),
+      |d AS (
+      |  SELECT dau.anchor, dau * 1000000 // wau AS stick_ppm
+      |  FROM dau JOIN wau ON dau.anchor = wau.anchor)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(stick_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_stick_ppm,
+      |       CAST(max(CASE WHEN rmin = 1 THEN anchor END) AS BIGINT) AS min_day_num,
+      |       CAST(min(stick_ppm) AS BIGINT) AS min_stick_ppm,
+      |       CAST(max(CASE WHEN rmax = 1 THEN anchor END) AS BIGINT) AS max_day_num,
+      |       CAST(max(stick_ppm) AS BIGINT) AS max_stick_ppm
+      |FROM (SELECT *,
+      |             row_number() OVER (ORDER BY stick_ppm, anchor) AS rmin,
+      |             row_number() OVER (ORDER BY stick_ppm DESC, anchor) AS rmax
+      |      FROM d)""".stripMargin
+
   /** attribution lookback window (hours) for [[attributionMultiTouch]] */
   val AttrWindowH = 72
 
@@ -3106,6 +3170,7 @@ object Analytics extends QueryPack {
     Q("ab_diff_in_diff", abDiffInDiff, Some(abDiffInDiffSql)),
     Q("ab_cuped", abCuped, Some(abCupedSql)),
     Q("hourly_activity_profile", hourlyActivityProfile, Some(hourlyActivityProfileSql)),
+    Q("user_stickiness", userStickiness, Some(userStickinessSql)),
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("abc_classification", abcClassification, Some(abcClassificationSql)),

@@ -224,6 +224,15 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("user_stickiness: ratio bounded by construction and extremes bracket the mean") {
+    val r = Analytics.userStickiness(spark, sfDir).collect().head
+    val (n, mean, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))
+    assert(n > 0)
+    // DAU <= WAU always, and a day's actives are inside its own window
+    assert(mn > 0 && mx <= 1000000L, s"stickiness out of (0, 1e6]: min=$mn max=$mx")
+    assert(mn <= mean && mean <= mx, "mean must sit between the extremes")
+  }
+
   test("seq_nextpred_eval: per-from argmax accuracy dominates the global baseline") {
     val rows = Analytics.seqNextpredEval(spark, sfDir).collect()
     assert(rows.nonEmpty)
