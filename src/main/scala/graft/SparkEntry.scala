@@ -15,6 +15,7 @@ object SparkEntry {
   def packs: Seq[QueryPack] = Seq(
     analytics.Analytics,
     analytics.Relational,
+    analytics.TpchShapes,
     analytics.Graph,
     analytics.Mining,
     analytics.PortableSketch,

@@ -1033,10 +1033,15 @@ object Analytics extends QueryPack {
     * the declarative twin of the manual lag-cumsum [[sessionization]] and
     * the stateful streaming variant: Spark merges events whose gap to the
     * session's end is under 30 minutes inside the aggregate itself (no
-    * window function pass). Boundary semantics are half-open — an event at
-    * EXACTLY `last + gap` starts a new session — so the oracle's manual
-    * reconstruction splits on `diff >= gap`, not `>`. Per-user rollup keeps
-    * the output compact and cross-checks the session partition.
+    * window function pass). Boundary semantics are CLOSED on merge: an
+    * event at EXACTLY `last + gap` still merges (its [ts, ts+gap) window
+    * touches the session's end and Spark merges touching windows — pinned
+    * empirically in StreamingSpec against both the batch and streaming
+    * paths), so the oracle's manual reconstruction splits on
+    * `diff > gap`, never `>=` (the earlier `>=` form survived the gate
+    * only because the events data carries no exact-gap adjacent pair —
+    * a latent tie class, fixed round 8). Per-user rollup keeps the output
+    * compact and cross-checks the session partition.
     */
   def sessionWindowNative(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -1055,7 +1060,7 @@ object Analytics extends QueryPack {
       |l AS (
       |  SELECT user_id, tsv, event_id,
       |         CASE WHEN lag(tsv) OVER w IS NULL
-      |                   OR date_diff('microsecond', lag(tsv) OVER w, tsv) >= 1800000000
+      |                   OR date_diff('microsecond', lag(tsv) OVER w, tsv) > 1800000000
       |              THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsv, event_id)),
       |s AS (
@@ -1646,6 +1651,45 @@ object Analytics extends QueryPack {
       |                 // (coalesce(b.n_active, 0) - a.n_retained) END AS quick_ratio_ppm
       |FROM weekly a LEFT JOIN weekly b ON b.w = a.w - 1
       |ORDER BY week""".stripMargin
+
+  /** Newsvendor stocking quantities — the classic single-period inventory
+    * rule: stock the q*-quantile of the demand distribution where the
+    * critical fractile q* = cu / (cu + co) balances underage cost against
+    * overage cost (cu = 3, co = 1 → q* = 3/4 here). Demand is the
+    * per-(brand, month) shipped-quantity series; the optimal stock is its
+    * exact discrete 0.75-quantile per brand via
+    * [[graft.operators.ExactQuantile]] (the ceil(q·n) rank rule pinned
+    * against DuckDB `quantile_disc`), with the median alongside as the
+    * naive stock the fractile corrects — the gap between the two IS the
+    * service-level premium. All integer, hash-gated.
+    *
+    * 100 TB shape: one fact aggregate to the (brand × month) domain
+    * (map-side combined), then the quantile histogram runs on that bounded
+    * relation — the fact is scanned once and never re-shuffled.
+    */
+  def newsvendorStock(s: SparkSession, dir: String): DataFrame = {
+    val demand = Tables.load(s, dir, "lineitem")
+      .join(broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("demand"))
+    graft.operators.ExactQuantile
+      .groupQuantilesDisc(demand, Seq("p_brand"), "demand", Seq(0.5, 0.75))
+      .select(col("p_brand"), col("demand_q0").as("med_demand"),
+        col("demand_q1").as("stock_q75"), col("n").as("n_months"))
+  }
+
+  private val newsvendorStockSql =
+    """WITH d AS (
+      |  SELECT p_brand, strftime(l_shipdate, '%Y-%m') AS month,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT p_brand,
+      |       quantile_disc(demand, 0.5) AS med_demand,
+      |       quantile_disc(demand, 0.75) AS stock_q75,
+      |       count(*) AS n_months
+      |FROM d GROUP BY 1""".stripMargin
 
   /** ABC (Pareto) classification of parts by net revenue — the inventory
     * analysis behind "80% of revenue sits in class A": parts ranked by
@@ -3174,6 +3218,7 @@ object Analytics extends QueryPack {
     Q("ab_quantile_effect", abQuantileEffect, Some(abQuantileEffectSql)),
     Q("retention_lift", retentionLift, Some(retentionLiftSql)),
     Q("abc_classification", abcClassification, Some(abcClassificationSql)),
+    Q("inventory_newsvendor", newsvendorStock, Some(newsvendorStockSql)),
     Q("growth_accounting", growthAccounting, Some(growthAccountingSql)),
     Q("order_aging", orderAging, Some(orderAgingSql)),
     Q("user_burstiness", userBurstiness, Some(userBurstinessSql)),

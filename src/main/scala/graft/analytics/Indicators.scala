@@ -1216,6 +1216,188 @@ object Indicators extends QueryPack {
       |FROM sp GROUP BY company_id
       |ORDER BY company_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // VPIN — volume-synchronized probability of informed trading
+  // -------------------------------------------------------------------------
+
+  /** VPIN (Easley/López de Prado/O'Hara): order-flow toxicity measured on
+    * the VOLUME clock, not the wall clock — ticks are cut into 50
+    * equal-volume buckets and toxicity is the mean absolute buy/sell
+    * imbalance per bucket. The distinct plan shape here is the volume-clock
+    * bucketing itself: bucket id = exclusive-cumulative-volume `div` V —
+    * a window cumsum plus integer division, no sequential loop, no
+    * straddle-splitting (each tick lands wholly in the bucket its first
+    * unit falls in; the spill re-joins the last bucket, so ΣbucketVol is
+    * exactly the instrument's total). Tick signs come from the windowed
+    * tick rule (up = buy, down = sell, zero-tick = neutral — the carry-
+    * forward variant would be a sequential fold; the neutral variant stays
+    * one `lag`). All integer end-to-end: the ppm quotient runs in
+    * DECIMAL(38,0)/HUGEINT so `Σimb · 1e6` cannot overflow int64 at corpus
+    * scale (the TextStats wide-intermediate discipline).
+    *
+    * Window order appends (cents, volume) after (ts, eid): the testdata
+    * carries duplicate (orderkey, linenumber) pairs at sf0.1, and rows
+    * tying on the FULL key are interchangeable for both the sign sequence
+    * (equal cents) and the bucket cut (equal volume), so the result is
+    * deterministic across engines.
+    *
+    * 100 TB shape: one shuffle partitioned by instrument; per-instrument
+    * window state is a cumsum, bucket aggregation is 50 rows/instrument.
+    */
+  def vpin(s: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.load(s, dir, "lineitem").select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+      expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("volume"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+    val ord = Window.partitionBy(col("company_id"))
+      .orderBy(col("ts"), col("eid"), col("cents"), col("volume"))
+    val cumExcl = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col("company_id"))
+    val bucketed = ticks
+      .withColumn("prev_c", lag(col("cents"), 1).over(ord))
+      .withColumn("side",
+        when(col("prev_c").isNull, 0)
+          .when(col("cents") > col("prev_c"), 1)
+          .when(col("cents") < col("prev_c"), -1)
+          .otherwise(0))
+      .withColumn("cum_before", coalesce(sum(col("volume")).over(cumExcl), lit(0L)))
+      .withColumn("bkt_vol", greatest(expr("sum(volume) OVER (PARTITION BY company_id) div 50"), lit(1L)))
+      .withColumn("bucket", least(expr("cum_before div bkt_vol"), lit(49L)))
+    val perBucket = bucketed.groupBy(col("company_id"), col("bucket"))
+      .agg(
+        sum(when(col("side") === 1, col("volume")).otherwise(0L)).as("buy_v"),
+        sum(when(col("side") === -1, col("volume")).otherwise(0L)).as("sell_v"),
+        max(col("bkt_vol")).as("bkt_vol"))
+    perBucket.groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("bkt_vol")).as("bucket_vol"),
+        expr("""CAST(CAST(sum(abs(buy_v - sell_v)) AS DECIMAL(38,0)) * 1000000
+               | div (count(1) * max(bkt_vol)) AS BIGINT)""".stripMargin).as("vpin_ppm"),
+        max(abs(col("buy_v") - col("sell_v"))).as("max_imb"))
+      .orderBy(col("company_id"))
+  }
+
+  private val vpinSql =
+    """WITH t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND AS tsv,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(l_quantity AS BIGINT) AS volume,
+      |         l_orderkey * 10 + l_linenumber AS eid
+      |  FROM lineitem),
+      |sgn AS (
+      |  SELECT company_id, cents, volume,
+      |         lag(cents) OVER w AS prev_c,
+      |         CAST(coalesce(sum(volume) OVER (PARTITION BY company_id
+      |           ORDER BY tsv, eid, cents, volume
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+      |         CAST(sum(volume) OVER (PARTITION BY company_id) AS BIGINT) AS tot_vol
+      |  FROM t WINDOW w AS (PARTITION BY company_id ORDER BY tsv, eid, cents, volume)),
+      |b AS (
+      |  SELECT company_id, volume,
+      |         CASE WHEN prev_c IS NULL THEN 0
+      |              WHEN cents > prev_c THEN 1
+      |              WHEN cents < prev_c THEN -1 ELSE 0 END AS side,
+      |         greatest(tot_vol // 50, 1) AS bkt_vol,
+      |         least(cum_before // greatest(tot_vol // 50, 1), 49) AS bucket
+      |  FROM sgn),
+      |pb AS (
+      |  SELECT company_id, bucket,
+      |         CAST(sum(CASE WHEN side = 1 THEN volume ELSE 0 END) AS BIGINT) AS buy_v,
+      |         CAST(sum(CASE WHEN side = -1 THEN volume ELSE 0 END) AS BIGINT) AS sell_v,
+      |         CAST(max(bkt_vol) AS BIGINT) AS bkt_vol
+      |  FROM b GROUP BY 1, 2)
+      |SELECT company_id,
+      |       count(*) AS n_buckets,
+      |       CAST(max(bkt_vol) AS BIGINT) AS bucket_vol,
+      |       CAST(CAST(sum(abs(buy_v - sell_v)) AS HUGEINT) * 1000000
+      |            // (count(*) * max(bkt_vol)) AS BIGINT) AS vpin_ppm,
+      |       CAST(max(abs(buy_v - sell_v)) AS BIGINT) AS max_imb
+      |FROM pb GROUP BY 1
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Realized-variance signature — RV across sampling frequencies in one pass
+  // -------------------------------------------------------------------------
+
+  /** RV signature plot: realized variance of each instrument sampled at
+    * 5-minute, 15-minute, and 1-hour grids — the microstructure-noise
+    * diagnostic (noise inflates RV as the grid refines; a flat signature
+    * certifies the grid is safe for vol estimation). The distinct plan
+    * shape is MULTI-RESOLUTION IN ONE SCAN: `explode` fans each tick to
+    * the three granularities (a Generate, ×3 rows, no extra scan), then
+    * ONE groupBy lands every (instrument, granularity, bucket) close and
+    * one instrument×granularity-partitioned lag builds the returns at all
+    * frequencies together — vs the naive 3-scan 3-shuffle union.
+    *
+    * Numerics: bucket ids are integer `unix_micros div (g·1e6)`; simple
+    * returns r = Δc/c (two exact longs, ONE IEEE division — log returns
+    * would hit libm); each r² contribution floors to 1e9 fixed point so
+    * the sum is order-independent, and the sum runs in DECIMAL(38,0)/
+    * HUGEINT (the wide-intermediate discipline — r is unbounded above, so
+    * Σ⌊r²·1e9⌋ has no a-priori int64 bound) before one exact cast back.
+    *
+    * 100 TB shape: one fact scan, one shuffle on (instrument, g, bucket)
+    * with map-side combine; everything after is bucket-domain-sized.
+    */
+  def rvSignature(s: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.load(s, dir, "lineitem").select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+      expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+    val multi = ticks
+      .withColumn("g", explode(array(lit(300L), lit(900L), lit(3600L))))
+      .withColumn("bucket", expr("unix_micros(CAST(ts AS TIMESTAMP)) div (g * 1000000)"))
+    val closes = multi.groupBy(col("company_id"), col("g"), col("bucket"))
+      .agg(max_by(col("cents"), struct(col("ts"), col("eid"), col("cents"))).as("close_c"))
+    val w = Window.partitionBy(col("company_id"), col("g")).orderBy(col("bucket"))
+    closes
+      .withColumn("prev_c", lag(col("close_c"), 1).over(w))
+      .withColumn("r", (col("close_c") - col("prev_c")).cast("double") / col("prev_c"))
+      .withColumn("contrib", floor(col("r") * col("r") * lit(1e9)).cast("long"))
+      .groupBy(col("company_id"), col("g").as("granularity_s"))
+      .agg(
+        sum(col("contrib").cast("decimal(38,0)")).cast("long").as("rv_e9"),
+        count(col("prev_c")).as("n_rets"))
+      .orderBy(col("company_id"), col("granularity_s"))
+  }
+
+  private val rvSignatureSql =
+    """WITH t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS company_id,
+      |         l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND AS tsv,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         l_orderkey * 10 + l_linenumber AS eid
+      |  FROM lineitem),
+      |gx AS (
+      |  SELECT t.*, CAST(gs.g AS BIGINT) AS g,
+      |         CAST(epoch_us(tsv) AS BIGINT) // (CAST(gs.g AS BIGINT) * 1000000) AS bucket
+      |  FROM t CROSS JOIN (VALUES (300), (900), (3600)) gs(g)),
+      |r1 AS (
+      |  SELECT company_id, g, bucket, cents,
+      |         row_number() OVER (PARTITION BY company_id, g, bucket
+      |                            ORDER BY tsv DESC, eid DESC, cents DESC) AS rn
+      |  FROM gx),
+      |b AS (
+      |  SELECT company_id, g, bucket,
+      |         CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS close_c
+      |  FROM r1 GROUP BY 1, 2, 3),
+      |rr AS (
+      |  SELECT company_id, g, close_c,
+      |         lag(close_c) OVER (PARTITION BY company_id, g ORDER BY bucket) AS prev_c
+      |  FROM b)
+      |SELECT company_id, g AS granularity_s,
+      |       CAST(sum(CAST(floor((close_c - prev_c) / prev_c
+      |                           * ((close_c - prev_c) / prev_c)
+      |                           * 1000000000) AS BIGINT)) AS BIGINT) AS rv_e9,
+      |       count(prev_c) AS n_rets
+      |FROM rr GROUP BY 1, 2
+      |ORDER BY company_id, granularity_s""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ind_obv", obv, Some(obvSql)),
     Q("ind_bollinger", bollinger, Some(bollingerSql)),
@@ -1231,5 +1413,7 @@ object Indicators extends QueryPack {
     Q("ind_amihud", amihud, Some(amihudSql)),
     Q("ind_momentum_factor", momentumFactor, Some(momentumFactorSql)),
     Q("ind_vol_regimes", volRegimes, Some(volRegimesSql)),
+    Q("ind_vpin", vpin, Some(vpinSql)),
+    Q("ind_rv_signature", rvSignature, Some(rvSignatureSql)),
     Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
 }

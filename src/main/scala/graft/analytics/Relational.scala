@@ -1213,6 +1213,52 @@ object Relational extends QueryPack {
     * interpolated even-count median would be a derived double instead of a
     * data element).
     */
+  /** WEIGHTED quantiles — the survey-statistics form: each line's price
+    * counts `l_quantity` times, so the result is the quartile of the
+    * per-UNIT price distribution (what "median price paid" means when one
+    * line ships 50 units and another 1), not the per-line one
+    * `exact_median_groups` reports. Rides the
+    * [[graft.operators.ExactQuantile.groupQuantilesDiscWeighted]]
+    * composition point with a real weight column instead of a count: ONE
+    * (flag, cents) → Σqty histogram shuffle bounded by price-grid
+    * cardinality, and the quartile pick is a conditional min over the
+    * weight-cumulative histogram. Rank = max(ceil(q·W), 1) on the total
+    * weight W — q·W is exact in both engines (q ∈ {1/4, 1/2, 3/4} are
+    * power-of-two rationals and W < 2^40), so the gate is bit-strict.
+    */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "cents").agg(sum("qty").as("w"))
+    graft.operators.ExactQuantile
+      .groupQuantilesDiscWeighted(hist, Seq("l_returnflag"), "cents", "w",
+        Seq(0.25, 0.5, 0.75))
+      .select(col("l_returnflag"), col("cents_q0").as("wp25_cents"),
+        col("cents_q1").as("wmed_cents"), col("cents_q2").as("wp75_cents"),
+        col("n").as("total_qty"))
+  }
+
+  private val weightedQuantilesSql =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, cents,
+      |         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      |  FROM h)
+      |SELECT l_returnflag,
+      |       min(CASE WHEN cum >= greatest(ceil(tw / 4), 1) THEN cents END) AS wp25_cents,
+      |       min(CASE WHEN cum >= greatest(ceil(tw / 2), 1) THEN cents END) AS wmed_cents,
+      |       min(CASE WHEN cum >= greatest(ceil(3 * tw / 4), 1) THEN cents END) AS wp75_cents,
+      |       max(tw) AS total_qty
+      |FROM c GROUP BY 1""".stripMargin
+
   def exactMedianGroups(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"),
@@ -2154,6 +2200,7 @@ object Relational extends QueryPack {
     Q("winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("share_of_total", shareOfTotal, Some(shareOfTotalSql)),
     Q("exact_median_groups", exactMedianGroups, Some(exactMedianGroupsSql)),
+    Q("weighted_quantiles", weightedQuantiles, Some(weightedQuantilesSql)),
     Q("mad_outliers", madOutliers, Some(madOutliersSql)),
     Q("histogram_equidepth", histogramEquidepth, Some(histogramEquidepthSql)),
     Q("window_rank_family", windowRankFamily, Some(windowRankFamilySql)),

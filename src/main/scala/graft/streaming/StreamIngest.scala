@@ -218,6 +218,33 @@ object StreamIngest {
       }
   }
 
+  /** Native session windows on the stream — the ENGINE-maintained twin of
+    * [[sessionize]]: `session_window(ts, gap)` keeps per-key candidate
+    * windows in the state store, MERGES any that come to overlap as
+    * out-of-order events arrive (the custom fold above would mis-split
+    * those — it assumes in-order arrival within a key), and the watermark
+    * finalizes a session only once no event can extend it. Append mode
+    * therefore emits each session exactly once, with no timeout plumbing.
+    *
+    * Boundary semantics: an event at exactly `last + gap` MERGES — its
+    * [ts, ts+gap) window touches the session's end and Spark merges
+    * touching windows (pinned in StreamingSpec; the custom `sessionize`'s
+    * `<= gap` fold agrees, so the two variants are interchangeable at the
+    * boundary). Output window end = last event + gap, the native
+    * convention.
+    *
+    * 100 TB shape: state is per OPEN session (merged, watermark-evicted),
+    * keyed and shuffled once by user — the same bound the batch
+    * `session_window_native` query's shuffle has, but incremental.
+    */
+  def sessionizeNative(events: org.apache.spark.sql.Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("n_events"))
+
   /** Online data selection (the streaming face of
     * [[graft.llm.Curation.dsirSelect]]): score each incoming document's
     * domain fit with the broadcast DSIR weight vector and admit those at or

@@ -261,4 +261,64 @@ class IndicatorsSpec extends SparkSpec {
       assert(h == math.floor((e12 - e26 - sig) * 1e6).toLong, s"$c hist")
     }
   }
+
+  test("rv signature: one scan feeds all three granularities and coarser grids have no more returns") {
+    val df = Indicators.rvSignature(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"multi-resolution must fan out via explode from ONE scan, got ${scans.length}")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    rows.keys.map(_._1).foreach { c =>
+      val n5 = rows((c, 300L))._2; val n15 = rows((c, 900L))._2; val n60 = rows((c, 3600L))._2
+      assert(n5 >= n15 && n15 >= n60,
+        s"$c: refining the grid can only add sampling points ($n5, $n15, $n60)")
+      rows.filter(_._1._1 == c).values.foreach(v => assert(v._1 >= 0L, s"$c: RV is a sum of squares"))
+    }
+  }
+
+  test("vpin: volume-clock buckets partition each instrument's volume and replay a tick-level recompute") {
+    val got = Indicators.vpin(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    // tick-level ground truth: (company, ts_us, eid, cents, volume)
+    val ticks = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr(
+        "concat('FIGI', l_partkey % 20) AS company_id",
+        "unix_micros(CAST(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate) AS TIMESTAMP)) AS ts_us",
+        "l_orderkey * 10 + l_linenumber AS eid",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS cents",
+        "CAST(l_quantity AS LONG) AS volume")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(got.keySet == ticks.keySet)
+    ticks.foreach { case (c, rows) =>
+      val ordered = rows.sortBy(t => (t._2, t._3, t._4, t._5))
+      val tot = ordered.map(_._5).sum
+      val v = math.max(tot / 50, 1L)
+      val (nBuckets, bucketVol, vpinPpm, maxImb) = got(c)
+      assert(bucketVol == v, s"$c bucket volume")
+      assert(nBuckets >= 1 && nBuckets <= 50, s"$c bucket count")
+      // signed per-bucket imbalance recompute (neutral zero-ticks drop out)
+      var cum = 0L
+      val imbByBucket = scala.collection.mutable.Map[Long, Long]()
+      ordered.zipWithIndex.foreach { case ((_, _, _, cents, vol), i) =>
+        val side =
+          if (i == 0) 0
+          else java.lang.Long.compare(cents, ordered(i - 1)._4)
+        val bucket = math.min(cum / v, 49L)
+        imbByBucket(bucket) = imbByBucket.getOrElse(bucket, 0L) + side * vol
+        cum += vol
+      }
+      assert(nBuckets == imbByBucket.size, s"$c n_buckets")
+      val sumImb = imbByBucket.values.map(math.abs).sum
+      assert(maxImb == imbByBucket.values.map(math.abs).max, s"$c max_imb")
+      assert(vpinPpm == sumImb * 1000000L / (nBuckets * v), s"$c vpin")
+    }
+  }
 }

@@ -270,6 +270,38 @@ class StreamingSpec extends SparkSpec {
       (s.end_ts.getTime - s.start_ts.getTime) == 600000L))
   }
 
+  test("native session windows merge at exactly last+gap and finalize past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Event]
+    val q = StreamIngest.sessionizeNative(mem.toDS())
+      .writeStream.format("memory").queryName("nsessions").outputMode("append").start()
+    mem.addData(
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 10:00:00"), "click"),
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 10:10:00"), "view"),
+      // exactly last + gap: the [10:40, 11:10) window TOUCHES the session
+      // end → Spark merges (the boundary rule CLAUDE.md mis-stated until
+      // round 8; the custom sessionize's <= gap fold agrees)
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 10:40:00"), "click"),
+      // one microsecond past the gap → genuinely a new session
+      StreamIngest.Event(7L, Timestamp.valueOf("2024-03-01 11:40:00.000001"), "click"))
+    q.processAllAvailable()
+    assert(spark.table("nsessions").isEmpty,
+      "no session may emit before the watermark passes its end")
+    // advance the watermark (18:00 − 1h) past every user-7 window
+    mem.addData(StreamIngest.Event(9L, Timestamp.valueOf("2024-03-01 18:00:00"), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("nsessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    assert(rows.contains((7L, Timestamp.valueOf("2024-03-01 10:00:00"),
+      Timestamp.valueOf("2024-03-01 11:10:00"), 3L)),
+      s"boundary event must merge: [10:00 .. 10:40] + gap end, got ${rows.mkString(", ")}")
+    assert(rows.contains((7L, Timestamp.valueOf("2024-03-01 11:40:00.000001"),
+      Timestamp.valueOf("2024-03-01 12:10:00.000001"), 1L)),
+      "an event one microsecond past the gap must open its own session")
+    assert(!rows.exists(_._1 == 9L), "user 9's session is still open")
+  }
+
   test("streaming CDC apply: per-batch merge into the table log, exactly-once, time-travelable") {
     import graft.sources.TableLog
     val cdcSrc = s"$base/cdc_src"; val tbl = s"$base/cdc_table"; val ck = s"$base/cdc_ckpt"
