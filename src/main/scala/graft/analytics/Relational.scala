@@ -454,6 +454,95 @@ object Relational extends QueryPack {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv >= p.tsv
       |GROUP BY c.user_id""".stripMargin
 
+  /** As-of join again — but through the FIRST-CLASS physical operator
+    * ([[org.apache.spark.sql.graftx.AsOf.join]]: custom logical node +
+    * planner strategy + co-partitioned streaming-merge exec) instead of the
+    * union+window composition `asof_click_purchase` gates. Same DuckDB
+    * `ASOF LEFT JOIN` oracle family, plus the matched purchase row's OWN
+    * timestamp (provable only because the exec returns the whole right row,
+    * not just a carried value). The exec holds one row of state per
+    * partition: both sides hash-cluster on user and sort by (user, ts) —
+    * the SortMergeJoin contract — then a single forward merge pass picks
+    * each click's latest at-or-before purchase. No candidate fan-out at any
+    * scale, and the exec's `outputPartitioning` passes the left clustering
+    * through so the per-user rollup below adds NO further shuffle.
+    */
+  def asofNativeExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("pval"))
+    org.apache.spark.sql.graftx.AsOf.join(
+        clicks, purchases,
+        Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("pval")).as("n_matched"),
+        coalesce(sum(floor(col("pval") * 1000).cast("long")), lit(0L)).as("sum_v3"),
+        date_format(max(col("p_ts")), "yyyy-MM-dd HH:mm:ss").as("last_match"))
+  }
+
+  private val asofNativeExecSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, arg_max(value, event_id) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.user_id, count(*) AS n_clicks,
+      |       count(p.pval) AS n_matched,
+      |       CAST(coalesce(sum(CAST(floor(p.pval * 1000) AS BIGINT)), 0) AS BIGINT) AS sum_v3,
+      |       strftime(max(p.tsv), '%Y-%m-%d %H:%M:%S') AS last_match
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv >= p.tsv
+      |GROUP BY c.user_id""".stripMargin
+
+  /** Staleness-bounded native as-of: same exec, `tolerance` = 24 h in
+    * micros — a latest-at-or-before purchase older than a day is nulled
+    * INSIDE the merge (one branch on two held longs), not by a post-join
+    * filter pass. The DuckDB oracle replays the equivalence the exec's
+    * doc proves: ASOF pick first, then null the stale (the held row is the
+    * closest candidate, so post-filtering the oracle is exact).
+    */
+  def asofNativeTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("pval"))
+    org.apache.spark.sql.graftx.AsOf.join(
+        clicks, purchases,
+        Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"),
+        Some(24L * 3600 * 1000000))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("pval")).as("n_fresh"),
+        coalesce(sum(floor(col("pval") * 1000).cast("long")), lit(0L)).as("sum_v3"))
+  }
+
+  private val asofNativeToleranceSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, arg_max(value, event_id) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (
+      |  SELECT c.user_id, c.tsv AS ctv, p.tsv AS ptv, p.pval
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv >= p.tsv)
+      |SELECT user_id, count(*) AS n_clicks,
+      |       count(CASE WHEN epoch_us(ctv) - epoch_us(ptv) <= 86400000000
+      |                  THEN pval END) AS n_fresh,
+      |       CAST(coalesce(sum(CASE WHEN epoch_us(ctv) - epoch_us(ptv) <= 86400000000
+      |                  THEN CAST(floor(pval * 1000) AS BIGINT) END), 0) AS BIGINT) AS sum_v3
+      |FROM j GROUP BY user_id""".stripMargin
+
   /** PIVOT: order counts as a (priority × status) matrix. Explicit pivot
     * values keep the plan single-pass (no values-discovery job) and the
     * output schema static; absent cells coalesce to 0 so the relation is
@@ -2224,6 +2313,8 @@ object Relational extends QueryPack {
     Q("grouping_sets_pricing", groupingSets, Some(groupingSetsSql)),
     Q("window_spend_quartiles", spendQuartiles, Some(spendQuartilesSql)),
     Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
+    Q("asof_native_exec", asofNativeExec, Some(asofNativeExecSql)),
+    Q("asof_native_tolerance", asofNativeTolerance, Some(asofNativeToleranceSql)),
     Q("skew_salted_join", skewJoin, Some(skewJoinSql)),
     Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinClicksSql)),
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),

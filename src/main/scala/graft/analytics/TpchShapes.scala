@@ -12,16 +12,27 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.6), so these are engine-completeness queries: each one
   * pins a distinct plan pattern the earlier packs don't —
   *
+  *   - q2:  aggregate-then-join-back min-cost match over a DERIVED
+  *          partsupp (no partsupp table in the driver schema — one
+  *          (l_partkey, l_suppkey) aggregate over lineitem stands in)
   *   - q4:  EXISTS rewritten as a left-semi join with a non-equi residual
   *   - q6:  filter-only scan, every predicate pushed, no join at all
   *   - q8:  share-of-market conditional aggregation over the widest
   *          (8-relation) broadcast star join in the registry
+  *   - q9:  profit decomposition — fact ⋈ derived-partsupp composite-key
+  *          join, integer-scaled (e4) exact money sums per nation-year
   *   - q10: fact→dim star join with a top-k on an exact decimal aggregate
+  *   - q11: scalar-subquery threshold over integer-scaled stock value
+  *          (1-row aggregate broadcast back, exact BIGINT comparison)
   *   - q13: outer join preserving empty groups, then an agg-of-agg histogram
   *   - q14: conditional aggregation share (CASE inside sum, no ELSE)
   *   - q15: argmax over an aggregated view via a broadcast 1-row max
+  *   - q16: distinct-count buckets + broadcast anti join exclusion list
+  *          (single distinct agg → two-level HashAggregate, no Expand)
   *   - q17: correlated per-group threshold (avg) joined back to the facts
   *   - q18: HAVING-gated group keys semi-driving a wider join
+  *   - q20: two-granularity quantity comparison (all-time vs windowed
+  *          sums on the same composite key) semi-driving the supplier dim
   *   - q21: semi + anti SELF-joins on the same fact relation
   *   - q22: scalar-subquery threshold + anti join against recent activity
   *
@@ -447,7 +458,259 @@ object TpchShapes extends QueryPack {
       |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY n_name""".stripMargin
 
+  // ---- derived partsupp -----------------------------------------------
+  //
+  // The driver schema has no partsupp table, so the five remaining TPC-H
+  // shapes (q2/q9/q11/q16/q20) run over a DERIVED part-supplier relation:
+  // one aggregate over lineitem per (l_partkey, l_suppkey), with
+  //   ps_supplycost = min line price (exact DECIMAL(12,2) min), and
+  //   ps_availqty   = total shipped quantity (exact BIGINT sum).
+  // Deterministic, exact, and the same CTE replays verbatim in DuckDB.
+  // 100 TB shape: ONE fact shuffle on (partkey, suppkey) builds ps
+  // (~#distinct pairs, partsupp-sized not lineitem-sized); every consumer
+  // below joins ps against broadcast dims or aggregates of itself.
+
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        min(dec2(col("l_extendedprice"))).as("ps_supplycost"),
+        sum(col("l_quantity").cast("long")).as("ps_availqty"))
+
+  private val partsuppSql =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** Q2: minimum-cost supplier — for each ECONOMY part of bounded size,
+    * every EUROPE supplier whose derived supply cost equals the part's
+    * minimum across that region. Plan pattern: aggregate-then-join-back
+    * (per-part min as a broadcast side), dims all broadcast; the ps build
+    * is the only fact shuffle. Money stays DECIMAL end-to-end, one final
+    * cast to double per emitted column.
+    */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(s, dir, "part")
+      .where(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+      .select("p_partkey", "p_type")
+    val region = Tables.load(s, dir, "region").where(col("r_name") === "EUROPE")
+    val nat = Tables.load(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ps = partsupp(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = ps.groupBy(col("ps_partkey").as("m_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    ps.join(broadcast(minCost),
+        col("ps_partkey") === col("m_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+      .select(
+        col("p_partkey"), col("p_type"), col("s_name"),
+        col("n_name").as("nation"), col("s_acctbal"),
+        col("ps_supplycost").cast("double").as("supplycost"))
+  }
+
+  private val minCostSupplierSql =
+    s"""WITH $partsuppSql,
+      |eligible AS (
+      |  SELECT ps_partkey, ps_suppkey, ps_supplycost, p_type, s_name, n_name, s_acctbal
+      |  FROM ps
+      |  JOIN part ON ps_partkey = p_partkey
+      |  JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_type = 'ECONOMY' AND p_size <= 15 AND r_name = 'EUROPE'),
+      |mc AS (
+      |  SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
+      |  FROM eligible GROUP BY 1)
+      |SELECT ps_partkey AS p_partkey, p_type, s_name, n_name AS nation, s_acctbal,
+      |       CAST(ps_supplycost AS DOUBLE) AS supplycost
+      |FROM eligible JOIN mc
+      |  ON ps_partkey = m_partkey AND ps_supplycost = min_cost""".stripMargin
+
+  /** Q9: product-type profit — per supplier nation per ship year, the
+    * profit on 'red' parts: discounted revenue minus derived supply cost ×
+    * quantity. Every term has scale ≤ 4, so the per-line amount ×10⁴ is an
+    * exact integer; the sum is emitted as that scaled BIGINT (never a wide
+    * decimal recast to double — the r7-documented sf0.1 divergence class).
+    * Per-line |amount_e4| ≤ ~1e9 and the grand total at 100 TB fits int64
+    * only per (nation, year) group (~1e15 at 1e11 lines/group) — the
+    * group-sized bound is the safe one, and partial aggregation keeps the
+    * add order irrelevant (integer adds commute exactly).
+    */
+  def productProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(s, dir, "part")
+      .where(col("p_name").like("red%")).select("p_partkey")
+    val nat = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val ps = partsupp(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    Tables.load(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"),
+        ((discPrice(col("l_extendedprice"), col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity").cast("decimal(12,2)")) * lit(10000))
+          .cast("long").as("amount_e4"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("amount_e4")).as("profit_e4"))
+  }
+
+  private val productProfitSql =
+    s"""WITH $partsuppSql
+      |SELECT n_name AS nation, year(l_shipdate) AS o_year,
+      |       CAST(sum(CAST(($discPriceSql -
+      |           ps_supplycost * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT)) AS BIGINT)
+      |         AS profit_e4
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE 'red%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q11: important stock — per-part stock value held by EUROPE suppliers,
+    * kept when the part's value exceeds 1/10000 of the region total.
+    * Plan pattern: scalar-subquery threshold (1-row aggregate broadcast
+    * back, q15/q22's discipline). All value arithmetic is integer-scaled
+    * cents (value_e2 = cost × qty × 100 as BIGINT): the filter
+    * `value_e2 * 10000 > total_e2` is an exact integer comparison in both
+    * engines — no decimal-quotient threshold to mis-round. Bounds: per-part
+    * value_e2 ≤ ~1e13 at sf0.1 so the ×10⁴ stays under 2^63; at larger
+    * scales pre-divide the threshold instead (documented trade).
+    */
+  def importantStock(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region").where(col("r_name") === "EUROPE")
+    val nat = Tables.load(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = partsupp(s, dir)
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost") * col("ps_availqty") * lit(100)).cast("long").as("v_e2"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("v_e2")).as("value_e2"))
+    val total = value.agg(sum(col("value_e2")).as("total_e2"))
+    value.crossJoin(broadcast(total))
+      .where(col("value_e2") * lit(10000) > col("total_e2"))
+      .select("ps_partkey", "value_e2")
+  }
+
+  private val importantStockSql =
+    s"""WITH $partsuppSql,
+      |v AS (
+      |  SELECT ps_partkey,
+      |         CAST(sum(CAST(ps_supplycost * ps_availqty * 100 AS BIGINT)) AS BIGINT) AS value_e2
+      |  FROM ps
+      |  JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |  GROUP BY 1)
+      |SELECT ps_partkey, value_e2 FROM v
+      |WHERE value_e2 * 10000 > (SELECT CAST(sum(value_e2) AS BIGINT) FROM v)""".stripMargin
+
+  /** Q16: parts/supplier relationship — distinct supplier counts per
+    * (brand, type, size) bucket for a size list, excluding one brand, one
+    * type, and every negative-balance supplier (the testdata stand-in for
+    * q16's complaints predicate). The single distinct aggregate plans as a
+    * two-level HashAggregate with NO Expand (the engine-documented shape);
+    * the exclusion list is a broadcast anti join, never a NOT IN scan.
+    */
+  def supplierPartCount(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.load(s, dir, "supplier")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = Tables.load(s, dir, "part")
+      .where(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 11, 14, 19, 23, 36))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partsupp(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  private val supplierPartCountSql =
+    s"""WITH $partsuppSql
+      |SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM ps JOIN part ON ps_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 11, 14, 19, 23, 36)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q20: excess-stock suppliers — suppliers holding more than twice the
+    * 1997 shipped quantity of some 'small' part they stock. Both sides of
+    * the comparison are exact BIGINT quantity sums; the supplier list is a
+    * left-semi join driven by the qualified ps rows (fact-sized work
+    * happens once in ps + one windowed re-aggregate, supplier output is
+    * dim-sized).
+    */
+  def excessStockSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(s, dir, "part")
+      .where(col("p_name").like("small%")).select("p_partkey")
+    val shipped = Tables.load(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("sh_partkey"), col("l_suppkey").as("sh_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty97"))
+    val qualified = partsupp(s, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("sh_partkey") &&
+        col("ps_suppkey") === col("sh_suppkey"))
+      .where(col("ps_availqty") > col("qty97") * lit(2))
+      .select(col("ps_suppkey")).distinct()
+    val nat = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    Tables.load(s, dir, "supplier")
+      .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"), col("s_acctbal"))
+  }
+
+  private val excessStockSuppliersSql =
+    s"""WITH $partsuppSql,
+      |sh AS (
+      |  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty97
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT s_name, n_name AS nation, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT ps_suppkey FROM ps
+      |  JOIN part ON ps_partkey = p_partkey
+      |  JOIN sh ON ps_partkey = sh_partkey AND ps_suppkey = sh_suppkey
+      |  WHERE p_name LIKE 'small%' AND ps_availqty > qty97 * 2)""".stripMargin
+
   override def all: Seq[Q] = Seq(
+    Q("q2_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),
+    Q("q9_product_profit", productProfit, Some(productProfitSql)),
+    Q("q11_important_stock", importantStock, Some(importantStockSql)),
+    Q("q16_supplier_part_count", supplierPartCount, Some(supplierPartCountSql)),
+    Q("q20_excess_stock_suppliers", excessStockSuppliers, Some(excessStockSuppliersSql)),
     Q("q4_order_priority", orderPriority, Some(orderPrioritySql)),
     Q("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
     Q("q8_market_share", marketShare, Some(marketShareSql)),

@@ -7,9 +7,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** Session-extension entry point for the engine's Catalyst surface — the
   * (c) rung of the extension ladder (SURVEY.md §4): the native scalar
   * expression layer ([[CosineSimilarity]], reachable from SQL text, not
-  * just the Column API) and the [[RangeJoinRewrite]] optimizer rule
-  * (nested-loop range joins → bucketed equi-joins, conf-gated). Built-in
-  * operators cover every other whole-operator semantic this engine needs.
+  * just the Column API), the [[RangeJoinRewrite]] optimizer rule
+  * (nested-loop range joins → bucketed equi-joins, conf-gated), and the
+  * [[AsOfJoinStrategy]] planner strategy (plans the [[AsOfJoin]] custom
+  * logical node to its co-partitioned merge exec). Built-in operators
+  * cover every other whole-operator semantic this engine needs.
   *
   * Wire-up options:
   *  - config: `spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions`
@@ -26,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.intDot)
     // conf-gated (spark.graft.rangeJoin.granularity), no-op until enabled
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // plans graftx.AsOfJoin logical nodes (see AsOf.join); inert otherwise
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -75,5 +79,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

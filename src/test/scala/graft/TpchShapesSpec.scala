@@ -182,4 +182,133 @@ class TpchShapesSpec extends SparkSpec {
     val expectCnt = cust.count(c => c._2 > ab && !active(c._1))
     assert(rows.map(_.getLong(1)).sum == expectCnt)
   }
+
+  // ---- derived-partsupp shapes (q2/q9/q11/q16/q20) ----------------------
+
+  /** Brute-force derived partsupp off a lineitem collect: (partkey, suppkey)
+    * -> (min 2dp price, total qty). Mirrors TpchShapes.partsupp exactly.
+    */
+  private def naivePs(): Map[(Long, Long), (BigDecimal, Long)] =
+    Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        k -> (rs.map(r => BigDecimal(r.getDouble(2)).setScale(2)).min,
+          rs.map(_.getDouble(3).toLong).sum)
+      }
+
+  private def euroSuppliers(): Map[Long, String] = {
+    val eurKeys = Tables.load(spark, sfDir, "nation")
+      .join(Tables.load(spark, sfDir, "region")
+        .where(col("r_name") === "EUROPE"), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    Tables.load(spark, sfDir, "supplier").collect()
+      .flatMap(r => eurKeys.get(r.getInt(2)).map(n => r.getLong(0) -> n)).toMap
+  }
+
+  test("q2: every winner carries its part's true min cost; dims broadcast, no SMJ") {
+    val df = TpchShapes.minCostSupplier(spark, sfDir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("SortMergeJoin"), "q2 must broadcast every join side")
+    val eligibleParts = Tables.load(spark, sfDir, "part")
+      .where(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val eur = euroSuppliers().keySet
+    val ps = naivePs().filter { case ((pk, sk), _) => eligibleParts(pk) && eur(sk) }
+    val minCost = ps.groupBy(_._1._1).map { case (pk, m) => pk -> m.values.map(_._1).min }
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(BigDecimal(r.getDouble(5)) == BigDecimal(minCost(r.getLong(0)).toDouble))
+    }
+    // one winner row per qualifying (part, min-cost supplier) pair
+    val expect = ps.count { case ((pk, _), (c, _)) => c == minCost(pk) }
+    assert(rows.length == expect)
+  }
+
+  test("q9: nation-year profit matches an exact BigDecimal recompute") {
+    val ps = naivePs()
+    val redParts = Tables.load(spark, sfDir, "part")
+      .where(col("p_name").like("small%") || col("p_name").like("red%"))
+      .collect().filter(_.getString(1).startsWith("red")).map(_.getLong(0)).toSet
+    val suppNation = Tables.load(spark, sfDir, "supplier")
+      .join(Tables.load(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_quantity", "l_shipdate").collect()
+      .filter(r => redParts(r.getLong(0)))
+      .groupBy(r => (suppNation(r.getLong(1)),
+        r.getAs[java.time.LocalDateTime](5).getYear))
+      .map { case (k, rs) =>
+        k -> rs.map { r =>
+          val price = BigDecimal(r.getDouble(2)).setScale(2)
+          val disc = BigDecimal(r.getDouble(3)).setScale(2)
+          val cost = ps((r.getLong(0), r.getLong(1)))._1
+          val qty = BigDecimal(r.getDouble(4)).setScale(2)
+          ((price * (1 - disc)) - cost * qty).setScale(4) * 10000
+        }.map(_.toLong).sum
+      }
+    val got = TpchShapes.productProfit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("q11: returned parts are exactly those above 1/10000 of the regional total") {
+    val eur = euroSuppliers().keySet
+    val vals = naivePs().toSeq.collect { case ((pk, sk), (c, q)) if eur(sk) =>
+      pk -> (c * 100).toLong * q
+    }.groupBy(_._1).map { case (pk, vs) => pk -> vs.map(_._2).sum }
+    val total = vals.values.sum
+    val expect = vals.filter(_._2 * 10000L > total)
+    val got = TpchShapes.importantStock(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("q16: distinct supplier counts match and plan has no Expand") {
+    val df = TpchShapes.supplierPartCount(spark, sfDir)
+    assert(!df.queryExecution.sparkPlan.toString.contains("Expand"),
+      "single distinct agg must plan as two-level HashAggregate, not Expand")
+    val sizes = Set(1, 4, 7, 11, 14, 19, 23, 36)
+    val partInfo = Tables.load(spark, sfDir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    val badSupp = Tables.load(spark, sfDir, "supplier")
+      .where(col("s_acctbal") < 0).collect().map(_.getLong(0)).toSet
+    val expect = naivePs().keys.toSeq
+      .filter { case (pk, sk) =>
+        val (b, t, z) = partInfo(pk)
+        b != "Brand#23" && t != "PROMO" && sizes(z) && !badSupp(sk)
+      }
+      .groupBy { case (pk, _) => partInfo(pk) }
+      .map { case (k, pairs) => k -> pairs.map(_._2).distinct.size.toLong }
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == expect)
+  }
+
+  test("q20: qualifying suppliers hold over twice their 1997 'small'-part shipments") {
+    val smallParts = Tables.load(spark, sfDir, "part")
+      .where(col("p_name").like("small%")).collect().map(_.getLong(0)).toSet
+    val li97 = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .filter { r =>
+        smallParts(r.getLong(0)) &&
+          r.getAs[java.time.LocalDateTime](3).getYear == 1997
+      }
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(2).toLong).sum }
+    val ps = naivePs()
+    val expectSupp = li97.collect {
+      case ((pk, sk), q97) if ps((pk, sk))._2 > 2 * q97 => sk
+    }.toSet
+    val suppName = Tables.load(spark, sfDir, "supplier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TpchShapes.excessStockSuppliers(spark, sfDir).collect()
+      .map(_.getString(0)).toSet
+    assert(got == expectSupp.map(suppName))
+  }
 }
