@@ -543,6 +543,45 @@ object Relational extends QueryPack {
       |                  THEN CAST(floor(pval * 1000) AS BIGINT) END), 0) AS BIGINT) AS sum_v3
       |FROM j GROUP BY user_id""".stripMargin
 
+  /** FORWARD native as-of: each click waits for the user's NEXT purchase
+    * (earliest at-or-after — time-to-conversion attribution). Same merge
+    * exec run in forward mode: the right cursor parks ON the earliest
+    * candidate instead of holding a copy behind it, so one right row can
+    * serve several waiting clicks. Gap sums stay exact integer micros.
+    */
+  def asofNativeForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("pval"))
+    org.apache.spark.sql.graftx.AsOf.join(
+        clicks, purchases,
+        Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"),
+        None, forward = true)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("pval")).as("n_converted"),
+        coalesce(sum((unix_micros(col("p_ts")) - unix_micros(col("ts")))), lit(0L))
+          .as("wait_us"))
+  }
+
+  private val asofNativeForwardSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsv, arg_max(value, event_id) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.user_id, count(*) AS n_clicks,
+      |       count(p.pval) AS n_converted,
+      |       CAST(coalesce(sum(epoch_us(p.tsv) - epoch_us(c.tsv)), 0) AS BIGINT) AS wait_us
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tsv <= p.tsv
+      |GROUP BY c.user_id""".stripMargin
+
   /** PIVOT: order counts as a (priority × status) matrix. Explicit pivot
     * values keep the plan single-pass (no values-discovery job) and the
     * output schema static; absent cells coalesce to 0 so the relation is
@@ -2315,6 +2354,7 @@ object Relational extends QueryPack {
     Q("asof_click_purchase", asofClickPurchase, Some(asofClickPurchaseSql)),
     Q("asof_native_exec", asofNativeExec, Some(asofNativeExecSql)),
     Q("asof_native_tolerance", asofNativeTolerance, Some(asofNativeToleranceSql)),
+    Q("asof_native_forward", asofNativeForward, Some(asofNativeForwardSql)),
     Q("skew_salted_join", skewJoin, Some(skewJoinSql)),
     Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinClicksSql)),
     Q("merge_upsert", mergeUpsert, Some(mergeUpsertSql)),

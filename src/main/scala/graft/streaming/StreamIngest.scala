@@ -409,6 +409,86 @@ object StreamIngest {
       .start()
   }
 
+  /** Streaming as-of enrichment: a mixed click/purchase event stream where
+    * every CLICK picks up the latest same-user PURCHASE at-or-before its
+    * event time, AS KNOWN AT INGEST TIME — the purchase reference GROWS
+    * with the stream (prior batches' purchases land in a batch-partitioned
+    * table; this batch's own purchases join from memory). The join itself
+    * is the NATIVE merge exec ([[org.apache.spark.sql.graftx.AsOf.join]]):
+    * micro-batches are plain DataFrames, so the same custom physical
+    * operator serves the batch and streaming paths.
+    *
+    * Disciplines (both proven by StreamingSpec):
+    *  - Replay exactly-once: reference reads EXCLUDE this batch id
+    *    (`ingest_batch < batchId`) — on replay the table already holds the
+    *    batch's own first-run purchases, and reading them would double the
+    *    in-memory copies (a same-(user,ts) dedup would hide it, but a
+    *    purchase pair split across the copies would not); both sinks are
+    *    dynamic-overwrite partitioned on the batch id.
+    *  - Late purchases never retro-update enriched clicks: enrichment is
+    *    as-of INGEST time, the only deterministic, replay-stable semantics
+    *    a forward-only stream can offer (a retro-correcting view is the
+    *    CDC incremental-view family's job, off the landed tables).
+    *
+    * 100 TB: per-batch cost is batch-clicks + reference-size on the USER
+    * key — the reference relation is purchase-granular, partition-pruned
+    * nothing (it must see all prior purchases), so at production scale the
+    * reference read is the bucketed/compacted purchases table, not a full
+    * history rescan of raw events; the merge itself holds one row of state.
+    */
+  def asofEnrichStream(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      refDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.spark.sql.graftx.AsOf
+    val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+    val refSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts BIGINT, pval DOUBLE")
+    val reader = spark.readStream.schema(evSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val purch = batch.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("pval"))
+          .cache()
+        val priorRef = scala.util.Try(spark.read.parquet(refDir)
+            .where(col("ingest_batch") < lit(batchId))
+            .select(refSchema.fieldNames.map(col): _*))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), refSchema))
+        // re-aggregate the union: a later batch CAN repeat a (user, ts)
+        // already in the reference — max keeps the pick deterministic
+        val ref = priorRef.unionByName(purch)
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(max(col("pval")).as("pval"))
+        val clicks = batch.where(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val enriched = AsOf.join(clicks, ref,
+          Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"))
+          .select("user_id", "event_id", "ts", "p_ts", "pval")
+        def land(df: DataFrame, path: String): Unit = {
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(path)
+          ()
+        }
+        land(enriched, outDir)
+        land(purch, refDir)
+        purch.unpersist(blocking = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Tok(lang: String, token: String)
   case class MgStreamState(buf: graft.llm.MgBuf, n_tokens: Long)
   case class HeavyHitter(lang: String, token: String, est_count: Long, n_tokens: Long)

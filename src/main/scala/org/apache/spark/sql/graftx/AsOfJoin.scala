@@ -11,7 +11,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
-/** Backward as-of join as a FIRST-CLASS physical operator — the (c) rung of
+/** As-of join (backward by default, forward on request) as a FIRST-CLASS
+  * physical operator — the (c) rung of
   * the extension ladder Spark's built-ins cannot reach: a custom logical
   * node ([[AsOfJoin]]), a planner strategy ([[AsOfJoinStrategy]], injected
   * via `SparkSessionExtensions.injectPlannerStrategy` or post-hoc through
@@ -48,7 +49,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
   override def output: Seq[Attribute] =
@@ -61,8 +63,8 @@ case class AsOfJoin(
 /** Plans [[AsOfJoin]] to [[AsOfJoinExec]]; everything else falls through. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -74,7 +76,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -136,6 +139,7 @@ case class AsOfJoinExec(
 
         val hasTol = tolerance.isDefined
         val tolVal = tolerance.getOrElse(0L)
+        val fwd = forward
         new Iterator[InternalRow] {
           // one-row held state: the latest right row (copied — child rows
           // are reused buffers) whose (key, time) is <= the current left's
@@ -166,32 +170,58 @@ case class AsOfJoinExec(
             val lKeyRow = lKeyProj(lRow)
             val (ltNull, ltVal) = lTimeGet(lRow)
             var matched = false
+            var fwdRow: InternalRow = null
             if (!lKeyRow.anyNull && !ltNull) {
-              // drain right rows at or before (lKey, lTime); remember the
-              // last same-key one — right rows with a smaller key can never
-              // match this or any later left row (left is key-ascending)
-              var continue = rRow != null
-              while (continue) {
-                val c = keyOrd.compare(rKey, lKeyRow)
-                if (c < 0 || (c == 0 && (rTimeNull || rTimeVal <= ltVal))) {
-                  if (c == 0 && !rTimeNull && !rKey.anyNull) {
-                    held = rRow.copy()
-                    heldKey = rKey.copy()
-                    heldTime = rTimeVal
+              if (!fwd) {
+                // BACKWARD: drain right rows at or before (lKey, lTime);
+                // remember the last same-key one — right rows with a smaller
+                // key can never match this or any later left row (left is
+                // key-ascending)
+                var continue = rRow != null
+                while (continue) {
+                  val c = keyOrd.compare(rKey, lKeyRow)
+                  if (c < 0 || (c == 0 && (rTimeNull || rTimeVal <= ltVal))) {
+                    if (c == 0 && !rTimeNull && !rKey.anyNull) {
+                      held = rRow.copy()
+                      heldKey = rKey.copy()
+                      heldTime = rTimeVal
+                    }
+                    advanceRight()
+                    continue = rRow != null
+                  } else {
+                    continue = false
                   }
-                  advanceRight()
-                  continue = rRow != null
-                } else {
-                  continue = false
+                }
+                // tolerance nullifies a TOO-STALE latest match; because the
+                // held row is the closest at-or-before candidate, the
+                // post-check is exactly "no right row within [t-tol, t]"
+                matched = held != null && keyOrd.compare(heldKey, lKeyRow) == 0 &&
+                  (!hasTol || ltVal - heldTime <= tolVal)
+              } else {
+                // FORWARD: drain rows that are dead for this AND every later
+                // left row (smaller key, or same key strictly before lTime —
+                // later lefts have times >= lTime); the right cursor then
+                // sits ON the earliest at-or-after candidate, matched
+                // WITHOUT consuming (it may serve the next left row too)
+                var continue = rRow != null
+                while (continue) {
+                  val c = keyOrd.compare(rKey, lKeyRow)
+                  if (c < 0 || (c == 0 && (rTimeNull || rTimeVal < ltVal))) {
+                    advanceRight()
+                    continue = rRow != null
+                  } else {
+                    continue = false
+                  }
+                }
+                if (rRow != null && !rKey.anyNull &&
+                    keyOrd.compare(rKey, lKeyRow) == 0 &&
+                    (!hasTol || rTimeVal - ltVal <= tolVal)) {
+                  matched = true
+                  fwdRow = rRow
                 }
               }
-              // tolerance nullifies a TOO-STALE latest match; because the
-              // held row is the closest at-or-before candidate, the
-              // post-check is exactly "no right row within [t-tol, t]"
-              matched = held != null && keyOrd.compare(heldKey, lKeyRow) == 0 &&
-                (!hasTol || ltVal - heldTime <= tolVal)
             }
-            joined(lRow, if (matched) held else nullRight)
+            joined(lRow, if (!matched) nullRight else if (fwd) fwdRow else held)
             numOutputRows += 1
             resultProj(joined)
           }
@@ -228,6 +258,12 @@ object AsOf {
     * timestamps) is nulled out, exactly "no right row within [t-tol, t]"
     * (the held row is the closest candidate, so the post-check is
     * equivalence, not approximation).
+    *
+    * `forward = true` flips the direction: each left row picks the EARLIEST
+    * right row with `rightTime >= leftTime` (time-to-next-event semantics —
+    * DuckDB's `ASOF ... ON l.t <= r.t`), tolerance bounding `rt - t`. Same
+    * exec, same one-pass merge: the cursor parks ON the candidate instead
+    * of holding a copy behind it.
     */
   def join(
       left: DataFrame,
@@ -236,7 +272,8 @@ object AsOf {
       rightKeys: Seq[Column],
       leftTime: Column,
       rightTime: Column,
-      tolerance: Option[Long]): DataFrame = {
+      tolerance: Option[Long],
+      forward: Boolean = false): DataFrame = {
     val cl = left.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val cr = right.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val spark = cl.sparkSession
@@ -266,6 +303,6 @@ object AsOf {
     classic.Dataset.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       leftKeys.map(res(lPlan, _)), rightKeys.map(res(rPlan, _)),
-      res(lPlan, leftTime), res(rPlan, rightTime), tolerance))
+      res(lPlan, leftTime), res(rPlan, rightTime), tolerance, forward))
   }
 }

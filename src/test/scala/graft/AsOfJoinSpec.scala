@@ -87,6 +87,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(None) === Seq(("near", 7.0), ("far", 7.0)))
   }
 
+  test("forward direction picks the earliest at-or-after row, tolerance bounds the wait") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 31L, "c"), (2L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 30L, 3.0), (3L, 1L, 9.0))
+      .toDF("rk", "rt", "v")
+    def run(tol: Option[Long]) = AsOf.join(left, right,
+        Seq(col("k")), Seq(col("rk")), col("t"), col("rt"), tol, forward = true)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(5)) null else r.getDouble(5))).toSeq
+    // a: rt=10 ties inclusive; b: next is rt=30; c: nothing at-or-after 31;
+    // d: key absent on the right. The rt=30 row serves BOTH a-side waits
+    // without being consumed early.
+    assert(run(None) === Seq(("a", 1.0), ("b", 3.0), ("c", null), ("d", null)))
+    // tol=4: b's wait (30-25=5) exceeds it → null
+    assert(run(Some(4L)) === Seq(("a", 1.0), ("b", null), ("c", null), ("d", null)))
+  }
+
   test("plan: merge exec with SMJ-shaped exchanges, rollup reuses left clustering") {
     val q = SparkEntry.queries("asof_native_exec")(spark, sfDir)
     q.collect() // finalize AQE

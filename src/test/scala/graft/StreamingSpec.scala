@@ -467,6 +467,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sIdxD/buckets").select("doc_id").distinct().count() == 2L)
   }
 
+  test("streaming as-of enrich: in-batch + cross-batch matches, no retro-update, replay exactly-once") {
+    val root = s"$base/asof_enrich"
+    val srcD = s"$root/src"; val outD = s"$root/out"
+    val refD = s"$root/ref"; val ckD = s"$root/ckpt"
+    def ev(uid: Long, eid: Long, ts: Long, typ: String, v: Double) =
+      s"""{"user_id":$uid,"event_id":$eid,"ts":$ts,"event_type":"$typ","value":$v}"""
+    def readOut(): Map[Long, (Option[Long], Option[Double])] =
+      spark.read.parquet(outD).collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          ((if (r.isNullAt(r.fieldIndex("p_ts"))) None else Some(r.getAs[Long]("p_ts"))),
+            (if (r.isNullAt(r.fieldIndex("pval"))) None else Some(r.getAs[Double]("pval"))))
+      }.toMap
+    // phase 1: purchase u1@10 (two same-(user,ts) rows — max_by(event_id)
+    // picks 1.5); click u1@15 matches IN-BATCH; click u1@5 precedes it → null
+    Files.createDirectories(Paths.get(srcD))
+    Files.writeString(Paths.get(s"$srcD/b0.json"), Seq(
+      ev(1, 100, 10, "purchase", 9.0), ev(1, 101, 10, "purchase", 1.5),
+      ev(1, 200, 15, "click", 0), ev(1, 201, 5, "click", 0)).mkString("\n"))
+    StreamIngest.asofEnrichStream(spark, srcD, outD, refD, ckD).awaitTermination()
+    assert(readOut() === Map(
+      200L -> (Some(10L), Some(1.5)), 201L -> (None, None)))
+    // phase 2 (restart): click u1@20 matches the PHASE-1 purchase via the
+    // reference table; purchase u1@18 + click u1@19 match in-batch; a LATE
+    // purchase u1@3 must not retro-update the phase-1 click u1@5; click
+    // u2@50 has no purchases at all → null
+    Files.writeString(Paths.get(s"$srcD/b1.json"), Seq(
+      ev(1, 300, 20, "click", 0),
+      ev(1, 102, 18, "purchase", 2.5), ev(1, 301, 19, "click", 0),
+      ev(1, 103, 3, "purchase", 7.0),
+      ev(2, 302, 50, "click", 0)).mkString("\n"))
+    StreamIngest.asofEnrichStream(spark, srcD, outD, refD, ckD).awaitTermination()
+    val p2 = readOut()
+    assert(p2(300L) === (Some(18L), Some(2.5)), "cross-batch pick must see in-batch p@18 too")
+    assert(p2(301L) === (Some(18L), Some(2.5)))
+    assert(p2(201L) === (None, None), "late purchase must NOT retro-update an enriched click")
+    assert(p2(302L) === (None, None))
+    assert(p2(200L) === (Some(10L), Some(1.5)))
+    // reference table carries every purchase exactly once per (user, ts, batch)
+    assert(spark.read.parquet(refD).count() === 3)
+    // replay restart with no new data: nothing changes (exactly-once sinks)
+    StreamIngest.asofEnrichStream(spark, srcD, outD, refD, ckD).awaitTermination()
+    assert(readOut() === p2)
+    assert(spark.read.parquet(refD).count() === 3)
+  }
+
   test("streaming trending: decayed scores exact and trigger-split invariant, old windows evicted") {
     implicit val sqlCtx = spark.sqlContext
     import StreamIngest.{ItemDay, TrendScore}
