@@ -170,6 +170,12 @@ object Main {
       val v = sources.TableLog.restore(spark, backupDir, newTable)
       println(s"[graft] restored $backupDir -> $newTable (version $v)")
       spark.stop()
+    case "diff" :: table :: vA :: vB :: key :: valueCol :: Nil =>
+      val spark = session()
+      sources.TableLog.diffVersions(spark, table, vA.toLong, vB.toLong, key, valueCol)
+        .groupBy("class").count().orderBy("class").collect()
+        .foreach(r => println(s"[diff] ${r.getString(0)}: ${r.getLong(1)} keys"))
+      spark.stop()
     case "vacuum" :: table :: rest =>
       val keep = rest.filterNot(_ == "apply").headOption.map(_.toInt).getOrElse(1)
       val (dropV, nFiles, bytes) = sources.TableLog.vacuumPlan(table, keep)
@@ -200,6 +206,7 @@ object Main {
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
           "       graft restore <backupDir> <newTableLogDir>\n" +
+          "       graft diff <tableLogDir> <vA> <vB> <keyCol> <valueCol> — snapshot version diff\n" +
           "       graft vacuum <tableLogDir> [keep] [apply] — retention dry-run / execute\n" +
           "       graft gc <tableLogDir>               — reclaim crashed-commit orphans\n" +
           "       graft list\n" +

@@ -1398,6 +1398,211 @@ object Indicators extends QueryPack {
       |FROM rr GROUP BY 1, 2
       |ORDER BY company_id, granularity_s""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Roll's implied spread — serial autocovariance of returns
+  // -------------------------------------------------------------------------
+
+  /** Roll (1984) implied effective spread per instrument: bid-ask bounce
+    * makes consecutive price changes negatively autocorrelated, and the
+    * spread is `2·√(−cov(r_t, r_{t−1}))`. On the clamped bp returns the
+    * autocovariance numerator `n·Σxy − Σx·Σy` is an EXACT int64 (emitted
+    * raw), and the spread replays cross-engine as a fixed sequence of
+    * correctly-rounded IEEE ops: int64→double, one divide by n², floor,
+    * one sqrt (correctly rounded), floor, ×2 — the [[sharpe]] sqrt
+    * discipline. Positive-autocovariance series (no detectable bounce)
+    * emit NULL spread, the standard Roll convention.
+    *
+    * 100 TB shape: returns are calendar-bounded after the one fact
+    * aggregate; the lag pair join is a window on the instrument partition;
+    * the clamp keeps n·Σxy « 2^63 at any calendar length.
+    */
+  def rollSpread(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("company_id")).orderBy(col("day"))
+    bpReturns(s, dir)
+      .withColumn("r_prev", lag(col("r_bp"), 1).over(w))
+      .where(col("r_prev").isNotNull)
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("r_bp")).as("sx"),
+        sum(col("r_prev")).as("sy"),
+        sum(col("r_bp") * col("r_prev")).as("sxy"))
+      .select(col("company_id"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("acov_num"),
+        expr("""CASE WHEN n_pairs * sxy - sx * sy < 0 THEN
+               |  CAST(2 * floor(sqrt(CAST(floor(
+               |        CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE)
+               |        / (n_pairs * n_pairs)) AS DOUBLE))) AS BIGINT)
+               |END""".stripMargin).as("spread_bp"))
+      .orderBy(col("company_id"))
+  }
+
+  private val rollSpreadSql =
+    s"""WITH $retsCtes,
+      |pr AS (
+      |  SELECT company_id, r_bp,
+      |         lag(r_bp) OVER (PARTITION BY company_id ORDER BY day) AS r_prev
+      |  FROM rets),
+      |st AS (
+      |  SELECT company_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(r_bp) AS BIGINT) AS sx,
+      |         CAST(sum(r_prev) AS BIGINT) AS sy,
+      |         CAST(sum(r_bp * r_prev) AS BIGINT) AS sxy
+      |  FROM pr WHERE r_prev IS NOT NULL GROUP BY company_id)
+      |SELECT company_id, n_pairs,
+      |       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS acov_num,
+      |       CASE WHEN n_pairs * sxy - sx * sy < 0 THEN
+      |         CAST(2 * floor(sqrt(CAST(floor(
+      |               CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE)
+      |               / (n_pairs * n_pairs)) AS DOUBLE))) AS BIGINT)
+      |       END AS spread_bp
+      |FROM st
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Tick-rule trade classification — carry-forward sign test
+  // -------------------------------------------------------------------------
+
+  /** shared intraday tick projection (the [[vpin]] derivation): total order
+    * (ts, eid, cents, volume) makes the sign sequence deterministic —
+    * full-key-tied ticks are interchangeable for every consumer below
+    */
+  private def tickSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
+      expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("volume"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+
+  /** Lee-Ready tick test (the quote-free half): an uptick is a buy, a
+    * downtick a sell, and a ZERO tick inherits the last non-zero direction
+    * — the carry-forward is `last(sign, ignoreNulls)` over the running
+    * frame, DuckDB's `last_value(... IGNORE NULLS)`. Ticks before the
+    * first price change stay unclassified (no direction exists yet).
+    */
+  private def classifiedTicks(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("company_id"))
+      .orderBy(col("ts"), col("eid"), col("cents"), col("volume"))
+    val carry = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tickSeries(s, dir)
+      .withColumn("dp", col("cents") - lag(col("cents"), 1).over(ord))
+      .withColumn("s_raw",
+        when(col("dp") > 0, 1L).when(col("dp") < 0, -1L)
+          .otherwise(lit(null).cast("long")))
+      .withColumn("side", last(col("s_raw"), ignoreNulls = true).over(carry))
+  }
+
+  /** Per-instrument tick-rule summary: buy/sell/unclassified counts and the
+    * signed-volume order-flow imbalance. Differs from [[vpin]]'s bucket
+    * classifier exactly where the estimators differ: VPIN leaves neutral
+    * ticks neutral (volume-clock buckets need no carry), the tick RULE
+    * carries direction through zero ticks. All integer; one instrument-
+    * partitioned window pass over the tick series.
+    */
+  def tickRule(s: SparkSession, dir: String): DataFrame =
+    classifiedTicks(s, dir)
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        count(when(col("side") === 1, 1)).as("n_buys"),
+        count(when(col("side") === -1, 1)).as("n_sells"),
+        count(when(col("side").isNull, 1)).as("n_unclassified"),
+        coalesce(sum(col("side") * col("volume")), lit(0L)).as("flow"))
+      .orderBy(col("company_id"))
+
+  private val tickRuleSql =
+    s"""WITH $closesCtes,
+      |cl AS (
+      |  SELECT company_id, tsv, eid, cents, volume,
+      |         cents - lag(cents) OVER
+      |           (PARTITION BY company_id ORDER BY tsv, eid, cents, volume) AS dp
+      |  FROM t),
+      |sd AS (
+      |  SELECT company_id, volume,
+      |         last_value(CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+      |           OVER (PARTITION BY company_id ORDER BY tsv, eid, cents, volume
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+      |  FROM cl)
+      |SELECT company_id, count(*) AS n_ticks,
+      |       count(CASE WHEN side = 1 THEN 1 END) AS n_buys,
+      |       count(CASE WHEN side = -1 THEN 1 END) AS n_sells,
+      |       count(CASE WHEN side IS NULL THEN 1 END) AS n_unclassified,
+      |       CAST(coalesce(sum(side * volume), 0) AS BIGINT) AS flow
+      |FROM sd GROUP BY company_id
+      |ORDER BY company_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Kyle's lambda — price impact per unit of order flow
+  // -------------------------------------------------------------------------
+
+  /** Kyle (1985) lambda per instrument: the slope of same-day clamped bp
+    * returns on daily NET signed order flow (tick-rule signs × volume) —
+    * how many bp one unit of imbalance moves the price. Identical
+    * sufficient-statistic + floor(num/den·1e6) double sequence as
+    * [[beta]], so the slope hash-gates. Degenerate (zero-variance-flow)
+    * instruments emit NULL.
+    *
+    * 100 TB shape: the tick window and the daily flow aggregate are one
+    * instrument-partitioned pass; the regression runs on the calendar-
+    * bounded (instrument, day) relation. The bp clamp bounds the return
+    * side; at production volumes the flow side wants the same ±clamp (or
+    * DECIMAL(38) stats, the [[vpin]] route) once daily |flow| × calendar
+    * length approaches 2^31·√n — documented, not yet needed at any test SF.
+    */
+  def kyleLambda(s: SparkSession, dir: String): DataFrame = {
+    val flow = classifiedTicks(s, dir)
+      .groupBy(col("company_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(coalesce(sum(col("side") * col("volume")), lit(0L)).as("q"))
+    bpReturns(s, dir)
+      .join(flow, Seq("company_id", "day"))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("r_bp")).as("sr"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("q") * col("r_bp")).as("srq"))
+      .select(col("company_id"), col("n"),
+        expr("""CASE WHEN n * sqq - sq * sq > 0 THEN
+               |  CAST(floor(CAST(n * srq - sq * sr AS DOUBLE)
+               |             / CAST(n * sqq - sq * sq AS DOUBLE) * 1000000) AS BIGINT)
+               |END""".stripMargin).as("lambda_e6"))
+      .orderBy(col("company_id"))
+  }
+
+  private val kyleLambdaSql =
+    s"""WITH $retsCtes,
+      |cl2 AS (
+      |  SELECT company_id, tsv, eid, cents, volume,
+      |         cents - lag(cents) OVER
+      |           (PARTITION BY company_id ORDER BY tsv, eid, cents, volume) AS dp
+      |  FROM t),
+      |sd2 AS (
+      |  SELECT company_id, strftime(tsv, '%Y-%m-%d') AS day, volume,
+      |         last_value(CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+      |           OVER (PARTITION BY company_id ORDER BY tsv, eid, cents, volume
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+      |  FROM cl2),
+      |fl AS (
+      |  SELECT company_id, day,
+      |         CAST(coalesce(sum(side * volume), 0) AS BIGINT) AS q
+      |  FROM sd2 GROUP BY 1, 2),
+      |ks AS (
+      |  SELECT company_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(q) AS BIGINT) AS sq,
+      |         CAST(sum(r_bp) AS BIGINT) AS sr,
+      |         CAST(sum(q * q) AS BIGINT) AS sqq,
+      |         CAST(sum(q * r_bp) AS BIGINT) AS srq
+      |  FROM rets JOIN fl USING (company_id, day) GROUP BY company_id)
+      |SELECT company_id, n,
+      |       CASE WHEN n * sqq - sq * sq > 0 THEN
+      |         CAST(floor(CAST(n * srq - sq * sr AS DOUBLE)
+      |                    / CAST(n * sqq - sq * sq AS DOUBLE) * 1000000) AS BIGINT)
+      |       END AS lambda_e6
+      |FROM ks
+      |ORDER BY company_id""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("ind_obv", obv, Some(obvSql)),
     Q("ind_bollinger", bollinger, Some(bollingerSql)),
@@ -1415,5 +1620,8 @@ object Indicators extends QueryPack {
     Q("ind_vol_regimes", volRegimes, Some(volRegimesSql)),
     Q("ind_vpin", vpin, Some(vpinSql)),
     Q("ind_rv_signature", rvSignature, Some(rvSignatureSql)),
-    Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)))
+    Q("ind_drawdown", drawdownDuration, Some(drawdownDurationSql)),
+    Q("ind_roll_spread", rollSpread, Some(rollSpreadSql)),
+    Q("ind_tick_rule", tickRule, Some(tickRuleSql)),
+    Q("ind_kyle_lambda", kyleLambda, Some(kyleLambdaSql)))
 }

@@ -1197,6 +1197,79 @@ object Governance extends QueryPack {
     * broadcast dim chain. All integer day arithmetic — one fact-sized
     * window pass, nation-sized output.
     */
+  /** Off-policy evaluation over the logged event stream (the counterfactual
+    * question every logged-bandit / RLHF-style dataset owner asks: "what
+    * would THIS policy have earned on last month's traffic?"). The log is
+    * modeled as a uniform randomized logging policy over the K-action
+    * vocabulary (propensity exactly 1/K, the standard randomization
+    * assumption, stated not estimated); the TARGET policy is deterministic
+    * and engine-portable — action index = md5-half(user) mod K over the
+    * sorted vocabulary (the portable-hash recipe). Per target action:
+    *
+    *   - IPS numerator `K·Σ_matched r` and SNIPS numerator `Σ_matched r`
+    *     as exact scaled BIGINTs (r = floor(value·1000); V̂_IPS =
+    *     ips_num / (n·1000), V̂_SNIPS = snips_num / (n_matched·1000)),
+    *   - `ips_est` as ONE raw double quotient of those exact integers
+    *     (int64→double + a single divide — the same fixed sequence in both
+    *     engines, never a round()).
+    *
+    * 100 TB shape: vocabulary + K broadcast (action-count-sized); the
+    * policy evaluation is a narrow codegen projection over the log and one
+    * K-cardinality aggregate — no shuffle carries event payloads.
+    */
+  def opeIps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        coalesce(floor(col("value") * 1000).cast("long"), lit(0L)).as("r_m"))
+    val acts = Tables.load(s, dir, "events")
+      .select("event_type").distinct()
+      .withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_type"))) - 1)
+    val kRel = acts.agg(count(lit(1)).as("k"))
+    ev
+      .withColumn("h",
+        expr("conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)").cast("long"))
+      .crossJoin(broadcast(kRel))
+      .join(broadcast(acts.select(col("event_type").as("tgt_action"), col("idx"))),
+        col("h") % col("k") === col("idx"))
+      .groupBy(col("tgt_action"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === col("tgt_action"), 1)).as("n_matched"),
+        (max(col("k")) *
+          sum(when(col("event_type") === col("tgt_action"), col("r_m")).otherwise(0L)))
+          .as("ips_num"),
+        sum(when(col("event_type") === col("tgt_action"), col("r_m")).otherwise(0L))
+          .as("snips_num"))
+      .withColumn("ips_est",
+        col("ips_num").cast("double") / (col("n_events") * 1000))
+  }
+
+  private val opeIpsSql =
+    """WITH acts AS (
+      |  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS idx
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |kk AS (SELECT count(*) AS k FROM acts),
+      |ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(coalesce(floor(value * 1000), 0) AS BIGINT) AS r_m,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM events),
+      |tg AS (
+      |  SELECT ev.event_type, ev.r_m, a.event_type AS tgt_action, kk.k
+      |  FROM ev CROSS JOIN kk
+      |  JOIN acts a ON ev.h % kk.k = a.idx)
+      |SELECT tgt_action, count(*) AS n_events,
+      |       count(CASE WHEN event_type = tgt_action THEN 1 END) AS n_matched,
+      |       CAST(max(k) * sum(CASE WHEN event_type = tgt_action THEN r_m ELSE 0 END)
+      |            AS BIGINT) AS ips_num,
+      |       CAST(sum(CASE WHEN event_type = tgt_action THEN r_m ELSE 0 END)
+      |            AS BIGINT) AS snips_num,
+      |       CAST(CAST(max(k) * sum(CASE WHEN event_type = tgt_action THEN r_m ELSE 0 END)
+      |                 AS BIGINT) AS DOUBLE) / (count(*) * 1000) AS ips_est
+      |FROM tg GROUP BY tgt_action""".stripMargin
+
   def scd2IntervalAudit(s: SparkSession, dir: String): DataFrame = {
     val od = Tables.load(s, dir, "orders")
       .select(col("o_custkey"),
@@ -1249,6 +1322,7 @@ object Governance extends QueryPack {
       |ORDER BY nation""".stripMargin
 
   override val all: Seq[Q] = Seq(
+    Q("ope_ips", opeIps, Some(opeIpsSql)),
     Q("scd2_interval_audit", scd2IntervalAudit, Some(scd2IntervalAuditSql)),
     Q("gdpr_sar_export", gdprSarExport, Some(gdprSarExportSql)),
     Q("benford_audit", benfordAudit, Some(benfordAuditSql)),

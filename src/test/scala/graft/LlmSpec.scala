@@ -1200,4 +1200,19 @@ class LlmSpec extends SparkSpec {
       assert(anchor.getInt(4) == 1, s"cell $cell anchor dropped: $anchor")
     }
   }
+
+  test("ope: target actions partition the log; ips = k·snips; estimates finite") {
+    val rows = graft.llm.Governance.opeIps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sfDir, "events").count()
+    val k = Tables.load(spark, sfDir, "events")
+      .select("event_type").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every logged event evaluated under exactly one target action")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "matched <= evaluated")
+      assert(r.getLong(3) == k * r.getLong(4), "ips_num = K * snips_num")
+      assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+    }
+  }
 }

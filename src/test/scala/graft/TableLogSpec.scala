@@ -273,4 +273,25 @@ class TableLogSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == rows)
   }
+
+  test("version diff: self-diff is all-unchanged, v0→v1 covers the key union once") {
+    import org.apache.spark.sql.functions.col
+    val t = TableLog.ordersDiffed(spark, sfDir)
+    // identity law: diffing a version against itself classifies nothing
+    val self = TableLog.diffVersions(spark, t, 1L, 1L, "o_orderkey", "cents")
+      .groupBy("class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(self.keySet == Set("unchanged"), s"self-diff produced $self")
+    // coverage law: every key of either version appears exactly once
+    val d = TableLog.diffVersions(spark, t, 0L, 1L, "o_orderkey", "cents")
+    val n0 = TableLog.read(spark, t, Some(0L)).count()
+    val added = d.where(col("class") === "added").count()
+    assert(d.count() == n0 + added, "diff rows = v0 keys + added keys")
+    assert(d.select("o_orderkey").distinct().count() == d.count(), "keys unique in diff")
+    // class semantics: removed rows have null vb, added null va
+    assert(d.where(col("class") === "removed" && col("vb").isNotNull).count() == 0)
+    assert(d.where(col("class") === "added" && col("va").isNotNull).count() == 0)
+    assert(d.where(col("class") === "changed" && (col("va").isNull || col("vb").isNull))
+      .count() == 0)
+  }
 }
