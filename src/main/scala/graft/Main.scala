@@ -185,6 +185,14 @@ object Main {
         val (dropped, removed) = sources.TableLog.vacuum(table, keep)
         println(s"[vacuum] applied: dropped ${dropped.size} versions, removed $removed files")
       } else println("[vacuum] dry run — pass 'apply' to execute")
+    case "delete" :: table :: cond :: Nil =>
+      val spark = session()
+      val before = sources.TableLog.read(spark, table).count()
+      val v = sources.TableLog.deleteWhere(spark, table, cond)
+      val after = sources.TableLog.read(spark, table).count()
+      println(s"[graft] delete from $table where $cond: " +
+        s"${before - after} rows removed via deletion vector (version $v, no files rewritten)")
+      spark.stop()
     case "gc" :: table :: Nil =>
       val n = sources.TableLog.gcOrphans(table)
       println(s"[graft] gc $table: removed $n orphaned files")
@@ -208,6 +216,7 @@ object Main {
           "       graft restore <backupDir> <newTableLogDir>\n" +
           "       graft diff <tableLogDir> <vA> <vB> <keyCol> <valueCol> — snapshot version diff\n" +
           "       graft vacuum <tableLogDir> [keep] [apply] — retention dry-run / execute\n" +
+          "       graft delete <tableLogDir> <cond>    — deletion-vector DELETE WHERE\n" +
           "       graft gc <tableLogDir>               — reclaim crashed-commit orphans\n" +
           "       graft list\n" +
           "       graft bench")

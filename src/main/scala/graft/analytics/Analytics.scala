@@ -3198,7 +3198,92 @@ object Analytics extends QueryPack {
       |FROM dn JOIN up USING (priority, nation, run_id)
       |GROUP BY priority, nation""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Multi-touch attribution models
+  // ---------------------------------------------------------------------------
+
+  /** attribution lookback window (days before the conversion) */
+  val AttrWindowD = 7
+
+  /** Multi-touch attribution: every purchase credits the marketing touches
+    * (view / click / signup events of the same user within the
+    * [[AttrWindowD]]-day lookback) under the four standard models at once —
+    * FIRST touch, LAST touch, LINEAR (1/n each), and U-SHAPED (40% first,
+    * 40% last, 20% split across the middles; 100% / 50-50 for 1- and
+    * 2-touch paths). Credits are integer ppm (`1000000 div n` — same
+    * truncating div in both engines on non-negative operands), so the whole
+    * model comparison hash-gates; touch order ties break on the unique
+    * event_id.
+    *
+    * 100 TB shape: one user-keyed equi-join with a time-range residual
+    * (per-user × lookback bounded), position/count windows partitioned by
+    * the conversion id (path-sized, never global), one final channel
+    * aggregate. No model re-scans the events — all four credit columns ride
+    * the same path relation.
+    */
+  def attributionModels(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val touch = ev.where(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val paired = conv.join(touch,
+      col("cu") === col("tu") &&
+        col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $AttrWindowD DAYS"))
+    val ranked = paired
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("cid").orderBy(col("tts"), col("tid"))).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("cid")).cast("long"))
+    ranked
+      .select(col("channel"), col("rn"), col("n"),
+        when(col("rn") === 1, 1L).otherwise(0L).as("first_t"),
+        when(col("rn") === col("n"), 1L).otherwise(0L).as("last_t"),
+        expr("1000000 div n").as("lin_ppm"),
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+          .otherwise(expr("200000 div (n - 2)")).as("u_ppm"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("first_t")).as("first_touch"),
+        sum(col("last_t")).as("last_touch"),
+        sum(col("lin_ppm")).as("linear_ppm"),
+        sum(col("u_ppm")).as("ushape_ppm"))
+  }
+
+  private val attributionModelsSql =
+    s"""WITH conv AS (
+      |  SELECT user_id AS cu, ts AS cts, event_id AS cid
+      |  FROM events WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT user_id AS tu, ts AS tts, event_id AS tid, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      |p AS (
+      |  SELECT cid, channel, tts, tid
+      |  FROM conv JOIN tch ON cu = tu
+      |   AND tts < cts AND tts >= cts - INTERVAL $AttrWindowD DAY),
+      |r AS (
+      |  SELECT channel,
+      |         row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn,
+      |         count(*) OVER (PARTITION BY cid) AS n
+      |  FROM p)
+      |SELECT channel,
+      |       CAST(count(*) AS BIGINT) AS n_touches,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+      |       CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+      |       CAST(sum(1000000 // n) AS BIGINT) AS linear_ppm,
+      |       CAST(sum(CASE WHEN n = 1 THEN 1000000
+      |                     WHEN n = 2 THEN 500000
+      |                     WHEN rn = 1 OR rn = n THEN 400000
+      |                     ELSE 200000 // (n - 2) END) AS BIGINT) AS ushape_ppm
+      |FROM r GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("attribution_models", attributionModels, Some(attributionModelsSql)),
     Q("a15_vshape_patterns", vshapePatterns, Some(vshapePatternsSql)),
     Q("a16_path_topk", pathTopK, Some(pathTopKSql)),
     Q("process_conformance", processConformance, Some(processConformanceSql)),

@@ -287,6 +287,69 @@ object Graph extends QueryPack {
       |GROUP BY hop""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Harmonic closeness centrality (multi-source labeled BFS)
+  // -------------------------------------------------------------------------
+
+  /** Harmonic closeness of the seed customers (custkey < 10) within
+    * [[ReachHops]] hops: H(s) = Σ_{v reached, v≠s} 1/d(s,v), the
+    * centrality that stays well-defined on disconnected graphs (unreachable
+    * nodes contribute 0, not ∞). The BFS is [[reach]]'s frontier loop
+    * LABELED by seed — the frontier carries (seed, node) pairs so all seeds
+    * expand in the SAME per-round join against the cached edge relation
+    * (one multi-source pass, not |seeds| sequential traversals). Distances
+    * sum as `1000000 div hop` — integer ppm, so the whole centrality
+    * hash-gates; `ecc_capped` is the within-cap eccentricity.
+    *
+    * 100 TB shape: per round ONE frontier ⋈ edges join (frontier ≤ seeds ×
+    * nodes, the only growing relation) and a distributed anti-join dedup;
+    * the graph-sized edge relation shuffles once at build. Seed count
+    * scales the frontier linearly — a full-graph centrality run batches
+    * seeds to bound frontier memory, same loop.
+    */
+  def harmonic(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+    var acquired = List.empty[DataFrame]
+    var visited = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
+      .distinct()
+      .select(col("u").as("seed"), col("u").as("node"), lit(0L).as("hop")).cache()
+    acquired ::= visited
+    var frontier = visited.select("seed", "node")
+    for (h <- 1 to ReachHops) {
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("hop")).cache()
+      next.count() // materialize: the anti-join chain must not rebuild
+      visited = visited.unionAll(next).cache()
+      acquired ::= next
+      acquired ::= visited
+      frontier = next.select("seed", "node")
+    }
+    localized(
+      visited.where(col("hop") > 0)
+        .groupBy("seed")
+        .agg(
+          count(lit(1)).as("n_reached"),
+          sum(expr("1000000 div hop")).as("harmonic_ppm"),
+          max(col("hop")).as("ecc_capped")),
+      edges :: acquired)
+  }
+
+  private val harmonicSql =
+    s"""WITH RECURSIVE $edgeCtes,
+      |walk(seed, node, hop) AS (
+      |    SELECT DISTINCT c * 2, c * 2, CAST(0 AS BIGINT) FROM cs WHERE c < 10
+      |  UNION
+      |    SELECT w.seed, e.v, w.hop + 1
+      |    FROM walk w JOIN e ON e.u = w.node WHERE w.hop < $ReachHops),
+      |d AS (SELECT seed, node, min(hop) AS hop FROM walk GROUP BY 1, 2)
+      |SELECT seed,
+      |       CAST(count(*) AS BIGINT) AS n_reached,
+      |       CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_ppm,
+      |       CAST(max(hop) AS BIGINT) AS ecc_capped
+      |FROM d WHERE hop > 0 GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Co-purchase triangle census
   // -------------------------------------------------------------------------
 
@@ -652,6 +715,7 @@ object Graph extends QueryPack {
       |ORDER BY rank""".stripMargin
 
   override val all: Seq[Q] = Seq(
+    Q("graph_harmonic", harmonic, Some(harmonicSql)),
     Q("graph_degree_profile", degreeProfile, Some(degreeProfileSql)),
     Q("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),
     Q("graph_kcore", kcore, Some(kcoreSql)),

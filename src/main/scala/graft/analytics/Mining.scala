@@ -1831,7 +1831,137 @@ object Mining extends QueryPack {
        |         (a, b) -> least($BalCap, greatest(0, a + b))) AS balance_mc
        |FROM seq s JOIN arr USING (user_id)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Matrix profile — motif + discord discovery (Yeh et al., ICDM 2016 shape)
+  // ---------------------------------------------------------------------------
+
+  /** motif window length (weeks) and exclusion-zone width for the profile */
+  val MpWin  = 4
+  val MpExcl = 4
+
+  /** Matrix profile over each instrument's WEEKLY close series: for every
+    * length-[[MpWin]] window, the distance to its nearest non-overlapping
+    * neighbor (pairs closer than [[MpExcl]] are excluded as trivial
+    * self-matches). Emits per instrument the MOTIF (the best-matching window
+    * pair — a repeated pattern) and the DISCORD (the window farthest from
+    * every other — the anomaly), the two standard matrix-profile readouts.
+    *
+    * Distances are MEAN-CENTERED and scaled by m² so everything stays in
+    * exact int64: m²·Σ((a_k−ā)−(b_k−b̄))² = Σ((m·a_k−Sa)−(m·b_k−Sb))² where
+    * S is the window sum — no division, no doubles, so the full pipeline
+    * hash-gates (terms ≤ ~9e7, squared 8e15, ×4 ≈ 3e16 < 2^63). Amplitude
+    * is deliberately not variance-normalized (z-normalizing needs a sqrt
+    * that would leave integer space); mean-centering already removes the
+    * price-level offset, which is the dominant nuisance on a close series.
+    *
+    * 100 TB shape: the fact table reduces ONCE to the instrument×week grain
+    * (map-side-combined aggregate — the only fact-scale pass); the window
+    * relation is calendar-sized and the all-pairs self-join runs PER
+    * INSTRUMENT (weeks²/2 pairs each, ~65k at 7 years of weeks), carrying
+    * only [[MpWin]]-long arrays — domain-bounded, never data-scaled. A
+    * longer series upgrades to the published STOMP/SCAMP diagonal-batch
+    * scheme; the per-instrument partitioning is unchanged.
+    */
+  def tsMatrixProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ticks = li.select(
+      concat(lit("FIGI"), col("l_partkey") % 20).as("tik"),
+      expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("tsv"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+    val weekly = ticks
+      .groupBy(col("tik"), date_trunc("week", col("tsv")).as("week"))
+      .agg(max_by(col("cents"),
+        struct(col("tsv"), col("eid"), col("cents"))).as("c"))
+    val arrs = weekly
+      .groupBy("tik")
+      .agg(sort_array(collect_list(struct(col("week"), col("c")))).as("sc"))
+      .select(col("tik"), expr("transform(sc, x -> x.c)").as("cs"))
+      // guard: a series shorter than one window would make the explode's
+      // sequence(1, n<1) run DESCENDING and feed slice() an index of 0
+      .where(size(col("cs")) >= MpWin + MpExcl)
+    val wins = arrs
+      .select(col("tik"),
+        expr(s"explode(sequence(1, size(cs) - ${MpWin - 1}))").as("i"),
+        col("cs"))
+      .select(col("tik"), col("i"),
+        expr(s"slice(cs, i, $MpWin)").as("w"),
+        expr(s"aggregate(slice(cs, i, $MpWin), CAST(0 AS BIGINT), (a, x) -> a + x)").as("sw"))
+    val a = wins.select(col("tik"), col("i").as("ia"), col("w").as("wa"), col("sw").as("sa"))
+    val b = wins.select(col("tik"), col("i").as("ib"), col("w").as("wb"), col("sw").as("sb"))
+    val pairs = a.join(b, Seq("tik"))
+      .where(col("ib") >= col("ia") + lit(MpExcl))
+      .select(col("tik"), col("ia"), col("ib"),
+        expr(s"""aggregate(
+          zip_with(wa, wb, (x, y) -> ($MpWin * x - sa) - ($MpWin * y - sb)),
+          CAST(0 AS BIGINT), (acc, d) -> acc + d * d)""").as("d2"))
+      .cache()
+    val motif = pairs.groupBy("tik").agg(
+      min_by(struct(col("ia"), col("ib")), struct(col("d2"), col("ia"), col("ib"))).as("m"),
+      min(col("d2")).as("motif_d2"),
+      count(lit(1)).as("n_pairs"))
+      .select(col("tik"), col("n_pairs"),
+        col("m.ia").cast("long").as("motif_i"),
+        col("m.ib").cast("long").as("motif_j"),
+        col("motif_d2"))
+    val prof = pairs.select(col("tik"), col("ia").as("idx"), col("d2"))
+      .unionByName(pairs.select(col("tik"), col("ib").as("idx"), col("d2")))
+      .groupBy("tik", "idx").agg(min(col("d2")).as("pd"))
+    val discord = prof.groupBy("tik").agg(
+      min_by(col("idx"), struct(-col("pd"), col("idx"))).cast("long").as("discord_i"),
+      max(col("pd")).as("discord_d2"))
+    motif.join(discord, "tik")
+  }
+
+  private val tsMatrixProfileSql =
+    s"""WITH t AS (
+      |  SELECT 'FIGI' || (l_partkey % 20) AS tik,
+      |         l_shipdate + (l_orderkey % 86400) * INTERVAL 1 SECOND AS tsv,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |         l_orderkey * 10 + l_linenumber AS eid
+      |  FROM lineitem),
+      |wk AS (
+      |  SELECT tik, date_trunc('week', tsv) AS week, cents,
+      |         row_number() OVER (PARTITION BY tik, date_trunc('week', tsv)
+      |                            ORDER BY tsv DESC, eid DESC, cents DESC) AS rn
+      |  FROM t),
+      |weekly AS (
+      |  SELECT tik, week, CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS c
+      |  FROM wk GROUP BY 1, 2),
+      |arr AS (SELECT tik, list(c ORDER BY week) AS cs FROM weekly GROUP BY 1),
+      |wins AS (
+      |  SELECT tik, CAST(i AS BIGINT) AS i,
+      |         cs[i:i + ${MpWin - 1}] AS w,
+      |         CAST(list_sum(cs[i:i + ${MpWin - 1}]) AS BIGINT) AS sw
+      |  FROM arr, unnest(range(1, len(cs) - ${MpWin - 2})) AS u(i)),
+      |pairs AS (
+      |  SELECT a.tik, a.i AS ia, b.i AS ib,
+      |         CAST(list_sum([(($MpWin * a.w[k] - a.sw) - ($MpWin * b.w[k] - b.sw))
+      |                        * (($MpWin * a.w[k] - a.sw) - ($MpWin * b.w[k] - b.sw))
+      |                        for k in range(1, $MpWin + 1)]) AS BIGINT) AS d2
+      |  FROM wins a JOIN wins b ON a.tik = b.tik AND b.i >= a.i + $MpExcl),
+      |motif AS (
+      |  SELECT tik, n_pairs, motif_i, motif_j, motif_d2 FROM (
+      |    SELECT tik, ia AS motif_i, ib AS motif_j, d2 AS motif_d2,
+      |           CAST(count(*) OVER (PARTITION BY tik) AS BIGINT) AS n_pairs,
+      |           row_number() OVER (PARTITION BY tik ORDER BY d2, ia, ib) AS rn
+      |    FROM pairs) WHERE rn = 1),
+      |prof AS (
+      |  SELECT tik, idx, CAST(min(d2) AS BIGINT) AS pd FROM (
+      |    SELECT tik, ia AS idx, d2 FROM pairs
+      |    UNION ALL
+      |    SELECT tik, ib AS idx, d2 FROM pairs)
+      |  GROUP BY 1, 2),
+      |discord AS (
+      |  SELECT tik, discord_i, discord_d2 FROM (
+      |    SELECT tik, idx AS discord_i, pd AS discord_d2,
+      |           row_number() OVER (PARTITION BY tik ORDER BY pd DESC, idx) AS rn
+      |    FROM prof) WHERE rn = 1)
+      |SELECT tik, n_pairs, motif_i, motif_j, motif_d2, discord_i, discord_d2
+      |FROM motif JOIN discord USING (tik)""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("ts_matrix_profile", tsMatrixProfile, Some(tsMatrixProfileSql)),
     Q("capped_running_balance", cappedRunningBalance, Some(cappedRunningBalanceSql)),
     Q("ts_decompose", tsDecompose, Some(tsDecomposeSql)),
     Q("ts_residual_outliers", tsResidualOutliers, Some(tsResidualOutliersSql)),

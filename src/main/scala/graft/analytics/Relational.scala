@@ -2309,7 +2309,52 @@ object Relational extends QueryPack {
       |                  / (true_total_c * 1000) * 1000000) AS BIGINT) AS err_ppm
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Hopping (sliding) window aggregate — the batch twin of a streaming
+  // hopping-window TVF
+  // ---------------------------------------------------------------------------
+
+  /** Hopping-window event aggregate: 1-hour windows sliding every 15 minutes
+    * via Spark's native `window(ts, windowDuration, slideDuration)` TVF —
+    * each event lands in exactly windowDuration/slideDuration = 4 windows
+    * (Spark materializes them with an internal Expand, the same multiplicity
+    * the oracle replays with an explicit 4-offset unnest). Windows are
+    * epoch-anchored in both engines, so window starts agree exactly; the
+    * start is emitted as epoch MICROSECONDS (integer — never a raw
+    * TIMESTAMP column, per the oracle invariants) and the value sum in the
+    * floor-milli integer space.
+    *
+    * 100 TB shape: one Expand (×4 rows, no shuffle) then a single hash
+    * aggregate keyed on the window start — partial aggregation absorbs the
+    * ×4 blow-up map-side, so the shuffle carries only per-window partials
+    * (window-count-bounded, not event-count-bounded).
+    */
+  def hoppingWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000)).cast("long")).as("value_milli"))
+      .select(
+        unix_micros(col("w.start")).as("win_start_us"),
+        col("n_events"), col("value_milli"))
+  }
+
+  private val hoppingWindowAggSql =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us,
+      |         CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |w AS (
+      |  SELECT (us // 900000000) * 900000000 - k * 900000000 AS win_start_us, vm
+      |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) ks)
+      |SELECT win_start_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(vm) AS BIGINT) AS value_milli
+      |FROM w GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("hopping_window_agg", hoppingWindowAgg, Some(hoppingWindowAggSql)),
     Q("pps_ht_estimate", ppsHtEstimate, Some(ppsHtEstimateSql)),
     Q("sampled_quantiles", sampledQuantiles, Some(sampledQuantilesSql)),
     Q("skyline_parts", skylineParts, Some(skylinePartsSql)),

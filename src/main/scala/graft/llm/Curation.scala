@@ -1321,7 +1321,51 @@ object Curation extends QueryPack {
       |FROM raw JOIN kept USING (source) CROSS JOIN b
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Curriculum ordering — global training order without a global sort
+  // ---------------------------------------------------------------------------
+
+  /** Curriculum training order: documents serve easy→hard (short→long, bucket
+    * = n_chars div 512) with a DETERMINISTIC md5 shuffle inside each bucket
+    * (so every difficulty band is consumed in unbiased random order and the
+    * ordering replays bit-identically on retry — same salt-hash membership
+    * discipline as [[sampleStratified]]).
+    *
+    * The global position is computed WITHOUT a global sort: per-bucket
+    * row_number (bucket-partitioned window, fully parallel) + a broadcast
+    * prefix-offset relation (bucket-count-bounded, built with the constant-pid
+    * tiny-window idiom). At 100 TB the expensive pass is embarrassingly
+    * parallel per bucket and only the ~200-row offset table crosses the
+    * driver; an `ORDER BY` curriculum would instead range-shuffle the corpus.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      expr("n_chars div 512").as("bucket"),
+      md5(concat(lit("curr|"), col("doc_id").cast("string"))).as("h"))
+    val sizes = d.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+    val offs = sizes.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("pid")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), (col("cum") - col("c")).as("off"))
+    val wb = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    d.withColumn("rn", row_number().over(wb))
+      .join(broadcast(offs), "bucket")
+      .select(col("doc_id"), col("bucket"),
+        (col("off") + col("rn")).cast("long").as("position"))
+  }
+
+  private val curriculumOrderSql =
+    """SELECT doc_id, n_chars // 512 AS bucket,
+      |       CAST(row_number() OVER (
+      |         ORDER BY n_chars // 512,
+      |                  md5('curr|' || CAST(doc_id AS VARCHAR)),
+      |                  doc_id) AS BIGINT) AS position
+      |FROM documents""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     Q("token_budget_plan", tokenBudgetPlan, Some(tokenBudgetPlanSql)),
     Q("corpus_admission", corpusAdmission, Some(corpusAdmissionSql)),
     Q("dataset_card", datasetCard, Some(datasetCardSql)),

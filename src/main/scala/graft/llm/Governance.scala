@@ -1321,7 +1321,161 @@ object Governance extends QueryPack {
       |GROUP BY c_nationkey
       |ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Randomized response — local differential privacy with derived coins
+  // ---------------------------------------------------------------------------
+
+  /** Randomized-response private counts (Warner 1965, the local-DP
+    * mechanism): each (user, event_type) membership bit is reported TRUTHFULLY
+    * with probability 3/4 and FLIPPED with probability 1/4 — ε = ln 3 local
+    * differential privacy — and the aggregate debiases the flips:
+    * T̂ = 2·obs − n/2, emitted ×2 (`est_x2 = 4·obs − n`) so the estimate
+    * stays integer. The coin is the engine-portable md5 recipe (first 8 hex
+    * chars mod 4 == 0 → flip, an EXACT 1/4 on the 2³² hash space), so the
+    * privatized view and its debiasing replay bit-identically in the oracle
+    * — the mechanism's privacy comes from the adversary not knowing the
+    * salt, while the pipeline stays deterministic for retry/audit.
+    *
+    * 100 TB shape: the universe is users × event-type dims (the type
+    * relation broadcasts); the per-user coin is a local hash; ONE aggregate
+    * keyed by type carries four int64 partials — no row-level data leaves
+    * the scan stage.
+    */
+  def rrPrivateCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val users = ev.select("user_id").distinct()
+    val types = ev.select("event_type").distinct()
+    val ut = ev.select("user_id", "event_type").distinct()
+      .withColumn("has", lit(1L))
+    val truth = users.crossJoin(broadcast(types))
+      .join(ut, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("has"), lit(0L)).as("b"))
+    val coin = conv(substring(md5(concat(
+        lit("rr|"), col("event_type"), lit("|"), col("user_id").cast("string"))),
+      1, 8), 16, 10).cast("long") % 4
+    truth
+      .withColumn("r", when(coin === 0, lit(1L) - col("b")).otherwise(col("b")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("b")).as("true_count"),
+        sum(col("r")).as("reported_count"))
+      .withColumn("est_x2", expr("4 * reported_count - n_users"))
+      .withColumn("err_x2", abs(col("est_x2") - lit(2) * col("true_count")))
+  }
+
+  private val rrPrivateCountSql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |truth AS (
+      |  SELECT univ.user_id, univ.event_type,
+      |         CASE WHEN ut.user_id IS NULL THEN 0 ELSE 1 END AS b,
+      |         CAST('0x' || substr(md5('rr|' || univ.event_type || '|'
+      |           || CAST(univ.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS coin
+      |  FROM (SELECT user_id, event_type FROM u CROSS JOIN ty) univ
+      |  LEFT JOIN ut ON univ.user_id = ut.user_id
+      |              AND univ.event_type = ut.event_type),
+      |rep AS (
+      |  SELECT event_type, b,
+      |         CASE WHEN coin = 0 THEN 1 - b ELSE b END AS r
+      |  FROM truth)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(b) AS BIGINT) AS true_count,
+      |       CAST(sum(r) AS BIGINT) AS reported_count,
+      |       CAST(4 * sum(r) - count(*) AS BIGINT) AS est_x2,
+      |       CAST(abs(4 * sum(r) - count(*) - 2 * sum(b)) AS BIGINT) AS err_x2
+      |FROM rep GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Two-sample Kolmogorov–Smirnov drift test — integer-exact
+  // ---------------------------------------------------------------------------
+
+  /** Two-sample KS drift test over the event `value` distribution, split
+    * A/B by `event_id % 2` (the deterministic reference-vs-live split; swap
+    * in an epoch predicate for time drift): D = max_v |F_A(v) − F_B(v)|
+    * computed EXACTLY as `d_scaled = max |cumA·n_B − cumB·n_A|` on the milli
+    * value histogram — the cross-multiplied form never divides, so the
+    * whole statistic is int64 (cum ≤ n, product ≤ n_A·n_B ≈ 2e8 at sf0.1).
+    * Emits D in ppm, the value where the gap peaks, and the α=0.05 verdict
+    * against c(α)·√((n_A+n_B)/(n_A·n_B)) with c = 1358/1000 — both sides
+    * floored to ppm through the SAME op sequence, so even the verdict
+    * hash-gates. Unlike [[driftChi2]] (binned frequencies), KS reads the
+    * full CDF — it catches shape drift that preserves bin masses.
+    *
+    * 100 TB shape: one map-side-combined histogram by quantized value
+    * (domain-bounded), the CDF pass runs on that bounded relation via the
+    * constant-pid tiny-window idiom; nothing row-scaled crosses a window.
+    */
+  def driftKs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      (col("event_id") % 2).as("side"),
+      floor(col("value") * 1000).cast("long").as("vm"))
+    val hist = ev.groupBy("vm").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = ev.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy("pid").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("gap")).as("d_scaled"),
+        min_by(col("vm"), struct(-col("gap"), col("vm"))).as("d_at_vm"),
+        expr("max(gap) * 1000000 div (max(na) * max(nb))").as("ks_ppm"),
+        expr("""CAST(floor((1358 / 1000)
+                * sqrt((max(na) + max(nb)) / CAST(max(na) * max(nb) AS DOUBLE))
+                * 1000000) AS BIGINT)""").as("crit95_ppm"))
+      .withColumn("reject_95",
+        (col("ks_ppm") > col("crit95_ppm")).cast("long"))
+  }
+
+  private val driftKsSql =
+    """WITH e AS (
+      |  SELECT event_id % 2 AS side, CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |h AS (
+      |  SELECT vm,
+      |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e),
+      |c AS (
+      |  SELECT vm,
+      |         CAST(sum(ca) OVER (ORDER BY vm
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+      |         CAST(sum(cb) OVER (ORDER BY vm
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+      |  FROM h),
+      |g AS (
+      |  SELECT vm, abs(cuma * nb - cumb * na) AS gap, na, nb
+      |  FROM c CROSS JOIN t),
+      |agg AS (
+      |  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |         CAST(max(gap) AS BIGINT) AS d_scaled,
+      |         CAST(max(CASE WHEN rn = 1 THEN vm END) AS BIGINT) AS d_at_vm,
+      |         CAST(max(gap) * 1000000 // (max(na) * max(nb)) AS BIGINT) AS ks_ppm,
+      |         CAST(floor((1358 / 1000)
+      |           * sqrt((max(na) + max(nb)) / CAST(max(na) * max(nb) AS DOUBLE))
+      |           * 1000000) AS BIGINT) AS crit95_ppm
+      |  FROM (SELECT *, row_number() OVER (ORDER BY gap DESC, vm) AS rn FROM g))
+      |SELECT *, CAST(CASE WHEN ks_ppm > crit95_ppm THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM agg""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("drift_ks", driftKs, Some(driftKsSql)),
+    Q("rr_private_count", rrPrivateCount, Some(rrPrivateCountSql)),
     Q("ope_ips", opeIps, Some(opeIpsSql)),
     Q("scd2_interval_audit", scd2IntervalAudit, Some(scd2IntervalAuditSql)),
     Q("gdpr_sar_export", gdprSarExport, Some(gdprSarExportSql)),

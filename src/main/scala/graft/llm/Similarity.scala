@@ -2103,7 +2103,67 @@ object Similarity extends QueryPack {
       |       CAST(sum(CASE WHEN contrib_e12 > $DriftDimCutE12 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_shifted
       |FROM (SELECT *, row_number() OVER (ORDER BY contrib_e12 DESC, dim) AS rn FROM e)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Binary (sign-bit) quantization + Hamming-distance ANN
+  // ---------------------------------------------------------------------------
+
+  /** Sign-bit binary quantization + Hamming ANN — the cheapest member of the
+    * ANN family (brute float → int8 → PQ → binary): each 64-dim float vector
+    * collapses to a 64-bit sign sketch stored as TWO 32-bit halves in BIGINTs
+    * (bit i set iff embedding[i] > 0; two halves because a single `1<<63`
+    * literal overflows signed 64-bit differently per engine), and distance is
+    * `bit_count(h0 XOR q0) + bit_count(h1 XOR q1)` — pure integer ops, so the
+    * whole pipeline (quantize, score, rank) hash-gates against DuckDB.
+    * Ranking ties break by neighbor_id on the integer distance.
+    *
+    * 100 TB shape: the sketch relation is 24 bytes/row (500× smaller than the
+    * float vectors — a 100 TB float corpus binarizes to ~200 GB, cacheable
+    * cluster-wide); the probe sketches broadcast, the corpus NEVER shuffles,
+    * and xor+bit_count stay inside whole-stage codegen. This is the standard
+    * first-pass filter in a binary-rerank ANN stack (Hamming shortlist →
+    * exact float rerank, cf. [[annInt8TopK]] for the rerank stage).
+    */
+  def annHammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val half = (off: Int) => expr(
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(embedding, i + ${off + 1}) > CAST(0 AS FLOAT),
+         |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+    val sk = Tables.loadSpread(s, dir, "embeddings")
+      .select(col("vec_id"), half(0).as("h0"), half(32).as("h1"))
+    val q = Tables.load(s, dir, "embeddings")
+      .orderBy("vec_id").limit(NumQueries)
+      .select(col("vec_id").as("query_id"), half(0).as("q0"), half(32).as("q1"))
+    val scored = sk.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("CAST(bit_count(h0 ^ q0) + bit_count(h1 ^ q1) AS BIGINT)").as("ham"))
+    val w = Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+  }
+
+  private val annHammingTopKSql = {
+    def half(off: Int) =
+      s"""CAST(list_sum(list_transform(range(32),
+         |  i -> CASE WHEN embedding[i + ${off + 1}] > 0 THEN (CAST(1 AS BIGINT) << i)
+         |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+    s"""WITH sk AS (
+      |  SELECT vec_id, ${half(0)} AS h0, ${half(32)} AS h1 FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS query_id, h0 AS q0, h1 AS q1 FROM sk
+      |  ORDER BY vec_id LIMIT $NumQueries),
+      |scored AS (
+      |  SELECT query_id, sk.vec_id AS neighbor_id,
+      |         CAST(bit_count(xor(h0, q0)) + bit_count(xor(h1, q1)) AS BIGINT) AS ham
+      |  FROM sk CROSS JOIN q WHERE sk.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, ham,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, ham, rank FROM ranked WHERE rank <= $TopK""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("ann_hamming_topk", annHammingTopK, Some(annHammingTopKSql)),
     Q("emb_centroid_drift", embCentroidDrift, Some(embCentroidDriftSql)),
     Q("emb_dim_diagnostics", embDimDiagnostics, Some(embDimDiagnosticsSql)),
     Q("emb_pca_power", embPcaPower, Some(embPcaPowerSql)),

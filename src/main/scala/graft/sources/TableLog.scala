@@ -58,6 +58,14 @@ object TableLog extends QueryPack {
     Files.readAllLines(versionFile(table, v)).asScala.toSeq
       .filter(_.nonEmpty).filterNot(_.startsWith("#"))
 
+  /** deletion-vector parquet files live at version `v` (rows: (f, p) =
+    * (relpath, row_index) of deleted positions) — recorded as `#dv:` header
+    * lines so pre-DV readers of the manifest format ignore them.
+    */
+  private[graft] def dvFiles(table: String, v: Long): Seq[String] =
+    Files.readAllLines(versionFile(table, v)).asScala.toSeq
+      .filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:"))
+
   /** Write `df`'s rows as new immutable data files; return their relative
     * paths (NOT yet referenced by any manifest).
     */
@@ -83,10 +91,11 @@ object TableLog extends QueryPack {
     * no window where data is committed but its idempotence marker is not.
     */
   private def publish(
-      table: String, v: Long, files: Seq[String], txn: Option[String] = None): Long = {
+      table: String, v: Long, files: Seq[String], txn: Option[String] = None,
+      dvs: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".v$v.tmp")
-    val lines = txn.map(t => s"#txn:$t").toSeq ++ files
+    val lines = txn.map(t => s"#txn:$t").toSeq ++ dvs.map(d => s"#dv:$d") ++ files
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
     v
@@ -151,7 +160,9 @@ object TableLog extends QueryPack {
       Files.write(statsFile(table, v),
         (prevStats ++ newStats).mkString("\n").getBytes(StandardCharsets.UTF_8))
     }
-    publish(table, v, prev ++ moved)
+    // prior files keep their deletion vectors across an append
+    publish(table, v, prev ++ moved,
+      dvs = prevV.map(dvFiles(table, _)).getOrElse(Seq.empty))
   }
 
   /** per-file `relpath|col|min|max` lines for freshly-written files — the
@@ -229,8 +240,9 @@ object TableLog extends QueryPack {
       asOf: Option[Long] = None): DataFrame = {
     val (kept, _) = prunedFiles(table, statCol, lo, hi, asOf)
     if (kept.isEmpty) read(spark, table, asOf).limit(0)
-    else spark.read.parquet(
-      kept.map(f => Paths.get(table).resolve(f).toString): _*)
+    else applyDv(spark, table, asOf.getOrElse(versions(table).last),
+      spark.read.parquet(
+        kept.map(f => Paths.get(table).resolve(f).toString): _*))
   }
 
   /** Logical overwrite: new version references ONLY the new files; prior
@@ -272,7 +284,75 @@ object TableLog extends QueryPack {
     // required whenever commits span an ALTER-style widening. Footer-only
     // work, so the cost scales with file COUNT (vacuum/compaction keep that
     // bounded), not data size.
-    else spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
+    else applyDv(spark, table, v,
+      spark.read.option("mergeSchema", mergeSchema).parquet(files: _*))
+  }
+
+  /** Merge-on-read: subtract the version's deletion vectors from a scan of
+    * its live files. A version without DVs pays NOTHING (the plain scan
+    * returns untouched); with DVs the scan gains the parquet reader's
+    * `_metadata.row_index` (generated, not stored) and one anti-join on
+    * (file, position). No hint on the join: Catalyst broadcasts a small DV
+    * relation from its file-size stats, and a mass-delete DV correctly
+    * degrades to a shuffle join instead of OOMing the driver.
+    */
+  private def applyDv(
+      spark: SparkSession, table: String, v: Long, base: DataFrame): DataFrame = {
+    val dvs = dvFiles(table, v)
+    if (dvs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(
+          dvs.map(f => Paths.get(table).resolve(f).toString): _*)
+        .select(col("f").as("_dv_f"), col("p").as("_dv_p"))
+      base
+        .withColumn("_f",
+          concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/"), -1)))
+        .withColumn("_p", col("_metadata.row_index"))
+        .join(dv, col("_f") === col("_dv_f") && col("_p") === col("_dv_p"), "left_anti")
+        .drop("_f", "_p")
+    }
+  }
+
+  /** DELETE ... WHERE via DELETION VECTORS: no data file is rewritten — the
+    * matched (file, row_index) positions are written as a parquet DV sidecar
+    * and the next manifest references the SAME data files plus the DV (the
+    * Delta/Iceberg merge-on-read delete). Cost scales with the matched rows
+    * (one predicate scan + a DV write), not with the table; repeated deletes
+    * merge their DVs (distinct positions, so re-deleting is idempotent); the
+    * per-file stats index carries forward (min/max stay sound — possibly
+    * wider than live content, which only costs pruning selectivity, never
+    * correctness). [[optimize]] reads through the DVs and publishes a
+    * rewritten snapshot WITHOUT them — compaction is also DV-materialization.
+    * Prior versions still time-travel to the undeleted rows until vacuumed.
+    */
+  def deleteWhere(spark: SparkSession, table: String, cond: String): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val v = vs.last
+    val files = liveFiles(table, v)
+    require(files.nonEmpty, s"version $v of $table has no data files")
+    val hits = spark.read.parquet(
+        files.map(f => Paths.get(table).resolve(f).toString): _*)
+      .where(expr(cond))
+      .select(
+        concat(lit("data/"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)).as("f"),
+        col("_metadata.row_index").as("p"))
+    val prevDvs = dvFiles(table, v)
+    val merged =
+      if (prevDvs.isEmpty) hits.distinct()
+      else hits.unionByName(spark.read.parquet(
+          prevDvs.map(f => Paths.get(table).resolve(f).toString): _*))
+        .distinct()
+    val moved = writeDataFiles(merged.coalesce(1), table)
+    val nv = v + 1
+    val prevStats = statsLines(table, v)
+    if (prevStats.nonEmpty) {
+      Files.createDirectories(logDir(table))
+      Files.write(statsFile(table, nv),
+        prevStats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    publish(table, nv, files, dvs = moved)
   }
 
   /** OPTIMIZE: rewrite the latest snapshot into `nFiles` compacted data
@@ -340,8 +420,10 @@ object TableLog extends QueryPack {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(table)
     val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
-    val referenced = keep.flatMap(liveFiles(table, _)).toSet
-    val doomed = drop.flatMap(liveFiles(table, _)).toSet -- referenced
+    val referenced =
+      keep.flatMap(v => liveFiles(table, v) ++ dvFiles(table, v)).toSet
+    val doomed =
+      drop.flatMap(v => liveFiles(table, v) ++ dvFiles(table, v)).toSet -- referenced
     doomed.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
     drop.foreach { v =>
       Files.delete(versionFile(table, v))
@@ -361,8 +443,10 @@ object TableLog extends QueryPack {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(table)
     val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
-    val referenced = keep.flatMap(liveFiles(table, _)).toSet
-    val doomed = drop.flatMap(liveFiles(table, _)).toSet -- referenced
+    val referenced =
+      keep.flatMap(v => liveFiles(table, v) ++ dvFiles(table, v)).toSet
+    val doomed =
+      drop.flatMap(v => liveFiles(table, v) ++ dvFiles(table, v)).toSet -- referenced
     val bytes = doomed.toSeq.map { f =>
       val p = Paths.get(table).resolve(f)
       if (Files.exists(p)) Files.size(p) else 0L
@@ -378,7 +462,8 @@ object TableLog extends QueryPack {
     * untouched; returns the number of files removed.
     */
   def gcOrphans(table: String): Int = {
-    val referenced = versions(table).flatMap(liveFiles(table, _))
+    val referenced = versions(table)
+      .flatMap(v => liveFiles(table, v) ++ dvFiles(table, v))
       .map(rel => Paths.get(table).resolve(rel).normalize()).toSet
     val stray = listDir(dataDir(table)).filterNot(p => referenced(p.normalize()))
     stray.foreach(Files.deleteIfExists(_))
@@ -757,7 +842,54 @@ object TableLog extends QueryPack {
       |       CAST(coalesce(sum(CAST('0x' || substr(md5('bt:' || CAST(user_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)), 0) AS BIGINT)
       |FROM ad""".stripMargin
 
+  private val dvBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** versioned table exercising the DV lifecycle: v0 = full orders append,
+    * v1 = DV delete of finished orders with key ≡ 0,1,2 (mod 10), v2 = a
+    * SECOND, overlapping DV delete of every urgent order (some urgent rows
+    * are already dead in v1 — the merge must not double-count them). Both
+    * predicates are pure functions of the row, so the oracle replays the
+    * surviving set without ever seeing the log.
+    */
+  private[graft] def ordersDvDeleted(s: SparkSession, dir: String): String =
+    dvBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_dv"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      commitAppend(Tables.load(s, d, "orders"), table)
+      deleteWhere(s, table, "o_orderstatus = 'F' AND o_orderkey % 10 < 3")
+      deleteWhere(s, table, "o_orderpriority = '1-URGENT'")
+      table
+    })
+
+  /** Merge-on-read accounting over [[ordersDvDeleted]]: the per-status
+    * survivor counts and exact cents totals after two overlapping DV
+    * deletes, read through [[read]]'s anti-join path — a resurrected,
+    * double-deleted, or position-shifted row flips a sum.
+    */
+  def dvDeleteRead(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersDvDeleted(s, dir)
+    read(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_live"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
+  private val dvDeleteReadSql =
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_live,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+      |  AND NOT (o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("dv_delete_read", dvDeleteRead, Some(dvDeleteReadSql)),
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
     Q("bitemporal_asof", bitemporalAsOf, Some(bitemporalAsOfSql)),
     Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)),

@@ -620,6 +620,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(first.getLong(5) == joined.map(r => r.getLong(1) * r.getLong(2)).sum)
   }
 
+  test("attribution models: first/last credit one touch per conversion; ppm models conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.attributionModels(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // conversions with at least one lookback touch, counted directly
+    val ev = Tables.load(spark, sfDir, "events")
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val touch = ev.where(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"))
+    val attributed = conv.join(touch,
+        col("cu") === col("tu") && col("tts") < col("cts") &&
+          col("tts") >= col("cts") - expr(s"INTERVAL ${Analytics.AttrWindowD} DAYS"))
+      .select("cid").distinct().count()
+    val nTouches = rows.map(_.getAs[Long]("n_touches")).sum
+    // first/last are partitions of the attributed conversions
+    assert(rows.map(_.getAs[Long]("first_touch")).sum == attributed)
+    assert(rows.map(_.getAs[Long]("last_touch")).sum == attributed)
+    // fractional models conserve up to integer-div truncation (< 1 ppm/touch)
+    for (c <- Seq("linear_ppm", "ushape_ppm")) {
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(s <= 1000000L * attributed, c)
+      assert(s >= 1000000L * attributed - nTouches, c)
+    }
+  }
+
   test("graph influence: non-broadcast vertex mode plans no broadcast and matches") {
     // fallback mode must run FIRST on a clean cache: join hints are not part
     // of cache canonicalization, so a previously-cached broadcast-built edge

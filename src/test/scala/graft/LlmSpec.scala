@@ -89,6 +89,33 @@ class LlmSpec extends SparkSpec {
     assert(n == exact, "epochs must partition the event stream")
   }
 
+  test("rr_private_count: flips replay a MessageDigest twin; debias identity holds") {
+    import graft.llm.Governance
+    val rows = Governance.rrPrivateCount(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def flip(tpe: String, uid: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"rr|$tpe|$uid").take(8), 16) % 4 == 0
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val users = ev.map(_._1)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      assert(r.getAs[Long]("n_users") == users.size)
+      val truth = users.map(u => u -> ev.contains((u, tpe))).toMap
+      val reported = users.count(u => truth(u) ^ flip(tpe, u))
+      assert(r.getAs[Long]("true_count") == truth.values.count(identity))
+      assert(r.getAs[Long]("reported_count") == reported.toLong,
+        s"type $tpe: privatized view must replay the salted coin")
+      assert(r.getAs[Long]("est_x2") == 4L * reported - users.size)
+      assert(r.getAs[Long]("err_x2") ==
+        math.abs(r.getAs[Long]("est_x2") - 2L * r.getAs[Long]("true_count")))
+    }
+  }
+
   test("model_auc: Mann-Whitney identities hold and AUC is a probability") {
     import graft.llm.Governance
     val r = Governance.modelAuc(spark, sfDir).collect().head
@@ -694,6 +721,51 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
     // scores are valid floor(cos·1e6)-integerized cosines
     assert(rows.forall(r => math.abs(r.getLong(2)) <= 1000001L))
+  }
+
+  test("ann hamming top-k: distances match a driver-side sign-sketch recomputation") {
+    val out = Similarity.annHammingTopK(spark, sfDir).collect()
+    assert(out.length == Similarity.NumQueries * Similarity.TopK)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 64))
+    // driver-side twin: sign-bit sketches from the raw floats
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sketch(v: Array[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0f) acc | (1L << i) else acc
+      }
+    val sk = vecs.view.mapValues(sketch).toMap
+    out.foreach { r =>
+      val expect = java.lang.Long.bitCount(sk(r.getLong(0)) ^ sk(r.getLong(1)))
+      assert(r.getLong(2) == expect.toLong,
+        s"query ${r.getLong(0)} neighbor ${r.getLong(1)}")
+    }
+    // per-query ranks are 1..TopK with non-decreasing distance
+    out.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).sameElements(1 to Similarity.TopK))
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a.getLong(2) <= b.getLong(2)
+        case _           => true
+      })
+    }
+  }
+
+  test("curriculum order: positions are a permutation and buckets serve easy-to-hard") {
+    import graft.llm.Curation
+    val rows = Curation.curriculumOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == n)
+    assert(rows.map(_._3).sorted.sameElements(1L to n), "positions are 1..N exactly once")
+    // curriculum law: the difficulty bucket is non-decreasing along the order
+    val byPos = rows.sortBy(_._3)
+    assert(byPos.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2
+      case _           => true
+    })
   }
 
   test("ann recall eval agrees with a direct set intersection of the two retrievals") {

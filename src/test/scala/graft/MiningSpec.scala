@@ -535,6 +535,48 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("ts_matrix_profile: motif/discord replay a driver-side all-pairs scan") {
+    val rows = Mining.tsMatrixProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mi, mj) = (r.getAs[Long]("motif_i"), r.getAs[Long]("motif_j"))
+      assert(mj >= mi + Mining.MpExcl, "motif pair respects the exclusion zone")
+      assert(r.getAs[Long]("motif_d2") <= r.getAs[Long]("discord_d2"),
+        "best pair distance cannot exceed the discord's nearest-neighbor distance")
+    }
+    // driver-side twin for one instrument: weekly closes -> all-pairs profile
+    import org.apache.spark.sql.functions._
+    val tik = rows.head.getString(0)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val weekly = li.select(
+        concat(lit("FIGI"), col("l_partkey") % 20).as("tik"),
+        expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("tsv"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+      .where(col("tik") === tik)
+      .groupBy(date_trunc("week", col("tsv")).as("week"))
+      .agg(max_by(col("cents"), struct(col("tsv"), col("eid"), col("cents"))).as("c"))
+      .orderBy("week").select("c").collect().map(_.getLong(0))
+    val m = Mining.MpWin
+    val nW = weekly.length - m + 1
+    val wins = (0 until nW).map(i => weekly.slice(i, i + m))
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      val (sa, sb) = (a.sum, b.sum)
+      a.zip(b).map { case (x, y) => val d = (m * x - sa) - (m * y - sb); d * d }.sum
+    }
+    val pairs = for {
+      i <- 0 until nW; j <- (i + Mining.MpExcl) until nW
+    } yield (i + 1, j + 1, d2(wins(i).toArray, wins(j).toArray))
+    val best = pairs.minBy(p => (p._3, p._1, p._2))
+    val got = rows.find(_.getString(0) == tik).get
+    assert(got.getAs[Long]("motif_i") == best._1 && got.getAs[Long]("motif_j") == best._2)
+    assert(got.getAs[Long]("motif_d2") == best._3)
+    val prof = pairs.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+    val disc = prof.toSeq.minBy { case (idx, pd) => (-pd, idx) }
+    assert(got.getAs[Long]("discord_i") == disc._1 && got.getAs[Long]("discord_d2") == disc._2)
+  }
+
   test("mining queries are rerun-deterministic") {
     // includes every collect-localized query in the pack: a driver-side
     // union-find / argmax / fold that depended on row arrival order would

@@ -272,6 +272,23 @@ class OperatorsSpec extends SparkSpec {
     })
   }
 
+  test("hopping windows: every event lands in exactly win/slide aligned windows") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.analytics.Relational.hoppingWindowAgg(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.load(spark, sfDir, "events")
+    val nEvents = ev.count()
+    // multiplicity law: 1h window / 15m slide = 4 windows per event
+    assert(rows.map(_._2).sum == 4 * nEvents)
+    // all window starts are epoch-aligned to the slide
+    assert(rows.forall(_._1 % 900000000L == 0L))
+    // cross-check one concrete window against a direct range count
+    val (ws, n, _) = rows.maxBy(_._2)
+    val direct = ev.where(
+      org.apache.spark.sql.functions.unix_micros(col("ts")).between(ws, ws + 3600000000L - 1)).count()
+    assert(n == direct, s"window at $ws")
+  }
+
   test("asof_nearest: directions partition purchases and match a naive nearest scan") {
     import org.apache.spark.sql.functions.col
     val rows = graft.analytics.Relational.asofNearest(spark, sfDir).collect()

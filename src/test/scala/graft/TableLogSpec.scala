@@ -256,6 +256,45 @@ class TableLogSpec extends SparkSpec {
     assert(box == 200L)
   }
 
+  test("deletion vectors: no file rewrite; merged deletes; optimize materializes; gc spares DVs") {
+    val t = s"$root/dv"
+    rm(new java.io.File(t))
+    val df = (1L to 100L).map(k => (k, k % 7)).toDF("k", "g")
+    TableLog.commitAppend(df.repartition(3), t)
+    val filesV0 = TableLog.liveFileCount(t)
+
+    val v1 = TableLog.deleteWhere(spark, t, "k % 2 = 0")
+    assert(v1 == 1L)
+    // merge-on-read: same data files, deleted rows filtered by the DV
+    assert(TableLog.liveFileCount(t) == filesV0, "delete must not rewrite data files")
+    assert(TableLog.dvFiles(t, v1).nonEmpty)
+    assert(TableLog.read(spark, t).count() == 50)
+    assert(TableLog.read(spark, t).select("k").as[Long].collect().forall(_ % 2 == 1))
+    // time travel to the pre-delete snapshot still sees every row
+    assert(TableLog.read(spark, t, Some(0L)).count() == 100)
+
+    // overlapping second delete: 5 new victims (odd ≤ 10), 5 already dead
+    TableLog.deleteWhere(spark, t, "k <= 10")
+    assert(TableLog.read(spark, t).count() == 45)
+
+    // append carries prior DVs forward
+    TableLog.commitAppend(Seq((1000L, 0L)).toDF("k", "g"), t)
+    assert(TableLog.read(spark, t).count() == 46)
+
+    // gcOrphans must spare DV files referenced by live versions
+    TableLog.gcOrphans(t)
+    assert(TableLog.read(spark, t).count() == 46)
+
+    // optimize reads through the DVs and publishes a materialized snapshot
+    val vOpt = TableLog.optimize(spark, t, 1)
+    assert(TableLog.dvFiles(t, vOpt).isEmpty, "compaction materializes the deletes")
+    assert(TableLog.read(spark, t).count() == 46)
+
+    // vacuum reclaims the dropped versions' DV sidecars with their files
+    TableLog.vacuum(t, keepVersions = 1)
+    assert(TableLog.read(spark, t).count() == 46)
+  }
+
   test("bitemporal as-of: tx axis is real log versions; restatement laws hold") {
     val rows = TableLog.bitemporalAsOf(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
