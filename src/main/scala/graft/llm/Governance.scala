@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-governance operators for a training-data pipeline: PII detection /

@@ -66,6 +66,82 @@ object TableLog extends QueryPack {
     Files.readAllLines(versionFile(table, v)).asScala.toSeq
       .filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:"))
 
+  // -------------------------------------------------------------------------
+  // CHECK constraints — validated DURING the commit write via df.observe
+  // -------------------------------------------------------------------------
+
+  private def constraintsFile(table: String): Path =
+    logDir(table).resolve("constraints.txt")
+
+  /** Declare a CHECK constraint (`name`, boolean SQL expression) enforced on
+    * every subsequent [[commitAppend]]/[[commitOverwrite]] (and therefore
+    * [[optimize]]). SQL-standard semantics: a row violates only when the
+    * expression is FALSE — NULL passes. Enforcement costs NO extra pass:
+    * the violation count rides the commit write itself as an observed
+    * metric (`df.observe` = CollectMetrics inside the write job), and a
+    * violated commit deletes its staged files and aborts BEFORE any
+    * manifest publish — the table is untouched.
+    */
+  def addCheckConstraint(table: String, name: String, sqlExpr: String): Unit = {
+    require(!name.contains("|") && !sqlExpr.contains("\n"),
+      "constraint name must be |-free and the expression single-line")
+    Files.createDirectories(logDir(table))
+    val prior = checkConstraints(table).filterNot(_._1 == name)
+    Files.write(constraintsFile(table),
+      (prior :+ (name -> sqlExpr)).map { case (n, e) => s"$n|$e" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  def dropCheckConstraint(table: String, name: String): Unit = {
+    val prior = checkConstraints(table).filterNot(_._1 == name)
+    if (Files.exists(constraintsFile(table))) {
+      Files.write(constraintsFile(table),
+        prior.map { case (n, e) => s"$n|$e" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** declared CHECK constraints, in declaration order */
+  def checkConstraints(table: String): Seq[(String, String)] = {
+    val p = constraintsFile(table)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('|')
+      l.substring(0, i) -> l.substring(i + 1)
+    }
+  }
+
+  /** violated-commit abort signal (table state untouched) */
+  final class CheckViolation(val table: String, val constraint: String, val rows: Long)
+    extends IllegalArgumentException(
+      s"commit to $table violates CHECK constraint '$constraint' on $rows rows")
+
+  /** [[writeDataFiles]] + CHECK enforcement: the constraint violation
+    * counts are observed DURING the write (single pass); if any constraint
+    * is FALSE on any row, the freshly-staged files are deleted and the
+    * commit aborts with [[CheckViolation]] before anything is published.
+    */
+  private def writeConstrained(df: DataFrame, table: String): Seq[String] = {
+    val cs = checkConstraints(table)
+    if (cs.isEmpty) writeDataFiles(df, table)
+    else {
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_check_${java.util.UUID.randomUUID()}")
+      val metrics = cs.map { case (n, e) =>
+        sum(when(coalesce(expr(e).cast("boolean"), lit(true)) === lit(false), 1L)
+          .otherwise(0L)).as(n)
+      }
+      val moved = writeDataFiles(df.observe(obs, metrics.head, metrics.tail: _*), table)
+      val got = obs.get
+      cs.find { case (n, _) => got(n).asInstanceOf[Long] > 0L } match {
+        case Some((n, _)) =>
+          moved.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
+          throw new CheckViolation(table, n, got(n).asInstanceOf[Long])
+        case None => moved
+      }
+    }
+  }
+
   /** Write `df`'s rows as new immutable data files; return their relative
     * paths (NOT yet referenced by any manifest).
     */
@@ -89,16 +165,56 @@ object TableLog extends QueryPack {
     * rides as a `#txn:` header line INSIDE the manifest, so the rename that
     * publishes the version is also what records the transaction — there is
     * no window where data is committed but its idempotence marker is not.
+    *
+    * OPTIMISTIC CONCURRENCY: on Linux, rename() silently REPLACES an
+    * existing target — two writers that both computed v = n+1 would have
+    * the second clobber the first's manifest (its data files survive but
+    * become invisible: a lost commit). The manifest is therefore published
+    * with `link(2)` (`Files.createLink`): the fully-written temp file is
+    * hard-linked to the version path — PUT-IF-ABSENT (link fails atomically
+    * if the target exists), and because the link shares the temp's inode a
+    * reader can never observe a partial or empty manifest. A loser throws
+    * [[CommitConflict]] and the commit-level callers re-read the log and
+    * retry on the NEXT version, so both commits land (Delta's commit
+    * protocol on a filesystem log store).
     */
-  private def publish(
+  final class CommitConflict(val table: String, val v: Long)
+    extends RuntimeException(s"version $v of $table was committed concurrently")
+
+  private[graft] def publish(
       table: String, v: Long, files: Seq[String], txn: Option[String] = None,
       dvs: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(s".v$v.tmp")
+    val tmp = logDir(table).resolve(s".v$v.${java.util.UUID.randomUUID()}.tmp")
     val lines = txn.map(t => s"#txn:$t").toSeq ++ dvs.map(d => s"#dv:$d") ++ files
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(versionFile(table, v), tmp) // atomic put-if-absent
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new CommitConflict(table, v)
+    }
+    Files.deleteIfExists(tmp)
     v
+  }
+
+  /** Run `commit(nextVersion)` under optimistic concurrency: on a
+    * [[CommitConflict]] the log is re-read and the commit lambda re-runs
+    * against the new head. The lambda must recompute everything it derives
+    * from the previous version (live files, stats, DVs) — data files it
+    * already wrote stay valid, only the manifest content is version-
+    * dependent.
+    */
+  private def withRetry(table: String)(commit: Long => Long): Long = {
+    var attempts = 0
+    while (true) {
+      val v = versions(table).lastOption.getOrElse(-1L) + 1
+      try return commit(v)
+      catch { case _: CommitConflict =>
+        attempts += 1
+        require(attempts < 100, s"commit on $table conflicted $attempts times")
+      }
+    }
+    -1L // unreachable
   }
 
   /** txn ids recorded by committed versions (empty for untagged commits). */
@@ -118,11 +234,22 @@ object TableLog extends QueryPack {
       df: DataFrame, table: String, txnId: String): Option[Long] = {
     if (committedTxns(table).contains(txnId)) None
     else {
-      val vs = versions(table)
-      Some(publish(table, vs.lastOption.getOrElse(-1L) + 1,
-        writeDataFiles(df, table), Some(txnId)))
+      val moved = writeDataFiles(df, table)
+      // a conflict loser re-checks the txn set: if the WINNER was a replay
+      // of this same transaction, the no-op applies (its data files stay
+      // unreferenced for gcOrphans — same as any crashed commit)
+      val r = withRetry(table) { v =>
+        if (committedTxns(table).contains(txnId)) AlreadyCommitted
+        else publish(table, v, moved, Some(txnId))
+      }
+      if (r == AlreadyCommitted) None else Some(r)
     }
   }
+
+  /** sentinel for [[commitOnceOverwrite]]'s retry lambda: the txn landed
+    * via a concurrent replica, so this attempt must become a no-op
+    */
+  private val AlreadyCommitted = -2L
 
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
     * stat column), long-valued. Written BEFORE the manifest rename — the
@@ -148,21 +275,26 @@ object TableLog extends QueryPack {
     * versions' stats carry forward untouched.
     */
   def commitAppend(df: DataFrame, table: String, statCols: Seq[String] = Nil): Long = {
-    val vs = versions(table)
-    val prevV = vs.lastOption
-    val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
-    val prevStats = prevV.map(statsLines(table, _)).getOrElse(Seq.empty)
-    val moved = writeDataFiles(df, table)
+    val moved = writeConstrained(df, table)
     val newStats = gatherStats(df.sparkSession, table, moved, statCols)
-    val v = prevV.getOrElse(-1L) + 1
-    if ((prevStats ++ newStats).nonEmpty) {
-      Files.createDirectories(logDir(table))
-      Files.write(statsFile(table, v),
-        (prevStats ++ newStats).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    withRetry(table) { v =>
+      // everything derived from the previous version re-reads INSIDE the
+      // retry, so a conflict loser appends onto the winner's head
+      val prevV = versions(table).lastOption
+      val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
+      val prevStats = prevV.map(statsLines(table, _)).getOrElse(Seq.empty)
+      // prior files keep their deletion vectors across an append
+      publish(table, v, prev ++ moved,
+        dvs = prevV.map(dvFiles(table, _)).getOrElse(Seq.empty))
+      // stats sidecar AFTER the manifest wins its version: a pre-publish
+      // sidecar could clobber a concurrent winner's; a crash here just
+      // leaves a statless version, which readPruned treats as keep-all
+      if ((prevStats ++ newStats).nonEmpty) {
+        Files.write(statsFile(table, v),
+          (prevStats ++ newStats).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+      v
     }
-    // prior files keep their deletion vectors across an append
-    publish(table, v, prev ++ moved,
-      dvs = prevV.map(dvFiles(table, _)).getOrElse(Seq.empty))
   }
 
   /** per-file `relpath|col|min|max` lines for freshly-written files — the
@@ -251,16 +383,16 @@ object TableLog extends QueryPack {
     * (the overwrite drops prior files, so prior stats never carry forward).
     */
   def commitOverwrite(df: DataFrame, table: String, statCols: Seq[String] = Nil): Long = {
-    val vs = versions(table)
-    val v = vs.lastOption.getOrElse(-1L) + 1
-    val moved = writeDataFiles(df, table)
+    val moved = writeConstrained(df, table)
     val stats = gatherStats(df.sparkSession, table, moved, statCols)
-    if (stats.nonEmpty) {
-      Files.createDirectories(logDir(table))
-      Files.write(statsFile(table, v),
-        stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    withRetry(table) { v =>
+      publish(table, v, moved)
+      if (stats.nonEmpty) {
+        Files.write(statsFile(table, v),
+          stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+      v
     }
-    publish(table, v, moved)
   }
 
   /** Snapshot read at `asOf` (default: latest). The file list is pinned at
@@ -326,33 +458,36 @@ object TableLog extends QueryPack {
     * Prior versions still time-travel to the undeleted rows until vacuumed.
     */
   def deleteWhere(spark: SparkSession, table: String, cond: String): Long = {
-    val vs = versions(table)
-    require(vs.nonEmpty, s"no committed versions under $table")
-    val v = vs.last
-    val files = liveFiles(table, v)
-    require(files.nonEmpty, s"version $v of $table has no data files")
-    val hits = spark.read.parquet(
-        files.map(f => Paths.get(table).resolve(f).toString): _*)
-      .where(expr(cond))
-      .select(
-        concat(lit("data/"),
-          element_at(split(col("_metadata.file_path"), "/"), -1)).as("f"),
-        col("_metadata.row_index").as("p"))
-    val prevDvs = dvFiles(table, v)
-    val merged =
-      if (prevDvs.isEmpty) hits.distinct()
-      else hits.unionByName(spark.read.parquet(
-          prevDvs.map(f => Paths.get(table).resolve(f).toString): _*))
-        .distinct()
-    val moved = writeDataFiles(merged.coalesce(1), table)
-    val nv = v + 1
-    val prevStats = statsLines(table, v)
-    if (prevStats.nonEmpty) {
-      Files.createDirectories(logDir(table))
-      Files.write(statsFile(table, nv),
-        prevStats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    require(versions(table).nonEmpty, s"no committed versions under $table")
+    withRetry(table) { nv =>
+      // the delete re-reads the head inside the retry: a conflict loser
+      // re-matches against the winner's files and DVs (a lost DV file from
+      // the failed attempt stays unreferenced for gcOrphans)
+      val v = nv - 1
+      val files = liveFiles(table, v)
+      require(files.nonEmpty, s"version $v of $table has no data files")
+      val hits = spark.read.parquet(
+          files.map(f => Paths.get(table).resolve(f).toString): _*)
+        .where(expr(cond))
+        .select(
+          concat(lit("data/"),
+            element_at(split(col("_metadata.file_path"), "/"), -1)).as("f"),
+          col("_metadata.row_index").as("p"))
+      val prevDvs = dvFiles(table, v)
+      val merged =
+        if (prevDvs.isEmpty) hits.distinct()
+        else hits.unionByName(spark.read.parquet(
+            prevDvs.map(f => Paths.get(table).resolve(f).toString): _*))
+          .distinct()
+      val moved = writeDataFiles(merged.coalesce(1), table)
+      val prevStats = statsLines(table, v)
+      publish(table, nv, files, dvs = moved)
+      if (prevStats.nonEmpty) {
+        Files.write(statsFile(table, nv),
+          prevStats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+      nv
     }
-    publish(table, nv, files, dvs = moved)
   }
 
   /** OPTIMIZE: rewrite the latest snapshot into `nFiles` compacted data

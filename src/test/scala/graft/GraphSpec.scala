@@ -94,6 +94,31 @@ class GraphSpec extends SparkSpec {
     assert(again == byHop)
   }
 
+  test("harmonic centrality: replays a driver-side BFS over the collected edge list") {
+    val rows = Graph.harmonic(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    // driver twin: adjacency from the same orders⋈lineitem relation
+    val adj = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (adj ++ adj.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.keys.foreach { seed =>
+      var visited = Map(seed -> 0L)
+      var frontier = Set(seed)
+      for (h <- 1 to Graph.ReachHops) {
+        val next = frontier.flatMap(n => nbrs.getOrElse(n, Set.empty)) -- visited.keySet
+        visited ++= next.map(_ -> h.toLong)
+        frontier = next
+      }
+      val reached = visited.filter(_._2 > 0)
+      val harm = reached.values.map(1000000L / _).sum
+      val ecc = if (reached.isEmpty) 0L else reached.values.max
+      assert(rows(seed) == ((reached.size.toLong, harm, ecc)), s"seed $seed")
+    }
+  }
+
   test("link prediction: only non-edges, deg>=2 voters bound RA, ranks contiguous") {
     val rows = Graph.linkPrediction(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= Graph.LpK)

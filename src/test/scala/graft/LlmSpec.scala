@@ -89,6 +89,26 @@ class LlmSpec extends SparkSpec {
     assert(n == exact, "epochs must partition the event stream")
   }
 
+  test("drift_ks: statistic replays a driver-side CDF sweep; verdict is self-consistent") {
+    import graft.llm.Governance
+    val r = Governance.driftKs(spark, sfDir).collect().head
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "value").collect()
+      .map(x => (x.getLong(0) % 2, math.floor(x.getDouble(1) * 1000).toLong))
+    val a = ev.filter(_._1 == 0L).map(_._2).sorted
+    val b = ev.filter(_._1 == 1L).map(_._2).sorted
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    val vs = (a ++ b).distinct.sorted
+    val gaps = vs.map(v =>
+      v -> math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length))
+    val dMax = gaps.map(_._2).max
+    assert(r.getAs[Long]("d_scaled") == dMax)
+    assert(r.getAs[Long]("d_at_vm") == gaps.filter(_._2 == dMax).map(_._1).min)
+    assert(r.getAs[Long]("ks_ppm") == dMax * 1000000L / (a.length.toLong * b.length))
+    assert(r.getAs[Long]("reject_95") ==
+      (if (r.getAs[Long]("ks_ppm") > r.getAs[Long]("crit95_ppm")) 1L else 0L))
+  }
+
   test("rr_private_count: flips replay a MessageDigest twin; debias identity holds") {
     import graft.llm.Governance
     val rows = Governance.rrPrivateCount(spark, sfDir).collect()

@@ -157,6 +157,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hopping window expands once pre-shuffle; hamming broadcasts probes; DV-free reads plan no join") {
+    spark.sqlContext.clearCache()
+    // hopping: ONE Expand (the ×4 window multiplicity), ONE exchange (the
+    // partial agg absorbed the blow-up map-side), zero joins
+    val hop = SparkEntry.queries("hopping_window_agg")(spark, sfDir)
+    hop.collect()
+    val hopPlan = hop.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(hopPlan).length == 1, "window TVF should plan one Expand")
+    val hf = PlanAudit.features(SparkEntry.queries("hopping_window_agg")(spark, sfDir))
+    assert(hf("exchange") == 1 && hf("bcast_join") + hf("smj") + hf("shj") == 0, s"$hf")
+
+    // hamming ANN: the probe sketches broadcast (nested-loop on the <>
+    // residual); the corpus is never sort-merge joined
+    val af = PlanAudit.features(SparkEntry.queries("ann_hamming_topk")(spark, sfDir))
+    assert(af("bcast_nl") == 1 && af("smj") == 0 && af("cartesian") == 0, s"$af")
+
+    // merge-on-read pays only when DVs exist: a DV-free read plans NO join,
+    // a DV'd read exactly one anti-join
+    import spark.implicits._
+    val t = "/tmp/graft_test_plandv/t"
+    val rmf = new java.io.File("/tmp/graft_test_plandv")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(rmf)
+    graft.sources.TableLog.commitAppend((1L to 10L).toDF("k"), t)
+    val clean = graft.sources.TableLog.read(spark, t)
+    clean.collect()
+    val cleanPlan = clean.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!cleanPlan.contains("Join"), "DV-free read must be a plain scan")
+    graft.sources.TableLog.deleteWhere(spark, t, "k % 2 = 0")
+    val mor = graft.sources.TableLog.read(spark, t)
+    mor.collect()
+    val morPlan = mor.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("LeftAnti".r.findAllIn(morPlan).length == 1, "DV read is exactly one anti-join")
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized

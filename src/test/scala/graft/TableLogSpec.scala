@@ -256,6 +256,69 @@ class TableLogSpec extends SparkSpec {
     assert(box == 200L)
   }
 
+  test("check constraints: violating commit aborts untouched; observe adds no extra pass") {
+    val t = s"$root/chk"
+    rm(new java.io.File(t))
+    TableLog.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    TableLog.addCheckConstraint(t, "v_positive", "v > 0")
+    TableLog.addCheckConstraint(t, "k_nonnull", "k IS NOT NULL")
+    // persisted: a fresh read of the log sees both
+    assert(TableLog.checkConstraints(t).map(_._1) == Seq("v_positive", "k_nonnull"))
+
+    // passing append commits
+    val v1 = TableLog.commitAppend(Seq((3L, 30L)).toDF("k", "v"), t)
+    assert(v1 == 1L && TableLog.read(spark, t).count() == 3)
+
+    // violating append aborts BEFORE publish: same versions, same rows,
+    // and the staged files are cleaned up (nothing for gc to find)
+    val ex = intercept[TableLog.CheckViolation] {
+      TableLog.commitAppend(Seq((4L, -5L), (5L, 50L)).toDF("k", "v"), t)
+    }
+    assert(ex.constraint == "v_positive" && ex.rows == 1L)
+    assert(TableLog.versions(t) == Seq(0L, 1L))
+    assert(TableLog.read(spark, t).count() == 3)
+    assert(TableLog.gcOrphans(t) == 0, "violated commit must clean its staged files")
+
+    // NULL passes (SQL-standard CHECK): a null v row is not a violation
+    val v2 = TableLog.commitAppend(
+      Seq((6L, Some(60L)), (7L, None)).toDF("k", "v"), t)
+    assert(v2 == 2L && TableLog.read(spark, t).count() == 5)
+
+    // dropped constraint no longer enforces
+    TableLog.dropCheckConstraint(t, "v_positive")
+    TableLog.commitAppend(Seq((8L, -1L)).toDF("k", "v"), t)
+    assert(TableLog.read(spark, t).count() == 6)
+  }
+
+  test("optimistic concurrency: a claimed version forces retry onto the next; no lost commit") {
+    val t = s"$root/occ"
+    rm(new java.io.File(t))
+    TableLog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    // simulate a concurrent writer that already claimed v1: copy v0's
+    // manifest to v1 (a valid published version this writer hasn't seen)
+    val log = java.nio.file.Paths.get(t, "_log")
+    java.nio.file.Files.copy(log.resolve("v0.txt"), log.resolve("v1.txt"))
+
+    // the publish primitive itself is put-if-absent: claiming v1 again must
+    // throw CommitConflict and leave the winner's manifest byte-identical
+    val before = java.nio.file.Files.readAllBytes(log.resolve("v1.txt")).toSeq
+    intercept[TableLog.CommitConflict] {
+      TableLog.publish(t, 1L, Seq("data/ghost.parquet"))
+    }
+    assert(java.nio.file.Files.readAllBytes(log.resolve("v1.txt")).toSeq == before,
+      "a losing publish must not clobber the winner's manifest")
+
+    // this append computed v1 too — it must lose the claim, re-read the
+    // head, and land on v2 ON TOP OF the concurrent commit's file list
+    val v = TableLog.commitAppend(Seq((3L, "c")).toDF("k", "v"), t)
+    assert(v == 2L)
+    assert(TableLog.versions(t) == Seq(0L, 1L, 2L))
+    assert(TableLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L), "both the concurrent commit's files and the retry's rows survive")
+    // the concurrently-published manifest is intact (not clobbered)
+    assert(TableLog.read(spark, t, Some(1L)).count() == 2)
+  }
+
   test("deletion vectors: no file rewrite; merged deletes; optimize materializes; gc spares DVs") {
     val t = s"$root/dv"
     rm(new java.io.File(t))
