@@ -367,7 +367,9 @@ object Indicators extends QueryPack {
       .agg(
         max(col("cents")).as("high_c"),
         min(col("cents")).as("low_c"),
-        // same duplicate-(orderkey, linenumber) tie-break as [[dailyCloses]]
+        // same duplicate-(orderkey, linenumber) tie-break as [[dailyCloses]];
+        // the open picks the EARLIEST tick under the same full order
+        min_by(col("cents"), struct(col("ts"), col("eid"), col("cents"))).as("open_c"),
         max_by(col("cents"), struct(col("ts"), col("eid"), col("cents"))).as("close_c"))
   }
 
@@ -381,12 +383,15 @@ object Indicators extends QueryPack {
       |dd AS (
       |  SELECT company_id, strftime(tsv, '%Y-%m-%d') AS day, cents,
       |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m-%d')
-      |                            ORDER BY tsv DESC, eid DESC, cents DESC) AS rn_d
+      |                            ORDER BY tsv DESC, eid DESC, cents DESC) AS rn_d,
+      |         row_number() OVER (PARTITION BY company_id, strftime(tsv, '%Y-%m-%d')
+      |                            ORDER BY tsv ASC, eid ASC, cents ASC) AS rn_o
       |  FROM t),
       |bars AS (
       |  SELECT company_id, day,
       |         CAST(max(cents) AS BIGINT) AS high_c,
       |         CAST(min(cents) AS BIGINT) AS low_c,
+      |         CAST(max(CASE WHEN rn_o = 1 THEN cents END) AS BIGINT) AS open_c,
       |         CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c
       |  FROM dd GROUP BY 1, 2)""".stripMargin
 
@@ -1603,7 +1608,143 @@ object Indicators extends QueryPack {
       |FROM ks
       |ORDER BY company_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Candlestick pattern census
+  // -------------------------------------------------------------------------
+
+  /** Candlestick pattern census over the daily OHLC bars — the classic
+    * single- and two-bar patterns, each an EXACT integer predicate on cents
+    * (body = |C−O|, range = H−L, shadows against max/min(O, C)):
+    * doji (body ≤ 10% of a positive range), hammer (lower shadow ≥ 2×body,
+    * upper ≤ body, non-zero body), marubozu (body spans the whole range),
+    * and bullish/bearish engulfing (this bar's body strictly reverses and
+    * contains the previous bar's). Counts per instrument; no floats, no
+    * thresholds in double space — the census hash-gates bit-exactly.
+    *
+    * 100 TB shape: the bar relation is instrument×calendar-sized (built by
+    * the shared fact-reducing aggregate); one lag window partitioned by
+    * instrument + one aggregate. Pattern logic never touches tick scale.
+    */
+  def candlePatterns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("company_id").orderBy("day")
+    val body = abs(col("close_c") - col("open_c"))
+    val rng = col("high_c") - col("low_c")
+    val upper = col("high_c") - greatest(col("open_c"), col("close_c"))
+    val lower = least(col("open_c"), col("close_c")) - col("low_c")
+    dailyBars(s, dir)
+      .withColumn("prev_open", lag(col("open_c"), 1).over(w))
+      .withColumn("prev_close", lag(col("close_c"), 1).over(w))
+      .groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(rng > 0 && body * 10 <= rng, 1L).otherwise(0L)).as("n_doji"),
+        sum(when(body > 0 && lower >= body * 2 && upper <= body, 1L)
+          .otherwise(0L)).as("n_hammer"),
+        sum(when(rng > 0 && body === rng, 1L).otherwise(0L)).as("n_marubozu"),
+        sum(when(col("prev_close") < col("prev_open") && col("close_c") > col("open_c")
+          && col("open_c") <= col("prev_close") && col("close_c") >= col("prev_open"),
+          1L).otherwise(0L)).as("n_bull_engulf"),
+        sum(when(col("prev_close") > col("prev_open") && col("close_c") < col("open_c")
+          && col("open_c") >= col("prev_close") && col("close_c") <= col("prev_open"),
+          1L).otherwise(0L)).as("n_bear_engulf"))
+  }
+
+  private val candlePatternsSql =
+    s"""WITH $barsCtes,
+      |lb AS (
+      |  SELECT company_id,
+      |         high_c, low_c, open_c, close_c,
+      |         abs(close_c - open_c) AS body,
+      |         high_c - low_c AS rng,
+      |         high_c - greatest(open_c, close_c) AS upper,
+      |         least(open_c, close_c) - low_c AS lower,
+      |         lag(open_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_open,
+      |         lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_close
+      |  FROM bars)
+      |SELECT company_id,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(CASE WHEN rng > 0 AND body * 10 <= rng THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+      |       CAST(sum(CASE WHEN body > 0 AND lower >= body * 2 AND upper <= body
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+      |       CAST(sum(CASE WHEN rng > 0 AND body = rng THEN 1 ELSE 0 END) AS BIGINT) AS n_marubozu,
+      |       CAST(sum(CASE WHEN prev_close < prev_open AND close_c > open_c
+      |                      AND open_c <= prev_close AND close_c >= prev_open
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+      |       CAST(sum(CASE WHEN prev_close > prev_open AND close_c < open_c
+      |                      AND open_c >= prev_close AND close_c <= prev_open
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+      |FROM lb GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Historical VaR / expected shortfall
+  // -------------------------------------------------------------------------
+
+  /** Historical 95% Value-at-Risk + expected shortfall per instrument over
+    * the clamped bp daily returns: VaR = the ceil-rank 5th-percentile return
+    * (`rank = (n+19) div 20`, the verified DuckDB `quantile_disc` rule kept
+    * in pure integers — no double ceil), ES/CVaR = the mean of the tail at
+    * or below VaR. The tail sum and count are exact int64; the single mean
+    * divides via `floor(double)` in both engines (sum magnitudes ≪ 2^53),
+    * the documented negative-operand-safe form (`div` truncates toward
+    * zero, `//` floors — they differ exactly where loss tails live).
+    *
+    * 100 TB shape: returns come from the shared instrument×calendar close
+    * relation; the rank pass is one instrument-partitioned window over that
+    * bounded relation and the tail re-join is against a 20-row VaR dim.
+    */
+  def varEs(s: SparkSession, dir: String): DataFrame = {
+    val r = bpReturns(s, dir)
+    val ranked = r
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("company_id").orderBy(col("r_bp"))))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("company_id")))
+    val varq = ranked.where(col("rn") === expr("(n + 19) div 20"))
+      .select(col("company_id"), col("n").cast("long").as("n_days"),
+        col("r_bp").as("var95_bp"))
+    val tail = r.join(broadcast(varq.select(col("company_id"), col("var95_bp"))),
+        Seq("company_id"))
+      .where(col("r_bp") <= col("var95_bp"))
+      .groupBy(col("company_id"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("r_bp")).as("tail_sum_bp"))
+    varq.join(tail, "company_id")
+      .select(col("company_id"), col("n_days"), col("var95_bp"),
+        col("n_tail"), col("tail_sum_bp"),
+        expr("CAST(floor(CAST(tail_sum_bp AS DOUBLE) / n_tail) AS BIGINT)").as("es_bp"))
+  }
+
+  private val varEsSql =
+    s"""WITH $closesCtes,
+      |rets AS (
+      |  SELECT company_id, day,
+      |         least(greatest(
+      |           CAST(floor(CAST((close_c - prev_c) * 10000 AS DOUBLE) / prev_c) AS BIGINT),
+      |           -$BetaClampBp), $BetaClampBp) AS r_bp
+      |  FROM (SELECT *, lag(close_c) OVER (PARTITION BY company_id ORDER BY day) AS prev_c
+      |        FROM closes)
+      |  WHERE prev_c IS NOT NULL AND prev_c > 0),
+      |q AS (
+      |  SELECT company_id,
+      |         CAST(max(n) AS BIGINT) AS n_days,
+      |         CAST(max(CASE WHEN rn = (n + 19) // 20 THEN r_bp END) AS BIGINT) AS var95_bp
+      |  FROM (SELECT company_id, r_bp,
+      |               row_number() OVER (PARTITION BY company_id ORDER BY r_bp) AS rn,
+      |               count(*) OVER (PARTITION BY company_id) AS n
+      |        FROM rets)
+      |  GROUP BY 1),
+      |tl AS (
+      |  SELECT r.company_id,
+      |         CAST(count(*) AS BIGINT) AS n_tail,
+      |         CAST(sum(r_bp) AS BIGINT) AS tail_sum_bp
+      |  FROM rets r JOIN q USING (company_id)
+      |  WHERE r_bp <= var95_bp GROUP BY 1)
+      |SELECT company_id, n_days, var95_bp, n_tail, tail_sum_bp,
+      |       CAST(floor(CAST(tail_sum_bp AS DOUBLE) / n_tail) AS BIGINT) AS es_bp
+      |FROM q JOIN tl USING (company_id)""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("ind_var_es", varEs, Some(varEsSql)),
+    Q("ind_candle_patterns", candlePatterns, Some(candlePatternsSql)),
     Q("ind_obv", obv, Some(obvSql)),
     Q("ind_bollinger", bollinger, Some(bollingerSql)),
     Q("ind_rsi", rsi, Some(rsiSql)),

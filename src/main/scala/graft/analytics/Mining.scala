@@ -1960,7 +1960,76 @@ object Mining extends QueryPack {
       |SELECT tik, n_pairs, motif_i, motif_j, motif_d2, discord_i, discord_d2
       |FROM motif JOIN discord USING (tik)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // Sequential pattern mining — gap-tolerant subsequence support
+  // ---------------------------------------------------------------------------
+
+  /** minimum users for a length-3 sequential pattern to be emitted */
+  val SeqPatMinUsers = 5
+
+  /** Length-3 sequential pattern support (the PrefixSpan counting problem at
+    * fixed depth): for every event-type triple (a → b → c), how many users
+    * contain it as a SUBSEQUENCE — occurrences strictly ordered in time but
+    * with ARBITRARY gaps, unlike [[seqTransitions]]' adjacent-bigram counts.
+    * Containment is decided by greedy earliest matching (provably exact for
+    * subsequence tests): t₁ = first a, t₂ = first b after t₁, t₃ = first c
+    * after t₂ — each step a keyed min, so the whole test is two join+min
+    * cascades, no per-user sequence materialization. Equal-timestamp events
+    * never chain (strict `>`), the same rule in both engines.
+    *
+    * 100 TB shape: each cascade step is a user-keyed equi-join against the
+    * type-first-occurrence relation (users × |types| rows, map-side-combined
+    * mins) — state is domain-bounded (users × types²), the event table is
+    * scanned twice and never self-joined at event grain.
+    */
+  def seqPrefixspan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id").as("u"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val firstA = ev.groupBy(col("u"), col("event_type").as("a"))
+      .agg(min(col("us")).as("ta"))
+    val bStep = firstA
+      .join(ev.select(col("u"), col("event_type").as("b"), col("us").as("usb")), Seq("u"))
+      .where(col("usb") > col("ta"))
+      .groupBy(col("u"), col("a"), col("b")).agg(min(col("usb")).as("tb"))
+    val cStep = bStep
+      .join(ev.select(col("u"), col("event_type").as("c"), col("us").as("usc")), Seq("u"))
+      .where(col("usc") > col("tb"))
+      .groupBy(col("u"), col("a"), col("b"), col("c")).agg(count(lit(1)).as("nn"))
+    val totals = ev.select("u").distinct().agg(count(lit(1)).as("n_total"))
+    cStep.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_users"))
+      .where(col("n_users") >= SeqPatMinUsers)
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c"), col("n_users"),
+        expr("n_users * 1000000 div n_total").as("support_ppm"))
+  }
+
+  private val seqPrefixspanSql =
+    s"""WITH e AS (
+      |  SELECT user_id AS u, event_type, epoch_us(ts) AS us FROM events),
+      |fa AS (
+      |  SELECT u, event_type AS a, CAST(min(us) AS BIGINT) AS ta
+      |  FROM e GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT fa.u, a, e.event_type AS b, CAST(min(e.us) AS BIGINT) AS tb
+      |  FROM fa JOIN e ON fa.u = e.u AND e.us > fa.ta
+      |  GROUP BY 1, 2, 3),
+      |fc AS (
+      |  SELECT fb.u, a, b, e.event_type AS c
+      |  FROM fb JOIN e ON fb.u = e.u AND e.us > fb.tb
+      |  GROUP BY 1, 2, 3, 4),
+      |sup AS (
+      |  SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM fc GROUP BY 1, 2, 3
+      |  HAVING count(*) >= $SeqPatMinUsers),
+      |tot AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_total FROM e)
+      |SELECT a, b, c, n_users,
+      |       CAST(n_users * 1000000 // n_total AS BIGINT) AS support_ppm
+      |FROM sup CROSS JOIN tot""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("seq_prefixspan", seqPrefixspan, Some(seqPrefixspanSql)),
     Q("ts_matrix_profile", tsMatrixProfile, Some(tsMatrixProfileSql)),
     Q("capped_running_balance", cappedRunningBalance, Some(cappedRunningBalanceSql)),
     Q("ts_decompose", tsDecompose, Some(tsDecomposeSql)),

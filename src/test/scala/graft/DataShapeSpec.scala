@@ -64,7 +64,11 @@ class DataShapeSpec extends SparkSpec {
       "text_quality",       // loadSpread + tokenizer scoring
       "graph_pagerank",     // cached iterative joins
       "ind_macd",           // sequential per-key double fold (order-sensitive if wrong)
-      "dataset_card")       // multi-leg hash/histogram composition
+      "dataset_card",       // multi-leg hash/histogram composition
+      "ann_hamming_topk",   // sign-sketch fold + broadcast probe join
+      "hopping_window_agg", // window-TVF Expand multiplicity
+      "ts_matrix_profile",  // collect_list ordering under multi-split scans
+      "curriculum_order")   // bucket windows + broadcast prefix offsets
     picks.foreach { q =>
       assert(canon(q, shapedDir) == canon(q, sfDir), s"$q differs across layouts")
     }

@@ -280,6 +280,73 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("var/es: ceil-rank VaR and tail mean replay an in-memory recompute") {
+    val got = Indicators.varEs(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    series.foreach { case (c, s) =>
+      val rets = s.sliding(2).collect {
+        case Seq((p, _), (cl, _)) if p > 0 =>
+          math.max(-Indicators.BetaClampBp,
+            math.min(Indicators.BetaClampBp,
+              math.floor((cl - p) * 10000.0 / p).toLong))
+      }.toSeq
+      val sorted = rets.sorted
+      val n = sorted.length
+      val v = sorted((n + 19) / 20 - 1)
+      val tail = rets.filter(_ <= v)
+      val (nDays, var95, nTail, tailSum, es) = got(c)
+      assert(nDays == n.toLong && var95 == v, c)
+      assert(nTail == tail.length.toLong && tailSum == tail.sum, c)
+      assert(es == math.floor(tail.sum.toDouble / tail.length).toLong, c)
+      assert(es <= var95, s"$c: tail mean cannot exceed the VaR threshold")
+    }
+  }
+
+  test("candle patterns: counts replay an in-memory OHLC recompute; doji and marubozu are disjoint") {
+    val got = Indicators.candlePatterns(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    // in-memory OHLC per (company, day) from the same tick derivation
+    val ticks = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr(
+        "concat('FIGI', l_partkey % 20) AS c",
+        "unix_micros(CAST(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate) AS TIMESTAMP)) AS us",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS cents",
+        "l_orderkey * 10 + l_linenumber AS eid",
+        "date_format(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate), 'yyyy-MM-dd') AS day")
+      .collect().map(r => (r.getString(0), r.getString(4), r.getLong(1), r.getLong(3), r.getLong(2)))
+    val bars = ticks.groupBy(t => (t._1, t._2)).toSeq.map { case ((c, day), rs) =>
+      val o = rs.minBy(t => (t._3, t._4, t._5))._5
+      val cl = rs.maxBy(t => (t._3, t._4, t._5))._5
+      (c, day, rs.map(_._5).max, rs.map(_._5).min, o, cl)
+    }
+    bars.groupBy(_._1).foreach { case (c, rows) =>
+      val s = rows.sortBy(_._2)
+      var (doji, ham, maru, bull, bear) = (0L, 0L, 0L, 0L, 0L)
+      s.zipWithIndex.foreach { case ((_, _, h, l, o, cl), i) =>
+        val body = math.abs(cl - o); val rng = h - l
+        val up = h - math.max(o, cl); val lo = math.min(o, cl) - l
+        if (rng > 0 && body * 10 <= rng) doji += 1
+        if (body > 0 && lo >= body * 2 && up <= body) ham += 1
+        if (rng > 0 && body == rng) maru += 1
+        if (i > 0) {
+          val (_, _, _, _, po, pc) = s(i - 1)
+          if (pc < po && cl > o && o <= pc && cl >= po) bull += 1
+          if (pc > po && cl < o && o >= pc && cl <= po) bear += 1
+        }
+      }
+      val (nDays, gDoji, gHam, gMaru, gBull, gBear) = got(c)
+      assert(nDays == s.length.toLong, c)
+      assert((gDoji, gHam, gMaru, gBull, gBear) == ((doji, ham, maru, bull, bear)), c)
+      // body = range forces body > range/10 unless range = 0 (excluded):
+      // the two single-bar classes can never double-count a day
+      assert(gDoji + gMaru <= nDays)
+    }
+  }
+
   test("vpin: volume-clock buckets partition each instrument's volume and replay a tick-level recompute") {
     val got = Indicators.vpin(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -535,6 +535,37 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("seq_prefixspan: supports replay a driver-side greedy subsequence scan") {
+    val rows = Mining.seqPrefixspan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(_ >= Mining.SeqPatMinUsers))
+    // driver twin: per user the time-ordered event list; greedy matching
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"), unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    def contains(s: Seq[(Long, String, Long)], pat: Seq[String]): Boolean = {
+      var t = Long.MinValue
+      pat.forall { p =>
+        s.find(e => e._2 == p && e._3 > t) match {
+          case Some(e) => t = e._3; true
+          case None => false
+        }
+      }
+    }
+    val types = ev.map(_._2).distinct
+    for (a <- types; b <- types; c <- types) {
+      val n = byUser.values.count(s => contains(s.toSeq, Seq(a, b, c))).toLong
+      val got = rows.getOrElse((a, b, c), 0L)
+      if (n >= Mining.SeqPatMinUsers) assert(got == n, s"($a,$b,$c)")
+      else assert(got == 0L, s"($a,$b,$c) under min support")
+    }
+  }
+
   test("ts_matrix_profile: motif/discord replay a driver-side all-pairs scan") {
     val rows = Mining.tsMatrixProfile(spark, sfDir).collect()
     assert(rows.nonEmpty)
