@@ -350,6 +350,79 @@ object Graph extends QueryPack {
       |FROM d WHERE hop > 0 GROUP BY 1""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Degree assortativity
+  // -------------------------------------------------------------------------
+
+  /** Degree assortativity coefficient of the co-purchase graph (Newman
+    * 2002): the Pearson correlation of endpoint degrees over DIRECTED edge
+    * copies (both directions, the standard undirected convention). Moment
+    * sums are exact int64 (degrees are small, edges bounded); the
+    * coefficient itself is a fixed three-op double sequence — two
+    * correctly-rounded sqrts of exact integers and one division — floored
+    * to e6, so it hash-gates. Positive r = hubs attach to hubs
+    * (assortative); co-purchase graphs typically come out disassortative.
+    *
+    * 100 TB shape: degree relation is node-sized and joins back twice on
+    * the edge's endpoints (both shuffle-hash, key-partitioned); the final
+    * reduce is one row. Nothing quadratic, nothing driver-side.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").hint("shuffle_hash")
+      .join(op.as("b").hint("shuffle_hash"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("wts"))
+      .where(col("wts") >= MinCoOrders)
+      .select("x", "y")
+    val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y"))).cache()
+    val deg = und.groupBy(col("x").as("node")).agg(count(lit(1)).as("d"))
+    val dxy = und
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("d").as("dy")), "y")
+    val out = dxy.agg(
+        count(lit(1)).as("n_dir_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n_dir_edges"),
+        expr("""CASE WHEN n_dir_edges * sxx - sx * sx > 0
+               |      AND n_dir_edges * syy - sy * sy > 0
+               |     THEN CAST(floor(CAST(n_dir_edges * sxy - sx * sy AS DOUBLE)
+               |          / (sqrt(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE))
+               |             * sqrt(CAST(n_dir_edges * syy - sy * sy AS DOUBLE)))
+               |          * 1000000) AS BIGINT)
+               |     END""".stripMargin).as("r_e6"))
+    localized(out, Seq(und))
+  }
+
+  private val assortativitySql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (
+      |  SELECT a.p AS x, b.p AS y
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= $MinCoOrders),
+      |und AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0),
+      |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(dx.d) AS BIGINT) AS sx, CAST(sum(dy.d) AS BIGINT) AS sy,
+      |         CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+      |         CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+      |         CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+      |  FROM und JOIN deg dx ON und.x = dx.node JOIN deg dy ON und.y = dy.node)
+      |SELECT n AS n_dir_edges,
+      |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |            THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |                 * 1000000) AS BIGINT)
+      |       END AS r_e6
+      |FROM m""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Co-purchase triangle census
   // -------------------------------------------------------------------------
 
@@ -715,6 +788,7 @@ object Graph extends QueryPack {
       |ORDER BY rank""".stripMargin
 
   override val all: Seq[Q] = Seq(
+    Q("graph_assortativity", assortativity, Some(assortativitySql)),
     Q("graph_harmonic", harmonic, Some(harmonicSql)),
     Q("graph_degree_profile", degreeProfile, Some(degreeProfileSql)),
     Q("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1742,7 +1742,91 @@ object Indicators extends QueryPack {
       |       CAST(floor(CAST(tail_sum_bp AS DOUBLE) / n_tail) AS BIGINT) AS es_bp
       |FROM q JOIN tl USING (company_id)""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Ichimoku cloud
+  // -------------------------------------------------------------------------
+
+  /** Ichimoku Kinkō Hyō state census — every line is a midpoint of rolling
+    * extremes, so the whole system stays EXACT by carrying lines at ×2 / ×4
+    * scale instead of dividing: tenkan×2 = maxH₉+minL₉, kijun×2 =
+    * maxH₂₆+minL₂₆, senkou A×4 = tenkan×2+kijun×2 and senkou B×2 =
+    * maxH₅₂+minL₅₂ (both displaced 26 days forward), price-vs-cloud compares
+    * 4·close against {A×4, 2·B×2}. Emits per instrument the full-window day
+    * count, days above/below/inside the cloud, tenkan/kijun bullish
+    * crossovers, and the latest ×2 lines — all integer cents, hash-gated.
+    *
+    * 100 TB shape: six rolling-extreme frames share ONE instrument-
+    * partitioned ordered window over the calendar-sized bar relation; the
+    * census is a single aggregate. Nothing tick-scaled enters a window.
+    */
+  def ichimoku(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("company_id").orderBy("day")
+    def roll(c: Column, n: Int, f: Column => Column) =
+      f(c).over(w.rowsBetween(-(n - 1), 0))
+    val lined = dailyBars(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tenkan2",
+        roll(col("high_c"), 9, max) + roll(col("low_c"), 9, min))
+      .withColumn("kijun2",
+        roll(col("high_c"), 26, max) + roll(col("low_c"), 26, min))
+      .withColumn("senb2",
+        roll(col("high_c"), 52, max) + roll(col("low_c"), 52, min))
+    val disp = lined
+      .withColumn("cloud_a4", lag(col("tenkan2") + col("kijun2"), 26).over(w))
+      .withColumn("cloud_b2", lag(col("senb2"), 26).over(w))
+      .withColumn("prev_t2", lag(col("tenkan2"), 1).over(w))
+      .withColumn("prev_k2", lag(col("kijun2"), 1).over(w))
+      .where(col("rn") >= 52 + 26) // full senkou-B window + displacement
+    disp.groupBy(col("company_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("close_c") * 4 > greatest(col("cloud_a4"), col("cloud_b2") * 2), 1L)
+          .otherwise(0L)).as("n_above_cloud"),
+        sum(when(col("close_c") * 4 < least(col("cloud_a4"), col("cloud_b2") * 2), 1L)
+          .otherwise(0L)).as("n_below_cloud"),
+        sum(when(col("prev_t2") <= col("prev_k2") && col("tenkan2") > col("kijun2"), 1L)
+          .otherwise(0L)).as("n_tk_cross_up"),
+        max_by(col("tenkan2"), col("day")).as("last_tenkan2"),
+        max_by(col("kijun2"), col("day")).as("last_kijun2"))
+  }
+
+  private val ichimokuSql =
+    s"""WITH $barsCtes,
+      |lined AS (
+      |  SELECT company_id, day, close_c,
+      |         row_number() OVER wd AS rn,
+      |         max(high_c) OVER (wd ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+      |           + min(low_c) OVER (wd ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS tenkan2,
+      |         max(high_c) OVER (wd ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+      |           + min(low_c) OVER (wd ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS kijun2,
+      |         max(high_c) OVER (wd ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+      |           + min(low_c) OVER (wd ROWS BETWEEN 51 PRECEDING AND CURRENT ROW) AS senb2
+      |  FROM bars
+      |  WINDOW wd AS (PARTITION BY company_id ORDER BY day)),
+      |disp AS (
+      |  SELECT company_id, day, close_c, rn, tenkan2, kijun2,
+      |         lag(tenkan2 + kijun2, 26) OVER wd AS cloud_a4,
+      |         lag(senb2, 26) OVER wd AS cloud_b2,
+      |         lag(tenkan2, 1) OVER wd AS prev_t2,
+      |         lag(kijun2, 1) OVER wd AS prev_k2
+      |  FROM lined
+      |  WINDOW wd AS (PARTITION BY company_id ORDER BY day))
+      |SELECT company_id,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(CASE WHEN close_c * 4 > greatest(cloud_a4, cloud_b2 * 2)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_cloud,
+      |       CAST(sum(CASE WHEN close_c * 4 < least(cloud_a4, cloud_b2 * 2)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below_cloud,
+      |       CAST(sum(CASE WHEN prev_t2 <= prev_k2 AND tenkan2 > kijun2
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tk_cross_up,
+      |       CAST(max(CASE WHEN rd = 1 THEN tenkan2 END) AS BIGINT) AS last_tenkan2,
+      |       CAST(max(CASE WHEN rd = 1 THEN kijun2 END) AS BIGINT) AS last_kijun2
+      |FROM (SELECT *, row_number() OVER (PARTITION BY company_id ORDER BY day DESC) AS rd
+      |      FROM disp WHERE rn >= ${52 + 26})
+      |GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("ind_ichimoku", ichimoku, Some(ichimokuSql)),
     Q("ind_var_es", varEs, Some(varEsSql)),
     Q("ind_candle_patterns", candlePatterns, Some(candlePatternsSql)),
     Q("ind_obv", obv, Some(obvSql)),

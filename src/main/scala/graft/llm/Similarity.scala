@@ -2162,7 +2162,78 @@ object Similarity extends QueryPack {
       |SELECT query_id, neighbor_id, ham, rank FROM ranked WHERE rank <= $TopK""".stripMargin
   }
 
+  /** truncated prefix width for the matryoshka retrieval eval */
+  val TruncDim = 16
+
+  /** Matryoshka dimension-truncation retrieval eval: how much top-k quality
+    * survives serving only the FIRST [[TruncDim]] of [[Dim]] embedding
+    * dimensions (the matryoshka/MRL deployment question — a 4× smaller
+    * index and 4× faster scoring, if recall holds). ONE scored relation
+    * carries both the full-dim and truncated-dim integerized cosines; two
+    * row_number windows (same partition, different order) rank both
+    * retrievals on the same rows, so recall@k is a plain conditional count
+    * — no retrieval-vs-retrieval join at all. Emits per probe the overlap,
+    * recall ppm, and both top-1 ids.
+    *
+    * 100 TB shape: identical to [[bruteForceTopK]] — probes broadcast, the
+    * corpus never shuffles, both scores ride one scan; the windows are
+    * probe-count-partitioned.
+    */
+  def annDimTruncEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.orderBy("vec_id").limit(NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = Tables.loadSpread(s, dir, "embeddings").crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosE6(col("qvec"), col("embedding")).as("sf"),
+        floor(graft.functions.cosine_similarity(
+          expr(s"slice(qvec, 1, $TruncDim)"),
+          expr(s"slice(embedding, 1, $TruncDim)")) * lit(1e6)).as("st"))
+    val ranked = scored
+      .withColumn("rf", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sf").desc, col("neighbor_id"))))
+      .withColumn("rt", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("st").desc, col("neighbor_id"))))
+    ranked.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rf") <= TopK && col("rt") <= TopK, 1L).otherwise(0L)).as("n_hits"),
+        max(when(col("rf") === 1, col("neighbor_id"))).as("top1_full"),
+        max(when(col("rt") === 1, col("neighbor_id"))).as("top1_trunc"))
+      .withColumn("recall_ppm", expr(s"n_hits * 1000000 div $TopK"))
+  }
+
+  private val annDimTruncEvalSql = {
+    def dot(a: String, b: String, d: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, $d + 1)]),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def cos(a: String, b: String, d: Int) =
+      s"""CAST(floor(${dot(a, b, d)}
+         |  / (sqrt(${dot(a, a, d)}) * sqrt(${dot(b, b, d)})) * 1000000) AS BIGINT)""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      |  ORDER BY vec_id LIMIT $NumQueries),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |         ${cos("qvec", "e.embedding", Dim)} AS sf,
+      |         ${cos("qvec", "e.embedding", TruncDim)} AS st
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sf, st,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY sf DESC, neighbor_id) AS rf,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY st DESC, neighbor_id) AS rt
+      |  FROM scored)
+      |SELECT query_id,
+      |       CAST(sum(CASE WHEN rf <= $TopK AND rt <= $TopK THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |       CAST(max(CASE WHEN rf = 1 THEN neighbor_id END) AS BIGINT) AS top1_full,
+      |       CAST(max(CASE WHEN rt = 1 THEN neighbor_id END) AS BIGINT) AS top1_trunc,
+      |       CAST(sum(CASE WHEN rf <= $TopK AND rt <= $TopK THEN 1 ELSE 0 END) * 1000000 // $TopK AS BIGINT) AS recall_ppm
+      |FROM ranked GROUP BY 1""".stripMargin
+  }
+
   override val all: Seq[Q] = Seq(
+    Q("ann_dim_trunc_eval", annDimTruncEval, Some(annDimTruncEvalSql)),
     Q("ann_hamming_topk", annHammingTopK, Some(annHammingTopKSql)),
     Q("emb_centroid_drift", embCentroidDrift, Some(embCentroidDriftSql)),
     Q("emb_dim_diagnostics", embDimDiagnostics, Some(embDimDiagnosticsSql)),

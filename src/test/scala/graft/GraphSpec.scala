@@ -94,6 +94,38 @@ class GraphSpec extends SparkSpec {
     assert(again == byHop)
   }
 
+  test("assortativity: coefficient replays a driver-side Pearson over directed edge copies") {
+    val r = Graph.assortativity(spark, sfDir).collect().head
+    val (n, rE6) = (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    // driver twin: co-purchase edges at the same threshold
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pairs = op.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= Graph.MinCoOrders).keys.toSeq
+    val und = pairs ++ pairs.map(_.swap)
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(n == und.size.toLong)
+    if (und.nonEmpty) {
+      val (xs, ys) = und.map { case (a, b) => (deg(a), deg(b)) }.unzip
+      val nn = und.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      val (dx, dy) = (nn * sxx - sx * sx, nn * syy - sy * sy)
+      if (dx > 0 && dy > 0) {
+        val expect = math.floor(
+          (nn * sxy - sx * sy).toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+            * 1000000).toLong
+        assert(rE6.contains(expect))
+        assert(math.abs(expect) <= 1000000L, "a Pearson coefficient stays in [-1, 1]")
+      } else assert(rE6.isEmpty)
+    }
+  }
+
   test("harmonic centrality: replays a driver-side BFS over the collected edge list") {
     val rows = Graph.harmonic(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

@@ -280,6 +280,53 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("ichimoku: lines replay an in-memory rolling-extreme recompute") {
+    val got = Indicators.ichimoku(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    // in-memory bars (H, L, C) per company/day from the same tick derivation
+    val ticks = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr(
+        "concat('FIGI', l_partkey % 20) AS c",
+        "unix_micros(CAST(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate) AS TIMESTAMP)) AS us",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS cents",
+        "l_orderkey * 10 + l_linenumber AS eid",
+        "date_format(timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate), 'yyyy-MM-dd') AS day")
+      .collect().map(r => (r.getString(0), r.getString(4), r.getLong(1), r.getLong(3), r.getLong(2)))
+    ticks.groupBy(_._1).foreach { case (c, rs) =>
+      val bars = rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, ts) =>
+        (ts.map(_._5).max, ts.map(_._5).min,
+          ts.maxBy(t => (t._3, t._4, t._5))._5)
+      }
+      def roll(i: Int, n: Int) = {
+        val w = bars.slice(i - n + 1, i + 1)
+        w.map(_._1).max + w.map(_._2).min
+      }
+      var (above, below, cross) = (0L, 0L, 0L)
+      var (lastT, lastK) = (0L, 0L)
+      var nFull = 0L
+      bars.indices.foreach { i =>
+        if (i >= 77) { // rn >= 78, zero-based
+          nFull += 1
+          val t2 = roll(i, 9); val k2 = roll(i, 26)
+          val a4 = roll(i - 26, 9) + roll(i - 26, 26)
+          val b2 = roll(i - 26, 52)
+          val c4 = bars(i)._3 * 4
+          if (c4 > math.max(a4, b2 * 2)) above += 1
+          if (c4 < math.min(a4, b2 * 2)) below += 1
+          val (pt, pk) = (roll(i - 1, 9), roll(i - 1, 26))
+          if (pt <= pk && t2 > k2) cross += 1
+          lastT = t2; lastK = k2
+        }
+      }
+      val (nDays, gAbove, gBelow, gCross, gT, gK) = got(c)
+      assert(nDays == nFull, c)
+      assert((gAbove, gBelow, gCross) == ((above, below, cross)), c)
+      assert((gT, gK) == ((lastT, lastK)), c)
+    }
+  }
+
   test("var/es: ceil-rank VaR and tail mean replay an in-memory recompute") {
     val got = Indicators.varEs(spark, sfDir).collect()
       .map(r => r.getString(0) ->

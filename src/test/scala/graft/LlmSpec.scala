@@ -788,6 +788,22 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("matryoshka truncation eval: overlap equals a direct intersection of the two retrievals") {
+    val rows = Similarity.annDimTruncEval(spark, sfDir).collect()
+    assert(rows.length == Similarity.NumQueries)
+    val full = Similarity.bruteForceTopK(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= Similarity.TopK)
+      assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / Similarity.TopK)
+      // the full-dim side of the intersection IS bruteForceTopK's set
+      assert(full(qid).contains(r.getAs[Long]("top1_full")))
+    }
+  }
+
   test("ann recall eval agrees with a direct set intersection of the two retrievals") {
     val rows = Similarity.annRecallEval(spark, sfDir).collect()
     assert(rows.length == Similarity.NumQueries)
