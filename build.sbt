@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the LAST stdout line of `sbt -batch "runMain …"`.
+// Two sbt behaviors have broken that parse every round so far:
+//  - sbt prefixes forked-process output with "[info] " under the default
+//    LoggedOutput strategy → StdoutOutput passes program stdout through raw;
+//  - sbt appends its own "[success] Total time: …" line AFTER the program's
+//    final line → showSuccess := false suppresses it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

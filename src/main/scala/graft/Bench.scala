@@ -74,6 +74,23 @@ object Bench {
       java.nio.file.Paths.get(sidecar),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench sidecar write failed: $e") }
+    // committed perf audit trail (BENCH_SIDECAR.md in the repo): total +
+    // top-20 by cost, so the history of perf claims is reviewable in git
+    // instead of /tmp — committed once per round alongside the artifacts
+    try {
+      val md = new StringBuilder
+      md ++= s"# Bench sidecar — ${timings.size} queries ok, ${errors.size} errors, "
+      md ++= s"total ${ms(total)} s, sf dir `$sfDir`\n\n"
+      md ++= "Top 20 by cost:\n\n| query | sec |\n|---|---|\n"
+      timings.toSeq.sortBy(-_._2).take(20).foreach { case (k, v) =>
+        md ++= s"| $k | ${ms(v)} |\n"
+      }
+      md ++= s"\nFull per-query record: `$sidecar` (regenerated each run).\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_MD", "BENCH_SIDECAR.md")),
+        md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"bench md write failed: $e") }
     // The driver stores only the LAST 2000 chars of stdout and json-parses
     // that tail: a 253-query map (~6 KB) therefore starts mid-JSON and has
     // never parsed (rounds 1-7). The final line must itself fit inside the

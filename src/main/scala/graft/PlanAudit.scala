@@ -37,6 +37,44 @@ object PlanAudit {
       "pushed_scans" -> c("PushedFilters: \\[[^\\]]"))
   }
 
+  /** Joins the FINAL plan executes THIS job: descends through AQE stage
+    * wrappers but stops at cache boundaries (InMemoryTableScan). Needed for
+    * per-round audits of iterative jobs — plan toString prints a cached
+    * relation's build plan as a nested subtree, so string counting charges
+    * every round with all previous rounds' joins.
+    */
+  def liveJoinCount(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    plan match {
+      case a: AdaptiveSparkPlanExec    => liveJoinCount(a.executedPlan)
+      case q: QueryStageExec           => liveJoinCount(q.plan)
+      case _: InMemoryTableScanExec    => 0
+      case j: BaseJoinExec             => 1 + j.children.map(liveJoinCount).sum
+      case n                           => n.children.map(liveJoinCount).sum
+    }
+  }
+
+  /** [[liveJoinCount]] of the plan that BUILT an already-cached frame: a
+    * materialized round frame plans as a bare cache scan, so the audit must
+    * first unwrap the top InMemoryRelation into its cachedPlan — and only
+    * then stop at NESTED caches (the previous round, the edge relation).
+    */
+  def roundJoinCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def firstCache(p: SparkPlan): Option[InMemoryTableScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => firstCache(a.executedPlan)
+      case q: QueryStageExec        => firstCache(q.plan)
+      case s: InMemoryTableScanExec => Some(s)
+      case n => n.children.view.flatMap(firstCache(_)).headOption
+    }
+    val top = df.queryExecution.executedPlan
+    liveJoinCount(firstCache(top).map(_.relation.cachedPlan).getOrElse(top))
+  }
+
   /** stable key order for the JSON rendering */
   private val Keys = Seq("bcast_join", "smj", "shj", "cartesian", "bcast_nl",
     "exchange", "codegen_spans", "pushed_scans")

@@ -58,6 +58,14 @@ object Graph extends QueryPack {
   /** power-iteration rounds (fixed — the oracle replays each round) */
   val PrIters = 5
 
+  /** test seam: iterative queries invoke this with (queryName, round,
+    * materializedRoundFrame) right after the round's count(), so PlanSpec
+    * can pin the PER-ROUND join count — the regression class r7 hit (an
+    * extra out-degree join sneaking into every pagerank round) is invisible
+    * to whole-query plan audits because each round is its own job.
+    */
+  private[graft] var roundAudit: (String, Int, DataFrame) => Unit = (_, _, _) => ()
+
   /** fixed-point scale: every node starts with this much integer mass */
   val PrInit = 1000000000L
 
@@ -74,25 +82,47 @@ object Graph extends QueryPack {
   // Purchase graph (customer 2c ↔ supplier 2s+1, both directions)
   // -------------------------------------------------------------------------
 
-  /** Directed edge list (u, v) of the bipartite purchase graph, both
-    * directions materialized. Repartitioned by source vertex and cached:
-    * every power-iteration/BFS round joins on `u`, so the graph-sized
-    * relation shuffles ONCE at build and never again — only the node-sized
-    * rank/frontier relation moves per round. Each query releases the entry
-    * when it returns (via [[localized]]) so long sessions hold no stray
-    * graph caches; concurrent graph queries still share one entry while
-    * both are live (CacheManager keys by canonical plan).
+  /** Memoized-per-dir SESSION-cached edge relations (the Indicators-pack
+    * discipline): five bipartite-graph queries share one purchase-edge
+    * build and four co-purchase queries share one order-part self-join —
+    * the priciest base in the whole graph family. Entries are edge-sized
+    * (MBs at test scale) and deliberately live for the session; queries
+    * unpersist only their own per-round derived caches. The purchase edges
+    * are repartitioned by source vertex before caching: every power-
+    * iteration/BFS round joins on `u`, so the graph-sized relation shuffles
+    * ONCE at build and never again — only node-sized rank/frontier
+    * relations move per round.
     */
-  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val cs = od.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-      .distinct()
-    cs.unionAll(cs.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .cache()
-  }
+  private val purchaseEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val coPartEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(purchaseEdgesCache, dir) { d =>
+      val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val od = Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cs = od.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      cs.unionAll(cs.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
+    }
+
+  /** co-purchase part edges (x < y, co-order weight ≥ [[MinCoOrders]]) —
+    * the shared base of assortativity/triangles/kcore/link-prediction
+    */
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(coPartEdgesCache, dir) { d =>
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      op.as("a").hint("shuffle_hash")
+        .join(op.as("b").hint("shuffle_hash"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= MinCoOrders)
+    }
 
   private val edgeCtes =
     """cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -126,7 +156,7 @@ object Graph extends QueryPack {
     // needs (pr, outdeg) together, and carrying both in one node-sized row
     // drops a p⋈deg join from every round (PrIters joins per query saved)
     var p = deg.select(col("node"), col("outdeg"), lit(PrInit).as("pr"))
-    for (_ <- 1 to PrIters) {
+    for (t <- 1 to PrIters) {
       val contrib = edges
         .join(p.select(col("node").as("u"),
           expr("(85 * pr) div (100 * outdeg)").as("contrib")), "u")
@@ -137,6 +167,7 @@ object Graph extends QueryPack {
           (lit(PrBase) + coalesce(col("c"), lit(0L))).as("pr"))
         .cache()
       next.count()
+      roundAudit("graph_pagerank", t, next)
       p.unpersist(blocking = false)
       p = next
     }
@@ -148,7 +179,7 @@ object Graph extends QueryPack {
         expr("node div 2").as("key"),
         col("pr"),
         row_number().over(w).cast("long").as("rank")),
-      Seq(edges, deg, p))
+      Seq(deg, p))
   }
 
   /** seed cohort for personalized PageRank: customers with custkey < this */
@@ -196,7 +227,7 @@ object Graph extends QueryPack {
         expr("node div 2").as("s_suppkey"),
         col("pr"),
         row_number().over(w).cast("long").as("rank")),
-      Seq(edges, deg, seeded, p))
+      Seq(deg, seeded, p))
   }
 
   private val pprRecsSql = {
@@ -273,7 +304,7 @@ object Graph extends QueryPack {
     }
     localized(
       visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")),
-      edges :: acquired)
+      acquired)
   }
 
   private val reachSql =
@@ -320,6 +351,7 @@ object Graph extends QueryPack {
         .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h.toLong).as("hop")).cache()
       next.count() // materialize: the anti-join chain must not rebuild
+      roundAudit("graph_harmonic", h, next)
       visited = visited.unionAll(next).cache()
       acquired ::= next
       acquired ::= visited
@@ -332,7 +364,7 @@ object Graph extends QueryPack {
           count(lit(1)).as("n_reached"),
           sum(expr("1000000 div hop")).as("harmonic_ppm"),
           max(col("hop")).as("ecc_capped")),
-      edges :: acquired)
+      acquired)
   }
 
   private val harmonicSql =
@@ -367,15 +399,7 @@ object Graph extends QueryPack {
     * reduce is one row. Nothing quadratic, nothing driver-side.
     */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").hint("shuffle_hash")
-      .join(op.as("b").hint("shuffle_hash"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-      .agg(count(lit(1)).as("wts"))
-      .where(col("wts") >= MinCoOrders)
-      .select("x", "y")
+    val e = coPartEdges(s, dir).select("x", "y")
     val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y"))).cache()
     val deg = und.groupBy(col("x").as("node")).agg(count(lit(1)).as("d"))
     val dxy = und
@@ -442,15 +466,7 @@ object Graph extends QueryPack {
     * naive id-ordered formulation and still match exactly.
     */
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").hint("shuffle_hash")
-      .join(op.as("b").hint("shuffle_hash"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= MinCoOrders)
-      .select("x", "y").cache()
+    val e = coPartEdges(s, dir).select("x", "y")
     val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
     val deg = und.groupBy(col("x").as("node")).agg(count(lit(1)).as("d")).cache()
 
@@ -487,7 +503,7 @@ object Graph extends QueryPack {
         col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") === 0, lit(0L))
           .otherwise(expr("(3000000 * n_triangles) div n_wedges")).as("clustering_ppm")),
-      Seq(e, deg))
+      Seq(deg))
   }
 
   private val trianglesSql =
@@ -601,15 +617,7 @@ object Graph extends QueryPack {
     * nothing graph-sized collects.
     */
   def kcore(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").hint("shuffle_hash")
-      .join(op.as("b").hint("shuffle_hash"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= MinCoOrders)
-      .select("x", "y")
+    val e = coPartEdges(s, dir).select("x", "y")
     var cur = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       .repartition(col("x")).cache()
     var acquired = List[DataFrame](cur)
@@ -678,15 +686,7 @@ object Graph extends QueryPack {
     * a TakeOrdered cut, never a global sort.
     */
   def linkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").hint("shuffle_hash")
-      .join(op.as("b").hint("shuffle_hash"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= MinCoOrders)
-      .select("x", "y").cache()
+    val e = coPartEdges(s, dir).select("x", "y")
     val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
     val deg = und.groupBy(col("x").as("z")).agg(count(lit(1)).as("d"))
     // wedges through z, canonical x < y, each common neighbor voting once
@@ -706,7 +706,7 @@ object Graph extends QueryPack {
       .limit(LpK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("ra_e6").desc, col("p_a"), col("p_b"))).cast("long"))
-    localized(out, Seq(e))
+    localized(out, Seq.empty)
   }
 
   private val linkPredictionSql =
@@ -765,7 +765,6 @@ object Graph extends QueryPack {
         expr("max_deg * 1000000 div n_halfedges").as("max_deg_share_ppm"))
       .orderBy(col("rank"))
     val rows = out.collect()
-    edges.unpersist(blocking = false)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -470,12 +470,19 @@ object TpchShapes extends QueryPack {
   // (~#distinct pairs, partsupp-sized not lineitem-sized); every consumer
   // below joins ps against broadcast dims or aggregates of itself.
 
+  // memoized-per-dir and session-cached (the Indicators-pack discipline):
+  // five TPC-H shapes start from this one fact aggregate, so the first
+  // pays the lineitem scan and the rest reuse the partsupp-sized relation
+  private val psCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def partsupp(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .agg(
-        min(dec2(col("l_extendedprice"))).as("ps_supplycost"),
-        sum(col("l_quantity").cast("long")).as("ps_availqty"))
+    graft.Memo.cached(psCache, dir) { d =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(
+          min(dec2(col("l_extendedprice"))).as("ps_supplycost"),
+          sum(col("l_quantity").cast("long")).as("ps_availqty"))
+    }
 
   private val partsuppSql =
     """ps AS (

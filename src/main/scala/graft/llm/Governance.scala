@@ -1474,8 +1474,86 @@ object Governance extends QueryPack {
       |SELECT *, CAST(CASE WHEN ks_ppm > crit95_ppm THEN 1 ELSE 0 END AS BIGINT) AS reject_95
       |FROM agg""".stripMargin
 
+  /** Two-sample Cramér–von Mises drift test over the same split as
+    * [[driftKs]] — the L2 companion to KS's L∞: T sums the SQUARED CDF gap
+    * over every pooled point, so a broad, moderate distribution shift that
+    * never produces one extreme gap (invisible to KS) still rejects here.
+    *
+    * Exactness: on the pooled value histogram with per-side counts
+    * (ca, cb) and cumulatives (Na_i, Nb_i),
+    *   T = Σ_i (ca_i+cb_i) · (Na_i·nb − Nb_i·na)² / (na·nb·(na+nb)³)
+    * — every term integer. The squared gaps exceed int64, so the sum runs
+    * in DECIMAL(38,0) (HUGEINT in DuckDB) and one integer `div` emits
+    * floor-1e6 (the [[graft.analytics.Indicators]] VPIN discipline; e6 not
+    * e9 keeps even the disjoint-support worst case inside 38 digits).
+    * Asymptotic 5% critical value T* = 0.461 → integer compare at 461000.
+    *
+    * 100 TB shape: identical to KS — one fact shuffle to the value
+    * histogram, cumulative window on the value-domain-sized relation, one
+    * 1-row reduce.
+    */
+  def driftCvm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      (col("event_id") % 2).as("side"),
+      floor(col("value") * 1000).cast("long").as("vm"))
+    val hist = ev.groupBy("vm").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = ev.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy("pid").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", col("cuma") * col("nb") - col("cumb") * col("na"))
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        expr("""CAST(sum(CAST(ca + cb AS DECIMAL(38,0)) * gap * gap) * 1000000
+               | div (CAST(max(na) AS DECIMAL(38,0)) * max(nb)
+               |      * (max(na) + max(nb)) * (max(na) + max(nb))
+               |      * (max(na) + max(nb))) AS BIGINT)""".stripMargin).as("cvm_e6"))
+      .withColumn("reject_95", (col("cvm_e6") > lit(461000L)).cast("long"))
+  }
+
+  private val driftCvmSql =
+    """WITH e AS (
+      |  SELECT event_id % 2 AS side, CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |h AS (
+      |  SELECT vm,
+      |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e),
+      |c AS (
+      |  SELECT vm, ca, cb,
+      |         CAST(sum(ca) OVER (ORDER BY vm
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+      |         CAST(sum(cb) OVER (ORDER BY vm
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+      |  FROM h),
+      |g AS (
+      |  SELECT ca, cb, CAST(cuma * nb - cumb * na AS HUGEINT) AS gap, na, nb
+      |  FROM c CROSS JOIN t),
+      |agg AS (
+      |  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |         CAST(sum(CAST(ca + cb AS HUGEINT) * gap * gap) * 1000000
+      |              // (CAST(max(na) AS HUGEINT) * max(nb)
+      |                 * (max(na) + max(nb)) * (max(na) + max(nb))
+      |                 * (max(na) + max(nb))) AS BIGINT) AS cvm_e6
+      |  FROM g)
+      |SELECT *, CAST(CASE WHEN cvm_e6 > 461000 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+      |FROM agg""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("drift_ks", driftKs, Some(driftKsSql)),
+    Q("drift_cvm", driftCvm, Some(driftCvmSql)),
     Q("rr_private_count", rrPrivateCount, Some(rrPrivateCountSql)),
     Q("ope_ips", opeIps, Some(opeIpsSql)),
     Q("scd2_interval_audit", scd2IntervalAudit, Some(scd2IntervalAuditSql)),

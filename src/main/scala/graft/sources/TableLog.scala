@@ -234,7 +234,10 @@ object TableLog extends QueryPack {
       df: DataFrame, table: String, txnId: String): Option[Long] = {
     if (committedTxns(table).contains(txnId)) None
     else {
-      val moved = writeDataFiles(df, table)
+      // writeConstrained, not writeDataFiles: idempotent transactional
+      // commits enforce the table's CHECK constraints exactly like
+      // commitAppend/commitOverwrite (one consistent enforcement surface)
+      val moved = writeConstrained(df, table)
       // a conflict loser re-checks the txn set: if the WINNER was a replay
       // of this same transaction, the no-op applies (its data files stay
       // unreferenced for gcOrphans — same as any crashed commit)
@@ -252,9 +255,11 @@ object TableLog extends QueryPack {
   private val AlreadyCommitted = -2L
 
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
-    * stat column), long-valued. Written BEFORE the manifest rename — the
-    * manifest stays the single commit point; a crashed commit leaves only an
-    * unreferenced sidecar for [[vacuum]].
+    * stat column), long-valued. Written AFTER the manifest publish (a
+    * pre-publish write could clobber a concurrent winner's sidecar), so a
+    * crash in that window yields a STATLESS version — sound (readPruned
+    * keeps all files) and self-healing: later commits recover stats from
+    * the newest ancestor that has a sidecar ([[latestStatsLines]]).
     */
   private def statsFile(table: String, v: Long): Path =
     logDir(table).resolve(s"s$v.txt")
@@ -264,6 +269,17 @@ object TableLog extends QueryPack {
     if (!Files.exists(p)) Seq.empty
     else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
   }
+
+  /** stats of the newest version ≤ `upTo` that HAS a sidecar. Data files are
+    * immutable and uniquely named, so a per-file stat line stays valid for
+    * as long as that file exists — an older sidecar is safe to inherit
+    * (callers filter it to the files actually live at their version).
+    * Without this fallback, one crash between publish and the sidecar write
+    * would carry sidecar emptiness forward through every later append.
+    */
+  private def latestStatsLines(table: String, upTo: Long): Seq[String] =
+    versions(table).filter(_ <= upTo).sorted.reverseIterator
+      .map(statsLines(table, _)).find(_.nonEmpty).getOrElse(Seq.empty)
 
   /** Append commit: new version = previous live files + the new ones.
     * `statCols` (long-valued columns) adds per-file [min, max] stats to the
@@ -282,7 +298,12 @@ object TableLog extends QueryPack {
       // retry, so a conflict loser appends onto the winner's head
       val prevV = versions(table).lastOption
       val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
-      val prevStats = prevV.map(statsLines(table, _)).getOrElse(Seq.empty)
+      val prevStats = prevV.map { pv =>
+        val live = prev.toSet
+        // newest-ancestor fallback heals a crash-orphaned statless version;
+        // restrict to files live NOW so dead-file stats never carry forward
+        latestStatsLines(table, pv).filter(l => live(l.takeWhile(_ != '|')))
+      }.getOrElse(Seq.empty)
       // prior files keep their deletion vectors across an append
       publish(table, v, prev ++ moved,
         dvs = prevV.map(dvFiles(table, _)).getOrElse(Seq.empty))
@@ -377,6 +398,130 @@ object TableLog extends QueryPack {
         kept.map(f => Paths.get(table).resolve(f).toString): _*))
   }
 
+  // -------------------------------------------------------------------------
+  // Per-file BLOOM index — point-lookup file skipping on unordered layouts
+  // -------------------------------------------------------------------------
+
+  /** bits per file per indexed column (1 KiB rendered as 2048 hex chars) */
+  val BloomBits = 8192
+  /** hash functions per value */
+  val BloomK = 4
+
+  private def bloomFile(table: String, column: String): Path =
+    logDir(table).resolve(s"bloom_$column.txt")
+
+  private def bloomLines(table: String, column: String): Seq[String] = {
+    val p = bloomFile(table, column)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Bloom bit positions of one value — the portable md5 recipe (first 8
+    * hex chars as an integer), computed identically driver-side here and
+    * executor-side in [[buildBloomIndex]]'s Spark expression.
+    */
+  private[graft] def bloomPositions(column: String, value: String): Seq[Int] = {
+    (0 until BloomK).map { j =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$column:$j:$value".getBytes(StandardCharsets.UTF_8))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % BloomBits).toInt
+    }
+  }
+
+  /** Build (incrementally) the per-file Bloom index for `column`: every
+    * LIVE file not yet indexed gets one `relpath|hexbits` line appended to
+    * the column's sidecar. The point-lookup complement of the min/max stats
+    * index — min/max skips on RANGE-clustered layouts, a Bloom skips on
+    * HASH-clustered/unordered ones, where every file spans the full value
+    * range but each key lives in few files.
+    *
+    * 100 TB shape: position extraction is ONE distributed pass over the new
+    * files (distinct (file, position) is capped at [[BloomBits]] rows per
+    * file — the collect is file-count × 1 KiB, manifest asymptotics); files
+    * are immutable so an indexed file never needs re-indexing, and appends
+    * only pay for their own files. Returns the number of files indexed.
+    */
+  def buildBloomIndex(spark: SparkSession, table: String, column: String): Int = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val have = bloomLines(table, column).map(_.takeWhile(_ != '|')).toSet
+    // files lacking the column (pre-evolution) are skipped — the lookup
+    // keeps bloomless files, so skipping stays sound
+    val missing = liveFiles(table, vs.last).filterNot(have)
+      .filter { f =>
+        spark.read.parquet(Paths.get(table).resolve(f).toString)
+          .columns.contains(column)
+      }
+    if (missing.isEmpty) return 0
+    val abs = missing.map(f => Paths.get(table).resolve(f).toString)
+    val posCols = (0 until BloomK).map { j =>
+      (conv(substring(md5(concat(lit(s"$column:$j:"), col(column).cast("string"))),
+        1, 8), 16, 10).cast("long") % BloomBits).cast("int")
+    }
+    val rows = spark.read.parquet(abs: _*)
+      .where(col(column).isNotNull)
+      .select(input_file_name().as("f"), explode(array(posCols: _*)).as("pos"))
+      .distinct()
+      .collect()
+    val byFile = rows.groupBy { r =>
+      val uri = r.getString(0); "data/" + uri.substring(uri.lastIndexOf('/') + 1)
+    }
+    val lines = missing.map { rel =>
+      val bits = new java.util.BitSet(BloomBits)
+      byFile.getOrElse(rel, Array.empty).foreach(r => bits.set(r.getInt(1)))
+      val words = bits.toLongArray.padTo(BloomBits / 64, 0L)
+      s"$rel|${words.map(w => f"$w%016x").mkString}"
+    }
+    val prior = bloomLines(table, column)
+    Files.createDirectories(logDir(table))
+    Files.write(bloomFile(table, column),
+      (prior ++ lines).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    missing.size
+  }
+
+  /** live files whose Bloom for `column` may contain `value` (files without
+    * a bloom line are always kept — sound, never speculative). Returns
+    * (kept, total live).
+    */
+  private[graft] def pointLookupFiles(
+      table: String, column: String, value: String,
+      asOf: Option[Long] = None): (Seq[String], Int) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val files = liveFiles(table, asOf.getOrElse(vs.last))
+    val blooms = bloomLines(table, column).map { l =>
+      val i = l.indexOf('|'); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    val ps = bloomPositions(column, value)
+    val kept = files.filter { f =>
+      blooms.get(f).forall { hex =>
+        ps.forall { p =>
+          // word w, bit b within the 16-hex-char little-endian longs that
+          // BitSet.toLongArray produced
+          val word = java.lang.Long.parseUnsignedLong(
+            hex.substring((p / 64) * 16, (p / 64) * 16 + 16), 16)
+          (word & (1L << (p % 64))) != 0
+        }
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Snapshot read restricted to files whose Bloom may contain
+    * `column = value` — the point-lookup twin of [[readPruned]]. The caller
+    * still applies the exact equality filter; skipping is sound (no false
+    * negatives by Bloom construction), selective on hash-clustered layouts.
+    */
+  def readPointLookup(
+      spark: SparkSession, table: String, column: String, value: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = pointLookupFiles(table, column, value, asOf)
+    if (kept.isEmpty) read(spark, table, asOf).limit(0)
+    else applyDv(spark, table, asOf.getOrElse(versions(table).last),
+      spark.read.parquet(kept.map(f => Paths.get(table).resolve(f).toString): _*))
+  }
+
   /** Logical overwrite: new version references ONLY the new files; prior
     * versions stay readable (their files are untouched) until vacuumed.
     * `statCols` writes a fresh per-file stats sidecar for the new version
@@ -433,15 +578,21 @@ object TableLog extends QueryPack {
     val dvs = dvFiles(table, v)
     if (dvs.isEmpty) base
     else {
+      // helper column names are salted per call: withColumn REPLACES a
+      // same-named user column, so fixed names like `_f`/`_p` would silently
+      // drop (and mis-position) legitimate user data on every DV'd read
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val (fc, pc, dvf, dvp) =
+        (s"_graft_f_$tag", s"_graft_p_$tag", s"_graft_dvf_$tag", s"_graft_dvp_$tag")
       val dv = spark.read.parquet(
           dvs.map(f => Paths.get(table).resolve(f).toString): _*)
-        .select(col("f").as("_dv_f"), col("p").as("_dv_p"))
+        .select(col("f").as(dvf), col("p").as(dvp))
       base
-        .withColumn("_f",
+        .withColumn(fc,
           concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/"), -1)))
-        .withColumn("_p", col("_metadata.row_index"))
-        .join(dv, col("_f") === col("_dv_f") && col("_p") === col("_dv_p"), "left_anti")
-        .drop("_f", "_p")
+        .withColumn(pc, col("_metadata.row_index"))
+        .join(dv, col(fc) === col(dvf) && col(pc) === col(dvp), "left_anti")
+        .drop(fc, pc)
     }
   }
 
@@ -466,7 +617,10 @@ object TableLog extends QueryPack {
       val v = nv - 1
       val files = liveFiles(table, v)
       require(files.nonEmpty, s"version $v of $table has no data files")
-      val hits = spark.read.parquet(
+      // mergeSchema: on a schema-evolved table (which read() supports) a
+      // single-file-inferred schema would make a predicate on a later-added
+      // column throw or silently match nothing for the files lacking it
+      val hits = spark.read.option("mergeSchema", true).parquet(
           files.map(f => Paths.get(table).resolve(f).toString): _*)
         .where(expr(cond))
         .select(
@@ -480,7 +634,9 @@ object TableLog extends QueryPack {
             prevDvs.map(f => Paths.get(table).resolve(f).toString): _*))
           .distinct()
       val moved = writeDataFiles(merged.coalesce(1), table)
-      val prevStats = statsLines(table, v)
+      val liveSet = files.toSet
+      val prevStats =
+        latestStatsLines(table, v).filter(l => liveSet(l.takeWhile(_ != '|')))
       publish(table, nv, files, dvs = moved)
       if (prevStats.nonEmpty) {
         Files.write(statsFile(table, nv),
@@ -498,17 +654,59 @@ object TableLog extends QueryPack {
     * mutability lives entirely in the manifest, so "rewrite" is an append
     * of new files plus one atomic rename.
     */
+  /** test seam: runs between a compaction's snapshot read and its publish
+    * attempt, so a spec can interleave a concurrent commit deterministically
+    */
+  private[graft] var testBeforeCompactPublish: () => Unit = () => ()
+
+  /** Compact-and-publish with a PINNED source version: the snapshot read at
+    * head H may only publish as H+1 (the manifest link is put-if-absent).
+    * If a concurrent commitAppend/deleteWhere takes H+1 first, this
+    * compaction's content is STALE — publishing it on a bumped version (what
+    * [[withRetry]] does for appends, where content is version-independent)
+    * would silently drop that commit from the new head (a lost update). So
+    * the loser deletes its staged files and restarts the whole
+    * read→rewrite→publish cycle against the new head — Delta's OPTIMIZE
+    * conflict-detection rule.
+    */
+  private def compactRetry(spark: SparkSession, table: String)(
+      snapshotAt: Long => (DataFrame, Seq[String])): Long = {
+    var attempts = 0
+    while (true) {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no committed versions under $table")
+      val head = vs.last
+      val (snapshot, statCols) = snapshotAt(head)
+      val moved = writeConstrained(snapshot, table)
+      val stats = gatherStats(spark, table, moved, statCols)
+      testBeforeCompactPublish()
+      try {
+        val nv = publish(table, head + 1, moved)
+        if (stats.nonEmpty) {
+          Files.write(statsFile(table, nv),
+            stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        }
+        return nv
+      } catch {
+        case _: CommitConflict =>
+          moved.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
+          attempts += 1
+          require(attempts < 100, s"compaction on $table conflicted $attempts times")
+      }
+    }
+    -1L // unreachable
+  }
+
   def optimize(spark: SparkSession, table: String, nFiles: Int = 1): Long = {
     require(nFiles > 0, "nFiles must be positive")
-    // compacting a stats-indexed table must not silently discard the
-    // min/max file index (readPruned would degrade to keep-all): recover
-    // the indexed columns from the latest sidecar and re-gather stats for
-    // the compacted files
-    val statCols = versions(table).lastOption
-      .map(v => statsLines(table, v).map(_.split('|')(1)).distinct)
-      .getOrElse(Seq.empty)
-    val snapshot = read(spark, table).coalesce(nFiles)
-    commitOverwrite(snapshot, table, statCols)
+    compactRetry(spark, table) { head =>
+      // compacting a stats-indexed table must not silently discard the
+      // min/max file index (readPruned would degrade to keep-all): recover
+      // the indexed columns from the pinned version's sidecar and re-gather
+      // stats for the compacted files
+      val statCols = statsLines(table, head).map(_.split('|')(1)).distinct
+      (read(spark, table, Some(head)).coalesce(nFiles), statCols)
+    }
   }
 
   /** OPTIMIZE ZORDER (the Delta `OPTIMIZE ... ZORDER BY` shape): rewrite the
@@ -528,15 +726,15 @@ object TableLog extends QueryPack {
       colB: String,
       nFiles: Int = 8): Long = {
     require(nFiles > 0, "nFiles must be positive")
-    val prevStatCols = versions(table).lastOption
-      .map(v => statsLines(table, v).map(_.split('|')(1)).distinct)
-      .getOrElse(Seq.empty)
-    val clustered = read(spark, table)
-      .withColumn("_z", Layout.zValue(col(colA), col(colB)))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-    commitOverwrite(clustered, table, (prevStatCols ++ Seq(colA, colB)).distinct)
+    compactRetry(spark, table) { head =>
+      val prevStatCols = statsLines(table, head).map(_.split('|')(1)).distinct
+      val clustered = read(spark, table, Some(head))
+        .withColumn("_z", Layout.zValue(col(colA), col(colB)))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+      (clustered, (prevStatCols ++ Seq(colA, colB)).distinct)
+    }
   }
 
   /** data files live at the given (default latest) version — count these to
@@ -1023,7 +1221,67 @@ object TableLog extends QueryPack {
       |  AND NOT (o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
 
+  private val bloomQBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** orders committed HASH-clustered on o_custkey (8 files) with a Bloom
+    * index built on that column — the layout where min/max stats are
+    * useless (every file spans the full key range) and only a Bloom skips.
+    */
+  private[graft] def ordersBloomed(s: SparkSession, dir: String): String =
+    bloomQBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_bloom"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      commitAppend(
+        Tables.load(s, d, "orders").repartition(8, col("o_custkey")), table)
+      buildBloomIndex(s, table, "o_custkey")
+      table
+    })
+
+  /** Bloom point lookups over [[ordersBloomed]]: five data-derived probe
+    * keys (max custkey and its integer fractions — some may not exist,
+    * which is exactly the lookup a Bloom answers cheapest), each read
+    * through [[readPointLookup]]'s pruned scan and reduced to exact
+    * accounting. A false-negative prune (a skipped file that held the key)
+    * flips a sum; the oracle replays every probe from the raw table. The
+    * companion spec pins that the pruning actually SKIPS files.
+    */
+  def bloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersBloomed(s, dir)
+    val maxk = Tables.load(s, dir, "orders")
+      .agg(max(col("o_custkey"))).collect()(0).getLong(0)
+    Seq(1L, 2L, 3L, 5L, 7L).map { f =>
+      val k = maxk / f
+      readPointLookup(s, t, "o_custkey", k.toString)
+        .where(col("o_custkey") === k)
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("key_sum"),
+          coalesce(sum(floor(col("o_totalprice") * 100).cast("long")), lit(0L))
+            .as("cents"))
+        .select(lit(f).as("frac"), col("n_orders"), col("key_sum"), col("cents"))
+    }.reduce(_.unionAll(_))
+  }
+
+  private val bloomPointLookupSql =
+    """WITH m AS (SELECT max(o_custkey) AS mk FROM orders),
+      |p AS (SELECT 1 AS frac, mk AS probe FROM m
+      |      UNION ALL SELECT 2, mk // 2 FROM m
+      |      UNION ALL SELECT 3, mk // 3 FROM m
+      |      UNION ALL SELECT 5, mk // 5 FROM m
+      |      UNION ALL SELECT 7, mk // 7 FROM m)
+      |SELECT CAST(frac AS BIGINT) AS frac,
+      |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+      |       CAST(coalesce(sum(o.o_orderkey), 0) AS BIGINT) AS key_sum,
+      |       CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+      |FROM p LEFT JOIN orders o ON o.o_custkey = p.probe
+      |GROUP BY frac""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("dv_delete_read", dvDeleteRead, Some(dvDeleteReadSql)),
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
     Q("bitemporal_asof", bitemporalAsOf, Some(bitemporalAsOfSql)),

@@ -962,4 +962,102 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming VPIN — volume-clock order-flow toxicity monitor
+  // ---------------------------------------------------------------------
+
+  case class Tick(company: String, seq: Long, cents: Long, volume: Long)
+  case class VpinBucket(company: String, bucket: Long, buy_v: Long,
+      sell_v: Long, abs_imb: Long, vpin_ppm: Long)
+  case class VpinCur(bucket: Long, cumVol: Long, buyV: Long, sellV: Long)
+
+  /** [[streamingVpin]]'s processor: the live twin of the batch
+    * [[graft.analytics.Indicators]] VPIN, reformulated for an unbounded
+    * stream — the batch estimator sizes buckets from TOTAL volume (total/50),
+    * which a stream can never know, so the streaming monitor runs a FIXED
+    * volume clock (`bucketVol` per bucket, the Easley/López de Prado/O'Hara
+    * production form) and reads VPIN over the trailing `window` completed
+    * buckets.
+    *
+    * State per instrument is O(1) forever: previous trade price (tick-rule
+    * classifier), the current bucket's [cum volume, buy volume, sell
+    * volume], and a ≤window list of completed-bucket |imbalance|s — the
+    * mergeable-summaries discipline (CLAUDE.md): raw per-bucket counts in
+    * state, the decayed/derived reading (vpin_ppm) computed at emit time,
+    * so trigger boundaries cannot change any answer. A tick spanning a
+    * bucket boundary SPLITS its volume at the boundary (both sides keep
+    * their share), which is what makes the volume clock exact rather than
+    * approximately-V buckets.
+    */
+  class VpinProcessor(bucketVol: Long, window: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Tick, VpinBucket] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var prevCents: ValueState[Long] = _
+    @transient private var cur: ValueState[VpinCur] = _
+    @transient private var doneImb: ListState[Long] = _
+    override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit = {
+      prevCents = getHandle.getValueState[Long]("prevCents", Encoders.scalaLong, TTLConfig.NONE)
+      cur = getHandle.getValueState[VpinCur]("cur", Encoders.product[VpinCur], TTLConfig.NONE)
+      doneImb = getHandle.getListState[Long]("doneImb", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[Tick],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[VpinBucket] = {
+      var st = if (cur.exists()) cur.get() else VpinCur(0L, 0L, 0L, 0L)
+      var recent = if (doneImb.exists()) doneImb.get().toList else Nil
+      var prev = if (prevCents.exists()) Some(prevCents.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer[VpinBucket]()
+      // per-batch sort by seq: the event-time order the batch twin uses
+      // (a production feed is per-key ordered; MemoryStream within a batch
+      // is not guaranteed to be)
+      rows.toSeq.sortBy(_.seq).foreach { t =>
+        // tick rule: up-tick = buy, down-tick = sell, flat/first = neutral
+        // (neutral volume still advances the volume clock, as in the batch)
+        val side = prev match {
+          case Some(p) if t.cents > p => 1
+          case Some(p) if t.cents < p => -1
+          case _                      => 0
+        }
+        prev = Some(t.cents)
+        var v = t.volume
+        while (v > 0) {
+          val take = math.min(v, bucketVol - st.cumVol)
+          st = VpinCur(st.bucket, st.cumVol + take,
+            st.buyV + (if (side == 1) take else 0L),
+            st.sellV + (if (side == -1) take else 0L))
+          v -= take
+          if (st.cumVol == bucketVol) {
+            val imb = math.abs(st.buyV - st.sellV)
+            recent = (recent :+ imb).takeRight(window)
+            // exact integer ppm over the trailing window of FULL buckets
+            val vpin = recent.sum * 1000000L / (recent.size.toLong * bucketVol)
+            out += VpinBucket(key, st.bucket, st.buyV, st.sellV, imb, vpin)
+            st = VpinCur(st.bucket + 1, 0L, 0L, 0L)
+          }
+        }
+      }
+      prev.foreach(prevCents.update)
+      cur.update(st)
+      doneImb.put(recent.toArray)
+      out.iterator
+    }
+  }
+
+  /** Live order-flow toxicity monitor: one output row per COMPLETED volume
+    * bucket carrying that bucket's signed flow and the trailing-window VPIN
+    * reading. Exactly the rows a batch replay of the same tick sequence
+    * produces — trigger boundaries are invisible (StreamingSpec pins
+    * 1-trigger vs N-trigger equality).
+    */
+  def streamingVpin(
+      ticks: org.apache.spark.sql.Dataset[Tick],
+      bucketVol: Long,
+      window: Int): org.apache.spark.sql.Dataset[VpinBucket] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.company)
+      .transformWithState(new VpinProcessor(bucketVol, window),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -194,6 +194,38 @@ class PlanSpec extends SparkSpec {
     assert("LeftAnti".r.findAllIn(morPlan).length == 1, "DV read is exactly one anti-join")
   }
 
+  test("iterative graph rounds keep their exact per-round join count") {
+    // the r7 regression (an out-degree re-join inside every pagerank round)
+    // was invisible to whole-query plan audits — each round is a separate
+    // job whose plan closes over the PREVIOUS round as a cached scan. The
+    // roundAudit seam hands every materialized round frame to the spec, and
+    // the pin is the LIVE join count (liveJoinCount stops at cache
+    // boundaries; plan toString prints cached build plans recursively, so a
+    // string count would charge round h with all rounds < h too):
+    // pagerank = edges⋈ranks + deg⋈contrib, harmonic = frontier⋈edges +
+    // visited anti-join. Anything third fails.
+    spark.sqlContext.clearCache()
+    val rounds = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    graft.analytics.Graph.roundAudit = (q, t, df) => {
+      rounds += ((q, t, PlanAudit.roundJoinCount(df)))
+      ()
+    }
+    try {
+      SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
+      SparkEntry.queries("graph_harmonic")(spark, sfDir).collect()
+    } finally graft.analytics.Graph.roundAudit = (_, _, _) => ()
+    val pr = rounds.filter(_._1 == "graph_pagerank")
+    assert(pr.size == graft.analytics.Graph.PrIters, s"expected every round audited, got $pr")
+    pr.foreach { case (_, t, j) =>
+      assert(j == 2, s"pagerank round $t drifted from 2 live joins: $j")
+    }
+    val hm = rounds.filter(_._1 == "graph_harmonic")
+    assert(hm.size == graft.analytics.Graph.ReachHops)
+    hm.foreach { case (_, h, j) =>
+      assert(j == 2, s"harmonic round $h drifted from 2 live joins: $j")
+    }
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized

@@ -797,4 +797,73 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L)                              // user 7 session 2
     assert(out(2).getLong(2) == 1L)                              // user 8
   }
+
+  test("streaming VPIN: trigger-split invariant and equal to a scalar replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (bucketVol, window) = (25L, 5)
+    // deterministic synthetic ticks: two instruments, integer price walk,
+    // volumes 1..7 — all pure functions of i
+    val all = (0 until 240).map { i =>
+      StreamIngest.Tick(if (i % 2 == 0) "A" else "B", i.toLong,
+        10000L + (i * i * 31) % 97, 1L + (i * 13) % 7)
+    }
+    def run(name: String, chunks: Seq[Seq[StreamIngest.Tick]]): Seq[StreamIngest.VpinBucket] = {
+      val mem = MemoryStream[StreamIngest.Tick]
+      val q = StreamIngest.streamingVpin(mem.toDS(), bucketVol, window)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[StreamIngest.VpinBucket].collect().toSeq
+        .sortBy(b => (b.company, b.bucket))
+    }
+    try {
+      val oneTrigger = run("svpin1", Seq(all))
+      val manyTriggers = run("svpinN", all.grouped(37).toSeq)
+      // trigger boundaries are invisible: identical buckets, flows, readings
+      assert(oneTrigger.nonEmpty, "synthetic ticks must complete buckets")
+      assert(oneTrigger == manyTriggers,
+        s"trigger split changed the answer:\n$oneTrigger\nvs\n$manyTriggers")
+      // independent scalar replay of the same volume-clock semantics
+      val expect = all.groupBy(_.company).toSeq.flatMap { case (c, ts) =>
+        var prevC = Option.empty[Long]
+        var (bkt, cum, buy, sell) = (0L, 0L, 0L, 0L)
+        var recent = List.empty[Long]
+        ts.sortBy(_.seq).flatMap { t =>
+          val side = prevC match {
+            case Some(p) if t.cents > p => 1
+            case Some(p) if t.cents < p => -1
+            case _ => 0
+          }
+          prevC = Some(t.cents)
+          var v = t.volume
+          val rows = scala.collection.mutable.ArrayBuffer[StreamIngest.VpinBucket]()
+          while (v > 0) {
+            val take = math.min(v, bucketVol - cum)
+            cum += take; v -= take
+            if (side == 1) buy += take else if (side == -1) sell += take
+            if (cum == bucketVol) {
+              val imb = math.abs(buy - sell)
+              recent = (recent :+ imb).takeRight(window)
+              rows += StreamIngest.VpinBucket(c, bkt, buy, sell, imb,
+                recent.sum * 1000000L / (recent.size.toLong * bucketVol))
+              bkt += 1; cum = 0; buy = 0; sell = 0
+            }
+          }
+          rows
+        }
+      }.sortBy(b => (b.company, b.bucket))
+      assert(oneTrigger == expect, "stream diverged from the scalar replay")
+      // volume-clock law: classified flow never exceeds the bucket volume
+      oneTrigger.foreach(b => assert(b.buy_v + b.sell_v <= bucketVol, b.toString))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -396,4 +396,132 @@ class TableLogSpec extends SparkSpec {
     assert(d.where(col("class") === "changed" && (col("va").isNull || col("vb").isNull))
       .count() == 0)
   }
+
+  test("optimize vs concurrent commit: stale compaction restarts, no lost update") {
+    rm(new java.io.File(s"$root/opt_conflict"))
+    val t = s"$root/opt_conflict"
+    TableLog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    TableLog.commitAppend(Seq((3L, "c")).toDF("k", "v"), t)
+    // interleave a concurrent append between optimize's snapshot read and
+    // its publish: the pinned-version compaction must detect the moved head
+    // and re-compact INCLUDING the concurrent rows (the round-8 advisor's
+    // lost-update scenario — the old withRetry republished the stale files)
+    var fired = false
+    TableLog.testBeforeCompactPublish = () => {
+      if (!fired) { fired = true; TableLog.commitAppend(Seq((99L, "late")).toDF("k", "v"), t); () }
+    }
+    try {
+      val v = TableLog.optimize(spark, t, nFiles = 1)
+      assert(fired, "test seam did not fire")
+      assert(v == TableLog.versions(t).last)
+      // the concurrent commit's row survived the compaction
+      assert(TableLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 99L))
+      assert(TableLog.liveFileCount(t) == 1)
+      // the stale compaction's staged files were cleaned up (nothing orphaned)
+      assert(TableLog.gcOrphans(t) == 0)
+    } finally TableLog.testBeforeCompactPublish = () => ()
+  }
+
+  test("deleteWhere on a schema-evolved table matches rows in pre-evolution files too") {
+    rm(new java.io.File(s"$root/del_evolved"))
+    val t = s"$root/del_evolved"
+    TableLog.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"), t)
+    // widening commit adds `status`; v0's files have never heard of it
+    TableLog.commitAppend(
+      Seq((3L, 30L, "X"), (4L, 40L, "Y")).toDF("k", "cents", "status"), t)
+    // a predicate that touches BOTH the original and the added column: with a
+    // single-file-inferred schema this either throws or matches nothing in
+    // the old files; with mergeSchema the null-backfilled status is false-y
+    // for old rows and the cents leg still fires
+    TableLog.deleteWhere(spark, t, "cents = 20 OR status = 'Y'")
+    val live = TableLog.read(spark, t, mergeSchema = true)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(live == Seq(1L, 3L))
+  }
+
+  test("DV read preserves user columns literally named _f and _p") {
+    rm(new java.io.File(s"$root/dv_cols"))
+    val t = s"$root/dv_cols"
+    TableLog.commitAppend(
+      Seq((1L, "f1", "p1"), (2L, "f2", "p2"), (3L, "f3", "p3"))
+        .toDF("k", "_f", "_p"), t)
+    TableLog.deleteWhere(spark, t, "k = 2")
+    val rows = TableLog.read(spark, t).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the fixed-name helper columns used to REPLACE then DROP these
+    assert(rows.map(_.getString(1)).toSeq == Seq("f1", "f3"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("p1", "p3"))
+  }
+
+  test("commitOnceOverwrite enforces CHECK constraints like every other commit") {
+    rm(new java.io.File(s"$root/once_check"))
+    val t = s"$root/once_check"
+    TableLog.commitAppend(Seq((1L, 5L)).toDF("k", "v"), t)
+    TableLog.addCheckConstraint(t, "v_pos", "v > 0")
+    intercept[TableLog.CheckViolation] {
+      TableLog.commitOnceOverwrite(Seq((2L, -1L)).toDF("k", "v"), t, "txnA")
+    }
+    // aborted commit left the table untouched and the txn unrecorded
+    assert(TableLog.versions(t) == Seq(0L))
+    assert(!TableLog.committedTxns(t).contains("txnA"))
+    assert(TableLog.gcOrphans(t) == 0)
+    // a valid retry of the same txn then lands once
+    assert(TableLog.commitOnceOverwrite(Seq((2L, 7L)).toDF("k", "v"), t, "txnA").contains(1L))
+    assert(TableLog.commitOnceOverwrite(Seq((2L, 7L)).toDF("k", "v"), t, "txnA").isEmpty)
+  }
+
+  test("bloom index: no false negatives ever, real skipping on hash layout, incremental builds") {
+    rm(new java.io.File(s"$root/bloom"))
+    val t = s"$root/bloom"
+    // hash-clustered on k: every file spans the full range (min/max useless)
+    val df = spark.range(0, 400).selectExpr("id AS k", "id * 7 AS v")
+      .repartition(8, col("k"))
+    TableLog.commitAppend(df, t)
+    assert(TableLog.buildBloomIndex(spark, t, "k") == 8)
+    // idempotent: nothing new to index
+    assert(TableLog.buildBloomIndex(spark, t, "k") == 0)
+    // soundness sweep: every present key's pruned read equals the full read
+    val full = TableLog.read(spark, t)
+    (0L until 400L by 13L).foreach { k =>
+      val got = TableLog.readPointLookup(spark, t, "k", k.toString)
+        .where(col("k") === k).select("v").as[Long].collect().toSeq
+      val want = full.where(col("k") === k).select("v").as[Long].collect().toSeq
+      assert(got == want, s"bloom lookup lost rows for k=$k")
+    }
+    // effectiveness: a point lookup skips most of the 8 files
+    val (kept, total) = TableLog.pointLookupFiles(t, "k", "123")
+    assert(total == 8 && kept.size < total, s"no skipping: kept ${kept.size} of $total")
+    // an absent key usually prunes everything; at minimum it matches nothing
+    assert(TableLog.readPointLookup(spark, t, "k", "99999")
+      .where(col("k") === 99999L).count() == 0)
+    // append: only the NEW files get indexed, lookups stay exact
+    TableLog.commitAppend(
+      spark.range(400, 450).selectExpr("id AS k", "id * 7 AS v").coalesce(2), t)
+    val added = TableLog.buildBloomIndex(spark, t, "k")
+    assert(added == 2, s"expected 2 new files indexed, got $added")
+    val got2 = TableLog.readPointLookup(spark, t, "k", "425")
+      .where(col("k") === 425L).select("v").as[Long].collect().toSeq
+    assert(got2 == Seq(425L * 7))
+  }
+
+  test("append after a statless version recovers the stats index from an ancestor") {
+    rm(new java.io.File(s"$root/stats_heal"))
+    val t = s"$root/stats_heal"
+    TableLog.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), t, statCols = Seq("k"))
+    // simulate the crash window: version 1 publishes but its sidecar is lost
+    TableLog.commitAppend(
+      Seq((3L, 30L)).toDF("k", "v").coalesce(1), t, statCols = Seq("k"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_log", "s1.txt"))
+    // the next append must inherit v0's surviving stats (not emptiness):
+    // pruning on k must still skip v0's file for an out-of-range probe
+    TableLog.commitAppend(
+      Seq((100L, 1L)).toDF("k", "v").coalesce(1), t, statCols = Seq("k"))
+    val (kept, total) = TableLog.prunedFiles(t, "k", 90L, 200L)
+    assert(total == 3)
+    // v0's file [1,2] is skipped thanks to the healed index; v1's file (3)
+    // is statless → kept (sound), v2's file (100) matches → kept
+    assert(kept.size == 2, s"expected healed pruning to keep 2 of 3, kept $kept")
+  }
 }
