@@ -143,7 +143,11 @@ object TableLog extends QueryPack {
   }
 
   /** Write `df`'s rows as new immutable data files; return their relative
-    * paths (NOT yet referenced by any manifest).
+    * paths (NOT yet referenced by any manifest). Every file written through
+    * here also gets its row count recorded in the per-table
+    * [[rowCountsFile]] — the metadata that lets [[metadataCount]] answer
+    * `SELECT count(*)` without scanning (files are immutable, so a count
+    * recorded once is valid forever).
     */
   private def writeDataFiles(df: DataFrame, table: String): Seq[String] = {
     val staging = Paths.get(table, s".staging_${java.util.UUID.randomUUID()}")
@@ -158,7 +162,63 @@ object TableLog extends QueryPack {
       }
     listDir(staging).foreach(Files.delete) // _SUCCESS etc.
     Files.delete(staging)
+    recordRowCounts(df.sparkSession, table, moved)
     moved
+  }
+
+  // -------------------------------------------------------------------------
+  // Per-file row counts — metadata-only COUNT(*)
+  // -------------------------------------------------------------------------
+
+  private def rowCountsFile(table: String): Path =
+    logDir(table).resolve("rowcounts.txt")
+
+  /** `relpath|nrows` per immutable file, APPEND-ONLY (O_APPEND keeps
+    * concurrent committers from clobbering each other's lines — each commit
+    * appends only its own freshly-written files, never rewrites).
+    */
+  private def rowCounts(table: String): Map[String, Long] = {
+    val p = rowCountsFile(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('|'); l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+  }
+
+  private def recordRowCounts(
+      spark: SparkSession, table: String, moved: Seq[String]): Unit = {
+    if (moved.isEmpty) return
+    val abs = moved.map(f => Paths.get(table).resolve(f).toString)
+    val counted = spark.read.parquet(abs: _*)
+      .groupBy(input_file_name().as("f")).count().collect()
+      .map { r =>
+        val uri = r.getString(0)
+        ("data/" + uri.substring(uri.lastIndexOf('/') + 1)) -> r.getLong(1)
+      }.toMap
+    Files.createDirectories(logDir(table))
+    val lines = moved.map(f => s"$f|${counted.getOrElse(f, 0L)}").mkString("", "\n", "\n")
+    Files.write(rowCountsFile(table), lines.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** `SELECT count(*)` at a version answered ENTIRELY from metadata: the
+    * sum of the live files' recorded row counts minus the version's
+    * deletion-vector rows (DV positions are distinct by [[deleteWhere]]
+    * construction, and every DV parquet also passes through
+    * [[writeDataFiles]], so its row count is on file too). `None` when any
+    * live or DV file lacks a recorded count (a pre-feature table) — the
+    * caller must scan; never a guess.
+    */
+  def metadataCount(table: String, asOf: Option[Long] = None): Option[Long] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val v = asOf.getOrElse(vs.last)
+    val counts = rowCounts(table)
+    val files = liveFiles(table, v)
+    val dvs = dvFiles(table, v)
+    if ((files ++ dvs).forall(counts.contains))
+      Some(files.map(counts).sum - dvs.map(counts).sum)
+    else None
   }
 
   /** Publish manifest `v` atomically (temp + rename). An optional txn id
@@ -1280,8 +1340,33 @@ object TableLog extends QueryPack {
       |FROM p LEFT JOIN orders o ON o.o_custkey = p.probe
       |GROUP BY frac""".stripMargin
 
+  /** Metadata-only accounting over [[ordersDvDeleted]]: the v0 and latest
+    * live-row counts read from the row-count sidecar alone — no data file
+    * is scanned — compared by the oracle against a real count of the raw
+    * table through the two DV delete predicates. Wrong per-file counts, a
+    * missed DV subtraction, or double-counted overlap all flip a number.
+    */
+  def metadataCountQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ordersDvDeleted(s, dir)
+    val vs = versions(t)
+    val n0 = metadataCount(t, Some(vs.head))
+      .getOrElse(sys.error("v0 must have recorded counts"))
+    val nl = metadataCount(t)
+      .getOrElse(sys.error("latest must have recorded counts"))
+    Seq(("v0", n0), ("latest", nl)).toDF("snapshot", "n_live")
+  }
+
+  private val metadataCountSql =
+    """SELECT 'v0' AS snapshot, count(*) AS n_live FROM orders
+      |UNION ALL
+      |SELECT 'latest', count(*) FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+      |  AND NOT (o_orderpriority = '1-URGENT')""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
+    Q("metadata_count", metadataCountQ, Some(metadataCountSql)),
     Q("dv_delete_read", dvDeleteRead, Some(dvDeleteReadSql)),
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
     Q("bitemporal_asof", bitemporalAsOf, Some(bitemporalAsOfSql)),

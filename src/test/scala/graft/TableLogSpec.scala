@@ -37,9 +37,10 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).select("k").as[Long].collect().toSeq == Seq(9L))
     assert(TableLog.read(spark, t, Some(1L)).count() == 3)
 
-    // no torn state: log contains only fully-published manifests
+    // no torn state: log contains only fully-published manifests (plus the
+    // append-only row-count sidecar every write records into)
     val logFiles = new java.io.File(s"$t/_log").listFiles().map(_.getName).toSet
-    assert(logFiles == Set("v0.txt", "v1.txt", "v2.txt"))
+    assert(logFiles == Set("v0.txt", "v1.txt", "v2.txt", "rowcounts.txt"))
 
     // vacuum to latest only: v0/v1 manifests dropped, their files deleted
     val dataBefore = new java.io.File(s"$t/data").listFiles().length
@@ -503,6 +504,28 @@ class TableLogSpec extends SparkSpec {
     val got2 = TableLog.readPointLookup(spark, t, "k", "425")
       .where(col("k") === 425L).select("v").as[Long].collect().toSeq
     assert(got2 == Seq(425L * 7))
+  }
+
+  test("metadataCount answers count(*) from metadata across append/delete/overwrite/optimize") {
+    rm(new java.io.File(s"$root/mcount"))
+    val t = s"$root/mcount"
+    def check(): Unit = {
+      val vs = TableLog.versions(t)
+      vs.foreach { v =>
+        val meta = TableLog.metadataCount(t, Some(v))
+        val real = TableLog.read(spark, t, Some(v)).count()
+        assert(meta.contains(real), s"v$v: metadata $meta != scanned $real")
+      }
+    }
+    TableLog.commitAppend(spark.range(0, 100).selectExpr("id AS k"), t); check()
+    TableLog.commitAppend(spark.range(100, 130).selectExpr("id AS k"), t); check()
+    TableLog.deleteWhere(spark, t, "k % 3 = 0"); check()
+    TableLog.deleteWhere(spark, t, "k % 5 = 0"); check() // overlap: %15 keys in both
+    TableLog.optimize(spark, t, nFiles = 1); check()     // DVs materialize away
+    TableLog.commitOverwrite(spark.range(0, 7).selectExpr("id AS k"), t); check()
+    // a table whose sidecar predates the feature degrades to None, never a guess
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_log", "rowcounts.txt"))
+    assert(TableLog.metadataCount(t).isEmpty)
   }
 
   test("append after a statless version recovers the stats index from an ancestor") {
