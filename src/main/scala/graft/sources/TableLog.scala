@@ -1340,6 +1340,147 @@ object TableLog extends QueryPack {
       |FROM p LEFT JOIN orders o ON o.o_custkey = p.probe
       |GROUP BY frac""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Change data feed — version-range incremental reads
+  // -------------------------------------------------------------------------
+
+  /** rows of `files` (relative paths) with the positions in `dvs` removed —
+    * the building block [[changeFeed]] uses to materialize what a version
+    * made visible or took away. Empty `files` → None.
+    */
+  private def rowsOf(
+      spark: SparkSession, table: String,
+      files: Seq[String], dvs: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else {
+      val base = spark.read.option("mergeSchema", true)
+        .parquet(files.map(f => Paths.get(table).resolve(f).toString): _*)
+      if (dvs.isEmpty) Some(base)
+      else {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        val (fc, pc, dvf, dvp) =
+          (s"_cdf_f_$tag", s"_cdf_p_$tag", s"_cdf_dvf_$tag", s"_cdf_dvp_$tag")
+        val dv = spark.read.parquet(
+            dvs.map(f => Paths.get(table).resolve(f).toString): _*)
+          .select(col("f").as(dvf), col("p").as(dvp))
+        Some(base
+          .withColumn(fc, concat(lit("data/"),
+            element_at(split(col("_metadata.file_path"), "/"), -1)))
+          .withColumn(pc, col("_metadata.row_index"))
+          .join(dv, col(fc) === col(dvf) && col(pc) === col(dvp), "left_anti")
+          .drop(fc, pc))
+      }
+    }
+
+  /** rows of `files` AT the (file, position) pairs listed in `dvPositions`
+    * parquet — used to materialize DV-delta deletes as full rows
+    */
+  private def rowsAt(
+      spark: SparkSession, table: String,
+      files: Seq[String], dvPositions: DataFrame): Option[DataFrame] =
+    if (files.isEmpty) None
+    else {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val (fc, pc, dvf, dvp) =
+        (s"_cdf_f_$tag", s"_cdf_p_$tag", s"_cdf_dvf_$tag", s"_cdf_dvp_$tag")
+      val dv = dvPositions.select(col("f").as(dvf), col("p").as(dvp))
+      Some(spark.read.option("mergeSchema", true)
+        .parquet(files.map(f => Paths.get(table).resolve(f).toString): _*)
+        .withColumn(fc, concat(lit("data/"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)))
+        .withColumn(pc, col("_metadata.row_index"))
+        .join(dv, col(fc) === col(dvf) && col(pc) === col(dvp), "left_semi")
+        .drop(fc, pc))
+    }
+
+  /** CHANGE DATA FEED: every row change in `(fromV, toV]` as full payload
+    * rows plus `_change_type` ('insert' | 'delete') and `_commit_version` —
+    * the Delta/Iceberg incremental-consumption read that lets a downstream
+    * job process exactly what a commit range changed without any key
+    * knowledge. Per version step, derived purely from the manifests:
+    *
+    *  - files ADDED by v      → their v-visible rows as inserts
+    *  - files REMOVED by v    → their (v−1)-visible rows as deletes
+    *  - DV positions ADDED on persisting files → those rows as deletes
+    *
+    * A pure compaction (optimize) therefore emits rewrite churn — equal
+    * insert and delete multisets that NET to zero, which the spec pins.
+    *
+    * 100 TB shape: each step scans ONLY the files that commit touched plus
+    * metadata-sized DV deltas — cost scales with the change range, never
+    * the table (the whole point of a CDF over re-diffing snapshots).
+    */
+  def changeFeed(
+      spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    val vs = versions(table)
+    require(vs.contains(toV) && (fromV == -1L || vs.contains(fromV)) && fromV < toV,
+      s"bad change range ($fromV, $toV] for versions ${vs.mkString(",")}")
+    val steps = vs.filter(v => v > fromV && v <= toV)
+    val parts = steps.flatMap { v =>
+      val prev = if (v == vs.head) Seq.empty else liveFiles(table, v - 1)
+      val cur = liveFiles(table, v)
+      val prevDv = if (v == vs.head) Seq.empty else dvFiles(table, v - 1)
+      val curDv = dvFiles(table, v)
+      val added = cur.filterNot(prev.toSet)
+      val removed = prev.filterNot(cur.toSet)
+      val persisting = prev.toSet & cur.toSet
+      def tagged(df: DataFrame, t: String): DataFrame =
+        df.withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(v))
+      val inserts = rowsOf(spark, table, added, curDv).map(tagged(_, "insert"))
+      val deletes = rowsOf(spark, table, removed, prevDv).map(tagged(_, "delete"))
+      // DV delta on persisting files: positions dead at v, alive at v-1
+      val dvDeletes =
+        if (curDv.isEmpty || persisting.isEmpty) None
+        else {
+          val curP = spark.read.parquet(
+            curDv.map(f => Paths.get(table).resolve(f).toString): _*)
+          val delta =
+            if (prevDv.isEmpty) curP
+            else curP.except(spark.read.parquet(
+              prevDv.map(f => Paths.get(table).resolve(f).toString): _*))
+          rowsAt(spark, table, persisting.toSeq,
+            delta.where(col("f").isin(persisting.toSeq: _*)))
+            .map(tagged(_, "delete"))
+        }
+      Seq(inserts, deletes, dvDeletes).flatten
+    }
+    require(parts.nonEmpty, s"empty change feed over ($fromV, $toV]")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Change-feed accounting over [[ordersDvDeleted]]'s full history
+    * (−1, latest]: per (commit version, change type) the row count and
+    * exact cents — v0 inserts everything, v1 DV-deletes finished keys
+    * ≡0,1,2 (mod 10), v2 DV-deletes the REMAINING urgent rows (overlap must
+    * not re-emit). The oracle replays all three predicates from the raw
+    * table; any phantom insert, lost delete, or double-emitted overlap row
+    * flips a sum.
+    */
+  def changeFeedQ(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersDvDeleted(s, dir)
+    changeFeed(s, t, -1L, versions(t).last)
+      .groupBy(col("_commit_version").as("v"), col("_change_type").as("change"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+
+  private val changeFeedSql =
+    """SELECT CAST(0 AS BIGINT) AS v, 'insert' AS change,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |UNION ALL
+      |SELECT 1, 'delete', count(*),
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 < 3
+      |UNION ALL
+      |SELECT 2, 'delete', count(*),
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)""".stripMargin
+
   /** Metadata-only accounting over [[ordersDvDeleted]]: the v0 and latest
     * live-row counts read from the row-count sidecar alone — no data file
     * is scanned — compared by the oracle against a real count of the raw
@@ -1366,6 +1507,7 @@ object TableLog extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
+    Q("change_feed", changeFeedQ, Some(changeFeedSql)),
     Q("metadata_count", metadataCountQ, Some(metadataCountSql)),
     Q("dv_delete_read", dvDeleteRead, Some(dvDeleteReadSql)),
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),

@@ -506,6 +506,39 @@ class TableLogSpec extends SparkSpec {
     assert(got2 == Seq(425L * 7))
   }
 
+  test("change feed: signed replay reconstructs the snapshot; compaction nets to zero") {
+    rm(new java.io.File(s"$root/cdf"))
+    val t = s"$root/cdf"
+    TableLog.commitAppend(spark.range(0, 50).selectExpr("id AS k"), t)  // v0
+    TableLog.commitAppend(spark.range(50, 80).selectExpr("id AS k"), t) // v1
+    TableLog.deleteWhere(spark, t, "k % 4 = 0")                         // v2 (DV)
+    TableLog.deleteWhere(spark, t, "k % 6 = 0")                         // v3 (overlap at %12)
+    val feed = TableLog.changeFeed(spark, t, -1L, 3L)
+    // per-version semantics: v2 deletes exactly the %4 keys, v3 only the
+    // %6 keys NOT already dead (the overlap must not re-emit)
+    val d2 = feed.where(col("_commit_version") === 2 && col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(d2 == (0L until 80L).filter(_ % 4 == 0))
+    val d3 = feed.where(col("_commit_version") === 3 && col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(d3 == (0L until 80L).filter(k => k % 6 == 0 && k % 4 != 0))
+    // signed replay: (+1 insert, −1 delete) per key folds to the snapshot
+    val signed = feed.groupBy("k").agg(
+      sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("s"))
+    assert(signed.where(col("s") < 0 || col("s") > 1).count() == 0,
+      "a key changed more often than its history allows")
+    val reconstructed = signed.where(col("s") === 1).select("k").as[Long].collect().sorted.toSeq
+    val snapshot = TableLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq
+    assert(reconstructed == snapshot)
+    // pure compaction: rewrite churn is visible but NETS to zero
+    TableLog.optimize(spark, t, nFiles = 1) // v4
+    val cf = TableLog.changeFeed(spark, t, 3L, 4L)
+    val ins = cf.where(col("_change_type") === "insert").select("k").as[Long].collect().sorted.toSeq
+    val del = cf.where(col("_change_type") === "delete").select("k").as[Long].collect().sorted.toSeq
+    assert(ins == del, "compaction change feed must net to zero")
+    assert(ins == snapshot, "compaction rewrites exactly the snapshot")
+  }
+
   test("metadataCount answers count(*) from metadata across append/delete/overwrite/optimize") {
     rm(new java.io.File(s"$root/mcount"))
     val t = s"$root/mcount"
