@@ -1518,6 +1518,71 @@ object Governance extends QueryPack {
       .withColumn("reject_95", (col("cvm_e6") > lit(461000L)).cast("long"))
   }
 
+  /** Wasserstein-1 (earth mover) drift over the [[driftKs]] split — the
+    * transport companion: W1 = ∫|F_a − F_b| dv responds to HOW FAR mass
+    * moved, not just whether CDFs separate (KS) or how broadly (CvM).
+    * On the milli-value histogram it is exactly
+    *   Σ_i |Na_i·nb − Nb_i·na| · (vm_{i+1} − vm_i) / (na·nb)
+    * — integer except the final scale. Sums run in DECIMAL(38,0)/HUGEINT;
+    * one integer `div` emits W1 in micro-value units (floor-1e6 of the
+    * value-unit distance: ×1e6 before the div, width already in 1e-3
+    * units, so ×1e3). The last histogram point has no successor and
+    * contributes nothing (both CDFs are 1 past it).
+    */
+  def driftWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      (col("event_id") % 2).as("side"),
+      floor(col("value") * 1000).cast("long").as("vm"))
+    val hist = ev.groupBy("vm").agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = ev.agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy("pid").orderBy("vm")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.repartition(1).withColumn("pid", spark_partition_id())
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("width", lead(col("vm"), 1).over(w) - col("vm"))
+      .where(col("width").isNotNull)
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        expr("""CAST(sum(CAST(gap AS DECIMAL(38,0)) * width) * 1000
+               | div (CAST(max(na) AS DECIMAL(38,0)) * max(nb)) AS BIGINT)"""
+          .stripMargin).as("w1_e6"))
+  }
+
+  private val driftWassersteinSql =
+    """WITH e AS (
+      |  SELECT event_id % 2 AS side, CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |h AS (
+      |  SELECT vm,
+      |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e),
+      |c AS (
+      |  SELECT vm,
+      |         CAST(sum(ca) OVER win AS BIGINT) AS cuma,
+      |         CAST(sum(cb) OVER win AS BIGINT) AS cumb,
+      |         lead(vm) OVER (ORDER BY vm) - vm AS width
+      |  FROM h
+      |  WINDOW win AS (ORDER BY vm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT CAST(abs(cuma * nb - cumb * na) AS HUGEINT) AS gap, width, na, nb
+      |  FROM c CROSS JOIN t WHERE width IS NOT NULL)
+      |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |       CAST(sum(gap * width) * 1000
+      |            // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS w1_e6
+      |FROM g""".stripMargin
+
   private val driftCvmSql =
     """WITH e AS (
       |  SELECT event_id % 2 AS side, CAST(floor(value * 1000) AS BIGINT) AS vm
@@ -1554,6 +1619,7 @@ object Governance extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("drift_ks", driftKs, Some(driftKsSql)),
     Q("drift_cvm", driftCvm, Some(driftCvmSql)),
+    Q("drift_wasserstein", driftWasserstein, Some(driftWassersteinSql)),
     Q("rr_private_count", rrPrivateCount, Some(rrPrivateCountSql)),
     Q("ope_ips", opeIps, Some(opeIpsSql)),
     Q("scd2_interval_audit", scd2IntervalAudit, Some(scd2IntervalAuditSql)),

@@ -1481,6 +1481,34 @@ object TableLog extends QueryPack {
       |FROM orders WHERE o_orderpriority = '1-URGENT'
       |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)""".stripMargin
 
+  /** Downstream aggregate maintained PURELY from the change feed — the
+    * consumption pattern [[changeFeed]] exists for: fold (+row on insert,
+    * −row on delete) into per-status accounting without ever scanning a
+    * snapshot, and require it to equal the direct aggregate of the latest
+    * state (the oracle computes the direct form). Statuses whose rows all
+    * died net to zero and drop, matching the direct aggregate's groups.
+    */
+  def cdfMaintainedAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersDvDeleted(s, dir)
+    changeFeed(s, t, -1L, versions(t).last)
+      .withColumn("sgn",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("sgn")).as("n_live"),
+        sum(col("sgn") * floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .where(col("n_live") > 0)
+  }
+
+  private val cdfMaintainedAggSql =
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_live,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+      |  AND NOT (o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
   /** Metadata-only accounting over [[ordersDvDeleted]]: the v0 and latest
     * live-row counts read from the row-count sidecar alone — no data file
     * is scanned — compared by the oracle against a real count of the raw
@@ -1508,6 +1536,7 @@ object TableLog extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
+    Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),
     Q("metadata_count", metadataCountQ, Some(metadataCountSql)),
     Q("dv_delete_read", dvDeleteRead, Some(dvDeleteReadSql)),
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
