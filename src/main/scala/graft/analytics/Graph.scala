@@ -642,10 +642,18 @@ object Graph extends QueryPack {
   }
 
   private val kcoreSql = {
+    // every chained CTE is MATERIALIZED: each round's relations are
+    // referenced 2-3 times (next round's semi-joins + the final counts), and
+    // DuckDB re-inlines a non-materialized CTE PER REFERENCE — the
+    // evaluation tree then grows exponentially in rounds (observed: the
+    // sf0.1 oracle leg ballooning past a 78 GB spill quota under host
+    // memory pressure, rounds 8 and 9, while completing in seconds with
+    // materialization). Spark never parses this string; DuckDB-only syntax
+    // is fine here.
     val rounds = (1 to KcoreRounds).map { t =>
       val prev = if (t == 1) "und" else s"u${t - 1}"
-      s"""s$t AS (SELECT x AS node FROM $prev GROUP BY x HAVING count(*) >= $KcoreK),
-         |u$t AS (SELECT p.x, p.y FROM $prev p
+      s"""s$t AS MATERIALIZED (SELECT x AS node FROM $prev GROUP BY x HAVING count(*) >= $KcoreK),
+         |u$t AS MATERIALIZED (SELECT p.x, p.y FROM $prev p
          |        JOIN s$t a ON a.node = p.x JOIN s$t b ON b.node = p.y)""".stripMargin
     }.mkString(",\n")
     val rows = (
@@ -657,10 +665,10 @@ object Graph extends QueryPack {
              |       (SELECT count(*) FROM s$t) AS n_nodes,
              |       (SELECT count(*) // 2 FROM u$t) AS n_edges""".stripMargin
         }).mkString("\nUNION ALL\n")
-    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       |e AS (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
        |      GROUP BY 1, 2 HAVING count(*) >= $MinCoOrders),
-       |und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+       |und AS MATERIALIZED (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
        |$rounds
        |$rows""".stripMargin
   }

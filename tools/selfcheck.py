@@ -31,12 +31,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def connect(sf_dir: str):
+    """Fresh per-query connection with an explicit memory budget + spill dir.
+
+    One long-lived connection accumulates allocator state across hundreds of
+    oracles, and DuckDB's default memory_limit (80% of RAM) trusts the OS to
+    have that much — under host contention a heavy oracle (the recursive-CTE
+    graph peels) then dies on a raw `Failed to allocate` instead of spilling
+    (observed twice: rounds 8 and 9, same query, passes standalone). A fixed
+    budget + temp_directory makes DuckDB spill instead of crash, and a fresh
+    connection per oracle means no query inherits another's fragmentation.
+    """
     con = duckdb.connect()
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
@@ -51,7 +67,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             ok = len(mine) > 0
         else:
             try:
-                theirs = canon(con.execute(oracles[name]).df())
+                con = connect(sf_dir)
+                try:
+                    theirs = canon(con.execute(oracles[name]).df())
+                finally:
+                    con.close()
             except Exception as e:
                 print(f"FAIL {name}: oracle SQL error: {e}")
                 n_fail += 1
