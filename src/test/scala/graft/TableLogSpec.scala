@@ -539,6 +539,23 @@ class TableLogSpec extends SparkSpec {
     assert(ins == snapshot, "compaction rewrites exactly the snapshot")
   }
 
+  test("change feed reads only the requested range's touched files") {
+    rm(new java.io.File(s"$root/cdf_scope"))
+    val t = s"$root/cdf_scope"
+    TableLog.commitAppend(spark.range(0, 100).selectExpr("id AS k").coalesce(2), t) // v0: 2 files
+    TableLog.commitAppend(spark.range(100, 110).selectExpr("id AS k").coalesce(1), t) // v1: 1 file
+    assert(TableLog.liveFileCount(t) == 3)
+    // the (0, 1] feed must scan ONLY v1's single appended file — the
+    // incremental-cost contract (cost scales with the commit, not the table)
+    val feed = TableLog.changeFeed(spark, t, 0L, 1L)
+    val scannedFiles = feed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scannedFiles == 1, s"(0,1] feed should scan 1 file, scanned $scannedFiles")
+    assert(feed.where(col("_change_type") === "insert").count() == 10)
+  }
+
   test("metadataCount answers count(*) from metadata across append/delete/overwrite/optimize") {
     rm(new java.io.File(s"$root/mcount"))
     val t = s"$root/mcount"
