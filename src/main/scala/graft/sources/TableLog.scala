@@ -1481,6 +1481,36 @@ object TableLog extends QueryPack {
       |FROM orders WHERE o_orderpriority = '1-URGENT'
       |  AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)""".stripMargin
 
+  /** Incremental change-feed consumer with a DURABLE CURSOR: each call
+    * processes the unseen `(cursor, head]` range through `f`, then advances
+    * the cursor via temp-file + atomic move (the manifest publish
+    * discipline) — a crash between process and advance redelivers exactly
+    * that range on the next call (at-least-once), which an idempotent `f`
+    * ([[commitOnceOverwrite]] with the range as txn id, or dynamic
+    * partition overwrite) upgrades to exactly-once. The polling twin of a
+    * streaming source over the log: per call it reads only the new
+    * commits' touched files. Returns the processed (from, to] or None when
+    * caught up.
+    */
+  def followChanges(
+      spark: SparkSession, table: String, cursorFile: String)(
+      f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    val cp = Paths.get(cursorFile)
+    val last =
+      if (Files.exists(cp)) Files.readString(cp).trim.toLong else -1L
+    val head = versions(table).lastOption.getOrElse(-1L)
+    if (head <= last) None
+    else {
+      f(changeFeed(spark, table, last, head), last, head)
+      Files.createDirectories(cp.toAbsolutePath.getParent)
+      val tmp = cp.resolveSibling(s".${cp.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(tmp, head.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, cp, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Some((last, head))
+    }
+  }
+
   /** Downstream aggregate maintained PURELY from the change feed — the
     * consumption pattern [[changeFeed]] exists for: fold (+row on insert,
     * −row on delete) into per-status accounting without ever scanning a

@@ -539,6 +539,34 @@ class TableLogSpec extends SparkSpec {
     assert(ins == snapshot, "compaction rewrites exactly the snapshot")
   }
 
+  test("followChanges: durable cursor, redelivery on crash, caught-up is a no-op") {
+    rm(new java.io.File(s"$root/follow"))
+    val t = s"$root/follow"
+    val cursor = s"$root/follow_cursor"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long])]()
+    def consume(df: org.apache.spark.sql.DataFrame, from: Long, to: Long): Unit =
+      seen += ((from, to,
+        df.selectExpr("CASE WHEN _change_type = 'insert' THEN k ELSE -k END")
+          .as[Long].collect().sorted.toSeq))
+    TableLog.commitAppend(spark.range(1, 6).selectExpr("id AS k"), t)
+    assert(TableLog.followChanges(spark, t, cursor)(consume).contains((-1L, 0L)))
+    TableLog.commitAppend(spark.range(6, 9).selectExpr("id AS k"), t)
+    TableLog.deleteWhere(spark, t, "k = 2")
+    assert(TableLog.followChanges(spark, t, cursor)(consume).contains((0L, 2L)))
+    // caught up: nothing redelivered, cursor untouched
+    assert(TableLog.followChanges(spark, t, cursor)(consume).isEmpty)
+    assert(seen.map(_._3) == Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(-2L, 6L, 7L, 8L)))
+    // crash between process and advance: the range redelivers verbatim
+    TableLog.commitAppend(spark.range(9, 11).selectExpr("id AS k"), t)
+    intercept[RuntimeException] {
+      TableLog.followChanges(spark, t, cursor) { (_, _, _) =>
+        throw new RuntimeException("consumer died")
+      }
+    }
+    assert(TableLog.followChanges(spark, t, cursor)(consume).contains((2L, 3L)))
+    assert(seen.last._3 == Seq(9L, 10L))
+  }
+
   test("change feed reads only the requested range's touched files") {
     rm(new java.io.File(s"$root/cdf_scope"))
     val t = s"$root/cdf_scope"
