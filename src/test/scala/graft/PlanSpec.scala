@@ -226,6 +226,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("table-log and drift newcomers keep their plan claims") {
+    // metadata_count's whole point: zero data files touched — no scan, no
+    // exchange, nothing to codegen
+    val m = PlanAudit.features(SparkEntry.queries("metadata_count")(spark, sfDir))
+    assert(m("exchange") == 0 && m("pushed_scans") == 0 && m("codegen_spans") == 0,
+      s"metadata_count must stay metadata-only: $m")
+    // drift statistics broadcast their 1-row totals; the fact never joins
+    Seq("drift_cvm", "drift_wasserstein").foreach { q =>
+      val f = PlanAudit.features(SparkEntry.queries(q)(spark, sfDir))
+      assert(f("bcast_nl") == 1 && f("smj") == 0 && f("cartesian") == 0, s"$q: $f")
+    }
+    // bloom point lookups stay join-free pruned scans
+    val b = PlanAudit.features(SparkEntry.queries("bloom_point_lookup")(spark, sfDir))
+    assert(b("bcast_join") + b("smj") + b("shj") + b("cartesian") == 0, s"$b")
+    assert(b("pushed_scans") >= 1, s"probe filters must push to the pruned scans: $b")
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized
