@@ -1394,6 +1394,52 @@ object Governance extends QueryPack {
   // Two-sample Kolmogorov–Smirnov drift test — integer-exact
   // ---------------------------------------------------------------------------
 
+  /** milli-values per coarse CDF bucket: 2^10 keeps the offset relation at
+    * domain/1024 rows (a few thousand for typical sensor/price domains; for
+    * a genuinely continuous double whose quantized domain reaches 1e9,
+    * widen this — the reduction is one level of a radix prefix tree)
+    */
+  private val CdfBucket = 1024L
+
+  /** Cumulative per-side counts over a `(vm, ca, cb)` value histogram
+    * WITHOUT a global single-partition window — the two-level prefix sum
+    * ([[Curation.curriculumOrder]]'s discipline): the expensive cumulative
+    * window is partitioned by a coarse value bucket (`vm div 1024`,
+    * truncation division is monotone so bucket order == value order and the
+    * window stays fully parallel), per-bucket totals reduce to a
+    * bucket-count-sized relation whose prefix offsets run in the constant-pid
+    * tiny-window idiom, and the offsets broadcast back. Output adds
+    * `cuma`/`cumb` (global cumulative counts) and `next_vm` (the globally
+    * next histogram point — within-bucket lead, patched across bucket
+    * boundaries by the next bucket's min; NULL only at the global last
+    * point). At 100 TB nothing row- or domain-scaled crosses one task: the
+    * single-task stage is bounded by domain/1024, not by the data.
+    */
+  private def cdfCumulative(hist: DataFrame): DataFrame = {
+    val b = hist.withColumn("bkt", expr(s"vm div $CdfBucket"))
+    val wCum = Window.partitionBy("bkt").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("bkt").orderBy("vm")
+    val sizes = b.groupBy("bkt").agg(
+        sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), min(col("vm")).as("mn"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+    val wOff = Window.partitionBy("pid").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = sizes
+      .withColumn("offa", sum(col("ta")).over(wOff) - col("ta"))
+      .withColumn("offb", sum(col("tb")).over(wOff) - col("tb"))
+      .withColumn("next_mn",
+        lead(col("mn"), 1).over(Window.partitionBy("pid").orderBy("bkt")))
+      .select(col("bkt"), col("offa"), col("offb"), col("next_mn"))
+    b.join(broadcast(offs), "bkt")
+      .withColumn("cuma", col("offa") + sum(col("ca")).over(wCum))
+      .withColumn("cumb", col("offb") + sum(col("cb")).over(wCum))
+      .withColumn("next_vm",
+        coalesce(lead(col("vm"), 1).over(wLead), col("next_mn")))
+      .select(col("vm"), col("ca"), col("cb"),
+        col("cuma"), col("cumb"), col("next_vm"))
+  }
+
   /** Two-sample KS drift test over the event `value` distribution, split
     * A/B by `event_id % 2` (the deterministic reference-vs-live split; swap
     * in an epoch predicate for time drift): D = max_v |F_A(v) − F_B(v)|
@@ -1407,8 +1453,10 @@ object Governance extends QueryPack {
     * full CDF — it catches shape drift that preserves bin masses.
     *
     * 100 TB shape: one map-side-combined histogram by quantized value
-    * (domain-bounded), the CDF pass runs on that bounded relation via the
-    * constant-pid tiny-window idiom; nothing row-scaled crosses a window.
+    * (domain-bounded), then the CDF pass via [[cdfCumulative]]'s two-level
+    * prefix sum — the cumulative window is BUCKET-partitioned (fully
+    * parallel) and only the bucket-count-sized offset relation crosses a
+    * single task; no single-partition exchange ever carries the histogram.
     */
   def driftKs(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events").select(
@@ -1420,11 +1468,7 @@ object Governance extends QueryPack {
     val tot = ev.agg(
       sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
-    val w = Window.partitionBy("pid").orderBy("vm")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.repartition(1).withColumn("pid", spark_partition_id())
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    cdfCumulative(hist)
       .crossJoin(broadcast(tot))
       .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
       .agg(
@@ -1481,8 +1525,12 @@ object Governance extends QueryPack {
     *
     * Exactness: on the pooled value histogram with per-side counts
     * (ca, cb) and cumulatives (Na_i, Nb_i),
-    *   T = Σ_i (ca_i+cb_i) · (Na_i·nb − Nb_i·na)² / (na·nb·(na+nb)³)
-    * — every term integer. The squared gaps exceed int64, so the sum runs
+    *   T = Σ_i (ca_i+cb_i) · (Na_i·nb − Nb_i·na)² / (na·nb·(na+nb)²)
+    * — every term integer. (Anderson's two-sample form: T = nm/N² ·
+    * Σ (F_n−G_m)² over the N pooled points; the (F−G)² expansion
+    * contributes 1/(na·nb)², netting the denominator above — sanity pin:
+    * n=m=1 on distinct values gives T=0.25, which this formula reproduces
+    * and the N³ variant halves.) The squared gaps exceed int64, so the sum runs
     * in DECIMAL(38,0) (HUGEINT in DuckDB) and one integer `div` emits
     * floor-1e6 (the [[graft.analytics.Indicators]] VPIN discipline; e6 not
     * e9 keeps even the disjoint-support worst case inside 38 digits).
@@ -1502,19 +1550,15 @@ object Governance extends QueryPack {
     val tot = ev.agg(
       sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
-    val w = Window.partitionBy("pid").orderBy("vm")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.repartition(1).withColumn("pid", spark_partition_id())
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
+    cdfCumulative(hist)
       .crossJoin(broadcast(tot))
       .withColumn("gap", col("cuma") * col("nb") - col("cumb") * col("na"))
       .agg(
         max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         expr("""CAST(sum(CAST(ca + cb AS DECIMAL(38,0)) * gap * gap) * 1000000
                | div (CAST(max(na) AS DECIMAL(38,0)) * max(nb)
-               |      * (max(na) + max(nb)) * (max(na) + max(nb))
-               |      * (max(na) + max(nb))) AS BIGINT)""".stripMargin).as("cvm_e6"))
+               |      * (max(na) + max(nb)) * (max(na) + max(nb))) AS BIGINT)"""
+          .stripMargin).as("cvm_e6"))
       .withColumn("reject_95", (col("cvm_e6") > lit(461000L)).cast("long"))
   }
 
@@ -1539,13 +1583,9 @@ object Governance extends QueryPack {
     val tot = ev.agg(
       sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
-    val w = Window.partitionBy("pid").orderBy("vm")
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.repartition(1).withColumn("pid", spark_partition_id())
-      .withColumn("cuma", sum(col("ca")).over(cum))
-      .withColumn("cumb", sum(col("cb")).over(cum))
-      .withColumn("width", lead(col("vm"), 1).over(w) - col("vm"))
-      .where(col("width").isNotNull)
+    cdfCumulative(hist)
+      .where(col("next_vm").isNotNull) // global last point: both CDFs are 1 past it
+      .withColumn("width", col("next_vm") - col("vm"))
       .crossJoin(broadcast(tot))
       .withColumn("gap", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
       .agg(
@@ -1610,8 +1650,7 @@ object Governance extends QueryPack {
       |  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
       |         CAST(sum(CAST(ca + cb AS HUGEINT) * gap * gap) * 1000000
       |              // (CAST(max(na) AS HUGEINT) * max(nb)
-      |                 * (max(na) + max(nb)) * (max(na) + max(nb))
-      |                 * (max(na) + max(nb))) AS BIGINT) AS cvm_e6
+      |                 * (max(na) + max(nb)) * (max(na) + max(nb))) AS BIGINT) AS cvm_e6
       |  FROM g)
       |SELECT *, CAST(CASE WHEN cvm_e6 > 461000 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
       |FROM agg""".stripMargin

@@ -58,6 +58,12 @@ object TableLog extends QueryPack {
     Files.readAllLines(versionFile(table, v)).asScala.toSeq
       .filter(_.nonEmpty).filterNot(_.startsWith("#"))
 
+  /** absolute paths of the files live at `v` (for the streaming source's
+    * schema inference and partition planning)
+    */
+  private[sources] def liveFilePaths(table: String, v: Long): Seq[String] =
+    liveFiles(table, v).map(f => Paths.get(table).resolve(f).toString)
+
   /** deletion-vector parquet files live at version `v` (rows: (f, p) =
     * (relpath, row_index) of deleted positions) — recorded as `#dv:` header
     * lines so pre-DV readers of the manifest format ignore them.
@@ -162,7 +168,7 @@ object TableLog extends QueryPack {
       }
     listDir(staging).foreach(Files.delete) // _SUCCESS etc.
     Files.delete(staging)
-    recordRowCounts(df.sparkSession, table, moved)
+    recordRowCounts(table, moved)
     moved
   }
 
@@ -185,18 +191,28 @@ object TableLog extends QueryPack {
     }.toMap
   }
 
-  private def recordRowCounts(
-      spark: SparkSession, table: String, moved: Seq[String]): Unit = {
+  /** footer of one parquet file — a driver-side KB-sized metadata read
+    * (the file tail), never a data scan or a Spark job
+    */
+  private def parquetFooter(abs: String): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs),
+        new org.apache.hadoop.conf.Configuration()))
+    try r.getFooter finally r.close()
+  }
+
+  private def recordRowCounts(table: String, moved: Seq[String]): Unit = {
     if (moved.isEmpty) return
-    val abs = moved.map(f => Paths.get(table).resolve(f).toString)
-    val counted = spark.read.parquet(abs: _*)
-      .groupBy(input_file_name().as("f")).count().collect()
-      .map { r =>
-        val uri = r.getString(0)
-        ("data/" + uri.substring(uri.lastIndexOf('/') + 1)) -> r.getLong(1)
-      }.toMap
+    // row counts come from the freshly written files' parquet FOOTERS (the
+    // block metadata already stores them) — metadata-sized driver reads, so
+    // the write path never pays a second scan of the data it just wrote
+    val lines = moved.map { f =>
+      val n = parquetFooter(Paths.get(table).resolve(f).toString)
+        .getBlocks.asScala.map(_.getRowCount).sum
+      s"$f|$n"
+    }.mkString("", "\n", "\n")
     Files.createDirectories(logDir(table))
-    val lines = moved.map(f => s"$f|${counted.getOrElse(f, 0L)}").mkString("", "\n", "\n")
     Files.write(rowCountsFile(table), lines.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
@@ -507,11 +523,14 @@ object TableLog extends QueryPack {
     require(vs.nonEmpty, s"no committed versions under $table")
     val have = bloomLines(table, column).map(_.takeWhile(_ != '|')).toSet
     // files lacking the column (pre-evolution) are skipped — the lookup
-    // keeps bloomless files, so skipping stays sound
+    // keeps bloomless files, so skipping stays sound. Presence comes from
+    // each candidate's parquet FOOTER (driver-side metadata read), not a
+    // per-file Spark schema-inference job — O(new files) footer tails, the
+    // same asymptotics as reading the manifest itself
     val missing = liveFiles(table, vs.last).filterNot(have)
       .filter { f =>
-        spark.read.parquet(Paths.get(table).resolve(f).toString)
-          .columns.contains(column)
+        parquetFooter(Paths.get(table).resolve(f).toString)
+          .getFileMetaData.getSchema.containsField(column)
       }
     if (missing.isEmpty) return 0
     val abs = missing.map(f => Paths.get(table).resolve(f).toString)
@@ -762,9 +781,11 @@ object TableLog extends QueryPack {
     compactRetry(spark, table) { head =>
       // compacting a stats-indexed table must not silently discard the
       // min/max file index (readPruned would degrade to keep-all): recover
-      // the indexed columns from the pinned version's sidecar and re-gather
-      // stats for the compacted files
-      val statCols = statsLines(table, head).map(_.split('|')(1)).distinct
+      // the indexed columns from the NEWEST ANCESTOR sidecar (the head
+      // itself may be statless after a crash between publish and sidecar
+      // write — statsLines(head) alone would permanently drop the index,
+      // the exact degradation commitAppend/deleteWhere already heal)
+      val statCols = latestStatsLines(table, head).map(_.split('|')(1)).distinct
       (read(spark, table, Some(head)).coalesce(nFiles), statCols)
     }
   }
@@ -787,7 +808,8 @@ object TableLog extends QueryPack {
       nFiles: Int = 8): Long = {
     require(nFiles > 0, "nFiles must be positive")
     compactRetry(spark, table) { head =>
-      val prevStatCols = statsLines(table, head).map(_.split('|')(1)).distinct
+      // latestStatsLines, not statsLines: survive a statless head (see optimize)
+      val prevStatCols = latestStatsLines(table, head).map(_.split('|')(1)).distinct
       val clustered = read(spark, table, Some(head))
         .withColumn("_z", Layout.zValue(col(colA), col(colB)))
         .repartitionByRange(nFiles, col("_z"))
@@ -1410,6 +1432,44 @@ object TableLog extends QueryPack {
     * metadata-sized DV deltas — cost scales with the change range, never
     * the table (the whole point of a CDF over re-diffing snapshots).
     */
+  /** manifest diff of ONE version step — the metadata [[changeFeed]] and the
+    * streaming [[TableChangeSource]] both consume: which files v added and
+    * removed, which persist, and each side's DV sidecars. Pure manifest
+    * reads, so cost scales with the commit's touched-file COUNT.
+    */
+  private[sources] final case class StepDiff(
+      v: Long, added: Seq[String], removed: Seq[String],
+      persisting: Seq[String], prevDv: Seq[String], curDv: Seq[String])
+
+  private[sources] def stepDiff(table: String, v: Long, vs: Seq[Long]): StepDiff = {
+    val prev = if (v == vs.head) Seq.empty else liveFiles(table, v - 1)
+    val cur = liveFiles(table, v)
+    val prevDv = if (v == vs.head) Seq.empty[String] else dvFiles(table, v - 1)
+    val curDv = dvFiles(table, v)
+    StepDiff(v,
+      added = cur.filterNot(prev.toSet),
+      removed = prev.filterNot(cur.toSet),
+      persisting = (prev.toSet & cur.toSet).toSeq,
+      prevDv = prevDv, curDv = curDv)
+  }
+
+  /** DV positions newly dead at this step on PERSISTING files (alive at
+    * v−1, dead at v), as a (f, p) DataFrame — metadata-sized by the DV
+    * design (positions, never payload rows).
+    */
+  private[sources] def dvDelta(
+      spark: SparkSession, table: String, d: StepDiff): Option[DataFrame] =
+    if (d.curDv.isEmpty || d.persisting.isEmpty) None
+    else {
+      val curP = spark.read.parquet(
+        d.curDv.map(f => Paths.get(table).resolve(f).toString): _*)
+      val delta =
+        if (d.prevDv.isEmpty) curP
+        else curP.except(spark.read.parquet(
+          d.prevDv.map(f => Paths.get(table).resolve(f).toString): _*))
+      Some(delta.where(col("f").isin(d.persisting: _*)))
+    }
+
   def changeFeed(
       spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
     val vs = versions(table)
@@ -1417,32 +1477,16 @@ object TableLog extends QueryPack {
       s"bad change range ($fromV, $toV] for versions ${vs.mkString(",")}")
     val steps = vs.filter(v => v > fromV && v <= toV)
     val parts = steps.flatMap { v =>
-      val prev = if (v == vs.head) Seq.empty else liveFiles(table, v - 1)
-      val cur = liveFiles(table, v)
-      val prevDv = if (v == vs.head) Seq.empty else dvFiles(table, v - 1)
-      val curDv = dvFiles(table, v)
-      val added = cur.filterNot(prev.toSet)
-      val removed = prev.filterNot(cur.toSet)
-      val persisting = prev.toSet & cur.toSet
+      val d = stepDiff(table, v, vs)
       def tagged(df: DataFrame, t: String): DataFrame =
         df.withColumn("_change_type", lit(t))
           .withColumn("_commit_version", lit(v))
-      val inserts = rowsOf(spark, table, added, curDv).map(tagged(_, "insert"))
-      val deletes = rowsOf(spark, table, removed, prevDv).map(tagged(_, "delete"))
+      val inserts = rowsOf(spark, table, d.added, d.curDv).map(tagged(_, "insert"))
+      val deletes = rowsOf(spark, table, d.removed, d.prevDv).map(tagged(_, "delete"))
       // DV delta on persisting files: positions dead at v, alive at v-1
-      val dvDeletes =
-        if (curDv.isEmpty || persisting.isEmpty) None
-        else {
-          val curP = spark.read.parquet(
-            curDv.map(f => Paths.get(table).resolve(f).toString): _*)
-          val delta =
-            if (prevDv.isEmpty) curP
-            else curP.except(spark.read.parquet(
-              prevDv.map(f => Paths.get(table).resolve(f).toString): _*))
-          rowsAt(spark, table, persisting.toSeq,
-            delta.where(col("f").isin(persisting.toSeq: _*)))
-            .map(tagged(_, "delete"))
-        }
+      val dvDeletes = dvDelta(spark, table, d)
+        .flatMap(rowsAt(spark, table, d.persisting, _))
+        .map(tagged(_, "delete"))
       Seq(inserts, deletes, dvDeletes).flatten
     }
     require(parts.nonEmpty, s"empty change feed over ($fromV, $toV]")
@@ -1491,16 +1535,36 @@ object TableLog extends QueryPack {
     * streaming source over the log: per call it reads only the new
     * commits' touched files. Returns the processed (from, to] or None when
     * caught up.
+    *
+    * RETENTION: if [[vacuum]] has dropped the cursor's version the precise
+    * change range is unrecoverable — the follower fails with a dedicated
+    * [[RetentionExceeded]] (never a generic require wedging it forever);
+    * with `restartOnRetentionExceeded=true` it instead restarts from −1,
+    * re-delivering the earliest retained snapshot as inserts (Delta CDF's
+    * `startingVersion` recovery — correct for the idempotent / fold-style
+    * consumers this feed targets, who must tolerate the re-delivery).
     */
+  final class RetentionExceeded(val table: String, val cursor: Long, val earliest: Long)
+    extends IllegalStateException(
+      s"change-feed cursor $cursor of $table predates the earliest retained " +
+        s"version $earliest (vacuumed); pass restartOnRetentionExceeded=true " +
+        "to restart from the full snapshot")
+
   def followChanges(
-      spark: SparkSession, table: String, cursorFile: String)(
+      spark: SparkSession, table: String, cursorFile: String,
+      restartOnRetentionExceeded: Boolean = false)(
       f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val cp = Paths.get(cursorFile)
-    val last =
+    val cursor =
       if (Files.exists(cp)) Files.readString(cp).trim.toLong else -1L
-    val head = versions(table).lastOption.getOrElse(-1L)
-    if (head <= last) None
+    val vs = versions(table)
+    val head = vs.lastOption.getOrElse(-1L)
+    if (head <= cursor) None
     else {
+      val last =
+        if (cursor == -1L || vs.contains(cursor)) cursor
+        else if (restartOnRetentionExceeded) -1L
+        else throw new RetentionExceeded(table, cursor, vs.head)
       f(changeFeed(spark, table, last, head), last, head)
       Files.createDirectories(cp.toAbsolutePath.getParent)
       val tmp = cp.resolveSibling(s".${cp.getFileName}.${java.util.UUID.randomUUID()}.tmp")
@@ -1539,6 +1603,57 @@ object TableLog extends QueryPack {
       |  AND NOT (o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
 
+  private val streamAggBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+
+  /** [[cdfMaintainedAgg]]'s STREAMING twin: the same signed per-status fold,
+    * but consumed through the DSv2 [[TableChangeSource]] — one real
+    * `readStream` micro-batch per commit (`versionsPerTrigger=1`), each
+    * batch reduced to mergeable partials and folded across batches. The
+    * result must equal the direct aggregate of the final state (the oracle
+    * computes that form), which gates the whole stack end to end: offset
+    * admission, per-file partition planning, the Group-API pruned reads,
+    * DV-delta deletes, and batch-boundary-invariant folding. Memoized per
+    * dir (the stream consumes the full history once per JVM).
+    */
+  def cdfStreamAgg(s: SparkSession, dir: String): DataFrame = {
+    val parts = streamAggBuilt.computeIfAbsent(dir, { d =>
+      val t = ordersDvDeleted(s, d)
+      val ckpt = graft.Scratch.dir("graft_cdfstream", d) + "/ckpt"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      val q = s.readStream.format("graft.sources.TableChangeSource")
+        .option("table", t).option("versionsPerTrigger", "1")
+        // project at the file read: streaming scans get no pruning pushdown
+        .option("columns", "o_orderstatus,o_totalprice").load()
+        .select(col("o_orderstatus"), col("o_totalprice"), col("_change_type"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.withColumn("sgn",
+              when(col("_change_type") === "insert", 1L).otherwise(-1L))
+            .groupBy("o_orderstatus")
+            .agg(sum(col("sgn")).as("dn"),
+              sum(col("sgn") * floor(col("o_totalprice") * 100).cast("long")).as("dc"))
+            .collect()
+            .foreach(r => acc.add((r.getString(0), r.getLong(1), r.getLong(2))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      acc.asScala.toSeq
+    })
+    import s.implicits._
+    parts.toDF("o_orderstatus", "dn", "dc")
+      .groupBy("o_orderstatus")
+      .agg(sum(col("dn")).as("n_live"), sum(col("dc")).as("cents"))
+      .where(col("n_live") > 0)
+  }
+
   /** Metadata-only accounting over [[ordersDvDeleted]]: the v0 and latest
     * live-row counts read from the row-count sidecar alone — no data file
     * is scanned — compared by the oracle against a real count of the raw
@@ -1567,6 +1682,7 @@ object TableLog extends QueryPack {
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
     Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),
+    Q("cdf_stream_agg", cdfStreamAgg, Some(cdfMaintainedAggSql)),
     Q("metadata_count", metadataCountQ, Some(metadataCountSql)),
     Q("dv_delete_read", dvDeleteRead, Some(dvDeleteReadSql)),
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),

@@ -243,6 +243,38 @@ class PlanSpec extends SparkSpec {
     assert(b("pushed_scans") >= 1, s"probe filters must push to the pruned scans: $b")
   }
 
+  test("CDF drift windows: histogram cumsum is bucket-partitioned, only the offset relation is single-task") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec        => windows(q.plan)
+      case w: WindowExec            => w +: w.children.flatMap(windows)
+      case n                        => n.children.flatMap(windows)
+    }
+    Seq("drift_ks", "drift_cvm", "drift_wasserstein").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // finalize AQE: pre-execution the stages are provisional
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$q should plan cumulative windows")
+      ws.foreach { w =>
+        val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        val orderCols = w.orderSpec.flatMap(_.child.references.map(_.name)).toSet
+        if (orderCols.contains("vm"))
+          // the value-domain-sized histogram pass must scale out by bucket —
+          // a repartition(1) regression here re-serializes the CDF at 100 TB
+          assert(partCols.contains("bkt"),
+            s"$q: histogram cumulative window must partition by bkt, got $partCols")
+        else
+          // the only permitted single-task window is the bucket-count-bounded
+          // prefix-offset relation (constant-pid idiom over `bkt` order)
+          assert(orderCols.contains("bkt") && partCols.contains("pid"),
+            s"$q: unexpected window (partition $partCols, order $orderCols)")
+      }
+    }
+  }
+
   test("no query plan contains a cartesian product") {
     SparkEntry.queries.keys.toSeq.sorted
       // first construction per dir materializes the grid table (memoized

@@ -625,4 +625,56 @@ class TableLogSpec extends SparkSpec {
     // is statless → kept (sound), v2's file (100) matches → kept
     assert(kept.size == 2, s"expected healed pruning to keep 2 of 3, kept $kept")
   }
+
+  test("optimize on a statless HEAD still recovers the stats index from an ancestor") {
+    rm(new java.io.File(s"$root/stats_heal_opt"))
+    val t = s"$root/stats_heal_opt"
+    TableLog.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), t, statCols = Seq("k"))
+    TableLog.commitAppend(
+      Seq((100L, 30L)).toDF("k", "v").coalesce(1), t, statCols = Seq("k"))
+    // crash window: the HEAD version's sidecar is lost before compaction runs
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_log", "s1.txt"))
+    TableLog.optimizeZOrder(spark, t, "k", "v", nFiles = 2)
+    // the compacted version must have re-gathered k stats (recovered from
+    // v0's surviving sidecar, not silently dropped): an out-of-range probe
+    // still skips the low-key file
+    val (kept, total) = TableLog.prunedFiles(t, "k", 90L, 200L)
+    assert(total == 2 && kept.size == 1,
+      s"compacted index must skip 1 of 2 files, kept $kept")
+    // plain optimize through the same window also keeps the index alive
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_log", "s2.txt"))
+    TableLog.optimize(spark, t, nFiles = 1)
+    assert(TableLog.prunedFiles(t, "k", 500L, 900L)._1.isEmpty,
+      "recovered stats must prune an impossible range to zero files")
+  }
+
+  test("followChanges past retention: dedicated error, explicit full-snapshot restart") {
+    rm(new java.io.File(s"$root/follow_ret"))
+    val t = s"$root/follow_ret"
+    val cursor = s"$root/follow_ret_cursor"
+    TableLog.commitAppend(spark.range(1, 4).selectExpr("id AS k"), t)
+    assert(TableLog.followChanges(spark, t, cursor)((_, _, _) => ()).contains((-1L, 0L)))
+    TableLog.commitOverwrite(spark.range(10, 13).selectExpr("id AS k"), t)
+    TableLog.commitAppend(spark.range(13, 15).selectExpr("id AS k"), t)
+    // retention passes: the cursor's version 0 is vacuumed away
+    TableLog.vacuum(t, keepVersions = 1)
+    assert(TableLog.versions(t) == Seq(2L))
+    // default: a dedicated, diagnosable error — never a wedged generic require
+    val e = intercept[TableLog.RetentionExceeded] {
+      TableLog.followChanges(spark, t, cursor)((_, _, _) => ())
+    }
+    assert(e.cursor == 0L && e.earliest == 2L)
+    // explicit restart: the earliest retained snapshot redelivers as inserts
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val r = TableLog.followChanges(spark, t, cursor, restartOnRetentionExceeded = true) {
+      (df, _, _) =>
+        seen += df.selectExpr("CASE WHEN _change_type = 'insert' THEN k ELSE -k END")
+          .as[Long].collect().sorted.toSeq
+    }
+    assert(r.contains((-1L, 2L)))
+    assert(seen == Seq(Seq(10L, 11L, 12L, 13L, 14L)))
+    // the advanced cursor is durable: next call is a caught-up no-op
+    assert(TableLog.followChanges(spark, t, cursor)((_, _, _) => ()).isEmpty)
+  }
 }
