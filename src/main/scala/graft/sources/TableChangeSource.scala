@@ -1,0 +1,413 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structured-streaming CHANGE DATA FEED source over a [[TableLog]] table —
+  * `spark.readStream.format("graft.sources.TableChangeSource")
+  * .option("table", dir)` — the streaming twin of the polling
+  * [[TableLog.followChanges]] and the engine-storage counterpart of the
+  * reference's queue consumer (`from_rabbitmq_to_clickhouse.py:190-197`:
+  * drain the broker, write downstream — here the "broker" is the table
+  * log's commit history). Output schema = the table's columns plus
+  * `_change_type` ('insert' | 'delete') and `_commit_version`, exactly
+  * [[TableLog.changeFeed]]'s shape, so a batch consumer and the stream
+  * share one contract.
+  *
+  * Mechanics (full DSv2 micro-batch contract):
+  *  - Offsets are COMMIT VERSIONS ([[VersionOffset]], JSON long = last
+  *    processed version), checkpointed by the engine — a restarted query
+  *    resumes from the committed version; combined with an idempotent sink
+  *    ([[TableLog.commitOnceOverwrite]]) the pipeline is exactly-once.
+  *  - `latestOffset(start, limit)` admits at most `versionsPerTrigger`
+  *    committed versions past the ENGINE-SUPPLIED start (the committed
+  *    offset — restart-correct, never a driver-held cursor). The admission
+  *    unit of a log feed is commits; an engine max-rows limit maps onto it
+  *    conservatively (min with the source's own cap).
+  *  - `planInputPartitions(start, end)` replays [[TableLog.stepDiff]] per
+  *    admitted version: each partition is ONE touched file plus
+  *    metadata-sized position sets (prior-DV skip set for deletes of
+  *    removed files, the step's DV-delta positions for merge-on-read
+  *    deletes on persisting files). Per-trigger cost scales with the
+  *    commits' touched files, never the table.
+  *  - Executors read their single file through the parquet Group API with
+  *    a REQUESTED-PROJECTION schema, tag rows with the change type/version,
+  *    and null-backfill columns a pre-evolution file lacks — the
+  *    mergeSchema read's semantics without a driver-side plan per batch.
+  *    COLUMN PRUNING: Structured Streaming does not run the DSv2
+  *    pushdown rules on micro-batch scans (verified empirically — a
+  *    `SupportsPushDownRequiredColumns` builder never gets pruned), so
+  *    projection is an explicit `.option("columns", "a,b,...")`; listed
+  *    columns are the ONLY ones decoded from the files (the meta columns
+  *    ride along for free).
+  *
+  * Retention: a checkpoint whose version was [[TableLog.vacuum]]ed cannot
+  * be resumed precisely; the source fails the same way
+  * [[TableLog.followChanges]] does (re-start the query with
+  * `startingVersion=-1` for an explicit full-snapshot restart).
+  *
+  * 100 TB posture: DV position sets ride in [[InputPartition]]s, so a
+  * mass-delete commit should be consumed as the rewrite it is (optimize →
+  * file-level delete+insert churn) rather than a billion-position DV; the
+  * per-file Bloom/stats sidecars and row-group layout bound everything
+  * else at file granularity.
+  */
+class TableChangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TableChangeSource.feedSchema(
+      options.get("table"), Option(options.get("columns")))
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TableChangeTable(properties.asScala.toMap, schema)
+}
+
+object TableChangeSource {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** the table's merged live schema (restricted to `columns` when given)
+    * plus the two change-metadata columns — one footer-only schema
+    * inference at stream construction
+    */
+  private[sources] def feedSchema(
+      table: String, columns: Option[String]): StructType = {
+    require(table != null, "graft table-change source requires option 'table'")
+    val vs = TableLog.versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val base = SparkSession.active.read.option("mergeSchema", true)
+      .parquet(TableLog.liveFilePaths(table, vs.last): _*).schema
+    val picked = columns match {
+      case None => base.fields.toSeq
+      case Some(cs) =>
+        val want = cs.split(',').map(_.trim).filter(_.nonEmpty)
+          .filterNot(c => c == ChangeTypeCol || c == CommitVersionCol)
+        want.map(c => base.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"option columns names '$c', not a column of $table " +
+              s"(${base.fieldNames.mkString(", ")})"))).toSeq
+    }
+    StructType(picked :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitVersionCol, LongType, nullable = false))
+  }
+}
+
+private[sources] class TableChangeTable(
+    props: Map[String, String], schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-table-changes(${props.getOrElse("table", "?")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TableChangeStream(
+            table = options.get("table"),
+            readSchema = schema0,
+            startingVersion =
+              Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
+            versionsPerTrigger =
+              Option(options.get("versionsPerTrigger")).map(_.toInt).getOrElse(1))
+      }
+    }
+}
+
+/** last-processed-commit-version offset; serialized as a bare JSON long */
+private[sources] case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class TableChangeStream(
+    table: String,
+    readSchema: StructType,
+    startingVersion: Long,
+    versionsPerTrigger: Int) extends MicroBatchStream with SupportsAdmissionControl {
+  require(versionsPerTrigger > 0, "versionsPerTrigger must be positive")
+
+  override def initialOffset(): Offset = {
+    val vs = TableLog.versions(table)
+    require(startingVersion == -1L || vs.contains(startingVersion),
+      s"startingVersion $startingVersion not in committed set ${vs.mkString(",")}")
+    VersionOffset(startingVersion)
+  }
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(versionsPerTrigger)
+
+  /** versions allowed per trigger under an engine [[ReadLimit]] — commits
+    * are this feed's admission unit; a max-rows cap maps conservatively
+    * (min with the source's own `versionsPerTrigger`)
+    */
+  private def allowed(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxRows      => math.min(m.maxRows(), versionsPerTrigger.toLong)
+    case _: ReadAllAvailable => Long.MaxValue
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+      if (caps.nonEmpty) math.min(caps.min, versionsPerTrigger.toLong)
+      else versionsPerTrigger.toLong
+    case _ => versionsPerTrigger.toLong
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val vs = TableLog.versions(table)
+    if (s != -1L && !vs.contains(s)) throw new IllegalStateException(
+      s"checkpointed version $s of $table was vacuumed (retention exceeded); " +
+        "restart the query from startingVersion=-1 for a full-snapshot rebuild")
+    // admit up to `allowed` EXISTING versions past the committed start —
+    // versions are contiguous modulo a vacuumed prefix, so count, not add
+    val cap = allowed(limit)
+    val future = vs.filter(_ > s)
+    VersionOffset(
+      if (future.isEmpty) s
+      else future.take(math.min(cap, Int.MaxValue.toLong).toInt).last)
+  }
+  override def reportLatestOffset(): Offset =
+    VersionOffset(TableLog.versions(table).lastOption.getOrElse(startingVersion))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+    val vs = TableLog.versions(table)
+    val spark = SparkSession.active
+    def abs(rel: String): String =
+      java.nio.file.Paths.get(table).resolve(rel).toString
+    /** (f, p) position rows of DV parquet grouped per file — metadata-sized */
+    def positions(df: org.apache.spark.sql.DataFrame): Map[String, Array[Long]] =
+      df.collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).sorted }
+    def dvPositions(dvs: Seq[String]): Map[String, Array[Long]] =
+      if (dvs.isEmpty) Map.empty
+      else positions(spark.read.parquet(dvs.map(abs): _*).select("f", "p"))
+    vs.filter(v => v > s && v <= e).flatMap { v =>
+      val d = TableLog.stepDiff(table, v, vs)
+      val curP = dvPositions(d.curDv)
+      val prevP: Map[String, Array[Long]] =
+        if (d.removed.nonEmpty) dvPositions(d.prevDv)
+        else Map.empty[String, Array[Long]]
+      val deltaP = TableLog.dvDelta(spark, table, d)
+        .map(df => positions(df.select("f", "p"))).getOrElse(Map.empty)
+      d.added.map(f => ChangeFilePartition(abs(f), insert = true, v,
+        skip = curP.getOrElse(f, Array.empty), only = null)) ++
+        d.removed.map(f => ChangeFilePartition(abs(f), insert = false, v,
+          skip = prevP.getOrElse(f, Array.empty), only = null)) ++
+        d.persisting.flatMap(f => deltaP.get(f).map(ps =>
+          ChangeFilePartition(abs(f), insert = false, v,
+            skip = Array.empty, only = ps)))
+    }.map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeFileReaderFactory(readSchema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** metadata-sized partition: one immutable data file, the change tag, and
+  * the row-position sets (`skip` = DV positions to subtract; `only` != null
+  * = emit exactly these positions — the DV-delta delete case). Positions
+  * are sorted ascending so the sequential reader consumes them with one
+  * pointer each.
+  */
+private[sources] case class ChangeFilePartition(
+    absPath: String, insert: Boolean, version: Long,
+    skip: Array[Long], only: Array[Long]) extends InputPartition
+
+private[sources] class ChangeFileReaderFactory(readSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChangeFileReader(partition.asInstanceOf[ChangeFilePartition], readSchema)
+}
+
+/** Sequential Group-API reader of ONE parquet file: column-pruned via a
+  * requested-projection schema, row positions tracked by the read cursor
+  * (files are scanned from row 0, so the counter IS `_metadata.row_index`),
+  * DV subtraction / DV-delta selection via sorted position pointers,
+  * missing (pre-evolution) columns null-backfilled, change metadata
+  * appended as constants.
+  */
+private[sources] class ChangeFileReader(p: ChangeFilePartition, readSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(p.absPath), conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** requested data fields (meta columns excluded) in output order */
+  private val dataFields: Array[StructField] = readSchema.fields.filterNot(f =>
+    f.name == TableChangeSource.ChangeTypeCol ||
+      f.name == TableChangeSource.CommitVersionCol)
+  /** the subset present in THIS file — projection order == present order */
+  private val present: Array[StructField] =
+    dataFields.filter(f => fileSchema.containsField(f.name))
+  private val projection: MessageType = {
+    // parquet rejects an empty projection: a pure-count read (no data
+    // columns requested) still projects the narrowest-by-position field
+    val fields: java.util.List[org.apache.parquet.schema.Type] =
+      (if (present.nonEmpty)
+         present.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+       else Array(fileSchema.getType(0))).toSeq.asJava
+    new MessageType(fileSchema.getName, fields)
+  }
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new HPath(p.absPath))
+      .withConf(conf).build()
+  }
+
+  /** converter per present field: projection index → Catalyst value */
+  private val convert: Array[(Group, Int) => Any] = present.zipWithIndex.map {
+    case (f, i) =>
+      // projection field order == `present` order by construction
+      val t = projection.getType(i)
+      if (!t.isPrimitive) throw new UnsupportedOperationException(
+        s"table-change source: nested/array column ${f.name} is not supported" +
+          " — select the scalar columns you need (pruning pushes into the read)")
+      ChangeFileReader.converter(f.dataType, t.asPrimitiveType(), p.absPath, f.name)
+  }
+  /** output slot per present field */
+  private val outIdx: Array[Int] = present.map(f => readSchema.fieldIndex(f.name))
+
+  private val changeTag = UTF8String.fromString(if (p.insert) "insert" else "delete")
+  private val metaSlots: Seq[(Int, Any)] = readSchema.fields.zipWithIndex.collect {
+    case (f, i) if f.name == TableChangeSource.ChangeTypeCol => (i, changeTag)
+    case (f, i) if f.name == TableChangeSource.CommitVersionCol => (i, p.version: Any)
+  }.toSeq
+
+  private var current: Group = _
+  private var row = -1L
+  private var skipPtr = 0
+  private var onlyPtr = 0
+
+  override def next(): Boolean = {
+    while (true) {
+      // DV-delta partitions can stop as soon as their last position is out
+      if (p.only != null && onlyPtr >= p.only.length) return false
+      val g = reader.read()
+      if (g == null) return false
+      row += 1
+      if (p.only != null) {
+        if (p.only(onlyPtr) == row) { onlyPtr += 1; current = g; return true }
+      } else {
+        while (skipPtr < p.skip.length && p.skip(skipPtr) < row) skipPtr += 1
+        if (!(skipPtr < p.skip.length && p.skip(skipPtr) == row)) {
+          current = g; return true
+        }
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](readSchema.length)
+    var i = 0
+    while (i < present.length) {
+      val fi = i // projection index == present index by construction
+      values(outIdx(i)) =
+        if (current.getFieldRepetitionCount(fi) == 0) null
+        else convert(i)(current, fi)
+      i += 1
+    }
+    metaSlots.foreach { case (slot, v) => values(slot) = v }
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object ChangeFileReader {
+  import LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+  import PrimitiveType.PrimitiveTypeName._
+
+  /** micros since epoch from an INT96 (julian day + nanos-of-day) — the
+    * legacy parquet timestamp encoding, decoded with the published julian
+    * epoch offset (2440588 = 1970-01-01)
+    */
+  private def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
+    val buf = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400L * 1000000L + nanosOfDay / 1000L
+  }
+
+  /** Catalyst-value converter for one (Spark type, parquet primitive)
+    * pair — the testdata/engine surface (integral, floating, string,
+    * boolean, date, timestamp micros/millis/nanos/INT96, decimal); anything
+    * else fails loud at reader build, never silently as nulls.
+    */
+  private[sources] def converter(
+      dt: DataType, pt: PrimitiveType,
+      file: String, name: String): (Group, Int) => Any = {
+    def tsUnitScale: Long => Long = pt.getLogicalTypeAnnotation match {
+      case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+        case TimeUnit.MICROS => identity
+        case TimeUnit.MILLIS => _ * 1000L
+        case TimeUnit.NANOS  => _ / 1000L
+      }
+      case _ => identity // plain INT64 written as micros by convention
+    }
+    (dt, pt.getPrimitiveTypeName) match {
+      case (LongType, INT64)      => (g, i) => g.getLong(i, 0)
+      case (LongType, INT32)      => (g, i) => g.getInteger(i, 0).toLong
+      case (IntegerType, INT32)   => (g, i) => g.getInteger(i, 0)
+      case (ShortType, INT32)     => (g, i) => g.getInteger(i, 0).toShort
+      case (ByteType, INT32)      => (g, i) => g.getInteger(i, 0).toByte
+      case (DoubleType, DOUBLE)   => (g, i) => g.getDouble(i, 0)
+      case (FloatType, FLOAT)     => (g, i) => g.getFloat(i, 0)
+      case (BooleanType, BOOLEAN) => (g, i) => g.getBoolean(i, 0)
+      case (StringType, BINARY) =>
+        (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BinaryType, BINARY)   => (g, i) => g.getBinary(i, 0).getBytes
+      case (DateType, INT32)      => (g, i) => g.getInteger(i, 0)
+      case (TimestampType, INT64) | (TimestampNTZType, INT64) =>
+        val scale = tsUnitScale
+        (g, i) => scale(g.getLong(i, 0))
+      case (TimestampType, INT96) | (TimestampNTZType, INT96) =>
+        (g, i) => int96Micros(g.getInt96(i, 0))
+      case (d: DecimalType, INT32) =>
+        (g, i) => Decimal(BigDecimal(BigInt(g.getInteger(i, 0)), d.scale), d.precision, d.scale)
+      case (d: DecimalType, INT64) =>
+        (g, i) => Decimal(BigDecimal(BigInt(g.getLong(i, 0)), d.scale), d.precision, d.scale)
+      case (d: DecimalType, BINARY) =>
+        (g, i) => Decimal(
+          BigDecimal(BigInt(g.getBinary(i, 0).getBytes), d.scale), d.precision, d.scale)
+      case (d: DecimalType, FIXED_LEN_BYTE_ARRAY) =>
+        (g, i) => Decimal(
+          BigDecimal(BigInt(g.getBinary(i, 0).getBytes), d.scale), d.precision, d.scale)
+      case (other, prim) => throw new UnsupportedOperationException(
+        s"table-change source: unsupported column $name ($other from parquet $prim) in $file")
+    }
+  }
+}
