@@ -673,6 +673,99 @@ object Graph extends QueryPack {
        |$rows""".stripMargin
   }
 
+  /** synchronous label-propagation rounds (fixed — the oracle replays each) */
+  val LpaRounds = 3
+  /** communities emitted by [[lpa]] */
+  val LpaTopK = 10
+
+  /** Community detection on the co-purchase part graph via synchronous
+    * LABEL PROPAGATION (Raghavan/Albert/Kumara 2007), made fully
+    * deterministic: labels start as node ids; each round every node adopts
+    * its neighbors' MODE label with ties broken by smallest label — the
+    * (count desc, label asc) argmin both engines express exactly (Spark
+    * `min_by(lbl, struct(-c, lbl))`, DuckDB `row_number()` since its
+    * `arg_min` rejects struct keys). [[LpaRounds]] fixed rounds (the
+    * kcore/pagerank discipline — a convergence loop would make the oracle
+    * unreplayable); emits the [[LpaTopK]] largest communities with member
+    * count, exact member-key sum and min member, so any misassigned node
+    * flips a sum. Complements the graph pack's k-core (cohesion) and
+    * components (connectivity): LPA finds DENSITY clusters inside one
+    * component.
+    *
+    * 100 TB shape: the undirected edge relation shuffles once at build
+    * (cached, pre-partitioned on the probe side `y`); each round is one
+    * co-partitioned edge⋈label join (labels are node-sized), a map-side
+    * partially-aggregated (x, lbl) count, and a node-sized argmin — no
+    * fan-out, no global sort (top-K is a TakeOrdered cut). Rounds
+    * materialize before their predecessor unpersists (lineage one round
+    * deep), and the roundAudit seam lets PlanSpec pin the per-round join
+    * count like pagerank's.
+    */
+  def lpa(s: SparkSession, dir: String): DataFrame = {
+    val e = coPartEdges(s, dir).select("x", "y")
+    val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+      .repartition(col("y")).cache()
+    var labels = und.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).cache()
+    labels.count()
+    var acquired = List[DataFrame](und, labels)
+    for (t <- 1 to LpaRounds) {
+      val next = und
+        .join(labels.select(col("node").as("y"), col("lbl")), "y")
+        .groupBy(col("x"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("x").as("node"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+        .cache()
+      next.count() // materialize: keep lineage one round deep
+      roundAudit("graph_lpa", t, next)
+      acquired = next :: acquired
+      labels = next
+    }
+    val out = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("node")).as("member_key_sum"),
+        min(col("node")).as("min_member"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(LpaTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_members").desc, col("community"))).cast("long"))
+    localized(out, acquired)
+  }
+
+  private val lpaSql = {
+    // chained CTEs all MATERIALIZED (the kcore lesson: DuckDB re-inlines a
+    // non-materialized CTE per reference and the tree grows exponentially
+    // in rounds)
+    val rounds = (1 to LpaRounds).map { t =>
+      val prev = if (t == 1) "l0" else s"l${t - 1}"
+      s"""l$t AS MATERIALIZED (
+         |  SELECT x AS node, lbl FROM (
+         |    SELECT u.x, l.lbl, count(*) AS c,
+         |           row_number() OVER (PARTITION BY u.x
+         |             ORDER BY count(*) DESC, l.lbl) AS rn
+         |    FROM und u JOIN $prev l ON l.node = u.y
+         |    GROUP BY u.x, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.p AS x, b.p AS y FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinCoOrders),
+       |und AS MATERIALIZED (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT x AS node, x AS lbl FROM und),
+       |$rounds,
+       |comm AS (
+       |  SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(node) AS BIGINT) AS member_key_sum,
+       |         CAST(min(node) AS BIGINT) AS min_member
+       |  FROM l$LpaRounds GROUP BY lbl)
+       |SELECT community, n_members, member_key_sum, min_member, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY n_members DESC, community) AS BIGINT) AS rank
+       |  FROM comm)
+       |WHERE rank <= $LpaTopK
+       |ORDER BY rank""".stripMargin
+  }
+
   /** predicted links emitted by [[linkPrediction]] */
   val LpK = 20
 
@@ -800,6 +893,7 @@ object Graph extends QueryPack {
     Q("graph_degree_profile", degreeProfile, Some(degreeProfileSql)),
     Q("graph_link_prediction", linkPrediction, Some(linkPredictionSql)),
     Q("graph_kcore", kcore, Some(kcoreSql)),
+    Q("graph_lpa", lpa, Some(lpaSql)),
     Q("graph_sssp", sssp, Some(ssspSql)),
     Q("graph_pagerank", pagerank, Some(pagerankSql)),
     Q("graph_ppr_recs", pprRecs, Some(pprRecsSql)),

@@ -201,6 +201,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lpa: communities match an independent in-memory synchronous propagation") {
+    val got = Graph.lpa(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._5).toSeq == (1L to got.length).toSeq, "ranks must be contiguous")
+    // independent recompute at sf0.001 scale: plain-Scala synchronous LPA
+    // with the same (count desc, label asc) tie-break
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= Graph.MinCoOrders)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = (e ++ e.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = und.keys.map(n => n -> n).toMap
+    (1 to Graph.LpaRounds).foreach { _ =>
+      lbl = und.map { case (n, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.toSeq.groupBy(_._2).map { case (c, ms) =>
+      (c, ms.size.toLong, ms.map(_._1).sum, ms.map(_._1).min)
+    }.toSeq.sortBy { case (c, n, _, _) => (-n, c) }.take(Graph.LpaTopK)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == want,
+      s"LPA diverged from the in-memory propagation:\n got ${got.toSeq}\nwant $want")
+  }
+
   test("sssp distances: seeds at 0, bounded by hops x max weight, dominated by hop counts") {
     import org.apache.spark.sql.functions._
     val byDist = Graph.sssp(spark, sfDir).collect()

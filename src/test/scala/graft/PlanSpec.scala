@@ -213,6 +213,7 @@ class PlanSpec extends SparkSpec {
     try {
       SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
       SparkEntry.queries("graph_harmonic")(spark, sfDir).collect()
+      SparkEntry.queries("graph_lpa")(spark, sfDir).collect()
     } finally graft.analytics.Graph.roundAudit = (_, _, _) => ()
     val pr = rounds.filter(_._1 == "graph_pagerank")
     assert(pr.size == graft.analytics.Graph.PrIters, s"expected every round audited, got $pr")
@@ -223,6 +224,12 @@ class PlanSpec extends SparkSpec {
     assert(hm.size == graft.analytics.Graph.ReachHops)
     hm.foreach { case (_, h, j) =>
       assert(j == 2, s"harmonic round $h drifted from 2 live joins: $j")
+    }
+    // LPA: one co-partitioned edge⋈label join per round, nothing else
+    val lp = rounds.filter(_._1 == "graph_lpa")
+    assert(lp.size == graft.analytics.Graph.LpaRounds)
+    lp.foreach { case (_, t, j) =>
+      assert(j == 1, s"lpa round $t drifted from 1 live join: $j")
     }
   }
 
