@@ -725,6 +725,87 @@ object StreamIngest {
     }.sum
   }
 
+  case class CdfDriftVerdict(
+      batch_id: Long, n_live: Long, cvm_e6: Long, w1_e6: Long, cvm_reject_95: Boolean)
+
+  /** Streaming CDF drift monitor — the live twin of
+    * [[graft.llm.Governance.driftCvm]] / `driftWasserstein`: each
+    * micro-batch's quantized milli-value counts merge into an ACCUMULATING
+    * live histogram held in a table-log table (txn = batch id via
+    * `commitOnceOverwrite` → exactly-once growth under replay; RAW counts in
+    * state, the statistics derived at emit time — the mergeable-summaries
+    * discipline, a pre-derived statistic would not merge), and both CDF
+    * statistics of accumulated-live vs the frozen reference histogram are
+    * emitted per batch with the CvM α=0.05 verdict. The integer arithmetic
+    * is the batch twins' EXACTLY (cross-multiplied CDF gaps, arbitrary-
+    * precision sums standing in for DECIMAL(38), one floor division),
+    * computed driver-side over the collected value-domain-bounded
+    * histograms — so stream and batch agree bit-for-bit, which the spec
+    * pins. Per trigger the only fact-scale work is one map-side-combined
+    * count aggregate.
+    */
+  def cdfDriftMonitorStream(
+      values: DataFrame,
+      refHist: Map[Long, Long],
+      stateTable: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bc = batch.groupBy(col("vm")).agg(count(lit(1)).as("n"))
+        val prior =
+          if (graft.sources.TableLog.versions(stateTable).nonEmpty)
+            graft.sources.TableLog.read(spark, stateTable)
+          else spark.createDataset(Seq.empty[(Long, Long)]).toDF("vm", "n")
+        val merged = prior.unionByName(bc)
+          .groupBy("vm").agg(sum(col("n")).as("n"))
+        graft.sources.TableLog.commitOnceOverwrite(
+          merged, stateTable, s"cdfdrift_b$batchId")
+        val live = graft.sources.TableLog.read(spark, stateTable)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val (cvm, w1) = cvmW1E6(refHist, live)
+        Seq(CdfDriftVerdict(batchId, live.values.sum, cvm, w1, cvm > 461000L))
+          .toDF()
+          .withColumn("_batch", lit(batchId))
+          .write.partitionBy("_batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** the batch twins' exact integer CDF statistics on two value histograms:
+    * (cvm_e6, w1_e6) with cross-multiplied gaps and floor division — a pure
+    * deterministic function of the counts, visited in value order
+    */
+  private[graft] def cvmW1E6(
+      ref: Map[Long, Long], live: Map[Long, Long]): (Long, Long) = {
+    val na = ref.values.sum
+    val nb = live.values.sum
+    if (na == 0L || nb == 0L) return (0L, 0L)
+    val vms = (ref.keySet ++ live.keySet).toSeq.sorted
+    var cuma = 0L
+    var cumb = 0L
+    var cvmNum = BigInt(0)
+    var w1Num = BigInt(0)
+    vms.zipWithIndex.foreach { case (vm, i) =>
+      val ca = ref.getOrElse(vm, 0L)
+      val cb = live.getOrElse(vm, 0L)
+      cuma += ca; cumb += cb
+      val gap = BigInt(cuma) * nb - BigInt(cumb) * na
+      cvmNum += BigInt(ca + cb) * gap * gap
+      // the last histogram point has no successor and contributes no W1 mass
+      if (i + 1 < vms.length) w1Num += gap.abs * BigInt(vms(i + 1) - vm)
+    }
+    val n = BigInt(na) + BigInt(nb)
+    ((cvmNum * 1000000 / (BigInt(na) * nb * n * n)).toLong,
+      (w1Num * 1000 / (BigInt(na) * nb)).toLong)
+  }
+
   case class DayBar(company: String, day: Long, close_c: Long, vol: Long)
   case class ObvStreamState(lastDay: Long, lastClose: Long, obv: Long,
       obvMin: Long, obvMax: Long, nDays: Long)

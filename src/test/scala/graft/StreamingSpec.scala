@@ -577,6 +577,44 @@ class StreamingSpec extends SparkSpec {
     assert(v2.last._3 == StreamIngest.chi2Milli(ref, st))
   }
 
+  test("streaming CDF drift: exactly-once histogram growth, final CvM/W1 equal the batch twins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdf_drift_mon").toString
+    // the batch twins' split: side 0 = frozen reference, side 1 = live feed
+    val ev = Tables.load(spark, sfDir, "events").select(
+      (col("event_id") % 2).as("side"),
+      floor(col("value") * 1000).cast("long").as("vm"))
+    val ref = ev.where(col("side") === 0).groupBy("vm").count()
+      .as[(Long, Long)].collect().toMap
+    val liveVals = ev.where(col("side") === 1).select("vm").as[Long].collect()
+    val cvmBatch = graft.llm.Governance.driftCvm(spark, sfDir).collect()(0)
+    val w1Batch = graft.llm.Governance.driftWasserstein(spark, sfDir).collect()(0)
+    val mem = MemoryStream[Long]
+    def run(): Unit = {
+      val q = StreamIngest.cdfDriftMonitorStream(
+        mem.toDS().toDF("vm"), ref, s"$root/state", s"$root/out", s"$root/ck")
+      q.processAllAvailable(); q.stop()
+    }
+    // live side arrives across TWO triggers, then a no-op replay
+    val (h1, h2) = liveVals.splitAt(liveVals.length / 3)
+    mem.addData(h1.toIndexedSeq: _*); run()
+    mem.addData(h2.toIndexedSeq: _*); run()
+    run()
+    val out = spark.read.parquet(s"$root/out").orderBy("batch_id").collect()
+    val last = out.last
+    assert(last.getAs[Long]("n_live") == liveVals.length.toLong,
+      s"state must accumulate exactly once: ${out.toSeq}")
+    // bit-equality with the batch statistics over the same split — the
+    // whole point of raw mergeable counts in state + derive-at-emit
+    assert(last.getAs[Long]("cvm_e6") == cvmBatch.getAs[Long]("cvm_e6"),
+      s"stream CvM ${last.getAs[Long]("cvm_e6")} != batch ${cvmBatch.getAs[Long]("cvm_e6")}")
+    assert(last.getAs[Long]("w1_e6") == w1Batch.getAs[Long]("w1_e6"),
+      s"stream W1 ${last.getAs[Long]("w1_e6")} != batch ${w1Batch.getAs[Long]("w1_e6")}")
+    // mid-stream verdicts are partial-history statistics, monotone batch ids
+    assert(out.map(_.getAs[Long]("batch_id")).toSeq == out.map(_.getAs[Long]("batch_id")).toSeq.sorted)
+  }
+
   test("streaming vshape: V completes across a trigger boundary, monotone series emit nothing") {
     implicit val sqlCtx = spark.sqlContext
     import StreamIngest.{BarClose, VHit}
