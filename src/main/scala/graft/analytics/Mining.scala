@@ -355,7 +355,16 @@ object Mining extends QueryPack {
     out.toSeq
   }
 
-  def cfItemRecs(s: SparkSession, dir: String): DataFrame = {
+  /** the recommender's named intermediate relations — exposed so ScaleProbe
+    * can measure per-stage ROW GROWTH under weak scaling and MiningSpec can
+    * pin the cap laws that bound each stage (the r9 verdict's ask: the 10×
+    * probe showed 6.1× wall growth and could not say WHICH stage grows)
+    */
+  private[graft] final case class CfStages(
+      up0: DataFrame, up: DataFrame, pairsRaw: DataFrame, pairs: DataFrame,
+      sim: DataFrame, nb: DataFrame, cand: DataFrame, out: DataFrame)
+
+  private[graft] def cfStages(s: SparkSession, dir: String): CfStages = {
     val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val up0 = od.join(li, col("o_orderkey") === col("l_orderkey"))
@@ -369,8 +378,9 @@ object Mining extends QueryPack {
       .where(col("rk") <= CfHistCap).drop("rk")
       .cache()
     val sup = up.groupBy(col("it")).agg(count(lit(1)).as("n"))
-    val pairs = up.groupBy(col("u")).agg(sort_array(collect_list(col("it"))).as("items"))
+    val pairsRaw = up.groupBy(col("u")).agg(sort_array(collect_list(col("it"))).as("items"))
       .select(explode(pairUdf(col("items"))).as("p"))
+    val pairs = pairsRaw
       .groupBy(col("p._1").as("ia"), col("p._2").as("ib"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= CfMinCo)
@@ -400,10 +410,43 @@ object Mining extends QueryPack {
       .select(col("u").as("custkey"), col("ib").as("p_reckey"),
         col("score"), col("n_paths"), col("rank"))
       .orderBy(col("custkey"), col("rank"))
-    val rows = out.collect()
-    up.unpersist(blocking = false)
-    up0.unpersist(blocking = false)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    CfStages(up0, up, pairsRaw, pairs, sim, nb, cand, out)
+  }
+
+  /** (rows, seconds) per recommender stage, in pipeline order — the
+    * weak-scaling growth diagnostic. Stage times are CUMULATIVE from the
+    * cached bases (each count is its own job), so comparing a stage's time
+    * across scales still isolates which JOB grows superlinearly even when
+    * row counts grow exactly linearly (the r9 probe's unanswered question).
+    * Counts release the stage caches before returning.
+    */
+  private[graft] def cfStageRows(
+      s: SparkSession, dir: String): Seq[(String, Long, Double)] = {
+    val st = cfStages(s, dir)
+    def timed(name: String, df: org.apache.spark.sql.DataFrame): (String, Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (name, n, (System.nanoTime() - t0) / 1e9)
+    }
+    val rows = Seq(
+      timed("up0_ownership", st.up0),
+      timed("up_capped", st.up),
+      timed("pairs_raw", st.pairsRaw),
+      timed("pairs_minco", st.pairs),
+      timed("sim_edges", st.sim),
+      timed("nb_truncated", st.nb),
+      timed("cand_scored", st.cand))
+    st.up.unpersist(blocking = false)
+    st.up0.unpersist(blocking = false)
+    rows
+  }
+
+  def cfItemRecs(s: SparkSession, dir: String): DataFrame = {
+    val st = cfStages(s, dir)
+    val rows = st.out.collect()
+    st.up.unpersist(blocking = false)
+    st.up0.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), st.out.schema)
   }
 
   val cfItemRecsSql: String =

@@ -149,6 +149,31 @@ class MiningSpec extends SparkSpec {
     assert(rows.head.getLong(1) == topScore)
   }
 
+  test("cf stages respect the cap laws that bound them at any scale") {
+    val rows = Mining.cfStageRows(spark, sfDir).map(t => t._1 -> t._2).toMap
+    // independent counts of the bounding sets
+    val od = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val own = od.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("it")).distinct()
+    val nUsers = own.select("u").distinct().count()
+    val nItems = own.select("it").distinct().count()
+    val cap = Mining.CfHistCap.toLong
+    assert(rows("up_capped") <= rows("up0_ownership"))
+    assert(rows("up_capped") <= nUsers * cap, "history cap violated")
+    // THE dominant stage: in-basket pair expansion is C(cap,2) per user, so
+    // its weak-scaling growth can never exceed the user count's
+    assert(rows("pairs_raw") <= nUsers * cap * (cap - 1) / 2,
+      s"pair expansion ${rows("pairs_raw")} exceeds users x C(cap,2)")
+    assert(rows("pairs_minco") <= rows("pairs_raw"))
+    assert(rows("sim_edges") == 2 * rows("pairs_minco"), "sym must double the pairs")
+    assert(rows("nb_truncated") <= nItems * Mining.CfNeighborK,
+      "neighbor lists exceed the serving truncation")
+    // each target history item contributes at most K candidate paths
+    assert(rows("cand_scored") <= rows("up_capped").min(
+      Mining.CfTargetMax * cap) * Mining.CfNeighborK)
+  }
+
   test("cf_item_recs: ranked, positive-score, never-owned recommendations per target") {
     import org.apache.spark.sql.functions.col
     val rows = Mining.cfItemRecs(spark, sfDir).collect()
