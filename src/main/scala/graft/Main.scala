@@ -196,6 +196,20 @@ object Main {
     case "gc" :: table :: Nil =>
       val n = sources.TableLog.gcOrphans(table)
       println(s"[graft] gc $table: removed $n orphaned files")
+    case "follow" :: table :: cursorFile :: rest =>
+      // one catch-up pass over the unseen commits via the durable-cursor
+      // follower (prints per-change-type accounting); pass "restart" to
+      // recover a vacuumed cursor from the full snapshot
+      val spark = session()
+      val r = sources.TableLog.followChanges(spark, table, cursorFile,
+        restartOnRetentionExceeded = rest.contains("restart")) { (df, from, to) =>
+        df.groupBy("_commit_version", "_change_type").count()
+          .orderBy("_commit_version", "_change_type").collect()
+          .foreach(r => println(s"[follow] v${r.getLong(0)} ${r.getString(1)}: ${r.getLong(2)} rows"))
+        println(s"[follow] processed ($from, $to]")
+      }
+      if (r.isEmpty) println("[follow] caught up — no new commits")
+      spark.stop()
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -212,6 +226,7 @@ object Main {
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
+          "       graft follow <tableLogDir> <cursorFile> [restart] — catch-up change-feed pass\n" +
           "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
           "       graft restore <backupDir> <newTableLogDir>\n" +
           "       graft diff <tableLogDir> <vA> <vB> <keyCol> <valueCol> — snapshot version diff\n" +

@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -146,8 +146,20 @@ private[sources] class TableChangeStream(
     table: String,
     readSchema: StructType,
     startingVersion: Long,
-    versionsPerTrigger: Int) extends MicroBatchStream with SupportsAdmissionControl {
+    versionsPerTrigger: Int) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   require(versionsPerTrigger > 0, "versionsPerTrigger must be positive")
+
+  /** Trigger.AvailableNow: the head version frozen at query start — the
+    * engine then drains to exactly this target in admission-capped
+    * micro-batches and terminates. WITHOUT this interface Spark's fallback
+    * wrapper processes everything in ONE batch, bypassing
+    * `latestOffset(start, limit)` entirely (verified empirically by the
+    * spec's first draft).
+    */
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(TableLog.versions(table).lastOption.getOrElse(startingVersion))
 
   override def initialOffset(): Offset = {
     val vs = TableLog.versions(table)
@@ -180,15 +192,17 @@ private[sources] class TableChangeStream(
       s"checkpointed version $s of $table was vacuumed (retention exceeded); " +
         "restart the query from startingVersion=-1 for a full-snapshot rebuild")
     // admit up to `allowed` EXISTING versions past the committed start —
-    // versions are contiguous modulo a vacuumed prefix, so count, not add
+    // versions are contiguous modulo a vacuumed prefix, so count, not add.
+    // Under AvailableNow, never admit past the frozen query-start head.
     val cap = allowed(limit)
-    val future = vs.filter(_ > s)
+    val future = vs.filter(v => v > s && availableNowEnd.forall(v <= _))
     VersionOffset(
       if (future.isEmpty) s
       else future.take(math.min(cap, Int.MaxValue.toLong).toInt).last)
   }
   override def reportLatestOffset(): Offset =
-    VersionOffset(TableLog.versions(table).lastOption.getOrElse(startingVersion))
+    VersionOffset(availableNowEnd.getOrElse(
+      TableLog.versions(table).lastOption.getOrElse(startingVersion)))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used via SupportsAdmissionControl")

@@ -125,6 +125,28 @@ class TableChangeSourceSpec extends SparkSpec {
     assert(seen.sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("Trigger.AvailableNow drains the full history under admission and terminates") {
+    rm(new java.io.File(s"$base/avnow"))
+    val t = s"$base/avnow"
+    TableLog.commitAppend(spark.range(1, 4).selectExpr("id AS k"), t)  // v0
+    TableLog.commitAppend(spark.range(4, 7).selectExpr("id AS k"), t)  // v1
+    TableLog.deleteWhere(spark, t, "k = 5")                            // v2
+    val batches = collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", t).option("versionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$base/avnow/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) batches += vs
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    // AvailableNow must terminate by itself once the snapshot drains
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(batches.flatten.toSet == Set(0L, 1L, 2L), s"history not drained: $batches")
+    assert(batches.forall(_.size == 1), s"admission cap ignored under AvailableNow: $batches")
+  }
+
   test("startingVersion skips history; vacuumed checkpoint fails with a clear error") {
     rm(new java.io.File(s"$base/startv"))
     val t = s"$base/startv"
