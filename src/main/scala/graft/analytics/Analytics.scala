@@ -2122,20 +2122,43 @@ object Analytics extends QueryPack {
     * (the ab_significance discipline). The top-10% share is pure integer
     * arithmetic on the same ranked relation.
     *
-    * 100 TB shape: fact collapses to per-user sums first; the rank window
-    * runs on the user-domain-bounded relation in one deliberate partition.
+    * 100 TB shape: fact collapses to per-user sums first. The global rank
+    * never runs a single-partition window over the USER-scaled relation
+    * (spend sums are near-unique, so even their histogram is user-scaled):
+    * rank = (rows with smaller x, from a two-level bucket prefix sum over
+    * the spend histogram) + (a per-x tie window ordered by user_id —
+    * tie-class-bounded). The only single-task stage is the spend-range/1024
+    * bucket-offset relation, and the offsets join back co-partitioned with
+    * the tie window's own x shuffle.
     */
   def giniSpend(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val spend = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 1000).cast("long")).as("x"))
-    val ranked = spend.repartition(1)
-      .withColumn("pid", spark_partition_id())
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
-          .orderBy(col("x"), col("user_id"))).cast("long"))
-      .drop("pid")
+    val hist = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("x div 1024"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val sizes = hist.groupBy("bkt").agg(sum(col("c")).as("tc"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+    val bOff = sizes.withColumn("cum", sum(col("tc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid").orderBy("bkt")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("bkt"), (col("cum") - col("tc")).as("boff"))
+    val off = hist.join(broadcast(bOff), "bkt")
+      .withColumn("cum", col("boff") + sum(col("c")).over(wCum))
+      .select(col("x"), (col("cum") - col("c")).as("off"))
+    val ranked = spend
+      .withColumn("rw", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("x")
+          .orderBy("user_id")).cast("long"))
+      .join(off, "x")
+      .withColumn("r", col("off") + col("rw"))
+      .drop("rw", "off")
     ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
       .agg(
         max(col("n")).as("n_users"),

@@ -849,7 +849,10 @@ object Graph extends QueryPack {
     val tot = deg.agg(
       count(lit(1)).as("n_nodes"), sum(col("deg")).as("n_halfedges"),
       max(col("deg")).as("max_deg"))
-    val ranked = deg
+    // probes stop at rank 128 (doubles at 256): a TakeOrdered cut of 256
+    // replaces the former single-partition window over the NODE-scaled
+    // degree relation — the rank window then runs on a constant-size cut
+    val ranked = deg.orderBy(col("deg").desc, col("node")).limit(256)
       .repartition(1).withColumn("pid", spark_partition_id())
       .withColumn("r", row_number().over(
         Window.partitionBy(col("pid")).orderBy(col("deg").desc, col("node"))).cast("long"))

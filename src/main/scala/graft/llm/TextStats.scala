@@ -322,12 +322,16 @@ object TextStats extends QueryPack {
     val counts = Tables.loadSpread(s, dir, "documents")
       .select(explode(tokensCol).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    val ranked = counts.repartition(1)
-      .withColumn("pid", spark_partition_id())
+    // only the top 2·ZipfMaxRank terms matter: a TakeOrdered cut (orderBy +
+    // limit plans no global sort — K×partitions to the driver) replaces the
+    // former single-partition window over the VOCABULARY-scaled relation;
+    // the rank window then runs on the constant-size cut
+    val ranked = counts.orderBy(col("tf").desc, col("term"))
+      .limit(2 * ZipfMaxRank)
+      .repartition(1).withColumn("pid", spark_partition_id())
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
           .orderBy(col("tf").desc, col("term"))).cast("long"))
-      .filter(col("rank") <= 2L * ZipfMaxRank)
       .select(col("rank"), col("term"), col("tf"))
     val probes = s.createDataFrame(
       Iterator.iterate(1L)(_ * 2).takeWhile(_ <= ZipfMaxRank).map(Tuple1(_)).toSeq)
