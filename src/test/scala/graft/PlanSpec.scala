@@ -280,6 +280,22 @@ class PlanSpec extends SparkSpec {
             s"$q: unexpected window (partition $partCols, order $orderCols)")
       }
     }
+    // gini_spend's two-level rank: the tie window partitions by the spend
+    // value, the histogram cumsum by its bucket — the only pid window
+    // orders by bkt (bucket-count-bounded). A window over the USER-scaled
+    // relation partitioned by pid would re-serialize the rank at 100 TB.
+    val g = SparkEntry.queries("gini_spend")(spark, sfDir)
+    g.collect()
+    val gw = windows(g.queryExecution.executedPlan)
+    assert(gw.nonEmpty, "gini_spend should plan rank windows")
+    gw.foreach { w =>
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val orderCols = w.orderSpec.flatMap(_.child.references.map(_.name)).toSet
+      assert(
+        partCols.contains("x") || partCols.contains("bkt") ||
+          (partCols.contains("pid") && orderCols.contains("bkt")),
+        s"gini_spend: unexpected window (partition $partCols, order $orderCols)")
+    }
   }
 
   test("no query plan contains a cartesian product") {
