@@ -264,17 +264,26 @@ object Features extends QueryPack {
     * fact joins the broadcast value→ppm map back. Emitted as the per-value
     * mapping plus a per-decile occupancy audit (a correct rank transform
     * fills deciles uniformly up to tie granularity). All integer; the
-    * shuffle state is the value HISTOGRAM, never rows.
+    * shuffle state is the value HISTOGRAM, never rows — and the cumulative
+    * rank over that histogram runs the two-level bucket prefix sum (near-
+    * unique money values make even the histogram data-scaled at 100 TB;
+    * only the value-range/1024 bucket-offset relation crosses one task).
     */
   def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
     val vals = Tables.load(s, dir, "orders")
       .select((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v"))
     val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .repartition(1).withColumn("pid", spark_partition_id())
-    val w = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .withColumn("bkt", expr("v div 1024"))
+    val wCum = Window.partitionBy("bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = hist
-      .withColumn("cum", sum(col("c")).over(w))
+    val sizes = hist.groupBy("bkt").agg(sum(col("c")).as("tc"))
+      .repartition(1).withColumn("pid", spark_partition_id())
+    val bOff = sizes.withColumn("cumb", sum(col("tc")).over(
+        Window.partitionBy("pid").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bkt"), (col("cumb") - col("tc")).as("boff"))
+    val ranked = hist.join(broadcast(bOff), "bkt")
+      .withColumn("cum", col("boff") + sum(col("c")).over(wCum))
       .crossJoin(broadcast(vals.agg(count(lit(1)).as("n"))))
       // doubled mid-rank of the tie run: 2·(cum − c) + c + 1 per member
       .select(col("v"), col("c"),
