@@ -725,6 +725,56 @@ object StreamIngest {
     }.sum
   }
 
+  /** LOG-TO-LOG maintained rollup — the full engine-storage streaming
+    * composition: a DSv2 change-feed stream over one table-log table
+    * ([[graft.sources.TableChangeSource]], offsets = commit versions) folds
+    * signed per-status deltas into a SECOND table-log table via
+    * [[graft.sources.TableLog.commitOnceOverwrite]] (txn = batch id). End
+    * to end this is exactly-once across BOTH logs: the source resumes from
+    * the checkpointed version, and a crash-replayed batch's txn is already
+    * committed downstream so the merge is a no-op — the reference's
+    * queue→warehouse consumer (`from_rabbitmq_to_clickhouse.py:190-197`)
+    * played entirely against the engine's own storage layer, with the
+    * downstream additionally versioned (time travel over rollup history).
+    * Groups whose rows all died net to zero and drop, matching the direct
+    * aggregate of the source's live snapshot at every point.
+    */
+  def logToLogRollup(
+      spark: SparkSession,
+      srcTable: String,
+      dstTable: String,
+      checkpointDir: String,
+      versionsPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", srcTable)
+      .option("versionsPerTrigger", versionsPerTrigger.toString)
+      // project at the file read: streaming scans get no pruning pushdown
+      .option("columns", "o_orderstatus,o_totalprice")
+      .load()
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.withColumn("sgn",
+            when(col("_change_type") === "insert", 1L).otherwise(-1L))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("sgn")).as("n_live"),
+            sum(col("sgn") * floor(col("o_totalprice") * 100).cast("long"))
+              .as("cents"))
+        val prior =
+          if (graft.sources.TableLog.versions(dstTable).nonEmpty)
+            graft.sources.TableLog.read(spark, dstTable)
+          else spark.createDataset(Seq.empty[(String, Long, Long)])
+            .toDF("o_orderstatus", "n_live", "cents")
+        val merged = prior.unionByName(delta)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("n_live")).as("n_live"), sum(col("cents")).as("cents"))
+          .where(col("n_live") > 0)
+        graft.sources.TableLog.commitOnceOverwrite(merged, dstTable, s"l2l_b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   case class CdfDriftVerdict(
       batch_id: Long, n_live: Long, cvm_e6: Long, w1_e6: Long, cvm_reject_95: Boolean)
 

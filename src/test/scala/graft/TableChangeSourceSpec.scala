@@ -147,6 +147,62 @@ class TableChangeSourceSpec extends SparkSpec {
     assert(batches.forall(_.size == 1), s"admission cap ignored under AvailableNow: $batches")
   }
 
+  test("log-to-log rollup: exactly-once across BOTH logs, even when a batch replays") {
+    import graft.streaming.StreamIngest
+    rm(new java.io.File(s"$base/l2l"))
+    val src = s"$base/l2l/src"
+    val dst = s"$base/l2l/dst"
+    val ck = s"$base/l2l/ck"
+    def ordersLike(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS o_orderstatus",
+      "CAST(id AS DOUBLE) / 10 AS o_totalprice", "id AS k")
+    TableLog.commitAppend(ordersLike(0, 20), src)   // v0
+    TableLog.commitAppend(ordersLike(20, 30), src)  // v1
+    TableLog.deleteWhere(spark, src, "k % 3 = 0")   // v2: DV deletes
+    def run(): Unit = {
+      val q = StreamIngest.logToLogRollup(spark, src, dst, ck)
+      assert(q.awaitTermination(120000)); ()
+    }
+    run()
+    def direct() = TableLog.read(spark, src)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_live"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def rolled() = TableLog.read(spark, dst)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rolled() == direct(), "maintained rollup diverged from the direct aggregate")
+    // downstream history is versioned: one commit per consumed source commit
+    val vAfter = TableLog.versions(dst).size
+    assert(vAfter == 3, s"expected 3 rollup versions (one per source commit), got $vAfter")
+
+    // restart with nothing new: no re-delivery, no new downstream versions
+    run()
+    assert(TableLog.versions(dst).size == vAfter, "idle restart grew the rollup log")
+
+    // crash-replay simulation: drop the LAST batch's checkpoint commit
+    // marker (offsets survive) — the engine re-executes that batch on
+    // restart, and the downstream txn dedup must absorb it
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    // drop the marker AND its local-FS checksum sidecar (a stale .N.crc
+    // makes the re-written marker's rename fail as "concurrently used")
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    run()
+    assert(TableLog.versions(dst).size == vAfter,
+      "replayed batch double-applied: txn dedup failed")
+    assert(rolled() == direct(), "replay corrupted the rollup")
+
+    // a NEW source commit after all that applies exactly once
+    TableLog.commitAppend(ordersLike(30, 34), src)  // v3
+    run()
+    assert(rolled() == direct(), "post-replay delivery diverged")
+    assert(TableLog.versions(dst).size == vAfter + 1)
+  }
+
   test("startingVersion skips history; vacuumed checkpoint fails with a clear error") {
     rm(new java.io.File(s"$base/startv"))
     val t = s"$base/startv"
