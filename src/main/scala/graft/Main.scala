@@ -170,6 +170,10 @@ object Main {
       val v = sources.TableLog.restore(spark, backupDir, newTable)
       println(s"[graft] restored $backupDir -> $newTable (version $v)")
       spark.stop()
+    case "rollback" :: table :: toV :: Nil =>
+      val v = sources.TableLog.rollbackTo(table, toV.toLong)
+      println(s"[graft] rolled $table back to version $toV (published as version $v; " +
+        "history intact until vacuum)")
     case "diff" :: table :: vA :: vB :: key :: valueCol :: Nil =>
       val spark = session()
       sources.TableLog.diffVersions(spark, table, vA.toLong, vB.toLong, key, valueCol)
@@ -227,6 +231,7 @@ object Main {
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft follow <tableLogDir> <cursorFile> [restart] — catch-up change-feed pass\n" +
+          "       graft rollback <tableLogDir> <version>  — undo to a prior version (new commit)\n" +
           "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
           "       graft restore <backupDir> <newTableLogDir>\n" +
           "       graft diff <tableLogDir> <vA> <vB> <keyCol> <valueCol> — snapshot version diff\n" +

@@ -819,6 +819,33 @@ object TableLog extends QueryPack {
     }
   }
 
+  /** ROLLBACK (Delta's `RESTORE TABLE ... VERSION AS OF`): make the head
+    * state equal `toVersion` again by publishing that version's manifest
+    * (files + DVs) as a NEW commit — the bad commits stay in history
+    * (time-travelable until vacuum), nothing is deleted, and the operation
+    * is itself just one atomic metadata publish. The change feed derives
+    * the right deltas with no special casing: files the bad commit added
+    * become deletes, files it dropped re-insert. The target's stats
+    * sidecar carries forward (same immutable files, same ranges). The
+    * undo button every production table format ships.
+    */
+  def rollbackTo(table: String, toVersion: Long): Long = {
+    require(versions(table).contains(toVersion),
+      s"version $toVersion not in committed set ${versions(table).mkString(",")}")
+    withRetry(table) { v =>
+      val files = liveFiles(table, toVersion)
+      publish(table, v, files, dvs = dvFiles(table, toVersion))
+      val live = files.toSet
+      val stats =
+        latestStatsLines(table, toVersion).filter(l => live(l.takeWhile(_ != '|')))
+      if (stats.nonEmpty) {
+        Files.write(statsFile(table, v),
+          stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+      v
+    }
+  }
+
   /** data files live at the given (default latest) version — count these to
     * observe compaction
     */

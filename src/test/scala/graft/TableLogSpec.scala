@@ -649,6 +649,34 @@ class TableLogSpec extends SparkSpec {
       "recovered stats must prune an impossible range to zero files")
   }
 
+  test("rollbackTo: head equals the target again, history intact, feed derives the undo") {
+    rm(new java.io.File(s"$root/rollback"))
+    val t = s"$root/rollback"
+    TableLog.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), t, statCols = Seq("k")) // v0
+    TableLog.deleteWhere(spark, t, "k = 2")                                         // v1
+    TableLog.commitOverwrite(Seq((99L, 0L)).toDF("k", "v"), t)                      // v2: the bad write
+    val v3 = TableLog.rollbackTo(t, 1L)
+    assert(v3 == 3L)
+    // head state == the target version, through the DV read path
+    assert(TableLog.read(spark, t).select("k").as[Long].collect().toSeq == Seq(1L))
+    // nothing was erased: the bad commit still time-travels
+    assert(TableLog.read(spark, t, Some(2L)).select("k").as[Long].collect().toSeq == Seq(99L))
+    // the stats index survived the round trip (v0's file [1,2] prunable)
+    assert(TableLog.prunedFiles(t, "k", 100L, 200L)._1.isEmpty,
+      "restored head must keep pruning on the carried-forward stats")
+    // metadata-only count still answers through the restored DVs
+    assert(TableLog.metadataCount(t).contains(1L))
+    // the change feed derives the undo with no special casing:
+    // (2, 3] = delete of the bad row + re-insert of the restored rows
+    val feed = TableLog.changeFeed(spark, t, 2L, 3L)
+      .selectExpr("CASE WHEN _change_type = 'insert' THEN k ELSE -k END")
+      .as[Long].collect().sorted.toSeq
+    assert(feed == Seq(-99L, 1L), s"undo feed wrong: $feed")
+    // a rollback target below retention refuses loudly
+    intercept[IllegalArgumentException](TableLog.rollbackTo(t, 7L))
+  }
+
   test("followChanges past retention: dedicated error, explicit full-snapshot restart") {
     rm(new java.io.File(s"$root/follow_ret"))
     val t = s"$root/follow_ret"
