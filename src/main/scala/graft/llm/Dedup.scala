@@ -564,11 +564,61 @@ object Dedup extends QueryPack {
     * the hash gate proves the build→append→serve index lifecycle loses and
     * invents nothing vs the from-scratch computation.
     */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val path = minhashIndex(s, dir)
-    val buckets = s.read.parquet(path + "/buckets").select("bh", "doc_id")
-    val sketch = s.read.parquet(path + "/sketch")
-    val probes = buckets.where(col("doc_id") % IncBatchMod === 0)
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    indexPairs(s, minhashIndex(s, dir), col("doc_id") % IncBatchMod === 0)
+
+  /** erased doc ids of a persisted index — the TOMBSTONE sidecar every
+    * probe/candidate read subtracts (merge-on-read for the index: erasure
+    * appends ids, the immutable bucket/sketch files are never rewritten).
+    * Duplicate tombstones are harmless, which is what makes at-least-once
+    * feed delivery exactly-once in effect. None when the index has never
+    * seen an erasure — the read path then pays NOTHING.
+    */
+  private def indexTombstones(s: SparkSession, path: String): Option[DataFrame] =
+    if (new java.io.File(path + "/tombstones").exists())
+      Some(s.read.parquet(path + "/tombstones").select("doc_id").distinct())
+    else None
+
+  /** append erasures to the index's tombstone sidecar (idempotent) */
+  def eraseFromIndex(s: SparkSession, path: String, docIds: DataFrame): Unit = {
+    docIds.select(col("doc_id")).write.mode("append").parquet(path + "/tombstones")
+    ()
+  }
+
+  /** Propagate the docs table's DELETES (GDPR `deleteWhere` erasure, a bad
+    * batch rolled back, retention) into a persisted minhash index THROUGH
+    * the table-log change feed: each call consumes the unseen
+    * (cursor, head] commits and tombstones the deleted doc ids, so the
+    * right to be forgotten reaches the SERVING index incrementally — no
+    * rebuild, cost ∝ the deletes. The follower is at-least-once on crash;
+    * tombstone appends are idempotent, so the effect is exactly-once.
+    * (Insert maintenance stays [[writeMinhashIndex]]'s blind append /
+    * [[graft.streaming.StreamIngest.dedupAdmitStream]]'s streaming twin —
+    * this closes the other direction.)
+    */
+  def propagateErasures(
+      s: SparkSession, docsTable: String, indexPath: String,
+      cursorFile: String): Option[(Long, Long)] =
+    graft.sources.TableLog.followChanges(s, docsTable, cursorFile) { (feed, _, _) =>
+      val del = feed.where(col("_change_type") === "delete")
+        .select("doc_id").distinct()
+      if (!del.isEmpty) eraseFromIndex(s, indexPath, del)
+    }
+
+  /** Near-dup pairs served from the persisted index at `path` — probes =
+    * indexed docs matching `probe`, tombstoned docs excluded on BOTH ends
+    * (no hint on the anti-joins: a small erasure set broadcasts from file
+    * stats, a mass erasure degrades to a shuffle join instead of OOMing).
+    * [[incrementalDedup]] is the oracled `doc_id % IncBatchMod` instance.
+    */
+  private[graft] def indexPairs(
+      s: SparkSession, path: String, probe: Column): DataFrame = {
+    val tomb = indexTombstones(s, path)
+    def live(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val buckets = live(s.read.parquet(path + "/buckets").select("bh", "doc_id"))
+    val sketch = live(s.read.parquet(path + "/sketch"))
+    val probes = buckets.where(probe)
       .select(col("bh").as("pbh"), col("doc_id").as("pid"))
     val cand = probes.hint("shuffle_hash")
       .join(buckets.hint("shuffle_hash"),

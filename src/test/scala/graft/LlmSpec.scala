@@ -1118,6 +1118,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("erasure propagates into the persisted index via the change feed; serve equals rebuild") {
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("mh_erase").toString
+    val (tdir, idx, cur) = (s"$root/docs", s"$root/idx", s"$root/cursor")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    TableLog.commitAppend(docs, tdir) // v0: the governed corpus table
+    Dedup.writeMinhashIndex(
+      TableLog.read(spark, tdir).select("doc_id", "text"), idx, append = false)
+    // catch the cursor up past the snapshot the index already covers
+    assert(Dedup.propagateErasures(spark, tdir, idx, cur).contains((-1L, 0L)))
+    val before = Dedup.indexPairs(spark, idx, lit(true)).collect()
+    assert(before.nonEmpty, "need at least one served near-dup pair at this scale")
+    val victim = before.map(_.getLong(0)).min
+    // the GDPR moment: erase the doc from the governed table...
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $victim")
+    // ...and let the feed carry it into the serving index — no rebuild
+    assert(Dedup.propagateErasures(spark, tdir, idx, cur).contains((0L, 1L)))
+    val after = Dedup.indexPairs(spark, idx, lit(true)).collect()
+    assert(!after.exists(r => r.getLong(0) == victim || r.getLong(1) == victim),
+      "an erased doc must never be served from the index again")
+    // tombstone merge-on-read == a from-scratch rebuild on the live snapshot
+    Dedup.writeMinhashIndex(
+      TableLog.read(spark, tdir).select("doc_id", "text"), s"$root/rebuild", append = false)
+    val rebuilt = Dedup.indexPairs(spark, s"$root/rebuild", lit(true)).collect()
+    assert(after.map(_.toString).sorted.toSeq == rebuilt.map(_.toString).sorted.toSeq,
+      "served pairs through tombstones must equal the rebuilt index exactly")
+    // at-least-once is exactly-once in effect: a lost cursor redelivers the
+    // whole history and the duplicate tombstones change nothing
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cur))
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    val again = Dedup.indexPairs(spark, idx, lit(true)).collect()
+    assert(again.map(_.toString).sorted.toSeq == rebuilt.map(_.toString).sorted.toSeq)
+  }
+
   test("fairness_audit: the best-treated source scores 1e6 and ratios respect the rates") {
     val rows = graft.llm.Governance.fairnessAudit(spark, sfDir).collect()
     assert(rows.nonEmpty)
