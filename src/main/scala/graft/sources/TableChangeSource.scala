@@ -87,6 +87,10 @@ object TableChangeSource {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** the session's resolution mode — Spark defaults to case-INSENSITIVE */
+  private[sources] def caseSensitive: Boolean =
+    SparkSession.active.conf.get("spark.sql.caseSensitive", "false").toBoolean
+
   /** the table's merged live schema (restricted to `columns` when given)
     * plus the two change-metadata columns — one footer-only schema
     * inference at stream construction
@@ -98,12 +102,17 @@ object TableChangeSource {
     require(vs.nonEmpty, s"no committed versions under $table")
     val base = SparkSession.active.read.option("mergeSchema", true)
       .parquet(TableLog.liveFilePaths(table, vs.last): _*).schema
+    // honor the session's resolution mode (Spark default: case-insensitive);
+    // the resolved field keeps the TABLE's canonical name, Spark semantics
+    val cs0 = caseSensitive
+    def sameName(a: String, b: String): Boolean =
+      if (cs0) a == b else a.equalsIgnoreCase(b)
     val picked = columns match {
       case None => base.fields.toSeq
       case Some(cs) =>
         val want = cs.split(',').map(_.trim).filter(_.nonEmpty)
-          .filterNot(c => c == ChangeTypeCol || c == CommitVersionCol)
-        want.map(c => base.fields.find(_.name == c).getOrElse(
+          .filterNot(c => sameName(c, ChangeTypeCol) || sameName(c, CommitVersionCol))
+        want.map(c => base.fields.find(f => sameName(f.name, c)).getOrElse(
           throw new IllegalArgumentException(
             s"option columns names '$c', not a column of $table " +
               s"(${base.fieldNames.mkString(", ")})"))).toSeq
@@ -239,7 +248,7 @@ private[sources] class TableChangeStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFileReaderFactory(readSchema)
+    new ChangeFileReaderFactory(readSchema, TableChangeSource.caseSensitive)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -255,10 +264,12 @@ private[sources] case class ChangeFilePartition(
     absPath: String, insert: Boolean, version: Long,
     skip: Array[Long], only: Array[Long]) extends InputPartition
 
-private[sources] class ChangeFileReaderFactory(readSchema: StructType)
+private[sources] class ChangeFileReaderFactory(
+    readSchema: StructType, caseSensitive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ChangeFileReader(partition.asInstanceOf[ChangeFilePartition], readSchema)
+    new ChangeFileReader(
+      partition.asInstanceOf[ChangeFilePartition], readSchema, caseSensitive)
 }
 
 /** Sequential Group-API reader of ONE parquet file: column-pruned via a
@@ -268,7 +279,8 @@ private[sources] class ChangeFileReaderFactory(readSchema: StructType)
   * missing (pre-evolution) columns null-backfilled, change metadata
   * appended as constants.
   */
-private[sources] class ChangeFileReader(p: ChangeFilePartition, readSchema: StructType)
+private[sources] class ChangeFileReader(
+    p: ChangeFilePartition, readSchema: StructType, caseSensitive: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -282,15 +294,30 @@ private[sources] class ChangeFileReader(p: ChangeFilePartition, readSchema: Stru
   private val dataFields: Array[StructField] = readSchema.fields.filterNot(f =>
     f.name == TableChangeSource.ChangeTypeCol ||
       f.name == TableChangeSource.CommitVersionCol)
-  /** the subset present in THIS file — projection order == present order */
-  private val present: Array[StructField] =
-    dataFields.filter(f => fileSchema.containsField(f.name))
+  /** resolve a requested field against THIS file's footer schema, honoring
+    * the session resolution mode captured at planning (default
+    * case-insensitive, matching Spark): returns the FILE-side name, under
+    * which the column is projected — a case-changed evolved column still
+    * resolves instead of being silently null-backfilled as absent
+    */
+  private def fileFieldName(name: String): Option[String] = {
+    val names = (0 until fileSchema.getFieldCount).map(i => fileSchema.getFieldName(i))
+    if (caseSensitive) names.find(_ == name)
+    else names.find(_.equalsIgnoreCase(name))
+  }
+  /** the subset present in THIS file (output field, file-side name) —
+    * projection order == present order
+    */
+  private val present: Array[(StructField, String)] =
+    dataFields.flatMap(f => fileFieldName(f.name).map(f -> _))
   private val projection: MessageType = {
     // parquet rejects an empty projection: a pure-count read (no data
     // columns requested) still projects the narrowest-by-position field
     val fields: java.util.List[org.apache.parquet.schema.Type] =
       (if (present.nonEmpty)
-         present.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+         present.map { case (_, fn) =>
+           fileSchema.getType(fileSchema.getFieldIndex(fn))
+         }
        else Array(fileSchema.getType(0))).toSeq.asJava
     new MessageType(fileSchema.getName, fields)
   }
@@ -303,7 +330,7 @@ private[sources] class ChangeFileReader(p: ChangeFilePartition, readSchema: Stru
 
   /** converter per present field: projection index → Catalyst value */
   private val convert: Array[(Group, Int) => Any] = present.zipWithIndex.map {
-    case (f, i) =>
+    case ((f, _), i) =>
       // projection field order == `present` order by construction
       val t = projection.getType(i)
       if (!t.isPrimitive) throw new UnsupportedOperationException(
@@ -312,7 +339,8 @@ private[sources] class ChangeFileReader(p: ChangeFilePartition, readSchema: Stru
       ChangeFileReader.converter(f.dataType, t.asPrimitiveType(), p.absPath, f.name)
   }
   /** output slot per present field */
-  private val outIdx: Array[Int] = present.map(f => readSchema.fieldIndex(f.name))
+  private val outIdx: Array[Int] =
+    present.map { case (f, _) => readSchema.fieldIndex(f.name) }
 
   private val changeTag = UTF8String.fromString(if (p.insert) "insert" else "delete")
   private val metaSlots: Seq[(Int, Any)] = readSchema.fields.zipWithIndex.collect {

@@ -1586,12 +1586,16 @@ object TableLog extends QueryPack {
       if (Files.exists(cp)) Files.readString(cp).trim.toLong else -1L
     val vs = versions(table)
     val head = vs.lastOption.getOrElse(-1L)
-    if (head <= cursor) None
+    // cursor AHEAD of the head is a lineage break (log truncated or
+    // recreated at the same path, or a wrong cursor file) — same class as
+    // retention loss. Fail loud (or restart under the flag), never report
+    // caught-up: that wedges the follower with no diagnosis.
+    val last =
+      if (cursor == -1L || (cursor <= head && vs.contains(cursor))) cursor
+      else if (restartOnRetentionExceeded) -1L
+      else throw new RetentionExceeded(table, cursor, vs.headOption.getOrElse(-1L))
+    if (head <= last) None
     else {
-      val last =
-        if (cursor == -1L || vs.contains(cursor)) cursor
-        else if (restartOnRetentionExceeded) -1L
-        else throw new RetentionExceeded(table, cursor, vs.head)
       f(changeFeed(spark, table, last, head), last, head)
       Files.createDirectories(cp.toAbsolutePath.getParent)
       val tmp = cp.resolveSibling(s".${cp.getFileName}.${java.util.UUID.randomUUID()}.tmp")

@@ -125,6 +125,52 @@ class TableChangeSourceSpec extends SparkSpec {
     assert(seen.sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("column resolution is case-insensitive, matching the session default") {
+    rm(new java.io.File(s"$base/ci"))
+    val t = s"$base/ci"
+    // the table's canonical name is mixed-case; the option uses another case
+    TableLog.commitAppend(spark.range(1, 4).selectExpr("id AS Keyed"), t)
+    val df = spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", t).option("columns", "KEYED").load()
+    // resolution keeps the TABLE's canonical field name (Spark semantics)
+    assert(df.schema.fieldNames.head == "Keyed")
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    val q = df.select("Keyed")
+      .writeStream.option("checkpointLocation", s"$base/ci/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.as[Long].collect(); ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L),
+      "a case-mismatched columns option must resolve")
+
+    // reader side: a case-CHANGED evolved column — the old file spells the
+    // field 'val', the merged schema (from the latest files) spells it
+    // 'VAL' — must still DECODE from the old file, not null-backfill
+    rm(new java.io.File(s"$base/ci2"))
+    val t2 = s"$base/ci2"
+    TableLog.commitAppend(spark.range(1, 3).selectExpr("id AS val"), t2)  // v0
+    TableLog.commitOverwrite(spark.range(5, 7).selectExpr("id AS VAL"), t2) // v1
+    val rows = collection.mutable.ArrayBuffer.empty[(String, Long, Any)]
+    val q2 = spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", t2).load()
+      .writeStream.option("checkpointLocation", s"$base/ci2/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows ++= b.collect().map(r => (
+          r.getAs[String]("_change_type"),
+          r.getAs[Long]("_commit_version"),
+          r.get(r.fieldIndex("VAL"))))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val v0Inserts = rows.filter(r => r._2 == 0L && r._1 == "insert").map(_._3)
+    assert(v0Inserts.sortBy(_.asInstanceOf[Long].longValue) == Seq(1L, 2L),
+      s"case-changed evolved file must decode, got $rows")
+    assert(rows.forall(_._3 != null), s"no null backfill expected: $rows")
+  }
+
   test("Trigger.AvailableNow drains the full history under admission and terminates") {
     rm(new java.io.File(s"$base/avnow"))
     val t = s"$base/avnow"

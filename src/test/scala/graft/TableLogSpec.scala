@@ -541,6 +541,7 @@ class TableLogSpec extends SparkSpec {
 
   test("followChanges: durable cursor, redelivery on crash, caught-up is a no-op") {
     rm(new java.io.File(s"$root/follow"))
+    rm(new java.io.File(s"$root/follow_cursor"))
     val t = s"$root/follow"
     val cursor = s"$root/follow_cursor"
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long])]()
@@ -679,6 +680,7 @@ class TableLogSpec extends SparkSpec {
 
   test("followChanges past retention: dedicated error, explicit full-snapshot restart") {
     rm(new java.io.File(s"$root/follow_ret"))
+    rm(new java.io.File(s"$root/follow_ret_cursor"))
     val t = s"$root/follow_ret"
     val cursor = s"$root/follow_ret_cursor"
     TableLog.commitAppend(spark.range(1, 4).selectExpr("id AS k"), t)
@@ -703,6 +705,32 @@ class TableLogSpec extends SparkSpec {
     assert(r.contains((-1L, 2L)))
     assert(seen == Seq(Seq(10L, 11L, 12L, 13L, 14L)))
     // the advanced cursor is durable: next call is a caught-up no-op
+    assert(TableLog.followChanges(spark, t, cursor)((_, _, _) => ()).isEmpty)
+  }
+
+  test("followChanges cursor AHEAD of head: loud lineage error, never a silent wedge") {
+    rm(new java.io.File(s"$root/follow_ahead"))
+    rm(new java.io.File(s"$root/follow_ahead_cursor"))
+    val t = s"$root/follow_ahead"
+    val cursor = s"$root/follow_ahead_cursor"
+    TableLog.commitAppend(spark.range(1, 4).selectExpr("id AS k"), t)
+    TableLog.commitAppend(spark.range(4, 6).selectExpr("id AS k"), t)
+    assert(TableLog.followChanges(spark, t, cursor)((_, _, _) => ()).contains((-1L, 1L)))
+    // the log is dropped and recreated at the same path: head is now BEHIND
+    // the durable cursor — a lineage break, not "caught up"
+    rm(new java.io.File(t))
+    TableLog.commitAppend(spark.range(20, 23).selectExpr("id AS k"), t)
+    val e = intercept[TableLog.RetentionExceeded] {
+      TableLog.followChanges(spark, t, cursor)((_, _, _) => ())
+    }
+    assert(e.cursor == 1L && e.earliest == 0L)
+    // explicit restart resumes from the full snapshot of the NEW lineage
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val r = TableLog.followChanges(spark, t, cursor, restartOnRetentionExceeded = true) {
+      (df, _, _) => seen += df.selectExpr("k").as[Long].collect().sorted.toSeq
+    }
+    assert(r.contains((-1L, 0L)))
+    assert(seen == Seq(Seq(20L, 21L, 22L)))
     assert(TableLog.followChanges(spark, t, cursor)((_, _, _) => ()).isEmpty)
   }
 }
