@@ -567,43 +567,25 @@ object Dedup extends QueryPack {
   def incrementalDedup(s: SparkSession, dir: String): DataFrame =
     indexPairs(s, minhashIndex(s, dir), col("doc_id") % IncBatchMod === 0)
 
-  /** erased doc ids of a persisted index — the TOMBSTONE sidecar every
-    * probe/candidate read subtracts (merge-on-read for the index: erasure
-    * appends ids, the immutable bucket/sketch files are never rewritten).
-    * Duplicate tombstones are harmless, which is what makes at-least-once
-    * feed delivery exactly-once in effect. None when the index has never
-    * seen an erasure — the read path then pays NOTHING.
+  /** Append erasures to the minhash index's tombstone sidecar
+    * ([[Erasure.erase]] — idempotent, terminal by default).
     */
-  private def indexTombstones(s: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path + "/tombstones").exists())
-      Some(s.read.parquet(path + "/tombstones").select("doc_id").distinct())
-    else None
-
-  /** append erasures to the index's tombstone sidecar (idempotent) */
-  def eraseFromIndex(s: SparkSession, path: String, docIds: DataFrame): Unit = {
-    docIds.select(col("doc_id")).write.mode("append").parquet(path + "/tombstones")
-    ()
-  }
+  def eraseFromIndex(s: SparkSession, path: String, docIds: DataFrame,
+      ver: Long = Long.MaxValue): Unit =
+    Erasure.erase(s, path, docIds, "doc_id", ver)
 
   /** Propagate the docs table's DELETES (GDPR `deleteWhere` erasure, a bad
     * batch rolled back, retention) into a persisted minhash index THROUGH
-    * the table-log change feed: each call consumes the unseen
-    * (cursor, head] commits and tombstones the deleted doc ids, so the
-    * right to be forgotten reaches the SERVING index incrementally — no
-    * rebuild, cost ∝ the deletes. The follower is at-least-once on crash;
-    * tombstone appends are idempotent, so the effect is exactly-once.
-    * (Insert maintenance stays [[writeMinhashIndex]]'s blind append /
+    * the table-log change feed — [[Erasure.propagate]] with the net-effect,
+    * resurrection and exactly-once laws documented there. (Insert
+    * maintenance stays [[writeMinhashIndex]]'s blind append /
     * [[graft.streaming.StreamIngest.dedupAdmitStream]]'s streaming twin —
     * this closes the other direction.)
     */
   def propagateErasures(
       s: SparkSession, docsTable: String, indexPath: String,
       cursorFile: String): Option[(Long, Long)] =
-    graft.sources.TableLog.followChanges(s, docsTable, cursorFile) { (feed, _, _) =>
-      val del = feed.where(col("_change_type") === "delete")
-        .select("doc_id").distinct()
-      if (!del.isEmpty) eraseFromIndex(s, indexPath, del)
-    }
+    Erasure.propagate(s, docsTable, indexPath, cursorFile, "doc_id")
 
   /** Near-dup pairs served from the persisted index at `path` — probes =
     * indexed docs matching `probe`, tombstoned docs excluded on BOTH ends
@@ -613,9 +595,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def indexPairs(
       s: SparkSession, path: String, probe: Column): DataFrame = {
-    val tomb = indexTombstones(s, path)
-    def live(df: DataFrame): DataFrame =
-      tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val live = Erasure.subtract(s, path, "doc_id") _
     val buckets = live(s.read.parquet(path + "/buckets").select("bh", "doc_id"))
     val sketch = live(s.read.parquet(path + "/sketch"))
     val probes = buckets.where(probe)

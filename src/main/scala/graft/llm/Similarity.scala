@@ -695,7 +695,10 @@ object Similarity extends QueryPack {
     */
   def ivfTopKIndexed(s: SparkSession, indexPath: String, queries: DataFrame): DataFrame = {
     val cents = s.read.parquet(s"$indexPath/centroids")
-    val members = s.read.parquet(s"$indexPath/cells")
+    // erased vectors ([[eraseFromIvfIndex]] / [[propagateIvfErasures]]) are
+    // subtracted merge-on-read — cell files stay immutable under GDPR
+    val members = Erasure.subtract(s, indexPath, "vec_id")(
+      s.read.parquet(s"$indexPath/cells"))
     // probes is a trivial plan (queries × a 1-row matrix) evaluated twice —
     // once for the key collect, once inside the join. Deliberately NOT
     // cache()d: a service session calling this per request would leak one
@@ -717,6 +720,23 @@ object Similarity extends QueryPack {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= TopK)
   }
+
+  /** direct GDPR erasure of vectors from a persisted IVF or IVF-PQ index —
+    * tombstone sidecar append, cell/code files untouched ([[Erasure.erase]];
+    * both layouts serve through the same vec_id subtraction)
+    */
+  def eraseFromIvfIndex(s: SparkSession, indexPath: String, vecIds: DataFrame,
+      ver: Long = Long.MaxValue): Unit =
+    Erasure.erase(s, indexPath, vecIds, "vec_id", ver)
+
+  /** propagate the embeddings table's deletes into a persisted IVF / IVF-PQ
+    * index through the table-log change feed — [[Erasure.propagate]]'s
+    * net-effect / resurrection / exactly-once laws on vec_id
+    */
+  def propagateIvfErasures(
+      s: SparkSession, embTable: String, indexPath: String,
+      cursorFile: String): Option[(Long, Long)] =
+    Erasure.propagate(s, embTable, indexPath, cursorFile, "vec_id")
 
   // ---------------------------------------------------------------------------
   // Persisted IVF-PQ index (coarse cells + PQ codes — the production layout)
@@ -790,7 +810,9 @@ object Similarity extends QueryPack {
       nProbe: Int = NProbe): DataFrame = {
     val cents = s.read.parquet(s"$indexPath/centroids")
     val books = s.read.parquet(s"$indexPath/codebooks")
-    val codes = s.read.parquet(s"$indexPath/codes")
+    // same merge-on-read erasure subtraction as [[ivfTopKIndexed]]
+    val codes = Erasure.subtract(s, indexPath, "vec_id")(
+      s.read.parquet(s"$indexPath/codes"))
     val dt = queries
       .select(col("vec_id").as("q_id"),
         posexplode(subVecsUdf(quantUdf(col("embedding")))).as(Seq("m", "xs")))

@@ -941,7 +941,9 @@ object TextStats extends QueryPack {
 
   /** posting list for one term off the persisted index — the `where bucket =`
     * predicate is partition pruning (one directory scanned), the term
-    * equality filters within it
+    * equality filters within it; erased docs ([[eraseFromTextIndex]] /
+    * [[propagateTextErasures]]) are subtracted merge-on-read, so the
+    * right to be forgotten holds without rewriting posting files
     */
   def termLookup(s: SparkSession, path: String, term: String): DataFrame = {
     val b = java.lang.Math.floorMod(
@@ -949,10 +951,27 @@ object TextStats extends QueryPack {
         org.apache.spark.unsafe.types.UTF8String.fromString(term),
         org.apache.spark.sql.types.StringType, 42L),
       IndexBuckets.toLong)
-    s.read.parquet(path)
-      .where(col("bucket") === lit(b) && col("term") === lit(term))
-      .select(col("term"), col("doc_id"), col("tf"))
+    Erasure.subtract(s, path, "doc_id")(
+      s.read.parquet(path)
+        .where(col("bucket") === lit(b) && col("term") === lit(term))
+        .select(col("term"), col("doc_id"), col("tf")))
   }
+
+  /** direct GDPR erasure of docs from the persisted inverted index —
+    * tombstone sidecar append, posting files untouched ([[Erasure.erase]])
+    */
+  def eraseFromTextIndex(s: SparkSession, path: String, docIds: DataFrame,
+      ver: Long = Long.MaxValue): Unit =
+    Erasure.erase(s, path, docIds, "doc_id", ver)
+
+  /** propagate the docs table's deletes into the persisted inverted index
+    * through the table-log change feed — [[Erasure.propagate]]'s net-effect
+    * / resurrection / exactly-once laws, applied to posting lists
+    */
+  def propagateTextErasures(
+      s: SparkSession, docsTable: String, indexPath: String,
+      cursorFile: String): Option[(Long, Long)] =
+    Erasure.propagate(s, docsTable, indexPath, cursorFile, "doc_id")
 
   private val textIndexed = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -147,4 +147,78 @@ class IvfIndexSpec extends SparkSpec {
     val (ri, rm2) = (res(inc), res(mono))
     assert(ri == rm2 && ri.nonEmpty)
   }
+
+  test("IVF erasure: feed-propagated tombstones == same-centroid rebuild; churn nets; re-insert resurrects") {
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("ivf_erase").toString
+    val (tdir, idx, cur) = (s"$root/emb", s"$root/idx", s"$root/cursor")
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    TableLog.commitAppend(emb, tdir) // v0: the governed embeddings table
+    Similarity.writeIvfIndex(
+      TableLog.read(spark, tdir).select("vec_id", "embedding"), idx)
+    assert(Similarity.propagateIvfErasures(spark, tdir, idx, cur).contains((-1L, 0L)))
+    val queries = emb.orderBy("vec_id").limit(Similarity.NumQueries).cache()
+    def res(p: String) = Similarity.ivfTopKIndexed(spark, p, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val before = res(idx)
+    val qIds = queries.collect().map(_.getLong(0)).toSet
+    // victim: a served neighbor that is NOT itself a query vector
+    val victim = before.map(_._2).filterNot(qIds).min
+    val victimRow = emb.where(col("vec_id") === victim).cache()
+    assert(victimRow.count() == 1)
+    TableLog.deleteWhere(spark, tdir, s"vec_id = $victim") // v1
+    assert(Similarity.propagateIvfErasures(spark, tdir, idx, cur).contains((0L, 1L)))
+    val served = res(idx)
+    assert(!served.exists(_._2 == victim), "an erased vector must never be served")
+    // law: tombstoned serve == an index REBUILT on the live snapshot with
+    // the SAME centroids (FAISS remove semantics: posting lists shrink,
+    // the coarse quantizer is not retrained)
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$root/rebuild/centroids")
+    Similarity.appendIvfIndex(
+      TableLog.read(spark, tdir).select("vec_id", "embedding"), s"$root/rebuild")
+    assert(served == res(s"$root/rebuild") && served.nonEmpty)
+    // compaction churn (delete+insert of every live row) tombstones nothing
+    TableLog.optimize(spark, tdir) // v2
+    assert(Similarity.propagateIvfErasures(spark, tdir, idx, cur).contains((1L, 2L)))
+    assert(res(idx) == served, "optimize churn must not erase live vectors")
+    // re-inserting the erased vector resurrects it (versioned tombstone)
+    TableLog.commitAppend(victimRow, tdir) // v3
+    victimRow.unpersist(blocking = false)
+    assert(Similarity.propagateIvfErasures(spark, tdir, idx, cur).contains((2L, 3L)))
+    assert(res(idx) == before, "a re-inserted vector must serve again")
+    // redelivery (lost cursor) is a no-op in effect
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cur))
+    Similarity.propagateIvfErasures(spark, tdir, idx, cur)
+    assert(res(idx) == before)
+    queries.unpersist(blocking = false)
+  }
+
+  test("IVF-PQ erasure: erased vector never served; equals same-codebook rebuild") {
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_erase").toString
+    val (tdir, idx, cur) = (s"$root/emb", s"$root/idx", s"$root/cursor")
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    TableLog.commitAppend(emb, tdir) // v0
+    Similarity.writeIvfPqIndex(
+      TableLog.read(spark, tdir).select("vec_id", "embedding"), idx)
+    assert(Similarity.propagateIvfErasures(spark, tdir, idx, cur).contains((-1L, 0L)))
+    val queries = emb.where(col("vec_id") < 5).cache()
+    def res(p: String) = Similarity.annPqTopKIndexed(spark, p, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val before = res(idx)
+    // annPqTopKIndexed rows are (q_id, rank, vec_id, dist) — victim from
+    // the NEIGHBOR slot, outside the query id range
+    val victim = before.map(_._3).filter(_ >= 5).min
+    TableLog.deleteWhere(spark, tdir, s"vec_id = $victim") // v1
+    assert(Similarity.propagateIvfErasures(spark, tdir, idx, cur).contains((0L, 1L)))
+    val served = res(idx)
+    assert(!served.exists(_._3 == victim), "an erased vector must never be served")
+    // same-quantizer rebuild on the live snapshot serves identically
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$root/rebuild/centroids")
+    spark.read.parquet(s"$idx/codebooks").write.parquet(s"$root/rebuild/codebooks")
+    Similarity.appendIvfPqIndex(
+      TableLog.read(spark, tdir).select("vec_id", "embedding"), s"$root/rebuild")
+    assert(served == res(s"$root/rebuild") && served.nonEmpty)
+    queries.unpersist(blocking = false)
+  }
 }

@@ -1152,6 +1152,89 @@ class LlmSpec extends SparkSpec {
     assert(again.map(_.toString).sorted.toSeq == rebuilt.map(_.toString).sorted.toSeq)
   }
 
+  test("erasure propagation nets compaction churn and a re-insert resurrects") {
+    import graft.sources.TableLog
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("mh_churn").toString
+    val (tdir, idx, cur) = (s"$root/docs", s"$root/idx", s"$root/cursor")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    TableLog.commitAppend(docs, tdir) // v0
+    Dedup.writeMinhashIndex(
+      TableLog.read(spark, tdir).select("doc_id", "text"), idx, append = false)
+    assert(Dedup.propagateErasures(spark, tdir, idx, cur).contains((-1L, 0L)))
+    val before = Dedup.indexPairs(spark, idx, lit(true)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(before.nonEmpty)
+    val victim = Dedup.indexPairs(spark, idx, lit(true)).collect().map(_.getLong(0)).min
+    val victimRow = docs.where(col("doc_id") === victim).cache()
+    assert(victimRow.count() == 1)
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $victim") // v1
+    assert(Dedup.propagateErasures(spark, tdir, idx, cur).contains((0L, 1L)))
+    val erasedRows = Dedup.indexPairs(spark, idx, lit(true)).collect()
+    assert(!erasedRows.exists(r => r.getLong(0) == victim || r.getLong(1) == victim),
+      "victim gone after erasure")
+    val erased = erasedRows.map(_.toString).sorted.toSeq
+    // COMPACTION: optimize rewrites every live row as delete+insert churn in
+    // one commit — the feed nets it to zero, so no live doc gets tombstoned
+    TableLog.optimize(spark, tdir) // v2
+    assert(Dedup.propagateErasures(spark, tdir, idx, cur).contains((1L, 2L)))
+    val postOpt = Dedup.indexPairs(spark, idx, lit(true)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(postOpt == erased,
+      "compaction churn must not tombstone live docs out of the serving index")
+    // RESURRECTION: re-inserting the erased doc (fresh data, same id) must
+    // serve again — the index's immutable rows were never removed, the
+    // newer-versioned resurrection mark cancels the tombstone
+    TableLog.commitAppend(victimRow, tdir) // v3
+    victimRow.unpersist(blocking = false)
+    assert(Dedup.propagateErasures(spark, tdir, idx, cur).contains((2L, 3L)))
+    val resurrected = Dedup.indexPairs(spark, idx, lit(true)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(resurrected == before,
+      "a re-inserted doc must serve from the index again (versioned tombstone)")
+    // and the whole lifecycle equals a from-scratch rebuild of the snapshot
+    Dedup.writeMinhashIndex(
+      TableLog.read(spark, tdir).select("doc_id", "text"), s"$root/rebuild", append = false)
+    val rebuilt = Dedup.indexPairs(spark, s"$root/rebuild", lit(true)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(resurrected == rebuilt)
+  }
+
+  test("text index erasure: erased doc leaves every posting lookup; equals rebuild; churn nets") {
+    import graft.sources.TableLog
+    import graft.llm.TextStats
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("tidx_erase").toString
+    val (tdir, idx, cur) = (s"$root/docs", s"$root/idx", s"$root/cursor")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    TableLog.commitAppend(docs, tdir) // v0
+    TextStats.writeTextIndex(TableLog.read(spark, tdir), idx)
+    assert(TextStats.propagateTextErasures(spark, tdir, idx, cur).contains((-1L, 0L)))
+    def postings(term: String) = TextStats.termLookup(spark, idx, term).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val before = postings("table")
+    assert(before.nonEmpty, "probe term must have postings at this scale")
+    val victim = before.map(_._2).min
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $victim") // v1
+    assert(TextStats.propagateTextErasures(spark, tdir, idx, cur).contains((0L, 1L)))
+    val served = postings("table")
+    assert(!served.exists(_._2 == victim), "an erased doc must never be served")
+    assert(served == before.filterNot(_._2 == victim),
+      "only the victim's postings may disappear")
+    // == a from-scratch rebuild of the live snapshot
+    TextStats.writeTextIndex(TableLog.read(spark, tdir), s"$root/rebuild")
+    assert(served == TextStats.termLookup(spark, s"$root/rebuild", "table").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+    // compaction churn nets to zero erasures
+    TableLog.optimize(spark, tdir) // v2
+    assert(TextStats.propagateTextErasures(spark, tdir, idx, cur).contains((1L, 2L)))
+    assert(postings("table") == served, "optimize churn must not erase live docs")
+    // redelivery (lost cursor) is a no-op in effect
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cur))
+    TextStats.propagateTextErasures(spark, tdir, idx, cur)
+    assert(postings("table") == served)
+  }
+
   test("fairness_audit: the best-treated source scores 1e6 and ratios respect the rates") {
     val rows = graft.llm.Governance.fairnessAudit(spark, sfDir).collect()
     assert(rows.nonEmpty)
