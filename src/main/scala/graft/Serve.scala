@@ -57,6 +57,21 @@ object Serve {
   def registerViews(spark: SparkSession, dir: String,
                     queries: Seq[String] = AnalysisViews,
                     tableLogRoot: Option[String] = None): Unit = {
+    // the SQL face of the log: with a log root, JDBC clients also get the
+    // graft catalog — `SELECT ... FROM graft.<table> [VERSION AS OF n]`,
+    // metadata-only count(*), snapshot isolation — next to the view layer
+    tableLogRoot.foreach { r =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      // JDBC connections get FRESH sessions (newSession(), not clones):
+      // their SQLConf initializes from the SparkContext conf, so the
+      // catalog registration must live there too to reach them
+      org.apache.spark.sql.graftx.ContextConf.set(spark.sparkContext,
+        "spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+      org.apache.spark.sql.graftx.ContextConf.set(spark.sparkContext,
+        "spark.sql.catalog.graft.root", r)
+    }
     Tables.All.foreach { t =>
       tableLogRoot.map(r => s"$r/$t")
         .filter(p => graft.sources.TableLog.versions(p).nonEmpty) match {

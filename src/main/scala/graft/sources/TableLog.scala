@@ -54,9 +54,16 @@ object TableLog extends QueryPack {
       .sorted
   }
 
-  private def liveFiles(table: String, v: Long): Seq[String] =
+  private[sources] def liveFiles(table: String, v: Long): Seq[String] =
     Files.readAllLines(versionFile(table, v)).asScala.toSeq
       .filter(_.nonEmpty).filterNot(_.startsWith("#"))
+
+  /** manifest publish instant of version `v` in MICROseconds — what the
+    * catalog's `TIMESTAMP AS OF` resolves against (the rename that
+    * publishes the manifest IS the commit, so its mtime is the commit time)
+    */
+  private[sources] def versionCommitTimeMicros(table: String, v: Long): Long =
+    Files.getLastModifiedTime(versionFile(table, v)).toMillis * 1000L
 
   /** absolute paths of the files live at `v` (for the streaming source's
     * schema inference and partition planning)
@@ -1709,7 +1716,45 @@ object TableLog extends QueryPack {
       |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
       |  AND NOT (o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** The SQL face of the log ([[GraftCatalog]]): register the catalog over
+    * [[ordersDvDeleted]]'s scratch root and answer the same merge-on-read
+    * accounting as [[dvDeleteRead]] PLUS the pushed metadata `count(*)` and
+    * a `VERSION AS OF 0` time-travel count — one statement per catalog
+    * capability, all as plain `spark.sql` text, so the whole
+    * SQL-resolution → DSv2-scan → DV-subtraction path is hash-gated.
+    */
+  def catalogSqlRead(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersDvDeleted(s, dir)
+    val root = t.substring(0, t.lastIndexOf('/'))
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    s.sql(
+      """SELECT o_orderstatus AS grp, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+        |FROM graft.orders_dv GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '_total', count(*), CAST(0 AS LONG) FROM graft.orders_dv
+        |UNION ALL
+        |SELECT '_v0', count(*), CAST(0 AS LONG) FROM graft.orders_dv VERSION AS OF 0
+        |""".stripMargin)
+  }
+
+  private val catalogSqlReadSql =
+    """WITH live AS (
+      |  SELECT * FROM orders
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+      |    AND NOT (o_orderpriority = '1-URGENT'))
+      |SELECT o_orderstatus AS grp,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM live GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT '_total', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM live
+      |UNION ALL
+      |SELECT '_v0', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM orders""".stripMargin
+
   override val all: Seq[Q] = Seq(
+    Q("catalog_sql_read", catalogSqlRead, Some(catalogSqlReadSql)),
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
     Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),

@@ -76,6 +76,26 @@ class ServeSpec extends SparkSpec {
         // and time travel still reads v0 through the same log
         assert(graft.sources.TableLog.read(spark, s"$root/customer", asOf = Some(0L))
           .count() == 40L)
+
+        // --- the SQL catalog over the same endpoint: VERSION AS OF through
+        // plain JDBC text, and the metadata count(*) path. A session's
+        // SQLConf snapshots at open, so the catalog reaches connections
+        // opened AFTER registration (the real lifecycle: Serve.start
+        // registers before the port opens) — use a fresh connection.
+        val conn2 = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/", "anonymous", "")
+        try {
+          def one(sql: String): Long = {
+            val r = conn2.createStatement().executeQuery(sql)
+            assert(r.next(), s"no row from: $sql"); r.getLong(1)
+          }
+          assert(one("SELECT count(*) FROM graft.customer") == 25L,
+            "catalog count must serve the head snapshot via metadata")
+          assert(one("SELECT count(*) FROM graft.customer VERSION AS OF 0") == 40L,
+            "catalog time travel must reach v0 over JDBC")
+          assert(one("SELECT count(DISTINCT c_custkey) FROM graft.customer") == 25L,
+            "catalog data reads must work over JDBC")
+        } finally conn2.close()
       } finally conn.close()
     } finally server.stop()
   }

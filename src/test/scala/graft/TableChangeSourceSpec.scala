@@ -171,6 +171,43 @@ class TableChangeSourceSpec extends SparkSpec {
     assert(rows.forall(_._3 != null), s"no null backfill expected: $rows")
   }
 
+  test("per-batch work scales with the batch's touched files, never the log size") {
+    rm(new java.io.File(s"$base/sized"))
+    val t = s"$base/sized"
+    // 6 appends with a KNOWN file count each (1,1,3,1,2,1), then a DV
+    // delete touching every file
+    val fanout = Seq(1, 1, 3, 1, 2, 1)
+    fanout.zipWithIndex.foreach { case (nf, i) =>
+      TableLog.commitAppend(
+        spark.range(i * 100L, i * 100L + 100L).selectExpr("id AS k")
+          .repartition(nf), t)
+    }
+    TableLog.deleteWhere(spark, t, "k % 10 = 0") // v6: DV on all 9 files
+    val parts = collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", t).option("versionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$base/sized/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = b.select("_commit_version").limit(1).collect()
+        if (v.nonEmpty) parts += ((v.head.getLong(0), b.rdd.getNumPartitions))
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    // the STATE-SIZE LAW: an append batch plans exactly ITS commit's files
+    // as partitions — version 5 of a 6-commit log costs the same as
+    // version 0 of a 1-commit log, so per-batch driver state and executor
+    // work are bounded by the commit, never the log
+    val byV = parts.toMap
+    fanout.zipWithIndex.foreach { case (nf, i) =>
+      assert(byV(i.toLong) == nf,
+        s"v$i should plan $nf partitions (its own files), got ${byV(i.toLong)}")
+    }
+    // the DV-delete batch plans one partition per file the delete TOUCHES
+    assert(byV(6L) == fanout.sum,
+      s"the DV delete touches all ${fanout.sum} files, got ${byV(6L)}")
+  }
+
   test("Trigger.AvailableNow drains the full history under admission and terminates") {
     rm(new java.io.File(s"$base/avnow"))
     val t = s"$base/avnow"
