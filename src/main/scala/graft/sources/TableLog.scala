@@ -332,6 +332,42 @@ object TableLog extends QueryPack {
     }
   }
 
+  /** Exactly-once APPEND: a no-op when `txnId` already committed — the
+    * append twin of [[commitOnceOverwrite]] and what the streaming table-log
+    * SINK ([[GraftLogSink]]) lands each micro-batch through: a replayed
+    * batch id re-runs the write but the txn-tagged manifest dedupes the
+    * publish, so the table grows exactly once per batch. Prior files keep
+    * their DVs and stats carry forward, exactly like [[commitAppend]].
+    */
+  def commitOnceAppend(
+      df: DataFrame, table: String, txnId: String,
+      statCols: Seq[String] = Nil): Option[Long] = {
+    if (committedTxns(table).contains(txnId)) None
+    else {
+      val moved = writeConstrained(df, table)
+      val newStats = gatherStats(df.sparkSession, table, moved, statCols)
+      val r = withRetry(table) { v =>
+        if (committedTxns(table).contains(txnId)) AlreadyCommitted
+        else {
+          val prevV = versions(table).lastOption
+          val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
+          val prevStats = prevV.map { pv =>
+            val live = prev.toSet
+            latestStatsLines(table, pv).filter(l => live(l.takeWhile(_ != '|')))
+          }.getOrElse(Seq.empty)
+          publish(table, v, prev ++ moved, Some(txnId),
+            dvs = prevV.map(dvFiles(table, _)).getOrElse(Seq.empty))
+          if ((prevStats ++ newStats).nonEmpty) {
+            Files.write(statsFile(table, v),
+              (prevStats ++ newStats).mkString("\n").getBytes(StandardCharsets.UTF_8))
+          }
+          v
+        }
+      }
+      if (r == AlreadyCommitted) None else Some(r)
+    }
+  }
+
   /** sentinel for [[commitOnceOverwrite]]'s retry lambda: the txn landed
     * via a concurrent replica, so this attempt must become a no-op
     */

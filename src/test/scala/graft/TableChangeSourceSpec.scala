@@ -286,6 +286,61 @@ class TableChangeSourceSpec extends SparkSpec {
     assert(TableLog.versions(dst).size == vAfter + 1)
   }
 
+  test("graft-log streaming sink: format-to-format pipeline, exactly-once under forced replay") {
+    rm(new java.io.File(s"$base/sink"))
+    val src = s"$base/sink/src"
+    val dst = s"$base/sink/dst"
+    val ck = s"$base/sink/ck"
+    TableLog.commitAppend(spark.range(0, 20).selectExpr("id AS k"), src)  // v0
+    TableLog.commitAppend(spark.range(20, 30).selectExpr("id AS k"), src) // v1
+    // change-feed SOURCE → graft-log SINK: a log-to-log pipeline with ZERO
+    // foreachBatch code — the pair the change-feed source opened, closed
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.TableChangeSource")
+        .option("table", src).option("versionsPerTrigger", "1")
+        .option("columns", "k").load()
+        .select("k")
+        .writeStream.format("graft-log").option("table", dst)
+        .option("statCols", "k")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); ()
+    }
+    run()
+    def rows(t: String) = TableLog.read(spark, t).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows(dst) == rows(src), "sink must land exactly the source rows")
+    // one commit per micro-batch (per source version under vpt=1)
+    val vAfter = TableLog.versions(dst).size
+    assert(vAfter == 2, s"expected 2 sink commits, got $vAfter")
+    // the sink's commits are full log citizens: metadata count and stats
+    assert(TableLog.metadataCount(dst).contains(30L))
+    // idle restart: no new commits
+    run()
+    assert(TableLog.versions(dst).size == vAfter, "idle restart grew the sink log")
+    // crash-replay: drop the LAST batch's checkpoint commit marker (offsets
+    // survive) — the engine re-executes it and the txn dedup must absorb it
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    run()
+    assert(TableLog.versions(dst).size == vAfter,
+      "replayed batch double-applied: txn dedup failed")
+    assert(rows(dst) == rows(src), "replay corrupted the sink table")
+    // a NEW source commit flows through exactly once...
+    TableLog.commitAppend(spark.range(30, 34).selectExpr("id AS k"), src) // v2
+    run()
+    assert(rows(dst) == rows(src))
+    assert(TableLog.versions(dst).size == vAfter + 1)
+    // ...and the sink-built table is itself a change-feed source: the pair
+    // composes into arbitrarily long log pipelines
+    val feed = TableLog.changeFeed(spark, dst, -1L, TableLog.versions(dst).last)
+    assert(feed.where(col("_change_type") === "insert").count() == 34L)
+  }
+
   test("startingVersion skips history; vacuumed checkpoint fails with a clear error") {
     rm(new java.io.File(s"$base/startv"))
     val t = s"$base/startv"
