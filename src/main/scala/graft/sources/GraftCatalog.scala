@@ -187,13 +187,91 @@ private[sources] class GraftLogTable(ident: String, path: String, v: Long)
 
 private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownFilters {
 
   private var required: StructType = full
   private var pushedCount = false
+  private var pushedSkips: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var keepFiles: Option[Set[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** FILE SKIPPING from the log's metadata indexes: comparison filters
+    * consult the per-file min/max stats sidecar, equality/IN additionally
+    * the per-file Bloom sidecar — so a selective SQL predicate over a
+    * clustered (or bloom-indexed) log table reads O(matching files), not
+    * O(table), exactly like [[TableLog.readPruned]] /
+    * [[TableLog.readPointLookup]] but decided by Catalyst's pushdown.
+    * EVERY filter is also returned as a residual (rows re-filtered
+    * post-scan), so skipping only needs to be SOUND (keep any file that
+    * might match; sidecar-less files are always kept). Range bounds stay
+    * inclusive — conservative at the boundary, immune to overflow.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val all = TableLog.liveFiles(path, v).toSet
+    var kept: Set[String] = all
+    val used = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    def longOf(x: Any): Option[Long] = x match {
+      case n: Long => Some(n)
+      case n: Int => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Byte => Some(n.toLong)
+      case _ => None
+    }
+    // bloom values are indexed via CAST(col AS STRING): integral and string
+    // renderings are stable across that cast, other types are not pushed
+    def strOf(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case other => longOf(other).map(_.toString)
+    }
+    def statRange(c: String, lo: Long, hi: Long): Boolean =
+      TableLog.hasStatsFor(path, v, c) && {
+        kept = kept.intersect(
+          TableLog.prunedFiles(path, c, lo, hi, Some(v))._1.toSet)
+        true
+      }
+    def bloomEq(c: String, s: String): Boolean =
+      TableLog.hasBloomFor(path, c) && {
+        kept = kept.intersect(
+          TableLog.pointLookupFiles(path, c, s, Some(v))._1.toSet)
+        true
+      }
+    filters.foreach { f =>
+      val usable = f match {
+        case EqualTo(c, x) =>
+          val st = longOf(x).exists(n => statRange(c, n, n))
+          val bl = strOf(x).exists(s => bloomEq(c, s))
+          st || bl
+        case GreaterThan(c, x) => longOf(x).exists(n => statRange(c, n, Long.MaxValue))
+        case GreaterThanOrEqual(c, x) => longOf(x).exists(n => statRange(c, n, Long.MaxValue))
+        case LessThan(c, x) => longOf(x).exists(n => statRange(c, Long.MinValue, n))
+        case LessThanOrEqual(c, x) => longOf(x).exists(n => statRange(c, Long.MinValue, n))
+        case In(c, xs) if xs.nonEmpty =>
+          val ns = xs.flatMap(longOf)
+          val st = ns.length == xs.length && statRange(c, ns.min, ns.max)
+          val ss = xs.flatMap(strOf)
+          val bl = ss.length == xs.length && TableLog.hasBloomFor(path, c) && {
+            // union of the per-value bloom keeps — a file survives if it
+            // may contain ANY of the listed values
+            kept = kept.intersect(ss.toSet.flatMap((s: String) =>
+              TableLog.pointLookupFiles(path, c, s, Some(v))._1.toSet))
+            true
+          }
+          st || bl
+        case _ => false
+      }
+      if (usable) used += f
+    }
+    pushedSkips = used.toArray
+    keepFiles = if (kept == all) None else Some(kept)
+    filters // all residual: exact row filtering always happens post-scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushedSkips
 
   /** `count(*)` with no grouping answers from the log's recorded per-file
     * row counts minus DV rows — COMPLETE pushdown, zero data files read.
@@ -216,7 +294,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
 
   override def build(): Scan =
     if (pushedCount) new GraftMetadataCountScan(path, v)
-    else new GraftLogScan(path, v, required)
+    else new GraftLogScan(path, v, required, keepFiles)
 }
 
 /** Snapshot scan: one partition per live data file, DV positions shipped as
@@ -225,12 +303,23 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   * Reports metadata-exact statistics so join planning (broadcast side
   * choice) runs on real numbers.
   */
-private[sources] class GraftLogScan(path: String, v: Long, required: StructType)
+private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
+    keepFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** live files after metadata file-skipping (None = no skipping filter) */
+  private def files: Seq[String] =
+    keepFiles match {
+      case None => TableLog.liveFiles(path, v)
+      case Some(k) => TableLog.liveFiles(path, v).filter(k)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"GraftLogScan($path@v$v)"
+  override def description(): String = {
+    val total = TableLog.liveFiles(path, v).size
+    s"GraftLogScan($path@v$v, files=${files.size}/$total)"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dvs = TableLog.dvFiles(path, v)
@@ -241,7 +330,7 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType)
         .select("f", "p").collect()
         .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).sorted }
-    TableLog.liveFiles(path, v).map { f =>
+    files.map { f =>
       ChangeFilePartition(Paths.get(path).resolve(f).toString, insert = true, v,
         skip = skip.getOrElse(f, Array.empty), only = null): InputPartition
     }.toArray
@@ -251,11 +340,15 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType)
     new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive)
 
   override def estimateStatistics(): Statistics = new Statistics {
+    // post-skipping sizes: the fewer files a pushed filter keeps, the
+    // smaller (and more broadcastable) this relation reports itself
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
-      TableLog.liveFilePaths(path, v).map(f => Files.size(Paths.get(f))).sum)
+      files.map(f => Files.size(Paths.get(path).resolve(f))).sum)
     override def numRows(): OptionalLong =
-      TableLog.metadataCount(path, Some(v))
-        .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+      if (keepFiles.isEmpty)
+        TableLog.metadataCount(path, Some(v))
+          .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+      else OptionalLong.empty()
   }
 }
 

@@ -495,6 +495,19 @@ object TableLog extends QueryPack {
     (kept, files.size)
   }
 
+  /** does version `v`'s stats sidecar carry ranges for `statCol`? (what the
+    * SQL catalog consults before counting a filter as skip-usable)
+    */
+  private[sources] def hasStatsFor(table: String, v: Long, statCol: String): Boolean =
+    statsLines(table, v).exists(_.split('|') match {
+      case Array(_, c, _, _) => c == statCol
+      case _ => false
+    })
+
+  /** does `column` have a Bloom sidecar? */
+  private[sources] def hasBloomFor(table: String, column: String): Boolean =
+    bloomLines(table, column).nonEmpty
+
   /** Snapshot read restricted to files whose `statCol` range intersects
     * `[lo, hi]` (inclusive): a metadata-only lookup decides what to scan, so
     * a selective predicate over a range-clustered table touches O(matching

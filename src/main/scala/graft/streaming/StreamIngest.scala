@@ -339,11 +339,17 @@ object StreamIngest {
       "doc_id BIGINT, sh ARRAY<BIGINT>, n_sh BIGINT")
     val bkSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, bh BIGINT")
+    // existence-CHECKED empty fallbacks, not exception-driven: a Try around
+    // spark.read still surfaces the analysis failure to the streaming
+    // ExecutionListenerBus, which logs an ERROR stack trace per first batch
+    // (the round-10 CI-noise wart) even though the Try swallows it
+    def emptyOf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     def readOr(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-      scala.util.Try(spark.read.schema(schema).parquet(path).select(
-        schema.fieldNames.map(col): _*))
-        .getOrElse(spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      if (!new java.io.File(path).exists()) emptyOf(schema)
+      else spark.read.schema(schema).parquet(path).select(
+        schema.fieldNames.map(col): _*)
     val reader = spark.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -358,12 +364,15 @@ object StreamIngest {
         // index already holds batch b's own first-run admissions, and
         // probing against them would self-match every doc (J = 1) and
         // reject the whole batch — the filter keeps replay exactly-once
+        // the Try backstop fires ONLY for the pathological dir-with-no-
+        // parquet case (an all-rejected batch writes just _SUCCESS) — the
+        // common first-batch path is the silent existence check
         def readStreamIdx(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-          scala.util.Try(spark.read.parquet(path)
+          if (!new java.io.File(path).exists()) emptyOf(schema)
+          else scala.util.Try(spark.read.parquet(path)
             .where(col("ingest_batch") < lit(batchId))
             .select(schema.fieldNames.map(col): _*))
-            .getOrElse(spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+            .getOrElse(emptyOf(schema))
         // indexed side: corpus index ∪ prior-batch stream index (any id
         // rejects) tagged slf=false; this batch itself (only SMALLER ids
         // reject — greedy-by-id within the batch) tagged slf=true
@@ -458,11 +467,16 @@ object StreamIngest {
           .groupBy("user_id", "ts")
           .agg(max_by(col("value"), col("event_id")).as("pval"))
           .cache()
-        val priorRef = scala.util.Try(spark.read.parquet(refDir)
+        // existence-checked, not Try-swallowed: a failed analysis inside the
+        // batch thread logs an ExecutionListenerBus ERROR even when caught
+        def emptyRef = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), refSchema)
+        val priorRef =
+          if (!new java.io.File(refDir).exists()) emptyRef
+          else scala.util.Try(spark.read.parquet(refDir)
             .where(col("ingest_batch") < lit(batchId))
             .select(refSchema.fieldNames.map(col): _*))
-          .getOrElse(spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), refSchema))
+            .getOrElse(emptyRef)
         // re-aggregate the union: a later batch CAN repeat a (user, ts)
         // already in the reference — max keeps the pick deterministic
         val ref = priorRef.unionByName(purch)

@@ -119,6 +119,44 @@ class CatalogSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("pushed filters skip files from the stats and bloom sidecars") {
+    rm(new java.io.File(root))
+    // range-clustered on k with a stats sidecar AND a bloom index
+    val t = s"$root/skip"
+    TableLog.commitAppend(
+      spark.range(0, 8000).selectExpr("id AS k", "id % 13 AS vv")
+        .repartitionByRange(8, col("k")),
+      t, statCols = Seq("k"))
+    TableLog.buildBloomIndex(spark, t, "k")
+    register()
+    def parts(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    val eq = spark.sql("SELECT * FROM graftcat.skip WHERE k = 4321")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(4321L))
+    assert(parts(eq) <= 2, s"point lookup should skip to ~1 of 8 files, got ${parts(eq)}")
+    val ge = spark.sql("SELECT count(*) AS c FROM graftcat.skip WHERE k >= 7000")
+    assert(ge.collect().head.getLong(0) == 1000L)
+    assert(parts(spark.sql("SELECT * FROM graftcat.skip WHERE k >= 7000")) <= 2)
+    // un-indexed column: no skipping, full scan, exact answer
+    val u = spark.sql("SELECT count(*) AS c FROM graftcat.skip WHERE vv = 5")
+    assert(u.collect().head.getLong(0) ==
+      TableLog.read(spark, t).where("vv = 5").count())
+    assert(parts(spark.sql("SELECT * FROM graftcat.skip WHERE vv = 5")) == 8)
+
+    // hash-clustered layout: min/max is useless, the BLOOM does the skipping
+    val h = s"$root/skiph"
+    TableLog.commitAppend(
+      spark.range(0, 8000).selectExpr("id AS k").repartition(8, col("k")), h)
+    TableLog.buildBloomIndex(spark, h, "k")
+    val hq = spark.sql("SELECT * FROM graftcat.skiph WHERE k = 4321")
+    assert(hq.collect().map(_.getLong(0)).toSeq == Seq(4321L))
+    assert(parts(hq) < 8,
+      s"bloom should skip most of a hash layout, got ${parts(hq)}/8")
+    // IN list unions the per-value bloom keeps
+    val in = spark.sql("SELECT * FROM graftcat.skiph WHERE k IN (11, 4321)")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 4321L))
+    assert(parts(in) < 8)
+  }
+
   test("the catalog is read-only and absent tables fail cleanly") {
     rm(new java.io.File(root))
     val t = s"$root/ro"
