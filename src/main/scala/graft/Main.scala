@@ -96,7 +96,34 @@ object Main {
         if (new java.io.File(s"$dir/$t.parquet").exists())
           Tables.load(spark, dir, t).createOrReplaceTempView(t)
       }
+      // optional second arg: a table-log root exposed as the `graft` SQL
+      // catalog — `SELECT ... FROM graft.<table> [VERSION AS OF n]`,
+      // metadata count(*), stats/bloom file skipping
+      rest.drop(1).headOption.foreach { r =>
+        spark.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft.root", r)
+      }
       spark.sql(statement).show(100, truncate = false)
+      spark.stop()
+    case "pipe" :: src :: dst :: ckpt :: _ =>
+      // materialize the src table log's CHANGE LOG into dst, one txn-tagged
+      // commit per micro-batch (change-feed source → graft-log sink):
+      // exactly-once, resumable from the checkpoint, zero custom code. The
+      // change-type/version columns ride along — dst is the queryable,
+      // time-travelable changelog of src (fold it for a mirror)
+      val spark = session()
+      val q = spark.readStream.format("graft.sources.TableChangeSource")
+        .option("table", src).load()
+        .writeStream.format("graft-log")
+        .option("table", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val vs = sources.TableLog.versions(dst)
+      println(s"[pipe] $src -> $dst caught up: ${vs.size} dst versions" +
+        sources.TableLog.metadataCount(dst).map(n => s", $n change rows").getOrElse(""))
       spark.stop()
     case "serve" :: rest =>
       val dir  = rest.headOption.getOrElse("/root/testdata/sf0.01")
@@ -225,7 +252,8 @@ object Main {
           "       graft query <name> [sfDir]\n" +
           "       graft explain <name> [sfDir]\n" +
           "       graft audit <name> [sfDir]           — executed-plan feature dossier\n" +
-          "       graft sql <statement> [sfDir]\n" +
+          "       graft sql <statement> [sfDir] [tableLogRoot] — raw tables + graft catalog\n" +
+          "       graft pipe <srcTableLog> <dstTableLog> <ckptDir> — change-feed -> log sink\n" +
           "       graft serve [sfDir] [port]          — resident JDBC endpoint\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +

@@ -11,7 +11,8 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -333,10 +334,10 @@ private[sources] class ChangeFileReader(
     case ((f, _), i) =>
       // projection field order == `present` order by construction
       val t = projection.getType(i)
-      if (!t.isPrimitive) throw new UnsupportedOperationException(
-        s"table-change source: nested/array column ${f.name} is not supported" +
-          " — select the scalar columns you need (pruning pushes into the read)")
-      ChangeFileReader.converter(f.dataType, t.asPrimitiveType(), p.absPath, f.name)
+      if (t.isPrimitive)
+        ChangeFileReader.converter(f.dataType, t.asPrimitiveType(), p.absPath, f.name)
+      else
+        ChangeFileReader.arrayConverter(f.dataType, t.asGroupType(), p.absPath, f.name)
   }
   /** output slot per present field */
   private val outIdx: Array[Int] =
@@ -450,6 +451,85 @@ private[sources] object ChangeFileReader {
           BigDecimal(BigInt(g.getBinary(i, 0).getBytes), d.scale), d.precision, d.scale)
       case (other, prim) => throw new UnsupportedOperationException(
         s"table-change source: unsupported column $name ($other from parquet $prim) in $file")
+    }
+  }
+
+  /** array-element accessor addressed by (group, fieldIdx, repetitionIdx) —
+    * the repetition index is what the scalar [[converter]]s (hardwired to
+    * occurrence 0) cannot express
+    */
+  private def elemGetter(
+      dt: DataType, pt: PrimitiveType,
+      file: String, name: String): (Group, Int, Int) => Any =
+    (dt, pt.getPrimitiveTypeName) match {
+      case (FloatType, FLOAT)     => (g, f, r) => g.getFloat(f, r)
+      case (DoubleType, DOUBLE)   => (g, f, r) => g.getDouble(f, r)
+      case (LongType, INT64)      => (g, f, r) => g.getLong(f, r)
+      case (IntegerType, INT32)   => (g, f, r) => g.getInteger(f, r)
+      case (ShortType, INT32)     => (g, f, r) => g.getInteger(f, r).toShort
+      case (ByteType, INT32)      => (g, f, r) => g.getInteger(f, r).toByte
+      case (BooleanType, BOOLEAN) => (g, f, r) => g.getBoolean(f, r)
+      case (StringType, BINARY) =>
+        (g, f, r) => UTF8String.fromBytes(g.getBinary(f, r).getBytes)
+      case (BinaryType, BINARY)   => (g, f, r) => g.getBinary(f, r).getBytes
+      case (other, prim) => throw new UnsupportedOperationException(
+        s"table-change source: unsupported array element of $name " +
+          s"($other from parquet $prim) in $file")
+    }
+
+  /** ARRAY<primitive> columns from parquet LIST groups — both the standard
+    * 3-level shape Spark writes (`group (LIST) { repeated group list
+    * { <elem> element } }`, null elements preserved) and the legacy 2-level
+    * `repeated <elem>` form. Structs/maps stay a loud unsupported (project
+    * around them); this is what lets embedding tables flow through the
+    * change feed and the SQL catalog.
+    */
+  private[sources] def arrayConverter(
+      dt: DataType, gt: GroupType,
+      file: String, name: String): (Group, Int) => Any = {
+    import org.apache.parquet.schema.Type.Repetition
+    dt match {
+      case at: ArrayType if gt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation] &&
+          gt.getFieldCount == 1 =>
+        val mid = gt.getType(0)
+        if (!mid.isPrimitive && mid.asGroupType().getFieldCount == 1 &&
+          mid.isRepetition(Repetition.REPEATED)) {
+          // standard 3-level list
+          val elemT = mid.asGroupType().getType(0)
+          if (!elemT.isPrimitive) throw new UnsupportedOperationException(
+            s"table-change source: nested element type of array column $name " +
+              s"is not supported in $file — select scalar/array-of-scalar columns")
+          val get = elemGetter(at.elementType, elemT.asPrimitiveType(), file, name)
+          (g, i) => {
+            val lst = g.getGroup(i, 0)
+            val n = lst.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val rec = lst.getGroup(0, j)
+              arr(j) = if (rec.getFieldRepetitionCount(0) == 0) null
+                       else get(rec, 0, 0)
+              j += 1
+            }
+            new GenericArrayData(arr)
+          }
+        } else if (mid.isPrimitive && mid.isRepetition(Repetition.REPEATED)) {
+          // legacy 2-level list: repeated primitive directly
+          val get = elemGetter(at.elementType, mid.asPrimitiveType(), file, name)
+          (g, i) => {
+            val lst = g.getGroup(i, 0)
+            val n = lst.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) { arr(j) = get(lst, 0, j); j += 1 }
+            new GenericArrayData(arr)
+          }
+        } else throw new UnsupportedOperationException(
+          s"table-change source: unrecognized LIST shape of column $name in $file: $gt")
+      case other => throw new UnsupportedOperationException(
+        s"table-change source: nested column $name ($other) is not supported" +
+          " — select the scalar/array columns you need (pruning pushes into the read)")
     }
   }
 }

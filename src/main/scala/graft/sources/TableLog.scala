@@ -1802,8 +1802,55 @@ object TableLog extends QueryPack {
       |UNION ALL
       |SELECT '_v0', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM orders""".stripMargin
 
+  private val embCatBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** embeddings committed to a table log next to [[ordersDvDeleted]] (same
+    * catalog root), memoized per data dir
+    */
+  private def embeddingsCat(s: SparkSession, dir: String): String =
+    embCatBuilt.computeIfAbsent(dir, { d =>
+      val t = graft.Scratch.dir("graft_tlog", d) + "/embeddings_cat"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(t))
+      commitAppend(Tables.load(s, d, "embeddings"), t)
+      t
+    })
+
+  /** ARRAY columns through the SQL catalog: the embeddings table served by
+    * [[GraftCatalog]]'s Group-API read path — per-element fixed-point sums
+    * folded inside SQL lambdas over the array column, grouped by a key
+    * bucket. A wrong element, lost null-handling, or mis-ordered list read
+    * in [[ChangeFileReader.arrayConverter]] flips a sum; the oracle replays
+    * from the raw parquet with list_transform/list_sum.
+    */
+  def catalogSqlEmb(s: SparkSession, dir: String): DataFrame = {
+    val t = embeddingsCat(s, dir)
+    val root = t.substring(0, t.lastIndexOf('/'))
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    s.sql(
+      """SELECT vec_id % 10 AS grp, count(*) AS n,
+        |       sum(size(embedding)) AS n_elems,
+        |       sum(aggregate(embedding, CAST(0 AS LONG),
+        |             (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * 1000000) AS LONG)))
+        |         AS esum_e6
+        |FROM graft.embeddings_cat GROUP BY vec_id % 10""".stripMargin)
+  }
+
+  private val catalogSqlEmbSql =
+    """SELECT vec_id % 10 AS grp, count(*) AS n,
+      |       CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+      |       CAST(sum(list_sum(list_transform(embedding,
+      |              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))) AS BIGINT)
+      |         AS esum_e6
+      |FROM embeddings GROUP BY 1""".stripMargin
+
   override val all: Seq[Q] = Seq(
     Q("catalog_sql_read", catalogSqlRead, Some(catalogSqlReadSql)),
+    Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
     Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),

@@ -157,6 +157,27 @@ class CatalogSpec extends SparkSpec {
     assert(parts(in) < 8)
   }
 
+  test("array columns are SQL-queryable through the catalog") {
+    rm(new java.io.File(root))
+    val t = s"$root/emb"
+    TableLog.commitAppend(
+      Tables.load(spark, sfDir, "embeddings"), t)
+    register()
+    val viaSql = spark.sql(
+      "SELECT vec_id, size(embedding) AS d, " +
+        "aggregate(embedding, CAST(0 AS LONG), " +
+        "(a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * 1000000) AS LONG)) AS s " +
+        "FROM graftcat.emb")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = TableLog.read(spark, t)
+      .selectExpr("vec_id", "size(embedding) AS d",
+        "aggregate(embedding, CAST(0 AS LONG), " +
+          "(a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * 1000000) AS LONG)) AS s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaSql == direct && viaSql.nonEmpty,
+      "catalog array reads must equal the parquet read element-for-element")
+  }
+
   test("the catalog is read-only and absent tables fail cleanly") {
     rm(new java.io.File(root))
     val t = s"$root/ro"
