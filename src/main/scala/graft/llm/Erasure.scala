@@ -63,6 +63,33 @@ object Erasure {
       idCol: String, ver: Long = Long.MaxValue): Unit =
     mark(indexPath, ids, idCol, ver, alive = false)
 
+  /** Apply one consumed change-feed range to the index sidecar: mark the
+    * NET-deleted ids as tombstones at version `to`, and net-re-inserted,
+    * previously excluded ids as resurrections — the shared body of the
+    * polling [[propagate]] and the streaming
+    * [[graft.streaming.StreamIngest.erasurePropagationStream]]. `to` must
+    * be deterministic for the range (the range head / the batch's max
+    * commit version), which is what makes replayed marks byte-identical
+    * and therefore exactly-once in effect.
+    */
+  private[graft] def applyNet(s: SparkSession, feed: DataFrame,
+      indexPath: String, idCol: String, to: Long): Unit = {
+    val last = feed.groupBy(col(idCol))
+      .agg(max(struct(col("_commit_version"),
+        (col("_change_type") === "insert").as("ins"))).as("last"))
+      .cache()
+    val netDel = last.where(!col("last.ins")).select(idCol)
+    val tomb = exclusions(s, indexPath, idCol)
+    if (!netDel.isEmpty) mark(indexPath, netDel, idCol, to, alive = false)
+    tomb.foreach { t =>
+      val res = last.where(col("last.ins")).select(idCol)
+        .join(t, Seq(idCol), "left_semi")
+      if (!res.isEmpty) mark(indexPath, res, idCol, to, alive = true)
+    }
+    last.unpersist(blocking = false)
+    ()
+  }
+
   /** Consume the governed table's unseen (cursor, head] commits and mark
     * the NET-deleted ids as tombstones (and net-re-inserted, previously
     * excluded ids as resurrections) in the index sidecar — see the object
@@ -71,20 +98,7 @@ object Erasure {
   def propagate(s: SparkSession, table: String, indexPath: String,
       cursorFile: String, idCol: String): Option[(Long, Long)] =
     graft.sources.TableLog.followChanges(s, table, cursorFile) { (feed, _, to) =>
-      val last = feed.groupBy(col(idCol))
-        .agg(max(struct(col("_commit_version"),
-          (col("_change_type") === "insert").as("ins"))).as("last"))
-        .cache()
-      val netDel = last.where(!col("last.ins")).select(idCol)
-      val tomb = exclusions(s, indexPath, idCol)
-      if (!netDel.isEmpty) mark(indexPath, netDel, idCol, to, alive = false)
-      tomb.foreach { t =>
-        val res = last.where(col("last.ins")).select(idCol)
-          .join(t, Seq(idCol), "left_semi")
-        if (!res.isEmpty) mark(indexPath, res, idCol, to, alive = true)
-      }
-      last.unpersist(blocking = false)
-      ()
+      applyNet(s, feed, indexPath, idCol, to)
     }
 
   /** Merge-on-read: subtract the index's erased ids from a serving

@@ -753,6 +753,49 @@ object StreamIngest {
     * Groups whose rows all died net to zero and drop, matching the direct
     * aggregate of the source's live snapshot at every point.
     */
+  /** CONTINUOUS GDPR-erasure propagation: the streaming twin of
+    * [[graft.llm.Erasure.propagate]] — the governed table's change feed
+    * drives the serving index's tombstone sidecar through the DSv2 source,
+    * so the right to be forgotten reaches the index within one trigger of
+    * the `deleteWhere`, not at the next polling run.
+    *
+    * Semantics are [[graft.llm.Erasure.applyNet]]'s per batch: only the
+    * NET effect of the batch's commits marks (compaction/overwrite/rollback
+    * churn marks nothing; an insert landing on an excluded id resurrects),
+    * at `to` = the batch's max commit version — deterministic under replay,
+    * so a re-delivered batch appends byte-identical marks that collapse in
+    * the read-side groupBy: exactly-once in effect, no txn machinery
+    * needed.
+    *
+    * 100 TB shape: the `columns` option prunes the per-file read to the ID
+    * COLUMN alone (the follower never pays the documents' text/embedding
+    * bytes), per-trigger admission bounds each batch to
+    * `versionsPerTrigger` commits' touched files, and sidecar appends cost
+    * ∝ the batch's net deletes.
+    */
+  def erasurePropagationStream(
+      spark: SparkSession,
+      table: String,
+      indexPath: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      versionsPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", table)
+      .option("columns", idCol)
+      .option("versionsPerTrigger", versionsPerTrigger.toString)
+      .load()
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        val head = b.agg(max(col("_commit_version"))).collect().head
+        if (!head.isNullAt(0))
+          graft.llm.Erasure.applyNet(spark, b, indexPath, idCol, head.getLong(0))
+        b.unpersist(blocking = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+
   def logToLogRollup(
       spark: SparkSession,
       srcTable: String,

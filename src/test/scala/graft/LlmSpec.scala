@@ -1200,6 +1200,47 @@ class LlmSpec extends SparkSpec {
     assert(resurrected == rebuilt)
   }
 
+  test("streaming erasure propagation: per-trigger tombstones, churn nets, resurrect, replay no-op") {
+    import graft.sources.TableLog
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("mh_estream").toString
+    val (tdir, idx, ck) = (s"$root/docs", s"$root/idx", s"$root/ck")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    TableLog.commitAppend(docs, tdir) // v0
+    Dedup.writeMinhashIndex(
+      TableLog.read(spark, tdir).select("doc_id", "text"), idx, append = false)
+    def run(): Unit = {
+      val q = graft.streaming.StreamIngest.erasurePropagationStream(spark, tdir, idx, ck)
+      assert(q.awaitTermination(120000)); ()
+    }
+    run() // drains v0: all inserts, nothing marked
+    def pairs() = Dedup.indexPairs(spark, idx, lit(true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    val victim = before.map(_._1).min
+    val victimRow = docs.where(col("doc_id") === victim).cache()
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $victim") // v1
+    TableLog.optimize(spark, tdir)                          // v2: pure churn
+    run() // v1 tombstones the victim; v2 nets to zero
+    val served = pairs()
+    assert(served == before.filterNot(p => p._1 == victim || p._2 == victim),
+      "streamed erasure must remove exactly the victim's pairs")
+    // re-insert resurrects within one drain
+    TableLog.commitAppend(victimRow, tdir) // v3
+    victimRow.unpersist(blocking = false)
+    run()
+    assert(pairs() == before, "a re-inserted doc must serve again")
+    // forced replay of the last batch: byte-identical marks, no effect
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    run()
+    assert(pairs() == before, "replayed erasure batch changed the served set")
+  }
+
   test("text index erasure: erased doc leaves every posting lookup; equals rebuild; churn nets") {
     import graft.sources.TableLog
     import graft.llm.TextStats
