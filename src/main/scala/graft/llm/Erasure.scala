@@ -113,4 +113,55 @@ object Erasure {
       .map(t => df.join(t, Seq(idCol), "left_anti")
         .select(df.columns.map(col).toSeq: _*))
       .getOrElse(df)
+
+  /** COMPACT the tombstone sidecar: collapse it to ONE row per id ever
+    * marked — the id's LAST (ver, alive) mark — then drop the old files.
+    * The OPTIMIZE step of the sidecar's merge-on-read design, bounding its
+    * growth under churny feeds at cost ∝ the sidecar, never the index.
+    *
+    * Crash-safe BY THE MARK ALGEBRA, not by an atomic swap: phase 1
+    * APPENDS the per-id last marks into the same directory (marks are a
+    * last-writer-wins set — adding each id's winning mark changes no
+    * exclusion decision), phase 2 deletes the pre-existing files. A crash
+    * inside either phase leaves a superset of the winning marks, which
+    * reads identically and the next compaction finishes shrinking.
+    * Surviving ALIVE marks are kept (not just exclusions): they must keep
+    * dominating older tombstones until the old files are really gone —
+    * dropping them early would resurrect a stale tombstone if a phase-2
+    * crash deleted the alive mark's file but not the tombstone's.
+    * Single-writer like every sidecar append (erasure followers are one
+    * per index by design). Returns (rows before, rows after).
+    */
+  def compactTombstones(
+      s: SparkSession, indexPath: String, idCol: String): (Long, Long) = {
+    val dir = new java.io.File(sidecar(indexPath))
+    if (!dir.exists()) return (0L, 0L)
+    val oldFiles = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val all = s.read.parquet(sidecar(indexPath)).cache()
+    val before = all.count()
+    val net = all
+      .groupBy(idCol)
+      .agg(max(struct(col("ver"), col("alive"))).as("last"))
+      .select(col(idCol), col("last.ver").as("ver"), col("last.alive").as("alive"))
+    val after = net.count()
+    // phase 1: write the winning marks OUTSIDE (never append into a dir the
+    // plan is reading), then move the part files in — per-file atomic
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tmp = sidecar(indexPath) + s".compact_$tag"
+    net.coalesce(1).write.parquet(tmp)
+    all.unpersist(blocking = false)
+    new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.move(
+          f.toPath, new java.io.File(dir, s"compact_${tag}_$i.parquet").toPath)
+      }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+    // phase 2: the superseded files go
+    oldFiles.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    (before, after)
+  }
 }

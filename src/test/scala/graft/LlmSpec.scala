@@ -1241,6 +1241,50 @@ class LlmSpec extends SparkSpec {
     assert(pairs() == before, "replayed erasure batch changed the served set")
   }
 
+  test("tombstone compaction: sidecar shrinks to one mark per id, served set unchanged") {
+    import graft.sources.TableLog
+    import graft.llm.Erasure
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("mh_tcomp").toString
+    val (tdir, idx, cur) = (s"$root/docs", s"$root/idx", s"$root/cursor")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    TableLog.commitAppend(docs, tdir) // v0
+    Dedup.writeMinhashIndex(
+      TableLog.read(spark, tdir).select("doc_id", "text"), idx, append = false)
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    def pairs() = Dedup.indexPairs(spark, idx, lit(true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = pairs().flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    assert(ids.size >= 3, "need at least three near-dup participants")
+    val (v1, v2, v3) = (ids(0), ids(1), ids(2))
+    val v1row = docs.where(col("doc_id") === v1).cache()
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $v1") // v1: erase
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    TableLog.commitAppend(v1row, tdir) // v2: resurrect
+    v1row.unpersist(blocking = false)
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $v2") // v3: erase another
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    // lost cursor: full-history redelivery appends duplicate marks
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cur))
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    val served = pairs()
+    assert(!served.exists(p => p._1 == v2 || p._2 == v2))
+    val (b, a) = Erasure.compactTombstones(spark, idx, "doc_id")
+    assert(b >= 4 && a == 2,
+      s"compaction should collapse to one mark per marked id, got $b -> $a")
+    assert(pairs() == served, "compaction must not change the served set")
+    // idempotent
+    val (b2, a2) = Erasure.compactTombstones(spark, idx, "doc_id")
+    assert(b2 == 2 && a2 == 2)
+    assert(pairs() == served)
+    // and erasure keeps working on the compacted sidecar
+    TableLog.deleteWhere(spark, tdir, s"doc_id = $v3") // v4
+    Dedup.propagateErasures(spark, tdir, idx, cur)
+    assert(!pairs().exists(p => p._1 == v3 || p._2 == v3),
+      "post-compaction erasure must still propagate")
+  }
+
   test("text index erasure: erased doc leaves every posting lookup; equals rebuild; churn nets") {
     import graft.sources.TableLog
     import graft.llm.TextStats
