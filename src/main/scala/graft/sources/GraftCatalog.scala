@@ -5,15 +5,17 @@ import java.util.OptionalLong
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 `TableCatalog` over a directory of [[TableLog]] tables — the SQL
@@ -37,10 +39,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 100 TB posture: every catalog operation is metadata-sized (manifest
   * lists, parquet footers); the scan reports metadata-exact statistics
   * (row count + live bytes) so Catalyst's broadcast decision for log-table
-  * joins is driven by REAL stats, not a default guess. The catalog is
-  * read-only by design — writes go through [[TableLog]]'s commit protocol
-  * (optimistic concurrency, constraints, stats), which a SQL INSERT could
-  * not honor piecemeal.
+  * joins is driven by REAL stats, not a default guess.
+  *
+  * SQL DML/DDL route INTO the same commit protocol the API uses (optimistic
+  * concurrency, CHECK constraints, row-count/stat sidecars) — SQL and API
+  * writers can interleave on one table and the manifest link(2) race decides:
+  *
+  *   CREATE TABLE graft.t (k BIGINT, s STRING)   -- v0: one empty data file
+  *                                               --     carrying the schema
+  *   CREATE TABLE graft.t AS SELECT ...          -- CTAS = create + append
+  *   INSERT INTO graft.t SELECT ...              -- commitAppend (distributed
+  *                                               --   write, constraints ON)
+  *   INSERT OVERWRITE graft.t SELECT ...         -- commitOverwrite (prior
+  *                                               --   versions time-travel)
+  *   DELETE FROM graft.t WHERE <pred>            -- deletion vectors: no data
+  *                                               --   file rewritten
+  *   TRUNCATE TABLE graft.t                      -- metadata-only empty commit
+  *   ALTER TABLE graft.t ADD COLUMN x BIGINT     -- schema-widening empty
+  *                                               --   commit (merged-footer
+  *                                               --   reads null-backfill)
+  *   DROP TABLE graft.t                          -- removes log + data files
+  *
+  * The insert path is a deliberate DSv2→V1 write fallback ([[V1Write]]):
+  * the whole micro-plan arrives as one DataFrame, so [[TableLog]]'s
+  * distributed parquet write, Observation-based CHECK enforcement and
+  * footer-derived row counts apply unchanged — same choice (and reason) as
+  * the `graft-log` streaming sink. DELETE pushes the WHERE down as V1
+  * filters re-rendered to one SQL condition (strings/integers/decimals/
+  * booleans; anything else — e.g. timestamp literals, whose text form is
+  * engine-sensitive — is rejected LOUDLY at analysis, never mis-deleted).
   *
   * Current read-path limits (documented, not silent): scalar columns only
   * (the per-file reader is the change source's Group-API reader — project
@@ -123,15 +150,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       asOf.map(a => s"@v$a").getOrElse(""), p, v)
   }
 
-  private def readOnly: Nothing = throw new UnsupportedOperationException(
-    s"catalog '$catalogName' is read-only: write through graft.sources.TableLog " +
-      "(commitAppend/commitOverwrite/deleteWhere), whose commit protocol SQL DDL cannot honor")
+  private def unsupported(what: String): Nothing = throw new UnsupportedOperationException(
+    s"catalog '$catalogName' does not support $what")
 
+  private def emptyRelation(schema: StructType): DataFrame =
+    GraftCatalog.emptyRelationOf(schema)
+
+  /** `CREATE TABLE` — version 0 is an overwrite commit of the empty
+    * schema-bearing relation; CTAS then lands its query as the v1 append.
+    * Partition transforms are rejected loudly: log tables cluster via
+    * OPTIMIZE ZORDER + the stats/bloom sidecars, not directory partitioning.
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = readOnly
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"graft log tables are unpartitioned (cluster via OPTIMIZE ZORDER + stats/bloom " +
+        s"sidecars); got PARTITIONED BY (${partitions.mkString(", ")})")
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident.namespace.toSeq :+ ident.name)
+    TableLog.commitOverwrite(emptyRelation(schema), tablePath(ident))
+    load(ident, None)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN(S)` — a schema-widening EMPTY append
+    * commit: the new version's one zero-row file carries the widened
+    * footer, merged-footer reads ([[GraftLogTable.schema]], the per-file
+    * change reader) null-backfill the old files, and prior versions keep
+    * the narrow schema — the same evolution discipline as
+    * [[TableLog.schemaEvolutionRead]], triggered from SQL.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (TableLog.versions(p).isEmpty)
+      throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
+    val widened = changes.foldLeft(load(ident, None).schema) {
+      case (s, a: TableChange.AddColumn) =>
+        require(a.fieldNames.length == 1,
+          s"only top-level ADD COLUMN is supported, got ${a.fieldNames.mkString(".")}")
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable: existing rows backfill NULL")
+        require(a.position == null,
+          "ADD COLUMN ... FIRST/AFTER is unsupported: merged-footer schemas append at the end")
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(a.fieldNames.head)),
+          s"column ${a.fieldNames.head} already exists")
+        s.add(StructField(a.fieldNames.head, a.dataType, nullable = true))
+      case (_, other) => unsupported(s"ALTER TABLE change $other (only ADD COLUMN)")
+    }
+    TableLog.commitAppend(emptyRelation(widened), p)
+    load(ident, None)
+  }
+
+  /** `DROP TABLE` — removes the directory (manifests, sidecars, data files).
+    * True only when a committed table actually lived there.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(tablePath(ident))
+    if (TableLog.versions(dir.toString).isEmpty) false
+    else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try st.iterator().asScala.toSeq.foreach(rm) finally st.close()
+        }
+        Files.delete(p)
+      }
+      rm(dir)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    unsupported("RENAME TABLE (copy via CTAS, then DROP)")
 
   // ---- SupportsNamespaces (directories under root) --------------------------
 
@@ -155,10 +244,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespaceExists(namespace)) java.util.Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace.toSeq)
 
+  /** `CREATE NAMESPACE` — a directory under root */
   override def createNamespace(namespace: Array[String],
-      metadata: java.util.Map[String, String]): Unit = readOnly
-  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = readOnly
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = readOnly
+      metadata: java.util.Map[String, String]): Unit = {
+    Files.createDirectories(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    unsupported("ALTER NAMESPACE")
+
+  /** `DROP NAMESPACE [CASCADE]` — non-cascade requires the directory empty */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) false
+    else {
+      if (!cascade) {
+        val st = Files.list(dir)
+        val empty = try !st.iterator().hasNext finally st.close()
+        require(empty, s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+      }
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try st.iterator().asScala.toSeq.foreach(rm) finally st.close()
+        }
+        Files.delete(p)
+      }
+      rm(dir)
+      true
+    }
+  }
+}
+
+private[sources] object GraftCatalog {
+
+  /** the `_file` metadata column name (Delta/Iceberg's diagnostic idiom) */
+  val FileCol = "_file"
+
+  /** one empty data file whose parquet footer carries `schema` — how DDL
+    * materializes a schema in a log whose schema IS its files' merged
+    * footers. `repartition(1)` pins exactly one write task, and Spark's
+    * single-directory writer opens its output file eagerly, so an empty
+    * relation still yields one (schema-bearing, zero-row) file.
+    */
+  def emptyRelationOf(schema: StructType): DataFrame =
+    SparkSession.active
+      .createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      .repartition(1)
 }
 
 /** One [[TableLog]] table pinned at one version — the snapshot-isolation
@@ -167,9 +300,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * mid-query.
   */
 private[sources] class GraftLogTable(ident: String, path: String, v: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident
+
+  /** `_file` — the row's log-relative data file (the manifest's identity
+    * unit). Exposed for diagnostics (`SELECT _file, count(*) ... GROUP BY`)
+    * and REQUIRED by the row-level operations: it is the group id the
+    * runtime group filter prunes rewrites by.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = GraftCatalog.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "log-relative data file holding the row"
+    })
 
   override lazy val schema: StructType = {
     val files = TableLog.liveFilePaths(path, v)
@@ -179,10 +327,400 @@ private[sources] class GraftLogTable(ident: String, path: String, v: Long)
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, // whole-DataFrame insert → commitAppend
+      TableCapability.TRUNCATE)       // INSERT OVERWRITE → commitOverwrite
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, v, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLogWriteBuilder(path)
+
+  // ---- DELETE FROM / TRUNCATE TABLE -----------------------------------------
+
+  /** accept the delete only when EVERY conjunct renders to SQL text exactly
+    * — a partial acceptance would delete a superset of the matched rows
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    SqlFilterText.render(filters, schema).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = SqlFilterText.render(filters, schema).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE condition not translatable to the log's predicate form: " +
+          filters.mkString(" AND ")))
+    if (cond == "true") { truncateTable(); () } // unconditional: skip the DV scan
+    else { TableLog.deleteWhere(SparkSession.active, path, cond); () }
+  }
+
+  /** metadata-only truncate: an overwrite commit of the empty schema-bearing
+    * relation — no DV scan, prior versions still time-travel to the rows
+    */
+  override def truncateTable(): Boolean = {
+    TableLog.commitOverwrite(GraftCatalog.emptyRelationOf(schema), path)
+    true
+  }
+
+  // ---- UPDATE / MERGE INTO (and DELETE whose predicate the DV path can't
+  //      translate): group-based copy-on-write row-level operations --------
+
+  /** SQL `UPDATE` / `MERGE INTO` via Spark's group-based row-level rewrite:
+    * the operation's scan pins THIS snapshot (v), Spark computes the
+    * replacement relation (CASE-projected updates / the merge join), and a
+    * REAL DSv2 [[BatchWrite]] streams each partition straight into an
+    * immutable data file ([[graftx.RowParquetWriter]]) — the publish is
+    * pinned to v, so a concurrent commit aborts the rewrite loudly instead
+    * of being silently dropped. Translatable DELETEs still take the
+    * deletion-vector metadata path (Spark's metadata-only-delete optimizer
+    * rule picks it via [[canDeleteWhere]]); untranslatable ones fall back
+    * here and become a correct copy-on-write instead of an error.
+    *
+    * 100 TB note: the rewrite is FILE-GRANULAR — `_file` is declared as the
+    * operation's metadata attribute, so Spark plans a runtime group-filter
+    * subquery, [[GraftRowLevelScan.filter]] narrows the scan to the files
+    * holding matched rows, and [[GraftReplaceBatchWrite.commit]] swaps out
+    * exactly that enumeration, carrying every other live file (plus its
+    * DVs and stats) forward by reference. A selective UPDATE on a clustered
+    * table costs O(matched files), not O(table) — Delta/Iceberg's
+    * copy-on-write scoping.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(path, v, schema, info.command)
+    }
+}
+
+private[sources] class GraftRowLevelOperation(
+    path: String, v: Long, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** the exact file set the rewrite's scan enumerated (set at
+    * `planInputPartitions`, driver-side) — the replacement scope. None
+    * until the scan plans; the write falls back to the full live set then
+    * (conservative, never a lost row).
+    */
+  @volatile private[sources] var scopedFiles: Option[Set[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftRowLevel($cmd, $path@v$v)"
+
+  /** `_file` is the GROUP id: declaring it makes Spark (a) resolve it on
+    * the rewrite's scan relation and (b) plan the runtime group-filter
+    * subquery, so only files with matching rows are rewritten
+    */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftCatalog.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(path, v, tableSchema, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceBatchWrite(path, v, info.schema(),
+            GraftRowLevelOperation.this)
+        override def description(): String =
+          s"GraftReplaceWrite($path, basedOn=v$v)"
+      }
+    }
+}
+
+/** the rewrite-side scan builder: same pruning as the plain one, but the
+  * built scan participates in runtime group filtering and reports its final
+  * file enumeration back to the operation as the replacement scope
+  */
+private[sources] class GraftRowLevelScanBuilder(
+    path: String, v: Long, full: StructType, op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftRowLevelScan(path, v, required, op)
+}
+
+/** The ReplaceData scan: [[SupportsRuntimeV2Filtering]] on `_file` — the
+  * group-filter subquery collects the distinct files holding matched rows
+  * and this scan narrows to exactly those; everything it then enumerates is
+  * what the paired write replaces. The handshake is positional, not
+  * value-parsed: `planInputPartitions` records the FINAL file list in the
+  * operation, so an unparseable runtime predicate degrades to a wider
+  * rewrite, never to a lost file.
+  */
+private[sources] class GraftRowLevelScan(
+    path: String, v: Long, required: StructType, op: GraftRowLevelOperation)
+    extends GraftLogScan(path, v, required, None)
+    with SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+  override protected def extraKeep: Option[Set[String]] = runtimeKeep
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftCatalog.FileCol))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val keeps = predicates.flatMap { p =>
+      val onFile = p.references().exists(_.fieldNames().sameElements(
+        Array(GraftCatalog.FileCol)))
+      val vals = p.children().collect {
+        case l: Literal[_] if l.value().isInstanceOf[
+          org.apache.spark.unsafe.types.UTF8String] => l.value().toString
+      }
+      // IN (f1, ..., fn) / = f — the shapes the group filter emits
+      if (onFile && (p.name() == "IN" || p.name() == "=") &&
+        vals.length == p.children().length - 1 &&
+        p.children().headOption.exists(_.isInstanceOf[NamedReference]))
+        Some(vals.toSet)
+      else None
+    }
+    if (keeps.nonEmpty) runtimeKeep = Some(keeps.reduce(_ intersect _))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // record the EXACT enumeration as the replacement scope before planning
+    op.scopedFiles = Some(files.toSet)
+    super.planInputPartitions()
+  }
+}
+
+/** Serves a trailing `_file` metadata column: the per-file reader handles
+  * the data columns, the constant file identity rides a reused JoinedRow —
+  * zero per-row allocation.
+  */
+private[sources] class FileTaggedReaderFactory(
+    dataSchema: StructType, caseSensitive: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChangeFilePartition]
+    val rel = "data/" + p.absPath.substring(p.absPath.lastIndexOf('/') + 1)
+    val meta = new GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(rel)))
+    val inner = new ChangeFileReader(p, dataSchema, caseSensitive)
+    new PartitionReader[InternalRow] {
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), meta)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Two-phase GROUP replacement: tasks write immutable files under `data/`
+  * (uniquely named — a crashed task's file stays unreferenced and
+  * [[TableLog.gcOrphans]] reclaims it), the driver publishes the manifest
+  * pinned to the planned-against version, swapping OUT exactly the files
+  * the operation's scan enumerated (the runtime group filter narrows that
+  * to matched files — a selective UPDATE rewrites O(matched files), not
+  * O(table)) and keeping every other live file, its DVs and its stats.
+  * Zero-row tasks contribute no file; a replacement that empties the whole
+  * table keeps the schema readable via one empty schema-bearing file.
+  */
+private[sources] class GraftReplaceBatchWrite(
+    path: String, basedOn: Long, writeSchema: StructType,
+    op: GraftRowLevelOperation) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftRowWriterFactory(path, writeSchema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val moved = messages.toSeq.flatMap {
+      case GraftFilesMessage(fs) => fs
+      case _ => Seq.empty[String]
+    }
+    val live = TableLog.liveFiles(path, basedOn).toSet
+    val replaced = op.scopedFiles.map(_.intersect(live)).getOrElse(live)
+    if (moved.isEmpty && replaced.isEmpty) return // matched nothing: no-op, no version
+    if (moved.isEmpty && replaced == live)
+      TableLog.commitOverwrite(GraftCatalog.emptyRelationOf(writeSchema), path)
+    else
+      TableLog.publishReplace(SparkSession.active, path, basedOn, moved, replaced)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftFilesMessage(fs) =>
+        fs.foreach(f => Files.deleteIfExists(Paths.get(path).resolve(f)))
+      case _ => ()
+    }
+}
+
+private[sources] case class GraftFilesMessage(files: Seq[String])
+  extends WriterCommitMessage
+
+private[sources] class GraftRowWriterFactory(path: String, schemaJson: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftRowDataWriter(path,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+}
+
+private[sources] class GraftRowDataWriter(path: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  private val rel = s"data/${java.util.UUID.randomUUID()}.parquet"
+  private val abs = Paths.get(path).resolve(rel)
+  Files.createDirectories(abs.getParent)
+  private val w = org.apache.spark.sql.graftx.RowParquetWriter.open(abs.toString, schema)
+  private var n = 0L
+
+  /** Group-based ReplaceData rows arrive as `[__row_operation:int, data...]`
+    * UNLESS the table declares metadata attributes (then Spark's
+    * data-and-metadata task strips the prefix itself — the path Iceberg
+    * takes; with none declared, the plain task hands the raw row). Strip
+    * the operation prefix here with Spark's own ProjectingInternalRow, and
+    * verify the operation really is a group-write — any delta-style
+    * operation (DELETE/UPDATE/INSERT row markers) reaching a non-delta
+    * writer is a contract break worth failing loudly on, never data to
+    * write blindly.
+    */
+  private lazy val opStrip =
+    new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      schema, (1 to schema.length).toIndexedSeq)
+  private val writeOps = Set(
+    org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION,
+    org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION)
+
+  override def write(r: InternalRow): Unit = {
+    if (r.numFields == schema.length) w.write(r)
+    else {
+      require(r.numFields == schema.length + 1 && writeOps(r.getInt(0)),
+        s"unexpected row-level write row: ${r.numFields} fields for " +
+          s"${schema.length}-column schema (op=${r.getInt(0)})")
+      opStrip.project(r)
+      w.write(opStrip)
+    }
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    w.close()
+    if (n == 0L) { Files.deleteIfExists(abs); GraftFilesMessage(Seq.empty) }
+    else GraftFilesMessage(Seq(rel))
+  }
+
+  override def abort(): Unit = {
+    try w.close() catch { case _: Exception => () }
+    Files.deleteIfExists(abs)
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** INSERT INTO (append) / INSERT OVERWRITE (truncate+append) into the table
+  * log. The V1 fallback hands the WHOLE query result as one DataFrame, so
+  * the write stays distributed (Spark's parquet writer), CHECK constraints
+  * observe during the single pass, and the row-count/stat sidecars record —
+  * the exact commit path API writers use, now reachable from SQL.
+  */
+private[sources] class GraftLogWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ignored: Boolean): Unit = {
+        if (overwrite) TableLog.commitOverwrite(data, path)
+        else TableLog.commitAppend(data, path)
+        ()
+      }
+    }
+  }
+}
+
+/** Renders a pushed V1 filter tree back to ONE Spark SQL condition string —
+  * the form [[TableLog.deleteWhere]] takes. Sound by construction: a filter
+  * that cannot be rendered EXACTLY makes the whole translation fail (None),
+  * which surfaces as a loud analysis error, never an over- or under-delete.
+  * Value rendering is restricted to types whose text form round-trips
+  * (strings escaped, integrals, booleans, decimals via plain-string, float/
+  * double via an exact CAST-from-string); date/timestamp literals are
+  * rejected — their text forms are session-zone-sensitive.
+  */
+private[sources] object SqlFilterText {
+  import org.apache.spark.sql.sources._
+
+  def render(filters: Array[Filter], schema: StructType): Option[String] =
+    if (filters.isEmpty) Some("true")
+    else {
+      val parts = filters.map(one(_, schema))
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.map(p => s"($p)").mkString(" AND "))
+    }
+
+  private def col(name: String, schema: StructType): Option[String] =
+    // top-level columns only (the scalar/array read path has no nested
+    // fields to delete by), and backtick-quote so no name can splice syntax
+    if (schema.fieldNames.contains(name) && !name.contains("`"))
+      Some(s"`$name`")
+    else None
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None // null literals only flow via IsNull/IsNotNull
+    case s: String =>
+      Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case b: Boolean => Some(b.toString)
+    case n: Byte => Some(n.toString)
+    case n: Short => Some(n.toString)
+    case n: Int => Some(n.toString)
+    case n: Long => Some(s"${n}L")
+    case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
+    case d: scala.math.BigDecimal => Some(d.underlying.toPlainString + "BD")
+    // string→double/float parse is correctly rounded: exact round-trip
+    case d: Double => Some(s"CAST('${d}' AS DOUBLE)")
+    case f: Float => Some(s"CAST('${f}' AS FLOAT)")
+    case _ => None // dates/timestamps/binary: text forms don't round-trip safely
+  }
+
+  private def bin(c: String, op: String, v: Any, schema: StructType): Option[String] =
+    for (cc <- col(c, schema); lv <- lit(v)) yield s"$cc $op $lv"
+
+  private def one(f: Filter, s: StructType): Option[String] = f match {
+    case AlwaysTrue() => Some("true")
+    case AlwaysFalse() => Some("false")
+    case EqualTo(c, v) => bin(c, "=", v, s)
+    case EqualNullSafe(c, v) =>
+      if (v == null) col(c, s).map(cc => s"$cc IS NULL")
+      else bin(c, "<=>", v, s)
+    case GreaterThan(c, v) => bin(c, ">", v, s)
+    case GreaterThanOrEqual(c, v) => bin(c, ">=", v, s)
+    case LessThan(c, v) => bin(c, "<", v, s)
+    case LessThanOrEqual(c, v) => bin(c, "<=", v, s)
+    case In(c, vs) if vs.nonEmpty =>
+      val ls = vs.map(lit)
+      if (ls.exists(_.isEmpty)) None
+      else col(c, s).map(cc => s"$cc IN (${ls.flatten.mkString(", ")})")
+    case IsNull(c) => col(c, s).map(cc => s"$cc IS NULL")
+    case IsNotNull(c) => col(c, s).map(cc => s"$cc IS NOT NULL")
+    case And(l, r) => for (ls <- one(l, s); rs <- one(r, s)) yield s"($ls) AND ($rs)"
+    case Or(l, r) => for (ls <- one(l, s); rs <- one(r, s)) yield s"($ls) OR ($rs)"
+    case Not(ch) => one(ch, s).map(cs => s"NOT ($cs)")
+    case StringStartsWith(c, p) => for (cc <- col(c, s); lp <- lit(p))
+      yield s"startswith($cc, $lp)"
+    case StringEndsWith(c, p) => for (cc <- col(c, s); lp <- lit(p))
+      yield s"endswith($cc, $lp)"
+    case StringContains(c, p) => for (cc <- col(c, s); lp <- lit(p))
+      yield s"contains($cc, $lp)"
+    case _ => None
+  }
 }
 
 private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructType)
@@ -307,12 +845,29 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     keepFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
+  /** runtime-filtered file subset (row-level scans override) */
+  protected def extraKeep: Option[Set[String]] = None
+
   /** live files after metadata file-skipping (None = no skipping filter) */
-  private def files: Seq[String] =
-    keepFiles match {
+  protected def files: Seq[String] = {
+    val base = keepFiles match {
       case None => TableLog.liveFiles(path, v)
       case Some(k) => TableLog.liveFiles(path, v).filter(k)
     }
+    extraKeep match {
+      case None => base
+      case Some(k) => base.filter(k)
+    }
+  }
+
+  /** `_file` is synthesized per partition, never read from parquet; Spark
+    * appends metadata columns after the data output, so it can only trail
+    */
+  private val fileOrd = required.fieldNames.indexOf(GraftCatalog.FileCol)
+  require(fileOrd == -1 || fileOrd == required.length - 1,
+    s"metadata column ${GraftCatalog.FileCol} must trail the data columns in $required")
+  private val dataSchema =
+    if (fileOrd < 0) required else StructType(required.fields.dropRight(1))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -337,7 +892,8 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive)
+    if (fileOrd < 0) new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive)
+    else new FileTaggedReaderFactory(dataSchema, TableChangeSource.caseSensitive)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // post-skipping sizes: the fewer files a pushed filter keeps, the

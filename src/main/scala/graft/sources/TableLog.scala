@@ -280,6 +280,65 @@ object TableLog extends QueryPack {
     v
   }
 
+  /** Publish data files written EXECUTOR-SIDE (a DSv2 `DataWriter` fleet —
+    * the SQL UPDATE/MERGE copy-on-write path) as a GROUP replacement,
+    * PINNED to the version the rewrite was planned against: the new
+    * manifest keeps every live file outside `replaced` (with its DVs and
+    * stats carried forward — a DV row naming a swapped-out file just stops
+    * matching) and swaps `replaced` for `moved`. The replacement's content
+    * is a function of snapshot `basedOn`, so if any commit landed in
+    * between, publishing would silently drop it (the lost-update rule
+    * [[compactRetry]] enforces for compactions — but a SQL rewrite cannot
+    * be transparently re-run from here, so the loser ABORTS loudly instead
+    * of retrying, Delta's conflict answer for UPDATE/MERGE). CHECK
+    * constraints enforce with ONE aggregate scan of the new files before
+    * anything publishes; row counts come from the already-written files'
+    * footers.
+    */
+  private[sources] def publishReplace(
+      spark: SparkSession, table: String, basedOn: Long, moved: Seq[String],
+      replaced: Set[String]): Long = {
+    def dropStaged(): Unit =
+      moved.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
+    val cs = checkConstraints(table)
+    if (cs.nonEmpty && moved.nonEmpty) {
+      val df = spark.read.parquet(
+        moved.map(f => Paths.get(table).resolve(f).toString): _*)
+      val aggs = cs.map { case (n, e) =>
+        sum(when(coalesce(expr(e).cast("boolean"), lit(true)) === lit(false), 1L)
+          .otherwise(0L)).as(n)
+      }
+      val got = df.agg(aggs.head, aggs.tail: _*).collect().head
+      cs.zipWithIndex.find { case (_, i) => got.getLong(i) > 0L } match {
+        case Some(((n, _), i)) =>
+          dropStaged()
+          throw new CheckViolation(table, n, got.getLong(i))
+        case None => ()
+      }
+    }
+    recordRowCounts(table, moved)
+    val keep = liveFiles(table, basedOn).filterNot(replaced)
+    val keepSet = keep.toSet
+    val dvs = if (keep.isEmpty) Seq.empty[String] else dvFiles(table, basedOn)
+    val stats =
+      if (keep.isEmpty) Seq.empty[String]
+      else latestStatsLines(table, basedOn).filter(l => keepSet(l.takeWhile(_ != '|')))
+    try {
+      val nv = publish(table, basedOn + 1, keep ++ moved, dvs = dvs)
+      if (stats.nonEmpty) {
+        Files.write(statsFile(table, nv),
+          stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      }
+      nv
+    } catch {
+      case _: CommitConflict =>
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"row-level rewrite of $table was planned against version $basedOn but " +
+            s"version ${basedOn + 1} was committed concurrently — re-run the statement")
+    }
+  }
+
   /** Run `commit(nextVersion)` under optimistic concurrency: on a
     * [[CommitConflict]] the log is re-read and the commit lambda re-runs
     * against the new head. The lambda must recompute everything it derives
@@ -1802,6 +1861,172 @@ object TableLog extends QueryPack {
       |UNION ALL
       |SELECT '_v0', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM orders""".stripMargin
 
+  private val dmlBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The SQL WRITE face of the log: the whole DML lifecycle — CTAS,
+    * INSERT INTO ... SELECT, INSERT ... VALUES, a DV `DELETE FROM`, an
+    * `ALTER TABLE ADD COLUMN` widening, and a post-evolution insert — runs
+    * as plain `spark.sql` statements against [[GraftCatalog]], then the
+    * final snapshot aggregates per status plus one `VERSION AS OF`
+    * time-travel count of the pre-delete head. The oracle replays the
+    * lifecycle RELATIONALLY from the raw parquet (inserted slices unioned,
+    * the delete as a filter applied only to rows present at delete time,
+    * the evolved column null for pre-evolution rows) — a wrong commit
+    * order, a delete that touched the post-delete insert, a lost
+    * null-backfill, or an off-by-one version pin all flip a number.
+    */
+  def catalogSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val root = dmlBuilt.computeIfAbsent(dir, { d =>
+      val r = graft.Scratch.dir("graft_catdml", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(r + "/orders_dml"))
+      new java.io.File(r).mkdirs()
+      s.conf.set("spark.sql.catalog.graftw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftw.root", r)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_dml_src")
+      s.sql(
+        """CREATE TABLE graftw.orders_dml AS
+          |SELECT o_orderkey, o_orderstatus,
+          |       CAST(floor(o_totalprice * 100) AS LONG) AS cents
+          |FROM orders_dml_src WHERE o_orderkey % 4 = 0""".stripMargin) // v0 (empty) + v1
+      s.sql(
+        """INSERT INTO graftw.orders_dml
+          |SELECT o_orderkey, o_orderstatus,
+          |       CAST(floor(o_totalprice * 100) AS LONG)
+          |FROM orders_dml_src WHERE o_orderkey % 4 = 1""".stripMargin) // v2
+      s.sql("INSERT INTO graftw.orders_dml VALUES (-1, 'X', 0)")        // v3
+      s.sql(
+        """DELETE FROM graftw.orders_dml
+          |WHERE o_orderstatus = 'F' AND cents < 10000000""".stripMargin) // v4 (DV)
+      s.sql("ALTER TABLE graftw.orders_dml ADD COLUMN flag BIGINT")     // v5
+      s.sql(
+        """INSERT INTO graftw.orders_dml
+          |SELECT o_orderkey, o_orderstatus,
+          |       CAST(floor(o_totalprice * 100) AS LONG), o_orderkey
+          |FROM orders_dml_src WHERE o_orderkey % 4 = 2""".stripMargin) // v6
+      r
+    })
+    s.conf.set("spark.sql.catalog.graftw", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftw.root", root)
+    s.sql(
+      """SELECT o_orderstatus AS grp, count(*) AS n, sum(cents) AS cents,
+        |       sum(coalesce(flag, CAST(0 AS LONG))) AS flagsum
+        |FROM graftw.orders_dml GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '_v3', count(*), CAST(0 AS LONG), CAST(0 AS LONG)
+        |FROM graftw.orders_dml VERSION AS OF 3""".stripMargin)
+  }
+
+  private val catalogSqlDmlSql =
+    """WITH p0 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CAST(NULL AS BIGINT) AS flag
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |p1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CAST(NULL AS BIGINT) AS flag
+      |  FROM orders WHERE o_orderkey % 4 = 1),
+      |sent AS (
+      |  SELECT CAST(-1 AS BIGINT) AS o_orderkey, 'X' AS o_orderstatus,
+      |         CAST(0 AS BIGINT) AS cents, CAST(NULL AS BIGINT) AS flag),
+      |pre AS (
+      |  SELECT * FROM p0 UNION ALL SELECT * FROM p1 UNION ALL SELECT * FROM sent),
+      |kept AS (
+      |  SELECT * FROM pre WHERE NOT (o_orderstatus = 'F' AND cents < 10000000)),
+      |p2 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CAST(o_orderkey AS BIGINT) AS flag
+      |  FROM orders WHERE o_orderkey % 4 = 2),
+      |live AS (SELECT * FROM kept UNION ALL SELECT * FROM p2)
+      |SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS cents,
+      |       CAST(sum(coalesce(flag, 0)) AS BIGINT) AS flagsum
+      |FROM live GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT '_v3', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |FROM pre""".stripMargin
+
+  private val mergeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL UPDATE + MERGE INTO through the catalog's group-based row-level
+    * rewrite ([[GraftRowLevelOperation]]): a CTAS'd customer-balance table
+    * takes an UPDATE (copy-on-write through the real DSv2 batch write),
+    * then one MERGE that deletes heavy-order customers, bumps the rest by
+    * their order count, and inserts synthetic not-matched keys. The oracle
+    * replays all three statements RELATIONALLY — a mis-stripped operation
+    * column, a lost carryover row, a double-applied update, or a MERGE
+    * branch applied in the wrong order all flip the per-nation sums.
+    */
+  def catalogSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = mergeBuilt.computeIfAbsent(dir, { d =>
+      val r = graft.Scratch.dir("graft_catmerge", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(r + "/cust_bal"))
+      new java.io.File(r).mkdirs()
+      s.conf.set("spark.sql.catalog.graftm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftm.root", r)
+      Tables.load(s, d, "customer").createOrReplaceTempView("merge_cust_src")
+      Tables.load(s, d, "orders").createOrReplaceTempView("merge_orders_src")
+      s.sql(
+        """CREATE TABLE graftm.cust_bal AS
+          |SELECT c_custkey AS k, c_nationkey AS nat,
+          |       CAST(floor(c_acctbal * 100) AS LONG) AS bal
+          |FROM merge_cust_src""".stripMargin)                      // v0 (empty) + v1
+      s.sql("UPDATE graftm.cust_bal SET bal = bal + 1000 WHERE nat % 5 = 0") // v2 CoW
+      s.sql(
+        """SELECT o_custkey AS k, count(*) AS n
+          |FROM merge_orders_src GROUP BY o_custkey
+          |UNION ALL
+          |SELECT c_custkey + 1000000 AS k, CAST(7 AS LONG) AS n
+          |FROM merge_cust_src WHERE c_custkey % 100 = 0""".stripMargin)
+        .createOrReplaceTempView("merge_src")
+      s.sql(
+        """MERGE INTO graftm.cust_bal t USING merge_src s ON t.k = s.k
+          |WHEN MATCHED AND s.n > 15 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.n
+          |WHEN NOT MATCHED THEN INSERT (k, nat, bal) VALUES (s.k, -1, s.n)
+          |""".stripMargin)                                          // v3 CoW
+      r
+    })
+    s.conf.set("spark.sql.catalog.graftm", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftm.root", root)
+    s.sql(
+      """SELECT nat AS grp, count(*) AS n_rows, sum(bal) AS bal_sum
+        |FROM graftm.cust_bal GROUP BY nat""".stripMargin)
+  }
+
+  private val catalogSqlMergeSql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nat,
+      |         CAST(floor(c_acctbal * 100) AS BIGINT)
+      |           + CASE WHEN c_nationkey % 5 = 0 THEN 1000 ELSE 0 END AS bal
+      |  FROM customer),
+      |src AS (
+      |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS k, CAST(7 AS BIGINT) AS n
+      |  FROM customer WHERE c_custkey % 100 = 0),
+      |final AS (
+      |  SELECT b.k, b.nat, b.bal + coalesce(s.n, 0) AS bal
+      |  FROM base b LEFT JOIN src s ON b.k = s.k
+      |  WHERE s.k IS NULL OR s.n <= 15
+      |  UNION ALL
+      |  SELECT s.k, -1 AS nat, s.n AS bal
+      |  FROM src s LEFT JOIN base b ON s.k = b.k WHERE b.k IS NULL)
+      |SELECT nat AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(bal) AS BIGINT) AS bal_sum
+      |FROM final GROUP BY nat""".stripMargin
+
   private val embCatBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** embeddings committed to a table log next to [[ordersDvDeleted]] (same
@@ -1851,6 +2076,8 @@ object TableLog extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("catalog_sql_read", catalogSqlRead, Some(catalogSqlReadSql)),
     Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
+    Q("catalog_sql_dml", catalogSqlDml, Some(catalogSqlDmlSql)),
+    Q("catalog_sql_merge", catalogSqlMerge, Some(catalogSqlMergeSql)),
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
     Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),

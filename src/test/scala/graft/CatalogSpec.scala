@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Pins the DSv2 `GraftCatalog` contract: SQL reads over table logs equal
   * the API reads (latest, VERSION AS OF, TIMESTAMP AS OF, DV merge-on-read),
   * `count(*)` takes the zero-data-file metadata path, scans report
-  * metadata-exact statistics, and the catalog is read-only.
+  * metadata-exact statistics, and SQL DML/DDL (CREATE/CTAS/INSERT/
+  * OVERWRITE/DELETE/TRUNCATE/ALTER ADD COLUMN/DROP) routes through the
+  * log's commit protocol — DV deletes never rewrite data files, priors
+  * time-travel, CHECK constraints abort unpublished.
   */
 class CatalogSpec extends SparkSpec {
 
@@ -178,19 +181,271 @@ class CatalogSpec extends SparkSpec {
       "catalog array reads must equal the parquet read element-for-element")
   }
 
-  test("the catalog is read-only and absent tables fail cleanly") {
+  test("absent tables and absent versions fail cleanly") {
     rm(new java.io.File(root))
     val t = s"$root/ro"
     TableLog.commitAppend(spark.range(3).selectExpr("id AS k"), t)
     register()
-    val e = intercept[Exception](
-      spark.sql("INSERT INTO graftcat.ro VALUES (9)"))
-    assert(e.getMessage.contains("read-only") ||
-      e.getMessage.toLowerCase.contains("does not support"),
-      s"unexpected write error: ${e.getMessage}")
     intercept[Exception](spark.sql("SELECT * FROM graftcat.nope").collect())
     // a version outside the committed set fails loudly
     intercept[Exception](
       spark.sql("SELECT * FROM graftcat.ro VERSION AS OF 99").collect())
+  }
+
+  private def dataFiles(t: String): Set[String] = {
+    val d = new java.io.File(s"$t/data")
+    if (!d.isDirectory) Set.empty
+    else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("CREATE TABLE + INSERT INTO/OVERWRITE route through the commit protocol") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.w (k BIGINT, s STRING)")           // v0: empty
+    val t = s"$root/w"
+    assert(TableLog.versions(t) == Seq(0L))
+    assert(spark.sql("SELECT count(*) FROM graftcat.w").collect().head.getLong(0) == 0L)
+    // duplicate create fails loudly
+    intercept[Exception](spark.sql("CREATE TABLE graftcat.w (k BIGINT)"))
+
+    spark.sql("INSERT INTO graftcat.w VALUES (1, 'a'), (2, 'b')")       // v1
+    spark.range(3, 100).selectExpr("id AS k", "concat('s', id) AS s")
+      .createOrReplaceTempView("w_src")
+    spark.sql("INSERT INTO graftcat.w SELECT k, s FROM w_src")          // v2
+    // SQL state == API read, and the metadata count(*) stays exact
+    assert(spark.sql("SELECT * FROM graftcat.w").collect().map(_.toString).sorted.toSeq ==
+      TableLog.read(spark, t).collect().map(_.toString).sorted.toSeq)
+    val c = spark.sql("SELECT count(*) AS n FROM graftcat.w")
+    assert(c.collect().head.getLong(0) == 99L)
+    assert(c.queryExecution.executedPlan.toString.contains("GraftMetadataCount"))
+    // column order normalizes to the table schema (by-name insert)
+    spark.sql("INSERT INTO graftcat.w (s, k) VALUES ('z', 999)")        // v3
+    assert(spark.sql("SELECT s FROM graftcat.w WHERE k = 999")
+      .collect().map(_.getString(0)).toSeq == Seq("z"))
+
+    // INSERT OVERWRITE replaces the snapshot; priors still time-travel
+    val headBefore = TableLog.versions(t).last
+    spark.sql("INSERT OVERWRITE graftcat.w VALUES (7, 'only')")
+    assert(spark.sql("SELECT * FROM graftcat.w").collect().map(_.toString).toSeq ==
+      Seq("[7,only]"))
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.w VERSION AS OF $headBefore")
+      .collect().head.getLong(0) == 100L)
+  }
+
+  test("CTAS, DELETE FROM via deletion vectors, TRUNCATE and DROP") {
+    rm(new java.io.File(root))
+    register()
+    Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_ctas_src")
+    spark.sql("CREATE TABLE graftcat.oc AS SELECT * FROM orders_ctas_src")
+    val t = s"$root/oc"
+    val expect = spark.table("orders_ctas_src")
+    assert(spark.sql("SELECT count(*) FROM graftcat.oc").collect().head.getLong(0) ==
+      expect.count())
+
+    // DELETE WHERE: deletion vectors — every pre-delete data file survives
+    val before = dataFiles(t)
+    val headBefore = TableLog.versions(t).last
+    spark.sql("DELETE FROM graftcat.oc WHERE o_orderstatus = 'F' AND o_orderkey < 1000")
+    assert(before.subsetOf(dataFiles(t)),
+      "a DV delete must not rewrite or remove data files")
+    assert(spark.sql("SELECT * FROM graftcat.oc").collect().map(_.toString).sorted.toSeq ==
+      expect.where("NOT (o_orderstatus = 'F' AND o_orderkey < 1000)")
+        .collect().map(_.toString).sorted.toSeq)
+    // pre-delete rows still time-travel, and the metadata count is DV-exact
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.oc VERSION AS OF $headBefore")
+      .collect().head.getLong(0) == expect.count())
+    assert(spark.sql("SELECT count(*) FROM graftcat.oc").collect().head.getLong(0) ==
+      expect.where("NOT (o_orderstatus = 'F' AND o_orderkey < 1000)").count())
+
+    // translatable predicates keep the DV path (files untouched above); an
+    // UNtranslatable predicate falls back to the row-level COPY-ON-WRITE
+    // rewrite — correct rows, new data files, prior version intact
+    spark.sql("DELETE FROM graftcat.oc WHERE o_orderstatus IN ('X', 'Y')") // no-op DV
+    val preCow = spark.sql("SELECT * FROM graftcat.oc").collect().map(_.toString).sorted.toSeq
+    val cowHead = TableLog.versions(t).last
+    spark.sql("DELETE FROM graftcat.oc WHERE o_orderkey % 10 = 3")
+    assert(spark.sql("SELECT * FROM graftcat.oc").collect().map(_.toString).sorted.toSeq ==
+      preCow.filterNot(_.drop(1).takeWhile(_ != ',').toLong % 10 == 3))
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.oc VERSION AS OF $cowHead")
+      .collect().head.getLong(0) == preCow.size.toLong)
+
+    // TRUNCATE: metadata-only empty commit; priors still readable
+    val headFull = TableLog.versions(t).last
+    spark.sql("TRUNCATE TABLE graftcat.oc")
+    assert(spark.sql("SELECT count(*) FROM graftcat.oc").collect().head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.oc VERSION AS OF $headFull")
+      .collect().head.getLong(0) > 0L)
+
+    // DROP removes the table
+    spark.sql("DROP TABLE graftcat.oc")
+    assert(!new java.io.File(t).exists())
+    intercept[Exception](spark.sql("SELECT * FROM graftcat.oc").collect())
+  }
+
+  test("ALTER TABLE ADD COLUMN widens; old rows and old versions stay sound") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.ev (k BIGINT)")
+    spark.sql("INSERT INTO graftcat.ev VALUES (1), (2)")
+    val narrowHead = TableLog.versions(s"$root/ev").last
+    spark.sql("ALTER TABLE graftcat.ev ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO graftcat.ev VALUES (3, 'wide')")
+    assert(spark.sql("SELECT k, tag FROM graftcat.ev ORDER BY k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) "∅" else r.getString(1)))
+      .toSeq == Seq((1L, "∅"), (2L, "∅"), (3L, "wide")))
+    // the pre-evolution snapshot keeps the narrow schema
+    assert(spark.sql(s"SELECT * FROM graftcat.ev VERSION AS OF $narrowHead")
+      .schema.fieldNames.toSeq == Seq("k"))
+    // non-nullable / positioned adds are rejected loudly
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.ev ADD COLUMN x BIGINT FIRST"))
+  }
+
+  test("SQL UPDATE is a pinned copy-on-write rewrite through a real DSv2 batch write") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.u (k BIGINT, s STRING, x DOUBLE)")
+    spark.sql("INSERT INTO graftcat.u SELECT id, concat('s', id), CAST(id AS DOUBLE) / 4 " +
+      "FROM range(0, 1000)")
+    val t = s"$root/u"
+    val head = TableLog.versions(t).last
+    val before = spark.sql("SELECT * FROM graftcat.u").collect().map(_.toString).sorted.toSeq
+
+    spark.sql("UPDATE graftcat.u SET s = concat(s, '!'), x = x * 2 WHERE k % 7 = 0")
+    val expect = TableLog.read(spark, t, asOf = Some(head))
+      .selectExpr("k",
+        "IF(k % 7 = 0, concat(s, '!'), s) AS s",
+        "IF(k % 7 = 0, x * 2, x) AS x")
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.sql("SELECT * FROM graftcat.u").collect().map(_.toString).sorted.toSeq
+      == expect)
+    // copy-on-write: a NEW version, the pre-update snapshot fully intact
+    assert(TableLog.versions(t).last == head + 1)
+    assert(spark.sql(s"SELECT * FROM graftcat.u VERSION AS OF $head")
+      .collect().map(_.toString).sorted.toSeq == before)
+    // the metadata count(*) stays exact over the rewritten files
+    val c = spark.sql("SELECT count(*) AS n FROM graftcat.u")
+    assert(c.collect().head.getLong(0) == 1000L)
+    assert(c.queryExecution.executedPlan.toString.contains("GraftMetadataCount"))
+
+    // CHECK constraints veto the rewrite BEFORE anything publishes
+    TableLog.addCheckConstraint(t, "x_bounded", "x < 1000000")
+    val headCk = TableLog.versions(t).last
+    intercept[Exception](
+      spark.sql("UPDATE graftcat.u SET x = 1e9 WHERE k = 1"))
+    assert(TableLog.versions(t).last == headCk, "a vetoed UPDATE must publish nothing")
+    assert(spark.sql("SELECT x FROM graftcat.u WHERE k = 1").collect().head.getDouble(0)
+      < 1000000)
+  }
+
+  test("SQL MERGE INTO upserts, updates and deletes in one statement") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.m (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.m SELECT id, id FROM range(0, 100)")
+    val t = s"$root/m"
+    val head = TableLog.versions(t).last
+    spark.sql("SELECT id AS k, id * 10 AS v FROM range(50, 150)")
+      .createOrReplaceTempView("m_src")
+
+    spark.sql(
+      """MERGE INTO graftcat.m t USING m_src s ON t.k = s.k
+        |WHEN MATCHED AND s.k < 60 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+
+    val got = spark.sql("SELECT k, v FROM graftcat.m")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect =
+      (0L until 50L).map(k => (k, k)) ++          // untouched
+      (60L until 100L).map(k => (k, k * 10)) ++   // matched update
+      (100L until 150L).map(k => (k, k * 10))     // not-matched insert
+    assert(got == expect.sorted.toSeq)            // 50..59 deleted
+    // pre-merge snapshot intact
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.m VERSION AS OF $head")
+      .collect().head.getLong(0) == 100L)
+  }
+
+  test("a selective UPDATE rewrites only the files its predicate touches") {
+    rm(new java.io.File(root))
+    register()
+    val t = s"$root/scoped"
+    // 8 range-clustered files: k 0..999 → 1000..1999 → ... per file
+    TableLog.commitAppend(
+      spark.range(0, 8000).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(8, col("k")), t)
+    // manifest-level live set via the _file metadata column (disk keeps
+    // replaced files for time travel until vacuum, so dataFiles can't pin)
+    def liveSet(): Set[String] =
+      spark.sql("SELECT DISTINCT _file AS f FROM graftcat.scoped")
+        .collect().map(_.getString(0)).toSet
+    val before = liveSet()
+    assert(before.size == 8)
+    // the exact law: the rewrite scope == the files that actually hold
+    // matching rows (1 or 2 of 8 — range-partitioner boundary sampling
+    // decides whether the band straddles a file edge)
+    val matched = spark.sql(
+      "SELECT DISTINCT _file AS f FROM graftcat.scoped WHERE k >= 2000 AND k < 3000")
+      .collect().map(_.getString(0)).toSet
+    assert(matched.nonEmpty && matched.size <= 2, s"band spread over $matched")
+    val head = TableLog.versions(t).last
+
+    spark.sql("UPDATE graftcat.scoped SET v = v + 1 WHERE k >= 2000 AND k < 3000")
+
+    val after = liveSet()
+    assert(before -- after == matched,
+      s"rewritten files ${before -- after} must be exactly the matched files $matched")
+    // row identity: only the matched band bumped
+    assert(spark.sql("SELECT sum(v) FROM graftcat.scoped").collect().head.getLong(0) ==
+      (0L until 8000L).sum + 1000L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.scoped WHERE v = k + 1")
+      .collect().head.getLong(0) == 1000L)
+    // prior snapshot intact; kept files' identity preserved in the manifest
+    assert(spark.sql(s"SELECT sum(v) FROM graftcat.scoped VERSION AS OF $head")
+      .collect().head.getLong(0) == (0L until 8000L).sum)
+
+    // kept files keep their DVs across a scoped rewrite of OTHER files
+    spark.sql("DELETE FROM graftcat.scoped WHERE k < 10")             // DV on file 0
+    spark.sql("UPDATE graftcat.scoped SET v = 0 WHERE k >= 7000")     // rewrite file 7
+    assert(spark.sql("SELECT count(*) FROM graftcat.scoped").collect().head.getLong(0)
+      == 7990L)
+    assert(spark.sql("SELECT count(*) FROM graftcat.scoped WHERE k < 10")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("the _file metadata column is SQL-queryable") {
+    rm(new java.io.File(root))
+    register()
+    val t = s"$root/mf"
+    TableLog.commitAppend(
+      spark.range(0, 800).selectExpr("id AS k").repartitionByRange(4, col("k")), t)
+    val groups = spark.sql(
+      "SELECT _file, count(*) AS n FROM graftcat.mf GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(groups.length == 4 && groups.map(_._2).sum == 800L)
+    assert(groups.forall(_._1.startsWith("data/")))
+    // bare metadata-only projection works too
+    assert(spark.sql("SELECT _file FROM graftcat.mf").collect().length == 800)
+  }
+
+  test("CHECK constraints enforce through SQL INSERT") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.ck (k BIGINT)")
+    val t = s"$root/ck"
+    TableLog.addCheckConstraint(t, "k_pos", "k > 0")
+    spark.sql("INSERT INTO graftcat.ck VALUES (5)")
+    val head = TableLog.versions(t).last
+    val e = intercept[Exception](spark.sql("INSERT INTO graftcat.ck VALUES (-1)"))
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Seq.empty else x +: causes(x.getCause)
+    assert(causes(e).exists(_.getMessage != null)
+      && causes(e).exists(c => Option(c.getMessage).exists(_.contains("k_pos"))),
+      s"expected a CHECK violation naming k_pos, got: ${e.getMessage}")
+    // the failed insert published nothing
+    assert(TableLog.versions(t).last == head)
+    assert(spark.sql("SELECT count(*) FROM graftcat.ck").collect().head.getLong(0) == 1L)
   }
 }

@@ -95,6 +95,22 @@ class ServeSpec extends SparkSpec {
             "catalog time travel must reach v0 over JDBC")
           assert(one("SELECT count(DISTINCT c_custkey) FROM graft.customer") == 25L,
             "catalog data reads must work over JDBC")
+
+          // --- SQL DML over the SAME JDBC endpoint: the serving layer is
+          // also a write path, every statement a real log commit ---
+          val st = conn2.createStatement()
+          st.execute("CREATE TABLE graft.jdbc_writes (k BIGINT, s STRING)") // v0
+          st.execute("INSERT INTO graft.jdbc_writes VALUES (1,'a'), (2,'b'), (3,'c')") // v1
+          st.execute("UPDATE graft.jdbc_writes SET s = 'z' WHERE k = 2")    // v2 CoW
+          st.execute("DELETE FROM graft.jdbc_writes WHERE k = 3")           // v3 DV
+          assert(one("SELECT count(*) FROM graft.jdbc_writes") == 2L,
+            "JDBC DML must land: 3 inserted, 1 deleted")
+          val rz = conn2.createStatement().executeQuery(
+            "SELECT s FROM graft.jdbc_writes WHERE k = 2")
+          assert(rz.next() && rz.getString(1) == "z", "JDBC UPDATE must apply")
+          // history is real: pre-update/delete snapshot over the same wire
+          assert(one("SELECT count(*) FROM graft.jdbc_writes VERSION AS OF 1") == 3L,
+            "JDBC writes must time-travel like any commit")
         } finally conn2.close()
       } finally conn.close()
     } finally server.stop()
