@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
@@ -329,11 +330,12 @@ private[sources] class GraftLogTable(ident: String, path: String, v: Long)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, // readStream.table: append feed
       TableCapability.V1_BATCH_WRITE, // whole-DataFrame insert → commitAppend
       TableCapability.TRUNCATE)       // INSERT OVERWRITE → commitOverwrite
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(path, v, schema)
+    new GraftLogScanBuilder(path, v, schema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLogWriteBuilder(path)
@@ -494,6 +496,47 @@ private[sources] class GraftRowLevelScan(
     // record the EXACT enumeration as the replacement scope before planning
     op.scopedFiles = Some(files.toSet)
     super.planInputPartitions()
+  }
+}
+
+/** The catalog table as a streaming APPEND feed — the change-feed stream
+  * with delete deltas masked out: pure appends pass through, a non-append
+  * commit fails LOUDLY unless `ignoreChanges` opted in (silently skewing a
+  * stream is never the default). All admission/AvailableNow behavior
+  * delegates to the wrapped [[TableChangeStream]], so checkpoints, pacing
+  * and restart semantics are identical to the raw feed.
+  */
+private[sources] class GraftAppendStream(
+    inner: TableChangeStream, path: String, ignoreChanges: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def deserializeOffset(json: String): Offset = inner.deserializeOffset(json)
+  override def commit(end: Offset): Unit = inner.commit(end)
+  override def stop(): Unit = inner.stop()
+  override def latestOffset(): Offset = inner.latestOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    inner.latestOffset(start, limit)
+  override def getDefaultReadLimit: ReadLimit = inner.getDefaultReadLimit
+  override def reportLatestOffset(): Offset = inner.reportLatestOffset()
+  override def prepareForTriggerAvailableNow(): Unit =
+    inner.prepareForTriggerAvailableNow()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.createReaderFactory()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val parts = inner.planInputPartitions(start, end)
+    val (ins, dels) = parts.partition(_.asInstanceOf[ChangeFilePartition].insert)
+    if (dels.nonEmpty && !ignoreChanges)
+      throw new UnsupportedOperationException(
+        s"streaming read of $path hit a non-append commit (delete deltas in " +
+          s"versions ${dels.map(_.asInstanceOf[ChangeFilePartition].version)
+            .distinct.sorted.mkString(",")}). Restart with " +
+          ".option(\"ignoreChanges\", true) to skip delete deltas (rows " +
+          "re-added by a rewrite may re-emit), or consume the full change " +
+          "feed via readStream.format(\"graft.sources.TableChangeSource\")")
+    ins
   }
 }
 
@@ -723,7 +766,8 @@ private[sources] object SqlFilterText {
   }
 }
 
-private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructType)
+private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownFilters {
 
@@ -832,7 +876,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
 
   override def build(): Scan =
     if (pushedCount) new GraftMetadataCountScan(path, v)
-    else new GraftLogScan(path, v, required, keepFiles)
+    else new GraftLogScan(path, v, required, keepFiles, options)
 }
 
 /** Snapshot scan: one partition per live data file, DV positions shipped as
@@ -842,7 +886,8 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   * choice) runs on real numbers.
   */
 private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
-    keepFiles: Option[Set[String]] = None)
+    keepFiles: Option[Set[String]] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportStatistics {
 
   /** runtime-filtered file subset (row-level scans override) */
@@ -894,6 +939,28 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     if (fileOrd < 0) new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive)
     else new FileTaggedReaderFactory(dataSchema, TableChangeSource.caseSensitive)
+
+  /** `spark.readStream.table("graft.<t>")` — the table as an APPEND feed:
+    * each commit's new rows arrive as one admission-capped micro-batch
+    * (the change-feed stream underneath, checkpointed offsets = commit
+    * versions). Non-append commits are a LOUD error by default — a DV
+    * delete or a compaction would otherwise silently skew the stream;
+    * `.option("ignoreChanges", true)` opts into skipping delete deltas
+    * (re-added rows of a rewrite still re-emit — the same contract as
+    * Delta's streaming source). `.option("startingVersion", n)` skips
+    * history; `.option("versionsPerTrigger", n)` paces admission.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftAppendStream(
+      new TableChangeStream(
+        table = path,
+        readSchema = required,
+        startingVersion =
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
+        versionsPerTrigger =
+          Option(options.get("versionsPerTrigger")).map(_.toInt).getOrElse(1)),
+      path,
+      ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean))
 
   override def estimateStatistics(): Statistics = new Statistics {
     // post-skipping sizes: the fewer files a pushed filter keeps, the

@@ -334,10 +334,7 @@ private[sources] class ChangeFileReader(
     case ((f, _), i) =>
       // projection field order == `present` order by construction
       val t = projection.getType(i)
-      if (t.isPrimitive)
-        ChangeFileReader.converter(f.dataType, t.asPrimitiveType(), p.absPath, f.name)
-      else
-        ChangeFileReader.arrayConverter(f.dataType, t.asGroupType(), p.absPath, f.name)
+      ChangeFileReader.anyConverter(f.dataType, t, p.absPath, f.name, caseSensitive)
   }
   /** output slot per present field */
   private val outIdx: Array[Int] =
@@ -454,6 +451,96 @@ private[sources] object ChangeFileReader {
     }
   }
 
+  /** Recursive (Spark type, parquet type) converter — the FULL nested
+    * surface: primitives via [[converter]], LIST groups via
+    * [[arrayConverter]], plain groups as STRUCTs, MAP groups as maps.
+    * Every branch that cannot be honored fails loud at reader build.
+    */
+  private[sources] def anyConverter(
+      dt: DataType, t: org.apache.parquet.schema.Type,
+      file: String, name: String, caseSensitive: Boolean): (Group, Int) => Any =
+    if (t.isPrimitive) converter(dt, t.asPrimitiveType(), file, name)
+    else {
+      val gt = t.asGroupType()
+      dt match {
+        case at: ArrayType => arrayConverter(at, gt, file, name, caseSensitive)
+        case st: StructType => structConverter(st, gt, file, name, caseSensitive)
+        case mt: MapType => mapConverter(mt, gt, file, name, caseSensitive)
+        case other => throw new UnsupportedOperationException(
+          s"table-change source: column $name declared $other but parquet has group $gt in $file")
+      }
+    }
+
+  /** STRUCT columns from plain parquet groups: members resolve against the
+    * FILE's group schema (honoring the session's case-resolution mode), a
+    * member the file predates null-backfills — the same per-file evolution
+    * discipline as top-level columns, one level down. Values land as
+    * `GenericInternalRow` in declared-field order.
+    */
+  private def structConverter(
+      st: StructType, gt: GroupType,
+      file: String, name: String, cs: Boolean): (Group, Int) => Any = {
+    val fileNames = (0 until gt.getFieldCount).map(gt.getFieldName)
+    val members: Array[Option[(Int, (Group, Int) => Any)]] = st.fields.map { f =>
+      val idx = {
+        val exact = fileNames.indexOf(f.name)
+        if (exact >= 0) exact
+        else if (!cs) fileNames.indexWhere(_.equalsIgnoreCase(f.name)) else -1
+      }
+      if (idx < 0) None // evolved member, absent in this file: null-backfill
+      else Some((idx,
+        anyConverter(f.dataType, gt.getType(idx), file, s"$name.${f.name}", cs)))
+    }
+    (g, i) => {
+      val sub = g.getGroup(i, 0)
+      val out = new Array[Any](members.length)
+      var j = 0
+      while (j < members.length) {
+        out(j) = members(j) match {
+          case Some((idx, conv)) if sub.getFieldRepetitionCount(idx) > 0 =>
+            conv(sub, idx)
+          case _ => null
+        }
+        j += 1
+      }
+      new GenericInternalRow(out)
+    }
+  }
+
+  /** MAP columns from parquet MAP groups (`group (MAP) { repeated group
+    * key_value { required K key; <V> value } }`) — keys are required by the
+    * parquet spec, values may be null; both sides convert recursively.
+    */
+  private def mapConverter(
+      mt: MapType, gt: GroupType,
+      file: String, name: String, cs: Boolean): (Group, Int) => Any = {
+    val isMap = gt.getLogicalTypeAnnotation
+      .isInstanceOf[LogicalTypeAnnotation.MapLogicalTypeAnnotation]
+    if (!isMap || gt.getFieldCount != 1 || gt.getType(0).isPrimitive)
+      throw new UnsupportedOperationException(
+        s"table-change source: unrecognized MAP shape of column $name in $file: $gt")
+    val kv = gt.getType(0).asGroupType()
+    require(kv.getFieldCount == 2,
+      s"table-change source: MAP key_value of $name has ${kv.getFieldCount} fields in $file")
+    val keyConv = anyConverter(mt.keyType, kv.getType(0), file, s"$name.key", cs)
+    val valConv = anyConverter(mt.valueType, kv.getType(1), file, s"$name.value", cs)
+    (g, i) => {
+      val m = g.getGroup(i, 0)
+      val n = m.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val rec = m.getGroup(0, j)
+        keys(j) = keyConv(rec, 0)
+        vals(j) = if (rec.getFieldRepetitionCount(1) == 0) null else valConv(rec, 1)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
+    }
+  }
+
   /** array-element accessor addressed by (group, fieldIdx, repetitionIdx) —
     * the repetition index is what the scalar [[converter]]s (hardwired to
     * occurrence 0) cannot express
@@ -477,59 +564,55 @@ private[sources] object ChangeFileReader {
           s"($other from parquet $prim) in $file")
     }
 
-  /** ARRAY<primitive> columns from parquet LIST groups — both the standard
-    * 3-level shape Spark writes (`group (LIST) { repeated group list
-    * { <elem> element } }`, null elements preserved) and the legacy 2-level
-    * `repeated <elem>` form. Structs/maps stay a loud unsupported (project
-    * around them); this is what lets embedding tables flow through the
-    * change feed and the SQL catalog.
+  /** ARRAY columns from parquet LIST groups — both the standard 3-level
+    * shape Spark writes (`group (LIST) { repeated group list { <elem>
+    * element } }`, null elements preserved) and the legacy 2-level
+    * `repeated <elem>` form. Elements convert recursively through
+    * [[anyConverter]], so arrays of structs/maps/arrays work; the legacy
+    * 2-level form stays primitive-only (the only shape legacy writers
+    * emit). This is what lets embedding tables — and any nested profile —
+    * flow through the change feed and the SQL catalog.
     */
   private[sources] def arrayConverter(
-      dt: DataType, gt: GroupType,
-      file: String, name: String): (Group, Int) => Any = {
+      at: ArrayType, gt: GroupType,
+      file: String, name: String, cs: Boolean): (Group, Int) => Any = {
     import org.apache.parquet.schema.Type.Repetition
-    dt match {
-      case at: ArrayType if gt.getLogicalTypeAnnotation
-          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation] &&
-          gt.getFieldCount == 1 =>
-        val mid = gt.getType(0)
-        if (!mid.isPrimitive && mid.asGroupType().getFieldCount == 1 &&
-          mid.isRepetition(Repetition.REPEATED)) {
-          // standard 3-level list
-          val elemT = mid.asGroupType().getType(0)
-          if (!elemT.isPrimitive) throw new UnsupportedOperationException(
-            s"table-change source: nested element type of array column $name " +
-              s"is not supported in $file — select scalar/array-of-scalar columns")
-          val get = elemGetter(at.elementType, elemT.asPrimitiveType(), file, name)
-          (g, i) => {
-            val lst = g.getGroup(i, 0)
-            val n = lst.getFieldRepetitionCount(0)
-            val arr = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val rec = lst.getGroup(0, j)
-              arr(j) = if (rec.getFieldRepetitionCount(0) == 0) null
-                       else get(rec, 0, 0)
-              j += 1
-            }
-            new GenericArrayData(arr)
-          }
-        } else if (mid.isPrimitive && mid.isRepetition(Repetition.REPEATED)) {
-          // legacy 2-level list: repeated primitive directly
-          val get = elemGetter(at.elementType, mid.asPrimitiveType(), file, name)
-          (g, i) => {
-            val lst = g.getGroup(i, 0)
-            val n = lst.getFieldRepetitionCount(0)
-            val arr = new Array[Any](n)
-            var j = 0
-            while (j < n) { arr(j) = get(lst, 0, j); j += 1 }
-            new GenericArrayData(arr)
-          }
-        } else throw new UnsupportedOperationException(
-          s"table-change source: unrecognized LIST shape of column $name in $file: $gt")
-      case other => throw new UnsupportedOperationException(
-        s"table-change source: nested column $name ($other) is not supported" +
-          " — select the scalar/array columns you need (pruning pushes into the read)")
-    }
+    if (!(gt.getLogicalTypeAnnotation
+        .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation] &&
+        gt.getFieldCount == 1))
+      throw new UnsupportedOperationException(
+        s"table-change source: unrecognized LIST shape of column $name in $file: $gt")
+    val mid = gt.getType(0)
+    if (!mid.isPrimitive && mid.asGroupType().getFieldCount == 1 &&
+      mid.isRepetition(Repetition.REPEATED)) {
+      // standard 3-level list; element may itself be nested
+      val elemT = mid.asGroupType().getType(0)
+      val conv = anyConverter(at.elementType, elemT, file, s"$name[]", cs)
+      (g, i) => {
+        val lst = g.getGroup(i, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val rec = lst.getGroup(0, j)
+          arr(j) = if (rec.getFieldRepetitionCount(0) == 0) null
+                   else conv(rec, 0)
+          j += 1
+        }
+        new GenericArrayData(arr)
+      }
+    } else if (mid.isPrimitive && mid.isRepetition(Repetition.REPEATED)) {
+      // legacy 2-level list: repeated primitive directly
+      val get = elemGetter(at.elementType, mid.asPrimitiveType(), file, name)
+      (g, i) => {
+        val lst = g.getGroup(i, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var j = 0
+        while (j < n) { arr(j) = get(lst, 0, j); j += 1 }
+        new GenericArrayData(arr)
+      }
+    } else throw new UnsupportedOperationException(
+      s"table-change source: unrecognized LIST shape of column $name in $file: $gt")
   }
 }

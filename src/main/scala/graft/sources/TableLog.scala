@@ -2027,6 +2027,57 @@ object TableLog extends QueryPack {
       |       CAST(sum(bal) AS BIGINT) AS bal_sum
       |FROM final GROUP BY nat""".stripMargin
 
+  private val nestedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** NESTED columns (struct / struct-of-struct / array-of-struct / map)
+    * through the catalog's Group-API read path: an orders-derived table
+    * whose payload lives entirely in nested shapes is committed to a log
+    * and aggregated back out through SQL field access, lambda-free. The
+    * oracle replays from the RAW flat orders table — so a wrong struct
+    * member offset, a lost null, a mis-ordered map entry or a broken
+    * array-of-struct element all flip a sum without the oracle needing any
+    * nested syntax of its own. (`balsum` must equal `cents` by
+    * construction: the map value is keyed by the row's own status — a map
+    * read defect breaks the equality through the hash gate.)
+    */
+  def catalogSqlNested(s: SparkSession, dir: String): DataFrame = {
+    val root = nestedBuilt.computeIfAbsent(dir, { d =>
+      val r = graft.Scratch.dir("graft_catnested", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(r + "/orders_nested"))
+      new java.io.File(r).mkdirs()
+      val nested = Tables.load(s, d, "orders").selectExpr(
+        "o_orderkey AS k",
+        "named_struct('status', o_orderstatus, 'price', named_struct(" +
+          "'cents', CAST(floor(o_totalprice * 100) AS LONG), " +
+          "'bucket', o_orderkey % 7)) AS meta",
+        "array(named_struct('q', o_orderkey % 5), named_struct('q', o_orderkey % 3)) AS legs",
+        "map(o_orderstatus, CAST(floor(o_totalprice * 100) AS LONG)) AS bal")
+      commitAppend(nested, r + "/orders_nested")
+      r
+    })
+    s.conf.set("spark.sql.catalog.graftn", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftn.root", root)
+    s.sql(
+      """SELECT meta.status AS grp, count(*) AS n,
+        |       sum(meta.price.cents) AS cents,
+        |       sum(meta.price.bucket) AS buckets,
+        |       sum(legs[0].q + legs[1].q) AS legsum,
+        |       sum(element_at(bal, meta.status)) AS balsum
+        |FROM graftn.orders_nested GROUP BY meta.status""".stripMargin)
+  }
+
+  private val catalogSqlNestedSql =
+    """SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(sum(o_orderkey % 7) AS BIGINT) AS buckets,
+      |       CAST(sum(o_orderkey % 5 + o_orderkey % 3) AS BIGINT) AS legsum,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS balsum
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   private val embCatBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** embeddings committed to a table log next to [[ordersDvDeleted]] (same
@@ -2078,6 +2129,7 @@ object TableLog extends QueryPack {
     Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
     Q("catalog_sql_dml", catalogSqlDml, Some(catalogSqlDmlSql)),
     Q("catalog_sql_merge", catalogSqlMerge, Some(catalogSqlMergeSql)),
+    Q("catalog_sql_nested", catalogSqlNested, Some(catalogSqlNestedSql)),
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
     Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),

@@ -430,6 +430,76 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT _file FROM graftcat.mf").collect().length == 800)
   }
 
+  test("vacuum reclaims files a scoped rewrite replaced; kept files survive") {
+    rm(new java.io.File(root))
+    register()
+    val t = s"$root/vr"
+    TableLog.commitAppend(
+      spark.range(0, 4000).selectExpr("id AS k", "id AS v")
+        .repartitionByRange(4, col("k")), t)
+    def live(): Set[String] =
+      spark.sql("SELECT DISTINCT _file AS f FROM graftcat.vr")
+        .collect().map(_.getString(0)).toSet
+    val before = live()
+    spark.sql("UPDATE graftcat.vr SET v = v + 1 WHERE k < 500")
+    val after = live()
+    val replaced = before -- after
+    assert(replaced.nonEmpty && (after -- before).nonEmpty)
+    // old version still reads the replaced files — then vacuum drops it
+    TableLog.vacuum(t, keepVersions = 1)
+    replaced.foreach(f => assert(!new java.io.File(s"$t/$f").exists(),
+      s"vacuum must reclaim replaced file $f"))
+    (after & before).foreach(f => assert(new java.io.File(s"$t/$f").exists(),
+      s"kept file $f must survive vacuum"))
+    // the table still reads exactly, metadata count included
+    assert(spark.sql("SELECT count(*) FROM graftcat.vr").collect().head.getLong(0) == 4000L)
+    assert(spark.sql("SELECT sum(v) FROM graftcat.vr").collect().head.getLong(0) ==
+      (0L until 4000L).sum + 500L)
+  }
+
+  test("readStream.table streams catalog tables as an append feed") {
+    rm(new java.io.File(root))
+    register()
+    val t = s"$root/st"
+    TableLog.commitAppend(spark.range(0, 5).selectExpr("id AS k"), t)   // v0
+    TableLog.commitAppend(spark.range(5, 8).selectExpr("id AS k"), t)   // v1
+    val ckpt = s"$root/st_ckpt"
+    val got = collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.table("graftcat.st")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getLong(0)); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.sorted.toSeq == (0L until 8L).toSeq, s"full history first: $got")
+    // only NEW commits on resume — checkpointed at commit-version offsets
+    spark.sql("INSERT INTO graftcat.st VALUES (100), (101)")            // v2 via SQL
+    drain()
+    assert(got.sorted.toSeq == ((0L until 8L) ++ Seq(100L, 101L)).toSeq,
+      s"resume must deliver exactly v2: $got")
+    // a DV delete makes the append stream FAIL LOUDLY...
+    spark.sql("DELETE FROM graftcat.st WHERE k = 100")                  // v3 (DV)
+    val e = intercept[Exception] { drain() }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(e).contains("ignoreChanges"), s"expected the loud delete error, got $e")
+    // ...and ignoreChanges opts into skipping the delete delta
+    val got2 = collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.option("ignoreChanges", "true").table("graftcat.st")
+      .writeStream.option("checkpointLocation", s"$root/st_ckpt2")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= b.collect().map(_.getLong(0)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(got2.sorted.toSeq == ((0L until 8L) ++ Seq(100L, 101L)).toSeq,
+      s"ignoreChanges must deliver every append and skip the delete: $got2")
+  }
+
   test("CHECK constraints enforce through SQL INSERT") {
     rm(new java.io.File(root))
     register()
