@@ -241,6 +241,31 @@ object Main {
       }
       if (r.isEmpty) println("[follow] caught up — no new commits")
       spark.stop()
+    case "matview" :: "create" :: view :: base :: groups :: aggs :: Nil =>
+      // aggs: comma-separated func:col (count:* sum:c min:c max:c)
+      val spark = session()
+      val specs = aggs.split(',').toSeq.map { a =>
+        val Array(f, c) = a.split(":", 2); sources.MatView.AggSpec(f, c)
+      }
+      val v = sources.MatView.create(spark, view, base, groups.split(',').toSeq, specs)
+      println(s"[graft] matview $view@v$v materialized from $base " +
+        s"(route with spark.graft.matview.paths=$view)")
+      spark.stop()
+    case "matview" :: "refresh" :: view :: Nil =>
+      val spark = session()
+      val (v, mode) = sources.MatView.refresh(spark, view)
+      println(s"[graft] matview $view now reflects base v$v ($mode)")
+      spark.stop()
+    case "txn" :: "recover" :: txnRoot :: Nil =>
+      val spark = session()
+      val ids = sources.Txn.recover(spark, txnRoot)
+      if (ids.isEmpty) println("[graft] txn: nothing to recover")
+      else ids.foreach(id => println(s"[graft] txn $id rolled forward"))
+      spark.stop()
+    case "txn" :: "snapshot" :: txnRoot :: tables :: Nil =>
+      sources.Txn.consistentSnapshot(txnRoot, tables.split(',').toSeq)
+        .toSeq.sortBy(_._1)
+        .foreach { case (t, v) => println(s"[txn] $t @ v$v") }
     case "list" :: Nil =>
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
     case "bench" :: Nil =>
@@ -266,6 +291,10 @@ object Main {
           "       graft vacuum <tableLogDir> [keep] [apply] — retention dry-run / execute\n" +
           "       graft delete <tableLogDir> <cond>    — deletion-vector DELETE WHERE\n" +
           "       graft gc <tableLogDir>               — reclaim crashed-commit orphans\n" +
+          "       graft matview create <viewDir> <baseLogDir> <g1,g2> <count:*,sum:c,...>\n" +
+          "       graft matview refresh <viewDir>      — incremental change-feed fold\n" +
+          "       graft txn recover <txnRoot>          — roll crashed cross-table txns forward\n" +
+          "       graft txn snapshot <txnRoot> <t1,t2> — split-free per-table versions\n" +
           "       graft list\n" +
           "       graft bench")
       sys.exit(1)

@@ -31,6 +31,8 @@ object SparkEntry {
     sources.Layout,
     sources.TableLog,
     sources.IncrementalView,
+    sources.MatView,
+    sources.Txn,
     multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

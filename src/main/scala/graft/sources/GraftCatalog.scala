@@ -306,6 +306,14 @@ private[sources] class GraftLogTable(ident: String, path: String, v: Long)
 
   override def name(): String = ident
 
+  /** log directory + pinned snapshot version — what [[MatViewRewrite]]
+    * matches a base-table scan by (the pin doubles as the freshness check:
+    * a time-travel read at an older version never routes to a view
+    * materialized from a newer one)
+    */
+  private[sources] def logPath: String = path
+  private[sources] def logVersion: Long = v
+
   /** `_file` — the row's log-relative data file (the manifest's identity
     * unit). Exposed for diagnostics (`SELECT _file, count(*) ... GROUP BY`)
     * and REQUIRED by the row-level operations: it is the group id the
@@ -889,6 +897,10 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     keepFiles: Option[Set[String]] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** see [[GraftLogTable.logPath]] — the post-pushdown twin for [[MatViewRewrite]] */
+  private[sources] def logPath: String = path
+  private[sources] def logVersion: Long = v
 
   /** runtime-filtered file subset (row-level scans override) */
   protected def extraKeep: Option[Set[String]] = None

@@ -378,16 +378,11 @@ object TableLog extends QueryPack {
     else {
       // writeConstrained, not writeDataFiles: idempotent transactional
       // commits enforce the table's CHECK constraints exactly like
-      // commitAppend/commitOverwrite (one consistent enforcement surface)
-      val moved = writeConstrained(df, table)
-      // a conflict loser re-checks the txn set: if the WINNER was a replay
+      // commitAppend/commitOverwrite (one consistent enforcement surface).
+      // A conflict loser re-checks the txn set: if the WINNER was a replay
       // of this same transaction, the no-op applies (its data files stay
       // unreferenced for gcOrphans — same as any crashed commit)
-      val r = withRetry(table) { v =>
-        if (committedTxns(table).contains(txnId)) AlreadyCommitted
-        else publish(table, v, moved, Some(txnId))
-      }
-      if (r == AlreadyCommitted) None else Some(r)
+      commitStagedOnceOverwrite(table, writeConstrained(df, table), txnId)
     }
   }
 
@@ -431,6 +426,72 @@ object TableLog extends QueryPack {
     * via a concurrent replica, so this attempt must become a no-op
     */
   private val AlreadyCommitted = -2L
+
+  // -------------------------------------------------------------------------
+  // Staged-commit primitives — the two-phase surface [[Txn]] coordinates
+  // cross-table transactions with: stage data first (constraints enforced,
+  // nothing referenced), publish later (idempotent via txn tags), possibly
+  // from a DIFFERENT process than the one that staged (roll-forward
+  // recovery replays publishes from the intent record alone).
+  // -------------------------------------------------------------------------
+
+  /** Phase 1: write `df`'s rows as staged (unreferenced) data files under
+    * `table`, CHECK constraints enforced. Until some manifest references
+    * the returned paths they are invisible to every reader and
+    * [[gcOrphans]]-collectable — a crash after staging obliges nothing.
+    */
+  private[sources] def stageConstrained(df: DataFrame, table: String): Seq[String] =
+    writeConstrained(df, table)
+
+  /** Phase 2, append flavor: publish ALREADY-STAGED files exactly once
+    * under `txnId` (None when the txn had landed — same contract as
+    * [[commitOnceAppend]], which this is the staged half of).
+    */
+  private[sources] def commitStagedOnceAppend(
+      table: String, moved: Seq[String], txnId: String): Option[Long] = {
+    if (committedTxns(table).contains(txnId)) None
+    else {
+      val r = withRetry(table) { v =>
+        if (committedTxns(table).contains(txnId)) AlreadyCommitted
+        else {
+          val prevV = versions(table).lastOption
+          val prev = prevV.map(liveFiles(table, _)).getOrElse(Seq.empty)
+          val prevStats = prevV.map { pv =>
+            val live = prev.toSet
+            latestStatsLines(table, pv).filter(l => live(l.takeWhile(_ != '|')))
+          }.getOrElse(Seq.empty)
+          publish(table, v, prev ++ moved, Some(txnId),
+            dvs = prevV.map(dvFiles(table, _)).getOrElse(Seq.empty))
+          if (prevStats.nonEmpty) {
+            Files.write(statsFile(table, v),
+              prevStats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          }
+          v
+        }
+      }
+      if (r == AlreadyCommitted) None else Some(r)
+    }
+  }
+
+  /** Phase 2, overwrite flavor (staged half of [[commitOnceOverwrite]]). */
+  private[sources] def commitStagedOnceOverwrite(
+      table: String, moved: Seq[String], txnId: String): Option[Long] = {
+    if (committedTxns(table).contains(txnId)) None
+    else {
+      val r = withRetry(table) { v =>
+        if (committedTxns(table).contains(txnId)) AlreadyCommitted
+        else publish(table, v, moved, Some(txnId))
+      }
+      if (r == AlreadyCommitted) None else Some(r)
+    }
+  }
+
+  /** txn tags recorded by ONE version's manifest ([[Txn]]'s landed-version
+    * lookup and the split detector behind consistent snapshots)
+    */
+  private[sources] def txnsAt(table: String, v: Long): Seq[String] =
+    Files.readAllLines(versionFile(table, v)).asScala.toSeq
+      .filter(_.startsWith("#txn:")).map(_.stripPrefix("#txn:"))
 
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
     * stat column), long-valued. Written AFTER the manifest publish (a

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.intDot)
     // conf-gated (spark.graft.rangeJoin.granularity), no-op until enabled
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // conf-gated (spark.graft.matview.paths): aggregates over catalog base
+    // scans route to maintained rollup views (graft.sources.MatViewRewrite)
+    ext.injectOptimizerRule(_ => graft.sources.MatViewRewrite)
     // plans graftx.AsOfJoin logical nodes (see AsOf.join); inert otherwise
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -79,6 +82,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.sources.MatViewRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sources.MatViewRewrite
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
