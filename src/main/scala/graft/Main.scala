@@ -132,6 +132,12 @@ object Main {
       // served as snapshot-isolated TableLog reads (composes with commits /
       // OPTIMIZE / time travel; see Serve.registerViews)
       val tlog = rest.drop(2).headOption
+      // optional fourth arg: comma-separated matview dirs — dashboard
+      // aggregates over catalog tables then route to the maintained
+      // rollups (the rule rides the extensions below; the conf reaches
+      // JDBC child sessions via the context conf in registerViews)
+      val mviews = rest.drop(3).headOption
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
       // dedicated builder: singleSession is a static conf (must be set at
       // session creation) and lets beeline use unqualified view names; the
       // global_temp.* registrations in Serve work regardless
@@ -149,6 +155,7 @@ object Main {
         if (new java.io.File(s"$dir/$t.parquet").exists())
           Tables.load(spark, dir, t).createOrReplaceTempView(t)
       }
+      Serve.registerViews(spark, dir, tableLogRoot = tlog, matViewPaths = mviews)
       Serve.start(spark, dir, port, tableLogRoot = tlog)
       if (!Serve.awaitPort(port))
         { System.err.println(s"[graft] serve: port $port did not open"); sys.exit(1) }
@@ -279,7 +286,7 @@ object Main {
           "       graft audit <name> [sfDir]           — executed-plan feature dossier\n" +
           "       graft sql <statement> [sfDir] [tableLogRoot] — raw tables + graft catalog\n" +
           "       graft pipe <srcTableLog> <dstTableLog> <ckptDir> — change-feed -> log sink\n" +
-          "       graft serve [sfDir] [port]          — resident JDBC endpoint\n" +
+          "       graft serve [sfDir] [port] [tableLogRoot] [matviewDir,...] — resident JDBC endpoint\n" +
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +

@@ -56,7 +56,21 @@ object Serve {
     */
   def registerViews(spark: SparkSession, dir: String,
                     queries: Seq[String] = AnalysisViews,
-                    tableLogRoot: Option[String] = None): Unit = {
+                    tableLogRoot: Option[String] = None,
+                    matViewPaths: Seq[String] = Nil): Unit = {
+    // dashboard aggregates route to maintained rollups: the conf reaches
+    // every JDBC child session via the context conf (same rule as the
+    // catalog registration below); the REWRITE RULE itself reaches them
+    // through SparkSessionExtensions inheritance — newSession() children
+    // carry the parent's extensions object, and the serve CLI session is
+    // built withExtensions(GraftExtensions). A session without the rule
+    // just ignores the conf (correct, unrouted plans).
+    if (matViewPaths.nonEmpty) {
+      val v = matViewPaths.mkString(",")
+      spark.conf.set("spark.graft.matview.paths", v)
+      org.apache.spark.sql.graftx.ContextConf.set(spark.sparkContext,
+        "spark.graft.matview.paths", v)
+    }
     // the SQL face of the log: with a log root, JDBC clients also get the
     // graft catalog — `SELECT ... FROM graft.<table> [VERSION AS OF n]`,
     // metadata-only count(*), snapshot isolation — next to the view layer

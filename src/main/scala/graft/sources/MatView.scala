@@ -56,7 +56,7 @@ object MatView extends QueryPack {
 
   final case class Meta(
       viewDir: String, base: String, baseVersion: Long,
-      groups: Seq[String], aggs: Seq[AggSpec])
+      groups: Seq[String], aggs: Seq[AggSpec], nonce: String)
 
   /** view-relation column holding a spec's partial */
   def viewCol(a: AggSpec): String = a match {
@@ -81,13 +81,14 @@ object MatView extends QueryPack {
       val Array(f, c) = s.split(":", 2); AggSpec(f, c)
     }
     Some(Meta(norm(viewDir), m("base"), m("baseVersion").toLong,
-      m("groups").split(",").toSeq, aggs.toSeq))
+      m("groups").split(",").toSeq, aggs.toSeq,
+      m.getOrElse("nonce", "none")))
   }
 
   private def writeMeta(m: Meta): Unit = {
     val lines =
       Seq(s"base=${m.base}", s"baseVersion=${m.baseVersion}",
-        s"groups=${m.groups.mkString(",")}") ++
+        s"groups=${m.groups.mkString(",")}", s"nonce=${m.nonce}") ++
         m.aggs.map(a => s"agg=${a.func}:${a.col}")
     val p = metaFile(m.viewDir)
     Files.createDirectories(p.getParent)
@@ -125,7 +126,12 @@ object MatView extends QueryPack {
         s"sum(${a.col}: $t) cannot route exactly — only integral sums materialize")
     }
     val v = TableLog.commitOverwrite(materialize(df, groups, aggs), viewDir)
-    writeMeta(Meta(norm(viewDir), norm(base), head, groups, aggs))
+    // the nonce scopes refresh txn tags to THIS materialization: a
+    // re-created view (or a rebuilt base restarting its version numbers)
+    // can repeat a (from, to] range, and an old same-range tag in the view
+    // log would silently no-op the new fold
+    writeMeta(Meta(norm(viewDir), norm(base), head, groups, aggs,
+      java.util.UUID.randomUUID().toString.take(12)))
     v
   }
 
@@ -204,7 +210,14 @@ object MatView extends QueryPack {
         sums.foldLeft(merged)((df, c) => df.withColumn(s"sum_$c",
           when(col(s"cnt_$c") > 0, col(s"sum_$c"))))
     }
-    TableLog.commitOverwrite(next, viewDir)
+    // txn-tagged with the exact range: a refresh crash BETWEEN the view
+    // commit and the sidecar update would otherwise re-fold the same
+    // deltas onto the already-merged view next time (double count). With
+    // the tag, the replayed commit no-ops (its recomputed `next` is
+    // discarded — wrong, but never published) and the sidecar repair
+    // completes, making refresh crash-idempotent end to end.
+    TableLog.commitOnceOverwrite(next, viewDir,
+      s"mv_${m.nonce}_${m.baseVersion}_$head")
     writeMeta(m.copy(baseVersion = head))
     (head, mode)
   }

@@ -224,6 +224,34 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.refresh(spark, s"$d/t_mv")._2 == "noop")
   }
 
+  test("refresh is crash-idempotent: a replayed range never double-counts") {
+    val d = root("crash")
+    import java.nio.file.{Files, Paths}
+    TableLog.commitAppend(baseDf(seed), s"$d/t")
+    MatView.create(spark, s"$d/t_mv", s"$d/t", Seq("k"),
+      Seq(AggSpec("count", "*"), AggSpec("sum", "v")))
+    TableLog.commitAppend(baseDf(Seq(("a", "x", 50L))), s"$d/t")
+    val sidecar = Paths.get(s"$d/t_mv/_matview.txt")
+    val preMeta = Files.readAllBytes(sidecar)
+    assert(MatView.refresh(spark, s"$d/t_mv")._2 == "incremental")
+    val aSum = TableLog.read(spark, s"$d/t_mv").where(col("k") === "a")
+      .collect().head.getAs[Long]("sum_v")
+    assert(aSum == 63L)
+    // simulate a crash BETWEEN the view commit and the sidecar update:
+    // the commit landed but the sidecar still claims the old base version
+    Files.write(sidecar, preMeta)
+    val (v2, mode2) = MatView.refresh(spark, s"$d/t_mv")
+    assert(mode2 == "incremental")
+    // the replayed fold's commit must no-op (txn-tagged range) — a double
+    // application would read 63 + 50 = 113 here
+    assert(TableLog.read(spark, s"$d/t_mv").where(col("k") === "a")
+      .collect().head.getAs[Long]("sum_v") == 63L,
+      "replayed refresh double-counted the change range")
+    // and the sidecar is repaired, so the next refresh is a noop
+    assert(MatView.meta(s"$d/t_mv").get.baseVersion == v2)
+    assert(MatView.refresh(spark, s"$d/t_mv")._2 == "noop")
+  }
+
   test("create rejects non-integral sums; subset group-by re-aggregates correctly") {
     val d = root("guard")
     val cat = "mvt_guard"
@@ -244,6 +272,44 @@ class MatViewSpec extends SparkSpec {
     assert(planScans(routed)._1 == 0)
     val r = routed.collect().head
     assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("s") == 3L)
+  }
+
+  test("routing reaches the fresh child sessions a thrift server creates") {
+    // the JDBC serving path: child sessions are newSession() — they carry
+    // the parent's EXTENSIONS object (the rule) and initialize SQLConf
+    // from the SparkContext conf (the gate + catalog). Prove both hops
+    // with a real extensions-built parent over the shared context.
+    val d = root("child")
+    TableLog.commitAppend(baseDf(seed), s"$d/t")
+    MatView.create(spark, s"$d/t_mv", s"$d/t", Seq("k"),
+      Seq(AggSpec("count", "*"), AggSpec("sum", "v")))
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val parent = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
+        .getOrCreate()
+      org.apache.spark.sql.graftx.ContextConf.set(parent.sparkContext,
+        "spark.sql.catalog.mvt_child", classOf[graft.sources.GraftCatalog].getName)
+      org.apache.spark.sql.graftx.ContextConf.set(parent.sparkContext,
+        "spark.sql.catalog.mvt_child.root", d)
+      org.apache.spark.sql.graftx.ContextConf.set(parent.sparkContext,
+        "spark.graft.matview.paths", s"$d/t_mv")
+      val child = parent.newSession()
+      val routed = child.sql("SELECT k, sum(v) AS s FROM mvt_child.t GROUP BY k")
+      assert(planScans(routed)._1 == 0,
+        s"child session must route:\n${routed.queryExecution.optimizedPlan}")
+      assert(routed.collect().map(r => r.getString(0)).sorted.toSeq ==
+        Seq("a", "b", "c"))
+    } finally {
+      org.apache.spark.sql.graftx.ContextConf.set(old.sparkContext,
+        "spark.graft.matview.paths", "")
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
   }
 
   test("registry query end to end at sf0.001") {
