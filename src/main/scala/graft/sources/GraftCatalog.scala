@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DSv2 `TableCatalog` over a directory of [[TableLog]] tables — the SQL
@@ -141,6 +141,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    metaTableOf(ident) match {
+      case Some((base, kind)) =>
+        val vs = TableLog.versions(base)
+        val v = asOf.getOrElse(vs.last)
+        require(vs.contains(v),
+          s"version $v of ${ident.name} not in committed set ${vs.mkString(",")}")
+        return new GraftMetaTable(s"$catalogName.${ident.name}", base, v, kind)
+      case None =>
+    }
     val p = tablePath(ident)
     val vs = TableLog.versions(p)
     if (vs.isEmpty) throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
@@ -149,6 +158,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"version $v of ${ident.name} not in committed set ${vs.mkString(",")}")
     new GraftLogTable(s"$catalogName.${ident.name}" +
       asOf.map(a => s"@v$a").getOrElse(""), p, v)
+  }
+
+  /** Iceberg-style METADATA TABLES: `graft.t.history` / `graft.t.files`
+    * (multipart — the table becomes the namespace) and the Hive-style
+    * backticked twin `` graft.`t$history` ``. Resolution is unambiguous:
+    * namespaces are plain directories, committed tables are never
+    * namespaces, so "the namespace path IS a committed table" can only
+    * mean a metadata read.
+    */
+  private def metaTableOf(ident: Identifier): Option[(String, String)] = {
+    val kinds = Set("history", "files")
+    val dotted = Option.when(ident.namespace.nonEmpty &&
+      kinds(ident.name.toLowerCase)) {
+      (ident.namespace.toSeq
+        .foldLeft(Paths.get(root))((d, n) => d.resolve(part(n))).toString,
+        ident.name.toLowerCase)
+    }.filter { case (p, _) => TableLog.versions(p).nonEmpty }
+    if (dotted.isDefined) return dotted
+    val i = ident.name.lastIndexOf('$')
+    Option.when(i > 0 && kinds(ident.name.substring(i + 1).toLowerCase)) {
+      ((ident.namespace.toSeq :+ ident.name.substring(0, i))
+        .foldLeft(Paths.get(root))((d, n) => d.resolve(part(n))).toString,
+        ident.name.substring(i + 1).toLowerCase)
+    }.filter { case (p, _) => TableLog.versions(p).nonEmpty }
   }
 
   private def unsupported(what: String): Nothing = throw new UnsupportedOperationException(
@@ -1019,3 +1052,101 @@ private[sources] class GraftMetadataCountScan(path: String, v: Long)
 }
 
 private[sources] case class GraftCountPartition(n: Long) extends InputPartition
+
+/** Iceberg-style metadata tables over the log, driver-computed (manifests,
+  * sidecars and file sizes only — no data file is opened):
+  *
+  *   graft.t.history — one row per commit ≤ the pinned version: version,
+  *     committed_at (manifest publish instant), operation (append /
+  *     overwrite / rewrite / delete / truncate / metadata, classified
+  *     from the manifest diff), n_files, n_dv_files, n_live_rows (the
+  *     metadata count, NULL where counts predate recording), txn tag.
+  *   graft.t.files — one row per file LIVE at the pinned version: path,
+  *     rows (recorded count), bytes.
+  *
+  * Both respect `VERSION AS OF` (the pin is the base table's version), so
+  * `SELECT * FROM graft.t.files VERSION AS OF 3` lists v3's snapshot.
+  */
+private[sources] class GraftMetaTable(ident: String, path: String, v: Long,
+    kind: String) extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_dv_files", IntegerType, nullable = false),
+      StructField("n_live_rows", LongType, nullable = true),
+      StructField("txn", StringType, nullable = true)))
+    case _ => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = false)))
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftMetaScan(schema, computeRows())
+    }
+
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  private def computeRows(): Array[Array[Any]] = kind match {
+    case "history" =>
+      val vs = TableLog.versions(path)
+      vs.filter(_ <= v).map { w =>
+        val d = TableLog.stepDiff(path, w, vs)
+        val op =
+          if (d.added.isEmpty && d.removed.isEmpty)
+            if (d.curDv != d.prevDv) "delete" else "metadata"
+          else if (d.removed.isEmpty) "append"
+          else if (d.added.isEmpty) "truncate"
+          else if (d.persisting.isEmpty) "overwrite"
+          else "rewrite"
+        Array[Any](w, TableLog.versionCommitTimeMicros(path, w), utf8(op),
+          TableLog.liveFiles(path, w).size,
+          TableLog.dvFiles(path, w).size,
+          TableLog.metadataCount(path, Some(w)).map(Long.box).orNull,
+          Some(TableLog.txnsAt(path, w)).filter(_.nonEmpty)
+            .map(t => utf8(t.mkString(","))).orNull)
+      }.toArray
+    case _ =>
+      val counts = TableLog.fileRowCounts(path)
+      TableLog.liveFiles(path, v).map { f =>
+        Array[Any](utf8(f), counts.get(f).map(Long.box).orNull,
+          Files.size(Paths.get(path).resolve(f)))
+      }.toArray
+  }
+}
+
+/** one-partition scan carrying driver-computed metadata rows */
+private[sources] class GraftMetaScan(out: StructType, rows: Array[Array[Any]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRowsPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[GraftRowsPartition].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            cur = new GenericInternalRow(it.next()); true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class GraftRowsPartition(rows: Array[Array[Any]])
+  extends InputPartition

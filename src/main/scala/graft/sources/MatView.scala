@@ -222,6 +222,36 @@ object MatView extends QueryPack {
     (head, mode)
   }
 
+  /** CONTINUOUS maintenance: drive [[refresh]] off the base's change-feed
+    * stream — the view follows every base commit within one trigger, and
+    * the sidecar stays the refresh cursor, so the stream needs no state
+    * of its own: each trigger's refresh folds exactly (sidecar, head],
+    * the txn-tagged commit makes crash/replay a no-op, and a restart
+    * simply resumes from whatever the sidecar already reflects. The
+    * micro-batch CONTENT is deliberately unused (the change feed re-read
+    * inside refresh is the same metadata-scoped range) — the stream is
+    * the TRIGGER, the sidecar is the truth, which is what makes the
+    * composition idempotent without coordinating two cursors.
+    */
+  def maintainStream(spark: SparkSession, viewDir: String,
+      checkpointDir: String,
+      versionsPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = meta(viewDir).getOrElse(sys.error(s"$viewDir carries no _matview.txt"))
+    spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", m.base)
+      // the trigger only needs the commit boundary, not the payload —
+      // project the feed to the cheapest single column
+      .option("columns", m.groups.head)
+      .option("versionsPerTrigger", versionsPerTrigger.toString)
+      .load()
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, viewDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+  }
+
   // ---------------------------------------------------------------------
   // registry query — the routed SQL aggregate, hash-gated end to end
   // ---------------------------------------------------------------------

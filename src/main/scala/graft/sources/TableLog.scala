@@ -493,6 +493,12 @@ object TableLog extends QueryPack {
     Files.readAllLines(versionFile(table, v)).asScala.toSeq
       .filter(_.startsWith("#txn:")).map(_.stripPrefix("#txn:"))
 
+  /** the per-file recorded row counts (the `$files` metadata table's
+    * `rows` column; files written before row-count recording report None)
+    */
+  private[sources] def fileRowCounts(table: String): Map[String, Long] =
+    rowCounts(table)
+
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
     * stat column), long-valued. Written AFTER the manifest publish (a
     * pre-publish write could clobber a concurrent winner's sidecar), so a
@@ -1922,6 +1928,41 @@ object TableLog extends QueryPack {
       |UNION ALL
       |SELECT '_v0', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT) FROM orders""".stripMargin
 
+  /** Iceberg-style metadata tables through SQL: `graft.orders_dv.history`
+    * (per-commit operation classification + metadata live counts) and
+    * `graft.orders_dv.files` (per-live-file recorded rows). Over
+    * [[ordersDvDeleted]] the history is fully deterministic — v0 append of
+    * everything, v1/v2 DV deletes with exact survivor counts — and the
+    * files sum pins that DV deletes rewrite NOTHING: the live files still
+    * hold every original row, so `sum(rows)` equals the v0 count, not the
+    * live count. The oracle replays all four numbers from the raw table.
+    */
+  def catalogHistoryQ(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersDvDeleted(s, dir)
+    val root = t.substring(0, t.lastIndexOf('/'))
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    s.sql(
+      """SELECT 'v' || CAST(version AS STRING) AS snap, operation AS op,
+        |       n_live_rows AS n
+        |FROM graft.orders_dv.history
+        |UNION ALL
+        |SELECT 'files', 'live', CAST(sum(rows) AS LONG)
+        |FROM graft.orders_dv.files""".stripMargin)
+  }
+
+  private val catalogHistorySql =
+    """SELECT 'v0' AS snap, 'append' AS op, count(*) AS n FROM orders
+      |UNION ALL
+      |SELECT 'v1', 'delete', count(*) FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+      |UNION ALL
+      |SELECT 'v2', 'delete', count(*) FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 < 3)
+      |  AND NOT (o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT 'files', 'live', count(*) FROM orders""".stripMargin
+
   private val dmlBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The SQL WRITE face of the log: the whole DML lifecycle — CTAS,
@@ -2187,6 +2228,7 @@ object TableLog extends QueryPack {
 
   override val all: Seq[Q] = Seq(
     Q("catalog_sql_read", catalogSqlRead, Some(catalogSqlReadSql)),
+    Q("catalog_history_table", catalogHistoryQ, Some(catalogHistorySql)),
     Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
     Q("catalog_sql_dml", catalogSqlDml, Some(catalogSqlDmlSql)),
     Q("catalog_sql_merge", catalogSqlMerge, Some(catalogSqlMergeSql)),

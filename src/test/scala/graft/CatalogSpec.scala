@@ -500,6 +500,46 @@ class CatalogSpec extends SparkSpec {
       s"ignoreChanges must deliver every append and skip the delete: $got2")
   }
 
+  test("metadata tables: history classifies commits, files lists the snapshot") {
+    import graft.sources.TableLog
+    import org.apache.spark.sql.functions.col
+    val t = s"$root/meta_t"
+    rm(new java.io.File(t))
+    register()
+    import spark.implicits._
+    TableLog.commitAppend((1L to 100L).toDF("k"), t)                   // v0 append
+    TableLog.commitAppend((101L to 130L).toDF("k"), t)                 // v1 append
+    TableLog.deleteWhere(spark, t, "k % 10 = 0")                       // v2 DV delete
+    TableLog.optimize(spark, t, nFiles = 1)                            // v3 rewrite
+    val h = spark.sql("SELECT * FROM graftcat.meta_t.history ORDER BY version")
+      .collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append", "delete", "overwrite"),
+      h.map(_.toString).mkString("\n"))
+    assert(h.map(_.getAs[Long]("n_live_rows")).toSeq == Seq(100L, 130L, 117L, 117L))
+    assert(h(2).getAs[Int]("n_dv_files") == 1 && h(3).getAs[Int]("n_dv_files") == 0)
+    // files at the head: compaction rewrote to 1 file holding the survivors
+    val f = spark.sql("SELECT * FROM graftcat.meta_t.files").collect()
+    assert(f.length == 1 && f.head.getAs[Long]("rows") == 117L)
+    assert(f.head.getAs[Long]("bytes") > 0)
+    // VERSION AS OF pins the snapshot: v2's files still hold ALL 130 rows
+    // (a DV delete rewrites nothing — the whole point of the DV path)
+    val f2 = spark.sql(
+      "SELECT CAST(sum(rows) AS LONG) AS r, count(*) AS nf " +
+        "FROM graftcat.meta_t.files VERSION AS OF 2").collect().head
+    assert(f2.getAs[Long]("r") == 130L)
+    assert(f2.getAs[Long]("nf") > 1)
+    // the Hive-style $-form resolves to the same relation
+    val dollar = spark.sql("SELECT count(*) AS n FROM graftcat.`meta_t$history`")
+      .collect().head.getAs[Long]("n")
+    assert(dollar == 4L)
+    // a plain table named like a kind is NOT shadowed (namespaces are
+    // directories, committed tables never are)
+    TableLog.commitAppend((1L to 5L).toDF("k"), s"$root/history")
+    assert(spark.sql("SELECT count(*) FROM graftcat.history")
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("CHECK constraints enforce through SQL INSERT") {
     rm(new java.io.File(root))
     register()

@@ -274,6 +274,37 @@ class MatViewSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("s") == 3L)
   }
 
+  test("maintainStream follows base commits; a restarted stream resumes from the sidecar") {
+    val d = root("stream")
+    TableLog.commitAppend(baseDf(seed), s"$d/t")
+    MatView.create(spark, s"$d/t_mv", s"$d/t", Seq("k"),
+      Seq(AggSpec("count", "*"), AggSpec("sum", "v")))
+    TableLog.commitAppend(baseDf(Seq(("a", "x", 100L), ("d", "w", 1L))), s"$d/t")
+    TableLog.deleteWhere(spark, s"$d/t", "k = 'c'")
+    val q1 = MatView.maintainStream(spark, s"$d/t_mv", s"$d/ckpt")
+    q1.awaitTermination()
+    def viewRows(): Map[String, (Long, Any)] =
+      TableLog.read(spark, s"$d/t_mv").collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("_cnt"), r.get(r.fieldIndex("sum_v"))))
+        .toMap
+    val after1 = viewRows()
+    assert(after1("a")._1 == 4L && after1("a")._2 == 113L)
+    assert(!after1.contains("c"), "deleted group must drop")
+    assert(after1("d") == ((1L, 1L)))
+    assert(MatView.meta(s"$d/t_mv").get.baseVersion ==
+      TableLog.versions(s"$d/t").last)
+    // more commits, then a RESTART from the same checkpoint: the sidecar
+    // is the refresh cursor, so the new stream folds only the new range
+    TableLog.commitAppend(baseDf(Seq(("d", "w", 9L))), s"$d/t")
+    val q2 = MatView.maintainStream(spark, s"$d/t_mv", s"$d/ckpt")
+    q2.awaitTermination()
+    assert(viewRows()("d") == ((2L, 10L)))
+    // idle restart: nothing new — a no-op, not a re-fold
+    val q3 = MatView.maintainStream(spark, s"$d/t_mv", s"$d/ckpt")
+    q3.awaitTermination()
+    assert(viewRows() == (after1 + ("d" -> ((2L, 10L)))))
+  }
+
   test("routing reaches the fresh child sessions a thrift server creates") {
     // the JDBC serving path: child sessions are newSession() — they carry
     // the parent's EXTENSIONS object (the rule) and initialize SQLConf
