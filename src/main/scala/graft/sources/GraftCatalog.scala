@@ -813,7 +813,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
     with SupportsPushDownAggregates with SupportsPushDownFilters {
 
   private var required: StructType = full
-  private var pushedCount = false
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
   private var pushedSkips: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var keepFiles: Option[Set[String]] = None
 
@@ -896,28 +896,65 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushedSkips
 
-  /** `count(*)` with no grouping answers from the log's recorded per-file
-    * row counts minus DV rows — COMPLETE pushdown, zero data files read.
-    * (Spark only offers the aggregate when every filter was pushed; this
-    * source pushes none, so a filtered count correctly stays a scan.)
+  /** Ungrouped `count(*)` / `min(c)` / `max(c)` (any mix) answer from
+    * METADATA alone — COMPLETE pushdown, zero data files read: the count
+    * from the recorded per-file row counts minus DV rows, the extremes
+    * from the stats sidecar via [[TableLog.statBounds]] (defined only
+    * under full per-file coverage and no DVs — its soundness conditions).
+    * Values are emitted in the COLUMN's own integral type, since Spark
+    * types `min(int)` as int. (Spark only offers the aggregate when every
+    * filter was pushed; this source pushes none as exact, so a filtered
+    * aggregate correctly stays a scan.)
     */
-  private def metadataCount(agg: Aggregation): Option[Long] =
-    if (agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar])
-      TableLog.metadataCount(path, Some(v))
-    else None
-
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    metadataCount(agg).isDefined
-
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    pushedCount = metadataCount(agg).isDefined
-    pushedCount
+  private def metadataAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          full.fields.find(_.name.equalsIgnoreCase(r.fieldNames.head))
+        case _ => None
+      }
+    def narrowed(x: Long, t: DataType): Option[Any] = t match {
+      case LongType => Some(x)
+      case IntegerType => Some(x.toInt)
+      case org.apache.spark.sql.types.ShortType => Some(x.toShort)
+      case org.apache.spark.sql.types.ByteType => Some(x.toByte)
+      case _ => None // stats are long-valued; other types never indexed
+    }
+    val cols = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        TableLog.metadataCount(path, Some(v))
+          .map(n => (StructField("count(*)", LongType, nullable = false), n: Any))
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        colOf(m.column).flatMap(f =>
+          TableLog.statBounds(path, v, f.name).flatMap(b =>
+            narrowed(b._1, f.dataType).map(x =>
+              (StructField(s"min(${f.name})", f.dataType, nullable = true), x))))
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        colOf(m.column).flatMap(f =>
+          TableLog.statBounds(path, v, f.name).flatMap(b =>
+            narrowed(b._2, f.dataType).map(x =>
+              (StructField(s"max(${f.name})", f.dataType, nullable = true), x))))
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some((StructType(cols.map(_.get._1)), cols.map(_.get._2).toArray))
   }
 
-  override def build(): Scan =
-    if (pushedCount) new GraftMetadataCountScan(path, v)
-    else new GraftLogScan(path, v, required, keepFiles, options)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metadataAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = metadataAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new GraftMetaScan(schema, Array(row))
+    case None => new GraftLogScan(path, v, required, keepFiles, options)
+  }
 }
 
 /** Snapshot scan: one partition per live data file, DV positions shipped as
@@ -1020,38 +1057,6 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
   }
 }
 
-/** the pushed-`count(*)` scan: ONE one-row partition carrying the metadata
-  * count — no data file is opened
-  */
-private[sources] class GraftMetadataCountScan(path: String, v: Long)
-    extends Scan with Batch {
-
-  private val n: Long = TableLog.metadataCount(path, Some(v)).getOrElse(
-    throw new IllegalStateException(s"$path@v$v lost its recorded row counts"))
-
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-  override def toBatch: Batch = this
-  override def description(): String = s"GraftMetadataCount($path@v$v, n=$n)"
-
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(n))
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private var served = false
-          private val row =
-            new GenericInternalRow(Array[Any](p.asInstanceOf[GraftCountPartition].n))
-          override def next(): Boolean = { val r = !served; served = true; r }
-          override def get(): InternalRow = row
-          override def close(): Unit = ()
-        }
-    }
-}
-
-private[sources] case class GraftCountPartition(n: Long) extends InputPartition
 
 /** Iceberg-style metadata tables over the log, driver-computed (manifests,
   * sidecars and file sizes only — no data file is opened):
@@ -1130,6 +1135,8 @@ private[sources] class GraftMetaScan(out: StructType, rows: Array[Array[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetadataScan(${out.fieldNames.mkString(",")}, rows=${rows.length})"
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftRowsPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =

@@ -499,6 +499,32 @@ object TableLog extends QueryPack {
   private[sources] def fileRowCounts(table: String): Map[String, Long] =
     rowCounts(table)
 
+  /** Global [min, max] of `col` at version `v` from the stats sidecar
+    * alone — defined ONLY when every live file carries a stat line for the
+    * column (an uncovered file might hold the true extreme; all-null files
+    * are indistinguishable from never-indexed ones, so they also block)
+    * AND the version carries no deletion vectors (a DV might have deleted
+    * the extreme row). Per-file stats are over non-null values, exactly
+    * SQL min/max semantics. This is what answers `SELECT min(c), max(c)`
+    * without opening a data file.
+    */
+  private[sources] def statBounds(table: String, v: Long, col: String): Option[(Long, Long)] = {
+    if (dvFiles(table, v).nonEmpty) return None
+    val live = liveFiles(table, v)
+    if (live.isEmpty) return None
+    val perFile = latestStatsLines(table, v).flatMap { l =>
+      l.split('|') match {
+        case Array(f, c, lo, hi) if c == col => Some(f -> (lo.toLong, hi.toLong))
+        case _ => None
+      }
+    }.toMap
+    if (!live.forall(perFile.contains)) None
+    else {
+      val bs = live.map(perFile)
+      Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+  }
+
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
     * stat column), long-valued. Written AFTER the manifest publish (a
     * pre-publish write could clobber a concurrent winner's sidecar), so a
@@ -1963,6 +1989,48 @@ object TableLog extends QueryPack {
       |UNION ALL
       |SELECT 'files', 'live', count(*) FROM orders""".stripMargin
 
+  private val mmxBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Metadata-only EXTREMES through SQL: orders committed with a stats
+    * sidecar on both key columns, then `min`/`max`/`count(*)` in one
+    * statement — asserted to plan against the metadata scan (zero data
+    * files), hash-gated against DuckDB's direct aggregates. Wrong sidecar
+    * bounds, a missed file, or an unsound push under partial coverage
+    * all flip a value.
+    */
+  def metadataMinMaxQ(s: SparkSession, dir: String): DataFrame = {
+    val t = mmxBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_mmx"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      commitAppend(Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey").repartition(4), table,
+        statCols = Seq("o_orderkey", "o_custkey"))
+      table
+    })
+    val root = t.substring(0, t.lastIndexOf('/'))
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    val df = s.sql(
+      """SELECT min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+        |       min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+        |       count(*) AS n
+        |FROM graft.orders_mmx""".stripMargin)
+    val plan = df.queryExecution.sparkPlan.toString
+    require(plan.contains("GraftMetadataScan") && !plan.contains("GraftLogScan"),
+      s"extremes must answer from metadata alone:\n$plan")
+    df
+  }
+
+  private val metadataMinMaxSql =
+    """SELECT min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+      |       min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+      |       count(*) AS n
+      |FROM orders""".stripMargin
+
   private val dmlBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The SQL WRITE face of the log: the whole DML lifecycle — CTAS,
@@ -2229,6 +2297,7 @@ object TableLog extends QueryPack {
   override val all: Seq[Q] = Seq(
     Q("catalog_sql_read", catalogSqlRead, Some(catalogSqlReadSql)),
     Q("catalog_history_table", catalogHistoryQ, Some(catalogHistorySql)),
+    Q("metadata_minmax", metadataMinMaxQ, Some(metadataMinMaxSql)),
     Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
     Q("catalog_sql_dml", catalogSqlDml, Some(catalogSqlDmlSql)),
     Q("catalog_sql_merge", catalogSqlMerge, Some(catalogSqlMergeSql)),

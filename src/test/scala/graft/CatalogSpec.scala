@@ -72,7 +72,7 @@ class CatalogSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == expected && expected < 1000L)
     // the plan carries the metadata-count scan, not a file scan
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("GraftMetadataCount"),
+    assert(plan.contains("GraftMetadataScan"),
       s"count(*) should push to the metadata scan:\n$plan")
     assert(!plan.contains("GraftLogScan"), s"no data-file scan expected:\n$plan")
     // grouped/filtered counts correctly stay real scans
@@ -80,6 +80,39 @@ class CatalogSpec extends SparkSpec {
     assert(g.queryExecution.executedPlan.toString.contains("GraftLogScan"))
     assert(g.collect().head.getLong(0) ==
       TableLog.read(spark, t).where("k > 10").count())
+  }
+
+  test("ungrouped min/max push to metadata under full stats coverage and no DVs") {
+    rm(new java.io.File(root))
+    val t = s"$root/mmx"
+    TableLog.commitAppend(
+      spark.range(5, 9005).selectExpr("id AS k", "id % 13 AS vv")
+        .repartitionByRange(4, col("k")),
+      t, statCols = Seq("k"))
+    register()
+    val q = "SELECT min(k) AS mn, max(k) AS mx, count(*) AS n FROM graftcat.mmx"
+    val df = spark.sql(q)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("GraftMetadataScan") && !plan.contains("GraftLogScan"),
+      s"min/max/count must answer from metadata:\n$plan")
+    assert(df.collect().head.toSeq == Seq(5L, 9004L, 9000L))
+    // an un-indexed column, a filter, or a group-by each block the push
+    for (blocked <- Seq(
+      "SELECT min(vv) AS m FROM graftcat.mmx",
+      "SELECT min(k) AS m FROM graftcat.mmx WHERE vv = 3",
+      "SELECT vv, min(k) AS m FROM graftcat.mmx GROUP BY vv")) {
+      assert(spark.sql(blocked).queryExecution.sparkPlan.toString
+        .contains("GraftLogScan"), s"must stay a real scan: $blocked")
+    }
+    assert(spark.sql("SELECT min(vv) AS m FROM graftcat.mmx")
+      .collect().head.getLong(0) == 0L)
+    // a DV could have deleted the extreme row — the push must turn off,
+    // and the scanned answer reflect the delete
+    TableLog.deleteWhere(spark, t, "k < 100")
+    val after = spark.sql(q)
+    assert(after.queryExecution.sparkPlan.toString.contains("GraftLogScan"),
+      "DVs must block the metadata extremes")
+    assert(after.collect().head.toSeq == Seq(100L, 9004L, 8905L))
   }
 
   test("scan statistics are metadata-exact, so the small log table broadcasts") {
@@ -217,7 +250,7 @@ class CatalogSpec extends SparkSpec {
       TableLog.read(spark, t).collect().map(_.toString).sorted.toSeq)
     val c = spark.sql("SELECT count(*) AS n FROM graftcat.w")
     assert(c.collect().head.getLong(0) == 99L)
-    assert(c.queryExecution.executedPlan.toString.contains("GraftMetadataCount"))
+    assert(c.queryExecution.executedPlan.toString.contains("GraftMetadataScan"))
     // column order normalizes to the table schema (by-name insert)
     spark.sql("INSERT INTO graftcat.w (s, k) VALUES ('z', 999)")        // v3
     assert(spark.sql("SELECT s FROM graftcat.w WHERE k = 999")
@@ -328,7 +361,7 @@ class CatalogSpec extends SparkSpec {
     // the metadata count(*) stays exact over the rewritten files
     val c = spark.sql("SELECT count(*) AS n FROM graftcat.u")
     assert(c.collect().head.getLong(0) == 1000L)
-    assert(c.queryExecution.executedPlan.toString.contains("GraftMetadataCount"))
+    assert(c.queryExecution.executedPlan.toString.contains("GraftMetadataScan"))
 
     // CHECK constraints veto the rewrite BEFORE anything publishes
     TableLog.addCheckConstraint(t, "x_bounded", "x < 1000000")
