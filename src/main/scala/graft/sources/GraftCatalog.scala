@@ -966,7 +966,8 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
 private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     keepFiles: Option[Set[String]] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   /** see [[GraftLogTable.logPath]] — the post-pushdown twin for [[MatViewRewrite]] */
   private[sources] def logPath: String = path
@@ -975,15 +976,87 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
   /** runtime-filtered file subset (row-level scans override) */
   protected def extraKeep: Option[Set[String]] = None
 
+  /** JOIN-KEY runtime skipping (the lakehouse answer to dynamic partition
+    * pruning, with sidecars instead of directories): the scan advertises
+    * its stat/bloom-indexed columns, and when this side joins a selective
+    * build side on one of them, Spark hands the build side's VALUES here
+    * before partition planning — the sidecar lookups then keep only files
+    * that may contain any of them. Sound (never drops a possible match);
+    * the join itself still filters exactly.
+    */
+  @volatile private var joinKeep: Option[Set[String]] = None
+
+  /** post-execution observability for specs: the runtime-kept file set */
+  private[sources] def runtimeKept: Option[Set[String]] = joinKeep
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    TableLog.runtimeFilterableCols(path, v)
+      // Spark resolves these against the PRUNED scan output — advertising
+      // a projected-away column is an analysis error, not a no-op
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def longOf(x: Any): Option[Long] = x match {
+      case n: Long => Some(n)
+      case n: Int => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Byte => Some(n.toLong)
+      case _ => None
+    }
+    def strOf(x: Any): Option[String] = x match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case other => longOf(other).map(_.toString)
+    }
+    def keepFor(c: String, vals: Seq[Any]): Option[Set[String]] = {
+      val longs = vals.flatMap(longOf(_))
+      if (longs.length == vals.length && TableLog.hasStatsFor(path, v, c)) {
+        // per-value point ranges for small sets; one [min, max] envelope
+        // for huge IN lists (driver-side lookups must stay bounded)
+        val kept =
+          if (longs.length > 64)
+            TableLog.prunedFiles(path, c, longs.min, longs.max, Some(v))._1.toSet
+          else longs.toSet.flatMap((n: Long) =>
+            TableLog.prunedFiles(path, c, n, n, Some(v))._1.toSet)
+        Some(kept)
+      } else {
+        val strs = vals.flatMap(strOf(_))
+        if (strs.length == vals.length && strs.length <= 256 &&
+          TableLog.hasBloomFor(path, c))
+          Some(strs.toSet.flatMap((s: String) =>
+            TableLog.pointLookupFiles(path, c, s, Some(v))._1.toSet))
+        else None
+      }
+    }
+    val keeps = predicates.flatMap { p =>
+      val vals = p.children().collect { case l: Literal[_] => l.value(): Any }
+      p.children().headOption.collect {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          (p.name() == "IN" || p.name() == "=") &&
+          vals.length == p.children().length - 1 && vals.nonEmpty =>
+          keepFor(r.fieldNames.head, vals.toSeq)
+      }.flatten
+    }
+    if (keeps.nonEmpty) joinKeep = Some(keeps.reduce(_ intersect _))
+  }
+
   /** live files after metadata file-skipping (None = no skipping filter) */
   protected def files: Seq[String] = {
     val base = keepFiles match {
       case None => TableLog.liveFiles(path, v)
       case Some(k) => TableLog.liveFiles(path, v).filter(k)
     }
-    extraKeep match {
+    val afterExtra = extraKeep match {
       case None => base
       case Some(k) => base.filter(k)
+    }
+    joinKeep match {
+      case None => afterExtra
+      case Some(k) => afterExtra.filter(k)
     }
   }
 

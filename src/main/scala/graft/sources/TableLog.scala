@@ -660,6 +660,21 @@ object TableLog extends QueryPack {
   private[sources] def hasBloomFor(table: String, column: String): Boolean =
     bloomLines(table, column).nonEmpty
 
+  /** columns a RUNTIME join-key filter can skip files by at version `v`
+    * (stat-indexed ∪ bloom-indexed) — what
+    * [[GraftLogScan.filterAttributes]] advertises to dynamic pruning
+    */
+  private[sources] def runtimeFilterableCols(table: String, v: Long): Seq[String] = {
+    val statCols = statsLines(table, v).flatMap(_.split('|') match {
+      case Array(_, c, _, _) => Some(c)
+      case _ => None
+    }).distinct
+    val bloomCols = listDir(logDir(table)).map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bloom_") && s.endsWith(".txt") =>
+        s.stripPrefix("bloom_").stripSuffix(".txt") }
+    (statCols ++ bloomCols).distinct
+  }
+
   /** Snapshot read restricted to files whose `statCol` range intersects
     * `[lo, hi]` (inclusive): a metadata-only lookup decides what to scan, so
     * a selective predicate over a range-clustered table touches O(matching
