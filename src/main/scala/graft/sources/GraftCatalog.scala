@@ -816,6 +816,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   private var pushedAgg: Option[(StructType, Array[Any])] = None
   private var pushedSkips: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var keepFiles: Option[Set[String]] = None
+  private var rowGroupRanges: Map[String, (Long, Long)] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -837,6 +838,14 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
     val all = TableLog.liveFiles(path, v).toSet
     var kept: Set[String] = all
     val used = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    // per-column [lo, hi] envelopes for ROW-GROUP skipping inside kept
+    // files — sourced from each file's own footer stats at read time, so
+    // EVERY comparison filter contributes, sidecar-indexed or not
+    val rgRanges = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def noteRange(c: String, lo: Long, hi: Long): Unit = {
+      val cur = rgRanges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      rgRanges(c) = (math.max(cur._1, lo), math.min(cur._2, hi))
+    }
     def longOf(x: Any): Option[Long] = x match {
       case n: Long => Some(n)
       case n: Int => Some(n.toLong)
@@ -863,6 +872,17 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
         true
       }
     filters.foreach { f =>
+      f match { // row-group envelopes ride along for every comparison shape
+        case EqualTo(c, x) => longOf(x).foreach(n => noteRange(c, n, n))
+        case GreaterThan(c, x) => longOf(x).foreach(n => noteRange(c, n, Long.MaxValue))
+        case GreaterThanOrEqual(c, x) => longOf(x).foreach(n => noteRange(c, n, Long.MaxValue))
+        case LessThan(c, x) => longOf(x).foreach(n => noteRange(c, Long.MinValue, n))
+        case LessThanOrEqual(c, x) => longOf(x).foreach(n => noteRange(c, Long.MinValue, n))
+        case In(c, xs) if xs.nonEmpty =>
+          val ns = xs.flatMap(longOf)
+          if (ns.length == xs.length) noteRange(c, ns.min, ns.max)
+        case _ =>
+      }
       val usable = f match {
         case EqualTo(c, x) =>
           val st = longOf(x).exists(n => statRange(c, n, n))
@@ -890,6 +910,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
     }
     pushedSkips = used.toArray
     keepFiles = if (kept == all) None else Some(kept)
+    rowGroupRanges = rgRanges.toMap
     filters // all residual: exact row filtering always happens post-scan
   }
 
@@ -953,7 +974,8 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
 
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) => new GraftMetaScan(schema, Array(row))
-    case None => new GraftLogScan(path, v, required, keepFiles, options)
+    case None =>
+      new GraftLogScan(path, v, required, keepFiles, options, rowGroupRanges)
   }
 }
 
@@ -965,7 +987,8 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   */
 private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     keepFiles: Option[Set[String]] = None,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    rowGroupRanges: Map[String, (Long, Long)] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -1085,9 +1108,12 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
         .select("f", "p").collect()
         .map(r => (r.getString(0), r.getLong(1)))
         .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).sorted }
+    val ranges = rowGroupRanges.toArray.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .sortBy(_._1)
     files.map { f =>
       ChangeFilePartition(Paths.get(path).resolve(f).toString, insert = true, v,
-        skip = skip.getOrElse(f, Array.empty), only = null): InputPartition
+        skip = skip.getOrElse(f, Array.empty), only = null,
+        ranges = ranges): InputPartition
     }.toArray
   }
 

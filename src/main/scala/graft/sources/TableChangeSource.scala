@@ -263,7 +263,14 @@ private[sources] class TableChangeStream(
   */
 private[sources] case class ChangeFilePartition(
     absPath: String, insert: Boolean, version: Long,
-    skip: Array[Long], only: Array[Long]) extends InputPartition
+    skip: Array[Long], only: Array[Long],
+    /** pushed [lo, hi] per OUTPUT column name — the reader skips whole row
+      * groups whose footer stats cannot intersect (second-level skipping
+      * under the sidecars' file-level skipping). Never set on `only`
+      * (change-feed delete) partitions, whose position semantics need
+      * every row group.
+      */
+    ranges: Array[(String, Long, Long)] = Array.empty) extends InputPartition
 
 private[sources] class ChangeFileReaderFactory(
     readSchema: StructType, caseSensitive: Boolean)
@@ -323,10 +330,86 @@ private[sources] class ChangeFileReader(
     new MessageType(fileSchema.getName, fields)
   }
 
-  private val reader: ParquetReader[Group] = {
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), new HPath(p.absPath))
-      .withConf(conf).build()
+  /** Row groups are consumed one at a time through the low-level
+    * ParquetFileReader so each block can be SKIPPED from its own footer
+    * statistics when the pushed `ranges` cannot intersect — the
+    * second-level skipping under sidecar file skipping (a kept 1 GB file
+    * whose clustering puts the predicate band in 2 of 30 row groups reads
+    * 2). Position exactness survives skipping: the cursor jumps by the
+    * skipped block's row count, so DV subtraction stays aligned. Soundness:
+    * a block is dropped only when a chunk's stats PROVE no row matches
+    * (range disjoint, or all-null under a null-rejecting predicate);
+    * missing chunks or stats keep the block.
+    */
+  private val fileReader: ParquetFileReader = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(p.absPath), conf))
+    r.setRequestedSchema(projection)
+    r
+  }
+  private val blocksMeta = fileReader.getFooter.getBlocks
+  private val columnIO =
+    new org.apache.parquet.io.ColumnIOFactory().getColumnIO(projection, fileSchema)
+  /** pushed ranges resolved to FILE-side column names (absent column → the
+    * predicate compares against null → no row in this file matches; the
+    * sentinel name "" forces every block of the file to skip)
+    */
+  private val fileRanges: Array[(String, Long, Long)] =
+    if (p.only != null) Array.empty
+    else p.ranges.map { case (c, lo, hi) => (fileFieldName(c).getOrElse(""), lo, hi) }
+
+  private def blockMayMatch(b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
+    fileRanges.forall { case (c, lo, hi) =>
+      if (c.isEmpty) false // column absent in this file: predicate is null-rejecting
+      else {
+        val chunk = b.getColumns.asScala.find(cc =>
+          cc.getPath.size() == 1 && cc.getPath.toDotString == c)
+        chunk.forall { cc =>
+          val st = cc.getStatistics
+          if (st == null) true // no stats recorded: must keep
+          else if (!st.hasNonNullValue) st.getNumNulls < b.getRowCount // all-null chunk under a null-rejecting range: skip
+          else st match {
+            case s: org.apache.parquet.column.statistics.LongStatistics =>
+              s.getMax >= lo && s.getMin <= hi
+            case s: org.apache.parquet.column.statistics.IntStatistics =>
+              s.getMax.toLong >= lo && s.getMin.toLong <= hi
+            case _ => true // non-integral stats: keep (ranges are long-valued)
+          }
+        }
+      }
+    }
+
+  private var blockIdx = -1
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var rowsLeftInBlock = 0L
+
+  /** move to the next block that may match; false at EOF */
+  private def advanceBlock(): Boolean = {
+    while (true) {
+      blockIdx += 1
+      if (blockIdx >= blocksMeta.size) return false
+      val bm = blocksMeta.get(blockIdx)
+      if (!blockMayMatch(bm)) {
+        fileReader.skipNextRowGroup()
+        row += bm.getRowCount // keep DV positions aligned past the gap
+        ChangeFileReader.rowGroupsSkipped.increment()
+      } else {
+        val pages = fileReader.readNextRowGroup()
+        if (pages == null) return false
+        recordReader = columnIO.getRecordReader(
+          pages, new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(projection))
+        rowsLeftInBlock = bm.getRowCount
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  /** the sequential read() the position cursor counts — null at EOF */
+  private def readGroup(): Group = {
+    while (rowsLeftInBlock == 0L) if (!advanceBlock()) return null
+    rowsLeftInBlock -= 1
+    recordReader.read()
   }
 
   /** converter per present field: projection index → Catalyst value */
@@ -355,7 +438,7 @@ private[sources] class ChangeFileReader(
     while (true) {
       // DV-delta partitions can stop as soon as their last position is out
       if (p.only != null && onlyPtr >= p.only.length) return false
-      val g = reader.read()
+      val g = readGroup()
       if (g == null) return false
       row += 1
       if (p.only != null) {
@@ -384,10 +467,15 @@ private[sources] class ChangeFileReader(
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = fileReader.close()
 }
 
 private[sources] object ChangeFileReader {
+
+  /** process-wide row-group-skip counter — observability for specs and
+    * local diagnostics (a per-scan custom metric at cluster scale)
+    */
+  val rowGroupsSkipped = new java.util.concurrent.atomic.LongAdder()
   import LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
   import PrimitiveType.PrimitiveTypeName._
 

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.{SparkSpec, Scratch}
+
+/** SECOND-level skipping: inside files the sidecars kept, the per-file
+  * reader must skip whole ROW GROUPS whose footer statistics cannot
+  * intersect the pushed range — and the position cursor must jump by the
+  * skipped groups' row counts so deletion-vector subtraction stays exact.
+  * Lives in `graft.sources` for the package-private reader counter.
+  */
+class RowGroupSkipSpec extends SparkSpec {
+
+  test("pushed ranges skip row groups; DV positions stay aligned across the gaps") {
+    val root = Scratch.dir("graft_rgs", "x")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val t = s"$root/t"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    // ~64 KB blocks → one data file with MANY row groups (the md5 payload
+    // defeats delta-encoding, so blocks fill)
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try {
+      TableLog.commitAppend(
+        spark.range(0, 200000)
+          .selectExpr("id AS k", "md5(CAST(id AS STRING)) AS payload")
+          .coalesce(1), t)
+    } finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
+    spark.conf.set("spark.sql.catalog.graftrgs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrgs.root", root)
+
+    ChangeFileReader.rowGroupsSkipped.reset()
+    val tail = spark.sql("SELECT k FROM graftrgs.t WHERE k >= 190000").collect()
+    assert(tail.length == 10000 && tail.map(_.getLong(0)).min == 190000L)
+    val skipped = ChangeFileReader.rowGroupsSkipped.sum()
+    assert(skipped > 10,
+      s"a tail-band read of a ~130-group file must skip most groups, skipped=$skipped")
+
+    // no pushed range → nothing skipped, every row seen (count(k) is NOT
+    // the pushed-metadata count(*), so a real scan runs)
+    ChangeFileReader.rowGroupsSkipped.reset()
+    assert(spark.sql("SELECT count(k) AS n FROM graftrgs.t")
+      .collect().head.getLong(0) == 200000L)
+    assert(ChangeFileReader.rowGroupsSkipped.sum() == 0L)
+
+    // DV alignment across skipped gaps: delete every even k in the tail
+    // band — positions are ABSOLUTE row indexes, so if a skipped group's
+    // row count were not added to the cursor, the subtraction would land
+    // on the wrong rows and parity would break
+    TableLog.deleteWhere(spark, t, "k % 2 = 0 AND k >= 190000")
+    ChangeFileReader.rowGroupsSkipped.reset()
+    val after = spark.sql("SELECT k FROM graftrgs.t WHERE k >= 190000").collect()
+    assert(after.length == 5000, s"expected the 5000 odd survivors, got ${after.length}")
+    assert(after.forall(_.getLong(0) % 2 == 1), "DV positions misaligned after group skipping")
+    assert(ChangeFileReader.rowGroupsSkipped.sum() > 10)
+    // and the un-banded read is DV-exact too
+    assert(spark.sql("SELECT count(k) AS n FROM graftrgs.t")
+      .collect().head.getLong(0) == 195000L)
+  }
+}
