@@ -1121,6 +1121,13 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     if (fileOrd < 0) new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive)
     else new FileTaggedReaderFactory(dataSchema, TableChangeSource.caseSensitive)
 
+  /** row groups skipped by footer stats, surfaced in the Spark UI per scan */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = "rowGroupsSkipped"
+      override def description(): String = "row groups skipped by footer stats"
+    })
+
   /** `spark.readStream.table("graft.<t>")` — the table as an APPEND feed:
     * each commit's new rows arrive as one admission-capped micro-batch
     * (the change-feed stream underneath, checkpointed offsets = commit

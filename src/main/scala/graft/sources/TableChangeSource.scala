@@ -382,6 +382,7 @@ private[sources] class ChangeFileReader(
   private var blockIdx = -1
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var rowsLeftInBlock = 0L
+  private var localSkipped = 0L
 
   /** move to the next block that may match; false at EOF */
   private def advanceBlock(): Boolean = {
@@ -392,6 +393,7 @@ private[sources] class ChangeFileReader(
       if (!blockMayMatch(bm)) {
         fileReader.skipNextRowGroup()
         row += bm.getRowCount // keep DV positions aligned past the gap
+        localSkipped += 1
         ChangeFileReader.rowGroupsSkipped.increment()
       } else {
         val pages = fileReader.readNextRowGroup()
@@ -468,6 +470,13 @@ private[sources] class ChangeFileReader(
   }
 
   override def close(): Unit = fileReader.close()
+
+  /** per-task skip count → the scan's `rowGroupsSkipped` UI metric */
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "rowGroupsSkipped"
+      override def value(): Long = localSkipped
+    })
 }
 
 private[sources] object ChangeFileReader {
