@@ -1048,10 +1048,11 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
         Some(kept)
       } else {
         val strs = vals.flatMap(strOf(_))
-        if (strs.length == vals.length && strs.length <= 256 &&
+        // one sidecar read tests every value (bloomFilesForAny), so the
+        // cap only bounds the driver-side md5 hashing of the key set
+        if (strs.length == vals.length && strs.length <= 65536 &&
           TableLog.hasBloomFor(path, c))
-          Some(strs.toSet.flatMap((s: String) =>
-            TableLog.pointLookupFiles(path, c, s, Some(v))._1.toSet))
+          Some(TableLog.bloomFilesForAny(path, c, strs.distinct, Some(v)).toSet)
         else None
       }
     }

@@ -660,6 +660,32 @@ object TableLog extends QueryPack {
   private[sources] def hasBloomFor(table: String, column: String): Boolean =
     bloomLines(table, column).nonEmpty
 
+  /** Files that may contain ANY of `values` in `column`, from ONE read of
+    * the Bloom sidecar (the batch form of [[pointLookupFiles]] — a runtime
+    * join filter can deliver thousands of build-side keys, and re-reading
+    * the sidecar per key would turn a metadata check into O(keys) I/O).
+    */
+  private[sources] def bloomFilesForAny(
+      table: String, column: String, values: Seq[String],
+      asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val files = liveFiles(table, asOf.getOrElse(vs.last))
+    val blooms = bloomLines(table, column).map { l =>
+      val i = l.indexOf('|'); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    val pss = values.map(bloomPositions(column, _))
+    files.filter { f =>
+      blooms.get(f).forall { hex =>
+        pss.exists(_.forall { p =>
+          val word = java.lang.Long.parseUnsignedLong(
+            hex.substring((p / 64) * 16, (p / 64) * 16 + 16), 16)
+          (word & (1L << (p % 64))) != 0
+        })
+      }
+    }
+  }
+
   /** columns a RUNTIME join-key filter can skip files by at version `v`
     * (stat-indexed ∪ bloom-indexed) — what
     * [[GraftLogScan.filterAttributes]] advertises to dynamic pruning
@@ -2004,6 +2030,78 @@ object TableLog extends QueryPack {
       |UNION ALL
       |SELECT 'files', 'live', count(*) FROM orders""".stripMargin
 
+  /** Join-key RUNTIME pruning end to end, hash-gated: the bloom-indexed
+    * hash-clustered orders log joins a customer dim whose residual filter
+    * survives only a few keys — the dim's VALUES must reach the scan at
+    * runtime ([[GraftLogScan.filter]], asserted via `runtimeKept`) and the
+    * joined accounting must equal DuckDB's replay of the same join. A
+    * false-positive-free but FALSE-NEGATIVE bloom skip (a dropped file
+    * that held a key) flips the sums.
+    */
+  def runtimePrunedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersBloomed(s, dir)
+    val root = t.substring(0, t.lastIndexOf('/'))
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    // the dim must be a REAL source with a residual filter for dynamic
+    // pruning to plan, and the toy-scale stats veto must be off
+    val dimPath = graft.Scratch.dir("graft_tlog", dir) + "/rtf_dim_parquet"
+    if (!new java.io.File(dimPath).exists()) {
+      Tables.load(s, dir, "customer").select(col("c_custkey"))
+        .write.mode("overwrite").parquet(dimPath)
+    }
+    s.read.parquet(dimPath).createOrReplaceTempView("graft_rtf_dim")
+    val prev = s.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    // pin the join geometry across scale factors: the customer-key dim is
+    // always the smaller side — 1m keeps it broadcast (so DPP can reuse
+    // the exchange) while the orders fact stays the probe side
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1m")
+    try {
+      val df = s.sql(
+        """SELECT count(*) AS n,
+          |       CAST(sum(CAST(floor(f.o_totalprice * 100) AS LONG)) AS LONG) AS cents,
+          |       CAST(min(f.o_custkey) AS LONG) AS min_k,
+          |       CAST(max(f.o_custkey) AS LONG) AS max_k
+          |FROM graft.orders_bloom f
+          |JOIN graft_rtf_dim d ON f.o_custkey = d.c_custkey
+          |WHERE d.c_custkey % 131 = 0""".stripMargin)
+      df.collect() // execute, so the runtime filter fires
+      val scans = collectLogScans(df.queryExecution.executedPlan)
+      require(scans.nonEmpty, "expected the catalog scan in the executed plan")
+      require(scans.exists(_.runtimeKept.isDefined),
+        "dim join values never reached the scan's runtime filter")
+      df
+    } finally {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  private def collectLogScans(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftLogScan] =
+    p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case sc: GraftLogScan => Seq(sc)
+          case _ => Seq.empty
+        }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectLogScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectLogScans(q.plan)
+    }.flatten
+
+  private val runtimePrunedJoinSql =
+    """SELECT count(*) AS n,
+      |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(min(o.o_custkey) AS BIGINT) AS min_k,
+      |       CAST(max(o.o_custkey) AS BIGINT) AS max_k
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_custkey % 131 = 0""".stripMargin
+
   private val mmxBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Metadata-only EXTREMES through SQL: orders committed with a stats
@@ -2313,6 +2411,7 @@ object TableLog extends QueryPack {
     Q("catalog_sql_read", catalogSqlRead, Some(catalogSqlReadSql)),
     Q("catalog_history_table", catalogHistoryQ, Some(catalogHistorySql)),
     Q("metadata_minmax", metadataMinMaxQ, Some(metadataMinMaxSql)),
+    Q("runtime_pruned_join", runtimePrunedJoinQ, Some(runtimePrunedJoinSql)),
     Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
     Q("catalog_sql_dml", catalogSqlDml, Some(catalogSqlDmlSql)),
     Q("catalog_sql_merge", catalogSqlMerge, Some(catalogSqlMergeSql)),

@@ -72,6 +72,49 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("hash-clustered facts prune via the BLOOM sidecar (stats ranges are useless there)") {
+    val root = Scratch.dir("graft_rtf3", "x")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val t = s"$root/fact"
+    // hash layout: every file's [min, max] spans the whole domain, so only
+    // the per-file bloom can skip; no stats sidecar is built at all.
+    // ~1k keys/file — the 8192-bit bloom's design point (a saturated
+    // bloom keeps everything, soundly but uselessly)
+    TableLog.commitAppend(
+      spark.range(0, 8000)
+        .selectExpr("id AS k", "md5(CAST(id AS STRING)) AS payload")
+        .repartition(8, col("k")), t)
+    TableLog.buildBloomIndex(spark, t, "k")
+    spark.conf.set("spark.sql.catalog.graftrtf3", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrtf3.root", root)
+    spark.range(0, 4000).selectExpr("id AS dk", "id % 1999 AS tag")
+      .write.mode("overwrite").parquet(s"$root/dim")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("rtf_dim3")
+    val prev = spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    // pin the geometry: the dim must build (broadcast), the fact probe —
+    // at this scale both would otherwise qualify for broadcast
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100k")
+    try {
+      // tag filter survives dk ∈ {0, 1999, 3998}
+      val j = spark.sql(
+        "SELECT f.k FROM graftrtf3.fact f JOIN rtf_dim3 d ON f.k = d.dk WHERE d.tag = 0")
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1999L, 3998L))
+      val kept = logScans(j.queryExecution.executedPlan).head.runtimeKept
+      assert(kept.isDefined, "bloom runtime filter never reached the scan")
+      assert(kept.get.size < 8, s"bloom must skip some of 8 hash files, kept ${kept.get.size}")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("joins on an un-indexed column leave the scan untouched") {
     val root = Scratch.dir("graft_rtf2", "x")
     def rm(f: java.io.File): Unit = {
