@@ -897,10 +897,10 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
           val st = ns.length == xs.length && statRange(c, ns.min, ns.max)
           val ss = xs.flatMap(strOf)
           val bl = ss.length == xs.length && TableLog.hasBloomFor(path, c) && {
-            // union of the per-value bloom keeps — a file survives if it
-            // may contain ANY of the listed values
-            kept = kept.intersect(ss.toSet.flatMap((s: String) =>
-              TableLog.pointLookupFiles(path, c, s, Some(v))._1.toSet))
+            // a file survives if it may contain ANY of the listed values —
+            // ONE sidecar read tests the whole set (bloomFilesForAny)
+            kept = kept.intersect(
+              TableLog.bloomFilesForAny(path, c, ss.distinct.toSeq, Some(v)).toSet)
             true
           }
           st || bl
