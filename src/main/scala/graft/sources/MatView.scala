@@ -56,7 +56,8 @@ object MatView extends QueryPack {
 
   final case class Meta(
       viewDir: String, base: String, baseVersion: Long,
-      groups: Seq[String], aggs: Seq[AggSpec], nonce: String)
+      groups: Seq[String], aggs: Seq[AggSpec], nonce: String,
+      viewVersion: Long = -1L)
 
   /** view-relation column holding a spec's partial */
   def viewCol(a: AggSpec): String = a match {
@@ -82,13 +83,15 @@ object MatView extends QueryPack {
     }
     Some(Meta(norm(viewDir), m("base"), m("baseVersion").toLong,
       m("groups").split(",").toSeq, aggs.toSeq,
-      m.getOrElse("nonce", "none")))
+      m.getOrElse("nonce", "none"),
+      m.getOrElse("viewVersion", "-1").toLong))
   }
 
   private def writeMeta(m: Meta): Unit = {
     val lines =
       Seq(s"base=${m.base}", s"baseVersion=${m.baseVersion}",
-        s"groups=${m.groups.mkString(",")}", s"nonce=${m.nonce}") ++
+        s"groups=${m.groups.mkString(",")}", s"nonce=${m.nonce}",
+        s"viewVersion=${m.viewVersion}") ++
         m.aggs.map(a => s"agg=${a.func}:${a.col}")
     val p = metaFile(m.viewDir)
     Files.createDirectories(p.getParent)
@@ -131,7 +134,7 @@ object MatView extends QueryPack {
     // can repeat a (from, to] range, and an old same-range tag in the view
     // log would silently no-op the new fold
     writeMeta(Meta(norm(viewDir), norm(base), head, groups, aggs,
-      java.util.UUID.randomUUID().toString.take(12)))
+      java.util.UUID.randomUUID().toString.take(12), viewVersion = v))
     v
   }
 
@@ -153,8 +156,42 @@ object MatView extends QueryPack {
     * change feed (cost ∝ changes); full re-materializes (taken when the
     * range deletes rows and the view carries non-mergeable min/max).
     */
+  /** committed refresh tags `mv_<nonce>_<from>_<to>` in the view log with
+    * this exact `from`: (to, view version carrying the tag), max by `to`.
+    * This is the crash-repair source of truth — the tag is written
+    * atomically WITH the view commit, so its presence proves the view
+    * already reflects `(from, to]` even when the sidecar update never ran.
+    */
+  private def committedRefreshTo(
+      viewDir: String, nonce: String, from: Long): Option[(Long, Long)] = {
+    val prefix = s"mv_${nonce}_${from}_"
+    TableLog.versions(viewDir).flatMap { v =>
+      TableLog.txnsAt(viewDir, v).collect {
+        case t if t.startsWith(prefix) && t.length > prefix.length &&
+          t.drop(prefix.length).forall(_.isDigit) =>
+          (t.drop(prefix.length).toLong, v)
+      }
+    }.sortBy(_._1).lastOption
+  }
+
   def refresh(spark: SparkSession, viewDir: String): (Long, String) = {
-    val m = meta(viewDir).getOrElse(sys.error(s"$viewDir carries no _matview.txt"))
+    val m0 = meta(viewDir).getOrElse(sys.error(s"$viewDir carries no _matview.txt"))
+    // SIDECAR REPAIR: a crash between commitOnceOverwrite and writeMeta
+    // leaves the sidecar at <from> while the view already holds (from, to].
+    // If the base has advanced past <to> by the time refresh replays, the
+    // new tag mv_<nonce>_<from>_<newHead> would NOT dedupe against the
+    // committed mv_<nonce>_<from>_<to>, and the fold would merge the
+    // already-merged (from, to] deltas a second time — a permanent double
+    // count. Repair first: any committed tag with this exact <from> proves
+    // the view reflects its <to>; advance the sidecar there and fold only
+    // the genuinely missing (to, head] range.
+    val m = committedRefreshTo(viewDir, m0.nonce, m0.baseVersion) match {
+      case Some((to, vv)) if to > m0.baseVersion =>
+        val repaired = m0.copy(baseVersion = to, viewVersion = vv)
+        writeMeta(repaired)
+        repaired
+      case _ => m0
+    }
     val head = TableLog.versions(m.base).lastOption.getOrElse(
       sys.error(s"base ${m.base} has no committed versions"))
     if (head == m.baseVersion) return (head, "noop")
@@ -216,9 +253,15 @@ object MatView extends QueryPack {
     // the tag, the replayed commit no-ops (its recomputed `next` is
     // discarded — wrong, but never published) and the sidecar repair
     // completes, making refresh crash-idempotent end to end.
-    TableLog.commitOnceOverwrite(next, viewDir,
+    val committed = TableLog.commitOnceOverwrite(next, viewDir,
       s"mv_${m.nonce}_${m.baseVersion}_$head")
-    writeMeta(m.copy(baseVersion = head))
+    // pin the sidecar to the view version that CARRIES this range: replays
+    // (committed = None) resolve the tag's version instead, so the
+    // (baseVersion, viewVersion) pair always names a consistent snapshot
+    val vv = committed.orElse(
+      committedRefreshTo(viewDir, m.nonce, m.baseVersion).map(_._2)).getOrElse(
+      TableLog.versions(viewDir).last)
+    writeMeta(m.copy(baseVersion = head, viewVersion = vv))
     (head, mode)
   }
 
@@ -381,10 +424,15 @@ object MatView extends QueryPack {
   * `extraOptimizations` injection point) shapes, and substitutes the
   * view's (DV-merged) file relation with a re-aggregation on top:
   * count(*)→sum(_cnt), sum(c)→sum(sum_c), count(c)→sum(cnt_c),
-  * avg(c)→sum(sum_c)/sum(cnt_c) (exact integer sums, so the division is
-  * the same correctly-rounded op the direct Average ends with),
-  * min/max(c)→min/max of the partials. Output attribute ids/names/types
-  * are preserved, so parent operators are untouched.
+  * avg(c)→sum(sum_c)/sum(cnt_c) — an EXACT long sum and one final
+  * correctly-rounded division. Note Spark's own Average over integral
+  * input accumulates in a DOUBLE buffer (per-row rounding), so once a
+  * group's sum exceeds 2^53 the routed answer is the MORE ACCURATE of the
+  * two and may differ from the unrouted plan in the last ulp — accepted
+  * deliberately (it matches the exact-sum oracle form; see
+  * `matviewRoutedSql`). min/max(c)→min/max of the partials. Output
+  * attribute ids/names/types are preserved, so parent operators are
+  * untouched.
   */
 object MatViewRewrite extends Rule[LogicalPlan] {
 
@@ -440,7 +488,15 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     if (!conds.forall(c => c.deterministic &&
       c.references.forall(r => groupSet(r.name.toLowerCase)))) return None
 
-    val view = TableLog.read(SparkSession.active, m.viewDir)
+    // Read the view AS OF the sidecar's pinned version, NOT its head: during
+    // a refresh's window between the view commit and the sidecar update, the
+    // head already reflects a NEWER base — routing a query pinned at the old
+    // base version onto it would return fresher-than-snapshot answers. The
+    // (baseVersion, viewVersion) pair is written atomically, so reading at
+    // viewVersion keeps staleness a routing no-op, never a wrong answer.
+    // (-1: pre-pinning sidecar — fall back to head, the old behavior.)
+    val view = TableLog.read(SparkSession.active, m.viewDir,
+        if (m.viewVersion >= 0) Some(m.viewVersion) else None)
       .queryExecution.analyzed
     def vattr(name: String): Option[Attribute] =
       view.output.find(_.name.equalsIgnoreCase(name))

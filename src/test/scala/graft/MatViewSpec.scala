@@ -241,8 +241,10 @@ class MatViewSpec extends SparkSpec {
     // the commit landed but the sidecar still claims the old base version
     Files.write(sidecar, preMeta)
     val (v2, mode2) = MatView.refresh(spark, s"$d/t_mv")
-    assert(mode2 == "incremental")
-    // the replayed fold's commit must no-op (txn-tagged range) — a double
+    // sidecar repair spots the committed mv_<nonce>_<from>_<head> tag and
+    // fast-forwards WITHOUT recomputing the fold — the replay is a noop
+    assert(mode2 == "noop")
+    // the committed view must still hold exactly one application — a double
     // application would read 63 + 50 = 113 here
     assert(TableLog.read(spark, s"$d/t_mv").where(col("k") === "a")
       .collect().head.getAs[Long]("sum_v") == 63L,
@@ -250,6 +252,55 @@ class MatViewSpec extends SparkSpec {
     // and the sidecar is repaired, so the next refresh is a noop
     assert(MatView.meta(s"$d/t_mv").get.baseVersion == v2)
     assert(MatView.refresh(spark, s"$d/t_mv")._2 == "noop")
+  }
+
+  test("crash-replay stays idempotent when the base ADVANCES before the replay") {
+    val d = root("crashadv")
+    import java.nio.file.{Files, Paths}
+    TableLog.commitAppend(baseDf(seed), s"$d/t")
+    MatView.create(spark, s"$d/t_mv", s"$d/t", Seq("k"),
+      Seq(AggSpec("count", "*"), AggSpec("sum", "v")))
+    TableLog.commitAppend(baseDf(Seq(("a", "x", 50L))), s"$d/t")
+    val sidecar = Paths.get(s"$d/t_mv/_matview.txt")
+    val preMeta = Files.readAllBytes(sidecar)
+    assert(MatView.refresh(spark, s"$d/t_mv")._2 == "incremental")
+    // crash between the view commit and the sidecar update...
+    Files.write(sidecar, preMeta)
+    // ...and the BASE COMMITS AGAIN before the refresh replays: the replay's
+    // tag would be mv_<nonce>_<from>_<newHead> — a DIFFERENT tag than the
+    // committed mv_<nonce>_<from>_<to>, so without sidecar repair the
+    // already-merged (from, to] deltas (the +50 row) fold a second time
+    TableLog.commitAppend(baseDf(Seq(("a", "y", 7L))), s"$d/t")
+    assert(MatView.refresh(spark, s"$d/t_mv")._2 == "incremental")
+    val aSum = TableLog.read(spark, s"$d/t_mv").where(col("k") === "a")
+      .collect().head.getAs[Long]("sum_v")
+    assert(aSum == 1L + 2L + 10L + 50L + 7L,
+      s"advanced-base replay double-counted the crashed range: sum_v=$aSum")
+    assert(MatView.refresh(spark, s"$d/t_mv")._2 == "noop")
+  }
+
+  test("routing reads the view AS OF the sidecar's pinned version, not its head") {
+    val d = root("pinview")
+    val cat = "mvt_pinview"
+    import java.nio.file.{Files, Paths}
+    TableLog.commitAppend(baseDf(seed), s"$d/t")
+    MatView.create(spark, s"$d/t_mv", s"$d/t", Seq("k"),
+      Seq(AggSpec("count", "*"), AggSpec("sum", "v")))
+    val sidecar = Paths.get(s"$d/t_mv/_matview.txt")
+    val preMeta = Files.readAllBytes(sidecar)
+    TableLog.commitAppend(baseDf(Seq(("a", "x", 100L))), s"$d/t")
+    assert(MatView.refresh(spark, s"$d/t_mv")._2 == "incremental")
+    // simulate mid-refresh: view HEAD already reflects base v1 while the
+    // sidecar still claims base v0 (the window between the view commit and
+    // writeMeta). A query pinned at v0 matches the sidecar and routes — it
+    // must see the v0 answer (a=13), not the fresher view head (a=113).
+    Files.write(sidecar, preMeta)
+    enable(s"$d/t_mv")
+    val routed = catalogSql(cat, d,
+      s"SELECT k, sum(v) AS s FROM $cat.t VERSION AS OF 0 GROUP BY k")
+    assert(planScans(routed)._1 == 0, "pinned-version query must still route")
+    assert(routed.where(col("k") === "a").collect().head.getAs[Long]("s") == 13L,
+      "routing served fresher-than-snapshot view contents")
   }
 
   test("create rejects non-integral sums; subset group-by re-aggregates correctly") {
