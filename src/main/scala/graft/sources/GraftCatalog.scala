@@ -76,10 +76,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables needs), and filters evaluate post-scan (stats/bloom pruning
   * stays on the [[TableLog.readPruned]] API path).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** SQL stored procedures (`CALL <cat>.system.txn_commit(...)` /
+    * `txn_recover()`) — the JDBC-visible face of [[Txn]]'s atomic
+    * multi-table commit (see [[GraftProcedures]])
+    */
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace.toSeq, ident.name.toLowerCase) match {
+      case (Seq("system"), "txn_commit") => new GraftProcedures.TxnCommit(root)
+      case (Seq("system"), "txn_recover") => new GraftProcedures.TxnRecover(root)
+      case _ => throw new IllegalArgumentException(
+        s"$catalogName: unknown procedure ${ident.namespace.mkString(".")}.${ident.name} " +
+          "(available: system.txn_commit, system.txn_recover)")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "txn_commit"),
+        Identifier.of(Array("system"), "txn_recover"))
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -842,10 +863,18 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
     // files — sourced from each file's own footer stats at read time, so
     // EVERY comparison filter contributes, sidecar-indexed or not
     val rgRanges = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    def noteRange(c: String, lo: Long, hi: Long): Unit = {
-      val cur = rgRanges.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      rgRanges(c) = (math.max(cur._1, lo), math.min(cur._2, hi))
-    }
+    // Row-group envelopes are sound only for TOP-LEVEL columns: the reader's
+    // absent-column sentinel treats an unmatched name as "no row matches"
+    // (correct for schema-evolved top-level columns, which ARE null in older
+    // files). DSv2 also pushes NESTED predicates under dotted names
+    // ("s.x" via nestedPredicatePushdownEnabled) — those never resolve
+    // against a footer's top-level fields, so recording them would skip
+    // every row group of every file. Drop them here; they stay residual.
+    def noteRange(c: String, lo: Long, hi: Long): Unit =
+      if (full.fieldNames.exists(_.equalsIgnoreCase(c))) {
+        val cur = rgRanges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        rgRanges(c) = (math.max(cur._1, lo), math.min(cur._2, hi))
+      }
     def longOf(x: Any): Option[Long] = x match {
       case n: Long => Some(n)
       case n: Int => Some(n.toLong)
@@ -985,6 +1014,17 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   * Reports metadata-exact statistics so join planning (broadcast side
   * choice) runs on real numbers.
   */
+/** Spark re-instantiates CustomMetric classes REFLECTIVELY on the driver
+  * (zero-arg constructor required) — an anonymous class carries an outer
+  * pointer and is silently dropped from the UI with a logged error, so the
+  * metric must be a top-level class.
+  */
+private[sources] class RowGroupsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowGroupsSkipped"
+  override def description(): String = "row groups skipped by footer stats"
+}
+
 private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     keepFiles: Option[Set[String]] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
@@ -1119,15 +1159,24 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (fileOrd < 0) new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive)
-    else new FileTaggedReaderFactory(dataSchema, TableChangeSource.caseSensitive)
+    if (fileOrd < 0) {
+      // VECTORIZED path (scan-level, all-or-none — Spark refuses mixed
+      // row/columnar partitions): flat primitive schema, a DV-free
+      // snapshot, the plain scan class (row-level operation scans keep the
+      // position-exact row reader), and not conf-disabled. Everything else
+      // takes the Group-API row reader.
+      val columnar =
+        getClass == classOf[GraftLogScan] &&
+          org.apache.spark.sql.graftx.VectorizedLogReader.flatSchema(required) &&
+          TableLog.dvFiles(path, v).isEmpty &&
+          (try SparkSession.active.conf.get("spark.graft.columnar.enabled", "true").toBoolean
+           catch { case _: Throwable => true })
+      new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive, columnar)
+    } else new FileTaggedReaderFactory(dataSchema, TableChangeSource.caseSensitive)
 
   /** row groups skipped by footer stats, surfaced in the Spark UI per scan */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = "rowGroupsSkipped"
-      override def description(): String = "row groups skipped by footer stats"
-    })
+    Array(new RowGroupsSkippedMetric)
 
   /** `spark.readStream.table("graft.<t>")` — the table as an APPEND feed:
     * each commit's new rows arrive as one admission-capped micro-batch
@@ -1147,7 +1196,9 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
         startingVersion =
           Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
         versionsPerTrigger =
-          Option(options.get("versionsPerTrigger")).map(_.toInt).getOrElse(1)),
+          Option(options.get("versionsPerTrigger")).map(_.toInt).getOrElse(1),
+        targetBatchMs =
+          Option(options.get("targetBatchMs")).map(_.toLong)),
       path,
       ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean))
 

@@ -142,7 +142,9 @@ private[sources] class TableChangeTable(
             startingVersion =
               Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
             versionsPerTrigger =
-              Option(options.get("versionsPerTrigger")).map(_.toInt).getOrElse(1))
+              Option(options.get("versionsPerTrigger")).map(_.toInt).getOrElse(1),
+            targetBatchMs =
+              Option(options.get("targetBatchMs")).map(_.toLong))
       }
     }
 }
@@ -156,9 +158,33 @@ private[sources] class TableChangeStream(
     table: String,
     readSchema: StructType,
     startingVersion: Long,
-    versionsPerTrigger: Int) extends MicroBatchStream
+    versionsPerTrigger: Int,
+    /** ADAPTIVE admission (AIMD backpressure, the reference's
+      * ratelimit_reset sleep generalized — from_parser_to_rabbitmq.py:69-77):
+      * when a micro-batch takes longer than this target, the next trigger's
+      * admission cap HALVES (floor 1); batches comfortably under it double
+      * the cap back (ceiling `versionsPerTrigger`). None = fixed cap.
+      * Exactly-once is untouched — the cap only shapes how far
+      * `latestOffset` advances; restarts still resume from the committed
+      * offset.
+      */
+    targetBatchMs: Option[Long] = None) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   require(versionsPerTrigger > 0, "versionsPerTrigger must be positive")
+  require(targetBatchMs.forall(_ > 0), "targetBatchMs must be positive")
+
+  @volatile private var adaptiveCap: Long = versionsPerTrigger.toLong
+  /** admission instant per planned END offset: the engine CONSTRUCTS batch
+    * N+1's offsets before committing batch N, so a single "current batch"
+    * timestamp would mis-pair — key the start instant by the offset the
+    * admission returned and look it up at commit(end). (Consequence: a
+    * slow batch shrinks the batch AFTER next — the next one's admission
+    * was already planned.)
+    */
+  private val admittedAtNs =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+  /** current admission cap (spec observability) */
+  private[sources] def currentCap: Long = adaptiveCap
 
   /** Trigger.AvailableNow: the head version frozen at query start — the
     * engine then drains to exactly this target in admission-capped
@@ -185,14 +211,17 @@ private[sources] class TableChangeStream(
     * are this feed's admission unit; a max-rows cap maps conservatively
     * (min with the source's own `versionsPerTrigger`)
     */
-  private def allowed(limit: ReadLimit): Long = limit match {
-    case m: ReadMaxRows      => math.min(m.maxRows(), versionsPerTrigger.toLong)
-    case _: ReadAllAvailable => Long.MaxValue
-    case c: CompositeReadLimit =>
-      val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
-      if (caps.nonEmpty) math.min(caps.min, versionsPerTrigger.toLong)
-      else versionsPerTrigger.toLong
-    case _ => versionsPerTrigger.toLong
+  private def allowed(limit: ReadLimit): Long = {
+    val own = if (targetBatchMs.isDefined) adaptiveCap else versionsPerTrigger.toLong
+    limit match {
+      case m: ReadMaxRows      => math.min(m.maxRows(), own)
+      case _: ReadAllAvailable => Long.MaxValue
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+        if (caps.nonEmpty) math.min(caps.min, own)
+        else own
+      case _ => own
+    }
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -206,9 +235,12 @@ private[sources] class TableChangeStream(
     // Under AvailableNow, never admit past the frozen query-start head.
     val cap = allowed(limit)
     val future = vs.filter(v => v > s && availableNowEnd.forall(v <= _))
-    VersionOffset(
+    val end =
       if (future.isEmpty) s
-      else future.take(math.min(cap, Int.MaxValue.toLong).toInt).last)
+      else future.take(math.min(cap, Int.MaxValue.toLong).toInt).last
+    if (future.nonEmpty && targetBatchMs.isDefined)
+      admittedAtNs.putIfAbsent(end, System.nanoTime())
+    VersionOffset(end)
   }
   override def reportLatestOffset(): Offset =
     VersionOffset(availableNowEnd.getOrElse(
@@ -251,7 +283,21 @@ private[sources] class TableChangeStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeFileReaderFactory(readSchema, TableChangeSource.caseSensitive)
 
-  override def commit(end: Offset): Unit = ()
+  /** Adaptation point: `commit` fires when the batch admitted at the
+    * matching `latestOffset` has fully processed (sink work included), so
+    * the elapsed pair measures true end-to-end batch cost. Over target →
+    * halve; at/under → double back toward the configured cap. Oscillation
+    * is bounded: a doubling that overshoots the target halves straight
+    * back, so the cap orbits the largest sustainable admission.
+    */
+  override def commit(end: Offset): Unit = targetBatchMs.foreach { target =>
+    val started = admittedAtNs.remove(end.asInstanceOf[VersionOffset].v)
+    if (started != null) {
+      val ms = (System.nanoTime() - started) / 1000000L
+      if (ms > target) adaptiveCap = math.max(1L, adaptiveCap / 2)
+      else adaptiveCap = math.min(versionsPerTrigger.toLong, adaptiveCap * 2)
+    }
+  }
   override def stop(): Unit = ()
 }
 
@@ -273,11 +319,45 @@ private[sources] case class ChangeFilePartition(
     ranges: Array[(String, Long, Long)] = Array.empty) extends InputPartition
 
 private[sources] class ChangeFileReaderFactory(
-    readSchema: StructType, caseSensitive: Boolean)
+    readSchema: StructType, caseSensitive: Boolean,
+    /** scan-level columnar decision (see [[graftx.VectorizedLogReader]]):
+      * set ONLY when the whole snapshot qualifies — flat primitive schema,
+      * no meta columns, zero DV files — because Spark refuses scans that
+      * mix row and columnar partitions
+      */
+    allowColumnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChangeFileReader(
       partition.asInstanceOf[ChangeFilePartition], readSchema, caseSensitive)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allowColumnar && (partition match {
+      case p: ChangeFilePartition => p.insert && p.only == null && p.skip.isEmpty
+      case _ => false
+    })
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ChangeFilePartition]
+    var localSkipped = 0L
+    val inner = org.apache.spark.sql.graftx.VectorizedLogReader.open(
+      p.absPath, readSchema, caseSensitive, p.ranges,
+      onGroupsSkipped = n => {
+        localSkipped += n
+        ChangeFileReader.rowGroupsSkipped.add(n)
+      })
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = inner.get()
+      override def close(): Unit = inner.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "rowGroupsSkipped"
+          override def value(): Long = localSkipped
+        })
+    }
+  }
 }
 
 /** Sequential Group-API reader of ONE parquet file: column-pruned via a

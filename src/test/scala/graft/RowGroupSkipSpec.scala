@@ -63,4 +63,36 @@ class RowGroupSkipSpec extends SparkSpec {
     assert(spark.sql("SELECT count(k) AS n FROM graftrgs.t")
       .collect().head.getLong(0) == 195000L)
   }
+
+  test("nested-field predicates never feed row-group envelopes (no row loss)") {
+    val root = Scratch.dir("graft_rgn", "x")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val t = s"$root/t"
+    // DSv2 pushes struct-field comparisons as dotted names ("s.x") —
+    // those must NOT become row-group ranges: the per-file reader resolves
+    // range columns against TOP-LEVEL footer fields, and an unmatched name
+    // is the "absent column" sentinel that skips every block (row loss).
+    TableLog.commitAppend(
+      spark.range(0, 1000)
+        .selectExpr("id AS k", "named_struct('x', id, 'y', CAST(id AS STRING)) AS s")
+        .coalesce(1), t)
+    spark.conf.set("spark.sql.catalog.graftrgn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrgn.root", root)
+
+    val hit = spark.sql("SELECT k FROM graftrgn.t WHERE s.x = 7").collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 7L,
+      s"nested predicate dropped rows: got ${hit.length}")
+    // range shape too
+    assert(spark.sql("SELECT count(k) AS n FROM graftrgn.t WHERE s.x >= 990")
+      .collect().head.getLong(0) == 10L)
+    // and a top-level predicate still skips as before (sanity: the guard
+    // must not disable legitimate envelopes)
+    ChangeFileReader.rowGroupsSkipped.reset()
+    assert(spark.sql("SELECT count(k) AS n FROM graftrgn.t WHERE k = 7")
+      .collect().head.getLong(0) == 1L)
+  }
 }

@@ -75,6 +75,48 @@ class TableChangeSourceSpec extends SparkSpec {
       out.last._3 == Seq(9L, 10L), s"post-restart delivery wrong: ${out.drop(before)}")
   }
 
+  test("adaptive admission: a slow batch halves the next cap, fast batches recover it, exactly-once") {
+    rm(new java.io.File(s"$base/adapt"))
+    val t = s"$base/adapt/t"
+    val ckpt = s"$base/adapt/ckpt"
+    (0 until 16).foreach(i =>
+      TableLog.commitAppend(Seq((i.toLong, i.toLong)).toDF("k", "v"), t)) // v0..v15
+
+    // target 400ms: the FIRST non-empty batch sleeps 1s (over target →
+    // halve), later batches are fast (under half target → double back).
+    // The engine plans batch N+1's offsets BEFORE committing batch N, so
+    // the halving lands one batch later — shape: 4, 4, 2, then recovery.
+    val batches = collection.mutable.ArrayBuffer.empty[Set[Long]]
+    var slept = false
+    val q = spark.readStream.format("graft.sources.TableChangeSource")
+      .option("table", t).option("versionsPerTrigger", "4")
+      .option("targetBatchMs", "400").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) {
+          batches += vs
+          if (!slept) { slept = true; Thread.sleep(1000) }
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    val sizes = batches.map(_.size).toSeq
+    assert(sizes.head == 4, s"first batch should admit the full cap: $sizes")
+    assert(sizes.contains(2), s"the slow batch must HALVE a following admission: $sizes")
+    // multiplicative recovery back toward the configured cap: a LATER batch
+    // (after the first shrunken one) admits the full cap again
+    val firstHalved = sizes.indexOf(2)
+    assert(sizes.drop(firstHalved + 1).exists(_ == 4),
+      s"fast batches must recover the cap: $sizes")
+    // exactly-once across the adaptation: every version delivered once
+    val all = batches.flatten
+    assert(all.size == 16 && all.toSet == (0L until 16L).toSet,
+      s"adaptation broke delivery: $batches")
+  }
+
   test("typed columns round-trip the Group-API read (timestamp/date/decimal/int/double/string)") {
     rm(new java.io.File(s"$base/typed"))
     val t = s"$base/typed"
