@@ -808,6 +808,51 @@ object TableLog extends QueryPack {
     missing.size
   }
 
+  private def ndvFile(table: String): Path = logDir(table).resolve("ndv.txt")
+
+  /** Build/refresh the per-column NDV sidecar at the head version — one
+    * distributed aggregation pass (`approx_count_distinct`, rsd 0.02),
+    * stored as `version|column|ndv` lines. This is PLANNER metadata (the
+    * cost-based broadcast rule divides post-skipping row counts by it to
+    * estimate equality-filter output), never a correctness surface, so a
+    * slightly stale NDV — the sidecar records the version it was measured
+    * at — only shades an estimate.
+    */
+  def buildNdvIndex(spark: SparkSession, table: String, columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "buildNdvIndex needs at least one column")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val head = vs.last
+    val df = read(spark, table, Some(head))
+    val aggs = columns.map(c => approx_count_distinct(col(c), 0.02).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val fresh = columns.map(c => s"$head|$c|${row.getAs[Long](c)}")
+    val keep = {
+      val p = ndvFile(table)
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+        .filterNot(l => columns.exists(c => l.split('|')(1).equalsIgnoreCase(c)))
+    }
+    Files.createDirectories(logDir(table))
+    Files.write(ndvFile(table),
+      (keep ++ fresh).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** the recorded NDV estimate for `column` (measured-at version, ndv) */
+  private[sources] def ndvFor(table: String, column: String): Option[(Long, Long)] = {
+    val p = ndvFile(table)
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      .map(_.split('|'))
+      .collectFirst { case Array(v, c, n) if c.equalsIgnoreCase(column) =>
+        (v.toLong, n.toLong) }
+  }
+
+  /** live data bytes at a version — metadata-only (manifest + file sizes) */
+  private[sources] def liveBytes(table: String, v: Long): Long =
+    liveFiles(table, v).map(f => Files.size(Paths.get(table).resolve(f))).sum
+
   /** live files whose Bloom for `column` may contain `value` (files without
     * a bloom line are always kept — sound, never speculative). Returns
     * (kept, total live).
@@ -1769,6 +1814,126 @@ object TableLog extends QueryPack {
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** ROW-LEVEL change data feed: [[changeFeed]] with update semantics
+    * recovered from rewrite commits. The plain feed derives changes from
+    * manifest diffs alone, so a selective SQL `UPDATE`/`MERGE` (whose
+    * row-level rewrite is FILE-granular) over-reports — every surviving row
+    * of a rewritten file re-emits as delete+insert. Given the table's
+    * primary key, this feed nets that churn out per commit (Delta CDF's
+    * `update_preimage`/`update_postimage` semantics):
+    *
+    *  - key in removed and added files, payload IDENTICAL → no change
+    *    emitted (the row merely rode along in the rewritten file);
+    *  - key in both, payload differs → `update_preimage` (old row) +
+    *    `update_postimage` (new row);
+    *  - key only in removed → `delete`; only in added → `insert`;
+    *  - DV-delta deletes on persisting files stay `delete` (a DV never
+    *    rewrites rows, so there is nothing to net).
+    *
+    * So an UPDATE touching k rows emits O(k) update rows, never O(file) —
+    * while signed folds stay correct (postimage +1 / preimage −1 cancel
+    * exactly like the insert+delete pair they replace, minus the
+    * zero-sum churn).
+    *
+    * The key must be UNIQUE among each commit's rewritten rows — enforced
+    * IN the plan via a lazy per-side key count (`raise_error`), so a
+    * violated assumption fails loudly at execution instead of silently
+    * multiplying rows through the join. Null keys never match (standard
+    * join semantics): a null-keyed rewritten row surfaces as
+    * delete+insert, the conservative reading.
+    *
+    * 100 TB shape: per step, one shuffle of ONLY the rewritten files' rows
+    * on the key (both join sides arrive key-partitioned, and the pre-join
+    * uniqueness windows reuse that partitioning); commits that only add or
+    * only remove files skip the join entirely.
+    */
+  def changeFeedCdc(
+      spark: SparkSession, table: String, fromV: Long, toV: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changeFeedCdc needs at least one key column")
+    val vs = versions(table)
+    require(vs.contains(toV) && (fromV == -1L || vs.contains(fromV)) && fromV < toV,
+      s"bad change range ($fromV, $toV] for versions ${vs.mkString(",")}")
+    val steps = vs.filter(v => v > fromV && v <= toV)
+    val parts = steps.flatMap { v =>
+      val d = stepDiff(table, v, vs)
+      def tagged(df: DataFrame, t: String): DataFrame =
+        df.withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(v))
+      val inserts = rowsOf(spark, table, d.added, d.curDv)
+      val deletes = rowsOf(spark, table, d.removed, d.prevDv)
+      val dvDeletes = dvDelta(spark, table, d)
+        .flatMap(rowsAt(spark, table, d.persisting, _))
+        .map(tagged(_, "delete"))
+      val netted = (inserts, deletes) match {
+        case (Some(post), Some(pre)) =>
+          Seq(nettedStep(spark, table, v, pre, post, keyCols))
+        case _ =>
+          Seq(inserts.map(tagged(_, "insert")), deletes.map(tagged(_, "delete"))).flatten
+      }
+      netted ++ dvDeletes
+    }
+    require(parts.nonEmpty, s"empty change feed over ($fromV, $toV]")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** one rewrite commit's removed⋈added rows joined on the key: unchanged
+    * rows vanish, changed rows emit the update pair, the rest stay
+    * insert/delete — a single full-outer join and ONE pass (the 0/1/2
+    * output rows per key come from one exploded array, never a re-scan)
+    */
+  private def nettedStep(
+      spark: SparkSession, table: String, v: Long,
+      pre: DataFrame, post: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val outCols = post.columns.toSeq
+    keyCols.foreach(c => require(outCols.contains(c),
+      s"key column '$c' absent from table columns ${outCols.mkString(",")}"))
+    val dataCols = outCols.filterNot(keyCols.contains)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    // schema evolution: the pre side (older files) may lack columns the post
+    // side carries — null-backfill them so both row structs share one type
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val have = df.columns.toSet
+      val rowS = struct(outCols.map(c =>
+        if (have(c)) col(c).as(c)
+        else lit(null).cast(post.schema(c).dataType).as(c)): _*)
+      df.select(
+        (rowS.as(s"_row_$tag") +: count(lit(1)).over(w).as(s"_kc_$tag") +:
+          keyCols.map(c => col(c).as(s"_k_${tag}_$c"))): _*)
+    }
+    val p = side(pre, "pre")
+    val q = side(post, "post")
+    val cond = keyCols.map(c =>
+      col(s"_k_pre_$c") === col(s"_k_post_$c")).reduce(_ && _)
+    // the per-side key counts ride the same key shuffle the join needs;
+    // assert_true makes a violated uniqueness assumption throw AT EXECUTION
+    // (lazily, distributed) instead of silently multiplying join rows
+    val dupGuard = assert_true(
+      coalesce(col("_kc_pre"), lit(1L)) <= 1 && coalesce(col("_kc_post"), lit(1L)) <= 1,
+      lit(s"changeFeedCdc: duplicate key among version $v's rewritten rows — " +
+        s"key (${keyCols.mkString(",")}) must be unique per commit"))
+    val samePayload: org.apache.spark.sql.Column =
+      if (dataCols.isEmpty) lit(true) // key-only table: a matched row is unchanged
+      else struct(dataCols.map(c => col("_row_pre").getField(c)): _*) <=>
+        struct(dataCols.map(c => col("_row_post").getField(c)): _*)
+    val emit =
+      when(col("_row_pre").isNull,
+        array(struct(lit("insert").as("_ct"), col("_row_post").as("_r"))))
+        .when(col("_row_post").isNull,
+          array(struct(lit("delete").as("_ct"), col("_row_pre").as("_r"))))
+        .when(samePayload, array())
+        .otherwise(array(
+          struct(lit("update_preimage").as("_ct"), col("_row_pre").as("_r")),
+          struct(lit("update_postimage").as("_ct"), col("_row_post").as("_r"))))
+    val emitted = p.join(q, cond, "full_outer")
+      // dupGuard evaluates on EVERY row (null when the assertion holds)
+      .select(explode(when(dupGuard.isNull, emit)).as("_e"))
+    emitted.select(
+      outCols.map(c => col("_e._r").getField(c).as(c)) :+
+        col("_e._ct").as("_change_type") :+
+        lit(v).as("_commit_version"): _*)
+  }
+
   /** Change-feed accounting over [[ordersDvDeleted]]'s full history
     * (−1, latest]: per (commit version, change type) the row count and
     * exact cents — v0 inserts everything, v1 DV-deletes finished keys
@@ -1785,6 +1950,62 @@ object TableLog extends QueryPack {
         count(lit(1)).as("n_rows"),
         sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
   }
+
+  private val cdcBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** scratch log table (orders keyed by o_orderkey with exact cents), then
+    * one selective SQL `UPDATE` through the catalog — the file-granular
+    * row-level rewrite whose churn [[changeFeedCdc]] must net out
+    */
+  private[graft] def ordersCdcUpdated(s: SparkSession, dir: String): String =
+    cdcBuilt.computeIfAbsent(dir, { d =>
+      val root = graft.Scratch.dir("graft_cdc", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(root + "/orders_cdc"))
+      new java.io.File(root).mkdirs()
+      val table = root + "/orders_cdc"
+      commitAppend(
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")), table) // v0
+      s.conf.set("spark.sql.catalog.graftcdc", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftcdc.root", root)
+      s.sql(
+        """UPDATE graftcdc.orders_cdc SET cents = cents + 7
+          |WHERE o_orderkey % 100 = 3""".stripMargin)                        // v1
+      table
+    })
+
+  /** Row-level CDC accounting over [[ordersCdcUpdated]]: per change type
+    * the row count, exact cents, and key sum across the UPDATE commit.
+    * The rewrite is file-granular, so the PLAIN feed would re-emit every
+    * surviving row of the touched files as delete+insert; the oracle
+    * admits ONLY the k touched rows as an update pre/post pair — any
+    * un-netted churn row, lost update, or mis-paired image flips a sum.
+    */
+  def changeFeedUpdatesQ(s: SparkSession, dir: String): DataFrame = {
+    val t = ordersCdcUpdated(s, dir)
+    changeFeedCdc(s, t, 0L, versions(t).last, Seq("o_orderkey"))
+      .groupBy(col("_change_type").as("change"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents"),
+        sum(col("o_orderkey")).as("keysum"))
+  }
+
+  private val changeFeedUpdatesSql =
+    """SELECT 'update_preimage' AS change, count(*) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders WHERE o_orderkey % 100 = 3
+      |UNION ALL
+      |SELECT 'update_postimage', count(*),
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT) + 7) AS BIGINT),
+      |       CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 100 = 3""".stripMargin
 
   private val changeFeedSql =
     """SELECT CAST(0 AS BIGINT) AS v, 'insert' AS change,
@@ -2418,6 +2639,7 @@ object TableLog extends QueryPack {
     Q("catalog_sql_nested", catalogSqlNested, Some(catalogSqlNestedSql)),
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),
+    Q("change_feed_updates", changeFeedUpdatesQ, Some(changeFeedUpdatesSql)),
     Q("cdf_maintained_agg", cdfMaintainedAgg, Some(cdfMaintainedAggSql)),
     Q("cdf_stream_agg", cdfStreamAgg, Some(cdfMaintainedAggSql)),
     Q("metadata_count", metadataCountQ, Some(metadataCountSql)),

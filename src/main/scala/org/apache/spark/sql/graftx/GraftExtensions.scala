@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // conf-gated (spark.graft.matview.paths): aggregates over catalog base
     // scans route to maintained rollup views (graft.sources.MatViewRewrite)
     ext.injectOptimizerRule(_ => graft.sources.MatViewRewrite)
+    // conf-gated (spark.graft.statsBroadcast.enabled): filtered log-table
+    // join sides whose NDV-informed estimate fits the broadcast threshold
+    // get a BROADCAST hint Spark's size-only estimate would miss
+    ext.injectOptimizerRule(_ => graft.sources.StatsBroadcastRewrite)
     // plans graftx.AsOfJoin logical nodes (see AsOf.join); inert otherwise
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -85,6 +89,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.sources.MatViewRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.sources.MatViewRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.sources.StatsBroadcastRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sources.StatsBroadcastRewrite
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -111,6 +111,39 @@ class ServeSpec extends SparkSpec {
           // history is real: pre-update/delete snapshot over the same wire
           assert(one("SELECT count(*) FROM graft.jdbc_writes VERSION AS OF 1") == 3L,
             "JDBC writes must time-travel like any commit")
+
+          // --- atomic CROSS-TABLE transaction over the same wire: one
+          // CALL statement stages both tables, writes the intent, then
+          // publishes under one xt tag — both land or neither ---
+          st.execute("CREATE TABLE graft.txn_a (k BIGINT, s STRING)") // v0
+          st.execute("CREATE TABLE graft.txn_b (k BIGINT, s STRING)") // v0
+          val call = "CALL graft.system.txn_commit('jdbc_t1', " +
+            "array('txn_a','txn_b'), array('append','append'), " +
+            "array('SELECT CAST(1 AS BIGINT) AS k, ''x'' AS s', " +
+            "      'SELECT CAST(2 AS BIGINT) AS k, ''y'' AS s'))"
+          val rsC = conn2.createStatement().executeQuery(call)
+          val landed = scala.collection.mutable.Map.empty[String, Long]
+          while (rsC.next()) landed += rsC.getString(1) -> rsC.getLong(2)
+          assert(landed.keySet == Set("txn_a", "txn_b") &&
+            landed.values.forall(_ == 1L), s"CALL must report landed versions: $landed")
+          assert(one("SELECT count(*) FROM graft.txn_a") == 1L)
+          assert(one("SELECT count(*) FROM graft.txn_b") == 1L)
+          // both publishes carry the transaction's tag (the atomicity unit)
+          Seq("txn_a", "txn_b").foreach(t => assert(
+            graft.sources.TableLog.committedTxns(s"$root/$t").contains("xt_jdbc_t1"),
+            s"$t's commit must be tagged by the transaction"))
+          // torn state invisible: the split-free snapshot includes the txn
+          // on BOTH tables (never one-with, one-without)
+          val snap = graft.sources.Txn.consistentSnapshot(
+            s"$root/_txn", Seq(s"$root/txn_a", s"$root/txn_b"))
+          assert(snap.values.toSet == Set(1L),
+            s"consistent snapshot must not split the transaction: $snap")
+          // replaying the same id over JDBC is a READ of the recorded
+          // versions, never a second commit
+          val rsR = conn2.createStatement().executeQuery(call)
+          assert(rsR.next(), "replayed CALL must return the recorded versions")
+          assert(one("SELECT count(*) FROM graft.txn_a") == 1L,
+            "replayed CALL must not commit twice")
         } finally conn2.close()
       } finally conn.close()
     } finally server.stop()

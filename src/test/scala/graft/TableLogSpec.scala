@@ -733,4 +733,70 @@ class TableLogSpec extends SparkSpec {
     assert(seen == Seq(Seq(20L, 21L, 22L)))
     assert(TableLog.followChanges(spark, t, cursor)((_, _, _) => ()).isEmpty)
   }
+
+  test("changeFeedCdc: UPDATE emits O(k) update pairs, churn nets out, folds replay") {
+    rm(new java.io.File(s"$root/cdc"))
+    val t = s"$root/cdc/t"
+    // one data file of 10k rows — the file-granular UPDATE rewrite touches
+    // ALL of them, so the plain feed over-reports by 2×file while the CDC
+    // feed must emit exactly the k touched rows as update pairs
+    TableLog.commitAppend(
+      spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS v").coalesce(1), t) // v0
+    spark.conf.set("spark.sql.catalog.gcdc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdc.root", s"$root/cdc")
+    spark.sql("UPDATE gcdc.t SET v = v + 1 WHERE k >= 100 AND k < 105")          // v1
+    val plain = TableLog.changeFeed(spark, t, 0L, 1L).count()
+    assert(plain == 20000L, s"plain feed re-emits the whole rewritten file: $plain")
+    val cdc = TableLog.changeFeedCdc(spark, t, 0L, 1L, Seq("k")).collect()
+    assert(cdc.length == 10, s"expected 5 update pairs, got ${cdc.length} rows")
+    val byType = cdc.groupBy(_.getAs[String]("_change_type"))
+    assert(byType.keySet == Set("update_preimage", "update_postimage"))
+    assert(byType("update_preimage").map(r => (r.getAs[Long]("k"), r.getAs[Long]("v")))
+      .sortBy(_._1).toSeq == (100L until 105L).map(k => (k, k * 2)))
+    assert(byType("update_postimage").map(r => (r.getAs[Long]("k"), r.getAs[Long]("v")))
+      .sortBy(_._1).toSeq == (100L until 105L).map(k => (k, k * 2 + 1)))
+
+    // insert-only and DV-delete commits pass through untouched
+    TableLog.commitAppend(
+      spark.range(20000, 20003).selectExpr("id AS k", "id AS v"), t)             // v2
+    TableLog.deleteWhere(spark, t, "k < 3")                                      // v3 (DV)
+    val tail = TableLog.changeFeedCdc(spark, t, 1L, 3L, Seq("k")).collect()
+    assert(tail.count(_.getAs[String]("_change_type") == "insert") == 3)
+    assert(tail.count(_.getAs[String]("_change_type") == "delete") == 3)
+    assert(tail.length == 6)
+
+    // compaction churn nets to ZERO rows (plain feed emits 2×table here)
+    TableLog.optimize(spark, t)                                                  // v4
+    assert(TableLog.changeFeedCdc(spark, t, 3L, 4L, Seq("k")).isEmpty,
+      "a pure compaction must emit no CDC rows")
+
+    // signed fold over the whole feed replays the final snapshot exactly
+    val feed = TableLog.changeFeedCdc(spark, t, -1L, 4L, Seq("k"))
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val folded = feed.groupBy(col("k")).agg(sum(sgn).as("alive"),
+      sum(sgn * col("v")).as("v"))
+      .where(col("alive") > 0).select(col("k"), col("v"))
+    val direct = TableLog.read(spark, t).select(col("k"), col("v"))
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty,
+      "signed CDC fold diverged from the direct read")
+  }
+
+  test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
+    rm(new java.io.File(s"$root/cdcdup"))
+    val t = s"$root/cdcdup/t"
+    TableLog.commitAppend(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v").coalesce(1), t)  // v0
+    // overwrite = removed+added in one commit → the netting join runs
+    TableLog.commitOverwrite(
+      Seq((1L, "x"), (2L, "c")).toDF("k", "v").coalesce(1), t)             // v1
+    val e = intercept[Throwable] {
+      TableLog.changeFeedCdc(spark, t, 0L, 1L, Seq("k")).collect()
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else x.getMessage +: chain(x.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("duplicate key")),
+      s"expected a loud duplicate-key failure, got: ${chain(e).mkString(" | ")}")
+  }
 }
