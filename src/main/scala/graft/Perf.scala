@@ -16,6 +16,9 @@ object Perf {
       .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A/B toggle for the vectorized catalog read path (PERF.md dossiers)
+      .config("spark.graft.columnar.enabled",
+        sys.env.getOrElse("GRAFT_COLUMNAR", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
