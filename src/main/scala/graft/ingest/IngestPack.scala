@@ -296,6 +296,84 @@ object IngestPack extends QueryPack {
       |       max(wire_ts) AS max_ts
       |FROM b GROUP BY bucket""".stripMargin
 
+  /** Depth-weighted book stats with a COLUMN-PRESENCE guard: uses the
+    * `bids`/`asks` ladder arrays when the frame carries them (the depth
+    * wire, [[Normalize.projectOrderBookDepth]]), and falls back to the
+    * flat top-of-book columns otherwise — the same consumer runs
+    * unchanged on pre-depth snapshots, which is what lets the depth
+    * upgrade be a schema-widening commit instead of a migration.
+    * Per-row integerization (floor(price·1e9) per LEVEL, long volumes)
+    * keeps every emitted number in exact integer space.
+    */
+  private[graft] def depthStats(df: DataFrame): DataFrame = {
+    val hasLadder = df.columns.contains("bids") && df.columns.contains("asks")
+    def vol(lc: String, flat: String): Column =
+      if (hasLadder)
+        aggregate(col(lc), lit(0L), (a, x) => a + x.getField("volume"))
+      else col(flat)
+    def notional(lc: String, flatP: String, flatV: String): Column =
+      if (hasLadder)
+        aggregate(col(lc), lit(0L), (a, x) =>
+          a + floor(x.getField("price") * 1e9).cast("long") * x.getField("volume"))
+      else floor(col(flatP) * 1e9).cast("long") * col(flatV)
+    df.withColumn("bid_depth_vol", vol("bids", "bid_volume"))
+      .withColumn("ask_depth_vol", vol("asks", "ask_volume"))
+      .withColumn("bid_notional_e9", notional("bids", "bid_price", "bid_volume"))
+      .withColumn("ask_notional_e9", notional("asks", "ask_price", "ask_volume"))
+  }
+
+  /** S5+ stretch: per-bucket DEPTH-LADDER imbalance over the 3-level book
+    * wire — total bid/ask volume across all levels, volume imbalance in
+    * ppm (integer div, non-negative so Spark `DIV` == DuckDB `//`), and
+    * exact ladder notionals (per-row long integerization, DECIMAL(38,0)
+    * sums, ONE final integer division — the exact-statistic discipline).
+    * The oracle replays all three levels from the fixture's arithmetic,
+    * so a wrong level index, a dropped level, or a fallback that ignored
+    * the ladder flips every number.
+    */
+  def bookDepthImbalance(s: SparkSession, dir: String): DataFrame = {
+    val depth = Normalize.projectOrderBookDepth(apiBooks(s, dir))
+    depthStats(depth)
+      .groupBy(figiBucket(col("company_id"), 8).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_books"),
+        sum(col("bid_depth_vol")).as("bid_vol"),
+        sum(col("ask_depth_vol")).as("ask_vol"),
+        sum(col("bid_notional_e9").cast("decimal(30,0)")).as("_bn"),
+        sum(col("ask_notional_e9").cast("decimal(30,0)")).as("_an"))
+      .selectExpr(
+        "bucket", "n_books", "bid_vol", "ask_vol",
+        "CAST((1000000 * bid_vol) DIV (bid_vol + ask_vol) AS BIGINT) AS imb_ppm",
+        "CAST(_bn DIV 1000000 AS BIGINT) AS bid_notional_e3",
+        "CAST(_an DIV 1000000 AS BIGINT) AS ask_notional_e3")
+  }
+
+  private val bookDepthImbalanceSql = {
+    def lvl(uOff: Int, mul: Int, vOff: Int) =
+      s"CAST(floor((CAST(c_custkey % 500 + $uOff AS DOUBLE) + " +
+        s"CAST((c_custkey * $mul) % 1000000000 AS DOUBLE) / 1e9) * 1e9) AS BIGINT)" +
+        s" * (c_custkey % 50 + $vOff)"
+    def lvlA(uOff: Int, mul: Int, vOff: Int) =
+      s"CAST(floor((CAST(c_custkey % 500 + $uOff AS DOUBLE) + " +
+        s"CAST((c_custkey * $mul) % 1000000000 AS DOUBLE) / 1e9) * 1e9) AS BIGINT)" +
+        s" * (c_custkey % 60 + $vOff)"
+    s"""WITH b AS (
+       |  SELECT c_custkey % 8 AS bucket,
+       |         (c_custkey % 50 + 1) + (c_custkey % 50 + 7) + (c_custkey % 50 + 13) AS bvol,
+       |         (c_custkey % 60 + 1) + (c_custkey % 60 + 7) + (c_custkey % 60 + 13) AS avol,
+       |         ${lvl(100, 31, 1)} + ${lvl(99, 17, 7)} + ${lvl(98, 13, 13)} AS bnot,
+       |         ${lvlA(101, 37, 1)} + ${lvlA(102, 19, 7)} + ${lvlA(103, 11, 13)} AS anot
+       |  FROM customer)
+       |SELECT bucket, count(*) AS n_books,
+       |       CAST(sum(bvol) AS BIGINT) AS bid_vol,
+       |       CAST(sum(avol) AS BIGINT) AS ask_vol,
+       |       CAST((1000000 * CAST(sum(bvol) AS BIGINT))
+       |            // CAST(sum(bvol) + sum(avol) AS BIGINT) AS BIGINT) AS imb_ppm,
+       |       CAST(sum(bnot) // 1000000 AS BIGINT) AS bid_notional_e3,
+       |       CAST(sum(anot) // 1000000 AS BIGINT) AS ask_notional_e3
+       |FROM b GROUP BY bucket""".stripMargin
+  }
+
   def companiesE2e(s: SparkSession, dir: String): DataFrame = {
     val api = Tables.load(s, dir, "part").select(
       concat(lit("FIGI"), col("p_partkey")).as("figi"),
@@ -601,5 +679,6 @@ object IngestPack extends QueryPack {
     Q("ingest_companies_e2e", companiesE2e, Some(companiesE2eSql)),
     Q("ingest_quotation_fold", quotationFold, Some(quotationFoldSql)),
     Q("ingest_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
-    Q("book_snapshot_cadence", bookSnapshotCadence, Some(bookSnapshotCadenceSql)))
+    Q("book_snapshot_cadence", bookSnapshotCadence, Some(bookSnapshotCadenceSql)),
+    Q("book_depth_imbalance", bookDepthImbalance, Some(bookDepthImbalanceSql)))
 }

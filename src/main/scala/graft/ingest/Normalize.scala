@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Producer-side normalization (E1, SURVEY.md §2.2): broker-API shaped nested
@@ -49,6 +49,32 @@ object Normalize {
       element_at(col("bids"), 1).getField("quantity").as("bid_volume"),
       Quotation.fold(element_at(col("asks"), 1).getField("price")).as("ask_price"),
       element_at(col("asks"), 1).getField("quantity").as("ask_volume"))
+
+  /** P5+ (depth ladder, designed ahead of a driver round shipping depth
+    * columns): the SAME flat top-of-book columns as [[projectOrderBook]]
+    * PLUS the full ladders as `bids`/`asks` arrays of (price double,
+    * volume long) structs, quotations folded per level with `transform`
+    * (no UDF, stays in codegen). Because the flat columns are identical,
+    * an existing `order_book` snapshot table upgrades by a schema-WIDENING
+    * commit (two added array columns, null-backfilled in old files) — no
+    * migration, no S5 change: readers that only touch the flat columns
+    * never see the ladders, and ladder consumers guard on column presence
+    * (see [[graft.ingest.IngestPack.bookDepthImbalance]]).
+    */
+  def projectOrderBookDepth(api: DataFrame): DataFrame = {
+    def ladder(c: Column): Column = transform(c, lvl => struct(
+      Quotation.fold(lvl.getField("price")).as("price"),
+      lvl.getField("quantity").as("volume")))
+    api.select(
+      col("figi").as("company_id"),
+      wireTs(col("time")).as("timestamp"),
+      Quotation.fold(element_at(col("bids"), 1).getField("price")).as("bid_price"),
+      element_at(col("bids"), 1).getField("quantity").as("bid_volume"),
+      Quotation.fold(element_at(col("asks"), 1).getField("price")).as("ask_price"),
+      element_at(col("asks"), 1).getField("quantity").as("ask_volume"),
+      ladder(col("bids")).as("bids"),
+      ladder(col("asks")).as("asks"))
+  }
 
   /** P6: Share record (~60 broker fields) → 4-col company message */
   def projectCompanies(api: DataFrame): DataFrame =

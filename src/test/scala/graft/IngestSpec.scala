@@ -110,6 +110,34 @@ class IngestSpec extends SparkSpec {
     assert(out.getDouble(4) == 11.0 && out.getLong(5) == 2L) // best ask
   }
 
+  test("depth ladder: projection keeps flat top-of-book columns; stats guard on column presence") {
+    val book = Row("F", "2024-01-01T00:00:00Z",
+      Seq(Row(Row(10L, 500000000), 3L), Row(Row(9L, 0), 7L)),
+      Seq(Row(Row(11L, 0), 2L), Row(Row(12L, 0), 8L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(book)), Schemas.apiOrderBook)
+    val depth = Normalize.projectOrderBookDepth(df)
+    // the flat P5 columns are IDENTICAL (an existing order_book table
+    // upgrades by a widening commit, never a migration)
+    val flatCols = Normalize.projectOrderBook(df).columns.toSeq
+    assert(depth.columns.take(flatCols.length).toSeq == flatCols)
+    val d = depth.collect().head
+    assert(d.getDouble(2) == 10.5 && d.getDouble(4) == 11.0)
+
+    // ladder present → stats aggregate ALL levels
+    val withLadder = ingest.IngestPack.depthStats(depth).collect().head
+    assert(withLadder.getAs[Long]("bid_depth_vol") == 10L) // 3 + 7
+    assert(withLadder.getAs[Long]("ask_depth_vol") == 10L) // 2 + 8
+    assert(withLadder.getAs[Long]("bid_notional_e9") ==
+      3L * 10500000000L + 7L * 9000000000L)
+
+    // ladder ABSENT (pre-depth snapshot) → same consumer, top-of-book only
+    val noLadder = ingest.IngestPack.depthStats(
+      Normalize.projectOrderBook(df)).collect().head
+    assert(noLadder.getAs[Long]("bid_depth_vol") == 3L)
+    assert(noLadder.getAs[Long]("ask_depth_vol") == 2L)
+    assert(noLadder.getAs[Long]("bid_notional_e9") == 3L * 10500000000L)
+  }
+
   test("P7/P8 serialize∘parse is identity on valid flat messages") {
     val out = Ingest.parseTable(
       Normalize.serialize(Ingest.parseTable(raw(validTrade), "trades")
