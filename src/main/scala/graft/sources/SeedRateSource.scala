@@ -154,7 +154,8 @@ private[sources] class SeedRateTable(props: Map[String, String])
           new SeedRateStream(
             upstream = FrameUpstream.fromOptions(options.asScala.toMap),
             rowsPerBatch = Option(options.get("rowsPerBatch")).map(_.toInt).getOrElse(100),
-            minPartitions = Option(options.get("minPartitions")).map(_.toInt).getOrElse(2))
+            minPartitions = Option(options.get("minPartitions")).map(_.toInt).getOrElse(2),
+            targetBatchMs = Option(options.get("targetBatchMs")).map(_.toLong))
       }
     }
 }
@@ -167,8 +168,25 @@ private[sources] case class SeedOffset(index: Long) extends Offset {
 private[sources] class SeedRateStream(
     upstream: FrameUpstream,
     rowsPerBatch: Int,
-    minPartitions: Int) extends MicroBatchStream with SupportsAdmissionControl {
+    minPartitions: Int,
+    /** AIMD backpressure, same contract as the change-feed stream's
+      * (`TableChangeStream`): an over-target batch halves the next row
+      * admission (floor 1), at/under doubles back to `rowsPerBatch`.
+      * The reference producer's ratelimit_reset sleep
+      * (from_parser_to_rabbitmq.py:69-77), generalized. None = fixed cap.
+      */
+    targetBatchMs: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   require(rowsPerBatch > 0, "rowsPerBatch must be positive")
+  require(targetBatchMs.forall(_ > 0), "targetBatchMs must be positive")
+
+  @volatile private var adaptiveCap: Long = rowsPerBatch.toLong
+  /** admission instant per planned END offset — the engine constructs the
+    * next batch's offsets before committing the previous one, so the pair
+    * must be keyed, not held in a single mutable slot
+    */
+  private val admittedAtNs =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
 
   // driver-side: only the COUNT is held; frames stay upstream for executors
   private lazy val total: Long = upstream.total()
@@ -185,19 +203,28 @@ private[sources] class SeedRateStream(
     * the strictest maxRows inside a composite; anything unrecognized falls
     * back to this source's own default — never silently exceeds it.
     */
-  private def allowed(limit: ReadLimit): Long = limit match {
-    case m: ReadMaxRows      => m.maxRows()
-    case _: ReadAllAvailable => Long.MaxValue
-    case c: CompositeReadLimit =>
-      val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
-      if (caps.nonEmpty) caps.min else rowsPerBatch.toLong
-    case _ => rowsPerBatch.toLong
+  private def allowed(limit: ReadLimit): Long = {
+    // adaptation OFF preserves the original contract exactly (an engine
+    // maxRows is honored as-is); ON clamps every shape to the current cap
+    def cap(engine: Long): Long =
+      if (targetBatchMs.isDefined) math.min(engine, adaptiveCap) else engine
+    limit match {
+      case m: ReadMaxRows      => cap(m.maxRows())
+      case _: ReadAllAvailable => if (targetBatchMs.isDefined) adaptiveCap else Long.MaxValue
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+        if (caps.nonEmpty) cap(caps.min) else cap(rowsPerBatch.toLong)
+      case _ => cap(rowsPerBatch.toLong)
+    }
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeedOffset].index
     val cap = allowed(limit)
-    SeedOffset(math.min(if (cap >= total - s) total else s + cap, total))
+    val end = math.min(if (cap >= total - s) total else s + cap, total)
+    if (end > s && targetBatchMs.isDefined)
+      admittedAtNs.putIfAbsent(end, System.nanoTime())
+    SeedOffset(end)
   }
   override def reportLatestOffset(): Offset = SeedOffset(total)
   override def latestOffset(): Offset =
@@ -234,7 +261,15 @@ private[sources] class SeedRateStream(
       }
     }
 
-  override def commit(end: Offset): Unit = ()
+  /** AIMD adaptation point — see [[TableChangeStream.commit]] */
+  override def commit(end: Offset): Unit = targetBatchMs.foreach { target =>
+    val started = admittedAtNs.remove(end.asInstanceOf[SeedOffset].index)
+    if (started != null) {
+      val ms = (System.nanoTime() - started) / 1000000L
+      if (ms > target) adaptiveCap = math.max(1L, adaptiveCap / 2)
+      else adaptiveCap = math.min(rowsPerBatch.toLong, adaptiveCap * 2)
+    }
+  }
   override def stop(): Unit = ()
 }
 

@@ -193,6 +193,57 @@ class CatalogSpec extends SparkSpec {
     assert(parts(in) < 8)
   }
 
+  test("vectorized batch reads: typed round-trip on the columnar path; DVs and nested fall back") {
+    rm(new java.io.File(root))
+    val t = s"$root/typed_c"
+    import spark.implicits._
+    val src = spark.sql(
+      """SELECT id AS k, CAST(id AS INT) AS i, CAST(id AS DOUBLE) / 7 AS d,
+        |       md5(CAST(id AS STRING)) AS s,
+        |       CAST(id AS DECIMAL(12,2)) / 4 AS m,
+        |       timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP '2024-03-01 00:00:00') AS ts,
+        |       date_add(DATE '2024-03-01', CAST(id % 365 AS INT)) AS dt,
+        |       id % 2 = 0 AS b
+        |FROM range(0, 5000)""".stripMargin)
+    TableLog.commitAppend(src.coalesce(1), t)
+    register()
+    def plan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val q = spark.sql("SELECT * FROM graftcat.typed_c")
+    // flat primitives + no DVs → the scan feeds ColumnarBatches
+    assert(plan(q).contains("ColumnarToRow"),
+      s"flat DV-free catalog scan must be columnar:\n${q.queryExecution.executedPlan}")
+    val viaSql = q.collect().map(_.toString).sorted.toSeq
+    val direct = src.collect().map(_.toString).sorted.toSeq
+    assert(viaSql == direct, "columnar read must round-trip every type exactly")
+
+    // a DV on the snapshot → automatic fallback to the position-exact row
+    // reader, answers stay right
+    TableLog.deleteWhere(spark, t, "k % 10 = 3")
+    val q2 = spark.sql("SELECT * FROM graftcat.typed_c")
+    assert(!plan(q2).contains("ColumnarToRow"),
+      "a DV-bearing snapshot must take the row reader")
+    assert(q2.collect().length == 4500)
+
+    // nested schema → row reader (the converter owns nested shapes)
+    val tn = s"$root/nested_c"
+    TableLog.commitAppend(
+      spark.range(0, 100).selectExpr("id AS k", "named_struct('x', id) AS st"), tn)
+    val q3 = spark.sql("SELECT k, st.x AS x FROM graftcat.nested_c")
+    assert(!plan(q3).contains("ColumnarToRow"),
+      "nested schemas must take the Group reader")
+    assert(q3.collect().length == 100)
+
+    // conf opt-out
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val q4 = spark.sql("SELECT k FROM graftcat.typed_c VERSION AS OF 0")
+      assert(!plan(q4).contains("ColumnarToRow"), "conf must disable the columnar path")
+      assert(q4.collect().length == 5000)
+    } finally spark.conf.set("spark.graft.columnar.enabled", "true")
+  }
+
   test("array columns are SQL-queryable through the catalog") {
     rm(new java.io.File(root))
     val t = s"$root/emb"

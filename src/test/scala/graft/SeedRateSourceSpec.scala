@@ -62,6 +62,42 @@ class SeedRateSourceSpec extends SparkSpec {
     assert(out.map(_._2.size).sum == before, "restart re-admitted committed rows")
   }
 
+  test("adaptive admission: an over-target batch halves row admission, then recovers") {
+    rm(new java.io.File(s"$base/adapt"))
+    Files.createDirectories(Paths.get(s"$base/adapt"))
+    val seed = s"$base/adapt/seed.jsonl"
+    Files.writeString(Paths.get(seed), (0 until 16).map(i => s"f-$i").mkString("\n"))
+
+    val sizes = collection.mutable.ArrayBuffer.empty[Int]
+    val seen = collection.mutable.ArrayBuffer.empty[String]
+    var slept = false
+    val q = spark.readStream
+      .format("graft.sources.SeedRateSource")
+      .option("path", seed)
+      .option("rowsPerBatch", "4")
+      .option("targetBatchMs", "400")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/adapt/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.as[String].collect()
+        if (rows.nonEmpty) {
+          sizes += rows.length; seen ++= rows
+          if (!slept) { slept = true; Thread.sleep(1000) }
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    assert(sizes.head == 4, s"first batch admits the configured cap: $sizes")
+    assert(sizes.contains(2), s"the slow batch must halve a following admission: $sizes")
+    assert(sizes.drop(sizes.indexOf(2) + 1).exists(_ == 4),
+      s"fast batches must recover the cap: $sizes")
+    // exactly-once: every frame delivered once across the adaptation
+    assert(seen.size == 16 && seen.toSet == (0 until 16).map(i => s"f-$i").toSet)
+  }
+
   test("pluggable paged upstream: admission math holds when page size ≠ rowsPerBatch") {
     rm(new java.io.File(s"$base/paged"))
     Files.createDirectories(Paths.get(s"$base/paged"))
