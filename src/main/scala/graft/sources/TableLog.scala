@@ -2050,6 +2050,28 @@ object TableLog extends QueryPack {
   def followChanges(
       spark: SparkSession, table: String, cursorFile: String,
       restartOnRetentionExceeded: Boolean = false)(
+      f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] =
+    followWith(spark, table, cursorFile, restartOnRetentionExceeded,
+      changeFeed(spark, table, _, _))(f)
+
+  /** [[followChanges]] with ROW-LEVEL update semantics: the delivered frame
+    * is [[changeFeedCdc]] over the unseen range, so a polling consumer sees
+    * `update_preimage`/`update_postimage` pairs instead of file-rewrite
+    * churn — the durable-cursor twin of a Delta CDF reader. Same cursor
+    * discipline, retention behavior and exactly-once contract.
+    */
+  def followChangesCdc(
+      spark: SparkSession, table: String, cursorFile: String,
+      keyCols: Seq[String],
+      restartOnRetentionExceeded: Boolean = false)(
+      f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] =
+    followWith(spark, table, cursorFile, restartOnRetentionExceeded,
+      changeFeedCdc(spark, table, _, _, keyCols))(f)
+
+  private def followWith(
+      spark: SparkSession, table: String, cursorFile: String,
+      restartOnRetentionExceeded: Boolean,
+      feed: (Long, Long) => DataFrame)(
       f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val cp = Paths.get(cursorFile)
     val cursor =
@@ -2066,7 +2088,7 @@ object TableLog extends QueryPack {
       else throw new RetentionExceeded(table, cursor, vs.headOption.getOrElse(-1L))
     if (head <= last) None
     else {
-      f(changeFeed(spark, table, last, head), last, head)
+      f(feed(last, head), last, head)
       Files.createDirectories(cp.toAbsolutePath.getParent)
       val tmp = cp.resolveSibling(s".${cp.getFileName}.${java.util.UUID.randomUUID()}.tmp")
       Files.write(tmp, head.toString.getBytes(StandardCharsets.UTF_8))

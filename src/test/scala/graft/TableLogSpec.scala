@@ -783,6 +783,34 @@ class TableLogSpec extends SparkSpec {
       "signed CDC fold diverged from the direct read")
   }
 
+  test("followChangesCdc: durable cursor delivers update images, not rewrite churn") {
+    rm(new java.io.File(s"$root/cdcfollow"))
+    val t = s"$root/cdcfollow/t"
+    val cursor = s"$root/cdcfollow/cursor"
+    TableLog.commitAppend(
+      spark.range(0, 1000).selectExpr("id AS k", "id AS v").coalesce(1), t)   // v0
+    spark.conf.set("spark.sql.catalog.gcdcf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdcf.root", s"$root/cdcfollow")
+    spark.sql("UPDATE gcdcf.t SET v = v + 1 WHERE k < 3")                     // v1
+    val seen = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def drainOnce(): Option[(Long, Long)] =
+      TableLog.followChangesCdc(spark, t, cursor, Seq("k")) { (df, _, _) =>
+        seen ++= df.groupBy("_change_type").count()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
+    assert(drainOnce().contains((-1L, 1L)))
+    // v0's 1000 inserts + exactly 3 update pairs — never the 1000-row churn
+    assert(seen.toMap == Map("insert" -> 1000L,
+      "update_preimage" -> 3L, "update_postimage" -> 3L), s"got $seen")
+    assert(drainOnce().isEmpty, "caught-up follower must be a no-op")
+    // the next UPDATE delivers only ITS pairs, from the durable cursor
+    seen.clear()
+    spark.sql("UPDATE gcdcf.t SET v = v + 1 WHERE k = 500")                   // v2
+    assert(drainOnce().contains((1L, 2L)))
+    assert(seen.toMap == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
+  }
+
   test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
     rm(new java.io.File(s"$root/cdcdup"))
     val t = s"$root/cdcdup/t"
