@@ -237,14 +237,23 @@ object Main {
     case "follow" :: table :: cursorFile :: rest =>
       // one catch-up pass over the unseen commits via the durable-cursor
       // follower (prints per-change-type accounting); pass "restart" to
-      // recover a vacuumed cursor from the full snapshot
+      // recover a vacuumed cursor from the full snapshot, and
+      // "cdc=<k1,k2>" to net rewrite churn into update pre/post images
       val spark = session()
-      val r = sources.TableLog.followChanges(spark, table, cursorFile,
-        restartOnRetentionExceeded = rest.contains("restart")) { (df, from, to) =>
+      def report(df: org.apache.spark.sql.DataFrame, from: Long, to: Long): Unit = {
         df.groupBy("_commit_version", "_change_type").count()
           .orderBy("_commit_version", "_change_type").collect()
           .foreach(r => println(s"[follow] v${r.getLong(0)} ${r.getString(1)}: ${r.getLong(2)} rows"))
         println(s"[follow] processed ($from, $to]")
+      }
+      val restart = rest.contains("restart")
+      val r = rest.collectFirst { case s if s.startsWith("cdc=") =>
+        s.stripPrefix("cdc=").split(',').toSeq.filter(_.nonEmpty)
+      } match {
+        case Some(keys) => sources.TableLog.followChangesCdc(
+          spark, table, cursorFile, keys, restartOnRetentionExceeded = restart)(report)
+        case None => sources.TableLog.followChanges(
+          spark, table, cursorFile, restartOnRetentionExceeded = restart)(report)
       }
       if (r.isEmpty) println("[follow] caught up — no new commits")
       spark.stop()
@@ -290,7 +299,7 @@ object Main {
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
-          "       graft follow <tableLogDir> <cursorFile> [restart] — catch-up change-feed pass\n" +
+          "       graft follow <tableLogDir> <cursorFile> [restart] [cdc=<k1,k2>] — catch-up change-feed pass (cdc= nets update images)\n" +
           "       graft rollback <tableLogDir> <version>  — undo to a prior version (new commit)\n" +
           "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
           "       graft restore <backupDir> <newTableLogDir>\n" +
