@@ -2068,6 +2068,38 @@ object TableLog extends QueryPack {
     followWith(spark, table, cursorFile, restartOnRetentionExceeded,
       changeFeedCdc(spark, table, _, _, keyCols))(f)
 
+  /** CONTINUOUS row-level CDC: drive [[followChangesCdc]] off the
+    * change-feed stream — `f` receives each commit range's netted update
+    * images within one trigger of the commit. The maintainStream
+    * discipline (see [[MatView.maintainStream]]): the micro-batch CONTENT
+    * is deliberately unused — the stream is the TRIGGER, the durable
+    * cursor is the TRUTH — so crash/replay/restart all reduce to the
+    * cursor's exactly-once contract with no second offset store to
+    * reconcile. The source read is pruned to the key columns alone (the
+    * netting re-read inside followChangesCdc fetches full payloads only
+    * for the touched ranges).
+    */
+  def cdcStream(
+      spark: SparkSession, table: String, cursorFile: String,
+      keyCols: Seq[String], checkpointDir: String,
+      versionsPerTrigger: Int = 1)(
+      f: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "cdcStream needs at least one key column")
+    spark.readStream
+      .format("graft.sources.TableChangeSource")
+      .option("table", table)
+      .option("columns", keyCols.mkString(","))
+      .option("versionsPerTrigger", versionsPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        followChangesCdc(spark, table, cursorFile, keyCols)(f)
+        ()
+      }
+      .start()
+  }
+
   private def followWith(
       spark: SparkSession, table: String, cursorFile: String,
       restartOnRetentionExceeded: Boolean,

@@ -811,6 +811,42 @@ class TableLogSpec extends SparkSpec {
     assert(seen.toMap == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
   }
 
+  test("cdcStream: update images arrive per trigger; a restarted stream resumes from the cursor") {
+    rm(new java.io.File(s"$root/cdcstream"))
+    val t = s"$root/cdcstream/t"
+    val cursor = s"$root/cdcstream/cursor"
+    val ckpt = s"$root/cdcstream/ckpt"
+    TableLog.commitAppend(
+      spark.range(0, 1000).selectExpr("id AS k", "id AS v").coalesce(1), t)  // v0
+    spark.conf.set("spark.sql.catalog.gcdcs",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdcs.root", s"$root/cdcstream")
+    val seen = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def collectTypes(df: org.apache.spark.sql.DataFrame, from: Long, to: Long): Unit =
+      seen ++= df.groupBy("_change_type").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val q = TableLog.cdcStream(spark, t, cursor, Seq("k"), ckpt)(collectTypes)
+    try {
+      q.processAllAvailable()
+      assert(seen.toMap == Map("insert" -> 1000L), s"initial snapshot: $seen")
+      seen.clear()
+      spark.sql("UPDATE gcdcs.t SET v = v + 1 WHERE k < 3")                  // v1
+      q.processAllAvailable()
+      assert(seen.toMap == Map("update_preimage" -> 3L, "update_postimage" -> 3L),
+        s"update images must arrive within the trigger: $seen")
+    } finally { q.stop(); q.awaitTermination() }
+    // a restarted stream resumes from the CURSOR — no re-delivery, and the
+    // next commit arrives exactly once
+    seen.clear()
+    spark.sql("UPDATE gcdcs.t SET v = v + 1 WHERE k = 77")                   // v2
+    val q2 = TableLog.cdcStream(spark, t, cursor, Seq("k"), ckpt)(collectTypes)
+    try {
+      q2.processAllAvailable()
+      assert(seen.toMap == Map("update_preimage" -> 1L, "update_postimage" -> 1L),
+        s"restart must deliver only the unseen range: $seen")
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
     rm(new java.io.File(s"$root/cdcdup"))
     val t = s"$root/cdcdup/t"
