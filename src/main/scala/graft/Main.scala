@@ -204,6 +204,18 @@ object Main {
       val v = sources.TableLog.restore(spark, backupDir, newTable)
       println(s"[graft] restored $backupDir -> $newTable (version $v)")
       spark.stop()
+    case "tag" :: table :: Nil =>
+      val rs = sources.TableLog.refs(table)
+      if (rs.isEmpty) println("[tag] no tags")
+      else rs.toSeq.sortBy(_._1).foreach { case (t, v) => println(s"[tag] $t -> v$v") }
+    case "tag" :: table :: name :: v :: Nil =>
+      sources.TableLog.tagVersion(table, name, v.toLong)
+      println(s"[graft] tagged $table@v$v as '$name' (vacuum-protected; " +
+        s"readable as VERSION AS OF '$name')")
+    case "untag" :: table :: name :: Nil =>
+      if (sources.TableLog.untagVersion(table, name))
+        println(s"[graft] removed tag '$name' (its version is vacuumable again)")
+      else { System.err.println(s"no tag '$name' on $table"); sys.exit(1) }
     case "rollback" :: table :: toV :: Nil =>
       val v = sources.TableLog.rollbackTo(table, toV.toLong)
       println(s"[graft] rolled $table back to version $toV (published as version $v; " +
@@ -301,6 +313,8 @@ object Main {
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
           "       graft follow <tableLogDir> <cursorFile> [restart] [cdc=<k1,k2>] — catch-up change-feed pass (cdc= nets update images)\n" +
           "       graft rollback <tableLogDir> <version>  — undo to a prior version (new commit)\n" +
+          "       graft tag <tableLogDir> [<name> <version>] — list / add a named snapshot (vacuum-protected)\n" +
+          "       graft untag <tableLogDir> <name>        — remove a named snapshot\n" +
           "       graft backup <tableLogDir> <destDir> [asOfVersion]\n" +
           "       graft restore <backupDir> <newTableLogDir>\n" +
           "       graft diff <tableLogDir> <vA> <vB> <keyCol> <valueCol> — snapshot version diff\n" +

@@ -139,11 +139,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <v>` */
+  /** `VERSION AS OF <v>` — a commit number, or a NAMED TAG
+    * ([[TableLog.tagVersion]]): `VERSION AS OF 'release-2024q1'`
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName: VERSION AS OF takes a commit version number, got '$version'")
+      case _: NumberFormatException =>
+        TableLog.refVersion(tablePath(ident), version).getOrElse {
+          val known = TableLog.refs(tablePath(ident)).keys.toSeq.sorted
+          throw new IllegalArgumentException(
+            s"$catalogName: VERSION AS OF takes a commit version number or a tag, " +
+              s"got '$version' (tags of ${ident.name}: " +
+              s"${if (known.isEmpty) "none" else known.mkString(", ")})")
+        }
     }
     load(ident, Some(v))
   }

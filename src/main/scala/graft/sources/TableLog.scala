@@ -1152,10 +1152,78 @@ object TableLog extends QueryPack {
   /** Drop manifests older than the last `keepVersions` and delete data files
     * no kept manifest references. Returns (versions dropped, files deleted).
     */
+  // -------------------------------------------------------------------------
+  // Named version refs (TAGS) — Iceberg/Delta-style named snapshots
+  // -------------------------------------------------------------------------
+
+  private def refsFile(table: String): Path = logDir(table).resolve("refs.txt")
+
+  private val TagOk = "[A-Za-z][A-Za-z0-9_.-]*".r
+
+  /** all named refs: tag → version (empty when none recorded) */
+  def refs(table: String): Map[String, Long] = {
+    val p = refsFile(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.contains("|")).map { l =>
+      val i = l.indexOf('|'); l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+  }
+
+  /** the version a tag names (None: no such tag) */
+  def refVersion(table: String, tag: String): Option[Long] = refs(table).get(tag)
+
+  private def writeRefs(table: String, m: Map[String, Long]): Unit = {
+    Files.createDirectories(logDir(table))
+    val p = refsFile(table)
+    val tmp = p.resolveSibling(s".${p.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, m.toSeq.sortBy(_._1).map { case (t, v) => s"$t|$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** TAG a committed version with an immutable name: `VERSION AS OF
+    * '<tag>'` through the catalog resolves it, and [[vacuum]] PROTECTS it —
+    * a tagged snapshot stays readable past any retention window (the
+    * Iceberg tag / Delta named-snapshot contract). Tags must start with a
+    * letter (a digits-only name would shadow numeric time travel) and are
+    * write-once — re-pointing a name readers may hold is a silent
+    * time-travel lie, so re-tagging requires an explicit [[untagVersion]].
+    * A tag pins everything at-or-after it until untagged (vacuum reclaims
+    * untagged PREFIXES only — see [[vacuum]] for why middle gaps are
+    * unsound for delta-chain consumers).
+    */
+  def tagVersion(table: String, tag: String, v: Long): Unit = {
+    require(TagOk.pattern.matcher(tag).matches(),
+      s"tag '$tag' must match ${TagOk.regex} (letters first — numeric names shadow versions)")
+    require(versions(table).contains(v),
+      s"cannot tag $table@v$v: not a committed version")
+    val cur = refs(table)
+    require(!cur.contains(tag),
+      s"tag '$tag' already names v${cur(tag)} of $table — untag first (tags are write-once)")
+    writeRefs(table, cur + (tag -> v))
+  }
+
+  /** remove a tag (its version becomes vacuumable again); false if absent */
+  def untagVersion(table: String, tag: String): Boolean = {
+    val cur = refs(table)
+    if (!cur.contains(tag)) false
+    else { writeRefs(table, cur - tag); true }
+  }
+
   def vacuum(table: String, keepVersions: Int = 1): (Seq[Long], Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(table)
-    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
+    // tagged versions are PINNED, and retention never crosses the OLDEST
+    // tag: vacuum drops a contiguous untagged PREFIX only, because every
+    // delta-chain consumer (stepDiff, change feed, history classification)
+    // reads version v-1's manifest — a vacuumed MIDDLE version would turn
+    // their exact deltas into crashes or, worse, wrong inserts
+    val tagged = refs(table).values.toSet
+    val (dropCand, keepTail) = vs.splitAt((vs.size - keepVersions).max(0))
+    val drop = dropCand.takeWhile(v => !tagged(v))
+    val keep = keepTail ++ dropCand.drop(drop.size)
     val referenced =
       keep.flatMap(v => liveFiles(table, v) ++ dvFiles(table, v)).toSet
     val doomed =
@@ -1178,7 +1246,10 @@ object TableLog extends QueryPack {
   def vacuumPlan(table: String, keepVersions: Int = 1): (Seq[Long], Int, Long) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val vs = versions(table)
-    val (drop, keep) = vs.splitAt((vs.size - keepVersions).max(0))
+    val tagged = refs(table).values.toSet
+    val (dropCand, keepTail) = vs.splitAt((vs.size - keepVersions).max(0))
+    val drop = dropCand.takeWhile(v => !tagged(v))
+    val keep = keepTail ++ dropCand.drop(drop.size)
     val referenced =
       keep.flatMap(v => liveFiles(table, v) ++ dvFiles(table, v)).toSet
     val doomed =

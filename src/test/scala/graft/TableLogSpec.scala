@@ -811,6 +811,52 @@ class TableLogSpec extends SparkSpec {
     assert(seen.toMap == Map("update_preimage" -> 1L, "update_postimage" -> 1L))
   }
 
+  test("version tags: named time travel, vacuum protection, write-once names") {
+    rm(new java.io.File(s"$root/tags"))
+    val t = s"$root/tags/t"
+    TableLog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)  // v0
+    TableLog.commitOverwrite(Seq((9L, "z")).toDF("k", "v"), t)          // v1
+    TableLog.commitAppend(Seq((10L, "y")).toDF("k", "v"), t)            // v2
+    TableLog.tagVersion(t, "release-1", 0L)
+    assert(TableLog.refs(t) == Map("release-1" -> 0L))
+    // write-once: re-pointing a name readers may hold is refused
+    intercept[IllegalArgumentException](TableLog.tagVersion(t, "release-1", 1L))
+    // digits-only names would shadow numeric time travel
+    intercept[IllegalArgumentException](TableLog.tagVersion(t, "123", 1L))
+    // tagging an uncommitted version is refused
+    intercept[IllegalArgumentException](TableLog.tagVersion(t, "nope", 99L))
+
+    // the tag resolves through the SQL catalog's VERSION AS OF
+    spark.conf.set("spark.sql.catalog.gtags",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtags.root", s"$root/tags")
+    assert(spark.sql("SELECT count(*) AS n FROM gtags.t VERSION AS OF 'release-1'")
+      .collect().head.getLong(0) == 2L)
+    // an unknown tag fails loud, naming the known ones
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gtags.t VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("release-1"), s"error must list known tags: ${e.getMessage}")
+
+    // vacuum PROTECTS the tagged snapshot past the retention window — and
+    // never crosses it (only untagged PREFIXES reclaim, so the delta chain
+    // above the tag stays contiguous: v1 survives because v0 is tagged)
+    val (dropped, _) = TableLog.vacuum(t, keepVersions = 1)
+    assert(dropped.isEmpty, s"retention must stop at the oldest tag, dropped $dropped")
+    assert(TableLog.read(spark, t, Some(0L)).count() == 2L,
+      "tagged snapshot must stay readable after vacuum")
+    assert(TableLog.read(spark, t, Some(1L)).count() == 1L,
+      "the delta chain above the tag must stay intact")
+    assert(TableLog.read(spark, t).count() == 2L) // head (v2) intact
+    // the change feed across the protected range still derives exactly
+    assert(TableLog.changeFeed(spark, t, 0L, 2L).count() > 0)
+    // ...and untagging releases the prefix to the next vacuum
+    assert(TableLog.untagVersion(t, "release-1"))
+    assert(!TableLog.untagVersion(t, "release-1"))
+    val (dropped2, _) = TableLog.vacuum(t, keepVersions = 1)
+    assert(dropped2 == Seq(0L, 1L))
+    intercept[IllegalArgumentException](TableLog.read(spark, t, Some(0L)))
+  }
+
   test("cdcStream: update images arrive per trigger; a restarted stream resumes from the cursor") {
     rm(new java.io.File(s"$root/cdcstream"))
     val t = s"$root/cdcstream/t"
