@@ -197,7 +197,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * mean a metadata read.
     */
   private def metaTableOf(ident: Identifier): Option[(String, String)] = {
-    val kinds = Set("history", "files")
+    val kinds = Set("history", "files", "refs")
     val dotted = Option.when(ident.namespace.nonEmpty &&
       kinds(ident.name.toLowerCase)) {
       (ident.namespace.toSeq
@@ -1252,6 +1252,9 @@ private[sources] class GraftMetaTable(ident: String, path: String, v: Long,
       StructField("n_dv_files", IntegerType, nullable = false),
       StructField("n_live_rows", LongType, nullable = true),
       StructField("txn", StringType, nullable = true)))
+    case "refs" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = true),
@@ -1286,6 +1289,10 @@ private[sources] class GraftMetaTable(ident: String, path: String, v: Long,
           TableLog.metadataCount(path, Some(w)).map(Long.box).orNull,
           Some(TableLog.txnsAt(path, w)).filter(_.nonEmpty)
             .map(t => utf8(t.mkString(","))).orNull)
+      }.toArray
+    case "refs" =>
+      TableLog.refs(path).toSeq.sortBy(_._1).map { case (t, w) =>
+        Array[Any](utf8(t), w)
       }.toArray
     case _ =>
       val counts = TableLog.fileRowCounts(path)

@@ -837,6 +837,11 @@ class TableLogSpec extends SparkSpec {
       spark.sql("SELECT * FROM gtags.t VERSION AS OF 'nope'").collect())
     assert(e.getMessage.contains("release-1"), s"error must list known tags: ${e.getMessage}")
 
+    // tags are SQL-visible via the refs metadata table
+    val refRows = spark.sql("SELECT tag, version FROM gtags.t.refs")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(refRows == Seq(("release-1", 0L)), s"refs table wrong: $refRows")
+
     // vacuum PROTECTS the tagged snapshot past the retention window — and
     // never crosses it (only untagged PREFIXES reclaim, so the delta chain
     // above the tag stays contiguous: v1 survives because v0 is tagged)
