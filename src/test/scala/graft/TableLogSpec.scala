@@ -898,6 +898,28 @@ class TableLogSpec extends SparkSpec {
     } finally { q2.stop(); q2.awaitTermination() }
   }
 
+  test("changeFeedCdc across schema evolution: null-backfilled pre rows net exactly") {
+    rm(new java.io.File(s"$root/cdcevo"))
+    val t = s"$root/cdcevo/t"
+    TableLog.commitAppend(
+      spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1), t)     // v0 (no 'w')
+    spark.conf.set("spark.sql.catalog.gcdce",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdce.root", s"$root/cdcevo")
+    spark.sql("ALTER TABLE gcdce.t ADD COLUMN w BIGINT")                       // v1
+    // the UPDATE rewrites pre-evolution FILES whose rows lack 'w': the pre
+    // side must null-backfill so unchanged riders (w null on both sides)
+    // net out, and the touched rows emit images with the evolved schema
+    spark.sql("UPDATE gcdce.t SET w = 7 WHERE k < 2")                          // v2
+    val cdc = TableLog.changeFeedCdc(spark, t, 1L, 2L, Seq("k")).collect()
+    assert(cdc.length == 4, s"expected 2 update pairs, got ${cdc.length}:\n${cdc.mkString("\n")}")
+    val post = cdc.filter(_.getAs[String]("_change_type") == "update_postimage")
+    assert(post.forall(r => r.getAs[Long]("w") == 7L))
+    val pre = cdc.filter(_.getAs[String]("_change_type") == "update_preimage")
+    assert(pre.forall(r => r.isNullAt(r.fieldIndex("w"))),
+      "pre-evolution preimages must carry NULL for the added column")
+  }
+
   test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
     rm(new java.io.File(s"$root/cdcdup"))
     val t = s"$root/cdcdup/t"
