@@ -1192,7 +1192,11 @@ object TableLog extends QueryPack {
     * time-travel lie, so re-tagging requires an explicit [[untagVersion]].
     * A tag pins everything at-or-after it until untagged (vacuum reclaims
     * untagged PREFIXES only — see [[vacuum]] for why middle gaps are
-    * unsound for delta-chain consumers).
+    * unsound for delta-chain consumers). The refs file is replaced by
+    * atomic move (never torn), but tagging is a read-modify-write:
+    * concurrent taggers can lose one name — tags are operator actions, not
+    * a data-plane path, so this stays simple rather than joining the
+    * manifests' put-if-absent protocol.
     */
   def tagVersion(table: String, tag: String, v: Long): Unit = {
     require(TagOk.pattern.matcher(tag).matches(),
