@@ -1173,13 +1173,17 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
       // snapshot, the plain scan class (row-level operation scans keep the
       // position-exact row reader), and not conf-disabled. Everything else
       // takes the Group-API row reader.
+      def conf(key: String, dflt: Boolean): Boolean =
+        try SparkSession.active.conf.get(key, dflt.toString).toBoolean
+        catch { case _: Throwable => dflt }
+      val dvOk = conf("spark.graft.columnar.dv.enabled", dflt = false)
       val columnar =
         getClass == classOf[GraftLogScan] &&
           org.apache.spark.sql.graftx.VectorizedLogReader.flatSchema(required) &&
-          TableLog.dvFiles(path, v).isEmpty &&
-          (try SparkSession.active.conf.get("spark.graft.columnar.enabled", "true").toBoolean
-           catch { case _: Throwable => true })
-      new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive, columnar)
+          (dvOk || TableLog.dvFiles(path, v).isEmpty) &&
+          conf("spark.graft.columnar.enabled", dflt = true)
+      new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive,
+        columnar, allowColumnarDv = dvOk)
     } else new FileTaggedReaderFactory(dataSchema, TableChangeSource.caseSensitive)
 
   /** row groups skipped by footer stats, surfaced in the Spark UI per scan */

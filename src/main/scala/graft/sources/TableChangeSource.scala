@@ -325,7 +325,12 @@ private[sources] class ChangeFileReaderFactory(
       * no meta columns, zero DV files — because Spark refuses scans that
       * mix row and columnar partitions
       */
-    allowColumnar: Boolean = false)
+    allowColumnar: Boolean = false,
+    /** additionally serve DV-bearing partitions columnar (survivor-compacted
+      * batches, no row-group skipping on those files) — opt-in via
+      * `spark.graft.columnar.dv.enabled`, default off
+      */
+    allowColumnarDv: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ChangeFileReader(
@@ -333,13 +338,17 @@ private[sources] class ChangeFileReaderFactory(
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allowColumnar && (partition match {
-      case p: ChangeFilePartition => p.insert && p.only == null && p.skip.isEmpty
+      case p: ChangeFilePartition =>
+        p.insert && p.only == null && (p.skip.isEmpty || allowColumnarDv)
       case _ => false
     })
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ChangeFilePartition]
+    if (p.skip.nonEmpty)
+      return org.apache.spark.sql.graftx.VectorizedLogReader.openWithDv(
+        p.absPath, readSchema, caseSensitive, p.skip)
     var localSkipped = 0L
     val inner = org.apache.spark.sql.graftx.VectorizedLogReader.open(
       p.absPath, readSchema, caseSensitive, p.ranges,

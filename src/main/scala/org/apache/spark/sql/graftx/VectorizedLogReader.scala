@@ -66,6 +66,100 @@ object VectorizedLogReader {
       override def close(): Unit = ()
     }
 
+  /** DV-AWARE columnar read: the vectorized decode with the partition's
+    * sorted deleted positions subtracted. Positions are ABSOLUTE row
+    * indexes, so this path reads the file with NO row-group filter (a
+    * skipped group would shift every later position — the pushed ranges
+    * stay residual in Spark's plan, so dropping the predicate costs only
+    * the skip, never a wrong row). Batches with no deleted rows pass
+    * through UNTOUCHED (the overwhelmingly common case); a batch that
+    * intersects the DV is compacted by a typed survivor copy into fresh
+    * column vectors.
+    */
+  def openWithDv(absPath: String, required: StructType, caseSensitive: Boolean,
+      skip: Array[Long]): PartitionReader[ColumnarBatch] = {
+    val inner = open(absPath, required, caseSensitive, Array.empty, _ => ())
+    new PartitionReader[ColumnarBatch] {
+      private var cursor = 0L // absolute row index of the next batch's first row
+      private var sp = 0      // pointer into the sorted skip positions
+      private var out: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val b = inner.get()
+          val n = b.numRows()
+          // deleted positions inside [cursor, cursor + n)
+          while (sp < skip.length && skip(sp) < cursor) sp += 1
+          var se = sp
+          while (se < skip.length && skip(se) < cursor + n) se += 1
+          if (se == sp) { out = b; cursor += n; return true }
+          val dead = java.util.Arrays.copyOfRange(skip, sp, se)
+          val survivors = n - dead.length
+          sp = se
+          val base = cursor
+          cursor += n
+          if (survivors > 0) { out = compact(b, dead, base, survivors); return true }
+          // fully-deleted batch: keep pulling
+        }
+        false
+      }
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = inner.close()
+
+      /** copy the rows NOT listed in `dead` (absolute positions, sorted)
+        * into fresh on-heap vectors — one typed dispatch per column
+        */
+      private def compact(b: ColumnarBatch, dead: Array[Long], base: Long,
+          survivors: Int): ColumnarBatch = {
+        import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+        val cols = required.fields.indices.map(i =>
+          new OnHeapColumnVector(survivors, required.fields(i).dataType)).toArray
+        var di = 0
+        var dp = 0
+        var i = 0
+        val n = b.numRows()
+        while (i < n) {
+          if (dp < dead.length && dead(dp) == base + i) dp += 1
+          else {
+            var c = 0
+            while (c < cols.length) {
+              copyValue(required.fields(c).dataType, b.column(c), i, cols(c), di)
+              c += 1
+            }
+            di += 1
+          }
+          i += 1
+        }
+        new ColumnarBatch(
+          cols.map(v => v: org.apache.spark.sql.vectorized.ColumnVector), survivors)
+      }
+    }
+  }
+
+  private def copyValue(dt: DataType,
+      src: org.apache.spark.sql.vectorized.ColumnVector, si: Int,
+      dst: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      di: Int): Unit = {
+    if (src.isNullAt(si)) { dst.putNull(di); return }
+    dt match {
+      case BooleanType => dst.putBoolean(di, src.getBoolean(si))
+      case ByteType => dst.putByte(di, src.getByte(si))
+      case ShortType => dst.putShort(di, src.getShort(si))
+      case IntegerType | DateType => dst.putInt(di, src.getInt(si))
+      case LongType | TimestampType | TimestampNTZType =>
+        dst.putLong(di, src.getLong(si))
+      case FloatType => dst.putFloat(di, src.getFloat(si))
+      case DoubleType => dst.putDouble(di, src.getDouble(si))
+      case StringType =>
+        val s = src.getUTF8String(si); dst.putByteArray(di, s.getBytes); ()
+      case BinaryType => dst.putByteArray(di, src.getBinary(si)); ()
+      case d: DecimalType =>
+        dst.putDecimal(di, src.getDecimal(si, d.precision, d.scale), d.precision)
+      case other => throw new UnsupportedOperationException(
+        s"DV-columnar copy does not support $other") // unreachable: flatSchema gates
+    }
+    ()
+  }
+
   /** open one file as a ColumnarBatch reader; `ranges` are the pushed
     * per-column [lo, hi] envelopes (integral table columns only)
     */

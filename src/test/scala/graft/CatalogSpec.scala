@@ -244,6 +244,41 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.columnar.enabled", "true")
   }
 
+  test("DV-columnar opt-in: survivor-compacted batches stay position-exact") {
+    rm(new java.io.File(root))
+    val t = s"$root/dvcol"
+    // one file spanning MANY 4096-row vector batches, typed payload
+    TableLog.commitAppend(
+      spark.sql(
+        """SELECT id AS k, md5(CAST(id AS STRING)) AS s,
+          |       CAST(id AS DECIMAL(12,2)) / 4 AS m,
+          |       CAST(id AS DOUBLE) / 7 AS d,
+          |       IF(id % 11 = 0, CAST(NULL AS BIGINT), id * 3) AS nv
+          |FROM range(0, 20000)""".stripMargin).coalesce(1), t)
+    // scattered deletes (every 7th) PLUS a contiguous band that wipes a
+    // whole vector batch — the fully-deleted-batch skip path
+    TableLog.deleteWhere(spark, t, "k % 7 = 0 OR (k >= 8192 AND k < 12288)")
+    register()
+    spark.conf.set("spark.graft.columnar.dv.enabled", "true")
+    try {
+      val q = spark.sql("SELECT * FROM graftcat.dvcol")
+      q.collect()
+      assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"DV opt-in must plan columnar:\n${q.queryExecution.executedPlan}")
+      val viaCol = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.columnar.enabled", "false")
+      val viaRow = spark.sql("SELECT * FROM graftcat.dvcol")
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.columnar.enabled", "true")
+      assert(viaCol.length == viaRow.length && viaCol == viaRow,
+        s"DV-columnar diverged from the row path: ${viaCol.length} vs ${viaRow.length}")
+      // survivor arithmetic is exact: a position shift would flip parity
+      val ks = q.select("k").collect().map(_.getLong(0))
+      assert(ks.forall(k => k % 7 != 0 && !(k >= 8192 && k < 12288)))
+      assert(ks.length == viaRow.length)
+    } finally spark.conf.set("spark.graft.columnar.dv.enabled", "false")
+  }
+
   test("array columns are SQL-queryable through the catalog") {
     rm(new java.io.File(root))
     val t = s"$root/emb"
