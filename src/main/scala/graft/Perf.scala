@@ -16,9 +16,13 @@ object Perf {
       .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // A/B toggle for the vectorized catalog read path (PERF.md dossiers)
+      // A/B toggles for the vectorized catalog read paths (PERF.md dossiers)
       .config("spark.graft.columnar.enabled",
         sys.env.getOrElse("GRAFT_COLUMNAR", "true"))
+      .config("spark.graft.columnar.dv.enabled",
+        sys.env.getOrElse("GRAFT_COLUMNAR_DV", "true"))
+      .config("spark.graft.columnar.nested.enabled",
+        sys.env.getOrElse("GRAFT_COLUMNAR_NESTED", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

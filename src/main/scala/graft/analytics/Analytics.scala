@@ -1417,7 +1417,7 @@ object Analytics extends QueryPack {
       min_by(col("anchor"), struct(-col("stick_ppm"), col("anchor"))).as("max_day_num"),
       max(col("stick_ppm")).as("max_stick_ppm"))
     val rows = out.collect()
-    pairs.unpersist(blocking = false)
+    pairs.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -2276,7 +2276,7 @@ object Analytics extends QueryPack {
         expr("cum_spend_mc div n_users").as("ltv_per_user_mc"))
       .orderBy(col("cohort"), col("age_m"))
     val rows = out.collect()
-    cohorts.unpersist(blocking = false)
+    cohorts.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -2344,7 +2344,7 @@ object Analytics extends QueryPack {
         expr("n_depth2 * 1000000 div n_depth1").as("conv2_ppm"),
         expr("n_depth3 * 1000000 div n_depth1").as("conv3_ppm"))
     val rows = out.collect()
-    views.unpersist(blocking = false)
+    views.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -50,7 +50,10 @@ object Graph extends QueryPack {
     */
   private def localized(result: DataFrame, caches: Seq[DataFrame]): DataFrame = {
     val rows = result.collect()
-    caches.foreach(_.unpersist(blocking = false))
+    // BLOCKING: non-blocking eviction let dead blocks accumulate across a
+    // long-lived JVM's bench runs (the round-12 kcore drift); the wait is
+    // milliseconds against a query that just ran seconds.
+    caches.foreach(_.unpersist(blocking = true))
     result.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), result.schema)
   }
@@ -168,7 +171,7 @@ object Graph extends QueryPack {
         .cache()
       next.count()
       roundAudit("graph_pagerank", t, next)
-      p.unpersist(blocking = false)
+      p.unpersist(blocking = true)
       p = next
     }
     val top = p.orderBy(col("pr").desc, col("node")).limit(20)
@@ -216,7 +219,7 @@ object Graph extends QueryPack {
             coalesce(col("c"), lit(0L))).as("pr"))
         .cache()
       next.count()
-      p.unpersist(blocking = false)
+      p.unpersist(blocking = true)
       p = next
     }
     val top = p.where(col("node") % 2 === 1 && col("pr") > 0)
@@ -620,7 +623,6 @@ object Graph extends QueryPack {
     val e = coPartEdges(s, dir).select("x", "y")
     var cur = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       .repartition(col("x")).cache()
-    var acquired = List[DataFrame](cur)
     val stats = scala.collection.mutable.ListBuffer(
       (0L, cur.select("x").distinct().count(), cur.count() / 2))
     for (t <- 1 to KcoreRounds) {
@@ -633,10 +635,17 @@ object Graph extends QueryPack {
       val nNodes = surv.count()
       val nEdges = next.count() / 2 // materializes next before cur drops
       stats += ((t.toLong, nNodes, nEdges))
-      acquired = surv :: next :: acquired
+      // per-round BLOCKING eviction: the predecessor edge relation and this
+      // round's survivor set are dead once `next` is materialized. The old
+      // accumulate-then-unpersist(blocking=false) sweep let dead blocks pile
+      // up across bench runs in a long-lived JVM (round-12 PERF series climbed
+      // 8.7→13.4 s same-JVM); blocking here keeps the storage footprint at
+      // exactly one live edge relation between rounds.
+      cur.unpersist(blocking = true)
+      surv.unpersist(blocking = true)
       cur = next
     }
-    acquired.foreach(_.unpersist(blocking = false))
+    cur.unpersist(blocking = true)
     import s.implicits._
     stats.toSeq.toDF("round", "n_nodes", "n_edges")
   }

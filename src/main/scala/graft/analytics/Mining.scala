@@ -86,7 +86,7 @@ object Mining extends QueryPack {
     // query leaves no fact-scale cache entry behind (Graph pack's localize
     // pattern)
     val rows = out.collect()
-    baskets.unpersist(blocking = false)
+    baskets.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -170,7 +170,7 @@ object Mining extends QueryPack {
       .orderBy(col("lift3_milli").desc, col("ia"), col("ib"), col("ic"))
       .limit(TripleK)
     val rows = out.collect()
-    baskets.unpersist(blocking = false)
+    baskets.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -436,16 +436,16 @@ object Mining extends QueryPack {
       timed("sim_edges", st.sim),
       timed("nb_truncated", st.nb),
       timed("cand_scored", st.cand))
-    st.up.unpersist(blocking = false)
-    st.up0.unpersist(blocking = false)
+    st.up.unpersist(blocking = true)
+    st.up0.unpersist(blocking = true)
     rows
   }
 
   def cfItemRecs(s: SparkSession, dir: String): DataFrame = {
     val st = cfStages(s, dir)
     val rows = st.out.collect()
-    st.up.unpersist(blocking = false)
-    st.up0.unpersist(blocking = false)
+    st.up.unpersist(blocking = true)
+    st.up0.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), st.out.schema)
   }
 
@@ -589,7 +589,7 @@ object Mining extends QueryPack {
           col("max_abs_err_c"))
     }.reduce(_ unionAll _)
     val rows = out.collect()
-    ser.unpersist(blocking = false)
+    ser.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -936,7 +936,7 @@ object Mining extends QueryPack {
         col("min_cx"), col("max_cx"), col("min_cy"), col("max_cy"))
     val out = clustered.unionAll(noise).orderBy(col("cluster_id"))
     val rows = out.collect()
-    cells.unpersist(blocking = false)
+    cells.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -1119,7 +1119,7 @@ object Mining extends QueryPack {
     edges.createOrReplaceTempView("edges_rec")
     val rows = s.sql(reachSqlFor("edges_rec")).collect()
     val schema = s.sql(reachSqlFor("edges_rec")).schema
-    edges.unpersist(blocking = false)
+    edges.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -1464,7 +1464,7 @@ object Mining extends QueryPack {
       .unionAll(nodeRow(right, "right", "p_size", qR, sR))
       .orderBy(col("node"))
     val rows = out.collect()
-    base.unpersist(blocking = false)
+    base.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

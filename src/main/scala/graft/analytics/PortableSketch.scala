@@ -209,7 +209,7 @@ object PortableSketch extends QueryPack {
     // query leaves no session state behind (same discipline as the graph
     // pack's `localized`)
     val rows = result.collect()
-    Seq(va, vb, ska, skb).foreach(_.unpersist(blocking = false))
+    Seq(va, vb, ska, skb).foreach(_.unpersist(blocking = true))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 

@@ -374,6 +374,110 @@ object IngestPack extends QueryPack {
        |FROM b GROUP BY bucket""".stripMargin
   }
 
+  /** Per-book MICROSTRUCTURE readouts in exact integer space, with the same
+    * COLUMN-PRESENCE guard as [[depthStats]]: microprice numerator/denominator
+    * from the top of book (present in every snapshot generation), per-side
+    * ladder VWAP notionals and a ladder price SPAN (level 1 → deepest) when
+    * the `bids`/`asks` arrays exist; a flat-only snapshot degrades to a
+    * 1-level ladder (span 0, notional = top price × top volume) instead of
+    * failing — the schema-widening upgrade story, at query level.
+    * Every emitted component is a long (floor(price·1e9) per level), so
+    * downstream aggregation stays in the exact-statistic discipline.
+    */
+  private[graft] def microStats(df: DataFrame): DataFrame = {
+    val hasLadder = df.columns.contains("bids") && df.columns.contains("asks")
+    def e9(c: Column): Column = floor(c * 1e9).cast("long")
+    def lvlE9(side: String, i: Int): Column =
+      e9(element_at(col(side), i).getField("price"))
+    // level 1 → DEEPEST level (index -1, whatever the wire's depth), CASE-
+    // guarded so a 0/1-level ladder reads as zero span instead of an ANSI
+    // element_at error
+    def span(side: String): Column =
+      if (hasLadder) when(size(col(side)) >= 2,
+        abs(lvlE9(side, -1) - lvlE9(side, 1))).otherwise(lit(0L))
+      else lit(0L)
+    val withDepth =
+      if (hasLadder) depthStats(df)
+      else df
+        .withColumn("bid_depth_vol", col("bid_volume"))
+        .withColumn("ask_depth_vol", col("ask_volume"))
+        .withColumn("bid_notional_e9", e9(col("bid_price")) * col("bid_volume"))
+        .withColumn("ask_notional_e9", e9(col("ask_price")) * col("ask_volume"))
+    withDepth
+      .withColumn("micro_num_e9",
+        e9(col("bid_price")) * col("ask_volume") +
+          e9(col("ask_price")) * col("bid_volume"))
+      .withColumn("micro_den", col("bid_volume") + col("ask_volume"))
+      .withColumn("bid_span_e9", span("bids"))
+      .withColumn("ask_span_e9", span("asks"))
+  }
+
+  /** S5++ microstructure: per-bucket MICROPRICE (top-of-book prices weighted
+    * by opposite-side volume — the standard fair-value estimator), per-side
+    * ladder VWAPs, their weighted MID, and the ladder SLOPE (price span per
+    * unit of resting depth — the liquidity readout depth data exists for).
+    * Exact-statistic discipline throughout: per-row long integerization,
+    * DECIMAL(38,0) sums, final integer divisions on non-negative operands
+    * (Spark `DIV` == DuckDB `//`). The oracle replays all three levels from
+    * the fixture arithmetic — a wrong level index, a swapped weighting side
+    * (microprice weights by the OPPOSITE side), or a fallback that ignored
+    * the ladder flips every emitted number.
+    */
+  def bookMicroprice(s: SparkSession, dir: String): DataFrame = {
+    val depth = Normalize.projectOrderBookDepth(apiBooks(s, dir))
+    microStats(depth)
+      .groupBy(figiBucket(col("company_id"), 8).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_books"),
+        sum(col("micro_num_e9").cast("decimal(38,0)")).as("_mn"),
+        sum(col("micro_den")).as("_md"),
+        sum(col("bid_notional_e9").cast("decimal(38,0)")).as("_bn"),
+        sum(col("ask_notional_e9").cast("decimal(38,0)")).as("_an"),
+        sum(col("bid_depth_vol")).as("_bv"),
+        sum(col("ask_depth_vol")).as("_av"),
+        sum(col("bid_span_e9") + col("ask_span_e9")).as("_span"))
+      .selectExpr(
+        "bucket", "n_books",
+        "CAST(_mn DIV _md AS BIGINT) AS micro_e9",
+        "CAST(_bn DIV _bv AS BIGINT) AS bid_vwap_e9",
+        "CAST(_an DIV _av AS BIGINT) AS ask_vwap_e9",
+        "CAST((_bn DIV _bv + _an DIV _av) DIV 2 AS BIGINT) AS wmid_e9",
+        "CAST(_span DIV (_bv + _av) AS BIGINT) AS span_per_vol_e9")
+  }
+
+  private val bookMicropriceSql = {
+    // folded level price as the oracle sees it (same IEEE ops as
+    // Quotation.toDouble + floor(x*1e9)); uOff/mul pin the fixture level
+    def pe9(uOff: Int, mul: Int) =
+      s"CAST(floor((CAST(c_custkey % 500 + $uOff AS DOUBLE) + " +
+        s"CAST((c_custkey * $mul) % 1000000000 AS DOUBLE) / 1e9) * 1e9) AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT c_custkey % 8 AS bucket,
+       |         c_custkey % 50 + 1 AS bvol1, c_custkey % 60 + 1 AS avol1,
+       |         (c_custkey % 50 + 1) + (c_custkey % 50 + 7) + (c_custkey % 50 + 13) AS bvol,
+       |         (c_custkey % 60 + 1) + (c_custkey % 60 + 7) + (c_custkey % 60 + 13) AS avol,
+       |         ${pe9(100, 31)} AS b1, ${pe9(99, 17)} AS b2, ${pe9(98, 13)} AS b3,
+       |         ${pe9(101, 37)} AS a1, ${pe9(102, 19)} AS a2, ${pe9(103, 11)} AS a3
+       |  FROM customer),
+       |r AS (
+       |  SELECT bucket,
+       |         b1 * avol1 + a1 * bvol1 AS mnum, bvol1 + avol1 AS mden,
+       |         b1 * (c2) + b2 * (c7) + b3 * (c13) AS bnot,
+       |         a1 * (d2) + a2 * (d7) + a3 * (d13) AS anot,
+       |         bvol, avol,
+       |         greatest(b3 - b1, b1 - b3) + greatest(a3 - a1, a1 - a3) AS span
+       |  FROM (SELECT *, bvol1 AS c2, bvol1 + 6 AS c7, bvol1 + 12 AS c13,
+       |               avol1 AS d2, avol1 + 6 AS d7, avol1 + 12 AS d13 FROM b))
+       |SELECT bucket, count(*) AS n_books,
+       |       CAST(sum(CAST(mnum AS HUGEINT)) // CAST(sum(mden) AS HUGEINT) AS BIGINT) AS micro_e9,
+       |       CAST(sum(CAST(bnot AS HUGEINT)) // CAST(sum(bvol) AS HUGEINT) AS BIGINT) AS bid_vwap_e9,
+       |       CAST(sum(CAST(anot AS HUGEINT)) // CAST(sum(avol) AS HUGEINT) AS BIGINT) AS ask_vwap_e9,
+       |       CAST((sum(CAST(bnot AS HUGEINT)) // CAST(sum(bvol) AS HUGEINT)
+       |             + sum(CAST(anot AS HUGEINT)) // CAST(sum(avol) AS HUGEINT)) // 2 AS BIGINT) AS wmid_e9,
+       |       CAST(CAST(sum(span) AS HUGEINT) // CAST(sum(bvol) + sum(avol) AS HUGEINT) AS BIGINT) AS span_per_vol_e9
+       |FROM r GROUP BY bucket""".stripMargin
+  }
+
   def companiesE2e(s: SparkSession, dir: String): DataFrame = {
     val api = Tables.load(s, dir, "part").select(
       concat(lit("FIGI"), col("p_partkey")).as("figi"),
@@ -680,5 +784,6 @@ object IngestPack extends QueryPack {
     Q("ingest_quotation_fold", quotationFold, Some(quotationFoldSql)),
     Q("ingest_ts_roundtrip", tsRoundtrip, Some(tsRoundtripSql)),
     Q("book_snapshot_cadence", bookSnapshotCadence, Some(bookSnapshotCadenceSql)),
-    Q("book_depth_imbalance", bookDepthImbalance, Some(bookDepthImbalanceSql)))
+    Q("book_depth_imbalance", bookDepthImbalance, Some(bookDepthImbalanceSql)),
+    Q("book_microprice", bookMicroprice, Some(bookMicropriceSql)))
 }

@@ -1298,7 +1298,7 @@ object Curation extends QueryPack {
         expr("t_budget * 1000000 div tokens_kept").as("utilization_ppm"))
       .orderBy(col("source"))
     val rows = out.collect()
-    d.unpersist(blocking = false)
+    d.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -526,7 +526,7 @@ object Dedup extends QueryPack {
       .write.mode(mode).partitionBy("band").parquet(path + "/buckets")
     sk.select(col("doc_id"), col("sh"), col("n_sh"))
       .write.mode(mode).parquet(path + "/sketch")
-    sk.unpersist(blocking = false)
+    sk.unpersist(blocking = true)
     ()
   }
 

@@ -86,7 +86,7 @@ object Erasure {
         .join(t, Seq(idCol), "left_semi")
       if (!res.isEmpty) mark(indexPath, res, idCol, to, alive = true)
     }
-    last.unpersist(blocking = false)
+    last.unpersist(blocking = true)
     ()
   }
 
@@ -149,7 +149,7 @@ object Erasure {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val tmp = sidecar(indexPath) + s".compact_$tag"
     net.coalesce(1).write.parquet(tmp)
-    all.unpersist(blocking = false)
+    all.unpersist(blocking = true)
     new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
         case (f, i) => java.nio.file.Files.move(

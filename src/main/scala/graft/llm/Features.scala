@@ -167,7 +167,7 @@ object Features extends QueryPack {
       .orderBy(col("fold"))
     // materialize the K-row result, then release the fold-stats cache
     val rows = out.collect()
-    foldStats.unpersist(blocking = false)
+    foldStats.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

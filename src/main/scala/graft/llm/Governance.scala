@@ -968,7 +968,7 @@ object Governance extends QueryPack {
       floor(col("fit") * 1000000).cast("long").as("iso_ppm"))
       .orderBy(col("bin"))
     val rows = out.collect()
-    bins.unpersist(blocking = false)
+    bins.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -1970,7 +1970,7 @@ object Similarity extends QueryPack {
       .select(col("j").as("dim"), col("v").as("v_fp"), col("m").as("last_scale"))
       .orderBy(col("dim"))
     val rows = out.collect()
-    cm.unpersist(blocking = false)
+    cm.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -1272,7 +1272,7 @@ object TextStats extends QueryPack {
       .where(col("rank") <= SigK)
       .orderBy(col("source"), col("rank"))
     val rows = out.collect()
-    st.unpersist(blocking = false)
+    st.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -1381,7 +1381,7 @@ object TextStats extends QueryPack {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"))
       .orderBy(col("query_id"), col("rank"))
     val rows = out.collect()
-    pair.unpersist(blocking = false)
+    pair.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -1416,7 +1416,7 @@ object TextStats extends QueryPack {
     val out = eval(r1, "bm25").join(eval(r2, "prf"), "query_id")
       .orderBy(col("query_id"))
     val rows = out.collect()
-    pair.unpersist(blocking = false)
+    pair.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

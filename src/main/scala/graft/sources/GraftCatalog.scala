@@ -91,15 +91,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace.toSeq, ident.name.toLowerCase) match {
       case (Seq("system"), "txn_commit") => new GraftProcedures.TxnCommit(root)
       case (Seq("system"), "txn_recover") => new GraftProcedures.TxnRecover(root)
+      case (Seq("system"), "optimize") => new GraftProcedures.Optimize(root)
+      case (Seq("system"), "zorder") => new GraftProcedures.ZOrder(root)
+      case (Seq("system"), "vacuum") => new GraftProcedures.Vacuum(root)
+      case (Seq("system"), "vacuum_plan") => new GraftProcedures.VacuumPlan(root)
+      case (Seq("system"), "rollback") => new GraftProcedures.Rollback(root)
+      case (Seq("system"), "tag") => new GraftProcedures.Tag(root)
+      case (Seq("system"), "untag") => new GraftProcedures.Untag(root)
       case _ => throw new IllegalArgumentException(
         s"$catalogName: unknown procedure ${ident.namespace.mkString(".")}.${ident.name} " +
-          "(available: system.txn_commit, system.txn_recover)")
+          s"(available: ${GraftCatalog.ProcedureNames.mkString(", ")})")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "txn_commit"),
-        Identifier.of(Array("system"), "txn_recover"))
+      GraftCatalog.ProcedureNames.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -345,6 +351,11 @@ private[sources] object GraftCatalog {
   /** the `_file` metadata column name (Delta/Iceberg's diagnostic idiom) */
   val FileCol = "_file"
 
+  /** every `CALL <cat>.system.<name>(...)` procedure */
+  val ProcedureNames: Seq[String] = Seq(
+    "txn_commit", "txn_recover", "optimize", "zorder", "vacuum",
+    "vacuum_plan", "rollback", "tag", "untag")
+
   /** one empty data file whose parquet footer carries `schema` — how DDL
     * materializes a schema in a log whose schema IS its files' merged
     * footers. `repartition(1)` pins exactly one write task, and Spark's
@@ -402,7 +413,16 @@ private[sources] class GraftLogTable(ident: String, path: String, v: Long)
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, // readStream.table: append feed
       TableCapability.V1_BATCH_WRITE, // whole-DataFrame insert → commitAppend
-      TableCapability.TRUNCATE)       // INSERT OVERWRITE → commitOverwrite
+      TableCapability.TRUNCATE,       // INSERT OVERWRITE → commitOverwrite
+      // `MERGE WITH SCHEMA EVOLUTION INTO`: Spark's
+      // ResolveMergeIntoSchemaEvolution computes the source-only columns as
+      // AddColumn changes and drives them through [[GraftCatalog.alterTable]]
+      // (a schema-widening EMPTY commit) before re-loading the table, so the
+      // rewrite plans against the widened head and old files null-backfill.
+      // Inert without the explicit WITH SCHEMA EVOLUTION clause; unsupported
+      // change shapes (type widening, nested adds) still fail loudly in
+      // alterTable rather than evolving wrong.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(path, v, schema, options)
@@ -1169,17 +1189,24 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     if (fileOrd < 0) {
       // VECTORIZED path (scan-level, all-or-none — Spark refuses mixed
-      // row/columnar partitions): flat primitive schema, a DV-free
-      // snapshot, the plain scan class (row-level operation scans keep the
-      // position-exact row reader), and not conf-disabled. Everything else
-      // takes the Group-API row reader.
+      // row/columnar partitions): a vectorizable schema (flat primitives,
+      // or nested arrays/structs/maps over them — SPARK-34863), the plain
+      // scan class (row-level operation scans keep the position-exact row
+      // reader), and not conf-disabled. DV-bearing snapshots stay columnar
+      // through the survivor-compacting reader for FLAT schemas only (the
+      // typed compact copy doesn't cover nested vectors); nested + DVs
+      // falls back to the Group row reader. Everything else rows.
       def conf(key: String, dflt: Boolean): Boolean =
         try SparkSession.active.conf.get(key, dflt.toString).toBoolean
         catch { case _: Throwable => dflt }
-      val dvOk = conf("spark.graft.columnar.dv.enabled", dflt = false)
+      import org.apache.spark.sql.graftx.VectorizedLogReader
+      val flat = VectorizedLogReader.flatSchema(required)
+      val vec = flat ||
+        (conf("spark.graft.columnar.nested.enabled", dflt = true) &&
+          VectorizedLogReader.nestedSchema(required))
+      val dvOk = flat && conf("spark.graft.columnar.dv.enabled", dflt = true)
       val columnar =
-        getClass == classOf[GraftLogScan] &&
-          org.apache.spark.sql.graftx.VectorizedLogReader.flatSchema(required) &&
+        getClass == classOf[GraftLogScan] && vec &&
           (dvOk || TableLog.dvFiles(path, v).isEmpty) &&
           conf("spark.graft.columnar.enabled", dflt = true)
       new ChangeFileReaderFactory(required, TableChangeSource.caseSensitive,

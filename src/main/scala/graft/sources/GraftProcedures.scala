@@ -36,6 +36,18 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftProcedures {
 
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  /** Same name-part discipline as GraftCatalog.part: a caller-supplied table
+    * name must stay INSIDE the catalog root. Raw `Paths.resolve` would accept
+    * `../..`-style or absolute names over the JDBC face and commit TableLog
+    * data outside the catalog — reject separators and dot-parts up front.
+    */
+  private def part(p: String): String = {
+    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+      p != ".." && p != ".",
+      s"illegal catalog table name '$p' (no separators, '..' or '.')")
+    p
+  }
   private def strs(r: InternalRow, i: Int): Seq[String] = {
     val a = r.getArray(i)
     (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
@@ -77,7 +89,7 @@ private[sources] object GraftProcedures {
         s"txn_commit: mode '$m' must be append or overwrite"))
       val spark = SparkSession.active
       val writes = tables.lazyZip(modes).lazyZip(queries).map { (t, m, q) =>
-        Txn.Write(spark.sql(q), Paths.get(root).resolve(t).toString,
+        Txn.Write(spark.sql(q), Paths.get(root).resolve(part(t)).toString,
           overwrite = m == "overwrite")
       }
       val landed = Txn.commitAll(spark, Paths.get(root).resolve("_txn").toString,
@@ -88,6 +100,138 @@ private[sources] object GraftProcedures {
       }
       one(resultScan(outSchema, rows))
     }
+  }
+
+  /** Shared shape for the MAINTENANCE procedures — storage operations a
+    * JDBC-only operator (the dashboarding persona) must be able to run
+    * without shell access: OPTIMIZE / ZORDER / VACUUM (+ dry-run plan) /
+    * ROLLBACK / TAG / UNTAG, each delegating to the exact [[TableLog]]
+    * entry point the CLI uses, so SQL and CLI semantics can never drift
+    * (vacuum honors tags, rollback emits the undo change feed, tags are
+    * write-once). All take the table name CATALOG-relative through the
+    * same [[part]] discipline as `<cat>.<table>`.
+    */
+  private[sources] abstract class Maintenance(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def table(input: InternalRow, i: Int = 0): String =
+      Paths.get(root).resolve(part(str(input, i))).toString
+    protected def row(vals: Any*): InternalRow =
+      new GenericInternalRow(vals.toArray)
+    protected def utf(s: String): UTF8String = UTF8String.fromString(s)
+  }
+
+  /** `system.optimize(table, n_files)` — compact the head snapshot */
+  final class Optimize(root: String) extends Maintenance(root) {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "compact the table's head snapshot into n_files files (new version)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("n_files", IntegerType).build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TableLog.optimize(SparkSession.active, table(input), input.getInt(1))
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
+  /** `system.zorder(table, col_a, col_b, n_files)` */
+  final class ZOrder(root: String) extends Maintenance(root) {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite the head snapshot z-order-clustered on two long columns"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("col_a", StringType).build(),
+      ProcedureParameter.in("col_b", StringType).build(),
+      ProcedureParameter.in("n_files", IntegerType).build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TableLog.optimizeZOrder(SparkSession.active, table(input),
+        str(input, 1), str(input, 2), input.getInt(3))
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
+  /** `system.vacuum(table, keep_versions)` — tag-aware prefix reclaim */
+  final class Vacuum(root: String) extends Maintenance(root) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "drop manifests older than keep_versions (never past the oldest tag) and " +
+        "delete data files no kept version references"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_versions", IntegerType).build())
+    private val out = new StructType()
+      .add("versions_dropped", LongType).add("files_deleted", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dropped, files) = TableLog.vacuum(table(input), input.getInt(1))
+      one(resultScan(out, Seq(row(dropped.size.toLong, files.toLong))))
+    }
+  }
+
+  /** `system.vacuum_plan(table, keep_versions)` — dry run, zero mutation */
+  final class VacuumPlan(root: String) extends Maintenance(root) {
+    override def name(): String = "vacuum_plan"
+    override def description(): String =
+      "report what vacuum(keep_versions) would reclaim without deleting anything"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_versions", IntegerType).build())
+    private val out = new StructType()
+      .add("versions_dropped", LongType).add("files", LongType).add("bytes", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (drop, files, bytes) = TableLog.vacuumPlan(table(input), input.getInt(1))
+      one(resultScan(out, Seq(row(drop.size.toLong, files.toLong, bytes))))
+    }
+  }
+
+  /** `system.rollback(table, to_version)` — restore by republishing */
+  final class Rollback(root: String) extends Maintenance(root) {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "publish to_version's manifest as a new head (history stays time-travelable)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("to_version", LongType).build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      one(resultScan(out,
+        Seq(row(TableLog.rollbackTo(table(input), input.getLong(1))))))
+  }
+
+  /** `system.tag(table, tag, version)` — write-once named snapshot */
+  final class Tag(root: String) extends Maintenance(root) {
+    override def name(): String = "tag"
+    override def description(): String =
+      "name a committed version (vacuum-protected; resolve via VERSION AS OF '<tag>')"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    private val out = new StructType()
+      .add("tag", StringType).add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (t, v) = (str(input, 1), input.getLong(2))
+      TableLog.tagVersion(table(input), t, v)
+      one(resultScan(out, Seq(row(utf(t), v))))
+    }
+  }
+
+  /** `system.untag(table, tag)` — release a named snapshot */
+  final class Untag(root: String) extends Maintenance(root) {
+    override def name(): String = "untag"
+    override def description(): String =
+      "remove a tag; its version becomes vacuumable again"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build())
+    private val out = new StructType().add("removed", BooleanType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      one(resultScan(out,
+        Seq(row(TableLog.untagVersion(table(input), str(input, 1))))))
   }
 
   /** `system.txn_recover()` */

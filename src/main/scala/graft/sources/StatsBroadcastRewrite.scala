@@ -44,10 +44,15 @@ object StatsBroadcastRewrite extends Rule[LogicalPlan] {
       return plan
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
+    // (path, version) → live bytes, memoized per rule application: the
+    // operator-optimization batch runs to fixed point, and a Files.size
+    // per live file per side per join per iteration is real planning cost
+    // on wide tables.
+    val byteCache = scala.collection.mutable.Map.empty[(String, Long), Option[Long]]
     plan.transformUp {
       case j @ Join(l, r, jt, _, hint) if hint == JoinHint.NONE =>
-        val le = estimate(l)
-        val re = estimate(r)
+        val le = estimate(l, byteCache)
+        val re = estimate(r, byteCache)
         def qualifies(e: Option[Est]): Boolean =
           e.exists(x => x.estBytes <= threshold && x.plainBytes > threshold)
         val pickLeft = qualifies(le) && canBuildLeft(jt) &&
@@ -77,7 +82,9 @@ object StatsBroadcastRewrite extends Rule[LogicalPlan] {
     * filters stay visible even post-pushdown because the scan keeps EVERY
     * pushed predicate residual
     */
-  private def estimate(p: LogicalPlan): Option[Est] = {
+  private def estimate(
+      p: LogicalPlan,
+      byteCache: scala.collection.mutable.Map[(String, Long), Option[Long]]): Option[Est] = {
     def walk(n: LogicalPlan, conds: Seq[Expression]): Option[(String, Long, Seq[Expression])] =
       n match {
         case r: DataSourceV2Relation => r.table match {
@@ -94,10 +101,15 @@ object StatsBroadcastRewrite extends Rule[LogicalPlan] {
           walk(child, conds)
         case _ => None
       }
-    walk(p, Nil).map { case (path, v, conds) =>
-      val bytes = TableLog.liveBytes(path, v)
-      val sel = conds.map(selectivity(path, _)).product
-      Est(bytes, math.max(1L, math.ceil(bytes * sel).toLong))
+    walk(p, Nil).flatMap { case (path, v, conds) =>
+      // a referenced file can vanish mid-plan (concurrent vacuum of the
+      // pinned version): missing evidence → no hint, never a planning error
+      val bytes = byteCache.getOrElseUpdate((path, v),
+        scala.util.Try(TableLog.liveBytes(path, v)).toOption)
+      bytes.map { b =>
+        val sel = conds.map(selectivity(path, _)).product
+        Est(b, math.max(1L, math.ceil(b * sel).toLong))
+      }
     }
   }
 

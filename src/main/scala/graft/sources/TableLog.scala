@@ -830,7 +830,10 @@ object TableLog extends QueryPack {
     val keep = {
       val p = ndvFile(table)
       if (!Files.exists(p)) Seq.empty
-      else Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      else Files.readAllLines(p).asScala.toSeq
+        // malformed lines (truncated/corrupt sidecar) are DROPPED, mirroring
+        // ndvFor's tolerant collectFirst — a raw split()(1) would crash here
+        .filter(l => l.nonEmpty && l.split('|').length == 3)
         .filterNot(l => columns.exists(c => l.split('|')(1).equalsIgnoreCase(c)))
     }
     Files.createDirectories(logDir(table))
@@ -2046,11 +2049,15 @@ object TableLog extends QueryPack {
         Tables.load(s, d, "orders").select(
           col("o_orderkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100).cast("long").as("cents")), table) // v0
-      s.conf.set("spark.sql.catalog.graftcdc", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftcdc.root", root)
+      // Spark caches catalog INSTANCES by name: a fixed name plus a second
+      // data dir in one JVM would keep the FIRST root and land the UPDATE on
+      // the wrong scratch table — derive the name from the root instead.
+      val cat = "graftcdc_" + Integer.toHexString(root.hashCode).replace('-', 'n')
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       s.sql(
-        """UPDATE graftcdc.orders_cdc SET cents = cents + 7
-          |WHERE o_orderkey % 100 = 3""".stripMargin)                        // v1
+        s"""UPDATE $cat.orders_cdc SET cents = cents + 7
+           |WHERE o_orderkey % 100 = 3""".stripMargin)                       // v1
       table
     })
 
@@ -2660,6 +2667,91 @@ object TableLog extends QueryPack {
       |       CAST(sum(bal) AS BIGINT) AS bal_sum
       |FROM final GROUP BY nat""".stripMargin
 
+  private val mergeEvolveBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `MERGE WITH SCHEMA EVOLUTION` through the catalog: the source carries a
+    * `spend` column the target lacks; Spark's ResolveMergeIntoSchemaEvolution
+    * drives an AddColumn through [[GraftCatalog.alterTable]] (schema-widening
+    * empty commit) before the group-based rewrite, so matched rows take the
+    * new value, carried-forward rows null-backfill, and not-matched inserts
+    * land wide. The oracle replays the merge RELATIONALLY with an explicit
+    * NULL for unmatched targets — `sum(coalesce(spend, -1))` hash-gates the
+    * backfill (a zero-instead-of-null or a lost carryover flips the sum).
+    * Catalog name derives from the scratch root: Spark caches catalog
+    * INSTANCES by name, so a fixed name would pin the first dir's root.
+    */
+  def catalogSqlMergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = mergeEvolveBuilt.computeIfAbsent(dir, { d =>
+      val r = graft.Scratch.dir("graft_catmergeevo", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(r + "/cust_evo"))
+      new java.io.File(r).mkdirs()
+      val cat = "graftme_" + java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(r.hashCode))
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", r)
+      Tables.load(s, d, "customer").createOrReplaceTempView("mevo_cust_src")
+      Tables.load(s, d, "orders").createOrReplaceTempView("mevo_orders_src")
+      s.sql(
+        s"""CREATE TABLE $cat.cust_evo AS
+           |SELECT c_custkey AS k, c_nationkey AS nat,
+           |       CAST(floor(c_acctbal * 100) AS LONG) AS bal
+           |FROM mevo_cust_src""".stripMargin)                    // v0 (empty) + v1
+      s.sql(
+        """SELECT o_custkey AS k, CAST(count(*) AS LONG) AS n,
+          |       CAST(sum(CAST(floor(o_totalprice) AS LONG)) AS LONG) AS spend
+          |FROM mevo_orders_src GROUP BY o_custkey
+          |UNION ALL
+          |SELECT c_custkey + 2000000 AS k, CAST(3 AS LONG) AS n,
+          |       CAST(500 AS LONG) AS spend
+          |FROM mevo_cust_src WHERE c_custkey % 50 = 0""".stripMargin)
+        .createOrReplaceTempView("mevo_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.cust_evo t USING mevo_src s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.n, spend = s.spend
+           |WHEN NOT MATCHED THEN INSERT (k, nat, bal, spend)
+           |  VALUES (s.k, -1, s.n, s.spend)""".stripMargin)      // v2 widen + v3 CoW
+      r
+    })
+    val cat = "graftme_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(root.hashCode))
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT nat AS grp, count(*) AS n_rows,
+         |       CAST(sum(bal) AS BIGINT) AS bal_sum,
+         |       CAST(sum(coalesce(spend, -1)) AS BIGINT) AS spend_sum
+         |FROM $cat.cust_evo GROUP BY nat""".stripMargin)
+  }
+
+  private val catalogSqlMergeEvolveSql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nat,
+      |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |src AS (
+      |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000 AS k, CAST(3 AS BIGINT) AS n,
+      |         CAST(500 AS BIGINT) AS spend
+      |  FROM customer WHERE c_custkey % 50 = 0),
+      |final AS (
+      |  SELECT b.k, b.nat, b.bal + coalesce(s.n, 0) AS bal, s.spend
+      |  FROM base b LEFT JOIN src s ON b.k = s.k
+      |  UNION ALL
+      |  SELECT s.k, -1 AS nat, s.n AS bal, s.spend
+      |  FROM src s LEFT JOIN base b ON s.k = b.k WHERE b.k IS NULL)
+      |SELECT nat AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(bal) AS BIGINT) AS bal_sum,
+      |       CAST(sum(coalesce(spend, -1)) AS BIGINT) AS spend_sum
+      |FROM final GROUP BY nat""".stripMargin
+
   private val nestedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** NESTED columns (struct / struct-of-struct / array-of-struct / map)
@@ -2765,6 +2857,7 @@ object TableLog extends QueryPack {
     Q("catalog_sql_emb", catalogSqlEmb, Some(catalogSqlEmbSql)),
     Q("catalog_sql_dml", catalogSqlDml, Some(catalogSqlDmlSql)),
     Q("catalog_sql_merge", catalogSqlMerge, Some(catalogSqlMergeSql)),
+    Q("catalog_sql_merge_evolve", catalogSqlMergeEvolve, Some(catalogSqlMergeEvolveSql)),
     Q("catalog_sql_nested", catalogSqlNested, Some(catalogSqlNestedSql)),
     Q("bloom_point_lookup", bloomPointLookup, Some(bloomPointLookupSql)),
     Q("change_feed", changeFeedQ, Some(changeFeedSql)),

@@ -409,9 +409,9 @@ object StreamIngest {
         val admSk = sk.join(rejected, Seq("doc_id"), "left_anti").cache()
         landPartitioned(Dedup.sketchBuckets(admSk), streamIdxDir + "/buckets")
         landPartitioned(admSk.select("doc_id", "sh", "n_sh"), streamIdxDir + "/sketch")
-        admSk.unpersist(blocking = false)
-        admitted.unpersist(blocking = false)
-        sk.unpersist(blocking = false)
+        admSk.unpersist(blocking = true)
+        admitted.unpersist(blocking = true)
+        sk.unpersist(blocking = true)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -496,7 +496,7 @@ object StreamIngest {
         }
         land(enriched, outDir)
         land(purch, refDir)
-        purch.unpersist(blocking = false)
+        purch.unpersist(blocking = true)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -791,7 +791,7 @@ object StreamIngest {
         val head = b.agg(max(col("_commit_version"))).collect().head
         if (!head.isNullAt(0))
           graft.llm.Erasure.applyNet(spark, b, indexPath, idCol, head.getLong(0))
-        b.unpersist(blocking = false)
+        b.unpersist(blocking = true)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -1245,6 +1245,89 @@ object StreamIngest {
     import ticks.sparkSession.implicits._
     ticks.groupByKey(_.company)
       .transformWithState(new VpinProcessor(bucketVol, window),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming depth monitor — live depth-imbalance / microprice readout
+  // ---------------------------------------------------------------------
+
+  case class DepthLevel(priceE9: Long, vol: Long)
+  case class DepthSnap(company: String, seq: Long,
+      bids: Seq[DepthLevel], asks: Seq[DepthLevel])
+  case class DepthRead(company: String, seq: Long, bid_vol: Long,
+      ask_vol: Long, imb_ppm: Long, micro_e9: Long, trail_imb_ppm: Long)
+  case class DepthVols(b: Long, a: Long)
+
+  /** [[streamingDepthMonitor]]'s processor: the live twin of the batch
+    * depth-ladder readouts ([[graft.ingest.IngestPack.bookDepthImbalance]] /
+    * `book_microprice`). Per-instrument state is O(window) forever: the
+    * last ACCEPTED snapshot sequence (the monotonic book clock) plus the
+    * trailing `window` snapshots' raw (bid_vol, ask_vol) pairs — the
+    * mergeable-summaries discipline: raw volumes in state, the derived
+    * ppm readings computed at emit time, so trigger boundaries cannot
+    * change any answer.
+    *
+    * Ordering law: a LATE snapshot (seq ≤ the last accepted seq) is
+    * DROPPED — a book snapshot is a replacement, not an increment, so
+    * applying one out of order would publish a stale book as fresh. Within
+    * a batch, rows sort by seq first (the batch twin's event order), so
+    * lateness is judged against the true clock, not arrival order.
+    * Malformed snapshots (an empty side, zero top-of-book volume — no
+    * quotable microprice) are dropped WITHOUT advancing the clock.
+    */
+  class DepthMonitorProcessor(window: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DepthSnap, DepthRead] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var lastSeq: ValueState[Long] = _
+    @transient private var trail: ListState[DepthVols] = _
+    override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit = {
+      lastSeq = getHandle.getValueState[Long]("lastSeq", Encoders.scalaLong, TTLConfig.NONE)
+      trail = getHandle.getListState[DepthVols]("trail", Encoders.product[DepthVols], TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[DepthSnap],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[DepthRead] = {
+      var last = if (lastSeq.exists()) lastSeq.get() else Long.MinValue
+      var recent = if (trail.exists()) trail.get().toList else Nil
+      val out = scala.collection.mutable.ArrayBuffer[DepthRead]()
+      rows.toSeq.sortBy(_.seq).foreach { s =>
+        val valid = s.bids.nonEmpty && s.asks.nonEmpty &&
+          s.bids.head.vol + s.asks.head.vol > 0
+        if (s.seq > last && valid) {
+          last = s.seq
+          val bv = s.bids.map(_.vol).sum
+          val av = s.asks.map(_.vol).sum
+          val (b1, a1) = (s.bids.head, s.asks.head)
+          // microprice: top prices weighted by the OPPOSITE side's volume
+          val micro = (b1.priceE9 * a1.vol + a1.priceE9 * b1.vol) / (a1.vol + b1.vol)
+          recent = (recent :+ DepthVols(bv, av)).takeRight(window)
+          val (tb, ta) = (recent.map(_.b).sum, recent.map(_.a).sum)
+          out += DepthRead(key, s.seq, bv, av,
+            1000000L * bv / (bv + av), micro, 1000000L * tb / (tb + ta))
+        }
+      }
+      lastSeq.update(last)
+      trail.put(recent.toArray)
+      out.iterator
+    }
+  }
+
+  /** Live depth monitor: one output row per accepted book snapshot carrying
+    * its full-ladder volume imbalance, top-of-book microprice, and the
+    * trailing-`window` smoothed imbalance. Exactly the rows a batch replay
+    * of the same ordered snapshot sequence produces — trigger boundaries
+    * are invisible (StreamingSpec pins 1-trigger vs N-trigger equality),
+    * and a snapshot arriving after a newer one has been accepted is
+    * dropped, never applied stale.
+    */
+  def streamingDepthMonitor(
+      snaps: org.apache.spark.sql.Dataset[DepthSnap],
+      window: Int): org.apache.spark.sql.Dataset[DepthRead] = {
+    import snaps.sparkSession.implicits._
+    snaps.groupByKey(_.company)
+      .transformWithState(new DepthMonitorProcessor(window),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }

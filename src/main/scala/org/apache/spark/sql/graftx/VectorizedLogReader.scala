@@ -51,13 +51,34 @@ object VectorizedLogReader {
     * WritableColumnVector coverage for non-nested columns)
     */
   def flatSchema(schema: StructType): Boolean = schema.fields.forall(f =>
-    f.dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | BinaryType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _: DecimalType => true
-      case _ => false
-    })
+    primitiveOk(f.dataType))
+
+  private def primitiveOk(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** types the NESTED vectorized path serves — the same recursive closure
+    * Spark's own `ParquetUtils.isBatchReadSupported` admits once
+    * `enableNestedColumnVectorizedReader` is on: arrays, structs and maps
+    * over the supported primitives, at any depth. The embedding-array
+    * corpora of the LLM pipeline (`ArrayType(FloatType)`) live here.
+    * The reader itself (`VectorizedParquetRecordReader`) decodes nested
+    * columns natively since Spark 3.3 (SPARK-34863); the conf only gates
+    * Spark's planning decision, which this scan makes for itself.
+    */
+  def vectorizable(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => vectorizable(e)
+    case StructType(fs) => fs.forall(f => vectorizable(f.dataType))
+    case MapType(k, v, _) => vectorizable(k) && vectorizable(v)
+    case other => primitiveOk(other)
+  }
+
+  def nestedSchema(schema: StructType): Boolean =
+    schema.fields.forall(f => vectorizable(f.dataType))
 
   private val Empty: PartitionReader[ColumnarBatch] =
     new PartitionReader[ColumnarBatch] {

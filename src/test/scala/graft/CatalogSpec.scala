@@ -218,22 +218,39 @@ class CatalogSpec extends SparkSpec {
     val direct = src.collect().map(_.toString).sorted.toSeq
     assert(viaSql == direct, "columnar read must round-trip every type exactly")
 
-    // a DV on the snapshot → automatic fallback to the position-exact row
-    // reader, answers stay right
+    // a DV on the snapshot stays columnar (default since round 13 —
+    // survivor-compacted batches), answers stay right
     TableLog.deleteWhere(spark, t, "k % 10 = 3")
     val q2 = spark.sql("SELECT * FROM graftcat.typed_c")
-    assert(!plan(q2).contains("ColumnarToRow"),
-      "a DV-bearing snapshot must take the row reader")
+    assert(plan(q2).contains("ColumnarToRow"),
+      "a DV-bearing snapshot must stay columnar by default")
     assert(q2.collect().length == 4500)
 
-    // nested schema → row reader (the converter owns nested shapes)
+    // nested schema → ALSO vectorized since round 13 (SPARK-34863 reader);
+    // values must round-trip through the struct vectors
     val tn = s"$root/nested_c"
     TableLog.commitAppend(
       spark.range(0, 100).selectExpr("id AS k", "named_struct('x', id) AS st"), tn)
     val q3 = spark.sql("SELECT k, st.x AS x FROM graftcat.nested_c")
-    assert(!plan(q3).contains("ColumnarToRow"),
-      "nested schemas must take the Group reader")
-    assert(q3.collect().length == 100)
+    assert(plan(q3).contains("ColumnarToRow"),
+      s"nested schemas must vectorize:\n${q3.queryExecution.executedPlan}")
+    assert(q3.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      (0L until 100L).map(i => (i, i)))
+    // nested + a DV → the survivor compact only covers flat vectors: row reader
+    TableLog.deleteWhere(spark, tn, "k % 10 = 3")
+    val q3dv = spark.sql("SELECT k, st.x AS x FROM graftcat.nested_c")
+    assert(!plan(q3dv).contains("ColumnarToRow"),
+      "nested + DV must fall back to the Group row reader")
+    assert(q3dv.collect().length == 90)
+    // conf opt-out for the nested path only
+    spark.conf.set("spark.graft.columnar.nested.enabled", "false")
+    try {
+      val q3off = spark.sql(
+        "SELECT k, st.x AS x FROM graftcat.nested_c VERSION AS OF 0")
+      assert(!plan(q3off).contains("ColumnarToRow"),
+        "nested columnar conf opt-out must take the row reader")
+      assert(q3off.collect().length == 100)
+    } finally spark.conf.unset("spark.graft.columnar.nested.enabled")
 
     // conf opt-out
     spark.conf.set("spark.graft.columnar.enabled", "false")
@@ -244,7 +261,7 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.columnar.enabled", "true")
   }
 
-  test("DV-columnar opt-in: survivor-compacted batches stay position-exact") {
+  test("DV-columnar default-on: survivor-compacted batches stay position-exact") {
     rm(new java.io.File(root))
     val t = s"$root/dvcol"
     // one file spanning MANY 4096-row vector batches, typed payload
@@ -259,24 +276,27 @@ class CatalogSpec extends SparkSpec {
     // whole vector batch — the fully-deleted-batch skip path
     TableLog.deleteWhere(spark, t, "k % 7 = 0 OR (k >= 8192 AND k < 12288)")
     register()
-    spark.conf.set("spark.graft.columnar.dv.enabled", "true")
+    // DEFAULT path (no conf set): DV-bearing snapshot must plan columnar
+    val q = spark.sql("SELECT * FROM graftcat.dvcol")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"DV default must plan columnar:\n${q.queryExecution.executedPlan}")
+    val viaCol = q.collect().map(_.toString).sorted.toSeq
+    // opt-OUT restores the position-exact Group row reader — same rows
+    spark.conf.set("spark.graft.columnar.dv.enabled", "false")
     try {
-      val q = spark.sql("SELECT * FROM graftcat.dvcol")
-      q.collect()
-      assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
-        s"DV opt-in must plan columnar:\n${q.queryExecution.executedPlan}")
-      val viaCol = q.collect().map(_.toString).sorted.toSeq
-      spark.conf.set("spark.graft.columnar.enabled", "false")
-      val viaRow = spark.sql("SELECT * FROM graftcat.dvcol")
-        .collect().map(_.toString).sorted.toSeq
-      spark.conf.set("spark.graft.columnar.enabled", "true")
+      val qRow = spark.sql("SELECT * FROM graftcat.dvcol")
+      qRow.collect()
+      assert(!qRow.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"DV opt-out must take the row reader:\n${qRow.queryExecution.executedPlan}")
+      val viaRow = qRow.collect().map(_.toString).sorted.toSeq
       assert(viaCol.length == viaRow.length && viaCol == viaRow,
         s"DV-columnar diverged from the row path: ${viaCol.length} vs ${viaRow.length}")
       // survivor arithmetic is exact: a position shift would flip parity
       val ks = q.select("k").collect().map(_.getLong(0))
       assert(ks.forall(k => k % 7 != 0 && !(k >= 8192 && k < 12288)))
       assert(ks.length == viaRow.length)
-    } finally spark.conf.set("spark.graft.columnar.dv.enabled", "false")
+    } finally spark.conf.unset("spark.graft.columnar.dv.enabled")
   }
 
   test("array columns are SQL-queryable through the catalog") {
@@ -485,6 +505,46 @@ class CatalogSpec extends SparkSpec {
     // pre-merge snapshot intact
     assert(spark.sql(s"SELECT count(*) FROM graftcat.m VERSION AS OF $head")
       .collect().head.getLong(0) == 100L)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target; old snapshots stay narrow") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.me (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.me SELECT id, id FROM range(0, 100)")
+    val t = s"$root/me"
+    val preMerge = TableLog.versions(t).last
+    // source carries a column the target lacks
+    spark.sql("SELECT id AS k, id * 10 AS v, concat('t', id) AS note FROM range(50, 150)")
+      .createOrReplaceTempView("me_src")
+
+    // WITHOUT the clause, a source-only column in the insert list must fail
+    // loudly (capability alone never evolves)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """MERGE INTO graftcat.me t USING me_src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, v, note) VALUES (s.k, s.v, s.note)""".stripMargin)
+    }
+
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftcat.me t USING me_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+        |WHEN NOT MATCHED THEN INSERT (k, v, note) VALUES (s.k, s.v, s.note)""".stripMargin)
+
+    val got = spark.sql("SELECT k, v, note FROM graftcat.me")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
+    val expect =
+      (0L until 50L).map(k => (k, k, null)) ++                  // untouched: null backfill
+      (50L until 150L).map(k => (k, k * 10, s"t$k"))            // updated + inserted
+    assert(got == expect)
+    // the pre-merge snapshot still reads with the NARROW schema
+    val old = spark.sql(s"SELECT * FROM graftcat.me VERSION AS OF $preMerge")
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v"),
+      s"old snapshot must keep the narrow schema, got ${old.schema.fieldNames.toSeq}")
+    assert(old.count() == 100L)
+    // evolution landed as a widening commit + the rewrite (2 new versions)
+    assert(TableLog.versions(t).last == preMerge + 2)
   }
 
   test("a selective UPDATE rewrites only the files its predicate touches") {

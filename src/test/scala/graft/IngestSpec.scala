@@ -138,6 +138,35 @@ class IngestSpec extends SparkSpec {
     assert(noLadder.getAs[Long]("bid_notional_e9") == 3L * 10500000000L)
   }
 
+  test("microStats: ladder microprice/VWAP/span; flat-only snapshot degrades to span 0") {
+    val book = Row("F", "2024-01-01T00:00:00Z",
+      Seq(Row(Row(10L, 500000000), 3L), Row(Row(9L, 0), 7L)),
+      Seq(Row(Row(11L, 0), 2L), Row(Row(12L, 0), 8L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(book)), Schemas.apiOrderBook)
+
+    // ladder present: microprice weights by the OPPOSITE side's top volume,
+    // spans run level 1 → deepest on each side
+    val m = ingest.IngestPack.microStats(
+      Normalize.projectOrderBookDepth(df)).collect().head
+    assert(m.getAs[Long]("micro_num_e9") ==
+      10500000000L * 2L + 11000000000L * 3L) // bid_e9·ask_vol + ask_e9·bid_vol
+    assert(m.getAs[Long]("micro_den") == 5L)
+    assert(m.getAs[Long]("bid_span_e9") == 1500000000L) // |10.5 - 9.0| e9
+    assert(m.getAs[Long]("ask_span_e9") == 1000000000L) // |11.0 - 12.0| e9
+    assert(m.getAs[Long]("bid_notional_e9") ==
+      3L * 10500000000L + 7L * 9000000000L) // full-ladder VWAP numerator
+
+    // flat-only snapshot (pre-depth generation): same consumer, 1-level
+    // ladder semantics — top-of-book notional, zero span, microprice intact
+    val f = ingest.IngestPack.microStats(
+      Normalize.projectOrderBook(df)).collect().head
+    assert(f.getAs[Long]("micro_num_e9") == m.getAs[Long]("micro_num_e9"))
+    assert(f.getAs[Long]("micro_den") == 5L)
+    assert(f.getAs[Long]("bid_span_e9") == 0L && f.getAs[Long]("ask_span_e9") == 0L)
+    assert(f.getAs[Long]("bid_notional_e9") == 3L * 10500000000L)
+    assert(f.getAs[Long]("bid_depth_vol") == 3L)
+  }
+
   test("P7/P8 serialize∘parse is identity on valid flat messages") {
     val out = Ingest.parseTable(
       Normalize.serialize(Ingest.parseTable(raw(validTrade), "trades")

@@ -144,6 +144,69 @@ class ServeSpec extends SparkSpec {
           assert(rsR.next(), "replayed CALL must return the recorded versions")
           assert(one("SELECT count(*) FROM graft.txn_a") == 1L,
             "replayed CALL must not commit twice")
+
+          // --- storage MAINTENANCE over the same wire: each CALL delegates
+          // to the exact TableLog entry point the CLI uses, so JDBC and CLI
+          // semantics cannot drift ---
+          val tw = s"$root/jdbc_writes"
+          import graft.sources.TableLog
+          // jdbc_writes history so far: v0 create, v1 insert, v2 update(CoW),
+          // v3 delete(DV)
+          assert(one("CALL graft.system.optimize('jdbc_writes', 1)") == 4L,
+            "optimize must commit a new version and report it")       // v4
+          assert(TableLog.liveFileCount(tw) == 1, "optimize must compact to 1 file")
+          assert(one("SELECT count(*) FROM graft.jdbc_writes") == 2L,
+            "compaction must not change the data")
+          // tag v1 over JDBC; vacuum must then refuse to cross it
+          val rsT2 = conn2.createStatement().executeQuery(
+            "CALL graft.system.tag('jdbc_writes', 'audit2026', 1)")
+          assert(rsT2.next() && rsT2.getString(1) == "audit2026" && rsT2.getLong(2) == 1L)
+          assert(TableLog.refVersion(tw, "audit2026").contains(1L),
+            "SQL tag must land in the refs sidecar the CLI reads")
+          // dry run reports v0 only (the untagged prefix) and mutates nothing
+          val rsP = conn2.createStatement().executeQuery(
+            "CALL graft.system.vacuum_plan('jdbc_writes', 1)")
+          assert(rsP.next() && rsP.getLong(1) == 1L,
+            "vacuum_plan must report exactly the untagged prefix (v0)")
+          assert(TableLog.versions(tw) == Seq(0L, 1L, 2L, 3L, 4L),
+            "vacuum_plan is a dry run — no version may drop")
+          val rsV = conn2.createStatement().executeQuery(
+            "CALL graft.system.vacuum('jdbc_writes', 1)")
+          assert(rsV.next() && rsV.getLong(1) == 1L)
+          assert(TableLog.versions(tw) == Seq(1L, 2L, 3L, 4L),
+            "vacuum over JDBC must honor the tag: drop v0, keep v1+")
+          // tagged snapshot still readable over the same wire, BY NAME
+          assert(one("SELECT count(*) FROM graft.jdbc_writes VERSION AS OF 'audit2026'") == 3L,
+            "the tagged snapshot must survive vacuum and resolve by name")
+          // rollback republished v1 as v5; the change feed emits the undo
+          assert(one("CALL graft.system.rollback('jdbc_writes', 1)") == 5L)
+          assert(one("SELECT count(*) FROM graft.jdbc_writes") == 3L,
+            "rollback must restore v1's 3 rows")
+          val undo = TableLog.changeFeed(spark, tw, 4L, 5L)
+          val undoIns = undo.where("_change_type = 'insert' AND k = 3").count()
+          assert(undoIns == 1L,
+            "the rollback commit must emit the undo feed (k=3 re-inserts)")
+          // untag releases the pin; vacuum can then reclaim everything old
+          val rsU = conn2.createStatement().executeQuery(
+            "CALL graft.system.untag('jdbc_writes', 'audit2026')")
+          assert(rsU.next() && rsU.getBoolean(1), "untag must report removal")
+          val rsV2 = conn2.createStatement().executeQuery(
+            "CALL graft.system.vacuum('jdbc_writes', 1)")
+          assert(rsV2.next() && rsV2.getLong(1) == 4L,
+            "post-untag vacuum must reclaim the whole prefix (v1..v4)")
+          assert(TableLog.versions(tw) == Seq(5L))
+          // zorder over JDBC: clustered rewrite on two long columns
+          st.execute("CREATE TABLE graft.jdbc_z (a BIGINT, b BIGINT)")
+          st.execute(
+            "INSERT INTO graft.jdbc_z SELECT id % 64 AS a, id DIV 64 AS b FROM range(0, 4096)")
+          assert(one("CALL graft.system.zorder('jdbc_z', 'a', 'b', 4)") == 2L,
+            "zorder must commit the clustered rewrite")
+          assert(one("SELECT count(*) FROM graft.jdbc_z") == 4096L)
+          assert(TableLog.liveFileCount(s"$root/jdbc_z") == 4)
+          // path escapes are rejected at the name check, not resolved
+          val esc = intercept[Exception](conn2.createStatement().executeQuery(
+            "CALL graft.system.optimize('../jdbc_writes', 1)"))
+          assert(esc.getMessage != null)
         } finally conn2.close()
       } finally conn.close()
     } finally server.stop()

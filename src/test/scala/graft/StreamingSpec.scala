@@ -836,6 +836,79 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).getLong(2) == 1L)                              // user 8
   }
 
+  test("streaming depth monitor: split-invariant, scalar-replay-equal, drops late snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val window = 4
+    def lvl(p: Long, v: Long) = StreamIngest.DepthLevel(p, v)
+    // deterministic 3-level books for two instruments, all functions of i
+    def snap(c: String, i: Long) = StreamIngest.DepthSnap(c, i,
+      Seq(lvl(100000000000L - i, 1 + (i * 13) % 7),
+        lvl(99000000000L - i, 2 + i % 5), lvl(98000000000L - i, 3 + i % 3)),
+      Seq(lvl(101000000000L + i, 1 + (i * 17) % 7),
+        lvl(102000000000L + i, 2 + (i + 1) % 5), lvl(103000000000L + i, 3 + (i + 2) % 3)))
+    val all = (0 until 160).map(i => snap(if (i % 2 == 0) "A" else "B", i.toLong))
+    def run(name: String, chunks: Seq[Seq[StreamIngest.DepthSnap]]): Seq[StreamIngest.DepthRead] = {
+      val mem = MemoryStream[StreamIngest.DepthSnap]
+      val q = StreamIngest.streamingDepthMonitor(mem.toDS(), window)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[StreamIngest.DepthRead].collect().toSeq
+        .sortBy(r => (r.company, r.seq))
+    }
+    try {
+      val oneTrigger = run("sdepth1", Seq(all))
+      val manyTriggers = run("sdepthN", all.grouped(23).toSeq)
+      assert(oneTrigger.length == all.length, "every in-order snapshot must emit")
+      assert(oneTrigger == manyTriggers,
+        s"trigger split changed the answer:\n$oneTrigger\nvs\n$manyTriggers")
+      // independent scalar replay of the same semantics
+      val expect = all.groupBy(_.company).toSeq.flatMap { case (c, ss) =>
+        var recent = List.empty[(Long, Long)]
+        ss.sortBy(_.seq).map { s =>
+          val bv = s.bids.map(_.vol).sum; val av = s.asks.map(_.vol).sum
+          val (b1, a1) = (s.bids.head, s.asks.head)
+          recent = (recent :+ ((bv, av))).takeRight(window)
+          val (tb, ta) = (recent.map(_._1).sum, recent.map(_._2).sum)
+          StreamIngest.DepthRead(c, s.seq, bv, av, 1000000L * bv / (bv + av),
+            (b1.priceE9 * a1.vol + a1.priceE9 * b1.vol) / (a1.vol + b1.vol),
+            1000000L * tb / (tb + ta))
+        }
+      }.sortBy(r => (r.company, r.seq))
+      assert(oneTrigger == expect, "stream diverged from the scalar replay")
+
+      // LATE-SNAPSHOT DROP LAW: a snapshot arriving in a later trigger with
+      // seq ≤ the last accepted one is dropped — stale books never publish —
+      // and the trailing window is unperturbed by the dropped row
+      val late = run("sdepthLate", Seq(
+        Seq(snap("A", 0), snap("A", 2), snap("A", 4)),
+        Seq(snap("A", 3), snap("A", 6)), // 3 is late: already accepted 4
+        Seq(snap("A", 1))))              // wholly-late trigger: nothing
+      assert(late.map(_.seq) == Seq(0L, 2L, 4L, 6L),
+        s"late snapshots must drop, got ${late.map(_.seq)}")
+      val inOrder = run("sdepthInOrder", Seq(Seq(snap("A", 0), snap("A", 2),
+        snap("A", 4), snap("A", 6))))
+      assert(late == inOrder,
+        "the accepted subsequence must read exactly as if the late rows never arrived")
+
+      // malformed (empty-side) snapshots drop WITHOUT advancing the clock
+      val malformed = run("sdepthBad", Seq(
+        Seq(snap("A", 0), StreamIngest.DepthSnap("A", 5, Nil, Seq(lvl(1L, 1L)))),
+        Seq(snap("A", 3))))
+      assert(malformed.map(_.seq) == Seq(0L, 3L),
+        "an empty-side snapshot must not advance the sequence clock")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming VPIN: trigger-split invariant and equal to a scalar replay") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
