@@ -194,6 +194,20 @@ object Main {
       val v = sources.TableLog.optimize(spark, table, rest.headOption.map(_.toInt).getOrElse(1))
       println(s"[graft] optimized $table: $before -> ${sources.TableLog.liveFileCount(table)} files (version $v; vacuum to reclaim)")
       spark.stop()
+    case "optimize-size" :: table :: target :: Nil =>
+      val spark = session()
+      val before = sources.TableLog.liveFileCount(table)
+      val v = sources.TableLog.optimizeToSize(spark, table, target.toLong)
+      println(s"[graft] optimized $table toward $target B/file: $before -> " +
+        s"${sources.TableLog.liveFileCount(table)} files (version $v; vacuum to reclaim)")
+      spark.stop()
+    case "clone" :: src :: dst :: rest =>
+      val v = sources.TableLog.cloneTable(src, dst, rest.headOption.map(_.toLong))
+      println(s"[graft] cloned $src -> $dst (zero-copy hard links, new history at v$v)")
+    case "analyze" :: table :: cols if cols.nonEmpty =>
+      val n = sources.TableLog.buildStatsIndex(table, cols)
+      println(s"[graft] analyzed $table: $n (file, column) stat lines at head " +
+        "(footer-only; enables file skipping + metadata min/max)")
     case "backup" :: table :: dest :: rest =>
       val spark = session()
       val v = sources.TableLog.backup(spark, table, dest, rest.headOption.map(_.toLong))
@@ -311,6 +325,9 @@ object Main {
           "       graft compact <tableDir> <partitionCol> [targetBytes]\n" +
           "       graft optimize <tableLogDir> [nFiles] [zorder <colA> <colB> [nFiles]]\n" +
           "       graft zorder <inParquet> <outPath> <colA> <colB> [nFiles]\n" +
+          "       graft optimize-size <tableLogDir> <targetBytes> — compact toward a file size\n" +
+          "       graft clone <srcTableLog> <dstTableLog> [asOfVersion] — zero-copy shallow clone\n" +
+          "       graft analyze <tableLogDir> <col> [col...] — footer-only stats sidecar build\n" +
           "       graft follow <tableLogDir> <cursorFile> [restart] [cdc=<k1,k2>] — catch-up change-feed pass (cdc= nets update images)\n" +
           "       graft rollback <tableLogDir> <version>  — undo to a prior version (new commit)\n" +
           "       graft tag <tableLogDir> [<name> <version>] — list / add a named snapshot (vacuum-protected)\n" +

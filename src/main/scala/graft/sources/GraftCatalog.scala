@@ -96,6 +96,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "vacuum") => new GraftProcedures.Vacuum(root)
       case (Seq("system"), "vacuum_plan") => new GraftProcedures.VacuumPlan(root)
       case (Seq("system"), "rollback") => new GraftProcedures.Rollback(root)
+      case (Seq("system"), "clone") => new GraftProcedures.Clone(root)
+      case (Seq("system"), "analyze") => new GraftProcedures.Analyze(root)
+      case (Seq("system"), "optimize_size") => new GraftProcedures.OptimizeSize(root)
       case (Seq("system"), "tag") => new GraftProcedures.Tag(root)
       case (Seq("system"), "untag") => new GraftProcedures.Untag(root)
       case _ => throw new IllegalArgumentException(
@@ -354,7 +357,8 @@ private[sources] object GraftCatalog {
   /** every `CALL <cat>.system.<name>(...)` procedure */
   val ProcedureNames: Seq[String] = Seq(
     "txn_commit", "txn_recover", "optimize", "zorder", "vacuum",
-    "vacuum_plan", "rollback", "tag", "untag")
+    "vacuum_plan", "rollback", "tag", "untag", "clone", "analyze",
+    "optimize_size")
 
   /** one empty data file whose parquet footer carries `schema` — how DDL
     * materializes a schema in a log whose schema IS its files' merged

@@ -188,6 +188,60 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `system.clone(src, dst [, version])` — zero-copy shallow clone */
+  final class Clone(root: String) extends Maintenance(root) {
+    override def name(): String = "clone"
+    override def description(): String =
+      "hard-link the snapshot's files into a NEW table (zero-copy dev branch); " +
+        "stats/row-counts/constraints carry, tags and NDV do not"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("src", StringType).build(),
+      ProcedureParameter.in("dst", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val asOf = if (input.isNullAt(2) || input.getLong(2) < 0) None
+                 else Some(input.getLong(2))
+      val v = TableLog.cloneTable(table(input), table(input, 1), asOf)
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
+  /** `system.analyze(table, columns)` — footer-only stats sidecar build */
+  final class Analyze(root: String) extends Maintenance(root) {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "build the per-file [min,max] stats sidecar at head from parquet " +
+        "footers (INT64 columns; enables file skipping + metadata min/max)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns",
+        org.apache.spark.sql.types.ArrayType(StringType)).build())
+    private val out = new StructType().add("stat_lines", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val a = input.getArray(1)
+      val cols = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      val n = TableLog.buildStatsIndex(table(input), cols)
+      one(resultScan(out, Seq(row(n.toLong))))
+    }
+  }
+
+  /** `system.optimize_size(table, target_bytes)` — size-targeted compaction */
+  final class OptimizeSize(root: String) extends Maintenance(root) {
+    override def name(): String = "optimize_size"
+    override def description(): String =
+      "compact the head snapshot toward target_bytes per file (new version)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_bytes", LongType).build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TableLog.optimizeToSize(SparkSession.active, table(input),
+        input.getLong(1))
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
   /** `system.rollback(table, to_version)` — restore by republishing */
   final class Rollback(root: String) extends Maintenance(root) {
     override def name(): String = "rollback"

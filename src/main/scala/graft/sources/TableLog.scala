@@ -1337,6 +1337,135 @@ object TableLog extends QueryPack {
     commitOverwrite(df, newTable)
   }
 
+  /** ZERO-COPY shallow clone (Delta's `SHALLOW CLONE` on a filesystem log
+    * store): the snapshot at `asOf` (default head) becomes a NEW table whose
+    * v0 manifest lists the SAME relative file names, with every data/DV
+    * parquet HARD-LINKED into the clone's directory — data files are
+    * immutable, so two directory entries over one inode is always safe, and
+    * each table's vacuum/gcOrphans only unlinks its OWN entries (the inode
+    * survives until the last link drops). Cost is O(files) driver-side
+    * metadata, not O(bytes) — the 100 TB dev-branch primitive. Stats lines,
+    * recorded row counts (both keyed by relpath, both still true of the
+    * linked files) and CHECK constraints carry; tags and NDV do not (tags
+    * name the SOURCE's history; NDV records a measured-at version that has
+    * no meaning in the clone's log). Cross-filesystem targets fall back to
+    * a real copy per file. GDPR note: erasure applied to either table never
+    * reaches the other's manifest — re-run propagation on the clone.
+    */
+  def cloneTable(src: String, dst: String,
+                 asOf: Option[Long] = None): Long = {
+    val vs = versions(src)
+    require(vs.nonEmpty, s"no committed versions under $src")
+    require(versions(dst).isEmpty, s"clone target $dst already has versions")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v of $src does not exist (have $vs)")
+    val files = liveFiles(src, v)
+    val dvs = dvFiles(src, v)
+    (files ++ dvs).foreach { rel =>
+      val (s, d) = (Paths.get(src).resolve(rel), Paths.get(dst).resolve(rel))
+      Files.createDirectories(d.getParent)
+      try Files.createLink(d, s)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // idempotent re-run
+        case _: Exception => Files.copy(s, d) // cross-device: degrade to copy
+      }
+    }
+    // row counts + stats are per-relpath facts about immutable files — filter
+    // to the cloned live set and re-key nothing
+    val liveSet = (files ++ dvs).toSet
+    val counts = rowCounts(src).filter { case (f, _) => liveSet(f) }
+    Files.createDirectories(logDir(dst))
+    if (counts.nonEmpty) {
+      Files.write(rowCountsFile(dst),
+        counts.map { case (f, n) => s"$f|$n" }.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    checkConstraints(src).foreach { case (n, e) => addCheckConstraint(dst, n, e) }
+    val nv = publish(dst, 0L, files, dvs = dvs)
+    val stats = latestStatsLines(src, v).filter(l => liveSet(l.takeWhile(_ != '|')))
+    if (stats.nonEmpty) {
+      Files.write(statsFile(dst, nv),
+        stats.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    nv
+  }
+
+  /** Build/refresh the per-file [min, max] STATS sidecar for the head
+    * version from parquet FOOTERS alone — the post-hoc `ANALYZE` for tables
+    * committed without `statCols`. Each footer is a driver-side KB read
+    * (block metadata already stores per-column statistics); no Spark job,
+    * no data scan — the metadata asymptotics a 100 TB retrofit needs.
+    * Only INT64 columns with complete, non-empty footer statistics emit a
+    * line (the sidecar's long-valued contract); a column a file lacks (or
+    * wrote without stats) is simply absent for that file, which readPruned
+    * treats as keep-always — sound. Ranges cover PHYSICAL rows, so they may
+    * be wider than the DV-visible data: pruning stays sound, and the
+    * metadata min/max agg path independently requires zero DVs.
+    * Returns the number of (file, column) lines now recorded at head.
+    */
+  def buildStatsIndex(table: String, columns: Seq[String]): Int = {
+    require(columns.nonEmpty, "buildStatsIndex needs at least one column")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val head = vs.last
+    val live = liveFiles(table, head)
+    val wanted = columns.map(c => c -> c.toLowerCase).toMap
+    val fresh = live.flatMap { rel =>
+      val footer = parquetFooter(Paths.get(table).resolve(rel).toString)
+      val blocks = footer.getBlocks.asScala.toSeq
+      columns.flatMap { c =>
+        val ranges = blocks.flatMap { b =>
+          b.getColumns.asScala.find(cc =>
+            cc.getPath.toDotString.equalsIgnoreCase(wanted(c))).flatMap { cc =>
+            val st = cc.getStatistics
+            if (cc.getPrimitiveType.getPrimitiveTypeName !=
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 ||
+              st == null || st.isEmpty || !st.hasNonNullValue) None
+            else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+          }
+        }
+        // every block must carry stats, else the file-level range would be
+        // speculative — skip the line (keep-always is the sound direction)
+        if (ranges.size == blocks.size && ranges.nonEmpty)
+          Some(s"$rel|$c|${ranges.map(_._1).min}|${ranges.map(_._2).max}")
+        else None
+      }
+    }
+    val colsLower = columns.map(_.toLowerCase).toSet
+    val keep = latestStatsLines(table, head).filterNot { l =>
+      l.split('|') match {
+        case Array(_, c, _, _) => colsLower(c.toLowerCase)
+        case _ => true // malformed: drop
+      }
+    }
+    val all = keep ++ fresh
+    if (all.nonEmpty) {
+      Files.createDirectories(logDir(table))
+      Files.write(statsFile(table, head),
+        all.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    fresh.size
+  }
+
+  /** [[optimize]] with a TARGET FILE SIZE instead of a file count — the form
+    * a 100 TB operator actually speaks ("128 MB files", not "N files"): the
+    * output file count derives from the snapshot's live bytes, clamped to
+    * [1, current live file count] (compaction never INCREASES file count).
+    */
+  def optimizeToSize(spark: SparkSession, table: String,
+                     targetBytes: Long): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val head = versions(table).last
+    val bytes = liveBytes(table, head)
+    val nLive = liveFiles(table, head).size
+    val n = math.max(1L, math.min(nLive.toLong,
+      (bytes + targetBytes - 1) / targetBytes)).toInt
+    optimize(spark, table, n)
+  }
+
   // ---- the graded query: time travel over two commits of orders ----------
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -54,14 +54,32 @@ class RowGroupSkipSpec extends SparkSpec {
     // row count were not added to the cursor, the subtraction would land
     // on the wrong rows and parity would break
     TableLog.deleteWhere(spark, t, "k % 2 = 0 AND k >= 190000")
+    // default path since round 13: DV-bearing snapshots read COLUMNAR —
+    // the survivor-compacting vectorized reader trades row-group skipping
+    // for batch decode (sequential, position-exact). Answers must be exact;
+    // the skip counter stays untouched by design.
     ChangeFileReader.rowGroupsSkipped.reset()
     val after = spark.sql("SELECT k FROM graftrgs.t WHERE k >= 190000").collect()
     assert(after.length == 5000, s"expected the 5000 odd survivors, got ${after.length}")
-    assert(after.forall(_.getLong(0) % 2 == 1), "DV positions misaligned after group skipping")
-    assert(ChangeFileReader.rowGroupsSkipped.sum() > 10)
+    assert(after.forall(_.getLong(0) % 2 == 1), "DV positions misaligned (columnar path)")
+    assert(ChangeFileReader.rowGroupsSkipped.sum() == 0L,
+      "the DV-columnar reader decodes sequentially — no row-group skipping")
     // and the un-banded read is DV-exact too
     assert(spark.sql("SELECT count(k) AS n FROM graftrgs.t")
       .collect().head.getLong(0) == 195000L)
+    // opt-OUT restores the position-exact Group ROW reader, which skips row
+    // groups across the band and must add skipped groups' row counts to the
+    // position cursor so DV subtraction stays aligned across the gaps
+    spark.conf.set("spark.graft.columnar.dv.enabled", "false")
+    try {
+      ChangeFileReader.rowGroupsSkipped.reset()
+      val afterRow = spark.sql("SELECT k FROM graftrgs.t WHERE k >= 190000").collect()
+      assert(afterRow.length == 5000, s"row path: expected 5000, got ${afterRow.length}")
+      assert(afterRow.forall(_.getLong(0) % 2 == 1),
+        "DV positions misaligned after group skipping (row path)")
+      assert(ChangeFileReader.rowGroupsSkipped.sum() > 10,
+        s"the row reader must skip most groups, skipped=${ChangeFileReader.rowGroupsSkipped.sum()}")
+    } finally spark.conf.unset("spark.graft.columnar.dv.enabled")
   }
 
   test("nested-field predicates never feed row-group envelopes (no row loss)") {

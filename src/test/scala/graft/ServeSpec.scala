@@ -203,6 +203,21 @@ class ServeSpec extends SparkSpec {
             "zorder must commit the clustered rewrite")
           assert(one("SELECT count(*) FROM graft.jdbc_z") == 4096L)
           assert(TableLog.liveFileCount(s"$root/jdbc_z") == 4)
+          // analyze: footer-only stats build over the wire, then clone +
+          // size-targeted compaction — the full retrofit/dev-branch loop
+          val rsA = conn2.createStatement().executeQuery(
+            "CALL graft.system.analyze('jdbc_z', array('a', 'b'))")
+          assert(rsA.next() && rsA.getLong(1) == 8L,
+            "analyze must record 4 files x 2 long columns")
+          assert(one("CALL graft.system.clone('jdbc_z', 'jdbc_z_dev')") == 0L,
+            "clone starts its own history at v0")
+          assert(one("SELECT count(*) FROM graft.jdbc_z_dev") == 4096L)
+          st.execute("DELETE FROM graft.jdbc_z_dev WHERE a < 32")
+          assert(one("SELECT count(*) FROM graft.jdbc_z") == 4096L,
+            "a clone delete must never reach the source")
+          assert(one("CALL graft.system.optimize_size('jdbc_z', 1073741824)") == 3L,
+            "a GB-sized target compacts the 4-file table to 1 file as v3")
+          assert(TableLog.liveFileCount(s"$root/jdbc_z") == 1)
           // path escapes are rejected at the name check, not resolved
           val esc = intercept[Exception](conn2.createStatement().executeQuery(
             "CALL graft.system.optimize('../jdbc_writes', 1)"))

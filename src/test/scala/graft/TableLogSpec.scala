@@ -920,6 +920,108 @@ class TableLogSpec extends SparkSpec {
       "pre-evolution preimages must carry NULL for the added column")
   }
 
+  test("shallow clone: zero-copy hard links, isolated histories, DVs and stats carry") {
+    rm(new java.io.File(s"$root/clonesrc"))
+    rm(new java.io.File(s"$root/clonedst"))
+    val src = s"$root/clonesrc"
+    val dst = s"$root/clonedst"
+    TableLog.commitAppend(
+      spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(4, col("k")), src, statCols = Seq("k"))      // v0
+    TableLog.deleteWhere(spark, src, "k % 10 = 3")                       // v1 (DV)
+    TableLog.commitAppend(spark.range(1000, 1100)
+      .selectExpr("id AS k", "id * 2 AS v").coalesce(1), src)            // v2
+
+    val cv = TableLog.cloneTable(src, dst)
+    assert(cv == 0L, "a clone starts its own history at v0")
+    // content identity at the cloned snapshot (DV subtraction included)
+    val a = TableLog.read(spark, src).collect().map(_.toString).sorted.toSeq
+    val b = TableLog.read(spark, dst).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "clone must read exactly the source snapshot")
+
+    // ZERO-COPY: every cloned data file shares its inode with the source
+    val linked = new java.io.File(s"$dst/data").listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(linked.nonEmpty)
+    linked.foreach { f =>
+      val n = java.nio.file.Files.getAttribute(f.toPath, "unix:nlink")
+        .asInstanceOf[Number].intValue
+      assert(n >= 2, s"${f.getName} must be a hard link (nlink=$n)")
+    }
+
+    // metadata carries: row counts answer count(*) without a scan, stats prune
+    // head = 1000 (v0) + 100 (v2 append) - 100 (v1 DV) rows
+    assert(TableLog.metadataCount(dst).contains(1000L),
+      s"cloned row counts + DVs must serve metadataCount, got ${TableLog.metadataCount(dst)}")
+    val (kept, total) = TableLog.prunedFiles(dst, "k", 0L, 10L)
+    assert(total >= 4 && kept.size < total,
+      s"cloned stats must prune ($kept of $total kept)")
+
+    // time-travel clone pins the requested version (v1 = post-DV, pre-append)
+    rm(new java.io.File(s"$root/clonedst0"))
+    TableLog.cloneTable(src, s"$root/clonedst0", asOf = Some(1L))
+    assert(TableLog.read(spark, s"$root/clonedst0").count() == 900L,
+      "asOf=1 clones the post-delete snapshot")
+    // a non-empty target refuses
+    intercept[IllegalArgumentException](TableLog.cloneTable(src, dst))
+
+    // HISTORY ISOLATION: a delete in the clone never reaches the source
+    TableLog.deleteWhere(spark, dst, "k < 500")
+    assert(TableLog.read(spark, src).count() == 1000L, "source must be untouched")
+    assert(TableLog.read(spark, dst).count() == 550L) // 1000 - (500 - 50 already DV'd)
+    // ...and vacuuming the source does not break the clone (shared inodes
+    // survive until the LAST link drops)
+    TableLog.commitOverwrite(Seq((1L, 1L)).toDF("k", "v"), src)
+    val _ = TableLog.vacuum(src, 1)
+    assert(TableLog.read(spark, dst, Some(0L)).count() == 1000L,
+      "the clone's v0 must survive a source vacuum")
+  }
+
+  test("buildStatsIndex: footer-only ANALYZE enables pruning; optimizeToSize sizes by bytes") {
+    rm(new java.io.File(s"$root/analyze"))
+    val t = s"$root/analyze/t"
+    // committed WITHOUT statCols — the retrofit case
+    TableLog.commitAppend(
+      spark.range(0, 4000).selectExpr("id AS k", "id % 7 AS v", "'x' AS s")
+        .repartitionByRange(8, col("k")), t)
+    assert(TableLog.prunedFiles(t, "k", 0L, 10L)._1.size == 8,
+      "without stats every file is kept")
+    val n = TableLog.buildStatsIndex(t, Seq("k", "v", "s"))
+    // k and v are INT64 with footer stats; s is BINARY → no line (sound skip)
+    assert(n == 16, s"expected 8 files x 2 long columns, got $n")
+    val (kept, total) = TableLog.prunedFiles(t, "k", 0L, 10L)
+    assert(total == 8 && kept.size == 1,
+      s"footer stats must prune range-clustered files ($kept)")
+    // the index reflects PHYSICAL ranges — correct data, re-run idempotent
+    assert(TableLog.buildStatsIndex(t, Seq("k", "v", "s")) == 16)
+    assert(TableLog.read(spark, t).count() == 4000L)
+
+    // optimizeToSize: derive the file count from live bytes. Pin small input
+    // splits for the toy files — optimize compacts via coalesce (no shuffle,
+    // clustering preserved), which can only SPLIT DOWN from the scan's
+    // partition count, and the default 128 MB packing would fuse 8 KB files
+    // into one split
+    val (mpb, oc) = (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8192")
+    try {
+      // one commit so far: every file under data/ is live
+      val bytes = new java.io.File(s"$t/data").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val v = TableLog.optimizeToSize(spark, t, (bytes / 2) + 1)
+      assert(v > 0)
+      val after = TableLog.liveFileCount(t)
+      assert(after == 2, s"half-the-bytes target must compact 8 -> 2 files, got $after")
+      assert(TableLog.read(spark, t).count() == 4000L)
+      // a target larger than the table compacts to exactly 1 file
+      TableLog.optimizeToSize(spark, t, bytes * 10)
+      assert(TableLog.liveFileCount(t) == 1)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      spark.conf.set("spark.sql.files.openCostInBytes", oc)
+    }
+  }
+
   test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
     rm(new java.io.File(s"$root/cdcdup"))
     val t = s"$root/cdcdup/t"
