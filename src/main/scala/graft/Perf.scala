@@ -50,6 +50,12 @@ object Perf {
             java.nio.file.Paths.get("/proc/loadavg")).trim).getOrElse("n/a")
         val loadBefore = loadavg
         def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+          // PERF_GC=1: driver GC between runs so ContextCleaner processes its
+          // queued shuffle/broadcast cleanups NOW instead of mid-measurement —
+          // separates steady-state per-run cost from deferred-cleanup drift
+          // (a monotone same-JVM climb that flattens under this flag is
+          // cleanup debt, not a leak)
+          if (sys.env.get("PERF_GC").contains("1")) { System.gc(); Thread.sleep(200) }
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9

@@ -1831,6 +1831,105 @@ object TableLog extends QueryPack {
       |  AND NOT (o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
 
+  private val cloneQBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Shallow-clone divergence, hash-gated end to end: an orders-derived
+    * table takes a DV delete, is CLONED (zero-copy hard links), and the two
+    * histories then diverge — a further delete lands only in the clone, a
+    * further append only in the source. One relation emits BOTH sides'
+    * accounting; the oracle replays each lineage relationally. A clone that
+    * missed the DV carry, leaked a post-clone write across tables, or
+    * re-read a vacuumed-in-one-side file flips a side's sums.
+    */
+  def cloneDivergence(s: SparkSession, dir: String): DataFrame = {
+    val (src, dev) = cloneQBuilt.computeIfAbsent(dir, { d =>
+      val root = graft.Scratch.dir("graft_tlog", d)
+      val (srcT, devT) = (root + "/clone_src", root + "/clone_dev")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(srcT)); rm(new java.io.File(devT))
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      commitAppend(base.repartitionByRange(4, col("k")), srcT)   // src v0
+      deleteWhere(s, srcT, "k % 7 = 0")                          // src v1 (DV)
+      cloneTable(srcT, devT)                                     // dev v0 == src v1
+      deleteWhere(s, devT, "status = 'F'")                       // dev diverges
+      commitAppend(                                              // src diverges
+        Tables.load(s, d, "orders").where(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 3000000L).as("k"),
+            lit("Z").as("status"), lit(1L).as("cents")), srcT)
+      (srcT, devT)
+    })
+    read(s, src).withColumn("side", lit("src"))
+      .unionByName(read(s, dev).withColumn("side", lit("dev")))
+      .groupBy(col("side"), col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+  }
+
+  private val cloneDivergenceSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |srcx AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey + 3000000 AS k, 'Z' AS status, CAST(1 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 100 = 0),
+      |devx AS (SELECT * FROM base WHERE status <> 'F'),
+      |both_sides AS (
+      |  SELECT 'src' AS side, status, cents FROM srcx
+      |  UNION ALL
+      |  SELECT 'dev' AS side, status, cents FROM devx)
+      |SELECT side, status, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM both_sides GROUP BY side, status""".stripMargin
+
+  private val retrofitBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Footer-only ANALYZE retrofit, hash-gated for SOUNDNESS: a
+    * range-clustered table committed WITHOUT a stats index gets its sidecar
+    * built post-hoc from parquet footers ([[buildStatsIndex]] — no scan),
+    * then a banded read goes through [[readPruned]]'s file skipping. The
+    * oracle replays the band from the raw table — a wrong footer range (a
+    * false skip) silently DROPS rows, which is exactly what the hash gate
+    * catches; the spec twin pins that files actually skip.
+    */
+  def statsRetrofitRead(s: SparkSession, dir: String): DataFrame = {
+    val t = retrofitBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_retrofit"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      commitAppend(
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartitionByRange(8, col("k")), table)   // NO statCols: the retrofit case
+      val n = buildStatsIndex(table, Seq("k"))
+      require(n > 0, s"footer ANALYZE recorded nothing for $table")
+      table
+    })
+    readPruned(s, t, "k", 1000L, 5000L)
+      .where(col("k") >= 1000L && col("k") <= 5000L)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+  }
+
+  private val statsRetrofitReadSql =
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+      |GROUP BY 1""".stripMargin
+
   private val bloomQBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** orders committed HASH-clustered on o_custkey (8 files) with a Bloom
@@ -2998,5 +3097,7 @@ object TableLog extends QueryPack {
     Q("time_travel_read", timeTravelRead, Some(timeTravelReadSql)),
     Q("bitemporal_asof", bitemporalAsOf, Some(bitemporalAsOfSql)),
     Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)),
-    Q("version_diff", versionDiff, Some(versionDiffSql)))
+    Q("version_diff", versionDiff, Some(versionDiffSql)),
+    Q("clone_divergence", cloneDivergence, Some(cloneDivergenceSql)),
+    Q("stats_retrofit_read", statsRetrofitRead, Some(statsRetrofitReadSql)))
 }
