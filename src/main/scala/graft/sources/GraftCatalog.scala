@@ -99,6 +99,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "clone") => new GraftProcedures.Clone(root)
       case (Seq("system"), "analyze") => new GraftProcedures.Analyze(root)
       case (Seq("system"), "optimize_size") => new GraftProcedures.OptimizeSize(root)
+      case (Seq("system"), "build_bloom") => new GraftProcedures.BuildBloom(root)
+      case (Seq("system"), "build_ndv") => new GraftProcedures.BuildNdv(root)
+      case (Seq("system"), "backup") => new GraftProcedures.Backup(root)
+      case (Seq("system"), "restore") => new GraftProcedures.Restore(root)
       case (Seq("system"), "tag") => new GraftProcedures.Tag(root)
       case (Seq("system"), "untag") => new GraftProcedures.Untag(root)
       case _ => throw new IllegalArgumentException(
@@ -358,7 +362,7 @@ private[sources] object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq(
     "txn_commit", "txn_recover", "optimize", "zorder", "vacuum",
     "vacuum_plan", "rollback", "tag", "untag", "clone", "analyze",
-    "optimize_size")
+    "optimize_size", "build_bloom", "build_ndv", "backup", "restore")
 
   /** one empty data file whose parquet footer carries `schema` — how DDL
     * materializes a schema in a log whose schema IS its files' merged

@@ -242,6 +242,79 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `system.build_bloom(table, column)` — Bloom sidecar for point skips */
+  final class BuildBloom(root: String) extends Maintenance(root) {
+    override def name(): String = "build_bloom"
+    override def description(): String =
+      "build/refresh the per-file Bloom sidecar on a column (point-lookup " +
+        "file skipping on unordered layouts)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build())
+    private val out = new StructType().add("files_indexed", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = TableLog.buildBloomIndex(SparkSession.active, table(input), str(input, 1))
+      one(resultScan(out, Seq(row(n.toLong))))
+    }
+  }
+
+  /** `system.build_ndv(table, columns)` — planner NDV estimates */
+  final class BuildNdv(root: String) extends Maintenance(root) {
+    override def name(): String = "build_ndv"
+    override def description(): String =
+      "build/refresh the per-column NDV sidecar at head (cost-based " +
+        "broadcast evidence; planner metadata, never correctness)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns",
+        org.apache.spark.sql.types.ArrayType(StringType)).build())
+    private val out = new StructType().add("columns_indexed", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val a = input.getArray(1)
+      val cols = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      TableLog.buildNdvIndex(SparkSession.active, table(input), cols)
+      one(resultScan(out, Seq(row(cols.size.toLong))))
+    }
+  }
+
+  /** `system.backup(table, dest_dir [, version])` — checksummed DR export.
+    * `dest_dir` is a raw path by design: a backup's whole point is leaving
+    * the catalog root (the caller's session already holds filesystem
+    * authority; this is the CLI's exact semantics over JDBC).
+    */
+  final class Backup(root: String) extends Maintenance(root) {
+    override def name(): String = "backup"
+    override def description(): String =
+      "export the snapshot as a self-contained checksummed backup directory"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("dest_dir", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val asOf = if (input.isNullAt(2) || input.getLong(2) < 0) None
+                 else Some(input.getLong(2))
+      val v = TableLog.backup(SparkSession.active, table(input), str(input, 1), asOf)
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
+  /** `system.restore(backup_dir, table)` — integrity-checked re-import */
+  final class Restore(root: String) extends Maintenance(root) {
+    override def name(): String = "restore"
+    override def description(): String =
+      "verify a backup's manifest (count + checksum) and commit it as a " +
+        "fresh catalog table; a corrupted backup is refused"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("backup_dir", StringType).build(),
+      ProcedureParameter.in("table", StringType).build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TableLog.restore(SparkSession.active, str(input, 0), table(input, 1))
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
   /** `system.rollback(table, to_version)` — restore by republishing */
   final class Rollback(root: String) extends Maintenance(root) {
     override def name(): String = "rollback"

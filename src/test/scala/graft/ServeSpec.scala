@@ -218,6 +218,30 @@ class ServeSpec extends SparkSpec {
           assert(one("CALL graft.system.optimize_size('jdbc_z', 1073741824)") == 3L,
             "a GB-sized target compacts the 4-file table to 1 file as v3")
           assert(TableLog.liveFileCount(s"$root/jdbc_z") == 1)
+          // index maintenance over the wire: bloom + NDV sidecars land where
+          // the API readers look
+          val rsB = conn2.createStatement().executeQuery(
+            "CALL graft.system.build_bloom('jdbc_z', 'a')")
+          assert(rsB.next() && rsB.getLong(1) == 1L,
+            "build_bloom must index the single compacted live file")
+          assert(one("CALL graft.system.build_ndv('jdbc_z', array('a', 'b'))") == 2L)
+          val ndvLines = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"$root/jdbc_z/_log/ndv.txt"))
+          assert(ndvLines.stream().anyMatch(l => l.split('|').length == 3 &&
+            l.split('|')(1) == "a"),
+            "SQL build_ndv must land in the sidecar the broadcast rule reads")
+          // DR round-trip over the wire: backup → restore → identical reads;
+          // a tampered backup is refused
+          val bdir = s"$root/_backup_jdbc_z"
+          assert(one(s"CALL graft.system.backup('jdbc_z', '$bdir')") >= 0L)
+          assert(one(s"CALL graft.system.restore('$bdir', 'jdbc_z_restored')") >= 0L)
+          assert(one("SELECT count(*) FROM graft.jdbc_z_restored") == 4096L)
+          assert(one(
+            """SELECT count(*) FROM (
+              |  SELECT a, b FROM graft.jdbc_z
+              |  EXCEPT
+              |  SELECT a, b FROM graft.jdbc_z_restored) d""".stripMargin) == 0L,
+            "restored content must equal the source snapshot")
           // path escapes are rejected at the name check, not resolved
           val esc = intercept[Exception](conn2.createStatement().executeQuery(
             "CALL graft.system.optimize('../jdbc_writes', 1)"))
