@@ -93,6 +93,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "txn_recover") => new GraftProcedures.TxnRecover(root)
       case (Seq("system"), "optimize") => new GraftProcedures.Optimize(root)
       case (Seq("system"), "zorder") => new GraftProcedures.ZOrder(root)
+      case (Seq("system"), "zorder_n") => new GraftProcedures.ZOrderN(root)
       case (Seq("system"), "vacuum") => new GraftProcedures.Vacuum(root)
       case (Seq("system"), "vacuum_plan") => new GraftProcedures.VacuumPlan(root)
       case (Seq("system"), "rollback") => new GraftProcedures.Rollback(root)
@@ -362,7 +363,8 @@ private[sources] object GraftCatalog {
   val ProcedureNames: Seq[String] = Seq(
     "txn_commit", "txn_recover", "optimize", "zorder", "vacuum",
     "vacuum_plan", "rollback", "tag", "untag", "clone", "analyze",
-    "optimize_size", "build_bloom", "build_ndv", "backup", "restore")
+    "optimize_size", "build_bloom", "build_ndv", "backup", "restore",
+    "zorder_n")
 
   /** one empty data file whose parquet footer carries `schema` — how DDL
     * materializes a schema in a log whose schema IS its files' merged

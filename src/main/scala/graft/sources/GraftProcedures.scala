@@ -155,6 +155,27 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `system.zorder_n(table, columns, n_files)` — N-way Morton clustering */
+  final class ZOrderN(root: String) extends Maintenance(root) {
+    override def name(): String = "zorder_n"
+    override def description(): String =
+      "rewrite the head snapshot clustered by the N-way (2..6) Morton " +
+        "interleave of long columns; per-file stats cover every dimension"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns",
+        org.apache.spark.sql.types.ArrayType(StringType)).build(),
+      ProcedureParameter.in("n_files", IntegerType).build())
+    private val out = new StructType().add("version", LongType)
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val a = input.getArray(1)
+      val cols = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      val v = TableLog.optimizeZOrderN(SparkSession.active, table(input),
+        cols, input.getInt(2))
+      one(resultScan(out, Seq(row(v))))
+    }
+  }
+
   /** `system.vacuum(table, keep_versions)` — tag-aware prefix reclaim */
   final class Vacuum(root: String) extends Maintenance(root) {
     override def name(): String = "vacuum"

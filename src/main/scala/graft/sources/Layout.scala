@@ -53,6 +53,28 @@ object Layout extends QueryPack {
     }
   }
 
+  /** N-dimensional Morton value: bit i of column j lands at position
+    * N·i + j, with each dimension granted floor(62 / N) bits (values beyond
+    * that clamp to the grid edge — clamping can only LOOSEN clustering,
+    * never correctness, exactly as in the 2-D form). 2 ≤ N ≤ 6 keeps ≥ 10
+    * bits (1024 distinct cells) per dimension — beyond that interleaving
+    * stops buying anything over plain lexicographic sort.
+    */
+  def zValueN(cols: Seq[Column]): Column = {
+    val n = cols.length
+    require(n >= 2 && n <= 6, s"zValueN takes 2..6 columns, got $n")
+    val bits = 62 / n
+    val maxV = (1L << bits) - 1
+    def clamp(c: Column): Column =
+      least(greatest(c.cast("long"), lit(0L)), lit(maxV))
+    val clamped = cols.map(clamp)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      clamped.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j))
+      }
+    }
+  }
+
   /** Rewrite `df` clustered by z(colA, colB) into `nFiles` range-partitioned,
     * locally-sorted Parquet files, then write the per-file manifest next to
     * it (`<out>_manifest`). Returns (tableDir, manifestDir).

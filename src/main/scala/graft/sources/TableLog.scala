@@ -1116,6 +1116,32 @@ object TableLog extends QueryPack {
     }
   }
 
+  /** N-dimensional OPTIMIZE ZORDER (2..6 long columns): the same
+    * stats-preserving compactRetry as the 2-D form, clustered by
+    * [[Layout.zValueN]]'s N-way bit interleave — every file's bounding box
+    * over EVERY clustered column stays tight, so the per-file stats index
+    * prunes on any predicate dimension. Each dimension gets floor(62/N)
+    * bits; values beyond that clamp (looser clustering, never wrong reads).
+    */
+  def optimizeZOrderN(
+      spark: SparkSession,
+      table: String,
+      cols: Seq[String],
+      nFiles: Int = 8): Long = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(cols.size >= 2 && cols.size <= 6,
+      s"optimizeZOrderN takes 2..6 columns, got ${cols.size}")
+    compactRetry(spark, table) { head =>
+      val prevStatCols = latestStatsLines(table, head).map(_.split('|')(1)).distinct
+      val clustered = read(spark, table, Some(head))
+        .withColumn("_z", Layout.zValueN(cols.map(col)))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+      (clustered, (prevStatCols ++ cols).distinct)
+    }
+  }
+
   /** ROLLBACK (Delta's `RESTORE TABLE ... VERSION AS OF`): make the head
     * state equal `toVersion` again by publishing that version's manifest
     * (files + DVs) as a NEW commit — the bad commits stay in history

@@ -1022,6 +1022,33 @@ class TableLogSpec extends SparkSpec {
     }
   }
 
+  test("optimizeZOrderN: 3-way Morton clustering prunes on every dimension") {
+    rm(new java.io.File(s"$root/zn"))
+    val t = s"$root/zn/t"
+    // 3 independent dimensions, 16 values each, uniformly crossed (4096 rows)
+    TableLog.commitAppend(
+      spark.range(0, 4096).selectExpr(
+        "id % 16 AS a", "(id DIV 16) % 16 AS b", "(id DIV 256) % 16 AS c",
+        "id AS payload").coalesce(1), t)
+    val v = TableLog.optimizeZOrderN(spark, t, Seq("a", "b", "c"), nFiles = 8)
+    assert(v == 1L && TableLog.liveFileCount(t) == 8)
+    // every dimension's per-file range is tight enough to prune a point band
+    for (d <- Seq("a", "b", "c")) {
+      val (kept, total) = TableLog.prunedFiles(t, d, 0L, 1L)
+      assert(total == 8 && kept.size < total,
+        s"dimension $d must prune after 3-way z-order ($kept of $total kept)")
+    }
+    // pruned reads stay exact on each dimension
+    for (d <- Seq("a", "b", "c")) {
+      val got = TableLog.readPruned(spark, t, d, 0L, 1L)
+        .where(col(d) <= 1L).count()
+      assert(got == 512L, s"dimension $d pruned read must keep 2 of 16 values, got $got")
+    }
+    // arity guard
+    intercept[IllegalArgumentException](
+      TableLog.optimizeZOrderN(spark, t, Seq("a"), nFiles = 2))
+  }
+
   test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
     rm(new java.io.File(s"$root/cdcdup"))
     val t = s"$root/cdcdup/t"
