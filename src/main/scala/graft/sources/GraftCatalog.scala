@@ -77,10 +77,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stays on the [[TableLog.readPruned]] API path).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** the ONE catalog function: `bucket(n, key)` — what the scan's reported
+    * `KeyGroupedPartitioning` transform resolves through
+    * ([[GraftBucketFunction]]); Spark matches both join sides' transforms
+    * by the bound function's canonicalName, so two graft catalogs (or two
+    * tables of one) are storage-partition-compatible by construction
+    */
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
 
   /** SQL stored procedures (`CALL <cat>.system.txn_commit(...)` /
     * `txn_recover()`) — the JDBC-visible face of [[Txn]]'s atomic
@@ -246,6 +262,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident.namespace.toSeq :+ ident.name)
     TableLog.commitOverwrite(emptyRelation(schema), tablePath(ident))
+    // engine-interpreted properties (graft.*) persist to the props sidecar;
+    // Spark's own bookkeeping keys (provider/owner/...) are not the table's
+    properties.asScala.foreach { case (k, v) =>
+      if (k.startsWith("graft.")) TableLog.setTableProp(tablePath(ident), k, v)
+    }
     load(ident, None)
   }
 
@@ -260,7 +281,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = tablePath(ident)
     if (TableLog.versions(p).isEmpty)
       throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
-    val widened = changes.foldLeft(load(ident, None).schema) {
+    // property changes are sidecar updates, never commits
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    propChanges.foreach {
+      case sp: TableChange.SetProperty =>
+        require(sp.property.startsWith("graft."),
+          s"only graft.* properties are settable (got ${sp.property})")
+        TableLog.setTableProp(p, sp.property, sp.value)
+      case rp: TableChange.RemoveProperty => TableLog.unsetTableProp(p, rp.property)
+      case _ => ()
+    }
+    if (schemaChanges.isEmpty) return load(ident, None)
+    val widened = schemaChanges.foldLeft(load(ident, None).schema) {
       case (s, a: TableChange.AddColumn) =>
         require(a.fieldNames.length == 1,
           s"only top-level ADD COLUMN is supported, got ${a.fieldNames.mkString(".")}")
@@ -388,6 +423,12 @@ private[sources] class GraftLogTable(ident: String, path: String, v: Long)
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident
+
+  /** engine properties from the props sidecar — `SHOW TBLPROPERTIES`
+    * reads these; [[TableLog.ClusterByProp]] steers clustered INSERTs
+    */
+  override def properties(): java.util.Map[String, String] =
+    TableLog.tableProps(path).asJava
 
   /** log directory + pinned snapshot version — what [[MatViewRewrite]]
     * matches a base-table scan by (the pin doubles as the freshness check:
@@ -781,8 +822,13 @@ private[sources] class GraftLogWriteBuilder(path: String)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ignored: Boolean): Unit = {
-        if (overwrite) TableLog.commitOverwrite(data, path)
-        else TableLog.commitAppend(data, path)
+        // the graft.clusterBy property turns the append into a CLUSTERED
+        // write: range-partitioned + sorted on the cluster columns with
+        // their per-file stats recorded, so predicate file skipping works
+        // from the first INSERT without an OPTIMIZE pass
+        val (clustered, statCols) = TableLog.clusterForWrite(data, path)
+        if (overwrite) TableLog.commitOverwrite(clustered, path, statCols)
+        else TableLog.commitAppend(clustered, path, statCols)
         ()
       }
     }
@@ -876,6 +922,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   private var pushedSkips: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var keepFiles: Option[Set[String]] = None
   private var rowGroupRanges: Map[String, (Long, Long)] = Map.empty
+  private var strRowGroupRanges: Map[String, (Option[String], Option[String])] = Map.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -913,6 +960,30 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
         val cur = rgRanges.getOrElse(c, (Long.MinValue, Long.MaxValue))
         rgRanges(c) = (math.max(cur._1, lo), math.min(cur._2, hi))
       }
+    // STRING row-group envelopes (unsigned UTF-8 byte order everywhere —
+    // the collation the sidecar, Spark, and parquet footers share); None =
+    // unbounded on that side
+    val rgStrRanges =
+      scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    def utf8Max(a: String, b: String): String =
+      if (TableLog.cmpUtf8(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= 0) a else b
+    def utf8Min(a: String, b: String): String =
+      if (TableLog.cmpUtf8(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0) a else b
+    def noteStrRange(c: String, lo: Option[String], hi: Option[String]): Unit =
+      if (full.fieldNames.exists(_.equalsIgnoreCase(c))) {
+        val (cl, ch) = rgStrRanges.getOrElse(c, (None: Option[String], None: Option[String]))
+        val nl = (cl, lo) match {
+          case (Some(a), Some(b)) => Some(utf8Max(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        val nh = (ch, hi) match {
+          case (Some(a), Some(b)) => Some(utf8Min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+        rgStrRanges(c) = (nl, nh)
+      }
     def longOf(x: Any): Option[Long] = x match {
       case n: Long => Some(n)
       case n: Int => Some(n.toLong)
@@ -932,6 +1003,18 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
           TableLog.prunedFiles(path, c, lo, hi, Some(v))._1.toSet)
         true
       }
+    // only ACTUAL string literals qualify for string-stats comparisons —
+    // a numeric value rendered to text would compare in the wrong collation
+    def strOnly(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    def statRangeStr(c: String, lo: Option[String], hi: Option[String]): Boolean =
+      TableLog.hasStatsForStr(path, v, c) && {
+        kept = kept.intersect(
+          TableLog.prunedFilesStr(path, c, lo, hi, Some(v))._1.toSet)
+        true
+      }
     def bloomEq(c: String, s: String): Boolean =
       TableLog.hasBloomFor(path, c) && {
         kept = kept.intersect(
@@ -940,28 +1023,57 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
       }
     filters.foreach { f =>
       f match { // row-group envelopes ride along for every comparison shape
-        case EqualTo(c, x) => longOf(x).foreach(n => noteRange(c, n, n))
-        case GreaterThan(c, x) => longOf(x).foreach(n => noteRange(c, n, Long.MaxValue))
-        case GreaterThanOrEqual(c, x) => longOf(x).foreach(n => noteRange(c, n, Long.MaxValue))
-        case LessThan(c, x) => longOf(x).foreach(n => noteRange(c, Long.MinValue, n))
-        case LessThanOrEqual(c, x) => longOf(x).foreach(n => noteRange(c, Long.MinValue, n))
+        case EqualTo(c, x) =>
+          longOf(x).foreach(n => noteRange(c, n, n))
+          strOnly(x).foreach(s => noteStrRange(c, Some(s), Some(s)))
+        case GreaterThan(c, x) =>
+          longOf(x).foreach(n => noteRange(c, n, Long.MaxValue))
+          strOnly(x).foreach(s => noteStrRange(c, Some(s), None))
+        case GreaterThanOrEqual(c, x) =>
+          longOf(x).foreach(n => noteRange(c, n, Long.MaxValue))
+          strOnly(x).foreach(s => noteStrRange(c, Some(s), None))
+        case LessThan(c, x) =>
+          longOf(x).foreach(n => noteRange(c, Long.MinValue, n))
+          strOnly(x).foreach(s => noteStrRange(c, None, Some(s)))
+        case LessThanOrEqual(c, x) =>
+          longOf(x).foreach(n => noteRange(c, Long.MinValue, n))
+          strOnly(x).foreach(s => noteStrRange(c, None, Some(s)))
         case In(c, xs) if xs.nonEmpty =>
           val ns = xs.flatMap(longOf)
           if (ns.length == xs.length) noteRange(c, ns.min, ns.max)
+          val ss = xs.flatMap(strOnly)
+          if (ss.length == xs.length)
+            noteStrRange(c, Some(ss.reduce(utf8Min)), Some(ss.reduce(utf8Max)))
+        case StringStartsWith(c, p) if p.nonEmpty =>
+          // LIKE 'p%' → the band [p, successor(p)); the inclusive high side
+          // over-keeps by at most the exact successor — sound
+          noteStrRange(c, Some(p), TableLog.prefixUpper(p))
         case _ =>
       }
       val usable = f match {
         case EqualTo(c, x) =>
-          val st = longOf(x).exists(n => statRange(c, n, n))
+          val st = longOf(x).exists(n => statRange(c, n, n)) ||
+            strOnly(x).exists(s => statRangeStr(c, Some(s), Some(s)))
           val bl = strOf(x).exists(s => bloomEq(c, s))
           st || bl
-        case GreaterThan(c, x) => longOf(x).exists(n => statRange(c, n, Long.MaxValue))
-        case GreaterThanOrEqual(c, x) => longOf(x).exists(n => statRange(c, n, Long.MaxValue))
-        case LessThan(c, x) => longOf(x).exists(n => statRange(c, Long.MinValue, n))
-        case LessThanOrEqual(c, x) => longOf(x).exists(n => statRange(c, Long.MinValue, n))
+        case GreaterThan(c, x) =>
+          longOf(x).exists(n => statRange(c, n, Long.MaxValue)) ||
+            strOnly(x).exists(s => statRangeStr(c, Some(s), None))
+        case GreaterThanOrEqual(c, x) =>
+          longOf(x).exists(n => statRange(c, n, Long.MaxValue)) ||
+            strOnly(x).exists(s => statRangeStr(c, Some(s), None))
+        case LessThan(c, x) =>
+          longOf(x).exists(n => statRange(c, Long.MinValue, n)) ||
+            strOnly(x).exists(s => statRangeStr(c, None, Some(s)))
+        case LessThanOrEqual(c, x) =>
+          longOf(x).exists(n => statRange(c, Long.MinValue, n)) ||
+            strOnly(x).exists(s => statRangeStr(c, None, Some(s)))
         case In(c, xs) if xs.nonEmpty =>
           val ns = xs.flatMap(longOf)
           val st = ns.length == xs.length && statRange(c, ns.min, ns.max)
+          val ss0 = xs.flatMap(strOnly)
+          val sst = ss0.length == xs.length &&
+            statRangeStr(c, Some(ss0.reduce(utf8Min)), Some(ss0.reduce(utf8Max)))
           val ss = xs.flatMap(strOf)
           val bl = ss.length == xs.length && TableLog.hasBloomFor(path, c) && {
             // a file survives if it may contain ANY of the listed values —
@@ -970,7 +1082,9 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
               TableLog.bloomFilesForAny(path, c, ss.distinct.toSeq, Some(v)).toSet)
             true
           }
-          st || bl
+          st || sst || bl
+        case StringStartsWith(c, p) if p.nonEmpty =>
+          statRangeStr(c, Some(p), TableLog.prefixUpper(p))
         case _ => false
       }
       if (usable) used += f
@@ -978,6 +1092,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
     pushedSkips = used.toArray
     keepFiles = if (kept == all) None else Some(kept)
     rowGroupRanges = rgRanges.toMap
+    strRowGroupRanges = rgStrRanges.toMap
     filters // all residual: exact row filtering always happens post-scan
   }
 
@@ -1016,15 +1131,27 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
         TableLog.metadataCount(path, Some(v))
           .map(n => (StructField("count(*)", LongType, nullable = false), n: Any))
       case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
-        colOf(m.column).flatMap(f =>
-          TableLog.statBounds(path, v, f.name).flatMap(b =>
-            narrowed(b._1, f.dataType).map(x =>
-              (StructField(s"min(${f.name})", f.dataType, nullable = true), x))))
+        colOf(m.column).flatMap { f =>
+          f.dataType match {
+            case StringType => TableLog.statBoundsStr(path, v, f.name).map(b =>
+              (StructField(s"min(${f.name})", StringType, nullable = true),
+                org.apache.spark.unsafe.types.UTF8String.fromString(b._1): Any))
+            case _ => TableLog.statBounds(path, v, f.name).flatMap(b =>
+              narrowed(b._1, f.dataType).map(x =>
+                (StructField(s"min(${f.name})", f.dataType, nullable = true), x)))
+          }
+        }
       case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
-        colOf(m.column).flatMap(f =>
-          TableLog.statBounds(path, v, f.name).flatMap(b =>
-            narrowed(b._2, f.dataType).map(x =>
-              (StructField(s"max(${f.name})", f.dataType, nullable = true), x))))
+        colOf(m.column).flatMap { f =>
+          f.dataType match {
+            case StringType => TableLog.statBoundsStr(path, v, f.name).map(b =>
+              (StructField(s"max(${f.name})", StringType, nullable = true),
+                org.apache.spark.unsafe.types.UTF8String.fromString(b._2): Any))
+            case _ => TableLog.statBounds(path, v, f.name).flatMap(b =>
+              narrowed(b._2, f.dataType).map(x =>
+                (StructField(s"max(${f.name})", f.dataType, nullable = true), x)))
+          }
+        }
       case _ => None
     }
     if (cols.exists(_.isEmpty)) None
@@ -1042,7 +1169,8 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) => new GraftMetaScan(schema, Array(row))
     case None =>
-      new GraftLogScan(path, v, required, keepFiles, options, rowGroupRanges)
+      new GraftLogScan(path, v, required, keepFiles, options, rowGroupRanges,
+        strRowGroupRanges)
   }
 }
 
@@ -1066,7 +1194,8 @@ private[sources] class RowGroupsSkippedMetric
 private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     keepFiles: Option[Set[String]] = None,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    rowGroupRanges: Map[String, (Long, Long)] = Map.empty)
+    rowGroupRanges: Map[String, (Long, Long)] = Map.empty,
+    strRowGroupRanges: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -1125,13 +1254,29 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
             TableLog.prunedFiles(path, c, n, n, Some(v))._1.toSet)
         Some(kept)
       } else {
-        val strs = vals.flatMap(strOf(_))
-        // one sidecar read tests every value (bloomFilesForAny), so the
-        // cap only bounds the driver-side md5 hashing of the key set
-        if (strs.length == vals.length && strs.length <= 65536 &&
-          TableLog.hasBloomFor(path, c))
-          Some(TableLog.bloomFilesForAny(path, c, strs.distinct, Some(v)).toSet)
-        else None
+        val raw = vals.collect { case s: org.apache.spark.unsafe.types.UTF8String => s.toString }
+        if (raw.length == vals.length && TableLog.hasStatsForStr(path, v, c)) {
+          // string STAT ranges: per-value point lookups for small build
+          // sets, one [min, max] envelope (UTF-8 byte order) for huge ones
+          val kept =
+            if (raw.length > 64) {
+              // hex is order-preserving, so sorting by it sorts in UTF-8
+              // byte order — the sidecar's collation
+              val sorted = raw.sortBy(TableLog.hexUtf8)
+              TableLog.prunedFilesStr(
+                path, c, Some(sorted.head), Some(sorted.last), Some(v))._1.toSet
+            } else raw.toSet.flatMap((s: String) =>
+              TableLog.prunedFilesStr(path, c, Some(s), Some(s), Some(v))._1.toSet)
+          Some(kept)
+        } else {
+          val strs = vals.flatMap(strOf(_))
+          // one sidecar read tests every value (bloomFilesForAny), so the
+          // cap only bounds the driver-side md5 hashing of the key set
+          if (strs.length == vals.length && strs.length <= 65536 &&
+            TableLog.hasBloomFor(path, c))
+            Some(TableLog.bloomFilesForAny(path, c, strs.distinct, Some(v)).toSet)
+          else None
+        }
       }
     }
     val keeps = predicates.flatMap { p =>
@@ -1189,10 +1334,12 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
         .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).sorted }
     val ranges = rowGroupRanges.toArray.map { case (c, (lo, hi)) => (c, lo, hi) }
       .sortBy(_._1)
+    val strRanges = strRowGroupRanges.toArray
+      .map { case (c, (lo, hi)) => (c, lo, hi) }.sortBy(_._1)
     files.map { f =>
       ChangeFilePartition(Paths.get(path).resolve(f).toString, insert = true, v,
         skip = skip.getOrElse(f, Array.empty), only = null,
-        ranges = ranges): InputPartition
+        ranges = ranges, strRanges = strRanges): InputPartition
     }.toArray
   }
 
@@ -1371,3 +1518,63 @@ private[sources] class GraftMetaScan(out: StructType, rows: Array[Array[Any]])
 
 private[sources] case class GraftRowsPartition(rows: Array[Array[Any]])
   extends InputPartition
+
+/** `bucket(n, key)` — the layout function behind `graft.bucketBy` tables:
+  * `pmod(murmur3(key, seed 42), n)`, EXACTLY the value the write path's
+  * `pmod(hash(col), n)` computes (Spark's `hash` is the same murmur3 with
+  * the same seed), so the bucket id Spark would derive by evaluating this
+  * function always agrees with the persisted per-file bucket ids. The
+  * bound functions' `canonicalName` is what `EnsureRequirements` compares
+  * to decide two scans' `KeyGroupedPartitioning`s are compatible — same
+  * key type + same bucket count → co-partitioned → no shuffle.
+  */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, key): pmod(murmur3(key, seed 42), numBuckets) — graft bucketed-table layout"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, key); got $inputType")
+    inputType.fields(1).dataType match {
+      case LongType => BucketLong
+      case IntegerType => BucketInt
+      case StringType => BucketStr
+      case t => throw new UnsupportedOperationException(
+        s"graft bucket supports BIGINT/INT/STRING keys; got $t")
+    }
+  }
+
+  private def pmod(h: Int, n: Int): Int = { val m = h % n; if (m < 0) m + n else m }
+
+  private[sources] abstract class Bucket(keyType: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    // key-typed canonical names: an INT and a LONG column hash DIFFERENTLY
+    // under murmur3, so cross-type "compatibility" would silently
+    // mis-co-partition — distinct names make Spark fall back to a shuffle
+    override def canonicalName(): String = s"graft.bucket(${keyType.typeName})"
+    override def isResultNullable: Boolean = false
+  }
+  private[sources] object BucketLong extends Bucket(LongType) {
+    override def produceResult(in: InternalRow): Integer =
+      pmod(Murmur3_x86_32.hashLong(in.getLong(1), 42), in.getInt(0))
+  }
+  private[sources] object BucketInt extends Bucket(IntegerType) {
+    override def produceResult(in: InternalRow): Integer =
+      pmod(Murmur3_x86_32.hashInt(in.getInt(1), 42), in.getInt(0))
+  }
+  private[sources] object BucketStr extends Bucket(StringType) {
+    override def produceResult(in: InternalRow): Integer = {
+      val s = in.getUTF8String(1)
+      pmod(Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42), in.getInt(0))
+    }
+  }
+}

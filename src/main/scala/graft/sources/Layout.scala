@@ -75,6 +75,23 @@ object Layout extends QueryPack {
     }
   }
 
+  /** Order-preserving long key for a STRING dimension: the first
+    * floor(bits/7) characters pack 7 bits each (most significant first), so
+    * ASCII prefixes order EXACTLY like the string; code points above 127
+    * clamp to 127 and shorter strings pad 0 — both only LOOSEN clustering,
+    * never correctness, because the stats sidecar re-gathers on the REAL
+    * string values after the rewrite (the same clamp contract as the
+    * numeric grid edge). Pure codegen'd shift/or — no UDF.
+    */
+  def stringZKey(c: Column, bits: Int): Column = {
+    val k = math.max(1, bits / 7)
+    (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(
+        least(coalesce(ascii(substring(c, i, 1)).cast("long"), lit(0L)), lit(127L)),
+        7 * (k - i)))
+    }
+  }
+
   /** Rewrite `df` clustered by z(colA, colB) into `nFiles` range-partitioned,
     * locally-sorted Parquet files, then write the per-file manifest next to
     * it (`<out>_manifest`). Returns (tableDir, manifestDir).

@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -316,7 +316,28 @@ private[sources] case class ChangeFilePartition(
       * (change-feed delete) partitions, whose position semantics need
       * every row group.
       */
-    ranges: Array[(String, Long, Long)] = Array.empty) extends InputPartition
+    ranges: Array[(String, Long, Long)] = Array.empty,
+    /** pushed STRING [lo, hi] per output column (None = unbounded side) —
+      * same row-group skipping against footer BINARY stats, compared as
+      * unsigned UTF-8 bytes (the collation Spark strings and parquet
+      * binary min/max share)
+      */
+    strRanges: Array[(String, Option[String], Option[String])] = Array.empty)
+  extends InputPartition
+
+/** one BUCKET of a `graft.bucketBy` table: all of the bucket's files in a
+  * single partition, keyed by the bucket id — what lets the catalog scan
+  * report `KeyGroupedPartitioning(bucket(n, col))` and Spark plan
+  * storage-partitioned joins (co-bucketed tables join with zero shuffle).
+  * Empty buckets still emit a partition so both join sides always present
+  * the same `n` groups.
+  */
+private[sources] case class GraftBucketPartition(
+    parts: Array[ChangeFilePartition], bucket: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 private[sources] class ChangeFileReaderFactory(
     readSchema: StructType, caseSensitive: Boolean,
@@ -336,11 +357,16 @@ private[sources] class ChangeFileReaderFactory(
     allowColumnarDv: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ChangeFileReader(
-      partition.asInstanceOf[ChangeFilePartition], readSchema, caseSensitive)
+    partition match {
+      case bp: GraftBucketPartition =>
+        new ConcatPartitionReader[InternalRow](bp.parts, createReader)
+      case p: ChangeFilePartition =>
+        new ChangeFileReader(p, readSchema, caseSensitive)
+    }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     allowColumnar && (partition match {
+      case bp: GraftBucketPartition => bp.parts.forall(supportColumnarReads)
       case p: ChangeFilePartition =>
         p.insert && p.only == null && (p.skip.isEmpty || allowColumnarDv)
       case _ => false
@@ -348,6 +374,12 @@ private[sources] class ChangeFileReaderFactory(
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    partition match {
+      case bp: GraftBucketPartition =>
+        return new ConcatPartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+          bp.parts, createColumnarReader)
+      case _ => ()
+    }
     val p = partition.asInstanceOf[ChangeFilePartition]
     if (p.skip.nonEmpty)
       return org.apache.spark.sql.graftx.VectorizedLogReader.openWithDv(
@@ -358,7 +390,8 @@ private[sources] class ChangeFileReaderFactory(
       onGroupsSkipped = n => {
         localSkipped += n
         ChangeFileReader.rowGroupsSkipped.add(n)
-      })
+      },
+      strRanges = p.strRanges)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       override def next(): Boolean = inner.next()
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = inner.get()
@@ -370,6 +403,34 @@ private[sources] class ChangeFileReaderFactory(
         })
     }
   }
+}
+
+/** sequential concatenation of per-file readers — the reader shape of a
+  * [[GraftBucketPartition]] (one bucket = several whole files); files open
+  * lazily one at a time, so a bucket partition holds at most one file's
+  * reader state
+  */
+private[sources] class ConcatPartitionReader[T](
+    parts: Array[ChangeFilePartition],
+    open: InputPartition => PartitionReader[T]) extends PartitionReader[T] {
+  private var idx = -1
+  private var cur: PartitionReader[T] = null
+  override def next(): Boolean = {
+    var found = false
+    var done = false
+    while (!found && !done) {
+      if (cur != null && cur.next()) found = true
+      else {
+        if (cur != null) { cur.close(); cur = null }
+        idx += 1
+        if (idx >= parts.length) done = true
+        else cur = open(parts(idx))
+      }
+    }
+    found
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Sequential Group-API reader of ONE parquet file: column-pruned via a
@@ -449,6 +510,16 @@ private[sources] class ChangeFileReader(
   private val fileRanges: Array[(String, Long, Long)] =
     if (p.only != null) Array.empty
     else p.ranges.map { case (c, lo, hi) => (fileFieldName(c).getOrElse(""), lo, hi) }
+  /** string ranges resolved to file-side names, bounds decoded to UTF-8
+    * bytes once (None = unbounded side)
+    */
+  private val fileStrRanges: Array[(String, Option[Array[Byte]], Option[Array[Byte]])] =
+    if (p.only != null) Array.empty
+    else p.strRanges.map { case (c, lo, hi) =>
+      (fileFieldName(c).getOrElse(""),
+        lo.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        hi.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
 
   private def blockMayMatch(b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
     fileRanges.forall { case (c, lo, hi) =>
@@ -466,6 +537,27 @@ private[sources] class ChangeFileReader(
             case s: org.apache.parquet.column.statistics.IntStatistics =>
               s.getMax.toLong >= lo && s.getMin.toLong <= hi
             case _ => true // non-integral stats: keep (ranges are long-valued)
+          }
+        }
+      }
+    } && fileStrRanges.forall { case (c, lo, hi) =>
+      if (c.isEmpty) false // column absent: string predicate is null-rejecting
+      else {
+        val chunk = b.getColumns.asScala.find(cc =>
+          cc.getPath.size() == 1 && cc.getPath.toDotString == c)
+        chunk.forall { cc =>
+          val st = cc.getStatistics
+          if (st == null) true
+          else if (!st.hasNonNullValue) st.getNumNulls < b.getRowCount
+          else st match {
+            case s: org.apache.parquet.column.statistics.BinaryStatistics =>
+              // unsigned-lex binary order == UTF8String order; truncated
+              // bounds (writer opt-in) only WIDEN, so keep/skip stays sound
+              val mn = s.genericGetMin.getBytes
+              val mx = s.genericGetMax.getBytes
+              lo.forall(l => TableLog.cmpUtf8(mx, l) >= 0) &&
+                hi.forall(h => TableLog.cmpUtf8(mn, h) <= 0)
+            case _ => true // non-binary stats under a string range: keep
           }
         }
       }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.{Q, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -129,14 +129,151 @@ object TableLog extends QueryPack {
     extends IllegalArgumentException(
       s"commit to $table violates CHECK constraint '$constraint' on $rows rows")
 
+  // -------------------------------------------------------------------------
+  // Table properties — engine-interpreted key/value sidecar
+  // -------------------------------------------------------------------------
+
+  /** the property that turns INSERTs into CLUSTERED writes: comma-separated
+    * column names; each catalog append range-partitions + sorts on them and
+    * records their per-file [min, max] stats, so file skipping bites from
+    * the FIRST insert without an OPTIMIZE pass
+    */
+  val ClusterByProp = "graft.clusterBy"
+  /** optional companion: explicit range-partition (≈ file) count per
+    * clustered insert; absent → Spark's own sizing (shuffle partitions /
+    * AQE coalesce)
+    */
+  val ClusterFilesProp = "graft.clusterBy.files"
+
+  /** BUCKETED layout — the storage-partitioned-join properties: every
+    * catalog INSERT/OVERWRITE hash-buckets rows into [[BucketNProp]]
+    * bucket-PURE files on this column (`pmod(hash(col), n)` — Spark's own
+    * murmur3, seed 42), per-file bucket ids persist in an append-only
+    * sidecar, and the catalog scan then reports
+    * `KeyGroupedPartitioning(bucket(n, col))` — two co-bucketed tables
+    * join on the column with ZERO shuffle
+    * (`spark.sql.sources.v2.bucketing.enabled=true`). Mutually exclusive
+    * with [[ClusterByProp]] (they prescribe conflicting layouts).
+    */
+  val BucketByProp = "graft.bucketBy"
+  /** companion bucket count — both sides of a shuffle-free join must agree */
+  val BucketNProp = "graft.bucketBy.n"
+
+  private def bucketsFile(table: String): Path =
+    logDir(table).resolve("buckets.txt")
+
+  /** (column, numBuckets) when the table declares a bucketed layout */
+  private[sources] def bucketSpec(table: String): Option[(String, Int)] = {
+    val props = tableProps(table)
+    for {
+      c <- props.get(BucketByProp).map(_.trim).filter(_.nonEmpty)
+      n <- props.get(BucketNProp).flatMap(s =>
+        scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+    } yield (c, n)
+  }
+
+  /** relpath → bucket id: append-only facts about immutable files (same
+    * O_APPEND discipline as row counts — each commit appends only its own
+    * freshly-written files). A file with NO record (row-level rewrite,
+    * compaction) simply drops the table out of the reported partitioning
+    * until an INSERT OVERWRITE re-buckets — degrading is always sound.
+    */
+  private[sources] def fileBuckets(table: String): Map[String, Int] = {
+    val p = bucketsFile(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { l =>
+      val i = l.indexOf('|')
+      if (i <= 0) None
+      else scala.util.Try(l.substring(0, i) -> l.substring(i + 1).trim.toInt).toOption
+    }.toMap
+  }
+
+  private def recordBuckets(table: String, entries: Seq[(String, Int)]): Unit = {
+    if (entries.isEmpty) return
+    Files.createDirectories(logDir(table))
+    Files.write(bucketsFile(table),
+      entries.map { case (f, b) => s"$f|$b" }.mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  private def propsFile(table: String): Path =
+    logDir(table).resolve("props.txt")
+
+  /** engine-interpreted table properties (`graft.*` keys; e.g.
+    * [[ClusterByProp]]). Stored in an unversioned sidecar like the bloom/
+    * NDV indexes: properties steer FUTURE writes and maintenance, never the
+    * meaning of committed data, so time travel doesn't apply to them.
+    */
+  def tableProps(table: String): Map[String, String] = {
+    val p = propsFile(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('|')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+
+  def setTableProp(table: String, key: String, value: String): Unit = {
+    require(!key.contains('|') && !key.contains('\n') &&
+      !value.contains('|') && !value.contains('\n'),
+      "property keys/values must be |-free and single-line")
+    Files.createDirectories(logDir(table))
+    val all = tableProps(table) + (key -> value)
+    Files.write(propsFile(table),
+      all.toSeq.sortBy(_._1).map { case (k, v) => s"$k|$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  def unsetTableProp(table: String, key: String): Unit = {
+    val all = tableProps(table) - key
+    if (Files.exists(propsFile(table))) {
+      Files.write(propsFile(table),
+        all.toSeq.sortBy(_._1).map { case (k, v) => s"$k|$v" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Cluster `df` per the table's [[ClusterByProp]] and return it with the
+    * stat columns to index — identity when the property is unset. Range
+    * partitioning gives each output file a narrow band of the leading
+    * cluster column (the 100 TB layout rule: cluster ON WRITE, skip on
+    * read); stats record for every cluster column whose type the sidecar
+    * indexes (integral or string).
+    */
+  private[sources] def clusterForWrite(df: DataFrame, table: String): (DataFrame, Seq[String]) = {
+    val cluster = tableProps(table).get(ClusterByProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (cluster.isEmpty) (df, Nil)
+    else {
+      cluster.foreach(c => require(df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$ClusterByProp column $c not in write schema ${df.schema.fieldNames.mkString(",")}"))
+      val statCols = cluster.filter { c =>
+        df.schema.find(_.name.equalsIgnoreCase(c)).exists(_.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        })
+      }
+      val ranged = tableProps(table).get(ClusterFilesProp).map(_.trim.toInt) match {
+        case Some(n) => df.repartitionByRange(n, cluster.map(col): _*)
+        case None => df.repartitionByRange(cluster.map(col): _*)
+      }
+      (ranged.sortWithinPartitions(cluster.map(col): _*), statCols)
+    }
+  }
+
   /** [[writeDataFiles]] + CHECK enforcement: the constraint violation
     * counts are observed DURING the write (single pass); if any constraint
     * is FALSE on any row, the freshly-staged files are deleted and the
     * commit aborts with [[CheckViolation]] before anything is published.
     */
-  private def writeConstrained(df: DataFrame, table: String): Seq[String] = {
+  private def writeConstrained(df: DataFrame, table: String,
+      bucketBy: Option[(String, Int)] = None): Seq[String] = {
     val cs = checkConstraints(table)
-    if (cs.isEmpty) writeDataFiles(df, table)
+    if (cs.isEmpty) writeDataFiles(df, table, bucketBy)
     else {
       val obs = new org.apache.spark.sql.Observation(
         s"graft_check_${java.util.UUID.randomUUID()}")
@@ -144,7 +281,8 @@ object TableLog extends QueryPack {
         sum(when(coalesce(expr(e).cast("boolean"), lit(true)) === lit(false), 1L)
           .otherwise(0L)).as(n)
       }
-      val moved = writeDataFiles(df.observe(obs, metrics.head, metrics.tail: _*), table)
+      val moved = writeDataFiles(
+        df.observe(obs, metrics.head, metrics.tail: _*), table, bucketBy)
       val got = obs.get
       cs.find { case (n, _) => got(n).asInstanceOf[Long] > 0L } match {
         case Some((n, _)) =>
@@ -162,19 +300,54 @@ object TableLog extends QueryPack {
     * `SELECT count(*)` without scanning (files are immutable, so a count
     * recorded once is valid forever).
     */
-  private def writeDataFiles(df: DataFrame, table: String): Seq[String] = {
+  /** synthetic shuffle/partition column for bucketed writes — never lands
+    * in file data (partitionBy drops it) or the table schema
+    */
+  private val BucketCol = "__graft_bucket"
+
+  private def writeDataFiles(df: DataFrame, table: String,
+      bucketBy: Option[(String, Int)] = None): Seq[String] = {
     val staging = Paths.get(table, s".staging_${java.util.UUID.randomUUID()}")
-    df.write.parquet(staging.toString)
+    bucketBy match {
+      case None => df.write.parquet(staging.toString)
+      case Some((c, n)) =>
+        // bucket-PURE files: the hash repartition co-locates whole buckets
+        // per task (collisions may pack several buckets into one task),
+        // and partitionBy then splits each task's rows into one FILE per
+        // bucket — purity is guaranteed by the directory write, not the
+        // shuffle. Rows sort by key within each file for tight row-group
+        // stats. pmod(hash(c), n) is the SAME function the catalog's
+        // bucket FunctionCatalog entry computes (murmur3, seed 42).
+        df.withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+          .repartition(n, col(BucketCol))
+          .sortWithinPartitions(col(BucketCol), col(c))
+          .write.partitionBy(BucketCol).parquet(staging.toString)
+    }
     Files.createDirectories(dataDir(table))
-    val moved = listDir(staging)
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"${java.util.UUID.randomUUID()}.parquet"
-        Files.move(p, dataDir(table).resolve(name))
-        s"data/$name"
-      }
-    listDir(staging).foreach(Files.delete) // _SUCCESS etc.
-    Files.delete(staging)
+    def moveParquet(p: Path): String = {
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir(table).resolve(name))
+      s"data/$name"
+    }
+    val movedBuckets: Seq[(String, Option[Int])] = bucketBy match {
+      case None =>
+        listDir(staging).filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => (moveParquet(p), None))
+      case Some(_) =>
+        listDir(staging).filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$BucketCol=")).flatMap { d =>
+          val b = d.getFileName.toString.substring(BucketCol.length + 1).toInt
+          listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => (moveParquet(p), Some(b)))
+        }
+    }
+    val moved = movedBuckets.map(_._1)
+    def rmTree(p: Path): Unit = { // _SUCCESS + emptied bucket dirs
+      if (Files.isDirectory(p)) listDir(p).foreach(rmTree)
+      Files.delete(p)
+    }
+    rmTree(staging)
+    recordBuckets(table, movedBuckets.collect { case (f, Some(b)) => (f, b) })
     recordRowCounts(table, moved)
     moved
   }
@@ -508,9 +681,20 @@ object TableLog extends QueryPack {
     * SQL min/max semantics. This is what answers `SELECT min(c), max(c)`
     * without opening a data file.
     */
+  /** live files that can CONTRIBUTE an extreme: a file RECORDED as zero-row
+    * (CREATE TABLE's schema-bearing empty v0 file, an evolution commit's
+    * widening file) holds no values, so full-coverage checks exempt it —
+    * a file with no row-count record stays conservative (counted as
+    * coverage-required).
+    */
+  private def liveNonEmpty(table: String, v: Long): Seq[String] = {
+    val counts = rowCounts(table)
+    liveFiles(table, v).filterNot(f => counts.get(f).contains(0L))
+  }
+
   private[sources] def statBounds(table: String, v: Long, col: String): Option[(Long, Long)] = {
     if (dvFiles(table, v).nonEmpty) return None
-    val live = liveFiles(table, v)
+    val live = liveNonEmpty(table, v)
     if (live.isEmpty) return None
     val perFile = latestStatsLines(table, v).flatMap { l =>
       l.split('|') match {
@@ -525,15 +709,65 @@ object TableLog extends QueryPack {
     }
   }
 
+  /** [[statBounds]] for STRING-valued stat columns — global [min, max] from
+    * the sidecar alone, under the same soundness conditions (full per-file
+    * coverage, zero DVs). Comparison is unsigned UTF-8 byte order, which IS
+    * Spark's string min/max order, so the answer equals `SELECT min(c),
+    * max(c)` exactly.
+    */
+  private[sources] def statBoundsStr(table: String, v: Long, col: String): Option[(String, String)] = {
+    if (dvFiles(table, v).nonEmpty) return None
+    val live = liveNonEmpty(table, v)
+    if (live.isEmpty) return None
+    val perFile = latestStatsLines(table, v).flatMap { l =>
+      l.split('|') match {
+        case Array(f, c, "S", lo, hi) if c == col =>
+          Some(f -> (unhexBytes(lo), unhexBytes(hi)))
+        case _ => None
+      }
+    }.toMap
+    if (!live.forall(perFile.contains)) None
+    else {
+      val bs = live.map(perFile)
+      val mn = bs.map(_._1).reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b)
+      val mx = bs.map(_._2).reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b)
+      Some((new String(mn, StandardCharsets.UTF_8),
+        new String(mx, StandardCharsets.UTF_8)))
+    }
+  }
+
   /** per-version stats sidecar: one `relpath|col|min|max` line per (file,
-    * stat column), long-valued. Written AFTER the manifest publish (a
-    * pre-publish write could clobber a concurrent winner's sidecar), so a
-    * crash in that window yields a STATLESS version — sound (readPruned
-    * keeps all files) and self-healing: later commits recover stats from
-    * the newest ancestor that has a sidecar ([[latestStatsLines]]).
+    * stat column) for LONG-valued columns, and one `relpath|col|S|hexmin|
+    * hexmax` line for STRING-valued ones (bounds hex-encode the UTF-8
+    * bytes — sidecar-safe against '|'/newlines, and ORDER-PRESERVING:
+    * unsigned byte-wise comparison of UTF-8 equals Spark's `UTF8String`
+    * ordering AND parquet's unsigned lexicographic binary order, so the
+    * sidecar, the engine, and the footers all compare in one collation).
+    * Written AFTER the manifest publish (a pre-publish write could clobber
+    * a concurrent winner's sidecar), so a crash in that window yields a
+    * STATLESS version — sound (readPruned keeps all files) and
+    * self-healing: later commits recover stats from the newest ancestor
+    * that has a sidecar ([[latestStatsLines]]).
     */
   private def statsFile(table: String, v: Long): Path =
     logDir(table).resolve(s"s$v.txt")
+
+  /** hex of the UTF-8 bytes — the sidecar rendering of string bounds */
+  private[sources] def hexUtf8(s: String): String =
+    s.getBytes(StandardCharsets.UTF_8).map(b => f"${b & 0xff}%02x").mkString
+  private[sources] def unhexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  /** unsigned lexicographic byte comparison — UTF8String/parquet order */
+  private[sources] def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
 
   private def statsLines(table: String, v: Long): Seq[String] = {
     val p = statsFile(table, v)
@@ -553,7 +787,7 @@ object TableLog extends QueryPack {
       .map(statsLines(table, _)).find(_.nonEmpty).getOrElse(Seq.empty)
 
   /** Append commit: new version = previous live files + the new ones.
-    * `statCols` (long-valued columns) adds per-file [min, max] stats to the
+    * `statCols` (long- or string-valued columns) adds per-file [min, max] stats to the
     * version's sidecar — the Delta-style file-statistics index that
     * [[readPruned]] skips by. Gathering them is ONE footer-light aggregate
     * over the new files grouped by `input_file_name()` (rows scale with the
@@ -561,8 +795,9 @@ object TableLog extends QueryPack {
     * same driver-metadata asymptotics as the manifest itself). Prior
     * versions' stats carry forward untouched.
     */
-  def commitAppend(df: DataFrame, table: String, statCols: Seq[String] = Nil): Long = {
-    val moved = writeConstrained(df, table)
+  def commitAppend(df: DataFrame, table: String, statCols: Seq[String] = Nil,
+      bucketBy: Option[(String, Int)] = None): Long = {
+    val moved = writeConstrained(df, table, bucketBy)
     val newStats = gatherStats(df.sparkSession, table, moved, statCols)
     withRetry(table) { v =>
       // everything derived from the previous version re-reads INSIDE the
@@ -617,7 +852,16 @@ object TableLog extends QueryPack {
           statCols.flatMap { c =>
             val (mi, ma) = (row.fieldIndex(s"min_$c"), row.fieldIndex(s"max_$c"))
             if (row.isNullAt(mi) || row.isNullAt(ma)) None
-            else Some(s"$rel|$c|${row.getLong(mi)}|${row.getLong(ma)}")
+            else (row.get(mi), row.get(ma)) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                Some(s"$rel|$c|$lo|$hi")
+              case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                Some(s"$rel|$c|${lo.longValue()}|${hi.longValue()}") // widen: ranges are long-valued
+              case (lo: String, hi: String) =>
+                Some(s"$rel|$c|S|${hexUtf8(lo)}|${hexUtf8(hi)}")
+              case (lo, _) => throw new IllegalArgumentException(
+                s"stat column $c must be integral- or string-typed; got ${lo.getClass.getName}")
+            }
           }
         }.toSeq
     }
@@ -656,6 +900,81 @@ object TableLog extends QueryPack {
       case _ => false
     })
 
+  /** [[prunedFiles]] for STRING-valued stat columns: keep files whose
+    * recorded [min, max] may intersect `[lo, hi]` (either bound optional —
+    * `None` = unbounded, the shape one-sided `<`/`>` predicates push).
+    * Bounds compare as unsigned UTF-8 bytes — the one collation the
+    * sidecar, Spark, and parquet share (see [[statsFile]]).
+    */
+  private[graft] def prunedFilesStr(
+      table: String,
+      statCol: String,
+      lo: Option[String],
+      hi: Option[String],
+      asOf: Option[Long] = None): (Seq[String], Int) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val v = asOf.getOrElse(vs.last)
+    val files = liveFiles(table, v)
+    val loB = lo.map(_.getBytes(StandardCharsets.UTF_8))
+    val hiB = hi.map(_.getBytes(StandardCharsets.UTF_8))
+    val ranges = statsLines(table, v).flatMap { line =>
+      line.split('|') match {
+        case Array(f, c, "S", mn, mx) if c == statCol =>
+          Some(f -> (unhexBytes(mn), unhexBytes(mx)))
+        case _ => None
+      }
+    }.toMap
+    val kept = files.filter(f => ranges.get(f).forall { case (mn, mx) =>
+      hiB.forall(h => cmpUtf8(mn, h) <= 0) && loB.forall(l => cmpUtf8(mx, l) >= 0)
+    })
+    (kept, files.size)
+  }
+
+  /** The exclusive upper bound of all strings starting with `p`, as a VALID
+    * string: drop the last code point and append its successor (skipping
+    * the surrogate gap). Every `s = p + rest` shares p's prefix up to that
+    * last code point, which is strictly smaller than the successor, so
+    * `s < upper` in code-point (== UTF-8 byte) order. None when no valid
+    * successor exists (empty p, or last code point is U+10FFFF) — callers
+    * then leave the high side unbounded, which is always sound.
+    */
+  private[sources] def prefixUpper(p: String): Option[String] = {
+    if (p.isEmpty) return None
+    val last = p.codePointBefore(p.length)
+    val next =
+      if (last == 0x10FFFF) return None
+      else if (last == 0xD7FF) 0xE000 // skip the surrogate range
+      else last + 1
+    val head = p.substring(0, p.length - Character.charCount(last))
+    Some(head + new String(Character.toChars(next)))
+  }
+
+  /** does version `v`'s stats sidecar carry STRING ranges for `statCol`? */
+  private[sources] def hasStatsForStr(table: String, v: Long, statCol: String): Boolean =
+    statsLines(table, v).exists(_.split('|') match {
+      case Array(_, c, "S", _, _) => c == statCol
+      case _ => false
+    })
+
+  /** [[readPruned]]'s string twin: snapshot read restricted to files whose
+    * `statCol` string range intersects `[lo, hi]` (inclusive; either side
+    * optional). The caller still applies the exact row filter.
+    */
+  def readPrunedStr(
+      spark: SparkSession,
+      table: String,
+      statCol: String,
+      lo: Option[String],
+      hi: Option[String],
+      asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = prunedFilesStr(table, statCol, lo, hi, asOf)
+    if (kept.isEmpty) read(spark, table, asOf).limit(0)
+    else applyDv(spark, table, asOf.getOrElse(versions(table).last),
+      spark.read.parquet(
+        kept.map(f => Paths.get(table).resolve(f).toString): _*))
+  }
+
   /** does `column` have a Bloom sidecar? */
   private[sources] def hasBloomFor(table: String, column: String): Boolean =
     bloomLines(table, column).nonEmpty
@@ -693,6 +1012,7 @@ object TableLog extends QueryPack {
   private[sources] def runtimeFilterableCols(table: String, v: Long): Seq[String] = {
     val statCols = statsLines(table, v).flatMap(_.split('|') match {
       case Array(_, c, _, _) => Some(c)
+      case Array(_, c, "S", _, _) => Some(c)
       case _ => None
     }).distinct
     val bloomCols = listDir(logDir(table)).map(_.getFileName.toString)
@@ -903,8 +1223,9 @@ object TableLog extends QueryPack {
     * `statCols` writes a fresh per-file stats sidecar for the new version
     * (the overwrite drops prior files, so prior stats never carry forward).
     */
-  def commitOverwrite(df: DataFrame, table: String, statCols: Seq[String] = Nil): Long = {
-    val moved = writeConstrained(df, table)
+  def commitOverwrite(df: DataFrame, table: String, statCols: Seq[String] = Nil,
+      bucketBy: Option[(String, Int)] = None): Long = {
+    val moved = writeConstrained(df, table, bucketBy)
     val stats = gatherStats(df.sparkSession, table, moved, statCols)
     withRetry(table) { v =>
       publish(table, v, moved)
@@ -1107,8 +1428,10 @@ object TableLog extends QueryPack {
     compactRetry(spark, table) { head =>
       // latestStatsLines, not statsLines: survive a statless head (see optimize)
       val prevStatCols = latestStatsLines(table, head).map(_.split('|')(1)).distinct
-      val clustered = read(spark, table, Some(head))
-        .withColumn("_z", Layout.zValue(col(colA), col(colB)))
+      val snap = read(spark, table, Some(head))
+      val Seq(za, zb) = zDims(snap, Seq(colA, colB), Layout.ZBits)
+      val clustered = snap
+        .withColumn("_z", Layout.zValue(za, zb))
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -1116,7 +1439,86 @@ object TableLog extends QueryPack {
     }
   }
 
-  /** N-dimensional OPTIMIZE ZORDER (2..6 long columns): the same
+  /** driver-side twin of [[Layout.stringZKey]]: pack the first
+    * `max(1, bits/7)` code points (clamped to 127, zero-padded) of `s`,
+    * 7 bits each, most significant first. The pack is monotone
+    * NON-DECREASING in code-point order, so evaluating it on a column's
+    * min/max STRINGS yields the min/max of the packed KEY — what lets
+    * [[zDims]] grid-normalize string dimensions without a second agg.
+    */
+  private def packStr(s: String, bits: Int): Long = {
+    val k = math.max(1, bits / 7)
+    var acc = 0L
+    var out = 0
+    var ci = 0
+    while (out < k) {
+      val cp =
+        if (ci < s.length) {
+          val c = s.codePointAt(ci); ci += Character.charCount(c)
+          math.min(c, 127)
+        } else 0
+      acc |= cp.toLong << (7 * (k - 1 - out))
+      out += 1
+    }
+    acc
+  }
+
+  /** One Z-order key column per dimension, each NORMALIZED to the full
+    * `[0, 2^bits)` grid from the snapshot's min/max (one shared agg):
+    * without normalization, dimensions of different magnitudes interleave
+    * unfairly — a 0..200 key contributes ~8 low bits against a 2^27-valued
+    * neighbor's high bits (so one dimension degenerates), and raw values
+    * beyond the grid edge all clamp into ONE cell. STRING columns first
+    * strip the column's GLOBAL common prefix (every value sorts between
+    * min and max, hence shares THEIR common prefix, so dropping it is
+    * order-preserving on the actual domain; a shared prefix like `brand`
+    * or `2024-` would otherwise saturate the few packed characters), then
+    * pack through the order-preserving 7-bit [[Layout.stringZKey]] and
+    * normalize the PACKED key (its bounds derive driver-side from the
+    * min/max strings — [[packStr]] is monotone). All of this is
+    * clustering-quality only: the stats sidecar re-gathers REAL column
+    * values after the rewrite, so a poor key can never mis-prune.
+    */
+  private def zDims(df: DataFrame, cols: Seq[String], bits: Int): Seq[Column] = {
+    val maxV = (1L << bits) - 1
+    val k = math.max(1, bits / 7)
+    val isStr = cols.map(c => c -> df.schema.find(_.name.equalsIgnoreCase(c))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
+    val aggs = cols.flatMap { c =>
+      val r = if (isStr(c)) col(c) else col(c).cast("long")
+      Seq(min(r).as(s"__zmn_$c"), max(r).as(s"__zmx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    def scaled(raw: Column, mn: Long, mx: Long): Column =
+      if (mx > mn)
+        floor((raw.cast("double") - lit(mn.toDouble)) *
+          lit(maxV.toDouble / (mx.toDouble - mn.toDouble))).cast("long")
+      else lit(0L) // constant (or empty) dimension: carries no information
+    cols.map { c =>
+      if (isStr(c)) {
+        val mnS = Option(row.getAs[String](s"__zmn_$c")).getOrElse("")
+        val mxS = Option(row.getAs[String](s"__zmx_$c")).getOrElse("")
+        // common prefix, counted in code points (Spark substring's unit)
+        var i = 0
+        var cp = 0
+        while (i < mnS.length && i < mxS.length &&
+          mnS.codePointAt(i) == mxS.codePointAt(i)) {
+          i += Character.charCount(mnS.codePointAt(i)); cp += 1
+        }
+        val key = Layout.stringZKey(substring(col(c), cp + 1, k), bits)
+        scaled(key, packStr(mnS.substring(i), bits), packStr(mxS.substring(i), bits))
+      } else {
+        (Option(row.getAs[java.lang.Long](s"__zmn_$c")),
+          Option(row.getAs[java.lang.Long](s"__zmx_$c"))) match {
+          case (Some(mn), Some(mx)) => scaled(col(c), mn, mx)
+          case _ => lit(0L)
+        }
+      }
+    }
+  }
+
+  /** N-dimensional OPTIMIZE ZORDER (2..6 long or string columns — strings
+    * interleave via [[Layout.stringZKey]]'s order-preserving prefix): the same
     * stats-preserving compactRetry as the 2-D form, clustered by
     * [[Layout.zValueN]]'s N-way bit interleave — every file's bounding box
     * over EVERY clustered column stays tight, so the per-file stats index
@@ -1133,8 +1535,9 @@ object TableLog extends QueryPack {
       s"optimizeZOrderN takes 2..6 columns, got ${cols.size}")
     compactRetry(spark, table) { head =>
       val prevStatCols = latestStatsLines(table, head).map(_.split('|')(1)).distinct
-      val clustered = read(spark, table, Some(head))
-        .withColumn("_z", Layout.zValueN(cols.map(col)))
+      val snap = read(spark, table, Some(head))
+      val clustered = snap
+        .withColumn("_z", Layout.zValueN(zDims(snap, cols, 62 / cols.size)))
         .repartitionByRange(nFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -1423,8 +1826,8 @@ object TableLog extends QueryPack {
     * committed without `statCols`. Each footer is a driver-side KB read
     * (block metadata already stores per-column statistics); no Spark job,
     * no data scan — the metadata asymptotics a 100 TB retrofit needs.
-    * Only INT64 columns with complete, non-empty footer statistics emit a
-    * line (the sidecar's long-valued contract); a column a file lacks (or
+    * INT64 and BINARY-UTF8 (string) columns with complete, non-empty footer
+    * statistics emit a line; a column a file lacks (or
     * wrote without stats) is simply absent for that file, which readPruned
     * treats as keep-always — sound. Ranges cover PHYSICAL rows, so they may
     * be wider than the DV-visible data: pruning stays sound, and the
@@ -1442,28 +1845,50 @@ object TableLog extends QueryPack {
       val footer = parquetFooter(Paths.get(table).resolve(rel).toString)
       val blocks = footer.getBlocks.asScala.toSeq
       columns.flatMap { c =>
-        val ranges = blocks.flatMap { b =>
-          b.getColumns.asScala.find(cc =>
-            cc.getPath.toDotString.equalsIgnoreCase(wanted(c))).flatMap { cc =>
-            val st = cc.getStatistics
-            if (cc.getPrimitiveType.getPrimitiveTypeName !=
-                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 ||
-              st == null || st.isEmpty || !st.hasNonNullValue) None
-            else Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-              st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+        val ranges: Seq[Either[(Long, Long), (Array[Byte], Array[Byte])]] =
+          blocks.flatMap { b =>
+            b.getColumns.asScala.find(cc =>
+              cc.getPath.toDotString.equalsIgnoreCase(wanted(c))).flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else cc.getPrimitiveType.getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+                  Some(Left((st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue())))
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+                  if cc.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+                    org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  // footer binary min/max compare unsigned-lexicographic —
+                  // the sidecar's own collation; parquet-mr writes them
+                  // EXACT under default settings (truncation is opt-in, and
+                  // every file this engine writes goes through Spark's
+                  // default writer)
+                  Some(Right((
+                    st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)))
+                case _ => None
+              }
+            }
           }
-        }
+        val longs = ranges.collect { case Left(r) => r }
+        val strs = ranges.collect { case Right(r) => r }
+        def hex(bs: Array[Byte]) = bs.map(x => f"${x & 0xff}%02x").mkString
         // every block must carry stats, else the file-level range would be
         // speculative — skip the line (keep-always is the sound direction)
-        if (ranges.size == blocks.size && ranges.nonEmpty)
-          Some(s"$rel|$c|${ranges.map(_._1).min}|${ranges.map(_._2).max}")
-        else None
+        if (longs.size == blocks.size && longs.nonEmpty)
+          Some(s"$rel|$c|${longs.map(_._1).min}|${longs.map(_._2).max}")
+        else if (strs.size == blocks.size && strs.nonEmpty) {
+          val mn = strs.map(_._1).reduce((a, b) => if (cmpUtf8(a, b) <= 0) a else b)
+          val mx = strs.map(_._2).reduce((a, b) => if (cmpUtf8(a, b) >= 0) a else b)
+          Some(s"$rel|$c|S|${hex(mn)}|${hex(mx)}")
+        } else None
       }
     }
     val colsLower = columns.map(_.toLowerCase).toSet
     val keep = latestStatsLines(table, head).filterNot { l =>
       l.split('|') match {
         case Array(_, c, _, _) => colsLower(c.toLowerCase)
+        case Array(_, c, "S", _, _) => colsLower(c.toLowerCase)
         case _ => true // malformed: drop
       }
     }
@@ -1955,6 +2380,122 @@ object TableLog extends QueryPack {
       |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
       |GROUP BY 1""".stripMargin
+
+  private val strPrunedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STRING-stats pruned read, hash-gated for SOUNDNESS: orders committed
+    * range-clustered on (priority, key) with a per-file STRING stats index
+    * on the priority column, then a banded read goes through
+    * [[readPrunedStr]]'s file skipping (bounds compare as unsigned UTF-8
+    * bytes — the collation the sidecar, Spark, and parquet share). A wrong
+    * string range silently DROPS rows — exactly what the hash gate
+    * catches; TableLogSpec's twin pins that files actually skip.
+    */
+  def statsStringPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val t = strPrunedBuilt.computeIfAbsent(dir, { d =>
+      val table = graft.Scratch.dir("graft_tlog", d) + "/orders_strstats"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      commitAppend(
+        Tables.load(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartitionByRange(8, col("pri"), col("k")),
+        table, statCols = Seq("pri"))
+      table
+    })
+    readPrunedStr(s, t, "pri", Some("2-HIGH"), Some("3-MEDIUM"))
+      .where(col("pri") >= "2-HIGH" && col("pri") <= "3-MEDIUM")
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+  }
+
+  private val statsStringPrunedReadSql =
+    """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderpriority BETWEEN '2-HIGH' AND '3-MEDIUM'
+      |GROUP BY 1""".stripMargin
+
+  private val clusteredCatBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Clustered INSERT through the SQL catalog: CREATE TABLE with the
+    * `graft.clusterBy` property, INSERT INTO from the source relation —
+    * the append range-partitions + sorts on the cluster columns and
+    * records their per-file stats ([[clusterForWrite]]), so the string
+    * predicate that follows skips files from the FIRST insert, zero
+    * maintenance runs. Returns the catalog root (table name
+    * `orders_clustered`); the query result is hash-gated against the
+    * relational replay.
+    */
+  private[graft] def ordersClustered(s: SparkSession, dir: String): String =
+    clusteredCatBuilt.computeIfAbsent(dir, { d =>
+      val rt = graft.Scratch.dir("graft_tlog", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(rt + "/orders_clustered"))
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", rt)
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("orders_clus_src")
+      s.sql("CREATE TABLE graft.orders_clustered (k BIGINT, pri STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.clusterBy'='pri,k', 'graft.clusterBy.files'='8')")
+      s.sql("INSERT INTO graft.orders_clustered SELECT k, pri, cents FROM orders_clus_src")
+      rt
+    })
+
+  def catalogClusteredInsert(s: SparkSession, dir: String): DataFrame = {
+    val root = ordersClustered(s, dir)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    s.sql(
+      """SELECT pri, count(*) AS n_rows, sum(cents) AS cents,
+        |       min(k) AS k_lo, max(k) AS k_hi
+        |FROM graft.orders_clustered
+        |WHERE pri <= '2-HIGH'
+        |GROUP BY pri""".stripMargin)
+  }
+
+  private val catalogClusteredInsertSql =
+    """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |       CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+      |       CAST(max(o_orderkey) AS BIGINT) AS k_hi
+      |FROM orders WHERE o_orderpriority <= '2-HIGH'
+      |GROUP BY 1""".stripMargin
+
+  /** Ungrouped min/max over a STRING column answered from METADATA alone —
+    * [[statBoundsStr]] under full per-file coverage (the clustered insert
+    * recorded stats for every data file; CREATE TABLE's zero-row v0 file
+    * is coverage-exempt) and zero DVs. One row mixing count(*), string
+    * extremes, and long extremes — all metadata; hash-gated vs the raw
+    * relation.
+    */
+  def metadataMinMaxStrQ(s: SparkSession, dir: String): DataFrame = {
+    val root = ordersClustered(s, dir)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    s.sql(
+      """SELECT count(*) AS n, min(pri) AS pri_lo, max(pri) AS pri_hi,
+        |       min(k) AS k_lo, max(k) AS k_hi
+        |FROM graft.orders_clustered""".stripMargin)
+  }
+
+  private val metadataMinMaxStrSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |       min(o_orderpriority) AS pri_lo, max(o_orderpriority) AS pri_hi,
+      |       CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+      |       CAST(max(o_orderkey) AS BIGINT) AS k_hi
+      |FROM orders""".stripMargin
 
   private val bloomQBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3125,5 +3666,8 @@ object TableLog extends QueryPack {
     Q("schema_evolution_read", schemaEvolutionRead, Some(schemaEvolutionReadSql)),
     Q("version_diff", versionDiff, Some(versionDiffSql)),
     Q("clone_divergence", cloneDivergence, Some(cloneDivergenceSql)),
-    Q("stats_retrofit_read", statsRetrofitRead, Some(statsRetrofitReadSql)))
+    Q("stats_retrofit_read", statsRetrofitRead, Some(statsRetrofitReadSql)),
+    Q("stats_string_pruned_read", statsStringPrunedRead, Some(statsStringPrunedReadSql)),
+    Q("catalog_clustered_insert", catalogClusteredInsert, Some(catalogClusteredInsertSql)),
+    Q("metadata_minmax_str", metadataMinMaxStrQ, Some(metadataMinMaxStrSql)))
 }

@@ -182,11 +182,15 @@ object VectorizedLogReader {
   }
 
   /** open one file as a ColumnarBatch reader; `ranges` are the pushed
-    * per-column [lo, hi] envelopes (integral table columns only)
+    * per-column [lo, hi] envelopes (integral table columns), `strRanges`
+    * their STRING twins (None = unbounded side; bounds compare as unsigned
+    * UTF-8 bytes — parquet's binary stats order)
     */
   def open(absPath: String, required: StructType, caseSensitive: Boolean,
       ranges: Array[(String, Long, Long)],
-      onGroupsSkipped: Long => Unit): PartitionReader[ColumnarBatch] = {
+      onGroupsSkipped: Long => Unit,
+      strRanges: Array[(String, Option[String], Option[String])] = Array.empty)
+      : PartitionReader[ColumnarBatch] = {
     val conf = new Configuration()
     val hadoopFile = HadoopInputFile.fromPath(new Path(absPath), conf)
     val (fileSchema, blocks, fileLen) = {
@@ -235,6 +239,22 @@ object VectorizedLogReader {
         case _ => // group-typed field under a range name: keep all (sound)
       }
     }
+    strRanges.foreach { case (c, lo, hi) =>
+      fileField(c) match {
+        case None => provablyEmpty = true
+        case Some(t) if t.isPrimitive &&
+          t.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.BINARY =>
+          val col = FilterApi.binaryColumn(t.asPrimitiveType().getName)
+          def bin(s: String) = org.apache.parquet.io.api.Binary
+            .fromString(s) // UTF-8 bytes; parquet compares unsigned-lex
+          val parts = lo.map(l => FilterApi.gtEq(col, bin(l))).toSeq ++
+            hi.map(h => FilterApi.ltEq(col, bin(h))).toSeq
+          parts.reduceOption(FilterApi.and(_: FilterPredicate, _: FilterPredicate))
+            .foreach(f => predicate = Some(
+              predicate.map(FilterApi.and(_, f)).getOrElse(f)))
+        case _ => // non-binary physical type under a string range: keep all
+      }
+    }
     if (provablyEmpty) {
       onGroupsSkipped(blocks.size().toLong)
       return Empty
@@ -242,8 +262,18 @@ object VectorizedLogReader {
     // approximate the skip metric with the same footer-stats test parquet
     // runs (ours counts stats-based skips; dictionary skips are extra)
     predicate.foreach { _ =>
+      def cmp(a: Array[Byte], bb: Array[Byte]): Int = {
+        var i = 0
+        val n = math.min(a.length, bb.length)
+        while (i < n) {
+          val d = (a(i) & 0xff) - (bb(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        a.length - bb.length
+      }
       val skipped = blocks.asScalaCount { b =>
-        !ranges.forall { case (c, lo, hi) =>
+        !(ranges.forall { case (c, lo, hi) =>
           fileField(c).isEmpty || {
             var may = true
             val it = b.getColumns.iterator()
@@ -264,7 +294,31 @@ object VectorizedLogReader {
             }
             may
           }
-        }
+        } && strRanges.forall { case (c, lo, hi) =>
+          fileField(c).isEmpty || {
+            var may = true
+            val it = b.getColumns.iterator()
+            while (it.hasNext) {
+              val cc = it.next()
+              if (cc.getPath.size() == 1 &&
+                cc.getPath.toDotString.equalsIgnoreCase(c)) {
+                val st = cc.getStatistics
+                if (st != null && st.hasNonNullValue) st match {
+                  case s: org.apache.parquet.column.statistics.BinaryStatistics =>
+                    val mn = s.genericGetMin.getBytes
+                    val mx = s.genericGetMax.getBytes
+                    may = lo.forall(l => cmp(mx,
+                        l.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= 0) &&
+                      hi.forall(h => cmp(mn,
+                        h.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0)
+                  case _ =>
+                } else if (st != null && !st.hasNonNullValue)
+                  may = st.getNumNulls < b.getRowCount
+              }
+            }
+            may
+          }
+        })
       }
       if (skipped > 0) onGroupsSkipped(skipped.toLong)
     }

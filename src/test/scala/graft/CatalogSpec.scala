@@ -115,6 +115,84 @@ class CatalogSpec extends SparkSpec {
     assert(after.collect().head.toSeq == Seq(100L, 9004L, 8905L))
   }
 
+  test("clusterBy property: INSERT writes clustered files and string predicates skip them") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.clus (k BIGINT, sk STRING) " +
+      "TBLPROPERTIES ('graft.clusterBy'='sk,k', 'graft.clusterBy.files'='8')")
+    // the property persisted to the sidecar and reads back through SQL
+    val props = spark.sql("SHOW TBLPROPERTIES graftcat.clus").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.clusterBy").contains("sk,k"))
+    spark.range(0, 4000)
+      .selectExpr("id AS k", "format_string('g%02d', id % 40) AS sk")
+      .createOrReplaceTempView("clus_src")
+    spark.sql("INSERT INTO graftcat.clus SELECT k, sk FROM clus_src")
+    // string equality skips files: the scan description records files=kept/total
+    val q = spark.sql("SELECT count(k) AS n FROM graftcat.clus WHERE sk = 'g07'")
+    assert(q.collect().head.getLong(0) == 100L)
+    val scanDesc = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftLogScan")).getOrElse("")
+    val m = """files=(\d+)/(\d+)""".r.findFirstMatchIn(scanDesc)
+    assert(m.isDefined, s"no files=k/n in scan description: $scanDesc")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"clustered insert must let the string predicate skip files: $scanDesc")
+    // long dimension skips too (second cluster column carries stats as well)
+    val q2 = spark.sql("SELECT count(sk) AS n FROM graftcat.clus WHERE k < 10")
+    assert(q2.collect().head.getLong(0) == 10L)
+    // LIKE 'prefix%' prunes too: StringStartsWith becomes the [p, succ(p))
+    // band against the string stats
+    val ql = spark.sql("SELECT count(k) AS n FROM graftcat.clus WHERE sk LIKE 'g3%'")
+    assert(ql.collect().head.getLong(0) == 1000L) // g30..g39
+    val likeDesc = ql.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftLogScan")).getOrElse("")
+    val ml = """files=(\d+)/(\d+)""".r.findFirstMatchIn(likeDesc)
+    assert(ml.isDefined && ml.get.group(1).toInt < ml.get.group(2).toInt,
+      s"LIKE prefix must skip files: $likeDesc")
+    // ALTER TABLE UNSET turns clustering off for later inserts
+    spark.sql("ALTER TABLE graftcat.clus UNSET TBLPROPERTIES ('graft.clusterBy')")
+    assert(!spark.sql("SHOW TBLPROPERTIES graftcat.clus").collect()
+      .exists(_.getString(0) == "graft.clusterBy"))
+    // ALTER TABLE SET re-enables; non-graft keys are rejected loudly
+    spark.sql("ALTER TABLE graftcat.clus SET TBLPROPERTIES ('graft.clusterBy'='sk')")
+    assert(TableLog.tableProps(s"$root/clus").get("graft.clusterBy").contains("sk"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.clus SET TBLPROPERTIES ('zzz'='1')")
+    }
+  }
+
+  test("string min/max answer from metadata; DVs and partial coverage block the push") {
+    rm(new java.io.File(root))
+    val t = s"$root/smmx"
+    TableLog.commitAppend(
+      spark.range(0, 900)
+        .selectExpr("format_string('v%03d', id) AS sk", "id AS k")
+        .repartitionByRange(3, col("sk")),
+      t, statCols = Seq("sk"))
+    register()
+    val q = "SELECT min(sk) AS lo, max(sk) AS hi, count(*) AS n FROM graftcat.smmx"
+    val df = spark.sql(q)
+    assert(df.queryExecution.sparkPlan.toString.contains("GraftMetadataScan"),
+      "string extremes under full coverage must answer from metadata")
+    assert(df.collect().head.toSeq == Seq("v000", "v899", 900L))
+    // an append WITHOUT stats breaks coverage → the push turns off, answer stays right
+    TableLog.commitAppend(
+      spark.range(900, 950).selectExpr("format_string('v%03d', id) AS sk", "id AS k"), t)
+    val df2 = spark.sql(q)
+    assert(df2.queryExecution.sparkPlan.toString.contains("GraftLogScan"),
+      "partial coverage must block the metadata push")
+    assert(df2.collect().head.toSeq == Seq("v000", "v949", 950L))
+    // a DV could have deleted the extreme → blocked as well
+    val t2 = s"$root/smmx2"
+    TableLog.commitAppend(
+      spark.range(0, 100).selectExpr("format_string('v%03d', id) AS sk"), t2,
+      statCols = Seq("sk"))
+    TableLog.deleteWhere(spark, t2, "sk = 'v099'")
+    val df3 = spark.sql("SELECT max(sk) AS hi FROM graftcat.smmx2")
+    assert(df3.queryExecution.sparkPlan.toString.contains("GraftLogScan"))
+    assert(df3.collect().head.getString(0) == "v098")
+  }
+
   test("scan statistics are metadata-exact, so the small log table broadcasts") {
     rm(new java.io.File(root))
     val t = s"$root/dim"

@@ -113,4 +113,53 @@ class RowGroupSkipSpec extends SparkSpec {
     assert(spark.sql("SELECT count(k) AS n FROM graftrgn.t WHERE k = 7")
       .collect().head.getLong(0) == 1L)
   }
+
+  test("STRING predicates skip row groups on binary footer stats (both readers)") {
+    val root = Scratch.dir("graft_rgstr", "x")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val t = s"$root/t"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try {
+      // sorted string key + an md5 payload (defeats compression) → one
+      // file, many row groups, each a narrow band of the string key
+      TableLog.commitAppend(
+        spark.range(0, 200000)
+          .selectExpr("format_string('k%06d', id) AS sk",
+            "md5(CAST(id AS STRING)) AS payload")
+          .coalesce(1), t)
+    } finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
+    spark.conf.set("spark.sql.catalog.graftrgstr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrgstr.root", root)
+
+    // vectorized path (flat schema, no DVs → columnar by default): the
+    // string band becomes a parquet binary FilterPredicate
+    ChangeFileReader.rowGroupsSkipped.reset()
+    val tail = spark.sql(
+      "SELECT sk FROM graftrgstr.t WHERE sk >= 'k190000'").collect()
+    assert(tail.length == 10000 && tail.map(_.getString(0)).min == "k190000")
+    val skipped = ChangeFileReader.rowGroupsSkipped.sum()
+    assert(skipped > 10,
+      s"a string tail-band must skip most groups (vectorized), skipped=$skipped")
+
+    // row reader path (columnar off): blockMayMatch compares binary stats
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      ChangeFileReader.rowGroupsSkipped.reset()
+      val eq = spark.sql(
+        "SELECT count(payload) AS n FROM graftrgstr.t WHERE sk = 'k000007'")
+        .collect().head.getLong(0)
+      assert(eq == 1L)
+      assert(ChangeFileReader.rowGroupsSkipped.sum() > 10,
+        s"string equality must skip groups (row reader), skipped=${ChangeFileReader.rowGroupsSkipped.sum()}")
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+  }
 }

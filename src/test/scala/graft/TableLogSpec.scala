@@ -213,6 +213,52 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readPruned(spark, t, "k", 5000L, 6000L).count() == 0L)
   }
 
+  test("STRING stats prune files in UTF-8 byte order; retrofit ANALYZE indexes them too") {
+    rm(new java.io.File(root))
+    val t = s"$root/t4s"
+    // range-cluster on a string key → narrow per-file string ranges
+    val rows = (0L until 400L).map(k => (f"key$k%04d", k)).toDF("sk", "payload")
+      .repartitionByRange(4, col("sk"))
+    TableLog.commitAppend(rows, t, statCols = Seq("sk"))
+    val (kept, total) = TableLog.prunedFilesStr(t, "sk", Some("key0120"), Some("key0140"))
+    assert(total == 4 && kept.size < total, s"no string pruning: $kept of $total")
+    val pruned = TableLog.readPrunedStr(spark, t, "sk", Some("key0120"), Some("key0140"))
+      .where(col("sk") >= "key0120" && col("sk") <= "key0140")
+      .collect().map(_.getAs[Long]("payload")).toSet
+    assert(pruned == (120L to 140L).toSet)
+    // one-sided bounds: unbounded lo keeps the low files, skips the high tail
+    val (keptLe, _) = TableLog.prunedFilesStr(t, "sk", None, Some("key0050"))
+    assert(keptLe.size < total && keptLe.nonEmpty)
+    // non-ASCII round-trip: multi-byte UTF-8 bounds survive the hex sidecar
+    // and compare in byte order (é = 0xC3 0xA9 sorts above all ASCII)
+    val t2 = s"$root/t4u"
+    TableLog.commitAppend(
+      Seq(("alpha", 1L), ("zeta", 2L)).toDF("sk", "payload").coalesce(1), t2,
+      statCols = Seq("sk"))
+    TableLog.commitAppend(
+      Seq(("émile", 3L), ("été", 4L)).toDF("sk", "payload").coalesce(1), t2,
+      statCols = Seq("sk"))
+    val (keptU, totalU) = TableLog.prunedFilesStr(t2, "sk", Some("é"), None)
+    assert(totalU == 2 && keptU.size == 1,
+      s"multi-byte lower bound must skip the ASCII file: kept $keptU of $totalU")
+    assert(TableLog.readPrunedStr(spark, t2, "sk", Some("é"), None)
+      .where(col("sk") >= "é").collect().map(_.getAs[Long]("payload")).toSet ==
+      Set(3L, 4L))
+    // retrofit: a statless clustered table gains a string index from FOOTERS
+    val t3 = s"$root/t4r"
+    TableLog.commitAppend(rows, t3) // NO statCols
+    assert(TableLog.prunedFilesStr(t3, "sk", Some("key0120"), Some("key0140"))._1.size == 4,
+      "statless table must keep every file")
+    val n = TableLog.buildStatsIndex(t3, Seq("sk"))
+    assert(n == 4, s"footer ANALYZE should index 4 files, got $n")
+    val (keptR, _) = TableLog.prunedFilesStr(t3, "sk", Some("key0120"), Some("key0140"))
+    assert(keptR.size < 4 && keptR.nonEmpty)
+    // footer-derived ranges must be read-identical to write-time stats
+    assert(TableLog.readPrunedStr(spark, t3, "sk", Some("key0120"), Some("key0140"))
+      .where(col("sk") >= "key0120" && col("sk") <= "key0140")
+      .collect().map(_.getAs[Long]("payload")).toSet == (120L to 140L).toSet)
+  }
+
   test("optimize re-gathers stats: compacted table keeps skipping files") {
     rm(new java.io.File(root))
     val t = s"$root/t5"
@@ -986,13 +1032,17 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.prunedFiles(t, "k", 0L, 10L)._1.size == 8,
       "without stats every file is kept")
     val n = TableLog.buildStatsIndex(t, Seq("k", "v", "s"))
-    // k and v are INT64 with footer stats; s is BINARY → no line (sound skip)
-    assert(n == 16, s"expected 8 files x 2 long columns, got $n")
+    // k and v are INT64, s is BINARY-UTF8 — since round 13 ALL THREE index
+    // (string footer stats emit 'S' sidecar lines)
+    assert(n == 24, s"expected 8 files x 3 columns, got $n")
     val (kept, total) = TableLog.prunedFiles(t, "k", 0L, 10L)
     assert(total == 8 && kept.size == 1,
       s"footer stats must prune range-clustered files ($kept)")
+    // the constant string column's range is the point ['x', 'x']
+    assert(TableLog.prunedFilesStr(t, "s", Some("x"), Some("x"))._1.size == 8)
+    assert(TableLog.prunedFilesStr(t, "s", Some("y"), None)._1.isEmpty)
     // the index reflects PHYSICAL ranges — correct data, re-run idempotent
-    assert(TableLog.buildStatsIndex(t, Seq("k", "v", "s")) == 16)
+    assert(TableLog.buildStatsIndex(t, Seq("k", "v", "s")) == 24)
     assert(TableLog.read(spark, t).count() == 4000L)
 
     // optimizeToSize: derive the file count from live bytes. Pin small input
@@ -1047,6 +1097,31 @@ class TableLogSpec extends SparkSpec {
     // arity guard
     intercept[IllegalArgumentException](
       TableLog.optimizeZOrderN(spark, t, Seq("a"), nFiles = 2))
+  }
+
+  test("z-order over a STRING dimension: both string and long predicates prune") {
+    rm(new java.io.File(s"$root/zs"))
+    val t = s"$root/zs/t"
+    // 20 brands × 200 keys, row-major (unclustered in either dimension
+    // after the hash repartition)
+    TableLog.commitAppend(
+      spark.range(0, 4000).selectExpr(
+        "format_string('brand%02d', id % 20) AS brand",
+        "id DIV 20 AS k", "id AS payload").repartition(8), t)
+    val v = TableLog.optimizeZOrderN(spark, t, Seq("brand", "k"), nFiles = 16)
+    assert(v == 1L && TableLog.liveFileCount(t) == 16)
+    // the STRING dimension prunes via its 'S' sidecar lines
+    val (keptS, totalS) = TableLog.prunedFilesStr(
+      t, "brand", Some("brand03"), Some("brand04"))
+    assert(totalS == 16 && keptS.size < totalS,
+      s"string dim must prune after z-order ($keptS of $totalS kept)")
+    // ... and the LONG dimension prunes too
+    val (keptK, _) = TableLog.prunedFiles(t, "k", 0L, 20L)
+    assert(keptK.size < 16, s"long dim must prune after z-order (${keptK.size} of 16)")
+    // pruned reads stay exact on the string band
+    val got = TableLog.readPrunedStr(spark, t, "brand", Some("brand03"), Some("brand04"))
+      .where(col("brand") >= "brand03" && col("brand") <= "brand04").count()
+    assert(got == 400L, s"expected 2 of 20 brands (400 rows), got $got")
   }
 
   test("changeFeedCdc: duplicate keys in a rewrite commit fail loudly, never multiply") {
