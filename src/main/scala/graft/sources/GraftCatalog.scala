@@ -605,6 +605,9 @@ private[sources] class GraftRowLevelScan(
     extends GraftLogScan(path, v, required, None)
     with SupportsRuntimeV2Filtering {
 
+  /** file-granular rewrite scope — never bucket-grouped (see base doc) */
+  override protected def allowBucketedPlanning: Boolean = false
+
   @volatile private var runtimeKeep: Option[Set[String]] = None
   override protected def extraKeep: Option[Set[String]] = runtimeKeep
 
@@ -822,13 +825,29 @@ private[sources] class GraftLogWriteBuilder(path: String)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ignored: Boolean): Unit = {
-        // the graft.clusterBy property turns the append into a CLUSTERED
-        // write: range-partitioned + sorted on the cluster columns with
-        // their per-file stats recorded, so predicate file skipping works
-        // from the first INSERT without an OPTIMIZE pass
-        val (clustered, statCols) = TableLog.clusterForWrite(data, path)
-        if (overwrite) TableLog.commitOverwrite(clustered, path, statCols)
-        else TableLog.commitAppend(clustered, path, statCols)
+        // the graft.bucketBy property turns the write into a BUCKETED one
+        // (bucket-pure files + per-file bucket ids → the scan reports
+        // KeyGroupedPartitioning and co-bucketed joins skip the shuffle);
+        // graft.clusterBy instead range-partitions + sorts for predicate
+        // skipping. They prescribe conflicting layouts — refuse both.
+        val bucket = TableLog.bucketSpec(path)
+        bucket.foreach { case (c, _) =>
+          require(data.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"${TableLog.BucketByProp} column $c not in write schema " +
+              data.schema.fieldNames.mkString(","))
+          require(TableLog.tableProps(path).get(TableLog.ClusterByProp).isEmpty,
+            s"${TableLog.ClusterByProp} and ${TableLog.BucketByProp} are mutually exclusive")
+        }
+        val (clustered, clusterStatCols) = TableLog.clusterForWrite(data, path)
+        // bucket KEY stats ride along when the type is sidecar-indexable:
+        // within a bucket files sort by key, so point lookups skip too
+        val statCols = (clusterStatCols ++ bucket.toSeq.map(_._1).filter(c =>
+          data.schema.find(_.name.equalsIgnoreCase(c)).exists(_.dataType match {
+            case LongType | IntegerType | StringType => true
+            case _ => false
+          }))).distinct
+        if (overwrite) TableLog.commitOverwrite(clustered, path, statCols, bucket)
+        else TableLog.commitAppend(clustered, path, statCols, bucket)
         ()
       }
     }
@@ -1197,11 +1216,58 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     rowGroupRanges: Map[String, (Long, Long)] = Map.empty,
     strRowGroupRanges: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
   /** see [[GraftLogTable.logPath]] — the post-pushdown twin for [[MatViewRewrite]] */
   private[sources] def logPath: String = path
   private[sources] def logVersion: Long = v
+
+  /** bucketed-layout evidence: Some((col, n, file→bucket)) iff the table
+    * declares `graft.bucketBy`, the bucket column survives projection (the
+    * reported transform must resolve against the scan OUTPUT), and EVERY
+    * live file at this version has a recorded bucket id — files written
+    * outside the bucketed path (row-level rewrites, compactions) have
+    * none, and degrading to unknown partitioning is always sound. DVs
+    * don't matter: deletes never move a surviving row between buckets.
+    */
+  /** row-level operation scans (DELETE/UPDATE/MERGE rewrites) opt OUT:
+    * their reader factory is file-tagged and their file enumeration IS the
+    * replacement scope — bucket-grouping partitions would break both
+    */
+  protected def allowBucketedPlanning: Boolean = true
+
+  private lazy val bucketInfo: Option[(String, Int, Map[String, Int])] =
+    if (!allowBucketedPlanning) None
+    else TableLog.bucketSpec(path).flatMap { case (c, n) =>
+      // zero-row files (CREATE TABLE's schema-bearing v0, evolution
+      // commits) are coverage-EXEMPT: they hold no rows, so they belong to
+      // every bucket vacuously and simply drop out of the groups
+      val live = TableLog.liveNonEmpty(path, v)
+      val fb = TableLog.fileBuckets(path)
+      // fileOrd < 0: a `_file`-projecting scan reads through the
+      // file-tagged factory, which is per-file by construction
+      if (fileOrd < 0 && live.nonEmpty && live.forall(fb.contains) &&
+        required.fieldNames.exists(_.equalsIgnoreCase(c)))
+        Some((c, n, fb))
+      else None
+    }
+
+  /** storage-partitioned joins: a bucketed table reports
+    * `KeyGroupedPartitioning(bucket(n, col))` with exactly `n` groups
+    * (empty buckets still emit a partition, so two co-bucketed sides
+    * always present identical group sets) — under
+    * `spark.sql.sources.v2.bucketing.enabled` Spark then plans their
+    * equi-join on the bucket column with ZERO shuffle
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketInfo match {
+      case Some((c, n, _)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** runtime-filtered file subset (row-level scans override) */
   protected def extraKeep: Option[Set[String]] = None
@@ -1336,11 +1402,21 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
       .sortBy(_._1)
     val strRanges = strRowGroupRanges.toArray
       .map { case (c, (lo, hi)) => (c, lo, hi) }.sortBy(_._1)
-    files.map { f =>
+    def mk(f: String): ChangeFilePartition =
       ChangeFilePartition(Paths.get(path).resolve(f).toString, insert = true, v,
         skip = skip.getOrElse(f, Array.empty), only = null,
-        ranges = ranges, strRanges = strRanges): InputPartition
-    }.toArray
+        ranges = ranges, strRanges = strRanges)
+    bucketInfo match {
+      case Some((_, n, fb)) =>
+        // one partition per bucket (metadata skipping may have emptied
+        // some — they still emit, keeping the reported n groups exact)
+        val fs = files
+        (0 until n).map(b =>
+          GraftBucketPartition(
+            fs.filter(f => fb.get(f).contains(b)).map(mk).toArray, b)
+            : InputPartition).toArray
+      case None => files.map(mk(_): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

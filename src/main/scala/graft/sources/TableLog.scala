@@ -178,7 +178,7 @@ object TableLog extends QueryPack {
     * compaction) simply drops the table out of the reported partitioning
     * until an INSERT OVERWRITE re-buckets — degrading is always sound.
     */
-  private[sources] def fileBuckets(table: String): Map[String, Int] = {
+  private[graft] def fileBuckets(table: String): Map[String, Int] = {
     val p = bucketsFile(table)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).flatMap { l =>
@@ -687,7 +687,7 @@ object TableLog extends QueryPack {
     * a file with no row-count record stays conservative (counted as
     * coverage-required).
     */
-  private def liveNonEmpty(table: String, v: Long): Seq[String] = {
+  private[graft] def liveNonEmpty(table: String, v: Long): Seq[String] = {
     val counts = rowCounts(table)
     liveFiles(table, v).filterNot(f => counts.get(f).contains(0L))
   }
@@ -2473,6 +2473,72 @@ object TableLog extends QueryPack {
       |FROM orders WHERE o_orderpriority <= '2-HIGH'
       |GROUP BY 1""".stripMargin
 
+  private val bucketedJoinBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Storage-partitioned-join fixture: orders and customer both written
+    * through the catalog as `graft.bucketBy` tables on the customer key
+    * (8 buckets), plus a DV DELETE on the fact side — the layout the
+    * zero-shuffle join law (CatalogSpec) runs on. Built once per dir.
+    */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): String =
+    bucketedJoinBuilt.computeIfAbsent(dir, { d =>
+      val rt = graft.Scratch.dir("graft_tlog", d)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(rt + "/orders_bkt"))
+      rm(new java.io.File(rt + "/customer_bkt"))
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.root", rt)
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("orders_bkt_src")
+      Tables.load(s, d, "customer").select(
+        col("c_custkey").as("ck"),
+        col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("customer_bkt_src")
+      s.sql("CREATE TABLE graft.orders_bkt (k BIGINT, ck BIGINT, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.bucketBy'='ck', 'graft.bucketBy.n'='8')")
+      s.sql("CREATE TABLE graft.customer_bkt (ck BIGINT, seg STRING) " +
+        "TBLPROPERTIES ('graft.bucketBy'='ck', 'graft.bucketBy.n'='8')")
+      s.sql("INSERT INTO graft.orders_bkt SELECT k, ck, cents FROM orders_bkt_src")
+      s.sql("INSERT INTO graft.customer_bkt SELECT ck, seg FROM customer_bkt_src")
+      // a DV delete on the bucketed fact: deletes never move surviving
+      // rows between buckets, so the join below still runs shuffle-free
+      s.sql("DELETE FROM graft.orders_bkt WHERE cents >= 40000000")
+      rt
+    })
+
+  /** Co-bucketed catalog join, hash-gated: both sides wrote through the
+    * `graft.bucketBy` layout (bucket-pure files + per-file bucket sidecar)
+    * and the scan reports `KeyGroupedPartitioning(bucket(8, ck))`, so with
+    * `spark.sql.sources.v2.bucketing.enabled` the equi-join on `ck` plans
+    * with ZERO shuffle (CatalogSpec pins the plan law; this row gates the
+    * DATA: a bucket-impure file or a dropped/duplicated bucket partition
+    * changes the join result). The oracle replays the whole pipeline
+    * relationally, DV delete included.
+    */
+  def catalogBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val rt = bucketedTables(s, dir)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", rt)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      """SELECT c.seg, count(*) AS n_rows, sum(o.cents) AS cents
+        |FROM graft.orders_bkt o JOIN graft.customer_bkt c ON o.ck = c.ck
+        |GROUP BY c.seg""".stripMargin)
+  }
+
+  private val catalogBucketedJoinSql =
+    """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE floor(o_totalprice * 100) < 40000000
+      |GROUP BY 1""".stripMargin
+
   /** Ungrouped min/max over a STRING column answered from METADATA alone —
     * [[statBoundsStr]] under full per-file coverage (the clustered insert
     * recorded stats for every data file; CREATE TABLE's zero-row v0 file
@@ -3669,5 +3735,6 @@ object TableLog extends QueryPack {
     Q("stats_retrofit_read", statsRetrofitRead, Some(statsRetrofitReadSql)),
     Q("stats_string_pruned_read", statsStringPrunedRead, Some(statsStringPrunedReadSql)),
     Q("catalog_clustered_insert", catalogClusteredInsert, Some(catalogClusteredInsertSql)),
-    Q("metadata_minmax_str", metadataMinMaxStrQ, Some(metadataMinMaxStrSql)))
+    Q("metadata_minmax_str", metadataMinMaxStrQ, Some(metadataMinMaxStrSql)),
+    Q("catalog_bucketed_join", catalogBucketedJoin, Some(catalogBucketedJoinSql)))
 }

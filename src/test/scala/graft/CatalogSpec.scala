@@ -815,4 +815,91 @@ class CatalogSpec extends SparkSpec {
     assert(TableLog.versions(t).last == head)
     assert(spark.sql("SELECT count(*) FROM graftcat.ck").collect().head.getLong(0) == 1L)
   }
+
+  test("bucketBy property: co-bucketed tables join with ZERO shuffle (storage-partitioned join)") {
+    rm(new java.io.File(root))
+    register()
+    spark.sql("CREATE TABLE graftcat.bfact (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.bucketBy'='k', 'graft.bucketBy.n'='8')")
+    spark.sql("CREATE TABLE graftcat.bdim (k BIGINT, w BIGINT) " +
+      "TBLPROPERTIES ('graft.bucketBy'='k', 'graft.bucketBy.n'='8')")
+    spark.range(0, 4000).selectExpr("id % 500 AS k", "id AS v")
+      .createOrReplaceTempView("bfact_src")
+    spark.range(0, 500).selectExpr("id AS k", "id * 7 AS w")
+      .createOrReplaceTempView("bdim_src")
+    spark.sql("INSERT INTO graftcat.bfact SELECT k, v FROM bfact_src")
+    spark.sql("INSERT INTO graftcat.bdim SELECT k, w FROM bdim_src")
+    // every non-empty live file carries a bucket id (v0's zero-row file is
+    // coverage-exempt), and no bucket id exceeds the declared count
+    val fb = TableLog.fileBuckets(s"$root/bfact")
+    val live = TableLog.liveNonEmpty(s"$root/bfact",
+      TableLog.versions(s"$root/bfact").last)
+    assert(live.nonEmpty && live.forall(fb.contains),
+      s"bucketed insert must record a bucket per file: $fb vs $live")
+    assert(fb.values.forall(b => b >= 0 && b < 8))
+
+    val expected = spark.sql(
+      "SELECT sum(f.v * d.w) FROM bfact_src f JOIN bdim_src d ON f.k = d.k")
+      .collect().head.getLong(0)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, value) => spark.conf.set(key, value) }
+    try {
+      def joinPlan(): (Long, String) = {
+        val df = spark.sql("SELECT sum(f.v * d.w) AS s " +
+          "FROM graftcat.bfact f JOIN graftcat.bdim d ON f.k = d.k")
+        val got = df.collect().head.getLong(0)
+        // AQE: the final plan is the section BEFORE "== Initial Plan ==",
+        // readable only from the SAME QueryExecution after execution
+        (got, df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head)
+      }
+      val (got, plan) = joinPlan()
+      assert(got == expected, s"SPJ join diverged: $got vs $expected")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"co-bucketed join must not shuffle (only the final agg exchange): $exchanges\n$plan")
+
+      // DV deletes keep the storage partitioning (rows never change
+      // bucket); the simple comparison renders to SQL, so this takes the
+      // DV path, not copy-on-write — pin that, the law depends on it
+      spark.sql("DELETE FROM graftcat.bfact WHERE v >= 3000")
+      assert(TableLog.dvFiles(s"$root/bfact",
+        TableLog.versions(s"$root/bfact").last).nonEmpty,
+        "delete must take the DV path for this test to pin DV+SPJ")
+      val expected2 = spark.sql(
+        "SELECT sum(f.v * d.w) FROM bfact_src f JOIN bdim_src d ON f.k = d.k " +
+          "WHERE f.v < 3000").collect().head.getLong(0)
+      val (got2, plan2) = joinPlan()
+      assert(got2 == expected2, s"post-DELETE SPJ join diverged: $got2 vs $expected2")
+      assert("Exchange".r.findAllIn(plan2).size == 1,
+        s"DV-bearing bucketed join must stay shuffle-free:\n$plan2")
+
+      // compaction writes unbucketed files -> the scan DEGRADES to a
+      // shuffled join (sound), results unchanged
+      TableLog.optimize(spark, s"$root/bfact", nFiles = 2)
+      val (got3, plan3) = joinPlan()
+      assert(got3 == expected2, s"post-compaction join diverged: $got3 vs $expected2")
+      assert("Exchange".r.findAllIn(plan3).size > 1,
+        s"compacted files have no bucket ids; partitioning must degrade:\n$plan3")
+
+      // INSERT OVERWRITE re-buckets and restores the shuffle-free join
+      spark.sql("INSERT OVERWRITE graftcat.bfact " +
+        "SELECT k, v FROM bfact_src WHERE v < 3000")
+      val (got4, plan4) = joinPlan()
+      assert(got4 == expected2, s"re-bucketed join diverged: $got4 vs $expected2")
+      assert("Exchange".r.findAllIn(plan4).size == 1,
+        s"INSERT OVERWRITE must restore the bucketed layout:\n$plan4")
+    } finally saved.foreach {
+      case (key, Some(value)) => spark.conf.set(key, value)
+      case (key, None) => spark.conf.unset(key)
+    }
+    // clusterBy + bucketBy on one table is refused at write time
+    spark.sql("ALTER TABLE graftcat.bfact SET TBLPROPERTIES ('graft.clusterBy'='k')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.bfact SELECT k, v FROM bfact_src")
+    }
+  }
 }
