@@ -1040,6 +1040,36 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
           TableLog.pointLookupFiles(path, c, s, Some(v))._1.toSet)
         true
       }
+    // BUCKET pruning: a point predicate on the bucket column keeps exactly
+    // that bucket's files — the skip a hash layout needs (key RANGES
+    // scatter across every file, so min/max stats can't prune them; bucket
+    // arithmetic can). Type discipline is strict: the literal's runtime
+    // class must MATCH the column type — a cast-widened literal would
+    // murmur-hash under the wrong width and silently drop rows. Sound only
+    // when every non-empty live file carries a bucket id.
+    def bucketEq(c: String, vals: Seq[Any]): Boolean =
+      TableLog.bucketSpec(path).exists { case (bc, n) =>
+        bc.equalsIgnoreCase(c) && vals.nonEmpty && vals.length <= 64 && {
+          val typeOk = full.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType).exists {
+              case LongType => vals.forall(_.isInstanceOf[Long])
+              case IntegerType => vals.forall(_.isInstanceOf[Int])
+              case StringType => vals.forall(v0 => v0.isInstanceOf[String] ||
+                v0.isInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+              case _ => false
+            }
+          val ids = vals.flatMap(TableLog.bucketIdOf(_, n))
+          typeOk && ids.length == vals.length && {
+            val fb = TableLog.fileBuckets(path)
+            val live = TableLog.liveNonEmpty(path, v)
+            live.forall(fb.contains) && {
+              val want = ids.toSet
+              kept = kept.intersect(live.filter(f => want(fb(f))).toSet)
+              true
+            }
+          }
+        }
+      }
     filters.foreach { f =>
       f match { // row-group envelopes ride along for every comparison shape
         case EqualTo(c, x) =>
@@ -1074,7 +1104,8 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
           val st = longOf(x).exists(n => statRange(c, n, n)) ||
             strOnly(x).exists(s => statRangeStr(c, Some(s), Some(s)))
           val bl = strOf(x).exists(s => bloomEq(c, s))
-          st || bl
+          val bk = bucketEq(c, Seq(x)) // eager: applies beside stats/bloom
+          st || bl || bk
         case GreaterThan(c, x) =>
           longOf(x).exists(n => statRange(c, n, Long.MaxValue)) ||
             strOnly(x).exists(s => statRangeStr(c, Some(s), None))
@@ -1093,6 +1124,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
           val ss0 = xs.flatMap(strOnly)
           val sst = ss0.length == xs.length &&
             statRangeStr(c, Some(ss0.reduce(utf8Min)), Some(ss0.reduce(utf8Max)))
+          val bk = bucketEq(c, xs.toSeq) // per-value bucket union
           val ss = xs.flatMap(strOf)
           val bl = ss.length == xs.length && TableLog.hasBloomFor(path, c) && {
             // a file survives if it may contain ANY of the listed values —
@@ -1101,7 +1133,7 @@ private[sources] class GraftLogScanBuilder(path: String, v: Long, full: StructTy
               TableLog.bloomFilesForAny(path, c, ss.distinct.toSeq, Some(v)).toSet)
             true
           }
-          st || sst || bl
+          st || sst || bl || bk
         case StringStartsWith(c, p) if p.nonEmpty =>
           statRangeStr(c, Some(p), TableLog.prefixUpper(p))
         case _ => false

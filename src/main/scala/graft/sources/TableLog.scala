@@ -188,6 +188,27 @@ object TableLog extends QueryPack {
     }.toMap
   }
 
+  /** driver-side twin of the write path's `pmod(hash(col), n)` (and of
+    * [[GraftBucketFunction]]): the bucket id a value lands in — what lets a
+    * point predicate on the bucket column keep 1/n of the files from
+    * METADATA alone. A hash layout scatters key RANGES across every file,
+    * so min/max stats cannot prune it; bucket arithmetic can, exactly.
+    */
+  private[sources] def bucketIdOf(value: Any, n: Int): Option[Int] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val h = value match {
+      case l: Long => Some(Murmur3_x86_32.hashLong(l, 42))
+      case i: Int => Some(Murmur3_x86_32.hashInt(i, 42))
+      case s: String =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        Some(Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42))
+      case _ => None
+    }
+    h.map { hh => val m = hh % n; if (m < 0) m + n else m }
+  }
+
   private def recordBuckets(table: String, entries: Seq[(String, Int)]): Unit = {
     if (entries.isEmpty) return
     Files.createDirectories(logDir(table))

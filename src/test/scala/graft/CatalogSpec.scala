@@ -838,6 +838,21 @@ class CatalogSpec extends SparkSpec {
       s"bucketed insert must record a bucket per file: $fb vs $live")
     assert(fb.values.forall(b => b >= 0 && b < 8))
 
+    // BUCKET pruning: a hash layout scatters key ranges across every file
+    // (min/max stats can't prune), but k = 123 keeps only bucket(123)'s
+    // files — metadata arithmetic, no sidecar stats needed
+    val pt = spark.sql("SELECT count(*) AS n FROM graftcat.bfact WHERE k = 123")
+    assert(pt.collect().head.getLong(0) == 8L) // 4000 rows, k = id % 500
+    val ptDesc = pt.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("GraftLogScan")).getOrElse("")
+    val pm = """files=(\d+)/(\d+)""".r.findFirstMatchIn(ptDesc)
+    assert(pm.isDefined && pm.get.group(1).toInt < pm.get.group(2).toInt,
+      s"bucket point lookup must skip files: $ptDesc")
+    // IN lists prune to the union of the listed values' buckets
+    val ptIn = spark.sql(
+      "SELECT count(*) AS n FROM graftcat.bfact WHERE k IN (123, 124)")
+    assert(ptIn.collect().head.getLong(0) == 16L)
+
     val expected = spark.sql(
       "SELECT sum(f.v * d.w) FROM bfact_src f JOIN bdim_src d ON f.k = d.k")
       .collect().head.getLong(0)
@@ -861,6 +876,16 @@ class CatalogSpec extends SparkSpec {
       val exchanges = "Exchange".r.findAllIn(plan).size
       assert(exchanges == 1,
         s"co-bucketed join must not shuffle (only the final agg exchange): $exchanges\n$plan")
+
+      // the partitioning also serves GROUP BY on the bucket key: the
+      // aggregate clusters by k, which bucket(8, k) already satisfies
+      val agg = spark.sql(
+        "SELECT k, sum(v) AS sv FROM graftcat.bfact GROUP BY k")
+      assert(agg.collect().length == 500)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!aggPlan.contains("Exchange"),
+        s"GROUP BY on the bucket key must not shuffle:\n$aggPlan")
 
       // DV deletes keep the storage partitioning (rows never change
       // bucket); the simple comparison renders to SQL, so this takes the
