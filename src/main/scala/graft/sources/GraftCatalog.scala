@@ -1341,6 +1341,43 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
       case other => longOf(other).map(_.toString)
     }
     def keepFor(c: String, vals: Seq[Any]): Option[Set[String]] = {
+      // bucket-id runtime skip: build-side values on the BUCKET column map
+      // to their buckets (driver murmur3 twin) and only those buckets'
+      // files survive — the runtime skip a hash layout needs, since
+      // scattered key ranges defeat the stats sidecar. Same strictness as
+      // plan-time bucket pruning: literal class must match the column
+      // type, every non-empty live file must carry a bucket id.
+      val byBucket: Option[Set[String]] =
+        TableLog.bucketSpec(path).flatMap { case (bc, n) =>
+          val typeOk = bc.equalsIgnoreCase(c) && vals.nonEmpty &&
+            vals.length <= 65536 &&
+            required.fields.find(_.name.equalsIgnoreCase(c))
+              .map(_.dataType).exists {
+                case LongType => vals.forall(_.isInstanceOf[Long])
+                case IntegerType => vals.forall(_.isInstanceOf[Int])
+                case StringType => vals.forall(x =>
+                  x.isInstanceOf[org.apache.spark.unsafe.types.UTF8String] ||
+                    x.isInstanceOf[String])
+                case _ => false
+              }
+          if (!typeOk) None
+          else {
+            val ids = vals.flatMap(TableLog.bucketIdOf(_, n))
+            val fb = TableLog.fileBuckets(path)
+            val live = TableLog.liveNonEmpty(path, v)
+            if (ids.length == vals.length && live.forall(fb.contains)) {
+              val want = ids.toSet
+              Some(live.filter(f => want(fb(f))).toSet)
+            } else None
+          }
+        }
+      val byEvidence = keepForEvidence(c, vals)
+      (byBucket, byEvidence) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+    def keepForEvidence(c: String, vals: Seq[Any]): Option[Set[String]] = {
       val longs = vals.flatMap(longOf(_))
       if (longs.length == vals.length && TableLog.hasStatsFor(path, v, c)) {
         // per-value point ranges for small sets; one [min, max] envelope

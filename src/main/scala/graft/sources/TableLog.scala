@@ -1039,7 +1039,10 @@ object TableLog extends QueryPack {
     val bloomCols = listDir(logDir(table)).map(_.getFileName.toString)
       .collect { case s if s.startsWith("bloom_") && s.endsWith(".txt") =>
         s.stripPrefix("bloom_").stripSuffix(".txt") }
-    (statCols ++ bloomCols).distinct
+    // the bucket column skips at runtime via bucket-id arithmetic even
+    // with no stats/bloom evidence (hash layouts defeat range stats)
+    val bucketCols = bucketSpec(table).toSeq.map(_._1)
+    (statCols ++ bloomCols ++ bucketCols).distinct
   }
 
   /** Snapshot read restricted to files whose `statCol` range intersects

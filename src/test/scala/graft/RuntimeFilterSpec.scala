@@ -115,6 +115,46 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("bucketed facts prune at runtime via bucket-id arithmetic") {
+    val root = Scratch.dir("graft_rtf4", "x")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    spark.conf.set("spark.sql.catalog.graftrtf4", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrtf4.root", root)
+    // a bucketed INSERT records k stats too, but a hash layout's per-file
+    // [min, max] spans the whole domain — stats keep all 8 files; only the
+    // bucket-id arithmetic can skip, so kept < 8 proves the bucket path
+    spark.sql("CREATE TABLE graftrtf4.fact (k BIGINT, payload STRING) " +
+      "TBLPROPERTIES ('graft.bucketBy'='k', 'graft.bucketBy.n'='8')")
+    spark.range(0, 8000)
+      .selectExpr("id AS k", "md5(CAST(id AS STRING)) AS payload")
+      .createOrReplaceTempView("rtf4_src")
+    spark.sql("INSERT INTO graftrtf4.fact SELECT k, payload FROM rtf4_src")
+    spark.range(0, 4000).selectExpr("id AS dk", "id % 1999 AS tag")
+      .write.mode("overwrite").parquet(s"$root/dim")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("rtf_dim4")
+    val prev = spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100k")
+    try {
+      val j = spark.sql(
+        "SELECT f.k FROM graftrtf4.fact f JOIN rtf_dim4 d ON f.k = d.dk WHERE d.tag = 0")
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1999L, 3998L))
+      val kept = logScans(j.queryExecution.executedPlan).head.runtimeKept
+      assert(kept.isDefined, "bucket runtime filter never reached the scan")
+      // three build keys live in at most three buckets
+      assert(kept.get.size <= 3, s"bucket-id skip must keep <=3 of 8 files, kept ${kept.get.size}")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("joins on an un-indexed column leave the scan untouched") {
     val root = Scratch.dir("graft_rtf2", "x")
     def rm(f: java.io.File): Unit = {
