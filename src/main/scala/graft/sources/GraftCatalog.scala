@@ -1248,7 +1248,8 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
     rowGroupRanges: Map[String, (Long, Long)] = Map.empty,
     strRowGroupRanges: Map[String, (Option[String], Option[String])] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   /** see [[GraftLogTable.logPath]] — the post-pushdown twin for [[MatViewRewrite]] */
   private[sources] def logPath: String = path
@@ -1299,6 +1300,25 @@ private[sources] class GraftLogScan(path: String, v: Long, required: StructType,
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)), n)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** SORT-free merge joins on top of shuffle-free ones: every bucketed
+    * write sorts its files by the bucket key (ascending, nulls first —
+    * Spark's default sort), so while a bucket holds at most ONE file its
+    * partition really arrives key-ordered and the scan says so. More than
+    * one file per bucket (appends since the last OVERWRITE) concatenates
+    * sorted runs — NOT sorted — so the claim is withdrawn; DV subtraction
+    * and row-group skipping preserve order and don't matter.
+    */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketInfo match {
+      case Some((c, _, fb)) if TableLog.liveNonEmpty(path, v)
+          .groupBy(fb).forall(_._2.size <= 1) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
     }
 
   /** runtime-filtered file subset (row-level scans override) */

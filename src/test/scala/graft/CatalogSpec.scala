@@ -858,6 +858,7 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getLong(0)
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
     confs.foreach { case (key, value) => spark.conf.set(key, value) }
@@ -876,6 +877,12 @@ class CatalogSpec extends SparkSpec {
       val exchanges = "Exchange".r.findAllIn(plan).size
       assert(exchanges == 1,
         s"co-bucketed join must not shuffle (only the final agg exchange): $exchanges\n$plan")
+      // single INSERT -> one file per bucket -> partitions arrive
+      // key-sorted and the scan reports it: the merge join plans with
+      // NEITHER shuffle NOR sort ("Sort [" is the SortExec node print;
+      // SortMergeJoin itself doesn't match)
+      assert(!plan.contains("Sort ["),
+        s"single-file buckets must satisfy the merge join's sort:\n$plan")
 
       // the partitioning also serves GROUP BY on the bucket key: the
       // aggregate clusters by k, which bucket(8, k) already satisfies
@@ -917,6 +924,25 @@ class CatalogSpec extends SparkSpec {
       assert(got4 == expected2, s"re-bucketed join diverged: $got4 vs $expected2")
       assert("Exchange".r.findAllIn(plan4).size == 1,
         s"INSERT OVERWRITE must restore the bucketed layout:\n$plan4")
+      assert(!plan4.contains("Sort ["),
+        s"fresh OVERWRITE is one file per bucket — sort-free:\n$plan4")
+
+      // a second append makes buckets MULTI-file: concatenated sorted runs
+      // are not sorted, so the ordering claim WITHDRAWS (a Sort returns)
+      // while the partitioning — still bucket-pure — keeps the join
+      // shuffle-free
+      spark.sql("INSERT INTO graftcat.bfact SELECT k, v + 1000000 AS v " +
+        "FROM bfact_src WHERE v < 100")
+      val (got5, plan5) = joinPlan()
+      val expected3 = spark.sql(
+        "SELECT sum(f.v * d.w) FROM (SELECT k, v FROM bfact_src WHERE v < 3000 " +
+          "UNION ALL SELECT k, v + 1000000 FROM bfact_src WHERE v < 100) f " +
+          "JOIN bdim_src d ON f.k = d.k").collect().head.getLong(0)
+      assert(got5 == expected3, s"post-append join diverged: $got5 vs $expected3")
+      assert("Exchange".r.findAllIn(plan5).size == 1,
+        s"multi-file buckets must stay shuffle-free:\n$plan5")
+      assert(plan5.contains("Sort ["),
+        s"multi-file buckets are unsorted — the ordering claim must withdraw:\n$plan5")
     } finally saved.foreach {
       case (key, Some(value)) => spark.conf.set(key, value)
       case (key, None) => spark.conf.unset(key)
