@@ -2659,11 +2659,17 @@ object Analytics extends QueryPack {
     // pair generation is ONE shuffle on the order key (collect_set + a
     // compiled pair kernel), not a fact self-join: each order contributes
     // ≤ lines² local pairs, and only (u, v) longs leave the stage
+    // cache: the pairs subplan (shuffle + pair kernel + distinct) is the
+    // expensive base and appears SIX times in the final tree (edges unions
+    // it twice, deg scans edges, e joins edges⋈deg, s0 scans deg) — without
+    // the cache each occurrence re-runs the kernel (guide §2.4: share one
+    // exchange). Canonical-plan-deduped across calls like `e` below.
     val pairs = li.groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(copairsUdf(col("ps"))).as("p"))
       .select(col("p._1").as("u"), col("p._2").as("v"))
       .distinct()
+      .cache()
     val edges = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     // score is VERTEX-sized (tiny next to the edge relation): broadcasting

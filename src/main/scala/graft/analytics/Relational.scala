@@ -1426,7 +1426,10 @@ object Relational extends QueryPack {
     */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ExactQuantile
-    val hist = Tables.load(s, dir, "lineitem")
+    // loadSpread: the value histogram barely reduces (cents are near-unique
+    // per flag), so the single-task partial aggregate pays the full hash
+    // build — spreading parallelizes it for one narrow exchange
+    val hist = Tables.loadSpread(s, dir, "lineitem")
       .select(col("l_returnflag"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
       .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
@@ -1481,7 +1484,10 @@ object Relational extends QueryPack {
     * over raw rows.
     */
   def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // loadSpread: near-unique cents → the boundary pass's partial aggregate
+    // barely reduces, so parallelize it (mad_outliers rationale); the two
+    // consumers share one exchange (ReusedExchange — identical subplans)
+    val li = Tables.loadSpread(s, dir, "lineitem")
       .select(col("l_returnflag").as("f"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("v"))
       .where(col("v").isNotNull)

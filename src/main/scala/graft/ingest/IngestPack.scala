@@ -70,9 +70,23 @@ object IngestPack extends QueryPack {
     Normalize.serialize(Tables.load(s, dir, "region").select(
       col("r_regionkey").as("blob"), col("r_name").as("label")))
 
+  /** Memoized-per-dir SESSION-cached wire-frame stream (the Graph-pack
+    * shared-base discipline): SIX e2e queries (demux counts, quarantine,
+    * candles/trades/order-book/companies e2e) consume the same mixed frame
+    * stream, and building it is five table scans + five `to_json`
+    * serializations — without the memo every consumer re-serialized the
+    * whole stream (guide §2.4: share the expensive base once). Each query
+    * still pays its OWN `from_json` parse — that is the operator under
+    * test; only the synthetic producer side is shared.
+    */
+  private val allMessagesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def allMessages(s: SparkSession, dir: String): DataFrame =
-    Seq(candleMessages(s, dir), tradeMessages(s, dir), bookMessages(s, dir),
-      companyMessages(s, dir), unknownMessages(s, dir)).reduce(_ union _)
+    graft.Memo.cached(allMessagesCache, dir) { d =>
+      Seq(candleMessages(s, d), tradeMessages(s, d), bookMessages(s, d),
+        companyMessages(s, d), unknownMessages(s, d)).reduce(_ union _)
+    }
 
   /** F1+F2+F3 end-to-end drop accounting over the mixed frame stream. */
   def demuxCounts(s: SparkSession, dir: String): DataFrame =

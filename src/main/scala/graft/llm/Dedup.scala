@@ -158,20 +158,31 @@ object Dedup extends QueryPack {
     * → |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a retained shingle never
     * materialize.
     */
-  def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val (sizes, pairs) = sizedPairs(s, dir)
-    pairs
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
-          .as("j"))
-      .where(col("j") >= 0.5)
-      // floor-1e6 integerization (see ppjoin): round(j, 6) is the latent
-      // cross-engine half-up tie class; floor of the shared double is exact
-      .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
-  }
+  /** jaccard output is near-dup-pair-sized (a few thousand rows) and
+    * consumed by THREE registered paths (the `dedup_jaccard` gate, the
+    * components fixture, contrastive hard negatives) — memoize the cached
+    * result per dir so the shingle self-join + aggregate runs once per
+    * session (guide §2.4; the invIndex cache already shares the shingle
+    * explode, this lifts the sharing one level up).
+    */
+  private val jaccardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def jaccard(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(jaccardCache, dir) { d =>
+      val (sizes, pairs) = sizedPairs(s, d)
+      pairs
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
+            .as("j"))
+        .where(col("j") >= 0.5)
+        // floor-1e6 integerization (see ppjoin): round(j, 6) is the latent
+        // cross-engine half-up tie class; floor of the shared double is exact
+        .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
+    }
 
   /** Asymmetric CONTAINMENT near-dup pairs: `|A∩B| / min(|A|, |B|) ≥ 0.8`
     * — the subset-inclusion detector Jaccard structurally misses: a short

@@ -127,7 +127,9 @@ object Features extends QueryPack {
     * the final per-fold SSE is a partial-aggregated K-row reduce.
     */
   def cvKfoldOls(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select(
+    // loadSpread: the per-row md5 fold hash dominates the one-row-group
+    // single-task scan, and BOTH passes (fold stats + residuals) pay it
+    val li = Tables.loadSpread(s, dir, "lineitem").select(
       (conv(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
         .cast("long") % CvK).as("fold"),
       col("l_quantity").cast("long").as("x"),

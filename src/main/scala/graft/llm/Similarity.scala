@@ -1955,23 +1955,31 @@ object Similarity extends QueryPack {
       .select(expr("CAST(pos div 64 AS BIGINT)").as("i"),
         expr("CAST(pos % 64 AS BIGINT)").as("j"), col("col").as("cij"))
       .cache()
-    var v = s.range(Dim).select(col("id").as("j"), lit(PcaScale).as("v"))
-    var scale: DataFrame = null
+    // The round state is Dim longs (O(1) MODEL state, the bpe-train /
+    // perceptron discipline): collect it per round and re-enter the next
+    // round as a LocalRelation. The previous formulation referenced `w`
+    // TWICE per round (the max and the renormalized vector), doubling the
+    // LOGICAL plan every iteration — 2^PcaIters analysis blowup at the
+    // final collect (the Rebase lesson, solved here by localization since
+    // the state is fixed-size regardless of corpus scale). Arithmetic is
+    // the identical IEEE sequence: long→double, one correctly-rounded
+    // divide, one multiply, floor — so the trajectory is bit-equal and the
+    // oracle gate is unchanged.
+    import s.implicits._
+    var v: Seq[(Long, Long)] = (0L until Dim.toLong).map(j => (j, PcaScale))
+    var lastScale = 0L
     for (_ <- 1 to PcaIters) {
-      val w = cm.join(v, "j").groupBy(col("i"))
-        .agg(sum(col("cij") * col("v")).as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("i").as("j"),
-          floor(col("w").cast("double") / col("m") * PcaScale).cast("long").as("v"))
-      scale = m
+      val w = cm.join(broadcast(v.toDF("j", "v")), "j")
+        .groupBy(col("i")).agg(sum(col("cij") * col("v")).as("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val m = w.iterator.map(x => math.abs(x._2)).max
+      v = w.toSeq.sortBy(_._1)
+        .map { case (i, wi) => (i, math.floor(wi.toDouble / m * PcaScale).toLong) }
+      lastScale = m
     }
-    val out = v.crossJoin(broadcast(scale))
-      .select(col("j").as("dim"), col("v").as("v_fp"), col("m").as("last_scale"))
-      .orderBy(col("dim"))
-    val rows = out.collect()
     cm.unpersist(blocking = true)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    v.map { case (j, vf) => (j, vf, lastScale) }
+      .toDF("dim", "v_fp", "last_scale")
   }
 
   private val embPcaPowerSql = {

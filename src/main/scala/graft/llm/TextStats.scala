@@ -1101,7 +1101,12 @@ object TextStats extends QueryPack {
         .where(col("w").rlike("^[a-z]+$"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .select(col("w"), col("cnt"), initSymUdf(col("w")).as("sym"))
-      var cur  = words.cache()
+      var curCache = words.cache()
+      curCache.count()
+      // lineage-flat handle per round (the Graph-pack Rebase discipline):
+      // each round's two actions otherwise re-analyze a logical tree that
+      // deepens by one merge-apply per round
+      var cur = org.apache.spark.sql.graftx.Rebase(curCache)
       val rows = Seq.newBuilder[(Long, String, Long, Long)]
       for (r <- 1 to BpeRounds) {
         val Row(pair: String, c: Long) = cur
@@ -1113,11 +1118,12 @@ object TextStats extends QueryPack {
           .select(col("w"), col("cnt"), applyMergeUdf(col("sym"), lit(pair)).as("sym"))
           .cache()
         val nAfter = next.agg(sum(col("cnt") * symCountUdf(col("sym")))).collect()(0).getLong(0)
-        cur.unpersist()
-        cur = next
+        curCache.unpersist(blocking = true)
+        curCache = next
+        cur = org.apache.spark.sql.graftx.Rebase(next)
         rows += ((r.toLong, pair, c, nAfter))
       }
-      cur.unpersist()
+      curCache.unpersist(blocking = true)
       rows.result()
     })
 

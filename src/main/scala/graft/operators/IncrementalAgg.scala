@@ -41,7 +41,13 @@ object IncrementalAgg {
     require(delta.columns.contains(windowCol),
       s"delta must carry the window column '$windowCol'")
     val spark = delta.sparkSession
-    delta.write.mode(SaveMode.Append).partitionBy(windowCol).parquet(baseDir)
+    // cluster by the partition column before the partitioned write: without
+    // it every task appends a file into every window directory — a delta
+    // spanning W windows on C cores writes W×C files and the refresh
+    // re-opens all of them (guide §6 small-files; the BatchIngest.ingest
+    // grid repartition exists for the same reason)
+    delta.repartition(col(windowCol))
+      .write.mode(SaveMode.Append).partitionBy(windowCol).parquet(baseDir)
     val touched = delta.select(windowCol).distinct().collect().map(_.get(0)).toSeq
     refreshWindows(spark, touched, windowCol, baseDir, aggDir, agg)
     touched
@@ -63,7 +69,7 @@ object IncrementalAgg {
     val out = agg(base)
     require(out.columns.contains(windowCol),
       s"aggregate output must carry the window column '$windowCol'")
-    out.write
+    out.repartition(col(windowCol)).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(windowCol)

@@ -257,22 +257,34 @@ object IncrementalView extends QueryPack {
       val key = "o_orderpriority"
       (0 until 3).foreach { b =>
         val legs = cdcLegs(orders, b)
-        val ins = legs.where(col("sign") > 0).groupBy(key)
-          .agg(count(lit(1)).as("ins_n"), min(col("pc")).as("ins_min"),
-            max(col("pc")).as("ins_max"))
-        val del = legs.where(col("sign") < 0).groupBy(key)
-          .agg(count(lit(1)).as("del_n"), min(col("pc")).as("del_min"),
-            max(col("pc")).as("del_max"))
+        // ONE aggregate pass over the legs union computes both polarities as
+        // conditional aggs (the legs subplan is itself a union of up to 4
+        // fact scans — separate ins/del aggregates evaluated it twice; guide
+        // §2.3 "aggregate before you shuffle" + §2.4 share-one-exchange).
+        // Identical nulls: a group with no inserts gets ins_n = 0 (the old
+        // full_outer's absent row coalesced to 0) and NULL ins_min/ins_max
+        // (min/max over an empty conditional), matching the 3-way join.
+        val agg = legs.groupBy(key).agg(
+          sum(when(col("sign") > 0, 1L).otherwise(0L)).as("ins_n"),
+          min(when(col("sign") > 0, col("pc"))).as("ins_min"),
+          max(when(col("sign") > 0, col("pc"))).as("ins_max"),
+          sum(when(col("sign") < 0, 1L).otherwise(0L)).as("del_n"),
+          min(when(col("sign") < 0, col("pc"))).as("del_min"),
+          max(when(col("sign") < 0, col("pc"))).as("del_max"))
+        var jCache: DataFrame = null
         val next =
           if (TableLog.versions(table).isEmpty)
-            ins.select(col(key), col("ins_n").as("n"),
+            agg.where(col("ins_n") > 0).select(col(key), col("ins_n").as("n"),
               col("ins_min").as("min_pc"), col("ins_max").as("max_pc"),
               lit(0L).as("recomputed"))
           else {
             val old = TableLog.read(s, table)
               .select(col(key), col("n").as("old_n"),
                 col("min_pc").as("old_min"), col("max_pc").as("old_max"))
-            val j = old.join(ins, Seq(key), "full_outer").join(del, Seq(key), "full_outer")
+            // cache: j is group-cardinality-sized and consumed THREE times
+            // (dirty keys, clean rows, and the union action evaluates both
+            // legs) — uncached, each consumer re-ran the legs aggregate
+            val j = old.join(agg, Seq(key), "full_outer")
               .select(col(key),
                 (coalesce(col("old_n"), lit(0L)) + coalesce(col("ins_n"), lit(0L))
                   - coalesce(col("del_n"), lit(0L))).as("n"),
@@ -281,6 +293,8 @@ object IncrementalView extends QueryPack {
                 (coalesce(col("del_n"), lit(0L)) > 0 &&
                   (col("del_min") <= col("old_min") || col("del_max") >= col("old_max")))
                   .as("dirty"))
+              .cache()
+            jCache = j
             val dirtyKeys = j.where(col("dirty")).select(col(key))
             val recomputed = liveRows(orders, b).withColumnRenamed("pr", key)
               .join(broadcast(dirtyKeys), Seq(key), "left_semi")
@@ -294,6 +308,8 @@ object IncrementalView extends QueryPack {
             clean.unionAll(recomputed)
           }
         TableLog.commitOverwrite(next, table)
+        // release j: it is one batch's merge frame, dead after the commit
+        if (jCache != null) jCache.unpersist(blocking = true)
         ()
       }
       table
