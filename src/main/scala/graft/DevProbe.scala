@@ -167,6 +167,104 @@ object DevProbe {
           time(s"rv closes spread $r")(rv(Tables.loadSpread(spark, sfDir, "lineitem"))
             .write.mode("overwrite").format("noop").save())
         }
+      case "mp" =>
+        import org.apache.spark.sql.functions._
+        val MpWin = 4; val MpExcl = 4
+        def arrs(li: org.apache.spark.sql.DataFrame) = {
+          val ticks = li.select(
+            concat(lit("FIGI"), col("l_partkey") % 20).as("tik"),
+            expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("tsv"),
+            (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"))
+          ticks
+            .groupBy(col("tik"), date_trunc("week", col("tsv")).as("week"))
+            .agg(max_by(col("cents"), struct(col("tsv"), col("eid"), col("cents"))).as("c"))
+            .groupBy("tik")
+            .agg(sort_array(collect_list(struct(col("week"), col("c")))).as("sc"))
+            .select(col("tik"), expr("transform(sc, x -> x.c)").as("cs"))
+            .where(size(col("cs")) >= MpWin + MpExcl)
+        }
+        def oldPairs(ar: org.apache.spark.sql.DataFrame) = {
+          val wins = ar
+            .select(col("tik"), expr(s"explode(sequence(1, size(cs) - ${MpWin - 1}))").as("i"), col("cs"))
+            .select(col("tik"), col("i"),
+              expr(s"slice(cs, i, $MpWin)").as("w"),
+              expr(s"aggregate(slice(cs, i, $MpWin), CAST(0 AS BIGINT), (a, x) -> a + x)").as("sw"))
+          val a = wins.select(col("tik"), col("i").as("ia"), col("w").as("wa"), col("sw").as("sa"))
+          val b = wins.select(col("tik"), col("i").as("ib"), col("w").as("wb"), col("sw").as("sb"))
+          a.join(b, Seq("tik"))
+            .where(col("ib") >= col("ia") + lit(MpExcl))
+            .select(col("tik"), col("ia"), col("ib"),
+              expr(s"""aggregate(
+                zip_with(wa, wb, (x, y) -> ($MpWin * x - sa) - ($MpWin * y - sb)),
+                CAST(0 AS BIGINT), (acc, d) -> acc + d * d)""").as("d2"))
+        }
+        def newPairs(ar: org.apache.spark.sql.DataFrame) = {
+          val wins = ar
+            .select(col("tik"), expr(s"explode(sequence(1, size(cs) - ${MpWin - 1}))").as("i"), col("cs"))
+            .select(col("tik"), col("i"),
+              expr(s"slice(cs, i, $MpWin)").as("w"),
+              expr(s"aggregate(slice(cs, i, $MpWin), CAST(0 AS BIGINT), (a, x) -> a + x)").as("sw"))
+            .select(col("tik"), col("i"),
+              expr(s"transform(w, x -> CAST($MpWin AS BIGINT) * x - sw)").as("cw"))
+          val a = wins.select(col("tik"), col("i").as("ia"), col("cw").as("cwa"))
+          val b = wins.select(col("tik"), col("i").as("ib"), col("cw").as("cwb"))
+          val d2Expr = (1 to MpWin)
+            .map(k => s"(element_at(cwa, $k) - element_at(cwb, $k)) * (element_at(cwa, $k) - element_at(cwb, $k))")
+            .mkString(" + ")
+          a.join(b, Seq("tik"))
+            .where(col("ib") >= col("ia") + lit(MpExcl))
+            .select(col("tik"), col("ia"), col("ib"), expr(d2Expr).as("d2"))
+        }
+        for (r <- 1 to 2) {
+          time(s"mp old plain $r")(oldPairs(arrs(Tables.load(spark, sfDir, "lineitem")))
+            .write.mode("overwrite").format("noop").save())
+          time(s"mp old spread $r")(oldPairs(arrs(Tables.loadSpread(spark, sfDir, "lineitem")))
+            .write.mode("overwrite").format("noop").save())
+          time(s"mp new plain $r")(newPairs(arrs(Tables.load(spark, sfDir, "lineitem")))
+            .write.mode("overwrite").format("noop").save())
+          time(s"mp new spread $r")(newPairs(arrs(Tables.loadSpread(spark, sfDir, "lineitem")))
+            .write.mode("overwrite").format("noop").save())
+        }
+      case "pp" =>
+        import org.apache.spark.sql.functions._
+        val inv = llm.Dedup.invIndexProbe(spark, sfDir)
+        time("inv build+count")(println(s"[probe]   inv=${inv.count()}"))
+        val ranked = inv
+          .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+          .withColumn("n_sh", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        val prefix = ranked.where(col("pos") <= expr("n_sh div 2 + 1")).select("doc_id", "shingle")
+        time("prefix noop")(prefix.write.mode("overwrite").format("noop").save())
+        val cands = prefix.as("a").hint("shuffle_hash")
+          .join(prefix.as("b").hint("shuffle_hash"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        time("cands count")(println(s"[probe]   cands=${cands.count()}"))
+        val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val shared = cands
+          .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+          .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        time("shared count")(println(s"[probe]   shared=${shared.count()}"))
+        time("ppjoin full")(SparkEntry.queries("dedup_ppjoin")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+        time("ppjoin full again")(SparkEntry.queries("dedup_ppjoin")(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+      case "cf" =>
+        // per-stage rows + cumulative job seconds for the recommender
+        analytics.Mining.cfStageRows(spark, sfDir).foreach { case (n, r, sec) =>
+          println(f"[probe] cf stage $n%-16s rows=$r%9d  $sec%6.2f s")
+        }
+        time("cf_item_recs full")(
+          SparkEntry.queries("cf_item_recs")(spark, sfDir)
+            .write.mode("overwrite").format("noop").save())
+        time("cf_item_recs full again")(
+          SparkEntry.queries("cf_item_recs")(spark, sfDir)
+            .write.mode("overwrite").format("noop").save())
       case other =>
         println(s"unknown probe '$other'")
     }

@@ -40,7 +40,26 @@ object PlanDump {
         p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[plandump] $q round $t plan: ${p.length} chars")
     }
+    // localized queries (collect + cache release inside the query fn)
+    // return a LocalRelation; their meaningful shape is the INNER lazy
+    // frame — dump it under `<query>_inner_<tag>.txt` via the plan seams
+    val inner: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "cf_item_recs" -> ((s, d) => graft.analytics.Mining.cfStages(s, d).out),
+      "graph_influence" -> ((s, d) => graft.analytics.Analytics.graphInfluenceInner(s, d)._1),
+      "ts_matrix_profile" -> ((s, d) => graft.analytics.Mining.tsMatrixProfileInner(s, d)._1))
     names.foreach { n =>
+      inner.get(n).foreach { fn =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/${n}_inner_$tag.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"[plandump] $n (inner) -> $outDir/${n}_inner_$tag.txt (${plan.length} chars)")
+        } catch { case e: Throwable =>
+          println(s"[plandump] $n inner FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+        }
+      }
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         // capture the FORMATTED plan; for AQE-finalized detail the judge

@@ -2654,7 +2654,12 @@ object Analytics extends QueryPack {
     out.result()
   }
 
-  def graphInfluence(s: SparkSession, dir: String): DataFrame = {
+  /** lazy inner build — (top-20 frame, caches to release); the test/plan
+    * seam for the localized [[graphInfluence]] (AnalyticsSpec pins the
+    * non-broadcast mode's plan off this frame, PlanDump archives it)
+    */
+  private[graft] def graphInfluenceInner(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     // pair generation is ONE shuffle on the order key (collect_set + a
     // compiled pair kernel), not a fact self-join: each order contributes
@@ -2699,7 +2704,18 @@ object Analytics extends QueryPack {
         .select(col("v").as("node"),
           (lit(150000L) + expr("85 * sfl div 100")).as("score"))
     }
-    s2.orderBy(col("score").desc, col("node")).limit(20)
+    (s2.orderBy(col("score").desc, col("node")).limit(20), Seq(pairs, e))
+  }
+
+  /** localize the top-20 so BOTH caches are released before returning — a
+    * lazy return pinned the edge-sized relations for the JVM's lifetime
+    * (guide §5 / the r12 kcore lesson; r13 verdict item 7)
+    */
+  def graphInfluence(s: SparkSession, dir: String): DataFrame = {
+    val (out, caches) = graphInfluenceInner(s, dir)
+    val rows = out.collect()
+    caches.foreach(_.unpersist(blocking = true))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   private val graphInfluenceSql =

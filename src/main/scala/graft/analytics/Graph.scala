@@ -120,7 +120,7 @@ object Graph extends QueryPack {
         .groupBy("c", "s").agg(count(lit(1)).as("n"))
     }
 
-  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private[analytics] def purchaseEdges(s: SparkSession, dir: String): DataFrame =
     graft.Memo.cached(purchaseEdgesCache, dir) { d =>
       val cs = custSuppPairs(s, d)
         .select((col("c") * 2).as("u"), (col("s") * 2 + 1).as("v"))

@@ -367,8 +367,17 @@ object Mining extends QueryPack {
   private[graft] def cfStages(s: SparkSession, dir: String): CfStages = {
     val od = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val up0 = od.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("u"), col("l_partkey").as("it")).distinct()
+    // shuffle_hash: both sides are fact-scale (no broadcast at 100 TB) and
+    // the join feeds a distinct that re-shuffles anyway — SMJ's two sorts
+    // buy nothing (guide §3.1: prefer SHJ when a side fits per partition)
+    // repartition by u BEFORE the distinct: HashPartitioning(u) satisfies
+    // the distinct's ClusteredDistribution(u, it), AND the downstream cap
+    // window (partitionBy u) and history groupBy(u) reuse the cached
+    // partitioning — ONE exchange where a (u,it)-keyed distinct would
+    // force a second, window-keyed one (guide §2.4: share one exchange)
+    val up0 = od.hint("shuffle_hash").join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
+      .repartition(col("u")).distinct()
       .cache() // consumed twice: the capped-history build AND the
                // full-ownership exclusion anti-join — uncached it re-runs
                // the fact join+distinct per consumer
@@ -380,10 +389,16 @@ object Mining extends QueryPack {
     val sup = up.groupBy(col("it")).agg(count(lit(1)).as("n"))
     val pairsRaw = up.groupBy(col("u")).agg(sort_array(collect_list(col("it"))).as("items"))
       .select(explode(pairUdf(col("items"))).as("p"))
+    // cache: `sym` unions pairs with its own flip, so WITHOUT the cache one
+    // action evaluates the whole pair expansion (explode + 5.9M-row shuffle
+    // + aggregate) TWICE (guide §2.4: share one exchange). Post-MinCo the
+    // relation is pair-sized (85k rows at sf0.1), not fact-sized.
+    // cfItemRecs materializes it before the final action and releases it.
     val pairs = pairsRaw
       .groupBy(col("p._1").as("ia"), col("p._2").as("ib"))
       .agg(count(lit(1)).as("co"))
       .where(col("co") >= CfMinCo)
+      .cache()
     val sym = pairs.unionAll(
       pairs.select(col("ib").as("ia"), col("ia").as("ib"), col("co")))
     val sim = sym
@@ -399,8 +414,12 @@ object Mining extends QueryPack {
     // exclusion runs against the FULL ownership relation (up0), not the
     // capped history: an item squeezed out of the cap is still owned and
     // must never be recommended back
+    // the anti-join's key includes u, so only TARGET users' ownership rows
+    // can ever match — prefilter up0 to the cohort (guide §2.3: shuffle
+    // fewer bytes; cohort-sized instead of corpus-sized anti side)
     val cand = targets.join(nb, targets("it") === nb("ia"))
-      .join(up0.select(col("u").as("u"), col("it").as("ib")), Seq("u", "ib"), "left_anti")
+      .join(up0.where(col("u") < CfTargetMax)
+        .select(col("u").as("u"), col("it").as("ib")), Seq("u", "ib"), "left_anti")
       .groupBy(col("u"), col("ib"))
       .agg(sum(col("jac_ppm")).as("score"), count(lit(1)).as("n_paths"))
     val out = cand
@@ -436,6 +455,7 @@ object Mining extends QueryPack {
       timed("sim_edges", st.sim),
       timed("nb_truncated", st.nb),
       timed("cand_scored", st.cand))
+    st.pairs.unpersist(blocking = true)
     st.up.unpersist(blocking = true)
     st.up0.unpersist(blocking = true)
     rows
@@ -443,7 +463,12 @@ object Mining extends QueryPack {
 
   def cfItemRecs(s: SparkSession, dir: String): DataFrame = {
     val st = cfStages(s, dir)
+    // materialize the pair cache FIRST: the final tree scans it twice (sym
+    // union) and an unmaterialized cache entry is computed by BOTH legs'
+    // concurrent tasks — the count pins it once (the Graph-loop discipline)
+    st.pairs.count()
     val rows = st.out.collect()
+    st.pairs.unpersist(blocking = true)
     st.up.unpersist(blocking = true)
     st.up0.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), st.out.schema)
@@ -1111,16 +1136,18 @@ object Mining extends QueryPack {
     * the per-level DISTINCT.
     */
   def recursiveSqlReach(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_rec")
-    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_rec")
-    // build the edge relation ONCE and cache it: the recursion re-reads it
-    // every level, and an uncached CTE would re-run the fact join per hop
-    val edges = s.sql(edgeSqlFor("orders_rec", "lineitem_rec")).cache()
+    // bind the recursion's edge relation to the Graph pack's MEMOIZED
+    // session-cached purchase edges — the exact same bipartite relation
+    // ([[edgeSqlFor]] ≡ Graph.purchaseEdges row for row), shared with the
+    // seven hand-rolled graph loops (guide §2.4: one expensive base, many
+    // consumers; previously each call re-ran the fact join + its own
+    // cache build). The recursion still re-reads the relation per level,
+    // which is why it must be the cached view and never a plain CTE.
+    val edges = Graph.purchaseEdges(s, dir).select(col("u"), col("v"))
     edges.createOrReplaceTempView("edges_rec")
-    val rows = s.sql(reachSqlFor("edges_rec")).collect()
-    val schema = s.sql(reachSqlFor("edges_rec")).schema
-    edges.unpersist(blocking = true)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val df = s.sql(reachSqlFor("edges_rec"))
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Bounded-state EXACT distinct via a roaring-style bitmap aggregate
@@ -1905,8 +1932,14 @@ object Mining extends QueryPack {
     * longer series upgrades to the published STOMP/SCAMP diagonal-batch
     * scheme; the per-instrument partitioning is unchanged.
     */
-  def tsMatrixProfile(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+  /** lazy inner build — (result frame, pair cache); the plan seam for the
+    * localized [[tsMatrixProfile]] (PlanDump archives this frame's plan)
+    */
+  private[graft] def tsMatrixProfileInner(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // spread: the tick projection (concat + timestampadd + decimal mult per
+    // row) otherwise runs inside the one-row-group scan's single task
+    val li = Tables.loadSpread(s, dir, "lineitem")
     val ticks = li.select(
       concat(lit("FIGI"), col("l_partkey") % 20).as("tik"),
       expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)").as("tsv"),
@@ -1923,6 +1956,13 @@ object Mining extends QueryPack {
       // guard: a series shorter than one window would make the explode's
       // sequence(1, n<1) run DESCENDING and feed slice() an index of 0
       .where(size(col("cs")) >= MpWin + MpExcl)
+    // center each window ONCE at window grain (7k rows), not per pair
+    // (1.25M rows): cw_k = m·w_k − Σw, so the pair distance is a plain
+    // Σ(cwa_k − cwb_k)² — spelled out per k below as codegen arithmetic
+    // (the HOF zip_with/aggregate lambdas are CodegenFallback and evaluate
+    // interpreted per element; guide §1.2 step 2 / CLAUDE.md's transform
+    // lesson). Same int64 values, same results: (m·x−Sa)−(m·y−Sb) is just
+    // refactored to cwa_k − cwb_k.
     val wins = arrs
       .select(col("tik"),
         expr(s"explode(sequence(1, size(cs) - ${MpWin - 1}))").as("i"),
@@ -1930,14 +1970,16 @@ object Mining extends QueryPack {
       .select(col("tik"), col("i"),
         expr(s"slice(cs, i, $MpWin)").as("w"),
         expr(s"aggregate(slice(cs, i, $MpWin), CAST(0 AS BIGINT), (a, x) -> a + x)").as("sw"))
-    val a = wins.select(col("tik"), col("i").as("ia"), col("w").as("wa"), col("sw").as("sa"))
-    val b = wins.select(col("tik"), col("i").as("ib"), col("w").as("wb"), col("sw").as("sb"))
+      .select(col("tik"), col("i"),
+        expr(s"transform(w, x -> CAST($MpWin AS BIGINT) * x - sw)").as("cw"))
+    val a = wins.select(col("tik"), col("i").as("ia"), col("cw").as("cwa"))
+    val b = wins.select(col("tik"), col("i").as("ib"), col("cw").as("cwb"))
+    val d2Expr = (1 to MpWin)
+      .map(k => s"(element_at(cwa, $k) - element_at(cwb, $k)) * (element_at(cwa, $k) - element_at(cwb, $k))")
+      .mkString(" + ")
     val pairs = a.join(b, Seq("tik"))
       .where(col("ib") >= col("ia") + lit(MpExcl))
-      .select(col("tik"), col("ia"), col("ib"),
-        expr(s"""aggregate(
-          zip_with(wa, wb, (x, y) -> ($MpWin * x - sa) - ($MpWin * y - sb)),
-          CAST(0 AS BIGINT), (acc, d) -> acc + d * d)""").as("d2"))
+      .select(col("tik"), col("ia"), col("ib"), expr(d2Expr).as("d2"))
       .cache()
     val motif = pairs.groupBy("tik").agg(
       min_by(struct(col("ia"), col("ib")), struct(col("d2"), col("ia"), col("ib"))).as("m"),
@@ -1953,7 +1995,17 @@ object Mining extends QueryPack {
     val discord = prof.groupBy("tik").agg(
       min_by(col("idx"), struct(-col("pd"), col("idx"))).cast("long").as("discord_i"),
       max(col("pd")).as("discord_d2"))
-    motif.join(discord, "tik")
+    (motif.join(discord, "tik"), pairs)
+  }
+
+  /** localize (instrument-count rows) so the pair cache can be RELEASED —
+    * a lazy return would pin it for the JVM's life (the r12 kcore lesson)
+    */
+  def tsMatrixProfile(s: SparkSession, dir: String): DataFrame = {
+    val (out, pairs) = tsMatrixProfileInner(s, dir)
+    val rows = out.collect()
+    pairs.unpersist(blocking = true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   private val tsMatrixProfileSql =

@@ -215,8 +215,10 @@ object IngestPack extends QueryPack {
   // ---------------------------------------------------------------------------
 
   /** API trades from orders: Quotation price, direction 1 (buy) iff even key */
+  // loadSpread: the serialize→demux chain (to_json + from_json per frame)
+  // otherwise runs entirely inside the one-row-group scan's single task
   private def apiTrades(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "orders").select(
+    Tables.loadSpread(s, dir, "orders").select(
       concat(lit("FIGI"), col("o_custkey")).as("figi"),
       date_format(col("o_orderdate"), Schemas.TsFormat).as("time"),
       struct(
@@ -256,7 +258,9 @@ object IngestPack extends QueryPack {
     * (P5 must take element 1 = best) cannot hash-match.
     */
   private[graft] def apiBooks(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(s, dir, "customer")
+    // loadSpread: see apiTrades — depth-ladder struct building + wire
+    // round-trips are per-row-heavy on a single-task scan otherwise
+    val c = Tables.loadSpread(s, dir, "customer")
     def q(u: Column, n: Column): Column =
       struct(u.cast("long").as("units"), n.cast("int").as("nano"))
     def lvl(u: Column, n: Column, qty: Column): Column =

@@ -128,12 +128,19 @@ object Dedup extends QueryPack {
     * UDF + df window each time. A production deployment would persist the
     * index as a shingle-bucketed table — this is the local-mode analogue.
     */
+  /** dev-probe access to the cached inverted index (DevProbe `pp`) */
+  private[graft] def invIndexProbe(s: SparkSession, dir: String): DataFrame =
+    invIndex(Tables.loadSpread(s, dir, "documents"))
+
   private def invIndex(docs: DataFrame): DataFrame =
     withShingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .where(col("df") <= DfCap)
-      .drop("df")
+      // df is KEPT in the cache: the cap removes whole shingle groups, so
+      // the capped df equals a recomputed one — ppjoin's rarity order reads
+      // it straight off the cache instead of paying a second shingle-keyed
+      // exchange + window (one int per row of cache for one less shuffle)
       .cache()
 
   /** shared-shingle pair machinery: per-doc retained-shingle sizes + the
@@ -142,14 +149,27 @@ object Dedup extends QueryPack {
     * index sides as identical hash-partitioned subplans → ReusedExchange
     * computes the index once)
     */
+  /** memo for the shared-shingle PAIR COUNTS — the expensive shingle
+    * self-join + pair-keyed aggregate, memoized one level BELOW the
+    * registered queries (the r13 verdict's rule: a memo must wrap a BASE,
+    * never a registered query's full result — the r13 memo held jaccard's
+    * own output, so the alphabetically-later `dedup_jaccard` bench slot
+    * timed a cache scan of its own answer). jaccard and containment now
+    * each still time their own size joins + threshold filter.
+    */
+  private val sharedPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def sizedPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = inv.as("a").hint("shuffle_hash")
-      .join(inv.as("b").hint("shuffle_hash"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val pairs = graft.Memo.cached(sharedPairsCache, dir) { _ =>
+      inv.as("a").hint("shuffle_hash")
+        .join(inv.as("b").hint("shuffle_hash"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+    }
     (sizes, pairs)
   }
 
@@ -158,31 +178,27 @@ object Dedup extends QueryPack {
     * → |A∩B| / (|A|+|B|-|A∩B|). Pairs never sharing a retained shingle never
     * materialize.
     */
-  /** jaccard output is near-dup-pair-sized (a few thousand rows) and
-    * consumed by THREE registered paths (the `dedup_jaccard` gate, the
-    * components fixture, contrastive hard negatives) — memoize the cached
-    * result per dir so the shingle self-join + aggregate runs once per
-    * session (guide §2.4; the invIndex cache already shares the shingle
-    * explode, this lifts the sharing one level up).
+  /** jaccard's expensive base (the pair counts) is memoized in
+    * [[sizedPairs]]; the final size joins + threshold filter run per call,
+    * so the registered query times its own operator (r13 verdict item 6 —
+    * the old full-result memo made `dedup_jaccard`'s bench slot a cache
+    * scan of its own answer built by the alphabetically-earlier
+    * `dedup_components`).
     */
-  private val jaccardCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  def jaccard(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(jaccardCache, dir) { d =>
-      val (sizes, pairs) = sizedPairs(s, d)
-      pairs
-        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .select(
-          col("doc_a"), col("doc_b"),
-          (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
-            .as("j"))
-        .where(col("j") >= 0.5)
-        // floor-1e6 integerization (see ppjoin): round(j, 6) is the latent
-        // cross-engine half-up tie class; floor of the shared double is exact
-        .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
-    }
+  def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val (sizes, pairs) = sizedPairs(s, dir)
+    pairs
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("shared") / (col("na.n_sh") + col("nb.n_sh") - col("shared")).cast("double"))
+          .as("j"))
+      .where(col("j") >= 0.5)
+      // floor-1e6 integerization (see ppjoin): round(j, 6) is the latent
+      // cross-engine half-up tie class; floor of the shared double is exact
+      .select(col("doc_a"), col("doc_b"), floor(col("j") * lit(1e6)).as("j_e6"))
+  }
 
   /** Asymmetric CONTAINMENT near-dup pairs: `|A∩B| / min(|A|, |B|) ≥ 0.8`
     * — the subset-inclusion detector Jaccard structurally misses: a short
@@ -294,11 +310,14 @@ object Dedup extends QueryPack {
     * counts each candidate pair's shared shingles by re-joining the pair
     * list against the cached inverted index (Vernica's candidate-restricted
     * re-join): narrow (doc, doc, shingle) rows in whole-stage codegen, one
-    * partial-aggregated shuffle on the pair key. The earlier formulation
-    * shipped both docs' sorted shingle ARRAYS to a comparison UDF —
-    * measured 23 s at sf0.1, ~90% of it Catalyst re-inlining the UDF into
-    * every consumer and paying the array→JVM conversion per evaluation;
-    * the codegen re-join runs the identical semantics in ~5 s.
+    * partial-aggregated shuffle on the pair key. Two alternative
+    * formulations measured SLOWER: a custom array-comparison UDF (23 s —
+    * Catalyst re-inlined it into every consumer, paying the array→JVM
+    * conversion per evaluation) and an array_intersect over the docSketch
+    * shingle arrays (r14 attempt, 13.5 s vs 5 s — the candidate join
+    * materializes both docs' full string arrays per candidate row, and
+    * copying ~2×130 strings out of the broadcast relation for 409k
+    * candidates dwarfs the narrow re-join it replaced).
     *
     * The oracle is deliberately the NAIVE full-index join ([[shCte]], the
     * same relation `dedup_jaccard` gates against): the hash gate therefore
@@ -313,10 +332,12 @@ object Dedup extends QueryPack {
     */
   def ppjoin(s: SparkSession, dir: String): DataFrame = {
     val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
-    // df recomputed over the capped index is the capped df itself (the cap
-    // removes whole shingle groups); (df, shingle) is the global rarity order
+    // rarity order (df, shingle) reads the df the index cache already
+    // carries (the cap removes whole shingle groups, so the capped df IS
+    // the recomputed one) — the r13 formulation paid a second
+    // shingle-keyed exchange + window here; now both doc-keyed windows
+    // share ONE exchange
     val ranked = inv
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("pos",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))

@@ -655,11 +655,15 @@ class AnalyticsSpec extends SparkSpec {
     spark.conf.set("spark.graft.graph.broadcastVertices", "false")
     val (rows, plan) =
       try {
-        val df = Analytics.graphInfluence(spark, sfDir)
+        // the registered query localizes (collect + cache release), so the
+        // plan is pinned off the INNER lazy frame (the plan seam)
+        val (df, caches) = Analytics.graphInfluenceInner(spark, sfDir)
         // collect BEFORE reading the plan: same QueryExecution, AQE final
         // plan (CLAUDE.md plan rules)
         val r = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        (r, df.queryExecution.executedPlan.toString)
+        val p = df.queryExecution.executedPlan.toString
+        caches.foreach(_.unpersist(blocking = true))
+        (r, p)
       } finally spark.conf.unset("spark.graft.graph.broadcastVertices")
     assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
       s"broadcast survived non-broadcast mode:\n$plan")
