@@ -167,6 +167,44 @@ object DevProbe {
           time(s"rv closes spread $r")(rv(Tables.loadSpread(spark, sfDir, "lineitem"))
             .write.mode("overwrite").format("noop").save())
         }
+      case "rebase" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val base = (1L to 1000L).map(i => (i % 37, i)).toDF("k", "v")
+          .repartition(col("k")).cache()
+        base.count()
+        def planOf(df: org.apache.spark.sql.DataFrame): String = {
+          df.collect()
+          df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        }
+        println("[probe] plain cache agg plan:\n" +
+          planOf(base.groupBy("k").agg(sum("v"))))
+        println("[probe] rebased agg plan:\n" +
+          planOf(org.apache.spark.sql.graftx.Rebase(base).groupBy("k").agg(sum("v"))))
+        println("[probe] base executedPlan class: " +
+          base.queryExecution.executedPlan.getClass.getName)
+        println("[probe] base executedPlan partitioning: " +
+          base.queryExecution.executedPlan.outputPartitioning)
+        base.unpersist(blocking = true)
+      case "ivf" =>
+        val emb = Tables.loadSpread(spark, sfDir, "embeddings")
+        val path = "/tmp/devprobe_ivfpq"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+        time("ivfIndex build+write")(
+          llm.Similarity.ivfIndex(emb).write.mode("overwrite").parquet(s"$path/centroids"))
+        val st = time("pqStateOf plan")(llm.Similarity.pqStateOf(emb))
+        time("codebooks train+write")(st._2.write.mode("overwrite").parquet(s"$path/codebooks"))
+        st._1.unpersist(); st._2.unpersist()
+        time("codes assign+write")(llm.Similarity.appendIvfPqIndex(emb, path, overwrite = true))
+        val q = Tables.load(spark, sfDir, "embeddings").where(org.apache.spark.sql.functions.col("vec_id") < 5)
+        time("serve 1")(llm.Similarity.annPqTopKIndexed(spark, path, q)
+          .write.mode("overwrite").format("noop").save())
+        time("serve 2")(llm.Similarity.annPqTopKIndexed(spark, path, q)
+          .write.mode("overwrite").format("noop").save())
       case "mp" =>
         import org.apache.spark.sql.functions._
         val MpWin = 4; val MpExcl = 4

@@ -944,16 +944,25 @@ object Indicators extends QueryPack {
     * group-sized.
     */
   def tcaSlippage(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // spread + ONE scan: the r13 shape evaluated the trade projection
+    // (concat + timestampadd + date_format + decimal per row, single-task
+    // on the one-row-group scan) TWICE — once to build the broadcast
+    // benchmark, once as probe side. The group VWAP now rides in as two
+    // window sums over the SAME key the final aggregate groups on, so the
+    // whole query is one scan + one exchange (guide §2.4: window keyed
+    // like the following aggregation needs no second shuffle); the sums
+    // feeding vwap are identical longs, so every double is bit-identical.
+    val li = Tables.loadSpread(s, dir, "lineitem")
     val trades = li.select(
       concat(lit("FIGI"), col("l_partkey") % 20).as("company_id"),
       date_format(expr("timestampadd(SECOND, CAST(l_orderkey % 86400 AS INT), l_shipdate)"),
         "yyyy-MM").as("month"),
       (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
       col("l_quantity").cast("long").as("v"))
-    val bench = trades.groupBy(col("company_id"), col("month"))
-      .agg(sum(col("p") * col("v")).as("s_pv"), sum(col("v")).as("v_tot"))
-    trades.join(broadcast(bench), Seq("company_id", "month"))
+    val w = Window.partitionBy("company_id", "month")
+    trades
+      .withColumn("s_pv", sum(col("p") * col("v")).over(w))
+      .withColumn("v_tot", sum(col("v")).over(w))
       .withColumn("vwap", expr("CAST(s_pv AS DOUBLE) / CAST(v_tot AS DOUBLE)"))
       .withColumn("pd", col("p").cast("double"))
       .withColumn("dev_bp",

@@ -45,7 +45,9 @@ object Mining extends QueryPack {
     * 6.4 s at sf0.1 vs ~2 s for this shape.)
     */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    // spread: the broadcast join probe + collect_set partial aggregate are
+    // per-row work inside the one-row-group scan's single task otherwise
+    val li = Tables.loadSpread(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val pt = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
     val baskets = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey").as("ok"))
@@ -68,6 +70,11 @@ object Mining extends QueryPack {
           |            y -> struct(x AS ia, y AS ib))))""".stripMargin)).as("p"))
       .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .agg(count(lit(1)).as("co"))
+      // cache + materialize: `directed` unions pairs with its own flip, so
+      // without the pin one action runs the basket pair expansion TWICE
+      // (guide §2.4; the relation is brand-pair-sized — a few hundred rows)
+      .cache()
+    pairs.count()
     val directed = pairs.select(col("ia").as("ante"), col("ib").as("conseq"), col("co"))
       .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("conseq"), col("co")))
     val scored = directed
@@ -86,6 +93,7 @@ object Mining extends QueryPack {
     // query leaves no fact-scale cache entry behind (Graph pack's localize
     // pattern)
     val rows = out.collect()
+    pairs.unpersist(blocking = true)
     baskets.unpersist(blocking = true)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }

@@ -78,6 +78,12 @@ object IngestPack extends QueryPack {
     * whole stream (guide §2.4: share the expensive base once). Each query
     * still pays its OWN `from_json` parse — that is the operator under
     * test; only the synthetic producer side is shared.
+    *
+    * FOOTPRINT: this is the largest memo in the engine (the fully
+    * serialized five-table JSON stream — tens of MB per sf0.1 dir, scaling
+    * with the data dir). It lives for the session like every [[graft.Memo]]
+    * entry; a long-lived JVM exercising many dirs releases it (and every
+    * other memo) through [[graft.Memo.releaseAll]].
     */
   private val allMessagesCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -1331,38 +1331,56 @@ object TextStats extends QueryPack {
     * candidate-sized relations. The final card is collect-materialized
     * (≤ queries×k rows), releasing the shared posting cache.
     */
-  /** shared PRF pipeline: the cached posting relation plus the BM25-only
-    * (round 1) and expanded (round 2) rankings — consumed by [[prfSearch]]
-    * (the retrieval surface) and [[retrievalMrrEval]] (the IR-metrics
-    * audit). Callers collect their bounded result then unpersist `pair`.
+  /** memoized-per-dir BM25 posting relation `(doc_id, term, s_e6)` — the
+    * shared BASE of the PRF family (`text_prf_search` and
+    * `retrieval_mrr_eval` each previously built + cached + dropped their
+    * own copy; guide §2.4: one expensive base, many consumers)
+    */
+  private val prfPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def prfPair(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(prfPairCache, dir) { d =>
+      val docs = Tables.loadSpread(s, d, "documents")
+      val toks = docs.select(col("doc_id"), explode(tokensCol).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nRel = docs.agg(count(lit(1)).as("n_total"))
+      val score =
+        (col("tf") * (lit(11) / lit(5)) / (col("tf") + lit(6) / lit(5))) *
+          ((col("n_total") - col("df") + lit(1) / lit(2)) / (col("df") + lit(1) / lit(2)))
+      tf.join(dfRel, "term")
+        .crossJoin(broadcast(nRel))
+        .select(col("doc_id"), col("term"),
+          floor(score * lit(1000000)).cast("long").as("s_e6"))
+    }
+
+  /** shared PRF pipeline: (per-call caches to release, round-1 ranking,
+    * round-2 ranking). The posting relation is the session memo above; the
+    * query-term and round-1 relations are CACHED per call (query-count- and
+    * candidate-sized) because the downstream tree consumes each more than
+    * once (qterms: r1 + the expansion anti-join + allTerms; r1: the
+    * feedback cut + retrievalMrrEval's round-1 eval leg) — uncached, each
+    * consumer re-ran the posting join + aggregate (guide §2.4). Callers
+    * collect their bounded result then release the returned caches.
     */
   private def prfPipeline(s: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame) = {
+      (Seq[DataFrame], DataFrame, DataFrame) = {
     val docs = Tables.loadSpread(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), explode(tokensCol).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nRel = docs.agg(count(lit(1)).as("n_total"))
-    val score =
-      (col("tf") * (lit(11) / lit(5)) / (col("tf") + lit(6) / lit(5))) *
-        ((col("n_total") - col("df") + lit(1) / lit(2)) / (col("df") + lit(1) / lit(2)))
-    val pair = tf.join(dfRel, "term")
-      .crossJoin(broadcast(nRel))
-      .select(col("doc_id"), col("term"),
-        floor(score * lit(1000000)).cast("long").as("s_e6"))
-      .cache()
+    val pair = prfPair(s, dir)
     val qids = docs.orderBy("doc_id").limit(PrfQueries)
       .select(col("doc_id").as("query_id"))
     val wq = Window.partitionBy("query_id").orderBy(col("s_e6").desc, col("term"))
     val qterms = pair.join(broadcast(qids), col("doc_id") === col("query_id"))
       .withColumn("r", row_number().over(wq)).where(col("r") <= PrfQTerms)
       .select(col("query_id"), col("term"))
+      .cache()
     def scoreWith(terms: DataFrame): DataFrame =
       pair.join(broadcast(terms), "term")
         .where(col("doc_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("s_e6") * col("w")).as("score_e6"))
-    val r1 = scoreWith(qterms.withColumn("w", lit(2L)))
+    val r1 = scoreWith(qterms.withColumn("w", lit(2L))).cache()
     val wr = Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))
     val fb = r1.withColumn("r", row_number().over(wr)).where(col("r") <= PrfFb)
       .select(col("query_id"), col("doc_id"))
@@ -1375,11 +1393,11 @@ object TextStats extends QueryPack {
     val allTerms = qterms.withColumn("w", lit(2L))
       .unionByName(exp.withColumn("w", lit(1L)))
     val r2 = scoreWith(allTerms)
-    (pair, r1, r2)
+    (Seq(qterms, r1), r1, r2)
   }
 
   def prfSearch(s: SparkSession, dir: String): DataFrame = {
-    val (pair, _, r2) = prfPipeline(s, dir)
+    val (caches, _, r2) = prfPipeline(s, dir)
     val wr = Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))
     val out = r2
       .withColumn("rank", row_number().over(wr).cast("long"))
@@ -1387,7 +1405,7 @@ object TextStats extends QueryPack {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"))
       .orderBy(col("query_id"), col("rank"))
     val rows = out.collect()
-    pair.unpersist(blocking = true)
+    caches.foreach(_.unpersist(blocking = true))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
@@ -1401,7 +1419,11 @@ object TextStats extends QueryPack {
     * hits·1e6 div k — so the eval hash-gates like [[Similarity.annRecallEval]].
     */
   def retrievalMrrEval(s: SparkSession, dir: String): DataFrame = {
-    val (pair, r1, r2) = prfPipeline(s, dir)
+    val (caches, r1, r2) = prfPipeline(s, dir)
+    // materialize r1 BEFORE the final action: the eval tree scans it twice
+    // (round-1 leg + round-2's feedback broadcast) and an unmaterialized
+    // cache is computed by both consumers' concurrent tasks
+    r1.count()
     val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
     val qsrc = src.select(col("doc_id").as("query_id"), col("source").as("qsource"))
     val wr = Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))
@@ -1422,7 +1444,7 @@ object TextStats extends QueryPack {
     val out = eval(r1, "bm25").join(eval(r2, "prf"), "query_id")
       .orderBy(col("query_id"))
     val rows = out.collect()
-    pair.unpersist(blocking = true)
+    caches.foreach(_.unpersist(blocking = true))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

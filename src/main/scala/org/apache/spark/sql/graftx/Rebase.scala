@@ -1,6 +1,9 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
+import org.apache.spark.sql.execution.{LogicalRDD, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Lineage re-rooting for ITERATIVE jobs (guide §1.2 step 1 — fix the
   * distributed algorithm's hidden quadratic before tuning anything else).
@@ -26,14 +29,27 @@ import org.apache.spark.sql.{DataFrame, Row}
   * materialized (cache() + count()), it returns a DataFrame whose logical
   * plan is a flat [[org.apache.spark.sql.execution.LogicalRDD]] over the
   * cached scan's InternalRow RDD — same rows, same schema, one node. The
-  * next round's plan then wraps ONE scan node instead of the whole
-  * history. The RDD replays through the cache (or, if evicted, through
-  * the physical plan lineage captured in the RDD itself), so correctness
-  * does not depend on the cache surviving; unpersist still goes through
-  * the ORIGINAL cached DataFrame handle.
+  * RDD replays through the cache (or, if evicted, through the physical
+  * plan lineage captured in the RDD itself), so correctness does not
+  * depend on the cache surviving; unpersist still goes through the
+  * ORIGINAL cached DataFrame handle.
   *
-  * Package-located here because `SparkSession.internalCreateDataFrame` is
-  * `private[sql]` (the [[GraftLogSink]] precedent).
+  * PARTITIONING CARRY (r14): `LogicalRDD.fromDataset` reads
+  * `executedPlan.outputPartitioning`, but under AQE the executed plan is
+  * an [[AdaptiveSparkPlanExec]] whose partitioning reports
+  * `UnknownPartitioning` — the rebased frame then silently RE-SHUFFLES in
+  * any downstream keyed join/aggregate that the cached origin would have
+  * satisfied (measured: a keyed aggregate over a rebased hash-partitioned
+  * cache planned an `Exchange` the plain cache did not — RebaseSpec pins
+  * both directions). The builder below unwraps the finalized adaptive
+  * plan/query stages before reading partitioning + ordering, guarded on
+  * the physical output carrying the SAME attribute ids as the logical
+  * output (they always do for a cache scan; anything else degrades to
+  * Unknown, never to a wrong partitioning).
+  *
+  * Package-located here because `LogicalRDD`'s stats/constraints rewrite
+  * helpers and `Dataset.ofRows` are `private[sql]` (the [[GraftLogSink]]
+  * precedent).
   */
 object Rebase {
   /** Re-root `df`'s logical plan at its current physical RDD. Call AFTER
@@ -44,15 +60,34 @@ object Rebase {
     */
   def fromMaterialized(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    // LogicalRDD.fromDataset (the localCheckpoint internals, minus the extra
-    // RDD persistence) carries the origin plan's outputPartitioning,
-    // ordering, stats and constraints into the flat node — a bare
-    // internalCreateDataFrame would forget that cur is hash-partitioned on
-    // the join key and re-shuffle it every round.
+    val qe = ds.queryExecution
+    // toRdd FIRST: executing the plan finalizes any AdaptiveSparkPlanExec,
+    // so the unwrap below sees the final stages, not the provisional plan
+    val rdd = qe.toRdd
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec        => unwrap(q.plan)
+      case other                    => other
+    }
+    val physical = unwrap(qe.executedPlan)
+    val out = ds.logicalPlan.output
+    val sameIds = physical.output.length == out.length &&
+      physical.output.zip(out).forall { case (a, b) => a.exprId == b.exprId }
+    // first leaf of a PartitioningCollection (the fromDataset discipline:
+    // collections grow exponentially through deep join chains)
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other                     => other
+    }
+    val partitioning =
+      if (sameIds) firstLeaf(physical.outputPartitioning) else UnknownPartitioning(0)
+    val ordering = if (sameIds) physical.outputOrdering else Nil
+    val (stats, constraints) =
+      LogicalRDD.rewriteStatsAndConstraints(ds.logicalPlan, qe.optimizedPlan)
     org.apache.spark.sql.classic.Dataset.ofRows(
       ds.sparkSession,
-      org.apache.spark.sql.execution.LogicalRDD
-        .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+      LogicalRDD(out, rdd, partitioning, ordering, isStreaming = false)(
+        ds.sparkSession, stats, constraints))
   }
 
   /** [[fromMaterialized]] for typed Datasets is not needed — every iterative
