@@ -2953,6 +2953,7 @@ object Analytics extends QueryPack {
         (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
           col("nf").cast("double"))
       .select("user_id", "month", "nf", "slope", "icept")
+      .cache() // two consumers (calibration join + audit join)
     def resid = floor(abs(col("y").cast("double") -
       (col("slope") * col("x").cast("double") + col("icept")))).cast("long")
     val cal = daily.where(col("x") % 2 === 0)
@@ -2965,6 +2966,11 @@ object Analytics extends QueryPack {
       .where(col("rn") === greatest(ceil(lit(9) / lit(10) * col("nc")).cast("long"), lit(1L)))
       .select(col("user_id"), col("month"), col("nc").as("n_cal"),
         col("r").as("q90_resid_cents"))
+      .cache() // two consumers (audit join + final join)
+    // materialize width (pulls fit + daily through their caches) so the
+    // final tree's two width scans and two fit scans all read caches —
+    // uncached, the whole cal→window chain evaluated twice per action
+    width.count()
     val audit = daily.where(col("x") % 2 === 1)
       .join(fit, Seq("user_id", "month"))
       .select(col("user_id"), col("month"), resid.as("rf"))
@@ -2973,9 +2979,16 @@ object Analytics extends QueryPack {
       .agg(count(lit(1)).as("n_fit"),
         sum(when(col("rf") <= col("q90_resid_cents"), 1L).otherwise(0L))
           .as("n_fit_covered"))
-    width.join(audit, Seq("user_id", "month"))
+    val out = width.join(audit, Seq("user_id", "month"))
       .select(col("user_id"), col("month"), col("n_fit"), col("n_cal"),
         col("q90_resid_cents"), col("n_fit_covered"))
+    // localize + release all three caches (daily previously leaked for the
+    // JVM's life; the output is (user, month)-sized)
+    val rows = out.collect()
+    width.unpersist(blocking = true)
+    fit.unpersist(blocking = true)
+    daily.unpersist(blocking = true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   private val conformalIntervalsSql =
@@ -3188,12 +3201,18 @@ object Analytics extends QueryPack {
       .agg(max(col("sg")).as("sg"), count(lit(1)).as("len"),
         min_by(col("prev"), col("day")).as("start_cents"),
         max_by(col("cents"), col("day")).as("end_cents"))
-    val down = runs.where(col("sg") === -1L && col("len") >= VMinRun)
-      .select(col("priority"), col("nation"), col("run_id"),
-        (col("start_cents") - col("end_cents")).as("depth_cents"))
-    val up = runs.where(col("sg") === 1L && col("len") >= VMinRun)
-      .select(col("priority"), col("nation"), (col("run_id") - 1).as("run_id"))
-    down.join(up, Seq("priority", "nation", "run_id"))
+    // run ids are consecutive per group (cumsum of run starts), so "the up
+    // run at run_id+1" is lead(1) in run_id order — ONE window over the
+    // run-sized relation replaces the r13 down⋈up self-join that evaluated
+    // the whole daily→window→runs chain twice (guide §2.4); the 1:1 join on
+    // unique run_id and the lead pairing match row for row
+    val wr = Window.partitionBy("priority", "nation").orderBy("run_id")
+    runs
+      .withColumn("nsg", lead("sg", 1).over(wr))
+      .withColumn("nlen", lead("len", 1).over(wr))
+      .where(col("sg") === -1L && col("len") >= VMinRun &&
+        col("nsg") === 1L && col("nlen") >= VMinRun)
+      .withColumn("depth_cents", col("start_cents") - col("end_cents"))
       .groupBy("priority", "nation")
       .agg(count(lit(1)).as("n_vshapes"),
         max(col("depth_cents")).as("max_depth_cents"),

@@ -1437,6 +1437,12 @@ object Relational extends QueryPack {
     val med = ExactQuantile
       .groupQuantilesDiscWeighted(hist, Seq("l_returnflag"), "cents", "cnt", Seq(0.5))
       .select(col("l_returnflag"), col("cents_q0").as("med"), col("n"))
+    // devHist is consumed twice (MAD quantile + final fold) but deliberately
+    // NOT cached: both consumers derive it from the hist CACHE with one
+    // broadcast join + narrow aggregate, and materializing the ~histogram-
+    // sized relation measured SLOWER than the recompute (r14 A/B: warm 2.65
+    // → 3.6 s with the cache) — the §5 cache-only-when-recompute-is-dearer
+    // rule cuts both ways
     val devHist = hist.join(broadcast(med), "l_returnflag")
       .groupBy(col("l_returnflag"), col("n"), col("med"),
         abs(col("cents") - col("med")).as("dev"))
@@ -1444,12 +1450,17 @@ object Relational extends QueryPack {
     val mad = ExactQuantile
       .groupQuantilesDiscWeighted(devHist, Seq("l_returnflag"), "dev", "cnt", Seq(0.5))
       .select(col("l_returnflag"), col("dev_q0").as("mad"))
-    devHist.join(broadcast(mad), "l_returnflag")
+    val out = devHist.join(broadcast(mad), "l_returnflag")
       .groupBy(col("l_returnflag"), col("n"), col("med"), col("mad"))
       .agg(sum(when(col("dev") > lit(3L) * col("mad"), col("cnt")).otherwise(0L))
         .as("n_outliers"))
       .select(col("l_returnflag"), col("n"), col("med").as("med_cents"),
         col("mad").as("mad_cents"), col("n_outliers"))
+    // localize (group-count rows) and release the histogram cache — the
+    // r13 shape returned lazily and pinned `hist` for the JVM's life
+    val rows = out.collect()
+    hist.unpersist(blocking = true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   private val madOutliersSql =
@@ -2062,20 +2073,34 @@ object Relational extends QueryPack {
     * stays in integer cents.
     */
   def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(s, dir, "lineitem")
+    // ONE fact scan: both the quantile cuts AND the clipped aggregate fold
+    // from the same (flag, cents) histogram — the r13 shape scanned the
+    // fact twice (once inside groupQuantilesDisc, once to clip raw rows).
+    // Weighted sums over the histogram are the identical exact longs, just
+    // grouped before multiplying by the count. Spread: near-unique cents
+    // mean the partial aggregate barely reduces (mad_outliers rationale).
+    val hist = Tables.loadSpread(s, dir, "lineitem")
       .select(col("l_returnflag"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
-    // both cut points from ONE histogram pass (shared scan + shuffle)
+      .where(col("cents").isNotNull)
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
+      .cache()
     val cuts = graft.operators.ExactQuantile
-      .groupQuantilesDisc(c, Seq("l_returnflag"), "cents", Seq(0.01, 0.99))
+      .groupQuantilesDiscWeighted(hist, Seq("l_returnflag"), "cents", "cnt",
+        Seq(0.01, 0.99))
       .select(col("l_returnflag"), col("cents_q0").as("p01"),
         col("cents_q1").as("p99"), col("n"))
-    c.join(broadcast(cuts), "l_returnflag")
+    val out = hist.join(broadcast(cuts), "l_returnflag")
       .groupBy(col("l_returnflag"), col("n"), col("p01"), col("p99"))
       .agg(
-        sum(least(greatest(col("cents"), col("p01")), col("p99"))).as("sum_clipped"),
-        sum(when(col("cents") < col("p01"), 1L).otherwise(0L)).as("n_clip_low"),
-        sum(when(col("cents") > col("p99"), 1L).otherwise(0L)).as("n_clip_high"))
+        sum(least(greatest(col("cents"), col("p01")), col("p99")) * col("cnt"))
+          .as("sum_clipped"),
+        sum(when(col("cents") < col("p01"), col("cnt")).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("cents") > col("p99"), col("cnt")).otherwise(0L)).as("n_clip_high"))
+    // localize (group-count rows) so the histogram cache is released
+    val rows = out.collect()
+    hist.unpersist(blocking = true)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   private val winsorizedStatsSql =
