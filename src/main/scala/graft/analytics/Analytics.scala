@@ -2639,42 +2639,19 @@ object Analytics extends QueryPack {
     * handling is [[graft.llm.Dedup.components]]; this is the fixed-round
     * scored variant.
     */
-  /** ordered distinct pairs within one order's part set (compiled kernel —
-    * the order-local twin of the dedup pack's shingleUdf discipline)
-    */
-  private val copairsUdf = udf { parts: Seq[Long] =>
-    val ps = parts.sorted
-    val out = Seq.newBuilder[(Long, Long)]
-    var i = 0
-    while (i < ps.length) {
-      var j = i + 1
-      while (j < ps.length) { out += ((ps(i), ps(j))); j += 1 }
-      i += 1
-    }
-    out.result()
-  }
-
   /** lazy inner build — (top-20 frame, caches to release); the test/plan
     * seam for the localized [[graphInfluence]] (AnalyticsSpec pins the
     * non-broadcast mode's plan off this frame, PlanDump archives it)
     */
   private[graft] def graphInfluenceInner(
       s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    // pair generation is ONE shuffle on the order key (collect_set + a
-    // compiled pair kernel), not a fact self-join: each order contributes
-    // ≤ lines² local pairs, and only (u, v) longs leave the stage
-    // cache: the pairs subplan (shuffle + pair kernel + distinct) is the
-    // expensive base and appears SIX times in the final tree (edges unions
-    // it twice, deg scans edges, e joins edges⋈deg, s0 scans deg) — without
-    // the cache each occurrence re-runs the kernel (guide §2.4: share one
-    // exchange). Canonical-plan-deduped across calls like `e` below.
-    val pairs = li.groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(copairsUdf(col("ps"))).as("p"))
-      .select(col("p._1").as("u"), col("p._2").as("v"))
-      .distinct()
-      .cache()
+    // pair base = the Graph pack's memoized UNCUT co-purchase pairs (one
+    // order-part self-join shared with the coPartEdges family — guide §2.4;
+    // the r13 shape re-ran its own collect_set + pair-kernel shuffle over
+    // the fact per call). Same set: distinct (u < v) parts co-occurring in
+    // ≥ 1 order. Lives in the session memo, so only the per-query `e`
+    // cache below is released at the end.
+    val pairs = Graph.coPartPairsAll(s, dir).select(col("x").as("u"), col("y").as("v"))
     val edges = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     // score is VERTEX-sized (tiny next to the edge relation): broadcasting
@@ -2704,7 +2681,7 @@ object Analytics extends QueryPack {
         .select(col("v").as("node"),
           (lit(150000L) + expr("85 * sfl div 100")).as("score"))
     }
-    (s2.orderBy(col("score").desc, col("node")).limit(20), Seq(pairs, e))
+    (s2.orderBy(col("score").desc, col("node")).limit(20), Seq(e))
   }
 
   /** localize the top-20 so BOTH caches are released before returning — a

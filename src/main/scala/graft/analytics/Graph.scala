@@ -128,11 +128,19 @@ object Graph extends QueryPack {
         .repartition(col("u"))
     }
 
-  /** co-purchase part edges (x < y, co-order weight ≥ [[MinCoOrders]]) —
-    * the shared base of assortativity/triangles/kcore/link-prediction
+  private val coPartPairsAllCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** UNCUT weighted co-purchase pairs (x < y, w = co-order count ≥ 1) — the
+    * one order-part self-join both co-purchase bases derive from:
+    * [[coPartEdges]] (w ≥ [[MinCoOrders]], the 4-query graph base) and
+    * [[graft.analytics.Analytics.graphInfluence]]'s unweighted pair set
+    * (which previously re-ran its own collect_set + pair-kernel shuffle
+    * over the fact per call — guide §2.4: one expensive base, many
+    * consumers).
     */
-  private def coPartEdges(s: SparkSession, dir: String): DataFrame =
-    graft.Memo.cached(coPartEdgesCache, dir) { d =>
+  private[analytics] def coPartPairsAll(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(coPartPairsAllCache, dir) { d =>
       val op = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       op.as("a").hint("shuffle_hash")
@@ -140,7 +148,14 @@ object Graph extends QueryPack {
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("x"), col("b.p").as("y"))
         .agg(count(lit(1)).as("w"))
-        .where(col("w") >= MinCoOrders)
+    }
+
+  /** co-purchase part edges (x < y, co-order weight ≥ [[MinCoOrders]]) —
+    * the shared base of assortativity/triangles/kcore/link-prediction
+    */
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Memo.cached(coPartEdgesCache, dir) { d =>
+      coPartPairsAll(s, d).where(col("w") >= MinCoOrders)
     }
 
   private val edgeCtes =

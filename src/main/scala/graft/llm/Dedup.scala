@@ -159,10 +159,16 @@ object Dedup extends QueryPack {
     */
   private val sharedPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val docSizesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def sizedPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val inv = invIndex(Tables.loadSpread(s, dir, "documents"))
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // sizes memoized too (doc-count-sized): jaccard runs per consumer now,
+    // so its per-call cost must be the tiny joins, not an index re-aggregate
+    val sizes = graft.Memo.cached(docSizesCache, dir) { _ =>
+      inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    }
     val pairs = graft.Memo.cached(sharedPairsCache, dir) { _ =>
       inv.as("a").hint("shuffle_hash")
         .join(inv.as("b").hint("shuffle_hash"),
