@@ -355,13 +355,21 @@ object Dedup extends QueryPack {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = cands
-      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    val verified = shared
+    // LENGTH FILTER (Bayardo's other prefix-join prune, lossless at t=0.5):
+    // J ≥ 0.5 forces 3·shared ≥ na+nb with shared ≤ min(na,nb), so
+    // max(na,nb) ≤ 2·min(na,nb) — candidates outside that band can never
+    // verify, and dropping them BEFORE the re-join shrinks the
+    // candidate×doc-length explosion (§2.3: shuffle fewer bytes). The size
+    // joins were paid after verification anyway; this moves them ahead.
+    val sized = cands
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .where(greatest(col("na"), col("nb")) <= lit(2) * least(col("na"), col("nb")))
+    val verified = sized
+      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jd", col("shared") / (col("na") + col("nb") - col("shared")).cast("double"))
       .where(col("jd") >= 0.5)
     verified.select(col("doc_a"), col("doc_b"), floor(col("jd") * lit(1e6)).as("j_e6"))
@@ -561,6 +569,10 @@ object Dedup extends QueryPack {
     val mode = if (append) "append" else "overwrite"
     sketchBuckets(sk)
       .withColumn("band", shiftrightunsigned(col("bh"), 47))
+      // cluster by the partition column before the partitioned write: every
+      // task otherwise appends a file into every band dir (tasks × 16 tiny
+      // files per batch — guide §6 small-files; the IncrementalAgg lesson)
+      .repartition(col("band"))
       .write.mode(mode).partitionBy("band").parquet(path + "/buckets")
     sk.select(col("doc_id"), col("sh"), col("n_sh"))
       .write.mode(mode).parquet(path + "/sketch")
